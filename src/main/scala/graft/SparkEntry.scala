@@ -1,13 +1,738 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dict.Dictionary
+import graft.etl.Transforms
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.query.{Aggs, Federation, FilterSpec}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: named queries over the synthetic star schema at
+  * `/root/testdata/sf*`, with DuckDB-oracle SQL for every SQL-expressible
+  * operator (SURVEY.md §2 inventory + the training-data-pipeline extensions).
+  *
+  * Column-binding conventions follow FIXTURES.md §3 (e.g. `o_orderpriority`
+  * stands in for the harmonized `description` enum, `n_name` for `city`).
+  *
+  * Numeric outputs that aggregate doubles are `round`ed in BOTH the Spark
+  * query and the oracle SQL so floating-point summation order can't flip the
+  * hash compare; every query carries a total ORDER BY for deterministic rows.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def load(dir: String, table: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** The `events` table is written with nanosecond parquet timestamps, which
+    * Spark's vectorized reader rejects. Read `ts` as raw nanos and convert to
+    * a microsecond timestamp — same truncation DuckDB applies, so oracles
+    * agree.
+    */
+  private def loadEvents(dir: String)(implicit spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the harmonized
+    * "description" terms aggregation under a conjunction of dictionary-typed
+    * filters — the reference's signature dashboard query (SURVEY.md §7.2 M0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("g2_terms_top10")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // §2.2/§2.3 ETL: harmonization pipeline over `events` (P1-P12, F1-F2)
+  // ---------------------------------------------------------------------
+
+  /** The `events` table pushed through the harmonization transforms the city
+    * notebooks apply: datetime parts, day-of-week naming, value recoding,
+    * descriptor constants, name sanitization.
+    */
+  private def harmonizedEvents(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = loadEvents(dir)
+    import graft.etl.Harmonizer
+    Harmonizer(ev)
+      .mapVar("event_type", "description")
+      .mapValues("description", Seq(
+        "click" -> "Click", "view" -> "View", "purchase" -> "Purchase",
+        "login" -> "Login", "logout" -> "Logout"))
+      .transform { df =>
+        Transforms.addDatasetDescriptors(
+          df.withColumn("year", year(col("ts")))
+            .withColumn("month", month(col("ts")))
+            .withColumn("day", dayofmonth(col("ts")))
+            .withColumn("hour", hour(col("ts")))
+            .withColumn("minute", minute(col("ts")))
+            .withColumn("dayofweek", Transforms.dayOfWeekName(col("ts"))),
+          city = "synthville", rawDataPath = "events.parquet",
+          harmonizedDataPath = "harmonized/events", notebookHtml = "none")
+      }
+      .makeValidVariableNames
+      .df
+  }
+
+  // ---------------------------------------------------------------------
+  // The query registry (name -> (spark, sfDir) => DataFrame)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== §2.3 aggregations / sorts (A1-A7, O1-O2) =====
+
+    "q1_agg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      load(dir, "lineitem")
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "a3_distinct" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      load(dir, "orders").select(col("o_orderpriority")).distinct()
+        .where(col("o_orderpriority") =!= "")
+        .orderBy("o_orderpriority")
+    }),
+
+    "a5_describe" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // df.describe() semantics, restated deterministically: count / mean /
+      // stddev (sample) / min / max of two numeric columns.
+      load(dir, "lineitem").agg(
+        count(col("l_quantity")).as("count_quantity"),
+        round(avg(col("l_quantity")), 4).as("mean_quantity"),
+        round(stddev_samp(col("l_quantity")), 4).as("std_quantity"),
+        round(min(col("l_quantity")), 2).as("min_quantity"),
+        round(max(col("l_quantity")), 2).as("max_quantity"),
+        count(col("l_extendedprice")).as("count_price"),
+        round(avg(col("l_extendedprice")), 4).as("mean_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+    }),
+
+    "a6_count_after_filter" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // F1/F2/A6: row counts before/after a cleaning filter, in one pass.
+      load(dir, "customer").agg(
+        count(lit(1)).as("loaded"),
+        sum(when(col("c_acctbal") > 0, 1).otherwise(0)).cast("long").as("kept"),
+        sum(when(col("c_acctbal") <= 0 || col("c_acctbal").isNull, 1).otherwise(0)).cast("long").as("deleted"))
+    }),
+
+    // ===== §2.2 projections / scalar transforms (P1-P12) on events =====
+
+    "p_harmonize_events" -> ((s, dir) => {
+      harmonizedEvents(s, dir)
+        .select("event_id", "description", "year", "month", "day", "hour",
+          "minute", "dayofweek", "city", "value")
+        .orderBy("event_id")
+    }),
+
+    "p6_regex_extract" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // P6/P7/P8/P12 over string-rendered dates: extract M/D/YYYY parts,
+      // zero-pad, reassemble a timestamp — the Baltimore datetime pipeline.
+      val raw = load(dir, "orders")
+        .withColumn("datestr", date_format(col("o_orderdate"), "M/d/yyyy"))
+        .withColumn("timestr", lit("14:30:00"))
+      val asm = raw
+        .withColumn("month", Transforms.mdyMonth(col("datestr")))
+        .withColumn("day", Transforms.mdyDay(col("datestr")))
+        .withColumn("year", Transforms.mdyYear(col("datestr")))
+        .withColumn("hour", Transforms.normalizeHour24(Transforms.timeHour(col("timestr"))))
+        .withColumn("minute", Transforms.timeMinute(col("timestr")))
+        .withColumn("datetime", Transforms.assembleDatetime(
+          col("year"), col("month"), col("day"), col("hour"), col("minute")))
+      Transforms.castDateParts(asm, Seq("year", "month", "day", "hour", "minute"))
+        .select(col("o_orderkey"), col("year"), col("month"), col("day"),
+          col("hour"), col("minute"),
+          date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime_str"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ===== §2.4 search predicates (Q1-Q9) =====
+
+    "q2_range_filter" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val spec = FilterSpec.And(Seq(
+        FilterSpec.NumericRange("l_quantity", 10, 20),
+        FilterSpec.NumericRange("l_discount", 0.02, 0.06)))
+      load(dir, "lineitem").where(spec.compile)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q3_enum_in" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val spec = FilterSpec.EnumIn("o_orderpriority", Seq("1-URGENT", "2-HIGH"))
+      load(dir, "orders").where(spec.compile)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q4_bool_eq" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Boolean field derived the way LA derives gang_related Y/N → 1/0.
+      val li = load(dir, "lineitem")
+        .withColumn("returned", when(col("l_returnflag") === "R", 1).otherwise(0))
+      li.where(FilterSpec.BoolEq("returned", 1).compile)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    }),
+
+    "q5_datetime_range" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val spec = FilterSpec.DateTimeRange("o_orderdate",
+        java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime,
+        java.sql.Timestamp.valueOf("1996-12-31 23:59:59").getTime)
+      load(dir, "orders").where(spec.compile)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("order_year")
+    }),
+
+    "q6_phrase_prefix" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val spec = FilterSpec.PhrasePrefix("p_name", "small wid")
+      load(dir, "part").where(spec.compile)
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
+    "q7_conjunction" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val spec = FilterSpec.conjunction(Seq(
+        FilterSpec.NumericRange("o_totalprice", 50000, 200000),
+        FilterSpec.EnumIn("o_orderstatus", Seq("F", "O")),
+        FilterSpec.DateTimeRange("o_orderdate",
+          java.sql.Timestamp.valueOf("1993-01-01 00:00:00").getTime,
+          java.sql.Timestamp.valueOf("1997-12-31 00:00:00").getTime)))
+      load(dir, "orders").where(spec.compile)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q8_dict_fetch" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The webapp's dictionary fetch (Q8): non-null fields, projected and
+      // limited — over the dictionary of the lineitem table.
+      Dictionary.profile(load(dir, "lineitem"))
+        .where(col("dict_field").isNotNull)
+        .select("dict_field", "dict_count", "dict_countdistinct",
+          "dict_countmissing", "dict_vartype")
+        .orderBy("dict_field")
+        .limit(1000)
+    }),
+
+    // ===== §2.5 aggregations (G1-G9) =====
+
+    "g1_count" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Aggs.countMetric(load(dir, "lineitem"))
+    }),
+
+    "g2_terms_top10" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The "Description" pie: terms top-10 under the dashboard time filter.
+      val ev = Aggs.timeFiltered(loadEvents(dir), "ts",
+        java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+      Aggs.termsTopN(ev, "event_type", 10)
+    }),
+
+    "g3_city_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The "City" pie over the federated customer+supplier view: nation
+      // stands in for city; the dim table is broadcast.
+      val cust = load(dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val supp = load(dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val nat = load(dir, "nation")
+      Federation("customers" -> cust, "suppliers" -> supp).view("*")
+        .join(broadcast(nat), col("nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(desc("count"), asc("n_name"))
+        .limit(10)
+    }),
+
+    "g4_nested_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The "Day/Hour" nested pie: parent=o_orderpriority, child=o_orderstatus.
+      Aggs.nestedTermsTopK(load(dir, "orders"), "o_orderpriority", "o_orderstatus",
+        parentSize = 3, childSize = 2)
+    }),
+
+    "g6_geohash_grid" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Geohash grid over synthetic coordinates derived from numeric columns
+      // scaled into valid lat/lon ranges (FIXTURES.md §3).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geohashGrid(pts, "lat", "lon", precision = 2)
+    }),
+
+    "g7_typeahead" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Aggs.typeahead(load(dir, "part"), "p_brand", "brand 1", size = 10)
+    }),
+
+    "g9_federation" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Wildcard-pattern union with missing columns null-filled, then a
+      // per-source count with a column only one member has.
+      val cust = load(dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("mktsegment"), lit("customer").as("src"))
+      val supp = load(dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("src"))
+      Federation("cust_harmonized" -> cust, "supp_harmonized" -> supp)
+        .view("*harmonized*")
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"),
+          count(col("mktsegment")).as("n_mktsegment"),
+          round(sum(col("acctbal")), 2).as("total_bal"))
+        .orderBy("src")
+    }),
+
+    "g_date_histogram" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Aggs.dateHistogram(loadEvents(dir), "ts", "day")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+    }),
+
+    // ===== M1: dictionary profiling (A1-A2) =====
+
+    "dict_profile_lineitem" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Dictionary.profile(load(dir, "lineitem"))
+        .select(col("dict_field"), col("dict_count"), col("dict_countdistinct"),
+          col("dict_countmissing"),
+          round(col("dict_mean"), 4).as("dict_mean"),
+          round(col("dict_stddev"), 4).as("dict_stddev"),
+          col("dict_vartype"))
+        .orderBy("dict_field")
+    }),
+
+    // ===== Training-data ops: dedup =====
+
+    "dedup_exact" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Dedup.exact(load(dir, "documents"), Seq("text"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy("source")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Dedup.minhashNearDupPairs(load(dir, "documents"), "doc_id", "text",
+          threshold = 0.4, shingleK = 2, numBands = 32, rowsPerBand = 2)
+
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Dedup.simhashNearDupPairs(load(dir, "documents"), "doc_id", "text",
+        maxHamming = 12, numChunks = 16)
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Dedup.ngramJaccardPairs(load(dir, "documents"), "doc_id", "text",
+          threshold = 0.35, shingleK = 2)
+
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Exact pair generation (oracle-checkable); the LSH variant
+      // (embeddingNearDupPairs) is the 100 TB path, exercised in tests.
+      Similarity.bruteForcePairs(load(dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.42)
+
+    }),
+
+    // ===== Training-data ops: similarity search =====
+
+    "ann_bruteforce" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6)
+
+    }),
+
+    // ===== Training-data ops: text analysis =====
+
+    "text_profile" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val c = col("text")
+      load(dir, "documents").select(
+        col("doc_id"),
+        // Ratio columns stay UNROUNDED: both engines compute bit-identical
+        // doubles from identical expression trees, while round() on the
+        // small-rational grid these land on (p/q, tiny q) hits .xxx5 ties
+        // that the two engines' round() break differently.
+        TextAnalysis.tokenCount(c).cast("long").as("token_count"),
+        TextAnalysis.bpeTokenEstimate(c).cast("long").as("bpe_token_estimate"),
+        TextAnalysis.punctRatio(c).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(c).as("stopword_ratio"),
+        TextAnalysis.meanTokenLength(c).as("mean_token_length"),
+        TextAnalysis.qualityScore(c).as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      load(dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      load(dir, "documents")
+        .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ===== Multimodal plumbing (stub codec; rows-only check) =====
+
+    "mm_feature_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      Multimodal.featureStatsByKind(load(dir, "documents"), "doc_id", "text", dim = 16)
+    }),
+
+    // ===== Streaming shapes (batch-parity form) =====
+
+    "stream_window_counts" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      EventStreams.windowedCounts(loadEvents(dir), windowDuration = "1 day")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles — ANSI SQL over the same parquet files. The driver runs
+  // these against `<sfDir>/<table>.parquet`; column names and rounding match
+  // the Spark side exactly. Queries without an entry get a rows-only check.
+  // ---------------------------------------------------------------------
+
+  /** Lineitem columns and whether they are numeric — drives the generated
+    * dictionary-profile oracle (the reference's per-column UNION ALL shape,
+    * `harmonizeCrimeIncidents.py:356-387`, here as oracle SQL).
+    */
+  private val lineitemCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+    "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_tax" -> true,
+    "l_returnflag" -> false, "l_linestatus" -> false, "l_shipdate" -> false)
+
+  private def dictOracle(selectCols: String): String = {
+    val subs = lineitemCols.map { case (c, numeric) =>
+      val mean = if (numeric) s"avg($c)" else "NULL::DOUBLE"
+      val std = if (numeric) s"stddev_pop($c)" else "NULL::DOUBLE"
+      s"SELECT '$c' AS dict_field, count($c) AS dict_count, " +
+        s"count(DISTINCT $c) AS dict_countdistinct, " +
+        s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS dict_countmissing, " +
+        s"$mean AS dict_mean, $std AS dict_stddev, " +
+        s"min($c)::VARCHAR AS dict_min, max($c)::VARCHAR AS dict_max FROM lineitem"
+    }
+    val minD = "TRY_CAST(dict_min AS DOUBLE)"
+    val maxD = "TRY_CAST(dict_max AS DOUBLE)"
+    s"""WITH stats AS (${subs.mkString(" UNION ALL ")}),
+       |typed AS (SELECT *, CASE
+       |  WHEN dict_mean IS NULL THEN 'text'
+       |  WHEN dict_countdistinct = 2 AND $minD = 0 AND $maxD = 1 THEN 'boolean'
+       |  WHEN dict_countdistinct > (1 + $maxD - $minD)
+       |    THEN 'range,0,' || floor($maxD + 1)::BIGINT::VARCHAR || ',0.1'
+       |  ELSE 'range,0,' || (floor(($maxD / 10) + 1) * 10)::BIGINT::VARCHAR || ',1'
+       |END AS dict_vartype FROM stats)
+       |SELECT $selectCols FROM typed ORDER BY dict_field""".stripMargin
+  }
+
+  /** Analyzer tokens in DuckDB — must mirror [[TextAnalysis]] exactly. */
+  private val duckToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a3_distinct" ->
+      """SELECT DISTINCT o_orderpriority FROM orders
+        |WHERE o_orderpriority <> '' ORDER BY o_orderpriority""".stripMargin,
+
+    "a5_describe" ->
+      """SELECT count(l_quantity) AS count_quantity,
+        |  round(avg(l_quantity), 4) AS mean_quantity,
+        |  round(stddev_samp(l_quantity), 4) AS std_quantity,
+        |  round(min(l_quantity), 2) AS min_quantity,
+        |  round(max(l_quantity), 2) AS max_quantity,
+        |  count(l_extendedprice) AS count_price,
+        |  round(avg(l_extendedprice), 4) AS mean_price,
+        |  round(stddev_samp(l_extendedprice), 4) AS std_price,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "a6_count_after_filter" ->
+      """SELECT count(*) AS loaded,
+        |  sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS kept,
+        |  sum(CASE WHEN c_acctbal <= 0 OR c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS deleted
+        |FROM customer""".stripMargin,
+
+    "p_harmonize_events" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+        |    WHEN 'purchase' THEN 'Purchase' WHEN 'login' THEN 'Login'
+        |    WHEN 'logout' THEN 'Logout' ELSE event_type END AS description,
+        |  year(ts) AS year, month(ts) AS month, day(ts) AS day,
+        |  hour(ts) AS hour, minute(ts) AS minute,
+        |  dayname(ts) AS dayofweek,
+        |  'synthville' AS city, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p6_regex_extract" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::INT AS year, month(o_orderdate)::INT AS month,
+        |  day(o_orderdate)::INT AS day, 14 AS hour, 30 AS minute,
+        |  strftime(o_orderdate + INTERVAL 14 HOUR + INTERVAL 30 MINUTE,
+        |           '%Y-%m-%d %H:%M:%S') AS datetime_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q2_range_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity <= 20
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q3_enum_in" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q4_bool_eq" ->
+      """SELECT l_linestatus, count(*) AS n
+        |FROM (SELECT l_linestatus,
+        |        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+        |      FROM lineitem)
+        |WHERE returned = 1
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q5_datetime_range" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY order_year ORDER BY order_year""".stripMargin,
+
+    "q6_phrase_prefix" ->
+      s"""SELECT p_partkey, p_name FROM part
+         |WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_name", "small wid")}
+         |ORDER BY p_partkey""".stripMargin,
+
+    "q7_conjunction" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_totalprice >= 50000 AND o_totalprice <= 200000
+        |  AND o_orderstatus IN ('F', 'O')
+        |  AND o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "g1_count" -> "SELECT count(*) AS count FROM lineitem",
+
+    "g2_terms_top10" ->
+      """SELECT event_type, count(*) AS count FROM events
+        |WHERE ts >= TIMESTAMP '1990-01-01 00:00:00'
+        |  AND ts <= TIMESTAMP '2030-01-01 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin,
+
+    "g3_city_terms" ->
+      """SELECT n_name, count(*) AS count FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) u JOIN nation ON u.nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY count DESC, n_name ASC LIMIT 10""".stripMargin,
+
+    "g4_nested_terms" ->
+      """WITH pair_counts AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS count
+        |  FROM orders GROUP BY 1, 2
+        |), top_parents AS (
+        |  SELECT o_orderpriority, sum(count) AS parent_count
+        |  FROM pair_counts GROUP BY 1
+        |  ORDER BY parent_count DESC, o_orderpriority ASC LIMIT 3
+        |), ranked AS (
+        |  SELECT p.o_orderpriority, p.o_orderstatus, p.count, t.parent_count,
+        |    row_number() OVER (PARTITION BY p.o_orderpriority
+        |                       ORDER BY p.count DESC, p.o_orderstatus ASC) AS child_rank
+        |  FROM pair_counts p JOIN top_parents t USING (o_orderpriority)
+        |)
+        |SELECT o_orderpriority, o_orderstatus, count, parent_count
+        |FROM ranked WHERE child_rank <= 2
+        |ORDER BY parent_count DESC, o_orderpriority ASC, count DESC, o_orderstatus ASC""".stripMargin,
+
+    "g7_typeahead" ->
+      s"""SELECT p_brand FROM (
+         |  SELECT p_brand, count(*) AS count FROM part
+         |  WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_brand", "brand 1")}
+         |  GROUP BY p_brand
+         |  ORDER BY count DESC, p_brand ASC LIMIT 10
+         |)""".stripMargin,
+
+    "g9_federation" ->
+      """SELECT src, count(*) AS n, count(mktsegment) AS n_mktsegment,
+        |  round(sum(acctbal), 2) AS total_bal
+        |FROM (
+        |  SELECT c_custkey AS key, c_acctbal AS acctbal,
+        |         c_mktsegment AS mktsegment, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, s_acctbal AS acctbal,
+        |         NULL AS mktsegment, 'supplier' AS src FROM supplier
+        |)
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "g_date_histogram" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+        |  count(*) AS count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT source, count(*) AS n_unique FROM (
+        |  SELECT text, source,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "stream_window_counts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q8_dict_fetch" -> dictOracle(
+      "dict_field, dict_count, dict_countdistinct, dict_countmissing, dict_vartype"),
+
+    "dict_profile_lineitem" -> dictOracle(
+      "dict_field, dict_count, dict_countdistinct, dict_countmissing, " +
+        "round(dict_mean, 4) AS dict_mean, round(dict_stddev, 4) AS dict_stddev, dict_vartype"),
+
+    "text_profile" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS token_count,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_token_estimate,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END AS punct_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE len(list_filter(toks, t -> list_contains(${TextAnalysis.englishStopwords.map(w => s"'$w'").mkString("[", ",", "]")}, t)))::DOUBLE / len(toks) END AS stopword_ratio,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) END AS mean_token_length
+         |  FROM t
+         |)
+         |SELECT doc_id, token_count, bpe_token_estimate,
+         |  punct_ratio, stopword_ratio, mean_token_length,
+         |  (least(1.0, token_count / 100.0)
+         |       + greatest(0.0, 1.0 - abs(stopword_ratio - 0.4) / 0.4)
+         |       + (1.0 - least(1.0, punct_ratio * 5.0))
+         |       + (1.0 - least(1.0, abs(mean_token_length - 5.0) / 5.0))) * 0.25 AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |  WHERE len(toks) >= 2
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_inner_product(a.v, b.v)
+        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cos FROM scored
+        |WHERE cos >= 0.42 ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_inner_product(e.v, q.v)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
 }

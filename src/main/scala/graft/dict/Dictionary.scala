@@ -1,0 +1,173 @@
+package graft.dict
+
+import graft.etl.Harmonizer
+import graft.schema.{HarmonizedSchema, StdVar, VarType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One data-dictionary row — one per *column* of a profiled table. Schema
+  * restates the reference's fixed 13-column dictionary
+  * (`harmonizeCrimeIncidents.py:356-381`; executed DDL
+  * `notebooks/html/Detroit-notebook.html:13505`). Deliberately preserved
+  * quirks (SURVEY.md §1.4): `dict_min`/`dict_max` are STRING (the
+  * reference's UNION ALL coerces mixed types to string);
+  * `dict_uifilter` is the *string* `'True'`/`'False'` (webapp
+  * string-compares it, `views.js:582`).
+  */
+final case class DictEntry(
+    dict_field: String,
+    dict_count: Long,
+    dict_countdistinct: Long,
+    dict_countmissing: Long,
+    dict_mean: Option[Double],
+    dict_stddev: Option[Double],
+    dict_min: Option[String],
+    dict_max: Option[String],
+    dict_vargroup: String,
+    dict_vardescr: String,
+    dict_uifilter: String,
+    dict_varmapping: String,
+    dict_vartype: String,
+)
+
+/** Data-dictionary profiler (reference `buildDataDict`,
+  * `harmonizeCrimeIncidents.py:337-406`).
+  *
+  * The reference issues one aggregation query *per column* and UNION ALLs the
+  * N single-row results — N full scans of the table (~27 for Baltimore).
+  * Here the profile is one single-pass `agg` with 7×N aggregate expressions,
+  * unpivoted to N rows with `stack` — one scan regardless of column count,
+  * which is the difference between feasible and not at 100 TB. Set
+  * `exactDistinct = false` to swap `COUNT(DISTINCT)` for HyperLogLog
+  * `approx_count_distinct` (the reference's exact distinct per column is a
+  * full shuffle per column at scale).
+  */
+object Dictionary {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Profile every column of `df` into a dictionary DataFrame.
+    *
+    * @param metadata       per-field harmonized metadata (defaults to the
+    *                       standard vocabulary registry)
+    * @param varMapping     per-field lineage notes (from [[Harmonizer]])
+    * @param exactDistinct  exact `COUNT(DISTINCT)` vs HLL approximation
+    */
+  def profile(
+      df: DataFrame,
+      metadata: Map[String, StdVar] = HarmonizedSchema.byName,
+      varMapping: Map[String, String] = Map.empty,
+      transformDescr: Map[String, String] = Map.empty,
+      defaultVarGroup: String = "dataset",
+      exactDistinct: Boolean = true): DataFrame = {
+
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "profile: empty schema")
+
+    // 7 aggregates per column, one scan. Aliases are positional (`_i_*`)
+    // so arbitrary source column names can't collide with them.
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val numeric = isNumeric(f.dataType)
+      val distinctAgg =
+        if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
+      Seq(
+        count(c).as(s"_${i}_cnt"),
+        distinctAgg.as(s"_${i}_cd"),
+        sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as(s"_${i}_miss"),
+        (if (numeric) avg(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_${i}_mean"),
+        (if (numeric) stddev_pop(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_${i}_std"),
+        min(c).cast(StringType).as(s"_${i}_min"),
+        max(c).cast(StringType).as(s"_${i}_max"),
+      )
+    }.toSeq
+
+    val oneRow = df.agg(aggs.head, aggs.tail: _*)
+
+    // Unpivot the 7×N-column single row into N dictionary rows.
+    val stackGroups = fields.zipWithIndex.map { case (f, i) =>
+      val esc = f.name.replace("'", "\\'")
+      s"'$esc', _${i}_cnt, _${i}_cd, _${i}_miss, _${i}_mean, _${i}_std, _${i}_min, _${i}_max"
+    }.mkString(", ")
+    val stats = oneRow.selectExpr(
+      s"stack(${fields.length}, $stackGroups) AS " +
+        "(dict_field, dict_count, dict_countdistinct, dict_countmissing, " +
+        "dict_mean, dict_stddev, dict_min, dict_max)")
+
+    // Per-field metadata + lineage as a broadcast-joined tiny frame (one row
+    // per column), mirroring the reference's literal-injection per subquery.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metaRows = fields.map { f =>
+      val m = metadata.get(f.name)
+      val mapping = varMapping.get(f.name).map(o => s"Source $o. ").getOrElse("") +
+        transformDescr.getOrElse(f.name, "Variable value unchanged from source dataset.")
+      (
+        f.name,
+        m.map(_.group).getOrElse(defaultVarGroup),
+        m.map(_.varType.serialize).getOrElse("unknown"),
+        m.map(_.descr).getOrElse("unknown"),
+        // Python-bool capitalization preserved: the webapp compares 'True'.
+        m.map(v => if (v.uiFilter) "True" else "False").getOrElse("True"),
+        mapping,
+      )
+    }.toSeq.toDF("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr", "dict_uifilter", "dict_varmapping")
+
+    val joined = stats.join(broadcast(metaRows), Seq("dict_field"), "left")
+
+    inferUnknownVarTypes(joined).select(
+      "dict_field", "dict_count", "dict_countdistinct", "dict_countmissing",
+      "dict_mean", "dict_stddev", "dict_min", "dict_max",
+      "dict_vargroup", "dict_vardescr", "dict_uifilter", "dict_varmapping",
+      "dict_vartype")
+  }
+
+  /** Best-guess widget type for `unknown` fields from their distribution —
+    * restates the reference's CASE (`harmonizeCrimeIncidents.py:389-405`):
+    * no mean → `text`; exactly {0,1} → `boolean`; more distincts than the
+    * integer span → continuous `range,0,floor(max+1),0.1`; otherwise a
+    * stepped `range,0,floor((max/10)+1)*10,1`.
+    */
+  def inferUnknownVarTypes(dict: DataFrame): DataFrame = {
+    val unknown = col("dict_vartype") === "unknown"
+    val minD = col("dict_min").cast(DoubleType)
+    val maxD = col("dict_max").cast(DoubleType)
+    val inferred =
+      when(unknown && col("dict_mean").isNull, lit("text"))
+        .when(unknown && col("dict_countdistinct") === 2 && minD === 0 && maxD === 1, lit("boolean"))
+        .when(unknown && col("dict_countdistinct") > (lit(1) + maxD - minD),
+          concat(lit("range,0,"), floor(maxD + 1).cast(StringType), lit(",0.1")))
+        .when(unknown,
+          concat(lit("range,0,"), (floor((maxD / 10) + 1) * 10).cast(StringType), lit(",1")))
+        .otherwise(col("dict_vartype"))
+    dict.withColumn("dict_vartype", inferred)
+  }
+
+  /** Profile a [[Harmonizer]] pipeline result, threading its lineage into
+    * `dict_varmapping`.
+    */
+  def profileHarmonized(h: Harmonizer, exactDistinct: Boolean = true): DataFrame =
+    profile(
+      h.df,
+      varMapping = h.varMap,
+      transformDescr = h.transformDescrs.map { case (k, v) => k -> v.mkString("; ") },
+      exactDistinct = exactDistinct)
+
+  /** Typed view of a dictionary frame. */
+  def asEntries(dict: DataFrame): org.apache.spark.sql.Dataset[DictEntry] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.as[DictEntry]
+  }
+
+  /** Parsed widget types per field — the hook the query layer uses to decide
+    * predicate forms (see [[graft.query.FilterSpec]]).
+    */
+  def varTypes(dict: DataFrame): Map[String, VarType] =
+    dict.select("dict_field", "dict_vartype").collect()
+      .map(r => r.getString(0) -> VarType.parse(r.getString(1))).toMap
+}

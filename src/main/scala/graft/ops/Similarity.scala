@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and random-hyperplane LSH bucketing as
+  * the approximate scale path (bucket join instead of cross join).
+  *
+  * All vector math is higher-order-function `Column` algebra in double
+  * precision (`zip_with`/`aggregate`), so it stays inside codegen and matches
+  * a SQL oracle computing the same expression.
+  */
+object Similarity {
+
+  /** Cast any numeric array to `array<double>` for stable math. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-`k`: every query vector against every
+    * corpus vector. The query side is broadcast (queries are small by
+    * construction); the corpus is scanned once with no shuffle until the
+    * per-query top-k selection. O(|corpus| × |queries|) compute — the
+    * baseline to beat, correct at any scale the product can afford.
+    *
+    * Returns `(query_id, rank, neighbor_id, cos)` ordered.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv")))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+      .join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH: `numPlanes` unit-free
+    * Gaussian vectors of dimension `dim`, from a seeded PRNG (same seed →
+    * same planes on every executor and run).
+    */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit `i` is the sign of `v · plane_i`. Vectors with
+    * small angles agree on most signs (Goemans-Williamson / SimHash-for-
+    * vectors), so cosine-close vectors land in the same bucket.
+    */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate cosine top-`k` via sign-LSH: corpus and queries are bucketed
+    * by hyperplane signs; each query only scores corpus vectors in the same
+    * bucket (a hash join on the bucket id — shuffle linear in rows, no cross
+    * join). Recall is tuned by `numPlanes` (fewer planes → bigger buckets →
+    * higher recall, more compute). Multi-probe: `probeBits > 0` also visits
+    * buckets differing in up to that many sign bits.
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int,
+      numPlanes: Int = 8,
+      probeBits: Int = 1,
+      seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+      .withColumn("_bucket", lshBucket(col("_cv"), planes))
+    // Each query probes its own bucket plus every bucket within `probeBits`
+    // sign flips (only 1 supported — the useful regime for small numPlanes).
+    require(probeBits <= 1, "multi-probe beyond 1 bit not implemented")
+    val qBase = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+      .withColumn("_qbucket", lshBucket(col("_qv"), planes))
+    val probes =
+      if (probeBits == 0) array(col("_qbucket"))
+      else array(col("_qbucket") +: (0 until numPlanes).map(i =>
+        col("_qbucket").bitwiseXOR(lit(1L << i))): _*)
+    val q = qBase.withColumn("_bucket", explode(probes)).drop("_qbucket")
+    val scored = c.join(q, Seq("_bucket"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact embedding near-duplicate pairs: every `(id_a < id_b)` pair with
+    * cosine `>= threshold`, by brute-force self-join — O(n²), the correctness
+    * baseline. Use [[embeddingNearDupPairs]] (LSH) when n² is unaffordable.
+    */
+  def bruteForcePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-duplicate pairs: all `(id_a < id_b)` pairs with cosine
+    * `>= threshold`, candidates generated through shared LSH buckets (with
+    * 1-bit probing on one side so pairs straddling a single sign flip are
+    * still found).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_bucket", lshBucket(col("_v"), planes))
+    val probed = base.withColumn("_bucket",
+      explode(array(col("_bucket") +: (0 until numPlanes).map(i =>
+        col("_bucket").bitwiseXOR(lit(1L << i))): _*)))
+    val a = probed.select(col("_id").as("id_a"), col("_v").as("_va"), col("_bucket"))
+    val b = base.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_bucket"))
+    a.join(b, Seq("_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

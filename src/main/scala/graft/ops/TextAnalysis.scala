@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, and content
+  * fingerprinting. All pure `Column` algebra (codegen'd, no UDFs) so they run
+  * inside whole-stage codegen over 100 TB of documents.
+  *
+  * Beyond the reference's surface (BASELINE.json north star): the reference
+  * analyzes search corpora; these are the document-corpus analogues.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword count estimate: runs of letters, single digits, and
+    * single non-space symbols — a regex approximation of byte-pair-encoding
+    * token granularity (long words split less than punctuation-dense text).
+    */
+  def bpeTokenEstimate(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Characters of punctuation/symbols (not alphanumeric, not whitespace). */
+  def punctCount(c: Column): Column = regexp_count(c, lit("[^A-Za-z0-9\\s]"))
+
+  /** Punctuation-to-character ratio; 0 for empty text. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(punctCount(c).cast(DoubleType) / length(c).cast(DoubleType))
+
+  /** English stopwords used for quality/language heuristics — a small, fixed
+    * public list (the usual top function words).
+    */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "were", "it", "that", "this", "for", "on", "with", "as", "by", "at",
+    "from", "be", "not", "but", "he", "she", "they", "we", "you", "i")
+
+  private def lowerTokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Fraction of tokens that are stopwords (for the given list); 0 when there
+    * are no tokens. High-signal quality feature: natural prose has a stable
+    * stopword ratio, boilerplate/code/tables do not.
+    */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = lowerTokens(c)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast(DoubleType) /
+        size(toks).cast(DoubleType))
+  }
+
+  /** Mean token length in characters; 0 when there are no tokens. */
+  def meanTokenLength(c: Column): Column = {
+    val toks = lowerTokens(c)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+        size(toks).cast(DoubleType))
+  }
+
+  /** Composite document quality score in [0, 1]: rewards reasonable length,
+    * a natural stopword ratio, moderate punctuation, and word-like token
+    * lengths. Deterministic closed formula — documented so downstream
+    * filtering is reproducible:
+    *
+    * {{{
+    * q = 0.25 * min(1, tokens/100)
+    *   + 0.25 * (1 - |stopRatio - 0.4| / 0.4  clamped to [0,1])
+    *   + 0.25 * (1 - min(1, punctRatio * 5))
+    *   + 0.25 * (1 - min(1, |meanTokLen - 5| / 5))
+    * }}}
+    */
+  def qualityScore(c: Column): Column = {
+    val lengthScore = least(lit(1.0), tokenCount(c).cast(DoubleType) / 100.0)
+    val stopScore = greatest(lit(0.0), lit(1.0) - abs(stopwordRatio(c) - 0.4) / 0.4)
+    val punctScore = lit(1.0) - least(lit(1.0), punctRatio(c) * 5.0)
+    val wordScore = lit(1.0) - least(lit(1.0), abs(meanTokenLength(c) - 5.0) / 5.0)
+    (lengthScore + stopScore + punctScore + wordScore) * 0.25
+  }
+
+  /** Function-word profiles for the n-gram/stopword language-ID heuristic.
+    * Latin-script languages score by function-word hits; CJK by codepoint
+    * class. Public knowledge (standard function-word lists).
+    */
+  val languageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "you", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "du", "que", "pas", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "del", "que", "no", "por", "para"),
+  )
+
+  /** Language-ID heuristic: per-language score = fraction of tokens found in
+    * that language's function-word profile; CJK text short-circuits on Han
+    * codepoints; below `minScore` the verdict is "und" (undetermined).
+    */
+  def languageId(c: Column, minScore: Double = 0.05): Column = {
+    val toks = lowerTokens(c)
+    val nToks = size(toks).cast(DoubleType)
+    val scores: Seq[(String, Column)] = languageProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val profile = array(words.map(lit): _*)
+      lang -> when(nToks === 0, 0.0).otherwise(
+        size(filter(toks, t => array_contains(profile, t))).cast(DoubleType) / nToks)
+    }
+    val hanRatio = when(length(c) === 0, 0.0)
+      .otherwise(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).cast(DoubleType) / length(c))
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best >= minScore, lang).otherwise(acc)
+    }
+    when(hanRatio > 0.25, "zh").otherwise(pick)
+  }
+
+  /** 64-bit content fingerprint: xxhash64 of the analyzer-normalized text, so
+    * case/punctuation/whitespace variants collide — exact-dedup key for
+    * near-identical formatting variants.
+    */
+  def contentFingerprint(c: Column): Column =
+    xxhash64(regexp_replace(trim(lower(c)), "[^a-z0-9]+", " "))
+
+  /** Rolling-hash shingle fingerprints: xxhash64 of each `k`-word shingle —
+    * the building block for MinHash and winnowing-style fingerprint sets.
+    */
+  def shingleFingerprints(c: Column, k: Int): Column = {
+    val toks = lowerTokens(c)
+    val n = size(toks)
+    when(n < k, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(0), n - k),
+        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  }
+
+  /** Full per-document text profile as named columns. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("token_count", tokenCount(c))
+      .withColumn("bpe_token_estimate", bpeTokenEstimate(c))
+      .withColumn("punct_ratio", punctRatio(c))
+      .withColumn("stopword_ratio", stopwordRatio(c))
+      .withColumn("mean_token_length", meanTokenLength(c))
+      .withColumn("quality_score", qualityScore(c))
+      .withColumn("lang_pred", languageId(c))
+      .withColumn("fingerprint", contentFingerprint(c))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.query
+
+import graft.expr.{Geohash, TextMatch}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The aggregation surface of the serving half — restating the reference's
+  * Kibana visualizations and typeahead (SURVEY.md §2.5, G1-G8) as DataFrame
+  * aggregations.
+  *
+  * Ordering note: ES terms aggs order by doc count descending with the term
+  * itself as implicit tiebreak; every operator here makes that tiebreak
+  * explicit so results are deterministic under any partitioning.
+  *
+  * Scale notes: every shape below is a hash aggregate (map-side partial +
+  * final) over the grouping key — no windows over unpartitioned data, no
+  * driver-side loops. Top-k selection happens after aggregation, when
+  * cardinality is |distinct keys|, not |rows|.
+  */
+object Aggs {
+
+  /** G1 — count metric (every Kibana viz's `{type:'count'}`). */
+  def countMetric(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("count"))
+
+  /** G2/G3 — terms top-N: `terms` agg, size N, ordered desc by count
+    * (`kibana-exported-visualizations.json:2,5`).
+    */
+  def termsTopN(df: DataFrame, field: String, n: Int = 10): DataFrame =
+    df.groupBy(col(field))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
+  /** G4/G5 — nested terms: top `parentSize` parent buckets by their own doc
+    * count, and within each, top `childSize` child buckets
+    * (`kibana-exported-visualizations.json:3,4`). Kibana orders parent
+    * buckets by the parent's own total *before* child bucketing.
+    *
+    * One shuffle produces the (parent, child) counts; parent totals are a
+    * cheap re-aggregation of that small result, and the parent top-N joins
+    * back as a broadcast — nothing here re-scans the input or windows over
+    * an unpartitioned frame.
+    */
+  def nestedTermsTopK(
+      df: DataFrame,
+      parent: String,
+      child: String,
+      parentSize: Int = 10,
+      childSize: Int = 24): DataFrame = {
+    val pairCounts = df.groupBy(col(parent), col(child))
+      .agg(count(lit(1)).as("count"))
+    val topParents = pairCounts.groupBy(col(parent))
+      .agg(sum(col("count")).as("parent_count"))
+      .orderBy(desc("parent_count"), asc(parent))
+      .limit(parentSize)
+    val w = Window.partitionBy(col(parent)).orderBy(desc("count"), asc(child))
+    pairCounts
+      .join(broadcast(topParents), Seq(parent))
+      .withColumn("child_rank", row_number().over(w))
+      .where(col("child_rank") <= childSize)
+      .select(col(parent), col(child), col("count"), col("parent_count"))
+      .orderBy(desc("parent_count"), asc(parent), desc("count"), asc(child))
+  }
+
+  /** G6 — geohash grid: count per geohash cell at the given precision
+    * (`kibana-exported-visualizations.json:7`, precision 2). The geohash is a
+    * native codegen'd expression so the grouping key is computed inline.
+    */
+  def geohashGrid(df: DataFrame, latCol: String, lonCol: String, precision: Int = 2): DataFrame =
+    df.where(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .groupBy(Geohash.geohash(col(latCol), col(lonCol), precision).as("geohash"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc("geohash"))
+
+  /** G6 on the reference's at-rest geo encoding: a `"lat,lon"` string column
+    * (`Detroit-notebook.ipynb:654`).
+    */
+  def geohashGridFromGeoloc(df: DataFrame, geolocCol: String, precision: Int = 2): DataFrame = {
+    val parts = split(col(geolocCol), ",")
+    geohashGrid(
+      df.where(length(col(geolocCol)) > 0)
+        .withColumn("_lat", parts.getItem(0).cast("double"))
+        .withColumn("_lon", parts.getItem(1).cast("double")),
+      "_lat", "_lon", precision)
+  }
+
+  /** G7 — typeahead suggest: top-`size` most frequent values of `field`,
+    * optionally restricted to rows whose value phrase-prefix-matches the
+    * typed prefix (`views.js:378-412`).
+    */
+  def typeahead(df: DataFrame, field: String, typed: String, size: Int = 10): DataFrame = {
+    val base =
+      if (TextMatch.analyze(typed).isEmpty) df
+      else df.where(TextMatch.phrasePrefix(col(field), typed))
+    base.groupBy(col(field))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc(field))
+      .limit(size)
+      .select(col(field))
+  }
+
+  /** G8 — the dashboard-wide time filter (`datetime ∈ [now-20y, now]`,
+    * `config.js:31-32`) applied before any aggregation.
+    */
+  def timeFiltered(df: DataFrame, tsCol: String, from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame =
+    df.where(col(tsCol) >= lit(from) && col(tsCol) <= lit(to))
+
+  /** Date histogram — in the reference's Kibana but unused by any saved viz
+    * (SURVEY.md §2.5); included for engine completeness. `interval` is a
+    * `date_trunc` unit: "year" | "month" | "week" | "day" | "hour" | "minute".
+    */
+  def dateHistogram(df: DataFrame, tsCol: String, interval: String): DataFrame =
+    df.where(col(tsCol).isNotNull)
+      .groupBy(date_trunc(interval, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(asc("bucket"))
+
+  /** Metric-per-bucket generalization: Kibana's terms agg with arbitrary
+    * metric aggregations (count/sum/avg/min/max) per bucket.
+    */
+  def termsWithMetrics(df: DataFrame, field: String, metrics: Seq[Column], n: Int = 10): DataFrame =
+    df.groupBy(col(field))
+      .agg(count(lit(1)).as("count"), metrics: _*)
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+}
