@@ -26,13 +26,20 @@ object SparkEntry {
 
   /** The `events` table is written with nanosecond parquet timestamps, which
     * Spark's vectorized reader rejects. Read `ts` as raw nanos and convert to
-    * a microsecond timestamp — same truncation DuckDB applies, so oracles
-    * agree.
+    * a microsecond timestamp — `div` is exact integer division (double
+    * division would lose 1µs above 2^53 ns), matching DuckDB's truncation
+    * bit-for-bit.
+    *
+    * [[Verify]]/[[Bench]] set `spark.sql.legacy.parquet.nanosAsLong` at
+    * session build; parquet has no per-read option for it (checked
+    * ParquetOptions, Spark 4.1), so for externally-built sessions (the
+    * driver's `entry` smoke check) we set it here iff missing.
     */
   private def loadEvents(dir: String)(implicit spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the harmonized
@@ -442,6 +449,18 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("total_value"), 2).as("total_value"))
         .orderBy("window_start", "event_type")
     }),
+
+    "stream_sessionize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Batch twin of the streaming sessionizer (gap = 1 hour); the
+      // stateful streaming path is exercised in EventStreamsSpec.
+      EventStreams.sessionizeBatch(loadEvents(dir), gapMs = 3600 * 1000L)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "session_start")
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -609,7 +628,7 @@ object SparkEntry {
         |  SELECT o_orderpriority, o_orderstatus, count(*) AS count
         |  FROM orders GROUP BY 1, 2
         |), top_parents AS (
-        |  SELECT o_orderpriority, sum(count) AS parent_count
+        |  SELECT o_orderpriority, sum(count)::BIGINT AS parent_count
         |  FROM pair_counts GROUP BY 1
         |  ORDER BY parent_count DESC, o_orderpriority ASC LIMIT 3
         |), ranked AS (
@@ -660,6 +679,26 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q8_dict_fetch" -> dictOracle(
       "dict_field, dict_count, dict_countdistinct, dict_countmissing, dict_vartype"),

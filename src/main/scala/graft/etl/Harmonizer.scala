@@ -78,12 +78,21 @@ final case class Harmonizer(
   /** Strip invalid characters and lowercase every column name, recording
     * lineage for any column actually renamed (reference
     * `harmonizeCrimeIncidents.py:323-329`).
+    *
+    * Two source columns sanitizing to the same name (e.g. `"Event Type"` and
+    * `"eventtype"`) would silently produce duplicate columns and break every
+    * later `col()` resolution far from the cause — detected here and failed
+    * fast instead. All renames apply in ONE projection (`toDF`), not N
+    * `withColumnRenamed` plan nodes.
     */
   def makeValidVariableNames: Harmonizer = {
     val renames = df.columns.map(c => c -> c.replaceAll(invalidNameChars, "").toLowerCase)
-    val out = renames.foldLeft(df) { case (d, (from, to)) =>
-      if (from == to) d else d.withColumnRenamed(from, to)
-    }
+    val collisions = renames.groupBy(_._2).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      s"makeValidVariableNames: source columns collide after sanitization: " +
+        collisions.map { case (to, froms) => froms.map(_._1).mkString("[", ", ", "]") + s" -> $to" }
+          .mkString("; "))
+    val out = if (renames.forall(r => r._1 == r._2)) df else df.toDF(renames.map(_._2).toIndexedSeq: _*)
     val lineage = renames.collect { case (from, to) if from != to => to -> from }
     copy(df = out, varMap = varMap ++ lineage)
   }

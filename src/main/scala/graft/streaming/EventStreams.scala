@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -47,49 +48,99 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
-  /** Stateful sessionization with a processing-time gap timeout:
-    * `mapGroupsWithState` keyed by user, emitting a session summary when the
-    * gap expires. The custom-state template for anything the built-in
-    * windowed aggregates can't express.
+  /** Stateful sessionization over a live stream, keyed by user: incoming
+    * events fold into gap-separated sessions; sessions closed by an in-batch
+    * gap emit immediately, and the open session is KEPT in state
+    * (`state.update`) with an event-time timeout at `end + gap` — it emits
+    * when the watermark passes that point. Sessions spanning micro-batches
+    * therefore stay whole, and idle sessions flush via the timeout.
+    *
+    * Streaming-only semantics: batch execution never fires timeouts, so the
+    * trailing open session per user would be withheld — use
+    * [[sessionizeBatch]] for batch/backfill (identical sessions, one shuffle
+    * plus a per-user window scan, no per-group state).
+    *
+    * @param watermark event-time watermark applied when `events` is a stream
+    *                  (required by the event-time timeout).
     */
   def sessionize(
       events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // Batch-mode semantics (state is per-invocation): fold this user's
-          // events into gap-separated sessions. In a live stream the state
-          // carries across triggers instead.
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                cur = Some(s.copy(end = t, nEvents = s.nEvents + 1,
-                  totalValue = s.totalValue + e.value))
-              case Some(s) =>
-                sessions += Session(userId, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.end), s.nEvents, s.totalValue)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          def emit(s: SessionState): Session =
+            Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.nEvents, s.totalValue)
+          if (state.hasTimedOut) {
+            val closed = emit(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  sessions += emit(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            sessions.iterator
           }
-          cur match {
-            case Some(s) =>
-              sessions += Session(userId, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.end), s.nEvents, s.totalValue)
-              state.remove()
-            case None => ()
-          }
-          sessions.iterator
       }
+  }
+
+  /** Batch sessionization — the backfill twin of [[sessionize]]: a gap of
+    * more than `gapMs` between consecutive events of a user starts a new
+    * session. Pure window algebra (lag → gap flag → running sum = session id
+    * → group), partitioned by user: one shuffle on the user key, per-user
+    * local sort, no state store and no driver-side work — the shape that
+    * holds at 100 TB.
+    *
+    * @param idCol unique tiebreak for events sharing a timestamp, so session
+    *              boundaries are deterministic under any partitioning.
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val order = Seq(col(tsCol), col(idCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prevTs.isNull || unix_millis(col(tsCol)) - unix_millis(prevTs) > gapMs, 1L
+    ).otherwise(0L)
+    events
+      .withColumn("_new_session", newSession)
+      .withColumn("_session_id",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"))
+      .drop("_session_id")
   }
 }
