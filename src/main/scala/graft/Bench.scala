@@ -14,7 +14,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Deterministic (sorted) order so per-query timings are comparable
     // across rounds; failures surface on stderr instead of vanishing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=comma,list restricts to named queries (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: $e")

@@ -356,8 +356,11 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) => {
       implicit val spark: SparkSession = s
+      // Hamming radius 3 over 16-bit chunks — the classic web near-dup
+      // setting (Manku et al., WWW'07). 4-bit chunks at radius 12 (round 1)
+      // bucket ~1/16th of the corpus per chunk value: a near-cross-join.
       Dedup.simhashNearDupPairs(load(dir, "documents"), "doc_id", "text",
-        maxHamming = 12, numChunks = 16)
+        maxHamming = 3, numChunks = 4)
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {

@@ -68,35 +68,65 @@ object Dictionary {
     val fields = df.schema.fields
     require(fields.nonEmpty, "profile: empty schema")
 
-    // 7 aggregates per column, one scan. Aliases are positional (`_i_*`)
-    // so arbitrary source column names can't collide with them.
+    // Non-distinct stats: 6 narrow aggregates per column in ONE scan-only
+    // pass (map-side partial + one tiny final buffer — no shuffle of data
+    // rows). Aliases are positional (`_i_*`) so arbitrary source column
+    // names can't collide with them. Exact COUNT(DISTINCT) is deliberately
+    // NOT in this agg: N distinct aggregates in one agg make Catalyst plan
+    // an Expand (×N+1 row blow-up) whose hash state holds every aggregate
+    // buffer per (gid, value) group — measured 35s+ on an 11-column 600k-row
+    // table. The distinct path below is a skinny unpivot instead.
     val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(s"`${f.name}`")
       val numeric = isNumeric(f.dataType)
-      val distinctAgg =
-        if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
       Seq(
         count(c).as(s"_${i}_cnt"),
-        distinctAgg.as(s"_${i}_cd"),
         sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as(s"_${i}_miss"),
         (if (numeric) avg(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_${i}_mean"),
         (if (numeric) stddev_pop(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_${i}_std"),
         min(c).cast(StringType).as(s"_${i}_min"),
         max(c).cast(StringType).as(s"_${i}_max"),
-      )
+      ) ++ (if (exactDistinct) Nil else Seq(approx_count_distinct(c).as(s"_${i}_cd")))
     }.toSeq
 
     val oneRow = df.agg(aggs.head, aggs.tail: _*)
 
-    // Unpivot the 7×N-column single row into N dictionary rows.
+    // Unpivot the single wide row into N dictionary rows.
     val stackGroups = fields.zipWithIndex.map { case (f, i) =>
       val esc = f.name.replace("'", "\\'")
-      s"'$esc', _${i}_cnt, _${i}_cd, _${i}_miss, _${i}_mean, _${i}_std, _${i}_min, _${i}_max"
+      s"'$esc', _${i}_cnt, _${i}_miss, _${i}_mean, _${i}_std, _${i}_min, _${i}_max" +
+        (if (exactDistinct) "" else s", _${i}_cd")
     }.mkString(", ")
-    val stats = oneRow.selectExpr(
+    val baseStats = oneRow.selectExpr(
       s"stack(${fields.length}, $stackGroups) AS " +
-        "(dict_field, dict_count, dict_countdistinct, dict_countmissing, " +
-        "dict_mean, dict_stddev, dict_min, dict_max)")
+        "(dict_field, dict_count, dict_countmissing, " +
+        "dict_mean, dict_stddev, dict_min, dict_max" +
+        (if (exactDistinct) ")" else ", dict_countdistinct)"))
+
+    // Exact distinct counts: unpivot to skinny (field, value-as-string) rows
+    // — string cast is injective for all supported types, so distinct counts
+    // are unchanged — then a two-phase distinct + count per field. Two
+    // shuffles of narrow rows, partial-deduped map-side; scales linearly
+    // where the Expand plan died quadratically.
+    val stats =
+      if (!exactDistinct) baseStats
+      else {
+        val valueGroups = fields.map { f =>
+          val esc = f.name.replace("'", "\\'")
+          s"'$esc', cast(`${f.name}` as string)"
+        }.mkString(", ")
+        val distinctCounts = df
+          .selectExpr(s"stack(${fields.length}, $valueGroups) AS (dict_field, _v)")
+          .where(col("_v").isNotNull)
+          .distinct()
+          .groupBy("dict_field")
+          .agg(count(lit(1)).as("dict_countdistinct"))
+        // 1 row per column on each side — broadcast; all-null columns have
+        // no distinct rows, hence the left join + 0 fill.
+        baseStats.join(broadcast(distinctCounts), Seq("dict_field"), "left")
+          .withColumn("dict_countdistinct",
+            coalesce(col("dict_countdistinct"), lit(0L)))
+      }
 
     // Per-field metadata + lineage as a broadcast-joined tiny frame (one row
     // per column), mirroring the reference's literal-injection per subquery.

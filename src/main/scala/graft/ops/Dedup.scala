@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.expr.SimHash
+import graft.expr.{SimHash, TextShingles}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,10 +10,14 @@ import org.apache.spark.sql.types.DoubleType
   * SimHash, and n-gram Jaccard. Designed for the 100 TB shape:
   *
   *   - exact dedup is one shuffle on the dedup key;
-  *   - MinHash signatures are computed per-row with higher-order functions
-  *     (no explode of shingles, no shuffle until banding);
+  *   - shingles and MinHash signatures are computed per-row by native
+  *     codegen'd kernels ([[graft.expr.TextShingles]] — no explode, no
+  *     shuffle until banding, no interpreted higher-order functions);
   *   - candidate generation goes through LSH band buckets (shuffle keyed on
-  *     band hash, linear in docs × bands), never an all-pairs product;
+  *     band hash, linear in docs × bands) or prefix-filtered inverted-index
+  *     joins, never an all-pairs product;
+  *   - candidate join tables carry only ids and fixed-width keys; variable-
+  *     size payloads (shingle sets) join back after pair dedup;
   *   - only candidate pairs pay the exact-verification cost.
   */
 object Dedup {
@@ -37,28 +41,34 @@ object Dedup {
     exact(df.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol))), Seq("_fp"), tieBreaker)
       .drop("_fp")
 
-  /** Lowercase word tokens of a text column. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+  /** Compute-bound per-row stages (shingling, signatures, hamming) must not
+    * inherit a coarse upstream partitioning: a corpus that fits one parquet
+    * split would otherwise run its entire O(rows × tokens × hashes) pipeline
+    * on a single core. One round-robin shuffle of (id, text) rows is cheap
+    * relative to the compute it spreads; a no-op when the input is already
+    * wider than the cluster's parallelism.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Lowercase word tokens of a text column (native codegen'd tokenizer —
+    * semantics of `filter(split(lower(c), "[^a-z0-9]+"), length > 0)`).
+    */
+  def tokens(c: Column): Column = TextShingles.tokenize(c)
 
   /** Distinct hashed `k`-word shingles of a text column (the MinHash/Jaccard
     * item set). Documents with fewer than `k` tokens produce an empty set.
+    * Values equal SQL `xxhash64(concat_ws(' ', <k tokens>))`.
     */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < k, array().cast("array<bigint>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))))
-  }
+  def shingles(c: Column, k: Int): Column = TextShingles.shingleHashes(c, k)
 
   /** MinHash signature of a shingle-set column: `numHashes` independent
-    * minimums of seeded xxhash64 re-hashes. Computed entirely per-row
-    * (nested `transform`, no explode): one pass, codegen-friendly.
+    * minimums of seeded re-hashes, computed in one native loop per row.
     */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
+    TextShingles.minhashSignature(shingleSet, numHashes)
 
   /** Exact Jaccard similarity of two set columns (arrays assumed distinct). */
   def jaccard(a: Column, b: Column): Column =
@@ -90,22 +100,29 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val withSets = df
+    val withSets = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), shingles(col(textCol), shingleK).as("_sh"))
       .where(size(col("_sh")) > 0)
-    val withSig = withSets
+    // The band table carries ONLY (id, bandIdx, bandHash): shuffling the
+    // shingle sets ×numBands through the self-join would multiply shuffle
+    // volume by the set size; sets are joined back per candidate pair after
+    // band-collision dedup instead.
+    val bands = withSets
       .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
-      // One row per (doc, band): band key is the hash of that band's slice.
-      .withColumn("_band", explode(transform(sequence(lit(0), lit(numBands - 1)),
-        j => struct(j.as("idx"), xxhash64(j, slice(col("_sig"), j * rowsPerBand + lit(1), lit(rowsPerBand))).as("h")))))
-      .select(col(idCol), col("_sh"), col("_band.idx").as("_bidx"), col("_band.h").as("_bhash"))
+      .select(col(idCol), explode(transform(sequence(lit(0), lit(numBands - 1)),
+        j => struct(j.as("idx"), xxhash64(j, slice(col("_sig"), j * rowsPerBand + lit(1), lit(rowsPerBand))).as("h")))).as("_band"))
+      .select(col(idCol), col("_band.idx").as("_bidx"), col("_band.h").as("_bhash"))
 
-    val a = withSig.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_bidx"), col("_bhash"))
-    val b = withSig.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"), col("_bidx"), col("_bhash"))
-    a.join(b, Seq("_bidx", "_bhash"))
+    val a = bands.select(col(idCol).as("id_a"), col("_bidx"), col("_bhash"))
+    val b = bands.select(col(idCol).as("id_b"), col("_bidx"), col("_bhash"))
+    val candidates = a.join(b, Seq("_bidx", "_bhash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_sh_a", "_sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+
+    candidates
+      .join(withSets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(withSets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -129,52 +146,67 @@ object Dedup {
     require(numChunks > maxHamming, "pigeonhole needs numChunks > maxHamming")
     val chunkBits = 64 / numChunks
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val hashed = df
+    val sims = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), SimHash.simhash64(tokens(col(textCol))).as("_sim"))
-      .withColumn("_chunk", explode(array((0 until numChunks).map(j =>
-        struct(lit(j).as("idx"), shiftrightunsigned(col("_sim"), j * chunkBits).bitwiseAND(mask).as("v"))): _*)))
+    val chunks = sims
+      .select(col(idCol), col("_sim"), explode(array((0 until numChunks).map(j =>
+        struct(lit(j).as("idx"), shiftrightunsigned(col("_sim"), j * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_chunk"))
       .select(col(idCol), col("_sim"), col("_chunk.idx").as("_cidx"), col("_chunk.v").as("_cval"))
 
-    val a = hashed.select(col(idCol).as("id_a"), col("_sim").as("_sim_a"), col("_cidx"), col("_cval"))
-    val b = hashed.select(col(idCol).as("id_b"), col("_sim").as("_sim_b"), col("_cidx"), col("_cval"))
+    // The 64-bit simhash rides along in the chunk join (8 bytes — unlike the
+    // minhash sets there's nothing to save by joining it back later), so the
+    // Hamming verify prunes candidates before the pair-dedup shuffle.
+    val a = chunks.select(col(idCol).as("id_a"), col("_sim").as("_sim_a"), col("_cidx"), col("_cval"))
+    val b = chunks.select(col(idCol).as("id_b"), col("_sim").as("_sim_b"), col("_cidx"), col("_cval"))
     a.join(b, Seq("_cidx", "_cval"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_sim_a", "_sim_b")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 
-  /** n-gram Jaccard near-duplicate pairs with an inverted-index prefilter:
-    * candidates must share at least `minCommon` shingles (generated by an
-    * explode + self-join on the shingle hash — the inverted index — never a
-    * cross join), then exact Jaccard filters at `threshold`.
+  /** n-gram Jaccard near-duplicate pairs — EXACT results (identical to the
+    * all-pairs definition: every `id_a < id_b` with Jaccard ≥ `threshold`).
     *
-    * Best for small-to-medium corpora or high thresholds; MinHash banding
-    * above is the constant-cost-per-doc path for 100 TB.
+    * Intersection sizes come straight out of the inverted-index self-join:
+    * shingle sets are distinct, so a qualifying pair appears exactly
+    * `|A∩B|` times in the join — `groupBy(pair).count()` IS the exact
+    * overlap, and `J = c / (n_a + n_b - c)` needs no per-pair array
+    * intersection at all. Every stage is a codegen'd hash join/aggregate
+    * over fixed-width rows: shuffle volume is the inverted-index pair count,
+    * with a size-ratio prefilter (`t·max(n_a,n_b) ≤ min(n_a,n_b)`) pruning
+    * impossible pairs before the aggregate.
+    *
+    * Cost scales with Σ_shingle df² (the index's pair volume) — fine for
+    * corpora with discriminative shingles; for web-scale dense corpora use
+    * [[minhashNearDupPairs]], whose banding keeps cost linear in docs.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      shingleK: Int = 3,
-      minCommon: Int = 1): DataFrame = {
-    val withSets = df
+      shingleK: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val withSets = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), shingles(col(textCol), shingleK).as("_sh"))
       .where(size(col("_sh")) > 0)
-    val inverted = withSets.select(col(idCol), explode(col("_sh")).as("_s"))
-    val cand = inverted.as("x").join(inverted.as("y"), col("x._s") === col("y._s"))
-      .where(col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("_common"))
-      .where(col("_common") >= minCommon)
-    cand
-      .join(withSets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
-      .join(withSets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+
+    // Inverted index rows (id, setSize, shingle).
+    val posting = withSets.select(col(idCol), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
+    val a = posting.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_s"))
+    val b = posting.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_s"))
+
+    a.join(b, Seq("_s"))
+      .where(col("id_a") < col("id_b"))
+      // size filter: Jaccard >= t forces t·max(n_a,n_b) <= min(n_a,n_b)
+      .where(greatest(col("_na"), col("_nb")) * threshold <= least(col("_na"), col("_nb")))
+      .groupBy(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("jaccard",
+        col("_c").cast(DoubleType) / (col("_na") + col("_nb") - col("_c")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")

@@ -8,22 +8,28 @@ import org.apache.spark.sql.functions._
   * cosine top-k as the exact baseline, and random-hyperplane LSH bucketing as
   * the approximate scale path (bucket join instead of cross join).
   *
-  * All vector math is higher-order-function `Column` algebra in double
-  * precision (`zip_with`/`aggregate`), so it stays inside codegen and matches
-  * a SQL oracle computing the same expression.
+  * Vector math runs through [[graft.expr.VectorMath]] — native codegen'd
+  * primitive-array kernels whose sequential summation order matches DuckDB's
+  * `list_inner_product`, so oracle comparisons agree bit-for-bit. (The
+  * previous `aggregate(zip_with(...))` formulation walked generic `ArrayData`
+  * per element and dominated the |corpus|²-pair dedup runtime.)
   */
 object Similarity {
+
+  /** See [[Dedup.spread]]: widen coarse upstream partitioning before
+    * compute-bound per-pair scoring so a single-split corpus doesn't score
+    * on one core.
+    */
+  private def spread(df: DataFrame): DataFrame = Dedup.spread(df)
 
   /** Cast any numeric array to `array<double>` for stable math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = graft.expr.VectorMath.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), _ + _))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.expr.VectorMath.cosine(a, b)
 
   /** Exact brute-force cosine top-`k`: every query vector against every
     * corpus vector. The query side is broadcast (queries are small by
@@ -38,9 +44,10 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv")))
-    val scored = corpus
-      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv")))
+    // Cast to array<double> per ROW here: inside the join the cast would
+    // re-run per PAIR (|corpus|×|queries| allocations instead of |corpus|).
+    val scored = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
       .join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
@@ -86,12 +93,12 @@ object Similarity {
       seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, numPlanes, seed)
-    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
       .withColumn("_bucket", lshBucket(col("_cv"), planes))
     // Each query probes its own bucket plus every bucket within `probeBits`
     // sign flips (only 1 supported — the useful regime for small numPlanes).
     require(probeBits <= 1, "multi-probe beyond 1 bit not implemented")
-    val qBase = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))
+    val qBase = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
       .withColumn("_qbucket", lshBucket(col("_qv"), planes))
     val probes =
       if (probeBits == 0) array(col("_qbucket"))
@@ -117,9 +124,13 @@ object Similarity {
   def bruteForcePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val a = spread(df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("_va")))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("_vb"))
+    // Nested-loop pair generation must replicate one side; broadcasting `b`
+    // keeps `a` streaming across all partitions (otherwise Spark may pick
+    // the spread side to broadcast and stream the single-split side on one
+    // core). O(n²) by definition — the LSH variant below is the scale path.
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("_va"), col("_vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -136,7 +147,7 @@ object Similarity {
       threshold: Double, dim: Int,
       numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, numPlanes, seed)
-    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val base = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
       .withColumn("_bucket", lshBucket(col("_v"), planes))
     val probed = base.withColumn("_bucket",
       explode(array(col("_bucket") +: (0 until numPlanes).map(i =>

@@ -41,8 +41,10 @@ object TextAnalysis {
     "were", "it", "that", "this", "for", "on", "with", "as", "by", "at",
     "from", "be", "not", "but", "he", "she", "they", "we", "you", "i")
 
-  private def lowerTokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+  // Native codegen'd tokenizer — identical semantics to
+  // `filter(split(lower(c), "[^a-z0-9]+"), length > 0)` without the
+  // interpreted higher-order-function cost (see graft.expr.TextShingles).
+  private def lowerTokens(c: Column): Column = graft.expr.TextShingles.tokenize(c)
 
   /** Fraction of tokens that are stopwords (for the given list); 0 when there
     * are no tokens. High-signal quality feature: natural prose has a stable

@@ -1,0 +1,103 @@
+package graft.dict
+
+import graft.SparkSpecBase
+import graft.etl.Harmonizer
+import org.apache.spark.sql.functions._
+
+/** A1-A2 + §1.4: the single-pass profiler against hand-computed stats, the
+  * vartype inference CASE, and the dictionary's deliberate string quirks.
+  */
+class DictionarySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def frame = Seq(
+    (Some(1), Some("a"), Some(1.0)),
+    (Some(2), Some("b"), Some(2.0)),
+    (Some(2), None, Some(3.0)),
+    (Some(4), Some("b"), None),
+  ).toDF("num", "str", "dbl")
+
+  private def entry(field: String) =
+    Dictionary.profile(frame).where(col("dict_field") === field).collect().head
+
+  test("counts, distinct, missing per column") {
+    val num = entry("num")
+    assert(num.getAs[Long]("dict_count") === 4)
+    assert(num.getAs[Long]("dict_countdistinct") === 3)
+    assert(num.getAs[Long]("dict_countmissing") === 0)
+    val str = entry("str")
+    assert(str.getAs[Long]("dict_count") === 3)
+    assert(str.getAs[Long]("dict_countdistinct") === 2)
+    assert(str.getAs[Long]("dict_countmissing") === 1)
+  }
+
+  test("mean/stddev populated for numerics, null for strings (reference :363-368)") {
+    assert(math.abs(entry("num").getAs[Double]("dict_mean") - 2.25) < 1e-12)
+    assert(entry("str").isNullAt(entry("str").fieldIndex("dict_mean")))
+    // stddev is population stddev, as in the reference's STDDEV_POP
+    assert(math.abs(entry("dbl").getAs[Double]("dict_stddev") - math.sqrt(2.0 / 3)) < 1e-12)
+  }
+
+  test("min/max are strings computed in native order (dict_min/max STRING quirk)") {
+    // native numeric min of (1,2,2,4) is 1; a lexicographic string min of
+    // ("1","2","2","4") is also "1" but e.g. (9, 10) would differ — pin it:
+    val df = Seq(9, 10).toDF("n")
+    val e = Dictionary.profile(df).collect().head
+    assert(e.getAs[String]("dict_min") === "9")
+    assert(e.getAs[String]("dict_max") === "10")
+  }
+
+  test("all-null column profiles with countdistinct 0") {
+    val df = Seq(Some("x"), Some("y")).toDF("a").withColumn("b", lit(null).cast("string"))
+    val e = Dictionary.profile(df).where(col("dict_field") === "b").collect().head
+    assert(e.getAs[Long]("dict_count") === 0)
+    assert(e.getAs[Long]("dict_countdistinct") === 0)
+    assert(e.getAs[Long]("dict_countmissing") === 2)
+  }
+
+  test("vartype inference: text / boolean / continuous range / stepped range") {
+    // text: no mean (string column)
+    assert(entry("str").getAs[String]("dict_vartype") === "text")
+    // boolean: exactly {0, 1}
+    val boolDf = Seq(0, 1, 0, 1).toDF("flag")
+    assert(Dictionary.profile(boolDf).collect().head.getAs[String]("dict_vartype") === "boolean")
+    // continuous: more distincts than integer span
+    val contDf = Seq(0.1, 0.2, 0.3, 0.35, 0.5).toDF("ratio")
+    assert(Dictionary.profile(contDf).collect().head.getAs[String]("dict_vartype") === "range,0,1,0.1")
+    // stepped: integer-spaced values → floor((2017/10)+1)*10 = 2020
+    val stepDf = Seq(2000, 2005, 2017).toDF("yr")
+    assert(Dictionary.profile(stepDf).collect().head.getAs[String]("dict_vartype") === "range,0,2020,1")
+  }
+
+  test("harmonized metadata flows through: uifilter is the string 'True'/'False'") {
+    val df = Seq(("39.2,-76.6", 2017)).toDF("geolocation", "year")
+    val dict = Dictionary.profile(df)
+    val geo = dict.where(col("dict_field") === "geolocation").collect().head
+    assert(geo.getAs[String]("dict_uifilter") === "False") // identifiers are not filterable
+    assert(geo.getAs[String]("dict_vartype") === "identifier")
+    val yr = dict.where(col("dict_field") === "year").collect().head
+    assert(yr.getAs[String]("dict_uifilter") === "True")
+    assert(yr.getAs[String]("dict_vartype") === "range,2000,2017,1")
+  }
+
+  test("profileHarmonized threads lineage into dict_varmapping") {
+    val h = Harmonizer(Seq(("HOMICIDE", 1)).toDF("Desc", "n"))
+      .mapVar("Desc", "description")
+      .mapValues("description", Seq("HOMICIDE" -> "Homicide"))
+    val dict = Dictionary.profileHarmonized(h)
+    val d = dict.where(col("dict_field") === "description").collect().head
+    assert(d.getAs[String]("dict_varmapping").contains("Source Desc"))
+  }
+
+  test("approximate-distinct mode stays within HLL tolerance") {
+    val df = (1 to 1000).toDF("n")
+    val e = Dictionary.profile(df, exactDistinct = false).collect().head
+    val cd = e.getAs[Long]("dict_countdistinct")
+    assert(cd > 900 && cd < 1100)
+  }
+
+  test("varTypes parses the widget ADT") {
+    val types = Dictionary.varTypes(Dictionary.profile(Seq(0, 1).toDF("flag")))
+    assert(types("flag") === graft.schema.VarType.Bool)
+  }
+}
