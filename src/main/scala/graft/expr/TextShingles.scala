@@ -77,6 +77,27 @@ object TextShingleAlgo {
     new GenericArrayData(out)
   }
 
+  /** Exact Jaccard of two SORTED long arrays via a single merge pass —
+    * no per-pair hash-set allocation (`array_intersect`'s interpreted eval
+    * dominated candidate verification at |candidates| ~ millions).
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c.toDouble / (na + nb - c).toDouble
+  }
+
   /** MinHash signature: `numHashes` independent minimums of seeded re-hashes
     * of the shingle set. Re-hash of shingle `s` under function `i` is
     * XXH64(s, XXH64(i, 42)) — Spark's `xxhash64(i, s)` composition.
@@ -131,6 +152,21 @@ case class ShingleHashesExpr(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+/** Exact Jaccard of two SORTED `array<long>` columns (codegen'd merge). */
+case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_jaccard_sorted"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextShingleAlgo.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextShingleAlgo.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+}
+
 /** `array<long> shingles → array<long>` MinHash signature (codegen'd). */
 case class MinHashSigExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "graft_minhash"
@@ -160,4 +196,9 @@ object TextShingles {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSigExpr(
       ColumnShim.expression(shingles), ColumnShim.expression(lit(numHashes))))
+
+  /** Exact Jaccard of two sorted `array<long>` columns. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnShim.column(JaccardSortedExpr(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 }

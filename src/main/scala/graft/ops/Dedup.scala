@@ -100,8 +100,11 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
+    // Sets kept SORTED: signature minima are order-insensitive, and sorted
+    // arrays let candidate verification run the native merge-join jaccard
+    // (one pass, no per-pair hash sets).
     val withSets = spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), shingles(col(textCol), shingleK).as("_sh"))
+      .select(col(idCol), sort_array(shingles(col(textCol), shingleK)).as("_sh"))
       .where(size(col("_sh")) > 0)
     // The band table carries ONLY (id, bandIdx, bandHash): shuffling the
     // shingle sets ×numBands through the self-join would multiply shuffle
@@ -123,7 +126,7 @@ object Dedup {
     candidates
       .join(withSets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
       .join(withSets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .withColumn("jaccard", TextShingles.jaccardSorted(col("_sh_a"), col("_sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")

@@ -123,7 +123,7 @@ object TextAnalysis {
     * near-identical formatting variants.
     */
   def contentFingerprint(c: Column): Column =
-    xxhash64(regexp_replace(trim(lower(c)), "[^a-z0-9]+", " "))
+    xxhash64(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
 
   /** Rolling-hash shingle fingerprints: xxhash64 of each `k`-word shingle —
     * the building block for MinHash and winnowing-style fingerprint sets.

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: exactness of exact/ngram paths, recall of the LSH paths,
+  * determinism of tie-breaks.
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup keeps the smallest tiebreaker per key, deterministically") {
+    val df = Seq(
+      (3L, "dup", "c"), (1L, "dup", "a"), (2L, "dup", "b"), (4L, "uniq", "d"),
+    ).toDF("id", "text", "payload")
+    val out = Dedup.exact(df, Seq("text"), "id").orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out === Seq((1L, "dup", "a"), (4L, "uniq", "d")))
+  }
+
+  test("fingerprint dedup collapses case/punctuation variants") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  WORLD"), (4L, "other doc"),
+    ).toDF("id", "text")
+    val out = Dedup.exactByFingerprint(df, "text", "id")
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+  }
+
+  test("jaccard column: known overlap") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    assert(df.select(Dedup.jaccard(col("a"), col("b"))).as[Double].head() === 0.5)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    assert(empty.select(Dedup.jaccard(col("a"), col("b"))).as[Double].head() === 0.0)
+  }
+
+  /** Tiny corpus with one true near-dup pair, one exact dup pair, and noise. */
+  private def corpus: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (4L, "completely different content about database query optimization techniques"),
+    (5L, "yet another unrelated document on distributed stream processing systems"),
+  ).toDF("doc_id", "text")
+
+  /** Reference all-pairs Jaccard via the brute-force definition. */
+  private def bruteForcePairs(threshold: Double, k: Int): Set[(Long, Long)] = {
+    val sets = corpus
+      .select(col("doc_id"), Dedup.shingles(col("text"), k).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      union = sets(a).toSet.union(sets(b).toSet).size
+      if union > 0 && inter.toDouble / union >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("ngramJaccardPairs equals the brute-force all-pairs definition") {
+    val expected = bruteForcePairs(0.5, 2)
+    assert(expected.nonEmpty) // sanity: fixture has qualifying pairs
+    val got = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.5, shingleK = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // jaccard value of the exact-dup pair is 1.0
+    val j13 = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5, 2)
+      .where(col("id_a") === 1 && col("id_b") === 3).select("jaccard").as[Double].head()
+    assert(j13 === 1.0)
+  }
+
+  test("minhash near-dup pairs find the true pairs (banding recall at high jaccard)") {
+    val got = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      threshold = 0.5, shingleK = 2, numBands = 32, rowsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact verification bounds results to the brute-force set; banding at
+    // b=32,r=2 finds jaccard>=0.5 pairs with prob > 1-1e-4
+    assert(got === bruteForcePairs(0.5, 2))
+  }
+
+  test("simhash near-dup pairs: exact dups at distance 0, noise absent") {
+    val got = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 3, numChunks = 4)
+      .as[(Long, Long, Int)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 3L)))             // identical text
+    assert(got.find(r => (r._1, r._2) == ((1L, 3L))).get._3 === 0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // noise stays out
+  }
+
+  test("simhash parameter validation") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 4, numChunks = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(corpus, "doc_id", "text", maxHamming = 1, numChunks = 5)
+    }
+  }
+
+  test("shingles of short docs are empty and excluded from pair generation") {
+    val df = Seq((1L, "word"), (2L, "word")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, 2).count() === 0)
+  }
+}

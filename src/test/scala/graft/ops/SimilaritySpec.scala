@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN operators: brute-force exactness, LSH bucketing recall, pair dedup. */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Four clustered vectors + one orthogonal outlier (dim 4). */
+  private def vecs: DataFrame = Seq(
+    (0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.12f, 0.0f, 0.0f)),   // near 0
+    (2L, Seq(0.9f, 0.08f, 0.05f, 0.0f)),  // near 0
+    (3L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),    // different direction
+    (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),    // orthogonal-ish
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak, excluding self") {
+    val q = vecs.where(col("vec_id") === 0)
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", k = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
+    assert(out === Seq((0L, 1, 1L), (0L, 2, 2L)))
+  }
+
+  test("bruteForcePairs lists exactly the pairs at or above threshold") {
+    val out = Similarity.bruteForcePairs(vecs, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("lshTopK finds the same top neighbors as brute force for clustered vectors") {
+    val q = vecs.where(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 2, dim = 4, numPlanes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(lsh === brute)
+  }
+
+  test("embeddingNearDupPairs emits each qualifying pair once despite multi-probe") {
+    val out = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, dim = 4, numPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out.distinct === out)
+    assert(out.toSet.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L))))
+    assert(out.contains((0L, 1L))) // the tightest pair survives bucketing
+  }
+
+  test("hyperplanes are deterministic under a seed") {
+    val a = Similarity.hyperplanes(8, 4, seed = 7L)
+    val b = Similarity.hyperplanes(8, 4, seed = 7L)
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+  }
+}

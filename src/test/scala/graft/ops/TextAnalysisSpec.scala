@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: token counting, quality scoring, language ID,
+  * fingerprinting.
+  */
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Double =
+    Seq(text).toDF("t").select(c.cast("double")).as[Double].head()
+
+  test("tokenCount: whitespace tokens, blank counts zero") {
+    assert(one("the quick  brown\tfox", TextAnalysis.tokenCount(col("t"))) === 4.0)
+    assert(one("   ", TextAnalysis.tokenCount(col("t"))) === 0.0)
+    assert(one("", TextAnalysis.tokenCount(col("t"))) === 0.0)
+  }
+
+  test("bpeTokenEstimate: letter runs, single digits, single symbols") {
+    // "ab12, c!" → [ab][1][2][,][c][!] = 6
+    assert(one("ab12, c!", TextAnalysis.bpeTokenEstimate(col("t"))) === 6.0)
+  }
+
+  test("punctRatio bounded and zero for clean/empty text") {
+    assert(one("", TextAnalysis.punctRatio(col("t"))) === 0.0)
+    assert(one("abcd", TextAnalysis.punctRatio(col("t"))) === 0.0)
+    assert(one("a,b!", TextAnalysis.punctRatio(col("t"))) === 0.5)
+  }
+
+  test("stopwordRatio on known text") {
+    // tokens: the cat sat on the mat → stopwords: the, on, the = 3/6
+    assert(one("the cat sat on the mat", TextAnalysis.stopwordRatio(col("t"))) === 0.5)
+    assert(one("###", TextAnalysis.stopwordRatio(col("t"))) === 0.0)
+  }
+
+  test("meanTokenLength") {
+    assert(one("ab cdef", TextAnalysis.meanTokenLength(col("t"))) === 3.0)
+  }
+
+  test("qualityScore is in [0,1], higher for prose than for noise") {
+    val prose = "The quick brown fox jumps over the lazy dog while the sun sets " * 3
+    val noise = "@@@ ### $$$ %%% ^^^ &&&"
+    val qp = one(prose, TextAnalysis.qualityScore(col("t")))
+    val qn = one(noise, TextAnalysis.qualityScore(col("t")))
+    assert(qp >= 0 && qp <= 1 && qn >= 0 && qn <= 1)
+    assert(qp > qn)
+  }
+
+  test("languageId picks function-word language; und below threshold; zh on Han text") {
+    def lang(t: String) = Seq(t).toDF("t")
+      .select(TextAnalysis.languageId(col("t"))).as[String].head()
+    assert(lang("the cat is in the house and it is warm") === "en")
+    assert(lang("der Hund ist nicht in der Wohnung und die Katze") === "de")
+    assert(lang("le chat est dans la maison et il est pour") === "fr")
+    assert(lang("el gato es una mascota y no es del perro") === "es")
+    assert(lang("zxqv wkrt plmb") === "und")
+    assert(lang("这是一个中文句子的测试文本") === "zh")
+  }
+
+  test("contentFingerprint collides for case/punctuation variants only") {
+    val df = Seq("Hello, World!", "hello world", "hello  WORLD?", "hello there").toDF("t")
+      .select(TextAnalysis.contentFingerprint(col("t")).as("fp")).as[Long].collect()
+    assert(df(0) === df(1) && df(1) === df(2))
+    assert(df(0) !== df(3))
+  }
+
+  test("shingleFingerprints: n-k+1 rolling hashes, empty below k") {
+    val n = Seq("a b c d").toDF("t")
+      .select(size(TextAnalysis.shingleFingerprints(col("t"), 2))).as[Int].head()
+    assert(n === 3)
+    val short = Seq("a").toDF("t")
+      .select(size(TextAnalysis.shingleFingerprints(col("t"), 2))).as[Int].head()
+    assert(short === 0)
+  }
+
+  test("profile emits all named feature columns") {
+    val cols = TextAnalysis.profile(Seq((1L, "some text")).toDF("id", "text"), "text").columns.toSet
+    assert(Set("token_count", "bpe_token_estimate", "punct_ratio", "stopword_ratio",
+      "mean_token_length", "quality_score", "lang_pred", "fingerprint").subsetOf(cols))
+  }
+}

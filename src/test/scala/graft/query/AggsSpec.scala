@@ -1,0 +1,80 @@
+package graft.query
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** G1-G9: the Kibana aggregation shapes (`kibana-exported-visualizations.json`)
+  * against hand-computed buckets.
+  */
+class AggsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def events = Seq(
+    // (description, city, hour, ts)
+    ("Theft", "baltimore", 1, ts("2016-01-01 01:00:00")),
+    ("Theft", "baltimore", 1, ts("2016-01-01 01:30:00")),
+    ("Theft", "detroit", 2, ts("2016-01-02 02:00:00")),
+    ("Assault", "baltimore", 1, ts("2016-02-01 01:00:00")),
+    ("Assault", "detroit", 3, ts("2016-02-02 03:00:00")),
+    ("Robbery", "la", 3, ts("2017-01-01 03:00:00")),
+  ).toDF("description", "city", "hour", "datetime")
+
+  test("G1 count metric") {
+    assert(Aggs.countMetric(events).as[Long].head() === 6L)
+  }
+
+  test("G2 terms top-N ordered by count desc, term asc tiebreak") {
+    val out = Aggs.termsTopN(events, "description", 2).as[(String, Long)].collect().toSeq
+    assert(out === Seq(("Theft", 3L), ("Assault", 2L)))
+    // tiebreak: Assault(2) before any 1-count; among equal counts, term asc
+    val tie = Aggs.termsTopN(events, "city", 10).as[(String, Long)].collect().toSeq
+    assert(tie === Seq(("baltimore", 3L), ("detroit", 2L), ("la", 1L)))
+  }
+
+  test("G4 nested terms: parents by own total before child bucketing, top-k children") {
+    val out = Aggs.nestedTermsTopK(events, "city", "description", parentSize = 2, childSize = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // parents: baltimore(3), detroit(2); top child each: Theft(2), Assault|Theft(1→asc: Assault)
+    assert(out === Seq(
+      ("baltimore", "Theft", 2L, 3L),
+      ("detroit", "Assault", 1L, 2L)))
+  }
+
+  test("G6 geohash grid counts per cell") {
+    val pts = Seq((39.29, -76.61), (39.28, -76.60), (42.33, -83.04)).toDF("lat", "lon")
+    val out = Aggs.geohashGrid(pts, "lat", "lon", 2).as[(String, Long)].collect().toSeq
+    assert(out === Seq(("dq", 2L), ("dp", 1L)))
+  }
+
+  test("G6 geohash grid from 'lat,lon' strings skips empties") {
+    val pts = Seq("39.29,-76.61", "", "42.33,-83.04").toDF("geolocation")
+    val out = Aggs.geohashGridFromGeoloc(pts, "geolocation", 2).as[(String, Long)].collect().toSet
+    assert(out === Set(("dq", 1L), ("dp", 1L)))
+  }
+
+  test("G7 typeahead: unfiltered when prefix is empty, filtered otherwise") {
+    assert(Aggs.typeahead(events, "description", "", 10).as[String].collect().toSeq
+      === Seq("Theft", "Assault", "Robbery"))
+    assert(Aggs.typeahead(events, "description", "thef", 10).as[String].collect().toSeq
+      === Seq("Theft"))
+  }
+
+  test("G8 time filter bounds inclusive") {
+    val filtered = Aggs.timeFiltered(events, "datetime",
+      ts("2016-01-01 01:00:00"), ts("2016-02-01 01:00:00"))
+    assert(filtered.count() === 4)
+  }
+
+  test("date histogram truncates to the unit") {
+    val out = Aggs.dateHistogram(events, "datetime", "month")
+      .select(date_format(col("bucket"), "yyyy-MM").as("b"), col("count"))
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("2016-01", 3L), ("2016-02", 2L), ("2017-01", 1L)))
+  }
+
+  test("termsWithMetrics adds metric columns per bucket") {
+    val out = Aggs.termsWithMetrics(events, "city", Seq(max(col("hour")).as("max_hour")), 10)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out.head === ("baltimore", 3L, 1))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming surface: windowed counts (batch parity) and stateful
+  * sessionization — including the session-spans-micro-batches case the
+  * streaming path must keep whole, and batch/stream agreement.
+  */
+class EventStreamsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Timestamps well above epoch 0: rows at/below the initial watermark (0)
+  // would be dropped as late data in the streaming path.
+  private def ev(id: Long, minute: Long, user: Long, value: Double = 1.0) =
+    Event(id, new java.sql.Timestamp((1440 + minute) * 60000L), user, "click", value)
+
+  test("windowedCounts: batch form buckets by tumbling window and key") {
+    val events = Seq(
+      ev(1, 0, 1), ev(2, 30, 1), ev(3, 70, 1),
+    ).toDS().toDF()
+    val out = EventStreams.windowedCounts(events, windowDuration = "1 hour")
+      .select("event_type", "n", "total_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("click", 2L, 2.0), ("click", 1L, 1.0)))
+  }
+
+  test("sessionizeBatch splits on gaps, aggregates, and tiebreaks deterministically") {
+    val events = Seq(
+      ev(1, 0, 1, 2.0), ev(2, 10, 1, 3.0),  // session A: 0-10
+      ev(3, 60, 1, 5.0),                     // gap 50 > 30 → session B
+      ev(4, 0, 2, 7.0),                      // other user
+    ).toDS().toDF()
+    val out = EventStreams.sessionizeBatch(events, gapMs = 30 * 60000L)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 5.0), (1L, 1L, 5.0), (2L, 1L, 7.0)))
+  }
+
+  test("streaming sessionize keeps sessions whole across micro-batches and flushes on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_spec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, 0, 1, 1.0), ev(2, 5, 1, 2.0))
+      q.processAllAvailable()
+      // open session: nothing emitted yet
+      assert(spark.table("sessions_spec").count() === 0)
+
+      mem.addData(ev(3, 8, 1, 3.0)) // within gap → must EXTEND, not split
+      q.processAllAvailable()
+      assert(spark.table("sessions_spec").count() === 0)
+
+      // push the watermark past end+gap via another user's event
+      mem.addData(ev(4, 60, 2, 9.0))
+      q.processAllAvailable()
+      mem.addData(ev(5, 120, 2, 9.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_spec")
+        .orderBy("user_id", "session_start")
+        .as[EventStreams.Session].collect()
+      val s1 = sessions.find(_.user_id == 1L).get
+      assert(s1.n_events === 3L, "session spanning micro-batches must stay whole")
+      assert(s1.total_value === 6.0)
+      assert(s1.session_end.getTime - s1.session_start.getTime === 8 * 60000L)
+    } finally q.stop()
+  }
+
+  test("batch and streaming sessionization agree on closed sessions") {
+    val batchEvents = Seq(ev(1, 0, 1, 1.0), ev(2, 5, 1, 2.0), ev(3, 8, 1, 3.0)).toDS()
+    val batch = EventStreams.sessionizeBatch(batchEvents.toDF(), gapMs = 10 * 60000L)
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(batch === Seq((1L, 3L, 6.0)))
+  }
+}
