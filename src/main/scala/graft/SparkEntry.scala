@@ -431,9 +431,21 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) => {
       implicit val spark: SparkSession = s
+      // Portable md5 form so DuckDB can oracle it; the xxhash64 variant
+      // (same normalization) drives exactByFingerprint and is spec-tested.
       load(dir, "documents")
-        .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))
+        .select(col("doc_id"), TextAnalysis.contentFingerprintHex(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    "dedup_exact_fingerprint" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Exact dedup on the normalized-content fingerprint: case/punctuation
+      // variants collapse; keep the smallest doc_id per group.
+      Dedup.exactByFingerprint(load(dir, "documents"), "text", "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy("source")
     }),
 
     // ===== Multimodal plumbing (stub codec; rows-only check) =====
@@ -508,6 +520,46 @@ object SparkEntry {
   /** Analyzer tokens in DuckDB — must mirror [[TextAnalysis]] exactly. */
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** The analyzer-normalized text in DuckDB (mirror of
+    * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))`).
+    */
+  private val duckNorm =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** The language-ID scores in DuckDB, mirroring [[TextAnalysis.languageId]]:
+    * per-language token-hit ratio, Han-codepoint ratio, alphabetically-last
+    * max-score language wins (the Spark fold's semantics), `und` below the
+    * 0.05 threshold, `zh` when Han ratio exceeds 0.25.
+    */
+  private def langIdOracle: String = {
+    val profiles = TextAnalysis.languageProfiles.toSeq.sortBy(_._1)
+    val scoreCols = profiles.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+        s"len(list_filter(toks, x -> list_contains($list, x)))::DOUBLE / len(toks) END AS $lang"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1)
+    val best = s"greatest(${langs.mkString(", ")})"
+    // reverse alphabetical: the Spark foldLeft lets the LAST tying language win
+    val pickBranches = langs.reverse.map(l => s"WHEN $l = $best THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $duckToks AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, $scoreCols,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))::DOUBLE / len(text)
+       |    END AS han
+       |  FROM t
+       |), p AS (
+       |  SELECT CASE WHEN han > 0.25 THEN 'zh'
+       |              WHEN $best < 0.05 THEN 'und'
+       |              $pickBranches
+       |              ELSE 'und' END AS lang_pred
+       |  FROM s
+       |)
+       |SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -705,6 +757,45 @@ object SparkEntry {
 
     "q8_dict_fetch" -> dictOracle(
       "dict_field, dict_count, dict_countdistinct, dict_countmissing, dict_vartype"),
+
+    // Geohash precision 2 in portable SQL (10 bits: 5 lon interleaved with
+    // 5 lat, lon first) — GeohashAlgo's bisection restated as index
+    // arithmetic: cell = floor((coord - lo) / span * 32), clamped (clamping
+    // covers coords at/past the upper bound exactly like the all-ones
+    // bisection path). Synthetic lat/lon derivation mirrors the Spark query.
+    "g6_geohash_grid" ->
+      """WITH pts AS (
+        |  SELECT ((c_acctbal % 180) + 180) % 180 - 90 + 0.001 AS lat,
+        |         ((c_custkey % 360) + 360) % 360 - 180 + 0.001 AS lon
+        |  FROM customer
+        |), idx AS (
+        |  SELECT least(31, greatest(0, floor((lat + 90) / 180 * 32)))::INT AS la,
+        |         least(31, greatest(0, floor((lon + 180) / 360 * 32)))::INT AS lo
+        |  FROM pts
+        |), gh AS (
+        |  SELECT ((lo & 16) << 5) | ((la & 16) << 4) | ((lo & 8) << 4) | ((la & 8) << 3)
+        |       | ((lo & 4) << 3) | ((la & 4) << 2) | ((lo & 2) << 2) | ((la & 2) << 1)
+        |       | ((lo & 1) << 1) | (la & 1) AS v
+        |  FROM idx
+        |)
+        |SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v >> 5) + 1, 1) ||
+        |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
+        |       count(*) AS count
+        |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($duckNorm) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> langIdOracle,
+
+    "dedup_exact_fingerprint" ->
+      s"""SELECT source, count(*) AS n_unique FROM (
+         |  SELECT source,
+         |    row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn = 1
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dict_profile_lineitem" -> dictOracle(
       "dict_field, dict_count, dict_countdistinct, dict_countmissing, " +
