@@ -1,0 +1,95 @@
+package graft
+
+import graft.query.{Aggs, FilterSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene: the properties that make these operators hold at
+  * 100 TB — filter/column pushdown into the parquet scan, broadcast joins for
+  * small dimensions, custom expressions inside whole-stage codegen, no
+  * cartesian products where a hash join is intended. Asserted on
+  * `explain("formatted")` output so regressions surface in CI, not in prod.
+  */
+class PlanSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(df: DataFrame): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_plan_spec").toFile
+    d.deleteOnExit()
+    val p = d.getAbsolutePath + "/t.parquet"
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def planOf(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  private lazy val factPath = tmp(Seq(
+    (1L, "Theft", 10.0, ts("2016-01-01 01:00:00")),
+    (2L, "Assault", 55.0, ts("2016-06-01 01:00:00")),
+  ).toDF("id", "description", "amount", "datetime"))
+
+  test("compiled FilterSpec predicates push down into the parquet scan") {
+    val df = spark.read.parquet(factPath)
+      .where(FilterSpec.And(Seq(
+        FilterSpec.NumericRange("amount", 5, 60),
+        FilterSpec.EnumIn("description", Seq("Theft", "Assault")))).compile)
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(amount,5"), s"range not pushed:\n$plan")
+    assert(plan.contains("In(description"), s"IN not pushed:\n$plan")
+    // single-value enums fold to an equality pushdown
+    val one = planOf(spark.read.parquet(factPath)
+      .where(FilterSpec.EnumIn("description", Seq("Theft")).compile))
+    assert(one.contains("EqualTo(description,Theft)"), one)
+  }
+
+  test("aggregation prunes unread columns at the scan (ReadSchema)") {
+    val df = Aggs.termsTopN(spark.read.parquet(factPath), "description", 10)
+    val read = planOf(df).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("description"), read)
+    assert(!read.contains("amount") && !read.contains("datetime"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("small-dimension joins broadcast (no shuffle of the fact side)") {
+    val dim = Seq((1L, "baltimore")).toDF("key", "city")
+    val fact = spark.read.parquet(factPath)
+    val joined = fact.join(broadcast(dim), col("id") === col("key"))
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    // Parquet-backed input: a LocalTableScan would be folded eagerly by
+    // ConvertToLocalRelation and show no codegen at all. AQE annotates
+    // codegen only at execution, so disable it for the static plan check.
+    val path = tmp(Seq((39.29, -76.61), (42.33, -83.04)).toDF("lat", "lon"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(Aggs.geohashGrid(spark.read.parquet(path), "lat", "lon", 2))
+      // `*` marks a codegen'd node: the partial aggregate computing the
+      // geohash grouping key must be inside a whole-stage-codegen span.
+      assert(plan.contains("* HashAggregate"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("nestedTermsTopK broadcasts the tiny parent-totals side") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("p", "c")
+    val plan = planOf(Aggs.nestedTermsTopK(df, "p", "c", 2, 2))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("windowed dedup rank uses a single shuffle on the dedup key") {
+    val df = Seq((1L, "t")).toDF("id", "text")
+    val plan = planOf(graft.ops.Dedup.exact(df, Seq("text"), "id"))
+    // one Exchange for the window partitioning, no extra repartition
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n$plan")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.store
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.types.StringType
+
+/** S1 (SURVEY §2.1): headered CSV scan with NO schema inference — every
+  * column arrives as a string, the reference's deliberate ingestion contract
+  * ("all variables initially typed as strings",
+  * `Baltimore-notebook.ipynb:266-274`); types are imposed later by
+  * harmonization.
+  */
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("headered CSV reads all-strings and round-trips values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/raw.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """CrimeDate,CrimeTime,Latitude,Longitude
+        |9/2/2017,18:51:00,39.29,-76.61
+        |9/2/2017,1851,,
+        |""".stripMargin)
+
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+
+    // every column is a string — no inference
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.columns.toSeq === Seq("CrimeDate", "CrimeTime", "Latitude", "Longitude"))
+    val rows = df.orderBy("CrimeTime").collect()
+    assert(rows.length === 2)
+    assert(rows(1).getString(1) === "18:51:00")
+    assert(rows(0).getString(1) === "1851")   // packed time stays a string
+    assert(rows(0).isNullAt(2))               // empty cell → null, not 0.0
+  }
+
+  test("all-strings scan feeds the harmonization pipeline end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec2").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/raw.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """Incident ID,Description,CrimeDate
+        |I1,HOMICIDE,9/2/2017
+        |I2,ROBBERY,12/31/2016
+        |""".stripMargin)
+    val raw = spark.read.option("header", "true").option("inferSchema", "false").csv(path)
+
+    import graft.etl.{Harmonizer, Transforms}
+    import org.apache.spark.sql.functions._
+    val h = Harmonizer(raw)
+      .mapVar("Description", "description")
+      .mapValues("description", Seq("HOMICIDE" -> "Homicide", "ROBBERY" -> "Robbery"))
+      .transform(df => Transforms.castDateParts(
+        df.withColumn("year", Transforms.mdyYear(col("CrimeDate"))), Seq("year")))
+      .makeValidVariableNames
+    val out = h.df.select("incidentid", "description", "year")
+      .as[(String, String, Int)].collect().toSet
+    assert(out === Set(("I1", "Homicide", 2017), ("I2", "Robbery", 2016)))
+  }
+}
