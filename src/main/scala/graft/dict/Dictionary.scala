@@ -200,4 +200,21 @@ object Dictionary {
   def varTypes(dict: DataFrame): Map[String, VarType] =
     dict.select("dict_field", "dict_vartype").collect()
       .map(r => r.getString(0) -> VarType.parse(r.getString(1))).toMap
+
+  /** A4 — distinct non-empty values of a column, collected sorted: the
+    * reference's enum-list builder (`harmonizeCrimeIncidents.py:332-335`,
+    * `rdd.map(r[0]).collect()` + Python sort — here the distinct, filter,
+    * sort, and limit all run on executors; only the final list is
+    * collected). `limit` bounds the driver at scale: a column with more
+    * distinct values than a UI can render is not an enum.
+    */
+  def uniqueValues(df: DataFrame, column: String, limit: Int = 1000): Seq[String] =
+    df.select(col(s"`$column`").cast(StringType).as("v"))
+      .where(col("v").isNotNull && col("v") =!= "")
+      .distinct()
+      .orderBy("v")
+      .limit(limit)
+      .collect()
+      .map(_.getString(0))
+      .toSeq
 }
