@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: initialize executor pool, parquet reader, and codegen
+    // compiler once so the first timed query measures the query, not JVM
+    // startup (~4-5s otherwise attributed to whichever query sorts first).
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
     // Deterministic (sorted) order so per-query timings are comparable
     // across rounds; failures surface on stderr instead of vanishing.
     // SPARK_GRAFT_ONLY=comma,list restricts to named queries (local iteration).

@@ -98,6 +98,22 @@ object TextShingleAlgo {
     c.toDouble / (na + nb - c).toDouble
   }
 
+  /** One hash probe per token against a (typically tiny) reference set. */
+  def countInSet(tokens: ArrayData, set: ArrayData): Int = {
+    val s = new java.util.HashSet[UTF8String](set.numElements() * 2)
+    var i = 0
+    val ns = set.numElements()
+    while (i < ns) { if (!set.isNullAt(i)) s.add(set.getUTF8String(i)); i += 1 }
+    var c = 0
+    var j = 0
+    val nt = tokens.numElements()
+    while (j < nt) {
+      if (!tokens.isNullAt(j) && s.contains(tokens.getUTF8String(j))) c += 1
+      j += 1
+    }
+    c
+  }
+
   /** MinHash signature: `numHashes` independent minimums of seeded re-hashes
     * of the shingle set. Re-hash of shingle `s` under function `i` is
     * XXH64(s, XXH64(i, 42)) — Spark's `xxhash64(i, s)` composition.
@@ -120,6 +136,26 @@ object TextShingleAlgo {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Count of array elements contained in a small reference set — the kernel
+  * behind stopword ratios and function-word language scoring
+  * (`size(filter(toks, t => array_contains(set, t)))` walks both arrays
+  * through the interpreted HOF path; this is one hash probe per token).
+  * Duplicate tokens count every occurrence, matching the HOF semantics.
+  */
+case class CountInSetExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_count_in_set"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(tokens: Any, set: Any): Any =
+    TextShingleAlgo.countInSet(tokens.asInstanceOf[ArrayData], set.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.expr.TextShingleAlgo.countInSet($t, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CountInSetExpr =
+    copy(left = l, right = r)
 }
 
 /** `text → array<string>` lowercase alphanumeric tokens (codegen'd). */
@@ -201,4 +237,9 @@ object TextShingles {
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSortedExpr(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Count of `tokens` elements present in `set` (duplicates count). */
+  def countInSet(tokens: Column, set: Column): Column =
+    ColumnShim.column(CountInSetExpr(
+      ColumnShim.expression(tokens), ColumnShim.expression(set)))
 }

@@ -54,7 +54,7 @@ object TextAnalysis {
     val toks = lowerTokens(c)
     val stops = array(stopwords.map(lit): _*)
     when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => array_contains(stops, t))).cast(DoubleType) /
+      graft.expr.TextShingles.countInSet(toks, stops).cast(DoubleType) /
         size(toks).cast(DoubleType))
   }
 
@@ -100,23 +100,11 @@ object TextAnalysis {
   /** Language-ID heuristic: per-language score = fraction of tokens found in
     * that language's function-word profile; CJK text short-circuits on Han
     * codepoints; below `minScore` the verdict is "und" (undetermined).
+    * One fused codegen'd pass — see [[graft.expr.LanguageIdExpr]] for why
+    * the algebraic formulation was ~20× the work per row.
     */
-  def languageId(c: Column, minScore: Double = 0.05): Column = {
-    val toks = lowerTokens(c)
-    val nToks = size(toks).cast(DoubleType)
-    val scores: Seq[(String, Column)] = languageProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val profile = array(words.map(lit): _*)
-      lang -> when(nToks === 0, 0.0).otherwise(
-        size(filter(toks, t => array_contains(profile, t))).cast(DoubleType) / nToks)
-    }
-    val hanRatio = when(length(c) === 0, 0.0)
-      .otherwise(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")).cast(DoubleType) / length(c))
-    val best = scores.map(_._2).reduce(greatest(_, _))
-    val pick = scores.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best >= minScore, lang).otherwise(acc)
-    }
-    when(hanRatio > 0.25, "zh").otherwise(pick)
-  }
+  def languageId(c: Column, minScore: Double = 0.05): Column =
+    graft.expr.LanguageId.languageId(c, languageProfiles.toSeq, minScore)
 
   /** 64-bit content fingerprint: xxhash64 of the analyzer-normalized text, so
     * case/punctuation/whitespace variants collide — exact-dedup key for
