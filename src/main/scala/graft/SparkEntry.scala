@@ -220,6 +220,18 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    "q6_phrase_prefix_indexed" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The at-rest dual-field index path (S7/S8 replacement): analyzed
+      // companion column precomputed, query is a plain instr against it.
+      val indexed = graft.store.SearchIndex.withAnalyzedColumns(
+        load(dir, "part"), Seq("p_name"))
+      indexed
+        .where(graft.store.SearchIndex.phrasePrefixIndexed(col("p_name_split"), "small wid"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+
     "q7_conjunction" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val spec = FilterSpec.conjunction(Seq(
@@ -648,6 +660,11 @@ object SparkEntry {
         |GROUP BY order_year ORDER BY order_year""".stripMargin,
 
     "q6_phrase_prefix" ->
+      s"""SELECT p_partkey, p_name FROM part
+         |WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_name", "small wid")}
+         |ORDER BY p_partkey""".stripMargin,
+
+    "q6_phrase_prefix_indexed" ->
       s"""SELECT p_partkey, p_name FROM part
          |WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_name", "small wid")}
          |ORDER BY p_partkey""".stripMargin,

@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("partitioned tables prune partitions for dictionary-typed filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/t"
+    Seq(("b1", "baltimore", 2016), ("d1", "detroit", 2017))
+      .toDF("id", "city", "year")
+      .write.partitionBy("city").parquet(p)
+    val df = spark.read.parquet(p)
+      .where(FilterSpec.EnumIn("city", Seq("baltimore")).compile)
+    val plan = planOf(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("city"), s"partition filter not applied:\n$plan")
+    // only the matching partition directory is scanned
+    assert(df.count() === 1)
+  }
+
   test("windowed dedup rank uses a single shuffle on the dedup key") {
     val df = Seq((1L, "t")).toDF("id", "text")
     val plan = planOf(graft.ops.Dedup.exact(df, Seq("text"), "id"))
