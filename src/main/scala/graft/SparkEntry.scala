@@ -246,6 +246,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "w_dict_driven_query" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The system's data-driven core, end to end (SURVEY.md §3.2): profile
+      // the table into a dictionary, derive typed widgets from it, apply
+      // user selections, compile, aggregate. Nothing below hardcodes a
+      // predicate form — the dictionary decides.
+      import graft.query.Widgets
+      val li = load(dir, "lineitem")
+      val fields = Widgets.fieldsFromDictionary(Dictionary.profile(li))
+      val fc = fields
+        .select("l_quantity", Widgets.Selection.RangeSel(10, 20))
+        .select("l_returnflag", Widgets.Selection.TextSel("r"))
+      li.where(fc.compile)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("l_linestatus")
+    }),
+
     "q8_dict_fetch" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The webapp's dictionary fetch (Q8): non-null fields, projected and
@@ -678,6 +696,14 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "g1_count" -> "SELECT count(*) AS count FROM lineitem",
+
+    "w_dict_driven_query" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+         |  round(sum(l_extendedprice), 2) AS revenue
+         |FROM lineitem
+         |WHERE l_quantity >= 10 AND l_quantity <= 20
+         |  AND ${graft.expr.TextMatch.phrasePrefixSql("l_returnflag", "r")}
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "g2_terms_top10" ->
       """SELECT event_type, count(*) AS count FROM events
