@@ -478,6 +478,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ===== Training-data ops: deterministic sampling =====
+
+    "sample_hash" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      ops.Sampling.hashSample(load(dir, "documents"), "doc_id", fraction = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    "sample_split" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // 0.75/0.125 are exact binary fractions: cumulative boundaries agree
+      // bit-for-bit with the oracle's literals (0.8 + 0.1 would not).
+      ops.Sampling.assignSplit(load(dir, "documents"), "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      ops.Sampling.stratifiedHashSample(load(dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
     // ===== Multimodal plumbing (stub codec; rows-only check) =====
 
     "mm_feature_stats" -> ((s, dir) => {
@@ -831,6 +860,24 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,
+
+    "sample_hash" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.1
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT CASE WHEN ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.75 THEN 'train'
+         |            WHEN ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.875 THEN 'val'
+         |            ELSE 'test' END AS split, count(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT source, count(*) AS n FROM documents
+         |WHERE ${ops.Sampling.hashUnitSql("doc_id", 42)} <
+         |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |              WHEN 'src2' THEN 0.2 ELSE 0.0 END
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_exact_fingerprint" ->
       s"""SELECT source, count(*) AS n_unique FROM (

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected rows change
+  * with partitioning, task retries, and cluster size — unacceptable when a
+  * training corpus must be reproducible and auditable. Hash-based sampling
+  * keys the decision on the ROW (a seeded hash of a stable key), so the
+  * same row makes the same cut on any cluster at any scale, the sample
+  * composes with incremental ingestion (new rows don't reshuffle old
+  * decisions), and any engine can reproduce it — the unit hash is md5-based
+  * specifically so a SQL oracle computes it bit-identically.
+  */
+object Sampling {
+
+  /** Seeded hash of a key column mapped to [0, 1): the first 52 bits of
+    * md5(seed || key) as a double (52 bits are exact in IEEE754). Portable:
+    * `('0x' || substr(md5(seed || key), 1, 13))::BIGINT / 2^52` computes the
+    * identical value in DuckDB/Trino-style SQL. Use [[hashUnitFast]] when
+    * cross-engine reproducibility isn't needed.
+    */
+  def hashUnit(key: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), key.cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit((1L << 52).toDouble)
+
+  /** xxhash64-based unit hash — cheaper (no hex round-trip), Spark-only. */
+  def hashUnitFast(key: Column, seed: Int): Column =
+    shiftrightunsigned(xxhash64(lit(seed), key), 11).cast("double") / lit((1L << 53).toDouble)
+
+  /** Keep rows whose seeded key-hash lands under `fraction` of the unit
+    * interval. Deterministic per (key, seed); no RNG, no partition
+    * sensitivity.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: Int = 42): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.where(hashUnit(col(s"`$keyCol`"), seed) < fraction)
+  }
+
+  /** Per-stratum deterministic sampling: one fraction per value of
+    * `stratumCol` (absent strata keep nothing). The scalable, reproducible
+    * form of `sampleBy`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      seed: Int = 42): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val fracExpr = fractions.foldLeft(lit(0.0)) { case (acc, (stratum, f)) =>
+      when(col(s"`$stratumCol`") === stratum, f).otherwise(acc)
+    }
+    df.where(hashUnit(col(s"`$keyCol`"), seed) < fracExpr)
+  }
+
+  /** Deterministic train/validation/test split: each row gets the label of
+    * the cumulative-weight interval its unit hash falls in — exactly one
+    * split per row, stable under any execution plan or cluster size.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      seed: Int = 42,
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val u = hashUnit(col(s"`$keyCol`"), seed)
+    val cums = weights.scanLeft(0.0)(_ + _._2 / total).tail
+    val expr = weights.zip(cums).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), hi), acc) => when(u < hi, name).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** The oracle-side restatement of [[hashUnit]] for a SQL engine. */
+  def hashUnitSql(keyExpr: String, seed: Int): String =
+    s"(('0x' || substr(md5('$seed' || ($keyExpr)::VARCHAR), 1, 13))::BIGINT " +
+      s"/ ${(1L << 52).toDouble})"
+}
