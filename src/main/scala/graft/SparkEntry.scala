@@ -254,7 +254,10 @@ object SparkEntry {
       // predicate form — the dictionary decides.
       import graft.query.Widgets
       val li = load(dir, "lineitem")
-      val fields = Widgets.fieldsFromDictionary(Dictionary.profile(li))
+      // approx distinct suffices for widget typing (HLL is exact at the tiny
+      // cardinalities the boolean check needs) — the 100 TB profile path.
+      val fields = Widgets.fieldsFromDictionary(
+        Dictionary.profile(li, exactDistinct = false))
       val fc = fields
         .select("l_quantity", Widgets.Selection.RangeSel(10, 20))
         .select("l_returnflag", Widgets.Selection.TextSel("r"))
@@ -475,6 +478,19 @@ object SparkEntry {
       Dedup.exactByFingerprint(load(dir, "documents"), "text", "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_unique"))
+        .orderBy("source")
+    }),
+
+    "dedup_cluster_keep" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The full dedup story: exact near-dup pairs → connected components →
+      // keep the smallest doc_id per cluster → counts per source.
+      val docs = load(dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.35, shingleK = 2)
+      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
         .orderBy("source")
     }),
 
@@ -930,6 +946,38 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_cluster_keep" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), sets AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         |  FROM d WHERE len(toks) >= 2
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sets a, sets b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE
+         |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.35
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  -- transitive closure (recursive UNION dedupes, so it terminates)
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT source, count(*) AS n_kept
+         |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = doc.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -170,6 +170,136 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-duplicate pair list, by iterative
+    * minimum-label propagation: every vertex repeatedly takes the smallest
+    * label among itself, its neighbors, and its label's label (pointer
+    * jumping) until fixpoint — O(log diameter) rounds, bounded by
+    * `maxIter`. Each iteration is three hash joins plus an aggregate, all
+    * shuffles keyed on vertex id, no driver-side graph. Intermediate label
+    * frames are persisted and explicitly unpersisted each round (a leaked
+    * eager checkpoint pins executor memory for the rest of the session); on
+    * a real cluster add a checkpoint dir and swap persist for `checkpoint`
+    * to also cut the nested lineage.
+    *
+    * Returns `(id, component)` for every id appearing in `pairs`, where
+    * `component` is the smallest id in the connected component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20,
+      driverMaxPairs: Long = 4L * 1000 * 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Cache the directed pair list before mirroring it: the union would
+    // otherwise recompute the (potentially expensive) upstream pair
+    // pipeline once per branch.
+    val p = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Near-dup pair graphs are orders of magnitude smaller than their
+    // corpora. Below `driverMaxPairs` (bounded: 4M pairs ≈ tens of MB) a
+    // driver-side union-find beats the distributed loop by seconds per
+    // ROUND of pure scheduling overhead; above it, the label-propagation
+    // loop below scales arbitrarily. The gate is on the measured pair
+    // count, never on guesswork.
+    if (p.count() <= driverMaxPairs) {
+      val out = driverUnionFind(p) // collects from the cache
+      p.unpersist(blocking = false)
+      return out
+    }
+
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Convergence watches sum(component): labels only ever decrease, so an
+    // unchanged sum IS the fixpoint — one scan of `next` per round instead
+    // of a join against the previous labels.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbor propagation + pointer jumping (take the component of your
+      // component): the jump halves chain depth each round, so convergence
+      // is O(log diameter) instead of O(diameter).
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b_id"), col("b") === col("b_id"))
+        .select(col("a").as("id"), col("component"))
+      val viaJump = labels.as("x")
+        .join(labels.select(col("id").as("c_id"), col("component").as("c_comp")),
+          col("x.component") === col("c_id"))
+        .select(col("x.id").as("id"), col("c_comp").as("component"))
+      val next = labels.union(viaNeighbors).union(viaJump)
+        .groupBy("id")
+        .agg(min("component").as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next) // also materializes next's cache
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    labels
+  }
+
+  /** Path-compressed union-find over a collected pair list — the small-graph
+    * fast path of [[connectedComponents]]. Ids stay generically typed; the
+    * component representative is the natural-order minimum, matching the
+    * distributed path exactly.
+    */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val rows = p.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val spark = p.sparkSession
+    val out = parent.keySet().toArray.map(id =>
+      org.apache.spark.sql.Row(id, find(id)))
+    val idType = p.schema.fields(0).dataType
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType))))
+  }
+
+  /** Keep one representative (the smallest id) per near-duplicate cluster:
+    * rows absent from `pairs` are unique and kept; rows present keep only
+    * the component minimum. The standard last stage of minhash/simhash/
+    * ngram dedup at corpus scale.
+    */
+  def keepClusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter = maxIter)
+      .withColumnRenamed("id", "_cc_id")
+    df.join(comp, df(idCol) === col("_cc_id"), "left")
+      .where(col("_cc_id").isNull || col("component") === df(idCol))
+      .drop("_cc_id", "component")
+  }
+
   /** n-gram Jaccard near-duplicate pairs — EXACT results (identical to the
     * all-pairs definition: every `id_a < id_b` with Jaccard ≥ `threshold`).
     *

@@ -117,6 +117,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style approximate top-`k` (the inverted-file coarse-quantizer
+    * pattern behind FAISS-IVF, public algorithm): corpus vectors are
+    * assigned to their nearest of `nlist` centroids; a query scores only
+    * vectors in its `nprobe` nearest cells. Unlike sign-LSH, cell
+    * populations adapt to the data distribution.
+    *
+    * Centroids here are a deterministic sample of the corpus itself (the
+    * `nlist` vectors with the smallest md5-unit hash of their id — a seeded
+    * choice any run reproduces), broadcast to executors; a k-means refine
+    * would drop in without changing the query path. Shuffle cost: one
+    * hash-join on cell id, linear in rows — no cross join.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
+    // Deterministic coarse centroids: smallest hash-unit ids of the corpus.
+    val centroids = c
+      .withColumn("_u", Sampling.hashUnit(col("neighbor_id"), seed))
+      .orderBy("_u", "neighbor_id").limit(nlist)
+      .select(col("neighbor_id").as("_cell"), col("_cv").as("_centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(centroids.nonEmpty, "ivfTopK: empty corpus")
+
+    def nearestCells(vec: Column, n: Int): Column = {
+      // scores per centroid as an array of (cos, cell) structs, sorted desc
+      val scored = array(centroids.map { case (cell, cv) =>
+        struct(
+          (-cosine(vec, array(cv.map(lit).toIndexedSeq: _*))).as("negCos"),
+          lit(cell).as("cell"))
+      }.toIndexedSeq: _*)
+      slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
+    }
+
+    val cAssigned = c.withColumn("_cell", nearestCells(col("_cv"), 1).getItem(0))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
+      .withColumn("_cell", explode(nearestCells(col("_qv"), nprobe)))
+    val scored = cAssigned.join(q, Seq("_cell"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact embedding near-duplicate pairs: every `(id_a < id_b)` pair with
     * cosine `>= threshold`, by brute-force self-join — O(n²), the correctness
     * baseline. Use [[embeddingNearDupPairs]] (LSH) when n² is unaffordable.

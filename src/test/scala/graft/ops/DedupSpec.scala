@@ -95,6 +95,37 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("connectedComponents labels transitive clusters with the min id") {
+    // chain 1-2-3, pair 7-9, singleton 5 absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents distributed path agrees with the union-find fast path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(pairs, driverMaxPairs = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("keepClusterRepresentatives keeps unique rows and one per cluster") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b"), (7L, "c"), (9L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 5L, 7L))
+  }
+
+  test("end-to-end cluster dedup: ngram pairs to representatives") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 0.5, 2)
+    val kept = Dedup.keepClusterRepresentatives(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // docs 1,2,3 cluster (rep 1); 4 and 5 are unique
+    assert(kept === Seq(1L, 4L, 5L))
+  }
+
   test("shingles of short docs are empty and excluded from pair generation") {
     val df = Seq((1L, "word"), (2L, "word")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, 2).count() === 0)

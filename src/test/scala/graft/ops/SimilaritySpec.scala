@@ -49,6 +49,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.contains((0L, 1L))) // the tightest pair survives bucketing
   }
 
+  test("ivfTopK recovers brute-force neighbors for clustered vectors") {
+    val q = vecs.where(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    // nlist=2 cells, probe both → exhaustive within cells; cluster {0,1,2}
+    // shares a cell so the true neighbors are found
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK is deterministic across runs and partitioning") {
+    val q = vecs.where(col("vec_id") < 2)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 3, nlist = 2, nprobe = 1)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSeq
+    assert(run(vecs) === run(vecs.repartition(7)))
+  }
+
   test("hyperplanes are deterministic under a seed") {
     val a = Similarity.hyperplanes(8, 4, seed = 7L)
     val b = Similarity.hyperplanes(8, 4, seed = 7L)
