@@ -424,6 +424,17 @@ object SparkEntry {
 
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // IVF coarse quantization (rows-only: centroid argmin isn't SQL-
+      // expressible); recall vs brute force is pinned in SimilaritySpec.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     "ann_lsh" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val emb = load(dir, "embeddings")
