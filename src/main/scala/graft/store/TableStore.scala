@@ -56,4 +56,25 @@ object TableStore {
     */
   def saveDictionary(dict: DataFrame, db: String, table: String, basePath: String): String =
     saveAsParquetTable(dict.coalesce(1), db, table, basePath)
+
+  /** Scale extension: persist bucketed (and sorted) by a join key. Two
+    * tables bucketed the same way join with NO exchange on either side —
+    * the co-located-join layout for keys queried repeatedly at 100 TB
+    * (e.g. a document table and its per-document feature table bucketed by
+    * doc id). Bucketed tables require `saveAsTable` (the bucket metadata
+    * lives in the catalog, not the parquet files).
+    */
+  def saveAsBucketedTable(
+      df: DataFrame,
+      db: String,
+      table: String,
+      bucketBy: Seq[String],
+      numBuckets: Int,
+      sortBy: Seq[String] = Seq.empty): Unit = {
+    require(bucketBy.nonEmpty, "bucketBy must name at least one column")
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+    val sorted = if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w
+    sorted.saveAsTable(s"`$db`.`$table`")
+  }
 }

@@ -101,6 +101,23 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() === 1)
   }
 
+  test("co-bucketed tables join without an exchange on either side") {
+    graft.store.TableStore.recreateDatabase(spark, "graft_bkt")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val feats = Seq((1L, 0.9), (2L, 0.4)).toDF("doc_id", "quality")
+    graft.store.TableStore.saveAsBucketedTable(docs, "graft_bkt", "docs", Seq("doc_id"), 4)
+    graft.store.TableStore.saveAsBucketedTable(feats, "graft_bkt", "feats", Seq("doc_id"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join
+    try {
+      val joined = spark.table("graft_bkt.docs")
+        .join(spark.table("graft_bkt.feats"), "doc_id")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("windowed dedup rank uses a single shuffle on the dedup key") {
     val df = Seq((1L, "t")).toDF("id", "text")
     val plan = planOf(graft.ops.Dedup.exact(df, Seq("text"), "id"))
