@@ -14,6 +14,11 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    // Fresh warehouse per JVM: managed-table locations left by a previous
+    // test run are invisible to this JVM's catalog, so DROP DATABASE can't
+    // clean them and CREATE fails with LOCATION_ALREADY_EXISTS.
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_spec_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
