@@ -59,6 +59,9 @@ object GraftExtensions {
     ("graft_count_in_set",
       info("graft_count_in_set", "graft_count_in_set(tokens, set) - elements of tokens present in set"),
       (args: Seq[Expression]) => CountInSetExpr(args(0), args(1))),
+    ("vec_avg",
+      info("vec_avg", "vec_avg(v) - aggregate: element-wise mean of array<double> vectors"),
+      (args: Seq[Expression]) => VectorAvg(args(0))),
   )
 
   /** Register on an already-built session (the extensions path only works at

@@ -129,37 +129,63 @@ object Similarity {
     * would drop in without changing the query path. Shuffle cost: one
     * hash-join on cell id, linear in rows — no cross join.
     */
+  /** Cells nearest to `vec` among broadcast `centroids`, by cosine,
+    * deterministic tiebreak on cell index.
+    */
+  private def nearestCells(vec: Column, centroids: Seq[Array[Double]], n: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cv, cell) =>
+      struct(
+        (-cosine(vec, array(cv.map(lit).toIndexedSeq: _*))).as("negCos"),
+        lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
+  }
+
+  /** Deterministic coarse centroids with optional spherical k-means
+    * refinement: init = the `k` corpus vectors with the smallest seeded
+    * hash-unit of their id (reproducible on any cluster); each refinement
+    * round reassigns rows to their nearest centroid and recomputes cell
+    * means with [[graft.expr.VectorAvg]] — a two-phase aggregate whose
+    * shuffle is `cells × dim` doubles, not the corpus. Empty cells keep
+    * their previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seed: Int = 42): Seq[Array[Double]] = {
+    val c = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    var centroids: Seq[Array[Double]] = c
+      .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
+      .orderBy("_u", "_id").limit(k)
+      .select("_v").collect().map(_.getSeq[Double](0).toArray).toSeq
+    require(centroids.nonEmpty, "kmeansCentroids: empty corpus")
+    for (_ <- 0 until iters) {
+      val means = c
+        .withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
+        .groupBy("_cell")
+        .agg(graft.expr.VectorAvg.vecAvg(col("_v")).as("_mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    centroids
+  }
+
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
+      refineIters: Int = 0,
       seed: Int = 42,
       excludeSelf: Boolean = true): DataFrame = {
     val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
-    // Deterministic coarse centroids: smallest hash-unit ids of the corpus.
-    val centroids = c
-      .withColumn("_u", Sampling.hashUnit(col("neighbor_id"), seed))
-      .orderBy("_u", "neighbor_id").limit(nlist)
-      .select(col("neighbor_id").as("_cell"), col("_cv").as("_centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(centroids.nonEmpty, "ivfTopK: empty corpus")
+    val centroids = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed)
 
-    def nearestCells(vec: Column, n: Int): Column = {
-      // scores per centroid as an array of (cos, cell) structs, sorted desc
-      val scored = array(centroids.map { case (cell, cv) =>
-        struct(
-          (-cosine(vec, array(cv.map(lit).toIndexedSeq: _*))).as("negCos"),
-          lit(cell).as("cell"))
-      }.toIndexedSeq: _*)
-      slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
-    }
-
-    val cAssigned = c.withColumn("_cell", nearestCells(col("_cv"), 1).getItem(0))
+    val cAssigned = c.withColumn("_cell", nearestCells(col("_cv"), centroids, 1).getItem(0))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
-      .withColumn("_cell", explode(nearestCells(col("_qv"), nprobe)))
+      .withColumn("_cell", explode(nearestCells(col("_qv"), centroids, nprobe)))
     val scored = cAssigned.join(q, Seq("_cell"))
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(col("_cv"), col("_qv")))

@@ -39,6 +39,14 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(j === 0.5)
   }
 
+  test("vec_avg aggregate from SQL") {
+    Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0))).toDF("g", "v")
+      .createOrReplaceTempView("vecs_sql")
+    val m = spark.sql("SELECT vec_avg(v) FROM vecs_sql GROUP BY g")
+      .as[Seq[Double]].head()
+    assert(m === Seq(2.0, 3.0))
+  }
+
   test("full dedup pipeline expressible in pure SQL") {
     Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "other text entirely"))
       .toDF("id", "text").createOrReplaceTempView("docs_sql")

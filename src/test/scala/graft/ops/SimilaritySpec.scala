@@ -71,6 +71,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(run(vecs) === run(vecs.repartition(7)))
   }
 
+  test("kmeans-refined IVF still recovers brute-force neighbors") {
+    val q = vecs.where(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 2, refineIters = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("vecAvg aggregates element-wise means per group, ignoring nulls") {
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),
+      ("b", Some(Seq(10.0, 20.0))),
+    ).toDF("g", "v")
+    val out = df.groupBy("g").agg(graft.expr.VectorAvg.vecAvg(col("v")).as("m"))
+      .orderBy("g").as[(String, Seq[Double])].collect().toSeq
+    assert(out === Seq(("a", Seq(2.0, 3.0)), ("b", Seq(10.0, 20.0))))
+    // all-null group yields null
+    val nulls = Seq(("c", Option.empty[Seq[Double]])).toDF("g", "v")
+      .groupBy("g").agg(graft.expr.VectorAvg.vecAvg(col("v")).as("m"))
+    assert(nulls.collect().head.isNullAt(1))
+  }
+
   test("hyperplanes are deterministic under a seed") {
     val a = Similarity.hyperplanes(8, 4, seed = 7L)
     val b = Similarity.hyperplanes(8, 4, seed = 7L)
