@@ -108,6 +108,43 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drops rows whose `keyCols` were already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark`:
+    * a duplicate arriving within the watermark delay of the original is
+    * guaranteed dropped; state for older keys is reclaimed — the only
+    * dedup that runs forever on an unbounded stream without unbounded
+    * state). Batch inputs fall back to plain `dropDuplicates`.
+    */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
+  /** Streaming sink into the at-rest search index: every micro-batch is
+    * appended to a parquet table with its analyzed `_split` companions
+    * precomputed (see [[graft.store.SearchIndex]]) — the live-ingestion
+    * counterpart of the reference's bulk `saveToEs`
+    * (`notebooks/lib/esindex.py:116-139`), minus the second cluster.
+    * `foreachBatch` reuses the batch writer, so layout and companions are
+    * identical between backfill and live ingestion.
+    */
+  def writeToSearchIndex(
+      events: DataFrame,
+      path: String,
+      analyzeColumns: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.store.SearchIndex.withAnalyzedColumns(batch, analyzeColumns)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Batch sessionization — the backfill twin of [[sessionize]]: a gap of
     * more than `gapMs` between consecutive events of a user starts a new
     * session. Pure window algebra (lag → gap flag → running sum = session id

@@ -72,6 +72,46 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingDedup(mem.toDS().toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 0, 1), ev(2, 1, 1), ev(1, 0, 1)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData(ev(1, 2, 1), ev(3, 3, 1))              // cross-batch dup of id 1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming search-index sink writes analyzed companions per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toFile
+    dir.deleteOnExit()
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.writeToSearchIndex(
+      mem.toDS().toDF(), dir.getAbsolutePath + "/idx",
+      analyzeColumns = Seq("event_type"), checkpointDir = dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(ev(1, 0, 1), ev(2, 5, 2))
+      q.processAllAvailable()
+      mem.addData(ev(3, 10, 1))
+      q.processAllAvailable()
+      val back = spark.read.parquet(dir.getAbsolutePath + "/idx")
+      assert(back.count() === 3)
+      assert(back.columns.contains("event_type_split"))
+      import org.apache.spark.sql.functions.col
+      assert(back.where(
+        graft.store.SearchIndex.containsTokenIndexed(col("event_type_split"), "click"))
+        .count() === 3)
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batchEvents = Seq(ev(1, 0, 1, 1.0), ev(2, 5, 1, 2.0), ev(3, 8, 1, 3.0)).toDS()
     val batch = EventStreams.sessionizeBatch(batchEvents.toDF(), gapMs = 10 * 60000L)
