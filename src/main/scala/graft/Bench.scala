@@ -26,6 +26,13 @@ object Bench {
     // noise-robust estimator of what the code actually costs.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // Both the min (noise-floor estimate of what the code costs) and the
+    // median (typical pass) are reported per query, so cross-round
+    // comparisons don't depend on the estimator choice.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -36,12 +43,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      (name, times.min, median(times))
+    }
+    def jmap(vs: Seq[(String, Double)]): String =
+      vs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val qsMed = jmap(results.map(r => r._1 -> r._3))
+    val total = results.map(_._2).sum
+    val totalMed = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_median":$totalMed,"queries_median":$qsMed,"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

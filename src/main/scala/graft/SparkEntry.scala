@@ -269,12 +269,15 @@ object SparkEntry {
 
     "q8_dict_fetch" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      // The webapp's dictionary fetch (Q8): non-null fields, projected and
-      // limited — over the dictionary of the lineitem table.
+      // The webapp's dictionary fetch (Q8): non-null fields, the full
+      // 8-field `_source` projection (`collections.js:68-77`), limited to
+      // 1000. The reference asks for `dict_countDistinct` — a casing bug
+      // (the indexed field is `dict_countdistinct`, so ES's case-sensitive
+      // _source filter silently drops it); we project the real column.
       Dictionary.profile(load(dir, "lineitem"))
         .where(col("dict_field").isNotNull)
-        .select("dict_field", "dict_count", "dict_countdistinct",
-          "dict_countmissing", "dict_vartype")
+        .select("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr",
+          "dict_min", "dict_max", "dict_countdistinct", "dict_uifilter")
         .orderBy("dict_field")
         .limit(1000)
     }),
@@ -380,11 +383,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Pair/top-k operators return unordered results (no terminal global
+    // sort at scale); the deterministic ORDER BY the oracle compare needs
+    // is applied here, on the small result.
     "dedup_minhash" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Dedup.minhashNearDupPairs(load(dir, "documents"), "doc_id", "text",
           threshold = 0.4, shingleK = 2, numBands = 32, rowsPerBand = 2)
-
+        .orderBy("id_a", "id_b")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -394,22 +400,38 @@ object SparkEntry {
       // bucket ~1/16th of the corpus per chunk value: a near-cross-join.
       Dedup.simhashNearDupPairs(load(dir, "documents"), "doc_id", "text",
         maxHamming = 3, numChunks = 4)
+        .orderBy("id_a", "id_b")
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Dedup.ngramJaccardPairs(load(dir, "documents"), "doc_id", "text",
           threshold = 0.35, shingleK = 2)
-
+        .orderBy("id_a", "id_b")
     }),
 
     "dedup_embedding" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      // Exact pair generation (oracle-checkable); the LSH variant
-      // (embeddingNearDupPairs) is the 100 TB path, exercised in tests.
+      // Exact pair generation — the correctness baseline for
+      // dedup_embedding_lsh below, which is the registered 100 TB path.
       Similarity.bruteForcePairs(load(dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.42)
+        .orderBy("id_a", "id_b")
+    }),
 
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The scale path: sign-LSH bucketed candidates (linear shuffle, no n²
+      // product), exact cosine verification. Fully oracled — the seeded
+      // hyperplanes are deterministic constants, so the bucket ids and the
+      // 1-bit-probe candidate set are restated in SQL (lshBucketSql).
+      // m=4 planes × L=3 tables: at this loose threshold (cos 0.42, sign-
+      // agreement p≈0.64) per-table 1-probe recall is ~0.54, amplified to
+      // ~0.90 across tables. Recall vs the brute-force baseline is pinned
+      // in SimilaritySpec.
+      Similarity.embeddingNearDupPairs(load(dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.42, dim = 64, numPlanes = 4, numTables = 3)
+        .orderBy("id_a", "id_b")
     }),
 
     // ===== Training-data ops: similarity search =====
@@ -421,7 +443,7 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast("long"))
-
+        .orderBy("query_id", "rank")
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -433,6 +455,7 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     }),
 
     "ann_lsh" -> ((s, dir) => {
@@ -441,7 +464,7 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
       Similarity.lshTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6)
-
+        .orderBy("query_id", "rank")
     }),
 
     // ===== Training-data ops: text analysis =====
@@ -854,8 +877,12 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // Metadata fields are literals here: no lineitem column is in the
+    // harmonized vocabulary, so every row gets the registry defaults.
     "q8_dict_fetch" -> dictOracle(
-      "dict_field, dict_count, dict_countdistinct, dict_countmissing, dict_vartype"),
+      "dict_field, 'dataset' AS dict_vargroup, dict_vartype, " +
+        "'unknown' AS dict_vardescr, dict_min, dict_max, " +
+        "dict_countdistinct, 'True' AS dict_uifilter"),
 
     // Geohash precision 2 in portable SQL (10 bits: 5 lon interleaved with
     // 5 lat, lon first) — GeohashAlgo's bisection restated as index
@@ -1000,6 +1027,30 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, cos FROM scored
         |WHERE cos >= 0.42 ORDER BY id_a, id_b""".stripMargin,
+
+    // The LSH candidate set is fully SQL-expressible: per-table bucket ids
+    // are signs of dot products against the seeded (deterministic)
+    // hyperplanes, inlined as literals; the 1-bit multi-probe candidate
+    // predicate is hamming(bucket_a, bucket_b) <= 1 over the plane bits
+    // (symmetric: b ∈ probes(a) ⟺ a ∈ probes(b)), OR'd across tables.
+    "dedup_embedding_lsh" -> {
+      val tables = 0 until 3
+      val bucketCols = tables.map(t =>
+        Similarity.lshBucketSql("v", dim = 64, numPlanes = 4, seed = 42L + t) + s" AS b$t")
+      val candPred = tables.map(t =>
+        s"bit_count(xor(x.b$t, y.b$t)) <= 1").mkString("(", " OR ", ")")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketCols.mkString(", ")} FROM e),
+         |cand AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    list_inner_product(x.v, y.v)
+         |      / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS cos
+         |  FROM b x, b y
+         |  WHERE x.vec_id < y.vec_id AND $candPred
+         |)
+         |SELECT id_a, id_b, cos FROM cand
+         |WHERE cos >= 0.42 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

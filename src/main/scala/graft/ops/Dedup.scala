@@ -84,7 +84,10 @@ object Dedup {
     * candidates are verified with exact Jaccard over the shingle sets and
     * kept at `threshold` or above.
     *
-    * Returns `(id_a, id_b, jaccard)` with `id_a < id_b`, ordered.
+    * Returns `(id_a, id_b, jaccard)` with `id_a < id_b`. Row order is
+    * unspecified (as for every pair operator here): a global sort of all
+    * near-dup pairs is a needless final stage at scale — callers that need
+    * a total order (e.g. the oracle harness) sort the result themselves.
     *
     * @param df       input documents
     * @param idCol    unique numeric/string document id
@@ -129,7 +132,6 @@ object Dedup {
       .withColumn("jaccard", TextShingles.jaccardSorted(col("_sh_a"), col("_sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** SimHash near-duplicate pairs: 64-bit SimHash over word tokens; the
@@ -137,7 +139,8 @@ object Dedup {
     * within Hamming distance `numChunks - 1` shares at least one chunk;
     * candidates verified by exact Hamming distance `<= maxHamming`.
     *
-    * Returns `(id_a, id_b, hamming)` with `id_a < id_b`, ordered.
+    * Returns `(id_a, id_b, hamming)` with `id_a < id_b` (row order
+    * unspecified — see [[minhashNearDupPairs]]).
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -167,7 +170,6 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
-      .orderBy("id_a", "id_b")
   }
 
   /** Connected components over a near-duplicate pair list, by iterative
@@ -342,6 +344,5 @@ object Dedup {
         col("_c").cast(DoubleType) / (col("_na") + col("_nb") - col("_c")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 }

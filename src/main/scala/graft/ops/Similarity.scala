@@ -37,7 +37,10 @@ object Similarity {
     * per-query top-k selection. O(|corpus| × |queries|) compute — the
     * baseline to beat, correct at any scale the product can afford.
     *
-    * Returns `(query_id, rank, neighbor_id, cos)` ordered.
+    * Returns `(query_id, rank, neighbor_id, cos)`. Row order is
+    * unspecified (as for every pair/top-k operator here): a global sort of
+    * results is a needless final stage at scale — callers that need a total
+    * order (e.g. the oracle harness) sort the small result themselves.
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -55,7 +58,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
   }
 
   /** Deterministic random hyperplanes for sign-LSH: `numPlanes` unit-free
@@ -93,28 +95,38 @@ object Similarity {
       seed: Long = 42L,
       excludeSelf: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, numPlanes, seed)
-    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
-      .withColumn("_bucket", lshBucket(col("_cv"), planes))
+    val cVecs = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
+    val c = cVecs.withColumn("_bucket", lshBucket(col("_cv"), planes))
+      .select("neighbor_id", "_bucket")
     // Each query probes its own bucket plus every bucket within `probeBits`
     // sign flips (only 1 supported — the useful regime for small numPlanes).
     require(probeBits <= 1, "multi-probe beyond 1 bit not implemented")
-    val qBase = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
-      .withColumn("_qbucket", lshBucket(col("_qv"), planes))
+    val qVecs = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
+    val qBase = qVecs.withColumn("_qbucket", lshBucket(col("_qv"), planes))
     val probes =
       if (probeBits == 0) array(col("_qbucket"))
       else array(col("_qbucket") +: (0 until numPlanes).map(i =>
         col("_qbucket").bitwiseXOR(lit(1L << i))): _*)
-    val q = qBase.withColumn("_bucket", explode(probes)).drop("_qbucket")
-    val scored = c.join(q, Seq("_bucket"))
+    val q = qBase.withColumn("_bucket", explode(probes))
+      .select("query_id", "_bucket")
+    // Candidate generation and its multi-probe dedup carry ONLY the two ids:
+    // vectors riding through that shuffle would multiply its volume by
+    // dim×8 bytes × probes per row. Payloads join back per surviving
+    // candidate (corpus side a hash join on id; the small query side
+    // broadcast), the MinHash-band pattern.
+    val candidates = c.join(q, Seq("_bucket"))
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .join(cVecs, Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .withColumn("cos", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
   }
 
   /** IVF-style approximate top-`k` (the inverted-file coarse-quantizer
@@ -194,7 +206,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
   }
 
   /** Exact embedding near-duplicate pairs: every `(id_a < id_b)` pair with
@@ -214,32 +225,65 @@ object Similarity {
       .withColumn("cos", cosine(col("_va"), col("_vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Embedding near-duplicate pairs: all `(id_a < id_b)` pairs with cosine
     * `>= threshold`, candidates generated through shared LSH buckets (with
     * 1-bit probing on one side so pairs straddling a single sign flip are
     * still found).
+    *
+    * Recall amplification is the standard multi-table construction (the
+    * sign-LSH analogue of MinHash banding): `numTables` independent plane
+    * sets, a pair is a candidate if it collides (within one probed bit) in
+    * ANY table. For a pair at angle θ, per-plane sign agreement is
+    * `p = 1 - θ/π`, so recall ≈ `1 - (1 - P₁(m,p))^L` with
+    * `P₁ = p^m + m·p^(m-1)(1-p)` — loose thresholds want small `m` (fewer
+    * planes → bigger buckets) and larger `L`; tight thresholds the reverse.
+    * Candidate volume stays linear in rows × tables, never all-pairs.
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
-      numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val base = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
-      .withColumn("_bucket", lshBucket(col("_v"), planes))
+      numPlanes: Int = 8, numTables: Int = 1, seed: Long = 42L): DataFrame = {
+    require(numTables >= 1, "numTables must be >= 1")
+    val vecs = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    // One (table, bucket) key per table per row; the join key is the pair.
+    val tableBuckets = (0 until numTables).map { t =>
+      struct(lit(t).as("t"), lshBucket(col("_v"), hyperplanes(dim, numPlanes, seed + t)).as("b"))
+    }
+    val base = vecs
+      .select(col("_id"), explode(array(tableBuckets: _*)).as("_tb"))
+      .select(col("_id"), col("_tb.t").as("_t"), col("_tb.b").as("_bucket"))
     val probed = base.withColumn("_bucket",
       explode(array(col("_bucket") +: (0 until numPlanes).map(i =>
         col("_bucket").bitwiseXOR(lit(1L << i))): _*)))
-    val a = probed.select(col("_id").as("id_a"), col("_v").as("_va"), col("_bucket"))
-    val b = base.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_bucket"))
-    a.join(b, Seq("_bucket"))
+    // Candidates and their multi-probe/multi-table dedup carry ids only;
+    // vectors join back per surviving pair (the MinHash-band pattern — the
+    // dedup shuffle would otherwise move both dim-sized vectors per
+    // candidate row).
+    val candidates = probed.select(col("_id").as("id_a"), col("_t"), col("_bucket"))
+      .join(base.select(col("_id").as("id_b"), col("_t"), col("_bucket")), Seq("_t", "_bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
+      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
       .withColumn("cos", cosine(col("_va"), col("_vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy("id_a", "id_b")
   }
+
+  /** DuckDB restatement of [[lshBucket]] for oracle SQL: the seeded
+    * hyperplanes are deterministic constants, inlined as array literals, so
+    * the bucket id — and therefore the LSH candidate set — is fully
+    * SQL-expressible. `vecExpr` must be a `DOUBLE[]` expression;
+    * `list_inner_product` sums in the same sequential order as
+    * [[graft.expr.VectorMath.dot]], so the sign test agrees bit-for-bit.
+    */
+  def lshBucketSql(vecExpr: String, dim: Int, numPlanes: Int, seed: Long = 42L): String =
+    hyperplanes(dim, numPlanes, seed).zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product($vecExpr, $planeLit) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

@@ -118,6 +118,17 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pair operators end without a terminal global sort") {
+    // Deterministic ordering is a harness concern: the operators themselves
+    // must not range-partition (global orderBy) their full pair output.
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.ops.Dedup.minhashNearDupPairs(
+      docs, "doc_id", "text", threshold = 0.5, shingleK = 2))
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in pair-operator plan:\n$plan")
+  }
+
   test("windowed dedup rank uses a single shuffle on the dedup key") {
     val df = Seq((1L, "t")).toDF("id", "text")
     val plan = planOf(graft.ops.Dedup.exact(df, Seq("text"), "id"))

@@ -20,6 +20,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("bruteForceTopK ranks by cosine desc with id tiebreak, excluding self") {
     val q = vecs.where(col("vec_id") === 0)
     val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "vec_id", "embedding", k = 2)
+      .orderBy("query_id", "rank")
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
     assert(out === Seq((0L, 1, 1L), (0L, 2, 2L)))
   }
@@ -66,6 +67,7 @@ class SimilaritySpec extends SparkSpecBase {
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.ivfTopK(df, "vec_id", "embedding", q, "vec_id", "embedding",
         k = 3, nlist = 2, nprobe = 1)
+        .orderBy("query_id", "rank")
         .select("query_id", "rank", "neighbor_id")
         .as[(Long, Int, Long)].collect().toSeq
     assert(run(vecs) === run(vecs.repartition(7)))
@@ -93,6 +95,43 @@ class SimilaritySpec extends SparkSpecBase {
     val nulls = Seq(("c", Option.empty[Seq[Double]])).toDF("g", "v")
       .groupBy("g").agg(graft.expr.VectorAvg.vecAvg(col("v")).as("m"))
     assert(nulls.collect().head.isNullAt(1))
+  }
+
+  /** Clustered corpus for the recall check: 12 cluster centers (dim 16),
+    * 5 seeded perturbations each — near-dup pairs exist within clusters,
+    * none across. Deterministic (seeded PRNG).
+    */
+  private def clusteredVecs: DataFrame = {
+    val rnd = new java.util.Random(7L)
+    val centers = Seq.fill(12)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 5).map { j =>
+        val v = c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq
+        ((ci * 5 + j).toLong, v)
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("embeddingNearDupPairs (LSH) pairs are a subset of brute force with high recall") {
+    val brute = Similarity.bruteForcePairs(clusteredVecs, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupPairs(clusteredVecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 16, numPlanes = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Exactness: every LSH pair is verified with true cosine, so LSH ⊆ brute.
+    assert(lsh.subsetOf(brute), s"LSH emitted non-qualifying pairs: ${lsh -- brute}")
+    assert(brute.nonEmpty, "test corpus produced no near-dup pairs")
+    val recall = lsh.size.toDouble / brute.size
+    // 8 planes + 1-bit probing over tight clusters: near-total recall.
+    assert(recall >= 0.8, s"recall $recall below 0.8 (${lsh.size}/${brute.size})")
+    // Multi-table amplification: still exact-verified (subset), recall can
+    // only grow (candidate set is a union over tables).
+    val multi = Similarity.embeddingNearDupPairs(clusteredVecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 16, numPlanes = 8, numTables = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(brute), s"multi-table emitted non-qualifying pairs: ${multi -- brute}")
+    assert(lsh.subsetOf(multi), "table 0 candidates lost under amplification")
   }
 
   test("hyperplanes are deterministic under a seed") {
