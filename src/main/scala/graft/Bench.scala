@@ -51,7 +51,10 @@ object Bench {
     val qsMed = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_median":$totalMed,"queries_median":$qsMed,"repeat":$repeat,"sf":"$sfDir"}""")
+    // Headline totals go LAST on the line: the driver's output capture keeps
+    // the tail, so a truncated capture loses per-query detail, not the
+    // totals (r3's committed artifact lost the min total to head-truncation).
+    println(s"""{"metric":"total","unit":"sec","repeat":$repeat,"sf":"$sfDir","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"value":$total}""")
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft
 
 import graft.dict.Dictionary
-import graft.etl.Transforms
+import graft.etl.{CityRecipes, Transforms}
+import graft.store.Sources
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{Aggs, Federation, FilterSpec}
 import graft.streaming.EventStreams
@@ -80,6 +81,23 @@ object SparkEntry {
       .makeValidVariableNames
       .df
   }
+
+  // ---------------------------------------------------------------------
+  // §2.2/§2.3 the reference's own city pipelines, as Recipe data over the
+  // checked-in fixture extracts (tools/gen_city_fixtures.py — every notebook
+  // recode key + the edge shapes each pipeline exercises).
+  // ---------------------------------------------------------------------
+
+  private def cityCsv(name: String): String =
+    sys.env.getOrElse("GRAFT_CITY_DATA", "/root/repo/data/cities") + s"/$name.csv"
+
+  /** SQL CASE mirroring [[graft.etl.Harmonizer.mapValues]]'s `when` chain
+    * (unmapped values pass through).
+    */
+  private def recodeCase(column: String, mapping: Seq[(String, String)]): String =
+    mapping.map { case (from, to) =>
+      s"WHEN '${from.replace("'", "''")}' THEN '${to.replace("'", "''")}'"
+    }.mkString(s"CASE $column ", " ", s" ELSE $column END")
 
   // ---------------------------------------------------------------------
   // The query registry (name -> (spark, sfDir) => DataFrame)
@@ -166,6 +184,47 @@ object SparkEntry {
           col("hour"), col("minute"),
           date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime_str"))
         .orderBy("o_orderkey")
+    }),
+
+    // ===== §2.2/§2.3 the reference's own city pipelines (Recipe data) =====
+
+    "s1_csv_scan" -> ((s, _) => {
+      // S1: headered CSV, no inference — every column arrives a string.
+      Sources.csvAllStrings(s, cityCsv("Baltimore"))
+        .select(col("CrimeCode").as("crimecode"), col("CrimeDate").as("crimedate"),
+          col("CrimeTime").as("crimetime"), col("Description").as("description"),
+          col("Location 1").as("location1"))
+        .orderBy("crimecode")
+    }),
+
+    "recipe_harmonize_baltimore" -> ((s, _) => {
+      CityRecipes.baltimore.harmonize(Sources.csvAllStrings(s, cityCsv("Baltimore"))).df
+        .select(col("crimecode"), col("description"), col("description_orig"),
+          col("geolocation"), col("year"), col("month"), col("day"),
+          col("hour"), col("minute"),
+          date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime_str"),
+          col("dayofweek"), col("city"))
+        .orderBy("crimecode")
+    }),
+
+    "recipe_harmonize_detroit" -> ((s, _) => {
+      CityRecipes.detroit.harmonize(Sources.csvAllStrings(s, cityCsv("Detroit"))).df
+        .select(col("crimeid"), col("description"), col("location"),
+          col("geolocation"), col("year"), col("month"), col("day"),
+          col("hour"), col("minute"),
+          date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime_str"),
+          col("dayofweek"), col("city"))
+        .orderBy("crimeid")
+    }),
+
+    "recipe_harmonize_losangeles" -> ((s, _) => {
+      CityRecipes.losAngeles.harmonize(Sources.csvAllStrings(s, cityCsv("LosAngeles"))).df
+        .select(col("crime_identifier"), col("description"), col("gang_related"),
+          col("geolocation"), col("year"), col("month"), col("day"),
+          col("hour"), col("minute"),
+          date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime_str"),
+          col("dayofweek"), col("city"))
+        .orderBy("crime_identifier")
     }),
 
     // ===== §2.4 search predicates (Q1-Q9) =====
@@ -330,9 +389,34 @@ object SparkEntry {
       Aggs.geohashGrid(pts, "lat", "lon", precision = 2)
     }),
 
+    "g6_geohash_auto" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Kibana autoPrecision drill-down (`kibana-exported-visualizations
+      // .json:7`): zoomed into cell "9" (lat [0,45), lon [-135,-90)) the
+      // zoom ladder picks precision 3 (1024 cells ≤ 2000 < 32768); the
+      // viewport becomes lat/lon range predicates that push into the scan.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geohashGridDrilldown(pts, "lat", "lon", cell = "9", targetCells = 2000)
+    }),
+
     "g7_typeahead" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Aggs.typeahead(load(dir, "part"), "p_brand", "brand 1", size = 10)
+    }),
+
+    "g7_typeahead_warm" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // §3.3 warm serving path: the typeahead field pinned in the in-memory
+      // columnar cache. The first call populates it (cold parquet scan);
+      // every later call in the session reads cached batches — Bench's
+      // min-of-N therefore measures the warm, sub-second serving path the
+      // reference gets from its hot Elasticsearch index.
+      val fed = Federation("parts_serving" ->
+        load(dir, "part").select(col("p_brand")))
+      val warm = fed.materialize(s, "*serving*", "graft_serving_parts")
+      Aggs.typeahead(warm, "p_brand", "brand 1", size = 10)
     }),
 
     "g9_federation" -> ((s, dir) => {
@@ -458,6 +542,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_nlist256" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The realistic-nlist IVF build+query (256 cells, k-means refine):
+      // the bench pin for the codegen'd cell-assignment kernel — at this
+      // nlist the interpreted HOF formulation it replaced was the hot loop.
+      // Rows-only like ann_ivf (argmin isn't SQL-expressible).
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 256, nprobe = 16,
+          refineIters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val emb = load(dir, "embeddings")
@@ -522,6 +621,26 @@ object SparkEntry {
       val docs = load(dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         threshold = 0.35, shingleK = 2)
+      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    "dedup_cluster_keep_minhash" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same cluster-keep pipeline over the LINEAR pair generator — the
+      // form a dense 100 TB corpus must run: banded MinHash candidates
+      // (cost ∝ docs × bands) instead of the inverted-index self-join
+      // (cost ∝ Σ df², which explodes on frequent shingles). The ngram twin
+      // above stays registered as the exact-oracle form; DedupSpec pins
+      // cluster equivalence on a fixture where banding recall is provably
+      // 100% (identical token sets ⇒ identical signatures ⇒ certain
+      // collision). No SQL oracle: seeded xxhash64 signatures aren't
+      // expressible in DuckDB (rows-only check).
+      val docs = load(dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.35, shingleK = 3)
       Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"))
@@ -726,6 +845,124 @@ object SparkEntry {
         |           '%Y-%m-%d %H:%M:%S') AS datetime_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "s1_csv_scan" ->
+      s"""SELECT "CrimeCode" AS crimecode, "CrimeDate" AS crimedate,
+         |  "CrimeTime" AS crimetime, "Description" AS description,
+         |  "Location 1" AS location1
+         |FROM read_csv('${cityCsv("Baltimore")}', all_varchar=true)
+         |ORDER BY crimecode""".stripMargin,
+
+    "recipe_harmonize_baltimore" -> {
+      val recode = recodeCase("\"Description\"", CityRecipes.baltimoreDescr)
+      s"""WITH kept AS (
+         |  SELECT *, regexp_replace("Location 1", '[\\(\\)\\s]', '', 'g') AS geolocation
+         |  FROM read_csv('${cityCsv("Baltimore")}', all_varchar=true)
+         |  WHERE length(regexp_replace("Location 1", '[\\(\\)\\s]', '', 'g')) > 0
+         |), parts AS (
+         |  SELECT "CrimeCode" AS crimecode, $recode AS description,
+         |    "Description" AS description_orig, geolocation,
+         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 1) AS mo,
+         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 2) AS d,
+         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 3) AS y,
+         |    regexp_replace(concat(regexp_extract("CrimeTime", '(\\d+):(\\d+):(\\d+)', 1),
+         |      regexp_extract("CrimeTime", '^(\\d\\d)(\\d\\d)$$', 1)), '^24$$', '00') AS h,
+         |    concat(regexp_extract("CrimeTime", '(\\d+):(\\d+):(\\d+)', 2),
+         |      regexp_extract("CrimeTime", '^(\\d\\d)(\\d\\d)$$', 2)) AS mi
+         |  FROM kept
+         |), asm AS (
+         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
+         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
+         |         ELSE '' END AS TIMESTAMP) AS dt
+         |  FROM parts
+         |)
+         |SELECT crimecode, description, description_orig, geolocation,
+         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
+         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
+         |  TRY_CAST(mi AS INT) AS minute,
+         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime_str,
+         |  dayname(dt) AS dayofweek, 'Baltimore' AS city
+         |FROM asm ORDER BY crimecode""".stripMargin
+    },
+
+    "recipe_harmonize_detroit" -> {
+      val recode = recodeCase("\"Offense Category\"", CityRecipes.detroitDescr)
+      def dbl(c: String) =
+        s"CASE WHEN regexp_matches($c, '^-?\\d+(\\.\\d+)?$$') THEN CAST($c AS DOUBLE) END"
+      s"""WITH kept AS (
+         |  SELECT * FROM read_csv('${cityCsv("Detroit")}', all_varchar=true)
+         |  WHERE length("Latitude") > 0 AND length("Longitude") > 0
+         |    AND ${dbl("\"Latitude\"")} > 0
+         |    AND ${dbl("\"Latitude\"")} < 99999
+         |    AND ${dbl("\"Longitude\"")} < 0
+         |), parts AS (
+         |  SELECT "Crime ID" AS crimeid, $recode AS description,
+         |    "Incident Address" AS location,
+         |    concat("Latitude", ',', "Longitude") AS geolocation,
+         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 1) AS mo,
+         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 2) AS d,
+         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 3) AS y,
+         |    CASE WHEN regexp_matches("Hour of Day", '^-?\\d+$$')
+         |         THEN printf('%02d', CAST("Hour of Day" AS INT)) END AS h,
+         |    '00' AS mi
+         |  FROM kept
+         |), asm AS (
+         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
+         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
+         |         ELSE '' END AS TIMESTAMP) AS dt
+         |  FROM parts
+         |)
+         |SELECT crimeid, description, location, geolocation,
+         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
+         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
+         |  TRY_CAST(mi AS INT) AS minute,
+         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime_str,
+         |  dayname(dt) AS dayofweek, 'Detroit' AS city
+         |FROM asm ORDER BY crimeid""".stripMargin
+    },
+
+    "recipe_harmonize_losangeles" -> {
+      val recode = recodeCase("\"CRIME_CATEGORY_DESCRIPTION\"", CityRecipes.losAngelesDescr)
+      val rx = "(\\d+)/(\\d+)/(\\d+) (\\d+):(\\d+):(\\d+) (\\w\\w)"
+      s"""WITH kept AS (
+         |  SELECT * FROM read_csv('${cityCsv("LosAngeles")}', all_varchar=true)
+         |  WHERE length("LATITUDE") > 0 AND length("LONGITUDE") > 0
+         |    AND CASE WHEN regexp_matches("LATITUDE", '^-?\\d+(\\.\\d+)?$$')
+         |             THEN CAST("LATITUDE" AS DOUBLE) END > 0
+         |), parts AS (
+         |  SELECT "CRIME_IDENTIFIER" AS crime_identifier, $recode AS description,
+         |    TRY_CAST(CASE WHEN "GANG_RELATED" = 'Y' THEN '1'
+         |                  WHEN "GANG_RELATED" = 'N' THEN '0'
+         |                  ELSE "GANG_RELATED" END AS INT) AS gang_related,
+         |    concat("LATITUDE", ',', "LONGITUDE") AS geolocation,
+         |    regexp_extract("CRIME_DATE", '$rx', 1) AS mo,
+         |    regexp_extract("CRIME_DATE", '$rx', 2) AS d,
+         |    regexp_extract("CRIME_DATE", '$rx', 3) AS y,
+         |    regexp_replace(regexp_extract("CRIME_DATE", '$rx', 4), '^24$$', '00') AS h12,
+         |    regexp_extract("CRIME_DATE", '$rx', 5) AS mi,
+         |    regexp_extract("CRIME_DATE", '$rx', 7) AS ap
+         |  FROM kept
+         |), conv AS (
+         |  SELECT *, regexp_replace(
+         |    CASE WHEN ap = 'PM' AND TRY_CAST(h12 AS INT) <> 12
+         |           THEN (TRY_CAST(h12 AS INT) + 12)::VARCHAR
+         |         WHEN ap = 'AM' AND TRY_CAST(h12 AS INT) = 12 THEN '0'
+         |         ELSE h12 END, '^24$$', '00') AS h
+         |  FROM parts
+         |), asm AS (
+         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
+         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
+         |         ELSE '' END AS TIMESTAMP) AS dt
+         |  FROM conv
+         |)
+         |SELECT crime_identifier, description, gang_related, geolocation,
+         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
+         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
+         |  TRY_CAST(mi AS INT) AS minute,
+         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime_str,
+         |  dayname(dt) AS dayofweek, 'LosAngeles' AS city
+         |FROM asm ORDER BY crime_identifier""".stripMargin
+    },
+
     "q2_range_filter" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS revenue
@@ -826,6 +1063,16 @@ object SparkEntry {
          |  ORDER BY count DESC, p_brand ASC LIMIT 10
          |)""".stripMargin,
 
+    // identical result to the cold path — the cache changes WHERE the scan
+    // reads, never what it returns
+    "g7_typeahead_warm" ->
+      s"""SELECT p_brand FROM (
+         |  SELECT p_brand, count(*) AS count FROM part
+         |  WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_brand", "brand 1")}
+         |  GROUP BY p_brand
+         |  ORDER BY count DESC, p_brand ASC LIMIT 10
+         |)""".stripMargin,
+
     "g9_federation" ->
       """SELECT src, count(*) AS n, count(mktsegment) AS n_mktsegment,
         |  round(sum(acctbal), 2) AS total_bal
@@ -905,6 +1152,35 @@ object SparkEntry {
         |  FROM idx
         |)
         |SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v >> 5) + 1, 1) ||
+        |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
+        |       count(*) AS count
+        |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin,
+
+    // precision-3 mirror of the bit-interleave (15 bits: lon leads with 8
+    // bits at even positions, lat 7 at odd), zoomed to cell "9"'s bounds
+    "g6_geohash_auto" ->
+      """WITH pts AS (
+        |  SELECT ((c_acctbal % 180) + 180) % 180 - 90 + 0.001 AS lat,
+        |         ((c_custkey % 360) + 360) % 360 - 180 + 0.001 AS lon
+        |  FROM customer
+        |), zoomed AS (
+        |  SELECT * FROM pts
+        |  WHERE lat >= 0 AND lat < 45 AND lon >= -135 AND lon < -90
+        |), idx AS (
+        |  SELECT least(127, greatest(0, floor((lat + 90) / 180 * 128)))::INT AS la,
+        |         least(255, greatest(0, floor((lon + 180) / 360 * 256)))::INT AS lo
+        |  FROM zoomed
+        |), gh AS (
+        |  SELECT ((lo & 128) << 7) | ((lo & 64) << 6) | ((lo & 32) << 5)
+        |       | ((lo & 16) << 4) | ((lo & 8) << 3) | ((lo & 4) << 2)
+        |       | ((lo & 2) << 1) | (lo & 1)
+        |       | ((la & 64) << 7) | ((la & 32) << 6) | ((la & 16) << 5)
+        |       | ((la & 8) << 4) | ((la & 4) << 3) | ((la & 2) << 2)
+        |       | ((la & 1) << 1) AS v
+        |  FROM idx
+        |)
+        |SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v >> 10) + 1, 1) ||
+        |       substr('0123456789bcdefghjkmnpqrstuvwxyz', ((v >> 5) & 31) + 1, 1) ||
         |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
         |       count(*) AS count
         |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin,

@@ -56,7 +56,11 @@ final case class Harmonizer(
     * `harmonizeCrimeIncidents.py:292`).
     */
   def mapValues(column: String, valueMap: Seq[(String, String)]): Harmonizer = {
-    require(df.columns.contains(column), s"mapValues: no such column '$column'")
+    // Case-insensitive resolution, like the reference's PySpark lookup: LA
+    // recodes 'description' against a column created as 'Description'
+    // (`LosAngeles-notebook.ipynb:668`); `withColumn` then renames it to the
+    // requested casing, which is how the reference output ends up lowercase.
+    require(df.columns.exists(_.equalsIgnoreCase(column)), s"mapValues: no such column '$column'")
     if (valueMap.isEmpty) this
     else {
       val c = col(column)

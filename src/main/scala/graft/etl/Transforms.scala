@@ -83,6 +83,59 @@ object Transforms {
       col(lonCol).cast(DoubleType) < 0 &&
       col(lonCol).cast(DoubleType) > -99999)
 
+  // -------------------------------------------------------------------
+  // ANSI-lenient variants for the city recipes. The reference notebooks ran
+  // Spark 2.2, where `cast('junk' as int)` yields NULL; Spark 4 defaults
+  // `spark.sql.ansi.enabled=true`, where the same cast throws. These restate
+  // the reference's lenient-cast semantics as guarded casts that stay inside
+  // whole-stage codegen (`when`/`rlike`/`try_to_timestamp`, no UDFs) and are
+  // mirrored exactly by `TRY_CAST`/`CASE` in the DuckDB oracle SQL.
+  // -------------------------------------------------------------------
+
+  /** Lenient string→int: digits (with optional sign) cast, else NULL. */
+  def intOrNull(c: Column): Column =
+    when(c.rlike("^-?\\d+$"), c.cast(IntegerType))
+
+  /** Lenient string→double: plain decimal forms cast, else NULL. */
+  def doubleOrNull(c: Column): Column =
+    when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast(DoubleType))
+
+  /** [[assembleDatetime]] with NULL (not error) on malformed input — the
+    * Spark 2 cast behavior the notebooks rely on. A row with a missing
+    * hour/minute assembles the DATE ONLY and so lands on midnight: the
+    * reference's `concat_ws` skips NULL parts and Spark 2's cast accepted the
+    * partial string (`Baltimore-notebook.ipynb:652`); emitting the bare date
+    * reproduces that midnight without relying on engine-specific partial
+    * timestamp parses (DuckDB rejects `'2017-1-7 00'` but accepts
+    * `'2017-1-7'`, so the oracle SQL mirrors this branch exactly).
+    */
+  def assembleDatetimeLenient(y: Column, m: Column, d: Column, h: Column, mi: Column): Column = {
+    val hasTime = length(coalesce(h, lit(""))) > 0 && length(coalesce(mi, lit(""))) > 0
+    try_to_timestamp(concat(
+      concat_ws("-", y, m, d),
+      when(hasTime, concat(lit(" "), concat_ws(":", h, mi, lit("00")))).otherwise(lit(""))))
+  }
+
+  /** [[castDateParts]] with lenient int casts (empty parts → NULL). */
+  def castDatePartsLenient(df: DataFrame, parts: Seq[String] = Seq("year", "month", "day", "hour", "minute")): DataFrame =
+    parts.foldLeft(df)((d, c) => d.withColumn(c, intOrNull(col(c))))
+
+  /** [[zeroPad2]] that yields NULL (not `"null"`) on a non-numeric input. */
+  def zeroPad2Lenient(c: Column): Column =
+    when(intOrNull(c).isNotNull, format_string("%02d", intOrNull(c)))
+
+  /** [[to24Hour]] over lenient int parsing. Deliberate deviation: the
+    * reference adds 12 to EVERY PM hour and then maps 24→00
+    * (`LosAngeles-notebook.ipynb:695-699`), which sends noon (12 PM) to
+    * midnight and leaves midnight (12 AM) at noon; this is the correct
+    * conversion, documented as a fixed reference bug (SURVEY.md §7.4).
+    */
+  def to24HourLenient(hour12: Column, ampm: Column): Column =
+    when(ampm === "PM" && intOrNull(hour12) =!= 12,
+      (intOrNull(hour12) + 12).cast("string"))
+      .when(ampm === "AM" && intOrNull(hour12) === 12, lit("0"))
+      .otherwise(hour12)
+
   /** Constant descriptor columns stamped on every row
     * (reference `Baltimore-notebook.ipynb:548,683-695`).
     */

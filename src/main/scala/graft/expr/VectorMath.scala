@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -50,6 +50,15 @@ object VectorAlgo {
     if (na == 0.0 || nb == 0.0) 0.0
     else d / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Σ aᵢ, sequential order (matches SQL `list_sum`'s fold). */
+  def sum(a: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i); i += 1 }
+    s
+  }
 }
 
 /** `a · b` as a native codegen'd expression over two `array<double>` columns. */
@@ -82,6 +91,23 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** Σ elements as a native codegen'd expression (the `aggregate()` HOF walks
+  * interpreted per element — the exact pitfall this expr layer exists for).
+  */
+case class VecSumExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_sum"
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorAlgo.sum(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VectorAlgo.sum($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecSumExpr =
+    copy(child = newChild)
+}
+
 object VectorMath {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -92,4 +118,7 @@ object VectorMath {
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimExpr(
       ColumnShim.expression(asDouble(a)), ColumnShim.expression(asDouble(b))))
+
+  def sum(a: Column): Column =
+    ColumnShim.column(VecSumExpr(ColumnShim.expression(asDouble(a))))
 }

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode / feature
   * extraction / resize / frame sampling are batched per-partition transforms.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB ([[FakeCodec]]); the
-  * Spark-side contract — schema, batch shape, partitioning, null handling —
-  * is real and tested. Swapping in a real codec is a one-function change.
+  * IMAGE decode/resize is REAL — the JDK's built-in `javax.imageio`
+  * (PNG/BMP/GIF/JPEG, no external dependency) via [[ImageCodec]], with
+  * undecodable bytes falling back to the stub so row counts stay stable.
+  * Audio/video codecs are NOT available in this environment, so those paths
+  * use a clearly-marked deterministic STUB ([[FakeCodec]]); the Spark-side
+  * contract — schema, batch shape, partitioning, null handling — is real and
+  * tested either way. Swapping in ffmpeg is a one-function change.
   */
 object Multimodal {
 
@@ -39,6 +42,67 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("durationMs", LongType, nullable = false))), nullable = true),
   ))
+
+  /** Real image codec on the JDK's `javax.imageio` — decode, average-pool
+    * feature extraction, resize, PNG re-encode. Deterministic: pooling is a
+    * fixed pixel-order walk, resize uses nearest-neighbor interpolation
+    * (bilinear/area interpolation differ across JDK builds; nearest is
+    * bit-stable), and PNG encoding is lossless.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+    /** Luminance of the decoded grid average-pooled into `dim` cells in
+      * raster order — a deterministic, resolution-independent feature vector
+      * in [0, 1] (the slot a learned image embedding fills in a real
+      * deployment).
+      */
+    def extractFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val cnt = new Array[Int](dim)
+      val w = img.getWidth
+      val h = img.getHeight
+      val total = w.toLong * h
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          val cell = math.min(dim - 1, ((y.toLong * w + x) * dim / total).toInt)
+          out(cell) += lum / 255f
+          cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var d = 0
+      while (d < dim) { if (cnt(d) > 0) out(d) /= cnt(d); d += 1 }
+      out
+    }
+
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
 
   /** ======================== STUB CODEC ========================
     * Deterministic stand-in for real decode/resize: every "decoded" artifact
@@ -94,10 +158,17 @@ object Multimodal {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it =>
-      // Real integration: open the codec/session once per partition here.
+      // Codec contexts are opened once per partition in a real integration;
+      // javax.imageio is stateless so images need no per-partition setup.
       it.map { m =>
+        val isImage = m.meta != null && m.meta.kind == "image"
         val feats =
           if (m.bytes == null) new Array[Float](dim)
+          else if (isImage)
+            // real decode; undecodable bytes (e.g. the demo corpus's text
+            // payloads) fall back to the stub so row counts stay stable
+            ImageCodec.decode(m.bytes).map(ImageCodec.extractFeatures(_, dim))
+              .getOrElse(FakeCodec.extractFeatures(m.bytes, dim))
           else FakeCodec.extractFeatures(m.bytes, dim)
         MediaFeatures(m.id, if (m.meta == null) "unknown" else m.meta.kind, feats)
       }
@@ -118,11 +189,25 @@ object Multimodal {
     }
   }
 
-  /** Resize (stub): typed metadata transform, bytes passed through. */
+  /** Resize: REAL for decodable images (decode → nearest-neighbor rescale →
+    * lossless PNG re-encode, metadata updated to match); metadata-only stub
+    * for audio/video and undecodable bytes.
+    */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
     val spark = items.sparkSession
     import spark.implicits._
-    items.map(m => if (m.meta == null) m else m.copy(meta = FakeCodec.resizeMeta(m.meta, w, h)))
+    items.map { m =>
+      if (m.meta == null) m
+      else if (m.meta.kind == "image") {
+        ImageCodec.decode(m.bytes) match {
+          case Some(img) =>
+            m.copy(
+              bytes = ImageCodec.encodePng(ImageCodec.resize(img, w, h)),
+              meta = m.meta.copy(format = "png", width = w, height = h))
+          case None => m.copy(meta = FakeCodec.resizeMeta(m.meta, w, h))
+        }
+      } else m.copy(meta = FakeCodec.resizeMeta(m.meta, w, h))
+    }
   }
 
   /** Build a demo media table from any table with an id and a text column:
@@ -150,7 +235,9 @@ object Multimodal {
   def featureStatsByKind(df: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
     val feats = extractFeatures(demoMediaFromText(df, idCol, textCol), dim)
     feats.toDF()
-      .select(col("kind"), aggregate(col("features").cast("array<double>"), lit(0.0), _ + _).as("_fsum"))
+      // native kernel, not the aggregate() HOF (which walks interpreted
+      // per element — the pitfall the expr layer exists to avoid)
+      .select(col("kind"), graft.expr.VectorMath.sum(col("features")).as("_fsum"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), round(avg(col("_fsum")), 4).as("mean_feature_sum"))
       .orderBy("kind")

@@ -141,17 +141,13 @@ object Similarity {
     * would drop in without changing the query path. Shuffle cost: one
     * hash-join on cell id, linear in rows — no cross join.
     */
-  /** Cells nearest to `vec` among broadcast `centroids`, by cosine,
-    * deterministic tiebreak on cell index.
+  /** Cells nearest to `vec` among `centroids`, by cosine, deterministic
+    * tiebreak on cell index — a native codegen'd kernel
+    * ([[graft.expr.CellAssign]]); at `nlist ≥ 1024` the interpreted
+    * `array_sort`/`transform` formulation this replaces was the hot loop.
     */
-  private def nearestCells(vec: Column, centroids: Seq[Array[Double]], n: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (cv, cell) =>
-      struct(
-        (-cosine(vec, array(cv.map(lit).toIndexedSeq: _*))).as("negCos"),
-        lit(cell).as("cell"))
-    }.toIndexedSeq: _*)
-    slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
-  }
+  private def nearestCells(vec: Column, centroids: Seq[Array[Double]], n: Int): Column =
+    graft.expr.CellAssign.nearestCells(vec, centroids, n)
 
   /** Deterministic coarse centroids with optional spherical k-means
     * refinement: init = the `k` corpus vectors with the smallest seeded

@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.expr.{Geohash, TextMatch}
+import graft.expr.{Geohash, GeohashAlgo, TextMatch}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -72,6 +72,57 @@ object Aggs {
       .groupBy(Geohash.geohash(col(latCol), col(lonCol), precision).as("geohash"))
       .agg(count(lit(1)).as("count"))
       .orderBy(desc("count"), asc("geohash"))
+
+  /** Kibana's `autoPrecision: true` behavior for the tile map
+    * (`kibana-exported-visualizations.json:7`): pick the FINEST geohash
+    * precision whose grid over the visible map bounds stays within
+    * `targetCells` buckets. Each extra character multiplies the cell count
+    * by 32, so this is the zoom→precision ladder Kibana walks: zoom in,
+    * bounds shrink, precision deepens, bucket count stays bounded — the
+    * serving-side guarantee that a map refresh never aggregates more than
+    * `targetCells` groups no matter the zoom level.
+    */
+  def autoPrecision(
+      latLo: Double, latHi: Double, lonLo: Double, lonHi: Double,
+      targetCells: Int = 2000): Int = {
+    require(latHi > latLo && lonHi > lonLo, "empty map bounds")
+    def cells(p: Int): Double = {
+      val lonBits = (5 * p + 1) / 2 // lon leads the interleave: ceil(5p/2)
+      val latBits = 5 * p / 2
+      val cellW = 360.0 / (1L << lonBits)
+      val cellH = 180.0 / (1L << latBits)
+      math.ceil((lonHi - lonLo) / cellW) * math.ceil((latHi - latLo) / cellH)
+    }
+    var p = 1
+    while (p < GeohashAlgo.MaxPrecision && cells(p + 1) <= targetCells) p += 1
+    p
+  }
+
+  /** G6 with Kibana's zoomed-map semantics: the viewport bounds become
+    * lat/lon RANGE predicates (which Catalyst pushes into the parquet scan —
+    * at 100 TB a city-level zoom reads only the row groups whose min/max
+    * stats overlap the viewport, not the world), and the precision deepens
+    * automatically as the viewport shrinks. `decodeBounds` of a clicked cell
+    * supplies the bounds for drill-down zoom.
+    */
+  def geohashGridZoom(
+      df: DataFrame, latCol: String, lonCol: String,
+      latLo: Double, latHi: Double, lonLo: Double, lonHi: Double,
+      targetCells: Int = 2000): DataFrame = {
+    val p = autoPrecision(latLo, latHi, lonLo, lonHi, targetCells)
+    geohashGrid(
+      df.where(col(latCol) >= latLo && col(latCol) < latHi &&
+        col(lonCol) >= lonLo && col(lonCol) < lonHi),
+      latCol, lonCol, p)
+  }
+
+  /** [[geohashGridZoom]] drilling into one geohash cell (a map click). */
+  def geohashGridDrilldown(
+      df: DataFrame, latCol: String, lonCol: String,
+      cell: String, targetCells: Int = 2000): DataFrame = {
+    val (latLo, latHi, lonLo, lonHi) = GeohashAlgo.decodeBounds(cell)
+    geohashGridZoom(df, latCol, lonCol, latLo, latHi, lonLo, lonHi, targetCells)
+  }
 
   /** G6 on the reference's at-rest geo encoding: a `"lat,lon"` string column
     * (`Detroit-notebook.ipynb:654`).

@@ -47,6 +47,19 @@ class PlanSpec extends SparkSpecBase {
     assert(one.contains("EqualTo(description,Theft)"), one)
   }
 
+  test("geohash zoom viewport pushes lat/lon range predicates into the scan") {
+    val geoPath = tmp(Seq(
+      (39.29, -76.61), (39.28, -76.60), (-33.86, 151.20),
+    ).toDF("lat", "lon"))
+    val plan = planOf(Aggs.geohashGridDrilldown(
+      spark.read.parquet(geoPath), "lat", "lon", cell = "d"))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(lat,0"), s"lat lower bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(lat,45"), s"lat upper bound not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(lon,-90"), s"lon lower bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(lon,-45"), s"lon upper bound not pushed:\n$plan")
+  }
+
   test("aggregation prunes unread columns at the scan (ReadSchema)") {
     val df = Aggs.termsTopN(spark.read.parquet(factPath), "description", 10)
     val read = planOf(df).linesIterator.find(_.contains("ReadSchema")).getOrElse("")

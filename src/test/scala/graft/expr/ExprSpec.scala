@@ -154,4 +154,32 @@ class ExprSpec extends SparkSpecBase {
     assert(math.abs(cs(1) - 1.0) < 1e-12)
     assert(math.abs(cs(2) + 1.0) < 1e-12)
   }
+
+  test("vec_sum equals sequential fold, handles floats and empty arrays") {
+    val df = Seq(
+      Seq(1.5f, -2.0f, 4.0f),
+      Seq.empty[Float],
+    ).toDF("a").select(VectorMath.sum(col("a")).as("s"))
+    assert(df.as[Double].collect().toSeq === Seq(3.5, 0.0))
+  }
+
+  test("ivf_cells ranks centroids by cosine with index tiebreak") {
+    val centroids = Seq(
+      Array(1.0, 0.0),   // cell 0
+      Array(0.0, 1.0),   // cell 1
+      Array(1.0, 1.0),   // cell 2
+    )
+    val df = Seq(
+      Seq(2.0, 0.1),     // nearest: 0, then 2, then 1
+      Seq(1.0, 1.0),     // ties 2 exactly; 0 and 1 tie -> index order
+      Seq(0.0, 0.0),     // zero vector: all cosines 0 -> index order
+    ).toDF("v")
+    val out = df.select(CellAssign.nearestCells(col("v"), centroids, 3).as("cells"))
+      .as[Seq[Int]].collect().toSeq
+    assert(out === Seq(Seq(0, 2, 1), Seq(2, 0, 1), Seq(0, 1, 2)))
+    // n caps at the centroid count; single-cell assignment is the argmax
+    val one = df.select(CellAssign.nearestCells(col("v"), centroids, 1).as("c"))
+      .as[Seq[Int]].collect().map(_.head).toSeq
+    assert(one === Seq(0, 2, 0))
+  }
 }

@@ -126,6 +126,29 @@ class DedupSpec extends SparkSpecBase {
     assert(kept === Seq(1L, 4L, 5L))
   }
 
+  test("minhash cluster dedup equals ngram cluster dedup where banding recall is certain") {
+    // Identical token sets (case/punctuation variants) have identical shingle
+    // sets, hence identical MinHash signatures, hence collide in EVERY band —
+    // recall on this fixture is 100% by construction, not probabilistically.
+    // False candidates are removed by exact Jaccard verification in both
+    // paths, so the two cluster-keep pipelines must agree exactly.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The QUICK brown fox jumps over the lazy dog!"),
+      (3L, "the quick   brown fox JUMPS over the lazy dog."),
+      (4L, "completely different content about database query optimization"),
+      (5L, "yet another unrelated document on stream processing systems"),
+      (6L, "Completely different content about database query optimization?"),
+    ).toDF("doc_id", "text")
+    def kept(pairs: DataFrame): Seq[Long] =
+      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaNgram = kept(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1.0, 3))
+    val viaMinhash = kept(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 1.0, 3))
+    assert(viaMinhash === viaNgram)
+    assert(viaMinhash === Seq(1L, 4L, 5L))
+  }
+
   test("shingles of short docs are empty and excluded from pair generation") {
     val df = Seq((1L, "word"), (2L, "word")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, 2).count() === 0)

@@ -4,7 +4,9 @@ import graft.SparkSpecBase
 import graft.ops.Multimodal._
 
 /** Multimodal plumbing: binary columns + typed metadata through per-partition
-  * batch transforms (stub codec — the Spark-side contract is what's tested).
+  * batch transforms. Images decode for real (javax.imageio); audio/video use
+  * the deterministic stub codec — the Spark-side contract is tested
+  * either way.
   */
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
@@ -50,5 +52,56 @@ class MultimodalSpec extends SparkSpecBase {
     val out = featureStatsByKind(df, "id", "text", dim = 4)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out === Seq(("audio", 1L), ("image", 2L), ("video", 1L)))
+  }
+
+  // ---- real image decode (javax.imageio — PNG generated in-test) ----
+
+  /** 4x2 PNG: left half black, right half white — lossless, so decode
+    * recovers the exact pixels on any JDK.
+    */
+  private def testPng(w: Int = 4, h: Int = 2): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    ImageCodec.encodePng(img)
+  }
+
+  test("ImageCodec decodes a real PNG and pools luminance features") {
+    val png = testPng()
+    val img = ImageCodec.decode(png).get
+    assert(img.getWidth === 4 && img.getHeight === 2)
+    // dim=2 pools raster halves: row-major first half {B,B,W,W,B,B,W,W}[0..3]
+    // averages 0.5 in each cell (black=0, white=1)
+    val feats = ImageCodec.extractFeatures(img, 2)
+    assert(feats.length === 2)
+    assert(math.abs(feats(0) - 0.5f) < 1e-3 && math.abs(feats(1) - 0.5f) < 1e-3)
+    // full-resolution pooling (dim = pixel count) recovers per-pixel luminance
+    val perPixel = ImageCodec.extractFeatures(img, 8).toSeq
+    assert(perPixel === Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f))
+  }
+
+  test("extractFeatures uses the real decoder for decodable images") {
+    val real = Seq(
+      MediaItem(1L, testPng(), MediaMeta("image", "png", 4, 2, 0L)),
+    ).toDS()
+    val out = extractFeatures(real, dim = 8).collect().head
+    // decoded-pixel features, not the hash stub: exact luminance values
+    assert(out.features.toSeq === Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f))
+    // undecodable "image" bytes still flow through the stub (no nulls/crash)
+    val fake = extractFeatures(items, dim = 8).collect().sortBy(_.id)
+    assert(fake.forall(_.features.length === 8))
+  }
+
+  test("resize really rescales decodable images and re-encodes PNG") {
+    val real = Seq(
+      MediaItem(1L, testPng(4, 2), MediaMeta("image", "png", 4, 2, 0L)),
+    ).toDS()
+    val out = resize(real, 2, 1).collect().head
+    assert(out.meta.width === 2 && out.meta.height === 1 && out.meta.format === "png")
+    val img = ImageCodec.decode(out.bytes).get
+    assert(img.getWidth === 2 && img.getHeight === 1)
+    // nearest-neighbor of (black,black,white,white) at width 2 = (black,white)
+    assert((img.getRGB(0, 0) & 0xffffff) === 0x000000)
+    assert((img.getRGB(1, 0) & 0xffffff) === 0xffffff)
   }
 }

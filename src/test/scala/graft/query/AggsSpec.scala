@@ -52,6 +52,36 @@ class AggsSpec extends SparkSpecBase {
     assert(out === Set(("dq", 1L), ("dp", 1L)))
   }
 
+  test("G6 autoPrecision walks Kibana's zoom ladder") {
+    // whole world at the ES default bucket budget: 32*32 = 1024 p2-cells fit,
+    // 32768 p3-cells don't
+    assert(Aggs.autoPrecision(-90, 90, -180, 180, targetCells = 2000) === 2)
+    // zoomed to one p1 cell: each level divides the viewport into 32 more
+    assert(Aggs.autoPrecision(0, 45, -135, -90, targetCells = 2000) === 3)
+    assert(Aggs.autoPrecision(0, 45, -135, -90, targetCells = 40000) === 4)
+    // a street-level viewport still respects the bucket budget...
+    assert(Aggs.autoPrecision(39.2900, 39.2901, -76.6101, -76.6100, 2000) === 10)
+    // ...and an unbounded budget caps at geohash max precision, not a loop
+    assert(Aggs.autoPrecision(39.2900, 39.2901, -76.6101, -76.6100, Int.MaxValue) === 12)
+  }
+
+  test("G6 drill-down restricts to the cell and deepens precision") {
+    val pts = Seq(
+      (39.29, -76.61),  // inside cell "d" -> "dq" -> "dqc"
+      (39.28, -76.60),
+      (-33.86, 151.20), // Sydney: outside cell "d", filtered by the zoom
+    ).toDF("lat", "lon")
+    val out = Aggs.geohashGridDrilldown(pts, "lat", "lon", cell = "d")
+      .as[(String, Long)].collect().toSeq
+    // precision deepened to 3 (d's bounds are 45x45 deg like any p1 cell)
+    assert(out === Seq(("dqc", 2L)))
+    // agrees with encoding each point at the chosen precision
+    val enc = pts.where(col("lat") > 0)
+      .select(graft.expr.Geohash.geohash(col("lat"), col("lon"), 3)).as[String]
+      .collect().toSet
+    assert(enc === Set("dqc"))
+  }
+
   test("G7 typeahead: unfiltered when prefix is empty, filtered otherwise") {
     assert(Aggs.typeahead(events, "description", "", 10).as[String].collect().toSeq
       === Seq("Theft", "Assault", "Robbery"))

@@ -36,4 +36,22 @@ class FederationSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toSet
     assert(counts === Set(("Theft", 1L), ("Assault", 1L)))
   }
+
+  test("materialize pins the view in the columnar cache and is idempotent") {
+    val name = "fedspec_serving"
+    try {
+      val warm = fed.materialize(spark, "*harmonized*", name)
+      assert(spark.catalog.isCached(name))
+      assert(warm.count() === 2)
+      // identical results to the cold view
+      assert(warm.select("id").as[String].collect().sorted.toSeq ===
+        fed.view("*harmonized*").select("id").as[String].collect().sorted.toSeq)
+      // second call reuses the existing (warm) entry — same plan, still cached
+      fed.materialize(spark, "*harmonized*", name)
+      assert(spark.catalog.isCached(name))
+    } finally {
+      spark.catalog.uncacheTable(name)
+      spark.catalog.dropTempView(name)
+    }
+  }
 }
