@@ -62,6 +62,9 @@ object GraftExtensions {
     ("vec_avg",
       info("vec_avg", "vec_avg(v) - aggregate: element-wise mean of array<double> vectors"),
       (args: Seq[Expression]) => VectorAvg(args(0))),
+    ("vec_sum",
+      info("vec_sum", "vec_sum(v) - sum of an array<double> vector's elements"),
+      (args: Seq[Expression]) => VecSumExpr(args(0))),
   )
 
   /** Register on an already-built session (the extensions path only works at

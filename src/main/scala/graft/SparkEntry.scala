@@ -494,6 +494,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_ngram_prefix" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Same EXACT result as dedup_ngram_jaccard (identical oracle), via
+      // AllPairs/PPJoin prefix filtering: the inverted index posts only
+      // each document's rarest shingles, so the frequent-shingle Σ df²
+      // blowup never materializes — the exact path for dense corpora.
+      Dedup.ngramJaccardPairsPrefix(load(dir, "documents"), "doc_id", "text",
+          threshold = 0.35, shingleK = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Exact pair generation — the correctness baseline for
@@ -617,9 +628,14 @@ object SparkEntry {
     "dedup_cluster_keep" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The full dedup story: exact near-dup pairs → connected components →
-      // keep the smallest doc_id per cluster → counts per source.
+      // keep the smallest doc_id per cluster → counts per source. Pair
+      // generation uses the PREFIX-FILTERED exact join: identical pairs
+      // (and oracle) to the unfiltered inverted-index form, without its
+      // frequent-shingle Σ df² blowup — with 2-word shingles, bigrams like
+      // "of the" would otherwise dominate the self-join. The approximate
+      // MinHash composition is registered as dedup_cluster_keep_minhash.
       val docs = load(dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
         threshold = 0.35, shingleK = 2)
       Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
         .groupBy("source")
@@ -645,6 +661,27 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("source")
+    }),
+
+    "pipeline_prep" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The composed training-data prep flow a 100 TB corpus runs end to
+      // end: exact near-dup removal on the content fingerprint → quality
+      // floor → language filter → deterministic split assignment →
+      // per-cell counts. Each stage is an already-oracled operator; this
+      // oracles the COMPOSITION (same flow in DuckDB). One scan, one
+      // window shuffle on the fingerprint, one aggregate — the filters and
+      // split predicate are row-local and fuse into the scan.
+      val docs = load(dir, "documents")
+      val deduped = Dedup.exactByFingerprint(docs, "text", "doc_id")
+      val kept = deduped.where(
+        TextAnalysis.qualityScore(col("text")) >= 0.6 &&
+          TextAnalysis.languageId(col("text")) === "en")
+      ops.Sampling.assignSplit(kept, "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "source")
     }),
 
     // ===== Training-data ops: deterministic sampling =====
@@ -758,9 +795,11 @@ object SparkEntry {
   /** The language-ID scores in DuckDB, mirroring [[TextAnalysis.languageId]]:
     * per-language token-hit ratio, Han-codepoint ratio, alphabetically-last
     * max-score language wins (the Spark fold's semantics), `und` below the
-    * 0.05 threshold, `zh` when Han ratio exceeds 0.25.
+    * 0.05 threshold, `zh` when Han ratio exceeds 0.25. Emitted as CTEs whose
+    * final relation `lang_per_doc` is `(doc_id, lang_pred)` — shared by the
+    * corpus histogram and the composed prep-pipeline oracle.
     */
-  private def langIdOracle: String = {
+  private def langIdCtes: String = {
     val profiles = TextAnalysis.languageProfiles.toSeq.sortBy(_._1)
     val scoreCols = profiles.map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -771,22 +810,53 @@ object SparkEntry {
     val best = s"greatest(${langs.mkString(", ")})"
     // reverse alphabetical: the Spark foldLeft lets the LAST tying language win
     val pickBranches = langs.reverse.map(l => s"WHEN $l = $best THEN '$l'").mkString(" ")
-    s"""WITH t AS (
+    s"""lang_t AS (
        |  SELECT doc_id, text, $duckToks AS toks FROM documents
-       |), s AS (
+       |), lang_s AS (
        |  SELECT doc_id, $scoreCols,
        |    CASE WHEN len(text) = 0 THEN 0.0
        |         ELSE len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))::DOUBLE / len(text)
        |    END AS han
-       |  FROM t
-       |), p AS (
-       |  SELECT CASE WHEN han > 0.25 THEN 'zh'
-       |              WHEN $best < 0.05 THEN 'und'
-       |              $pickBranches
-       |              ELSE 'und' END AS lang_pred
-       |  FROM s
-       |)
-       |SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+       |  FROM lang_t
+       |), lang_per_doc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN han > 0.25 THEN 'zh'
+       |         WHEN $best < 0.05 THEN 'und'
+       |         $pickBranches
+       |         ELSE 'und' END AS lang_pred
+       |  FROM lang_s
+       |)""".stripMargin
+  }
+
+  private def langIdOracle: String =
+    s"""WITH $langIdCtes
+       |SELECT lang_pred, count(*) AS n FROM lang_per_doc
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-document quality-score mirror (the [[TextAnalysis.qualityScore]]
+    * closed formula), as a CTE `quality_per_doc(doc_id, quality_score)`.
+    */
+  private def qualityCtes: String = {
+    val stoplist = TextAnalysis.englishStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""q_m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS q_tokens,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END AS q_punct,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE len(list_filter(toks, t -> list_contains($stoplist, t)))::DOUBLE / len(toks) END AS q_stop,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) END AS q_mean_len
+       |  FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)
+       |), quality_per_doc AS (
+       |  SELECT doc_id,
+       |    (least(1.0, q_tokens / 100.0)
+       |     + greatest(0.0, 1.0 - abs(q_stop - 0.4) / 0.4)
+       |     + (1.0 - least(1.0, q_punct * 5.0))
+       |     + (1.0 - least(1.0, abs(q_mean_len - 5.0) / 5.0))) * 0.25 AS quality_score
+       |  FROM q_m
+       |)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1191,6 +1261,26 @@ object SparkEntry {
 
     "text_langid" -> langIdOracle,
 
+    "pipeline_prep" ->
+      s"""WITH $langIdCtes,
+         |$qualityCtes,
+         |winners AS (
+         |  SELECT doc_id, source FROM (
+         |    SELECT doc_id, source,
+         |      row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
+         |    FROM documents
+         |  ) WHERE rn = 1
+         |)
+         |SELECT CASE WHEN ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.75 THEN 'train'
+         |            WHEN ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.875 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  source, count(*) AS n
+         |FROM winners
+         |JOIN lang_per_doc USING (doc_id)
+         |JOIN quality_per_doc USING (doc_id)
+         |WHERE quality_score >= 0.6 AND lang_pred = 'en'
+         |GROUP BY split, source ORDER BY split, source""".stripMargin,
+
     "sample_hash" ->
       s"""SELECT doc_id, source FROM documents
          |WHERE ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.1
@@ -1246,6 +1336,24 @@ object SparkEntry {
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |  WHERE len(toks) >= 2
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         |  FROM d a, d b WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    // the prefix-filtered join is EXACT — same all-pairs oracle as the
+    // unfiltered form
+    "dedup_ngram_prefix" ->
       s"""WITH d AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(generate_series(1, len(toks) - 1),

@@ -58,11 +58,17 @@ object TextAnalysis {
         size(toks).cast(DoubleType))
   }
 
-  /** Mean token length in characters; 0 when there are no tokens. */
+  /** Mean token length in characters; 0 when there are no tokens.
+    *
+    * Tokens are maximal `[a-z0-9]+` runs of the lowercased text, so the sum
+    * of token lengths IS the count of alphanumeric characters — a codegen'd
+    * `regexp_count`, not an interpreted `aggregate()` fold over the token
+    * array (identical value, no per-element interpreted eval).
+    */
   def meanTokenLength(c: Column): Column = {
     val toks = lowerTokens(c)
     when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      regexp_count(lower(c), lit("[a-z0-9]")).cast(DoubleType) /
         size(toks).cast(DoubleType))
   }
 

@@ -18,11 +18,12 @@ class GraftExtensionsSpec extends SparkSpecBase {
   }
 
   test("vector functions from SQL") {
-    val (d, c) = spark.sql(
+    val (d, c, s) = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)), " +
-        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))")
-      .as[(Double, Double)].head()
-    assert(d === 11.0 && c === 1.0)
+        "vec_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), " +
+        "vec_sum(array(1.5d, -2.0d, 4.0d))")
+      .as[(Double, Double, Double)].head()
+    assert(d === 11.0 && c === 1.0 && s === 3.5)
   }
 
   test("text kernels from SQL agree with the Column API") {

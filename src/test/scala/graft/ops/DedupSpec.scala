@@ -68,6 +68,20 @@ class DedupSpec extends SparkSpecBase {
     assert(j13 === 1.0)
   }
 
+  test("prefix-filtered ngram pairs equal the unfiltered exact definition") {
+    // exactness must hold across thresholds and shingle sizes: the prefix
+    // only prunes candidates that provably cannot reach the threshold
+    for (t <- Seq(0.3, 0.5, 0.8); k <- Seq(2, 3)) {
+      val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", t, k)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", t, k)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"threshold=$t shingleK=$k")
+    }
+    assert(Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", 0.5, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === bruteForcePairs(0.5, 2))
+  }
+
   test("minhash near-dup pairs find the true pairs (banding recall at high jaccard)") {
     val got = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
       threshold = 0.5, shingleK = 2, numBands = 32, rowsPerBand = 2)
