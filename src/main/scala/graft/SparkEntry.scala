@@ -496,12 +496,15 @@ object SparkEntry {
 
     "dedup_ngram_prefix" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      // Same EXACT result as dedup_ngram_jaccard (identical oracle), via
-      // AllPairs/PPJoin prefix filtering: the inverted index posts only
-      // each document's rarest shingles, so the frequent-shingle Σ df²
-      // blowup never materializes — the exact path for dense corpora.
+      // Exact results via AllPairs/PPJoin prefix filtering: the inverted
+      // index posts only each document's rarest shingles, so the
+      // frequent-shingle Σ df² blowup never materializes. Registered at the
+      // technique's home regime — a NEAR-DUP threshold, where the prefix is
+      // short and candidates collapse (at loose thresholds the unfiltered
+      // count-as-intersection join is measured faster; see the operator's
+      // scaladoc crossover notes).
       Dedup.ngramJaccardPairsPrefix(load(dir, "documents"), "doc_id", "text",
-          threshold = 0.35, shingleK = 2)
+          threshold = 0.8, shingleK = 2)
         .orderBy("id_a", "id_b")
     }),
 
@@ -628,14 +631,14 @@ object SparkEntry {
     "dedup_cluster_keep" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The full dedup story: exact near-dup pairs → connected components →
-      // keep the smallest doc_id per cluster → counts per source. Pair
-      // generation uses the PREFIX-FILTERED exact join: identical pairs
-      // (and oracle) to the unfiltered inverted-index form, without its
-      // frequent-shingle Σ df² blowup — with 2-word shingles, bigrams like
-      // "of the" would otherwise dominate the self-join. The approximate
-      // MinHash composition is registered as dedup_cluster_keep_minhash.
+      // keep the smallest doc_id per cluster → counts per source. The
+      // unfiltered inverted-index generator is the measured best at this
+      // loose threshold on this corpus (its count-as-intersection verify
+      // never materializes candidate pairs); dense Zipfian corpora swap in
+      // ngramJaccardPairsPrefix (same pairs — see its measured crossover)
+      // or the approximate dedup_cluster_keep_minhash composition.
       val docs = load(dir, "documents")
-      val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         threshold = 0.35, shingleK = 2)
       Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
         .groupBy("source")
@@ -1351,8 +1354,8 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
-    // the prefix-filtered join is EXACT — same all-pairs oracle as the
-    // unfiltered form
+    // the prefix-filtered join is EXACT — same all-pairs oracle shape as
+    // the unfiltered form, at the near-dup threshold
     "dedup_ngram_prefix" ->
       s"""WITH d AS (
          |  SELECT doc_id,
@@ -1367,7 +1370,7 @@ object SparkEntry {
          |  FROM d a, d b WHERE a.doc_id < b.doc_id
          |)
          |SELECT id_a, id_b, jaccard FROM pairs
-         |WHERE jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_cluster_keep" ->
       s"""WITH d AS (

@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * extraction / resize / frame sampling are batched per-partition transforms.
   *
   * IMAGE decode/resize is REAL — the JDK's built-in `javax.imageio`
-  * (PNG/BMP/GIF/JPEG, no external dependency) via [[ImageCodec]], with
-  * undecodable bytes falling back to the stub so row counts stay stable.
-  * Audio/video codecs are NOT available in this environment, so those paths
+  * (PNG/BMP/GIF/JPEG, no external dependency) via [[ImageCodec]] — and so is
+  * AUDIO for WAV/PCM via `javax.sound.sampled` ([[AudioCodec]]); undecodable
+  * bytes fall back to the stub so row counts stay stable. Compressed
+  * audio/video codecs are NOT available in this environment, so those paths
   * use a clearly-marked deterministic STUB ([[FakeCodec]]); the Spark-side
   * contract — schema, batch shape, partitioning, null handling — is real and
   * tested either way. Swapping in ffmpeg is a one-function change.
@@ -104,6 +105,79 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/PCM decode
+    * and RMS-energy feature pooling, no external dependency. Compressed
+    * formats (mp3 etc.) have no JDK decoder and fall back to the stub.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Decode WAV bytes to mono samples in [-1, 1] (channels averaged). */
+    def decode(bytes: Array[Byte]): Option[Array[Double]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val ok = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8)
+          if (!ok) return None
+          val raw = in.readAllBytes()
+          val ch = fmt.getChannels
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameBytes = bytesPerSample * ch
+          val n = raw.length / frameBytes
+          val out = new Array[Double](n)
+          var f = 0
+          while (f < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = f * frameBytes + c * bytesPerSample
+              val v =
+                if (bytesPerSample == 2) {
+                  val lo = raw(off) & 0xff
+                  val hi = raw(off + 1)
+                  val s = if (fmt.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
+                          else (hi << 8) | lo
+                  s / 32768.0
+                } else raw(off) / 128.0
+              acc += v
+              c += 1
+            }
+            out(f) = acc / ch
+            f += 1
+          }
+          Some(out)
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** RMS energy of the sample stream average-pooled into `dim` windows —
+      * the deterministic, duration-independent audio feature vector (the
+      * slot a learned audio embedding fills in a real deployment).
+      */
+    def extractFeatures(samples: Array[Double], dim: Int): Array[Float] = {
+      val sumSq = new Array[Double](dim)
+      val cnt = new Array[Int](dim)
+      val n = math.max(1, samples.length)
+      var i = 0
+      while (i < samples.length) {
+        val cell = math.min(dim - 1, (i.toLong * dim / n).toInt)
+        sumSq(cell) += samples(i) * samples(i)
+        cnt(cell) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        if (cnt(d) > 0) out(d) = math.sqrt(sumSq(d) / cnt(d)).toFloat
+        d += 1
+      }
+      out
+    }
+  }
+
   /** ======================== STUB CODEC ========================
     * Deterministic stand-in for real decode/resize: every "decoded" artifact
     * is derived from the bytes via seeded hashing, so tests are reproducible
@@ -161,16 +235,20 @@ object Multimodal {
       // Codec contexts are opened once per partition in a real integration;
       // javax.imageio is stateless so images need no per-partition setup.
       it.map { m =>
-        val isImage = m.meta != null && m.meta.kind == "image"
+        val kind = if (m.meta == null) "unknown" else m.meta.kind
+        // real decode; undecodable bytes (e.g. the demo corpus's text
+        // payloads, compressed codecs) fall back to the stub so row
+        // counts stay stable
         val feats =
           if (m.bytes == null) new Array[Float](dim)
-          else if (isImage)
-            // real decode; undecodable bytes (e.g. the demo corpus's text
-            // payloads) fall back to the stub so row counts stay stable
+          else if (kind == "image")
             ImageCodec.decode(m.bytes).map(ImageCodec.extractFeatures(_, dim))
               .getOrElse(FakeCodec.extractFeatures(m.bytes, dim))
+          else if (kind == "audio")
+            AudioCodec.decode(m.bytes).map(AudioCodec.extractFeatures(_, dim))
+              .getOrElse(FakeCodec.extractFeatures(m.bytes, dim))
           else FakeCodec.extractFeatures(m.bytes, dim)
-        MediaFeatures(m.id, if (m.meta == null) "unknown" else m.meta.kind, feats)
+        MediaFeatures(m.id, kind, feats)
       }
     }
   }

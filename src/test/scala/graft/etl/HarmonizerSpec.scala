@@ -43,6 +43,16 @@ class HarmonizerSpec extends SparkSpecBase {
     assert(h.df.select("c").as[String].head() === "ok")
   }
 
+  test("mapValues resolves the column case-insensitively and renames to the requested casing") {
+    // LA recodes 'description' against a column created as 'Description'
+    // (`LosAngeles-notebook.ipynb:668`); the recode must resolve it and the
+    // output column takes the requested (lowercase) name.
+    val df = Seq("ARSON", "OTHER").toDF("Description")
+    val h = Harmonizer(df).mapValues("description", Seq("ARSON" -> "Arson"))
+    assert(h.df.columns.toSeq === Seq("description"))
+    assert(h.df.select("description").as[String].collect().sorted === Array("Arson", "OTHER"))
+  }
+
   test("makeValidVariableNames strips invalid chars, lowercases, records lineage") {
     val h = Harmonizer(base).makeValidVariableNames
     assert(h.df.columns.toSeq === Seq("incidentid", "desc", "year"))

@@ -92,6 +92,48 @@ class MultimodalSpec extends SparkSpecBase {
     assert(fake.forall(_.features.length === 8))
   }
 
+  // ---- real audio decode (javax.sound.sampled — WAV generated in-test) ----
+
+  /** Mono 16-bit little-endian WAV: first half silence, second half a
+    * constant ±amp square wave (RMS exactly amp).
+    */
+  private def testWav(frames: Int = 1000, amp: Double = 0.5): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    for (f <- frames / 2 until frames) {
+      val v = (if (f % 2 == 0) amp else -amp) * 32768.0
+      val s = math.max(-32768, math.min(32767, v.toInt)).toShort
+      pcm(f * 2) = (s & 0xff).toByte
+      pcm(f * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("AudioCodec decodes WAV/PCM and pools RMS energy features") {
+    val samples = AudioCodec.decode(testWav()).get
+    assert(samples.length === 1000)
+    assert(samples.take(10).forall(_ === 0.0))
+    // dim=2 pools halves: silence then the square wave at RMS = amp
+    val feats = AudioCodec.extractFeatures(samples, 2)
+    assert(feats.length === 2)
+    assert(feats(0) === 0.0f)
+    assert(math.abs(feats(1) - 0.5f) < 1e-3)
+  }
+
+  test("extractFeatures uses the real audio decoder for WAV items") {
+    val real = Seq(
+      MediaItem(1L, testWav(), MediaMeta("audio", "wav", 0, 0, 125L)),
+    ).toDS()
+    val out = extractFeatures(real, dim = 2).collect().head
+    assert(out.kind === "audio")
+    assert(out.features(0) === 0.0f && math.abs(out.features(1) - 0.5f) < 1e-3)
+  }
+
   test("resize really rescales decodable images and re-encodes PNG") {
     val real = Seq(
       MediaItem(1L, testPng(4, 2), MediaMeta("image", "png", 4, 2, 0L)),
