@@ -326,6 +326,27 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    "w_dict_driven_query_warm" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The §3.2 widget pipeline against the WARM dictionary: compile cost
+      // collapses to a cache read, leaving only the actual aggregation scan
+      // — the reference's per-interaction shape (dictionary from the hot
+      // index, one ES query per widget change). Same oracle as the cold form.
+      import graft.query.Widgets
+      val li = load(dir, "lineitem")
+      val fields = Widgets.fieldsFromDictionary(
+        Dictionary.materializeProfile(s, li,
+          s"graft_dict_lineitem_approx_${math.abs(dir.hashCode)}",
+          exactDistinct = false))
+      val fc = fields
+        .select("l_quantity", Widgets.Selection.RangeSel(10, 20))
+        .select("l_returnflag", Widgets.Selection.TextSel("r"))
+      li.where(fc.compile)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("l_linestatus")
+    }),
+
     "q8_dict_fetch" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The webapp's dictionary fetch (Q8): non-null fields, the full
@@ -334,6 +355,21 @@ object SparkEntry {
       // (the indexed field is `dict_countdistinct`, so ES's case-sensitive
       // _source filter silently drops it); we project the real column.
       Dictionary.profile(load(dir, "lineitem"))
+        .where(col("dict_field").isNotNull)
+        .select("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr",
+          "dict_min", "dict_max", "dict_countdistinct", "dict_uifilter")
+        .orderBy("dict_field")
+        .limit(1000)
+    }),
+
+    "q8_dict_fetch_warm" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Warm twin of q8_dict_fetch — the reference's actual serving shape:
+      // the dictionary lives in a hot index and the fetch never touches the
+      // corpus. First call profiles + caches; Bench's min-of-N measures the
+      // warm fetch. Identical results (and oracle) to the cold form.
+      Dictionary.materializeProfile(s, load(dir, "lineitem"),
+          s"graft_dict_lineitem_${math.abs(dir.hashCode)}")
         .where(col("dict_field").isNotNull)
         .select("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr",
           "dict_min", "dict_max", "dict_countdistinct", "dict_uifilter")
@@ -1094,6 +1130,16 @@ object SparkEntry {
          |  AND ${graft.expr.TextMatch.phrasePrefixSql("l_returnflag", "r")}
          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
+    // identical compiled predicate — the warm dictionary only changes where
+    // the widget typing is read from
+    "w_dict_driven_query_warm" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+         |  round(sum(l_extendedprice), 2) AS revenue
+         |FROM lineitem
+         |WHERE l_quantity >= 10 AND l_quantity <= 20
+         |  AND ${graft.expr.TextMatch.phrasePrefixSql("l_returnflag", "r")}
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "g2_terms_top10" ->
       """SELECT event_type, count(*) AS count FROM events
         |WHERE ts >= TIMESTAMP '1990-01-01 00:00:00'
@@ -1200,6 +1246,12 @@ object SparkEntry {
     // Metadata fields are literals here: no lineitem column is in the
     // harmonized vocabulary, so every row gets the registry defaults.
     "q8_dict_fetch" -> dictOracle(
+      "dict_field, 'dataset' AS dict_vargroup, dict_vartype, " +
+        "'unknown' AS dict_vardescr, dict_min, dict_max, " +
+        "dict_countdistinct, 'True' AS dict_uifilter"),
+
+    // the cache changes where the dictionary is read from, never its content
+    "q8_dict_fetch_warm" -> dictOracle(
       "dict_field, 'dataset' AS dict_vargroup, dict_vartype, " +
         "'unknown' AS dict_vardescr, dict_min, dict_max, " +
         "dict_countdistinct, 'True' AS dict_uifilter"),

@@ -187,6 +187,31 @@ object Dictionary {
       transformDescr = h.transformDescrs.map { case (k, v) => k -> v.mkString("; ") },
       exactDistinct = exactDistinct)
 
+  /** Warm dictionary serving: the profiled dictionary pinned as a cached
+    * temp view. The reference serves its dictionary from a hot Elasticsearch
+    * index (the `*dictionary*` pattern, `services/webapp/src/config.js:22`) —
+    * it never re-profiles the corpus per request; profiling happens once at
+    * harmonization time and the serving half reads the tiny at-rest result.
+    * Same shape here: the FIRST call pays the profile scan and caches the
+    * result (one row per column — kilobytes); every later dictionary fetch,
+    * widget compile, or typeahead-over-dictionary reads memory. Idempotent
+    * per `viewName`; at 100 TB this is the difference between a sub-second
+    * dashboard render and a full-corpus scan per page load.
+    *
+    * `df` is by-name so the cached path never constructs the corpus scan.
+    */
+  def materializeProfile(
+      spark: org.apache.spark.sql.SparkSession,
+      df: => DataFrame,
+      viewName: String,
+      exactDistinct: Boolean = true): DataFrame = {
+    if (!spark.catalog.tableExists(viewName)) {
+      profile(df, exactDistinct = exactDistinct).createOrReplaceTempView(viewName)
+      spark.catalog.cacheTable(viewName)
+    }
+    spark.table(viewName)
+  }
+
   /** Typed view of a dictionary frame. */
   def asEntries(dict: DataFrame): org.apache.spark.sql.Dataset[DictEntry] = {
     val spark = dict.sparkSession

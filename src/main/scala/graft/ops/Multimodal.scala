@@ -178,6 +178,68 @@ object Multimodal {
     }
   }
 
+  /** Real video CONTAINER parsing — an ISO-BMFF (MP4/MOV) box walk, pure
+    * byte arithmetic on the public container spec (ISO/IEC 14496-12), no
+    * dependency. Extracts the `ftyp` major brand and the `moov/mvhd`
+    * duration; FRAME decode still needs a real codec (ffmpeg) and stays
+    * stubbed — metadata-level processing (duration filters, format
+    * routing, corrupt-file triage) is most of what a training-data
+    * pipeline does to video anyway.
+    */
+  object VideoCodec {
+    final case class Mp4Meta(majorBrand: String, durationMs: Long)
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+
+    private def fourCC(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    /** Walk top-level boxes; descend into `moov` for `mvhd`. */
+    def parseMeta(bytes: Array[Byte]): Option[Mp4Meta] = {
+      if (bytes == null || bytes.length < 16) return None
+      try {
+        var brand: Option[String] = None
+        var duration: Option[Long] = None
+
+        def walk(from: Int, until: Int, depth: Int): Unit = {
+          var off = from
+          while (off + 8 <= until) {
+            val size32 = u32(bytes, off)
+            val kind = fourCC(bytes, off + 4)
+            val (size, hdr) =
+              if (size32 == 1 && off + 16 <= until) (u64(bytes, off + 8), 16)
+              else (size32, 8)
+            if (size < hdr || off + size > until) return // malformed: stop
+            kind match {
+              case "ftyp" if size >= 12 =>
+                brand = Some(fourCC(bytes, off + 8))
+              case "moov" if depth == 0 =>
+                walk(off + hdr, off + size.toInt, depth + 1)
+              case "mvhd" =>
+                val p = off + hdr
+                val version = bytes(p) & 0xff
+                val (timescale, dur) =
+                  if (version == 1) (u32(bytes, p + 20), u64(bytes, p + 24))
+                  else (u32(bytes, p + 12), u32(bytes, p + 16))
+                if (timescale > 0) duration = Some(dur * 1000L / timescale)
+              case _ => ()
+            }
+            off += size.toInt
+          }
+        }
+
+        walk(0, bytes.length, 0)
+        // an MP4 without ftyp is not one we claim to understand
+        brand.flatMap(b => duration.map(d => Mp4Meta(b, d)))
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** ======================== STUB CODEC ========================
     * Deterministic stand-in for real decode/resize: every "decoded" artifact
     * is derived from the bytes via seeded hashing, so tests are reproducible
@@ -249,6 +311,26 @@ object Multimodal {
               .getOrElse(FakeCodec.extractFeatures(m.bytes, dim))
           else FakeCodec.extractFeatures(m.bytes, dim)
         MediaFeatures(m.id, kind, feats)
+      }
+    }
+  }
+
+  /** Re-derive video metadata from the container itself: rows whose bytes
+    * parse as ISO-BMFF get their REAL duration and major brand stamped into
+    * the metadata struct (the pipeline's duration filters and format
+    * routing then act on measured values, not ingest claims); unparseable
+    * bytes keep their declared meta.
+    */
+  def refreshVideoMeta(items: Dataset[MediaItem]): Dataset[MediaItem] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.map { m =>
+      if (m.meta == null || m.meta.kind != "video") m
+      else VideoCodec.parseMeta(m.bytes) match {
+        case Some(meta) =>
+          m.copy(meta = m.meta.copy(
+            format = meta.majorBrand.trim, durationMs = meta.durationMs))
+        case None => m
       }
     }
   }

@@ -100,4 +100,25 @@ class DictionarySpec extends SparkSpecBase {
     val types = Dictionary.varTypes(Dictionary.profile(Seq(0, 1).toDF("flag")))
     assert(types("flag") === graft.schema.VarType.Bool)
   }
+
+  test("materializeProfile caches the dictionary and matches the cold profile") {
+    val name = "dictspec_warm"
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("n", "s")
+    try {
+      val warm = Dictionary.materializeProfile(spark, df, name)
+      assert(spark.catalog.isCached(name))
+      val cold = Dictionary.profile(df)
+      val canon = (d: org.apache.spark.sql.DataFrame) =>
+        d.orderBy("dict_field").collect().map(_.toString).toSeq
+      assert(canon(warm) === canon(cold))
+      // second call reuses the cached view — the by-name corpus argument is
+      // never evaluated (a thrown-on-use frame proves it)
+      def boom: org.apache.spark.sql.DataFrame = sys.error("corpus scan on warm path")
+      val again = Dictionary.materializeProfile(spark, boom, name)
+      assert(canon(again) === canon(cold))
+    } finally {
+      spark.catalog.uncacheTable(name)
+      spark.catalog.dropTempView(name)
+    }
+  }
 }

@@ -134,6 +134,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.features(0) === 0.0f && math.abs(out.features(1) - 0.5f) < 1e-3)
   }
 
+  // ---- real MP4 container parsing (ISO-BMFF box walk, built in-test) ----
+
+  /** Minimal valid ISO-BMFF: `ftyp` (major brand isom) + `moov`/`mvhd` v0
+    * with timescale 1000 and duration 5000 units = 5000 ms.
+    */
+  private def testMp4(timescale: Int = 1000, duration: Int = 5000): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(16 + 36)
+    out.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put("isom".getBytes("ISO-8859-1")).putInt(0)
+    out.putInt(36).put("moov".getBytes("ISO-8859-1"))
+    out.putInt(28).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0)          // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration)
+    out.array()
+  }
+
+  test("VideoCodec parses ftyp brand and mvhd duration from an MP4 box tree") {
+    val meta = VideoCodec.parseMeta(testMp4()).get
+    assert(meta.majorBrand === "isom")
+    assert(meta.durationMs === 5000L)
+    // 90kHz timescale (the common video clock) converts correctly
+    assert(VideoCodec.parseMeta(testMp4(90000, 90000 * 7)).get.durationMs === 7000L)
+    // non-MP4 bytes refuse rather than guess
+    assert(VideoCodec.parseMeta("not a video".getBytes("UTF-8")) === None)
+    assert(VideoCodec.parseMeta(Array.emptyByteArray) === None)
+  }
+
+  test("refreshVideoMeta stamps measured duration/brand on parseable videos only") {
+    val in = Seq(
+      MediaItem(1L, testMp4(), MediaMeta("video", "mp4", 64, 64, 999L)),
+      MediaItem(2L, "garbage-bytes".getBytes("UTF-8"), MediaMeta("video", "mp4", 64, 64, 777L)),
+      MediaItem(3L, testMp4(), MediaMeta("audio", "wav", 0, 0, 111L)), // not video: untouched
+    ).toDS()
+    val out = refreshVideoMeta(in).collect().sortBy(_.id)
+    assert(out(0).meta.durationMs === 5000L && out(0).meta.format === "isom")
+    assert(out(1).meta.durationMs === 777L && out(1).meta.format === "mp4")
+    assert(out(2).meta.durationMs === 111L)
+  }
+
   test("resize really rescales decodable images and re-encodes PNG") {
     val real = Seq(
       MediaItem(1L, testPng(4, 2), MediaMeta("image", "png", 4, 2, 0L)),
