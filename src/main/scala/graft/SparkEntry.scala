@@ -568,6 +568,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_embedding_cluster_keep" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The embedding-side cluster story: LSH near-dup pairs → connected
+      // components → keep the smallest vec_id per cluster → counts per
+      // label. Composes two fully-oracled pieces (seeded-hyperplane LSH
+      // candidates + recursive-CTE closure), so the whole pipeline is
+      // hash-checked end to end — the vector twin of dedup_cluster_keep.
+      val emb = load(dir, "embeddings")
+      val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.42, dim = 64, numPlanes = 4, numTables = 3)
+      Dedup.keepClusterRepresentatives(emb, "vec_id", pairs)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    }),
+
     // ===== Training-data ops: similarity search =====
 
     "ann_bruteforce" -> ((s, dir) => {
@@ -1489,6 +1505,40 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, cos FROM cand
          |WHERE cos >= 0.42 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // LSH pair generation + recursive-CTE closure, composed — the vector
+    // twin of dedup_cluster_keep's oracle
+    "dedup_embedding_cluster_keep" -> {
+      val tables = 0 until 3
+      val bucketCols = tables.map(t =>
+        Similarity.lshBucketSql("v", dim = 64, numPlanes = 4, seed = 42L + t) + s" AS b$t")
+      val candPred = tables.map(t =>
+        s"bit_count(xor(x.b$t, y.b$t)) <= 1").mkString("(", " OR ", ")")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketCols.mkString(", ")} FROM e),
+         |pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b x, b y
+         |  WHERE x.vec_id < y.vec_id AND $candPred
+         |    AND list_inner_product(x.v, y.v)
+         |      / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.42
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e2.b FROM r JOIN edges e2 ON r.b = e2.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT label, count(*) AS n_kept
+         |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = emb.vec_id
+         |GROUP BY label ORDER BY label""".stripMargin
     },
 
     "ann_bruteforce" ->

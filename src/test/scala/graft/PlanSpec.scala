@@ -149,4 +149,22 @@ class PlanSpec extends SparkSpecBase {
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n$plan")
   }
+
+  test("the composed prep pipeline stays at two shuffles: dedup window + final agg") {
+    // fingerprint dedup → quality floor → language filter → split → counts:
+    // the filters and the split predicate are row-local Column algebra, so
+    // they fuse into the scan/dedup stages instead of adding exchanges.
+    val docs = Seq((1L, "the quick brown fox and the lazy dog", "s0"))
+      .toDF("doc_id", "text", "source")
+    val deduped = graft.ops.Dedup.exactByFingerprint(docs, "text", "doc_id")
+    val kept = deduped.where(
+      graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.6 &&
+        graft.ops.TextAnalysis.languageId(col("text")) === "en")
+    val out = graft.ops.Sampling.assignSplit(kept, "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .groupBy("split", "source").agg(count(lit(1)).as("n"))
+    val plan = planOf(out)
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
+  }
 }
