@@ -362,6 +362,24 @@ object SparkEntry {
         .limit(1000)
     }),
 
+    "dict_profile_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The 100 TB dictionary-maintenance path: profile two halves of the
+      // corpus independently (per-day partitions in production), merge the
+      // mergeable increments (sums/moments/min-max/HLL sketches), finalize.
+      // The projection keeps the EXACTLY-mergeable statistics, which a
+      // whole-corpus DuckDB profile must reproduce bit-for-bit (the sketch
+      // estimates and float moments have no exact SQL twin — those are
+      // pinned by DictionarySpec's split-merge ≡ whole-corpus equivalence).
+      val li = load(dir, "lineitem")
+      val half1 = Dictionary.profileIncrement(li.where(col("l_orderkey") % 2 === 0))
+      val half2 = Dictionary.profileIncrement(li.where(col("l_orderkey") % 2 =!= 0))
+      Dictionary.finalizeIncrement(Dictionary.mergeIncrements(half1, half2))
+        .select("dict_field", "dict_count", "dict_countmissing",
+          "dict_min", "dict_max")
+        .orderBy("dict_field")
+    }),
+
     "q8_dict_fetch_warm" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Warm twin of q8_dict_fetch — the reference's actual serving shape:
@@ -1265,6 +1283,10 @@ object SparkEntry {
       "dict_field, 'dataset' AS dict_vargroup, dict_vartype, " +
         "'unknown' AS dict_vardescr, dict_min, dict_max, " +
         "dict_countdistinct, 'True' AS dict_uifilter"),
+
+    // split-merge of exactly-mergeable stats == one whole-corpus profile
+    "dict_profile_incremental" -> dictOracle(
+      "dict_field, dict_count, dict_countmissing, dict_min, dict_max"),
 
     // the cache changes where the dictionary is read from, never its content
     "q8_dict_fetch_warm" -> dictOracle(

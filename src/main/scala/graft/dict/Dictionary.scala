@@ -128,16 +128,30 @@ object Dictionary {
             coalesce(col("dict_countdistinct"), lit(0L)))
       }
 
-    // Per-field metadata + lineage as a broadcast-joined tiny frame (one row
-    // per column), mirroring the reference's literal-injection per subquery.
-    val spark = df.sparkSession
+    render(stats, df.sparkSession, fields.map(_.name),
+      metadata, varMapping, transformDescr, defaultVarGroup)
+  }
+
+  /** Shared dictionary tail: join per-field metadata + lineage (a broadcast
+    * tiny frame, one row per column — mirroring the reference's
+    * literal-injection per subquery), infer widget types, project the
+    * canonical column order.
+    */
+  private def render(
+      stats: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      fieldNames: Seq[String],
+      metadata: Map[String, StdVar],
+      varMapping: Map[String, String],
+      transformDescr: Map[String, String],
+      defaultVarGroup: String): DataFrame = {
     import spark.implicits._
-    val metaRows = fields.map { f =>
-      val m = metadata.get(f.name)
-      val mapping = varMapping.get(f.name).map(o => s"Source $o. ").getOrElse("") +
-        transformDescr.getOrElse(f.name, "Variable value unchanged from source dataset.")
+    val metaRows = fieldNames.map { name =>
+      val m = metadata.get(name)
+      val mapping = varMapping.get(name).map(o => s"Source $o. ").getOrElse("") +
+        transformDescr.getOrElse(name, "Variable value unchanged from source dataset.")
       (
-        f.name,
+        name,
         m.map(_.group).getOrElse(defaultVarGroup),
         m.map(_.varType.serialize).getOrElse("unknown"),
         m.map(_.descr).getOrElse("unknown"),
@@ -145,7 +159,7 @@ object Dictionary {
         m.map(v => if (v.uiFilter) "True" else "False").getOrElse("True"),
         mapping,
       )
-    }.toSeq.toDF("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr", "dict_uifilter", "dict_varmapping")
+    }.toDF("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr", "dict_uifilter", "dict_varmapping")
 
     val joined = stats.join(broadcast(metaRows), Seq("dict_field"), "left")
 
@@ -154,6 +168,112 @@ object Dictionary {
       "dict_mean", "dict_stddev", "dict_min", "dict_max",
       "dict_vargroup", "dict_vardescr", "dict_uifilter", "dict_varmapping",
       "dict_vartype")
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental dictionary maintenance — the 100 TB update path. A growing
+  // corpus (daily partitions, a stream) cannot re-profile from scratch per
+  // update; every statistic here is carried in a MERGEABLE form instead:
+  // counts and moments as sums, min/max as rendered strings merged under
+  // the field's own ordering, distinct counts as DataSketches HLL sketches
+  // (binary, mergeable via hll_union_agg — the standard mergeable-sketch
+  // design). Maintaining the dictionary is then: profile the NEW partition
+  // only, merge two tiny per-column tables, finalize — no corpus re-scan.
+  // ---------------------------------------------------------------------
+
+  /** One mergeable profile row per column of `df`:
+    * `(dict_field, inc_numeric, inc_count, inc_missing, inc_sum, inc_sumsq,
+    * inc_min, inc_max, inc_hll)`. One scan-only pass (same shape as
+    * [[profile]]'s base aggregate); values are hashed into the HLL sketch
+    * via their injective string rendering, so text and numeric columns
+    * sketch uniformly.
+    */
+  def profileIncrement(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "profileIncrement: empty schema")
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val numeric = isNumeric(f.dataType)
+      val cd = c.cast(DoubleType)
+      Seq(
+        count(c).as(s"_${i}_cnt"),
+        sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as(s"_${i}_miss"),
+        (if (numeric) sum(cd) else lit(null).cast(DoubleType)).as(s"_${i}_sum"),
+        (if (numeric) sum(cd * cd) else lit(null).cast(DoubleType)).as(s"_${i}_sumsq"),
+        min(c).cast(StringType).as(s"_${i}_min"),
+        max(c).cast(StringType).as(s"_${i}_max"),
+        hll_sketch_agg(c.cast(StringType)).as(s"_${i}_hll"),
+      )
+    }.toSeq
+    val oneRow = df.agg(aggs.head, aggs.tail: _*)
+    val stackGroups = fields.zipWithIndex.map { case (f, i) =>
+      val esc = f.name.replace("'", "\\'")
+      s"'$esc', ${isNumeric(f.dataType)}, _${i}_cnt, _${i}_miss, " +
+        s"_${i}_sum, _${i}_sumsq, _${i}_min, _${i}_max, _${i}_hll"
+    }.mkString(", ")
+    oneRow.selectExpr(
+      s"stack(${fields.length}, $stackGroups) AS " +
+        "(dict_field, inc_numeric, inc_count, inc_missing, " +
+        "inc_sum, inc_sumsq, inc_min, inc_max, inc_hll)")
+  }
+
+  /** Merge any number of increments (per-partition, per-day, per-batch)
+    * into one. Counts and moments add; min/max merge under the numeric
+    * order for numeric fields (via `min_by`/`max_by` on the parsed value,
+    * preserving the original rendering) and lexicographically for text;
+    * sketches union. Associative and commutative — merge order never
+    * changes the result.
+    */
+  def mergeIncrements(increments: DataFrame*): DataFrame = {
+    require(increments.nonEmpty, "mergeIncrements: no increments")
+    increments.reduce(_.unionByName(_))
+      .groupBy("dict_field")
+      .agg(
+        first("inc_numeric").as("inc_numeric"),
+        sum("inc_count").as("inc_count"),
+        sum("inc_missing").as("inc_missing"),
+        sum("inc_sum").as("inc_sum"),
+        sum("inc_sumsq").as("inc_sumsq"),
+        // try_cast: the aggregate's ordering expression evaluates for text
+        // fields too (the `when` selects AFTER aggregation), and renderings
+        // of numeric values always parse
+        when(first("inc_numeric"),
+          min_by(col("inc_min"), expr("try_cast(inc_min AS double)")))
+          .otherwise(min("inc_min")).as("inc_min"),
+        when(first("inc_numeric"),
+          max_by(col("inc_max"), expr("try_cast(inc_max AS double)")))
+          .otherwise(max("inc_max")).as("inc_max"),
+        hll_union_agg(col("inc_hll")).as("inc_hll"))
+  }
+
+  /** Render a (merged) increment as a standard dictionary. Mean and
+    * population stddev come from the merged moments
+    * (`σ² = Σx²/n − (Σx/n)²`, clamped at 0 against float cancellation);
+    * distinct counts are the sketch estimates.
+    */
+  def finalizeIncrement(
+      inc: DataFrame,
+      metadata: Map[String, StdVar] = HarmonizedSchema.byName,
+      varMapping: Map[String, String] = Map.empty,
+      transformDescr: Map[String, String] = Map.empty,
+      defaultVarGroup: String = "dataset"): DataFrame = {
+    val spark = inc.sparkSession
+    val mean = when(col("inc_count") > 0, col("inc_sum") / col("inc_count"))
+    val variance = greatest(
+      col("inc_sumsq") / col("inc_count") - mean * mean, lit(0.0))
+    val stats = inc.select(
+      col("dict_field"),
+      col("inc_count").as("dict_count"),
+      // an all-null column aggregates to a null sketch → 0 distincts
+      coalesce(hll_sketch_estimate(col("inc_hll")), lit(0L)).as("dict_countdistinct"),
+      col("inc_missing").as("dict_countmissing"),
+      mean.as("dict_mean"),
+      when(col("inc_count") > 0, sqrt(variance)).as("dict_stddev"),
+      col("inc_min").as("dict_min"),
+      col("inc_max").as("dict_max"))
+    val fieldNames = inc.select("dict_field").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    render(stats, spark, fieldNames, metadata, varMapping, transformDescr, defaultVarGroup)
   }
 
   /** Best-guess widget type for `unknown` fields from their distribution —

@@ -101,6 +101,51 @@ class DictionarySpec extends SparkSpecBase {
     assert(types("flag") === graft.schema.VarType.Bool)
   }
 
+  test("incremental profiles merge to the full-corpus dictionary") {
+    val df = Seq(
+      (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a"), (4, 40.0, null.asInstanceOf[String]),
+    ).toDF("id", "x", "s")
+
+    def byField(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getAs[String]("dict_field") -> r).toMap
+
+    // finalize(increment(df)) agrees with the cold one-shot profiler
+    val inc = byField(Dictionary.finalizeIncrement(Dictionary.profileIncrement(df)))
+    val cold = byField(Dictionary.profile(df))
+    for (f <- Seq("id", "x", "s")) {
+      assert(inc(f).getAs[Long]("dict_count") === cold(f).getAs[Long]("dict_count"))
+      assert(inc(f).getAs[Long]("dict_countmissing") === cold(f).getAs[Long]("dict_countmissing"))
+      assert(inc(f).getAs[String]("dict_min") === cold(f).getAs[String]("dict_min"))
+      assert(inc(f).getAs[String]("dict_max") === cold(f).getAs[String]("dict_max"))
+      // HLL sketches are exact at tiny cardinalities
+      assert(inc(f).getAs[Long]("dict_countdistinct") === cold(f).getAs[Long]("dict_countdistinct"))
+      assert(inc(f).getAs[String]("dict_vartype") === cold(f).getAs[String]("dict_vartype"))
+    }
+    assert(math.abs(inc("x").getAs[Double]("dict_mean") - 25.0) < 1e-9)
+    // σ_pop of {10,20,30,40} = sqrt(125)
+    assert(math.abs(inc("x").getAs[Double]("dict_stddev") - math.sqrt(125.0)) < 1e-9)
+
+    // split → per-partition increments → merge == whole-corpus increment
+    val merged = byField(Dictionary.finalizeIncrement(Dictionary.mergeIncrements(
+      Dictionary.profileIncrement(df.where(col("id") <= 2)),
+      Dictionary.profileIncrement(df.where(col("id") > 2)))))
+    for (f <- Seq("id", "x", "s")) {
+      assert(merged(f).getAs[Long]("dict_count") === inc(f).getAs[Long]("dict_count"))
+      assert(merged(f).getAs[Long]("dict_countdistinct") === inc(f).getAs[Long]("dict_countdistinct"))
+      assert(merged(f).getAs[String]("dict_min") === inc(f).getAs[String]("dict_min"))
+      assert(merged(f).getAs[String]("dict_max") === inc(f).getAs[String]("dict_max"))
+    }
+    assert(math.abs(merged("x").getAs[Double]("dict_stddev") -
+      inc("x").getAs[Double]("dict_stddev")) < 1e-9)
+    // numeric min/max merged under NUMERIC order even where lexicographic
+    // order disagrees ("9" > "10" as strings)
+    val tricky = Dictionary.finalizeIncrement(Dictionary.mergeIncrements(
+      Dictionary.profileIncrement(Seq(9).toDF("n")),
+      Dictionary.profileIncrement(Seq(10).toDF("n"))))
+    val t = byField(tricky)("n")
+    assert(t.getAs[String]("dict_min") === "9" && t.getAs[String]("dict_max") === "10")
+  }
+
   test("materializeProfile caches the dictionary and matches the cold profile") {
     val name = "dictspec_warm"
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("n", "s")
