@@ -60,6 +60,26 @@ class CityLifecycleSpec extends SparkSpecBase {
     assert(fields.fields.exists(_.name === "description"))
   }
 
+  test("harmonized city output indexes for analyzed search (the esindex step)") {
+    import graft.store.SearchIndex
+    // the reference bulk-indexes each harmonized city into ES
+    // (esindex.py:116-139); here the analyzed companions ride at rest and
+    // phrase-prefix search runs on the indexed form — no second cluster
+    val balt = harmonizedCity(CityRecipes.baltimore)
+    val indexed = SearchIndex.withAnalyzedColumns(balt, Seq("description", "location"))
+    assert(indexed.columns.contains("description_split"))
+    // analyzed phrase-prefix over the indexed form finds the recoded enums
+    val hits = indexed.where(
+        SearchIndex.phrasePrefixIndexed(col("description_split"), "assa"))
+      .select("description").distinct().as[String].collect().toSeq
+    assert(hits === Seq("Assault"))
+    // token match over the multi-word location field
+    val street = indexed.where(
+        SearchIndex.containsTokenIndexed(col("location_split"), "main"))
+      .count()
+    assert(street === 15) // every kept Baltimore row is on N MAIN ST
+  }
+
   test("typeahead and geohash map run against the warm federated cache") {
     val name = "city_serving"
     try {
