@@ -25,7 +25,10 @@ object Bench {
     // swing 1.5-3x with neighbor load; the minimum is the standard
     // noise-robust estimator of what the code actually costs.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    // Default 3 passes: with 2, one neighbor-load spike poisons the median
+    // (it becomes the mean of one clean and one noisy pass); with 3 the
+    // median is a clean pass unless two of three are disturbed.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     // Both the min (noise-floor estimate of what the code costs) and the
     // median (typical pass) are reported per query, so cross-round
     // comparisons don't depend on the estimator choice.
@@ -36,6 +39,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // `_warm` queries measure the steady-state serving path (SURVEY §3.3).
+      // Populate the cache once untimed first: otherwise the first timed
+      // pass pays the cold cache build and the reported median reads as
+      // "no gain" when the true warm cost is 10-30x lower.
+      if (name.endsWith("_warm")) {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

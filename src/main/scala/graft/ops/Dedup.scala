@@ -49,8 +49,17 @@ object Dedup {
     * wider than the cluster's parallelism.
     */
   private[ops] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Plan-side width estimate instead of `df.rdd.getNumPartitions`:
+    // converting to an RDD forces a full physical-planning pass per call,
+    // pure driver overhead when dedup sits inside a larger pipeline. The
+    // logical stats' sizeInBytes (file-index bytes for scans) tells the
+    // same story — fewer bytes than `target` splits' worth means the scan
+    // can't fill the cluster and the compute stage needs the shuffle.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplit) * target) df.repartition(target) else df
   }
 
   /** Lowercase word tokens of a text column (native codegen'd tokenizer —
