@@ -616,8 +616,12 @@ object SparkEntry {
 
     "ann_ivf" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      // IVF coarse quantization (rows-only: centroid argmin isn't SQL-
-      // expressible); recall vs brute force is pinned in SimilaritySpec.
+      // IVF coarse quantization, fully oracled at refineIters=0: the init
+      // centroids are the nlist corpus vectors with the smallest seeded
+      // md5-unit hash (hashUnitSql restates the selection), and cell
+      // assignment is a row_number()=1 argmax over inlined cosine — the
+      // same bit-stable dot products the brute-force oracle relies on.
+      // Recall vs brute force is additionally pinned in SimilaritySpec.
       val emb = load(dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       Similarity.ivfTopK(emb, "vec_id", "embedding",
@@ -631,7 +635,11 @@ object SparkEntry {
       // The realistic-nlist IVF build+query (256 cells, k-means refine):
       // the bench pin for the codegen'd cell-assignment kernel — at this
       // nlist the interpreted HOF formulation it replaced was the hot loop.
-      // Rows-only like ann_ivf (argmin isn't SQL-expressible).
+      // Rows-only (unlike ann_ivf): the k-means refine's cell means are
+      // unordered floating-point sums over each cell's rows, so the refined
+      // centroids aren't bit-reproducible in another engine — any ULP
+      // difference can flip a boundary cell assignment and change the
+      // candidate set. The refineIters=0 path is the oracled one.
       val emb = load(dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       Similarity.ivfTopK(emb, "vec_id", "embedding",
@@ -643,10 +651,16 @@ object SparkEntry {
 
     "ann_lsh" -> ((s, dir) => {
       implicit val spark: SparkSession = s
+      // Fully oracled: the seeded hyperplanes are deterministic constants,
+      // so bucket ids and the 1-bit-probe candidate predicate
+      // (hamming(bucket_c, bucket_q) <= 1) restate in SQL exactly as for
+      // dedup_embedding_lsh; ranking is the same bit-stable cosine +
+      // row_number() construction as ann_bruteforce.
       val emb = load(dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       Similarity.lshTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1578,5 +1592,73 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Sign-LSH ANN: same seeded-hyperplane bucket restatement as
+    // dedup_embedding_lsh (one table, 6 planes), with the 1-bit multi-probe
+    // as a symmetric hamming predicate, then the brute-force ranking shape
+    // over the candidate set only.
+    "ann_lsh" -> {
+      val bucket = Similarity.lshBucketSql("v", dim = 64, numPlanes = 6, seed = 42L)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bkt FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_inner_product(c.v, q.v)
+         |      / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+         |  FROM b c, q
+         |  WHERE c.vec_id <> q.vec_id AND bit_count(xor(c.bkt, q.bkt)) <= 1
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVF at refineIters=0 is fully SQL-expressible: init centroids are the
+    // nlist=8 vectors with the smallest (md5-unit hash, vec_id) — the same
+    // deterministic selection kmeansCentroids collects — and cell
+    // assignment/probing are row_number() over per-(row, cell) cosines,
+    // whose dot products DuckDB computes bit-identically (sequential
+    // list_inner_product). Corpus rows take their top-1 cell; queries probe
+    // their top-3; ranking is the brute-force shape over cell-joined
+    // candidates.
+    "ann_ivf" -> {
+      val u = ops.Sampling.hashUnitSql("vec_id", 42)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
+         |  FROM (SELECT vec_id, v, $u AS u FROM e)
+         |  ORDER BY u, vec_id LIMIT 8
+         |), sim AS (
+         |  SELECT e.vec_id, e.v, cent.cell,
+         |    list_inner_product(e.v, cent.cv)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cent.cv, cent.cv))) AS ccos
+         |  FROM e, cent
+         |), cellranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cell ASC) AS r
+         |  FROM sim
+         |), assigned AS (
+         |  SELECT vec_id, v, cell FROM cellranked WHERE r = 1
+         |), qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 3 AND vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(a.v, q.qv)
+         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }
