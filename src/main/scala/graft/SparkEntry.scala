@@ -99,6 +99,199 @@ object SparkEntry {
       s"WHEN '${from.replace("'", "''")}' THEN '${to.replace("'", "''")}'"
     }.mkString(s"CASE $column ", " ", s" ELSE $column END")
 
+  /** DuckDB relation producing one city's harmonized (published) rows —
+    * the WITH-chain shared by the `recipe_harmonize_*` oracles and the
+    * federated dictionary oracle. The datetime column carries its published
+    * string rendering under the harmonized name `datetime`; no ORDER BY
+    * (callers sort).
+    */
+  private def cityHarmonizedRelationSql(city: String): String = city match {
+    case "baltimore" =>
+      val recode = recodeCase("\"Description\"", CityRecipes.baltimoreDescr)
+      s"""WITH kept AS (
+         |  SELECT *, regexp_replace("Location 1", '[\\(\\)\\s]', '', 'g') AS geolocation
+         |  FROM read_csv('${cityCsv("Baltimore")}', all_varchar=true)
+         |  WHERE length(regexp_replace("Location 1", '[\\(\\)\\s]', '', 'g')) > 0
+         |), parts AS (
+         |  SELECT "CrimeCode" AS crimecode, $recode AS description,
+         |    "Description" AS description_orig, geolocation,
+         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 1) AS mo,
+         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 2) AS d,
+         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 3) AS y,
+         |    regexp_replace(concat(regexp_extract("CrimeTime", '(\\d+):(\\d+):(\\d+)', 1),
+         |      regexp_extract("CrimeTime", '^(\\d\\d)(\\d\\d)$$', 1)), '^24$$', '00') AS h,
+         |    concat(regexp_extract("CrimeTime", '(\\d+):(\\d+):(\\d+)', 2),
+         |      regexp_extract("CrimeTime", '^(\\d\\d)(\\d\\d)$$', 2)) AS mi
+         |  FROM kept
+         |), asm AS (
+         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
+         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
+         |         ELSE '' END AS TIMESTAMP) AS dt
+         |  FROM parts
+         |)
+         |SELECT crimecode, description, description_orig, geolocation,
+         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
+         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
+         |  TRY_CAST(mi AS INT) AS minute,
+         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime,
+         |  dayname(dt) AS dayofweek, 'Baltimore' AS city
+         |FROM asm""".stripMargin
+
+    case "detroit" =>
+      val recode = recodeCase("\"Offense Category\"", CityRecipes.detroitDescr)
+      def dbl(c: String) =
+        s"CASE WHEN regexp_matches($c, '^-?\\d+(\\.\\d+)?$$') THEN CAST($c AS DOUBLE) END"
+      s"""WITH kept AS (
+         |  SELECT * FROM read_csv('${cityCsv("Detroit")}', all_varchar=true)
+         |  WHERE length("Latitude") > 0 AND length("Longitude") > 0
+         |    AND ${dbl("\"Latitude\"")} > 0
+         |    AND ${dbl("\"Latitude\"")} < 99999
+         |    AND ${dbl("\"Longitude\"")} < 0
+         |), parts AS (
+         |  SELECT "Crime ID" AS crimeid, $recode AS description,
+         |    "Incident Address" AS location,
+         |    concat("Latitude", ',', "Longitude") AS geolocation,
+         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 1) AS mo,
+         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 2) AS d,
+         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 3) AS y,
+         |    CASE WHEN regexp_matches("Hour of Day", '^-?\\d+$$')
+         |         THEN printf('%02d', CAST("Hour of Day" AS INT)) END AS h,
+         |    '00' AS mi
+         |  FROM kept
+         |), asm AS (
+         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
+         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
+         |         ELSE '' END AS TIMESTAMP) AS dt
+         |  FROM parts
+         |)
+         |SELECT crimeid, description, location, geolocation,
+         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
+         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
+         |  TRY_CAST(mi AS INT) AS minute,
+         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime,
+         |  dayname(dt) AS dayofweek, 'Detroit' AS city
+         |FROM asm""".stripMargin
+
+    case "losangeles" =>
+      val recode = recodeCase("\"CRIME_CATEGORY_DESCRIPTION\"", CityRecipes.losAngelesDescr)
+      val rx = "(\\d+)/(\\d+)/(\\d+) (\\d+):(\\d+):(\\d+) (\\w\\w)"
+      s"""WITH kept AS (
+         |  SELECT * FROM read_csv('${cityCsv("LosAngeles")}', all_varchar=true)
+         |  WHERE length("LATITUDE") > 0 AND length("LONGITUDE") > 0
+         |    AND CASE WHEN regexp_matches("LATITUDE", '^-?\\d+(\\.\\d+)?$$')
+         |             THEN CAST("LATITUDE" AS DOUBLE) END > 0
+         |), parts AS (
+         |  SELECT "CRIME_IDENTIFIER" AS crime_identifier, $recode AS description,
+         |    TRY_CAST(CASE WHEN "GANG_RELATED" = 'Y' THEN '1'
+         |                  WHEN "GANG_RELATED" = 'N' THEN '0'
+         |                  ELSE "GANG_RELATED" END AS INT) AS gang_related,
+         |    concat("LATITUDE", ',', "LONGITUDE") AS geolocation,
+         |    regexp_extract("CRIME_DATE", '$rx', 1) AS mo,
+         |    regexp_extract("CRIME_DATE", '$rx', 2) AS d,
+         |    regexp_extract("CRIME_DATE", '$rx', 3) AS y,
+         |    regexp_replace(regexp_extract("CRIME_DATE", '$rx', 4), '^24$$', '00') AS h12,
+         |    regexp_extract("CRIME_DATE", '$rx', 5) AS mi,
+         |    regexp_extract("CRIME_DATE", '$rx', 7) AS ap
+         |  FROM kept
+         |), conv AS (
+         |  SELECT *, regexp_replace(
+         |    CASE WHEN ap = 'PM' AND TRY_CAST(h12 AS INT) <> 12
+         |           THEN (TRY_CAST(h12 AS INT) + 12)::VARCHAR
+         |         WHEN ap = 'AM' AND TRY_CAST(h12 AS INT) = 12 THEN '0'
+         |         ELSE h12 END, '^24$$', '00') AS h
+         |  FROM parts
+         |), asm AS (
+         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
+         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
+         |         ELSE '' END AS TIMESTAMP) AS dt
+         |  FROM conv
+         |)
+         |SELECT crime_identifier, description, gang_related, geolocation,
+         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
+         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
+         |  TRY_CAST(mi AS INT) AS minute,
+         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime,
+         |  dayname(dt) AS dayofweek, 'LosAngeles' AS city
+         |FROM asm""".stripMargin
+  }
+
+  /** Per-city published column lists (dataset-specific head + the shared
+    * harmonized tail), with the numeric flag the dictionary oracle needs.
+    */
+  private val cityPublishedCols: Map[String, Seq[(String, Boolean)]] = {
+    val shared = Seq("geolocation" -> false, "year" -> true, "month" -> true,
+      "day" -> true, "hour" -> true, "minute" -> true, "datetime" -> false,
+      "dayofweek" -> false, "city" -> false)
+    Map(
+      "baltimore" -> (Seq("crimecode" -> false, "description" -> false,
+        "description_orig" -> false) ++ shared),
+      "detroit" -> (Seq("crimeid" -> false, "description" -> false,
+        "location" -> false) ++ shared),
+      "losangeles" -> (Seq("crime_identifier" -> false, "description" -> false,
+        "gang_related" -> true) ++ shared))
+  }
+
+  /** The published (at-rest) shape of one harmonized city dataset: the
+    * recipe output with `datetime` rendered as its indexed string form —
+    * what the search index stores and what the dictionary profiles.
+    */
+  private def cityPublished(s: SparkSession, city: String): DataFrame = {
+    val (recipe, csv) = city match {
+      case "baltimore"  => (CityRecipes.baltimore, "Baltimore")
+      case "detroit"    => (CityRecipes.detroit, "Detroit")
+      case "losangeles" => (CityRecipes.losAngeles, "LosAngeles")
+    }
+    val df = recipe.harmonize(Sources.csvAllStrings(s, cityCsv(csv))).df
+    val cols = cityPublishedCols(city).map {
+      case ("datetime", _) =>
+        date_format(col("datetime"), "yyyy-MM-dd HH:mm:ss").as("datetime")
+      case (name, _) => col(name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** DuckDB mirror of one city's dictionary as the federated fetch sees it:
+    * per-column stats over the harmonized relation, with the registry
+    * metadata ([[graft.schema.HarmonizedSchema]]) inlined at oracle-build
+    * time for known fields and [[Dictionary.inferUnknownVarTypes]]'s CASE
+    * restated for unknown ones (text columns always infer `text` — their
+    * mean is null — so only unknown numeric columns need the runtime CASE).
+    */
+  private def cityDictOracleSql(dataset: String): String = {
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val subs = cityPublishedCols(dataset).map { case (name, numeric) =>
+      val meta = graft.schema.HarmonizedSchema.byName.get(name)
+      val (group, descr, ui) = meta match {
+        case Some(m) => (m.group, m.descr, if (m.uiFilter) "True" else "False")
+        case None => ("dataset", "unknown", "True")
+      }
+      val q = "\"" + name + "\""
+      val vtype = meta match {
+        case Some(m) => sqlLit(m.varType.serialize)
+        case None if !numeric => "'text'"
+        case None =>
+          val minD = s"TRY_CAST(min($q)::VARCHAR AS DOUBLE)"
+          val maxD = s"TRY_CAST(max($q)::VARCHAR AS DOUBLE)"
+          s"""CASE WHEN count($q) = 0 THEN 'text'
+             |    WHEN count(DISTINCT $q) = 2 AND $minD = 0 AND $maxD = 1 THEN 'boolean'
+             |    WHEN count(DISTINCT $q) > (1 + $maxD - $minD)
+             |      THEN 'range,0,' || floor($maxD + 1)::BIGINT::VARCHAR || ',0.1'
+             |    ELSE 'range,0,' || (floor(($maxD / 10) + 1) * 10)::BIGINT::VARCHAR || ',1'
+             |    END""".stripMargin
+      }
+      s"""SELECT ${sqlLit(dataset)} AS dataset, ${sqlLit(name)} AS dict_field,
+         |  ${sqlLit(group)} AS dict_vargroup, $vtype AS dict_vartype,
+         |  ${sqlLit(descr)} AS dict_vardescr,
+         |  min($q)::VARCHAR AS dict_min, max($q)::VARCHAR AS dict_max,
+         |  count(DISTINCT $q)::BIGINT AS dict_countdistinct,
+         |  ${sqlLit(ui)} AS dict_uifilter
+         |FROM rel""".stripMargin
+    }
+    s"""SELECT * FROM (WITH rel AS (
+       |${cityHarmonizedRelationSql(dataset)}
+       |) ${subs.mkString(" UNION ALL ")})""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // The query registry (name -> (spark, sfDir) => DataFrame)
   // ---------------------------------------------------------------------
@@ -392,6 +585,28 @@ object SparkEntry {
         .select("dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr",
           "dict_min", "dict_max", "dict_countdistinct", "dict_uifilter")
         .orderBy("dict_field")
+        .limit(1000)
+    }),
+
+    "q8_dict_fetch_federated" -> ((s, _) => {
+      // The webapp's ACTUAL dictionary fetch: one query against the
+      // `*dictionary*` wildcard — the union of every dataset's dictionary
+      // at once (`services/webapp/src/config.js:22`,
+      // `collections.js:66-81`) — not a per-table fetch. Each city's
+      // dictionary is profiled once over its published (at-rest) shape and
+      // pinned warm; the fetch itself unions three kilobyte-sized cached
+      // views and never touches a corpus. The `dataset` column plays the
+      // role of the ES `_index` name the webapp groups fields by.
+      Seq("baltimore", "detroit", "losangeles").map { city =>
+        Dictionary.materializeProfile(s, cityPublished(s, city),
+            s"graft_dict_city_$city")
+          .withColumn("dataset", lit(city))
+      }.reduce(_.unionByName(_))
+        .where(col("dict_field").isNotNull)
+        .select("dataset", "dict_field", "dict_vargroup", "dict_vartype",
+          "dict_vardescr", "dict_min", "dict_max", "dict_countdistinct",
+          "dict_uifilter")
+        .orderBy("dataset", "dict_field")
         .limit(1000)
     }),
 
@@ -1009,116 +1224,35 @@ object SparkEntry {
          |FROM read_csv('${cityCsv("Baltimore")}', all_varchar=true)
          |ORDER BY crimecode""".stripMargin,
 
-    "recipe_harmonize_baltimore" -> {
-      val recode = recodeCase("\"Description\"", CityRecipes.baltimoreDescr)
-      s"""WITH kept AS (
-         |  SELECT *, regexp_replace("Location 1", '[\\(\\)\\s]', '', 'g') AS geolocation
-         |  FROM read_csv('${cityCsv("Baltimore")}', all_varchar=true)
-         |  WHERE length(regexp_replace("Location 1", '[\\(\\)\\s]', '', 'g')) > 0
-         |), parts AS (
-         |  SELECT "CrimeCode" AS crimecode, $recode AS description,
-         |    "Description" AS description_orig, geolocation,
-         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 1) AS mo,
-         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 2) AS d,
-         |    regexp_extract("CrimeDate", '(\\d+)/(\\d+)/(\\d+)', 3) AS y,
-         |    regexp_replace(concat(regexp_extract("CrimeTime", '(\\d+):(\\d+):(\\d+)', 1),
-         |      regexp_extract("CrimeTime", '^(\\d\\d)(\\d\\d)$$', 1)), '^24$$', '00') AS h,
-         |    concat(regexp_extract("CrimeTime", '(\\d+):(\\d+):(\\d+)', 2),
-         |      regexp_extract("CrimeTime", '^(\\d\\d)(\\d\\d)$$', 2)) AS mi
-         |  FROM kept
-         |), asm AS (
-         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
-         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
-         |         ELSE '' END AS TIMESTAMP) AS dt
-         |  FROM parts
-         |)
-         |SELECT crimecode, description, description_orig, geolocation,
-         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
-         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
-         |  TRY_CAST(mi AS INT) AS minute,
-         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime_str,
-         |  dayname(dt) AS dayofweek, 'Baltimore' AS city
-         |FROM asm ORDER BY crimecode""".stripMargin
-    },
+    // Each recipe oracle is the shared harmonized relation
+    // (cityHarmonizedRelationSql — also the base of the federated
+    // dictionary oracle) with the query's published projection on top.
+    "recipe_harmonize_baltimore" ->
+      s"""SELECT crimecode, description, description_orig, geolocation, year,
+         |  month, day, hour, minute, datetime AS datetime_str, dayofweek, city
+         |FROM (${cityHarmonizedRelationSql("baltimore")})
+         |ORDER BY crimecode""".stripMargin,
 
-    "recipe_harmonize_detroit" -> {
-      val recode = recodeCase("\"Offense Category\"", CityRecipes.detroitDescr)
-      def dbl(c: String) =
-        s"CASE WHEN regexp_matches($c, '^-?\\d+(\\.\\d+)?$$') THEN CAST($c AS DOUBLE) END"
-      s"""WITH kept AS (
-         |  SELECT * FROM read_csv('${cityCsv("Detroit")}', all_varchar=true)
-         |  WHERE length("Latitude") > 0 AND length("Longitude") > 0
-         |    AND ${dbl("\"Latitude\"")} > 0
-         |    AND ${dbl("\"Latitude\"")} < 99999
-         |    AND ${dbl("\"Longitude\"")} < 0
-         |), parts AS (
-         |  SELECT "Crime ID" AS crimeid, $recode AS description,
-         |    "Incident Address" AS location,
-         |    concat("Latitude", ',', "Longitude") AS geolocation,
-         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 1) AS mo,
-         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 2) AS d,
-         |    regexp_extract("Incident Date & Time", '(\\d+)/(\\d+)/(\\d+)', 3) AS y,
-         |    CASE WHEN regexp_matches("Hour of Day", '^-?\\d+$$')
-         |         THEN printf('%02d', CAST("Hour of Day" AS INT)) END AS h,
-         |    '00' AS mi
-         |  FROM kept
-         |), asm AS (
-         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
-         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
-         |         ELSE '' END AS TIMESTAMP) AS dt
-         |  FROM parts
-         |)
-         |SELECT crimeid, description, location, geolocation,
-         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
-         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
-         |  TRY_CAST(mi AS INT) AS minute,
-         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime_str,
-         |  dayname(dt) AS dayofweek, 'Detroit' AS city
-         |FROM asm ORDER BY crimeid""".stripMargin
-    },
+    "recipe_harmonize_detroit" ->
+      s"""SELECT crimeid, description, location, geolocation, year,
+         |  month, day, hour, minute, datetime AS datetime_str, dayofweek, city
+         |FROM (${cityHarmonizedRelationSql("detroit")})
+         |ORDER BY crimeid""".stripMargin,
 
-    "recipe_harmonize_losangeles" -> {
-      val recode = recodeCase("\"CRIME_CATEGORY_DESCRIPTION\"", CityRecipes.losAngelesDescr)
-      val rx = "(\\d+)/(\\d+)/(\\d+) (\\d+):(\\d+):(\\d+) (\\w\\w)"
-      s"""WITH kept AS (
-         |  SELECT * FROM read_csv('${cityCsv("LosAngeles")}', all_varchar=true)
-         |  WHERE length("LATITUDE") > 0 AND length("LONGITUDE") > 0
-         |    AND CASE WHEN regexp_matches("LATITUDE", '^-?\\d+(\\.\\d+)?$$')
-         |             THEN CAST("LATITUDE" AS DOUBLE) END > 0
-         |), parts AS (
-         |  SELECT "CRIME_IDENTIFIER" AS crime_identifier, $recode AS description,
-         |    TRY_CAST(CASE WHEN "GANG_RELATED" = 'Y' THEN '1'
-         |                  WHEN "GANG_RELATED" = 'N' THEN '0'
-         |                  ELSE "GANG_RELATED" END AS INT) AS gang_related,
-         |    concat("LATITUDE", ',', "LONGITUDE") AS geolocation,
-         |    regexp_extract("CRIME_DATE", '$rx', 1) AS mo,
-         |    regexp_extract("CRIME_DATE", '$rx', 2) AS d,
-         |    regexp_extract("CRIME_DATE", '$rx', 3) AS y,
-         |    regexp_replace(regexp_extract("CRIME_DATE", '$rx', 4), '^24$$', '00') AS h12,
-         |    regexp_extract("CRIME_DATE", '$rx', 5) AS mi,
-         |    regexp_extract("CRIME_DATE", '$rx', 7) AS ap
-         |  FROM kept
-         |), conv AS (
-         |  SELECT *, regexp_replace(
-         |    CASE WHEN ap = 'PM' AND TRY_CAST(h12 AS INT) <> 12
-         |           THEN (TRY_CAST(h12 AS INT) + 12)::VARCHAR
-         |         WHEN ap = 'AM' AND TRY_CAST(h12 AS INT) = 12 THEN '0'
-         |         ELSE h12 END, '^24$$', '00') AS h
-         |  FROM parts
-         |), asm AS (
-         |  SELECT *, TRY_CAST(concat_ws('-', y, mo, d) ||
-         |    CASE WHEN h <> '' AND mi <> '' THEN ' ' || h || ':' || mi || ':00'
-         |         ELSE '' END AS TIMESTAMP) AS dt
-         |  FROM conv
-         |)
-         |SELECT crime_identifier, description, gang_related, geolocation,
-         |  TRY_CAST(y AS INT) AS year, TRY_CAST(mo AS INT) AS month,
-         |  TRY_CAST(d AS INT) AS day, TRY_CAST(h AS INT) AS hour,
-         |  TRY_CAST(mi AS INT) AS minute,
-         |  strftime(dt, '%Y-%m-%d %H:%M:%S') AS datetime_str,
-         |  dayname(dt) AS dayofweek, 'LosAngeles' AS city
-         |FROM asm ORDER BY crime_identifier""".stripMargin
-    },
+    "recipe_harmonize_losangeles" ->
+      s"""SELECT crime_identifier, description, gang_related, geolocation, year,
+         |  month, day, hour, minute, datetime AS datetime_str, dayofweek, city
+         |FROM (${cityHarmonizedRelationSql("losangeles")})
+         |ORDER BY crime_identifier""".stripMargin,
+
+    // The federated `*dictionary*` fetch: three per-city dictionaries, each
+    // a per-column stats sweep over its harmonized relation with registry
+    // metadata inlined, unioned and sorted — the webapp's one-query view of
+    // every dataset's dictionary.
+    "q8_dict_fetch_federated" ->
+      s"""${Seq("baltimore", "detroit", "losangeles")
+             .map(cityDictOracleSql).mkString("\nUNION ALL\n")}
+         |ORDER BY dataset, dict_field LIMIT 1000""".stripMargin,
 
     "q2_range_filter" ->
       """SELECT l_returnflag, count(*) AS n,
