@@ -269,26 +269,48 @@ object SparkEntry {
     * interaction; `false` re-scans the sources each time (the backfill /
     * first-load cost). Identical results, one oracle.
     */
+  /** Dictionary-typed widget fields, fetched once per session — the webapp
+    * fetches the dictionary at page LOAD (`collections.js:66-81`) and every
+    * later widget change reuses the typed field collection client-side; a
+    * per-interaction re-collect would charge the dashboard a job it never
+    * pays. Weak keys: a stopped session's entry is collectable.
+    */
+  private val dashboardFields =
+    new java.util.WeakHashMap[SparkSession, graft.query.FieldCollection]
+
   private def dashboardRefresh(s: SparkSession, warm: Boolean): DataFrame = {
     val cities = Seq("baltimore", "detroit", "losangeles")
-    val dict = cities
-      .map(c => Dictionary.materializeProfile(s, cityPublished(s, c), s"graft_dict_city_$c"))
-      .reduce(_.unionByName(_))
-    val fc = Widgets.fieldsFromDictionary(dict)
+    val fields = dashboardFields.synchronized {
+      Option(dashboardFields.get(s)).getOrElse {
+        val dict = cities
+          .map(c => Dictionary.materializeProfile(s, cityPublished(s, c), s"graft_dict_city_$c"))
+          .reduce(_.unionByName(_))
+        val flds = Widgets.fieldsFromDictionary(dict)
+        dashboardFields.put(s, flds)
+        flds
+      }
+    }
+    val fc = fields
       .select("year", Widgets.Selection.RangeSel(2015, 2017))
       .select("hour", Widgets.Selection.RangeSel(0, 18))
-    val fedObj = Federation(cities.map(c =>
+    // `def`, not `val`: building the federation re-reads the three CSV
+    // headers and re-builds the recipe plans — driver work the warm path
+    // must not pay once the cached view exists (the serving-tier fast path
+    // is a catalog lookup, nothing else).
+    def fedObj = Federation(cities.map(c =>
       s"${c}_harmonized" -> cityPublished(s, c).withColumn("dataset", lit(c))): _*)
+    val fedView = "graft_dashboard_fed"
     val fed =
-      if (warm) fedObj.materialize(s, "*harmonized*", "graft_dashboard_fed")
-      else fedObj.view("*harmonized*")
+      if (!warm) fedObj.view("*harmonized*")
+      else if (s.catalog.tableExists(fedView)) s.table(fedView)
+      else fedObj.materialize(s, "*harmonized*", fedView)
     val f = fed
       .where(col("datetime").isNotNull && col("datetime") >= "2010-01-01 00:00:00")
       .where(fc.compile)
     def flat(name: String, df: DataFrame, key: String) =
       df.select(lit(name).as("viz"), col(key).cast("string").as("key"),
         lit("").as("subkey"), col("count"))
-    val vDayHour = Aggs.nestedTermsTopK(f, "dayofweek", "hour", parentSize = 7, childSize = 24)
+    val vDayHour = Aggs.nestedTermsBuckets(f, "dayofweek", "hour", parentSize = 7, childSize = 24)
       .select(lit("day_hour_heat").as("viz"), col("dayofweek").cast("string").as("key"),
         col("hour").cast("string").as("subkey"), col("count"))
     Seq(
@@ -298,7 +320,12 @@ object SparkEntry {
       flat("dataset_table", Aggs.termsTopN(f, "dataset", 10), "dataset"),
       flat("map_grid", Aggs.geohashGridFromGeoloc(f, "geolocation", 2), "geohash"))
       .reduce(_.unionByName(_))
-      .orderBy("viz", "key", "subkey")
+      // Total order without a range-partitioning exchange: a global sort
+      // would sample the (tiny) result in an extra job per interaction;
+      // one partition + a local sort is the same order at dashboard-result
+      // cardinality.
+      .coalesce(1)
+      .sortWithinPartitions("viz", "key", "subkey")
   }
 
   /** The `*harmonized*` federated relation in DuckDB: the shared harmonized

@@ -63,6 +63,41 @@ object Aggs {
       .orderBy(desc("parent_count"), asc(parent), desc("count"), asc(child))
   }
 
+  /** [[nestedTermsTopK]]'s serving twin: identical buckets (same counts,
+    * same parent/child ranking and tiebreaks), restructured for interactive
+    * latency. The agg+broadcast-join shape above is the right plan when the
+    * (parent, child) bucket table might be large; on a dashboard the bucket
+    * table is UI-bounded (parents × children ≤ a few thousand — it is the
+    * thing being rendered), and the broadcast materialization plus
+    * TakeOrdered are two extra sequential stage waves per interaction. Here
+    * both per-parent measures ride ONE exchange (two windows over the same
+    * partitioning reuse it) and the parent top-N is a row_number over the
+    * aggregated buckets — cardinality |buckets|, not |rows| — so a refresh
+    * is aggregate → window → window, nothing else.
+    */
+  def nestedTermsBuckets(
+      df: DataFrame,
+      parent: String,
+      child: String,
+      parentSize: Int = 10,
+      childSize: Int = 24): DataFrame = {
+    val pairCounts = df.groupBy(col(parent), col(child))
+      .agg(count(lit(1)).as("count"))
+    val perParent = Window.partitionBy(col(parent))
+    // dense_rank over (parent_count DESC, parent ASC) assigns every row its
+    // PARENT's position in that total order — parents are distinct, so the
+    // tiebreak makes ranks unique per parent and `<= parentSize` is exactly
+    // the top-N the agg+join form takes.
+    val parentRank = dense_rank().over(Window.orderBy(desc("parent_count"), asc(parent)))
+    pairCounts
+      .withColumn("parent_count", sum(col("count")).over(perParent))
+      .withColumn("child_rank",
+        row_number().over(perParent.orderBy(desc("count"), asc(child))))
+      .withColumn("parent_rank", parentRank)
+      .where(col("parent_rank") <= parentSize && col("child_rank") <= childSize)
+      .select(col(parent), col(child), col("count"), col("parent_count"))
+  }
+
   /** G6 — geohash grid: count per geohash cell at the given precision
     * (`kibana-exported-visualizations.json:7`, precision 2). The geohash is a
     * native codegen'd expression so the grouping key is computed inline.

@@ -40,6 +40,18 @@ class AggsSpec extends SparkSpecBase {
       ("detroit", "Assault", 1L, 2L)))
   }
 
+  test("nestedTermsBuckets produces exactly nestedTermsTopK's buckets") {
+    // The serving twin must agree bucket-for-bucket with the agg+join form
+    // on every (parentSize, childSize) cut, including tiebreaks.
+    for ((ps, cs) <- Seq((2, 1), (3, 2), (10, 24), (1, 1))) {
+      val expect = Aggs.nestedTermsTopK(events, "city", "description", ps, cs)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val got = Aggs.nestedTermsBuckets(events, "city", "description", ps, cs)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expect, s"parentSize=$ps childSize=$cs")
+    }
+  }
+
   test("G6 geohash grid counts per cell") {
     val pts = Seq((39.29, -76.61), (39.28, -76.60), (42.33, -83.04)).toDF("lat", "lon")
     val out = Aggs.geohashGrid(pts, "lat", "lon", 2).as[(String, Long)].collect().toSeq
