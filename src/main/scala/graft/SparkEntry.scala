@@ -278,6 +278,22 @@ object SparkEntry {
   private val dashboardFields =
     new java.util.WeakHashMap[SparkSession, graft.query.FieldCollection]
 
+  /** The `*harmonized*` federated view (G9) over the three published city
+    * datasets, dataset-tagged like ES's `_index`. `warm = true` serves the
+    * pinned cache; `def fedObj` keeps the cold-plan construction (3 CSV
+    * header reads + recipe plan builds) off the warm path, whose fast path
+    * is a catalog lookup and nothing else.
+    */
+  private def federatedHarmonized(s: SparkSession, warm: Boolean): DataFrame = {
+    val cities = Seq("baltimore", "detroit", "losangeles")
+    def fedObj = Federation(cities.map(c =>
+      s"${c}_harmonized" -> cityPublished(s, c).withColumn("dataset", lit(c))): _*)
+    val fedView = "graft_dashboard_fed"
+    if (!warm) fedObj.view("*harmonized*")
+    else if (s.catalog.tableExists(fedView)) s.table(fedView)
+    else fedObj.materialize(s, "*harmonized*", fedView)
+  }
+
   private def dashboardRefresh(s: SparkSession, warm: Boolean): DataFrame = {
     val cities = Seq("baltimore", "detroit", "losangeles")
     val fields = dashboardFields.synchronized {
@@ -293,17 +309,7 @@ object SparkEntry {
     val fc = fields
       .select("year", Widgets.Selection.RangeSel(2015, 2017))
       .select("hour", Widgets.Selection.RangeSel(0, 18))
-    // `def`, not `val`: building the federation re-reads the three CSV
-    // headers and re-builds the recipe plans — driver work the warm path
-    // must not pay once the cached view exists (the serving-tier fast path
-    // is a catalog lookup, nothing else).
-    def fedObj = Federation(cities.map(c =>
-      s"${c}_harmonized" -> cityPublished(s, c).withColumn("dataset", lit(c))): _*)
-    val fedView = "graft_dashboard_fed"
-    val fed =
-      if (!warm) fedObj.view("*harmonized*")
-      else if (s.catalog.tableExists(fedView)) s.table(fedView)
-      else fedObj.materialize(s, "*harmonized*", fedView)
+    val fed = federatedHarmonized(s, warm)
     val f = fed
       .where(col("datetime").isNotNull && col("datetime") >= "2010-01-01 00:00:00")
       .where(fc.compile)
@@ -758,6 +764,14 @@ object SparkEntry {
           "dict_uifilter")
         .orderBy("dataset", "dict_field")
         .limit(1000)
+    }),
+
+    "g7_typeahead_federated" -> ((s, _) => {
+      // The webapp's typeahead issues against the `*harmonized*` pattern,
+      // not one table (`views.js:378-412` + `config.js:16`): suggest the
+      // top values of the shared `description` field across every city at
+      // once, served from the pinned federated cache.
+      Aggs.typeahead(federatedHarmonized(s, warm = true), "description", "a", 10)
     }),
 
     "dashboard_refresh" -> ((s, _) => dashboardRefresh(s, warm = false)),
@@ -1417,6 +1431,17 @@ object SparkEntry {
     "dashboard_refresh" -> dashboardRefreshOracleSql,
     // the cache changes where the federated view is read from, never its rows
     "dashboard_refresh_warm" -> dashboardRefreshOracleSql,
+
+    "g7_typeahead_federated" ->
+      s"""WITH fed AS (
+         |${federatedCitySql}
+         |)
+         |SELECT description FROM (
+         |  SELECT description, count(*) AS count FROM fed
+         |  WHERE ${graft.expr.TextMatch.phrasePrefixSql("description", "a")}
+         |  GROUP BY description
+         |  ORDER BY count DESC, description ASC LIMIT 10
+         |)""".stripMargin,
 
     "q2_range_filter" ->
       """SELECT l_returnflag, count(*) AS n,

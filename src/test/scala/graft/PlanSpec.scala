@@ -150,6 +150,23 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("warm dashboard refresh plans entirely over the in-memory cache") {
+    // The §3.3 serving guarantee: once primed, one dashboard interaction
+    // (five visualizations under a fresh filter) must not touch a file
+    // source — every leg reads the pinned federated view, like the
+    // reference serving from its hot index.
+    val q = SparkEntry.queries("dashboard_refresh_warm")
+    q(spark, "unused").count() // prime: builds + pins view and dictionaries
+    // Leaf check on the physical plan: InMemoryTableScan is a LEAF — the
+    // cache-build subtree explain prints beneath InMemoryRelation is not
+    // executed, so a text search for "Scan csv" would false-positive.
+    val leaves = q(spark, "unused").queryExecution.sparkPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(l => l.nodeName.contains("In-memory table") ||
+        l.nodeName.contains("InMemoryTableScan") || l.nodeName.contains("LocalTableScan")),
+      s"warm dashboard reads a non-cache source: ${leaves.map(_.nodeName).distinct}")
+  }
+
   test("the composed prep pipeline stays at two shuffles: dedup window + final agg") {
     // fingerprint dedup → quality floor → language filter → split → counts:
     // the filters and the split predicate are row-local Column algebra, so
