@@ -145,6 +145,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming dictionary maintenance — the live half of
+    * [[graft.dict.Dictionary.profileIncrement]]'s 100 TB update story: keep
+    * the data dictionary current while a stream ingests, without ever
+    * re-profiling the corpus.
+    *
+    * Each micro-batch is profiled into one MERGEABLE increment (counts and
+    * moments as sums, min/max under the field's ordering, distincts as HLL
+    * sketches) and appended to a tiny at-rest increment table — per batch
+    * that's one row per column, kilobytes, regardless of batch size. The
+    * current dictionary is [[dictionaryFromIncrements]]: merge + finalize
+    * over the accumulated increments, cost proportional to
+    * batches × columns, never to rows. Compaction, when the batch count
+    * grows, is the same merge written back as one increment — it can run
+    * any time, because merging is associative and commutative.
+    */
+  def maintainDictionary(
+      events: DataFrame,
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.dict.Dictionary.profileIncrement(batch)
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The current dictionary implied by an increment table maintained by
+    * [[maintainDictionary]] (or any batch writer of
+    * [[graft.dict.Dictionary.profileIncrement]] rows).
+    */
+  def dictionaryFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    graft.dict.Dictionary.finalizeIncrement(
+      graft.dict.Dictionary.mergeIncrements(spark.read.parquet(incrementPath)))
+
   /** Batch sessionization — the backfill twin of [[sessionize]]: a gap of
     * more than `gapMs` between consecutive events of a user starts a new
     * session. Pure window algebra (lag → gap flag → running sum = session id

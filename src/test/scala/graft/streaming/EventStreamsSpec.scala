@@ -112,6 +112,37 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dictionary maintenance converges to the whole-corpus profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dict").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainDictionary(
+      mem.toDS().toDF(), incPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(ev(1, 0, 1, 1.5), ev(2, 5, 2, 2.5), ev(3, 10, 1, 3.5),
+      ev(4, 20, 3, 0.5))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // One increment row per column per batch, kilobytes at rest…
+    val inc = spark.read.parquet(incPath)
+    assert(inc.count() === 2 * all.head.productArity)
+    // …and the merged dictionary's exactly-mergeable stats equal a from-
+    // scratch profile of the full corpus (sketch/moment equivalence is
+    // pinned by DictionarySpec's split-merge tests).
+    val cols = Seq("dict_field", "dict_count", "dict_countmissing", "dict_min", "dict_max")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).orderBy("dict_field")
+        .collect().map(_.toSeq).toSeq
+    val streamed = rows(EventStreams.dictionaryFromIncrements(spark, incPath))
+    val scratch = rows(graft.dict.Dictionary.profile(all.toDS().toDF()))
+    assert(streamed === scratch)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batchEvents = Seq(ev(1, 0, 1, 1.0), ev(2, 5, 1, 2.0), ev(3, 8, 1, 3.0)).toDS()
     val batch = EventStreams.sessionizeBatch(batchEvents.toDF(), gapMs = 10 * 60000L)
