@@ -65,6 +65,11 @@ object GraftExtensions {
     ("vec_sum",
       info("vec_sum", "vec_sum(v) - sum of an array<double> vector's elements"),
       (args: Seq[Expression]) => VecSumExpr(args(0))),
+    ("graft_language_id",
+      info("graft_language_id",
+        "graft_language_id(text) - n-gram-profile language guess ('und' below threshold)"),
+      (args: Seq[Expression]) => LanguageIdExpr(args(0),
+        graft.ops.TextAnalysis.languageProfiles.toSeq, 0.05)),
   )
 
   /** Register on an already-built session (the extensions path only works at

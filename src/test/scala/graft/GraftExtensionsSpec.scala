@@ -26,6 +26,16 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(d === 11.0 && c === 1.0 && s === 3.5)
   }
 
+  test("language id from SQL agrees with the Column API") {
+    val (sql, api) = spark.sql(
+      "SELECT graft_language_id('the quick brown fox jumps over the lazy dog')")
+      .as[String].head() ->
+      Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+        .select(graft.ops.TextAnalysis.languageId(org.apache.spark.sql.functions.col("t")))
+        .as[String].head()
+    assert(sql === api && sql === "en")
+  }
+
   test("text kernels from SQL agree with the Column API") {
     val toks = spark.sql("SELECT graft_tokenize('Hello, World-42!')")
       .as[Seq[String]].head()
