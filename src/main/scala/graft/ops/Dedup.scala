@@ -23,15 +23,25 @@ import org.apache.spark.sql.types.DoubleType
 object Dedup {
 
   /** Exact dedup: keep, per distinct value of `keyCols`, the single row with
-    * the smallest `tieBreaker`. One hash-shuffle on the key; deterministic
-    * regardless of partitioning (unlike `dropDuplicates`, which keeps an
-    * arbitrary first row).
+    * the smallest `tieBreaker` (unique per group for a deterministic pick —
+    * any stable id column). Deterministic regardless of partitioning (unlike
+    * `dropDuplicates`, which keeps an arbitrary first row).
+    *
+    * Shape: a `min_by` AGGREGATE of the packed row, not a window
+    * `row_number`. Both are one shuffle on the key, but the window form
+    * moves EVERY duplicate row of a key to one task before discarding all
+    * but one — on the duplicate-heavy corpora that motivate dedup, a hot
+    * key (empty text, boilerplate) concentrates its whole clone set on one
+    * reducer. The aggregate gets map-side partial combine: each partition
+    * collapses its local clones first, so the shuffle carries at most one
+    * row per (partition, key) and hot keys cost nothing extra.
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker))
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn")
+    val cols = df.columns.toSeq
+    val packed = struct(cols.map(c => col(s"`$c`")): _*)
+    df.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(min_by(packed, col(s"`$tieBreaker`")).as("_row"))
+      .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
   /** Exact dedup on a normalized content fingerprint (case/punctuation

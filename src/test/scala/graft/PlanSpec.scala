@@ -142,12 +142,16 @@ class PlanSpec extends SparkSpecBase {
       s"global sort in pair-operator plan:\n$plan")
   }
 
-  test("windowed dedup rank uses a single shuffle on the dedup key") {
+  test("exact dedup collapses duplicates map-side with a single shuffle") {
     val df = Seq((1L, "t")).toDF("id", "text")
     val plan = planOf(graft.ops.Dedup.exact(df, Seq("text"), "id"))
-    // one Exchange for the window partitioning, no extra repartition
+    // one Exchange on the key, and a partial aggregate BEFORE it — the
+    // map-side combine that keeps a hot key's clone set from concentrating
+    // on one reducer (a window row_number would ship every duplicate).
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("Partial"),
+      s"no map-side partial aggregate in exact-dedup plan:\n$plan")
   }
 
   test("warm dashboard refresh plans entirely over the in-memory cache") {
