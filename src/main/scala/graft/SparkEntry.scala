@@ -406,6 +406,35 @@ object SparkEntry {
        |ORDER BY viz, key, subkey""".stripMargin
   }
 
+  /** The IVF coarse-quantizer assignment in DuckDB (refineIters=0), shared
+    * by the `ann_ivf` and `sample_embedding_percell` oracles: `e` (typed
+    * corpus) → `cent` (the `nlist` vectors with the smallest seeded
+    * md5-unit hash, in [[graft.ops.Sampling.hashUnitSql]] order — exactly
+    * [[graft.ops.Similarity.kmeansCentroids]]'s init pick) → `cellranked`
+    * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
+    * row). Emits CTE bodies only; callers continue the WITH chain.
+    */
+  private def ivfAssignCtesSql(nlist: Int): String = {
+    val u = ops.Sampling.hashUnitSql("vec_id", 42)
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
+       |  FROM (SELECT vec_id, v, $u AS u FROM e)
+       |  ORDER BY u, vec_id LIMIT $nlist
+       |), sim AS (
+       |  SELECT e.vec_id, e.v, cent.cell,
+       |    list_inner_product(e.v, cent.cv)
+       |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cent.cv, cent.cv))) AS ccos
+       |  FROM e, cent
+       |), cellranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cell ASC) AS r
+       |  FROM sim
+       |), assigned AS (
+       |  SELECT vec_id, v, cell FROM cellranked WHERE r = 1
+       |)""".stripMargin
+  }
+
   /** DuckDB mirror of one city's dictionary as the federated fetch sees it:
     * per-column stats over the harmonized relation, with the registry
     * metadata ([[graft.schema.HarmonizedSchema]]) inlined at oracle-build
@@ -1036,6 +1065,18 @@ object SparkEntry {
           refineIters = 1)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+
+    "sample_embedding_percell" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Diversity sampling: equal per-cell budget over the IVF quantizer
+      // cells — preserves rare-cluster coverage where a uniform sample
+      // collapses onto dense modes. Fully oracled at refineIters=0 (the
+      // centroid init, cell argmin, and hash-order keep are all
+      // SQL-expressible — same construction as ann_ivf).
+      Similarity.cellStratifiedSample(load(dir, "embeddings"), "vec_id", "embedding",
+          nlist = 8, perCell = 4)
+        .orderBy("cell", "vec_id")
     }),
 
     "ann_lsh" -> ((s, dir) => {
@@ -1941,7 +1982,7 @@ object SparkEntry {
     },
 
     // IVF at refineIters=0 is fully SQL-expressible: init centroids are the
-    // nlist=8 vectors with the smallest (md5-unit hash, vec_id) — the same
+    // nlist vectors with the smallest (md5-unit hash, vec_id) — the same
     // deterministic selection kmeansCentroids collects — and cell
     // assignment/probing are row_number() over per-(row, cell) cosines,
     // whose dot products DuckDB computes bit-identically (sequential
@@ -1949,24 +1990,7 @@ object SparkEntry {
     // their top-3; ranking is the brute-force shape over cell-joined
     // candidates.
     "ann_ivf" -> {
-      val u = ops.Sampling.hashUnitSql("vec_id", 42)
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (
-         |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
-         |  FROM (SELECT vec_id, v, $u AS u FROM e)
-         |  ORDER BY u, vec_id LIMIT 8
-         |), sim AS (
-         |  SELECT e.vec_id, e.v, cent.cell,
-         |    list_inner_product(e.v, cent.cv)
-         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cent.cv, cent.cv))) AS ccos
-         |  FROM e, cent
-         |), cellranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cell ASC) AS r
-         |  FROM sim
-         |), assigned AS (
-         |  SELECT vec_id, v, cell FROM cellranked WHERE r = 1
-         |), qprobe AS (
+      s"""WITH ${ivfAssignCtesSql(nlist = 8)}, qprobe AS (
          |  SELECT vec_id AS query_id, v AS qv, cell
          |  FROM cellranked WHERE r <= 3 AND vec_id < 5
          |), scored AS (
@@ -1982,6 +2006,20 @@ object SparkEntry {
          |)
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Same assignment CTEs as ann_ivf; the keep order inside each cell is
+    // the seeded md5-unit hash (then id) — the deterministic per-cell
+    // budget selection restated exactly.
+    "sample_embedding_percell" -> {
+      val u = ops.Sampling.hashUnitSql("a.vec_id", 42)
+      s"""WITH ${ivfAssignCtesSql(nlist = 8)}, keep AS (
+         |  SELECT a.vec_id, a.cell,
+         |    row_number() OVER (PARTITION BY a.cell ORDER BY $u, a.vec_id) AS kr
+         |  FROM assigned a
+         |)
+         |SELECT vec_id, cell FROM keep WHERE kr <= 4
+         |ORDER BY cell, vec_id""".stripMargin
     },
   )
 }

@@ -204,6 +204,42 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Cell-stratified deterministic sampling over an embedding corpus —
+    * "diversity sampling" for training-data curation: assign every vector
+    * to its nearest coarse-quantizer cell (the IVF pattern) and keep an
+    * EQUAL per-cell budget, chosen by seeded hash order. A uniform random
+    * downsample collapses onto the corpus's dense modes (boilerplate,
+    * template text); an equal per-cell budget preserves rare-cluster
+    * coverage at any reduction ratio — the standard coreset-flavored
+    * selection a 100 TB curation pass wants.
+    *
+    * Deterministic end to end: centroids are the seeded hash-unit pick
+    * ([[kmeansCentroids]] init), the per-cell keep order is
+    * `(hashUnit(id), id)` — same rows kept on any cluster at any
+    * parallelism, and reproducible in SQL (see the
+    * `sample_embedding_percell` oracle). Shuffle cost: one hash partition
+    * on cell id for the per-cell window; cells are quantizer-balanced, so
+    * no reducer hot-spots.
+    *
+    * @param perCell rows kept per cell (cells with fewer rows keep all)
+    * @param refineIters optional spherical k-means refinement of the
+    *                    centroids (> 0 trades SQL-reproducibility for
+    *                    better-balanced cells — see `ann_ivf_nlist256`)
+    */
+  def cellStratifiedSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, perCell: Int,
+      refineIters: Int = 0, seed: Int = 42): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed)
+    val c = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+      .withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
+      .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
+    val w = Window.partitionBy(col("_cell")).orderBy(col("_u"), col("_id"))
+    c.withColumn("_keep_rank", row_number().over(w))
+      .where(col("_keep_rank") <= perCell)
+      .select(col("_id").as(idCol), col("_cell").cast("long").as("cell"))
+  }
+
   /** Exact embedding near-duplicate pairs: every `(id_a < id_b)` pair with
     * cosine `>= threshold`, by brute-force self-join — O(n²), the correctness
     * baseline. Use [[embeddingNearDupPairs]] (LSH) when n² is unaffordable.

@@ -113,6 +113,23 @@ class SimilaritySpec extends SparkSpecBase {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("cellStratifiedSample keeps an equal per-cell budget, deterministically") {
+    val corpus = clusteredVecs
+    val kept = Similarity.cellStratifiedSample(corpus, "vec_id", "embedding",
+      nlist = 6, perCell = 3)
+    val byCell = kept.groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell.values.forall(_ <= 3L), s"cell over budget: $byCell")
+    assert(byCell.values.sum === kept.count())
+    // coverage: every cell that has members keeps at least one
+    assert(byCell.values.forall(_ >= 1L))
+    // deterministic under partitioning
+    val again = Similarity.cellStratifiedSample(corpus.repartition(7), "vec_id", "embedding",
+      nlist = 6, perCell = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("embeddingNearDupPairs (LSH) pairs are a subset of brute force with high recall") {
     val brute = Similarity.bruteForcePairs(clusteredVecs, "vec_id", "embedding", threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
