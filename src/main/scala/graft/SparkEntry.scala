@@ -1067,6 +1067,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "join_salted" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Manual hot-key spread (the skew tool for when broadcast doesn't fit
+      // and AQE splitting can't help a single flooding key): fact rows join
+      // the dimension through (key, salt). Same rows as the plain
+      // equi-join — oracled as one.
+      val li = load(dir, "lineitem")
+      val ord = load(dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      ops.Joins.saltedEquiJoin(li, ord, Seq("l_orderkey"), saltBy = "l_partkey", numSalts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "sample_embedding_percell" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Diversity sampling: equal per-cell budget over the IVF quantizer
@@ -2007,6 +2022,13 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // salting spreads rows across reducers but never changes the join result
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Same assignment CTEs as ann_ivf; the keep order inside each cell is
     // the seeded md5-unit hash (then id) — the deterministic per-cell
