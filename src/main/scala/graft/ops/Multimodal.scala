@@ -178,13 +178,14 @@ object Multimodal {
     }
   }
 
-  /** Real video CONTAINER parsing — an ISO-BMFF (MP4/MOV) box walk, pure
-    * byte arithmetic on the public container spec (ISO/IEC 14496-12), no
-    * dependency. Extracts the `ftyp` major brand and the `moov/mvhd`
-    * duration; FRAME decode still needs a real codec (ffmpeg) and stays
-    * stubbed — metadata-level processing (duration filters, format
-    * routing, corrupt-file triage) is most of what a training-data
-    * pipeline does to video anyway.
+  /** Real video CONTAINER parsing — an ISO-BMFF (MP4/MOV) box walk and a
+    * RIFF/AVI chunk walk, pure byte arithmetic on the public container
+    * specs (ISO/IEC 14496-12; the RIFF AVI form), no dependency. Extracts
+    * the `ftyp` major brand and `moov/mvhd` duration (MP4) and the `avih`
+    * cadence/frame count (AVI). FRAME decode is REAL for MJPEG AVIs —
+    * each `..dc` chunk is a complete JPEG the JDK decodes — and stays
+    * stubbed for inter-frame codecs (H.26x needs ffmpeg; documented
+    * one-function seam in [[Multimodal.sampleFrames]]).
     */
   object VideoCodec {
     final case class Mp4Meta(majorBrand: String, durationMs: Long)
@@ -237,6 +238,79 @@ object Multimodal {
         // an MP4 without ftyp is not one we claim to understand
         brand.flatMap(b => duration.map(d => Mp4Meta(b, d)))
       } catch { case _: Exception => None }
+    }
+
+    // ---- RIFF/AVI (little-endian) — the other public container layout, and
+    // the one whose dominant legacy codec (MJPEG) the JDK can actually
+    // decode: every `..dc` video chunk of an MJPEG AVI is a complete JPEG,
+    // so frame EXTRACTION is a container walk and frame DECODE is
+    // javax.imageio — real video frames with no native codec dependency.
+    // Chunk layout per the public RIFF spec: fourcc + u32le size + payload,
+    // WORD-aligned (odd sizes pad one byte).
+
+    final case class AviMeta(microSecPerFrame: Long, totalFrames: Long) {
+      def durationMs: Long = microSecPerFrame * totalFrames / 1000L
+    }
+
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    private def isRiffAvi(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "AVI "
+
+    /** `avih` main header: frame cadence and count (offsets per the public
+      * AVIMAINHEADER layout: dwMicroSecPerFrame at +0, dwTotalFrames at +16).
+      */
+    def parseAviMeta(bytes: Array[Byte]): Option[AviMeta] = {
+      if (!isRiffAvi(bytes)) return None
+      try {
+        var meta: Option[AviMeta] = None
+        def walk(from: Int, until: Int): Unit = {
+          var off = from
+          while (off + 8 <= until && meta.isEmpty) {
+            val kind = fourCC(bytes, off)
+            val size = u32le(bytes, off + 4)
+            if (size < 0 || off + 8 + size > until) return
+            if (kind == "LIST" && size >= 4) walk(off + 12, off + 8 + size.toInt)
+            else if (kind == "avih" && size >= 20)
+              meta = Some(AviMeta(u32le(bytes, off + 8), u32le(bytes, off + 8 + 16)))
+            off += 8 + size.toInt + (size.toInt & 1)
+          }
+        }
+        walk(12, bytes.length)
+        meta
+      } catch { case _: Exception => None }
+    }
+
+    /** All MJPEG video frames of an AVI, in stream order: payloads of the
+      * `movi` list's `..dc` chunks that start with the JPEG SOI marker.
+      * Empty for non-AVI bytes or non-MJPEG streams (caller falls back).
+      */
+    def mjpegFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      if (!isRiffAvi(bytes)) return IndexedSeq.empty
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+          var off = from
+          while (off + 8 <= until) {
+            val kind = fourCC(bytes, off)
+            val size = u32le(bytes, off + 4)
+            if (size < 0 || off + 8 + size > until) return
+            if (kind == "LIST" && size >= 4) {
+              val listType = fourCC(bytes, off + 8)
+              walk(off + 12, off + 8 + size.toInt, inMovi || listType == "movi")
+            } else if (inMovi && kind.endsWith("dc") && size >= 2 &&
+                (bytes(off + 8) & 0xff) == 0xff && (bytes(off + 9) & 0xff) == 0xd8) {
+              out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size.toInt)
+            }
+            off += 8 + size.toInt + (size.toInt & 1)
+          }
+        }
+        walk(12, bytes.length, inMovi = false)
+        out.toIndexedSeq
+      } catch { case _: Exception => IndexedSeq.empty }
     }
   }
 
@@ -330,21 +404,38 @@ object Multimodal {
         case Some(meta) =>
           m.copy(meta = m.meta.copy(
             format = meta.majorBrand.trim, durationMs = meta.durationMs))
-        case None => m
+        case None => VideoCodec.parseAviMeta(m.bytes) match {
+          case Some(avi) =>
+            m.copy(meta = m.meta.copy(format = "avi", durationMs = avi.durationMs))
+          case None => m
+        }
       }
     }
   }
 
   /** Frame sampling for video rows: one output row per sampled frame.
     * Non-video rows pass through with zero frames (filtered out).
+    *
+    * REAL for MJPEG AVIs: the container walk yields every `..dc` JPEG and
+    * `framesPerVideo` evenly-spaced ones (first and last always included)
+    * come back as decodable JPEG bytes. Other codecs (H.26x in MP4) fall
+    * back to the labeled [[FakeCodec.sampleFrames]] stub — the one-function
+    * seam a real ffmpeg integration replaces.
     */
   def sampleFrames(items: Dataset[MediaItem], framesPerVideo: Int = 4): Dataset[MediaFrame] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.flatMap { m =>
       if (m.meta == null || m.meta.kind != "video" || m.bytes == null) Seq.empty[MediaFrame]
-      else FakeCodec.sampleFrames(m.bytes, framesPerVideo).zipWithIndex.map {
-        case (frame, idx) => MediaFrame(m.id, idx, frame)
+      else {
+        val real = VideoCodec.mjpegFrames(m.bytes)
+        val frames =
+          if (real.isEmpty) FakeCodec.sampleFrames(m.bytes, framesPerVideo)
+          else if (real.length <= framesPerVideo) real
+          else if (framesPerVideo == 1) IndexedSeq(real.head)
+          else (0 until framesPerVideo).map(i =>
+            real((i.toLong * (real.length - 1) / (framesPerVideo - 1)).toInt))
+        frames.zipWithIndex.map { case (frame, idx) => MediaFrame(m.id, idx, frame) }
       }
     }
   }

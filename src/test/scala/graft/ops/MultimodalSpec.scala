@@ -174,6 +174,79 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(2).meta.durationMs === 111L)
   }
 
+  // ---- real MJPEG-AVI frame decode (RIFF container built in-test) ----
+
+  /** One-color JPEG frame via javax.imageio. */
+  private def jpegFrame(rgb: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/AVI per the public AVI form: `hdrl` list holding `avih`
+    * (cadence + frame count), then a `movi` list of `00dc` MJPEG chunks
+    * (WORD-aligned, as the spec requires).
+    */
+  private def testAvi(frames: Seq[Array[Byte]], microSecPerFrame: Int = 40000): Array[Byte] = {
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val body = bodies.flatten.toArray
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("ISO-8859-1")).putInt(4 + body.length)
+        .put(listType.getBytes("ISO-8859-1")).put(body)
+      b.array()
+    }
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length) // dwTotalFrames at +16
+      .array()
+    val body = list("hdrl", Seq(chunk("avih", avih))) ++
+      list("movi", frames.map(chunk("00dc", _)))
+    val b = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + body.length)
+      .put("AVI ".getBytes("ISO-8859-1")).put(body)
+    b.array()
+  }
+
+  test("VideoCodec parses avih cadence/frames and extracts MJPEG frames") {
+    val fs = Seq(jpegFrame(0xff0000), jpegFrame(0x00ff00), jpegFrame(0x0000ff))
+    val avi = testAvi(fs, microSecPerFrame = 40000) // 25 fps, 3 frames = 120 ms
+    assert(VideoCodec.parseAviMeta(avi).get.durationMs === 120L)
+    val got = VideoCodec.mjpegFrames(avi)
+    assert(got.length === 3)
+    assert(got.map(_.toSeq) === fs.map(_.toSeq)) // byte-exact round trip
+    assert(VideoCodec.mjpegFrames("not an avi".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFrames returns REAL decodable JPEG frames from an MJPEG AVI") {
+    val fs = (0 until 5).map(i => jpegFrame(0x010101 * (40 * i + 20)))
+    val in = Seq(
+      MediaItem(1L, testAvi(fs), MediaMeta("video", "avi", 8, 8, 0L)),
+    ).toDS()
+    val out = sampleFrames(in, framesPerVideo = 3).collect().sortBy(_.frameIndex)
+    assert(out.length === 3)
+    // evenly spaced, first and last included: source frames 0, 2, 4
+    val decoded = out.map(f => javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f.frameBytes)))
+    assert(decoded.forall(_ != null), "frames must decode as JPEG")
+    val brightness = decoded.map(img => img.getRGB(4, 4) & 0xff)
+    assert(brightness(0) < brightness(1) && brightness(1) < brightness(2),
+      s"expected frames from start/middle/end, got brightness ${brightness.toSeq}")
+    // refreshVideoMeta stamps the AVI's measured duration too
+    val refreshed = refreshVideoMeta(in).collect().head
+    assert(refreshed.meta.format === "avi" && refreshed.meta.durationMs === 200L)
+  }
+
   test("resize really rescales decodable images and re-encodes PNG") {
     val real = Seq(
       MediaItem(1L, testPng(4, 2), MediaMeta("image", "png", 4, 2, 0L)),
