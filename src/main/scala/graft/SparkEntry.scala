@@ -758,6 +758,30 @@ object SparkEntry {
         .orderBy("dict_field")
     }),
 
+    "dict_quantiles" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The percentile surface of the dictionary (robust range-widget
+      // bounds), EXACT form for the oracle: Spark's percentile() and
+      // DuckDB's quantile_cont share the (n-1)*p interpolation definition;
+      // rounding guards the interpolation arithmetic's last ulp. The
+      // KLL-sketch scale twin (quantileIncrement/mergeQuantileIncrements/
+      // finalizeQuantiles — mergeable, one kilobyte row per column) is
+      // pinned against this exact form in DictionarySpec.
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        expr(s"percentile(`$c`, array(0.25d, 0.5d, 0.75d))").as(s"_${i}_q")
+      }
+      val one = load(dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stackGroups = cols.zipWithIndex
+        .map { case (c, i) => s"'$c', _${i}_q" }.mkString(", ")
+      one.selectExpr(s"stack(${cols.length}, $stackGroups) AS (dict_field, _q)")
+        .select(col("dict_field"),
+          round(col("_q").getItem(0), 4).as("p25"),
+          round(col("_q").getItem(1), 4).as("p50"),
+          round(col("_q").getItem(2), 4).as("p75"))
+        .orderBy("dict_field")
+    }),
+
     "q8_dict_fetch_warm" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Warm twin of q8_dict_fetch — the reference's actual serving shape:
@@ -1680,6 +1704,18 @@ object SparkEntry {
     // split-merge of exactly-mergeable stats == one whole-corpus profile
     "dict_profile_incremental" -> dictOracle(
       "dict_field, dict_count, dict_countmissing, dict_min, dict_max"),
+
+    // quantile_cont and Spark's percentile() share the (n-1)*p interpolated
+    // definition; both sides round identically (DuckDB lists are 1-based)
+    "dict_quantiles" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val subs = cols.map(c =>
+        s"SELECT '$c' AS dict_field, quantile_cont($c, [0.25, 0.5, 0.75]) AS q FROM lineitem")
+      s"""SELECT dict_field, round(q[1], 4) AS p25, round(q[2], 4) AS p50,
+         |  round(q[3], 4) AS p75
+         |FROM (${subs.mkString(" UNION ALL ")})
+         |ORDER BY dict_field""".stripMargin
+    },
 
     // the cache changes where the dictionary is read from, never its content
     "q8_dict_fetch_warm" -> dictOracle(

@@ -246,6 +246,54 @@ object Dictionary {
         hll_union_agg(col("inc_hll")).as("inc_hll"))
   }
 
+  /** Mergeable numeric QUANTILES — the percentile side of incremental
+    * dictionary maintenance. Min/max alone make poor range-widget bounds at
+    * scale (one outlier row stretches the slider to uselessness); the
+    * robust bounds are percentiles (p1/p99), and the mergeable form is a
+    * KLL sketch (DataSketches, built into Spark 4 as `kll_sketch_agg_*` /
+    * `kll_merge_agg_*`) — same maintenance contract as the HLL distincts:
+    * profile only the new partition, merge kilobyte sketch rows, never
+    * re-scan the corpus. One row per NUMERIC column: `(dict_field,
+    * inc_kll)`.
+    */
+  def quantileIncrement(df: DataFrame): DataFrame = {
+    val numeric = df.schema.fields.filter(f => isNumeric(f.dataType))
+    require(numeric.nonEmpty, "quantileIncrement: no numeric columns")
+    val aggs = numeric.zipWithIndex.map { case (f, i) =>
+      expr(s"kll_sketch_agg_double(cast(`${f.name}` as double))").as(s"_${i}_kll")
+    }.toSeq
+    val oneRow = df.agg(aggs.head, aggs.tail: _*)
+    val stackGroups = numeric.zipWithIndex.map { case (f, i) =>
+      s"'${f.name.replace("'", "\\'")}', _${i}_kll"
+    }.mkString(", ")
+    oneRow.selectExpr(
+      s"stack(${numeric.length}, $stackGroups) AS (dict_field, inc_kll)")
+  }
+
+  /** Merge quantile increments (associative/commutative, like
+    * [[mergeIncrements]]).
+    */
+  def mergeQuantileIncrements(increments: DataFrame*): DataFrame = {
+    require(increments.nonEmpty, "mergeQuantileIncrements: no increments")
+    increments.reduce(_.unionByName(_))
+      .groupBy("dict_field")
+      .agg(expr("kll_merge_agg_double(inc_kll)").as("inc_kll"))
+  }
+
+  /** Render a (merged) quantile increment as `(dict_field, p<NN>...)` —
+    * one estimate column per requested probability.
+    */
+  def finalizeQuantiles(
+      inc: DataFrame,
+      probs: Seq[Double] = Seq(0.01, 0.25, 0.5, 0.75, 0.99)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), "probs must be in [0,1]")
+    val qs = probs.map { p =>
+      val name = "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+      expr(s"kll_sketch_get_quantile_double(inc_kll, cast($p as double))").as(name)
+    }
+    inc.select(col("dict_field") +: qs: _*)
+  }
+
   /** Render a (merged) increment as a standard dictionary. Mean and
     * population stddev come from the merged moments
     * (`σ² = Σx²/n − (Σx/n)²`, clamped at 0 against float cancellation);

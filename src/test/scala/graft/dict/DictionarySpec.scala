@@ -146,6 +146,37 @@ class DictionarySpec extends SparkSpecBase {
     assert(t.getAs[String]("dict_min") === "9" && t.getAs[String]("dict_max") === "10")
   }
 
+  test("mergeable KLL quantiles: split-merge agrees with whole-corpus and exact percentiles") {
+    val values = (1 to 400).map(_.toDouble)
+    val df = values.map(v => (v.toLong, v)).toDF("id", "x")
+
+    // whole-corpus sketch ≈ exact percentile (KLL stores all 400 values at
+    // default k — exact at this size)
+    val whole = Dictionary.finalizeQuantiles(
+      Dictionary.quantileIncrement(df), probs = Seq(0.25, 0.5, 0.75))
+      .where(col("dict_field") === "x").collect().head
+    val exact = df.selectExpr("percentile(x, array(0.25d, 0.5d, 0.75d)) AS q")
+      .collect().head.getSeq[Double](0)
+    for ((p, i) <- Seq("p25", "p50", "p75").zipWithIndex)
+      assert(math.abs(whole.getAs[Double](p) - exact(i)) <= 2.0,
+        s"$p: sketch ${whole.getAs[Double](p)} vs exact ${exact(i)}")
+
+    // split → merge lands within KLL rank error of the whole-corpus sketch
+    val merged = Dictionary.finalizeQuantiles(
+      Dictionary.mergeQuantileIncrements(
+        Dictionary.quantileIncrement(df.where(col("id") <= 200)),
+        Dictionary.quantileIncrement(df.where(col("id") > 200))),
+      probs = Seq(0.25, 0.5, 0.75))
+      .where(col("dict_field") === "x").collect().head
+    for (p <- Seq("p25", "p50", "p75"))
+      assert(math.abs(merged.getAs[Double](p) - whole.getAs[Double](p)) <= 8.0,
+        s"$p: merged ${merged.getAs[Double](p)} vs whole ${whole.getAs[Double](p)}")
+
+    // only numeric columns sketch
+    assert(Dictionary.quantileIncrement(Seq((1, "a")).toDF("n", "s"))
+      .select("dict_field").as[String].collect().toSeq === Seq("n"))
+  }
+
   test("materializeProfile caches the dictionary and matches the cold profile") {
     val name = "dictspec_warm"
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("n", "s")
