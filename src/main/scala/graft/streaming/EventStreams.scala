@@ -182,6 +182,39 @@ object EventStreams {
     graft.dict.Dictionary.finalizeIncrement(
       graft.dict.Dictionary.mergeIncrements(spark.read.parquet(incrementPath)))
 
+  /** Compact an increment table: merge the accumulated per-batch rows into
+    * ONE increment per column and swap it in, bounding the table at columns
+    * × 1 rows no matter how many batches have run. Safe at any time —
+    * merging is associative and commutative, so compaction commutes with
+    * concurrent appends only if the writer is paused; call it from the
+    * maintenance cadence that owns the table (the streaming query's own
+    * `foreachBatch` epoch, a nightly job). The swap is write-new → move-old
+    * → promote — the same recover-by-re-merge posture as the appends (on a
+    * real deployment this seam is a transactional table format's atomic
+    * commit).
+    */
+  def compactIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = graft.dict.Dictionary
+      .mergeIncrements(spark.read.parquet(incrementPath))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(incrementPath)
+      val old = new org.apache.hadoop.fs.Path(incrementPath + ".old")
+      fs.delete(old, true)
+      fs.rename(dst, old)
+      fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
+      fs.delete(old, true)
+    } finally merged.unpersist()
+  }
+
   /** Batch sessionization — the backfill twin of [[sessionize]]: a gap of
     * more than `gapMs` between consecutive events of a user starts a new
     * session. Pure window algebra (lag → gap flag → running sum = session id

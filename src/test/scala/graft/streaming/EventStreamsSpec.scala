@@ -141,6 +141,12 @@ class EventStreamsSpec extends SparkSpecBase {
     val streamed = rows(EventStreams.dictionaryFromIncrements(spark, incPath))
     val scratch = rows(graft.dict.Dictionary.profile(all.toDS().toDF()))
     assert(streamed === scratch)
+
+    // compaction bounds the table at one row per column and preserves the
+    // implied dictionary exactly
+    EventStreams.compactIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() === all.head.productArity.toLong)
+    assert(rows(EventStreams.dictionaryFromIncrements(spark, incPath)) === streamed)
   }
 
   test("batch and streaming sessionization agree on closed sessions") {
