@@ -35,6 +35,14 @@ object Dedup {
     * reducer. The aggregate gets map-side partial combine: each partition
     * collapses its local clones first, so the shuffle carries at most one
     * row per (partition, key) and hot keys cost nothing extra.
+    *
+    * Measured local trade: the struct buffer keeps this out of
+    * whole-stage-codegen HashAggregate (ObjectHashAggregate instead), so on
+    * a NEAR-UNIQUE corpus the window form is ~2x faster at bench scale
+    * (0.2s vs 0.6s on 5k docs) — constant overhead, not a scaling term.
+    * The aggregate is the default because the failure mode it removes
+    * (clone-set concentration) is unbounded, while the overhead it adds is
+    * bounded and local.
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
     val cols = df.columns.toSeq
