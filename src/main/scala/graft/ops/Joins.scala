@@ -44,6 +44,8 @@ object Joins {
       saltBy: String,
       numSalts: Int): DataFrame = {
     require(numSalts >= 1, "numSalts must be >= 1")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedEquiJoin: '_salt' column name is reserved")
     val salted = left.withColumn("_salt",
       pmod(xxhash64(col(s"`$saltBy`")), lit(numSalts.toLong)))
     val replicated = right.withColumn("_salt",

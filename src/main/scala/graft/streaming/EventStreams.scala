@@ -166,11 +166,24 @@ object EventStreams {
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a failure after the append but
+        // before the checkpoint commit replays the batch and appends again.
+        // Stamping the epoch makes the table idempotent to READ — consumers
+        // keep one increment per (column, batch) — without needing an
+        // atomic-commit sink.
         graft.dict.Dictionary.profileIncrement(batch)
+          .withColumn("inc_batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append").parquet(incrementPath)
       }
       .start()
+
+  /** One increment row per (column, batch), dropping at-least-once replays;
+    * tables without the epoch column (plain batch writers) pass through.
+    */
+  private def dedupedIncrements(df: DataFrame): DataFrame =
+    if (!df.columns.contains("inc_batch_id")) df
+    else df.dropDuplicates("dict_field", "inc_batch_id").drop("inc_batch_id")
 
   /** The current dictionary implied by an increment table maintained by
     * [[maintainDictionary]] (or any batch writer of
@@ -180,7 +193,8 @@ object EventStreams {
       spark: org.apache.spark.sql.SparkSession,
       incrementPath: String): DataFrame =
     graft.dict.Dictionary.finalizeIncrement(
-      graft.dict.Dictionary.mergeIncrements(spark.read.parquet(incrementPath)))
+      graft.dict.Dictionary.mergeIncrements(
+        dedupedIncrements(spark.read.parquet(incrementPath))))
 
   /** Compact an increment table: merge the accumulated per-batch rows into
     * ONE increment per column and swap it in, bounding the table at columns
@@ -197,7 +211,7 @@ object EventStreams {
       spark: org.apache.spark.sql.SparkSession,
       incrementPath: String): Unit = {
     val merged = graft.dict.Dictionary
-      .mergeIncrements(spark.read.parquet(incrementPath))
+      .mergeIncrements(dedupedIncrements(spark.read.parquet(incrementPath)))
       .coalesce(1)
       .cache()
     try {

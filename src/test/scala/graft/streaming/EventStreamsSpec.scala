@@ -142,6 +142,14 @@ class EventStreamsSpec extends SparkSpecBase {
     val scratch = rows(graft.dict.Dictionary.profile(all.toDS().toDF()))
     assert(streamed === scratch)
 
+    // at-least-once replay: re-appending an epoch's increment (what a
+    // foreachBatch retry does) must not change the implied dictionary
+    import org.apache.spark.sql.functions.col
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(rows(EventStreams.dictionaryFromIncrements(spark, incPath)) === streamed,
+      "a replayed batch inflated the dictionary")
+
     // compaction bounds the table at one row per column and preserves the
     // implied dictionary exactly
     EventStreams.compactIncrements(spark, incPath)
