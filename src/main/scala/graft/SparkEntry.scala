@@ -294,7 +294,11 @@ object SparkEntry {
     else fedObj.materialize(s, "*harmonized*", fedView)
   }
 
-  private def dashboardRefresh(s: SparkSession, warm: Boolean): DataFrame = {
+  /** The federated view under the dashboard's CURRENT filter state (the
+    * widget conjunction + the global time filter) — what every saved viz
+    * and every map drill-down aggregates.
+    */
+  private def dashboardFiltered(s: SparkSession, warm: Boolean): DataFrame = {
     val cities = Seq("baltimore", "detroit", "losangeles")
     val fields = dashboardFields.synchronized {
       Option(dashboardFields.get(s)).getOrElse {
@@ -309,10 +313,13 @@ object SparkEntry {
     val fc = fields
       .select("year", Widgets.Selection.RangeSel(2015, 2017))
       .select("hour", Widgets.Selection.RangeSel(0, 18))
-    val fed = federatedHarmonized(s, warm)
-    val f = fed
+    federatedHarmonized(s, warm)
       .where(col("datetime").isNotNull && col("datetime") >= "2010-01-01 00:00:00")
       .where(fc.compile)
+  }
+
+  private def dashboardRefresh(s: SparkSession, warm: Boolean): DataFrame = {
+    val f = dashboardFiltered(s, warm)
     def flat(name: String, df: DataFrame, key: String) =
       df.select(lit(name).as("viz"), col(key).cast("string").as("key"),
         lit("").as("subkey"), col("count"))
@@ -350,6 +357,18 @@ object SparkEntry {
     * interleave), labeled and projected onto one (viz, key, subkey, count)
     * schema.
     */
+  /** The `fed` + `f` CTEs (federated relation + the dashboard's filter
+    * state) shared by the refresh and drill-down oracles.
+    */
+  private def dashboardFilteredCtesSql: String =
+    s"""fed AS (
+       |${federatedCitySql}
+       |), f AS (
+       |  SELECT * FROM fed
+       |  WHERE datetime IS NOT NULL AND datetime >= '2010-01-01 00:00:00'
+       |    AND year >= 2015 AND year <= 2017 AND hour >= 0 AND hour <= 18
+       |)""".stripMargin
+
   private def dashboardRefreshOracleSql: String = {
     def terms(viz: String, key: String) =
       s"""SELECT * FROM (
@@ -357,13 +376,7 @@ object SparkEntry {
          |    count(*) AS count
          |  FROM f GROUP BY $key ORDER BY count DESC, key ASC LIMIT 10
          |)""".stripMargin
-    s"""WITH fed AS (
-       |${federatedCitySql}
-       |), f AS (
-       |  SELECT * FROM fed
-       |  WHERE datetime IS NOT NULL AND datetime >= '2010-01-01 00:00:00'
-       |    AND year >= 2015 AND year <= 2017 AND hour >= 0 AND hour <= 18
-       |)
+    s"""WITH ${dashboardFilteredCtesSql}
        |${terms("description_pie", "description")}
        |UNION ALL ${terms("city_pie", "city")}
        |UNION ALL SELECT * FROM (
@@ -835,6 +848,21 @@ object SparkEntry {
       // the latency a user feels per widget change (reference: one Kibana
       // dashboard refresh = five ES _search calls against the hot index).
       dashboardRefresh(s, warm = true)
+    }),
+
+    "dashboard_map_drilldown" -> ((s, _) => {
+      // A tile-map click: Kibana zooms into the clicked cell — the cell's
+      // decoded bounds become lat/lon RANGE predicates (pushed into the
+      // scan; PlanSpec pins this) and autoPrecision deepens the grid one
+      // level (cell "d" spans lat [0,45) lon [-90,-45) → precision 3) —
+      // while the dashboard's widget + time filters stay applied. Keeps
+      // Baltimore and Detroit, drops Los Angeles (lon -118 outside).
+      val f = dashboardFiltered(s, warm = true)
+      val parts = split(col("geolocation"), ",")
+      val pts = f.where(length(col("geolocation")) > 0)
+        .withColumn("_lat", parts.getItem(0).cast("double"))
+        .withColumn("_lon", parts.getItem(1).cast("double"))
+      Aggs.geohashGridDrilldown(pts, "_lat", "_lon", cell = "d")
     }),
 
     // ===== §2.5 aggregations (G1-G9) =====
@@ -1511,6 +1539,36 @@ object SparkEntry {
     "dashboard_refresh" -> dashboardRefreshOracleSql,
     // the cache changes where the federated view is read from, never its rows
     "dashboard_refresh_warm" -> dashboardRefreshOracleSql,
+
+    // Same filtered-federation CTEs as the refresh; the clicked cell "d"
+    // decodes to lat [0,45) lon [-90,-45), and the precision-3 interleave
+    // is the g6_geohash_auto mirror (8 lon bits, 7 lat bits, lon leads).
+    "dashboard_map_drilldown" ->
+      s"""WITH ${dashboardFilteredCtesSql}, pts AS (
+         |  SELECT split_part(geolocation, ',', 1)::DOUBLE AS lat,
+         |         split_part(geolocation, ',', 2)::DOUBLE AS lon
+         |  FROM f WHERE length(geolocation) > 0
+         |), zoomed AS (
+         |  SELECT * FROM pts
+         |  WHERE lat >= 0 AND lat < 45 AND lon >= -90 AND lon < -45
+         |), idx AS (
+         |  SELECT least(127, greatest(0, floor((lat + 90) / 180 * 128)))::INT AS la,
+         |         least(255, greatest(0, floor((lon + 180) / 360 * 256)))::INT AS lo
+         |  FROM zoomed
+         |), gh AS (
+         |  SELECT ((lo & 128) << 7) | ((lo & 64) << 6) | ((lo & 32) << 5)
+         |       | ((lo & 16) << 4) | ((lo & 8) << 3) | ((lo & 4) << 2)
+         |       | ((lo & 2) << 1) | (lo & 1)
+         |       | ((la & 64) << 7) | ((la & 32) << 6) | ((la & 16) << 5)
+         |       | ((la & 8) << 4) | ((la & 4) << 3) | ((la & 2) << 2)
+         |       | ((la & 1) << 1) AS v
+         |  FROM idx
+         |)
+         |SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v >> 10) + 1, 1) ||
+         |       substr('0123456789bcdefghjkmnpqrstuvwxyz', ((v >> 5) & 31) + 1, 1) ||
+         |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
+         |       count(*) AS count
+         |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin,
 
     "g7_typeahead_federated" ->
       s"""WITH fed AS (
