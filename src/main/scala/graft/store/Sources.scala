@@ -19,4 +19,54 @@ object Sources {
       .option("header", "true")
       .option("inferSchema", "false")
       .csv(path)
+
+  /** S2 — raw-source ingest: stream an HTTP(S)/file URL into the store's
+    * raw zone (reference: `copy_from_website_to_s3` — `curl` piped to
+    * `aws s3 cp` as a notebook subprocess, `Baltimore-notebook.ipynb`
+    * cell 9). Here it writes through the same Hadoop `FileSystem`
+    * abstraction as every sink, so the raw zone lands wherever the
+    * warehouse points (`file://`, `hdfs://`, `s3a://` — configuration,
+    * not code), and the landing is staged-then-renamed so a half-fetched
+    * file never looks ingested.
+    *
+    * Driver-side by design, like the reference: ingest is ONE raw object
+    * per source URL (a city portal CSV), I/O-bound and rare — not a
+    * distributed operator. A source LIST parallelizes by calling this from
+    * whatever orchestrates the list; the engine's distribution starts at
+    * the [[csvAllStrings]] scan of what landed.
+    *
+    * @return bytes copied
+    */
+  def fetchToRaw(
+      spark: SparkSession,
+      url: String,
+      targetPath: String,
+      connectTimeoutMs: Int = 30000,
+      readTimeoutMs: Int = 300000): Long = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(targetPath), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val staged = new org.apache.hadoop.fs.Path(targetPath + "._ingesting")
+    val in = conn.getInputStream
+    var copied = 0L
+    try {
+      val out = fs.create(staged, true)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          copied += n
+          n = in.read(buf)
+        }
+      } finally out.close()
+    } finally in.close()
+    fs.delete(target, false)
+    if (!fs.rename(staged, target))
+      throw new java.io.IOException(s"ingest: could not promote $staged to $target")
+    copied
+  }
 }

@@ -37,6 +37,37 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows(0).isNullAt(2))               // empty cell → null, not 0.0
   }
 
+  test("S2 ingest: streams an HTTP source into the raw zone, staged then promoted") {
+    // A real HTTP fetch with no egress: the JDK's HttpServer serves the
+    // portal CSV on localhost, exactly the shape of the reference's
+    // curl → s3 cp notebook cell.
+    val csv = "CrimeDate,Description\n9/2/2017,HOMICIDE\n12/31/2016,ROBBERY\n"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/portal/rows.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = csv.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_spec").toFile
+    dir.deleteOnExit()
+    val target = dir.getAbsolutePath + "/raw/baltimore.csv"
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/portal/rows.csv"
+      val n = Sources.fetchToRaw(spark, url, target)
+      assert(n === csv.getBytes("UTF-8").length.toLong)
+      // no staging debris; the landed object is byte-identical
+      assert(!new java.io.File(target + "._ingesting").exists())
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(target)) === csv)
+      // and the landed file feeds the S1 all-strings scan directly
+      val df = Sources.csvAllStrings(spark, target)
+      assert(df.count() === 2)
+      assert(df.schema.fields.forall(_.dataType == StringType))
+    } finally server.stop(0)
+  }
+
   test("all-strings scan feeds the harmonization pipeline end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec2").toFile
     dir.deleteOnExit()
