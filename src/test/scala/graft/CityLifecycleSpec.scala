@@ -27,6 +27,37 @@ class CityLifecycleSpec extends SparkSpecBase {
     "detroit_harmonized" -> harmonizedCity(CityRecipes.detroit),
     "losangeles_harmonized" -> harmonizedCity(CityRecipes.losAngeles))
 
+  test("the full notebook run: ingest (S2) → harmonize → publish docs (S9)") {
+    // The complete per-city notebook, engine-native: fetch the portal CSV
+    // into the raw zone over real HTTP, run the counted recipe, publish the
+    // run's documentation where the dataset descriptor points.
+    val csvBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("data/cities/Baltimore.csv"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/views/rows.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, csvBytes.length)
+      ex.getResponseBody.write(csvBytes)
+      ex.close()
+    })
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_lifecycle").toFile
+    dir.deleteOnExit()
+    try {
+      val raw = dir.getAbsolutePath + "/raw/Baltimore.csv"
+      Sources.fetchToRaw(spark,
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/views/rows.csv", raw)
+      val (h, report) = CityRecipes.baltimore.run(Sources.csvAllStrings(spark, raw))
+      assert(report.loaded === 17L && report.deleted === 2L)
+      assert(h.df.count() === 15L)
+      val docs = dir.getAbsolutePath + "/docs/Baltimore-notebook.html"
+      graft.store.RunReport.publishRun(spark, "Baltimore",
+        report.loaded, report.deleted, h, docs)
+      val html = java.nio.file.Files.readString(java.nio.file.Paths.get(docs))
+      assert(html.contains("Loaded 17 rows") && html.contains("<td>crimecode</td>"))
+    } finally server.stop(0)
+  }
+
   test("federated view unions the three cities with absent fields null") {
     val v = fed.view("*harmonized*")
     assert(v.count() === 15 + 18 + 16)
