@@ -852,11 +852,16 @@ object SparkEntry {
 
     "dashboard_map_drilldown" -> ((s, _) => {
       // A tile-map click: Kibana zooms into the clicked cell — the cell's
-      // decoded bounds become lat/lon RANGE predicates (pushed into the
-      // scan; PlanSpec pins this) and autoPrecision deepens the grid one
-      // level (cell "d" spans lat [0,45) lon [-90,-45) → precision 3) —
-      // while the dashboard's widget + time filters stay applied. Keeps
-      // Baltimore and Detroit, drops Los Angeles (lon -118 outside).
+      // decoded bounds become lat/lon RANGE predicates and autoPrecision
+      // deepens the grid one level (cell "d" spans lat [0,45) lon [-90,-45)
+      // → precision 3) — while the dashboard's widget + time filters stay
+      // applied. Keeps Baltimore and Detroit, drops Los Angeles (lon -118
+      // outside). The bounds here filter columns PARSED from the at-rest
+      // "lat,lon" string (the reference's geo encoding), so they prune
+      // in-memory batches, not the file scan; a deployment that wants
+      // scan-level pruning stores lat/lon typed in the published
+      // projection, where geohashGridZoom's predicates push down (the
+      // parquet case PlanSpec pins).
       val f = dashboardFiltered(s, warm = true)
       val parts = split(col("geolocation"), ",")
       val pts = f.where(length(col("geolocation")) > 0)
