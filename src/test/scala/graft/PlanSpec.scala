@@ -171,6 +171,20 @@ class PlanSpec extends SparkSpecBase {
       s"warm dashboard reads a non-cache source: ${leaves.map(_.nodeName).distinct}")
   }
 
+  test("salted join repartitions on (key, salt), not the key alone") {
+    // SHUFFLE_HASH hint defeats the auto-broadcast these tiny frames would
+    // get, exposing the exchange the salt exists to widen.
+    val left = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "row_id")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val plan = planOf(graft.ops.Joins.saltedEquiJoin(
+      left.hint("SHUFFLE_HASH"), right, Seq("k"), "row_id", numSalts = 4))
+    val exchangeKeys = plan.linesIterator
+      .filter(l => l.contains("Arguments: hashpartitioning"))
+      .mkString("\n")
+    assert(exchangeKeys.contains("_salt"),
+      s"join exchange does not include the salt:\n$plan")
+  }
+
   test("the composed prep pipeline stays at two shuffles: dedup window + final agg") {
     // fingerprint dedup → quality floor → language filter → split → counts:
     // the filters and the split predicate are row-local Column algebra, so
