@@ -47,8 +47,15 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
     val cols = df.columns.toSeq
     val packed = struct(cols.map(c => col(s"`$c`")): _*)
+    // The ordering key is (isNull, value), not the raw tieBreaker: min_by
+    // SKIPS rows whose ordering value is null, so a group whose tieBreaker
+    // is null in every row would aggregate to a null struct and unpack as
+    // an all-null row — silently replacing the group with garbage. Under
+    // the struct ordering, null-tieBreaker rows sort after real ones but
+    // still participate, so such a group keeps one of its actual rows.
+    val ord = struct(col(s"`$tieBreaker`").isNull, col(s"`$tieBreaker`"))
     df.groupBy(keyCols.map(c => col(s"`$c`")): _*)
-      .agg(min_by(packed, col(s"`$tieBreaker`")).as("_row"))
+      .agg(min_by(packed, ord).as("_row"))
       .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
@@ -77,7 +84,15 @@ object Dedup {
     // can't fill the cluster and the compute stage needs the shuffle.
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(maxSplit) * target) df.repartition(target) else df
+    // Unknown stats (LogicalRDD and friends report defaultSizeInBytes ≈
+    // Long.MaxValue) must widen, not skip: a "huge" sentinel would
+    // otherwise exempt exactly the frames whose layout we know least
+    // about. Known-large file sources are trusted to split — with the
+    // documented caveat that a non-splittable codec (one giant gzip CSV)
+    // still scans as one partition; land such sources splittable (or
+    // repartition explicitly) before compute-bound dedup.
+    val unknown = bytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    if (unknown || bytes < BigInt(maxSplit) * target) df.repartition(target) else df
   }
 
   /** Lowercase word tokens of a text column (native codegen'd tokenizer —

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join strategies for the shapes Spark's defaults mishandle at scale.
@@ -59,10 +60,15 @@ object Joins {
     * candidate.
     */
   def keyskewProfile(df: DataFrame, keys: Seq[String], n: Int = 20): DataFrame = {
-    val total = df.count()
-    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+    // One scan, not two: the total derives from the per-key counts with an
+    // unpartitioned window over the AGGREGATED frame (|distinct keys| rows
+    // of key + count — a fraction of the input this diagnostic targets),
+    // instead of a separate df.count() job re-reading the full table.
+    val counts = df.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("rows"))
-      .withColumn("share", col("rows") / lit(total.toDouble))
+    val total = sum(col("rows")).over(Window.partitionBy())
+    counts
+      .withColumn("share", col("rows") / total.cast("double"))
       .orderBy(desc("rows"), asc(keys.head))
       .limit(n)
   }

@@ -280,7 +280,12 @@ object Multimodal {
           }
         }
         walk(12, bytes.length)
-        meta
+        // Implausible headers refuse rather than overflow: both fields are
+        // attacker/corruption-controlled u32s and their product can exceed
+        // Long range (2^32 × 2^32); a wrapped-negative durationMs would
+        // sail through duration filters as a "valid short clip".
+        meta.filter(m => m.microSecPerFrame == 0 ||
+          m.totalFrames <= Long.MaxValue / math.max(1L, m.microSecPerFrame))
       } catch { case _: Exception => None }
     }
 

@@ -74,6 +74,13 @@ object Aggs {
     * partitioning reuse it) and the parent top-N is a row_number over the
     * aggregated buckets — cardinality |buckets|, not |rows| — so a refresh
     * is aggregate → window → window, nothing else.
+    *
+    * SERVING-ONLY CONTRACT: the parent-rank window is unpartitioned, so
+    * every aggregated bucket flows through one task — bounded and cheap
+    * when (parent, child) is a widget pair a UI renders, the same
+    * unbounded hot-spot as any global window when it isn't (parent =
+    * url_host over a crawl, say). For unbounded-cardinality pairs use
+    * [[nestedTermsTopK]], whose parent cut is a bounded broadcast.
     */
   def nestedTermsBuckets(
       df: DataFrame,

@@ -69,15 +69,12 @@ object RunReport {
     * advertises (staged write + promote, any Hadoop filesystem).
     */
   def publish(spark: SparkSession, html: String, targetPath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(targetPath), spark.sparkContext.hadoopConfiguration)
+    val fs = FsOps.fileSystem(spark, targetPath)
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val staged = new org.apache.hadoop.fs.Path(targetPath + "._publishing")
     val out = fs.create(staged, true)
     try out.write(html.getBytes("UTF-8")) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(staged, target))
-      throw new java.io.IOException(s"publish: could not promote $staged to $target")
+    FsOps.promote(fs, staged, target)
   }
 
   /** Convenience: profile + render + publish one run. */

@@ -46,8 +46,18 @@ object Sources {
     val conn = new java.net.URI(url).toURL.openConnection()
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(targetPath), spark.sparkContext.hadoopConfiguration)
+    // Only a full 200 body may land: HttpURLConnection does NOT follow
+    // cross-protocol redirects (the common http→https portal case) and
+    // hands back the 301/302 stub as a readable body — without this check
+    // that stub (or a 204/206 partial) would be promoted as if ingested.
+    conn match {
+      case http: java.net.HttpURLConnection =>
+        val code = http.getResponseCode
+        if (code != 200)
+          throw new java.io.IOException(s"ingest: $url answered HTTP $code (expected 200)")
+      case _ => () // file:// and friends: no status to check
+    }
+    val fs = FsOps.fileSystem(spark, targetPath)
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val staged = new org.apache.hadoop.fs.Path(targetPath + "._ingesting")
     val in = conn.getInputStream
@@ -64,9 +74,7 @@ object Sources {
         }
       } finally out.close()
     } finally in.close()
-    fs.delete(target, false)
-    if (!fs.rename(staged, target))
-      throw new java.io.IOException(s"ingest: could not promote $staged to $target")
+    FsOps.promote(fs, staged, target)
     copied
   }
 }

@@ -212,20 +212,22 @@ object EventStreams {
       incrementPath: String): Unit = {
     val merged = graft.dict.Dictionary
       .mergeIncrements(dedupedIncrements(spark.read.parquet(incrementPath)))
+      // Keep the table single-schema: later streaming appends carry
+      // inc_batch_id, and a parquet directory mixing stamped and unstamped
+      // files can resolve to either schema at read time — if the unstamped
+      // footer wins, the replay dedup silently disables. The compacted row
+      // wears a sentinel epoch instead.
+      .withColumn("inc_batch_id", org.apache.spark.sql.functions.lit(-1L))
       .coalesce(1)
       .cache()
     try {
       merged.count() // materialize BEFORE touching the directory being read
       val staged = incrementPath + ".compacting"
       merged.write.mode("overwrite").parquet(staged)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(staged), spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(incrementPath)
-      val old = new org.apache.hadoop.fs.Path(incrementPath + ".old")
-      fs.delete(old, true)
-      fs.rename(dst, old)
-      fs.rename(new org.apache.hadoop.fs.Path(staged), dst)
-      fs.delete(old, true)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
     } finally merged.unpersist()
   }
 

@@ -19,6 +19,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Seq((1L, "dup", "a"), (4L, "uniq", "d")))
   }
 
+  test("exact dedup keeps a REAL row when a group's tieBreaker is all null") {
+    // min_by skips null ordering values — without the (isNull, value)
+    // ordering key, an all-null-tieBreaker group aggregated to a null
+    // struct and unpacked as an all-null row, dropping the group's data.
+    val df = Seq(
+      ("a", Option(2L), "x"), ("a", Option(1L), "y"),
+      ("b", Option.empty[Long], "keep-me"), ("b", Option.empty[Long], "keep-me-too"),
+    ).toDF("k", "id", "payload")
+    val out = Dedup.exact(df, Seq("k"), "id")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(out.head === (("a", Some(1L), "y")))
+    val b = out(1)
+    assert(b._1 === "b" && b._2.isEmpty && b._3.startsWith("keep-me"),
+      s"all-null-tieBreaker group lost its row: $b")
+    // mixed null/non-null: the non-null tiebreaker wins
+    val mixed = Seq(("m", Option.empty[Long], "n"), ("m", Option(5L), "v"))
+      .toDF("k", "id", "payload")
+    assert(Dedup.exact(mixed, Seq("k"), "id").select("payload")
+      .as[String].head() === "v")
+  }
+
   test("fingerprint dedup collapses case/punctuation variants") {
     val df = Seq(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  WORLD"), (4L, "other doc"),

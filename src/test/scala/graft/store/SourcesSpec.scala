@@ -68,6 +68,32 @@ class SourcesSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("S2 ingest refuses non-200 responses instead of landing the stub body") {
+    // The http→https portal redirect case: HttpURLConnection hands back the
+    // 301 body as readable bytes — it must never be promoted as data.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rows.csv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.add("Location", "https://moved.example/rows.csv")
+      val body = "<html>Moved</html>".getBytes("UTF-8")
+      ex.sendResponseHeaders(301, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_301").toFile
+    dir.deleteOnExit()
+    val target = dir.getAbsolutePath + "/raw.csv"
+    try {
+      val e = intercept[java.io.IOException] {
+        Sources.fetchToRaw(spark,
+          s"http://127.0.0.1:${server.getAddress.getPort}/rows.csv", target)
+      }
+      assert(e.getMessage.contains("301"))
+      assert(!new java.io.File(target).exists(), "redirect stub must not land")
+    } finally server.stop(0)
+  }
+
   test("all-strings scan feeds the harmonization pipeline end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec2").toFile
     dir.deleteOnExit()
