@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Millisecond-precision decimal rendering: the full `Double.toString`
+    * form (up to 17 significant digits) tripled the headline line past the
+    * driver's output-capture tail, and the r05 artifact came back
+    * unparseable (the capture cut the line's head, leaving no valid JSON).
+    * 1 ms granularity is below this host's run-to-run noise floor, so
+    * nothing real is lost.
+    */
+  private[graft] def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private[graft] def jmap(vs: Seq[(String, Double)]): String =
+    vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** The ONE machine-read line of this program. Kept deliberately small —
+    * per-query minimums at 3 decimals plus scalar totals — so it survives a
+    * tail-truncated output capture whole (BenchLineSpec pins the length
+    * against the real registry). Medians travel on a separate, prefixed,
+    * deliberately-not-JSON line that may truncate harmlessly.
+    */
+  private[graft] def renderHeadline(
+      results: Seq[(String, Double, Double)],
+      repeat: Int,
+      sfDir: String): String = {
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val total = fmt(results.map(_._2).sum)
+    val totalMed = fmt(results.map(_._3).sum)
+    s"""{"metric":"total","unit":"sec","repeat":$repeat,"sf":"$sfDir","queries":$qs,"total_median":$totalMed,"value":$total}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,7 +51,7 @@ object Bench {
     // Deterministic (sorted) order so per-query timings are comparable
     // across rounds; failures surface on stderr instead of vanishing.
     // SPARK_GRAFT_ONLY=comma,list restricts to named queries (local
-    // iteration). Each query runs SPARK_GRAFT_REPEAT times (default 2) and
+    // iteration). Each query runs SPARK_GRAFT_REPEAT times (default 3) and
     // reports the fastest pass: this host is shared and single-run timings
     // swing 1.5-3x with neighbor load; the minimum is the standard
     // noise-robust estimator of what the code actually costs.
@@ -29,21 +60,22 @@ object Bench {
     // (it becomes the mean of one clean and one noisy pass); with 3 the
     // median is a clean pass unless two of three are disturbed.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
-    // Both the min (noise-floor estimate of what the code costs) and the
-    // median (typical pass) are reported per query, so cross-round
-    // comparisons don't depend on the estimator choice.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    val warmServed = SparkEntry.warmServed
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      // `_warm` queries measure the steady-state serving path (SURVEY §3.3).
-      // Populate the cache once untimed first: otherwise the first timed
-      // pass pays the cold cache build and the reported median reads as
-      // "no gain" when the true warm cost is 10-30x lower.
-      if (name.endsWith("_warm")) {
+      // Cache-serving queries (SURVEY §3.3) measure the steady-state
+      // serving path. Populate the pinned cache once untimed first:
+      // otherwise the first timed pass pays the cold cache build and the
+      // reported numbers read as "no gain" when the true warm cost is
+      // 10-30x lower. Membership comes from SparkEntry.warmServed (behavior,
+      // not the `_warm` name suffix — federated fetches and the map
+      // drilldown serve from the same pinned caches).
+      if (warmServed.contains(name)) {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
       val times = (1 to repeat).map { _ =>
@@ -55,16 +87,14 @@ object Bench {
       }
       (name, times.min, median(times))
     }
-    def jmap(vs: Seq[(String, Double)]): String =
-      vs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map(r => r._1 -> r._2))
-    val qsMed = jmap(results.map(r => r._1 -> r._3))
-    val total = results.map(_._2).sum
-    val totalMed = results.map(_._3).sum
-    // Headline totals go LAST on the line: the driver's output capture keeps
-    // the tail, so a truncated capture loses per-query detail, not the
-    // totals (r3's committed artifact lost the min total to head-truncation).
-    println(s"""{"metric":"total","unit":"sec","repeat":$repeat,"sf":"$sfDir","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"value":$total}""")
+    // Per-query medians: diagnostic detail, printed FIRST and behind a text
+    // prefix so (a) a tail-truncated capture sacrifices this line, never the
+    // headline, and (b) no JSON-line scanner can mistake it for the
+    // contract line.
+    println("bench_medians_detail " + jmap(results.map(r => r._1 -> r._3)))
+    // The contract line goes LAST, compact enough (~2.2 KB at 66 queries)
+    // to fit a ~3 KB tail capture whole even with sbt's epilogue after it.
+    println(renderHeadline(results, repeat, sfDir))
     spark.stop()
   }
 }
