@@ -1151,6 +1151,33 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "join_asof" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Point-in-time enrichment (leakage-free feature attachment): each
+      // click joins the user's LATEST purchase at-or-before its timestamp,
+      // within a 7-day lookback. Union-and-fill: ONE hash exchange on
+      // user_id + a per-key sort — no range-join candidate blow-up. The
+      // oracle is a genuinely different algorithm (DuckDB LATERAL top-1
+      // lookup per row), so the window construction is cross-checked, not
+      // restated. Timestamps project to whole-second strings (the events-
+      // table convention — ns vs µs precision differs by engine).
+      val ev = loadEvents(dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      ops.Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          rightPayload = Seq("value"),
+          tolerance = Some(expr("INTERVAL 7 DAYS")),
+          rightTieBreak = Some("event_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("asof_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
     "sample_embedding_percell" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Diversity sampling: equal per-cell budget over the IVF quantizer
@@ -2133,6 +2160,28 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // The as-of semantics restated as a per-row LATERAL top-1 lookup — a
+    // different algorithm from the engine's union-and-fill window, so the
+    // hash match is a real cross-check. Inclusive bound, 7-day lookback,
+    // ties on (user_id, ts) broken by the largest purchase event_id.
+    "join_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  p.value AS asof_value,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts
+        |FROM clicks c LEFT JOIN LATERAL (
+        |  SELECT r.ts, r.value FROM purchases r
+        |  WHERE r.user_id = c.user_id AND r.ts <= c.ts
+        |    AND r.ts >= c.ts - INTERVAL 7 DAY
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+        |) p ON true
+        |ORDER BY c.event_id""".stripMargin,
 
     // salting spreads rows across reducers but never changes the join result
     "join_salted" ->

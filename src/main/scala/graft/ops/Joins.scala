@@ -54,6 +54,97 @@ object Joins {
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
+  /** Point-in-time ("as-of") join: for every left row, the LATEST right row
+    * with the same key and `rightTime <= leftTime` (optionally within a
+    * `tolerance` lookback window) — the enrichment join a training-data
+    * pipeline needs for leakage-free feature attachment (each example sees
+    * only state known at its own timestamp). The reference has no joins at
+    * all (SURVEY §1.1 — datasets are "loosely coupled"); this is a
+    * beyond-parity operator of the training-pipeline tier.
+    *
+    * Spark-first formulation: NOT a range join (`l.key = r.key AND r.ts <=
+    * l.ts` explodes to every earlier right row per left row — quadratic per
+    * hot key — before a per-left-row reduction), but the union-and-fill
+    * construction: tag both sides, union them, and run ONE window per key
+    * ordered by `(time, side, tiebreak)` where `last(payload,
+    * ignoreNulls)` carries the most recent right payload forward onto each
+    * left row. Cost at any scale: a single hash exchange on the key plus a
+    * per-key sort — the same shape as any windowed aggregation, linear in
+    * rows, no candidate blow-up. (Flink's temporal join and pandas
+    * `merge_asof` are per-partition forms of the same sweep.)
+    *
+    * Semantics pinned by the `join_asof` oracle (restated in DuckDB as a
+    * genuinely different algorithm — per-row `LATERAL ... ORDER BY ts DESC
+    * LIMIT 1` lookup):
+    *   - inclusive on equal timestamps (a right row AT `leftTime` matches:
+    *     right sorts before left at the same instant);
+    *   - among right rows sharing `(key, rightTime)`, the largest
+    *     `rightTieBreak` wins (pass one whenever `(key, time)` is not
+    *     unique, or the pick is tie-broken by engine partition order);
+    *   - left rows with no qualifying right row keep NULL payloads (left
+    *     outer);
+    *   - with `tolerance = Some(interval)`, a match older than `leftTime -
+    *     interval` is discarded (the fill still finds the overall latest —
+    *     if THAT is out of window, every other right row is older still, so
+    *     nulling it is exact, not approximate).
+    *
+    * @param rightPayload right columns to carry onto matches, emitted as
+    *                     `asof_<name>`; the match's own timestamp travels as
+    *                     `asof_<rightTime>`
+    * @param tolerance    max lookback as an interval expression, e.g.
+    *                     `expr("INTERVAL 7 DAYS")`
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val reserved = Seq("_t", "_side", "_tie", "_r", "_match")
+    require(reserved.forall(c => !left.columns.contains(c)),
+      s"asOfJoin: left column names ${reserved.mkString("/")} are reserved")
+    require(keys.forall(right.columns.contains),
+      "asOfJoin: every key must exist on the right side under the same name")
+    val tie = rightTieBreak.map(c => col(s"`$c`")).getOrElse(lit(0L))
+    // The right payload travels as one struct so a single last(_, ignoreNulls)
+    // fills timestamp and payload atomically (per-column fills could mix
+    // fields from different right rows when payload columns hold NULLs).
+    val rSel = right.select(
+      keys.map(c => col(s"`$c`")) ++ Seq(
+        col(s"`$rightTime`").as("_t"),
+        lit(0).as("_side"),
+        tie.as("_tie"),
+        struct(col(s"`$rightTime`").as("_rt") +:
+          rightPayload.map(c => col(s"`$c`").as(c)): _*).as("_r")): _*)
+    val lSel = left
+      .withColumn("_t", col(s"`$leftTime`"))
+      .withColumn("_side", lit(1))
+      .withColumn("_tie", lit(0L).cast(rSel.schema("_tie").dataType))
+      .withColumn("_r", lit(null).cast(rSel.schema("_r").dataType))
+    // allowMissingColumns: right rows carry NULL for the left-only columns;
+    // they are dropped after the fill, never surfaced.
+    val unioned = lSel.unionByName(rSel, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(c => col(s"`$c`")): _*)
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+    val inWindow = tolerance match {
+      case Some(tol) => col("_r").isNotNull && col("_r").getField("_rt") >= col("_t") - tol
+      case None => col("_r").isNotNull
+    }
+    val matched = filled
+      .where(col("_side") === 1)
+      .withColumn("_match", when(inWindow, col("_r")))
+    val payloadCols =
+      col("_match").getField("_rt").as(s"asof_$rightTime") +:
+        rightPayload.map(c => col("_match").getField(c).as(s"asof_$c"))
+    matched.select(left.columns.map(c => col(s"`$c`")) ++ payloadCols: _*)
+  }
+
   /** The skew diagnostic that decides whether salting is worth it: top-`n`
     * heaviest join-key groups with their share of the table. A key holding
     * more rows than `rows / shuffle-partitions` is a task-flooding

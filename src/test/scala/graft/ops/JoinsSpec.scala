@@ -40,6 +40,66 @@ class JoinsSpec extends SparkSpecBase {
     assert(salts >= 6, s"hot key landed on only $salts of 8 salts")
   }
 
+  // --- asOfJoin: point-in-time enrichment ---
+
+  private def trades = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "t1"),
+    (1L, ts("2024-01-01 10:05:00"), "t2"),
+    (1L, ts("2024-01-01 12:00:00"), "t3"),
+    (2L, ts("2024-01-01 09:00:00"), "t4")
+  ).toDF("k", "ts", "trade")
+
+  private def quotes = Seq(
+    (1L, ts("2024-01-01 09:59:00"), 10.0, 1L),
+    (1L, ts("2024-01-01 10:05:00"), 11.0, 2L), // equal-instant match for t2
+    (1L, ts("2024-01-01 10:30:00"), 12.0, 3L),
+    (2L, ts("2024-01-01 09:30:00"), 99.0, 4L)  // AFTER t4 — must not match
+  ).toDF("k", "ts", "px", "qid")
+
+  test("asOfJoin attaches the latest right row at or before each left time") {
+    val got = Joins.asOfJoin(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        rightTieBreak = Some("qid"))
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got === Map(
+      "t1" -> Some(10.0), // 09:59 quote
+      "t2" -> Some(11.0), // inclusive: quote AT 10:05 wins over 09:59
+      "t3" -> Some(12.0), // latest prior (10:30)
+      "t4" -> None))      // only quote for k=2 is in the future
+  }
+
+  test("asOfJoin tolerance nulls out matches older than the lookback window") {
+    val got = Joins.asOfJoin(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        tolerance = Some(expr("INTERVAL 10 MINUTES")), rightTieBreak = Some("qid"))
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    // t3 at 12:00: latest quote 10:30 is 90 min old — out of window.
+    assert(got("t3") === None)
+    assert(got("t1") === Some(10.0) && got("t2") === Some(11.0))
+  }
+
+  test("asOfJoin breaks (key, time) ties by the largest rightTieBreak") {
+    val dup = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 7L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 9L),
+      (1L, ts("2024-01-01 10:00:00"), 3.0, 8L)
+    ).toDF("k", "ts", "px", "qid")
+    val one = Seq((1L, ts("2024-01-01 11:00:00"), "t")).toDF("k", "ts", "trade")
+    val got = Joins.asOfJoin(one, dup, Seq("k"), "ts", "ts", Seq("px"),
+        rightTieBreak = Some("qid"))
+      .select("asof_px").as[Double].head()
+    assert(got === 2.0, "qid=9 is the deterministic winner")
+  }
+
+  test("asOfJoin carries the matched right timestamp and fills struct atomically") {
+    val got = Joins.asOfJoin(trades, quotes, Seq("k"), "ts", "ts", Seq("px", "qid"),
+        rightTieBreak = Some("qid"))
+      .where(col("trade") === "t3")
+      .select("asof_ts", "asof_px", "asof_qid")
+      .as[(java.sql.Timestamp, Double, Long)].head()
+    assert(got === ((ts("2024-01-01 10:30:00"), 12.0, 3L)))
+  }
+
   test("keyskewProfile surfaces the hot key first with its share") {
     val top = Joins.keyskewProfile(factDf, Seq("k"), n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
