@@ -1178,6 +1178,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "layout_zorder" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The Z-order layout key for (user, time-of-day) locality: modulo-
+      // bucket the id dimension, range-bucket minute-of-day, interleave
+      // bits (store.Layout). The write path (repartitionByRange + sort)
+      // is pinned by LayoutSpec's file-envelope test; this query oracles
+      // the arithmetic every file boundary then derives from — pure
+      // integer shift/mask algebra, bit-identical across engines.
+      import graft.store.Layout
+      val ev = loadEvents(dir)
+      val ub = pmod(col("user_id"), lit(256L))
+      val tb = Layout.bucketize(hour(col("ts")) * 60 + minute(col("ts")), 0, 1439, 8)
+      ev.select(
+          col("event_id"),
+          ub.as("ub"),
+          tb.as("tb"),
+          Layout.zValue(Seq(ub, tb), 8).as("z"))
+        .orderBy("event_id")
+    }),
+
     "sample_embedding_percell" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Diversity sampling: equal per-cell budget over the IVF quantizer
@@ -2182,6 +2202,18 @@ object SparkEntry {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
         |) p ON true
         |ORDER BY c.event_id""".stripMargin,
+
+    // Same bucket + Morton arithmetic rendered by Layout's SQL mirrors:
+    // 64-bit shifts, masks and truncating integer division only, so the
+    // layout key is bit-identical in any engine.
+    "layout_zorder" -> {
+      import graft.store.Layout
+      val ub = "(user_id % 256)"
+      val tb = Layout.bucketizeSql("(hour(ts) * 60 + minute(ts))", 0, 1439, 8)
+      s"""SELECT event_id, $ub AS ub, $tb AS tb,
+         |  ${Layout.zValueSql(Seq(ub, tb), 8)} AS z
+         |FROM events ORDER BY event_id""".stripMargin
+    },
 
     // salting spreads rows across reducers but never changes the join result
     "join_salted" ->
