@@ -448,6 +448,70 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The IVF-PQ pipeline in DuckDB (refineIters=0), continuing
+    * [[ivfAssignCtesSql]]'s chain: `pqinit` (the `ksub` deterministic
+    * sample rows, [[graft.ops.Similarity.pqCodebooks]]'s init), `cbsub`
+    * (their per-subspace slices = the codebooks), `codes`/`codesw` (per-row
+    * per-subspace L2-argmin codes — `2·x·c − c·c` with `list_inner_product`,
+    * the exact fold [[graft.expr.CellAlgo.nearestCellsL2]] computes), and
+    * an ADC score summed sub-0-first (SQL `+` is left-associative, matching
+    * the engine's left fold), ranked like every ANN oracle here.
+    */
+  private def ivfPqSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      dim: Int, k: Int, nQueries: Int): String = {
+    val dsub = dim / m
+    val u = ops.Sampling.hashUnitSql("vec_id", 42)
+    val cWide = (0 until m).map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(",\n    ")
+    val cbJoins = (0 until m).map(s =>
+      s"JOIN cbsub s$s ON s$s.sub = $s AND s$s.code = c.c$s").mkString("\n  ")
+    val adc = (0 until m).map { s =>
+      s"list_inner_product(list_slice(c.qv, ${s * dsub + 1}, ${(s + 1) * dsub}), s$s.sv)"
+    }.mkString("\n      + ")
+    s"""WITH ${ivfAssignCtesSql(nlist)}, pqinit AS (
+       |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS code, v
+       |  FROM (SELECT vec_id, v, $u AS u FROM e)
+       |  ORDER BY u, vec_id LIMIT $ksub
+       |), subs AS (
+       |  SELECT unnest(range(0, $m)) AS sub
+       |), cbsub AS (
+       |  SELECT s.sub, p.code, list_slice(p.v, s.sub * $dsub + 1, (s.sub + 1) * $dsub) AS sv
+       |  FROM pqinit p, subs s
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, c.sub, c.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+       |        2 * list_inner_product(list_slice(e.v, c.sub * $dsub + 1, (c.sub + 1) * $dsub), c.sv)
+       |          - list_inner_product(c.sv, c.sv) DESC, c.code ASC) AS r
+       |    FROM e, cbsub c
+       |  ) WHERE r = 1
+       |), codesw AS (
+       |  SELECT vec_id,
+       |    $cWide
+       |  FROM codes GROUP BY vec_id
+       |), qprobe AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell
+       |  FROM cellranked WHERE r <= $nprobe AND vec_id < $nQueries
+       |), cand AS (
+       |  SELECT q.query_id, q.qv, a.vec_id AS neighbor_id,
+       |    ${(0 until m).map(s => s"w.c$s").mkString(", ")}
+       |  FROM assigned a
+       |  JOIN qprobe q ON a.cell = q.cell
+       |  JOIN codesw w ON w.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    $adc AS adc
+       |  FROM cand c
+       |  $cbJoins
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, adc FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of one city's dictionary as the federated fetch sees it:
     * per-column stats over the harmonized relation, with the registry
     * metadata ([[graft.schema.HarmonizedSchema]]) inlined at oracle-build
@@ -1149,6 +1213,23 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    "ann_ivfpq" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // IVF-PQ: coarse cells bound candidates; scoring reads m=8 one-byte
+      // codes per vector through a per-query ADC lookup table — the corpus
+      // vectors are dropped at encode time (dim=64 floats -> 8 codes, the
+      // 100 TB memory story). Fully oracled at refineIters=0: sampled
+      // codebooks, bit-stable L2 argmin codes, fixed-fold ADC sum — every
+      // stage restated in SQL (see the ann_ivfpq oracle builder).
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, dim = 64,
+          nlist = 8, nprobe = 3, m = 8, ksub = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     }),
 
     "join_asof" -> ((s, dir) => {
@@ -2180,6 +2261,12 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // Product quantization end to end: sampled codebooks, bit-stable L2
+    // argmin code assignment, ADC scoring as a left-folded sum of subspace
+    // inner products — the full IVF-PQ pipeline restated in SQL.
+    "ann_ivfpq" ->
+      ivfPqSql(nlist = 8, nprobe = 3, m = 8, ksub = 16, dim = 64, k = 5, nQueries = 5),
 
     // The as-of semantics restated as a per-row LATERAL top-1 lookup — a
     // different algorithm from the engine's union-and-fill window, so the

@@ -204,6 +204,133 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Per-subspace product-quantization codebooks: split the vector into `m`
+    * contiguous subspaces of `dim / m` dims and give each subspace `ksub`
+    * centroids. Init is the deterministic corpus sample ([[kmeansCentroids]]'s
+    * pick — the `ksub` rows with the smallest seeded `(hashUnit(id), id)`),
+    * sliced per subspace; `refineIters > 0` runs k-means per subspace with a
+    * SINGLE fused job per iteration (posexplode to `(sub, code, subvec)`,
+    * one groupBy over all `m × ksub` cells — not m separate aggregations),
+    * shuffling `m × ksub × dsub` doubles, never the corpus.
+    *
+    * Returns `codebooks(sub)(code)` = centroid subvector of length `dim/m`.
+    */
+  def pqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int,
+      refineIters: Int = 0, seed: Int = 42): Seq[Seq[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val c = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    val initRows = c
+      .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
+      .orderBy("_u", "_id").limit(ksub)
+      .select("_v").collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub, s"pqCodebooks: corpus smaller than ksub=$ksub")
+    var books: Seq[Seq[Array[Double]]] =
+      (0 until m).map(sub => initRows.toSeq.map(_.slice(sub * dsub, (sub + 1) * dsub)))
+    for (_ <- 0 until refineIters) {
+      // One job refines every subspace: each row explodes to its m
+      // (sub, nearest-code, subvector) triples, and one aggregation
+      // recomputes all m×ksub cell means.
+      val assigned = c.select(posexplode(array((0 until m).map { sub =>
+        val sv = slice(col("_v"), sub * dsub + 1, dsub)
+        struct(
+          graft.expr.CellAssign.nearestCellsL2(sv, books(sub), 1).getItem(0).as("code"),
+          sv.as("sv"))
+      }: _*)).as(Seq("_sub", "_a")))
+      val means = assigned
+        .groupBy(col("_sub"), col("_a.code").as("_code"))
+        .agg(graft.expr.VectorAvg.vecAvg(col("_a.sv")).as("_mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = books.zipWithIndex.map { case (book, sub) =>
+        book.zipWithIndex.map { case (old, code) => means.getOrElse((sub, code), old) }
+      }
+    }
+    books
+  }
+
+  /** IVF-PQ approximate top-`k` (the FAISS IVFPQ pattern, public algorithm):
+    * coarse IVF cells bound the candidate set, and candidates are scored
+    * from PRODUCT-QUANTIZED codes — each corpus vector stored as `m` small
+    * integers (one per subspace, `ksub ≤ 256` → one byte each) instead of
+    * `dim` floats. At 100 TB this is the difference between an index that
+    * fits executor memory and one that doesn't: dim=64 float vectors
+    * compress 256 B → 8 B at `m=8`, and the candidate join moves only
+    * `(id, cell, codes)`.
+    *
+    * Scoring is asymmetric-distance (ADC): each query precomputes a
+    * `m × ksub` lookup table of subspace inner products (`lut[sub, code] =
+    * q_sub · codebook[sub][code]`), and a candidate's approximate inner
+    * product is `m` array lookups summed — `Σ_sub lut[sub, codes[sub]] =
+    * q · reconstruct(codes)` exactly (the inner product is linear over the
+    * concatenated subspaces). No vector math per candidate at all; the
+    * per-candidate work is integer indexing into a broadcast-small LUT.
+    *
+    * Fully oracled at `refineIters=0` (`ann_ivfpq`): codebooks are the
+    * deterministic sampled rows, code assignment is the bit-stable L2
+    * argmin ([[graft.expr.CellAssign.nearestCellsL2]]), and the ADC sum is
+    * a fixed-order left fold — every stage restates in SQL.
+    *
+    * Returns `(query_id, rank, neighbor_id, adc)` — `adc` is the quantized
+    * approximation of the query·neighbor inner product, the ranking score.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      refineIters: Int = 0,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val coarse = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed)
+    val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, ksub, refineIters, seed)
+
+    // The PQ index: ids, coarse cell, m codes — the corpus vectors are
+    // dropped here and never rejoin (the whole point of the compression).
+    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
+    val encoded = c.select(
+      col("neighbor_id"),
+      nearestCells(col("_cv"), coarse, 1).getItem(0).as("_cell"),
+      array((0 until m).map { sub =>
+        graft.expr.CellAssign.nearestCellsL2(
+          slice(col("_cv"), sub * dsub + 1, dsub), books(sub), 1).getItem(0)
+      }: _*).as("_codes"))
+
+    // Per-query ADC lookup table, flat m×ksub (sub-major): built once per
+    // query row from codebook literals, broadcast with the query side.
+    val lutEntries = for {
+      sub <- 0 until m
+      code <- 0 until ksub
+    } yield dot(
+      slice(col("_qv"), sub * dsub + 1, dsub),
+      array(books(sub)(code).map(lit).toIndexedSeq: _*))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
+      .withColumn("_cell", explode(nearestCells(col("_qv"), coarse, nprobe)))
+      .withColumn("_lut", array(lutEntries: _*))
+      .select("query_id", "_cell", "_lut")
+
+    val scored = encoded.join(broadcast(q), Seq("_cell"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      // Left-fold sum in subspace order — the same association DuckDB's
+      // left-assoc `t0 + t1 + ...` computes, so adc is bit-stable.
+      .withColumn("adc", (0 until m).map { sub =>
+        element_at(col("_lut"), lit(sub * ksub + 1) + element_at(col("_codes"), sub + 1))
+      }.reduce(_ + _))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("adc"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
   /** Cell-stratified deterministic sampling over an embedding corpus —
     * "diversity sampling" for training-data curation: assign every vector
     * to its nearest coarse-quantizer cell (the IVF pattern) and keep an

@@ -151,6 +151,79 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.subsetOf(multi), "table 0 candidates lost under amplification")
   }
 
+  // --- IVF-PQ: product-quantized ANN ---
+
+  test("pqCodebooks slices the deterministic sample; codes stay in range") {
+    val books = Similarity.pqCodebooks(clusteredVecs, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 8)
+    assert(books.size === 4 && books.forall(_.size === 8))
+    assert(books.forall(_.forall(_.length === 4)))
+    // Subspace slices of one sampled row must agree across subspaces
+    // (same source rows feed every codebook at refineIters=0).
+    val full = books.transpose.map(_.flatten.toSeq) // code -> reconstructed row
+    assert(full.forall(_.size === 16))
+  }
+
+  test("ivfPq ADC score equals the inner product with the reconstructed vector") {
+    val books = Similarity.pqCodebooks(clusteredVecs, "vec_id", "embedding",
+      dim = 16, m = 4, ksub = 8)
+    val q = clusteredVecs.where(col("vec_id") === 0)
+    val got = Similarity.ivfPqTopK(clusteredVecs, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3, dim = 16, nlist = 2, nprobe = 2,
+        m = 4, ksub = 8)
+      .select("neighbor_id", "adc").as[(Long, Double)].collect().toMap
+    // Recompute driver-side: encode neighbor with the same L2 argmin over
+    // the same codebooks, reconstruct, and take q·reconstructed.
+    val rows = clusteredVecs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val qv = rows(0L)
+    def encode(v: Seq[Double]): Seq[Int] = (0 until 4).map { sub =>
+      val sv = v.slice(sub * 4, sub * 4 + 4)
+      books(sub).zipWithIndex.minBy { case (c, i) =>
+        (c.zip(sv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }._2
+    }
+    got.foreach { case (nid, adc) =>
+      val rec = encode(rows(nid)).zipWithIndex.flatMap { case (code, sub) => books(sub)(code) }
+      val expected = qv.zip(rec).map { case (a, b) => a * b }.sum
+      assert(math.abs(adc - expected) < 1e-9,
+        s"adc for $nid: $adc vs reconstructed $expected")
+    }
+  }
+
+  test("ivfPqTopK recall against brute force is high on clustered vectors") {
+    val qs = clusteredVecs.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(clusteredVecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.ivfPqTopK(clusteredVecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 4, dim = 16, nlist = 4, nprobe = 4,
+        m = 4, ksub = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      (pq.getOrElse(q, Set.empty) intersect truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 5-member clusters with sigma 0.05: quantized ranking keeps most of
+    // the true neighborhood even at 4x compression (m=4 of dim=16).
+    assert(mean >= 0.7, s"mean recall@4 $mean below 0.7")
+  }
+
+  test("k-means-refined PQ codebooks still produce a full valid ranking") {
+    // Refined cell means are unordered float sums (not bit-reproducible
+    // across partitionings — the documented reason refined variants are
+    // never oracled), so this pins validity, not byte-equality: dense
+    // ranks from 1, finite scores, self excluded.
+    val rows = Similarity.ivfPqTopK(clusteredVecs, "vec_id", "embedding",
+      clusteredVecs.where(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, dim = 16, nlist = 2, nprobe = 2, m = 4, ksub = 8, refineIters = 2)
+      .select("rank", "neighbor_id", "adc").as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) === Seq(1, 2, 3))
+    assert(rows.forall { case (_, nid, adc) => nid != 0L && !adc.isNaN && !adc.isInfinite })
+  }
+
   test("hyperplanes are deterministic under a seed") {
     val a = Similarity.hyperplanes(8, 4, seed = 7L)
     val b = Similarity.hyperplanes(8, 4, seed = 7L)
