@@ -758,6 +758,32 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    "search_bm25" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Relevance-RANKED retrieval (the ES query-context `match` the
+      // dual-field mapping exists for — esindex.py:70-97 / collections.js
+      // :185-191 run match_phrase_prefix in query, i.e. scoring, context):
+      // top-15 documents by BM25, where the one rare corpus term ('dup',
+      // df ≈ 5%) dominates via idf over the two common terms. Unindexed
+      // path: analyzes per row, computes corpus stats in-query.
+      graft.query.Bm25.topKRaw(load(dir, "documents"), "doc_id", "text",
+        "dup vector scan", k = 15)
+    }),
+
+    "search_bm25_indexed" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The at-rest serving shape: scores run against the stored `_split`
+      // analyzed companion with corpus statistics precomputed once (per-
+      // index constants at 100 TB) — retrieval is then a single scan +
+      // 1-row broadcast + partial top-k.
+      val indexed = graft.store.SearchIndex.withAnalyzedColumns(
+        load(dir, "documents"), Seq("text"))
+      val terms = graft.query.Bm25.queryTerms("dup vector scan")
+      val stats = graft.query.Bm25.corpusStats(indexed, col("text_split"), terms)
+      graft.query.Bm25.topK(indexed, "doc_id", col("text_split"),
+        "dup vector scan", k = 15, stats = Some(stats))
+    }),
+
     "q7_conjunction" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val spec = FilterSpec.conjunction(Seq(
@@ -1200,6 +1226,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_nlist256" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The realistic-nlist IVF-PQ build+query (256 cells, k-means refine,
+      // 16 probes): the bench pin for the ADC path's codegen where it
+      // matters — codebook build, per-row coarse + 8 subspace argmins, and
+      // LUT-sum scoring all at serving scale. Rows-only for the same
+      // documented-final reason as ann_ivf_nlist256: the k-means refine's
+      // cell means are unordered floating-point sums, not bit-reproducible
+      // in another engine (the refineIters=0 twin ann_ivfpq is the oracled
+      // path).
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, dim = 64,
+          nlist = 256, nprobe = 16, m = 8, ksub = 16, refineIters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "join_salted" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Manual hot-key spread (the skew tool for when broadcast doesn't fit
@@ -1213,6 +1258,16 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    "join_keyskew" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The skew diagnostic that decides whether salting is worth it, run
+      // as a first-class oracled query: top-10 heaviest supplier keys of
+      // lineitem with each key's share of the table. Plan shape pinned in
+      // JoinsSpec: partial top-n + broadcast scalar total over ONE reused
+      // groupBy exchange — no unpartitioned window, no second scan.
+      ops.Joins.keyskewProfile(load(dir, "lineitem"), Seq("l_suppkey"), n = 10)
     }),
 
     "ann_ivfpq" -> ((s, dir) => {
@@ -1766,6 +1821,16 @@ object SparkEntry {
          |WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_name", "small wid")}
          |ORDER BY p_partkey""".stripMargin,
 
+    // Full BM25 restated: same analyzer, token-equality TF (= the kernel's
+    // boundary-sharing count), integer-derived idf inputs, identical
+    // operator association — one ln() apart, agreeing far past the 9-decimal
+    // rounding. Both paths produce identical rows, so one SQL serves both.
+    "search_bm25" ->
+      graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    "search_bm25_indexed" ->
+      graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
     "q7_conjunction" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_totalprice >= 50000 AND o_totalprice <= 200000
@@ -2301,6 +2366,18 @@ object SparkEntry {
          |  ${Layout.zValueSql(Seq(ub, tb), 8)} AS z
          |FROM events ORDER BY event_id""".stripMargin
     },
+
+    // The skew profile restated: per-key counts, top-10 by weight, share
+    // from the grand total. Float math is one double division from two
+    // integers — deterministic in any engine.
+    "join_keyskew" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*)::BIGINT AS "rows"
+        |  FROM lineitem GROUP BY l_suppkey
+        |), t AS (SELECT sum("rows")::BIGINT AS total FROM c)
+        |SELECT c.l_suppkey, c."rows", c."rows"::DOUBLE / t.total::DOUBLE AS share
+        |FROM c, t
+        |ORDER BY c."rows" DESC, c.l_suppkey ASC LIMIT 10""".stripMargin,
 
     // salting spreads rows across reducers but never changes the join result
     "join_salted" ->

@@ -151,16 +151,21 @@ object Joins {
     * candidate.
     */
   def keyskewProfile(df: DataFrame, keys: Seq[String], n: Int = 20): DataFrame = {
-    // One scan, not two: the total derives from the per-key counts with an
-    // unpartitioned window over the AGGREGATED frame (|distinct keys| rows
-    // of key + count — a fraction of the input this diagnostic targets),
-    // instead of a separate df.count() job re-reading the full table.
+    // The diagnostic runs precisely where |distinct keys| is large (that is
+    // what it checks), so NOTHING here may funnel the aggregated frame
+    // through one task. Top-n is `orderBy.limit` (per-partition partial
+    // top-n, then a final n-row merge — never a full sort or an
+    // unpartitioned window over all keys), and the denominator is a scalar
+    // aggregate attached via a 1-row broadcast. Still one data scan: both
+    // branches consume the identical groupBy exchange, which Spark's
+    // ReuseExchange rule materializes once (pinned in JoinsSpec).
     val counts = df.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("rows"))
-    val total = sum(col("rows")).over(Window.partitionBy())
-    counts
-      .withColumn("share", col("rows") / total.cast("double"))
+    val topn = counts.orderBy(desc("rows"), asc(keys.head)).limit(n)
+    val total = counts.agg(sum(col("rows")).as("_total"))
+    topn.crossJoin(broadcast(total))
+      .withColumn("share", col("rows") / col("_total").cast("double"))
+      .drop("_total")
       .orderBy(desc("rows"), asc(keys.head))
-      .limit(n)
   }
 }

@@ -108,4 +108,22 @@ class JoinsSpec extends SparkSpecBase {
       .select("share").as[Double].head()
     assert(math.abs(share - 100.0 / fact.size) < 1e-12)
   }
+
+  test("keyskewProfile plan: no unpartitioned window, one reused exchange") {
+    // The profiler targets high-cardinality keys, so an unpartitioned
+    // Window (ALL distinct-key rows -> one task) would make the diagnostic
+    // itself the bottleneck. Pin its absence, and pin that the top-n branch
+    // and the scalar-total branch share ONE groupBy exchange (ReuseExchange)
+    // instead of scanning the input twice. AQE hides both in explain output
+    // (memory: AQE explain quirks), so assert on the non-adaptive plan.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Joins.keyskewProfile(factDf, Seq("k"), n = 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"unpartitioned window crept back:\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"total branch re-aggregates the input instead of reusing the exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.query
+
+import graft.expr.TokenOccurrences
+import graft.store.SearchIndex
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval: hand-computed fixture scores, indexed-path
+  * equivalence, TF-kernel edge cases, and the top-k plan shape.
+  */
+class Bm25Spec extends graft.SparkSpecBase {
+  import spark.implicits._
+
+  // Fixture small enough to score by hand: query "spark table" against
+  // n=4 docs, sumdl=10, avgdl=2.5, df(spark)=2, df(table)=2.
+  private lazy val docs = Seq(
+    (1L, "Spark, spark: TABLE!"), // dl 3, tf(spark)=2, tf(table)=1
+    (2L, "spark join"),           // dl 2, tf(spark)=1
+    (3L, "table scan scan table"),// dl 4, tf(table)=2
+    (4L, "window"),               // dl 1, no match
+  ).toDF("doc_id", "text")
+
+  /** The reference scorer, straight from the published formula. */
+  private def bm25(tf: Double, df: Double, n: Double, dl: Double, avgdl: Double,
+      k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+  }
+
+  test("topKRaw matches hand-computed scores and ranking, excludes non-matches") {
+    val got = Bm25.topKRaw(docs, "doc_id", "text", "Spark TABLE", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val expected = Seq(
+      1L -> (bm25(2, 2, 4, 3, 2.5) + bm25(1, 2, 4, 3, 2.5)),
+      3L -> bm25(2, 2, 4, 4, 2.5),
+      2L -> bm25(1, 2, 4, 2, 2.5))
+    assert(got.map(_._1) === expected.map(_._1), s"ranking: $got")
+    got.zip(expected).foreach { case ((_, s), (_, e)) =>
+      assert(math.abs(s - e) < 1e-12, s"score $s vs hand-computed $e")
+    }
+  }
+
+  test("duplicate query terms collapse; k truncates with doc_id tiebreak") {
+    val dup = Bm25.topKRaw(docs, "doc_id", "text", "spark spark spark", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val single = Bm25.topKRaw(docs, "doc_id", "text", "spark", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(dup === single)
+    // doc 1 (dl 3) vs doc 2 (dl 2) on one term: shorter doc wins at equal tf
+    assert(single.map(_._1) === Seq(1L, 2L), "tf=2 beats tf=1 here")
+    assert(Bm25.topKRaw(docs, "doc_id", "text", "spark", k = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq === Seq(1L))
+  }
+
+  test("indexed path over stored _split column with precomputed stats is identical") {
+    val indexed = SearchIndex.withAnalyzedColumns(docs, Seq("text"))
+    val terms = Bm25.queryTerms("spark table")
+    val stats = Bm25.corpusStats(indexed, col("text_split"), terms)
+    val viaIndex = Bm25.topK(indexed, "doc_id", col("text_split"), "spark table",
+        k = 10, stats = Some(stats))
+      .as[(Long, Double)].collect().toSeq
+    val viaRaw = Bm25.topKRaw(docs, "doc_id", "text", "spark table", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex === viaRaw)
+  }
+
+  test("TokenOccurrences counts whole tokens, shared boundaries, empty input") {
+    val padded = Seq(" a a a ", " aa a ", "  ", " ab ba ", " a  a ")
+      .toDF("s").select(TokenOccurrences(col("s"), "a").as("n"))
+      .as[Int].collect().toSeq
+    // adjacent same-token runs share one boundary space; 'aa'/'ab'/'ba' are
+    // different tokens; double internal spacing still bounds both sides
+    assert(padded === Seq(3, 1, 0, 0, 2))
+  }
+
+  test("top-k plan is a partial TakeOrdered, stats arrive by broadcast") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // k below the fixture's row count: EliminateLimits drops a limit
+      // that provably covers the whole input (maxRows <= k), and with it
+      // the TakeOrdered shape this test pins.
+      val plan = Bm25.topKRaw(docs, "doc_id", "text", "spark table", k = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"stats not broadcast:\n$plan")
+      assert(!plan.contains("Window"), s"unpartitioned window crept in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
