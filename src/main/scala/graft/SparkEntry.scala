@@ -449,13 +449,17 @@ object SparkEntry {
   }
 
   /** The IVF-PQ pipeline in DuckDB (refineIters=0), continuing
-    * [[ivfAssignCtesSql]]'s chain: `pqinit` (the `ksub` deterministic
-    * sample rows, [[graft.ops.Similarity.pqCodebooks]]'s init), `cbsub`
-    * (their per-subspace slices = the codebooks), `codes`/`codesw` (per-row
-    * per-subspace L2-argmin codes — `2·x·c − c·c` with `list_inner_product`,
-    * the exact fold [[graft.expr.CellAlgo.nearestCellsL2]] computes), and
-    * an ADC score summed sub-0-first (SQL `+` is left-associative, matching
-    * the engine's left fold), ranked like every ANN oracle here.
+    * [[ivfAssignCtesSql]]'s chain: `resid` (per-row RESIDUAL vs the row's
+    * coarse centroid — elementwise IEEE subtraction, matching
+    * [[graft.expr.VectorAlgo.sub]]), `pqinit` (residuals of the `ksub`
+    * deterministic sample rows, [[graft.ops.Similarity.pqCodebooks]]'s
+    * init), `cbsub` (their per-subspace slices = the codebooks),
+    * `codes`/`codesw` (per-row per-subspace L2-argmin codes over residual
+    * slices — `2·x·c − c·c` with `list_inner_product`, the exact fold
+    * [[graft.expr.CellAlgo.nearestCellsL2]] computes), and an ADC score =
+    * exact `q·centroid(cell)` term plus LUT terms summed sub-0-first (SQL
+    * `+` is left-associative, matching the engine's left fold), ranked
+    * like every ANN oracle here.
     */
   private def ivfPqSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
       dim: Int, k: Int, nQueries: Int): String = {
@@ -466,10 +470,14 @@ object SparkEntry {
       s"JOIN cbsub s$s ON s$s.sub = $s AND s$s.code = c.c$s").mkString("\n  ")
     val adc = (0 until m).map { s =>
       s"list_inner_product(list_slice(c.qv, ${s * dsub + 1}, ${(s + 1) * dsub}), s$s.sv)"
-    }.mkString("\n      + ")
-    s"""WITH ${ivfAssignCtesSql(nlist)}, pqinit AS (
-       |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS code, v
-       |  FROM (SELECT vec_id, v, $u AS u FROM e)
+    }.mkString("c.qc\n      + ", "\n      + ", "")
+    s"""WITH ${ivfAssignCtesSql(nlist)}, resid AS (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, ${dim + 1}), i -> a.v[i] - ct.cv[i]) AS rv
+       |  FROM assigned a JOIN cent ct ON a.cell = ct.cell
+       |), pqinit AS (
+       |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS code, rv AS v
+       |  FROM (SELECT vec_id, rv, $u AS u FROM resid)
        |  ORDER BY u, vec_id LIMIT $ksub
        |), subs AS (
        |  SELECT unnest(range(0, $m)) AS sub
@@ -478,21 +486,23 @@ object SparkEntry {
        |  FROM pqinit p, subs s
        |), codes AS (
        |  SELECT vec_id, sub, code FROM (
-       |    SELECT e.vec_id, c.sub, c.code,
-       |      row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
-       |        2 * list_inner_product(list_slice(e.v, c.sub * $dsub + 1, (c.sub + 1) * $dsub), c.sv)
-       |          - list_inner_product(c.sv, c.sv) DESC, c.code ASC) AS r
-       |    FROM e, cbsub c
-       |  ) WHERE r = 1
+       |    SELECT rr.vec_id, c.sub, c.code,
+       |      row_number() OVER (PARTITION BY rr.vec_id, c.sub ORDER BY
+       |        2 * list_inner_product(list_slice(rr.rv, c.sub * $dsub + 1, (c.sub + 1) * $dsub), c.sv)
+       |          - list_inner_product(c.sv, c.sv) DESC, c.code ASC) AS rnk
+       |    FROM resid rr, cbsub c
+       |  ) WHERE rnk = 1
        |), codesw AS (
        |  SELECT vec_id,
        |    $cWide
        |  FROM codes GROUP BY vec_id
        |), qprobe AS (
-       |  SELECT vec_id AS query_id, v AS qv, cell
-       |  FROM cellranked WHERE r <= $nprobe AND vec_id < $nQueries
+       |  SELECT cr.vec_id AS query_id, cr.v AS qv, cr.cell,
+       |    list_inner_product(cr.v, ct.cv) AS qc
+       |  FROM cellranked cr JOIN cent ct ON cr.cell = ct.cell
+       |  WHERE cr.r <= $nprobe AND cr.vec_id < $nQueries
        |), cand AS (
-       |  SELECT q.query_id, q.qv, a.vec_id AS neighbor_id,
+       |  SELECT q.query_id, q.qv, q.qc, a.vec_id AS neighbor_id,
        |    ${(0 until m).map(s => s"w.c$s").mkString(", ")}
        |  FROM assigned a
        |  JOIN qprobe q ON a.cell = q.cell

@@ -59,6 +59,19 @@ object VectorAlgo {
     while (i < x.length) { s += x(i); i += 1 }
     s
   }
+
+  /** Elementwise a − b (IVF-PQ residual vectors). Each lane is one IEEE
+    * subtraction — bit-identical to any engine's elementwise restatement.
+    */
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x(i) - y(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `a · b` as a native codegen'd expression over two `array<double>` columns. */
@@ -108,6 +121,24 @@ case class VecSumExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Elementwise difference as a native codegen'd expression — the per-row
+  * residual `x − centroid(cell(x))` of IVF-PQ residual encoding.
+  */
+case class VecSubExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_sub"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorAlgo.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VectorAlgo.sub($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSubExpr =
+    copy(left = l, right = r)
+}
+
 object VectorMath {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -121,4 +152,8 @@ object VectorMath {
 
   def sum(a: Column): Column =
     ColumnShim.column(VecSumExpr(ColumnShim.expression(asDouble(a))))
+
+  def sub(a: Column, b: Column): Column =
+    ColumnShim.column(VecSubExpr(
+      ColumnShim.expression(asDouble(a)), ColumnShim.expression(asDouble(b))))
 }

@@ -149,6 +149,21 @@ object Similarity {
   private def nearestCells(vec: Column, centroids: Seq[Array[Double]], n: Int): Column =
     graft.expr.CellAssign.nearestCells(vec, centroids, n)
 
+  /** The centroid table as a 2-D literal column (constant-folded once per
+    * plan): `element_at(centroidLit(cs), cell + 1)` selects a row's own
+    * coarse centroid without a join.
+    */
+  private def centroidLit(centroids: Seq[Array[Double]]): Column =
+    array(centroids.map(c => array(c.map(lit).toIndexedSeq: _*)): _*)
+
+  /** `vec − centroid(cell)` — the residual the PQ codebooks quantize.
+    * A codegen'd elementwise kernel; repeated references within one
+    * projection collapse via whole-stage codegen's subexpression
+    * elimination, so the subtraction runs once per row.
+    */
+  private def residual(vec: Column, cell: Column, centroids: Seq[Array[Double]]): Column =
+    graft.expr.VectorMath.sub(vec, element_at(centroidLit(centroids), cell + lit(1)))
+
   /** Deterministic coarse centroids with optional spherical k-means
     * refinement: init = the `k` corpus vectors with the smallest seeded
     * hash-unit of their id (reproducible on any cluster); each refinement
@@ -213,15 +228,30 @@ object Similarity {
     * one groupBy over all `m × ksub` cells — not m separate aggregations),
     * shuffling `m × ksub × dsub` doubles, never the corpus.
     *
+    * With `coarse` given (the FAISS IVFPQ construction), the codebooks are
+    * learned on RESIDUALS `x − coarse_centroid(cell(x))` instead of raw
+    * vectors: residual magnitudes are a fraction of vector magnitudes, so
+    * the same `m × ksub` budget spends its resolution where the candidates
+    * actually differ — this is where most of IVF-PQ's recall at fixed code
+    * size comes from.
+    *
     * Returns `codebooks(sub)(code)` = centroid subvector of length `dim/m`.
     */
   def pqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ksub: Int,
-      refineIters: Int = 0, seed: Int = 42): Seq[Seq[Array[Double]]] = {
+      refineIters: Int = 0, seed: Int = 42,
+      coarse: Option[Seq[Array[Double]]] = None): Seq[Seq[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val c = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    val raw = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    val c = coarse match {
+      case Some(cents) => raw
+        .withColumn("_cell", nearestCells(col("_v"), cents, 1).getItem(0))
+        .withColumn("_v", residual(col("_v"), col("_cell"), cents))
+        .select("_id", "_v")
+      case None => raw
+    }
     val initRows = c
       .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
       .orderBy("_u", "_id").limit(ksub)
@@ -261,18 +291,23 @@ object Similarity {
     * compress 256 B → 8 B at `m=8`, and the candidate join moves only
     * `(id, cell, codes)`.
     *
-    * Scoring is asymmetric-distance (ADC): each query precomputes a
-    * `m × ksub` lookup table of subspace inner products (`lut[sub, code] =
-    * q_sub · codebook[sub][code]`), and a candidate's approximate inner
-    * product is `m` array lookups summed — `Σ_sub lut[sub, codes[sub]] =
-    * q · reconstruct(codes)` exactly (the inner product is linear over the
-    * concatenated subspaces). No vector math per candidate at all; the
-    * per-candidate work is integer indexing into a broadcast-small LUT.
+    * Codes quantize RESIDUALS `x − coarse_centroid(cell(x))` (the standard
+    * FAISS IVFPQ construction — see [[pqCodebooks]]), and scoring is
+    * asymmetric-distance (ADC): each query precomputes a `m × ksub` lookup
+    * table of subspace inner products against the residual codebooks
+    * (`lut[sub, code] = q_sub · codebook[sub][code]`), and a candidate's
+    * approximate inner product is the EXACT per-cell term plus `m` array
+    * lookups summed — `q · centroid(cell) + Σ_sub lut[sub, codes[sub]] =
+    * q · (centroid + reconstruct(codes))` exactly (the inner product is
+    * linear over the concatenated subspaces). No vector math per candidate
+    * at all; the per-candidate work is integer indexing into a
+    * broadcast-small LUT.
     *
     * Fully oracled at `refineIters=0` (`ann_ivfpq`): codebooks are the
-    * deterministic sampled rows, code assignment is the bit-stable L2
-    * argmin ([[graft.expr.CellAssign.nearestCellsL2]]), and the ADC sum is
-    * a fixed-order left fold — every stage restates in SQL.
+    * residuals of the deterministic sampled rows, code assignment is the
+    * bit-stable L2 argmin ([[graft.expr.CellAssign.nearestCellsL2]]), the
+    * residual subtraction is elementwise IEEE, and the ADC sum is a
+    * fixed-order left fold — every stage restates in SQL.
     *
     * Returns `(query_id, rank, neighbor_id, adc)` — `adc` is the quantized
     * approximation of the query·neighbor inner product, the ranking score.
@@ -291,21 +326,34 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val coarse = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed)
-    val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, ksub, refineIters, seed)
+    // Residual codebooks (the standard FAISS IVFPQ construction): quantize
+    // x − coarse_centroid(cell(x)), not x — residual magnitudes are small,
+    // so the fixed m×ksub budget resolves the differences that actually
+    // rank candidates. The score decomposes exactly:
+    //   q · x ≈ q · centroid(cell) + q · reconstruct(residual codes)
+    // with the first term computed exactly per (query, probed cell) and the
+    // second from the ADC lookup table.
+    val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, ksub,
+      refineIters, seed, coarse = Some(coarse))
 
-    // The PQ index: ids, coarse cell, m codes — the corpus vectors are
-    // dropped here and never rejoin (the whole point of the compression).
+    // The PQ index: ids, coarse cell, m residual codes — the corpus vectors
+    // are dropped here and never rejoin (the whole point of the
+    // compression). The residual kernel runs once per row (codegen
+    // subexpression elimination unifies the m slice references).
     val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
-    val encoded = c.select(
+    val withCell = c.withColumn("_cell", nearestCells(col("_cv"), coarse, 1).getItem(0))
+    val rv = residual(col("_cv"), col("_cell"), coarse)
+    val encoded = withCell.select(
       col("neighbor_id"),
-      nearestCells(col("_cv"), coarse, 1).getItem(0).as("_cell"),
+      col("_cell"),
       array((0 until m).map { sub =>
         graft.expr.CellAssign.nearestCellsL2(
-          slice(col("_cv"), sub * dsub + 1, dsub), books(sub), 1).getItem(0)
+          slice(rv, sub * dsub + 1, dsub), books(sub), 1).getItem(0)
       }: _*).as("_codes"))
 
     // Per-query ADC lookup table, flat m×ksub (sub-major): built once per
-    // query row from codebook literals, broadcast with the query side.
+    // query row from codebook literals, broadcast with the query side. The
+    // exact q·centroid term rides along per probed cell.
     val lutEntries = for {
       sub <- 0 until m
       code <- 0 until ksub
@@ -314,16 +362,18 @@ object Similarity {
       array(books(sub)(code).map(lit).toIndexedSeq: _*))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
       .withColumn("_cell", explode(nearestCells(col("_qv"), coarse, nprobe)))
+      .withColumn("_qc", dot(col("_qv"), element_at(centroidLit(coarse), col("_cell") + lit(1))))
       .withColumn("_lut", array(lutEntries: _*))
-      .select("query_id", "_cell", "_lut")
+      .select("query_id", "_cell", "_qc", "_lut")
 
     val scored = encoded.join(broadcast(q), Seq("_cell"))
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      // Left-fold sum in subspace order — the same association DuckDB's
-      // left-assoc `t0 + t1 + ...` computes, so adc is bit-stable.
-      .withColumn("adc", (0 until m).map { sub =>
+      // Left-fold sum, exact term first then subspace order — the same
+      // association DuckDB's left-assoc `qc + t0 + t1 + ...` computes, so
+      // adc is bit-stable.
+      .withColumn("adc", (col("_qc") +: (0 until m).map { sub =>
         element_at(col("_lut"), lit(sub * ksub + 1) + element_at(col("_codes"), sub + 1))
-      }.reduce(_ + _))
+      }).reduce(_ + _))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("adc"), asc("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
