@@ -75,4 +75,50 @@ class LayoutSpec extends SparkSpecBase {
     assert(sx < 60, s"x-sort should be tight on x, got $sx")
     assert(sy > 220, s"x-sort leaves y unclustered (expected ~255), got $sy")
   }
+
+  test("selective 2-D filter on a Z-ordered table actually skips row groups at read") {
+    // End-to-end proof of the payoff the module exists for: the SAME
+    // selective filter, against the SAME rows in two layouts, measured at
+    // the scan (vanilla Spark prunes parquet ROW GROUPS from footer
+    // min/max; with one row group per file here, skipped row groups ==
+    // skipped file payloads — file-level listing pruning needs a manifest
+    // layer like Delta's, which is out of scope by design).
+    val df = (0 until 4096)
+      .map(i => (i.toLong, i.toLong % 256, (i.toLong * 37 + 11) % 256))
+      .toDF("id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    Layout.writeZOrdered(df,
+      Layout.zValue(Seq(col("x"), col("y")), 8), s"$dir/z", numFiles = 16)
+    // Control: clustered by id — x/y unclustered within every file, the
+    // layout an append-ordered events table naturally has.
+    df.repartitionByRange(16, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$dir/byid")
+
+    // A 32x32 tile = 1/64 of the value grid; both bounds are range
+    // predicates that push down to the parquet reader.
+    val pred = col("x").between(96, 127) && col("y").between(96, 127)
+    def scanned(path: String): (Long, Set[Long]) = {
+      val q = spark.read.parquet(path).where(pred)
+      // collect() on q itself: metrics live on THIS QueryExecution (a
+      // derived .select would execute a different physical plan).
+      val ids = q.collect().map(_.getAs[Long]("id")).toSet
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no parquet scan in plan")
+      assert(scans.forall(_.metadata("PushedFilters").contains("GreaterThanOrEqual(x,96")),
+        s"range filter not pushed: ${scans.map(_.metadata("PushedFilters"))}")
+      (scans.map(_.metrics("numOutputRows").value).sum, ids)
+    }
+    val (zRows, zIds) = scanned(s"$dir/z")
+    val (idRows, idIds) = scanned(s"$dir/byid")
+    assert(zIds === idIds, "layouts must return identical rows")
+    assert(zIds.nonEmpty, "filter selected nothing — tile misses the data")
+    // id-clustered: every file spans the full x range, nothing skips.
+    assert(idRows === 4096L, s"control layout unexpectedly pruned ($idRows)")
+    // Z-ordered: the tile intersects a handful of the 16 file envelopes;
+    // at least 3/4 of the row groups must be skipped outright.
+    assert(zRows <= 1024L,
+      s"z-ordered scan read $zRows of 4096 rows — row-group pruning not firing")
+  }
 }
