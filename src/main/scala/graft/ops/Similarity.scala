@@ -149,12 +149,16 @@ object Similarity {
   private def nearestCells(vec: Column, centroids: Seq[Array[Double]], n: Int): Column =
     graft.expr.CellAssign.nearestCells(vec, centroids, n)
 
-  /** The centroid table as a 2-D literal column (constant-folded once per
-    * plan): `element_at(centroidLit(cs), cell + 1)` selects a row's own
-    * coarse centroid without a join.
+  /** The centroid table as ONE 2-D literal column:
+    * `element_at(centroidLit(cs), cell + 1)` selects a row's own coarse
+    * centroid without a join. `typedLit` (a single `Literal` node), NOT
+    * nested `array(array(lit...))` — the latter is nlist × dim expression
+    * nodes that every analyzer/optimizer rule re-walks, and at nlist=256 ×
+    * dim=64 × two references the plan COMPILE time dwarfed the query
+    * (measured: ann_ivfpq_nlist256 5.5 s vs 1.0 s for its IVF twin).
     */
   private def centroidLit(centroids: Seq[Array[Double]]): Column =
-    array(centroids.map(c => array(c.map(lit).toIndexedSeq: _*)): _*)
+    typedLit(centroids.map(_.toSeq))
 
   /** `vec − centroid(cell)` — the residual the PQ codebooks quantize.
     * A codegen'd elementwise kernel; repeated references within one
@@ -245,17 +249,22 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val raw = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
-    val c = coarse match {
-      case Some(cents) => raw
+    def residualized(df: DataFrame): DataFrame = coarse match {
+      case Some(cents) => df
         .withColumn("_cell", nearestCells(col("_v"), cents, 1).getItem(0))
         .withColumn("_v", residual(col("_v"), col("_cell"), cents))
         .select("_id", "_v")
-      case None => raw
+      case None => df
     }
-    val initRows = c
-      .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
-      .orderBy("_u", "_id").limit(ksub)
+    // Sample FIRST, residualize the ksub survivors: the pick is by
+    // (hashUnit(id), id) — independent of the vector — so running the
+    // coarse assignment before the limit would burn a full corpus pass
+    // (nlist cosines x |corpus|) to produce ksub rows.
+    val initRows = residualized(raw
+        .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
+        .orderBy("_u", "_id").limit(ksub))
       .select("_v").collect().map(_.getSeq[Double](0).toArray)
+    val c = residualized(raw)
     require(initRows.length == ksub, s"pqCodebooks: corpus smaller than ksub=$ksub")
     var books: Seq[Seq[Array[Double]]] =
       (0 until m).map(sub => initRows.toSeq.map(_.slice(sub * dsub, (sub + 1) * dsub)))
