@@ -794,6 +794,26 @@ object SparkEntry {
         "dup vector scan", k = 15, stats = Some(stats))
     }),
 
+    "search_bm25_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Index-maintenance contract, demonstrated: corpus statistics built
+      // per ingest batch (here: the two doc_id parity halves) and MERGED —
+      // integer sums, so the merge is exact and the scores hash-match the
+      // whole-corpus search_bm25. At 100 TB this is the difference between
+      // re-scanning the corpus per ingest and adding two 1-row frames.
+      import graft.query.Bm25
+      val indexed = graft.store.SearchIndex.withAnalyzedColumns(
+        load(dir, "documents"), Seq("text"))
+      val terms = Bm25.queryTerms("dup vector scan")
+      val halves = Seq(
+        indexed.where(col("doc_id") % 2 === 0),
+        indexed.where(col("doc_id") % 2 === 1))
+      val stats = Bm25.mergeStats(
+        halves.map(h => Bm25.corpusStats(h, col("text_split"), terms)))
+      Bm25.topK(indexed, "doc_id", col("text_split"),
+        "dup vector scan", k = 15, stats = Some(stats))
+    }),
+
     "q7_conjunction" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val spec = FilterSpec.conjunction(Seq(
@@ -1839,6 +1859,11 @@ object SparkEntry {
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
 
     "search_bm25_indexed" ->
+      graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    // Incrementally-merged stats are exact integer sums — scores must equal
+    // the whole-corpus computation bit for bit, so the oracle is the same.
+    "search_bm25_incremental" ->
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
 
     "q7_conjunction" ->

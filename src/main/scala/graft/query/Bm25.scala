@@ -77,6 +77,24 @@ object Bm25 {
     docs.agg(count(lit(1)).as("_n"), aggs: _*)
   }
 
+  /** Merge per-partition [[corpusStats]] frames (all built for the SAME
+    * term set): every field — doc count, total token count, per-term DF —
+    * is an integer sum, so statistics maintain INCREMENTALLY under the same
+    * contract as the dictionary's sketch tables: profile only the newly
+    * ingested partition, add the 1-row frames, never re-scan the corpus.
+    * Exact, not approximate — integer sums are associative and
+    * order-insensitive (pinned by the `search_bm25_incremental` oracle,
+    * which must hash-match the whole-corpus scoring).
+    */
+  def mergeStats(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "bm25: no stats frames to merge")
+    val cols = parts.head.columns.toSeq
+    require(parts.forall(_.columns.toSeq == cols),
+      "bm25: stats frames disagree on columns — different term sets?")
+    val aggs = cols.map(c => sum(col(c)).as(c))
+    parts.reduce(_.unionByName(_)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The BM25 score column over a row frame carrying `_dl`, `_tf<i>` and the
     * broadcast stats columns (`_n`, `_sumdl`, `_df<i>`). Fixed left-fold
     * over terms in order — the association the SQL oracle restates.

@@ -63,6 +63,24 @@ class Bm25Spec extends graft.SparkSpecBase {
     assert(viaIndex === viaRaw)
   }
 
+  test("mergeStats over partition halves equals whole-corpus stats and scores") {
+    val terms = Bm25.queryTerms("spark table")
+    val full = Bm25.corpusStats(docs,
+      concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")), terms)
+    val halves = Seq(docs.where(col("doc_id") <= 2), docs.where(col("doc_id") > 2))
+      .map(h => Bm25.corpusStats(h,
+        concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")), terms))
+    val merged = Bm25.mergeStats(halves)
+    assert(merged.collect().toSeq === full.collect().toSeq)
+    val viaMerged = Bm25.topKRaw(docs, "doc_id", "text", "spark table", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val viaStats = Bm25.topK(docs, "doc_id",
+        concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")),
+        "spark table", k = 10, stats = Some(merged))
+      .as[(Long, Double)].collect().toSeq
+    assert(viaStats === viaMerged)
+  }
+
   test("TokenOccurrences counts whole tokens, shared boundaries, empty input") {
     val padded = Seq(" a a a ", " aa a ", "  ", " ab ba ", " a  a ")
       .toDF("s").select(TokenOccurrences(col("s"), "a").as("n"))
