@@ -1429,6 +1429,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Gopher-style repetition quality signals, one row-local codegen'd
+      // kernel pass per n (no shuffle at any corpus size): top-2/3-gram
+      // character fractions, duplicated-5-gram character fraction, and the
+      // line-duplication fractions (constant 0 on this single-line corpus —
+      // the multi-line path is spec-pinned on fixtures in GramStatsSpec).
+      ops.TextAnalysis.repetitionProfile(load(dir, "documents"), "text")
+        .select("doc_id", "top2gram_char_frac", "top3gram_char_frac",
+          "dup5gram_char_frac", "dup_line_frac", "dup_line_char_frac")
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact_fingerprint" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Exact dedup on the normalized-content fingerprint: case/punctuation
@@ -2159,6 +2172,82 @@ object SparkEntry {
          |       + (1.0 - least(1.0, punct_ratio * 5.0))
          |       + (1.0 - least(1.0, abs(mean_token_length - 5.0) / 5.0))) * 0.25 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Repetition signals restated by a genuinely different algorithm: the
+    // engine runs a row-local sort+run-scan kernel; the oracle explodes
+    // grams and aggregates per (doc, gram). Tie-break for the top gram
+    // (count DESC, chars DESC, gram ASC in binary collation) matches the
+    // kernel's documented pick exactly; every fraction is one DOUBLE
+    // division of exact BIGINTs.
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS toks,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]'))::BIGINT AS alnum
+         |  FROM documents
+         |), g2 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 2
+         |), c2 AS (
+         |  SELECT doc_id, gram, count(*)::BIGINT AS cnt, (len(gram) - 1)::BIGINT AS chars
+         |  FROM g2 GROUP BY doc_id, gram
+         |), top2 AS (
+         |  SELECT doc_id, cnt * chars AS mass FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, chars DESC, gram ASC) AS rn FROM c2
+         |  ) WHERE rn = 1
+         |), g3 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3
+         |), c3 AS (
+         |  SELECT doc_id, gram, count(*)::BIGINT AS cnt, (len(gram) - 2)::BIGINT AS chars
+         |  FROM g3 GROUP BY doc_id, gram
+         |), top3 AS (
+         |  SELECT doc_id, cnt * chars AS mass FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, chars DESC, gram ASC) AS rn FROM c3
+         |  ) WHERE rn = 1
+         |), g5 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+         |    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 5
+         |), c5 AS (
+         |  SELECT doc_id, gram, count(*)::BIGINT AS cnt, (len(gram) - 4)::BIGINT AS chars
+         |  FROM g5 GROUP BY doc_id, gram
+         |), dup5 AS (
+         |  SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)::BIGINT AS mass
+         |  FROM c5 GROUP BY doc_id
+         |), lg AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    list_transform(str_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS line
+         |  FROM t
+         |), cl AS (
+         |  SELECT doc_id, line, count(*)::BIGINT AS cnt, len(line)::BIGINT AS chars
+         |  FROM lg GROUP BY doc_id, line
+         |), ln AS (
+         |  SELECT doc_id, sum(cnt)::BIGINT AS total, sum(cnt * chars)::BIGINT AS total_chars,
+         |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_occ,
+         |    sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END)::BIGINT AS dup_chars
+         |  FROM cl GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |  CASE WHEN t.alnum = 0 OR top2.mass IS NULL THEN 0.0
+         |       ELSE top2.mass::DOUBLE / t.alnum::DOUBLE END AS top2gram_char_frac,
+         |  CASE WHEN t.alnum = 0 OR top3.mass IS NULL THEN 0.0
+         |       ELSE top3.mass::DOUBLE / t.alnum::DOUBLE END AS top3gram_char_frac,
+         |  CASE WHEN t.alnum = 0 OR dup5.mass IS NULL THEN 0.0
+         |       ELSE dup5.mass::DOUBLE / t.alnum::DOUBLE END AS dup5gram_char_frac,
+         |  CASE WHEN ln.total IS NULL OR ln.total = 0 THEN 0.0
+         |       ELSE ln.dup_occ::DOUBLE / ln.total::DOUBLE END AS dup_line_frac,
+         |  CASE WHEN ln.total_chars IS NULL OR ln.total_chars = 0 THEN 0.0
+         |       ELSE ln.dup_chars::DOUBLE / ln.total_chars::DOUBLE END AS dup_line_char_frac
+         |FROM t
+         |LEFT JOIN top2 USING (doc_id)
+         |LEFT JOIN top3 USING (doc_id)
+         |LEFT JOIN dup5 USING (doc_id)
+         |LEFT JOIN ln USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (

@@ -137,6 +137,80 @@ object TextAnalysis {
         i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
   }
 
+  // ===== Repetition signals (Gopher-style quality filters; Rae et al. 2021,
+  // public paper). All per-row kernels — repetition is a per-document
+  // property, so no shuffle is involved at any corpus size; see
+  // [[graft.expr.GramStatsAlgo]] for the one-pass kernel and the corpus-wide
+  // anti-pattern it avoids.
+
+  /** Alphanumeric character count of the lowercased text — Σ token chars,
+    * the Gopher denominators' "characters in the document".
+    */
+  def alnumCharCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z0-9]")).cast("long")
+
+  /** Fraction of document characters contained in occurrences of the most
+    * frequent word `n`-gram: `top_count · top_chars / alnum_chars` (0 when
+    * the document has no chars or fewer than `n` tokens). High values mark
+    * templated/boilerplate text (Gopher cuts ~0.20/0.18/0.16 at n=2/3/4).
+    */
+  def topNGramCharFrac(c: Column, n: Int): Column = {
+    require(n >= 2, s"topNGramCharFrac: word n-grams need n >= 2, got $n")
+    val st = graft.expr.GramStats(lowerTokens(c), n)
+    val denom = alnumCharCount(c)
+    when(denom === 0, 0.0).otherwise(
+      (st.getField("top_count") * st.getField("top_chars")).cast(DoubleType) /
+        denom.cast(DoubleType))
+  }
+
+  /** Fraction of document characters in word `n`-grams occurring more than
+    * once (ALL their occurrences; overlapping grams re-count shared
+    * characters, so heavily repetitive text can exceed 1 — documented
+    * Gopher behavior, threshold there ~0.15 at n=5..10).
+    */
+  def dupNGramCharFrac(c: Column, n: Int): Column = {
+    require(n >= 2, s"dupNGramCharFrac: word n-grams need n >= 2, got $n")
+    val st = graft.expr.GramStats(lowerTokens(c), n)
+    val denom = alnumCharCount(c)
+    when(denom === 0, 0.0).otherwise(
+      st.getField("dup_chars").cast(DoubleType) / denom.cast(DoubleType))
+  }
+
+  /** Fraction of (trimmed, non-empty) lines that are duplicates — all
+    * occurrences of any repeated line, over the line count; 0 for documents
+    * with no non-empty lines.
+    */
+  def dupLineFrac(c: Column): Column = {
+    val st = graft.expr.GramStats(graft.expr.GramStats.lines(c), 1)
+    when(st.getField("total") === 0, 0.0).otherwise(
+      st.getField("dup_occurrences").cast(DoubleType) /
+        st.getField("total").cast(DoubleType))
+  }
+
+  /** Character-weighted [[dupLineFrac]]: characters in duplicated lines over
+    * characters in all lines (trimmed); 0 with no non-empty lines.
+    */
+  def dupLineCharFrac(c: Column): Column = {
+    val st = graft.expr.GramStats(graft.expr.GramStats.lines(c), 1)
+    when(st.getField("total_chars") === 0, 0.0).otherwise(
+      st.getField("dup_chars").cast(DoubleType) /
+        st.getField("total_chars").cast(DoubleType))
+  }
+
+  /** Per-document repetition profile — the Gopher repetition-filter feature
+    * set as named columns. Runtime common-subexpression elimination shares
+    * each n's kernel across the derived fractions (deterministic expression,
+    * one eval per row per n in codegen).
+    */
+  def repetitionProfile(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("top2gram_char_frac", topNGramCharFrac(c, 2))
+      .withColumn("top3gram_char_frac", topNGramCharFrac(c, 3))
+      .withColumn("dup5gram_char_frac", dupNGramCharFrac(c, 5))
+      .withColumn("dup_line_frac", dupLineFrac(c))
+      .withColumn("dup_line_char_frac", dupLineCharFrac(c))
+  }
+
   /** Full per-document text profile as named columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
