@@ -1442,6 +1442,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decontaminate_ngram" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Benchmark decontamination: the "benchmark" is a deterministic slice
+      // of the corpus itself (doc_id % 97 = 0), so overlaps are guaranteed
+      // (each bench doc flags at least itself) and the whole pipeline —
+      // per-row distinct 8-grams, broadcast bench set, count per doc —
+      // restates in SQL. Contaminated docs + overlap counts, by id.
+      val docs = load(dir, "documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      ops.Decontaminate.overlaps(docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact_fingerprint" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Exact dedup on the normalized-content fingerprint: case/punctuation
@@ -2248,6 +2261,21 @@ object SparkEntry {
          |LEFT JOIN dup5 USING (doc_id)
          |LEFT JOIN ln USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "decontaminate_ngram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), cg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 7),
+         |    i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+         |  FROM t WHERE len(toks) >= 8
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM cg WHERE doc_id % 97 = 0
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_overlapping_grams
+         |FROM cg JOIN bg USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (

@@ -77,6 +77,36 @@ object TextShingleAlgo {
     new GenericArrayData(out)
   }
 
+  /** Distinct k-token shingles as STRINGS ("tok1 tok2 … tokk"), first-seen
+    * order; empty when fewer than `k` tokens. The string form exists for
+    * cross-engine joins (benchmark decontamination's oracle restates it in
+    * SQL verbatim); [[shingleHashes]] is the bandwidth-optimal variant when
+    * both sides live in this engine.
+    */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < k) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard of two SORTED long arrays via a single merge pass —
     * no per-pair hash-set allocation (`array_intersect`'s interpreted eval
     * dominated candidate verification at |candidates| ~ millions).
@@ -188,6 +218,21 @@ case class ShingleHashesExpr(left: Expression, right: Expression) extends Binary
     copy(left = l, right = r)
 }
 
+/** `text → array<string>` distinct k-shingle strings (codegen'd). */
+case class ShingleStringsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_shingle_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(text: Any, k: Any): Any =
+    TextShingleAlgo.shingleStrings(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.expr.TextShingleAlgo.shingleStrings($t, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleStringsExpr =
+    copy(left = l, right = r)
+}
+
 /** Exact Jaccard of two SORTED `array<long>` columns (codegen'd merge). */
 case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "graft_jaccard_sorted"
@@ -227,6 +272,10 @@ object TextShingles {
 
   def shingleHashes(text: Column, k: Int): Column =
     ColumnShim.column(ShingleHashesExpr(
+      ColumnShim.expression(text), ColumnShim.expression(lit(k))))
+
+  def shingleStrings(text: Column, k: Int): Column =
+    ColumnShim.column(ShingleStringsExpr(
       ColumnShim.expression(text), ColumnShim.expression(lit(k))))
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =

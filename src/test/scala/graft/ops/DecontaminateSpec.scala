@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+/** Benchmark decontamination: hand-computed n-gram overlaps, the clean-side
+  * anti-join, and the broadcast plan shape the 100 TB story rests on.
+  */
+class DecontaminateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs today"),
+    (3L, "the quick brown fox runs far away from here"),
+    (4L, "completely different content with no shared phrases at all")
+  ).toDF("doc_id", "text")
+
+  // One benchmark prompt sharing a 4-gram with docs 1 and 3.
+  private val bench = Seq(
+    "we ask about the quick brown fox in this question"
+  ).toDF("text")
+
+  test("overlaps counts distinct shared n-grams per document") {
+    val got = Decontaminate.overlaps(corpus, "doc_id", "text", bench, "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    // bench 4-grams include "the quick brown fox" and "quick brown fox in" …
+    // doc 1 shares only "the quick brown fox" (its next gram is
+    // "quick brown fox jumps"); doc 3 likewise; docs 2 and 4 share none.
+    assert(got == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("within-document repeats count once (per-row distinct grams)") {
+    val rep = Seq((9L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val b = Seq("alpha beta").toDF("text")
+    val got = Decontaminate.overlaps(rep, "doc_id", "text", b, "text", n = 2)
+      .as[(Long, Long)].collect().toSeq
+    // rep's distinct 2-grams: "alpha beta", "beta alpha" — one overlaps.
+    assert(got == Seq((9L, 1L)))
+  }
+
+  test("clean keeps exactly the unflagged documents") {
+    val kept = Decontaminate.clean(corpus, "doc_id", "text", bench, "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
+  test("bench gram set joins via broadcast — corpus text never shuffles") {
+    val plan = Decontaminate.overlaps(corpus, "doc_id", "text", bench, "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("documents shorter than n grams are absent, not zero-counted") {
+    val tiny = Seq((7L, "too short")).toDF("doc_id", "text")
+    val got = Decontaminate.overlaps(tiny, "doc_id", "text", bench, "text", n = 4)
+    assert(got.count() == 0)
+  }
+}
