@@ -1442,6 +1442,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_redact_pii" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The corpus carries no PII, so the query injects a deterministic
+      // docket of it (email, SSN, two phone forms, IPv4) derived from
+      // doc_id, then scrubs — the redaction chain itself is what's under
+      // oracle. Row-local regexp chain, no shuffle.
+      val injected = concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex-corp.example.com ph 555-867-5309 or (415) 555-0100" +
+          " ssn 078-05-1120 host 192.168."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))
+      load(dir, "documents").select(
+        col("doc_id"),
+        ops.TextAnalysis.redactPii(injected).as("redacted"),
+        ops.TextAnalysis.piiMatchCount(injected).as("n_pii"))
+        .orderBy("doc_id")
+    }),
+
     "decontaminate_ngram" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Benchmark decontamination: the "benchmark" is a deterministic slice
@@ -2261,6 +2280,28 @@ object SparkEntry {
          |LEFT JOIN dup5 USING (doc_id)
          |LEFT JOIN ln USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    // The redaction chain replayed stage by stage from the SAME pattern
+    // list the engine folds over (single source of truth), counting each
+    // stage's matches on its input — identical precedence semantics.
+    "text_redact_pii" -> {
+      val inj = "text || ' contact u' || doc_id::VARCHAR ||" +
+        " '@ex-corp.example.com ph 555-867-5309 or (415) 555-0100" +
+        " ssn 078-05-1120 host 192.168.' || (doc_id % 256)::VARCHAR || '.7'"
+      val stages = ops.TextAnalysis.piiPatterns.zipWithIndex.map { case ((p, r), i) =>
+        s"""t${i + 1} AS (
+           |  SELECT doc_id, regexp_replace(s, '$p', '$r', 'g') AS s,
+           |    c + len(regexp_extract_all(s, '$p'))::BIGINT AS c
+           |  FROM t$i
+           |)""".stripMargin
+      }
+      s"""WITH t0 AS (
+         |  SELECT doc_id, $inj AS s, 0::BIGINT AS c FROM documents
+         |),
+         |${stages.mkString(",\n")}
+         |SELECT doc_id, s AS redacted, c AS n_pii
+         |FROM t${ops.TextAnalysis.piiPatterns.size} ORDER BY doc_id""".stripMargin
+    },
 
     "decontaminate_ngram" ->
       s"""WITH t AS (

@@ -137,6 +137,42 @@ object TextAnalysis {
         i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
   }
 
+  // ===== PII redaction =====
+
+  /** Redaction patterns, applied IN ORDER (emails first, so an address's
+    * digit runs can't be re-matched as phone/SSN fragments; IPs last).
+    * Deliberately restricted to the regex subset Java and RE2 agree on
+    * (character classes, bounded quantifiers, `\b`, alternation — no
+    * lookaround, no backreferences) so the DuckDB oracle replays the exact
+    * chain with `regexp_replace(..., 'g')`.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]",
+    "(\\(\\d{3}\\)\\s?|\\b\\d{3}[-.])\\d{3}[-.]\\d{4}\\b" -> "[PHONE]",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "[IP]")
+
+  /** Scrub emails, SSNs, North-American phone numbers, and IPv4 addresses
+    * to typed placeholder tokens — the standard pre-training privacy pass.
+    * A fixed chain of codegen'd `regexp_replace` calls, row-local (no
+    * shuffle, no UDF) at any corpus size. Pattern-based redaction is
+    * recall-bounded by construction; an NER-model pass is out of scope for
+    * an engine (run one via the Multimodal-style mapInPandas seam if
+    * needed).
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** Count of PII matches that [[redactPii]] would scrub: occurrences are
+    * counted on the progressively redacted text, exactly mirroring the
+    * replacement chain's precedence (an email's digits never double-count
+    * as a phone number).
+    */
+  def piiMatchCount(c: Column): Column =
+    piiPatterns.foldLeft((lit(0L), c)) { case ((cnt, txt), (p, r)) =>
+      (cnt + regexp_count(txt, lit(p)).cast("long"), regexp_replace(txt, p, r))
+    }._1
+
   // ===== Repetition signals (Gopher-style quality filters; Rae et al. 2021,
   // public paper). All per-row kernels — repetition is a per-document
   // property, so no shuffle is involved at any corpus size; see

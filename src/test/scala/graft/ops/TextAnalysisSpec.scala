@@ -78,6 +78,39 @@ class TextAnalysisSpec extends SparkSpecBase {
   test("profile emits all named feature columns") {
     val cols = TextAnalysis.profile(Seq((1L, "some text")).toDF("id", "text"), "text").columns.toSet
     assert(Set("token_count", "bpe_token_estimate", "punct_ratio", "stopword_ratio",
-      "mean_token_length", "quality_score", "lang_pred", "fingerprint").subsetOf(cols))
+      "mean_token_length", "punct_ratio", "quality_score", "lang_pred", "fingerprint").subsetOf(cols))
+  }
+
+  private def redact(text: String): String =
+    Seq(text).toDF("t").select(TextAnalysis.redactPii(col("t"))).as[String].head()
+
+  test("redactPii scrubs emails, SSNs, phones, and IPv4s to typed tokens") {
+    assert(redact("mail jane.doe+spam@sub.example.co.uk now") == "mail [EMAIL] now")
+    assert(redact("ssn is 078-05-1120.") == "ssn is [SSN].")
+    assert(redact("call 555-867-5309 or (415) 555-0100 or 415.555.0100") ==
+      "call [PHONE] or [PHONE] or [PHONE]")
+    assert(redact("ping 10.0.255.1 then 192.168.0.254") == "ping [IP] then [IP]")
+  }
+
+  test("redactPii precedence: email digits never re-match as phone/SSN/IP") {
+    assert(redact("a 078-05-1120@x.io b") == "a [EMAIL] b")
+    // SSN beats the phone pattern on 3-2-4 grouping; phone needs 3-3-4.
+    assert(redact("078-05-1120 and 078-051-1203") == "[SSN] and [PHONE]")
+  }
+
+  test("redactPii leaves clean text untouched") {
+    val s = "three words here, version 4.1 at 12:30"
+    assert(redact(s) == s)
+  }
+
+  test("piiMatchCount counts scrubbed entities with chain precedence") {
+    val df = Seq(
+      ("a@b.io and 10.0.0.1 and 555-867-5309", 3L),
+      ("no pii at all", 0L),
+      ("078-05-1120@x.io", 1L) // one email, not an SSN
+    ).toDF("t", "want")
+    val got = df.select(TextAnalysis.piiMatchCount(col("t")).as("got"), col("want"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (g, w) => assert(g == w) }
   }
 }
