@@ -1442,6 +1442,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pack_sequences" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Concat-and-chunk packing of the documents corpus into 512-token
+      // training sequences over 4 independent id-mod buckets: one hash
+      // exchange + per-bucket sort, boundary explode row-local. Every
+      // sequence but each bucket's last is exactly 512 tokens (spec-pinned
+      // invariant); slice offsets are exact integer arithmetic, restated
+      // verbatim in the oracle's window + generate_series form.
+      val docs = load(dir, "documents")
+      ops.Packing.packConcatChunk(docs, "doc_id",
+          ops.TextAnalysis.tokenCount(col("text")), seqLen = 512, numBuckets = 4)
+        .orderBy("bucket", "seq", "doc_id")
+    }),
+
     "text_redact_pii" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The corpus carries no PII, so the query injects a deterministic
@@ -2280,6 +2294,26 @@ object SparkEntry {
          |LEFT JOIN dup5 USING (doc_id)
          |LEFT JOIN ln USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 4 AS bucket,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, bucket, tok,
+         |    (sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok)::BIGINT AS strt
+         |  FROM t WHERE tok > 0
+         |), e AS (
+         |  SELECT *, unnest(generate_series(strt // 512, (strt + tok - 1) // 512)) AS seq
+         |  FROM c
+         |)
+         |SELECT bucket, seq, doc_id,
+         |  greatest(0, seq * 512 - strt)::BIGINT AS slice_begin,
+         |  (least(tok, (seq + 1) * 512 - strt) - greatest(0, seq * 512 - strt))::BIGINT AS slice_len
+         |FROM e ORDER BY bucket, seq, doc_id""".stripMargin,
 
     // The redaction chain replayed stage by stage from the SAME pattern
     // list the engine folds over (single source of truth), counting each

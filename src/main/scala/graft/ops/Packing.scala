@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training: concatenate documents in a
+  * deterministic order and chunk the token stream into fixed-length
+  * training sequences ("concat-and-chunk", the standard GPT-style packing;
+  * public knowledge). Output maps each document to the sequence(s) it lands
+  * in, as `(bucket, seq, id, slice_begin, slice_len)` — a doc spanning a
+  * boundary is split across consecutive sequences, so every sequence except
+  * each bucket's last is EXACTLY `seqLen` tokens with zero padding.
+  *
+  * 100 TB shape: packing is a prefix-sum, which is inherently sequential —
+  * so the stream is sharded into `numBuckets` independent streams first
+  * (`id mod numBuckets`), and each bucket packs alone. ONE hash exchange on
+  * the bucket key + a per-bucket sort (the window); the boundary explode is
+  * row-local. Pick `numBuckets` ≳ cluster cores: each bucket's window is
+  * one task's sequential scan, and sequences never cross buckets, so the
+  * result is reproducible under any parallelism. Token *offsets* stay
+  * per-bucket exact integers (`div`, not float division), immune to row
+  * counts.
+  */
+object Packing {
+
+  /** Pack `docs` into `seqLen`-token sequences over `numBuckets` independent
+    * streams ordered by `idCol` (numeric id; hash a string id to a long
+    * first — the bucket function must restate in the oracle's dialect,
+    * which is why this takes the id, not an opaque hash).
+    *
+    * Docs with a non-positive token count are dropped (nothing to pack).
+    * Output: `bucket`, `seq` (per-bucket sequence index), `idCol`,
+    * `slice_begin` (token offset within the doc), `slice_len`.
+    */
+  def packConcatChunk(
+      docs: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      seqLen: Int,
+      numBuckets: Int): DataFrame = {
+    require(seqLen > 0, s"pack: seqLen must be positive, got $seqLen")
+    require(numBuckets > 0, s"pack: numBuckets must be positive, got $numBuckets")
+    val id = col(s"`$idCol`")
+    val keyed = docs
+      .select(id, tokenCount.cast("long").as("_tok"))
+      .where(col("_tok") > 0)
+      .withColumn("_bucket", pmod(id, lit(numBuckets.toLong)))
+    val w = Window.partitionBy("_bucket").orderBy(id)
+    val L = lit(seqLen.toLong)
+    keyed
+      .withColumn("_start", sum(col("_tok")).over(w) - col("_tok"))
+      // Integer `div`, not floor(double /): exact at any per-bucket prefix
+      // sum, not just below 2^53.
+      .withColumn("_first", expr(s"_start div ${seqLen}L"))
+      .withColumn("_last", expr(s"(_start + _tok - 1) div ${seqLen}L"))
+      .withColumn("seq", explode(sequence(col("_first"), col("_last"))))
+      .select(
+        col("_bucket").as("bucket"),
+        col("seq"),
+        id,
+        greatest(lit(0L), col("seq") * L - col("_start")).as("slice_begin"),
+        (least(col("_tok"), (col("seq") + 1) * L - col("_start")) -
+          greatest(lit(0L), col("seq") * L - col("_start"))).as("slice_len"))
+  }
+
+  /** Fill statistics per sequence: `(bucket, seq, tokens)` — every sequence
+    * except each bucket's last must hold exactly `seqLen` tokens (the
+    * invariant PackingSpec pins).
+    */
+  def sequenceFill(packed: DataFrame): DataFrame =
+    packed.groupBy("bucket", "seq")
+      .agg(sum("slice_len").as("tokens"))
+}

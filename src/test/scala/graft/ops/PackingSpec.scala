@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk packing: a fully hand-computed single-bucket trace,
+  * the exact-fill and partition invariants, multi-bucket independence, and
+  * the one-exchange plan shape.
+  */
+class PackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // (id, token_count) — cumulative starts in one bucket: 0,3,7,9,14,15.
+  private val docs = Seq(
+    (1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 1L), (6L, 6L)
+  ).toDF("doc_id", "tok")
+
+  private def packed(buckets: Int, L: Int = 5) =
+    Packing.packConcatChunk(docs, "doc_id", col("tok"), seqLen = L, numBuckets = buckets)
+
+  test("single-bucket hand trace: boundaries split docs, offsets exact") {
+    val got = packed(1).orderBy("seq", "doc_id")
+      .select("seq", "doc_id", "slice_begin", "slice_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = Seq(
+      (0L, 1L, 0L, 3L),
+      (0L, 2L, 0L, 2L), // doc 2 spans the seq-0/1 boundary
+      (1L, 2L, 2L, 2L),
+      (1L, 3L, 0L, 2L),
+      (1L, 4L, 0L, 1L), // doc 4 spans the seq-1/2 boundary
+      (2L, 4L, 1L, 4L),
+      (2L, 5L, 0L, 1L),
+      (3L, 6L, 0L, 5L), // doc 6 alone fills seq 3 and spills into 4
+      (4L, 6L, 5L, 1L))
+    assert(got == want)
+  }
+
+  test("every sequence except each bucket's last holds exactly seqLen tokens") {
+    for (buckets <- Seq(1, 2, 3)) {
+      val fill = Packing.sequenceFill(packed(buckets))
+        .orderBy("bucket", "seq")
+        .as[(Long, Long, Long)].collect().toSeq
+      fill.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.map(_._2) == sorted.indices.map(_.toLong), s"gap in seq ids: $sorted")
+        sorted.dropRight(1).foreach { case (b, q, tokens) =>
+          assert(tokens == 5L, s"bucket $b seq $q underfull: $tokens")
+        }
+        assert(sorted.last._3 <= 5L)
+      }
+    }
+  }
+
+  test("per-doc slices partition [0, tok) in order") {
+    for (buckets <- Seq(1, 2, 3)) {
+      val byDoc = packed(buckets)
+        .orderBy("doc_id", "seq")
+        .select("doc_id", "slice_begin", "slice_len")
+        .as[(Long, Long, Long)].collect().toSeq.groupBy(_._1)
+      val toks = docs.as[(Long, Long)].collect().toMap
+      byDoc.foreach { case (id, slices) =>
+        var off = 0L
+        slices.foreach { case (_, begin, len) =>
+          assert(begin == off, s"doc $id slice gap at $off")
+          assert(len > 0)
+          off += len
+        }
+        assert(off == toks(id), s"doc $id slices cover $off of ${toks(id)}")
+      }
+    }
+  }
+
+  test("buckets pack independently and never share sequences") {
+    val got = packed(2).select("bucket", "doc_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got.forall { case (b, id) => id % 2 == b })
+  }
+
+  test("zero-token documents are dropped") {
+    val withEmpty = docs.union(Seq((7L, 0L)).toDF("doc_id", "tok"))
+    val got = Packing.packConcatChunk(withEmpty, "doc_id", col("tok"), 5, 1)
+    assert(!got.select("doc_id").as[Long].collect().contains(7L))
+  }
+
+  test("plan: one hash exchange on the bucket key, nothing else") {
+    val plan = packed(4).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_bucket"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+  }
+}
