@@ -1442,6 +1442,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "search_hybrid_rrf" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Hybrid retrieval: BM25 top-50 over the text corpus fused with
+      // brute-force cosine top-50 around embedding 0 (ids align by
+      // construction in the test data) via Reciprocal Rank Fusion.
+      // Both runs are fully oracled retrievers; fusion adds only integer
+      // ranks and two-term IEEE sums, so the whole pipeline hash-matches.
+      val docs = load(dir, "documents")
+      val emb = load(dir, "embeddings")
+      val bmRun = query.Hybrid.withRank(
+          query.Bm25.topKRaw(docs, "doc_id", "text", "spark merge join window", k = 50),
+          "score", "doc_id")
+        .select("doc_id", "rank")
+      val vecRun = ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      query.Hybrid.rrf(Seq(bmRun, vecRun), "doc_id", "rank", rrfK = 60, topK = 20)
+        .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Concat-and-chunk packing of the documents corpus into 512-token
@@ -2294,6 +2314,38 @@ object SparkEntry {
          |LEFT JOIN dup5 USING (doc_id)
          |LEFT JOIN ln USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    // Both retriever runs restate by their own proven oracle constructions
+    // (the BM25 query verbatim, the brute-force cosine ranking shape);
+    // fusion adds integer ranks and a two-term sum, order-exact in IEEE.
+    "search_hybrid_rrf" -> {
+      val bm = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 50)
+      s"""WITH bm AS (
+         |$bm
+         |), bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM bm
+         |), e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), q AS (
+         |  SELECT * FROM e WHERE vec_id = 0
+         |), scored AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    list_inner_product(e.v, q.v)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.vec_id
+         |), vr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+         |    FROM scored
+         |  ) WHERE rank <= 50
+         |), c0 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM bmr),
+         |c1 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr)
+         |SELECT doc_id, coalesce(c0.c, 0.0) + coalesce(c1.c, 0.0) AS rrf_score
+         |FROM c0 FULL OUTER JOIN c1 USING (doc_id)
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
 
     "pack_sequences" ->
       s"""WITH t AS (
