@@ -1476,6 +1476,19 @@ object SparkEntry {
         .orderBy("bucket", "seq", "doc_id")
     }),
 
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Fuzzy (Jaccard ≥ 0.35 on 2-shingles) contamination against the
+      // same deterministic bench slice: catches near-rewrites exact
+      // 8-gram overlap misses. Same hashed-shingle engine path as
+      // dedup_ngram_jaccard, same string-shingle oracle restatement.
+      val docs = load(dir, "documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      ops.Decontaminate.fuzzyOverlaps(docs, "doc_id", "text",
+          bench, "doc_id", "text", threshold = 0.35, shingleK = 2)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "text_redact_pii" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The corpus carries no PII, so the query injects a deterministic
@@ -2388,6 +2401,24 @@ object SparkEntry {
          |SELECT doc_id, s AS redacted, c AS n_pii
          |FROM t${ops.TextAnalysis.piiPatterns.size} ORDER BY doc_id""".stripMargin
     },
+
+    "decontaminate_fuzzy" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS sh
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |  WHERE len(toks) >= 2
+         |), b AS (
+         |  SELECT doc_id AS bench_id, sh FROM d WHERE doc_id % 97 = 0
+         |), pairs AS (
+         |  SELECT d.doc_id, b.bench_id,
+         |    len(list_intersect(d.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(d.sh, b.sh))) AS jaccard
+         |  FROM d, b
+         |)
+         |SELECT doc_id, bench_id, jaccard FROM pairs
+         |WHERE jaccard >= 0.35 ORDER BY doc_id, bench_id""".stripMargin,
 
     "decontaminate_ngram" ->
       s"""WITH t AS (

@@ -45,6 +45,51 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_overlapping_grams"))
   }
 
+  /** FUZZY contamination: `(idCol, bench_id, jaccard)` for every
+    * (corpus doc, benchmark doc) pair whose distinct-shingle Jaccard meets
+    * `threshold` — catches paraphrased/partially-rewritten benchmark leaks
+    * that exact [[overlaps]] misses (the GPT-3 appendix's motivation for
+    * fuzzy dedup against evals; public).
+    *
+    * Count-as-intersection over an inverted index, asymmetric: the bench
+    * posting table BROADCASTS (eval suites are small), so candidate
+    * generation is shuffle-free and only `(doc, bench, partial count)`
+    * rows — pairs that actually share a shingle, pre-pruned by the
+    * Jaccard size bound — reach the one exchange. Shingles travel as
+    * 64-bit hashes ([[graft.expr.TextShingleAlgo.shingleHashes]]), ids and
+    * counts otherwise; document text never shuffles.
+    */
+  def fuzzyOverlaps(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      threshold: Double,
+      shingleK: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "fuzzy: threshold must be in (0, 1]")
+    val cp = corpus
+      .select(col(s"`$idCol`"), TextShingles.shingleHashes(col(s"`$textCol`"), shingleK).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .select(col(s"`$idCol`"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
+    val bp = bench
+      .select(col(s"`$benchIdCol`").as("bench_id"),
+        TextShingles.shingleHashes(col(s"`$benchTextCol`"), shingleK).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .select(col("bench_id"), size(col("_sh")).as("_nb"), explode(col("_sh")).as("_s"))
+    cp.join(broadcast(bp), Seq("_s"))
+      // Jaccard ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|): prune before the
+      // aggregation ever sees the pair.
+      .where(greatest(col("_n"), col("_nb")) * threshold <= least(col("_n"), col("_nb")))
+      .groupBy(col(s"`$idCol`"), col("bench_id"), col("_n"), col("_nb"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("jaccard",
+        col("_c").cast("double") / (col("_n") + col("_nb") - col("_c")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col(s"`$idCol`"), col("bench_id"), col("jaccard"))
+  }
+
   /** The clean corpus: documents with NO `n`-gram overlap against `bench`
     * (left-anti join on the flagged id set — ids only, never text).
     */

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.lit
 
 /** Benchmark decontamination: hand-computed n-gram overlaps, the clean-side
   * anti-join, and the broadcast plan shape the 100 TB story rests on.
@@ -55,5 +56,33 @@ class DecontaminateSpec extends SparkSpecBase {
     val tiny = Seq((7L, "too short")).toDF("doc_id", "text")
     val got = Decontaminate.overlaps(tiny, "doc_id", "text", bench, "text", n = 4)
     assert(got.count() == 0)
+  }
+
+  test("fuzzyOverlaps: hand-computed Jaccard, threshold filter, self-pair") {
+    val benchIds = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bench_id", "text")
+    val got = Decontaminate.fuzzyOverlaps(corpus, "doc_id", "text",
+        benchIds, "bench_id", "text", threshold = 0.3, shingleK = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 1 IS the bench text → jaccard 1.0. doc 3 shares shingles
+    // {the quick, quick brown, brown fox} of |A∪B| = 8+8-3 = 13 → 3/13 <
+    // 0.3, filtered. docs 2 and 4 share nothing.
+    assert(got.map(_._1) == Seq(1L))
+    assert(got.head._2 == 100L && got.head._3 == 1.0)
+    // At a looser threshold doc 3 appears with exactly 3/13.
+    val loose = Decontaminate.fuzzyOverlaps(corpus, "doc_id", "text",
+        benchIds, "bench_id", "text", threshold = 0.2, shingleK = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(loose.map(_._1) == Seq(1L, 3L))
+    assert(math.abs(loose(1)._3 - 3.0 / 13.0) < 1e-15)
+  }
+
+  test("fuzzyOverlaps broadcasts the bench posting side") {
+    val plan = Decontaminate.fuzzyOverlaps(corpus, "doc_id", "text",
+        bench.withColumn("bench_id", lit(1L)), "bench_id", "text", 0.3, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
