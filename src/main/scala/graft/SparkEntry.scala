@@ -1590,6 +1590,45 @@ object SparkEntry {
         .orderBy("split", "source")
     }),
 
+    "pipeline_prep_llm" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The round-9 full training-data story in ONE DAG, in the order a
+      // 100 TB run wants: row-local filters fused into the scan (language,
+      // quality floor, Gopher repetition cut) → exact dedup (one window
+      // shuffle on the fingerprint) → benchmark decontamination (broadcast
+      // bench grams, ids-only anti-join) → concat-and-chunk packing (one
+      // bucket exchange) → per-bucket fill stats. Every stage is an
+      // already-oracled operator; this oracles the COMPOSITION.
+      val docs = load(dir, "documents")
+      val c = col("text")
+      val filtered = docs.where(
+        TextAnalysis.languageId(c) === "en" &&
+          TextAnalysis.qualityScore(c) >= 0.6 &&
+          TextAnalysis.topNGramCharFrac(c, 2) <= 0.12)
+      val deduped = Dedup.exactByFingerprint(filtered, "text", "doc_id")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      // Contamination is a PER-DOCUMENT text property, so flag ids from the
+      // pre-dedup frame: flagging the post-dedup frame would be the same
+      // predicate but self-reference the dedup subtree, running its
+      // corpus-wide fingerprint shuffle twice (the duplicated branch costs
+      // only a second codegen'd scan this way).
+      val flagged = ops.Decontaminate.overlaps(filtered, "doc_id", "text",
+        bench, "text", n = 8).select("doc_id")
+      val clean = deduped.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      val packed = ops.Packing.packConcatChunk(clean, "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512, numBuckets = 4)
+      // Distinct-free fill stats from packing invariants (each doc has
+      // exactly one slice_begin = 0 row; seqs are contiguous from 0): a
+      // countDistinct pair here would Expand the frame 3× and add two
+      // exchanges; this aggregate rides the window's bucket clustering
+      // with no exchange at all.
+      packed.groupBy("bucket").agg(
+          sum(when(col("slice_begin") === 0, 1L).otherwise(0L)).as("n_docs"),
+          (max(col("seq")) + 1).as("n_seqs"),
+          sum("slice_len").as("n_tokens"))
+        .orderBy("bucket")
+    }),
+
     // ===== Training-data ops: deterministic sampling =====
 
     "sample_hash" -> ((s, dir) => {
@@ -2401,6 +2440,82 @@ object SparkEntry {
          |SELECT doc_id, s AS redacted, c AS n_pii
          |FROM t${ops.TextAnalysis.piiPatterns.size} ORDER BY doc_id""".stripMargin
     },
+
+    // The composed round-9 pipeline: language/quality/repetition filters,
+    // fingerprint dedup winners, exact-8-gram decontamination, and packing
+    // restated stage by stage from the same fragments the per-operator
+    // oracles use.
+    "pipeline_prep_llm" ->
+      s"""WITH $langIdCtes,
+         |$qualityCtes,
+         |rep_t AS (
+         |  SELECT doc_id, $duckToks AS toks,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]'))::BIGINT AS alnum
+         |  FROM documents
+         |), rep_g2 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+         |  FROM rep_t WHERE len(toks) >= 2
+         |), rep_c2 AS (
+         |  SELECT doc_id, gram, count(*)::BIGINT AS cnt, (len(gram) - 1)::BIGINT AS chars
+         |  FROM rep_g2 GROUP BY doc_id, gram
+         |), rep_top2 AS (
+         |  SELECT doc_id, cnt * chars AS mass FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, chars DESC, gram ASC) AS rn FROM rep_c2
+         |  ) WHERE rn = 1
+         |), base AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN lang_per_doc USING (doc_id)
+         |  JOIN quality_per_doc USING (doc_id)
+         |  JOIN rep_t USING (doc_id)
+         |  LEFT JOIN rep_top2 USING (doc_id)
+         |  WHERE lang_pred = 'en' AND quality_score >= 0.6
+         |    AND (CASE WHEN rep_t.alnum = 0 OR rep_top2.mass IS NULL THEN 0.0
+         |              ELSE rep_top2.mass::DOUBLE / rep_t.alnum::DOUBLE END) <= 0.12
+         |), winners AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
+         |    FROM base
+         |  ) WHERE rn = 1
+         |), wg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 7),
+         |    i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM winners) WHERE len(toks) >= 8
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest(list_distinct(list_transform(
+         |      generate_series(1, len(toks) - 7),
+         |      i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+         |    FROM (SELECT $duckToks AS toks FROM documents WHERE doc_id % 97 = 0)
+         |    WHERE len(toks) >= 8
+         |  )
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM wg JOIN bg USING (gram)
+         |), cleaned AS (
+         |  SELECT doc_id, text FROM winners
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), pt AS (
+         |  SELECT doc_id, doc_id % 4 AS bucket,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS tok
+         |  FROM cleaned
+         |), pc AS (
+         |  SELECT doc_id, bucket, tok,
+         |    (sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok)::BIGINT AS strt
+         |  FROM pt WHERE tok > 0
+         |), pe AS (
+         |  SELECT *, unnest(generate_series(strt // 512, (strt + tok - 1) // 512)) AS seq
+         |  FROM pc
+         |)
+         |SELECT bucket,
+         |  sum(CASE WHEN greatest(0, seq * 512 - strt) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+         |  (max(seq) + 1)::BIGINT AS n_seqs,
+         |  sum(least(tok, (seq + 1) * 512 - strt) - greatest(0, seq * 512 - strt))::BIGINT AS n_tokens
+         |FROM pe GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "decontaminate_fuzzy" ->
       s"""WITH d AS (

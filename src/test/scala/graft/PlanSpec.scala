@@ -202,4 +202,37 @@ class PlanSpec extends SparkSpecBase {
     val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
   }
+
+  test("llm prep pipeline: one corpus shuffle, no Expand, agg rides bucket clustering") {
+    // filters → fingerprint dedup → decontaminate (broadcast) → packing →
+    // fill stats. The stats aggregate must NOT re-exchange (it is clustered
+    // by the packing window's bucket key) and must not Expand (the
+    // countDistinct formulation would); contamination ids must come from
+    // the PRE-dedup frame so the fingerprint exchange appears exactly once.
+    val docs = Seq(
+      (0L, "benchmark prompt text that is long enough for grams", "s0"),
+      (1L, "the quick brown fox and the lazy dog again", "s0"),
+      (2L, "the quick brown fox and the lazy dog again", "s1")
+    ).toDF("doc_id", "text", "source")
+    val filtered = docs.where(graft.ops.TextAnalysis.qualityScore(col("text")) >= 0.0)
+    val deduped = graft.ops.Dedup.exactByFingerprint(filtered, "text", "doc_id")
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val flagged = graft.ops.Decontaminate.overlaps(filtered, "doc_id", "text",
+      bench, "text", n = 8).select("doc_id")
+    val clean = deduped.join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    val packed = graft.ops.Packing.packConcatChunk(clean, "doc_id",
+      graft.ops.TextAnalysis.tokenCount(col("text")), seqLen = 5, numBuckets = 2)
+    val out = packed.groupBy("bucket").agg(
+      sum(when(col("slice_begin") === 0, 1L).otherwise(0L)).as("n_docs"),
+      (max(col("seq")) + 1).as("n_seqs"),
+      sum("slice_len").as("n_tokens"))
+    val plan = planOf(out)
+    assert(!plan.contains("Expand"), s"countDistinct Expand crept back in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"decontamination anti-join missing:\n$plan")
+    val fpExchanges = "hashpartitioning\\(_fp".r.findAllIn(plan).length
+    assert(fpExchanges == 1, s"fingerprint shuffle must run once, got $fpExchanges:\n$plan")
+    val bucketExchanges = "hashpartitioning\\(_bucket".r.findAllIn(plan).length
+    assert(bucketExchanges == 1,
+      s"stats agg must reuse the window's bucket clustering, got $bucketExchanges:\n$plan")
+  }
 }
