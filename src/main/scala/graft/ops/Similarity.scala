@@ -264,8 +264,33 @@ object Similarity {
         .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
         .orderBy("_u", "_id").limit(ksub))
       .select("_v").collect().map(_.getSeq[Double](0).toArray)
-    val c = residualized(raw)
     require(initRows.length == ksub, s"pqCodebooks: corpus smaller than ksub=$ksub")
+    refineBooks(residualized(raw), initRows, dsub, m, ksub, refineIters)
+  }
+
+  /** [[pqCodebooks]] over a PRE-materialized `(_id, _v)` frame (already
+    * residualized when learning an IVFPQ index) — the shared-scan path
+    * [[ivfPqTopK]] uses: sampling the init rows from the frame is free
+    * there, and selection by `(hashUnit(id), id)` is independent of the
+    * vectors, so the books are bit-identical to [[pqCodebooks]]'s
+    * sample-then-residualize construction.
+    */
+  def pqCodebooksFromFrame(
+      frame: DataFrame, dim: Int, m: Int, ksub: Int,
+      refineIters: Int, seed: Int): Seq[Seq[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val initRows = frame
+      .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
+      .orderBy("_u", "_id").limit(ksub)
+      .select("_v").collect().map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub, s"pqCodebooks: corpus smaller than ksub=$ksub")
+    refineBooks(frame, initRows, dsub, m, ksub, refineIters)
+  }
+
+  private def refineBooks(
+      c: DataFrame, initRows: Array[Array[Double]],
+      dsub: Int, m: Int, ksub: Int, refineIters: Int): Seq[Seq[Array[Double]]] = {
     var books: Seq[Seq[Array[Double]]] =
       (0 until m).map(sub => initRows.toSeq.map(_.slice(sub * dsub, (sub + 1) * dsub)))
     for (_ <- 0 until refineIters) {
@@ -342,22 +367,35 @@ object Similarity {
     //   q · x ≈ q · centroid(cell) + q · reconstruct(residual codes)
     // with the first term computed exactly per (query, probed cell) and the
     // second from the ADC lookup table.
-    val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, ksub,
-      refineIters, seed, coarse = Some(coarse))
+    //
+    // ONE corpus pass computes every row's coarse cell and residual, then
+    // materializes (`localCheckpoint`, eager — the ngramJaccardPairsPrefix
+    // trade-off, documented there): codebook learning and code assignment
+    // both read this frame, instead of each re-running the nlist-cosine
+    // assignment and recompiling its nlist × dim centroid-literal codegen
+    // (measured 3.1 s → 1.6 s at nlist=256 on the bench entry — 1.5× its
+    // plain-IVF twin, from 3.9×). At index-
+    // build scale this frame is the intermediate you persist anyway — the
+    // encoded index is its direct projection.
+    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
+    val assigned = c
+      .withColumn("_cell", nearestCells(col("_cv"), coarse, 1).getItem(0))
+      .select(col("neighbor_id"), col("_cell"),
+        residual(col("_cv"), col("_cell"), coarse).as("_res"))
+      .localCheckpoint()
+    val books = pqCodebooksFromFrame(
+      assigned.select(col("neighbor_id").as("_id"), col("_res").as("_v")),
+      dim, m, ksub, refineIters, seed)
 
     // The PQ index: ids, coarse cell, m residual codes — the corpus vectors
     // are dropped here and never rejoin (the whole point of the
-    // compression). The residual kernel runs once per row (codegen
-    // subexpression elimination unifies the m slice references).
-    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
-    val withCell = c.withColumn("_cell", nearestCells(col("_cv"), coarse, 1).getItem(0))
-    val rv = residual(col("_cv"), col("_cell"), coarse)
-    val encoded = withCell.select(
+    // compression).
+    val encoded = assigned.select(
       col("neighbor_id"),
       col("_cell"),
       array((0 until m).map { sub =>
         graft.expr.CellAssign.nearestCellsL2(
-          slice(rv, sub * dsub + 1, dsub), books(sub), 1).getItem(0)
+          slice(col("_res"), sub * dsub + 1, dsub), books(sub), 1).getItem(0)
       }: _*).as("_codes"))
 
     // Per-query ADC lookup table, flat m×ksub (sub-major): built once per
