@@ -1489,6 +1489,17 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    "pack_sequences_text" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The materialized form of pack_sequences: every 512-token training
+      // sequence as its actual space-joined token stream. Token arrays ride
+      // through the one bucket exchange; the assembly aggregate reuses its
+      // clustering (no join back to the corpus, no second text shuffle).
+      ops.Packing.materializeSequences(load(dir, "documents"),
+          "doc_id", "text", seqLen = 512, numBuckets = 4)
+        .orderBy("bucket", "seq")
+    }),
+
     "text_redact_pii" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The corpus carries no PII, so the query injects a deterministic
@@ -2418,6 +2429,32 @@ object SparkEntry {
          |  greatest(0, seq * 512 - strt)::BIGINT AS slice_begin,
          |  (least(tok, (seq + 1) * 512 - strt) - greatest(0, seq * 512 - strt))::BIGINT AS slice_len
          |FROM e ORDER BY bucket, seq, doc_id""".stripMargin,
+
+    "pack_sequences_text" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 4 AS bucket,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, bucket, toks, tok,
+         |    (sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok)::BIGINT AS strt
+         |  FROM t WHERE tok > 0
+         |), e AS (
+         |  SELECT *, unnest(generate_series(strt // 512, (strt + tok - 1) // 512)) AS seq
+         |  FROM c
+         |), s AS (
+         |  SELECT bucket, seq, doc_id, toks,
+         |    greatest(0, seq * 512 - strt)::BIGINT AS b,
+         |    least(tok, (seq + 1) * 512 - strt)::BIGINT AS e2
+         |  FROM e
+         |)
+         |SELECT bucket, seq,
+         |  string_agg(array_to_string(toks[b + 1:e2], ' '), ' ' ORDER BY doc_id) AS seq_text,
+         |  sum(e2 - b)::BIGINT AS n_tokens
+         |FROM s GROUP BY bucket, seq ORDER BY bucket, seq""".stripMargin,
 
     // The redaction chain replayed stage by stage from the SAME pattern
     // list the engine folds over (single source of truth), counting each

@@ -38,12 +38,14 @@ object Packing {
       idCol: String,
       tokenCount: Column,
       seqLen: Int,
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0, s"pack: seqLen must be positive, got $seqLen")
     require(numBuckets > 0, s"pack: numBuckets must be positive, got $numBuckets")
     val id = col(s"`$idCol`")
+    val carried = carry.map(c => col(s"`$c`"))
     val keyed = docs
-      .select(id, tokenCount.cast("long").as("_tok"))
+      .select(id +: tokenCount.cast("long").as("_tok") +: carried: _*)
       .where(col("_tok") > 0)
       .withColumn("_bucket", pmod(id, lit(numBuckets.toLong)))
     val w = Window.partitionBy("_bucket").orderBy(id)
@@ -56,12 +58,44 @@ object Packing {
       .withColumn("_last", expr(s"(_start + _tok - 1) div ${seqLen}L"))
       .withColumn("seq", explode(sequence(col("_first"), col("_last"))))
       .select(
-        col("_bucket").as("bucket"),
-        col("seq"),
-        id,
-        greatest(lit(0L), col("seq") * L - col("_start")).as("slice_begin"),
-        (least(col("_tok"), (col("seq") + 1) * L - col("_start")) -
-          greatest(lit(0L), col("seq") * L - col("_start"))).as("slice_len"))
+        col("_bucket").as("bucket") +:
+          col("seq") +:
+          id +:
+          greatest(lit(0L), col("seq") * L - col("_start")).as("slice_begin") +:
+          (least(col("_tok"), (col("seq") + 1) * L - col("_start")) -
+            greatest(lit(0L), col("seq") * L - col("_start"))).as("slice_len") +:
+          carried: _*)
+  }
+
+  /** Materialized training sequences: the actual space-joined token stream
+    * of every packed sequence, `(bucket, seq, seq_text, n_tokens)` —
+    * the shard-writing step after [[packConcatChunk]]'s assignment.
+    *
+    * Token arrays ride THROUGH the packing window (same rows that must
+    * reach sequence assembly anyway), so the whole materialization is the
+    * window's one bucket exchange plus an aggregation that rides its
+    * clustering — no second join back to the corpus, no extra shuffle of
+    * text. Within a sequence, documents concatenate in ascending id order
+    * (`array_sort` on (id, slice) structs — deterministic under any
+    * parallelism).
+    */
+  def materializeSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      numBuckets: Int): DataFrame = {
+    val withToks = docs.withColumn("_toks", split(trim(col(s"`$textCol`")), "\\s+"))
+    packConcatChunk(withToks, idCol,
+        graft.ops.TextAnalysis.tokenCount(col(s"`$textCol`")), seqLen, numBuckets,
+        carry = Seq("_toks"))
+      .withColumn("_slice", slice(col("_toks"), (col("slice_begin") + 1).cast("int"), col("slice_len").cast("int")))
+      .groupBy("bucket", "seq")
+      .agg(
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col(s"`$idCol`"), col("_slice")))),
+          x => x.getField("_slice")))).as("seq_text"),
+        sum("slice_len").as("n_tokens"))
   }
 
   /** Fill statistics per sequence: `(bucket, seq, tokens)` — every sequence

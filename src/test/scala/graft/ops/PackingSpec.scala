@@ -82,6 +82,41 @@ class PackingSpec extends SparkSpecBase {
     assert(!got.select("doc_id").as[Long].collect().contains(7L))
   }
 
+  test("materializeSequences emits exact token streams in id order") {
+    val texts = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i")
+    ).toDF("doc_id", "text")
+    val got = Packing.materializeSequences(texts, "doc_id", "text", seqLen = 5, numBuckets = 1)
+      .orderBy("seq")
+      .select("seq", "seq_text", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    // stream: a b c | d e f g | h i → seqs of 5: "a b c d e", "f g h i"
+    assert(got == Seq((0L, "a b c d e", 5L), (1L, "f g h i", 4L)))
+  }
+
+  test("materializeSequences: every non-final sequence is exactly seqLen words") {
+    val many = (1L to 40L).map(i => (i, (1L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.materializeSequences(many, "doc_id", "text", seqLen = 7, numBuckets = 3)
+      .select("bucket", "seq", "seq_text")
+      .as[(Long, Long, String)].collect().toSeq
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._2).dropRight(1).foreach { case (b, q, text) =>
+        assert(text.split(" ").length == 7, s"bucket $b seq $q: '$text'")
+      }
+    }
+  }
+
+  test("materializeSequences plan keeps the single bucket exchange") {
+    val texts = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val plan = Packing.materializeSequences(texts, "doc_id", "text", 5, 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("plan: one hash exchange on the bucket key, nothing else") {
     val plan = packed(4).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(_bucket"), plan)
