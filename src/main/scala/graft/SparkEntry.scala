@@ -1601,6 +1601,18 @@ object SparkEntry {
         .orderBy("split", "source")
     }),
 
+    "sample_mix_sources" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Domain re-weighting to a target mixture (src0 half, src1/src2 a
+      // quarter each — binary-exact weights so the oracle's arithmetic is
+      // bit-identical): binding source kept whole, others hash-downsampled.
+      ops.Sampling.mixToTarget(load(dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
     "pipeline_prep_llm" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The round-9 full training-data story in ONE DAG, in the order a
@@ -2476,6 +2488,29 @@ object SparkEntry {
          |${stages.mkString(",\n")}
          |SELECT doc_id, s AS redacted, c AS n_pii
          |FROM t${ops.TextAnalysis.piiPatterns.size} ORDER BY doc_id""".stripMargin
+    },
+
+    // scale = least(count_s / target_s); fraction_s = target_s·scale/count_s
+    // — the same single IEEE ops the engine's mixFractions runs, so the
+    // kept sets are bit-identical.
+    "sample_mix_sources" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""WITH cnt AS (
+         |  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source
+         |), sc AS (
+         |  SELECT least(
+         |    (SELECT c FROM cnt WHERE source = 'src0')::DOUBLE / 0.5::DOUBLE,
+         |    (SELECT c FROM cnt WHERE source = 'src1')::DOUBLE / 0.25::DOUBLE,
+         |    (SELECT c FROM cnt WHERE source = 'src2')::DOUBLE / 0.25::DOUBLE) AS scale
+         |)
+         |SELECT source, count(*)::BIGINT AS n
+         |FROM documents, sc
+         |WHERE $u < CASE source
+         |  WHEN 'src0' THEN 0.5::DOUBLE * sc.scale / (SELECT c FROM cnt WHERE source = 'src0')::DOUBLE
+         |  WHEN 'src1' THEN 0.25::DOUBLE * sc.scale / (SELECT c FROM cnt WHERE source = 'src1')::DOUBLE
+         |  WHEN 'src2' THEN 0.25::DOUBLE * sc.scale / (SELECT c FROM cnt WHERE source = 'src2')::DOUBLE
+         |  ELSE 0.0::DOUBLE END
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     // The composed round-9 pipeline: language/quality/repetition filters,

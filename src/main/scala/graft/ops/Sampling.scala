@@ -76,6 +76,48 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Per-source keep-fractions that re-weight observed `counts` to the
+    * `targets` mixture with MAXIMUM retention: the binding source (the one
+    * whose observed share falls shortest of its target) is kept whole and
+    * every other source downsamples to match. Pure arithmetic on the
+    * (driver-small) per-source count map — unit-testable, and restated
+    * op-for-op by the `sample_mix_sources` oracle (`least` over
+    * `count/target`, then `target · scale / count`; all single IEEE ops,
+    * so both engines derive bit-identical fractions).
+    *
+    * `targets` should be pre-normalized (summing to 1 exactly — pick
+    * binary-exact weights like 0.5/0.25/0.25 when an oracle must mirror
+    * the arithmetic).
+    */
+  def mixFractions(
+      counts: Map[String, Long],
+      targets: Seq[(String, Double)]): Map[String, Double] = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "mix: targets must be positive")
+    targets.foreach { case (s, _) =>
+      require(counts.contains(s), s"mix: source '$s' absent from corpus")
+    }
+    val scale = targets.map { case (s, w) => counts(s) / w }.min
+    targets.map { case (s, w) => s -> w * scale / counts(s) }.toMap
+  }
+
+  /** Deterministically re-weight a multi-source corpus to a target mixture
+    * (the "domain weights" step of training-data assembly — e.g. the
+    * published Pile/LLaMA mixture tables): one counting pass (grouped on
+    * the handful of source values — the collect is bounded by the source
+    * cardinality), then a row-local seeded-hash filter per source. Sources
+    * not named in `targets` are dropped.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      targets: Seq[(String, Double)],
+      seed: Int = 42): DataFrame = {
+    val counts = df.groupBy(col(s"`$sourceCol`")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedHashSample(df, keyCol, sourceCol, mixFractions(counts, targets), seed)
+  }
+
   /** The oracle-side restatement of [[hashUnit]] for a SQL engine. */
   def hashUnitSql(keyExpr: String, seed: Int): String =
     s"(('0x' || substr(md5('$seed' || ($keyExpr)::VARCHAR), 1, 13))::BIGINT " +

@@ -52,4 +52,29 @@ class SamplingSpec extends SparkSpecBase {
     val b = Sampling.hashSample(docs, "id", 0.2, seed = 2).select("id").as[Long].collect().toSet
     assert(a !== b)
   }
+
+  test("mixFractions keeps the binding source whole, downsamples the rest") {
+    val f = Sampling.mixFractions(Map("a" -> 8L, "b" -> 4L), Seq("a" -> 0.5, "b" -> 0.5))
+    // b binds (4/0.5 = 8 < 8/0.5 = 16): b kept whole, a halved → 4 and 4.
+    assert(f("b") == 1.0 && f("a") == 0.5)
+    val g = Sampling.mixFractions(Map("a" -> 90L, "b" -> 10L), Seq("a" -> 0.5, "b" -> 0.5))
+    assert(g("b") == 1.0)
+    assert(math.abs(g("a") - 10.0 / 90.0) < 1e-15) // a: 0.5·20/90
+    // expected mixture after sampling: 10 vs 10 — equal shares
+    assert(math.abs(90 * g("a") - 10 * g("b")) < 1e-9)
+  }
+
+  test("mixToTarget achieves the target mixture and drops unnamed sources") {
+    val df = ((1L to 300L).map(i => (i, "a")) ++ (301L to 400L).map(i => (i, "b")) ++
+      (401L to 450L).map(i => (i, "c"))).toDF("id", "src")
+    val out = Sampling.mixToTarget(df, "id", "src", Seq("a" -> 0.5, "b" -> 0.5))
+    val byS = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!byS.contains("c"))
+    assert(byS("b") == 100)                     // binding source kept whole
+    assert(byS("a") > 70 && byS("a") < 130)     // hash-sampled toward 100
+    // determinism: the same call returns the same rows
+    val again = Sampling.mixToTarget(df, "id", "src", Seq("a" -> 0.5, "b" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
 }
