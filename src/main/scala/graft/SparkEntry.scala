@@ -814,6 +814,18 @@ object SparkEntry {
         "dup vector scan", k = 15, stats = Some(stats))
     }),
 
+    "search_bm25_phrase" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Scored PHRASE retrieval (ES match_phrase in query context): the
+      // sequence "batch batch" — self-overlapping, so the kernel's
+      // first-token stepping is what the oracle's toks[i:i+1] = [...] count
+      // must match exactly. Indexed path over the stored analyzed column.
+      val indexed = graft.store.SearchIndex.withAnalyzedColumns(
+        load(dir, "documents"), Seq("text"))
+      graft.query.Bm25.topKPhrase(indexed, "doc_id", col("text_split"),
+        "batch batch", k = 15)
+    }),
+
     "q7_conjunction" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       val spec = FilterSpec.conjunction(Seq(
@@ -2014,6 +2026,9 @@ object SparkEntry {
 
     "search_bm25_indexed" ->
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    "search_bm25_phrase" ->
+      graft.query.Bm25.oracleSqlPhrase("documents", "doc_id", "text", "batch batch", 15),
 
     // Incrementally-merged stats are exact integer sums — scores must equal
     // the whole-corpus computation bit for bit, so the oracle is the same.

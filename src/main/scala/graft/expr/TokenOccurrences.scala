@@ -7,17 +7,22 @@ import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Whole-token term frequency over the space-padded analyzed form
-  * ([[graft.store.SearchIndex.analyzedForm]]): the number of times `token`
-  * occurs as a complete token in `" tok1 tok2 ... "`.
+/** Whole-token term/phrase frequency over the space-padded analyzed form
+  * ([[graft.store.SearchIndex.analyzedForm]]): the number of token
+  * positions where `token` (one analyzed token, or several joined by
+  * single spaces — a PHRASE) occurs as complete consecutive tokens in
+  * `" tok1 tok2 ... "`.
   *
   * A codegen'd kernel rather than `size(filter(split(...), ...))` because
   * higher-order functions evaluate interpreted per element (measured
   * pitfall in this repo) — BM25 scoring calls this once per query term per
   * row, squarely on the hot path. The scan counts occurrences of
-  * `" token "` stepping `pos + len(token) + 1` so adjacent occurrences
-  * sharing one boundary space (`" a a a "`) all count; zero-copy over
-  * UTF8String bytes.
+  * `" needle "` stepping `pos + len(firstToken) + 1` — past the FIRST
+  * token only, so a self-overlapping phrase (`"a a"` in `" a a a "`)
+  * counts every starting position, exactly the token-sequence semantics
+  * the SQL oracle restates (`toks[i:i+p-1] = [...]` over all `i`); for a
+  * single term this is the same shared-boundary stepping as before.
+  * Zero-copy over UTF8String bytes.
   */
 object TokenAlgo {
   def countToken(padded: UTF8String, pattern: UTF8String, step: Int): Int = {
@@ -39,9 +44,11 @@ case class TokenOccurrencesExpr(child: Expression, token: String)
   override def prettyName: String = "token_occurrences"
   override def dataType: DataType = IntegerType
 
-  // " token " with the trailing space reusable as the next leading space.
+  // " token " with the trailing space reusable as the next leading space;
+  // advance past the first token only so self-overlapping phrases count
+  // every token-sequence position.
   private val pattern = UTF8String.fromString(" " + token + " ")
-  private val step = UTF8String.fromString(token).numBytes + 1
+  private val step = UTF8String.fromString(token.takeWhile(_ != ' ')).numBytes + 1
 
   override protected def nullSafeEval(s: Any): Any =
     TokenAlgo.countToken(s.asInstanceOf[UTF8String], pattern, step)
@@ -56,13 +63,14 @@ case class TokenOccurrencesExpr(child: Expression, token: String)
 }
 
 object TokenOccurrences {
-  /** Count of whole-token occurrences of `token` in a PADDED analyzed
-    * column. `token` must already be a single analyzed token (lowercase
-    * alphanumeric) — [[graft.expr.TextMatch.analyze]] the raw query first.
+  /** Count of whole-token occurrences of `token` — a single analyzed token
+    * (lowercase alphanumeric), or a PHRASE of several joined by single
+    * spaces — in a PADDED analyzed column.
+    * [[graft.expr.TextMatch.analyze]] the raw query first.
     */
   def apply(paddedAnalyzed: Column, token: String): Column = {
-    require(token.nonEmpty && token.matches("[a-z0-9]+"),
-      s"tokenOccurrences: '$token' is not a single analyzed token")
+    require(token.nonEmpty && token.matches("[a-z0-9]+( [a-z0-9]+)*"),
+      s"tokenOccurrences: '$token' is not single-space-joined analyzed tokens")
     ColumnShim.column(TokenOccurrencesExpr(ColumnShim.expression(paddedAnalyzed), token))
   }
 }

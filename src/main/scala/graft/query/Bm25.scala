@@ -130,6 +130,39 @@ object Bm25 {
       stats: Option[DataFrame] = None): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"bm25: query '$query' has no analyzable terms")
+    topKTerms(docs, idCol, analyzed, terms, k, k1, b, stats)
+  }
+
+  /** Scored PHRASE retrieval — the ES `match_phrase` in query context: the
+    * whole analyzed query scores as one unit, with TF = count of token
+    * positions where the full sequence occurs ([[TokenOccurrences]]'s
+    * phrase form — self-overlapping occurrences all count, the semantics
+    * the oracle restates as `toks[i:i+p-1] = [...]`) and DF/IDF of the
+    * phrase itself. Same BM25 formula, same corpus-stats contract.
+    */
+  def topKPhrase(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      phrase: String,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None): DataFrame = {
+    val toks = TextMatch.analyze(phrase)
+    require(toks.nonEmpty, s"bm25 phrase: '$phrase' has no analyzable tokens")
+    topKTerms(docs, idCol, analyzed, Seq(toks.mkString(" ")), k, k1, b, stats)
+  }
+
+  private def topKTerms(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      terms: Seq[String],
+      k: Int,
+      k1: Double,
+      b: Double,
+      stats: Option[DataFrame]): DataFrame = {
     val st = stats.getOrElse(corpusStats(docs, analyzed, terms))
     val base = docs.select(
       col(s"`$idCol`") +:
@@ -180,8 +213,42 @@ object Bm25 {
       b: Double = DefaultB): String = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, s"bm25 oracle: query '$query' has no analyzable terms")
+    oracleSqlForTerms(table, idCol, textExpr, terms, k, k1, b)
+  }
+
+  /** [[oracleSql]] for the PHRASE form: one pseudo-term whose TF is the
+    * token-sequence occurrence count.
+    */
+  def oracleSqlPhrase(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      phrase: String,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): String = {
+    val toks = TextMatch.analyze(phrase)
+    require(toks.nonEmpty, s"bm25 phrase oracle: '$phrase' has no analyzable tokens")
+    oracleSqlForTerms(table, idCol, textExpr, Seq(toks.mkString(" ")), k, k1, b)
+  }
+
+  private def oracleSqlForTerms(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double,
+      b: Double): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf$i"
+      if (t.contains(' ')) {
+        // Phrase TF: count of starting positions of the full token
+        // sequence — identical to the kernel's first-token stepping.
+        val parts = t.split(' ')
+        val list = parts.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(generate_series(1, len(toks) - ${parts.length - 1}), " +
+          s"i -> toks[i:i+${parts.length - 1}] = $list))::BIGINT AS tf$i"
+      } else s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf$i"
     }.mkString(",\n    ")
     val dfCols = terms.indices.map { i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i"

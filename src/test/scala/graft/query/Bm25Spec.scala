@@ -90,6 +90,33 @@ class Bm25Spec extends graft.SparkSpecBase {
     assert(padded === Seq(3, 1, 0, 0, 2))
   }
 
+  test("TokenOccurrences phrase form counts token-sequence positions") {
+    val got = Seq(" a a a ", " a b a b ", " a b c ", " b a ", " aa b ")
+      .toDF("s").select(TokenOccurrences(col("s"), "a b").as("n"))
+      .as[Int].collect().toSeq
+    // " a a a " has no "a b"; " a b a b " starts at positions 1 and 3;
+    // self-overlap check is "a a" below; 'aa b' is a different first token
+    assert(got === Seq(0, 2, 1, 0, 0))
+    val overlap = Seq(" a a a ").toDF("s")
+      .select(TokenOccurrences(col("s"), "a a").as("n")).as[Int].head()
+    // token positions 1 and 2 both start "a a" — self-overlapping counts
+    assert(overlap === 2)
+  }
+
+  test("topKPhrase ranks by phrase frequency with length normalization") {
+    val corpus = Seq(
+      (1L, "batch batch batch runs tonight"),   // phrase tf 2, short
+      (2L, "batch batch"),                      // phrase tf 1, very short
+      (3L, "the batch job and another batch"),  // non-adjacent: tf 0
+      (4L, "no match here at all")
+    ).toDF("doc_id", "text")
+    val got = Bm25.topKPhrase(corpus, "doc_id",
+        concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")),
+        "batch batch", k = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L)) // docs 3 and 4 excluded: no phrase occurrence
+  }
+
   test("top-k plan is a partial TakeOrdered, stats arrive by broadcast") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
