@@ -1167,6 +1167,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Partial-overlap detection via winnowing fingerprints (MOSS):
+      // containment normalizes by the smaller fingerprint set, catching
+      // copied passages whole-doc Jaccard dilutes. Portable md5 hashing
+      // end to end, so fingerprints, window minima, and the containment
+      // ratio all restate in SQL.
+      Dedup.containmentPairs(load(dir, "documents"), "doc_id", "text",
+          tau = 0.5, shingleK = 3, window = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_ngram_prefix" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Exact results via AllPairs/PPJoin prefix filtering: the inverted
@@ -2652,6 +2664,33 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    // Winnowing restated: portable md5 gram hashes, window minima compared
+    // by VALUE (list_min over each slice — tie-handling moot), sorted
+    // distinct sets, then all-pairs containment. The engine's inverted-
+    // index count equals len(list_intersect) because fingerprint sets are
+    // distinct by construction.
+    "dedup_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 13))::BIGINT) AS hs
+         |  FROM t WHERE len(toks) >= 3
+         |), f AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+         |         ELSE list_transform(generate_series(1, len(hs) - 3),
+         |                i -> list_min(hs[i:i+3])) END)) AS fp
+         |  FROM g
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.fp, b.fp))::DOUBLE
+         |      / least(len(a.fp), len(b.fp))::DOUBLE AS containment
+         |  FROM f a, f b WHERE a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, containment FROM pairs
+         |WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     // the prefix-filtered join is EXACT — same all-pairs oracle shape as
     // the unfiltered form, at the near-dup threshold

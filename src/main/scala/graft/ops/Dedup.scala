@@ -463,4 +463,46 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** PARTIAL-overlap (containment) pairs via winnowing fingerprints
+    * ([[graft.expr.Winnow]] — the MOSS selection): `(id_a, id_b,
+    * containment)` where containment = |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|)
+    * meets `tau`. Containment normalizes by the SMALLER set, so a short
+    * document copied wholesale into a long one scores ~1 where whole-doc
+    * Jaccard would dilute toward 0 — the quote/boilerplate/copied-passage
+    * case [[ngramJaccardPairs]] structurally misses. Winnowing's guarantee
+    * makes it sound: any shared run of ≥ `shingleK + window − 1` tokens
+    * plants at least one common fingerprint.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]]: fingerprint
+    * postings self-join (ids + one long each), count-as-intersection, one
+    * aggregation — candidate pairs are only documents actually sharing a
+    * fingerprint, at winnowing's `2/(w+1)` density of the gram count.
+    * Fingerprints are the portable md5 hash, so the whole operator
+    * restates in SQL (`dedup_containment`).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      shingleK: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(tau > 0 && tau <= 1, "containment: tau must be in (0, 1]")
+    val withFp = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.expr.Winnow.fingerprints(col(textCol), shingleK, window).as("_fp"))
+      .where(size(col("_fp")) > 0)
+    val posting = withFp.select(col(idCol), size(col("_fp")).as("_n"), explode(col("_fp")).as("_f"))
+    val a = posting.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_f"))
+    val b = posting.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_f"))
+    a.join(b, Seq("_f"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("_na"), col("_nb"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("containment",
+        col("_c").cast(DoubleType) / least(col("_na"), col("_nb")).cast(DoubleType))
+      .where(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }
