@@ -1453,6 +1453,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "vocab_topk" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Corpus vocabulary via the mergeable frequent-items sketch — exact
+      // here (distinct terms ≪ maxTracked), so the plain GROUP BY oracle
+      // hash-matches; deterministic re-sort before the k cut.
+      ops.TextAnalysis.vocabTopK(load(dir, "documents"), "text", k = 10)
+    }),
+
+    "vocab_topk_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The maintenance contract: accumulate per ingest batch (the doc_id
+      // parity halves), combine sketch states, estimate — must equal the
+      // whole-corpus vocab_topk bit for bit while only ever aggregating
+      // the new batch.
+      val docs = load(dir, "documents")
+      val states = Seq(
+        ops.TextAnalysis.vocabState(docs.where(col("doc_id") % 2 === 0), "text"),
+        ops.TextAnalysis.vocabState(docs.where(col("doc_id") % 2 === 1), "text"))
+      ops.TextAnalysis.vocabMerge(states, k = 10)
+    }),
+
     "text_repetition" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Gopher-style repetition quality signals, one row-local codegen'd
@@ -2340,6 +2361,20 @@ object SparkEntry {
          |       + (1.0 - least(1.0, punct_ratio * 5.0))
          |       + (1.0 - least(1.0, abs(mean_token_length - 5.0) / 5.0))) * 0.25 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" -> {
+      s"""SELECT term, count(*)::BIGINT AS n
+         |FROM (SELECT unnest($duckToks) AS term FROM documents)
+         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
+    },
+
+    // exact while distinct terms < maxTracked, so the merged estimate must
+    // equal the whole-corpus aggregation
+    "vocab_topk_incremental" -> {
+      s"""SELECT term, count(*)::BIGINT AS n
+         |FROM (SELECT unnest($duckToks) AS term FROM documents)
+         |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
+    },
 
     // Repetition signals restated by a genuinely different algorithm: the
     // engine runs a row-local sort+run-scan kernel; the oracle explodes

@@ -247,6 +247,46 @@ object TextAnalysis {
       .withColumn("dup_line_char_frac", dupLineCharFrac(c))
   }
 
+  // ===== Corpus vocabulary (mergeable frequent-items) =====
+
+  /** Corpus-wide top terms as `(term, n)`, via Spark 4's `approx_top_k`
+    * (DataSketches frequent-items underneath): bounded sketch state instead
+    * of a corpus-wide exact aggregation — and EXACT whenever distinct terms
+    * stay under `maxTracked` (the `vocab_topk` oracle relies on this).
+    * Output re-sorts deterministically (count DESC, term ASC) before the
+    * final `k` cut, so boundary ties never depend on sketch ordering.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int, maxTracked: Int = 4096): DataFrame =
+    df.select(explode(lowerTokens(col(s"`$textCol`"))).as("term"))
+      .agg(expr(s"approx_top_k(term, ${math.max(k * 4, 64)}, $maxTracked)").as("_t"))
+      .select(explode(col("_t")).as("_e"))
+      .select(col("_e.item").as("term"), col("_e.count").as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(k)
+
+  /** Accumulated vocabulary sketch state for one ingest batch — merge with
+    * [[vocabMerge]] under the same incremental-maintenance contract as the
+    * dictionary's HLL/KLL increments: profile only the new partition,
+    * combine kilobyte states, never re-scan the corpus.
+    */
+  def vocabState(df: DataFrame, textCol: String, maxTracked: Int = 4096): DataFrame =
+    df.select(explode(lowerTokens(col(s"`$textCol`"))).as("term"))
+      .agg(expr(s"approx_top_k_accumulate(term, $maxTracked)").as("_state"))
+
+  /** Combine per-batch [[vocabState]] frames and estimate the top `k` —
+    * same output shape and determinism as [[vocabTopK]].
+    */
+  def vocabMerge(states: Seq[DataFrame], k: Int, maxTracked: Int = 4096): DataFrame = {
+    require(states.nonEmpty, "vocabMerge: no states")
+    states.reduce(_ unionByName _)
+      .agg(expr(s"approx_top_k_combine(_state, $maxTracked)").as("_state"))
+      .select(expr(s"approx_top_k_estimate(_state, ${math.max(k * 4, 64)})").as("_t"))
+      .select(explode(col("_t")).as("_e"))
+      .select(col("_e.item").as("term"), col("_e.count").as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(k)
+  }
+
   /** Full per-document text profile as named columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

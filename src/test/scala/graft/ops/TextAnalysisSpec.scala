@@ -103,6 +103,24 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(redact(s) == s)
   }
 
+  test("vocabTopK: exact counts under maxTracked, split-merge equals whole") {
+    val docs = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "banana apple banana banana"),
+      (2L, "cherry apple")
+    ).toDF("doc_id", "text")
+    val whole = TextAnalysis.vocabTopK(docs, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    // apple and banana tie at 4 — term ASC breaks it deterministically
+    assert(whole == Seq(("apple", 4L), ("banana", 4L), ("cherry", 2L)))
+    val states = Seq(
+      TextAnalysis.vocabState(docs.where(col("doc_id") < 2), "text"),
+      TextAnalysis.vocabState(docs.where(col("doc_id") >= 2), "text"))
+    val merged = TextAnalysis.vocabMerge(states, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(merged == whole)
+  }
+
   test("piiMatchCount counts scrubbed entities with chain precedence") {
     val df = Seq(
       ("a@b.io and 10.0.0.1 and 555-867-5309", 3L),
