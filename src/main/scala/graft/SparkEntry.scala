@@ -1453,6 +1453,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_chunk_windows" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Overlapping 64-token windows with 16-token overlap — the RAG/
+      // embedding chunking pass. Row-local explode, no shuffle; integer
+      // offsets restated verbatim in the oracle.
+      ops.TextAnalysis.chunkTokenWindows(load(dir, "documents"),
+          "doc_id", "text", chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk")
+    }),
+
     "vocab_topk" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Corpus vocabulary via the mergeable frequent-items sketch — exact
@@ -2361,6 +2371,25 @@ object SparkEntry {
          |       + (1.0 - least(1.0, punct_ratio * 5.0))
          |       + (1.0 - least(1.0, abs(mean_token_length - 5.0) / 5.0))) * 0.25 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    CASE WHEN len(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS tok
+         |  FROM documents
+         |), n AS (
+         |  SELECT doc_id, toks, tok,
+         |    1 + greatest(0, (tok - 64 + 47) // 48) AS n_chunks
+         |  FROM t WHERE tok > 0
+         |), e AS (
+         |  SELECT doc_id, toks, tok, unnest(generate_series(0, n_chunks - 1)) AS chunk
+         |  FROM n
+         |)
+         |SELECT doc_id, chunk, (chunk * 48)::BIGINT AS begin_tok,
+         |  least(64, tok - chunk * 48)::BIGINT AS n_tok,
+         |  array_to_string(toks[chunk * 48 + 1:chunk * 48 + least(64, tok - chunk * 48)], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk""".stripMargin,
 
     "vocab_topk" -> {
       s"""SELECT term, count(*)::BIGINT AS n

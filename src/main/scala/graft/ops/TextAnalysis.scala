@@ -247,6 +247,45 @@ object TextAnalysis {
       .withColumn("dup_line_char_frac", dupLineCharFrac(c))
   }
 
+  // ===== Token-window chunking (retrieval/embedding prep) =====
+
+  /** Split documents into overlapping fixed-token windows — the standard
+    * retrieval/embedding chunking (context-window prep for RAG and
+    * embedding pipelines). Chunk `i` covers whitespace-token range
+    * `[i·(chunk−overlap), min(i·(chunk−overlap)+chunk, tok))`; the last
+    * chunk may be short, and a document of ≤ `chunk` tokens yields exactly
+    * one chunk. Pure row-local arithmetic + explode — no shuffle at any
+    * corpus size; every offset is exact integer `div`, restated verbatim
+    * in the `text_chunk_windows` oracle.
+    *
+    * Output: `(idCol, chunk, begin_tok, n_tok, chunk_text)`.
+    */
+  def chunkTokenWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"chunk: need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val id = col(s"`$idCol`")
+    val c = col(s"`$textCol`")
+    val keyed = df
+      .select(id, split(trim(c), "\\s+").as("_toks"), tokenCount(c).cast("long").as("_tok"))
+      .where(col("_tok") > 0)
+      // chunks = 1 + max(0, ceil((tok - chunk) / step))
+      .withColumn("_n", lit(1L) + greatest(lit(0L),
+        expr(s"(_tok - ${chunkTokens}L + ${step - 1}L) div ${step}L")))
+    keyed
+      .withColumn("chunk", explode(sequence(lit(0L), col("_n") - 1)))
+      .withColumn("begin_tok", col("chunk") * step)
+      .withColumn("n_tok", least(lit(chunkTokens.toLong), col("_tok") - col("begin_tok")))
+      .select(id, col("chunk"), col("begin_tok"), col("n_tok"),
+        concat_ws(" ", slice(col("_toks"), (col("begin_tok") + 1).cast("int"),
+          col("n_tok").cast("int"))).as("chunk_text"))
+  }
+
   // ===== Corpus vocabulary (mergeable frequent-items) =====
 
   /** Corpus-wide top terms as `(term, n)`, via Spark 4's `approx_top_k`

@@ -103,6 +103,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(redact(s) == s)
   }
 
+  test("chunkTokenWindows: overlap arithmetic, short tails, single-chunk docs") {
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"t$i").mkString(" ")), // 9 tokens
+      (2L, "a b c"),                                 // fits in one chunk
+      (3L, "")                                       // dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokenWindows(docs, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk")
+      .select("doc_id", "chunk", "begin_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 1: ceil((9-4)/2) = 3 extra starts → 0,2,4,6; the last is short
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.map(c => (c._3, c._4)) == Seq((0L, 4L), (2L, 4L), (4L, 4L), (6L, 3L)))
+    assert(doc1.head._5 == "t1 t2 t3 t4" && doc1.last._5 == "t7 t8 t9")
+    // consecutive chunks overlap by exactly 2 tokens
+    doc1.sliding(2).foreach { case Seq(a, b) => assert(b._3 - a._3 == 2) case _ => }
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)) == Seq((0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("vocabTopK: exact counts under maxTracked, split-merge equals whole") {
     val docs = Seq(
       (0L, "apple banana apple cherry"),
