@@ -1167,6 +1167,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_containment_keep" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The containment story end to end: winnowing fingerprint pairs →
+      // connected components → keep the smallest doc_id per cluster →
+      // per-source counts. Partial copies cluster with their source even
+      // when whole-doc similarity is low.
+      val docs = load(dir, "documents")
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        tau = 0.5, shingleK = 3, window = 4)
+      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Partial-overlap detection via winnowing fingerprints (MOSS):
@@ -2755,6 +2770,44 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, containment FROM pairs
          |WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // containment pairs → the same recursive-CTE transitive closure the
+    // exact-dedup keep oracle uses
+    "dedup_containment_keep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 13))::BIGINT) AS hs
+         |  FROM t WHERE len(toks) >= 3
+         |), f AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+         |         ELSE list_transform(generate_series(1, len(hs) - 3),
+         |                i -> list_min(hs[i:i+3])) END)) AS fp
+         |  FROM g
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM f a, f b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.fp, b.fp))::DOUBLE
+         |          / least(len(a.fp), len(b.fp))::DOUBLE >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT source, count(*) AS n_kept
+         |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = doc.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // the prefix-filtered join is EXACT — same all-pairs oracle shape as
     // the unfiltered form, at the near-dup threshold
