@@ -13,8 +13,19 @@ object Bench {
   private[graft] def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Per-query rendering: 2 decimals (10 ms — still below run-to-run
+    * noise) with trailing zeros stripped, so the ~90-entry queries map
+    * stays inside the driver's tail-capture window as the registry grows.
+    * Totals keep [[fmt]]'s 3 decimals.
+    */
+  private[graft] def fmtQ(v: Double): String = {
+    val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    if (!s.contains('.')) s
+    else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+  }
+
   private[graft] def jmap(vs: Seq[(String, Double)]): String =
-    vs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    vs.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }.mkString("{", ",", "}")
 
   /** The ONE machine-read line of this program. Kept deliberately small —
     * per-query minimums at 3 decimals plus scalar totals — so it survives a
@@ -24,7 +35,6 @@ object Bench {
     */
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],
-      repeat: Int,
       sfDir: String,
       loadStart: Double,
       loadEnd: Double): String = {
@@ -32,7 +42,7 @@ object Bench {
     val total = fmt(results.map(_._2).sum)
     val totalMed = fmt(results.map(_._3).sum)
     val load = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)}"""
-    s"""{"metric":"total","unit":"sec","repeat":$repeat,"sf":"$sfDir",$load,"queries":$qs,"total_median":$totalMed,"value":$total}"""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$load,"queries":$qs,"total_median":$totalMed,"value":$total}"""
   }
 
   /** 1-minute system load average — recorded in the artifact so a reader
@@ -121,7 +131,7 @@ object Bench {
     println("bench_medians_detail " + jmap(results.map(r => r._1 -> r._3)))
     // The contract line goes LAST, compact enough (~2.4 KB at 74 queries)
     // to fit a ~3 KB tail capture whole even with sbt's epilogue after it.
-    println(renderHeadline(results, repeat, sfDir, loadStart, loadAvg()))
+    println(renderHeadline(results, sfDir, loadStart, loadAvg()))
     spark.stop()
   }
 }

@@ -14,7 +14,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("headline line fits a tail-truncated capture with the full registry") {
     val results = SparkEntry.queries.keySet.toSeq.sorted
       .map(n => (n, 123.456789, 123.456789))
-    val line = Bench.renderHeadline(results, 3, "/root/testdata/sf0.1", 31.99, 31.99)
+    val line = Bench.renderHeadline(results, "/root/testdata/sf0.1", 31.99, 31.99)
     // The r05 capture window held ~2.8 KB and sbt appends a ~60-char
     // epilogue after the line; 2.5 KB leaves real margin.
     assert(line.length < 2500,
@@ -23,14 +23,15 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("headline line is one valid JSON object with the contract fields") {
     val results = Seq(("q1_agg", 0.2711119, 0.3222229), ("g1_count", 0.1, 0.1))
-    val line = Bench.renderHeadline(results, 3, "/tmp/sf", 2.415, 3.871)
+    val line = Bench.renderHeadline(results, "/tmp/sf", 2.415, 3.871)
     val node = new ObjectMapper().readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
     assert(node.get("sf").asText() == "/tmp/sf")
     assert(node.get("load_start").asDouble() == 2.415)
     assert(node.get("load_end").asDouble() == 3.871)
-    assert(node.get("queries").get("q1_agg").asDouble() == 0.271)
+    assert(node.get("queries").get("q1_agg").asDouble() == 0.27)
+    // totals keep 3 decimals (computed from full-precision values)
     assert(math.abs(node.get("value").asDouble() - 0.371) < 1e-9)
     assert(math.abs(node.get("total_median").asDouble() - 0.422) < 1e-9)
   }
@@ -40,6 +41,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.fmt(12.3456789) == "12.346")
     assert(Bench.fmt(0.0) == "0.000")
     assert(Bench.fmt(1234.5) == "1234.500")
+  }
+
+  test("fmtQ renders compact valid JSON numbers at 10 ms granularity") {
+    assert(Bench.fmtQ(0.0761234) == "0.08")
+    assert(Bench.fmtQ(0.1) == "0.1")
+    assert(Bench.fmtQ(1.204) == "1.2")
+    assert(Bench.fmtQ(3.0) == "3")
+    assert(Bench.fmtQ(0.0) == "0")
+    assert(Bench.fmtQ(12.345) == "12.35")
   }
 
   test("warmServed covers every _warm query plus the cache-serving fetches") {
