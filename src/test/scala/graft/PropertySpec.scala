@@ -89,4 +89,54 @@ class PropertySpec extends AnyFunSuite {
       (f, lo, hi) => graft.query.FilterSpec.NumericRange(f, lo, hi).render.nonEmpty
     })
   }
+
+  // Small-vocabulary token arrays force heavy gram repetition — the regime
+  // the repetition kernel exists for.
+  private val tokensGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "xyz"))
+
+  test("GramStats agrees with a naive reference on random token arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    check("gram-stats")(Prop.forAll(tokensGen, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val grams = if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def chars(g: String) = (g.length - (n - 1)).toLong
+      val expTotal = grams.size.toLong
+      val expTotalChars = grams.map(chars).sum
+      val expDupOcc = byGram.collect { case (_, c) if c > 1 => c }.sum
+      val expDupChars = byGram.collect { case (g, c) if c > 1 => c * chars(g) }.sum
+      val (expTopCount, expTopChars) =
+        if (byGram.isEmpty) (0L, 0L)
+        else {
+          val maxC = byGram.values.max
+          val atMax = byGram.filter(_._2 == maxC)
+          val maxChars = atMax.keys.map(chars).max
+          val pick = atMax.keys.filter(g => chars(g) == maxChars).min
+          (byGram(pick), chars(pick))
+        }
+      val got = graft.expr.GramStatsAlgo.compute(
+        new GenericArrayData(toks.map(t => UTF8String.fromString(t): AnyRef).toArray), n)
+      got.getLong(0) == expTotal && got.getLong(1) == expTotalChars &&
+        got.getLong(2) == expDupOcc && got.getLong(3) == expDupChars &&
+        got.getLong(4) == expTopCount && got.getLong(5) == expTopChars
+    })
+  }
+
+  test("winnowing selects a subset of gram hashes at guaranteed coverage") {
+    val textGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    check("winnow")(Prop.forAll(textGen, Gen.chooseNum(1, 3), Gen.chooseNum(1, 4)) { (text, k, w) =>
+      val toks = TextShingleAlgo.tokenize(UTF8String.fromString(text))
+      val fps = graft.expr.WinnowAlgo.fingerprints(UTF8String.fromString(text), k, w)
+      val got = (0 until fps.numElements()).map(fps.getLong).toSeq
+      if (toks.length < k) got.isEmpty
+      else {
+        val grams = toks.sliding(k).map(_.mkString(" ")).toSeq
+        val hashes = grams.map(graft.expr.WinnowAlgo.portableHash)
+        val windows = if (hashes.length < w) Seq(hashes) else hashes.sliding(w).toSeq
+        val expected = windows.map(_.min).distinct.sorted
+        got == expected
+      }
+    })
+  }
 }
