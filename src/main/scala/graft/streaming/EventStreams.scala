@@ -196,6 +196,46 @@ object EventStreams {
       graft.dict.Dictionary.mergeIncrements(
         dedupedIncrements(spark.read.parquet(incrementPath))))
 
+  /** Live corpus-vocabulary maintenance — the frequent-items analogue of
+    * [[maintainDictionary]]: append one `approx_top_k` sketch state per
+    * micro-batch (kilobytes, bounded by `maxTracked`), stamped with the
+    * epoch for the same at-least-once replay idempotence. The current
+    * vocabulary is [[vocabularyFromStates]] — combine states, estimate —
+    * and never re-scans ingested text.
+    */
+  def maintainVocabulary(
+      docs: DataFrame,
+      textCol: String,
+      statePath: String,
+      checkpointDir: String,
+      maxTracked: Int = 4096): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextAnalysis.vocabState(batch, textCol, maxTracked)
+          .withColumn("state_batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(statePath)
+      }
+      .start()
+
+  /** The current top-`k` vocabulary implied by a state table maintained by
+    * [[maintainVocabulary]]: drop replayed epochs, combine, estimate.
+    * Exact while distinct terms stay under `maxTracked` (the same contract
+    * the batch-side `vocab_topk_incremental` oracle pins).
+    */
+  def vocabularyFromStates(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      k: Int,
+      maxTracked: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val states = spark.read.parquet(statePath)
+      .dropDuplicates("state_batch_id")
+      .select("_state")
+      .where(col("_state").isNotNull) // empty micro-batches accumulate null
+    graft.ops.TextAnalysis.vocabMerge(Seq(states), k, maxTracked)
+  }
+
   /** Compact an increment table: merge the accumulated per-batch rows into
     * ONE increment per column and swap it in, bounding the table at columns
     * × 1 rows no matter how many batches have run. Safe at any time —

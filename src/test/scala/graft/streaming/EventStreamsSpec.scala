@@ -164,4 +164,34 @@ class EventStreamsSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().toSeq
     assert(batch === Seq((1L, 3L, 6.0)))
   }
+
+  test("streaming vocabulary maintenance converges to the whole-corpus top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_vocab").toFile
+    dir.deleteOnExit()
+    val statePath = dir.getAbsolutePath + "/states"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainVocabulary(
+      mem.toDS().toDF("doc_id", "text"), "text", statePath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana apple banana banana"),
+      (3L, "cherry apple"))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one kilobyte sketch state per micro-batch at rest…
+    assert(spark.read.parquet(statePath).count() === 2)
+    // …and combine+estimate equals the from-scratch corpus top-k
+    val streamed = EventStreams.vocabularyFromStates(spark, statePath, k = 3)
+      .as[(String, Long)].collect().toSeq
+    val scratch = graft.ops.TextAnalysis
+      .vocabTopK(all.toDF("doc_id", "text"), "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed === scratch)
+    assert(streamed === Seq(("apple", 4L), ("banana", 4L), ("cherry", 2L)))
+  }
 }
