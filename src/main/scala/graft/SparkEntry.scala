@@ -1512,6 +1512,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "search_hybrid_rrf_ivfpq" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The SERVING-SCALE hybrid: same RRF fusion, but the vector run is
+      // the IVF-PQ index (coarse cells + one-byte ADC codes — the path
+      // whose index fits executor memory at 100 TB) instead of the
+      // brute-force scan. Still fully oracled: the oracled refineIters=0
+      // IVF-PQ construction supplies the ranks.
+      val docs = load(dir, "documents")
+      val emb = load(dir, "embeddings")
+      val bmRun = query.Hybrid.withRank(
+          query.Bm25.topKRaw(docs, "doc_id", "text", "spark merge join window", k = 50),
+          "score", "doc_id")
+        .select("doc_id", "rank")
+      val vecRun = ops.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 50,
+          dim = 64, nlist = 8, nprobe = 3, m = 8, ksub = 16)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      query.Hybrid.rrf(Seq(bmRun, vecRun), "doc_id", "rank", rrfK = 60, topK = 20)
+        .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Hybrid retrieval: BM25 top-50 over the text corpus fused with
@@ -2547,6 +2568,30 @@ object SparkEntry {
          |  greatest(0, seq * 512 - strt)::BIGINT AS slice_begin,
          |  (least(tok, (seq + 1) * 512 - strt) - greatest(0, seq * 512 - strt))::BIGINT AS slice_len
          |FROM e ORDER BY bucket, seq, doc_id""".stripMargin,
+
+    // The scale-path hybrid: BM25 run via its oracle builder, vector run
+    // via the full oracled IVF-PQ restatement, fused with the same
+    // two-term RRF arithmetic.
+    "search_hybrid_rrf_ivfpq" -> {
+      val bm = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 50)
+      val pq = ivfPqSql(nlist = 8, nprobe = 3, m = 8, ksub = 16, dim = 64,
+        k = 50, nQueries = 1)
+      s"""WITH bm AS (
+         |$bm
+         |), bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM bm
+         |), vr AS (
+         |  SELECT neighbor_id AS doc_id, rank FROM (
+         |$pq
+         |  )
+         |), c0 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM bmr),
+         |c1 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM vr)
+         |SELECT doc_id, coalesce(c0.c, 0.0) + coalesce(c1.c, 0.0) AS rrf_score
+         |FROM c0 FULL OUTER JOIN c1 USING (doc_id)
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
 
     "pack_sequences_text" ->
       s"""WITH t AS (
