@@ -13,13 +13,15 @@ object Bench {
   private[graft] def fmt(v: Double): String =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
-  /** Per-query rendering: 2 decimals (10 ms — still below run-to-run
-    * noise) with trailing zeros stripped, so the ~90-entry queries map
+  /** Per-query rendering: precision scaled to magnitude (the noise floor
+    * scales with the value — 10 ms under 10 s, 100 ms under 100 s, whole
+    * seconds above), trailing zeros stripped, so the ~90-entry queries map
     * stays inside the driver's tail-capture window as the registry grows.
     * Totals keep [[fmt]]'s 3 decimals.
     */
   private[graft] def fmtQ(v: Double): String = {
-    val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val scale = if (v >= 100) 0 else if (v >= 10) 1 else 2
+    val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     if (!s.contains('.')) s
     else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
   }

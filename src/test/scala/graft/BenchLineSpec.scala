@@ -43,13 +43,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.fmt(1234.5) == "1234.500")
   }
 
-  test("fmtQ renders compact valid JSON numbers at 10 ms granularity") {
+  test("fmtQ renders compact valid JSON numbers at magnitude-scaled precision") {
     assert(Bench.fmtQ(0.0761234) == "0.08")
     assert(Bench.fmtQ(0.1) == "0.1")
     assert(Bench.fmtQ(1.204) == "1.2")
     assert(Bench.fmtQ(3.0) == "3")
     assert(Bench.fmtQ(0.0) == "0")
-    assert(Bench.fmtQ(12.345) == "12.35")
+    assert(Bench.fmtQ(12.345) == "12.3")
+    assert(Bench.fmtQ(123.456789) == "123")
   }
 
   test("warmServed covers every _warm query plus the cache-serving fetches") {
