@@ -2488,7 +2488,8 @@ object SparkEntry {
          |  FROM c5 GROUP BY doc_id
          |), lg AS (
          |  SELECT doc_id, unnest(list_filter(
-         |    list_transform(str_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS line
+         |    list_transform(str_split(text, chr(10)),
+         |      x -> trim(x, ' ' || chr(9) || chr(13))), x -> x <> '')) AS line
          |  FROM t
          |), cl AS (
          |  SELECT doc_id, line, count(*)::BIGINT AS cnt, len(line)::BIGINT AS chars

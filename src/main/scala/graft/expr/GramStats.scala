@@ -99,20 +99,26 @@ object GramStatsAlgo {
   }
 
   /** Trimmed non-empty lines of `text` — the `n = 1` frame for line-level
-    * repetition. Same semantics as
-    * `filter(transform(split(c, "\n"), trim), _ =!= "")` without the
-    * interpreted per-element HOF eval.
+    * repetition. The trim set is EXACTLY `{space, tab, CR}` (so CRLF text
+    * behaves, and a lone `"\r"` line drops as empty) — deliberately NOT
+    * Java `String.trim`, whose "all codepoints ≤ U+0020" rule has no
+    * finite-charset SQL restatement; the oracle mirrors this as
+    * `trim(x, ' ' || chr(9) || chr(13))`.
     */
   def lines(text: UTF8String): ArrayData = {
     val s = text.toString
+    def isPad(c: Char): Boolean = c == ' ' || c == '\t' || c == '\r'
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
     var start = 0
     val n = s.length
     var i = 0
     while (i <= n) {
       if (i == n || s.charAt(i) == '\n') {
-        val line = s.substring(start, i).trim
-        if (line.nonEmpty) out += UTF8String.fromString(line)
+        var lo = start
+        var hi = i
+        while (lo < hi && isPad(s.charAt(lo))) lo += 1
+        while (hi > lo && isPad(s.charAt(hi - 1))) hi -= 1
+        if (hi > lo) out += UTF8String.fromString(s.substring(lo, hi))
         start = i + 1
       }
       i += 1

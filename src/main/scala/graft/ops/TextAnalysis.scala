@@ -292,12 +292,19 @@ object TextAnalysis {
     * (DataSketches frequent-items underneath): bounded sketch state instead
     * of a corpus-wide exact aggregation — and EXACT whenever distinct terms
     * stay under `maxTracked` (the `vocab_topk` oracle relies on this).
-    * Output re-sorts deterministically (count DESC, term ASC) before the
-    * final `k` cut, so boundary ties never depend on sketch ordering.
+    *
+    * The estimate fetches ALL `maxTracked` slots — never an intermediate
+    * cut — before the deterministic (count DESC, term ASC) re-sort and `k`
+    * limit: a smaller fetch would let a count-tie group straddle the cut
+    * and surface a sketch-order-dependent subset. With the full fetch,
+    * output is deterministic and oracle-exact whenever the sketch itself
+    * is exact; past `maxTracked` distinct terms, frequent-items is
+    * inherently approximate (and says so — this is the documented contract,
+    * not a silent cap).
     */
   def vocabTopK(df: DataFrame, textCol: String, k: Int, maxTracked: Int = 4096): DataFrame =
     df.select(explode(lowerTokens(col(s"`$textCol`"))).as("term"))
-      .agg(expr(s"approx_top_k(term, ${math.max(k * 4, 64)}, $maxTracked)").as("_t"))
+      .agg(expr(s"approx_top_k(term, $maxTracked, $maxTracked)").as("_t"))
       .select(explode(col("_t")).as("_e"))
       .select(col("_e.item").as("term"), col("_e.count").as("n"))
       .orderBy(desc("n"), asc("term"))
@@ -313,13 +320,14 @@ object TextAnalysis {
       .agg(expr(s"approx_top_k_accumulate(term, $maxTracked)").as("_state"))
 
   /** Combine per-batch [[vocabState]] frames and estimate the top `k` —
-    * same output shape and determinism as [[vocabTopK]].
+    * same output shape and determinism contract as [[vocabTopK]] (full
+    * `maxTracked` fetch before the deterministic cut).
     */
   def vocabMerge(states: Seq[DataFrame], k: Int, maxTracked: Int = 4096): DataFrame = {
     require(states.nonEmpty, "vocabMerge: no states")
     states.reduce(_ unionByName _)
       .agg(expr(s"approx_top_k_combine(_state, $maxTracked)").as("_state"))
-      .select(expr(s"approx_top_k_estimate(_state, ${math.max(k * 4, 64)})").as("_t"))
+      .select(expr(s"approx_top_k_estimate(_state, $maxTracked)").as("_t"))
       .select(explode(col("_t")).as("_e"))
       .select(col("_e.item").as("term"), col("_e.count").as("n"))
       .orderBy(desc("n"), asc("term"))

@@ -60,6 +60,18 @@ class GramStatsSpec extends SparkSpecBase {
     assert(lines == Seq("hello world", "hello world", "foo"))
   }
 
+  test("lines handles CRLF and tab padding with the oracle's exact trim set") {
+    // CRLF endings trim away; a lone \r line is empty; tabs pad-trim.
+    val lines = Seq("foo\r\nfoo\r\n\r\n\tbar\t\n").toDF("t")
+      .select(GramStats.lines(col("t")).as("l"))
+      .head().getSeq[String](0)
+    assert(lines == Seq("foo", "foo", "bar"))
+    // dup fractions on CRLF text: both 'foo' lines count as duplicates
+    val f = Seq("foo\r\nfoo\r\nbar").toDF("text")
+      .select(graft.ops.TextAnalysis.dupLineFrac(col("text"))).head().getDouble(0)
+    assert(math.abs(f - 2.0 / 3.0) < 1e-12)
+  }
+
   test("line-level duplication fractions (n = 1 over lines)") {
     val df = Seq("hello world\nhello world\n\n  foo  \n").toDF("text")
     val r = df.select(
