@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resize is REAL — the JDK's built-in `javax.imageio`
   * (PNG/BMP/GIF/JPEG, no external dependency) via [[ImageCodec]] — and so is
   * AUDIO for WAV/PCM via `javax.sound.sampled` ([[AudioCodec]]); undecodable
-  * bytes fall back to the stub so row counts stay stable. Compressed
-  * audio/video codecs are NOT available in this environment, so those paths
-  * use a clearly-marked deterministic STUB ([[FakeCodec]]); the Spark-side
-  * contract — schema, batch shape, partitioning, null handling — is real and
-  * tested either way. Swapping in ffmpeg is a one-function change.
+  * bytes fall back to the stub so row counts stay stable. VIDEO frame decode
+  * is REAL for MJPEG AVIs (every `..dc` chunk is a JPEG) and for animated
+  * GIFs ([[GifCodec]] — true INTER-FRAME reconstruction: delta rects,
+  * offsets, disposal-method canvas state). Modern compressed codecs (H.26x)
+  * are NOT available in this environment, so that path uses a clearly-marked
+  * deterministic STUB ([[FakeCodec]]); the Spark-side contract — schema,
+  * batch shape, partitioning, null handling — is real and tested either way.
+  * Swapping in ffmpeg is a one-function change.
   */
 object Multimodal {
 
@@ -319,6 +322,115 @@ object Multimodal {
     }
   }
 
+  /** Animated GIF: a REAL inter-frame format the JDK decodes natively —
+    * frames arrive as deltas (partial rects at offsets) plus a disposal
+    * method, and reconstruction requires canvas compositing across frames,
+    * exactly the decode-state shape H.26x needs (reference pipelines ship
+    * video through this stage; `services/webapp` has no video path, this is
+    * the training-data tier's). Each output frame is the fully-composited
+    * canvas, PNG-encoded (lossless, so probe pixels round-trip exactly).
+    */
+  object GifCodec {
+    import java.awt.image.BufferedImage
+
+    def isGif(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 6 &&
+        bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+    final case class GifMeta(frameCount: Int, durationMs: Long)
+
+    private def intAttr(n: org.w3c.dom.Node, name: String, dflt: Int): Int = {
+      val attrs = n.getAttributes
+      val a = if (attrs == null) null else attrs.getNamedItem(name)
+      if (a == null) dflt
+      else try a.getNodeValue.toInt catch { case _: NumberFormatException => dflt }
+    }
+
+    private def child(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+      var c = n.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == name) return Some(c)
+        c = c.getNextSibling
+      }
+      None
+    }
+
+    /** All composited frames, in order. Empty for non-GIF/corrupt bytes. */
+    def frames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] =
+      decode(bytes).map(_._1).getOrElse(IndexedSeq.empty)
+
+    /** Frame count + duration (sum of per-frame delays; GIF delay unit is
+      * 10 ms). None for non-GIF bytes.
+      */
+    def parseMeta(bytes: Array[Byte]): Option[GifMeta] = decode(bytes).map(_._2)
+
+    private def decode(bytes: Array[Byte]): Option[(IndexedSeq[Array[Byte]], GifMeta)] = {
+      if (!isGif(bytes)) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        // Logical screen from the first frame's bounds union (the stream
+        // metadata's screen descriptor is optional in practice).
+        var w = 0
+        var h = 0
+        val parsed = (0 until n).map { i =>
+          val img = reader.read(i)
+          val tree = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+          val desc = child(tree, "ImageDescriptor")
+          val x = desc.map(intAttr(_, "imageLeftPosition", 0)).getOrElse(0)
+          val y = desc.map(intAttr(_, "imageTopPosition", 0)).getOrElse(0)
+          val gce = child(tree, "GraphicControlExtension")
+          val disposal = gce.flatMap { g =>
+            val a = g.getAttributes.getNamedItem("disposalMethod")
+            Option(a).map(_.getNodeValue)
+          }.getOrElse("none")
+          val delayMs = gce.map(intAttr(_, "delayTime", 0)).getOrElse(0) * 10L
+          w = math.max(w, x + img.getWidth)
+          h = math.max(h, y + img.getHeight)
+          (img, x, y, disposal, delayMs)
+        }
+        val canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        var previous: BufferedImage = null
+        val out = parsed.map { case (img, x, y, disposal, _) =>
+          if (disposal == "restoreToPrevious") {
+            previous = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+            previous.createGraphics().drawImage(canvas, 0, 0, null)
+          }
+          g.drawImage(img, x, y, null)
+          val snap = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(canvas, "png", snap)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              // background is transparent on an ARGB canvas
+              val cleared = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(x, y, img.getWidth, img.getHeight)
+              g.setComposite(cleared)
+            case "restoreToPrevious" if previous != null =>
+              val cleared = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Src)
+              g.drawImage(previous, 0, 0, null)
+              g.setComposite(cleared)
+            case _ => // none / doNotDispose: canvas carries forward
+          }
+          snap.toByteArray
+        }
+        g.dispose()
+        Some((out, GifMeta(n, parsed.map(_._5).sum)))
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+  }
+
   /** ======================== STUB CODEC ========================
     * Deterministic stand-in for real decode/resize: every "decoded" artifact
     * is derived from the bytes via seeded hashing, so tests are reproducible
@@ -412,7 +524,11 @@ object Multimodal {
         case None => VideoCodec.parseAviMeta(m.bytes) match {
           case Some(avi) =>
             m.copy(meta = m.meta.copy(format = "avi", durationMs = avi.durationMs))
-          case None => m
+          case None => GifCodec.parseMeta(m.bytes) match {
+            case Some(gif) =>
+              m.copy(meta = m.meta.copy(format = "gif", durationMs = gif.durationMs))
+            case None => m
+          }
         }
       }
     }
@@ -433,7 +549,9 @@ object Multimodal {
     items.flatMap { m =>
       if (m.meta == null || m.meta.kind != "video" || m.bytes == null) Seq.empty[MediaFrame]
       else {
-        val real = VideoCodec.mjpegFrames(m.bytes)
+        // real decode chain: MJPEG-AVI chunks, then composited GIF frames
+        val mjpeg = VideoCodec.mjpegFrames(m.bytes)
+        val real = if (mjpeg.nonEmpty) mjpeg else GifCodec.frames(m.bytes)
         val frames =
           if (real.isEmpty) FakeCodec.sampleFrames(m.bytes, framesPerVideo)
           else if (real.length <= framesPerVideo) real

@@ -247,6 +247,94 @@ class MultimodalSpec extends SparkSpecBase {
     assert(refreshed.meta.format === "avi" && refreshed.meta.durationMs === 200L)
   }
 
+  /** Animated GIF golden, built frame-by-frame with per-frame metadata:
+    * full first frame, then a 2×2 delta patch at (2,2) with doNotDispose —
+    * real inter-frame compositing is required to reconstruct frame 2.
+    */
+  private def testGif(disposal: String = "doNotDispose"): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def frame(img: BufferedImage, x: Int, y: Int): Unit = {
+      val meta = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromRenderedImage(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def node(name: String): IIOMetadataNode = {
+        var c = root.getFirstChild
+        while (c != null) {
+          if (c.getNodeName == name) return c.asInstanceOf[IIOMetadataNode]
+          c = c.getNextSibling
+        }
+        val n = new IIOMetadataNode(name)
+        root.appendChild(n)
+        n
+      }
+      val gce = node("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10") // 100 ms
+      gce.setAttribute("transparentColorIndex", "0")
+      val desc = node("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      desc.setAttribute("imageWidth", img.getWidth.toString)
+      desc.setAttribute("imageHeight", img.getHeight.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), writer.getDefaultWriteParam)
+    }
+    def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      img
+    }
+    frame(solid(6, 6, 0xff0000), 0, 0)  // full red base frame
+    frame(solid(2, 2, 0x0000ff), 2, 2)  // blue delta patch at (2,2)
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  test("GifCodec composites real inter-frame deltas across disposal state") {
+    val gif = testGif()
+    assert(GifCodec.isGif(gif))
+    val meta = GifCodec.parseMeta(gif).get
+    assert(meta.frameCount === 2 && meta.durationMs === 200L)
+    val frames = GifCodec.frames(gif).map(b =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    assert(frames.length === 2)
+    // frame 1: all red
+    assert((frames(0).getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert((frames(0).getRGB(3, 3) & 0xffffff) === 0xff0000)
+    // frame 2: the 2x2 delta patch landed at (2,2) ON TOP of the carried
+    // canvas — corners stay red (the compositing the stub can't fake)
+    assert((frames(1).getRGB(3, 3) & 0xffffff) === 0x0000ff)
+    assert((frames(1).getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert((frames(1).getRGB(5, 5) & 0xffffff) === 0xff0000)
+    assert(GifCodec.frames("not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("sampleFrames and refreshVideoMeta use the real GIF path") {
+    val in = Seq(MediaItem(9L, testGif(), MediaMeta("video", "gif", 6, 6, 0L))).toDS()
+    val out = sampleFrames(in, framesPerVideo = 2).collect().sortBy(_.frameIndex)
+    assert(out.length === 2)
+    val f2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).frameBytes))
+    assert((f2.getRGB(3, 3) & 0xffffff) === 0x0000ff)
+    val refreshed = refreshVideoMeta(in).collect().head
+    assert(refreshed.meta.format === "gif" && refreshed.meta.durationMs === 200L)
+  }
+
   test("resize really rescales decodable images and re-encodes PNG") {
     val real = Seq(
       MediaItem(1L, testPng(4, 2), MediaMeta("image", "png", 4, 2, 0L)),
