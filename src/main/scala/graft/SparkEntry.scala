@@ -1567,6 +1567,19 @@ object SparkEntry {
         .orderBy("bucket", "seq", "doc_id")
     }),
 
+    "decontaminate_containment" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Containment decontamination — "most of this bench item appears in
+      // this doc", normalized by the BENCH fingerprint count so document
+      // length never dilutes the score (the quoted-eval-question case
+      // Jaccard misses). Winnowed fingerprints end to end, fully oracled.
+      val docs = load(dir, "documents")
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      ops.Decontaminate.containmentOverlaps(docs, "doc_id", "text",
+          bench, "doc_id", "text", tau = 0.5, shingleK = 3, window = 4)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     "decontaminate_fuzzy" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Fuzzy (Jaccard ≥ 0.35 on 2-shingles) contamination against the
@@ -2740,6 +2753,31 @@ object SparkEntry {
          |  (max(seq) + 1)::BIGINT AS n_seqs,
          |  sum(least(tok, (seq + 1) * 512 - strt) - greatest(0, seq * 512 - strt))::BIGINT AS n_tokens
          |FROM pe GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Winnowed fingerprints as in dedup_containment, normalized by the
+    // bench side's fingerprint count.
+    "decontaminate_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+         |    i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 13))::BIGINT) AS hs
+         |  FROM t WHERE len(toks) >= 3
+         |), f AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+         |         ELSE list_transform(generate_series(1, len(hs) - 3),
+         |                i -> list_min(hs[i:i+3])) END)) AS fp
+         |  FROM g
+         |), b AS (
+         |  SELECT doc_id AS bench_id, fp FROM f WHERE doc_id % 97 = 0
+         |), pairs AS (
+         |  SELECT f.doc_id, b.bench_id,
+         |    len(list_intersect(f.fp, b.fp))::DOUBLE / len(b.fp)::DOUBLE AS containment
+         |  FROM f, b
+         |)
+         |SELECT doc_id, bench_id, containment FROM pairs
+         |WHERE containment >= 0.5 ORDER BY doc_id, bench_id""".stripMargin,
 
     "decontaminate_fuzzy" ->
       s"""WITH d AS (

@@ -90,6 +90,49 @@ object Decontaminate {
       .select(col(s"`$idCol`"), col("bench_id"), col("jaccard"))
   }
 
+  /** CONTAINMENT contamination — the semantics eval leakage actually has:
+    * a short benchmark item quoted inside a long training document. Jaccard
+    * ([[fuzzyOverlaps]]) normalizes by the UNION and dilutes toward 0 as
+    * the document grows; this normalizes winnowed-fingerprint overlap by
+    * the BENCH item's fingerprint count, so "most of this benchmark
+    * question appears in this doc" scores near 1 at any document length
+    * (winnowing guarantees any shared run of ≥ `shingleK + window − 1`
+    * tokens plants a common fingerprint — [[graft.expr.Winnow]]).
+    *
+    * Same asymmetric shape as [[fuzzyOverlaps]]: bench fingerprint postings
+    * broadcast, corpus rows emit their per-row-distinct fingerprints (one
+    * kernel pass), only `(doc, bench, partial count)` rows shuffle.
+    * Returns `(idCol, bench_id, containment)` at `tau` or above.
+    */
+  def containmentOverlaps(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      tau: Double,
+      shingleK: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(tau > 0 && tau <= 1, "containment: tau must be in (0, 1]")
+    val cp = corpus
+      .select(col(s"`$idCol`"),
+        graft.expr.Winnow.fingerprints(col(s"`$textCol`"), shingleK, window).as("_fp"))
+      .where(size(col("_fp")) > 0)
+      .select(col(s"`$idCol`"), explode(col("_fp")).as("_f"))
+    val bp = bench
+      .select(col(s"`$benchIdCol`").as("bench_id"),
+        graft.expr.Winnow.fingerprints(col(s"`$benchTextCol`"), shingleK, window).as("_fp"))
+      .where(size(col("_fp")) > 0)
+      .select(col("bench_id"), size(col("_fp")).as("_nb"), explode(col("_fp")).as("_f"))
+    cp.join(broadcast(bp), Seq("_f"))
+      .groupBy(col(s"`$idCol`"), col("bench_id"), col("_nb"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("containment", col("_c").cast("double") / col("_nb").cast("double"))
+      .where(col("containment") >= tau)
+      .select(col(s"`$idCol`"), col("bench_id"), col("containment"))
+  }
+
   /** The clean corpus: documents with NO `n`-gram overlap against `bench`
     * (left-anti join on the flagged id set — ids only, never text).
     */

@@ -79,6 +79,25 @@ class DecontaminateSpec extends SparkSpecBase {
     assert(math.abs(loose(1)._3 - 3.0 / 13.0) < 1e-15)
   }
 
+  test("containmentOverlaps flags a bench item quoted in a long doc that Jaccard dilutes") {
+    val benchItem = "what is the capital of france and when was it founded exactly"
+    val longDoc = s"the model answered many questions that day including $benchItem " +
+      "and then went on at extraordinary length about entirely unrelated " +
+      "matters of geography history cuisine architecture rivers bridges " +
+      "museums trains and the weather in several other countries besides"
+    val corpus = Seq((1L, longDoc), (2L, "nothing shared here at all today")).toDF("doc_id", "text")
+    val bench = Seq((100L, benchItem)).toDF("bench_id", "text")
+    val got = Decontaminate.containmentOverlaps(corpus, "doc_id", "text",
+        bench, "bench_id", "text", tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 100L)))
+    assert(got.head._3 >= 0.8, s"expected near-total containment, got ${got.head._3}")
+    // Jaccard on the same pair dilutes below a usable threshold
+    val jac = Decontaminate.fuzzyOverlaps(corpus, "doc_id", "text",
+      bench, "bench_id", "text", threshold = 0.5, shingleK = 2)
+    assert(jac.count() == 0)
+  }
+
   test("fuzzyOverlaps broadcasts the bench posting side") {
     val plan = Decontaminate.fuzzyOverlaps(corpus, "doc_id", "text",
         bench.withColumn("bench_id", lit(1L)), "bench_id", "text", 0.3, 2)
