@@ -142,9 +142,31 @@ object Decontaminate {
       textCol: String,
       bench: DataFrame,
       benchTextCol: String,
-      n: Int): DataFrame = {
-    val flagged = overlaps(corpus, idCol, textCol, bench, benchTextCol, n)
-      .select(col(s"`$idCol`"))
-    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
-  }
+      n: Int): DataFrame =
+    dropFlagged(corpus, idCol,
+      overlaps(corpus, idCol, textCol, bench, benchTextCol, n))
+
+  /** [[clean]] with the CONTAINMENT detector — drop documents that contain
+    * (most of) any benchmark item, the leakage semantics
+    * [[containmentOverlaps]] documents.
+    */
+  def cleanContainment(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      tau: Double,
+      shingleK: Int = 3,
+      window: Int = 4): DataFrame =
+    dropFlagged(corpus, idCol,
+      containmentOverlaps(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, tau, shingleK, window))
+
+  /** Anti-join the corpus against a flagged-ids frame (ids only, never
+    * text; broadcast — flagged sets are small when the bench is).
+    */
+  private def dropFlagged(corpus: DataFrame, idCol: String, flagged: DataFrame): DataFrame =
+    corpus.join(broadcast(flagged.select(col(s"`$idCol`")).distinct()), Seq(idCol), "left_anti")
 }

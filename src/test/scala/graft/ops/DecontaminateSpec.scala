@@ -96,6 +96,11 @@ class DecontaminateSpec extends SparkSpecBase {
     val jac = Decontaminate.fuzzyOverlaps(corpus, "doc_id", "text",
       bench, "bench_id", "text", threshold = 0.5, shingleK = 2)
     assert(jac.count() == 0)
+    // and the clean-side composition drops exactly the containing doc
+    val kept = Decontaminate.cleanContainment(corpus, "doc_id", "text",
+        bench, "bench_id", "text", tau = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
   }
 
   test("fuzzyOverlaps broadcasts the bench posting side") {
