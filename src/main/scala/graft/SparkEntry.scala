@@ -1356,6 +1356,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "join_range" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Interval-overlap join via the binning rewrite (hash join on
+      // (user, hour-bin), never a per-key nested loop): each user's click
+      // sessions [ts, ts+30min] against purchase sessions [ts, ts+30min].
+      // Bounds are epoch ms — unix_micros div 1000 here, epoch_ms() in the
+      // oracle, identical integers — and the oracle is the naive all-pairs
+      // predicate, so the dedup-free binning is cross-checked pair-exact.
+      val ev = loadEvents(dir)
+      val tsMs = expr("unix_micros(ts) div 1000L")
+      val clicks = ev.where(col("event_type") === "click").select(
+        col("event_id").as("click_id"), col("user_id"),
+        tsMs.as("c_start"), (tsMs + lit(1800000L)).as("c_end"))
+      val purchases = ev.where(col("event_type") === "purchase").select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        tsMs.as("p_start"), (tsMs + lit(1800000L)).as("p_end"))
+      ops.Joins.rangeJoin(clicks, purchases, Seq("user_id"),
+          "c_start", "c_end", "p_start", "p_end", binWidth = 3600000L)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (least(col("c_end"), col("p_end")) -
+            greatest(col("c_start"), col("p_start"))).as("overlap_ms"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "join_asof" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Point-in-time enrichment (leakage-free feature attachment): each
@@ -3084,6 +3108,25 @@ object SparkEntry {
     // inner products — the full IVF-PQ pipeline restated in SQL.
     "ann_ivfpq" ->
       ivfPqSql(nlist = 8, nprobe = 3, m = 8, ksub = 16, dim = 64, k = 5, nQueries = 5),
+
+    // The naive all-pairs overlap predicate — a different algorithm from
+    // the engine's binning rewrite, so the dedup-free bin emission is
+    // cross-checked pair-exact.
+    "join_range" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_ms(ts) AS c_start, epoch_ms(ts) + 1800000 AS c_end
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_ms(ts) AS p_start, epoch_ms(ts) + 1800000 AS p_end
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT click_id, purchase_id, user_id,
+        |  (least(c_end, p_end) - greatest(c_start, p_start))::BIGINT AS overlap_ms
+        |FROM c JOIN p USING (user_id)
+        |WHERE c_start <= p_end AND p_start <= c_end
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // The as-of semantics restated as a per-row LATERAL top-1 lookup — a
     // different algorithm from the engine's union-and-fill window, so the

@@ -168,4 +168,46 @@ object Joins {
       .drop("_total")
       .orderBy(desc("rows"), asc(keys.head))
   }
+
+  /** Interval-overlap (range) join: all `(left, right)` pairs sharing the
+    * equi-keys whose CLOSED intervals `[leftStart, leftEnd]` and
+    * `[rightStart, rightEnd]` overlap. Spark's planner turns a bare
+    * non-equi overlap predicate into a nested-loop join — quadratic per
+    * key. This is the standard BINNING rewrite instead: each interval
+    * explodes to the `binWidth`-sized bins it covers, candidates hash-join
+    * on `(keys…, bin)`, the overlap predicate filters exactly, and each
+    * qualifying pair is emitted ONCE — in the first bin both intervals
+    * share (`max` of the two start bins; the bin ranges of overlapping
+    * intervals always intersect there) — so no distinct shuffle is needed.
+    *
+    * Cost: rows explode by `span/binWidth + 1`; pick `binWidth` near the
+    * typical interval span so the factor stays ~2 and no bin becomes a hot
+    * key (a bin is a hot key exactly when many intervals cross it). All
+    * bound columns must be integral (epoch ms/ns, not timestamps — convert
+    * first, and the oracle restates the same integer `div` arithmetic).
+    * Output: left columns + right columns (names must not collide beyond
+    * the equi-keys).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      equiKeys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"rangeJoin: binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, start: String, end: String): DataFrame =
+      df.withColumn("_bin", explode(sequence(
+        expr(s"`$start` div ${binWidth}L"), expr(s"`$end` div ${binWidth}L"))))
+    val joined = binned(left, leftStart, leftEnd)
+      .join(binned(right, rightStart, rightEnd), equiKeys :+ "_bin")
+    joined
+      .where(col(s"`$leftStart`") <= col(s"`$rightEnd`") &&
+        col(s"`$rightStart`") <= col(s"`$leftEnd`"))
+      .where(col("_bin") === greatest(
+        expr(s"`$leftStart` div ${binWidth}L"), expr(s"`$rightStart` div ${binWidth}L")))
+      .drop("_bin")
+  }
 }

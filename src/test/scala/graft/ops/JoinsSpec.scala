@@ -126,4 +126,48 @@ class JoinsSpec extends SparkSpecBase {
         s"total branch re-aggregates the input instead of reusing the exchange:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  // ---- range join ----
+
+  private val leftIv = Seq(
+    // (id, key, start, end)
+    (1L, "a", 0L, 10L),
+    (2L, "a", 95L, 205L),  // spans three 100-bins — pairs must emit once
+    (3L, "b", 0L, 10L),    // same interval as 1 under a different key
+    (4L, "a", 300L, 310L)
+  ).toDF("lid", "k", "ls", "le")
+
+  private val rightIv = Seq(
+    (10L, "a", 5L, 8L),     // inside 1
+    (11L, "a", 90L, 120L),  // overlaps 2 across its first two bins
+    (12L, "a", 190L, 290L), // overlaps 2 in its last bin
+    (13L, "a", 20L, 30L),   // same bin as 1, disjoint — must NOT pair
+    (14L, "b", 9L, 50L),    // overlaps 3 only (key isolation)
+    (15L, "a", 311L, 320L)  // adjacent to 4, closed-interval disjoint
+  ).toDF("rid", "k", "rs", "re")
+
+  test("rangeJoin equals the brute-force overlap join, each pair once") {
+    val got = Joins.rangeJoin(leftIv, rightIv, Seq("k"), "ls", "le", "rs", "re", binWidth = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    val brute = leftIv.join(rightIv, Seq("k"))
+      .where(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == brute)
+    assert(got == Seq((1L, 10L), (2L, 11L), (2L, 12L), (3L, 14L)))
+    // multi-bin overlaps did not duplicate
+    assert(got.size == got.distinct.size)
+  }
+
+  test("rangeJoin at a tiny binWidth still emits each pair exactly once") {
+    val got = Joins.rangeJoin(leftIv, rightIv, Seq("k"), "ls", "le", "rs", "re", binWidth = 3L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 11L), (2L, 12L), (3L, 14L)))
+  }
+
+  test("rangeJoin plans a hash join on (keys, bin), not a nested loop") {
+    val plan = Joins.rangeJoin(leftIv, rightIv, Seq("k"), "ls", "le", "rs", "re", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"quadratic join shape:\n$plan")
+  }
 }
