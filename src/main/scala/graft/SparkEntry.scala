@@ -1380,6 +1380,29 @@ object SparkEntry {
         .orderBy("click_id", "purchase_id")
     }),
 
+    "join_asof_forward" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Forward as-of: each click joins the user's NEXT purchase at-or-
+      // after its timestamp within a 7-day lookahead (time-to-conversion
+      // attachment). Same one-exchange union-and-fill sweep, traversed
+      // descending; oracle is the mirrored LATERAL (ts ASC LIMIT 1).
+      val ev = loadEvents(dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      ops.Joins.asOfJoinForward(clicks, purchases, Seq("user_id"), "ts", "ts",
+          rightPayload = Seq("value"),
+          tolerance = Some(expr("INTERVAL 7 DAYS")),
+          rightTieBreak = Some("event_id"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("asof_value"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"))
+        .orderBy("event_id")
+    }),
+
     "join_asof" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Point-in-time enrichment (leakage-free feature attachment): each
@@ -3132,6 +3155,24 @@ object SparkEntry {
     // different algorithm from the engine's union-and-fill window, so the
     // hash match is a real cross-check. Inclusive bound, 7-day lookback,
     // ties on (user_id, ts) broken by the largest purchase event_id.
+    "join_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  p.value AS asof_value,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts
+        |FROM clicks c LEFT JOIN LATERAL (
+        |  SELECT r.ts, r.value FROM purchases r
+        |  WHERE r.user_id = c.user_id AND r.ts >= c.ts
+        |    AND r.ts <= c.ts + INTERVAL 7 DAY
+        |  ORDER BY r.ts ASC, r.event_id DESC LIMIT 1
+        |) p ON true
+        |ORDER BY c.event_id""".stripMargin,
+
     "join_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

@@ -102,7 +102,40 @@ object Joins {
       rightTime: String,
       rightPayload: Seq[String],
       tolerance: Option[Column] = None,
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, rightPayload,
+      tolerance, rightTieBreak, forward = false)
+
+  /** FORWARD as-of: each left row joins the EARLIEST right row at-or-after
+    * its timestamp (pandas `merge_asof(direction='forward')`) — "the next
+    * event after": next purchase after a click, next error after a deploy.
+    * The same union-and-fill sweep traversed in descending time, so "last
+    * right seen" is the smallest time ≥ current; inclusive-at-equal and
+    * largest-tiebreak semantics carry over unchanged, and `tolerance`
+    * bounds the LOOKAHEAD (`rightTime ≤ leftTime + tolerance`).
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None,
+      rightTieBreak: Option[String] = None): DataFrame =
+    asOfImpl(left, right, keys, leftTime, rightTime, rightPayload,
+      tolerance, rightTieBreak, forward = true)
+
+  private def asOfImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Column],
+      rightTieBreak: Option[String],
+      forward: Boolean): DataFrame = {
     val reserved = Seq("_t", "_side", "_tie", "_r", "_match")
     require(reserved.forall(c => !left.columns.contains(c)),
       s"asOfJoin: left column names ${reserved.mkString("/")} are reserved")
@@ -127,13 +160,22 @@ object Joins {
     // allowMissingColumns: right rows carry NULL for the left-only columns;
     // they are dropped after the fill, never surfaced.
     val unioned = lSel.unionByName(rSel, allowMissingColumns = true)
+    // Backward sweeps time ascending ("latest right at-or-before");
+    // forward sweeps descending ("earliest right at-or-after"). Right
+    // still sorts before left at an equal instant (side asc), and among
+    // equal (key, time) rights the fill's last-seen is the largest
+    // tiebreak either way (tie asc within the group).
     val w = Window
       .partitionBy(keys.map(c => col(s"`$c`")): _*)
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc)
+      .orderBy(if (forward) col("_t").desc else col("_t").asc,
+        col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
     val inWindow = tolerance match {
-      case Some(tol) => col("_r").isNotNull && col("_r").getField("_rt") >= col("_t") - tol
+      case Some(tol) if forward =>
+        col("_r").isNotNull && col("_r").getField("_rt") <= col("_t") + tol
+      case Some(tol) =>
+        col("_r").isNotNull && col("_r").getField("_rt") >= col("_t") - tol
       case None => col("_r").isNotNull
     }
     val matched = filled

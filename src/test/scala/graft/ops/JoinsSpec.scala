@@ -127,6 +127,40 @@ class JoinsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("asOfJoinForward attaches the earliest right row at or after each left time") {
+    val got = Joins.asOfJoinForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        rightTieBreak = Some("qid"))
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got === Map(
+      "t1" -> Some(11.0), // next at-or-after 10:00 is the 10:05 quote
+      "t2" -> Some(11.0), // inclusive: the quote AT 10:05 matches
+      "t3" -> None,       // no quote after 12:00
+      "t4" -> Some(99.0)))// the future quote forward CAN see
+  }
+
+  test("asOfJoinForward tolerance bounds the lookahead") {
+    val got = Joins.asOfJoinForward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"),
+        tolerance = Some(expr("INTERVAL 10 MINUTES")), rightTieBreak = Some("qid"))
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    // t4's next quote is 30 min ahead — outside the 10-min window
+    assert(got("t4") === None && got("t1") === Some(11.0))
+  }
+
+  test("asOfJoinForward breaks (key, time) ties by the largest rightTieBreak") {
+    val one = Seq((1L, ts("2024-01-01 10:00:00"), "t")).toDF("k", "ts", "trade")
+    val dup = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2.0, 9L),
+      (1L, ts("2024-01-01 11:00:00"), 3.0, 5L) // later — must lose to 10:30
+    ).toDF("k", "ts", "px", "qid")
+    val got = Joins.asOfJoinForward(one, dup, Seq("k"), "ts", "ts", Seq("px"),
+        rightTieBreak = Some("qid"))
+      .select("asof_px").as[Double].head()
+    assert(got === 2.0)
+  }
+
   // ---- range join ----
 
   private val leftIv = Seq(
