@@ -924,18 +924,20 @@ object SparkEntry {
       // KLL-sketch scale twin (quantileIncrement/mergeQuantileIncrements/
       // finalizeQuantiles — mergeable, one kilobyte row per column) is
       // pinned against this exact form in DictionarySpec.
+      // One branch per column (the Dictionary.profile plan shape): a wide
+      // 4-percentile agg + stack unpivot plans one big ObjectHashAggregate
+      // holding all four value collections at once; per-column branches
+      // run them as independent narrow stages over pruned scans.
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.zipWithIndex.map { case (c, i) =>
-        expr(s"percentile(`$c`, array(0.25d, 0.5d, 0.75d))").as(s"_${i}_q")
-      }
-      val one = load(dir, "lineitem").agg(aggs.head, aggs.tail: _*)
-      val stackGroups = cols.zipWithIndex
-        .map { case (c, i) => s"'$c', _${i}_q" }.mkString(", ")
-      one.selectExpr(s"stack(${cols.length}, $stackGroups) AS (dict_field, _q)")
-        .select(col("dict_field"),
-          round(col("_q").getItem(0), 4).as("p25"),
-          round(col("_q").getItem(1), 4).as("p50"),
-          round(col("_q").getItem(2), 4).as("p75"))
+      val li = load(dir, "lineitem")
+      cols.map { c =>
+        li.select(col(s"`$c`").as("_c"))
+          .agg(expr("percentile(_c, array(0.25d, 0.5d, 0.75d))").as("_q"))
+          .select(lit(c).as("dict_field"),
+            round(col("_q").getItem(0), 4).as("p25"),
+            round(col("_q").getItem(1), 4).as("p50"),
+            round(col("_q").getItem(2), 4).as("p75"))
+      }.reduce(_.unionAll(_))
         .orderBy("dict_field")
     }),
 

@@ -36,12 +36,19 @@ final case class DictEntry(
   *
   * The reference issues one aggregation query *per column* and UNION ALLs the
   * N single-row results — N full scans of the table (~27 for Baltimore).
-  * Here the profile is one single-pass `agg` with 7×N aggregate expressions,
-  * unpivoted to N rows with `stack` — one scan regardless of column count,
-  * which is the difference between feasible and not at 100 TB. Set
-  * `exactDistinct = false` to swap `COUNT(DISTINCT)` for HyperLogLog
-  * `approx_count_distinct` (the reference's exact distinct per column is a
-  * full shuffle per column at scale).
+  * Here each column contributes one narrow aggregate branch over a parquet
+  * scan PRUNED to that column, UNION ALLed — total scan bytes across all
+  * branches equal ONE full-width scan (parquet is columnar), and every
+  * branch stays inside whole-stage codegen. The obvious alternative — a
+  * single wide `agg` with 7×N aggregate expressions unpivoted by `stack` —
+  * is 3-4× slower in practice: string-typed `min`/`max` buffers are not
+  * fixed-width, so the whole 7×N-function aggregate plans as a row-at-a-time
+  * SortAggregate with codegen disabled (measured 2.2 s vs 0.6 s on a
+  * 16-column 600k-row table), and it reads all columns even though each
+  * aggregate touches one. Set `exactDistinct = false` to swap
+  * `COUNT(DISTINCT)` for HyperLogLog `approx_count_distinct` (the
+  * reference's exact distinct per column is a full shuffle per column at
+  * scale).
   */
 object Dictionary {
 
@@ -68,65 +75,61 @@ object Dictionary {
     val fields = df.schema.fields
     require(fields.nonEmpty, "profile: empty schema")
 
-    // Non-distinct stats: 6 narrow aggregates per column in ONE scan-only
-    // pass (map-side partial + one tiny final buffer — no shuffle of data
-    // rows). Aliases are positional (`_i_*`) so arbitrary source column
-    // names can't collide with them. Exact COUNT(DISTINCT) is deliberately
-    // NOT in this agg: N distinct aggregates in one agg make Catalyst plan
-    // an Expand (×N+1 row blow-up) whose hash state holds every aggregate
-    // buffer per (gid, value) group — measured 35s+ on an 11-column 600k-row
-    // table. The distinct path below is a skinny unpivot instead.
-    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(s"`${f.name}`")
+    // 7 narrow aggregates per column, one branch per column (see object doc
+    // for why NOT one wide agg: string min/max buffers force the wide plan
+    // out of HashAggregate + codegen). A branch is scan → map-side partial
+    // → one tiny final buffer — the only data-row shuffle is the exact
+    // distinct's, and a branch carries exactly ONE distinct aggregate, the
+    // case Catalyst plans as clean two-phase partial-dedup (group by the
+    // value, then merge) with NO Expand. N distinct aggregates in one wide
+    // agg would Expand (×N+1 row blow-up) whose hash state holds every
+    // aggregate buffer per (gid, value) group — measured 35s+ on an
+    // 11-column 600k-row table. The distinct shuffles the column's NATIVE
+    // type (8-byte longs/doubles, not a string rendering).
+    //
+    // Variable-width (string/binary) columns split into TWO branches: their
+    // min/max buffers are legal only in SortAggregate, and a SortAggregate
+    // *grouped by the value* (the fused exact-distinct phase 1) sorts the
+    // whole column — measured ~1 s alone on a 600k-unique string column.
+    // Unfused, the stats branch is a no-grouping single-buffer fold (no
+    // sort: nothing to order by) and the distinct branch is a plain
+    // group-by-value HashAggregate (string KEYS are fine in HashAggregate —
+    // only variable-width BUFFERS are not) — both shapes stay linear.
+    val stats = fields.map { f =>
+      val c = col("_c")
       val numeric = isNumeric(f.dataType)
-      Seq(
-        count(c).as(s"_${i}_cnt"),
-        sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as(s"_${i}_miss"),
-        (if (numeric) avg(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_${i}_mean"),
-        (if (numeric) stddev_pop(c).cast(DoubleType) else lit(null).cast(DoubleType)).as(s"_${i}_std"),
-        min(c).cast(StringType).as(s"_${i}_min"),
-        max(c).cast(StringType).as(s"_${i}_max"),
-      ) ++ (if (exactDistinct) Nil else Seq(approx_count_distinct(c).as(s"_${i}_cd")))
-    }.toSeq
-
-    val oneRow = df.agg(aggs.head, aggs.tail: _*)
-
-    // Unpivot the single wide row into N dictionary rows.
-    val stackGroups = fields.zipWithIndex.map { case (f, i) =>
-      val esc = f.name.replace("'", "\\'")
-      s"'$esc', _${i}_cnt, _${i}_miss, _${i}_mean, _${i}_std, _${i}_min, _${i}_max" +
-        (if (exactDistinct) "" else s", _${i}_cd")
-    }.mkString(", ")
-    val baseStats = oneRow.selectExpr(
-      s"stack(${fields.length}, $stackGroups) AS " +
-        "(dict_field, dict_count, dict_countmissing, " +
-        "dict_mean, dict_stddev, dict_min, dict_max" +
-        (if (exactDistinct) ")" else ", dict_countdistinct)"))
-
-    // Exact distinct counts: unpivot to skinny (field, value-as-string) rows
-    // — string cast is injective for all supported types, so distinct counts
-    // are unchanged — then a two-phase distinct + count per field. Two
-    // shuffles of narrow rows, partial-deduped map-side; scales linearly
-    // where the Expand plan died quadratically.
-    val stats =
-      if (!exactDistinct) baseStats
-      else {
-        val valueGroups = fields.map { f =>
-          val esc = f.name.replace("'", "\\'")
-          s"'$esc', cast(`${f.name}` as string)"
-        }.mkString(", ")
-        val distinctCounts = df
-          .selectExpr(s"stack(${fields.length}, $valueGroups) AS (dict_field, _v)")
-          .where(col("_v").isNotNull)
-          .distinct()
-          .groupBy("dict_field")
-          .agg(count(lit(1)).as("dict_countdistinct"))
-        // 1 row per column on each side — broadcast; all-null columns have
-        // no distinct rows, hence the left join + 0 fill.
-        baseStats.join(broadcast(distinctCounts), Seq("dict_field"), "left")
-          .withColumn("dict_countdistinct",
-            coalesce(col("dict_countdistinct"), lit(0L)))
+      val fixedWidth = f.dataType match {
+        case _: StringType | _: BinaryType => false
+        case _ => true
       }
+      val narrow = df.select(col(s"`${f.name}`").as("_c"))
+      val statAggs = Seq(
+        count(c).as("dict_count"),
+        sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as("dict_countmissing"),
+        (if (numeric) avg(c).cast(DoubleType) else lit(null).cast(DoubleType)).as("dict_mean"),
+        (if (numeric) stddev_pop(c).cast(DoubleType) else lit(null).cast(DoubleType)).as("dict_stddev"),
+        min(c).cast(StringType).as("dict_min"),
+        max(c).cast(StringType).as("dict_max"))
+      val outCols = Seq(col("dict_count"), col("dict_countmissing"),
+        col("dict_mean"), col("dict_stddev"), col("dict_min"),
+        col("dict_max"), col("dict_countdistinct"))
+      if (fixedWidth) {
+        val aggs = statAggs :+
+          (if (exactDistinct) count_distinct(c) else approx_count_distinct(c))
+            .as("dict_countdistinct")
+        narrow.agg(aggs.head, aggs.tail: _*)
+          .select(lit(f.name).as("dict_field") +: outCols: _*)
+      } else {
+        val statRow = narrow.agg(statAggs.head, statAggs.tail: _*)
+        val cdRow =
+          if (exactDistinct)
+            narrow.where(c.isNotNull).distinct()
+              .agg(count(lit(1)).as("dict_countdistinct"))
+          else narrow.agg(approx_count_distinct(c).as("dict_countdistinct"))
+        statRow.crossJoin(cdRow)
+          .select(lit(f.name).as("dict_field") +: outCols: _*)
+      }
+    }.reduce(_.unionAll(_))
 
     render(stats, df.sparkSession, fields.map(_.name),
       metadata, varMapping, transformDescr, defaultVarGroup)
@@ -191,30 +194,26 @@ object Dictionary {
   def profileIncrement(df: DataFrame): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "profileIncrement: empty schema")
-    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(s"`${f.name}`")
+    // One branch per column, same plan-shape rationale as [[profile]]: the
+    // string min/max and binary HLL buffers force a wide single agg out of
+    // HashAggregate + codegen, and the branch's scan prunes to its column.
+    fields.map { f =>
+      val c = col("_c")
       val numeric = isNumeric(f.dataType)
       val cd = c.cast(DoubleType)
-      Seq(
-        count(c).as(s"_${i}_cnt"),
-        sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as(s"_${i}_miss"),
-        (if (numeric) sum(cd) else lit(null).cast(DoubleType)).as(s"_${i}_sum"),
-        (if (numeric) sum(cd * cd) else lit(null).cast(DoubleType)).as(s"_${i}_sumsq"),
-        min(c).cast(StringType).as(s"_${i}_min"),
-        max(c).cast(StringType).as(s"_${i}_max"),
-        hll_sketch_agg(c.cast(StringType)).as(s"_${i}_hll"),
-      )
-    }.toSeq
-    val oneRow = df.agg(aggs.head, aggs.tail: _*)
-    val stackGroups = fields.zipWithIndex.map { case (f, i) =>
-      val esc = f.name.replace("'", "\\'")
-      s"'$esc', ${isNumeric(f.dataType)}, _${i}_cnt, _${i}_miss, " +
-        s"_${i}_sum, _${i}_sumsq, _${i}_min, _${i}_max, _${i}_hll"
-    }.mkString(", ")
-    oneRow.selectExpr(
-      s"stack(${fields.length}, $stackGroups) AS " +
-        "(dict_field, inc_numeric, inc_count, inc_missing, " +
-        "inc_sum, inc_sumsq, inc_min, inc_max, inc_hll)")
+      df.select(col(s"`${f.name}`").as("_c"))
+        .agg(
+          count(c).as("inc_count"),
+          sum(when(c.isNull, 1).otherwise(0)).cast(LongType).as("inc_missing"),
+          (if (numeric) sum(cd) else lit(null).cast(DoubleType)).as("inc_sum"),
+          (if (numeric) sum(cd * cd) else lit(null).cast(DoubleType)).as("inc_sumsq"),
+          min(c).cast(StringType).as("inc_min"),
+          max(c).cast(StringType).as("inc_max"),
+          hll_sketch_agg(c.cast(StringType)).as("inc_hll"))
+        .select(lit(f.name).as("dict_field"), lit(numeric).as("inc_numeric"),
+          col("inc_count"), col("inc_missing"), col("inc_sum"), col("inc_sumsq"),
+          col("inc_min"), col("inc_max"), col("inc_hll"))
+    }.reduce(_.unionAll(_))
   }
 
   /** Merge any number of increments (per-partition, per-day, per-batch)
@@ -259,15 +258,12 @@ object Dictionary {
   def quantileIncrement(df: DataFrame): DataFrame = {
     val numeric = df.schema.fields.filter(f => isNumeric(f.dataType))
     require(numeric.nonEmpty, "quantileIncrement: no numeric columns")
-    val aggs = numeric.zipWithIndex.map { case (f, i) =>
-      expr(s"kll_sketch_agg_double(cast(`${f.name}` as double))").as(s"_${i}_kll")
-    }.toSeq
-    val oneRow = df.agg(aggs.head, aggs.tail: _*)
-    val stackGroups = numeric.zipWithIndex.map { case (f, i) =>
-      s"'${f.name.replace("'", "\\'")}', _${i}_kll"
-    }.mkString(", ")
-    oneRow.selectExpr(
-      s"stack(${numeric.length}, $stackGroups) AS (dict_field, inc_kll)")
+    // Per-column branches (same plan-shape rationale as [[profile]]).
+    numeric.map { f =>
+      df.select(col(s"`${f.name}`").cast(DoubleType).as("_c"))
+        .agg(expr("kll_sketch_agg_double(_c)").as("inc_kll"))
+        .select(lit(f.name).as("dict_field"), col("inc_kll"))
+    }.reduce(_.unionAll(_))
   }
 
   /** Merge quantile increments (associative/commutative, like
