@@ -294,11 +294,26 @@ object SparkEntry {
     else fedObj.materialize(s, "*harmonized*", fedView)
   }
 
-  /** The federated view under the dashboard's CURRENT filter state (the
-    * widget conjunction + the global time filter) — what every saved viz
-    * and every map drill-down aggregates.
+  /** The dashboard's default widget state, serialized the way the webapp's
+    * filter UI would put it on the wire (`models.js:18-43` attributes; see
+    * [[Widgets.fromJson]]). The production dashboard path decodes THIS, so
+    * the `dashboard_refresh` oracle pins the decoder end to end.
     */
-  private def dashboardFiltered(s: SparkSession, warm: Boolean): DataFrame = {
+  private[graft] val dashboardStateJson: String =
+    """[{"name": "year", "value": [2015, 2017],
+      |  "enabled": {"state": true, "lastEnabled": 1}},
+      | {"name": "hour", "value": [0, 18],
+      |  "enabled": {"state": true, "lastEnabled": 2}}]""".stripMargin
+
+  /** The federated view under a dashboard filter state (the widget
+    * conjunction + the global time filter) — what every saved viz and every
+    * map drill-down aggregates. `stateJson` is the webapp's widget-state
+    * wire format; the default is the saved dashboard's own state.
+    */
+  private def dashboardFiltered(
+      s: SparkSession,
+      warm: Boolean,
+      stateJson: String = dashboardStateJson): DataFrame = {
     val cities = Seq("baltimore", "detroit", "losangeles")
     val fields = dashboardFields.synchronized {
       Option(dashboardFields.get(s)).getOrElse {
@@ -310,16 +325,54 @@ object SparkEntry {
         flds
       }
     }
-    val fc = fields
-      .select("year", Widgets.Selection.RangeSel(2015, 2017))
-      .select("hour", Widgets.Selection.RangeSel(0, 18))
+    val fc = Widgets.fromJson(fields, stateJson)
     federatedHarmonized(s, warm)
       .where(col("datetime").isNotNull && col("datetime") >= "2010-01-01 00:00:00")
       .where(fc.compile)
   }
 
-  private def dashboardRefresh(s: SparkSession, warm: Boolean): DataFrame = {
-    val f = dashboardFiltered(s, warm)
+  /** The HTTP serving entry (§3 lifecycle parity): POST the webapp's
+    * widget-state JSON, get buckets back as a JSON row array — the
+    * reference's browser → nginx → aws-es-kibana → ES `_search` round trip
+    * collapsed to one localhost hop in front of the same compile chain the
+    * oracles pin. Routes:
+    *
+    *  - `POST /query`: state over the lineitem dictionary → the §3.2
+    *    widget aggregation (the `w_json_widget_query` shape);
+    *  - `POST /dashboard`: state over the federated city dictionary → all
+    *    five saved visualizations (the `dashboard_refresh_warm` unit); an
+    *    empty body serves the saved dashboard's own state.
+    *
+    * `port = 0` binds an ephemeral port; caller owns `stop()`.
+    */
+  def serveHttp(s: SparkSession, dir: String, port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    implicit val spark: SparkSession = s
+    import graft.serve.WidgetServer
+    WidgetServer.start(port)(
+      "/query" -> { body =>
+        val li = load(dir, "lineitem")
+        val fields = Widgets.fieldsFromDictionary(
+          Dictionary.materializeProfile(s, li,
+            s"graft_dict_lineitem_approx_${math.abs(dir.hashCode)}",
+            exactDistinct = false))
+        val fc = Widgets.fromJson(fields, body)
+        WidgetServer.collectRowsJson(
+          li.where(fc.compile)
+            .groupBy("l_linestatus")
+            .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+            .orderBy("l_linestatus"))
+      },
+      "/dashboard" -> { body =>
+        val state = if (body.trim.isEmpty) dashboardStateJson else body
+        WidgetServer.collectRowsJson(dashboardRefresh(s, warm = true, state))
+      })
+  }
+
+  private def dashboardRefresh(
+      s: SparkSession,
+      warm: Boolean,
+      stateJson: String = dashboardStateJson): DataFrame = {
+    val f = dashboardFiltered(s, warm, stateJson)
     def flat(name: String, df: DataFrame, key: String) =
       df.select(lit(name).as("viz"), col(key).cast("string").as("key"),
         lit("").as("subkey"), col("count"))
@@ -876,6 +929,35 @@ object SparkEntry {
       val fc = fields
         .select("l_quantity", Widgets.Selection.RangeSel(10, 20))
         .select("l_returnflag", Widgets.Selection.TextSel("r"))
+      li.where(fc.compile)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("l_linestatus")
+    }),
+
+    "w_json_widget_query" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The §3.2 pipeline fed from the WIRE: the webapp's widget-state JSON
+      // (the exact Backbone attributes `generateQuery` reads) decoded by
+      // Widgets.fromJson into the same selections w_dict_driven_query makes
+      // programmatically — same compile chain, same oracle. The disabled
+      // third widget and the empty-text fourth mirror `enabledValueFields`'
+      // skip rules.
+      import graft.query.Widgets
+      val li = load(dir, "lineitem")
+      val fields = Widgets.fieldsFromDictionary(
+        Dictionary.materializeProfile(s, li,
+          s"graft_dict_lineitem_approx_${math.abs(dir.hashCode)}",
+          exactDistinct = false))
+      val fc = Widgets.fromJson(fields,
+        """[{"name": "l_quantity", "type": "range", "value": [10, 20],
+          |  "enabled": {"state": true, "lastEnabled": 1}},
+          | {"name": "l_returnflag", "type": "text", "value": "r",
+          |  "enabled": {"state": true, "lastEnabled": 2}},
+          | {"name": "l_linestatus", "type": "text", "value": "x",
+          |  "enabled": {"state": false, "lastEnabled": 0}},
+          | {"name": "l_shipdate", "type": "text", "value": "",
+          |  "enabled": {"state": true, "lastEnabled": 3}}]""".stripMargin)
       li.where(fc.compile)
         .groupBy("l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
@@ -2187,6 +2269,16 @@ object SparkEntry {
     "g1_count" -> "SELECT count(*) AS count FROM lineitem",
 
     "w_dict_driven_query" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+         |  round(sum(l_extendedprice), 2) AS revenue
+         |FROM lineitem
+         |WHERE l_quantity >= 10 AND l_quantity <= 20
+         |  AND ${graft.expr.TextMatch.phrasePrefixSql("l_returnflag", "r")}
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // identical compiled predicate to w_dict_driven_query — the JSON wire
+    // decode changes where the selections come from, not what they compile to
+    "w_json_widget_query" ->
       s"""SELECT l_linestatus, count(*) AS n,
          |  round(sum(l_extendedprice), 2) AS revenue
          |FROM lineitem

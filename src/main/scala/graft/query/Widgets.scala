@@ -50,6 +50,64 @@ object Widgets {
     FieldCollection(rows.toSeq, Map.empty)
   }
 
+  /** Decode the webapp's widget-state JSON into selections on `fields` —
+    * the wire format of the filter UI (one element per widget, the
+    * Backbone `Field` attributes: `models.js:18-43`, serialized state as
+    * `generateQuery` reads it, `collections.js:146-208`):
+    *
+    * {{{
+    * [{"name": "l_quantity", "type": "range,0,55,1", "value": [10, 20],
+    *   "enabled": {"state": true, "lastEnabled": 1}}, ...]
+    * }}}
+    *
+    * Mirrors `enabledValueFields` + `generateQuery` exactly: an element is
+    * a selection only when `enabled.state === true` and its value is
+    * non-null and non-empty-array; everything else is a widget at rest and
+    * contributes nothing. The field's DICTIONARY type (not the element's
+    * `type` echo) decides the value's parse — range/datetime read
+    * `[lo, hi]`, enum reads a string array, boolean reads `0|1`, text
+    * reads a string — and [[FieldCollection.select]] then re-validates,
+    * so a state blob that contradicts the dictionary fails fast instead
+    * of compiling nonsense. Unknown field names fail like any `select`.
+    */
+  def fromJson(fields: FieldCollection, json: String): FieldCollection = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isArray, s"widget state must be a JSON array, got: ${root.getNodeType}")
+    var fc = fields
+    val it = root.elements()
+    while (it.hasNext) {
+      val el = it.next()
+      val enabled = el.path("enabled").path("state").asBoolean(false)
+      val value = el.path("value")
+      val skip = !enabled || value.isMissingNode || value.isNull ||
+        (value.isArray && value.isEmpty)
+      if (!skip) {
+        val name = el.path("name").asText()
+        val f = fc.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"unknown or unfilterable field '$name'"))
+        val sel = f.varType match {
+          case VarType.Range(_, _, _) =>
+            Selection.RangeSel(value.get(0).asDouble(), value.get(1).asDouble())
+          case VarType.Enum(_) =>
+            val vs = Seq.newBuilder[String]
+            val vit = value.elements()
+            while (vit.hasNext) vs += vit.next().asText()
+            Selection.EnumSel(vs.result())
+          case VarType.Bool => Selection.BoolSel(value.asInt())
+          case VarType.DateTime =>
+            // epoch_millis on the wire (`generateQuery`'s range format)
+            Selection.TimeSel(value.get(0).asLong(), value.get(1).asLong())
+          case VarType.Text | VarType.Unknown => Selection.TextSel(value.asText())
+          case VarType.Identifier =>
+            throw new IllegalArgumentException(s"field '$name' is an identifier — never a widget")
+        }
+        fc = fc.select(name, sel)
+      }
+    }
+    fc
+  }
+
   /** Widget default value per type (`models.js:44-69`): range spans its
     * declared bounds, enums select nothing, booleans initialize to 1,
     * datetime spans epoch 0 → now, text is empty. Defaults are what the UI

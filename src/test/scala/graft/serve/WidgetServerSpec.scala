@@ -1,0 +1,109 @@
+package graft.serve
+
+import graft.{SparkEntry, SparkSpecBase}
+import graft.dict.Dictionary
+import graft.query.Widgets
+
+/** The HTTP serving entry (§3 lifecycle parity): the reference's
+  * browser → proxy → ES round trip is widget-state JSON in, bucket JSON
+  * out (`services/webapp/src/collections.js:146-208`, `views.js:103-115`).
+  * These specs drive SparkEntry.serveHttp over a real localhost socket —
+  * the same JDK-HttpServer seam SourcesSpec uses for ingest — and pin the
+  * wire results to the engine-direct (oracled) forms.
+  */
+class WidgetServerSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def post(url: String, body: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private val widgetState =
+    """[{"name": "l_quantity", "type": "range", "value": [10, 20],
+      |  "enabled": {"state": true, "lastEnabled": 1}},
+      | {"name": "l_returnflag", "type": "text", "value": "r",
+      |  "enabled": {"state": true, "lastEnabled": 2}},
+      | {"name": "l_linestatus", "type": "text", "value": "x",
+      |  "enabled": {"state": false, "lastEnabled": 0}}]""".stripMargin
+
+  test("fromJson decodes the wire state to the same spec as programmatic selects") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val fields = Widgets.fieldsFromDictionary(
+      Dictionary.profile(li, exactDistinct = false))
+    val wire = Widgets.fromJson(fields, widgetState)
+    val direct = fields
+      .select("l_quantity", Widgets.Selection.RangeSel(10, 20))
+      .select("l_returnflag", Widgets.Selection.TextSel("r"))
+    assert(wire.spec === direct.spec)
+    assert(wire.displayText === direct.displayText)
+  }
+
+  test("fromJson skips disabled, null-value, and empty-array widgets like enabledValueFields") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val fields = Widgets.fieldsFromDictionary(
+      Dictionary.profile(li, exactDistinct = false))
+    val allAtRest = Widgets.fromJson(fields,
+      """[{"name": "l_quantity", "value": null,
+        |  "enabled": {"state": true, "lastEnabled": 1}},
+        | {"name": "l_returnflag", "value": "r",
+        |  "enabled": {"state": false, "lastEnabled": 2}},
+        | {"name": "l_linestatus", "value": "z", "enabled": null}]""".stripMargin)
+    assert(allAtRest.selections.isEmpty)
+    // a state blob contradicting the dictionary fails fast
+    intercept[IllegalArgumentException] {
+      Widgets.fromJson(fields,
+        """[{"name": "no_such_field", "value": "x",
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+    }
+  }
+
+  test("POST /query returns exactly the engine-direct buckets") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) = post(s"http://127.0.0.1:$port/query", widgetState)
+      assert(code === 200)
+      val direct = WidgetServer.collectRowsJson(
+        SparkEntry.queries("w_json_widget_query")(spark, sfDir))
+      assert(body === direct)
+      assert(body.startsWith("[{") && body.contains("l_linestatus"))
+    } finally server.stop(0)
+  }
+
+  test("POST /dashboard with empty body serves the saved dashboard's buckets") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) = post(s"http://127.0.0.1:$port/dashboard", "")
+      assert(code === 200)
+      val direct = WidgetServer.collectRowsJson(
+        SparkEntry.queries("dashboard_refresh_warm")(spark, sfDir))
+      assert(body === direct)
+
+      // a mutated widget state changes the buckets through the same route
+      val (code2, body2) = post(s"http://127.0.0.1:$port/dashboard",
+        """[{"name": "year", "value": [2015, 2017],
+          |  "enabled": {"state": true, "lastEnabled": 1}},
+          | {"name": "hour", "value": [0, 5],
+          |  "enabled": {"state": true, "lastEnabled": 2}}]""".stripMargin)
+      assert(code2 === 200)
+      assert(body2 !== body)
+    } finally server.stop(0)
+  }
+
+  test("handler errors surface as a 500 with a JSON error body") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) = post(s"http://127.0.0.1:$port/query", "this is not json")
+      assert(code === 500)
+      assert(body.startsWith("{\"error\":"))
+    } finally server.stop(0)
+  }
+}
