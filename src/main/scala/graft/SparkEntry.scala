@@ -368,23 +368,63 @@ object SparkEntry {
       })
   }
 
+  /** Stable engine-side panel labels, keyed by saved-object id — pure
+    * presentation names the oracles pin. Everything else about a panel
+    * (fields, sizes, nesting, grid precision) comes from its visState.
+    */
+  private val vizLabels = Map(
+    "Description" -> "description_pie",
+    "City" -> "city_pie",
+    "Day-slash-Hour" -> "day_hour_heat",
+    "DatasetTable" -> "dataset_table",
+    "IncidentMap" -> "map_grid")
+
+  /** The saved dashboard's panels, parsed once from the vendored reference
+    * export (`kibana-exported-visualizations.json` — see
+    * [[graft.query.VisState]]).
+    */
+  private lazy val dashboardVizes: Seq[graft.query.VisState.Viz] =
+    graft.query.VisState.bundledDashboard()
+
+  /** Render one saved visualization over the filtered federated frame onto
+    * the dashboard's `(viz, key, subkey, count)` bucket schema. Bucket
+    * fields resolve against the frame; a field the engine's published
+    * projection does not carry is dropped (the export's `notebookhtml`
+    * descriptor link — Kibana buckets a missing field into nothing, and
+    * the DatasetTable panel degrades to its first level, per-city counts).
+    */
+  private[graft] def renderViz(f: DataFrame, v: graft.query.VisState.Viz): DataFrame = {
+    import graft.query.VisState.BucketAgg
+    val label = vizLabels.getOrElse(v.id, v.id)
+    def flat(df: DataFrame, key: String) =
+      df.select(lit(label).as("viz"), col(key).cast("string").as("key"),
+        lit("").as("subkey"), col("count"))
+    val buckets = v.buckets.filter(b =>
+      b.aggType == "geohash_grid" || f.columns.contains(b.field))
+    buckets match {
+      case Seq(b @ BucketAgg("geohash_grid", _, _, _, _)) =>
+        flat(Aggs.geohashGridFromGeoloc(f, b.field, b.precision), "geohash")
+      case Seq(b @ BucketAgg("terms", _, _, _, _)) =>
+        flat(Aggs.termsTopN(f, b.field, b.size), b.field)
+      case Seq(p @ BucketAgg("terms", _, _, _, _), c @ BucketAgg("terms", _, _, _, _)) =>
+        Aggs.nestedTermsBuckets(f, p.field, c.field,
+          parentSize = p.size, childSize = c.size)
+          .select(lit(label).as("viz"), col(p.field).cast("string").as("key"),
+            col(c.field).cast("string").as("subkey"), col("count"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported panel shape for '${v.id}': ${other.mkString(", ")}")
+    }
+  }
+
   private def dashboardRefresh(
       s: SparkSession,
       warm: Boolean,
-      stateJson: String = dashboardStateJson): DataFrame = {
+      stateJson: String = dashboardStateJson,
+      vizes: Seq[graft.query.VisState.Viz] = null): DataFrame = {
     val f = dashboardFiltered(s, warm, stateJson)
-    def flat(name: String, df: DataFrame, key: String) =
-      df.select(lit(name).as("viz"), col(key).cast("string").as("key"),
-        lit("").as("subkey"), col("count"))
-    val vDayHour = Aggs.nestedTermsBuckets(f, "dayofweek", "hour", parentSize = 7, childSize = 24)
-      .select(lit("day_hour_heat").as("viz"), col("dayofweek").cast("string").as("key"),
-        col("hour").cast("string").as("subkey"), col("count"))
-    Seq(
-      flat("description_pie", Aggs.termsTopN(f, "description", 10), "description"),
-      flat("city_pie", Aggs.termsTopN(f, "city", 10), "city"),
-      vDayHour,
-      flat("dataset_table", Aggs.termsTopN(f, "dataset", 10), "dataset"),
-      flat("map_grid", Aggs.geohashGridFromGeoloc(f, "geolocation", 2), "geohash"))
+    Option(vizes).getOrElse(dashboardVizes)
+      .map(renderViz(f, _))
       .reduce(_.unionByName(_))
       // Total order without a range-partitioning exchange: a global sort
       // would sample the (tiny) result in an extra job per interaction;
@@ -423,11 +463,11 @@ object SparkEntry {
        |)""".stripMargin
 
   private def dashboardRefreshOracleSql: String = {
-    def terms(viz: String, key: String) =
+    def terms(viz: String, key: String, size: Int = 10) =
       s"""SELECT * FROM (
          |  SELECT '$viz' AS viz, $key::VARCHAR AS key, '' AS subkey,
          |    count(*) AS count
-         |  FROM f GROUP BY $key ORDER BY count DESC, key ASC LIMIT 10
+         |  FROM f GROUP BY $key ORDER BY count DESC, key ASC LIMIT $size
          |)""".stripMargin
     s"""WITH ${dashboardFilteredCtesSql}
        |${terms("description_pie", "description")}
@@ -437,7 +477,7 @@ object SparkEntry {
        |    SELECT dayofweek, hour, count(*) AS count FROM f GROUP BY 1, 2
        |  ), tp AS (
        |    SELECT dayofweek, sum(count)::BIGINT AS parent_count FROM pairs
-       |    GROUP BY 1 ORDER BY parent_count DESC, dayofweek ASC LIMIT 7
+       |    GROUP BY 1 ORDER BY parent_count DESC, dayofweek ASC LIMIT 10
        |  ), ranked AS (
        |    SELECT p.dayofweek, p.hour, p.count,
        |      row_number() OVER (PARTITION BY p.dayofweek
@@ -447,7 +487,7 @@ object SparkEntry {
        |  SELECT 'day_hour_heat' AS viz, dayofweek AS key, hour::VARCHAR AS subkey,
        |    count FROM ranked WHERE r <= 24
        |)
-       |UNION ALL ${terms("dataset_table", "dataset")}
+       |UNION ALL ${terms("dataset_table", "city", size = 20)}
        |UNION ALL SELECT * FROM (
        |  WITH pts AS (
        |    SELECT split_part(geolocation, ',', 1)::DOUBLE AS lat,
