@@ -87,7 +87,8 @@ object Aggs {
       parent: String,
       child: String,
       parentSize: Int = 10,
-      childSize: Int = 24): DataFrame = {
+      childSize: Int = 24,
+      maxBuckets: Int = 100000): DataFrame = {
     val pairCounts = df.groupBy(col(parent), col(child))
       .agg(count(lit(1)).as("count"))
     val perParent = Window.partitionBy(col(parent))
@@ -95,13 +96,32 @@ object Aggs {
     // PARENT's position in that total order — parents are distinct, so the
     // tiebreak makes ranks unique per parent and `<= parentSize` is exactly
     // the top-N the agg+join form takes.
-    val parentRank = dense_rank().over(Window.orderBy(desc("parent_count"), asc(parent)))
+    val ordered = Window.orderBy(desc("parent_count"), asc(parent))
+    val parentRank = dense_rank().over(ordered)
+    // The serving-only contract, SELF-ENFORCED in-plan: a full-frame count
+    // over the same single-task window (no extra exchange, no pre-flight
+    // job) refuses loudly when the aggregated bucket table exceeds
+    // `maxBuckets` — the signature that (parent, child) is not a UI widget
+    // pair and the caller wanted [[nestedTermsTopK]]. Referenced from the
+    // WHERE so column pruning cannot drop the guard.
+    val totalBuckets = count(lit(1)).over(
+      ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val guard = when(totalBuckets > maxBuckets,
+      raise_error(concat(
+        lit(s"nestedTermsBuckets('$parent', '$child'): "),
+        totalBuckets.cast("string"),
+        lit(s" aggregated buckets exceed maxBuckets=$maxBuckets — this " +
+          "serving shape windows all buckets through one task; use " +
+          "nestedTermsTopK (the scale-safe twin) for unbounded pairs")))
+      .cast("boolean")).otherwise(lit(true))
     pairCounts
       .withColumn("parent_count", sum(col("count")).over(perParent))
       .withColumn("child_rank",
         row_number().over(perParent.orderBy(desc("count"), asc(child))))
       .withColumn("parent_rank", parentRank)
-      .where(col("parent_rank") <= parentSize && col("child_rank") <= childSize)
+      .withColumn("_bound_ok", guard)
+      .where(col("parent_rank") <= parentSize && col("child_rank") <= childSize &&
+        col("_bound_ok"))
       .select(col(parent), col(child), col("count"), col("parent_count"))
   }
 

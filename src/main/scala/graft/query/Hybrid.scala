@@ -21,13 +21,28 @@ import org.apache.spark.sql.functions._
 object Hybrid {
 
   /** Attach `rank` (1-based; `scoreCol` DESC, `idCol` ASC tie-break) to a
-    * PRE-LIMITED top-k frame. The window is deliberately unpartitioned:
-    * call this only on k-row retriever output, never on a corpus-sized
-    * frame.
+    * PRE-LIMITED top-k frame. The window is deliberately unpartitioned —
+    * k-row retriever output only — and the contract is SELF-ENFORCED
+    * in-plan: a full-frame count over the same single-task window (no
+    * extra job) raises when the run exceeds `maxRows`, the signature that
+    * a corpus-sized frame reached the fusion tier.
     */
-  def withRank(run: DataFrame, scoreCol: String, idCol: String): DataFrame =
-    run.withColumn("rank",
-      row_number().over(Window.orderBy(desc(scoreCol), asc(idCol))))
+  def withRank(run: DataFrame, scoreCol: String, idCol: String,
+      maxRows: Int = 100000): DataFrame = {
+    val w = Window.orderBy(desc(scoreCol), asc(idCol))
+    val total = count(lit(1)).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val guard = when(total > maxRows,
+      raise_error(concat(
+        lit("Hybrid.withRank: "), total.cast("string"),
+        lit(s" rows exceed maxRows=$maxRows — rank only PRE-LIMITED " +
+          "retriever output; limit the run to its top-k first")))
+      .cast("boolean")).otherwise(lit(true))
+    run.withColumn("rank", row_number().over(w))
+      .withColumn("_bound_ok", guard)
+      .where(col("_bound_ok"))
+      .drop("_bound_ok")
+  }
 
   /** Fuse ranked runs (each `(idCol, rankCol, …)`, pre-limited to their
     * top-k) into the RRF top-`topK`. Contributions sum in run order with

@@ -52,6 +52,20 @@ class AggsSpec extends SparkSpecBase {
     }
   }
 
+  test("nestedTermsBuckets refuses an over-bound bucket table in-plan") {
+    // 12 aggregated (city, description) buckets against maxBuckets = 4:
+    // the serving-only contract fires instead of silently windowing an
+    // unbounded table through one task. Same frame under the default bound
+    // still serves.
+    val wide = (1 to 12).map(i => (s"c$i", s"d$i")).toDF("city", "description")
+    val e = intercept[Exception] {
+      Aggs.nestedTermsBuckets(wide, "city", "description", 10, 24, maxBuckets = 4).collect()
+    }
+    assert(e.getMessage.contains("exceed maxBuckets=4"))
+    assert(e.getMessage.contains("nestedTermsTopK"))
+    assert(Aggs.nestedTermsBuckets(wide, "city", "description", 20, 24).count() === 12)
+  }
+
   test("G6 geohash grid counts per cell") {
     val pts = Seq((39.29, -76.61), (39.28, -76.60), (42.33, -83.04)).toDF("lat", "lon")
     val out = Aggs.geohashGrid(pts, "lat", "lon", 2).as[(String, Long)].collect().toSeq

@@ -44,6 +44,15 @@ class HybridSpec extends SparkSpecBase {
     assert(got == Map(7L -> 1, 5L -> 2, 6L -> 3))
   }
 
+  test("withRank refuses a corpus-sized run in-plan") {
+    val big = (1 to 20).map(i => (i.toLong, i / 100.0)).toDF("id", "score")
+    val e = intercept[Exception] {
+      Hybrid.withRank(big, "score", "id", maxRows = 5).collect()
+    }
+    assert(e.getMessage.contains("exceed maxRows=5"))
+    assert(Hybrid.withRank(big, "score", "id").count() === 20)
+  }
+
   test("single run degenerates to rank order") {
     val got = Hybrid.rrf(Seq(lexical), "id", "rank", topK = 10)
       .as[(Long, Double)].collect().toSeq.map(_._1)
