@@ -520,25 +520,54 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
-  private def ivfAssignCtesSql(nlist: Int): String = {
+  private def ivfAssignCtesSql(nlist: Int, refineIters: Int = 0): String = {
     val u = ops.Sampling.hashUnitSql("vec_id", 42)
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (
-       |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
-       |  FROM (SELECT vec_id, v, $u AS u FROM e)
-       |  ORDER BY u, vec_id LIMIT $nlist
-       |), sim AS (
-       |  SELECT e.vec_id, e.v, cent.cell,
-       |    list_inner_product(e.v, cent.cv)
-       |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cent.cv, cent.cv))) AS ccos
-       |  FROM e, cent
-       |), cellranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY ccos DESC, cell ASC) AS r
-       |  FROM sim
-       |), assigned AS (
-       |  SELECT vec_id, v, cell FROM cellranked WHERE r = 1
-       |)""".stripMargin
+    // Cell assignment against centroid table `centTable`, emitting
+    // sim/cellranked/assigned with `sfx`.
+    def assignBlock(centTable: String, sfx: String): String =
+      s"""sim$sfx AS (
+         |  SELECT e.vec_id, e.v, $centTable.cell,
+         |    list_inner_product(e.v, $centTable.cv)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product($centTable.cv, $centTable.cv))) AS ccos
+         |  FROM e, $centTable
+         |), cellranked$sfx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cell ASC) AS r
+         |  FROM sim$sfx
+         |), assigned$sfx AS (
+         |  SELECT vec_id, v, cell FROM cellranked$sfx WHERE r = 1
+         |)""".stripMargin
+    val init =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent_0 AS (
+         |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
+         |  FROM (SELECT vec_id, v, $u AS u FROM e)
+         |  ORDER BY u, vec_id LIMIT $nlist
+         |)""".stripMargin
+    // One k-means round: assign against cent_r, then the BIT-STABLE cell
+    // mean — fold the cell's vectors in ascending-vec_id order
+    // (`list_reduce(list(v ORDER BY vec_id), ...)`, left-associated exactly
+    // like the engine's sorted `aggregate` fold in
+    // [[graft.ops.Similarity.kmeansCentroids]]) — and divide once at the
+    // end. Empty cells keep their previous centroid (the LEFT JOIN).
+    val rounds = (0 until refineIters).map { r =>
+      val sfx = s"_$r"
+      val next = if (r == refineIters - 1) "cent" else s"cent_${r + 1}"
+      s"""${assignBlock(s"cent_$r", sfx)}, sums$sfx AS (
+         |  SELECT cell, count(*) AS n,
+         |    list_reduce(list(v ORDER BY vec_id),
+         |      (a, b) -> list_transform(generate_series(1, len(a)), ii -> a[ii] + b[ii])) AS s
+         |  FROM assigned$sfx GROUP BY cell
+         |), $next AS (
+         |  SELECT c.cell,
+         |    CASE WHEN s.cell IS NULL THEN c.cv
+         |         ELSE list_transform(s.s, x -> x / CAST(s.n AS DOUBLE)) END AS cv
+         |  FROM cent_$r c LEFT JOIN sums$sfx s USING (cell)
+         |)""".stripMargin
+    }
+    val centAlias =
+      if (refineIters == 0) Seq("cent AS (SELECT * FROM cent_0)") else Nil
+    (Seq(init) ++ rounds ++ centAlias ++ Seq(assignBlock("cent", ""))).mkString(",\n")
   }
 
   /** The IVF-PQ pipeline in DuckDB (refineIters=0), continuing
@@ -555,7 +584,7 @@ object SparkEntry {
     * like every ANN oracle here.
     */
   private def ivfPqSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
-      dim: Int, k: Int, nQueries: Int): String = {
+      dim: Int, k: Int, nQueries: Int, refineIters: Int = 0): String = {
     val dsub = dim / m
     val u = ops.Sampling.hashUnitSql("vec_id", 42)
     val cWide = (0 until m).map(s => s"max(CASE WHEN sub = $s THEN code END) AS c$s").mkString(",\n    ")
@@ -564,7 +593,43 @@ object SparkEntry {
     val adc = (0 until m).map { s =>
       s"list_inner_product(list_slice(c.qv, ${s * dsub + 1}, ${(s + 1) * dsub}), s$s.sv)"
     }.mkString("c.qc\n      + ", "\n      + ", "")
-    s"""WITH ${ivfAssignCtesSql(nlist)}, resid AS (
+    // Per-row per-subspace L2-argmin codes against codebook table `cb`.
+    def codesBlock(cb: String, sfx: String): String =
+      s"""codes$sfx AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT rr.vec_id, c.sub, c.code,
+         |      row_number() OVER (PARTITION BY rr.vec_id, c.sub ORDER BY
+         |        2 * list_inner_product(list_slice(rr.rv, c.sub * $dsub + 1, (c.sub + 1) * $dsub), c.sv)
+         |          - list_inner_product(c.sv, c.sv) DESC, c.code ASC) AS rnk
+         |    FROM resid rr, $cb c
+         |  ) WHERE rnk = 1
+         |)""".stripMargin
+    // One PQ k-means round: codes against cbsub_r, then the bit-stable
+    // per-(sub, code) mean of residual slices (ascending-vec_id left fold,
+    // matching [[graft.ops.Similarity]]'s refineBooks); empty codes keep
+    // their previous centroid.
+    val pqRounds = (0 until refineIters).map { r =>
+      val sfx = s"_$r"
+      val next = if (r == refineIters - 1) "cbsub" else s"cbsub_${r + 1}"
+      s"""${codesBlock(s"cbsub_$r", sfx)}, csums$sfx AS (
+         |  SELECT cd.sub, cd.code, count(*) AS n,
+         |    list_reduce(
+         |      list(list_slice(rr.rv, cd.sub * $dsub + 1, (cd.sub + 1) * $dsub)
+         |        ORDER BY cd.vec_id),
+         |      (a, b) -> list_transform(generate_series(1, len(a)), ii -> a[ii] + b[ii])) AS s
+         |  FROM codes$sfx cd JOIN resid rr ON rr.vec_id = cd.vec_id
+         |  GROUP BY cd.sub, cd.code
+         |), $next AS (
+         |  SELECT b.sub, b.code,
+         |    CASE WHEN s.code IS NULL THEN b.sv
+         |         ELSE list_transform(s.s, x -> x / CAST(s.n AS DOUBLE)) END AS sv
+         |  FROM cbsub_$r b LEFT JOIN csums$sfx s ON s.sub = b.sub AND s.code = b.code
+         |)""".stripMargin
+    }
+    val cbAlias =
+      if (refineIters == 0) Seq("cbsub AS (SELECT * FROM cbsub_0)") else Nil
+    val pqChain = (pqRounds ++ cbAlias ++ Seq(codesBlock("cbsub", ""))).mkString(",\n")
+    s"""WITH ${ivfAssignCtesSql(nlist, refineIters)}, resid AS (
        |  SELECT a.vec_id, a.cell,
        |    list_transform(range(1, ${dim + 1}), i -> a.v[i] - ct.cv[i]) AS rv
        |  FROM assigned a JOIN cent ct ON a.cell = ct.cell
@@ -574,18 +639,10 @@ object SparkEntry {
        |  ORDER BY u, vec_id LIMIT $ksub
        |), subs AS (
        |  SELECT unnest(range(0, $m)) AS sub
-       |), cbsub AS (
+       |), cbsub_0 AS (
        |  SELECT s.sub, p.code, list_slice(p.v, s.sub * $dsub + 1, (s.sub + 1) * $dsub) AS sv
        |  FROM pqinit p, subs s
-       |), codes AS (
-       |  SELECT vec_id, sub, code FROM (
-       |    SELECT rr.vec_id, c.sub, c.code,
-       |      row_number() OVER (PARTITION BY rr.vec_id, c.sub ORDER BY
-       |        2 * list_inner_product(list_slice(rr.rv, c.sub * $dsub + 1, (c.sub + 1) * $dsub), c.sv)
-       |          - list_inner_product(c.sv, c.sv) DESC, c.code ASC) AS rnk
-       |    FROM resid rr, cbsub c
-       |  ) WHERE rnk = 1
-       |), codesw AS (
+       |), $pqChain, codesw AS (
        |  SELECT vec_id,
        |    $cWide
        |  FROM codes GROUP BY vec_id
@@ -1405,11 +1462,9 @@ object SparkEntry {
       // The realistic-nlist IVF build+query (256 cells, k-means refine):
       // the bench pin for the codegen'd cell-assignment kernel — at this
       // nlist the interpreted HOF formulation it replaced was the hot loop.
-      // Rows-only (unlike ann_ivf): the k-means refine's cell means are
-      // unordered floating-point sums over each cell's rows, so the refined
-      // centroids aren't bit-reproducible in another engine — any ULP
-      // difference can flip a boundary cell assignment and change the
-      // candidate set. The refineIters=0 path is the oracled one.
+      // Fully oracled: the refine's cell means fold in ascending-id order
+      // (Similarity.orderedCellMean), so the refined centroids reproduce
+      // bit for bit in DuckDB's ordered list_reduce restatement.
       val emb = load(dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       Similarity.ivfTopK(emb, "vec_id", "embedding",
@@ -1424,11 +1479,9 @@ object SparkEntry {
       // The realistic-nlist IVF-PQ build+query (256 cells, k-means refine,
       // 16 probes): the bench pin for the ADC path's codegen where it
       // matters — codebook build, per-row coarse + 8 subspace argmins, and
-      // LUT-sum scoring all at serving scale. Rows-only for the same
-      // documented-final reason as ann_ivf_nlist256: the k-means refine's
-      // cell means are unordered floating-point sums, not bit-reproducible
-      // in another engine (the refineIters=0 twin ann_ivfpq is the oracled
-      // path).
+      // LUT-sum scoring all at serving scale. Fully oracled: coarse AND
+      // per-subspace codebook refinement both fold in ascending-id order
+      // (Similarity.orderedCellMean), bit-reproducible in DuckDB.
       val emb = load(dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       Similarity.ivfPqTopK(emb, "vec_id", "embedding",
@@ -3260,11 +3313,40 @@ object SparkEntry {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    // The refined-index twin: one k-means round whose cell means are the
+    // bit-stable ascending-id fold on BOTH engines (see ivfAssignCtesSql's
+    // refinement rounds) — what graduated this entry from rows-only.
+    "ann_ivf_nlist256" -> {
+      s"""WITH ${ivfAssignCtesSql(nlist = 256, refineIters = 1)}, qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 16 AND vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(a.v, q.qv)
+         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     // Product quantization end to end: sampled codebooks, bit-stable L2
     // argmin code assignment, ADC scoring as a left-folded sum of subspace
     // inner products — the full IVF-PQ pipeline restated in SQL.
     "ann_ivfpq" ->
       ivfPqSql(nlist = 8, nprobe = 3, m = 8, ksub = 16, dim = 64, k = 5, nQueries = 5),
+
+    // The refined-index IVF-PQ twin: coarse centroids AND residual
+    // codebooks each take one bit-stable k-means round (ordered folds on
+    // both engines) — graduated from rows-only with the IVF twin.
+    "ann_ivfpq_nlist256" ->
+      ivfPqSql(nlist = 256, nprobe = 16, m = 8, ksub = 16, dim = 64, k = 5,
+        nQueries = 5, refineIters = 1),
 
     // The naive all-pairs overlap predicate — a different algorithm from
     // the engine's binning rewrite, so the dedup-free bin emission is

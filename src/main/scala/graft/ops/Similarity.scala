@@ -168,13 +168,39 @@ object Similarity {
   private def residual(vec: Column, cell: Column, centroids: Seq[Array[Double]]): Column =
     graft.expr.VectorMath.sub(vec, element_at(centroidLit(centroids), cell + lit(1)))
 
+  /** The BIT-STABLE cell mean: fold the cell's vectors in ascending-id
+    * order — `sort_array(collect_list)` then a sequential left fold — so
+    * the sum's association is FIXED by the data, not the partitioning.
+    * IEEE addition is not associative; an unordered mergeable aggregate
+    * (`vec_avg`) gives centroids that differ in final ULPs run to run and
+    * engine to engine, and one ULP at a cell boundary flips an assignment
+    * and changes an ANN candidate set. With the pinned order every engine
+    * that sums the same doubles left-to-right reproduces the centroids
+    * bit for bit (DuckDB: `list_reduce(list(v ORDER BY id), ...)`) — what
+    * lets the refined-index queries hash-match a cross-engine oracle.
+    *
+    * Cost of determinism: `collect_list` holds one CELL's vectors in one
+    * aggregation buffer (no map-side partial summing), so memory is the
+    * largest cell — the index-BUILD path, run on the training sample like
+    * any k-means (FAISS trains on a bounded sample, not the corpus; cells
+    * are corpus/k rows here at full-corpus training). The serving path
+    * never executes this. `vec_avg` (registered SQL) remains the mergeable
+    * alternative when scale outranks reproducibility.
+    */
+  private def orderedCellMean(rowsCol: String, vecField: String): Column = expr(
+    s"""transform(
+       |  aggregate(sort_array(`$rowsCol`), cast(array() as array<double>),
+       |    (acc, r) -> CASE WHEN size(acc) = 0 THEN r.$vecField
+       |                ELSE zip_with(acc, r.$vecField, (a, b) -> a + b) END),
+       |  x -> x / cast(size(`$rowsCol`) as double))""".stripMargin)
+
   /** Deterministic coarse centroids with optional spherical k-means
     * refinement: init = the `k` corpus vectors with the smallest seeded
     * hash-unit of their id (reproducible on any cluster); each refinement
     * round reassigns rows to their nearest centroid and recomputes cell
-    * means with [[graft.expr.VectorAvg]] — a two-phase aggregate whose
-    * shuffle is `cells × dim` doubles, not the corpus. Empty cells keep
-    * their previous centroid.
+    * means with the bit-stable ordered fold ([[orderedCellMean]] — sums in
+    * ascending-id order, so refined centroids reproduce exactly in any
+    * engine). Empty cells keep their previous centroid.
     */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -189,7 +215,8 @@ object Similarity {
       val means = c
         .withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
         .groupBy("_cell")
-        .agg(graft.expr.VectorAvg.vecAvg(col("_v")).as("_mean"))
+        .agg(collect_list(struct(col("_id"), col("_v"))).as("_rows"))
+        .select(col("_cell"), orderedCellMean("_rows", "_v").as("_mean"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
@@ -297,15 +324,21 @@ object Similarity {
       // One job refines every subspace: each row explodes to its m
       // (sub, nearest-code, subvector) triples, and one aggregation
       // recomputes all m×ksub cell means.
-      val assigned = c.select(posexplode(array((0 until m).map { sub =>
+      val assigned = c.select(col("_id"), posexplode(array((0 until m).map { sub =>
         val sv = slice(col("_v"), sub * dsub + 1, dsub)
         struct(
           graft.expr.CellAssign.nearestCellsL2(sv, books(sub), 1).getItem(0).as("code"),
           sv.as("sv"))
       }: _*)).as(Seq("_sub", "_a")))
+      // Bit-stable cell means, same ordered fold as [[kmeansCentroids]]
+      // (ids are unique within a (sub, code) cell — the explode emits one
+      // triple per (row, sub)).
       val means = assigned
-        .groupBy(col("_sub"), col("_a.code").as("_code"))
-        .agg(graft.expr.VectorAvg.vecAvg(col("_a.sv")).as("_mean"))
+        .select(col("_sub"), col("_a.code").as("_code"),
+          struct(col("_id"), col("_a.sv").as("_v")).as("_r"))
+        .groupBy(col("_sub"), col("_code"))
+        .agg(collect_list(col("_r")).as("_rows"))
+        .select(col("_sub"), col("_code"), orderedCellMean("_rows", "_v").as("_mean"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
         .toMap
