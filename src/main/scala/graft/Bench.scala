@@ -29,8 +29,26 @@ object Bench {
   private[graft] def jmap(vs: Seq[(String, Double)]): String =
     vs.map { case (k, v) => "\"" + k + "\":" + fmtQ(v) }.mkString("{", ",", "}")
 
+  /** Benchmark tier of a registered query, by name family. The suite keeps
+    * growing (93+ queries), and a flat total reads as regression whenever
+    * queries are ADDED — per-tier subtotals let a reader compare like with
+    * like across rounds: `serving` is the interactive dashboard/search
+    * surface (the reference's ~1 s-class interaction bar), `pipeline` the
+    * corpus-scale training-data ops, `etl` the harmonize/profile build
+    * paths.
+    */
+  private[graft] def tier(name: String): String = {
+    val serving = Seq("q", "g", "w_", "dashboard_", "search_")
+    val pipeline = Seq("ann_", "dedup_", "decontaminate_", "sample_", "pack_",
+      "text_", "vocab_", "join_", "mm_", "pipeline_", "layout_")
+    if (serving.exists(name.startsWith)) "serving"
+    else if (pipeline.exists(name.startsWith)) "pipeline"
+    else "etl"
+  }
+
   /** The ONE machine-read line of this program. Kept deliberately small —
-    * per-query minimums at 3 decimals plus scalar totals — so it survives a
+    * per-query minimums at 3 decimals plus scalar totals and the three
+    * per-tier `[min_sum, median_sum, n]` triples — so it survives a
     * tail-truncated output capture whole (BenchLineSpec pins the length
     * against the real registry). Medians travel on a separate, prefixed,
     * deliberately-not-JSON line that may truncate harmlessly.
@@ -43,8 +61,12 @@ object Bench {
     val qs = jmap(results.map(r => r._1 -> r._2))
     val total = fmt(results.map(_._2).sum)
     val totalMed = fmt(results.map(_._3).sum)
+    val tiers = Seq("serving", "etl", "pipeline").map { t =>
+      val in = results.filter(r => tier(r._1) == t)
+      s""""$t":[${fmt(in.map(_._2).sum)},${fmt(in.map(_._3).sum)},${in.size}]"""
+    }.mkString("{", ",", "}")
     val load = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)}"""
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$load,"queries":$qs,"total_median":$totalMed,"value":$total}"""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$load,"queries":$qs,"tiers":$tiers,"total_median":$totalMed,"value":$total}"""
   }
 
   /** 1-minute system load average — recorded in the artifact so a reader

@@ -34,6 +34,26 @@ class BenchLineSpec extends AnyFunSuite {
     // totals keep 3 decimals (computed from full-precision values)
     assert(math.abs(node.get("value").asDouble() - 0.371) < 1e-9)
     assert(math.abs(node.get("total_median").asDouble() - 0.422) < 1e-9)
+    // per-tier [min_sum, median_sum, n] triples
+    val serving = node.get("tiers").get("serving")
+    assert(math.abs(serving.get(0).asDouble() - 0.371) < 1e-9)
+    assert(math.abs(serving.get(1).asDouble() - 0.422) < 1e-9)
+    assert(serving.get(2).asInt() == 2)
+    assert(node.get("tiers").get("pipeline").get(2).asInt() == 0)
+  }
+
+  test("every registered query lands in a tier, and the families are stable") {
+    val names = SparkEntry.queries.keySet
+    names.foreach(n => assert(Set("serving", "etl", "pipeline").contains(Bench.tier(n))))
+    assert(Bench.tier("dashboard_refresh_warm") == "serving")
+    assert(Bench.tier("search_bm25") == "serving")
+    assert(Bench.tier("g7_typeahead") == "serving")
+    assert(Bench.tier("dedup_minhash") == "pipeline")
+    assert(Bench.tier("pipeline_prep_llm") == "pipeline")
+    assert(Bench.tier("ann_ivfpq") == "pipeline")
+    assert(Bench.tier("recipe_harmonize_detroit") == "etl")
+    assert(Bench.tier("dict_profile_lineitem") == "etl")
+    assert(Bench.tier("stream_sessionize") == "etl")
   }
 
   test("fmt renders fixed 3-decimal values that are valid JSON numbers") {
