@@ -20,7 +20,7 @@ object Bench {
     * Totals keep [[fmt]]'s 3 decimals.
     */
   private[graft] def fmtQ(v: Double): String = {
-    val scale = if (v >= 100) 0 else if (v >= 10) 1 else 2
+    val scale = if (v >= 100) 0 else if (v >= 1) 1 else 2
     val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     if (!s.contains('.')) s
     else s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
@@ -63,9 +63,11 @@ object Bench {
     val totalMed = fmt(results.map(_._3).sum)
     val tiers = Seq("serving", "etl", "pipeline").map { t =>
       val in = results.filter(r => tier(r._1) == t)
-      s""""$t":[${fmt(in.map(_._2).sum)},${fmt(in.map(_._3).sum)},${in.size}]"""
+      s""""$t":[${fmtQ(in.map(_._2).sum)},${fmtQ(in.map(_._3).sum)},${in.size}]"""
     }.mkString("{", ",", "}")
-    val load = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)}"""
+    // `[start, end]` 1-min load averages (see loadAvg) — array-compact, the
+    // headline's chars are budgeted (BenchLineSpec).
+    val load = s""""load":[${fmtQ(loadStart)},${fmtQ(loadEnd)}]"""
     s"""{"metric":"total","unit":"sec","sf":"$sfDir",$load,"queries":$qs,"tiers":$tiers,"total_median":$totalMed,"value":$total}"""
   }
 

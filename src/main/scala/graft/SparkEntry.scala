@@ -1348,6 +1348,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_tfcosine" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Bag-of-words TF-cosine near-dups: weighs REPEATED tokens where
+      // Jaccard sees shingle sets — every accumulation an exact BIGINT
+      // over the inverted index, so the float score is three
+      // correctly-rounded IEEE ops and hash-matches the oracle.
+      Dedup.tfCosinePairs(load(dir, "documents"), "doc_id", "text", tau = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_containment_keep" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The containment story end to end: winnowing fingerprint pairs →
@@ -1868,6 +1878,36 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_unique"))
         .orderBy("source")
+    }),
+
+    "dedup_exact_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The daily-ingest dedup shape: yesterday's corpus participates only
+      // as its fingerprint column (the at-rest store); today's batch
+      // left-anti joins it and dedups within itself. No corpus re-scan.
+      val docs = load(dir, "documents")
+      val store = Dedup.fingerprints(docs.where(col("doc_id") % 2 === 0), "text")
+      Dedup.exactIncremental(docs.where(col("doc_id") % 2 =!= 0),
+          "text", "doc_id", store)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_accepted"))
+        .orderBy("source")
+    }),
+
+    "p_json_props" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Semi-structured metadata extraction (the WARC/metadata-sidecar
+      // shape every web-scale pipeline has): pull a typed value out of a
+      // JSON string column with the codegen'd built-in path expression —
+      // no UDF, no per-row parser object — and aggregate it. Sums stay
+      // integer-exact.
+      loadEvents(dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
     }),
 
     "dedup_cluster_keep" -> ((s, dir) => {
@@ -2619,6 +2659,32 @@ object SparkEntry {
          |              WHEN 'src2' THEN 0.2 ELSE 0.0 END
          |GROUP BY source ORDER BY source""".stripMargin,
 
+    // Fingerprint-store anti-join + within-batch min-keep, restated on the
+    // normalized text (the store's xxhash64 key is injective modulo
+    // collisions, same established equivalence as dedup_exact_fingerprint).
+    "dedup_exact_incremental" ->
+      s"""WITH store AS (
+         |  SELECT DISTINCT $duckNorm AS fp FROM documents WHERE doc_id % 2 = 0
+         |), batch AS (
+         |  SELECT source, doc_id, $duckNorm AS fp FROM documents
+         |  WHERE doc_id % 2 <> 0
+         |), fresh AS (
+         |  SELECT source, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM batch WHERE fp NOT IN (SELECT fp FROM store)
+         |)
+         |SELECT source, count(*) AS n_accepted FROM fresh WHERE rn = 1
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "p_json_props" ->
+      """SELECT event_type, count(k) AS n, sum(k)::BIGINT AS k_sum,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (
+        |  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+        |  FROM events
+        |)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "dedup_exact_fingerprint" ->
       s"""SELECT source, count(*) AS n_unique FROM (
          |  SELECT source,
@@ -3045,6 +3111,29 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_overlapping_grams
          |FROM cg JOIN bg USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Integer postings → BIGINT dot/norms → three IEEE ops: bit-exact in
+    // any engine (see Dedup.tfCosinePairs).
+    "dedup_tfcosine" ->
+      s"""WITH posting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+         |  GROUP BY doc_id, t
+         |), norms AS (
+         |  SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM posting GROUP BY doc_id
+         |), dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    sum(a.tf * b.tf)::BIGINT AS dot
+         |  FROM posting a JOIN posting b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |    dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cosine
+         |  FROM dots JOIN norms na ON na.doc_id = id_a
+         |            JOIN norms nb ON nb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, cosine FROM scored
+         |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (

@@ -66,6 +66,38 @@ object Dedup {
     exact(df.withColumn("_fp", TextAnalysis.contentFingerprint(col(textCol))), Seq("_fp"), tieBreaker)
       .drop("_fp")
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: accept the rows of
+    * `batch` whose normalized content fingerprint appears neither in
+    * `seenFingerprints` (one `fp` column, the at-rest store of every
+    * fingerprint accepted so far) nor earlier in the batch itself. The
+    * corpus is never re-scanned: yesterday's terabytes participate as one
+    * fingerprint column, and the batch joins it with a LEFT ANTI —
+    * map-side-prunable, no corpus text moves. Append
+    * `fingerprints(accepted)` to the store after each batch; the store
+    * stays associative (order of batches never changes the accepted set
+    * when batches are disjoint in time — each row is judged against
+    * everything accepted before it).
+    */
+  def exactIncremental(
+      batch: DataFrame,
+      textCol: String,
+      tieBreaker: String,
+      seenFingerprints: DataFrame): DataFrame = {
+    require(seenFingerprints.columns.toSeq == Seq("fp"),
+      s"seenFingerprints must be a single 'fp' column, got ${seenFingerprints.columns.mkString(",")}")
+    val withFp = batch.withColumn("_fp", TextAnalysis.contentFingerprint(col(s"`$textCol`")))
+    exact(
+      withFp.join(seenFingerprints.select(col("fp").as("_fp")), Seq("_fp"), "left_anti"),
+      Seq("_fp"), tieBreaker)
+      .drop("_fp")
+  }
+
+  /** The fingerprint column of an accepted frame — what a batch appends to
+    * the at-rest store after [[exactIncremental]].
+    */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextAnalysis.contentFingerprint(col(s"`$textCol`")).as("fp")).distinct()
+
   /** Compute-bound per-row stages (shingling, signatures, hamming) must not
     * inherit a coarse upstream partitioning: a corpus that fits one parquet
     * split would otherwise run its entire O(rows × tokens × hashes) pipeline
@@ -504,5 +536,56 @@ object Dedup {
         col("_c").cast(DoubleType) / least(col("_na"), col("_nb")).cast(DoubleType))
       .where(col("containment") >= tau)
       .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** TF-cosine near-duplicate pairs over the inverted index: `(id_a, id_b,
+    * cosine)` with `cosine ≥ tau`, where each document is its integer
+    * token-count vector (the classic VSM bag-of-words similarity, no idf)
+    * and `cosine = Σ tf_a·tf_b / (‖tf_a‖ · ‖tf_b‖)`. Where Jaccard sees
+    * SETS of shingles, TF-cosine weighs REPEATED tokens — the right lens
+    * for templated/boilerplate near-dups whose token multisets agree while
+    * their shingle sets drift.
+    *
+    * Every accumulation is an exact BIGINT (dot products and squared norms
+    * of integer counts — order-free), so the score is three
+    * correctly-rounded IEEE ops (sqrt × mul → div) on exact integers and
+    * reproduces bit-for-bit in any engine: fully oracled, unlike
+    * float-weighted tf-idf whose summation order is engine-dependent.
+    * Tokenization is the engine's standard analyzer
+    * ([[graft.expr.TextMatch.normalized]]).
+    *
+    * Shape: token postings `(id, token, tf)` self-join on token — the
+    * inverted index, candidates ∝ Σ df² like [[ngramJaccardPairs]] (same
+    * caveat, same prefix-filter escape for dense corpora); the two norm
+    * attachments join 1-row-per-doc frames. No all-pairs product anywhere.
+    */
+  def tfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val toks = filter(
+      split(graft.expr.TextMatch.normalized(col(textCol)), " +"),
+      t => t =!= "")
+    val posting = spread(df.select(col(idCol), toks.as("_toks")))
+      .select(col(idCol), explode(col("_toks")).as("_t"))
+      .groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val norms = posting.groupBy(col(idCol))
+      .agg(sum(col("_tf") * col("_tf")).as("_n2"))
+    val a = posting.select(col(idCol).as("id_a"), col("_t"), col("_tf").as("_tfa"))
+    val b = posting.select(col(idCol).as("id_b"), col("_t"), col("_tf").as("_tfb"))
+    a.join(b, Seq("_t"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("_tfa") * col("_tfb")).as("_dot"))
+      .join(norms.select(col(idCol).as("id_a"), col("_n2").as("_n2a")), Seq("id_a"))
+      .join(norms.select(col(idCol).as("id_b"), col("_n2").as("_n2b")), Seq("id_b"))
+      .withColumn("cosine",
+        col("_dot").cast(DoubleType) /
+          (sqrt(col("_n2a").cast(DoubleType)) * sqrt(col("_n2b").cast(DoubleType))))
+      .where(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -28,16 +28,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
     assert(node.get("sf").asText() == "/tmp/sf")
-    assert(node.get("load_start").asDouble() == 2.415)
-    assert(node.get("load_end").asDouble() == 3.871)
+    assert(node.get("load").get(0).asDouble() == 2.4)
+    assert(node.get("load").get(1).asDouble() == 3.9)
     assert(node.get("queries").get("q1_agg").asDouble() == 0.27)
     // totals keep 3 decimals (computed from full-precision values)
     assert(math.abs(node.get("value").asDouble() - 0.371) < 1e-9)
     assert(math.abs(node.get("total_median").asDouble() - 0.422) < 1e-9)
-    // per-tier [min_sum, median_sum, n] triples
+    // per-tier [min_sum, median_sum, n] triples (fmtQ-compact)
     val serving = node.get("tiers").get("serving")
-    assert(math.abs(serving.get(0).asDouble() - 0.371) < 1e-9)
-    assert(math.abs(serving.get(1).asDouble() - 0.422) < 1e-9)
+    assert(math.abs(serving.get(0).asDouble() - 0.37) < 1e-9)
+    assert(math.abs(serving.get(1).asDouble() - 0.42) < 1e-9)
     assert(serving.get(2).asInt() == 2)
     assert(node.get("tiers").get("pipeline").get(2).asInt() == 0)
   }
@@ -67,6 +67,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.fmtQ(0.0761234) == "0.08")
     assert(Bench.fmtQ(0.1) == "0.1")
     assert(Bench.fmtQ(1.204) == "1.2")
+    assert(Bench.fmtQ(1.47) == "1.5")
     assert(Bench.fmtQ(3.0) == "3")
     assert(Bench.fmtQ(0.0) == "0")
     assert(Bench.fmtQ(12.345) == "12.3")

@@ -189,4 +189,48 @@ class DedupSpec extends SparkSpecBase {
     val df = Seq((1L, "word"), (2L, "word")).toDF("doc_id", "text")
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, 2).count() === 0)
   }
+
+  test("exactIncremental: batch rows drop against the store AND within the batch") {
+    val yesterday = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "something about streams")).toDF("doc_id", "text")
+    val store = Dedup.fingerprints(yesterday, "text")
+    val today = Seq(
+      (10L, "The QUICK brown fox!"),     // dup of stored doc 1 → dropped
+      (11L, "fresh document one"),       // new → kept
+      (12L, "Fresh   DOCUMENT one"),     // within-batch dup of 11 → dropped
+      (13L, "fresh document two")).toDF("doc_id", "text")
+    val accepted = Dedup.exactIncremental(today, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(accepted === Seq(11L, 13L))
+    // two consecutive days are associative with the store appended between:
+    // re-running yesterday's rows against the updated store accepts nothing
+    val updated = store.unionByName(
+      Dedup.fingerprints(Dedup.exactIncremental(today, "text", "doc_id", store), "text"))
+    assert(Dedup.exactIncremental(yesterday, "text", "doc_id", updated).count() === 0)
+  }
+
+  test("tfCosinePairs: hand-computed integer TF cosine, repeats weighted") {
+    val docs = Seq(
+      (1L, "a a b"),           // tf {a:2, b:1}, ||.||² = 5
+      (2L, "a b b"),           // tf {a:1, b:2}, ||.||² = 5
+      (3L, "A a B!"),          // analyzer-equal to doc 1 → cosine 1.0
+      (4L, "c d e"),           // disjoint from 1-3 → no pair at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfCosinePairs(docs, "doc_id", "text", tau = 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    // dot(1,2) = 2·1 + 1·2 = 4; cosine = 4 / (√5·√5) — the exact IEEE
+    // value (√5·√5 is one ulp under 5, deliberately not rounded away:
+    // the oracle hash-matches these exact bits)
+    val c = 4.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    val one = 5.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(got === Seq(
+      (1L, 2L, c),
+      (1L, 3L, one),
+      (2L, 3L, c)))
+    // the SET view (Jaccard on 1-token shingles) cannot tell 1 from 2 —
+    // identical token sets — while TF-cosine resolves the repeat weighting
+    assert(got.find(p => p._1 == 1L && p._2 == 2L).get._3 < 1.0)
+  }
 }
