@@ -402,27 +402,32 @@ object Similarity {
     // second from the ADC lookup table.
     //
     // ONE corpus pass computes every row's coarse cell and residual, then
-    // materializes (`localCheckpoint`, eager — the ngramJaccardPairsPrefix
-    // trade-off, documented there): codebook learning and code assignment
-    // both read this frame, instead of each re-running the nlist-cosine
-    // assignment and recompiling its nlist × dim centroid-literal codegen
-    // (measured 3.1 s → 1.6 s at nlist=256 on the bench entry — 1.5× its
-    // plain-IVF twin, from 3.9×). At index-
-    // build scale this frame is the intermediate you persist anyway — the
-    // encoded index is its direct projection.
+    // materializes (`persist` + count): codebook learning and code
+    // assignment both read this frame, instead of each re-running the
+    // nlist-cosine assignment and recompiling its nlist × dim
+    // centroid-literal codegen (measured 3.1 s → 1.6 s at nlist=256 on the
+    // bench entry — 1.5× its plain-IVF twin, from 3.9×). The residual frame
+    // is SCRATCH, dim doubles per row: once the m-byte-per-row encoded
+    // index is checkpointed below, it unpersists — a long-lived build
+    // session retains the index, not dim/m× the index (persist keeps
+    // lineage, so the early unpersist is also recomputation-safe, unlike a
+    // localCheckpoint it would orphan).
     val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
     val assigned = c
       .withColumn("_cell", nearestCells(col("_cv"), coarse, 1).getItem(0))
       .select(col("neighbor_id"), col("_cell"),
         residual(col("_cv"), col("_cell"), coarse).as("_res"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No eager count: the codebook init's own collect below materializes
+    // the persisted frame on first touch.
     val books = pqCodebooksFromFrame(
       assigned.select(col("neighbor_id").as("_id"), col("_res").as("_v")),
       dim, m, ksub, refineIters, seed)
 
     // The PQ index: ids, coarse cell, m residual codes — the corpus vectors
     // are dropped here and never rejoin (the whole point of the
-    // compression).
+    // compression). Eagerly checkpointed (it is what an index build
+    // persists anyway), which frees the residual scratch above.
     val encoded = assigned.select(
       col("neighbor_id"),
       col("_cell"),
@@ -430,6 +435,8 @@ object Similarity {
         graft.expr.CellAssign.nearestCellsL2(
           slice(col("_res"), sub * dsub + 1, dsub), books(sub), 1).getItem(0)
       }: _*).as("_codes"))
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
 
     // Per-query ADC lookup table, flat m×ksub (sub-major): built once per
     // query row from codebook literals, broadcast with the query side. The

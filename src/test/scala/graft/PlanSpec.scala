@@ -154,6 +154,27 @@ class PlanSpec extends SparkSpecBase {
       s"no map-side partial aggregate in exact-dedup plan:\n$plan")
   }
 
+  test("dictionary profile plans per-column codegen branches: no Expand, no wide SortAggregate") {
+    // The cold-path contract behind q8_dict_fetch's 0.5 s (was 2.5 s): each
+    // column is a narrow branch whose scan prunes to that column. An Expand
+    // is the multi-distinct blow-up; a SortAggregate naming many aggregate
+    // functions is the wide-plan fallback (string min/max buffers kill
+    // HashAggregate) — both regressions this pin exists to catch.
+    val path = tmp(Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "name", "amount"))
+    val df = spark.read.parquet(path)
+    val plan = planOf(graft.dict.Dictionary.profile(df))
+    assert(!plan.contains("Expand"), s"Expand in profile plan:\n$plan")
+    // every aggregate node should carry ONE column's functions — the wide
+    // fallback names aggregates of several source columns in one node
+    val wideAgg = plan.linesIterator.exists(l =>
+      l.contains("SortAggregate") && l.contains("min(") &&
+        Seq("id", "name", "amount").count(l.contains) > 1)
+    assert(!wideAgg, s"wide multi-column SortAggregate in profile plan:\n$plan")
+    // per-column scans prune: some scan reads ONLY the numeric column
+    assert(plan.contains("ReadSchema: struct<amount:double>"),
+      s"no single-column pruned scan in profile plan:\n$plan")
+  }
+
   test("warm dashboard refresh plans entirely over the in-memory cache") {
     // The §3.3 serving guarantee: once primed, one dashboard interaction
     // (five visualizations under a fresh filter) must not touch a file
