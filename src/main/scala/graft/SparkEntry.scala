@@ -365,6 +365,16 @@ object SparkEntry {
       "/dashboard" -> { body =>
         val state = if (body.trim.isEmpty) dashboardStateJson else body
         WidgetServer.collectRowsJson(dashboardRefresh(s, warm = true, state))
+      },
+      "/suggest" -> { body =>
+        // The webapp's typeahead against `*harmonized*` (views.js:378-412):
+        // {"field": "description", "prefix": "th", "size": 10} → top
+        // completions from the pinned federated cache.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val field = o.path("field").asText("description")
+        WidgetServer.collectRowsJson(Aggs.typeahead(
+          federatedHarmonized(s, warm = true), field,
+          o.path("prefix").asText(""), o.path("size").asInt(10)))
       })
   }
 

@@ -124,6 +124,49 @@ object EventStreams {
       events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming CORPUS dedup — the live half of
+    * [[graft.ops.Dedup.exactIncremental]]'s daily-ingest contract.
+    * [[streamingDedup]]'s watermark bounds state by TIME, which is right
+    * for event keys and wrong for a training corpus: "already accepted" is
+    * forever. Here the state IS the accepted table: each micro-batch
+    * left-anti joins the store's fingerprint column (one BIGINT per
+    * accepted doc, read from the accepted table itself — no second sink,
+    * no dual-write atomicity problem), min-keeps within itself, and lands
+    * in `acceptedPath/_batch=<id>` carrying its `fp` column. Batch-id
+    * partition overwrite (dynamic mode) makes replays IDEMPOTENT: a
+    * recovered batch rewrites its own partition and nothing else, and
+    * re-judges itself against exactly the earlier batches' fingerprints
+    * (its own partition's fps are rewritten, not double-counted).
+    */
+  def dedupToCorpus(
+      docs: DataFrame,
+      textCol: String,
+      tieBreaker: String,
+      acceptedPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val store =
+          try
+            spark.read.parquet(acceptedPath)
+              .where(col("_batch") =!= id) // replay: ignore own partition
+              .select(col("fp")).distinct()
+          catch {
+            // first batch: no accepted table yet
+            case _: org.apache.spark.sql.AnalysisException =>
+              spark.range(0).select(col("id").as("fp"))
+          }
+        val accepted = graft.ops.Dedup.exactIncremental(batch, textCol, tieBreaker, store)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        accepted
+          .withColumn("fp", graft.ops.TextAnalysis.contentFingerprint(col(s"`$textCol`")))
+          .withColumn("_batch", lit(id))
+          .write.mode("overwrite").partitionBy("_batch").parquet(acceptedPath)
+      }
+      .start()
+
   /** Streaming sink into the at-rest search index: every micro-batch is
     * appended to a parquet table with its analyzed `_split` companions
     * precomputed (see [[graft.store.SearchIndex]]) — the live-ingestion

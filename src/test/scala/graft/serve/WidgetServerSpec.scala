@@ -97,6 +97,19 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /suggest serves the federated typeahead from the wire") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) = post(s"http://127.0.0.1:$port/suggest",
+        """{"field": "description", "prefix": "a", "size": 10}""")
+      assert(code === 200)
+      val direct = WidgetServer.collectRowsJson(
+        SparkEntry.queries("g7_typeahead_federated")(spark, sfDir))
+      assert(body === direct)
+    } finally server.stop(0)
+  }
+
   test("handler errors surface as a 500 with a JSON error body") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {

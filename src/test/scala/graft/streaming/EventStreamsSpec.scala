@@ -194,4 +194,30 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(streamed === scratch)
     assert(streamed === Seq(("apple", 4L), ("banana", 4L), ("cherry", 2L)))
   }
+
+  test("dedupToCorpus drops content dups across micro-batches forever, not per watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_corpus").toFile
+    dir.deleteOnExit()
+    val accepted = dir.getAbsolutePath + "/accepted"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupToCorpus(
+      mem.toDS().toDF("doc_id", "text"), "text", "doc_id",
+      accepted, dir.getAbsolutePath + "/ckpt")
+    try {
+      // batch 0: within-batch dup (11 vs 10, analyzer-equal) collapses
+      mem.addData((10L, "the quick brown fox"), (11L, "The QUICK brown fox!"),
+        (12L, "something about streams"))
+      q.processAllAvailable()
+      // batch 1: cross-batch dup of doc 12 drops — arbitrarily later, no
+      // watermark window to age out of; genuinely new doc 21 lands
+      mem.addData((20L, "Something ABOUT streams?"), (21L, "fresh content here"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(accepted)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 12L, 21L))
+    // the accepted table IS the store: fp column present, batch-partitioned
+    assert(out.columns.contains("fp") && out.columns.contains("_batch"))
+    assert(out.where(out("_batch") === 1).select("doc_id").as[Long].collect().toSeq === Seq(21L))
+  }
 }
