@@ -47,11 +47,15 @@ object Bench {
   }
 
   /** The ONE machine-read line of this program. Kept deliberately small —
-    * per-query minimums at 3 decimals plus scalar totals and the three
-    * per-tier `[min_sum, median_sum, n]` triples — so it survives a
+    * per-query minimums plus scalar totals — so it survives a
     * tail-truncated output capture whole (BenchLineSpec pins the length
-    * against the real registry). Medians travel on a separate, prefixed,
-    * deliberately-not-JSON line that may truncate harmlessly.
+    * against the real registry). Compact field glossary:
+    * `sf` = scale-factor dir basename; `load` = [start, end] 1-min load
+    * averages (see [[loadAvg]]); `queries` = per-query min-of-N seconds;
+    * `tiers` = per-[[tier]] `[min_sum, median_sum, n]`; `median` = sum of
+    * per-query medians; `value` = sum of per-query minimums. Per-query
+    * medians travel on a separate, prefixed, deliberately-not-JSON line
+    * that may truncate harmlessly.
     */
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],
@@ -65,10 +69,9 @@ object Bench {
       val in = results.filter(r => tier(r._1) == t)
       s""""$t":[${fmtQ(in.map(_._2).sum)},${fmtQ(in.map(_._3).sum)},${in.size}]"""
     }.mkString("{", ",", "}")
-    // `[start, end]` 1-min load averages (see loadAvg) — array-compact, the
-    // headline's chars are budgeted (BenchLineSpec).
     val load = s""""load":[${fmtQ(loadStart)},${fmtQ(loadEnd)}]"""
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$load,"queries":$qs,"tiers":$tiers,"total_median":$totalMed,"value":$total}"""
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","unit":"sec","sf":"$sf",$load,"queries":$qs,"tiers":$tiers,"median":$totalMed,"value":$total}"""
   }
 
   /** 1-minute system load average — recorded in the artifact so a reader

@@ -1341,6 +1341,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_minhash_portable" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The fully-oracled MinHash twin: every hash the portable md5
+      // construction, band buckets compared as value vectors — the DuckDB
+      // oracle reruns the whole LSH pipeline (signatures → bands →
+      // candidates → verified Jaccard) bit for bit. The xxhash64 kernel
+      // (dedup_minhash) stays the scale path; this entry certifies its
+      // shape cross-engine.
+      Dedup.minhashNearDupPairsPortable(load(dir, "documents"), "doc_id", "text",
+          threshold = 0.4, shingleK = 2, numBands = 16, rowsPerBand = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Hamming radius 3 over 16-bit chunks — the classic web near-dup
@@ -3121,6 +3134,46 @@ object SparkEntry {
          |SELECT doc_id, count(*)::BIGINT AS n_overlapping_grams
          |FROM cg JOIN bg USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The full LSH pipeline rerun in SQL: portable md5 gram hashes,
+    // per-permutation minima, value-vector band buckets, candidate pairs,
+    // verified Jaccard — byte-identical to the engine's portable twin.
+    "dedup_minhash_portable" -> {
+      val k = 2; val numHashes = 32; val r = 2
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(toks) - ${k - 1}),
+         |    i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS grams
+         |  FROM d WHERE len(toks) >= $k
+         |), gh AS (
+         |  SELECT doc_id, unnest(grams) AS gram FROM g
+         |), mh AS (
+         |  SELECT doc_id, i,
+         |    min(('0x' || substr(md5(i::VARCHAR || ':' || gram), 1, 13))::BIGINT) AS h
+         |  FROM gh CROSS JOIN (SELECT unnest(range($numHashes)) AS i)
+         |  GROUP BY doc_id, i
+         |), bands AS (
+         |  SELECT doc_id, i // $r AS bidx, list(h ORDER BY i) AS bkey
+         |  FROM mh GROUP BY doc_id, i // $r
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), sets AS (
+         |  SELECT doc_id, list_sort(list_distinct(list_transform(grams,
+         |    x -> ('0x' || substr(md5(x), 1, 13))::BIGINT))) AS s
+         |  FROM g
+         |)
+         |SELECT id_a, id_b,
+         |  len(list_intersect(sa.s, sb.s))::DOUBLE
+         |    / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+         |FROM cand JOIN sets sa ON sa.doc_id = id_a
+         |          JOIN sets sb ON sb.doc_id = id_b
+         |WHERE jaccard >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Integer postings → BIGINT dot/norms → three IEEE ops: bit-exact in
     // any engine (see Dedup.tfCosinePairs).

@@ -538,6 +538,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** [[minhashNearDupPairs]]'s PORTABLE twin — every hash is the repo's
+    * md5 construction ([[graft.expr.WinnowAlgo.portableHash]]'s
+    * SQL-expressible form: first 13 hex chars of md5 as a base-16 long),
+    * so a cross-engine oracle recomputes gram hashes, per-permutation
+    * minima, band buckets, candidates, and the verified Jaccard bit for
+    * bit. Band buckets compare the band's VALUE VECTOR (minima in
+    * permutation order) rather than a re-hash of it — one fewer hashing
+    * seam to port.
+    *
+    * The xxhash64 kernel ([[minhashNearDupPairs]]) remains the scale path:
+    * one row-local signature pass, no explode. This twin pays
+    * grams × numHashes md5s through an explode + groupBy — run it to
+    * certify the fast path's banding on a sample, or wherever cross-engine
+    * verifiability outranks throughput (same contract as
+    * [[graft.ops.Sampling.hashUnit]] vs `hashUnitFast`).
+    */
+  def minhashNearDupPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      numBands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    def portableHash(c: Column): Column =
+      conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+    val toks = filter(
+      split(graft.expr.TextMatch.normalized(col(textCol)), " +"), t => t =!= "")
+    val gramTexts = when(size(toks) >= shingleK,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(shingleK)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(shingleK))))))
+      .otherwise(array().cast("array<string>"))
+    val base = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), gramTexts.as("_grams"))
+      .where(size(col("_grams")) > 0)
+
+    val mh = base
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("_i"), col("_g"))
+      .select(col(idCol), col("_i"),
+        portableHash(concat(col("_i").cast("string"), lit(":"), col("_g"))).as("_h"))
+      .groupBy(col(idCol), col("_i"))
+      .agg(min(col("_h")).as("_mh"))
+    val bands = mh
+      .withColumn("_bidx", expr(s"_i div $rowsPerBand"))
+      .groupBy(col(idCol), col("_bidx"))
+      .agg(expr("transform(sort_array(collect_list(struct(_i, _mh))), s -> s._mh)").as("_bkey"))
+    val a = bands.select(col(idCol).as("id_a"), col("_bidx"), col("_bkey"))
+    val b = bands.select(col(idCol).as("id_b"), col("_bidx"), col("_bkey"))
+    val candidates = a.join(b, Seq("_bidx", "_bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val sets = base.select(col(idCol),
+      sort_array(array_distinct(transform(col("_grams"), g => portableHash(g)))).as("_sh"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+      .withColumn("jaccard", TextShingles.jaccardSorted(col("_sh_a"), col("_sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** TF-cosine near-duplicate pairs over the inverted index: `(id_a, id_b,
     * cosine)` with `cosine ≥ tau`, where each document is its integer
     * token-count vector (the classic VSM bag-of-words similarity, no idf)

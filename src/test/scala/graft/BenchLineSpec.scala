@@ -27,13 +27,13 @@ class BenchLineSpec extends AnyFunSuite {
     val node = new ObjectMapper().readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
-    assert(node.get("sf").asText() == "/tmp/sf")
+    assert(node.get("sf").asText() == "sf") // dir basename
     assert(node.get("load").get(0).asDouble() == 2.4)
     assert(node.get("load").get(1).asDouble() == 3.9)
     assert(node.get("queries").get("q1_agg").asDouble() == 0.27)
     // totals keep 3 decimals (computed from full-precision values)
     assert(math.abs(node.get("value").asDouble() - 0.371) < 1e-9)
-    assert(math.abs(node.get("total_median").asDouble() - 0.422) < 1e-9)
+    assert(math.abs(node.get("median").asDouble() - 0.422) < 1e-9)
     // per-tier [min_sum, median_sum, n] triples (fmtQ-compact)
     val serving = node.get("tiers").get("serving")
     assert(math.abs(serving.get(0).asDouble() - 0.37) < 1e-9)

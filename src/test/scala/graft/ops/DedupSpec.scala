@@ -190,6 +190,26 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 0.5, 2).count() === 0)
   }
 
+  test("portable minhash agrees with the xxhash64 kernel where banding recall is certain") {
+    // At threshold 1.0 with any banding, exact duplicates are identical in
+    // EVERY band (certain recall for both hash families), so the two
+    // variants must produce the same verified pairs despite different
+    // hashes driving their buckets.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The QUICK brown fox jumps over the lazy dog!"),
+      (3L, "completely different content about database query optimization"),
+      (4L, "Completely different content about database query optimization?"),
+      (5L, "yet another unrelated document on stream processing"),
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fast = pairs(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 1.0, 3))
+    val portable = pairs(Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text", 1.0, 3))
+    assert(portable === fast)
+    assert(portable === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("exactIncremental: batch rows drop against the store AND within the batch") {
     val yesterday = Seq(
       (1L, "the quick brown fox"),
