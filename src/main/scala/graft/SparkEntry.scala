@@ -1364,6 +1364,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_simhash_portable" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The fully-oracled SimHash twin: Charikar votes over the portable
+      // md5 hash (52 bits), pigeonhole chunks, Hamming verify — the DuckDB
+      // oracle reruns every stage bit for bit. The codegen'd 64-bit kernel
+      // (dedup_simhash) stays the scale path.
+      Dedup.simhashNearDupPairsPortable(load(dir, "documents"), "doc_id", "text",
+          maxHamming = 3, numChunks = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Dedup.ngramJaccardPairs(load(dir, "documents"), "doc_id", "text",
@@ -3172,6 +3183,36 @@ object SparkEntry {
          |FROM cand JOIN sets sa ON sa.doc_id = id_a
          |          JOIN sets sb ON sb.doc_id = id_b
          |WHERE jaccard >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Charikar votes over portable md5 hashes, sign bits reassembled,
+    // pigeonhole chunk join, Hamming verify — every stage rerun in SQL.
+    "dedup_simhash_portable" -> {
+      val bits = 52; val chunkBits = 13; val mask = (1L << chunkBits) - 1
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), th AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 13))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+         |), votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+         |  FROM th CROSS JOIN (SELECT unnest(range($bits)) AS b)
+         |  GROUP BY doc_id, b
+         |), sims AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN tally > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sim
+         |  FROM votes GROUP BY doc_id
+         |), chunks AS (
+         |  SELECT doc_id, sim, j AS cidx, (sim >> (j * $chunkBits)) & $mask AS cval
+         |  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS j)
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sim, b.sim))::INT AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.cidx = b.cidx AND a.cval = b.cval AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
 

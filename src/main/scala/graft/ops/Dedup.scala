@@ -246,6 +246,55 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[simhashNearDupPairs]]'s PORTABLE twin — the same Charikar
+    * construction over the repo's md5 hash (52 bits: 13 hex chars as a
+    * base-16 long, the [[minhashNearDupPairsPortable]] seam), so every
+    * stage reruns in SQL: per-occurrence token hashes, per-bit ±1 votes,
+    * sign bits assembled into a 52-bit fingerprint, pigeonhole chunk
+    * join, Hamming verify. The codegen'd 64-bit kernel
+    * ([[graft.expr.SimHash]]) stays the scale path — one row-local pass;
+    * this twin explodes tokens × 52 bit positions through a groupBy and
+    * exists to certify the kernel's banding cross-engine.
+    */
+  def simhashNearDupPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      numChunks: Int = 4): DataFrame = {
+    val bits = 52
+    require(bits % numChunks == 0, s"numChunks must divide $bits")
+    require(numChunks > maxHamming, "pigeonhole needs numChunks > maxHamming")
+    val chunkBits = bits / numChunks
+    val mask = (1L << chunkBits) - 1
+    def portableHash(c: Column): Column =
+      conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+    val sims = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .select(col(idCol), portableHash(col("_t")).as("_h"))
+      .select(col(idCol), explode(sequence(lit(0), lit(bits - 1))).as("_b"), col("_h"))
+      .withColumn("_vote",
+        when(expr("shiftrightunsigned(_h, cast(_b as int))").bitwiseAND(lit(1L)) === 1L, lit(1))
+          .otherwise(lit(-1)))
+      .groupBy(col(idCol), col("_b"))
+      .agg(sum(col("_vote")).as("_tally"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_tally") > 0, expr("shiftleft(1L, cast(_b as int))")).otherwise(lit(0L)))
+        .as("_sim"))
+    val chunks = sims
+      .select(col(idCol), col("_sim"), explode(array((0 until numChunks).map(j =>
+        struct(lit(j).as("idx"), shiftrightunsigned(col("_sim"), j * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_chunk"))
+      .select(col(idCol), col("_sim"), col("_chunk.idx").as("_cidx"), col("_chunk.v").as("_cval"))
+    val a = chunks.select(col(idCol).as("id_a"), col("_sim").as("_sim_a"), col("_cidx"), col("_cval"))
+    val b = chunks.select(col(idCol).as("id_b"), col("_sim").as("_sim_b"), col("_cidx"), col("_cval"))
+    a.join(b, Seq("_cidx", "_cval"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("_sim_a").bitwiseXOR(col("_sim_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Connected components over a near-duplicate pair list, by iterative
     * minimum-label propagation: every vertex repeatedly takes the smallest
     * label among itself, its neighbors, and its label's label (pointer

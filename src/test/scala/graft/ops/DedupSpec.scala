@@ -210,6 +210,23 @@ class DedupSpec extends SparkSpecBase {
     assert(portable === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("portable simhash: analyzer-equal docs collide at hamming 0, like the kernel") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The QUICK brown fox jumps over the lazy dog!"), // analyzer-equal to 1
+      (3L, "an entirely different document about query engines"),
+    ).toDF("doc_id", "text")
+    val portable = Dedup.simhashNearDupPairsPortable(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val fast = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(portable.contains((1L, 2L, 0)))
+    assert(fast.contains((1L, 2L, 0)))
+    // different hash families may disagree on borderline NEAR dups, never
+    // on token-identical ones
+    assert(portable.filter(_._3 == 0) === fast.filter(_._3 == 0))
+  }
+
   test("exactIncremental: batch rows drop against the store AND within the batch") {
     val yesterday = Seq(
       (1L, "the quick brown fox"),
