@@ -1364,6 +1364,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_cluster_keep_portable" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The linear-generator cluster-keep pipeline, certified end to end:
+      // portable-MinHash banded pairs → connected components → smallest
+      // doc_id per cluster → per-source counts, hash-matched against the
+      // recursive-CTE closure over the same portable pairs.
+      val docs = load(dir, "documents")
+      val pairs = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
+        threshold = 0.4, shingleK = 2, numBands = 16, rowsPerBand = 2)
+      Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "dedup_simhash_portable" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The fully-oracled SimHash twin: Charikar votes over the portable
@@ -2155,6 +2170,48 @@ object SparkEntry {
   /** Analyzer tokens in DuckDB — must mirror [[TextAnalysis]] exactly. */
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** The portable-MinHash pipeline as DuckDB CTEs ending at
+    * `pairs(id_a, id_b, jaccard)` — gram texts, seeded md5 minima,
+    * value-vector band buckets, candidates, verified Jaccard; the exact
+    * mirror of [[graft.ops.Dedup.minhashNearDupPairsPortable]]. Shared by
+    * the pair-level and cluster-keep oracles.
+    */
+  private def portableMinhashCtesSql(
+      k: Int, numHashes: Int, r: Int, threshold: Double): String =
+    s"""d AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(toks) - ${k - 1}),
+       |    i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS grams
+       |  FROM d WHERE len(toks) >= $k
+       |), gh AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM g
+       |), mh AS (
+       |  SELECT doc_id, i,
+       |    min(('0x' || substr(md5(i::VARCHAR || ':' || gram), 1, 13))::BIGINT) AS h
+       |  FROM gh CROSS JOIN (SELECT unnest(range($numHashes)) AS i)
+       |  GROUP BY doc_id, i
+       |), bands AS (
+       |  SELECT doc_id, i // $r AS bidx, list(h ORDER BY i) AS bkey
+       |  FROM mh GROUP BY doc_id, i // $r
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(grams,
+       |    x -> ('0x' || substr(md5(x), 1, 13))::BIGINT))) AS s
+       |  FROM g
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+       |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+       |            JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE jaccard >= $threshold
+       |)""".stripMargin
 
   /** The analyzer-normalized text in DuckDB (mirror of
     * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))`).
@@ -3149,42 +3206,33 @@ object SparkEntry {
     // The full LSH pipeline rerun in SQL: portable md5 gram hashes,
     // per-permutation minima, value-vector band buckets, candidate pairs,
     // verified Jaccard — byte-identical to the engine's portable twin.
-    "dedup_minhash_portable" -> {
-      val k = 2; val numHashes = 32; val r = 2
-      s"""WITH d AS (
-         |  SELECT doc_id, $duckToks AS toks FROM documents
-         |), g AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(toks) - ${k - 1}),
-         |    i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS grams
-         |  FROM d WHERE len(toks) >= $k
-         |), gh AS (
-         |  SELECT doc_id, unnest(grams) AS gram FROM g
-         |), mh AS (
-         |  SELECT doc_id, i,
-         |    min(('0x' || substr(md5(i::VARCHAR || ':' || gram), 1, 13))::BIGINT) AS h
-         |  FROM gh CROSS JOIN (SELECT unnest(range($numHashes)) AS i)
-         |  GROUP BY doc_id, i
-         |), bands AS (
-         |  SELECT doc_id, i // $r AS bidx, list(h ORDER BY i) AS bkey
-         |  FROM mh GROUP BY doc_id, i // $r
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.bidx = b.bidx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |), sets AS (
-         |  SELECT doc_id, list_sort(list_distinct(list_transform(grams,
-         |    x -> ('0x' || substr(md5(x), 1, 13))::BIGINT))) AS s
-         |  FROM g
+    "dedup_minhash_portable" ->
+      s"""WITH ${portableMinhashCtesSql(k = 2, numHashes = 32, r = 2, threshold = 0.4)}
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Portable LSH pairs → recursive-CTE transitive closure → smallest-id
+    // representative per cluster: the whole linear-generator cluster-keep
+    // pipeline certified cross-engine.
+    "dedup_cluster_keep_portable" ->
+      s"""WITH ${portableMinhashCtesSql(k = 2, numHashes = 32, r = 2, threshold = 0.4)},
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  -- transitive closure (recursive UNION dedupes, so it terminates)
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
          |)
-         |SELECT id_a, id_b,
-         |  len(list_intersect(sa.s, sb.s))::DOUBLE
-         |    / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-         |FROM cand JOIN sets sa ON sa.doc_id = id_a
-         |          JOIN sets sb ON sb.doc_id = id_b
-         |WHERE jaccard >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |SELECT source, count(*) AS n_kept
+         |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = doc.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // Charikar votes over portable md5 hashes, sign bits reassembled,
     // pigeonhole chunk join, Hamming verify — every stage rerun in SQL.
