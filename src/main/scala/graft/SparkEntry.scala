@@ -2178,7 +2178,16 @@ object SparkEntry {
     * the pair-level and cluster-keep oracles.
     */
   private def portableMinhashCtesSql(
-      k: Int, numHashes: Int, r: Int, threshold: Double): String =
+      k: Int, numHashes: Int, r: Int, threshold: Double): String = {
+    val P = graft.ops.Dedup.PortableP
+    val sigCols = (0 until numHashes).map { i =>
+      val (a, b) = graft.ops.Dedup.portablePerm(i)
+      s"min((x * $a + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until numHashes / r).map { j =>
+      val key = (0 until r).map(x => s"h${j * r + x}").mkString("[", ", ", "]")
+      s"SELECT doc_id, $j AS bidx, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""d AS (
        |  SELECT doc_id, $duckToks AS toks FROM documents
        |), g AS (
@@ -2186,16 +2195,15 @@ object SparkEntry {
        |    generate_series(1, len(toks) - ${k - 1}),
        |    i -> array_to_string(toks[i:i+${k - 1}], ' '))) AS grams
        |  FROM d WHERE len(toks) >= $k
-       |), gh AS (
-       |  SELECT doc_id, unnest(grams) AS gram FROM g
-       |), mh AS (
-       |  SELECT doc_id, i,
-       |    min(('0x' || substr(md5(i::VARCHAR || ':' || gram), 1, 13))::BIGINT) AS h
-       |  FROM gh CROSS JOIN (SELECT unnest(range($numHashes)) AS i)
-       |  GROUP BY doc_id, i
+       |), gx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 13))::BIGINT % $P AS x
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM gx GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, i // $r AS bidx, list(h ORDER BY i) AS bkey
-       |  FROM mh GROUP BY doc_id, i // $r
+       |  $bandRows
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
@@ -2212,6 +2220,7 @@ object SparkEntry {
        |            JOIN sets sb ON sb.doc_id = id_b
        |  WHERE jaccard >= $threshold
        |)""".stripMargin
+  }
 
   /** The analyzer-normalized text in DuckDB (mirror of
     * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))`).
@@ -3267,10 +3276,17 @@ object SparkEntry {
     // Integer postings → BIGINT dot/norms → three IEEE ops: bit-exact in
     // any engine (see Dedup.tfCosinePairs).
     "dedup_tfcosine" ->
-      s"""WITH posting AS (
+      s"""WITH rawposting AS (
          |  SELECT doc_id, t, count(*)::BIGINT AS tf
          |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
          |  GROUP BY doc_id, t
+         |), n AS (
+         |  SELECT count(DISTINCT doc_id) AS n FROM rawposting
+         |), posting AS (
+         |  -- drop tokens in > 50/1000 of docs (exact-integer cutoff)
+         |  SELECT p.* FROM rawposting p WHERE p.t NOT IN (
+         |    SELECT t FROM rawposting, n GROUP BY t, n.n
+         |    HAVING count(*) * 1000 > n.n * 50)
          |), norms AS (
          |  SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM posting GROUP BY doc_id
          |), dots AS (

@@ -85,6 +85,53 @@ object WinnowAlgo {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL k-gram portable hashes of `text`, sorted distinct — the
+    * un-winnowed set (the portable MinHash twin's gram space). Same
+    * tokenize + gram-string + md5 loop as [[fingerprints]] without the
+    * window-min selection; one row-local kernel pass where the HOF
+    * formulation (`transform` + `slice` + `concat_ws` + md5 per gram) ran
+    * interpreted and 10× slower at corpus scale.
+    */
+  def gramHashes(text: UTF8String, k: Int): ArrayData = {
+    val toks = TextShingleAlgo.tokenize(text)
+    if (toks.length < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = toks.length - k + 1
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(portableHash(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `text → array<long>` sorted distinct portable k-gram hashes (codegen'd). */
+case class GramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_gram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(text: Any): Any =
+    WinnowAlgo.gramHashes(text.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.WinnowAlgo.gramHashes($t, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
 }
 
 /** `text → array<long>` sorted distinct winnowed fingerprints (codegen'd). */
@@ -109,5 +156,11 @@ object Winnow {
   def fingerprints(text: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, s"winnow: k and w must be positive, got k=$k w=$w")
     ColumnShim.column(WinnowExpr(ColumnShim.expression(text), k, w))
+  }
+
+  /** Sorted distinct portable k-gram hashes of `text` (no winnowing). */
+  def gramHashes(text: Column, k: Int): Column = {
+    require(k >= 1, s"gramHashes: k must be positive, got k=$k")
+    ColumnShim.column(GramHashesExpr(ColumnShim.expression(text), k))
   }
 }

@@ -253,8 +253,10 @@ object Dedup {
     * sign bits assembled into a 52-bit fingerprint, pigeonhole chunk
     * join, Hamming verify. The codegen'd 64-bit kernel
     * ([[graft.expr.SimHash]]) stays the scale path — one row-local pass;
-    * this twin explodes tokens × 52 bit positions through a groupBy and
-    * exists to certify the kernel's banding cross-engine.
+    * this twin pays one md5 per token occurrence and folds the 52 bit
+    * tallies as plain sum() aggregates in a single codegen'd
+    * HashAggregate (no per-bit explode), to certify the kernel's banding
+    * cross-engine.
     */
   def simhashNearDupPairsPortable(
       df: DataFrame,
@@ -269,18 +271,19 @@ object Dedup {
     val mask = (1L << chunkBits) - 1
     def portableHash(c: Column): Column =
       conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+    val tallyAggs = (0 until bits).map { b =>
+      sum(when(shiftrightunsigned(col("_h"), b).bitwiseAND(lit(1L)) === 1L, lit(1))
+        .otherwise(lit(-1))).as(s"_t$b")
+    }
     val sims = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
       .select(col(idCol), portableHash(col("_t")).as("_h"))
-      .select(col(idCol), explode(sequence(lit(0), lit(bits - 1))).as("_b"), col("_h"))
-      .withColumn("_vote",
-        when(expr("shiftrightunsigned(_h, cast(_b as int))").bitwiseAND(lit(1L)) === 1L, lit(1))
-          .otherwise(lit(-1)))
-      .groupBy(col(idCol), col("_b"))
-      .agg(sum(col("_vote")).as("_tally"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("_tally") > 0, expr("shiftleft(1L, cast(_b as int))")).otherwise(lit(0L)))
-        .as("_sim"))
+      .agg(tallyAggs.head, tallyAggs.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+          when(col(s"_t$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("_sim"))
     val chunks = sims
       .select(col(idCol), col("_sim"), explode(array((0 until numChunks).map(j =>
         struct(lit(j).as("idx"), shiftrightunsigned(col("_sim"), j * chunkBits).bitwiseAND(mask).as("v"))): _*)).as("_chunk"))
@@ -597,12 +600,28 @@ object Dedup {
     * seam to port.
     *
     * The xxhash64 kernel ([[minhashNearDupPairs]]) remains the scale path:
-    * one row-local signature pass, no explode. This twin pays
-    * grams × numHashes md5s through an explode + groupBy — run it to
-    * certify the fast path's banding on a sample, or wherever cross-engine
-    * verifiability outranks throughput (same contract as
+    * one row-local signature pass, no explode. This twin pays one md5 per
+    * gram plus numHashes integer permutations `(a_i·x + b_i) mod (2^31−1)`
+    * folded as min() aggregates in a single codegen'd HashAggregate — run
+    * it to certify the fast path's banding on a sample, or wherever
+    * cross-engine verifiability outranks throughput (same contract as
     * [[graft.ops.Sampling.hashUnit]] vs `hashUnitFast`).
     */
+  /** Mersenne prime 2^31 − 1: the modulus of the portable permutation
+    * family `h_i(x) = (a_i·x + b_i) mod P`. With x, a, b < P the product
+    * stays under 2^62 — exact in any engine's 64-bit integer arithmetic,
+    * no md5 per (gram, seed) needed (one md5 per gram; the permutations
+    * are plan-time constants derived from the same portable hash).
+    */
+  private[graft] val PortableP: Long = (1L << 31) - 1
+
+  /** Seeded permutation constants, derived from [[WinnowAlgo.portableHash]]
+    * so both the engine plan and the SQL oracle inline the SAME literals.
+    */
+  private[graft] def portablePerm(i: Int): (Long, Long) = (
+    graft.expr.WinnowAlgo.portableHash(s"a:$i") % (PortableP - 1) + 1,
+    graft.expr.WinnowAlgo.portableHash(s"b:$i") % PortableP)
+
   def minhashNearDupPairsPortable(
       df: DataFrame,
       idCol: String,
@@ -612,29 +631,30 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    def portableHash(c: Column): Column =
-      conv(substring(md5(c), 1, 13), 16, 10).cast("long")
-    val toks = filter(
-      split(graft.expr.TextMatch.normalized(col(textCol)), " +"), t => t =!= "")
-    val gramTexts = when(size(toks) >= shingleK,
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(shingleK)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(shingleK))))))
-      .otherwise(array().cast("array<string>"))
+    // Sorted distinct portable gram hashes from the row-local kernel
+    // ([[graft.expr.Winnow.gramHashes]] — tokenize + gram string + md5 in
+    // one codegen'd pass; the HOF formulation ran interpreted and 10×
+    // slower). Doubles as the verification set.
     val base = spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), gramTexts.as("_grams"))
-      .where(size(col("_grams")) > 0)
+      .select(col(idCol), graft.expr.Winnow.gramHashes(col(textCol), shingleK).as("_sh"))
+      .where(size(col("_sh")) > 0)
 
-    val mh = base
-      .select(col(idCol), explode(col("_grams")).as("_g"))
-      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("_i"), col("_g"))
-      .select(col(idCol), col("_i"),
-        portableHash(concat(col("_i").cast("string"), lit(":"), col("_g"))).as("_h"))
-      .groupBy(col(idCol), col("_i"))
-      .agg(min(col("_h")).as("_mh"))
-    val bands = mh
-      .withColumn("_bidx", expr(s"_i div $rowsPerBand"))
-      .groupBy(col(idCol), col("_bidx"))
-      .agg(expr("transform(sort_array(collect_list(struct(_i, _mh))), s -> s._mh)").as("_bkey"))
+    // One portable hash per gram, reduced mod P; the numHashes permutation
+    // minima are plain min() aggregates over it — a single codegen'd
+    // HashAggregate (fixed-width long buffers), no per-seed explode,
+    // map-side partials.
+    val gx = base.select(col(idCol), explode(col("_sh")).as("_g"))
+      .select(col(idCol), (col("_g") % lit(PortableP)).as("_x"))
+    val sigAggs = (0 until numHashes).map { i =>
+      val (a, b) = portablePerm(i)
+      min((col("_x") * lit(a) + lit(b)) % lit(PortableP)).as(s"_h$i")
+    }
+    val sig = gx.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = sig.select(col(idCol), explode(array((0 until numBands).map { j =>
+      struct(lit(j).as("idx"),
+        array((0 until rowsPerBand).map(r => col(s"_h${j * rowsPerBand + r}")): _*).as("key"))
+    }: _*)).as("_band"))
+      .select(col(idCol), col("_band.idx").as("_bidx"), col("_band.key").as("_bkey"))
     val a = bands.select(col(idCol).as("id_a"), col("_bidx"), col("_bkey"))
     val b = bands.select(col(idCol).as("id_b"), col("_bidx"), col("_bkey"))
     val candidates = a.join(b, Seq("_bidx", "_bkey"))
@@ -642,11 +662,9 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    val sets = base.select(col(idCol),
-      sort_array(array_distinct(transform(col("_grams"), g => portableHash(g)))).as("_sh"))
     candidates
-      .join(sets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+      .join(base.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
       .withColumn("jaccard", TextShingles.jaccardSorted(col("_sh_a"), col("_sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -669,23 +687,45 @@ object Dedup {
     * ([[graft.expr.TextMatch.normalized]]).
     *
     * Shape: token postings `(id, token, tf)` self-join on token — the
-    * inverted index, candidates ∝ Σ df² like [[ngramJaccardPairs]] (same
-    * caveat, same prefix-filter escape for dense corpora); the two norm
-    * attachments join 1-row-per-doc frames. No all-pairs product anywhere.
+    * inverted index. The Σ df² self-join cost is dominated by UBIQUITOUS
+    * tokens (a stopword in every document alone contributes N²/2 candidate
+    * rows — measured 175 s at 5k docs unfiltered), so tokens whose document
+    * frequency exceeds `maxDfPermille`/1000 of the corpus are DROPPED from
+    * the vector space before anything joins: the standard all-pairs
+    * practice (a token in most documents carries no near-dup signal — its
+    * contribution to every pair's cosine is the same). The cutoff compares
+    * exact integers (`df·1000 > n·permille`), so both engines draw the
+    * SAME vocabulary line. Norms are computed in the filtered space —
+    * cosine stays a true cosine there. The two norm attachments join
+    * 1-row-per-doc frames; no all-pairs product anywhere.
     */
   def tfCosinePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      tau: Double): DataFrame = {
+      tau: Double,
+      maxDfPermille: Int = 50): DataFrame = {
     require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      "maxDfPermille must be in [1, 1000]")
     val toks = filter(
       split(graft.expr.TextMatch.normalized(col(textCol)), " +"),
       t => t =!= "")
-    val posting = spread(df.select(col(idCol), toks.as("_toks")))
+    val rawPosting = spread(df.select(col(idCol), toks.as("_toks")))
       .select(col(idCol), explode(col("_toks")).as("_t"))
       .groupBy(col(idCol), col("_t"))
       .agg(count(lit(1)).as("_tf"))
+    // The dropped-token table is TINY (the few hundred most common words)
+    // — a broadcast anti-join prunes the posting table without shuffling
+    // it; the 1-row corpus count attaches the same way as the keyskew
+    // profiler's scalar total.
+    val total = rawPosting.agg(count_distinct(col(idCol)).as("_n"))
+    val dropped = rawPosting.groupBy(col("_t"))
+      .agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(total))
+      .where(col("_df") * lit(1000L) > col("_n") * lit(maxDfPermille.toLong))
+      .select("_t")
+    val posting = rawPosting.join(broadcast(dropped), Seq("_t"), "left_anti")
     val norms = posting.groupBy(col(idCol))
       .agg(sum(col("_tf") * col("_tf")).as("_n2"))
     val a = posting.select(col(idCol).as("id_a"), col("_t"), col("_tf").as("_tfa"))

@@ -254,7 +254,8 @@ class DedupSpec extends SparkSpecBase {
       (3L, "A a B!"),          // analyzer-equal to doc 1 → cosine 1.0
       (4L, "c d e"),           // disjoint from 1-3 → no pair at all
     ).toDF("doc_id", "text")
-    val got = Dedup.tfCosinePairs(docs, "doc_id", "text", tau = 0.5)
+    // maxDfPermille = 1000 keeps the whole tiny vocabulary in play
+    val got = Dedup.tfCosinePairs(docs, "doc_id", "text", tau = 0.5, maxDfPermille = 1000)
       .orderBy("id_a", "id_b")
       .as[(Long, Long, Double)].collect().toSeq
     // dot(1,2) = 2·1 + 1·2 = 4; cosine = 4 / (√5·√5) — the exact IEEE
@@ -269,5 +270,26 @@ class DedupSpec extends SparkSpecBase {
     // the SET view (Jaccard on 1-token shingles) cannot tell 1 from 2 —
     // identical token sets — while TF-cosine resolves the repeat weighting
     assert(got.find(p => p._1 == 1L && p._2 == 2L).get._3 < 1.0)
+  }
+
+  test("tfCosinePairs drops ubiquitous tokens from the vector space") {
+    // 'the' appears in every doc (1000 permille); docs 1 and 2 share ONLY
+    // it. At maxDfPermille = 500 the stopword leaves the space: 1-2 lose
+    // their pair, while 3-4 still match on discriminative tokens.
+    val docs = Seq(
+      (1L, "the alpha"),
+      (2L, "the beta"),
+      (3L, "the gamma delta"),
+      (4L, "the gamma delta"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.tfCosinePairs(docs, "doc_id", "text", tau = 0.5, maxDfPermille = 500)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 4L)))
+    // with the cutoff off, the shared stopword alone makes 1-2 similar
+    // (tau below 1/2: the exact IEEE cosine is one ulp UNDER 0.5 — √2·√2
+    // is one ulp over 2)
+    val noCut = Dedup.tfCosinePairs(docs, "doc_id", "text", tau = 0.45, maxDfPermille = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(noCut.contains((1L, 2L)))
   }
 }
