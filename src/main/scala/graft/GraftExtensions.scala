@@ -70,7 +70,24 @@ object GraftExtensions {
         "graft_language_id(text) - n-gram-profile language guess ('und' below threshold)"),
       (args: Seq[Expression]) => LanguageIdExpr(args(0),
         graft.ops.TextAnalysis.languageProfiles.toSeq, 0.05)),
+    ("graft_winnow",
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - sorted distinct winnowed k-gram fingerprints (window w)"),
+      (args: Seq[Expression]) => WinnowExpr(args(0), litInt(args(1)), litInt(args(2)))),
+    ("graft_gram_hashes",
+      info("graft_gram_hashes",
+        "graft_gram_hashes(text, k) - sorted distinct portable (md5-based) k-gram hashes"),
+      (args: Seq[Expression]) => GramHashesExpr(args(0), litInt(args(1)))),
   )
+
+  /** Constant-int argument of a registered function (k, w, …): these size
+    * kernel buffers at plan time, so a non-foldable argument is a usage
+    * error worth a clear message.
+    */
+  private def litInt(e: Expression): Int = {
+    require(e.foldable, s"expected a literal integer argument, got: ${e.sql}")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
 
   /** Register on an already-built session (the extensions path only works at
     * session build time).

@@ -50,6 +50,28 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(j === 0.5)
   }
 
+  test("portable fingerprint kernels from SQL agree with the Column API") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val text = "the quick brown fox jumps over the lazy dog"
+    val viaSql = spark.sql(s"SELECT graft_gram_hashes('$text', 2)")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(text).toDF("t")
+      .select(graft.expr.Winnow.gramHashes(col("t"), 2)).as[Seq[Long]].head()
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+    val winSql = spark.sql(s"SELECT graft_winnow('$text', 2, 3)").as[Seq[Long]].head()
+    val winCol = Seq(text).toDF("t")
+      .select(graft.expr.Winnow.fingerprints(col("t"), 2, 3)).as[Seq[Long]].head()
+    assert(winSql === winCol && winSql.nonEmpty)
+    // winnowed fingerprints are a subset of the full gram-hash set
+    assert(winSql.toSet.subsetOf(viaSql.toSet))
+    // non-literal k is a clear usage error, not a ClassCastException
+    val e = intercept[Exception] {
+      Seq(text).toDF("t").createOrReplaceTempView("gx_t")
+      spark.sql("SELECT graft_gram_hashes(t, length(t)) FROM gx_t").collect()
+    }
+    assert(e.getMessage.contains("literal integer"))
+  }
+
   test("vec_avg aggregate from SQL") {
     Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0))).toDF("g", "v")
       .createOrReplaceTempView("vecs_sql")
