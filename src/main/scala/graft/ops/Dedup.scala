@@ -491,13 +491,13 @@ object Dedup {
     * Cost: one extra df aggregate + one rank window vs [[ngramJaccardPairs]],
     * in exchange for a candidate join on rare-shingle postings only — the
     * exact path that survives dense corpora (the scaladoc warning on
-    * [[ngramJaccardPairs]] does not apply). The ranked prefix table is
-    * `localCheckpoint`ed (it is small — a subset of the posting table) so
-    * the self-join and the verification read it once instead of re-running
-    * the df-join + window per branch; this makes the operator EAGER at
-    * call time and, on a multi-executor cluster, trades lineage-based
-    * recovery for speed (an executor loss fails the job — acceptable for a
-    * batch dedup pass, swap for `checkpoint` with a checkpoint dir if not).
+    * [[ngramJaccardPairs]] does not apply). The shingle-set and
+    * ranked-prefix frames are persisted WITH lineage (recomputation-safe
+    * on executor loss, unlike an orphaned localCheckpoint) so each
+    * multi-consumer subtree runs once; the operator is EAGER — the
+    * verified pair list (small: the actual near-dups) checkpoints at call
+    * time and the posting scratch unpersists immediately, so a long-lived
+    * session retains the result, not the machinery.
     *
     * Measured crossover (sf0.1, 5k docs, local[32]): this corpus's shingles
     * are mostly near-unique, so the unfiltered count-as-intersection join
@@ -515,9 +515,17 @@ object Dedup {
       threshold: Double,
       shingleK: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // Both shared frames persist WITH lineage (not localCheckpoint — see
+    // scaladoc) so the shingle kernel and the ranked-prefix pipeline each
+    // run once: withSets is read by the posting build AND both sides of
+    // the verification join; prefix by both sides of the candidate
+    // self-join. The verified pair list (small — the near-dups) is
+    // checkpointed eagerly and the scratch unpersists, so a long-lived
+    // session retains the result, not the posting machinery.
     val withSets = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), sort_array(shingles(col(textCol), shingleK)).as("_sh"))
       .where(size(col("_sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val posting = withSets.select(col(idCol), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s"))
     // Global canonical order: ascending df, shingle hash as tiebreak. The
@@ -530,7 +538,7 @@ object Dedup {
       .withColumn("_rank", row_number().over(w))
       .where(col("_rank") <= (col("_n") - ceil(col("_n") * threshold) + 1).cast("int"))
       .select(col(idCol), col("_n"), col("_s"))
-      .localCheckpoint() // evaluate the ranked pipeline ONCE (see scaladoc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefix.select(col(idCol).as("id_a"), col("_n").as("_na"), col("_s"))
     val b = prefix.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_s"))
@@ -540,12 +548,16 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val verified = candidates
       .join(withSets.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
       .join(withSets.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
       .withColumn("jaccard", TextShingles.jaccardSorted(col("_sh_a"), col("_sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint()
+    prefix.unpersist(blocking = false)
+    withSets.unpersist(blocking = false)
+    verified
   }
 
   /** PARTIAL-overlap (containment) pairs via winnowing fingerprints
