@@ -159,11 +159,15 @@ object EventStreams {
               spark.range(0).select(col("id").as("fp"))
           }
         val accepted = graft.ops.Dedup.exactIncremental(batch, textCol, tieBreaker, store)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         accepted
           .withColumn("fp", graft.ops.TextAnalysis.contentFingerprint(col(s"`$textCol`")))
           .withColumn("_batch", lit(id))
-          .write.mode("overwrite").partitionBy("_batch").parquet(acceptedPath)
+          .write.mode("overwrite")
+          // writer-scoped, NOT spark.conf.set: mutating the session conf
+          // would silently change overwrite semantics for every other
+          // writer sharing the session
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(acceptedPath)
       }
       .start()
 
