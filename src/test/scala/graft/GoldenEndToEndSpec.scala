@@ -133,4 +133,10 @@ class GoldenEndToEndSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toSeq
     assert(filtered === Seq(("Homicide", 3L), ("Shooting", 1L)))
   }
+
+  test("driver contract: entry returns rows at sf0.001") {
+    // The driver smoke-checks exactly this — pin it here so a refactor
+    // that breaks the flagship path fails in CI, not at round end.
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
