@@ -1151,14 +1151,23 @@ object SparkEntry {
       // at once (`services/webapp/src/config.js:22`,
       // `collections.js:66-81`) — not a per-table fetch. Each city's
       // dictionary is profiled once over its published (at-rest) shape and
-      // pinned warm; the fetch itself unions three kilobyte-sized cached
-      // views and never touches a corpus. The `dataset` column plays the
-      // role of the ES `_index` name the webapp groups fields by.
-      Seq("baltimore", "detroit", "losangeles").map { city =>
-        Dictionary.materializeProfile(s, cityPublished(s, city),
-            s"graft_dict_city_$city")
-          .withColumn("dataset", lit(city))
-      }.reduce(_.unionByName(_))
+      // pinned warm; the fetch itself reads ONE published kilobyte-sized
+      // federated view and never touches a corpus. The `dataset` column
+      // plays the role of the ES `_index` name the webapp groups fields by.
+      // Publishing the union once (not re-deriving it per fetch) mirrors the
+      // wildcard index itself: `*dictionary*` is a single at-rest surface.
+      val fed =
+        if (s.catalog.tableExists("graft_dict_federated")) {
+          s.table("graft_dict_federated")
+        } else {
+          val union = Seq("baltimore", "detroit", "losangeles").map { city =>
+            Dictionary.materializeProfile(s, cityPublished(s, city),
+                s"graft_dict_city_$city")
+              .withColumn("dataset", lit(city))
+          }.reduce(_.unionByName(_))
+          Dictionary.publishResult(s, union, "graft_dict_federated")
+        }
+      fed
         .where(col("dict_field").isNotNull)
         .select("dataset", "dict_field", "dict_vargroup", "dict_vartype",
           "dict_vardescr", "dict_min", "dict_max", "dict_countdistinct",

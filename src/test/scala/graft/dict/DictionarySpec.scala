@@ -182,7 +182,9 @@ class DictionarySpec extends SparkSpecBase {
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("n", "s")
     try {
       val warm = Dictionary.materializeProfile(spark, df, name)
-      assert(spark.catalog.isCached(name))
+      // published as a local relation: the warm plan carries NO corpus
+      // lineage (no scan, no aggregate) — it IS the at-rest rows
+      assert(warm.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
       val cold = Dictionary.profile(df)
       val canon = (d: org.apache.spark.sql.DataFrame) =>
         d.orderBy("dict_field").collect().map(_.toString).toSeq
@@ -193,7 +195,6 @@ class DictionarySpec extends SparkSpecBase {
       val again = Dictionary.materializeProfile(spark, boom, name)
       assert(canon(again) === canon(cold))
     } finally {
-      spark.catalog.uncacheTable(name)
       spark.catalog.dropTempView(name)
     }
   }
