@@ -342,6 +342,9 @@ object SparkEntry {
     *  - `POST /dashboard`: state over the federated city dictionary → all
     *    five saved visualizations (the `dashboard_refresh_warm` unit); an
     *    empty body serves the saved dashboard's own state.
+    *  - `POST /fields`: the Q8 dictionary fetch — the projection the webapp
+    *    builds its widget list from on page load (`collections.js:66-81`);
+    *    body ignored (the wildcard fetch takes no parameters).
     *
     * `port = 0` binds an ephemeral port; caller owns `stop()`.
     */
@@ -365,6 +368,9 @@ object SparkEntry {
       "/dashboard" -> { body =>
         val state = if (body.trim.isEmpty) dashboardStateJson else body
         WidgetServer.collectRowsJson(dashboardRefresh(s, warm = true, state))
+      },
+      "/fields" -> { _ =>
+        WidgetServer.collectRowsJson(queries("q8_dict_fetch_warm")(s, dir))
       },
       "/suggest" -> { body =>
         // The webapp's typeahead against `*harmonized*` (views.js:378-412):
@@ -409,9 +415,14 @@ object SparkEntry {
     def flat(df: DataFrame, key: String) =
       df.select(lit(label).as("viz"), col(key).cast("string").as("key"),
         lit("").as("subkey"), col("count"))
-    val buckets = v.buckets.filter(b =>
-      b.aggType == "geohash_grid" || f.columns.contains(b.field))
+    val buckets = v.buckets.filter(b => f.columns.contains(b.field))
     buckets match {
+      case Seq() if v.buckets.nonEmpty =>
+        // every bucket field is absent from the serving frame: the panel
+        // renders as nothing, not as an error (matches the terms degrade)
+        f.sparkSession.emptyDataFrame
+          .select(lit(label).as("viz"), lit("").as("key"),
+            lit("").as("subkey"), lit(0L).as("count"))
       case Seq(b @ BucketAgg("geohash_grid", _, _, _, _)) =>
         flat(Aggs.geohashGridFromGeoloc(f, b.field, b.precision), "geohash")
       case Seq(b @ BucketAgg("terms", _, _, _, _)) =>
@@ -2773,10 +2784,14 @@ object SparkEntry {
     // collisions, same established equivalence as dedup_exact_fingerprint).
     "dedup_exact_incremental" ->
       s"""WITH store AS (
-         |  SELECT DISTINCT $duckNorm AS fp FROM documents WHERE doc_id % 2 = 0
+         |  SELECT DISTINCT fp FROM (
+         |    SELECT $duckNorm AS fp FROM documents WHERE doc_id % 2 = 0
+         |  ) WHERE fp IS NOT NULL
          |), batch AS (
-         |  SELECT source, doc_id, $duckNorm AS fp FROM documents
-         |  WHERE doc_id % 2 <> 0
+         |  SELECT source, doc_id, fp FROM (
+         |    SELECT source, doc_id, $duckNorm AS fp FROM documents
+         |    WHERE doc_id % 2 <> 0
+         |  ) WHERE fp IS NOT NULL
          |), fresh AS (
          |  SELECT source, fp,
          |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn

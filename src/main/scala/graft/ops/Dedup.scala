@@ -77,6 +77,11 @@ object Dedup {
     * stays associative (order of batches never changes the accepted set
     * when batches are disjoint in time — each row is judged against
     * everything accepted before it).
+    *
+    * Null-text rows have a null fingerprint, which a LEFT ANTI join always
+    * keeps while a `NOT IN` store check never would — an undefined row with
+    * no content to judge. Both this and [[fingerprints]] drop them, so the
+    * engine and its oracle agree and a null never poisons the store.
     */
   def exactIncremental(
       batch: DataFrame,
@@ -85,7 +90,9 @@ object Dedup {
       seenFingerprints: DataFrame): DataFrame = {
     require(seenFingerprints.columns.toSeq == Seq("fp"),
       s"seenFingerprints must be a single 'fp' column, got ${seenFingerprints.columns.mkString(",")}")
-    val withFp = batch.withColumn("_fp", TextAnalysis.contentFingerprint(col(s"`$textCol`")))
+    val withFp = batch
+      .withColumn("_fp", TextAnalysis.contentFingerprint(col(s"`$textCol`")))
+      .where(col("_fp").isNotNull)
     exact(
       withFp.join(seenFingerprints.select(col("fp").as("_fp")), Seq("_fp"), "left_anti"),
       Seq("_fp"), tieBreaker)
@@ -96,7 +103,9 @@ object Dedup {
     * the at-rest store after [[exactIncremental]].
     */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
-    df.select(TextAnalysis.contentFingerprint(col(s"`$textCol`")).as("fp")).distinct()
+    df.select(TextAnalysis.contentFingerprint(col(s"`$textCol`")).as("fp"))
+      .where(col("fp").isNotNull)
+      .distinct()
 
   /** Compute-bound per-row stages (shingling, signatures, hamming) must not
     * inherit a coarse upstream partitioning: a corpus that fits one parquet

@@ -114,10 +114,15 @@ object TextAnalysis {
 
   /** 64-bit content fingerprint: xxhash64 of the analyzer-normalized text, so
     * case/punctuation/whitespace variants collide — exact-dedup key for
-    * near-identical formatting variants.
+    * near-identical formatting variants. Null-propagating: `xxhash64` alone
+    * hashes a null argument to its seed (42), which would give undefined
+    * content a real fingerprint; a null text must have a null fingerprint,
+    * matching `md5`'s (and the DuckDB oracle's) null semantics.
     */
-  def contentFingerprint(c: Column): Column =
-    xxhash64(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
+  def contentFingerprint(c: Column): Column = {
+    val norm = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    when(norm.isNotNull, xxhash64(norm))
+  }
 
   /** Portable 128-bit fingerprint: md5 hex of the same analyzer-normalized
     * text — bit-identical in any engine with `md5` (the DuckDB oracle

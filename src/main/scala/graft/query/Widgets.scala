@@ -86,8 +86,13 @@ object Widgets {
         val name = el.path("name").asText()
         val f = fc.fields.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(s"unknown or unfilterable field '$name'"))
+        def requireBounds(): Unit =
+          require(value.isArray && value.size >= 2,
+            s"field '$name': a ${f.varType} selection needs a 2-element " +
+              s"[lo, hi] array on the wire, got: $value")
         val sel = f.varType match {
           case VarType.Range(_, _, _) =>
+            requireBounds()
             Selection.RangeSel(value.get(0).asDouble(), value.get(1).asDouble())
           case VarType.Enum(_) =>
             val vs = Seq.newBuilder[String]
@@ -97,6 +102,7 @@ object Widgets {
           case VarType.Bool => Selection.BoolSel(value.asInt())
           case VarType.DateTime =>
             // epoch_millis on the wire (`generateQuery`'s range format)
+            requireBounds()
             Selection.TimeSel(value.get(0).asLong(), value.get(1).asLong())
           case VarType.Text | VarType.Unknown => Selection.TextSel(value.asText())
           case VarType.Identifier =>

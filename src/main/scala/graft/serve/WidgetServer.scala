@@ -31,9 +31,17 @@ object WidgetServer {
 
   /** Start a localhost server with `routes` of `path -> (requestBody =>
     * responseJson)`. `port = 0` binds an ephemeral port (read it back from
-    * `server.getAddress.getPort` — the spec's pattern). Handler errors map
-    * to a 500 with a JSON error body, matching the proxy's behavior of
-    * passing ES errors through rather than dying.
+    * `server.getAddress.getPort` — the spec's pattern).
+    *
+    * Status mapping follows the reference proxy's split between client and
+    * server faults (aws-es-kibana forwards ES's own 4xx for malformed query
+    * DSL, 5xx for engine faults): a request that fails to PARSE or
+    * VALIDATE — malformed JSON, a widget-state blob contradicting the
+    * dictionary (`Widgets.fromJson`'s IllegalArgumentException) — is a 400;
+    * anything the engine throws past validation is a 500. JDK HttpServer
+    * prefix-matches contexts and ignores the method, so the handler
+    * re-checks both: exact path (404 otherwise) and POST-only (405), as
+    * nginx would enforce in front of the reference.
     */
   def start(port: Int = 0)(routes: (String, String => String)*): HttpServer = {
     val server = HttpServer.create(
@@ -43,17 +51,27 @@ object WidgetServer {
         override def handle(ex: HttpExchange): Unit = {
           val out =
             try {
-              val body = new String(ex.getRequestBody.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8)
-              Right(route(body))
+              if (ex.getRequestURI.getPath != path)
+                Left((404, s"no such route: ${ex.getRequestURI.getPath}"))
+              else if (ex.getRequestMethod != "POST")
+                Left((405, s"${ex.getRequestMethod} not allowed; POST $path"))
+              else {
+                val body = new String(ex.getRequestBody.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                Right(route(body))
+              }
             } catch {
-              case e: Throwable => Left(Option(e.getMessage).getOrElse(e.toString))
+              case e @ (_: IllegalArgumentException |
+                        _: com.fasterxml.jackson.core.JacksonException) =>
+                Left((400, Option(e.getMessage).getOrElse(e.toString)))
+              case e: Throwable =>
+                Left((500, Option(e.getMessage).getOrElse(e.toString)))
             }
           try {
             val (code, payload) = out match {
               case Right(json) => (200, json)
-              case Left(err) =>
-                (500, "{\"error\":" + quoteJson(err) + "}")
+              case Left((c, err)) =>
+                (c, "{\"error\":" + quoteJson(err) + "}")
             }
             val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             ex.getResponseHeaders.add("Content-Type", "application/json")

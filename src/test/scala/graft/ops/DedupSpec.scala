@@ -247,6 +247,21 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.exactIncremental(yesterday, "text", "doc_id", updated).count() === 0)
   }
 
+  test("exactIncremental: null-text rows are dropped, never poison the store") {
+    // a null fingerprint would survive a LEFT ANTI join (always "not seen")
+    // while the oracle's NOT IN drops it — and a null IN the store would
+    // make NOT IN reject every row. Both sides define nulls away.
+    val yesterday = Seq((1L, "kept doc"), (2L, null)).toDF("doc_id", "text")
+    val store = Dedup.fingerprints(yesterday, "text")
+    assert(store.count() === 1) // the null text contributed no fingerprint
+    val today = Seq(
+      (10L, null),              // undefined content → dropped
+      (11L, "fresh document")).toDF("doc_id", "text")
+    val accepted = Dedup.exactIncremental(today, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(accepted === Seq(11L))
+  }
+
   test("tfCosinePairs: hand-computed integer TF cosine, repeats weighted") {
     val docs = Seq(
       (1L, "a a b"),           // tf {a:2, b:1}, ||.||² = 5

@@ -86,4 +86,19 @@ class VisStateSpec extends SparkSpecBase {
       === Array(("Baltimore", 1L), ("Detroit", 1L)))
     assert(rows.forall(_.getString(2) === ""))
   }
+
+  test("renderViz: a map panel over a frame missing its geo field renders nothing") {
+    import spark.implicits._
+    // previously exempted from the missing-field check: a saved map whose
+    // field the serving frame lacks threw at render instead of degrading
+    val f = Seq(("Baltimore", 1), ("Detroit", 2)).toDF("city", "hour")
+    val map = VisState.parseVisState("IncidentMap",
+      """{"title":"IncidentMap","type":"tile_map","aggs":[
+        |{"id":"1","type":"count","schema":"metric","params":{}},
+        |{"id":"2","type":"geohash_grid","schema":"segment",
+        | "params":{"field":"geolocation","precision":4}}]}""".stripMargin)
+    val rows = SparkEntry.renderViz(f, map)
+    assert(rows.columns.toSeq === Seq("viz", "key", "subkey", "count"))
+    assert(rows.count() === 0)
+  }
 }

@@ -110,13 +110,48 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
-  test("handler errors surface as a 500 with a JSON error body") {
+  test("client faults are 400, wrong method 405, wrong path 404 — engine faults stay 500") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {
       val port = server.getAddress.getPort
+      // malformed JSON: a request-parse failure, not an engine fault
       val (code, body) = post(s"http://127.0.0.1:$port/query", "this is not json")
-      assert(code === 500)
+      assert(code === 400)
       assert(body.startsWith("{\"error\":"))
+      // a state blob contradicting the dictionary: validation, still client-side
+      val (code2, body2) = post(s"http://127.0.0.1:$port/query",
+        """[{"name": "no_such_field", "value": "x",
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+      assert(code2 === 400)
+      assert(body2.contains("no_such_field"))
+      // a range widget with a scalar value: malformed bounds, clear message
+      val (code3, body3) = post(s"http://127.0.0.1:$port/query",
+        """[{"name": "l_quantity", "value": 10,
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+      assert(code3 === 400)
+      assert(body3.contains("l_quantity"))
+      // JDK HttpServer prefix-matches contexts; the handler must not
+      val client = java.net.http.HttpClient.newHttpClient()
+      val getResp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port/query")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(getResp.statusCode() === 405)
+      val (code4, _) = post(s"http://127.0.0.1:$port/queryanything", widgetState)
+      assert(code4 === 404)
+    } finally server.stop(0)
+  }
+
+  test("POST /fields serves the Q8 dictionary projection on page load") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) = post(s"http://127.0.0.1:$port/fields", "")
+      assert(code === 200)
+      val direct = WidgetServer.collectRowsJson(
+        SparkEntry.queries("q8_dict_fetch_warm")(spark, sfDir))
+      assert(body === direct)
+      assert(body.contains("dict_field") && body.contains("dict_vartype"))
     } finally server.stop(0)
   }
 }
