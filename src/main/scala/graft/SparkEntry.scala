@@ -2125,6 +2125,15 @@ object SparkEntry {
       Multimodal.featureStatsByKind(load(dir, "documents"), "doc_id", "text", dim = 16)
     }),
 
+    "mm_meta_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The integer-exact slice of the multimodal pipeline: counts, byte
+      // totals, dimensions, durations, and sampled-frame arithmetic are
+      // deterministic integers, so this leg hash-matches its oracle while
+      // the codec's float features stay spec-pinned (MultimodalSpec).
+      Multimodal.metaStatsByKind(load(dir, "documents"), "doc_id", "text")
+    }),
+
     // ===== Streaming shapes (batch-parity form) =====
 
     "stream_window_counts" -> ((s, dir) => {
@@ -2625,6 +2634,34 @@ object SparkEntry {
         |  FROM documents
         |) WHERE rn = 1
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // The multimodal pipeline's integer-exact slice. This oracle restates
+    // the engine's DOCUMENTED stub arithmetic independently: kind cycles
+    // id % 3; payload bytes are the UTF-8 text; declared dims are 64×64;
+    // durations 0 (still) / 1000 ms; frame sampling slices a non-empty
+    // video payload into exactly `framesPerVideo`=4 chunks totalling
+    // 4·⌊len/4⌋ bytes (or 4 single bytes when len < 4).
+    "mm_meta_stats" ->
+      """WITH media AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CASE WHEN text IS NULL THEN 0
+        |      ELSE octet_length(encode(text)) END AS nbytes
+        |  FROM documents
+        |)
+        |SELECT kind, count(*) AS n,
+        |  sum(nbytes)::BIGINT AS total_bytes,
+        |  (count(*) * 64)::BIGINT AS sum_width,
+        |  (count(*) * 64)::BIGINT AS sum_height,
+        |  sum(CASE WHEN kind = 'image' THEN 0 ELSE 1000 END)::BIGINT
+        |    AS sum_duration_ms,
+        |  sum(CASE WHEN kind = 'video' AND nbytes > 0 THEN 4 ELSE 0 END)::BIGINT
+        |    AS n_frames,
+        |  sum(CASE WHEN kind <> 'video' OR nbytes = 0 THEN 0
+        |           WHEN nbytes < 4 THEN 4
+        |           ELSE 4 * (nbytes // 4) END)::BIGINT AS frame_bytes
+        |FROM media GROUP BY kind ORDER BY kind""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -606,6 +606,45 @@ object Multimodal {
     * per-kind feature statistics. The aggregate output is deterministic given
     * the deterministic stub codec.
     */
+  /** Integer-exact per-kind metadata statistics over the full media
+    * pipeline: media-ify → frame-sample → aggregate. Every output is an
+    * exact integer (counts, byte totals, pixel dimensions, durations in
+    * ms, sampled-frame counts and byte totals), so unlike
+    * [[featureStatsByKind]] (whose feature means are JVM-codec floats)
+    * this slice hash-matches a SQL oracle exactly — the deterministic
+    * contract of the plumbing is oracled, the codec floats stay spec-pinned.
+    *
+    * Scale shape: the frame explosion is a per-partition flatMap; its
+    * aggregate shuffles once on `id` (pre-combined map-side), the final
+    * rollup once on `kind` (3 groups). No driver-side iteration.
+    */
+  def metaStatsByKind(
+      df: DataFrame, idCol: String, textCol: String,
+      framesPerVideo: Int = 4): DataFrame = {
+    val media = demoMediaFromText(df, idCol, textCol)
+    val items = media.toDF().select(
+      col("id"), col("meta.kind").as("kind"),
+      length(col("bytes")).cast(LongType).as("_nbytes"),
+      col("meta.width").cast(LongType).as("_w"),
+      col("meta.height").cast(LongType).as("_h"),
+      col("meta.durationMs").as("_dur"))
+    val frameAgg = sampleFrames(media, framesPerVideo).toDF()
+      .groupBy("id")
+      .agg(count(lit(1)).as("_nframes"),
+        sum(length(col("frameBytes")).cast(LongType)).as("_framebytes"))
+    items.join(frameAgg, Seq("id"), "left")
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_nbytes")).as("total_bytes"),
+        sum(col("_w")).as("sum_width"),
+        sum(col("_h")).as("sum_height"),
+        sum(col("_dur")).as("sum_duration_ms"),
+        sum(coalesce(col("_nframes"), lit(0L))).as("n_frames"),
+        sum(coalesce(col("_framebytes"), lit(0L))).as("frame_bytes"))
+      .orderBy("kind")
+  }
+
   def featureStatsByKind(df: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
     val feats = extractFeatures(demoMediaFromText(df, idCol, textCol), dim)
     feats.toDF()

@@ -54,6 +54,21 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out === Seq(("audio", 1L), ("image", 2L), ("video", 1L)))
   }
 
+  test("metaStatsByKind: hand-computed integer stats, frame arithmetic exact") {
+    // ids 2 and 5 are videos: "gamma" (5 bytes → 4 frames, 4·⌊5/4⌋ = 4
+    // frame bytes), "ee" (2 bytes < 4 → 4 frames of 1 byte each)
+    val df = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"),
+      (4L, null.asInstanceOf[String]), (5L, "ee")).toDF("id", "text")
+    val out = metaStatsByKind(df, "id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    //            kind     n  bytes  width dur    frames framebytes
+    assert(out === Seq(
+      ("audio", 2L, 4L + 0L, 128L, 2000L, 0L, 0L),       // "beta", null
+      ("image", 2L, 5L + 5L, 128L, 0L, 0L, 0L),          // "alpha", "delta"
+      ("video", 2L, 5L + 2L, 128L, 2000L, 8L, 4L + 4L))) // "gamma", "ee"
+  }
+
   // ---- real image decode (javax.imageio — PNG generated in-test) ----
 
   /** 4x2 PNG: left half black, right half white — lossless, so decode
