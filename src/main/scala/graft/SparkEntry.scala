@@ -4,7 +4,7 @@ import graft.dict.Dictionary
 import graft.etl.{CityRecipes, Transforms}
 import graft.store.Sources
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.query.{Aggs, Federation, FilterSpec, Widgets}
+import graft.query.{Aggs, Federation, FilterSpec, PreAgg, Widgets}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -310,14 +310,10 @@ object SparkEntry {
     * map drill-down aggregates. `stateJson` is the webapp's widget-state
     * wire format; the default is the saved dashboard's own state.
     */
-  private def dashboardFiltered(
-      s: SparkSession,
-      warm: Boolean,
-      stateJson: String = dashboardStateJson): DataFrame = {
-    val cities = Seq("baltimore", "detroit", "losangeles")
-    val fields = dashboardFields.synchronized {
+  private def dashboardWidgetFields(s: SparkSession): graft.query.FieldCollection =
+    dashboardFields.synchronized {
       Option(dashboardFields.get(s)).getOrElse {
-        val dict = cities
+        val dict = Seq("baltimore", "detroit", "losangeles")
           .map(c => Dictionary.materializeProfile(s, cityPublished(s, c), s"graft_dict_city_$c"))
           .reduce(_.unionByName(_))
         val flds = Widgets.fieldsFromDictionary(dict)
@@ -325,6 +321,12 @@ object SparkEntry {
         flds
       }
     }
+
+  private def dashboardFiltered(
+      s: SparkSession,
+      warm: Boolean,
+      stateJson: String = dashboardStateJson): DataFrame = {
+    val fields = dashboardWidgetFields(s)
     val fc = Widgets.fromJson(fields, stateJson)
     federatedHarmonized(s, warm)
       .where(col("datetime").isNotNull && col("datetime") >= "2010-01-01 00:00:00")
@@ -451,6 +453,105 @@ object SparkEntry {
       // would sample the (tiny) result in an extra job per interaction;
       // one partition + a local sort is the same order at dashboard-result
       // cardinality.
+      .coalesce(1)
+      .sortWithinPartitions("viz", "key", "subkey")
+  }
+
+  /** The saved map panel's precision — baked into the rollup's geohash
+    * dimension at build time (ES likewise indexes the geohash_grid's
+    * precision levels into doc_values at ingest).
+    */
+  private val dashboardCubePrecision = 2
+
+  /** The dashboard rollup's dimensions over the federated view: every
+    * bucket field of the five saved visualizations plus every field the
+    * saved widget state (and the global time filter, via `year`) can
+    * constrain. Geohash is DERIVED here, at ingest, at the saved map's
+    * precision — serving never parses a geolocation string again.
+    */
+  private def dashboardCubeDims: Seq[(String, Column)] = {
+    val parts = split(col("geolocation"), ",")
+    Seq(
+      "dataset" -> col("dataset"),
+      "description" -> col("description"),
+      "city" -> col("city"),
+      "dayofweek" -> col("dayofweek"),
+      "hour" -> col("hour"),
+      "year" -> col("year"),
+      "geohash" -> when(length(col("geolocation")) > 0,
+        graft.expr.Geohash.geohash(
+          parts.getItem(0).cast("double"), parts.getItem(1).cast("double"),
+          dashboardCubePrecision)))
+  }
+
+  /** [[renderViz]] over the at-rest rollup instead of the corpus: identical
+    * buckets (the weighted ops in [[PreAgg]] restate each aggregation's
+    * ordering contract over `sum(cnt)`), same degrade rules — a bucket
+    * field the rollup does not carry drops out, a fully-missing panel
+    * renders as nothing.
+    */
+  private[graft] def renderVizPreagg(pre: DataFrame, v: graft.query.VisState.Viz): DataFrame = {
+    import graft.query.VisState.BucketAgg
+    val label = vizLabels.getOrElse(v.id, v.id)
+    def flat(df: DataFrame, key: String) =
+      df.select(lit(label).as("viz"), col(key).cast("string").as("key"),
+        lit("").as("subkey"), col("count"))
+    val buckets = v.buckets.filter(b =>
+      if (b.aggType == "geohash_grid") pre.columns.contains("geohash")
+      else pre.columns.contains(b.field))
+    buckets match {
+      case Seq() if v.buckets.nonEmpty =>
+        pre.sparkSession.emptyDataFrame
+          .select(lit(label).as("viz"), lit("").as("key"),
+            lit("").as("subkey"), lit(0L).as("count"))
+      case Seq(b @ BucketAgg("geohash_grid", _, _, _, _)) =>
+        require(b.precision == dashboardCubePrecision,
+          s"saved map precision ${b.precision} != rollup precision " +
+            s"$dashboardCubePrecision — rebuild the rollup or fall back to the scan")
+        flat(PreAgg.geohashGrid(pre), "geohash")
+      case Seq(b @ BucketAgg("terms", _, _, _, _)) =>
+        flat(PreAgg.termsTopN(pre, b.field, b.size), b.field)
+      case Seq(p @ BucketAgg("terms", _, _, _, _), c @ BucketAgg("terms", _, _, _, _)) =>
+        PreAgg.nestedTerms(pre, p.field, c.field,
+          parentSize = p.size, childSize = c.size)
+          .select(lit(label).as("viz"), col(p.field).cast("string").as("key"),
+            col(c.field).cast("string").as("subkey"), col("count"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported panel shape for '${v.id}': ${other.mkString(", ")}")
+    }
+  }
+
+  /** The dashboard served ENTIRELY from the pre-aggregated rollup — the
+    * 100 TB serving path. Identical results to [[dashboardRefresh]] (one
+    * oracle pins both), but the serving plan reads only the rollup: the
+    * corpus is scanned exactly once, at rollup build, and a widget change
+    * re-aggregates |distinct dim combos| rows. The global time filter
+    * (`datetime >= 2010-01-01T00:00`, a year-boundary instant in the
+    * published string encoding) is applied as `year >= 2010` — `year` and
+    * `datetime` are harmonized from the same source parts, so the
+    * predicates select identical rows (the shared oracle certifies it).
+    * A state filtering any field outside the rollup's dimensions fails
+    * loudly ([[PreAgg.covers]]): fall back to [[dashboardRefresh]], never
+    * serve silently-wrong buckets.
+    */
+  private def dashboardRefreshPreagg(
+      s: SparkSession,
+      stateJson: String = dashboardStateJson): DataFrame = {
+    val dims = dashboardCubeDims
+    val pre = PreAgg.materialize(s, federatedHarmonized(s, warm = false),
+      dims, "graft_dashboard_preagg")
+    val fc = Widgets.fromJson(dashboardWidgetFields(s), stateJson)
+    val dimNames = dims.map(_._1)
+    require(PreAgg.covers(dimNames, fc.selections.keys.toSeq),
+      s"widget state filters outside rollup dims ${dimNames.mkString(",")} — " +
+        "serve this state from dashboard_refresh (full scan) instead")
+    val f = pre
+      .where(col("year").isNotNull && col("year") >= 2010)
+      .where(fc.compile)
+    dashboardVizes
+      .map(renderVizPreagg(f, _))
+      .reduce(_.unionByName(_))
       .coalesce(1)
       .sortWithinPartitions("viz", "key", "subkey")
   }
@@ -749,7 +850,7 @@ object SparkEntry {
   def warmServed: Set[String] =
     queries.keySet.filter(_.endsWith("_warm")) ++
       Set("dashboard_map_drilldown", "g7_typeahead_federated",
-        "q8_dict_fetch_federated")
+        "q8_dict_fetch_federated", "dashboard_refresh_preagg")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1203,6 +1304,14 @@ object SparkEntry {
       // the latency a user feels per widget change (reference: one Kibana
       // dashboard refresh = five ES _search calls against the hot index).
       dashboardRefresh(s, warm = true)
+    }),
+
+    "dashboard_refresh_preagg" -> ((s, _) => {
+      // The dashboard served from the at-rest rollup — what replaces the
+      // pinned-corpus warm path at 100 TB. Same buckets, same oracle as
+      // dashboard_refresh; the plan reads ONLY the rollup (PlanSpec pins
+      // it) and a widget change costs |distinct dim combos|, not |corpus|.
+      dashboardRefreshPreagg(s)
     }),
 
     "dashboard_map_drilldown" -> ((s, _) => {
@@ -2420,6 +2529,9 @@ object SparkEntry {
     "dashboard_refresh" -> dashboardRefreshOracleSql,
     // the cache changes where the federated view is read from, never its rows
     "dashboard_refresh_warm" -> dashboardRefreshOracleSql,
+    // the pre-agg path must reproduce the FULL-SCAN oracle exactly — that
+    // equivalence is the whole claim
+    "dashboard_refresh_preagg" -> dashboardRefreshOracleSql,
 
     // Same filtered-federation CTEs as the refresh; the clicked cell "d"
     // decodes to lat [0,45) lon [-90,-45), and the precision-3 interleave

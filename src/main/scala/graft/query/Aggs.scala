@@ -88,9 +88,24 @@ object Aggs {
       child: String,
       parentSize: Int = 10,
       childSize: Int = 24,
-      maxBuckets: Int = 100000): DataFrame = {
-    val pairCounts = df.groupBy(col(parent), col(child))
-      .agg(count(lit(1)).as("count"))
+      maxBuckets: Int = 100000): DataFrame =
+    nestedBucketsFromPairs(
+      df.groupBy(col(parent), col(child)).agg(count(lit(1)).as("count")),
+      parent, child, parentSize, childSize, maxBuckets)
+
+  /** The bucket-ranking half of [[nestedTermsBuckets]], shared with the
+    * pre-aggregated serving path ([[PreAgg.nestedTerms]]): `pairCounts` is
+    * any `(parent, child, count)` frame — a fresh aggregation of the corpus
+    * or a weighted re-aggregation of an at-rest rollup — and the ranking,
+    * tiebreaks, and the self-enforced bucket bound are identical either way.
+    */
+  private[query] def nestedBucketsFromPairs(
+      pairCounts: DataFrame,
+      parent: String,
+      child: String,
+      parentSize: Int,
+      childSize: Int,
+      maxBuckets: Int): DataFrame = {
     val perParent = Window.partitionBy(col(parent))
     // dense_rank over (parent_count DESC, parent ASC) assigns every row its
     // PARENT's position in that total order — parents are distinct, so the

@@ -1,0 +1,113 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serve-from-preaggregates — the 100 TB answer for dashboard serving.
+  *
+  * The reference serves its dashboard from Elasticsearch, whose terms/grid
+  * aggregations read doc_values (columnar per-field counts), never the
+  * source documents; the engine's warm path so far pinned the full corpus
+  * projection in memory ([[Federation.materialize]]) — right at test scale,
+  * impossible at 100 TB. This is the missing at-rest layer: a ROLLUP table
+  * of `(dim..., cnt)` — one row per distinct combination of the dashboard's
+  * dimensions, `cnt` = how many corpus rows carry it (the Druid/Kylin
+  * rollup, ES's doc_values analogue). Every dashboard aggregation then
+  * re-aggregates the rollup (`sum(cnt)` where the full scan has
+  * `count(*)`), touching |distinct combos| rows instead of |corpus|.
+  *
+  * Contracts:
+  *  - MERGEABLE: `increment` of a batch is the same shape as the whole;
+  *    `merge` is a group-sum. Daily ingest appends increments and compacts
+  *    — the same increment contract as the dictionary's HLL/KLL sketches
+  *    ([[graft.dict.Dictionary]] mergeable profiles).
+  *  - COVERING: a filter is servable iff every filtered field is a rollup
+  *    dimension ([[covers]]); a state that filters outside the cube must
+  *    fall back to the full scan — enforced loudly, never silently wrong.
+  *  - EXACT: counts are exact integers, so a pre-agg-served dashboard
+  *    hash-matches the full-scan oracle row for row.
+  *
+  * Scale shape: building the rollup is one map-side-combined aggregation
+  * over the corpus (the only corpus scan, paid at ingest); serving is
+  * aggregation over the rollup, whose cardinality is bounded by the
+  * dimension-combination count, not the corpus.
+  */
+object PreAgg {
+
+  /** The rollup's count column. */
+  val CntCol = "cnt"
+
+  /** One rollup increment from a (batch of the) corpus: count per distinct
+    * combination of `dims` (name → deriving expression over the corpus
+    * columns). The whole-corpus rollup is the increment of the whole corpus.
+    */
+  def increment(df: DataFrame, dims: Seq[(String, Column)]): DataFrame =
+    df.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as(CntCol))
+
+  /** Merge rollup increments: union + group-sum. Associative and
+    * commutative, so batches may arrive and compact in any order.
+    */
+  def merge(increments: DataFrame*): DataFrame = {
+    val all = increments.reduce(_.unionByName(_))
+    val dims = all.columns.filter(_ != CntCol)
+    all.groupBy(dims.map(col): _*)
+      .agg(sum(col(CntCol)).as(CntCol))
+  }
+
+  /** Is a selection over `fields` servable from a rollup carrying `dims`? */
+  def covers(dims: Seq[String], fields: Seq[String]): Boolean =
+    fields.forall(dims.contains)
+
+  /** G2/G3 from the rollup — identical buckets, ordering, and tiebreaks to
+    * [[Aggs.termsTopN]], with `sum(cnt)` standing in for `count(*)`.
+    */
+  def termsTopN(pre: DataFrame, field: String, n: Int = 10): DataFrame =
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
+  /** G4/G5 from the rollup — the pair counts re-aggregate the rollup, the
+    * ranking half is literally [[Aggs.nestedTermsBuckets]]'s own.
+    */
+  def nestedTerms(
+      pre: DataFrame,
+      parent: String,
+      child: String,
+      parentSize: Int = 10,
+      childSize: Int = 24,
+      maxBuckets: Int = 100000): DataFrame =
+    Aggs.nestedBucketsFromPairs(
+      pre.groupBy(col(parent), col(child)).agg(sum(col(CntCol)).as("count")),
+      parent, child, parentSize, childSize, maxBuckets)
+
+  /** G6 from the rollup: the geohash is a rollup DIMENSION (computed once at
+    * ingest, at the precision the saved map uses), so the grid is a plain
+    * weighted terms aggregation over it. Rows whose geolocation did not
+    * parse carry a null geohash and are excluded, exactly as
+    * [[Aggs.geohashGridFromGeoloc]] excludes them before grouping.
+    */
+  def geohashGrid(pre: DataFrame, geohashCol: String = "geohash"): DataFrame =
+    pre.where(col(geohashCol).isNotNull)
+      .groupBy(col(geohashCol).as("geohash"))
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(desc("count"), asc("geohash"))
+
+  /** Build-once, serve-many: the rollup pinned as a cached view — the local
+    * analogue of the at-rest rollup TABLE a 100 TB deployment writes at
+    * ingest (parquet, partitioned by its leading dims). `df` is by-name so
+    * the warm path never constructs the corpus scan.
+    */
+  def materialize(
+      spark: SparkSession,
+      df: => DataFrame,
+      dims: Seq[(String, Column)],
+      viewName: String): DataFrame = {
+    if (!spark.catalog.tableExists(viewName)) {
+      increment(df, dims).createOrReplaceTempView(viewName)
+      spark.catalog.cacheTable(viewName)
+    }
+    spark.table(viewName)
+  }
+}

@@ -192,6 +192,26 @@ class PlanSpec extends SparkSpecBase {
       s"warm dashboard reads a non-cache source: ${leaves.map(_.nodeName).distinct}")
   }
 
+  test("preagg dashboard refresh reads ONLY the rollup — no corpus source in the plan") {
+    // The 100 TB serving claim: once the rollup is built (the one corpus
+    // scan, paid at ingest), a dashboard interaction's plan has a single
+    // kind of leaf — the in-memory rollup table. Unlike the warm path this
+    // does not pin the corpus projection, only |distinct dim combos| rows.
+    val q = SparkEntry.queries("dashboard_refresh_preagg")
+    q(spark, "unused").count() // prime: builds the rollup + dictionaries
+    val leaves = q(spark, "unused").queryExecution.sparkPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(l => l.nodeName.contains("In-memory table") ||
+        l.nodeName.contains("InMemoryTableScan") || l.nodeName.contains("LocalTableScan")),
+      s"preagg dashboard reads a non-rollup source: ${leaves.map(_.nodeName).distinct}")
+    // the serving plan resolves through the rollup view, not the pinned
+    // corpus projection the warm path uses
+    val analyzed = q(spark, "unused").queryExecution.analyzed.toString
+    assert(!analyzed.contains("graft_dashboard_fed"),
+      "preagg dashboard must not depend on the pinned corpus projection")
+    assert(spark.table("graft_dashboard_preagg").columns.contains("cnt"))
+  }
+
   test("salted join repartitions on (key, salt), not the key alone") {
     // SHUFFLE_HASH hint defeats the auto-broadcast these tiny frames would
     // get, exposing the exchange the salt exists to widen.

@@ -1,0 +1,73 @@
+package graft.query
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The rollup's contracts: mergeable increments (batch-order-independent),
+  * covering checks, and exact equivalence of every weighted serving
+  * aggregation with its full-scan twin — the property the shared
+  * `dashboard_refresh_preagg` oracle certifies end-to-end.
+  */
+class PreAggSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    ("balt", "Theft", 2015), ("balt", "Theft", 2015), ("balt", "Assault", 2016),
+    ("det", "Theft", 2016), ("det", "Arson", 2015), ("det", "Arson", 2015),
+    ("la", "Assault", 2017), ("la", "Assault", 2017), ("la", "Theft", 2015),
+  ).toDF("city", "description", "year")
+
+  private val dims = Seq[(String, org.apache.spark.sql.Column)](
+    "city" -> col("city"), "description" -> col("description"),
+    "year" -> col("year"))
+
+  test("increment + merge is batch-order independent and equals the whole") {
+    val whole = PreAgg.increment(corpus, dims)
+    val day1 = PreAgg.increment(corpus.where(col("year") <= 2015), dims)
+    val day2 = PreAgg.increment(corpus.where(col("year") === 2016), dims)
+    val day3 = PreAgg.increment(corpus.where(col("year") >= 2017), dims)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("city", "description", "year")
+        .collect().map(_.toString).toSeq
+    assert(canon(PreAgg.merge(day1, day2, day3)) === canon(whole))
+    assert(canon(PreAgg.merge(day3, day1, day2)) === canon(whole))
+    // merge is idempotent-shaped: re-merging a merged rollup changes nothing
+    assert(canon(PreAgg.merge(PreAgg.merge(day1, day2), day3)) === canon(whole))
+  }
+
+  test("covers: servable iff every filtered field is a dimension") {
+    val names = dims.map(_._1)
+    assert(PreAgg.covers(names, Seq("city", "year")))
+    assert(PreAgg.covers(names, Seq.empty))
+    assert(!PreAgg.covers(names, Seq("city", "geolocation")))
+  }
+
+  test("weighted terms/nested aggregations equal their full-scan twins") {
+    val pre = PreAgg.increment(corpus, dims)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.termsTopN(pre, "description", 2))
+      === canon(Aggs.termsTopN(corpus, "description", 2)))
+    assert(canon(PreAgg.nestedTerms(pre, "city", "description", 2, 2))
+      === canon(Aggs.nestedTermsBuckets(corpus, "city", "description", 2, 2)))
+    // filters over dims commute with the rollup
+    assert(canon(PreAgg.termsTopN(pre.where(col("year") >= 2016), "city", 5))
+      === canon(Aggs.termsTopN(corpus.where(col("year") >= 2016), "city", 5)))
+  }
+
+  test("geohashGrid over a rollup geohash dim matches the from-geoloc scan") {
+    val geo = Seq(
+      ("39.29,-76.61", 1), ("39.28,-76.60", 1), ("-33.86,151.20", 1),
+      ("", 1), (null.asInstanceOf[String], 1),
+    ).toDF("geolocation", "x")
+    val parts = split(col("geolocation"), ",")
+    val pre = PreAgg.increment(geo, Seq(
+      "geohash" -> when(length(col("geolocation")) > 0,
+        graft.expr.Geohash.geohash(parts.getItem(0).cast("double"),
+          parts.getItem(1).cast("double"), 2))))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.geohashGrid(pre))
+      === canon(Aggs.geohashGridFromGeoloc(geo, "geolocation", 2)))
+  }
+}
