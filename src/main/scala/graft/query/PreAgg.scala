@@ -82,6 +82,24 @@ object PreAgg {
       pre.groupBy(col(parent), col(child)).agg(sum(col(CntCol)).as("count")),
       parent, child, parentSize, childSize, maxBuckets)
 
+  /** G7 from the rollup — the typeahead as a weighted terms aggregation:
+    * the phrase-prefix match is a property of the VALUE, so it filters
+    * rollup rows (|distinct values| of them) instead of corpus rows, and
+    * the top-N ordering/tiebreak is [[Aggs.typeahead]]'s own. At 100 TB
+    * this is ES's suggest-from-index behavior: completions come from the
+    * at-rest term dictionary, never from documents.
+    */
+  def typeahead(pre: DataFrame, field: String, typed: String, size: Int = 10): DataFrame = {
+    val base =
+      if (graft.expr.TextMatch.analyze(typed).isEmpty) pre
+      else pre.where(graft.expr.TextMatch.phrasePrefix(col(field), typed))
+    base.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(desc("count"), asc(field))
+      .limit(size)
+      .select(col(field))
+  }
+
   /** G6 from the rollup: the geohash is a rollup DIMENSION (computed once at
     * ingest, at the precision the saved map uses), so the grid is a plain
     * weighted terms aggregation over it. Rows whose geolocation did not

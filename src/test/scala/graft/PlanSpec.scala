@@ -210,6 +210,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!analyzed.contains("graft_dashboard_fed"),
       "preagg dashboard must not depend on the pinned corpus projection")
     assert(spark.table("graft_dashboard_preagg").columns.contains("cnt"))
+    // the rollup-served typeahead holds to the same contract
+    val ta = SparkEntry.queries("g7_typeahead_preagg")
+    ta(spark, "unused").count()
+    val taLeaves = ta(spark, "unused").queryExecution.sparkPlan.collectLeaves()
+    assert(taLeaves.nonEmpty && taLeaves.forall(l =>
+        l.nodeName.contains("In-memory table") ||
+        l.nodeName.contains("InMemoryTableScan") || l.nodeName.contains("LocalTableScan")),
+      s"preagg typeahead reads a non-rollup source: ${taLeaves.map(_.nodeName).distinct}")
   }
 
   test("salted join repartitions on (key, salt), not the key alone") {

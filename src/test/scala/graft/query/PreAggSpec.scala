@@ -55,6 +55,18 @@ class PreAggSpec extends SparkSpecBase {
       === canon(Aggs.termsTopN(corpus.where(col("year") >= 2016), "city", 5)))
   }
 
+  test("typeahead from the rollup equals the corpus-scan typeahead") {
+    val docs = Seq(
+      "Assault", "Assault", "Assault by threat", "Arson", "Theft", "Theft",
+    ).map(Tuple1(_)).toDF("description")
+    val pre = PreAgg.increment(docs, Seq("description" -> col("description")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    for (typed <- Seq("a", "assault", "th", ""))
+      assert(canon(PreAgg.typeahead(pre, "description", typed, 10))
+        === canon(Aggs.typeahead(docs, "description", typed, 10)), s"typed='$typed'")
+  }
+
   test("geohashGrid over a rollup geohash dim matches the from-geoloc scan") {
     val geo = Seq(
       ("39.29,-76.61", 1), ("39.28,-76.60", 1), ("-33.86,151.20", 1),
