@@ -369,7 +369,16 @@ object SparkEntry {
       },
       "/dashboard" -> { body =>
         val state = if (body.trim.isEmpty) dashboardStateJson else body
-        WidgetServer.collectRowsJson(dashboardRefresh(s, warm = true, state))
+        // Serve from the at-rest rollup whenever the posted state only
+        // filters rollup dimensions (identical buckets — the shared oracle
+        // proves it); a state outside the cube falls back to the pinned
+        // scan. This is the routing a 100 TB deployment runs: doc_values
+        // first, documents only when the query demands them.
+        val covered = PreAgg.covers(dashboardCubeDims.map(_._1),
+          Widgets.fromJson(dashboardWidgetFields(s), state).selections.keys.toSeq)
+        WidgetServer.collectRowsJson(
+          if (covered) dashboardRefreshPreagg(s, state)
+          else dashboardRefresh(s, warm = true, state))
       },
       "/fields" -> { _ =>
         WidgetServer.collectRowsJson(queries("q8_dict_fetch_warm")(s, dir))

@@ -94,6 +94,16 @@ class WidgetServerSpec extends SparkSpecBase {
           |  "enabled": {"state": true, "lastEnabled": 2}}]""".stripMargin)
       assert(code2 === 200)
       assert(body2 !== body)
+
+      // a state filtering OUTSIDE the rollup dims (month) routes to the
+      // full-scan fallback and still serves — the covering check must
+      // never turn an answerable query into an error
+      val (code3, body3) = post(s"http://127.0.0.1:$port/dashboard",
+        """[{"name": "month", "value": [1, 6],
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+      assert(code3 === 200)
+      assert(body3.startsWith("["))
+      assert(body3 !== body)
     } finally server.stop(0)
   }
 
