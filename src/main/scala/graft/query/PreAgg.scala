@@ -112,19 +112,39 @@ object PreAgg {
       .agg(sum(col(CntCol)).as("count"))
       .orderBy(desc("count"), asc("geohash"))
 
-  /** Build-once, serve-many: the rollup pinned as a cached view — the local
-    * analogue of the at-rest rollup TABLE a 100 TB deployment writes at
-    * ingest (parquet, partitioned by its leading dims). `df` is by-name so
-    * the warm path never constructs the corpus scan.
+  /** Build-once, serve-many: the at-rest rollup a 100 TB deployment writes
+    * at ingest. Two serving representations, chosen by MEASURED size:
+    *
+    *  - at or under `publishBound` rows the computed rollup is pinned as a
+    *    LOCAL relation — a cached view would drag the whole build plan
+    *    (corpus scan + aggregation) through analysis and cache lookup on
+    *    every interaction, driver time that dwarfs the actual aggregation
+    *    at dashboard latencies (the same disease
+    *    [[graft.dict.Dictionary.materializeProfile]] had);
+    *  - above it, a cached distributed view — a rollup that big belongs on
+    *    executors (the deployment analogue: a parquet rollup table,
+    *    partitioned by its leading dims), and one plan-analysis cost per
+    *    interaction is the right trade against collecting it.
+    *
+    * `df` is by-name so the warm path never constructs the corpus scan.
     */
   def materialize(
       spark: SparkSession,
       df: => DataFrame,
       dims: Seq[(String, Column)],
-      viewName: String): DataFrame = {
+      viewName: String,
+      publishBound: Int = 100000): DataFrame = {
     if (!spark.catalog.tableExists(viewName)) {
-      increment(df, dims).createOrReplaceTempView(viewName)
-      spark.catalog.cacheTable(viewName)
+      val rollup = increment(df, dims)
+      val head = rollup.limit(publishBound + 1).collect()
+      if (head.length <= publishBound) {
+        spark.createDataFrame(
+          java.util.Arrays.asList(head: _*), rollup.schema)
+          .createOrReplaceTempView(viewName)
+      } else {
+        rollup.createOrReplaceTempView(viewName)
+        spark.catalog.cacheTable(viewName)
+      }
     }
     spark.table(viewName)
   }
