@@ -553,9 +553,10 @@ object SparkEntry {
 
   private def dashboardRefreshPreagg(
       s: SparkSession,
-      stateJson: String = dashboardStateJson): DataFrame = {
+      stateJson: String = dashboardStateJson,
+      rollup: Option[DataFrame] = None): DataFrame = {
     val dims = dashboardCubeDims
-    val pre = dashboardRollup(s)
+    val pre = rollup.getOrElse(dashboardRollup(s))
     val fc = Widgets.fromJson(dashboardWidgetFields(s), stateJson)
     val dimNames = dims.map(_._1)
     require(PreAgg.covers(dimNames, fc.selections.keys.toSeq),
@@ -1349,6 +1350,27 @@ object SparkEntry {
       // dashboard_refresh; the plan reads ONLY the rollup (PlanSpec pins
       // it) and a widget change costs |distinct dim combos|, not |corpus|.
       dashboardRefreshPreagg(s)
+    }),
+
+    "dashboard_preagg_incremental" -> ((s, _) => {
+      implicit val spark: SparkSession = s
+      // The INGEST half of the serving rollup at 100 TB: the rollup table
+      // is never rebuilt by re-scanning the corpus — per-arrival batches
+      // (daily partitions in production, micro-batches under
+      // EventStreams.maintainRollup) each contribute one mergeable
+      // increment, and merge (union + group-sum) is associative and
+      // commutative. Three hash-split batches of the federated view —
+      // split on the full event identity, so one dimension combo's rows
+      // land in DIFFERENT batches and the merge genuinely sums across
+      // increments — then the saved dashboard served from the merged
+      // rollup. Same oracle as dashboard_refresh (the full-scan shape):
+      // increment-then-merge commutes with serving.
+      val fed = federatedHarmonized(s, warm = false)
+      val part = pmod(
+        xxhash64(col("dataset"), col("datetime"), col("description")), lit(3))
+      val increments = (0 until 3).map(k =>
+        PreAgg.increment(fed.where(part === k), dashboardCubeDims))
+      dashboardRefreshPreagg(s, rollup = Some(PreAgg.merge(increments: _*)))
     }),
 
     "dashboard_map_drilldown" -> ((s, _) => {
@@ -2569,6 +2591,9 @@ object SparkEntry {
     // the pre-agg path must reproduce the FULL-SCAN oracle exactly — that
     // equivalence is the whole claim
     "dashboard_refresh_preagg" -> dashboardRefreshOracleSql,
+    // increment-then-merge must commute with serving: the hash-split
+    // per-batch rollup build reproduces the full-scan oracle exactly
+    "dashboard_preagg_incremental" -> dashboardRefreshOracleSql,
 
     // Same filtered-federation CTEs as the refresh; the clicked cell "d"
     // decodes to lat [0,45) lon [-90,-45), and the precision-3 interleave

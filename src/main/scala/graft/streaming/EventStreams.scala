@@ -283,6 +283,72 @@ object EventStreams {
     graft.ops.TextAnalysis.vocabMerge(Seq(states), k, maxTracked)
   }
 
+  /** Live serving-rollup maintenance — the ingest half of
+    * [[graft.query.PreAgg]]'s 100 TB serving story: the dashboard's rollup
+    * table cannot be rebuilt by re-scanning the corpus on every arrival, so
+    * each micro-batch is rolled up into one MERGEABLE increment (counts per
+    * distinct dimension combination — [[graft.query.PreAgg.increment]], the
+    * same contract as the dictionary's HLL/KLL and the vocabulary's
+    * `approx_top_k` states) and appended at rest, epoch-stamped for
+    * at-least-once replay idempotence. The current rollup is
+    * [[rollupFromIncrements]]: drop replayed epochs, group-sum — cost
+    * proportional to accumulated increment rows, never to ingested corpus
+    * rows. [[compactRollupIncrements]] bounds the table at |distinct
+    * combos| rows on whatever cadence owns it.
+    */
+  def maintainRollup(
+      events: DataFrame,
+      dims: Seq[(String, Column)],
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.query.PreAgg.increment(batch, dims)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The current serving rollup implied by an increment table maintained by
+    * [[maintainRollup]]: one increment row per (dimension combo, batch) —
+    * a foreachBatch retry re-appends a whole epoch, and each epoch's rollup
+    * carries a combo at most once, so the per-combo epoch dedup drops
+    * exactly the replays — then merge (group-sum). The result feeds
+    * [[graft.query.PreAgg]]'s weighted serving twins unchanged.
+    */
+  def rollupFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame = {
+    val inc = spark.read.parquet(incrementPath)
+    val dims = inc.columns.filter(c => c != graft.query.PreAgg.CntCol && c != "inc_batch_id")
+    graft.query.PreAgg.merge(
+      inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
+  }
+
+  /** Compact a rollup-increment table to one row per dimension combination
+    * via the same staged swap as [[compactIncrements]] (pause the writer or
+    * call from its own cadence). The compacted row wears the sentinel epoch
+    * so the table stays single-schema and replay dedup stays armed.
+    */
+  def compactRollupIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = rollupFromIncrements(spark, incrementPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
   /** Compact an increment table: merge the accumulated per-batch rows into
     * ONE increment per column and swap it in, bounding the table at columns
     * × 1 rows no matter how many batches have run. Safe at any time —

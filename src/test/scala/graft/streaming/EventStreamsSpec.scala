@@ -157,6 +157,51 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(rows(EventStreams.dictionaryFromIncrements(spark, incPath)) === streamed)
   }
 
+  test("streaming rollup maintenance converges to the whole-corpus rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_rollup").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val dims = Seq("event_type" -> col("event_type"), "user_id" -> col("user_id"))
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainRollup(
+      mem.toDS().toDF(), dims, incPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(ev(1, 0, 1), ev(2, 5, 2), ev(3, 10, 1), ev(4, 20, 1))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "user_id").collect().map(_.toSeq).toSeq
+    val scratch = rows(graft.query.PreAgg.increment(all.toDS().toDF(), dims))
+    val streamed = rows(EventStreams.rollupFromIncrements(spark, incPath))
+    assert(streamed === scratch)
+
+    // the implied rollup serves through PreAgg's weighted twins unchanged
+    val top = graft.query.PreAgg
+      .termsTopN(EventStreams.rollupFromIncrements(spark, incPath), "event_type", 10)
+      .as[(String, Long)].collect().toSeq
+    val full = graft.query.Aggs.termsTopN(all.toDS().toDF(), "event_type", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(top === full)
+
+    // at-least-once replay: re-appending an epoch (a foreachBatch retry)
+    // must not inflate any count
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(rows(EventStreams.rollupFromIncrements(spark, incPath)) === scratch,
+      "a replayed batch inflated the rollup")
+
+    // compaction bounds the table at |distinct combos| and preserves it
+    EventStreams.compactRollupIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() === scratch.length.toLong)
+    assert(rows(EventStreams.rollupFromIncrements(spark, incPath)) === scratch)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batchEvents = Seq(ev(1, 0, 1, 1.0), ev(2, 5, 1, 2.0), ev(3, 8, 1, 3.0)).toDS()
     val batch = EventStreams.sessionizeBatch(batchEvents.toDF(), gapMs = 10 * 60000L)
