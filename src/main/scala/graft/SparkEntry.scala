@@ -1939,6 +1939,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_classifier_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Classifier distillation (CCNet-style): train integer odds-ratio
+      // token weights on the exact length weak label, score every document
+      // — training end to end IN the oracle, no model file. Weights are
+      // floor-div-quantized log-odds (positive operands, so Spark's
+      // truncating `div` ≡ DuckDB's flooring `//`), scores BIGINT tf·w
+      // sums: the whole train-then-score pipeline hash-matches.
+      ops.QualityModel.distill(load(dir, "documents"), "doc_id", "text",
+          ops.QualityModel.lengthLabel(col("text")), minDf = 2)
+        .orderBy("doc_id")
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Overlapping 64-token windows with 16-token overlap — the RAG/
@@ -2961,6 +2974,38 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($duckNorm) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Training AND scoring restated: df counts per (token, class), integer
+    // floor-div quantized odds-ratio weights (all operands positive, so //
+    // ≡ Spark's div), BIGINT tf·w scores; vocab-free docs keep score 0.
+    "quality_classifier_score" ->
+      s"""WITH posting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+         |  GROUP BY 1, 2
+         |), labels AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 50 AS pos
+         |  FROM documents
+         |), dfc AS (
+         |  SELECT t,
+         |    sum(CASE WHEN l.pos THEN 1 ELSE 0 END)::BIGINT AS pos_df,
+         |    sum(CASE WHEN l.pos THEN 0 ELSE 1 END)::BIGINT AS neg_df
+         |  FROM posting p JOIN labels l USING (doc_id) GROUP BY t
+         |), w AS (
+         |  SELECT t,
+         |    (${ops.QualityModel.Scale} * (pos_df + 1)) // (neg_df + 1)
+         |      - (${ops.QualityModel.Scale} * (neg_df + 1)) // (pos_df + 1) AS w
+         |  FROM dfc WHERE pos_df + neg_df >= 2
+         |), s AS (
+         |  SELECT p.doc_id, sum(p.tf * w.w)::BIGINT AS score
+         |  FROM posting p JOIN w USING (t) GROUP BY 1
+         |)
+         |SELECT d.doc_id, coalesce(s.score, 0)::BIGINT AS score,
+         |  coalesce(s.score, 0) > 0 AS predicted
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,
 

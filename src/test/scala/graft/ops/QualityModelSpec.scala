@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Integer-quantized odds-ratio classifier: hand-computed weights and
+  * scores, label-flip antisymmetry, vocabulary pruning, zero-vocab docs.
+  */
+class QualityModelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // pos = {1, 2} under the test label; d5's only token is too rare for the
+  // minDf=2 vocabulary, so d5 must score 0, not vanish.
+  private def docs = Seq(
+    (1L, "alpha beta"),
+    (2L, "alpha gamma"),
+    (3L, "delta beta"),
+    (4L, "delta delta gamma"),
+    (5L, "zzz zzz")).toDF("doc_id", "text")
+
+  private val label = col("doc_id") <= 2
+
+  test("trainTokenWeights: hand-computed integer odds-ratio weights") {
+    val w = QualityModel.trainTokenWeights(docs, "doc_id", "text", label, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    // alpha: pos_df=2 neg_df=0 -> 1000*3 div 1 - 1000*1 div 3 = 3000-333
+    assert(w("alpha") === 2667L)
+    // beta/gamma: df 1/1 -> symmetric, weight 0
+    assert(w("beta") === 0L)
+    assert(w("gamma") === 0L)
+    // delta: mirror of alpha
+    assert(w("delta") === -2667L)
+    // zzz: df 1 < minDf, pruned
+    assert(!w.contains("zzz"))
+  }
+
+  test("scoreDocs: BIGINT tf-weighted sums; vocab-free docs score 0") {
+    val scored = QualityModel.distill(docs, "doc_id", "text", label, minDf = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(scored === Seq(
+      (1L, 2667L, true),   // alpha*1
+      (2L, 2667L, true),
+      (3L, -2667L, false), // delta*1
+      (4L, -5334L, false), // delta tf=2
+      (5L, 0L, false)))    // no weighted token
+  }
+
+  test("label flip negates every weight (floor-div antisymmetry in the swap)") {
+    val w = QualityModel.trainTokenWeights(docs, "doc_id", "text", label, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    val flipped = QualityModel.trainTokenWeights(docs, "doc_id", "text", !label, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    assert(flipped === w.map { case (t, v) => (t, -v) })
+  }
+
+  test("lengthLabel is the exact token-count floor") {
+    val lab = docs.select(col("doc_id"),
+      QualityModel.lengthLabel(col("text"), minTokens = 2).as("l"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(lab === Map(1L -> true, 2L -> true, 3L -> true, 4L -> true, 5L -> true))
+    val strict = docs.select(col("doc_id"),
+      QualityModel.lengthLabel(col("text"), minTokens = 3).as("l"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(strict === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
+  }
+
+  test("scoring joins the weight table broadcast — no corpus-sized shuffle on the join") {
+    val plan = QualityModel.distill(docs, "doc_id", "text", label, minDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+}
