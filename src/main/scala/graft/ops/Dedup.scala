@@ -512,10 +512,13 @@ object Dedup {
     * are mostly near-unique, so the unfiltered count-as-intersection join
     * is already cheap (1.6 s at t=0.35) and the prefix machinery only pays
     * for itself at high thresholds; on Zipfian web corpora the df² term the
-    * prefix removes is the whole cost. Use [[ngramJaccardPairs]] for small/
-    * synthetic corpora or loose thresholds, this variant for dense corpora
-    * at near-dup thresholds, [[minhashNearDupPairs]] when approximate
-    * recall is acceptable.
+    * prefix removes is the whole cost. At 10× rows (SCALE_r11.md) this form
+    * measures ~6× wall-clock where the unfiltered join measures ~20×
+    * (per-task aggregate state outgrows memory and spills) — so for exact
+    * pairs on a dense single node THIS is the designated form; use
+    * [[ngramJaccardPairs]] for small/synthetic corpora where its one-pass
+    * simplicity wins, [[minhashNearDupPairs]] when approximate recall is
+    * acceptable.
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
