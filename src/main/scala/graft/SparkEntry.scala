@@ -600,6 +600,27 @@ object SparkEntry {
        |    AND year >= 2015 AND year <= 2017 AND hour >= 0 AND hour <= 18
        |)""".stripMargin
 
+  /** Shared by the plain and Bloom-prefiltered incremental dedup entries:
+    * the pre-filter is an optimization, never a semantics change.
+    */
+  private def dedupExactIncrementalOracleSql: String =
+    s"""WITH store AS (
+       |  SELECT DISTINCT fp FROM (
+       |    SELECT $duckNorm AS fp FROM documents WHERE doc_id % 2 = 0
+       |  ) WHERE fp IS NOT NULL
+       |), batch AS (
+       |  SELECT source, doc_id, fp FROM (
+       |    SELECT source, doc_id, $duckNorm AS fp FROM documents
+       |    WHERE doc_id % 2 <> 0
+       |  ) WHERE fp IS NOT NULL
+       |), fresh AS (
+       |  SELECT source, fp,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM batch WHERE fp NOT IN (SELECT fp FROM store)
+       |)
+       |SELECT source, count(*) AS n_accepted FROM fresh WHERE rn = 1
+       |GROUP BY source ORDER BY source""".stripMargin
+
   private def dashboardRefreshOracleSql: String = {
     def terms(viz: String, key: String, size: Int = 10) =
       s"""SELECT * FROM (
@@ -2144,6 +2165,26 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "dedup_exact_incremental_bloom" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The 100 TB daily-ingest shape: the store's mergeable Bloom states
+      // (built per-half here — the at-rest increment contract) pre-filter
+      // the batch, so only maybe-seen rows pay the store anti-join.
+      // Exactness is the point: same accepted set, same oracle as
+      // dedup_exact_incremental.
+      val docs = load(dir, "documents")
+      val store = Dedup.fingerprints(docs.where(col("doc_id") % 2 === 0), "text")
+      val states = Dedup.fingerprintBloomState(
+          store.where(col("fp") % 2 === 0), expectedItems = 100000, numBits = 1 << 21)
+        .unionByName(Dedup.fingerprintBloomState(
+          store.where(col("fp") % 2 =!= 0), expectedItems = 100000, numBits = 1 << 21))
+      Dedup.exactIncrementalBloom(docs.where(col("doc_id") % 2 =!= 0),
+          "text", "doc_id", store, states)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_accepted"))
+        .orderBy("source")
+    }),
+
     "p_json_props" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Semi-structured metadata extraction (the WARC/metadata-sidecar
@@ -3050,23 +3091,9 @@ object SparkEntry {
     // Fingerprint-store anti-join + within-batch min-keep, restated on the
     // normalized text (the store's xxhash64 key is injective modulo
     // collisions, same established equivalence as dedup_exact_fingerprint).
-    "dedup_exact_incremental" ->
-      s"""WITH store AS (
-         |  SELECT DISTINCT fp FROM (
-         |    SELECT $duckNorm AS fp FROM documents WHERE doc_id % 2 = 0
-         |  ) WHERE fp IS NOT NULL
-         |), batch AS (
-         |  SELECT source, doc_id, fp FROM (
-         |    SELECT source, doc_id, $duckNorm AS fp FROM documents
-         |    WHERE doc_id % 2 <> 0
-         |  ) WHERE fp IS NOT NULL
-         |), fresh AS (
-         |  SELECT source, fp,
-         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-         |  FROM batch WHERE fp NOT IN (SELECT fp FROM store)
-         |)
-         |SELECT source, count(*) AS n_accepted FROM fresh WHERE rn = 1
-         |GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_exact_incremental" -> dedupExactIncrementalOracleSql,
+    // the Bloom pre-filter must not change the accepted set — same oracle
+    "dedup_exact_incremental_bloom" -> dedupExactIncrementalOracleSql,
 
     "p_json_props" ->
       """SELECT event_type, count(k) AS n, sum(k)::BIGINT AS k_sum,

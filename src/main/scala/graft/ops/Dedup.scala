@@ -107,6 +107,83 @@ object Dedup {
       .where(col("fp").isNotNull)
       .distinct()
 
+  /** Mergeable Bloom sketch over a fingerprint frame — one binary row, the
+    * per-batch state the store maintains NEXT TO its fingerprints (same
+    * at-rest increment contract as the dictionary HLL/KLL and vocabulary
+    * states). At 100 TB the store's fingerprints are terabytes a daily
+    * batch cannot re-join wholesale; the Bloom states total megabytes
+    * (`numBits`/8 bytes each) and their merge is a bitwise OR.
+    *
+    * Built with Spark's own distributed `BloomFilterAggregate` (the runtime
+    * join-filter sketch) over the xxhash64 fingerprint longs — one
+    * map-side-combined aggregation, no driver-side corpus pass. Sizing is
+    * the standard Bloom trade: ~14.4 bits/item for 1e-3 false-positive
+    * rate; a false positive only costs that row a trip through the
+    * anti-join, never a wrong result.
+    */
+  def fingerprintBloomState(
+      fps: DataFrame,
+      expectedItems: Long,
+      numBits: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnShim
+    fps.select(ColumnShim.column(
+      new BloomFilterAggregate(
+        ColumnShim.expression(col("fp")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()).as("_bloom"))
+  }
+
+  /** OR-merge accumulated Bloom states (kilobyte rows — a driver fold is
+    * the right tool) into one serialized filter; null states from empty
+    * batches pass through. States must share sizing — enforced by
+    * `mergeInPlace` itself.
+    */
+  def mergeBloomStates(states: DataFrame): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val blobs = states.select(col("_bloom")).where(col("_bloom").isNotNull)
+      .collect().map(_.getAs[Array[Byte]](0))
+    require(blobs.nonEmpty, "no non-null Bloom states to merge")
+    val merged = blobs.map(BloomFilter.readFrom).reduce(_ mergeInPlace _)
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
+
+  /** [[exactIncremental]] with a Bloom pre-filter — the same accepted set
+    * (the equivalence a shared oracle certifies), but rows whose
+    * fingerprint the merged Bloom filter has definitely never seen skip the
+    * store anti-join entirely. On the common mostly-new daily batch, the
+    * join's probe side shrinks from |batch| to the true dups plus the
+    * false-positive sliver, and the store's terabytes stay untouched for
+    * every definitely-new row — pair the maybe-join with a fingerprint
+    * store bucketed on `fp` and the surviving join prunes to matching
+    * buckets.
+    */
+  def exactIncrementalBloom(
+      batch: DataFrame,
+      textCol: String,
+      tieBreaker: String,
+      seenFingerprints: DataFrame,
+      bloomStates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnShim
+    require(seenFingerprints.columns.toSeq == Seq("fp"),
+      s"seenFingerprints must be a single 'fp' column, got ${seenFingerprints.columns.mkString(",")}")
+    val bloom = Literal(mergeBloomStates(bloomStates),
+      org.apache.spark.sql.types.BinaryType)
+    val withFp = batch
+      .withColumn("_fp", TextAnalysis.contentFingerprint(col(s"`$textCol`")))
+      .where(col("_fp").isNotNull)
+    val mightBeSeen = ColumnShim.column(
+      BloomFilterMightContain(bloom, ColumnShim.expression(col("_fp"))))
+    val definitelyNew = withFp.where(!mightBeSeen)
+    val maybeSeen = withFp.where(mightBeSeen)
+      .join(seenFingerprints.select(col("fp").as("_fp")), Seq("_fp"), "left_anti")
+    exact(definitelyNew.unionByName(maybeSeen), Seq("_fp"), tieBreaker)
+      .drop("_fp")
+  }
+
   /** Compute-bound per-row stages (shingling, signatures, hamming) must not
     * inherit a coarse upstream partitioning: a corpus that fits one parquet
     * split would otherwise run its entire O(rows × tokens × hashes) pipeline

@@ -247,6 +247,33 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.exactIncremental(yesterday, "text", "doc_id", updated).count() === 0)
   }
 
+  test("exactIncrementalBloom accepts the same set; states merge across batches") {
+    val yesterday = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "something about streams"),
+      (3L, "a third stored doc")).toDF("doc_id", "text")
+    val store = Dedup.fingerprints(yesterday, "text")
+    // per-batch Bloom states over a SPLIT store (the at-rest shape): the
+    // merged filter must behave as one built over the whole store
+    val states = Dedup.fingerprintBloomState(
+        store.where($"fp" % 2 === 0), expectedItems = 100, numBits = 2048)
+      .unionByName(Dedup.fingerprintBloomState(
+        store.where($"fp" % 2 =!= 0), expectedItems = 100, numBits = 2048))
+    val today = Seq(
+      (10L, "The QUICK brown fox!"),     // dup of stored doc 1 → dropped
+      (11L, "fresh document one"),       // new → kept
+      (12L, "Fresh   DOCUMENT one"),     // within-batch dup of 11 → dropped
+      (13L, "fresh document two"),
+      (14L, null.asInstanceOf[String])). // undefined → dropped
+      toDF("doc_id", "text")
+    val viaBloom = Dedup.exactIncrementalBloom(today, "text", "doc_id", store, states)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val plain = Dedup.exactIncremental(today, "text", "doc_id", store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaBloom === plain)
+    assert(viaBloom === Seq(11L, 13L))
+  }
+
   test("exactIncremental: null-text rows are dropped, never poison the store") {
     // a null fingerprint would survive a LEFT ANTI join (always "not seen")
     // while the oracle's NOT IN drops it — and a null IN the store would
