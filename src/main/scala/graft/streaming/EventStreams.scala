@@ -143,11 +143,14 @@ object EventStreams {
       textCol: String,
       tieBreaker: String,
       acceptedPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      bloomNumBits: Long = 0,
+      bloomExpectedItems: Long = 1000000): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
+        val bloomPath = acceptedPath + "_bloom"
         val store =
           try
             spark.read.parquet(acceptedPath)
@@ -158,9 +161,34 @@ object EventStreams {
             case _: org.apache.spark.sql.AnalysisException =>
               spark.range(0).select(col("id").as("fp"))
           }
-        val accepted = graft.ops.Dedup.exactIncremental(batch, textCol, tieBreaker, store)
-        accepted
+        // `bloomNumBits > 0` maintains mergeable per-batch Bloom states
+        // next to the store and pre-filters each batch
+        // ([[graft.ops.Dedup.exactIncrementalBloom]]): definitely-new rows
+        // never probe the store's terabytes — the shape that holds when
+        // the accepted corpus dwarfs every batch. Replays are safe without
+        // epoch bookkeeping: re-appending a batch's state is a bitwise OR
+        // with itself. A replayed batch's own prior fps ARE in its state
+        // (unlike the partition-excluded store) — they fall in the
+        // maybe-seen set, and the anti-join against the own-partition-
+        // excluded store re-accepts them: same rows, same idempotence.
+        val bloomStates =
+          if (bloomNumBits <= 0) None
+          else
+            try {
+              val st = spark.read.parquet(bloomPath)
+              if (st.isEmpty) None else Some(st)
+            } catch {
+              case _: org.apache.spark.sql.AnalysisException => None
+            }
+        val accepted = bloomStates match {
+          case Some(states) =>
+            graft.ops.Dedup.exactIncrementalBloom(batch, textCol, tieBreaker, store, states)
+          case None =>
+            graft.ops.Dedup.exactIncremental(batch, textCol, tieBreaker, store)
+        }
+        val acceptedFp = accepted
           .withColumn("fp", graft.ops.TextAnalysis.contentFingerprint(col(s"`$textCol`")))
+        acceptedFp
           .withColumn("_batch", lit(id))
           .write.mode("overwrite")
           // writer-scoped, NOT spark.conf.set: mutating the session conf
@@ -168,6 +196,11 @@ object EventStreams {
           // writer sharing the session
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch").parquet(acceptedPath)
+        if (bloomNumBits > 0)
+          graft.ops.Dedup.fingerprintBloomState(
+              acceptedFp.select(col("fp")).where(col("fp").isNotNull).distinct(),
+              bloomExpectedItems, bloomNumBits)
+            .write.mode("append").parquet(bloomPath)
       }
       .start()
 

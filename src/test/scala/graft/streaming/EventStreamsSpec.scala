@@ -265,4 +265,29 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(out.columns.contains("fp") && out.columns.contains("_batch"))
     assert(out.where(out("_batch") === 1).select("doc_id").as[Long].collect().toSeq === Seq(21L))
   }
+
+  test("dedupToCorpus with Bloom pre-filter accepts the same corpus and keeps states at rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_corpus_bloom").toFile
+    dir.deleteOnExit()
+    val accepted = dir.getAbsolutePath + "/accepted"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupToCorpus(
+      mem.toDS().toDF("doc_id", "text"), "text", "doc_id",
+      accepted, dir.getAbsolutePath + "/ckpt", bloomNumBits = 1 << 16)
+    try {
+      mem.addData((10L, "the quick brown fox"), (11L, "The QUICK brown fox!"),
+        (12L, "something about streams"))
+      q.processAllAvailable()
+      mem.addData((20L, "Something ABOUT streams?"), (21L, "fresh content here"))
+      q.processAllAvailable()
+      mem.addData((30L, "FRESH content here!"), (31L, "and one more new doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(accepted)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 12L, 21L, 31L))
+    // one mergeable Bloom state row per micro-batch at rest
+    assert(spark.read.parquet(accepted + "_bloom").count() === 3)
+  }
 }
