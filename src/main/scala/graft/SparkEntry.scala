@@ -831,6 +831,33 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** [[ivfPqSql]] wrapped in an exact cosine re-rank of its top
+    * `k × refineFactor` candidates — the oracle twin of
+    * [[graft.ops.Similarity.ivfPqTopKRerank]]: same candidate pipeline as
+    * a CTE, then the ann_bruteforce scoring shape over candidates only.
+    */
+  private def ivfPqRerankSql(nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      dim: Int, k: Int, nQueries: Int, refineFactor: Int,
+      refineIters: Int = 0): String =
+    s"""WITH cand AS (
+       |${ivfPqSql(nlist, nprobe, m, ksub, dim, k * refineFactor, nQueries, refineIters)}
+       |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT * FROM e WHERE vec_id < $nQueries),
+       |re AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_inner_product(e.v, q.v)
+       |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+       |  FROM cand c
+       |  JOIN e ON e.vec_id = c.neighbor_id
+       |  JOIN qv q ON q.vec_id = c.query_id
+       |), reranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM re
+       |)
+       |SELECT query_id, rank, neighbor_id, cos FROM reranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB mirror of one city's dictionary as the federated fetch sees it:
     * per-column stats over the harmonized relation, with the registry
     * metadata ([[graft.schema.HarmonizedSchema]]) inlined at oracle-build
@@ -1755,6 +1782,23 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5, dim = 64,
           nlist = 256, nprobe = 16, m = 8, ksub = 16, refineIters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // FAISS IndexRefine shape: the compressed ADC scan nominates
+      // k×4 candidates, only those rejoin full-precision vectors for an
+      // exact cosine re-rank — recall recovered at k·refineFactor exact
+      // dots per query instead of |corpus|. Fully oracled: the candidate
+      // pipeline is the proven ann_ivfpq SQL as a CTE, the re-rank the
+      // proven ann_bruteforce scoring shape over candidates only.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfPqTopKRerank(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, dim = 64,
+          nlist = 8, nprobe = 3, m = 8, ksub = 16, refineFactor = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -3916,6 +3960,11 @@ object SparkEntry {
     // inner products — the full IVF-PQ pipeline restated in SQL.
     "ann_ivfpq" ->
       ivfPqSql(nlist = 8, nprobe = 3, m = 8, ksub = 16, dim = 64, k = 5, nQueries = 5),
+
+    // IndexRefine: the ann_ivfpq candidate pipeline + exact cosine re-rank
+    "ann_ivfpq_rerank" ->
+      ivfPqRerankSql(nlist = 8, nprobe = 3, m = 8, ksub = 16, dim = 64,
+        k = 5, nQueries = 5, refineFactor = 4),
 
     // The refined-index IVF-PQ twin: coarse centroids AND residual
     // codebooks each take one bit-stable k-means round (ordered folds on

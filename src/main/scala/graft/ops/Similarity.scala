@@ -468,6 +468,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** IVF-PQ with an EXACT re-rank refinement (FAISS's IndexRefine): the
+    * compressed ADC scan retrieves `k × refineFactor` candidates, then only
+    * those rows rejoin their full-precision vectors and re-score by exact
+    * cosine. ADC error moves a true neighbor a few ranks, rarely out of a
+    * 4×-widened candidate set — recall at the price of k·refineFactor exact
+    * dots per query instead of |corpus|.
+    *
+    * Scale shape: the candidate list (ids only, k·refineFactor rows per
+    * query) BROADCASTS against the corpus — the full-vector fetch is a
+    * broadcast-pruned scan of the at-rest index, never a corpus shuffle;
+    * with the corpus bucketed on the id this is the "fetch k' postings"
+    * disk pattern. The final window sorts k·refineFactor rows per query.
+    */
+  def ivfPqTopKRerank(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      refineFactor: Int = 4,
+      refineIters: Int = 0,
+      seed: Int = 42,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val cand = ivfPqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k * refineFactor, dim, nlist, nprobe, m, ksub, refineIters, seed, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv"))
+    val qv = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
+    // same operand order as bruteForceTopK: cosine(corpus, query) — the
+    // bit-stable form the ann oracles pin
+    val re = cv.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    re.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Cell-stratified deterministic sampling over an embedding corpus —
     * "diversity sampling" for training-data curation: assign every vector
     * to its nearest coarse-quantizer cell (the IVF pattern) and keep an

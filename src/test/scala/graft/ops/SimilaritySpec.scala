@@ -228,6 +228,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.9, s"mean recall@4 $mean below 0.9")
   }
 
+  test("ivfPqTopKRerank: exact re-rank dominates plain ADC recall, scores are true cosines") {
+    val qs = clusteredVecs.where(col("vec_id") < 10)
+    def neighborSets(df: DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.bruteForceTopK(clusteredVecs, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 4)
+    val bruteSets = neighborSets(brute)
+    val plain = neighborSets(Similarity.ivfPqTopK(clusteredVecs, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 4, dim = 16, nlist = 4, nprobe = 2, m = 4, ksub = 8))
+    val rerank = Similarity.ivfPqTopKRerank(clusteredVecs, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 4, dim = 16, nlist = 4, nprobe = 2,
+      m = 4, ksub = 8, refineFactor = 4)
+    val rerankSets = neighborSets(rerank)
+    def meanRecall(got: Map[Long, Set[Long]]) = {
+      val r = bruteSets.map { case (q, truth) =>
+        (got.getOrElse(q, Set.empty) intersect truth).size.toDouble / truth.size }
+      r.sum / r.size
+    }
+    assert(meanRecall(rerankSets) >= meanRecall(plain),
+      s"re-rank recall ${meanRecall(rerankSets)} below plain ADC ${meanRecall(plain)}")
+    // re-ranked scores are TRUE cosines: wherever re-rank and brute force
+    // agree on a neighbor, they agree on its score exactly
+    val bruteCos = brute.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val rerankCos = rerank.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val shared = bruteCos.keySet intersect rerankCos.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(bruteCos(k) === rerankCos(k)))
+  }
+
   test("k-means-refined PQ codebooks still produce a full valid ranking") {
     // Refined cell means are unordered float sums (not bit-reproducible
     // across partitionings — the documented reason refined variants are
