@@ -57,12 +57,22 @@ object Bench {
     * medians travel on a separate, prefixed, deliberately-not-JSON line
     * that may truncate harmlessly.
     */
+  /** Correctness twins whose timing is their base query's plus a constant —
+    * pruned from the per-query dict to hold the capture-window budget
+    * (BenchLineSpec), still timed and counted in tier/total sums. This is
+    * the registry-growth relief valve the spec comment points at: prune
+    * here, never nudge the budget.
+    */
+  private[graft] val headlinePruned: Set[String] =
+    Set("dashboard_preagg_incremental", "dedup_exact_incremental_bloom",
+      "ann_ivfpq_rerank")
+
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],
       sfDir: String,
       loadStart: Double,
       loadEnd: Double): String = {
-    val qs = jmap(results.map(r => r._1 -> r._2))
+    val qs = jmap(results.filterNot(r => headlinePruned(r._1)).map(r => r._1 -> r._2))
     val total = fmt(results.map(_._2).sum)
     val totalMed = fmt(results.map(_._3).sum)
     val tiers = Seq("serving", "etl", "pipeline").map { t =>
