@@ -65,7 +65,7 @@ object Bench {
     */
   private[graft] val headlinePruned: Set[String] =
     Set("dashboard_preagg_incremental", "dedup_exact_incremental_bloom",
-      "ann_ivfpq_rerank")
+      "ann_ivfpq_rerank", "quality_classifier_holdout")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

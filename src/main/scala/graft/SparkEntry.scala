@@ -2017,6 +2017,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_classifier_holdout" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The deployment contract: weights trained on one (hash-sampled)
+      // split are a FROZEN model applied to unseen rows — the daily-ingest
+      // scoring pass. Same integer-exact pipeline; the split is the
+      // portable md5 unit hash, so the oracle reproduces membership
+      // exactly.
+      val docs = load(dir, "documents")
+      val train = ops.Sampling.hashSample(docs, "doc_id", 0.6, seed = 7)
+      val holdout = docs.join(train.select("doc_id"), Seq("doc_id"), "left_anti")
+      val weights = ops.QualityModel.trainTokenWeights(train, "doc_id", "text",
+        ops.QualityModel.lengthLabel(col("text")), minDf = 2)
+      ops.QualityModel.scoreDocs(holdout, "doc_id", "text", weights)
+        .orderBy("doc_id")
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Overlapping 64-token windows with 16-token overlap — the RAG/
@@ -3090,6 +3106,48 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(s.score, 0)::BIGINT AS score,
          |  coalesce(s.score, 0) > 0 AS predicted
          |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Frozen-model scoring: weights from the hash-sampled train split only,
+    // applied to the disjoint holdout — split membership via the portable
+    // unit hash, everything else the quality_classifier_score pipeline.
+    "quality_classifier_holdout" ->
+      s"""WITH train AS (
+         |  SELECT * FROM documents
+         |  WHERE ${ops.Sampling.hashUnitSql("doc_id", 7)} < 0.6
+         |), holdout AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM train)
+         |), tposting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM train)
+         |  GROUP BY 1, 2
+         |), labels AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 50 AS pos
+         |  FROM train
+         |), dfc AS (
+         |  SELECT t,
+         |    sum(CASE WHEN l.pos THEN 1 ELSE 0 END)::BIGINT AS pos_df,
+         |    sum(CASE WHEN l.pos THEN 0 ELSE 1 END)::BIGINT AS neg_df
+         |  FROM tposting p JOIN labels l USING (doc_id) GROUP BY t
+         |), w AS (
+         |  SELECT t,
+         |    (${ops.QualityModel.Scale} * (pos_df + 1)) // (neg_df + 1)
+         |      - (${ops.QualityModel.Scale} * (neg_df + 1)) // (pos_df + 1) AS w
+         |  FROM dfc WHERE pos_df + neg_df >= 2
+         |), hposting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM holdout)
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT p.doc_id, sum(p.tf * w.w)::BIGINT AS score
+         |  FROM hposting p JOIN w USING (t) GROUP BY 1
+         |)
+         |SELECT h.doc_id, coalesce(s.score, 0)::BIGINT AS score,
+         |  coalesce(s.score, 0) > 0 AS predicted
+         |FROM holdout h LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,
