@@ -204,6 +204,34 @@ object EventStreams {
       }
       .start()
 
+  /** Compact the accepted-corpus store [[dedupToCorpus]] maintains: a
+    * long-running stream leaves one `_batch=<id>` partition per micro-batch
+    * — the classic streaming small-files problem — and this folds every
+    * partition into the sentinel `_batch=-1` via the same staged swap as
+    * [[compactIncrements]] (pause the writer or run from the cadence that
+    * owns the table). Replay semantics survive compaction: a replayed batch
+    * excludes only its OWN partition, the sentinel stays visible, so the
+    * replay re-drops its rows against them and writes an empty partition —
+    * the accepted set never changes. Bloom states are untouched (their
+    * merge is already one row per batch and OR-idempotent).
+    */
+  def compactAcceptedCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      acceptedPath: String): Unit = {
+    // No cache: unlike [[compactIncrements]]' kilobyte table this is the
+    // corpus. The staged write reads the source directory and completes
+    // fully before promote touches it, so the rewrite streams through —
+    // one scan, one write, constant memory.
+    val staged = acceptedPath + ".compacting"
+    spark.read.parquet(acceptedPath)
+      .withColumn("_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("_batch").parquet(staged)
+    val fs = graft.store.FsOps.fileSystem(spark, staged)
+    graft.store.FsOps.promote(fs,
+      new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(acceptedPath))
+  }
+
   /** Streaming sink into the at-rest search index: every micro-batch is
     * appended to a parquet table with its analyzed `_split` companions
     * precomputed (see [[graft.store.SearchIndex]]) — the live-ingestion

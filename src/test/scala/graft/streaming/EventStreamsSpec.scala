@@ -289,5 +289,25 @@ class EventStreamsSpec extends SparkSpecBase {
       Seq(10L, 12L, 21L, 31L))
     // one mergeable Bloom state row per micro-batch at rest
     assert(spark.read.parquet(accepted + "_bloom").count() === 3)
+
+    // compaction folds the per-batch partitions into the sentinel without
+    // changing the accepted set…
+    EventStreams.compactAcceptedCorpus(spark, accepted)
+    val compacted = spark.read.parquet(accepted)
+    assert(compacted.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 12L, 21L, 31L))
+    assert(compacted.select("_batch").distinct().as[Long].collect().toSeq === Seq(-1L))
+    // …and the compacted table still IS the store: a later stream over the
+    // same path drops dups against it and accepts genuinely new docs
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.dedupToCorpus(
+      mem2.toDS().toDF("doc_id", "text"), "text", "doc_id",
+      accepted, dir.getAbsolutePath + "/ckpt2", bloomNumBits = 1 << 16)
+    try {
+      mem2.addData((40L, "the QUICK brown fox"), (41L, "never seen before"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 12L, 21L, 31L, 41L))
   }
 }
