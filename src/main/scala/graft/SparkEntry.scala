@@ -1544,6 +1544,37 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
     }),
 
+    "g_pipeline_aggs" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES parent-pipeline aggs (cumulative_sum / derivative / moving_avg)
+      // over the daily histogram: the corpus collapses in the groupBy;
+      // the ordered window then runs over the bucket-bounded series only.
+      Aggs.bucketPipeline(
+          Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+          "bucket", "count", movingWindow = 7)
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+        .orderBy("bucket")
+    }),
+
+    "g_rollup_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Subtotal hierarchy over (event_type, day-of-week): one Expand, one
+      // aggregation, every prefix level — the terms table's "show totals".
+      Aggs.rollupCounts(
+        loadEvents(dir).select(col("event_type"),
+          date_format(col("ts"), "EEEE").as("dayofweek")),
+        Seq("event_type", "dayofweek"))
+    }),
+
+    "g_cube_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // CUBE twin: all four grouping sets, still one Expand + one agg.
+      Aggs.rollupCounts(
+        loadEvents(dir).select(col("event_type"),
+          date_format(col("ts"), "EEEE").as("dayofweek")),
+        Seq("event_type", "dayofweek"), cube = true)
+    }),
+
     // ===== M1: dictionary profiling (A1-A2) =====
 
     "dict_profile_lineitem" -> ((s, dir) => {
@@ -1826,6 +1857,40 @@ object SparkEntry {
       // JoinsSpec: partial top-n + broadcast scalar total over ONE reused
       // groupBy exchange — no unpartitioned window, no second scan.
       ops.Joins.keyskewProfile(load(dir, "lineitem"), Seq("l_suppkey"), n = 10)
+    }),
+
+    "join_bucketed" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Co-located join through the bucketed layout (TableStore
+      // .saveAsBucketedTable): both sides pre-hashed into the same bucket
+      // scheme on the join key at WRITE time, so the sort-merge join reads
+      // bucket pairs directly — no exchange on either side of the join
+      // (pinned in PlanSpec "co-bucketed tables join without an exchange").
+      // This is the 100 TB layout for keys joined repeatedly (a document
+      // table against its per-document feature tables): the shuffle is paid
+      // once at ingest, then every join of the pair is shuffle-free.
+      // Layout is invisible to results — oracled as the plain equi-join.
+      val db = s"graft_bkt_${math.abs(dir.hashCode)}"
+      if (!s.catalog.tableExists(s"`$db`.orders_b")) {
+        s.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+        store.TableStore.saveAsBucketedTable(
+          load(dir, "orders").select("o_custkey", "o_totalprice"),
+          db, "orders_b", Seq("o_custkey"), numBuckets = 8,
+          sortBy = Seq("o_custkey"))
+        store.TableStore.saveAsBucketedTable(
+          load(dir, "customer").select("c_custkey", "c_mktsegment"),
+          db, "customer_b", Seq("c_custkey"), numBuckets = 8,
+          sortBy = Seq("c_custkey"))
+      }
+      val ord = s.table(s"`$db`.orders_b")
+      val cust = s.table(s"`$db`.customer_b")
+      // MERGE hint: these sides are broadcast-sized at test SF, but the
+      // layout exists for when neither side broadcasts — exercise that plan.
+      cust.hint("MERGE").join(ord, cust("c_custkey") === ord("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+        .orderBy("c_mktsegment")
     }),
 
     "ann_ivfpq" -> ((s, dir) => {
@@ -2926,6 +2991,39 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
         |  count(*) AS count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Window semantics restated verbatim: trailing-inclusive moving window,
+    // lag-derivative null in the first bucket, running sum including the
+    // current bucket. DuckDB's sum(BIGINT) widens to HUGEINT — cast back.
+    "g_pipeline_aggs" ->
+      """WITH h AS (
+        |  SELECT date_trunc('day', ts) AS bucket, count(*) AS count
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |)
+        |SELECT strftime(bucket, '%Y-%m-%d') AS bucket, count,
+        |  (sum(count) OVER (ORDER BY bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS cumulative,
+        |  count - lag(count, 1) OVER (ORDER BY bucket) AS derivative,
+        |  round(avg(count) OVER (ORDER BY bucket
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM h ORDER BY bucket""".stripMargin,
+
+    // GROUPING() carries the identical bit-vector meaning in both engines;
+    // NULLS FIRST matches Spark's ASC default for the subtotal rows.
+    "g_rollup_terms" ->
+      """SELECT event_type, dayname(ts) AS dayofweek, count(*) AS count,
+        |  GROUPING(event_type, dayname(ts))::BIGINT AS gid
+        |FROM events
+        |GROUP BY ROLLUP (event_type, dayname(ts))
+        |ORDER BY gid, event_type ASC NULLS FIRST, dayofweek ASC NULLS FIRST""".stripMargin,
+
+    "g_cube_terms" ->
+      """SELECT event_type, dayname(ts) AS dayofweek, count(*) AS count,
+        |  GROUPING(event_type, dayname(ts))::BIGINT AS gid
+        |FROM events
+        |GROUP BY CUBE (event_type, dayname(ts))
+        |ORDER BY gid, event_type ASC NULLS FIRST, dayofweek ASC NULLS FIRST""".stripMargin,
 
     "dedup_exact" ->
       """SELECT source, count(*) AS n_unique FROM (
@@ -4120,6 +4218,14 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The bucketed layout is a physical-plan property only — the oracle is
+    // the plain equi-join the co-located tables compute.
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_spend
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Same assignment CTEs as ann_ivf; the keep order inside each cell is
     // the seeded md5-unit hash (then id) — the deterministic per-cell

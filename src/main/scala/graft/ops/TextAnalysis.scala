@@ -339,6 +339,67 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Boilerplate n-gram profile (the C4/RefinedWeb template-text signal):
+    * a word n-gram occurring in at least `minDocFrac` of all documents is
+    * "boilerplate" (navigation chrome, license headers, shared templates);
+    * each document reports its distinct-gram count, how many of those are
+    * boilerplate, and the ratio. Documents with fewer than `n` tokens have
+    * no n-grams and are absent from the output (no signal either way).
+    *
+    * The threshold is a FRACTION of the corpus, not an absolute df, so the
+    * cut is scale-invariant: the same 1% line means the same thing at sf0.01
+    * and at 100 TB. Scale shape: one explode of per-doc DISTINCT gram
+    * hashes (the inverted-index volume every ngram op here rides), a
+    * partial-aggregated df count, and a broadcast of only the Zipf HEAD
+    * (grams above the corpus-fraction line — few by construction) back onto
+    * the gram stream; the per-doc rollup then partial-aggregates before its
+    * single exchange. No corpus-sized state, no skewed window partitions.
+    */
+  def boilerplateProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocFrac: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac must be in (0, 1], got $minDocFrac")
+    val grams = df.select(col(idCol),
+      explode(graft.expr.TextShingles.shingleHashes(col(textCol), n)).as("_g"))
+    val total = df.agg(count(lit(1)).as("_ndocs"))
+    // per-doc grams are distinct by construction, so count(*) per gram IS
+    // the document frequency
+    val frequent = grams.groupBy("_g").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(total))
+      .where(col("_df") >= ceil(col("_ndocs") * lit(minDocFrac)))
+      .select("_g")
+    grams.join(broadcast(frequent).withColumn("_hit", lit(1L)), Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_boilerplate"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_boilerplate").cast(DoubleType) / col("n_grams"), 4))
+  }
+
+  /** Keep documents whose boilerplate ratio is at most `maxRatio` —
+    * documents too short to have n-grams pass (no signal is not a
+    * rejection, matching the quality-filter convention).
+    */
+  def boilerplateFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocFrac: Double = 0.01,
+      maxRatio: Double = 0.5): DataFrame = {
+    val drop = boilerplateProfile(df, idCol, textCol, n, minDocFrac)
+      .where(col("boilerplate_ratio") > maxRatio)
+      .select(col(idCol).as("_bp_drop"))
+    // no broadcast hint: the drop set is corpus-proportional in the worst
+    // case — let AQE pick broadcast when it measures small
+    df.join(drop, df(idCol) === col("_bp_drop"), "left_anti")
+  }
+
   /** Full per-document text profile as named columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

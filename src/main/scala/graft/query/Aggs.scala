@@ -252,4 +252,48 @@ object Aggs {
       .agg(count(lit(1)).as("count"), metrics: _*)
       .orderBy(desc("count"), asc(field))
       .limit(n)
+
+  /** ES "parent pipeline" aggregations (cumulative_sum, derivative,
+    * moving average — the TSVB/Timelion bucket pipelines) over an already
+    * aggregated, bucket-ordered series such as [[dateHistogram]]'s output.
+    *
+    * Scale contract: these window over the AGGREGATED bucket frame — row
+    * count bounded by the time-range/interval quotient (the same
+    * `maxBuckets`-class serving bound every bucket agg here carries), never
+    * by the corpus — so the single-task ordered window is deliberate: the
+    * corpus-sized work already collapsed in the upstream groupBy.
+    *
+    * Semantics pinned for the oracle: `cumulative` includes the current
+    * bucket; `derivative` is `value - lag(value)` (null in the first
+    * bucket, as in ES); `moving_avg` is the trailing `movingWindow`-bucket
+    * mean INCLUDING the current bucket.
+    */
+  def bucketPipeline(
+      series: DataFrame,
+      bucketCol: String,
+      valueCol: String,
+      movingWindow: Int = 7): DataFrame = {
+    require(movingWindow >= 1, s"movingWindow must be >= 1, got $movingWindow")
+    val w = Window.orderBy(col(bucketCol))
+    series
+      .withColumn("cumulative",
+        sum(col(valueCol)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("derivative", col(valueCol) - lag(col(valueCol), 1).over(w))
+      .withColumn("moving_avg",
+        round(avg(col(valueCol)).over(w.rowsBetween(-(movingWindow - 1), Window.currentRow)), 4))
+  }
+
+  /** Subtotal hierarchies — `ROLLUP` / `CUBE` over low-cardinality widget
+    * dimensions, the "show totals" toggle of a terms table. Grouping-set
+    * execution is one Expand over the aggregation (no per-level rescan);
+    * `grouping_id()` disambiguates a genuine NULL key from a subtotal row
+    * (surfaced as `gid`, exactly SQL's GROUPING() bit-vector).
+    */
+  def rollupCounts(df: DataFrame, dims: Seq[String], cube: Boolean = false): DataFrame = {
+    val cols = dims.map(col)
+    val grouped = if (cube) df.cube(cols: _*) else df.rollup(cols: _*)
+    grouped.agg(count(lit(1)).as("count"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid") +: cols.map(_.asc_nulls_first): _*)
+  }
 }
