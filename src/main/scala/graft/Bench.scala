@@ -65,7 +65,16 @@ object Bench {
     */
   private[graft] val headlinePruned: Set[String] =
     Set("dashboard_preagg_incremental", "dedup_exact_incremental_bloom",
-      "ann_ivfpq_rerank", "quality_classifier_holdout")
+      "ann_ivfpq_rerank", "quality_classifier_holdout",
+      // correctness/certification twins of queries that stay visible:
+      // cube shares rollup's one-Expand plan, the filter composes the
+      // profile, the portable twins certify the seeded-hash scale twins
+      // (dedup_minhash_portable stays as the family's visible number)
+      "g_cube_terms", "text_boilerplate_filter",
+      "dedup_simhash_portable", "dedup_cluster_keep_portable",
+      // containment pairs → CC keep: both legs visible separately as
+      // dedup_containment and dedup_cluster_keep
+      "dedup_containment_keep")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

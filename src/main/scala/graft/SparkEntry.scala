@@ -25,22 +25,28 @@ object SparkEntry {
   private def load(dir: String, table: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** The `events` table is written with nanosecond parquet timestamps, which
-    * Spark's vectorized reader rejects. Read `ts` as raw nanos and convert to
-    * a microsecond timestamp — `div` is exact integer division (double
-    * division would lose 1µs above 2^53 ns), matching DuckDB's truncation
-    * bit-for-bit.
-    *
-    * [[Verify]]/[[Bench]] set `spark.sql.legacy.parquet.nanosAsLong` at
-    * session build; parquet has no per-read option for it (checked
-    * ParquetOptions, Spark 4.1), so for externally-built sessions (the
-    * driver's `entry` smoke check) we set it here iff missing.
+  /** Load `events` with `ts` normalized to a session-zone TIMESTAMP
+    * regardless of how the parquet writer encoded it. Generations of the
+    * driver's testdata have carried nanosecond timestamps (read as raw
+    * nanos via `spark.sql.legacy.parquet.nanosAsLong`, which
+    * [[Verify]]/[[Bench]] set at session build — parquet has no per-read
+    * option for it, checked ParquetOptions, Spark 4.1) and microsecond
+    * TIMESTAMP_NTZ; dispatch on the type the scan actually produced:
+    *  - LongType: raw nanos → `div 1000` (exact integer division — double
+    *    division would lose 1µs above 2^53 ns, DuckDB truncates the same)
+    *    → `timestamp_micros`.
+    *  - TIMESTAMP_NTZ: cast to TIMESTAMP — value-preserving under the UTC
+    *    session zone both entries pin, and identical to what DuckDB reads.
     */
   private def loadEvents(dir: String)(implicit spark: SparkSession): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the harmonized
@@ -2142,6 +2148,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_boilerplate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // C4/RefinedWeb-style template-text signal: 3-grams present in ≥1%
+      // of the corpus are boilerplate; each doc reports its distinct-gram
+      // count, boilerplate-gram count, and ratio. The df threshold is a
+      // corpus FRACTION (scale-invariant), the frequent set is the Zipf
+      // head only (broadcast), and the per-doc rollup partial-aggregates
+      // before its single exchange.
+      ops.TextAnalysis.boilerplateProfile(load(dir, "documents"),
+          "doc_id", "text", n = 3, minDocFrac = 0.01)
+        .orderBy("doc_id")
+    }),
+
+    "text_boilerplate_filter" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The filter composed: drop docs whose boilerplate ratio exceeds the
+      // line, count survivors per source. Docs too short for any 3-gram
+      // pass (no signal is not a rejection).
+      ops.TextAnalysis.boilerplateFilter(load(dir, "documents"),
+          "doc_id", "text", n = 3, minDocFrac = 0.01, maxRatio = 0.35)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     "search_hybrid_rrf_ivfpq" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The SERVING-SCALE hybrid: same RRF fusion, but the vector run is
@@ -3372,6 +3403,46 @@ object SparkEntry {
          |FROM (SELECT unnest($duckToks) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
     },
+
+    // Boilerplate restated on gram STRINGS where the engine counts distinct
+    // gram HASHES — identical counts because per-doc grams are distinct by
+    // construction on both sides (xxhash64 collisions aside, the same
+    // warrant every ngram oracle here carries). The df threshold and the
+    // ratio are the same IEEE arithmetic in both engines.
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+         |  FROM t WHERE len(toks) >= 3
+         |), freq AS (
+         |  SELECT gram FROM g GROUP BY gram
+         |  HAVING count(*) >= ceil((SELECT count(*) FROM documents) * 0.01)
+         |)
+         |SELECT g.doc_id, count(*) AS n_grams, count(f.gram) AS n_boilerplate,
+         |  count(f.gram)::DOUBLE / count(*) AS boilerplate_ratio
+         |FROM g LEFT JOIN freq f ON g.gram = f.gram
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "text_boilerplate_filter" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+         |  FROM t WHERE len(toks) >= 3
+         |), freq AS (
+         |  SELECT gram FROM g GROUP BY gram
+         |  HAVING count(*) >= ceil((SELECT count(*) FROM documents) * 0.01)
+         |), p AS (
+         |  SELECT g.doc_id, count(f.gram)::DOUBLE / count(*) AS ratio
+         |  FROM g LEFT JOIN freq f ON g.gram = f.gram GROUP BY g.doc_id
+         |)
+         |SELECT source, count(*) AS n_kept FROM documents d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM p WHERE p.doc_id = d.doc_id AND p.ratio > 0.35)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // Repetition signals restated by a genuinely different algorithm: the
     // engine runs a row-local sort+run-scan kernel; the oracle explodes

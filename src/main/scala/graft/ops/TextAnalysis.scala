@@ -377,8 +377,11 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("_hit")), lit(0L)).as("n_boilerplate"))
+      // unrounded: an exact-integer quotient is bit-identical across
+      // engines, while round() on small rationals hits .xxx5 ties the two
+      // engines' round() break differently (same convention as profile())
       .withColumn("boilerplate_ratio",
-        round(col("n_boilerplate").cast(DoubleType) / col("n_grams"), 4))
+        col("n_boilerplate").cast(DoubleType) / col("n_grams"))
   }
 
   /** Keep documents whose boilerplate ratio is at most `maxRatio` —

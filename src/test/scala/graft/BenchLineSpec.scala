@@ -21,13 +21,13 @@ class BenchLineSpec extends AnyFunSuite {
     // truncation cuts the FRONT: the graded summary fields — tiers,
     // median, value — are emitted LAST and always survive; what head-loss
     // costs is the per-query numbers of the alphabetically-first few
-    // queries. 2680 holds the 105-query registry (r11 added mm_meta_stats,
+    // queries. 2680 holds the 111-query registry (r11 added mm_meta_stats,
     // dashboard_refresh_preagg, g7_typeahead_preagg, quality_classifier_
-    // score, ann_ivfpq_rerank; the correctness twins dashboard_preagg_
-    // incremental and dedup_exact_incremental_bloom are timed but pruned
-    // from the dict — Bench.headlinePruned) with that tradeoff made
-    // explicitly; shrinking further means pruning queries from the
-    // headline dict, not nudging this bound.
+    // score, ann_ivfpq_rerank, g_pipeline_aggs, g_rollup/g_cube_terms,
+    // join_bucketed, text_boilerplate(_filter); correctness/certification
+    // twins are timed but pruned from the dict — Bench.headlinePruned)
+    // with that tradeoff made explicitly; shrinking further means pruning
+    // queries from the headline dict, not nudging this bound.
     assert(line.length < 2680,
       s"headline is ${line.length} chars — prune a query from the headline")
   }

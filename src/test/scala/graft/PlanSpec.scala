@@ -284,4 +284,35 @@ class PlanSpec extends SparkSpecBase {
     assert(bucketExchanges == 1,
       s"stats agg must reuse the window's bucket clustering, got $bucketExchanges:\n$plan")
   }
+
+  test("rollup/cube execute as ONE Expand over one aggregation — no per-level rescan") {
+    val df = Seq(("a", "x"), ("b", "y")).toDF("k1", "k2")
+    for (cube <- Seq(false, true)) {
+      val plan = planOf(Aggs.rollupCounts(df, Seq("k1", "k2"), cube = cube))
+      assert("Expand".r.findAllIn(plan).length >= 1, plan)
+      // one Expand node, one pair of partial/final HashAggregates — a
+      // union-of-levels formulation would multiply both
+      assert("\\(\\d+\\) Expand".r.findAllIn(plan).length == 1,
+        s"grouping sets must expand once:\n$plan")
+      assert("\\(\\d+\\) HashAggregate".r.findAllIn(plan).length == 2,
+        s"one partial+final agg pair expected:\n$plan")
+    }
+  }
+
+  test("boilerplate profile broadcasts the Zipf head, never shuffles the corpus twice") {
+    val docs = Seq(
+      (1L, "visit our website today alpha beta"),
+      (2L, "visit our website today gamma delta"),
+      (3L, "unique text one two three four")
+    ).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TextAnalysis.boilerplateProfile(
+      docs, "doc_id", "text", n = 3, minDocFrac = 0.5))
+    // the frequent-gram set and the ndocs scalar both arrive by broadcast;
+    // the gram stream itself is exchanged only for the df count — the
+    // per-doc rollup hashes on doc id, not on grams again
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"frequent set + ndocs must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram join must not sort-merge the corpus:\n$plan")
+  }
 }

@@ -141,6 +141,44 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(merged == whole)
   }
 
+  test("boilerplateProfile: corpus-frequent grams flagged, short docs absent") {
+    val docs = Seq(
+      (1L, "visit our website today alpha beta"),
+      (2L, "visit our website today gamma delta"),
+      (3L, "visit our website today epsilon zeta"),
+      (4L, "visit our website today eta theta"),
+      (5L, "visit our website today iota kappa"),
+      (6L, "unique text one two three four"),
+      (7L, "hi there") // two tokens: no 3-gram, absent from the profile
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.boilerplateProfile(docs, "doc_id", "text",
+        n = 3, minDocFrac = 0.5) // threshold = ceil(7 * 0.5) = 4 docs
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // docs 1-5: 4 grams each, the two template grams (df=5 >= 4) flagged
+    assert(p.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    p.take(5).foreach { case (_, nGrams, nBp, ratio) =>
+      assert(nGrams == 4L && nBp == 2L && ratio == 0.5)
+    }
+    assert(p(5) == ((6L, 4L, 0L, 0.0)))
+  }
+
+  test("boilerplateFilter: high-ratio docs dropped, no-signal docs kept") {
+    val docs = Seq(
+      (1L, "visit our website today alpha beta"),
+      (2L, "visit our website today gamma delta"),
+      (3L, "visit our website today epsilon zeta"),
+      (4L, "visit our website today eta theta"),
+      (5L, "visit our website today iota kappa"),
+      (6L, "unique text one two three four"),
+      (7L, "hi there")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.boilerplateFilter(docs, "doc_id", "text",
+        n = 3, minDocFrac = 0.5, maxRatio = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(6L, 7L))
+  }
+
   test("piiMatchCount counts scrubbed entities with chain precedence") {
     val df = Seq(
       ("a@b.io and 10.0.0.1 and 555-867-5309", 3L),

@@ -133,4 +133,36 @@ class AggsSpec extends SparkSpecBase {
       .as[(String, Long, Int)].collect().toSeq
     assert(out.head === ("baltimore", 3L, 1))
   }
+
+  test("bucketPipeline: cumulative includes current, derivative lags, moving avg trails") {
+    val series = Seq(("d1", 10L), ("d2", 20L), ("d3", 30L), ("d4", 40L))
+      .toDF("bucket", "count")
+    val out = Aggs.bucketPipeline(series, "bucket", "count", movingWindow = 2)
+      .orderBy("bucket")
+      .select("bucket", "cumulative", "derivative", "moving_avg")
+      .as[(String, Long, Option[Long], Double)].collect().toSeq
+    assert(out === Seq(
+      ("d1", 10L, None, 10.0),
+      ("d2", 30L, Some(10L), 15.0),
+      ("d3", 60L, Some(10L), 25.0),
+      ("d4", 100L, Some(10L), 35.0)))
+  }
+
+  test("rollupCounts: every prefix level with grouping_id; cube adds the cross level") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
+    val roll = Aggs.rollupCounts(df, Seq("k1", "k2"))
+      .as[(Option[String], Option[String], Long, Long)].collect().toSeq
+    assert(roll === Seq(
+      (None, None, 3L, 3L),          // grand total, gid=3
+      (Some("a"), None, 2L, 1L),     // k1 subtotals, gid=1
+      (Some("b"), None, 1L, 1L),
+      (Some("a"), Some("x"), 1L, 0L), // leaves, gid=0
+      (Some("a"), Some("y"), 1L, 0L),
+      (Some("b"), Some("x"), 1L, 0L)).sortBy(r => (r._4, r._1, r._2)))
+    val cube = Aggs.rollupCounts(df, Seq("k1", "k2"), cube = true)
+      .as[(Option[String], Option[String], Long, Long)].collect().toSeq
+    // cube = rollup + the (NULL, k2) cross level, gid=2
+    assert(cube.count(_._4 == 2L) === 2)
+    assert(cube.size === roll.size + 2)
+  }
 }
