@@ -74,7 +74,10 @@ object Bench {
       "dedup_simhash_portable", "dedup_cluster_keep_portable",
       // containment pairs → CC keep: both legs visible separately as
       // dedup_containment and dedup_cluster_keep
-      "dedup_containment_keep")
+      "dedup_containment_keep",
+      // dedup_embedding_lsh (pairs) stays visible; the CC-keep composition
+      // rides it. g6_geohash_auto is grid at a zoom-chosen precision.
+      "dedup_embedding_cluster_keep", "g6_geohash_auto")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

@@ -2148,6 +2148,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_token_budget" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // "Give me 600 tokens of every domain": per source, docs are taken
+      // in seeded-hash order until the running token total hits the
+      // budget — a pure prefix of the hash order, computed by the bucketed
+      // two-phase prefix sum (per-source parallelism = numBuckets, never
+      // one sequential task per source).
+      ops.Sampling.tokenBudgetSelect(load(dir, "documents"),
+          "doc_id", "source", ops.TextAnalysis.tokenCount(col("text")),
+          budget = 600L, numBuckets = 8)
+        .orderBy("doc_id")
+    }),
+
+    "dedup_repeated_segments" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // C4 repeated-line removal restated on fixed 8-token spans (this
+      // corpus has no line structure): spans occurring more than once
+      // corpus-wide are cut from every document, documents reassemble
+      // from the survivors in order. Segment-granular — the only dedup
+      // here that edits documents instead of selecting among them.
+      ops.Dedup.repeatedSegmentFilter(load(dir, "documents"),
+          "doc_id", "text", window = 8, maxOccurrences = 1)
+        .orderBy("doc_id")
+    }),
+
     "text_boilerplate" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // C4/RefinedWeb-style template-text signal: 3-grams present in ≥1%
@@ -3403,6 +3428,49 @@ object SparkEntry {
          |FROM (SELECT unnest($duckToks) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
     },
+
+    // The budget cut restated as the ONE global window the bucketed
+    // two-phase prefix sum is provably equal to (bucket index is monotone
+    // in the hash): same md5 unit hash, same (u, id) order, same
+    // prefix-inclusive running sum, same <= line.
+    "sample_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS n_tok,
+         |    ${ops.Sampling.hashUnitSql("doc_id", 42)} AS u
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, source, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         |      AS cum_tok
+         |  FROM d WHERE n_tok > 0
+         |)
+         |SELECT doc_id, source, n_tok, cum_tok FROM p
+         |WHERE cum_tok <= 600 ORDER BY doc_id""".stripMargin,
+
+    // Segment dedup restated verbatim: same analyzer tokens, same 1-based
+    // inclusive span slicing (both engines truncate the last span), same
+    // ordered reassembly (string_agg ORDER BY ≡ array_sort(collect_list)).
+    // All-spans-dropped documents keep an empty-text row on both sides.
+    "dedup_repeated_segments" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i - 1 AS seg_idx,
+         |    array_to_string(toks[(i - 1) * 8 + 1 : i * 8], ' ') AS seg
+         |  FROM t, unnest(generate_series(1, (len(toks) + 7) // 8)) AS u(i)
+         |  WHERE len(toks) > 0
+         |), over_rep AS (
+         |  SELECT seg FROM seg GROUP BY seg HAVING count(*) > 1
+         |)
+         |SELECT s.doc_id, count(o.seg) AS n_dropped,
+         |  count(*) - count(o.seg) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN o.seg IS NULL THEN s.seg END,
+         |    ' ' ORDER BY s.seg_idx), '') AS text
+         |FROM seg s LEFT JOIN over_rep o ON s.seg = o.seg
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // Boilerplate restated on gram STRINGS where the engine counts distinct
     // gram HASHES — identical counts because per-doc grams are distinct by

@@ -843,4 +843,63 @@ object Dedup {
       .where(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** C4-style repeated-segment removal, SEGMENT granularity where the other
+    * ops here work at document granularity: split each document into
+    * non-overlapping `window`-token spans, drop every span whose exact
+    * content occurs more than `maxOccurrences` times corpus-wide (C4 dropped
+    * any three-sentence span occurring more than once; RefinedWeb's line
+    * dedup is the same shape on lines), and reassemble each document from
+    * its surviving spans in order.
+    *
+    * Output: `(idCol, n_dropped, n_kept, text)` — one row per document that
+    * had at least one span; a document whose every span is corpus-repeated
+    * survives as an empty `text` with `n_kept = 0` (exact duplicates
+    * annihilate EACH OTHER — the known, documented C4 behavior — callers
+    * wanting one survivor run exact dedup first).
+    *
+    * 100 TB shape: the span stream explodes linearly in corpus tokens, the
+    * occurrence count is one partial-aggregated exchange on the span hash,
+    * the over-represented set is the Zipf head (few by construction — left
+    * unhinted so AQE broadcasts when measured small), and the reassembly
+    * groupBy hashes on the document id. Tokenization matches the corpus
+    * analyzer (lowercase alnum runs), so spans restate verbatim in the
+    * oracle's SQL.
+    */
+  def repeatedSegmentFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      maxOccurrences: Int = 1): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxOccurrences >= 1,
+      s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val id = col(s"`$idCol`")
+    val segs = df
+      .select(id, tokens(col(s"`$textCol`")).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(id, explode(transform(
+        sequence(lit(1), expr(s"(size(_toks) + ${window - 1}) div $window")),
+        i => struct((i - 1).cast("long").as("seg_idx"),
+          concat_ws(" ", slice(col("_toks"),
+            (i - lit(1)) * window + 1, lit(window))).as("seg")))).as("_s"))
+      .select(id, col("_s.seg_idx").as("_seg_idx"), col("_s.seg").as("_seg"))
+    val overRepresented = segs.groupBy("_seg")
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxOccurrences)
+      .select(col("_seg"), lit(1).as("_drop"))
+    segs.join(overRepresented, Seq("_seg"), "left")
+      .groupBy(id)
+      .agg(
+        coalesce(sum(col("_drop")), lit(0)).cast("long").as("n_dropped"),
+        (count(lit(1)) - coalesce(sum(col("_drop")), lit(0)))
+          .cast("long").as("n_kept"),
+        // collect_list skips the nulls the `when` leaves for dropped spans;
+        // array_sort on the (seg_idx, seg) struct restores document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_drop").isNull,
+            struct(col("_seg_idx"), col("_seg"))))),
+          s => s("_seg"))).as("text"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -122,4 +123,58 @@ object Sampling {
   def hashUnitSql(keyExpr: String, seed: Int): String =
     s"(('0x' || substr(md5('$seed' || ($keyExpr)::VARCHAR), 1, 13))::BIGINT " +
       s"/ ${(1L << 52).toDouble})"
+
+  /** Fill a per-source token budget deterministically: per `sourceCol`
+    * value, documents are taken in seeded-hash order (the same
+    * reproducible-on-any-cluster ordering contract as [[hashSample]],
+    * ties broken by id) while the RUNNING token total stays within
+    * `budget` — the "give me N tokens of domain X" step of training-corpus
+    * assembly. The cut is a pure prefix of the hash order (the first
+    * overflowing document and everything after it are excluded; no best-fit
+    * reordering), so it restates as one SQL window.
+    *
+    * 100 TB shape: a naive per-source window is ONE sequential task per
+    * source — unusable when a source is most of the corpus. Instead the
+    * same two-phase prefix sum [[Packing.packConcatChunk]] rides: documents
+    * shard into `numBuckets` hash-RANGE buckets (`floor(u·B)` — monotone in
+    * `u`, so bucket order IS hash order), per-(source, bucket) subtotals
+    * (a sources×B frame) turn into bucket offsets under one bounded window,
+    * and each bucket's interior cumsum runs as its own task with the offset
+    * added back — per-source parallelism B, identical totals to the global
+    * window by monotonicity.
+    *
+    * Output: `(idCol, sourceCol, n_tok, cum_tok)` for the selected prefix.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCount: Column,
+      budget: Long,
+      numBuckets: Int = 64,
+      seed: Int = 42): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val id = col(s"`$idCol`")
+    val src = col(s"`$sourceCol`")
+    val keyed = df
+      .select(id, src, tokenCount.cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("_u", hashUnit(id, seed))
+      .withColumn("_bucket", floor(col("_u") * numBuckets).cast("long"))
+    val wBuckets = Window.partitionBy("_src").orderBy("_b")
+    val offsets = keyed
+      .groupBy(src.as("_src"), col("_bucket").as("_b"))
+      .agg(sum(col("n_tok")).as("_btok"))
+      .withColumn("_offset", sum(col("_btok")).over(wBuckets) - col("_btok"))
+      .select(col("_src"), col("_b"), col("_offset"))
+    val wInBucket = Window.partitionBy(src, col("_bucket"))
+      .orderBy(col("_u"), id)
+    keyed
+      .join(broadcast(offsets),
+        src === col("_src") && col("_bucket") === col("_b"))
+      .withColumn("cum_tok", col("_offset") + sum(col("n_tok")).over(wInBucket))
+      .where(col("cum_tok") <= budget)
+      .select(id, src, col("n_tok"), col("cum_tok"))
+  }
 }

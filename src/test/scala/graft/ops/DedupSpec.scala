@@ -334,4 +334,32 @@ class DedupSpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(noCut.contains((1L, 2L)))
   }
+
+  test("repeatedSegmentFilter: corpus-repeated spans cut, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff"),
+      (2L, "aaa bbb ccc xxx yyy zzz"),
+      (3L, "one two three"),
+      (4L, "ppp qqq rrr"), // exact duplicates: their only span repeats →
+      (5L, "ppp qqq rrr"), // both annihilate (documented C4 behavior)
+      (6L, "s1 s2 s3 s4")  // 4 tokens at window 3: last span truncates
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSegmentFilter(docs, "doc_id", "text",
+        window = 3, maxOccurrences = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1L, "ddd eee fff"),
+      (2L, 1L, 1L, "xxx yyy zzz"),
+      (3L, 0L, 1L, "one two three"),
+      (4L, 1L, 0L, ""),
+      (5L, 1L, 0L, ""),
+      (6L, 0L, 2L, "s1 s2 s3 s4")))
+    // raising the occurrence line spares the duplicated span everywhere
+    val lax = Dedup.repeatedSegmentFilter(docs, "doc_id", "text",
+        window = 3, maxOccurrences = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(lax.forall(_._2 == 0L))
+  }
 }

@@ -77,4 +77,26 @@ class SamplingSpec extends SparkSpecBase {
       .select("id").as[Long].collect().toSet
     assert(again == out.select("id").as[Long].collect().toSet)
   }
+
+  test("tokenBudgetSelect: prefix of the hash order, invariant to bucket count") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("id", "src", "text")
+    val tok = graft.ops.TextAnalysis.tokenCount(col("text"))
+    def run(buckets: Int) =
+      Sampling.tokenBudgetSelect(docs, "id", "src", tok, budget = 30L,
+          numBuckets = buckets)
+        .as[(Long, String, Long, Long)].collect().toSet
+    // numBuckets=1 IS the trivially-correct single global window; any
+    // bucketing must reproduce it exactly (offsets + interior cumsums)
+    val global = run(1)
+    assert(global == run(7) && global == run(64))
+    assert(global.nonEmpty && global.forall(_._4 <= 30L))
+    // both sources fill toward (but never past) their budget
+    for (s <- Seq("a", "b")) {
+      val cums = global.filter(_._2 == s).map(_._4)
+      assert(cums.nonEmpty && cums.max <= 30L && cums.max > 20L)
+    }
+  }
 }
