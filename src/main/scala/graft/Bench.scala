@@ -77,7 +77,10 @@ object Bench {
       "dedup_containment_keep",
       // dedup_embedding_lsh (pairs) stays visible; the CC-keep composition
       // rides it. g6_geohash_auto is grid at a zoom-chosen precision.
-      "dedup_embedding_cluster_keep", "g6_geohash_auto")
+      // search_bm25_indexed is bm25 over the at-rest index (the base and
+      // incremental forms stay visible).
+      "dedup_embedding_cluster_keep", "g6_geohash_auto",
+      "search_bm25_indexed")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

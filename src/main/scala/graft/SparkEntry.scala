@@ -2148,6 +2148,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "g_significant_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES significant_terms: which tokens characterize the zh slice of
+      // the corpus vs the whole? JLH score over exact doc-frequency
+      // counts; one term exchange + a 1-row totals broadcast.
+      query.Aggs.significantTerms(load(dir, "documents"),
+        ops.Dedup.tokens(col("text")), col("lang") === "zh", n = 15)
+    }),
+
     "sample_token_budget" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // "Give me 600 tokens of every domain": per source, docs are taken
@@ -3428,6 +3437,29 @@ object SparkEntry {
          |FROM (SELECT unnest($duckToks) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
     },
+
+    // JLH restated on the same exact integer doc-frequency counts; the
+    // score is the identical three-op IEEE tree, so it hash-matches. The
+    // (score DESC, term ASC) total order makes the limit boundary
+    // deterministic in both engines.
+    "g_significant_terms" ->
+      s"""WITH base AS (
+         |  SELECT list_distinct($duckToks) AS terms, (lang = 'zh') AS fg
+         |  FROM documents
+         |), tot AS (
+         |  SELECT count(*) AS bgt,
+         |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fgt FROM base
+         |), e AS (SELECT unnest(terms) AS term, fg FROM base),
+         |c AS (
+         |  SELECT term, count(*) AS bg_count,
+         |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count
+         |  FROM e GROUP BY term
+         |)
+         |SELECT term, fg_count, bg_count,
+         |  (fg_count::DOUBLE / fgt - bg_count::DOUBLE / bgt)
+         |    * ((fg_count::DOUBLE / fgt) / (bg_count::DOUBLE / bgt)) AS score
+         |FROM c, tot WHERE fg_count > 0
+         |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
 
     // The budget cut restated as the ONE global window the bucketed
     // two-phase prefix sum is provably equal to (bucket index is monotone

@@ -289,6 +289,54 @@ object Aggs {
     * `grouping_id()` disambiguates a genuine NULL key from a subtotal row
     * (surfaced as `gid`, exactly SQL's GROUPING() bit-vector).
     */
+  /** ES `significant_terms` over an analyzed field (the "what characterizes
+    * this slice" aggregation): for every term, compare its DOCUMENT
+    * frequency inside the foreground slice against the whole corpus and
+    * score by JLH — `(fgPct − bgPct) · (fgPct / bgPct)` — exactly ES's
+    * default heuristic (foreground percentage lift weighted by absolute
+    * change; background superset = the whole frame, ES's default).
+    *
+    * Semantics are doc-frequency, not instance-frequency: `termsCol` is
+    * de-duplicated per document before exploding, and the percentages
+    * divide by DOC totals — so a term repeated inside one document counts
+    * once, as in ES. Every input to the score is an exact integer count;
+    * the score itself is the identical three-op IEEE tree in the oracle,
+    * so results hash-match. Ties break by term ascending (total order —
+    * the limit boundary is deterministic).
+    *
+    * Scale shape: one explode of per-doc distinct terms (inverted-index
+    * volume), one partial-aggregated exchange on the term, and a 1-row
+    * totals broadcast. No per-term state beyond the two counts.
+    */
+  def significantTerms(
+      df: DataFrame,
+      termsCol: Column,
+      foreground: Column,
+      n: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = df.select(array_distinct(termsCol).as("_terms"),
+      foreground.cast("boolean").as("_fg"))
+    val totals = base.agg(
+      count(lit(1)).as("_bg_total"),
+      sum(when(col("_fg"), 1L).otherwise(0L)).as("_fg_total"))
+    base
+      .select(explode(col("_terms")).as("term"), col("_fg"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("bg_count"),
+        sum(when(col("_fg"), 1L).otherwise(0L)).as("fg_count"))
+      .where(col("fg_count") > 0)
+      .crossJoin(broadcast(totals))
+      .withColumn("_fg_pct",
+        col("fg_count").cast("double") / col("_fg_total"))
+      .withColumn("_bg_pct",
+        col("bg_count").cast("double") / col("_bg_total"))
+      .withColumn("score",
+        (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+      .orderBy(desc("score"), asc("term"))
+      .select("term", "fg_count", "bg_count", "score")
+      .limit(n)
+  }
+
   def rollupCounts(df: DataFrame, dims: Seq[String], cube: Boolean = false): DataFrame = {
     val cols = dims.map(col)
     val grouped = if (cube) df.cube(cols: _*) else df.rollup(cols: _*)

@@ -148,6 +148,28 @@ class AggsSpec extends SparkSpecBase {
       ("d4", 100L, Some(10L), 35.0)))
   }
 
+  test("significantTerms: JLH ranks slice-characteristic terms, doc-frequency counts") {
+    val docs = Seq(
+      // fg docs: "dragon" in both, "common" everywhere, "dragon" repeated
+      // in doc 1 must count once (doc frequency, not instances)
+      (1L, "dragon dragon common", true),
+      (2L, "dragon common extra", true),
+      (3L, "common plain words", false),
+      (4L, "common other stuff", false),
+      (5L, "common more filler", false)
+    ).toDF("id", "text", "fg")
+    val out = Aggs.significantTerms(docs,
+        graft.ops.Dedup.tokens(col("text")), col("fg"), n = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // dragon: fg 2/2, bg 2/5 → score (1-0.4)*(1/0.4)=1.5 — the top term
+    assert(out.head._1 == "dragon")
+    assert(out.head._2 == 2L && out.head._3 == 2L)
+    assert(math.abs(out.head._4 - 1.5) < 1e-12)
+    // common appears in every doc: fgPct == bgPct == 1 → score 0
+    val common = out.find(_._1 == "common")
+    assert(common.exists(c => c._4 == 0.0 && c._3 == 5L))
+  }
+
   test("rollupCounts: every prefix level with grouping_id; cube adds the cross level") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val roll = Aggs.rollupCounts(df, Seq("k1", "k2"))
