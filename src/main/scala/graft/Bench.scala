@@ -80,7 +80,10 @@ object Bench {
       // search_bm25_indexed is bm25 over the at-rest index (the base and
       // incremental forms stay visible).
       "dedup_embedding_cluster_keep", "g6_geohash_auto",
-      "search_bm25_indexed")
+      "search_bm25_indexed",
+      // rollup-served twin of g_significant_terms (shared-family oracle;
+      // the rollup serving story's visible number is dashboard_refresh_preagg)
+      "g_significant_terms_preagg")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

@@ -1398,6 +1398,16 @@ object SparkEntry {
       PreAgg.typeahead(dashboardRollup(s), "description", "a", 10)
     }),
 
+    "g_significant_terms_preagg" -> ((s, _) => {
+      // "Which descriptions characterize Baltimore against the whole
+      // federation" — ES significant_terms served from the at-rest rollup:
+      // doc-frequency counts become sum(cnt) re-aggregations, the corpus
+      // is never scanned at serve time, and the JLH ranking hash-matches
+      // the corpus-scan oracle.
+      PreAgg.significantTerms(dashboardRollup(s), "description",
+        col("dataset") === "baltimore", n = 10)
+    }),
+
     "dashboard_refresh_preagg" -> ((s, _) => {
       // The dashboard served from the at-rest rollup — what replaces the
       // pinned-corpus warm path at 100 TB. Same buckets, same oracle as
@@ -2891,6 +2901,30 @@ object SparkEntry {
          |  GROUP BY description
          |  ORDER BY count DESC, description ASC LIMIT 10
          |)""".stripMargin,
+
+    // The rollup-served JLH restated over the federated CORPUS relation —
+    // the serving layer is invisible to results. Null descriptions form no
+    // bucket but count toward the set totals, exactly as the engine's
+    // missing-term contract states.
+    "g_significant_terms_preagg" ->
+      s"""WITH fed AS (
+         |${federatedCitySql}
+         |), tot AS (
+         |  SELECT count(*) AS bgt,
+         |    sum(CASE WHEN dataset = 'baltimore' THEN 1 ELSE 0 END)::BIGINT
+         |      AS fgt
+         |  FROM fed
+         |), c AS (
+         |  SELECT description AS term, count(*) AS bg_count,
+         |    sum(CASE WHEN dataset = 'baltimore' THEN 1 ELSE 0 END)::BIGINT
+         |      AS fg_count
+         |  FROM fed WHERE description IS NOT NULL GROUP BY 1
+         |)
+         |SELECT term, fg_count, bg_count,
+         |  (fg_count::DOUBLE / fgt - bg_count::DOUBLE / bgt)
+         |    * ((fg_count::DOUBLE / fgt) / (bg_count::DOUBLE / bgt)) AS score
+         |FROM c, tot WHERE fg_count > 0
+         |ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
 
     "q2_range_filter" ->
       """SELECT l_returnflag, count(*) AS n,

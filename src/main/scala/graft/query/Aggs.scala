@@ -321,6 +321,9 @@ object Aggs {
       sum(when(col("_fg"), 1L).otherwise(0L)).as("_fg_total"))
     base
       .select(explode(col("_terms")).as("term"), col("_fg"))
+      // missing terms form no bucket (ES's missing behavior); totals above
+      // still count every document
+      .where(col("term").isNotNull)
       .groupBy("term")
       .agg(count(lit(1)).as("bg_count"),
         sum(when(col("_fg"), 1L).otherwise(0L)).as("fg_count"))

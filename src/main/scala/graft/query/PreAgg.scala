@@ -100,6 +100,44 @@ object PreAgg {
       .select(col(field))
   }
 
+  /** [[Aggs.significantTerms]] from the rollup, for a scalar widget field
+    * (where document frequency IS the row count): foreground is a predicate
+    * over rollup DIMENSION columns (the caller's [[covers]] obligation, as
+    * everywhere here), totals and per-value counts are `sum(cnt)` where the
+    * full scan has `count(*)`, and the JLH score is the identical three-op
+    * IEEE tree — so the rollup-served ranking hash-matches the corpus scan.
+    * Null field values form no bucket (ES's missing behavior) but still
+    * count toward the set totals.
+    */
+  def significantTerms(
+      pre: DataFrame,
+      field: String,
+      foreground: Column,
+      n: Int = 10): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = pre.select(col(field).as("term"),
+      foreground.cast("boolean").as("_fg"), col(CntCol))
+    val totals = base.agg(
+      sum(col(CntCol)).as("_bg_total"),
+      sum(when(col("_fg"), col(CntCol)).otherwise(0L)).as("_fg_total"))
+    base
+      .where(col("term").isNotNull)
+      .groupBy("term")
+      .agg(sum(col(CntCol)).as("bg_count"),
+        sum(when(col("_fg"), col(CntCol)).otherwise(0L)).as("fg_count"))
+      .where(col("fg_count") > 0)
+      .crossJoin(broadcast(totals))
+      .withColumn("_fg_pct",
+        col("fg_count").cast("double") / col("_fg_total"))
+      .withColumn("_bg_pct",
+        col("bg_count").cast("double") / col("_bg_total"))
+      .withColumn("score",
+        (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+      .orderBy(desc("score"), asc("term"))
+      .select("term", "fg_count", "bg_count", "score")
+      .limit(n)
+  }
+
   /** G6 from the rollup: the geohash is a rollup DIMENSION (computed once at
     * ingest, at the precision the saved map uses), so the grid is a plain
     * weighted terms aggregation over it. Rows whose geolocation did not

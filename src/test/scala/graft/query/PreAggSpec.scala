@@ -82,4 +82,34 @@ class PreAggSpec extends SparkSpecBase {
     assert(canon(PreAgg.geohashGrid(pre))
       === canon(Aggs.geohashGridFromGeoloc(geo, "geolocation", 2)))
   }
+
+  test("significantTerms from the rollup equals the corpus-scan form") {
+    val pre = PreAgg.increment(corpus, dims)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // scalar field: doc frequency IS the row count, so the corpus twin is
+    // the array-of-one significantTerms
+    assert(canon(PreAgg.significantTerms(pre, "description",
+        col("city") === "balt", 5))
+      === canon(Aggs.significantTerms(corpus, array(col("description")),
+        col("city") === "balt", 5)))
+    // hand-check the top term: Theft is 2/3 of balt vs 4/9 overall →
+    // JLH (2/3 - 4/9) * (2/3 / (4/9)) = 1/3
+    val top = PreAgg.significantTerms(pre, "description",
+        col("city") === "balt", 1)
+      .as[(String, Long, Long, Double)].head()
+    assert(top._1 == "Theft" && top._2 == 2L && top._3 == 4L)
+    assert(math.abs(top._4 - (2.0 / 3 - 4.0 / 9) * ((2.0 / 3) / (4.0 / 9))) < 1e-15)
+    // null field values form no bucket but count toward totals
+    val withNull = corpus.unionByName(
+      Seq(("balt", null.asInstanceOf[String], 2015)).toDF("city", "description", "year"))
+    val np = PreAgg.significantTerms(PreAgg.increment(withNull, dims),
+      "description", col("city") === "balt", 10)
+    assert(!np.select("term").as[String].collect().contains(null))
+    // balt total is now 4 docs: Theft fgPct drops to 2/4
+    val theft = np.where(col("term") === "Theft")
+      .as[(String, Long, Long, Double)].head()
+    assert(theft._2 == 2L && math.abs(
+      theft._4 - (0.5 - 0.4) * (0.5 / 0.4)) < 1e-15)
+  }
 }
