@@ -398,6 +398,32 @@ object SparkEntry {
         WidgetServer.collectRowsJson(Aggs.typeahead(
           federatedHarmonized(s, warm = true), field,
           o.path("prefix").asText(""), o.path("size").asInt(10)))
+      },
+      "/significant" -> { body =>
+        // ES significant_terms of the CURRENT search: {"field": "...",
+        // "size": N, "state": <widget-state JSON array>} → which values of
+        // `field` characterize the state-matching slice against the whole
+        // federation. Foreground = the decoded state's predicate evaluated
+        // in-plan (one pass — never a second scan for the background), and
+        // the whole route serves from the at-rest rollup whenever the
+        // state and field stay inside the cube (the 100 TB doc_values
+        // routing, same as /dashboard).
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val field = o.path("field").asText("description")
+        val size = o.path("size").asInt(10)
+        val state = o.path("state")
+        val stateJson =
+          if (state.isMissingNode || state.isNull) "[]" else state.toString
+        val fc = Widgets.fromJson(dashboardWidgetFields(s), stateJson)
+        val dimNames = dashboardCubeDims.map(_._1)
+        val covered = PreAgg.covers(dimNames,
+          field +: fc.selections.keys.toSeq)
+        WidgetServer.collectRowsJson(
+          if (covered)
+            PreAgg.significantTerms(dashboardRollup(s), field, fc.compile, size)
+          else
+            Aggs.significantTerms(federatedHarmonized(s, warm = true),
+              array(col(field)), fc.compile, size))
       })
   }
 

@@ -99,12 +99,23 @@ object Widgets {
             val vit = value.elements()
             while (vit.hasNext) vs += vit.next().asText()
             Selection.EnumSel(vs.result())
-          case VarType.Bool => Selection.BoolSel(value.asInt())
+          case VarType.Bool =>
+            // Jackson's asInt() quietly maps an array/object to 0 — a
+            // malformed blob must fail the dictionary check, not compile
+            // a predicate the user never asked for
+            require(value.isValueNode,
+              s"field '$name': a boolean selection needs a scalar on the wire, got: $value")
+            Selection.BoolSel(value.asInt())
           case VarType.DateTime =>
             // epoch_millis on the wire (`generateQuery`'s range format)
             requireBounds()
             Selection.TimeSel(value.get(0).asLong(), value.get(1).asLong())
-          case VarType.Text | VarType.Unknown => Selection.TextSel(value.asText())
+          case VarType.Text | VarType.Unknown =>
+            // same hole: asText() on an array is "" → an empty TextSel is
+            // MatchAll, silently discarding the user's selection
+            require(value.isValueNode,
+              s"field '$name': a text selection needs a scalar value on the wire, got: $value")
+            Selection.TextSel(value.asText())
           case VarType.Identifier =>
             throw new IllegalArgumentException(s"field '$name' is an identifier — never a widget")
         }

@@ -120,6 +120,54 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /significant scores the current state's slice; rollup and scan paths agree on the wire") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      // empty state: foreground == background, so every JLH score is
+      // exactly 0.0 and fg_count == bg_count
+      val (code0, body0) = post(s"http://127.0.0.1:$port/significant",
+        """{"field": "description", "size": 5}""")
+      assert(code0 === 200)
+      assert(body0.startsWith("["))
+      assert(body0.contains("\"score\":0.0"))
+      // a city slice stays inside the rollup dims → served from the
+      // rollup (rollup ≡ corpus is proven by PreAggSpec and the shared
+      // g_significant_terms_preagg oracle; this pins the ROUTE). city is
+      // a TEXT widget — analyzed phrase-prefix, so "baltimore" matches
+      // "Baltimore"
+      val cityState =
+        """[{"name": "city", "value": "baltimore",
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin
+      val (code1, covered) = post(s"http://127.0.0.1:$port/significant",
+        s"""{"field": "description", "size": 5, "state": $cityState}""")
+      assert(code1 === 200)
+      assert(covered !== body0)
+      // a genuine slice: the top term is over-represented (score > 0) and
+      // every row respects fg_count <= bg_count
+      val rows = new com.fasterxml.jackson.databind.ObjectMapper().readTree(covered)
+      assert(rows.isArray && rows.size > 0)
+      assert(rows.get(0).path("score").asDouble() > 0.0)
+      val rit = rows.elements()
+      while (rit.hasNext) {
+        val r = rit.next()
+        assert(r.path("fg_count").asLong() <= r.path("bg_count").asLong())
+      }
+      // month is NOT a rollup dimension → the same request routes through
+      // the corpus scan; still answers (never an error for answerable
+      // states — the /dashboard routing contract)
+      val uncoveredState =
+        """[{"name": "city", "value": "baltimore",
+          |  "enabled": {"state": true, "lastEnabled": 1}},
+          | {"name": "month", "value": [1, 12],
+          |  "enabled": {"state": true, "lastEnabled": 2}}]""".stripMargin
+      val (code2, scanned) = post(s"http://127.0.0.1:$port/significant",
+        s"""{"field": "description", "size": 5, "state": $uncoveredState}""")
+      assert(code2 === 200)
+      assert(scanned.startsWith("[") && scanned.contains("\"term\":"))
+    } finally server.stop(0)
+  }
+
   test("client faults are 400, wrong method 405, wrong path 404 — engine faults stay 500") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {
@@ -140,6 +188,13 @@ class WidgetServerSpec extends SparkSpecBase {
           |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
       assert(code3 === 400)
       assert(body3.contains("l_quantity"))
+      // a text widget with an ARRAY value: Jackson's asText() would give
+      // "" (MatchAll — the user's selection silently discarded); must 400
+      val (code3b, body3b) = post(s"http://127.0.0.1:$port/query",
+        """[{"name": "l_returnflag", "value": ["r"],
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+      assert(code3b === 400)
+      assert(body3b.contains("l_returnflag"))
       // JDK HttpServer prefix-matches contexts; the handler must not
       val client = java.net.http.HttpClient.newHttpClient()
       val getResp = client.send(
