@@ -2184,6 +2184,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pack_shards" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The epoch shuffle: deterministic shard + in-shard rank from one
+      // seeded hash — reading shards sequentially replays a global
+      // pseudo-random permutation, reproducible on any cluster.
+      ops.Packing.shardAssignments(load(dir, "documents"), "doc_id", 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
     "g_significant_terms" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES significant_terms: which tokens characterize the zh slice of
@@ -3520,6 +3530,19 @@ object SparkEntry {
          |    * ((fg_count::DOUBLE / fgt) / (bg_count::DOUBLE / bgt)) AS score
          |FROM c, tot WHERE fg_count > 0
          |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
+
+    // Shard + rank restated on the shared 52-bit md5 hash: the hash is
+    // non-negative, so SQL's % equals pmod, and the (hash, id) rank is one
+    // window per shard in both engines.
+    "pack_shards" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, ${ops.Sampling.hashBits52Sql("doc_id", 42)} AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, h % 8 AS shard,
+         |  (row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT
+         |    AS pos
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // The budget cut restated as the ONE global window the bucketed
     // two-phase prefix sum is provably equal to (bucket index is monotone

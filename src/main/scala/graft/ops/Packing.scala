@@ -105,4 +105,48 @@ object Packing {
   def sequenceFill(packed: DataFrame): DataFrame =
     packed.groupBy("bucket", "seq")
       .agg(sum("slice_len").as("tokens"))
+
+  /** Deterministic shard-and-shuffle assignment — the "global shuffle"
+    * every epoch pipeline wants before streaming shards to trainers: shard
+    * = seeded 52-bit hash of the id modulo `numShards`, `pos` = the row's
+    * rank inside its shard in (hash, id) order. The hash plays both roles
+    * at once: it scatters correlated ids across shards AND scrambles
+    * within-shard order, so reading shards sequentially replays a global
+    * pseudo-random permutation — reproducible on any cluster, restatable
+    * in SQL ([[Sampling.hashBits52]]).
+    *
+    * 100 TB shape: one exchange on the shard key; each shard's rank is one
+    * task's sort (shard count is the parallelism knob — thousands of
+    * shards at corpus scale, exactly how shard writers run).
+    */
+  def shardAssignments(
+      docs: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: Int = 42): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val id = col(s"`$idCol`")
+    val w = Window.partitionBy("shard").orderBy(col("_h"), id)
+    docs
+      .withColumn("_h", graft.ops.Sampling.hashBits52(id, seed))
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
+  }
+
+  /** Publish the shards to parquet, one directory per shard, rows stored in
+    * [[shardAssignments]] order. One exchange (the repartition IS the
+    * shard assignment), `numShards` files; re-reading `shard=k` in file
+    * order replays shard k of the global permutation.
+    */
+  def publishShards(
+      docs: DataFrame,
+      idCol: String,
+      numShards: Int,
+      path: String,
+      seed: Int = 42): Unit =
+    shardAssignments(docs, idCol, numShards, seed)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

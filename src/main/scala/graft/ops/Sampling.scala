@@ -24,8 +24,15 @@ object Sampling {
     * cross-engine reproducibility isn't needed.
     */
   def hashUnit(key: Column, seed: Int): Column =
+    hashBits52(key, seed).cast("double") / lit((1L << 52).toDouble)
+
+  /** The 52-bit non-negative integer under [[hashUnit]] — for uses that
+    * need the hash as an exact integer (modular sharding) rather than a
+    * unit double. Portable: `('0x' || substr(md5(seed || key), 1, 13))::BIGINT`.
+    */
+  def hashBits52(key: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(seed.toString), key.cast("string"))), 1, 13), 16, 10)
-      .cast("long").cast("double") / lit((1L << 52).toDouble)
+      .cast("long")
 
   /** xxhash64-based unit hash — cheaper (no hex round-trip), Spark-only. */
   def hashUnitFast(key: Column, seed: Int): Column =
@@ -121,8 +128,11 @@ object Sampling {
 
   /** The oracle-side restatement of [[hashUnit]] for a SQL engine. */
   def hashUnitSql(keyExpr: String, seed: Int): String =
-    s"(('0x' || substr(md5('$seed' || ($keyExpr)::VARCHAR), 1, 13))::BIGINT " +
-      s"/ ${(1L << 52).toDouble})"
+    s"(${hashBits52Sql(keyExpr, seed)} / ${(1L << 52).toDouble})"
+
+  /** The oracle-side restatement of [[hashBits52]]. */
+  def hashBits52Sql(keyExpr: String, seed: Int): String =
+    s"(('0x' || substr(md5('$seed' || ($keyExpr)::VARCHAR), 1, 13))::BIGINT)"
 
   /** Fill a per-source token budget deterministically: per `sourceCol`
     * value, documents are taken in seeded-hash order (the same

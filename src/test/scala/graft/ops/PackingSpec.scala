@@ -123,4 +123,42 @@ class PackingSpec extends SparkSpecBase {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("shardAssignments: total partition, dense in-shard ranks, deterministic") {
+    val docs = (1L to 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Packing.shardAssignments(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a.map(_._1).toSet == (1L to 100L).toSet) // every doc, exactly once
+    assert(a.map(_._2).toSet.subsetOf((0L until 4L).toSet))
+    // per shard: positions are 0..n-1 dense
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == rows.indices.map(_.toLong))
+    }
+    // deterministic: same assignment on re-run
+    val b = Packing.shardAssignments(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
+  test("publishShards: shard dirs round-trip the corpus in shard order") {
+    val docs = (1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/shards"
+    Packing.publishShards(docs, "doc_id", 4, path)
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id").as[Long].collect().toSet == (1L to 50L).toSet)
+    // each shard dir holds exactly its assignment, readable in pos order
+    val assigned = Packing.shardAssignments(docs, "doc_id", 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    for (s <- assigned.keys) {
+      val rows = spark.read.parquet(s"$path/shard=$s")
+        .select("doc_id", "pos").as[(Long, Long)].collect().toSeq
+      assert(rows.map(_._1).toSet == assigned(s))
+      assert(rows.map(_._2).sorted == rows.indices.map(_.toLong))
+    }
+  }
 }

@@ -188,6 +188,16 @@ class EventStreamsSpec extends SparkSpecBase {
     val full = graft.query.Aggs.termsTopN(all.toDS().toDF(), "event_type", 10)
       .as[(String, Long)].collect().toSeq
     assert(top === full)
+    // significant terms too: the streamed rollup is just a rollup
+    val sig = graft.query.PreAgg.significantTerms(
+        EventStreams.rollupFromIncrements(spark, incPath),
+        "event_type", col("user_id") === 1, 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val sigFull = graft.query.Aggs.significantTerms(all.toDS().toDF(),
+        org.apache.spark.sql.functions.array(col("event_type")),
+        col("user_id") === 1, 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(sig === sigFull)
 
     // at-least-once replay: re-appending an epoch (a foreachBatch retry)
     // must not inflate any count
