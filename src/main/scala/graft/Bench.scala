@@ -83,7 +83,10 @@ object Bench {
       "search_bm25_indexed",
       // rollup-served twin of g_significant_terms (shared-family oracle;
       // the rollup serving story's visible number is dashboard_refresh_preagg)
-      "g_significant_terms_preagg")
+      "g_significant_terms_preagg",
+      // warm twins whose cold forms stay visible (q8_dict_fetch_federated
+      // IS the warm serving number the verdicts track)
+      "q8_dict_fetch_warm")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

@@ -2184,6 +2184,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_assemble" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // This round's full corpus-ASSEMBLY story in one DAG: quality floor
+      // (row-local, fused into the scan) → boilerplate-gram filter (Zipf
+      // head broadcast) → repeated-segment cut (documents EDITED, not just
+      // selected) → exact dedup of the rebuilt texts → per-source token
+      // budget (bucketed prefix sum) → epoch shard assignment → per
+      // (source, shard) manifest. Every stage is an already-oracled
+      // operator; this oracles the COMPOSITION, rebuilt texts and all.
+      val docs = load(dir, "documents")
+      val quality = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val noBp = TextAnalysis.boilerplateFilter(quality, "doc_id", "text",
+        n = 3, minDocFrac = 0.01, maxRatio = 0.35)
+      val seg = Dedup.repeatedSegmentFilter(noBp, "doc_id", "text",
+          window = 8, maxOccurrences = 1, carry = Seq("source"))
+        .where(col("n_kept") > 0)
+        .select("doc_id", "source", "text")
+      val deduped = Dedup.exactByFingerprint(seg, "text", "doc_id")
+      val budgeted = ops.Sampling.tokenBudgetSelect(deduped, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")), budget = 400L, numBuckets = 8)
+      ops.Packing.shardAssignments(budgeted, "doc_id", 4)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source", "shard")
+    }),
+
     "pack_shards" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The epoch shuffle: deterministic shard + in-shard rank from one
@@ -3530,6 +3556,73 @@ object SparkEntry {
          |    * ((fg_count::DOUBLE / fgt) / (bg_count::DOUBLE / bgt)) AS score
          |FROM c, tot WHERE fg_count > 0
          |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
+
+    // The assembly composition restated stage by stage, each fragment the
+    // same proven restatement its standalone oracle uses: quality CTEs →
+    // boilerplate df over the FILTERED frame (the ndocs threshold counts
+    // survivors, as the engine's boilerplateProfile does) → segment cut
+    // with ordered string_agg rebuild → min-id winner per normalized
+    // rebuilt text → per-source budget window on the md5 unit hash →
+    // md5-mod shard → (source, shard) manifest.
+    "pipeline_assemble" ->
+      s"""WITH $qualityCtes,
+         |q AS (
+         |  SELECT d.doc_id, d.text, d.source FROM documents d
+         |  JOIN quality_per_doc USING (doc_id) WHERE quality_score >= 0.5
+         |), bp_g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM q) WHERE len(toks) >= 3
+         |), bp_freq AS (
+         |  SELECT gram FROM bp_g GROUP BY gram
+         |  HAVING count(*) >= ceil((SELECT count(*) FROM q) * 0.01)
+         |), bp_ratio AS (
+         |  SELECT g.doc_id, count(f.gram)::DOUBLE / count(*) AS ratio
+         |  FROM bp_g g LEFT JOIN bp_freq f ON g.gram = f.gram GROUP BY g.doc_id
+         |), kept AS (
+         |  SELECT q.* FROM q WHERE NOT EXISTS (
+         |    SELECT 1 FROM bp_ratio p WHERE p.doc_id = q.doc_id AND p.ratio > 0.35)
+         |), seg AS (
+         |  SELECT doc_id, i - 1 AS seg_idx,
+         |    array_to_string(toks[(i - 1) * 8 + 1 : i * 8], ' ') AS seg
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM kept),
+         |       unnest(generate_series(1, (len(toks) + 7) // 8)) AS u(i)
+         |  WHERE len(toks) > 0
+         |), over_rep AS (
+         |  SELECT seg FROM seg GROUP BY seg HAVING count(*) > 1
+         |), rebuilt AS (
+         |  SELECT s.doc_id,
+         |    string_agg(CASE WHEN o.seg IS NULL THEN s.seg END,
+         |      ' ' ORDER BY s.seg_idx) AS text
+         |  FROM seg s LEFT JOIN over_rep o ON s.seg = o.seg
+         |  GROUP BY s.doc_id
+         |  HAVING count(*) - count(o.seg) > 0
+         |), winners AS (
+         |  SELECT r.doc_id, r.text, k.source FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
+         |    FROM rebuilt
+         |  ) r JOIN kept k USING (doc_id) WHERE rn = 1
+         |), bud AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS n_tok,
+         |    ${ops.Sampling.hashUnitSql("doc_id", 42)} AS u
+         |  FROM winners
+         |), cum AS (
+         |  SELECT doc_id, source, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         |      AS cum_tok
+         |  FROM bud WHERE n_tok > 0
+         |), sel AS (
+         |  SELECT doc_id, source, n_tok FROM cum WHERE cum_tok <= 400
+         |)
+         |SELECT source, ${ops.Sampling.hashBits52Sql("doc_id", 42)} % 4 AS shard,
+         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM sel GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
 
     // Shard + rank restated on the shared 52-bit md5 hash: the hash is
     // non-negative, so SQL's % equals pmod, and the (hash, id) rank is one

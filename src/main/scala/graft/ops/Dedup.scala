@@ -871,35 +871,43 @@ object Dedup {
       idCol: String,
       textCol: String,
       window: Int = 8,
-      maxOccurrences: Int = 1): DataFrame = {
+      maxOccurrences: Int = 1,
+      carry: Seq[String] = Nil): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(maxOccurrences >= 1,
       s"maxOccurrences must be >= 1, got $maxOccurrences")
     val id = col(s"`$idCol`")
+    val carried = carry.map(c => col(s"`$c`"))
     val segs = df
-      .select(id, tokens(col(s"`$textCol`")).as("_toks"))
+      .select(id +: tokens(col(s"`$textCol`")).as("_toks") +: carried: _*)
       .where(size(col("_toks")) > 0)
-      .select(id, explode(transform(
+      .select(id +: explode(transform(
         sequence(lit(1), expr(s"(size(_toks) + ${window - 1}) div $window")),
         i => struct((i - 1).cast("long").as("seg_idx"),
           concat_ws(" ", slice(col("_toks"),
-            (i - lit(1)) * window + 1, lit(window))).as("seg")))).as("_s"))
-      .select(id, col("_s.seg_idx").as("_seg_idx"), col("_s.seg").as("_seg"))
+            (i - lit(1)) * window + 1, lit(window))).as("seg")))).as("_s") +:
+        carried: _*)
+      .select(id +: col("_s.seg_idx").as("_seg_idx") +:
+        col("_s.seg").as("_seg") +: carried: _*)
     val overRepresented = segs.groupBy("_seg")
       .agg(count(lit(1)).as("_n"))
       .where(col("_n") > maxOccurrences)
       .select(col("_seg"), lit(1).as("_drop"))
+    val aggs: Seq[Column] = Seq(
+      coalesce(sum(col("_drop")), lit(0)).cast("long").as("n_dropped"),
+      (count(lit(1)) - coalesce(sum(col("_drop")), lit(0)))
+        .cast("long").as("n_kept"),
+      // collect_list skips the nulls the `when` leaves for dropped spans;
+      // array_sort on the (seg_idx, seg) struct restores document order
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("_drop").isNull,
+          struct(col("_seg_idx"), col("_seg"))))),
+        s => s("_seg"))).as("text")) ++
+      // per-document constants ride the same aggregate (first() is
+      // deterministic here BECAUSE the value is constant per group)
+      carry.map(c => first(col(s"`$c`")).as(c))
     segs.join(overRepresented, Seq("_seg"), "left")
       .groupBy(id)
-      .agg(
-        coalesce(sum(col("_drop")), lit(0)).cast("long").as("n_dropped"),
-        (count(lit(1)) - coalesce(sum(col("_drop")), lit(0)))
-          .cast("long").as("n_kept"),
-        // collect_list skips the nulls the `when` leaves for dropped spans;
-        // array_sort on the (seg_idx, seg) struct restores document order
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("_drop").isNull,
-            struct(col("_seg_idx"), col("_seg"))))),
-          s => s("_seg"))).as("text"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }
