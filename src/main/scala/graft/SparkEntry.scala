@@ -2195,6 +2195,17 @@ object SparkEntry {
       // operator; this oracles the COMPOSITION, rebuilt texts and all.
       val docs = load(dir, "documents")
       val quality = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      // Deliberately LAZY end to end: the self-joining stages re-derive
+      // their upstream (the plan scans `documents` 18×), but every
+      // duplicated subtree is codegen'd row-local work off a columnar
+      // scan — measured A/B at sf0.1, recomputation (4.7 s) beats
+      // persist-scratch + eager-checkpoint hygiene (5.4 s), because the
+      // persisted intermediates are corpus-sized TEXT frames whose
+      // materialize+read costs more than their recompute. The hygiene
+      // pattern stays the right call where scratch is expensive to rebuild
+      // (PPJoin postings, IVF-PQ residuals); a 100 TB assembly run that
+      // wants single-execution stages should checkpoint noBp/deduped to
+      // the at-rest store it is publishing to anyway.
       val noBp = TextAnalysis.boilerplateFilter(quality, "doc_id", "text",
         n = 3, minDocFrac = 0.01, maxRatio = 0.35)
       val seg = Dedup.repeatedSegmentFilter(noBp, "doc_id", "text",
