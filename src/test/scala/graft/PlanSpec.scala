@@ -299,6 +299,32 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("shard assignments: ONE exchange, on the shard key") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.Packing.shardAssignments(docs, "doc_id", 4))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the one exchange must key on the shard:\n$plan")
+  }
+
+  test("token budget: bucket offsets broadcast; corpus windows partition by (source, bucket)") {
+    val docs = Seq((1L, "a", "w w w"), (2L, "b", "w w"), (3L, "a", "w"))
+      .toDF("doc_id", "source", "text")
+    val plan = planOf(graft.ops.Sampling.tokenBudgetSelect(docs, "doc_id",
+      "source", graft.ops.TextAnalysis.tokenCount(col("text")), budget = 4L,
+      numBuckets = 4))
+    // the sources×B offsets frame arrives at the corpus by broadcast, and
+    // the corpus-side window is keyed (source, bucket) — never one global
+    // or per-source-only partition
+    assert(plan.contains("BroadcastExchange"), s"offsets must broadcast:\n$plan")
+    assert("windowspecdefinition\\(source#\\d+, _bucket#\\d+L".r
+      .findFirstIn(plan).isDefined,
+      s"corpus window must partition by (source, bucket):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"offset join must not sort-merge the corpus:\n$plan")
+  }
+
   test("boilerplate profile broadcasts the Zipf head, never shuffles the corpus twice") {
     val docs = Seq(
       (1L, "visit our website today alpha beta"),
