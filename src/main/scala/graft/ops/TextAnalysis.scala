@@ -373,7 +373,26 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .where(col("_df") >= ceil(col("_ndocs") * lit(minDocFrac)))
       .select("_g")
-    grams.join(broadcast(frequent).withColumn("_hit", lit(1L)), Seq("_g"), "left")
+    boilerplateProfileAgainst(df, idCol, textCol, n, frequent)
+  }
+
+  /** The per-document half of [[boilerplateProfile]] against an EXTERNAL
+    * frequent-gram set (one `_g` gram-hash column) — the serving form when
+    * the corpus df statistics live at rest (e.g. maintained from a stream
+    * by [[graft.streaming.EventStreams.maintainGramDf]]): incoming
+    * documents score against the corpus-so-far Zipf head without
+    * re-scanning any corpus text.
+    */
+  def boilerplateProfileAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      frequentGrams: DataFrame): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.expr.TextShingles.shingleHashes(col(textCol), n)).as("_g"))
+    grams.join(broadcast(frequentGrams.select("_g")).withColumn("_hit", lit(1L)),
+        Seq("_g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("_hit")), lit(0L)).as("n_boilerplate"))
@@ -382,6 +401,23 @@ object TextAnalysis {
       // engines' round() break differently (same convention as profile())
       .withColumn("boilerplate_ratio",
         col("n_boilerplate").cast(DoubleType) / col("n_grams"))
+  }
+
+  /** The frequent-gram (Zipf head) set implied by an at-rest gram-df table
+    * — `(gram, df)` rows plus ONE null-gram row carrying the total document
+    * count, the shape [[graft.streaming.EventStreams.gramDfFromIncrements]]
+    * merges to. The same corpus-fraction threshold as
+    * [[boilerplateProfile]].
+    */
+  def boilerplateFrequent(gramDf: DataFrame, minDocFrac: Double): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac must be in (0, 1], got $minDocFrac")
+    val total = gramDf.where(col("gram").isNull)
+      .agg(sum(col("df")).as("_ndocs"))
+    gramDf.where(col("gram").isNotNull)
+      .crossJoin(broadcast(total))
+      .where(col("df") >= ceil(col("_ndocs") * lit(minDocFrac)))
+      .select(col("gram").as("_g"))
   }
 
   /** Keep documents whose boilerplate ratio is at most `maxRatio` —

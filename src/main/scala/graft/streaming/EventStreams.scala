@@ -387,6 +387,52 @@ object EventStreams {
       inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
   }
 
+  /** Maintain the boilerplate gram-df statistics from a DOCUMENT stream —
+    * the corpus-fraction threshold needs corpus-wide document frequencies,
+    * which are sum-mergeable: each batch appends `(gram, df)` counts plus
+    * one null-gram row carrying the batch's document count (grams are
+    * xxhash64 values and never null, so the sentinel is unambiguous and
+    * the table stays single-schema). Same replay contract as
+    * [[maintainRollup]]: per-batch epochs dedup retried appends.
+    *
+    * Serving: [[gramDfFromIncrements]] → [[graft.ops.TextAnalysis
+    * .boilerplateFrequent]] → [[graft.ops.TextAnalysis
+    * .boilerplateProfileAgainst]] scores incoming documents against the
+    * corpus-so-far Zipf head without re-reading any corpus text.
+    */
+  def maintainGramDf(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dfs = batch
+          .select(explode(graft.expr.TextShingles.shingleHashes(
+            col(s"`$textCol`"), n)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+        val total = batch.agg(count(lit(1)).as("df"))
+          .select(lit(null).cast("long").as("gram"), col("df"))
+        dfs.unionByName(total)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The corpus-so-far gram-df table implied by [[maintainGramDf]]'s
+    * increments: replay-deduped per (gram, epoch), then sum-merged —
+    * `(gram, df)` plus the null-gram total-documents row,
+    * [[graft.ops.TextAnalysis.boilerplateFrequent]]'s input shape.
+    */
+  def gramDfFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("gram", "inc_batch_id"))
+      .groupBy("gram").agg(sum(col("df")).as("df"))
+
   /** Compact a rollup-increment table to one row per dimension combination
     * via the same staged swap as [[compactIncrements]] (pause the writer or
     * call from its own cadence). The compacted row wears the sentinel epoch

@@ -320,4 +320,50 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().sorted.toSeq ===
       Seq(10L, 12L, 21L, 31L, 41L))
   }
+
+  test("streaming gram-df maintenance converges to the whole-corpus boilerplate profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_gramdf").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val docs = Seq(
+      (1L, "visit our website today alpha beta"),
+      (2L, "visit our website today gamma delta"),
+      (3L, "visit our website today epsilon zeta"),
+      (4L, "visit our website today eta theta"),
+      (5L, "visit our website today iota kappa"),
+      (6L, "unique text one two three four"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainGramDf(
+      mem.toDS().toDF("doc_id", "text"), "text", n = 3,
+      incPath, dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val allDocs = docs.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val streamed = graft.ops.TextAnalysis.boilerplateProfileAgainst(
+      allDocs, "doc_id", "text", n = 3,
+      graft.ops.TextAnalysis.boilerplateFrequent(
+        EventStreams.gramDfFromIncrements(spark, incPath), minDocFrac = 0.5))
+    val whole = graft.ops.TextAnalysis.boilerplateProfile(
+      allDocs, "doc_id", "text", n = 3, minDocFrac = 0.5)
+    assert(rows(streamed) === rows(whole))
+
+    // a foreachBatch retry re-appends an epoch: the per-(gram, epoch)
+    // dedup must keep the implied statistics unchanged
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    val replayed = graft.ops.TextAnalysis.boilerplateProfileAgainst(
+      allDocs, "doc_id", "text", n = 3,
+      graft.ops.TextAnalysis.boilerplateFrequent(
+        EventStreams.gramDfFromIncrements(spark, incPath), minDocFrac = 0.5))
+    assert(rows(replayed) === rows(whole), "a replayed epoch inflated the df table")
+  }
 }
