@@ -39,6 +39,11 @@ object SparkEntry {
     *    session zone both entries pin, and identical to what DuckDB reads.
     */
   private def loadEvents(dir: String)(implicit spark: SparkSession): DataFrame = {
+    // Sessions built outside Verify/Bench may not have the nanos conf; set it
+    // iff missing so a nanosecond-generation file still scans (inert for
+    // TIMESTAMP_NTZ data — the conf only affects INT64(NANOS) columns).
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(nanosConf).isEmpty) spark.conf.set(nanosConf, "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

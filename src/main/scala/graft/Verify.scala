@@ -21,14 +21,25 @@ object Verify {
     // SPARK_GRAFT_ONLY=comma,list restricts the dump for local iteration
     // (same contract as Bench); the driver sets nothing and dumps all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // A failed query writes no result dir and the oracle compare skips it
+    // silently (a registered query simply loses its correctness row) — make
+    // the hole loud on BOTH streams, not just per-query on stderr.
+    if (failed.nonEmpty) {
+      val msg = s"[verify] ${failed.size} queries FAILED (no result dir, no " +
+        s"correctness row): ${failed.sorted.mkString(", ")}"
+      System.err.println(msg)
+      println(msg)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

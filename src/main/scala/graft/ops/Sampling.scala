@@ -182,7 +182,10 @@ object Sampling {
       .orderBy(col("_u"), id)
     keyed
       .join(broadcast(offsets),
-        src === col("_src") && col("_bucket") === col("_b"))
+        // null-safe on the source key: a NULL source is its own budget
+        // group (DuckDB's PARTITION BY source semantics); plain === would
+        // null-reject those rows and silently diverge from the oracle
+        (src <=> col("_src")) && col("_bucket") === col("_b"))
       .withColumn("cum_tok", col("_offset") + sum(col("n_tok")).over(wInBucket))
       .where(col("cum_tok") <= budget)
       .select(id, src, col("n_tok"), col("cum_tok"))

@@ -95,6 +95,12 @@ object Widgets {
             requireBounds()
             Selection.RangeSel(value.get(0).asDouble(), value.get(1).asDouble())
           case VarType.Enum(_) =>
+            // same Jackson hole as Bool/Text: elements() on a scalar is
+            // empty → EnumSel(Nil) → MatchAll, silently discarding the
+            // selection (empty ARRAYS stay legal — defaultSelection uses
+            // EnumSel(Seq.empty), and the skip rule drops them above)
+            require(value.isArray,
+              s"field '$name': an enum selection needs a string array on the wire, got: $value")
             val vs = Seq.newBuilder[String]
             val vit = value.elements()
             while (vit.hasNext) vs += vit.next().asText()

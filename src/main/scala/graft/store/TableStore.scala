@@ -72,6 +72,20 @@ object TableStore {
       numBuckets: Int,
       sortBy: Seq[String] = Seq.empty): Unit = {
     require(bucketBy.nonEmpty, "bucketBy must name at least one column")
+    // A managed table's warehouse directory can outlive the metastore that
+    // registered it (an in-memory catalog is per-JVM; the filesystem isn't).
+    // When the catalog has no such table but its default location exists,
+    // saveAsTable refuses (LOCATION_ALREADY_EXISTS) instead of overwriting —
+    // clear the orphan location first. A table the CURRENT catalog knows is
+    // left alone: mode("overwrite") replaces it through the normal path.
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(s"`$db`.`$table`")) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db))))
+      val fs = FsOps.fileSystem(spark, loc.toString)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.format("parquet").mode("overwrite")
       .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
     val sorted = if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w

@@ -433,6 +433,33 @@ object EventStreams {
       .dropDuplicates(Seq("gram", "inc_batch_id"))
       .groupBy("gram").agg(sum(col("df")).as("df"))
 
+  /** Compact a gram-df increment table to one row per gram (plus the
+    * null-gram document-count sentinel) via the same staged swap as
+    * [[compactRollupIncrements]]. Without this the table grows one row per
+    * (gram, batch) forever and [[gramDfFromIncrements]] re-aggregates the
+    * full history on every serve — gram cardinality makes that much heavier
+    * than the rollup case, so the compaction cadence matters MORE here.
+    * The compacted rows wear the sentinel epoch so replay dedup stays armed
+    * for subsequent appends.
+    */
+  def compactGramDfIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = gramDfFromIncrements(spark, incrementPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
   /** Compact a rollup-increment table to one row per dimension combination
     * via the same staged swap as [[compactIncrements]] (pause the writer or
     * call from its own cadence). The compacted row wears the sentinel epoch

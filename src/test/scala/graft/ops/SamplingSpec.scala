@@ -99,4 +99,19 @@ class SamplingSpec extends SparkSpecBase {
       assert(cums.nonEmpty && cums.max <= 30L && cums.max > 20L)
     }
   }
+
+  test("tokenBudgetSelect: a NULL source is its own budget group, not dropped") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((1L to 10L).map(i => (i, Option("a"), "w w w")) ++
+      (11L to 20L).map(i => (i, Option.empty[String], "w w w")))
+      .toDF("id", "src", "text")
+    val tok = graft.ops.TextAnalysis.tokenCount(col("text"))
+    val out = Sampling.tokenBudgetSelect(docs, "id", "src", tok, budget = 9L)
+      .as[(Long, Option[String], Long, Long)].collect()
+    // SQL's PARTITION BY keeps NULL as one group; the offsets join must be
+    // null-safe or these rows vanish silently
+    val nullGroup = out.filter(_._2.isEmpty)
+    assert(nullGroup.length === 3 && nullGroup.forall(_._4 <= 9L))
+    assert(out.count(_._2.contains("a")) === 3)
+  }
 }

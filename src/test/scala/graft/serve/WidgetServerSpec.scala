@@ -2,7 +2,7 @@ package graft.serve
 
 import graft.{SparkEntry, SparkSpecBase}
 import graft.dict.Dictionary
-import graft.query.Widgets
+import graft.query.{FieldCollection, Widgets}
 
 /** The HTTP serving entry (§3 lifecycle parity): the reference's
   * browser → proxy → ES round trip is widget-state JSON in, bucket JSON
@@ -61,6 +61,25 @@ class WidgetServerSpec extends SparkSpecBase {
         """[{"name": "no_such_field", "value": "x",
           |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
     }
+  }
+
+  test("fromJson rejects a scalar value on an enum widget (Jackson coercion hole)") {
+    val fields = FieldCollection(Seq(
+      Widgets.Field("priority", graft.schema.VarType.Enum(Seq("a", "b")), "g", "d")),
+      Map.empty)
+    // elements() on a scalar is empty → EnumSel(Nil) → MatchAll would
+    // silently discard the user's selection; it must fail like Bool/Text
+    val e = intercept[IllegalArgumentException] {
+      Widgets.fromJson(fields,
+        """[{"name": "priority", "value": "a",
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+    }
+    assert(e.getMessage.contains("priority"))
+    // a real string array stays legal
+    val ok = Widgets.fromJson(fields,
+      """[{"name": "priority", "value": ["a"],
+        |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin)
+    assert(ok.selections("priority") === Widgets.Selection.EnumSel(Seq("a")))
   }
 
   test("POST /query returns exactly the engine-direct buckets") {

@@ -365,5 +365,39 @@ class EventStreamsSpec extends SparkSpecBase {
       graft.ops.TextAnalysis.boilerplateFrequent(
         EventStreams.gramDfFromIncrements(spark, incPath), minDocFrac = 0.5))
     assert(rows(replayed) === rows(whole), "a replayed epoch inflated the df table")
+
+    // compaction bounds the table at |distinct grams|+1 (the null-gram
+    // sentinel) and preserves the implied statistics — without it the
+    // table grows one row per (gram, batch) forever
+    val distinctGrams = EventStreams.gramDfFromIncrements(spark, incPath).count()
+    EventStreams.compactGramDfIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() === distinctGrams)
+    val compacted = graft.ops.TextAnalysis.boilerplateProfileAgainst(
+      allDocs, "doc_id", "text", n = 3,
+      graft.ops.TextAnalysis.boilerplateFrequent(
+        EventStreams.gramDfFromIncrements(spark, incPath), minDocFrac = 0.5))
+    assert(rows(compacted) === rows(whole), "compaction changed the implied df table")
+
+    // appends after compaction still merge: the sentinel epoch stays armed
+    val more = Seq((7L, "visit our website today lambda mu")).toDF("doc_id", "text")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.maintainGramDf(
+      mem2.toDS().toDF("doc_id", "text"), "text", n = 3,
+      incPath, dir.getAbsolutePath + "/ckpt2")
+    try {
+      mem2.addData((7L, "visit our website today lambda mu"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val allEight = docs.toDF("doc_id", "text").unionByName(more)
+    val afterAppend = graft.ops.TextAnalysis.boilerplateProfileAgainst(
+      allEight, "doc_id", "text", n = 3,
+      graft.ops.TextAnalysis.boilerplateFrequent(
+        EventStreams.gramDfFromIncrements(spark, incPath), minDocFrac = 0.5))
+    val wholeEight = graft.ops.TextAnalysis.boilerplateProfile(
+      allEight, "doc_id", "text", n = 3, minDocFrac = 0.5)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rowsOf(afterAppend) === rowsOf(wholeEight),
+      "post-compaction appends diverged from the from-scratch profile")
   }
 }
