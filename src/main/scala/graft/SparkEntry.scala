@@ -551,10 +551,13 @@ object SparkEntry {
           .select(lit(label).as("viz"), lit("").as("key"),
             lit("").as("subkey"), lit(0L).as("count"))
       case Seq(b @ BucketAgg("geohash_grid", _, _, _, _)) =>
-        require(b.precision == dashboardCubePrecision,
-          s"saved map precision ${b.precision} != rollup precision " +
+        // any precision at or below the ingest precision truncates from
+        // the rollup (geohash prefixes ARE the coarser cells); only a
+        // FINER saved map forces a rebuild or the corpus scan
+        require(PreAgg.coversGeohash(dashboardCubePrecision, b.precision),
+          s"saved map precision ${b.precision} > rollup ingest precision " +
             s"$dashboardCubePrecision — rebuild the rollup or fall back to the scan")
-        flat(PreAgg.geohashGrid(pre), "geohash")
+        flat(PreAgg.geohashGridAt(pre, dashboardCubePrecision, b.precision), "geohash")
       case Seq(b @ BucketAgg("terms", _, _, _, _)) =>
         flat(PreAgg.termsTopN(pre, b.field, b.size), b.field)
       case Seq(p @ BucketAgg("terms", _, _, _, _), c @ BucketAgg("terms", _, _, _, _)) =>
@@ -1548,6 +1551,24 @@ object SparkEntry {
       Aggs.geohashGridDrilldown(pts, "lat", "lon", cell = "9", targetCells = 2000)
     }),
 
+    "g6_geohash_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The serving-layer close of the geohash story: the rollup's geohash
+      // dimension is ingested at the FINEST precision the map serves (3
+      // here), and every coarser zoom level is a prefix truncation of the
+      // at-rest rollup — geohash prefixes ARE the coarser cells, so zoom
+      // out/in across the ladder never re-scans the corpus. This serves
+      // the world-view precision-2 grid from the precision-3 rollup; the
+      // oracle is g6_geohash_grid's corpus scan VERBATIM (the serving
+      // layer must be invisible to results).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      val rollup = PreAgg.increment(pts, Seq(
+        "geohash" -> graft.expr.Geohash.geohash(col("lat"), col("lon"), 3)))
+      PreAgg.geohashGridAt(rollup, ingestPrecision = 3, precision = 2)
+    }),
+
     "g7_typeahead" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Aggs.typeahead(load(dir, "part"), "p_brand", "brand 1", size = 10)
@@ -2209,8 +2230,10 @@ object SparkEntry {
       // materialize+read costs more than their recompute. The hygiene
       // pattern stays the right call where scratch is expensive to rebuild
       // (PPJoin postings, IVF-PQ residuals); a 100 TB assembly run that
-      // wants single-execution stages should checkpoint noBp/deduped to
-      // the at-rest store it is publishing to anyway.
+      // wants single-execution stages checkpoints noBp/deduped to the
+      // at-rest store it is publishing to anyway — that deployment shape
+      // is `pipeline_assemble_published` below, same oracle, plan pinned
+      // to read the published tables.
       val noBp = TextAnalysis.boilerplateFilter(quality, "doc_id", "text",
         n = 3, minDocFrac = 0.01, maxRatio = 0.35)
       val seg = Dedup.repeatedSegmentFilter(noBp, "doc_id", "text",
@@ -2218,6 +2241,41 @@ object SparkEntry {
         .where(col("n_kept") > 0)
         .select("doc_id", "source", "text")
       val deduped = Dedup.exactByFingerprint(seg, "text", "doc_id")
+      val budgeted = ops.Sampling.tokenBudgetSelect(deduped, "doc_id", "source",
+        TextAnalysis.tokenCount(col("text")), budget = 400L, numBuckets = 8)
+      ops.Packing.shardAssignments(budgeted, "doc_id", 4)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source", "shard")
+    }),
+
+    "pipeline_assemble_published" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // pipeline_assemble's 100 TB DEPLOYMENT shape: the scaladoc above
+      // routes big runs to checkpointing the rebuilt-text stage boundaries
+      // to the at-rest store the run is publishing to anyway — this query
+      // IS that shape, tested. The two frames the lazy DAG re-derives most
+      // (the boilerplate-filtered corpus and the deduped rebuilt texts) are
+      // written as parquet tables and every downstream stage reads the
+      // PUBLISHED table, so each stage executes once: the plan under the
+      // final manifest has parquet leaves on the published store, not 18
+      // scans of `documents` (pinned in PlanSpec). Same stages, same rows —
+      // the oracle is pipeline_assemble's verbatim, because the at-rest
+      // layout must be invisible to results.
+      val docs = load(dir, "documents")
+      val store = s"/tmp/graft_assemble_pub_${math.abs(dir.hashCode)}"
+      val quality = docs.where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      TextAnalysis.boilerplateFilter(quality, "doc_id", "text",
+          n = 3, minDocFrac = 0.01, maxRatio = 0.35)
+        .write.mode("overwrite").parquet(s"$store/no_boilerplate")
+      val noBp = s.read.parquet(s"$store/no_boilerplate")
+      val seg = Dedup.repeatedSegmentFilter(noBp, "doc_id", "text",
+          window = 8, maxOccurrences = 1, carry = Seq("source"))
+        .where(col("n_kept") > 0)
+        .select("doc_id", "source", "text")
+      Dedup.exactByFingerprint(seg, "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$store/deduped")
+      val deduped = s.read.parquet(s"$store/deduped")
       val budgeted = ops.Sampling.tokenBudgetSelect(deduped, "doc_id", "source",
         TextAnalysis.tokenCount(col("text")), budget = 400L, numBuckets = 8)
       ops.Packing.shardAssignments(budgeted, "doc_id", 4)
@@ -2824,6 +2882,102 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The assembly composition restated stage by stage, each fragment the
+    * same proven restatement its standalone oracle uses: quality CTEs →
+    * boilerplate df over the FILTERED frame (the ndocs threshold counts
+    * survivors, as the engine's boilerplateProfile does) → segment cut
+    * with ordered string_agg rebuild → min-id winner per normalized
+    * rebuilt text → per-source budget window on the md5 unit hash →
+    * md5-mod shard → (source, shard) manifest. Shared verbatim by
+    * `pipeline_assemble` and `pipeline_assemble_published` — the published
+    * form differs only in WHERE intermediates live, which must be
+    * invisible to results.
+    */
+  private def assembleOracleSql: String =
+    s"""WITH $qualityCtes,
+       |q AS (
+       |  SELECT d.doc_id, d.text, d.source FROM documents d
+       |  JOIN quality_per_doc USING (doc_id) WHERE quality_score >= 0.5
+       |), bp_g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+       |  FROM (SELECT doc_id, $duckToks AS toks FROM q) WHERE len(toks) >= 3
+       |), bp_freq AS (
+       |  SELECT gram FROM bp_g GROUP BY gram
+       |  HAVING count(*) >= ceil((SELECT count(*) FROM q) * 0.01)
+       |), bp_ratio AS (
+       |  SELECT g.doc_id, count(f.gram)::DOUBLE / count(*) AS ratio
+       |  FROM bp_g g LEFT JOIN bp_freq f ON g.gram = f.gram GROUP BY g.doc_id
+       |), kept AS (
+       |  SELECT q.* FROM q WHERE NOT EXISTS (
+       |    SELECT 1 FROM bp_ratio p WHERE p.doc_id = q.doc_id AND p.ratio > 0.35)
+       |), seg AS (
+       |  SELECT doc_id, i - 1 AS seg_idx,
+       |    array_to_string(toks[(i - 1) * 8 + 1 : i * 8], ' ') AS seg
+       |  FROM (SELECT doc_id, $duckToks AS toks FROM kept),
+       |       unnest(generate_series(1, (len(toks) + 7) // 8)) AS u(i)
+       |  WHERE len(toks) > 0
+       |), over_rep AS (
+       |  SELECT seg FROM seg GROUP BY seg HAVING count(*) > 1
+       |), rebuilt AS (
+       |  SELECT s.doc_id,
+       |    string_agg(CASE WHEN o.seg IS NULL THEN s.seg END,
+       |      ' ' ORDER BY s.seg_idx) AS text
+       |  FROM seg s LEFT JOIN over_rep o ON s.seg = o.seg
+       |  GROUP BY s.doc_id
+       |  HAVING count(*) - count(o.seg) > 0
+       |), winners AS (
+       |  SELECT r.doc_id, r.text, k.source FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
+       |    FROM rebuilt
+       |  ) r JOIN kept k USING (doc_id) WHERE rn = 1
+       |), bud AS (
+       |  SELECT doc_id, source,
+       |    (CASE WHEN len(trim(text)) = 0 THEN 0
+       |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+       |      AS n_tok,
+       |    ${ops.Sampling.hashUnitSql("doc_id", 42)} AS u
+       |  FROM winners
+       |), cum AS (
+       |  SELECT doc_id, source, n_tok,
+       |    (sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      AS cum_tok
+       |  FROM bud WHERE n_tok > 0
+       |), sel AS (
+       |  SELECT doc_id, source, n_tok FROM cum WHERE cum_tok <= 400
+       |)
+       |SELECT source, ${ops.Sampling.hashBits52Sql("doc_id", 42)} % 4 AS shard,
+       |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+       |FROM sel GROUP BY 1, 2 ORDER BY source, shard""".stripMargin
+
+  /** The precision-2 geohash grid over the customer-derived points: the
+    * 10-bit lon-leading interleave restated in SQL. Shared verbatim by
+    * `g6_geohash_grid` (corpus scan) and `g6_geohash_preagg` (precision-3
+    * rollup, prefix-truncated) — the serving layer must be invisible.
+    */
+  private def geohashGrid2OracleSql: String =
+    """WITH pts AS (
+      |  SELECT ((c_acctbal % 180) + 180) % 180 - 90 + 0.001 AS lat,
+      |         ((c_custkey % 360) + 360) % 360 - 180 + 0.001 AS lon
+      |  FROM customer
+      |), idx AS (
+      |  SELECT least(31, greatest(0, floor((lat + 90) / 180 * 32)))::INT AS la,
+      |         least(31, greatest(0, floor((lon + 180) / 360 * 32)))::INT AS lo
+      |  FROM pts
+      |), gh AS (
+      |  SELECT ((lo & 16) << 5) | ((la & 16) << 4) | ((lo & 8) << 4) | ((la & 8) << 3)
+      |       | ((lo & 4) << 3) | ((la & 4) << 2) | ((lo & 2) << 2) | ((la & 2) << 1)
+      |       | ((lo & 1) << 1) | (la & 1) AS v
+      |  FROM idx
+      |)
+      |SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v >> 5) + 1, 1) ||
+      |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
+      |       count(*) AS count
+      |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3298,25 +3452,11 @@ object SparkEntry {
     // arithmetic: cell = floor((coord - lo) / span * 32), clamped (clamping
     // covers coords at/past the upper bound exactly like the all-ones
     // bisection path). Synthetic lat/lon derivation mirrors the Spark query.
-    "g6_geohash_grid" ->
-      """WITH pts AS (
-        |  SELECT ((c_acctbal % 180) + 180) % 180 - 90 + 0.001 AS lat,
-        |         ((c_custkey % 360) + 360) % 360 - 180 + 0.001 AS lon
-        |  FROM customer
-        |), idx AS (
-        |  SELECT least(31, greatest(0, floor((lat + 90) / 180 * 32)))::INT AS la,
-        |         least(31, greatest(0, floor((lon + 180) / 360 * 32)))::INT AS lo
-        |  FROM pts
-        |), gh AS (
-        |  SELECT ((lo & 16) << 5) | ((la & 16) << 4) | ((lo & 8) << 4) | ((la & 8) << 3)
-        |       | ((lo & 4) << 3) | ((la & 4) << 2) | ((lo & 2) << 2) | ((la & 2) << 1)
-        |       | ((lo & 1) << 1) | (la & 1) AS v
-        |  FROM idx
-        |)
-        |SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', (v >> 5) + 1, 1) ||
-        |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
-        |       count(*) AS count
-        |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin,
+    "g6_geohash_grid" -> geohashGrid2OracleSql,
+
+    // The rollup-served precision-2 grid must equal the corpus scan —
+    // same SQL by construction (the serving layer is invisible to results).
+    "g6_geohash_preagg" -> geohashGrid2OracleSql,
 
     // precision-3 mirror of the bit-interleave (15 bits: lon leads with 8
     // bits at even positions, lat 7 at odd), zoomed to cell "9"'s bounds
@@ -3573,72 +3713,10 @@ object SparkEntry {
          |FROM c, tot WHERE fg_count > 0
          |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
 
-    // The assembly composition restated stage by stage, each fragment the
-    // same proven restatement its standalone oracle uses: quality CTEs →
-    // boilerplate df over the FILTERED frame (the ndocs threshold counts
-    // survivors, as the engine's boilerplateProfile does) → segment cut
-    // with ordered string_agg rebuild → min-id winner per normalized
-    // rebuilt text → per-source budget window on the md5 unit hash →
-    // md5-mod shard → (source, shard) manifest.
-    "pipeline_assemble" ->
-      s"""WITH $qualityCtes,
-         |q AS (
-         |  SELECT d.doc_id, d.text, d.source FROM documents d
-         |  JOIN quality_per_doc USING (doc_id) WHERE quality_score >= 0.5
-         |), bp_g AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(toks) - 2),
-         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
-         |  FROM (SELECT doc_id, $duckToks AS toks FROM q) WHERE len(toks) >= 3
-         |), bp_freq AS (
-         |  SELECT gram FROM bp_g GROUP BY gram
-         |  HAVING count(*) >= ceil((SELECT count(*) FROM q) * 0.01)
-         |), bp_ratio AS (
-         |  SELECT g.doc_id, count(f.gram)::DOUBLE / count(*) AS ratio
-         |  FROM bp_g g LEFT JOIN bp_freq f ON g.gram = f.gram GROUP BY g.doc_id
-         |), kept AS (
-         |  SELECT q.* FROM q WHERE NOT EXISTS (
-         |    SELECT 1 FROM bp_ratio p WHERE p.doc_id = q.doc_id AND p.ratio > 0.35)
-         |), seg AS (
-         |  SELECT doc_id, i - 1 AS seg_idx,
-         |    array_to_string(toks[(i - 1) * 8 + 1 : i * 8], ' ') AS seg
-         |  FROM (SELECT doc_id, $duckToks AS toks FROM kept),
-         |       unnest(generate_series(1, (len(toks) + 7) // 8)) AS u(i)
-         |  WHERE len(toks) > 0
-         |), over_rep AS (
-         |  SELECT seg FROM seg GROUP BY seg HAVING count(*) > 1
-         |), rebuilt AS (
-         |  SELECT s.doc_id,
-         |    string_agg(CASE WHEN o.seg IS NULL THEN s.seg END,
-         |      ' ' ORDER BY s.seg_idx) AS text
-         |  FROM seg s LEFT JOIN over_rep o ON s.seg = o.seg
-         |  GROUP BY s.doc_id
-         |  HAVING count(*) - count(o.seg) > 0
-         |), winners AS (
-         |  SELECT r.doc_id, r.text, k.source FROM (
-         |    SELECT doc_id, text,
-         |      row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
-         |    FROM rebuilt
-         |  ) r JOIN kept k USING (doc_id) WHERE rn = 1
-         |), bud AS (
-         |  SELECT doc_id, source,
-         |    (CASE WHEN len(trim(text)) = 0 THEN 0
-         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
-         |      AS n_tok,
-         |    ${ops.Sampling.hashUnitSql("doc_id", 42)} AS u
-         |  FROM winners
-         |), cum AS (
-         |  SELECT doc_id, source, n_tok,
-         |    (sum(n_tok) OVER (PARTITION BY source ORDER BY u, doc_id
-         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-         |      AS cum_tok
-         |  FROM bud WHERE n_tok > 0
-         |), sel AS (
-         |  SELECT doc_id, source, n_tok FROM cum WHERE cum_tok <= 400
-         |)
-         |SELECT source, ${ops.Sampling.hashBits52Sql("doc_id", 42)} % 4 AS shard,
-         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
-         |FROM sel GROUP BY 1, 2 ORDER BY source, shard""".stripMargin,
+    // Stage-by-stage restatement shared with the published twin — see
+    // assembleOracleSql's scaladoc.
+    "pipeline_assemble" -> assembleOracleSql,
+    "pipeline_assemble_published" -> assembleOracleSql,
 
     // Shard + rank restated on the shared 52-bit md5 hash: the hash is
     // non-negative, so SQL's % equals pmod, and the (hash, id) rank is one

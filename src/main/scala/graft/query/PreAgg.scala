@@ -150,6 +150,57 @@ object PreAgg {
       .agg(sum(col(CntCol)).as("count"))
       .orderBy(desc("count"), asc("geohash"))
 
+  /** Is a geohash grid at `precision` servable from a rollup whose geohash
+    * dimension was computed at `ingestPrecision`? Geohash is hierarchical
+    * by construction — precision p is the first 5p bits of the lat/lon
+    * interleave, so a PREFIX of a finer geohash IS the coarser cell — and
+    * therefore any precision at or below ingest truncates from the rollup;
+    * anything finer needs the corpus. The geohash twin of [[covers]].
+    */
+  def coversGeohash(ingestPrecision: Int, precision: Int): Boolean =
+    precision >= 1 && precision <= ingestPrecision
+
+  /** G6 at any precision ≤ the rollup's ingest precision: prefix-truncate
+    * the geohash dimension and re-sum. Zooming OUT never re-scans the
+    * corpus — the power-of-two quantization commutes with truncation
+    * (floor to the finer grid then drop bits ≡ floor to the coarser grid),
+    * so the truncated grid hash-matches the corpus scan at `precision`.
+    */
+  def geohashGridAt(
+      pre: DataFrame,
+      ingestPrecision: Int,
+      precision: Int,
+      geohashCol: String = "geohash"): DataFrame = {
+    require(coversGeohash(ingestPrecision, precision),
+      s"precision $precision is not servable from an ingest-precision-" +
+        s"$ingestPrecision rollup — serve this zoom from the corpus scan")
+    pre.where(col(geohashCol).isNotNull)
+      .groupBy(substring(col(geohashCol), 1, precision).as("geohash"))
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(desc("count"), asc("geohash"))
+  }
+
+  /** Kibana's autoPrecision drill-down ([[Aggs.geohashGridDrilldown]])
+    * served from the rollup: the clicked cell's decoded bounds pick the
+    * precision through the same zoom ladder, the viewport filter is the
+    * PREFIX match (a point lies in a cell's half-open bounds iff its
+    * geohash extends the cell — the identical binary subdivision computes
+    * both), and the grid is the prefix truncation. Covered iff the ladder
+    * lands at or above the ingest precision; a deeper zoom fails loudly
+    * toward the corpus scan, like every covering miss here.
+    */
+  def geohashGridDrilldown(
+      pre: DataFrame,
+      cell: String,
+      ingestPrecision: Int,
+      targetCells: Int = 2000,
+      geohashCol: String = "geohash"): DataFrame = {
+    val (latLo, latHi, lonLo, lonHi) = graft.expr.GeohashAlgo.decodeBounds(cell)
+    val p = Aggs.autoPrecision(latLo, latHi, lonLo, lonHi, targetCells)
+    geohashGridAt(pre.where(col(geohashCol).startsWith(cell)),
+      ingestPrecision, p, geohashCol)
+  }
+
   /** Build-once, serve-many: the at-rest rollup a 100 TB deployment writes
     * at ingest. Two serving representations, chosen by MEASURED size:
     *

@@ -325,6 +325,20 @@ class PlanSpec extends SparkSpecBase {
       s"offset join must not sort-merge the corpus:\n$plan")
   }
 
+  test("published assembly reads the checkpointed stage tables, never the corpus") {
+    // pipeline_assemble_published is the lazy DAG's 100 TB deployment
+    // shape: stage boundaries land as parquet tables and the final
+    // manifest's plan must scan THOSE — the lazy form's 18 re-derivations
+    // of `documents` are exactly what the layout exists to avoid.
+    val df = SparkEntry.queries("pipeline_assemble_published")(
+      spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("graft_assemble_pub"),
+      s"final stage must read the published stage tables:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"final stage must not re-derive from the corpus:\n$plan")
+  }
+
   test("boilerplate profile broadcasts the Zipf head, never shuffles the corpus twice") {
     val docs = Seq(
       (1L, "visit our website today alpha beta"),

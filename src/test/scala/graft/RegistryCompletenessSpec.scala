@@ -37,7 +37,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * list back toward empty.
     */
   private val newSinceLastArtifact = Set(
-    "join_bucketed")
+    "join_bucketed", "pipeline_assemble_published", "g6_geohash_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -83,6 +83,44 @@ class PreAggSpec extends SparkSpecBase {
       === canon(Aggs.geohashGridFromGeoloc(geo, "geolocation", 2)))
   }
 
+  test("geohashGridAt: prefix truncation equals the direct coarse grid at every precision") {
+    // random-ish points incl. the clamp edges (±90/±180 encode into the
+    // top cell at any precision, so truncation must agree there too)
+    val pts = (Seq((90.0, 180.0), (-90.0, -180.0), (0.0, 0.0)) ++
+      (1 to 50).map(i => (i * 3.3 % 180 - 90, i * 7.7 % 360 - 180)))
+      .toDF("lat", "lon")
+    val ingest = 4
+    val pre = PreAgg.increment(pts, Seq(
+      "geohash" -> graft.expr.Geohash.geohash(col("lat"), col("lon"), ingest)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    for (p <- 1 to ingest)
+      assert(canon(PreAgg.geohashGridAt(pre, ingest, p))
+        === canon(Aggs.geohashGrid(pts, "lat", "lon", p)), s"precision $p")
+    // finer than ingest is not covered: fail loudly toward the corpus scan
+    intercept[IllegalArgumentException] {
+      PreAgg.geohashGridAt(pre, ingest, ingest + 1)
+    }
+    assert(PreAgg.coversGeohash(ingest, ingest) && !PreAgg.coversGeohash(ingest, 5))
+  }
+
+  test("geohash drill-down from the rollup equals the corpus-scan zoom") {
+    val pts = (1 to 80).map(i => (i * 1.13 % 45, i * 2.71 % 45 - 135))
+      .toDF("lat", "lon") // inside and around cell "9": lat [0,45), lon [-135,-90)
+    val ingest = 3 // cell "9" + targetCells=2000 → ladder lands at 3 = ingest
+    val pre = PreAgg.increment(pts, Seq(
+      "geohash" -> graft.expr.Geohash.geohash(col("lat"), col("lon"), ingest)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.geohashGridDrilldown(pre, "9", ingest))
+      === canon(Aggs.geohashGridDrilldown(pts, "lat", "lon", "9")))
+    // a deeper zoom (precision 4 ladder) is not covered by a precision-3
+    // rollup — loud failure, never a silently-coarser map
+    intercept[IllegalArgumentException] {
+      PreAgg.geohashGridDrilldown(pre, "9q8", ingest)
+    }
+  }
+
   test("significantTerms from the rollup equals the corpus-scan form") {
     val pre = PreAgg.increment(corpus, dims)
     def canon(df: org.apache.spark.sql.DataFrame) =
