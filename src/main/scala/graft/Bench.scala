@@ -69,31 +69,55 @@ object Bench {
       // correctness/certification twins of queries that stay visible:
       // cube shares rollup's one-Expand plan, the filter composes the
       // profile, the portable twins certify the seeded-hash scale twins
-      // (dedup_minhash_portable stays as the family's visible number)
+      // (the scale twins themselves stay as the families' visible numbers)
       "g_cube_terms", "text_boilerplate_filter",
-      "dedup_simhash_portable", "dedup_cluster_keep_portable",
+      "dedup_minhash_portable", "dedup_simhash_portable",
+      "dedup_cluster_keep_portable",
       // containment pairs → CC keep: both legs visible separately as
       // dedup_containment and dedup_cluster_keep
       "dedup_containment_keep",
       // dedup_embedding_lsh (pairs) stays visible; the CC-keep composition
       // rides it. g6_geohash_auto is grid at a zoom-chosen precision.
-      // search_bm25_indexed is bm25 over the at-rest index (the base and
-      // incremental forms stay visible).
+      // search_bm25_indexed is bm25 over the at-rest index (the base form
+      // stays visible).
       "dedup_embedding_cluster_keep", "g6_geohash_auto",
-      "search_bm25_indexed",
-      // rollup-served twin of g_significant_terms (shared-family oracle;
-      // the rollup serving story's visible number is dashboard_refresh_preagg)
+      "search_bm25_indexed", "search_bm25_incremental", "search_bm25_phrase",
+      // rollup-served twins (the rollup serving story's visible numbers are
+      // dashboard_refresh_preagg and g6_geohash_preagg/g7_typeahead_preagg)
       "g_significant_terms_preagg",
-      // warm twins whose cold forms stay visible (q8_dict_fetch_federated
-      // IS the warm serving number the verdicts track)
-      "q8_dict_fetch_warm")
+      // warm/federated twins whose tracked form stays visible
+      // (q8_dict_fetch_federated IS the page-load number verdicts track)
+      "q8_dict_fetch_warm", "g7_typeahead_warm", "g7_typeahead_federated",
+      "w_json_widget_query", "dashboard_map_drilldown",
+      // refinement/variant twins of visible bases (full numbers live in
+      // BENCH_DETAIL.json — the capture-window budget prunes only the
+      // headline, never the committed data)
+      "ann_ivf_nlist256", "ann_ivfpq_nlist256",
+      "dedup_exact_fingerprint", "dedup_exact_incremental",
+      "decontaminate_fuzzy", "decontaminate_containment",
+      "join_asof_forward", "q6_phrase_prefix_indexed",
+      "sample_split", "sample_stratified", "sample_embedding_percell",
+      "sample_mix_sources", "pack_sequences_text",
+      "text_langid", "text_fingerprint", "text_redact_pii",
+      "text_chunk_windows", "text_repetition", "text_boilerplate_stream",
+      "recipe_harmonize_detroit", "recipe_harmonize_losangeles",
+      "mm_meta_stats", "vocab_topk_incremental", "dict_profile_incremental",
+      "g6_geohash_grid", "pipeline_assemble_published")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],
       sfDir: String,
       loadStart: Double,
       loadEnd: Double): String = {
-    val qs = jmap(results.filterNot(r => headlinePruned(r._1)).map(r => r._1 -> r._2))
+    // Tier-ordered with SERVING LAST: the driver keeps a bounded TAIL of
+    // stdout, and tail truncation cuts the dict's head — ordering the
+    // baseline-graded serving tier last means any residual cut costs
+    // etl/pipeline entries first (all of which live in BENCH_DETAIL.json
+    // anyway).
+    val tierOrder = Map("etl" -> 0, "pipeline" -> 1, "serving" -> 2)
+    val qs = jmap(results.filterNot(r => headlinePruned(r._1))
+      .sortBy(r => (tierOrder(tier(r._1)), r._1))
+      .map(r => r._1 -> r._2))
     val total = fmt(results.map(_._2).sum)
     val totalMed = fmt(results.map(_._3).sum)
     val tiers = Seq("serving", "etl", "pipeline").map { t =>
@@ -207,9 +231,28 @@ object Bench {
     // headline, and (b) no JSON-line scanner can mistake it for the
     // contract line.
     println("bench_medians_detail " + jmap(results.map(r => r._1 -> r._3)))
-    // The contract line goes LAST, compact enough (~2.4 KB at 74 queries)
-    // to fit a ~3 KB tail capture whole even with sbt's epilogue after it.
-    println(renderHeadline(results, sfDir, loadStart, loadAvg()))
+    // The COMPLETE per-query record as a repo file: the driver's capture
+    // keeps only a ~2 KB stdout tail (the r11 artifact lost the dict's
+    // head), so the capture-window budget prunes the headline — and the
+    // full data, every query's min and median at 3 decimals, lands here
+    // where the round commit picks it up.
+    val loadEnd = loadAvg()
+    try {
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
+      val qdetail = results.sortBy(_._1).map { case (n, mn, md) =>
+        "\"" + n + "\":[" + fmt(mn) + "," + fmt(md) + "]"
+      }.mkString("{", ",", "}")
+      val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        s"""{"sf":"$sf","cpus":$cpus,"load":[${fmt(loadStart)},${fmt(loadEnd)}],
+           |"queries_min_med":$qdetail,
+           |"value":${fmt(results.map(_._2).sum)},"median":${fmt(results.map(_._3).sum)}}
+           |""".stripMargin)
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // The contract line goes LAST, compact enough to fit a ~2 KB tail
+    // capture whole even with sbt's epilogue after it (BenchLineSpec pins
+    // the budget against the real registry).
+    println(renderHeadline(results, sfDir, loadStart, loadEnd))
     spark.stop()
   }
 }

@@ -2353,6 +2353,40 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "text_boilerplate_stream" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The streaming boilerplate SERVE path end-to-end as an oracled
+      // batch query (the same shape dashboard_preagg_incremental gives the
+      // rollup): the corpus-so-far arrives as two epoch increments of
+      // (gram, df) + the null-gram doc-count sentinel — exactly what
+      // maintainGramDf appends per micro-batch — with epoch 0 appended
+      // TWICE (an at-least-once replay); gramDfFromIncrements dedups the
+      // replay and sum-merges; the implied Zipf head then scores a NEW
+      // batch the increments never saw, without re-reading corpus text.
+      // The oracle restates the whole path as from-scratch df counts over
+      // the corpus split — replays and the increment layout must be
+      // invisible to the scores.
+      val docs = load(dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val newBatch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val incPath = s"/tmp/graft_gramdf_stream_${math.abs(dir.hashCode)}"
+      def inc(epoch: Int): DataFrame = {
+        val batch = corpus.where(pmod(col("doc_id"), lit(2)) === epoch)
+        batch.select(explode(graft.expr.TextShingles.shingleHashes(
+            col("text"), 3)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .unionByName(batch.agg(count(lit(1)).as("df"))
+            .select(lit(null).cast("long").as("gram"), col("df")))
+          .withColumn("inc_batch_id", lit(epoch.toLong))
+      }
+      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .write.mode("overwrite").parquet(incPath)
+      val gramDf = EventStreams.gramDfFromIncrements(s, incPath)
+      TextAnalysis.boilerplateProfileAgainst(newBatch, "doc_id", "text", 3,
+          TextAnalysis.boilerplateFrequent(gramDf, minDocFrac = 0.01))
+        .orderBy("doc_id")
+    }),
+
     "search_hybrid_rrf_ivfpq" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The SERVING-SCALE hybrid: same RRF fusion, but the vector run is
@@ -3794,6 +3828,32 @@ object SparkEntry {
          |  count(f.gram)::DOUBLE / count(*) AS boilerplate_ratio
          |FROM g LEFT JOIN freq f ON g.gram = f.gram
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // The streamed-increment path restated from scratch: df counts over
+    // the doc_id%3<>0 corpus (the replayed epoch contributes nothing — the
+    // engine's per-(gram, epoch) dedup must make it invisible), the same
+    // corpus-fraction line, scores over the held-out doc_id%3=0 batch.
+    "text_boilerplate_stream" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM corpus) WHERE len(toks) >= 3
+         |), freq AS (
+         |  SELECT gram FROM cg GROUP BY gram
+         |  HAVING count(*) >= ceil((SELECT count(*) FROM corpus) * 0.01)
+         |), ng AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM newb) WHERE len(toks) >= 3
+         |)
+         |SELECT n.doc_id, count(*) AS n_grams, count(f.gram) AS n_boilerplate,
+         |  count(f.gram)::DOUBLE / count(*) AS boilerplate_ratio
+         |FROM ng n LEFT JOIN freq f ON n.gram = f.gram
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
 
     "text_boilerplate_filter" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),

@@ -15,21 +15,17 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keySet.toSeq.sorted
       .map(n => (n, 123.456789, 123.456789))
     val line = Bench.renderHeadline(results, "/root/testdata/sf0.1", 31.99, 31.99)
-    // Capture-window reality, updated from the r10 artifact: the driver
-    // keeps the TAIL of stdout, and BENCH_r10.json shows the 2.6 KB line
-    // already lost its head (its capture starts mid-queries-dict). Tail
-    // truncation cuts the FRONT: the graded summary fields — tiers,
-    // median, value — are emitted LAST and always survive; what head-loss
-    // costs is the per-query numbers of the alphabetically-first few
-    // queries. 2680 holds the 111-query registry (r11 added mm_meta_stats,
-    // dashboard_refresh_preagg, g7_typeahead_preagg, quality_classifier_
-    // score, ann_ivfpq_rerank, g_pipeline_aggs, g_rollup/g_cube_terms,
-    // join_bucketed, text_boilerplate(_filter); correctness/certification
-    // twins are timed but pruned from the dict — Bench.headlinePruned)
-    // with that tradeoff made explicitly; shrinking further means pruning
-    // queries from the headline dict, not nudging this bound.
-    assert(line.length < 2680,
-      s"headline is ${line.length} chars — prune a query from the headline")
+    // Capture-window reality, re-measured from the r11 artifact: the
+    // driver keeps a ~2048-char TAIL of stdout, and sbt's success epilogue
+    // (~90 chars) rides after the headline — so the whole line must fit
+    // ~1900 chars or the committed artifact's `parsed` comes back null
+    // (r11 did: 2.6 KB line, capture started mid-dict). The relief valve
+    // is Bench.headlinePruned — the full per-query record is written to
+    // BENCH_DETAIL.json regardless, so pruning costs the capture nothing
+    // but redundancy. Never nudge this bound upward.
+    assert(line.length < 1900,
+      s"headline is ${line.length} chars — prune a query from the headline " +
+        "(the full numbers are in BENCH_DETAIL.json)")
   }
 
   test("headline line is one valid JSON object with the contract fields") {

@@ -37,7 +37,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * list back toward empty.
     */
   private val newSinceLastArtifact = Set(
-    "join_bucketed", "pipeline_assemble_published", "g6_geohash_preagg")
+    "join_bucketed", "pipeline_assemble_published", "g6_geohash_preagg",
+    "text_boilerplate_stream")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet
