@@ -39,10 +39,14 @@ object Bench {
     */
   private[graft] def tier(name: String): String = {
     val serving = Seq("q", "g", "w_", "dashboard_", "search_")
+    // checked BEFORE serving: quality_* is corpus-scale model training,
+    // not an interactive surface — the bare "q" prefix would claim it
+    // (as it silently did for quality_classifier_* through r11, inflating
+    // the serving subtotal by those pipeline queries' cost)
     val pipeline = Seq("ann_", "dedup_", "decontaminate_", "sample_", "pack_",
-      "text_", "vocab_", "join_", "mm_", "pipeline_", "layout_")
-    if (serving.exists(name.startsWith)) "serving"
-    else if (pipeline.exists(name.startsWith)) "pipeline"
+      "text_", "vocab_", "join_", "mm_", "pipeline_", "layout_", "quality_")
+    if (pipeline.exists(name.startsWith)) "pipeline"
+    else if (serving.exists(name.startsWith)) "serving"
     else "etl"
   }
 
@@ -102,7 +106,13 @@ object Bench {
       "text_chunk_windows", "text_repetition", "text_boilerplate_stream",
       "recipe_harmonize_detroit", "recipe_harmonize_losangeles",
       "mm_meta_stats", "vocab_topk_incremental", "dict_profile_incremental",
-      "g6_geohash_grid", "pipeline_assemble_published")
+      "g6_geohash_grid", "pipeline_assemble_published",
+      // the filter composes quality_lm_score (the family's visible number)
+      "quality_lm_filter",
+      // same DAG as the visible dedup_ngram_jaccard (SCALE_r11: identical
+      // cause and ratio); the cluster-keep composition's visible number is
+      // dedup_cluster_keep_minhash
+      "dedup_cluster_keep")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

@@ -2166,6 +2166,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_lm_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Label-free quality signal (CCNet's other half): a bigram LM
+      // trained on the corpus itself scores every document's
+      // bits-per-bigram — the integer twin of log2 perplexity. Training
+      // is one bigram exchange; the pruned model broadcasts; costs are
+      // ilog2 (= length(bin(n))) integers, so train-and-score restates
+      // end to end in the oracle and hash-matches.
+      ops.NgramLm.perplexityScore(load(dir, "documents"), "doc_id", "text",
+          minCount = 2)
+        .orderBy("doc_id")
+    }),
+
+    "quality_lm_filter" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The two-sided perplexity gate over the same self-trained model:
+      // cut the template-flat head AND the never-seen-transitions tail,
+      // keep the natural-prose band. Integer bounds on the integer rate —
+      // the kept set is exact cross-engine.
+      ops.NgramLm.perplexityFilter(load(dir, "documents"), "doc_id", "text",
+          minBitsPer1k = 3000L, maxBitsPer1k = 4500L, minCount = 2)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Overlapping 64-token windows with 16-token overlap — the RAG/
@@ -2791,6 +2816,37 @@ object SparkEntry {
   /** Analyzer tokens in DuckDB — must mirror [[TextAnalysis]] exactly. */
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** The bigram-LM pipeline as DuckDB CTEs ending at `costed(doc_id,
+    * cost)` — adjacency-ordered bigrams by 1-based list indexing (DuckDB's
+    * `range(1, len)` is exactly the bigram positions), counts, the
+    * minCount=2 pruned head with full-count context totals, and the
+    * per-occurrence ilog2 cost with the flat OOV constant; the exact
+    * mirror of [[graft.ops.NgramLm.perplexityScore]]'s costed stream.
+    * Shared by the score and filter oracles.
+    */
+  private val lmCostCtes =
+    s"""lmtoks AS (
+       |  SELECT doc_id, $duckToks AS ts FROM documents
+       |), lmbg AS (
+       |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM lmtoks, unnest(range(1, len(ts))) AS u(i)
+       |), lmc2 AS (
+       |  SELECT w1, w2, count(*)::BIGINT AS c2 FROM lmbg GROUP BY 1, 2
+       |), lmctx AS (
+       |  SELECT w1, sum(c2)::BIGINT AS c1 FROM lmc2
+       |  GROUP BY 1 HAVING sum(c2) >= 2
+       |), lmhead AS (
+       |  SELECT w1, w2, c2 FROM lmc2 WHERE c2 >= 2
+       |), costed AS (
+       |  SELECT b.doc_id,
+       |    (CASE WHEN x.c1 IS NULL THEN ${ops.NgramLm.OovCost}
+       |          ELSE length(bin(x.c1 + 1)) - length(bin(coalesce(h.c2, 0) + 1))
+       |     END)::BIGINT AS cost
+       |  FROM lmbg b
+       |  LEFT JOIN lmctx x USING (w1)
+       |  LEFT JOIN lmhead h USING (w1, w2)
+       |)""".stripMargin
 
   /** The portable-MinHash pipeline as DuckDB CTEs ending at
     * `pairs(id_a, id_b, jaccard)` — gram texts, seeded md5 minima,
@@ -3597,6 +3653,42 @@ object SparkEntry {
          |SELECT h.doc_id, coalesce(s.score, 0)::BIGINT AS score,
          |  coalesce(s.score, 0) > 0 AS predicted
          |FROM holdout h LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Bigram-LM training AND scoring restated: row-ordered bigrams via
+    // 1-based list indexing over the token array, counts, minCount-pruned
+    // head with FULL-count context totals, ilog2 (= length(bin(n+1)))
+    // integer costs with the flat OOV constant, flooring-division
+    // bits-per-1k rate. Every operand integer — hash-matches.
+    "quality_lm_score" ->
+      s"""WITH $lmCostCtes,
+         |agg AS (
+         |  SELECT doc_id, sum(cost)::BIGINT AS lm_cost,
+         |         count(*)::BIGINT AS lm_bigrams
+         |  FROM costed GROUP BY 1
+         |)
+         |SELECT d.doc_id, coalesce(a.lm_cost, 0)::BIGINT AS lm_cost,
+         |  coalesce(a.lm_bigrams, 0)::BIGINT AS lm_bigrams,
+         |  (CASE WHEN coalesce(a.lm_bigrams, 0) = 0 THEN 0
+         |        ELSE (1000 * a.lm_cost) // a.lm_bigrams END)::BIGINT AS lm_bits_per_1k
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_lm_filter" ->
+      s"""WITH $lmCostCtes,
+         |agg AS (
+         |  SELECT doc_id, sum(cost)::BIGINT AS lm_cost,
+         |         count(*)::BIGINT AS lm_bigrams
+         |  FROM costed GROUP BY 1
+         |), rated AS (
+         |  SELECT d.doc_id,
+         |    (CASE WHEN coalesce(a.lm_bigrams, 0) = 0 THEN 0
+         |          ELSE (1000 * a.lm_cost) // a.lm_bigrams END)::BIGINT AS rate
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)
+         |)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN rated r USING (doc_id)
+         |WHERE r.rate >= 3000 AND r.rate <= 4500
          |ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,

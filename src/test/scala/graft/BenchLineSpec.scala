@@ -58,6 +58,10 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.tier("dedup_minhash") == "pipeline")
     assert(Bench.tier("pipeline_prep_llm") == "pipeline")
     assert(Bench.tier("ann_ivfpq") == "pipeline")
+    // the bare "q" serving prefix must not claim the quality_* family
+    assert(Bench.tier("quality_classifier_score") == "pipeline")
+    assert(Bench.tier("quality_lm_score") == "pipeline")
+    assert(Bench.tier("q8_dict_fetch") == "serving")
     assert(Bench.tier("recipe_harmonize_detroit") == "etl")
     assert(Bench.tier("dict_profile_lineitem") == "etl")
     assert(Bench.tier("stream_sessionize") == "etl")
