@@ -112,7 +112,16 @@ object Bench {
       // same DAG as the visible dedup_ngram_jaccard (SCALE_r11: identical
       // cause and ratio); the cluster-keep composition's visible number is
       // dedup_cluster_keep_minhash
-      "dedup_cluster_keep")
+      "dedup_cluster_keep",
+      // corpus-scan twin of the visible g_cardinality_preagg (the same
+      // scan-vs-rollup split as the pruned g6_geohash_grid)
+      "g_cardinality",
+      // ANN family keeps bruteforce (the exact baseline) and ivf/ivfpq
+      // (the scale paths) visible; the sign-LSH variant rides in DETAIL
+      "ann_lsh",
+      // windowed counts are the simpler half of the streaming pair —
+      // stream_sessionize stays the family's visible number
+      "stream_window_counts")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

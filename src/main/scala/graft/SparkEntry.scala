@@ -1612,6 +1612,30 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
     }),
 
+    "g_cardinality" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES "Unique Count" (cardinality metric agg): distinct users per
+      // event-type bucket, exact. The corpus-scan reference form; the
+      // rollup-served twin below shares this oracle.
+      Aggs.termsWithMetrics(loadEvents(dir), "event_type",
+        Seq(count_distinct(col("user_id")).as("unique_user_id")), 10)
+    }),
+
+    "g_cardinality_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same unique-count dashboard served from the at-rest PAIR
+      // rollup: with user_id a rollup dimension, rollup rows ARE the
+      // distinct (event_type, user_id) pairs, so count_distinct over them
+      // is exact and the serving layer is invisible to results (shared
+      // oracle). Serving touches |distinct pairs| rows, never the corpus;
+      // the approximate path for id spaces too large even for the pair
+      // rollup is the spec-certified HLL-sketch rollup
+      // (PreAgg.incrementWithSketches — ES's own cardinality sketch).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "user_id" -> col("user_id")))
+      query.PreAgg.termsUniqueCount(pre, "event_type", "user_id", 10)
+    }),
+
     "g_pipeline_aggs" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES parent-pipeline aggs (cumulative_sum / derivative / moving_avg)
@@ -2817,6 +2841,17 @@ object SparkEntry {
   private val duckToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
+  /** ES Unique Count (cardinality metric) over the events corpus — exact
+    * distinct users per event-type bucket, the terms ordering/tiebreak of
+    * every terms agg here. Shared by `g_cardinality` (corpus scan) and
+    * `g_cardinality_preagg` (pair-rollup serving).
+    */
+  private val cardinalityOracleSql =
+    """SELECT event_type, count(*)::BIGINT AS count,
+      |  count(DISTINCT user_id)::BIGINT AS unique_user_id
+      |FROM events GROUP BY 1
+      |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin
+
   /** The bigram-LM pipeline as DuckDB CTEs ending at `costed(doc_id,
     * cost)` — adjacency-ordered bigrams by 1-based list indexing (DuckDB's
     * `range(1, len)` is exactly the bigram positions), counts, the
@@ -3412,6 +3447,11 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
         |  count(*) AS count
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // One corpus-relation restatement shared by the scan form and the
+    // pair-rollup serving form — the serving layer provably invisible.
+    "g_cardinality" -> cardinalityOracleSql,
+    "g_cardinality_preagg" -> cardinalityOracleSql,
 
     // Window semantics restated verbatim: trailing-inclusive moving window,
     // lag-derivative null in the first bucket, running sum including the

@@ -138,6 +138,93 @@ object PreAgg {
       .limit(n)
   }
 
+  /** ES "Unique Count" (the cardinality metric agg — Kibana's second-most
+    * common metric after count) served EXACTLY from the rollup: when the
+    * counted field is itself a rollup dimension, the rollup's rows are the
+    * distinct (bucket, value) pairs, so `count_distinct(metric)` over them
+    * is the exact per-bucket cardinality and `sum(cnt)` the bucket count —
+    * both hash-match the corpus scan. Serving touches |distinct pairs|
+    * rows, never the corpus; the pair rollup merges like any other
+    * ([[merge]] re-groups, which re-distincts by construction).
+    *
+    * The covering obligation is the usual one: the metric must be a rollup
+    * dimension. A field too high-cardinality to BE a dimension (user ids at
+    * 100 TB) is exactly when exact distinct is no longer a rollup-sized
+    * question — that is the sketch path below.
+    */
+  def termsUniqueCount(
+      pre: DataFrame,
+      field: String,
+      metric: String,
+      n: Int = 10): DataFrame = {
+    require(pre.columns.contains(metric),
+      s"unique-count metric '$metric' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan " +
+        "or a sketched rollup")
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"),
+        count_distinct(col(metric)).as("unique_" + metric))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
+  /** Suffix of rollup sketch measures. */
+  val SketchSuffix = "_hll"
+
+  /** Rollup increment carrying mergeable HLL sketch measures — the
+    * approximate unique-count path for fields too high-cardinality to be
+    * rollup dimensions (ES's own cardinality agg is exactly this sketch).
+    * Spark's `hll_sketch_agg` is the DataSketches HLL the dictionary's
+    * distinct counts already use ([[graft.dict.Dictionary]]); the sketch
+    * column is a binary register array of fixed size (2^lgK registers), so
+    * the rollup stays |distinct dim combos| rows × O(2^lgK) bytes no matter
+    * the corpus — and sketches UNION (register max), so increments merge
+    * with the same associative contract as the counts.
+    */
+  def incrementWithSketches(
+      df: DataFrame,
+      dims: Seq[(String, Column)],
+      sketches: Seq[(String, Column)],
+      lgK: Int = 12): DataFrame =
+    df.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as(CntCol),
+        sketches.map { case (n, c) =>
+          hll_sketch_agg(c, lgK).as(n + SketchSuffix) }: _*)
+
+  /** Merge sketched rollup increments: group-sum the counts, register-max
+    * union the sketches. Associative and commutative like [[merge]].
+    */
+  def mergeSketched(increments: DataFrame*): DataFrame = {
+    val all = increments.reduce(_.unionByName(_))
+    val dims = all.columns.filter(c => c != CntCol && !c.endsWith(SketchSuffix))
+    val sketchCols = all.columns.filter(_.endsWith(SketchSuffix)).toSeq
+    all.groupBy(dims.map(col): _*)
+      .agg(sum(col(CntCol)).as(CntCol),
+        sketchCols.map(c => hll_union_agg(col(c)).as(c)): _*)
+  }
+
+  /** Unique Count per bucket from a sketched rollup: union the bucket's
+    * sketches, estimate. The estimate is deterministic (register state is a
+    * pure function of the value multiset) and exact while the sketch is in
+    * its exact (list/set) mode — beyond that it carries DataSketches'
+    * published ~1.6%/√(2^lgK) relative error, the same trade ES ships.
+    */
+  def termsUniqueCountSketch(
+      pre: DataFrame,
+      field: String,
+      metric: String,
+      n: Int = 10): DataFrame = {
+    require(pre.columns.contains(metric + SketchSuffix),
+      s"no sketch measure '$metric$SketchSuffix' in rollup " +
+        s"(${pre.columns.mkString(", ")})")
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"),
+        hll_sketch_estimate(hll_union_agg(col(metric + SketchSuffix)))
+          .as("unique_" + metric))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** G6 from the rollup: the geohash is a rollup DIMENSION (computed once at
     * ingest, at the precision the saved map uses), so the grid is a plain
     * weighted terms aggregation over it. Rows whose geolocation did not

@@ -150,4 +150,68 @@ class PreAggSpec extends SparkSpecBase {
     assert(theft._2 == 2L && math.abs(
       theft._4 - (0.5 - 0.4) * (0.5 / 0.4)) < 1e-15)
   }
+
+  test("termsUniqueCount from the pair rollup equals the corpus-scan exact form") {
+    // metric as an extra dimension: rollup rows ARE the distinct pairs
+    val pairDims = dims // city/description/year — count distinct years per city
+    val pre = PreAgg.increment(corpus, pairDims)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.termsUniqueCount(pre, "city", "year", 3))
+      === canon(Aggs.termsWithMetrics(corpus, "city",
+        Seq(count_distinct(col("year")).as("unique_year")), 3)))
+    // hand check: balt has years {2015, 2016} -> 2
+    val balt = PreAgg.termsUniqueCount(pre, "city", "year", 3)
+      .where(col("city") === "balt").as[(String, Long, Long)].head()
+    assert(balt === (("balt", 3L, 2L)))
+  }
+
+  test("termsUniqueCount fails loudly when the metric is not a dimension") {
+    val pre = PreAgg.increment(corpus, dims)
+    val e = intercept[IllegalArgumentException] {
+      PreAgg.termsUniqueCount(pre, "city", "geolocation")
+    }
+    assert(e.getMessage.contains("not a rollup dimension"))
+  }
+
+  test("sketched rollup: increments merge to the whole-corpus sketch, estimates exact in list mode") {
+    val sketches = Seq[(String, org.apache.spark.sql.Column)]("year" -> col("year"))
+    val cityDim = dims.take(1)
+    val whole = PreAgg.incrementWithSketches(corpus, cityDim, sketches)
+    val day1 = PreAgg.incrementWithSketches(
+      corpus.where(col("year") <= 2015), cityDim, sketches)
+    val day2 = PreAgg.incrementWithSketches(
+      corpus.where(col("year") === 2016), cityDim, sketches)
+    val day3 = PreAgg.incrementWithSketches(
+      corpus.where(col("year") >= 2017), cityDim, sketches)
+    def serve(pre: org.apache.spark.sql.DataFrame) =
+      PreAgg.termsUniqueCountSketch(pre, "city", "year", 3)
+        .collect().map(_.toString).toSeq
+    // merged increments serve identically to the whole-corpus rollup,
+    // in any batch order
+    assert(serve(PreAgg.mergeSketched(day1, day2, day3)) === serve(whole))
+    assert(serve(PreAgg.mergeSketched(day3, day1, day2)) === serve(whole))
+    // at this cardinality the sketch is in exact (list) mode: estimates
+    // equal the exact distinct counts
+    val exact = Aggs.termsWithMetrics(corpus, "city",
+      Seq(count_distinct(col("year")).as("unique_year")), 3)
+      .collect().map(_.toString).toSeq
+    assert(serve(whole) === exact)
+  }
+
+  test("sketched estimate stays within published error at dense cardinality") {
+    // 3 buckets x 4000 distinct users: past list/set mode, into the
+    // ~1.6%/sqrt(2^12) dense-estimate regime
+    val big = spark.range(12000).select(
+      (col("id") % 3).cast("string").as("city"), col("id").as("user"))
+    val pre = PreAgg.incrementWithSketches(big,
+      Seq("city" -> col("city")), Seq("user" -> col("user")))
+    val est = PreAgg.termsUniqueCountSketch(pre, "city", "user", 3)
+      .as[(String, Long, Long)].collect()
+    assert(est.length === 3)
+    est.foreach { case (_, cnt, u) =>
+      assert(cnt === 4000L)
+      assert(math.abs(u - 4000.0) / 4000.0 < 0.05, s"estimate $u vs 4000")
+    }
+  }
 }
