@@ -121,7 +121,10 @@ object Bench {
       "ann_lsh",
       // windowed counts are the simpler half of the streaming pair —
       // stream_sessionize stays the family's visible number
-      "stream_window_counts")
+      "stream_window_counts",
+      // the go/no-go diagnostic half of the skew family; join_salted is
+      // the perf number
+      "join_keyskew")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

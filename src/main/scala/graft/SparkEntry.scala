@@ -2246,6 +2246,18 @@ object SparkEntry {
       ops.TextAnalysis.vocabMerge(states, k = 10)
     }),
 
+    "vocab_bpe_merges" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // BPE tokenizer training (Sennrich 2016): the corpus collapses to
+      // word frequencies in ONE exchange, then every merge iteration runs
+      // over the vocab-sized table — per-iteration cost independent of
+      // corpus size. The oracle replays all 8 iterations verbatim
+      // (overlapping get_stats counts, leftmost non-overlapping replace
+      // via the two-space symbol encoding, count-then-pair tiebreak).
+      ops.Bpe.mergeTable(load(dir, "documents"), "text",
+        numMerges = 8, minPairCount = 2L)
+    }),
+
     "text_repetition" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Gopher-style repetition quality signals, one row-local codegen'd
@@ -2851,6 +2863,55 @@ object SparkEntry {
       |  count(DISTINCT user_id)::BIGINT AS unique_user_id
       |FROM events GROUP BY 1
       |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin
+
+  /** The BPE training loop replayed in SQL: 8 generated CTE triples
+    * (pair counts with overlapping get_stats semantics via 1-based list
+    * indexing; the argmax pair under the (count DESC, left, right) total
+    * order; the rewrite as one global regexp_replace over the two-space
+    * symbol encoding — leftmost non-overlapping in RE2 exactly as in Java
+    * regex, see [[graft.ops.Bpe]]). Early exhaustion propagates as NULL
+    * syms → empty pair sets → NULL merge rows, filtered at the end —
+    * matching the engine's early stop. Every CTE is MATERIALIZED: the
+    * chain is self-referential (w_i reads w_{i-1} three ways), and
+    * DuckDB's default inlining re-expands the prefix exponentially —
+    * materialization makes the oracle replay each iteration once, like
+    * the engine does.
+    */
+  private val bpeOracleSql: String = {
+    val k = 8
+    val iters = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT ts[j] AS l, ts[j + 1] AS r, sum(freq)::BIGINT AS pair_count
+         |  FROM (SELECT regexp_split_to_array(syms, '  ') AS ts, freq FROM w${i - 1}),
+         |       unnest(range(1, len(ts))) AS u(j)
+         |  GROUP BY 1, 2
+         |), b$i AS MATERIALIZED (
+         |  SELECT l, r, pair_count FROM p$i WHERE pair_count >= 2
+         |  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT regexp_replace(syms,
+         |    (SELECT l || '  ' || r FROM b$i),
+         |    (SELECT l || r FROM b$i), 'g') AS syms, freq
+         |  FROM w${i - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k).map { i =>
+      s"""SELECT $i AS rank, (SELECT l FROM b$i) AS "left",
+         |  (SELECT r FROM b$i) AS "right",
+         |  (SELECT pair_count FROM b$i) AS pair_count""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT t AS word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY 1
+       |), w0 AS MATERIALIZED (
+       |  SELECT array_to_string(regexp_split_to_array(word, ''), '  ')
+       |    || '  </w>' AS syms, freq FROM wc
+       |),
+       |$iters
+       |SELECT rank, "left", "right", pair_count FROM (
+       |$ranks
+       |) WHERE "left" IS NOT NULL ORDER BY rank""".stripMargin
+  }
 
   /** The bigram-LM pipeline as DuckDB CTEs ending at `costed(doc_id,
     * cost)` — adjacency-ordered bigrams by 1-based list indexing (DuckDB's
@@ -3847,6 +3908,8 @@ object SparkEntry {
          |FROM (SELECT unnest($duckToks) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term ASC LIMIT 10""".stripMargin
     },
+
+    "vocab_bpe_merges" -> bpeOracleSql,
 
     // exact while distinct terms < maxTracked, so the merged estimate must
     // equal the whole-corpus aggregation
