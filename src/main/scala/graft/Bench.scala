@@ -124,7 +124,9 @@ object Bench {
       "stream_window_counts",
       // the go/no-go diagnostic half of the skew family; join_salted is
       // the perf number
-      "join_keyskew")
+      "join_keyskew",
+      // composes vocab_bpe_merges (the BPE family's visible number)
+      "text_bpe_tokens")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

@@ -2258,6 +2258,18 @@ object SparkEntry {
         numMerges = 8, minPairCount = 2L)
     }),
 
+    "text_bpe_tokens" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The learned tokenizer applied back to the corpus: distinct words
+      // segmented once (vocab-sized regex work), word -> piece-count
+      // broadcast, one per-doc aggregation — the token-budget currency of
+      // the selection/packing stages, in the corpus's own BPE.
+      val docs = load(dir, "documents")
+      val merges = ops.Bpe.trainMerges(docs, "text", numMerges = 8, minPairCount = 2L)
+      ops.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Gopher-style repetition quality signals, one row-local codegen'd
@@ -2877,8 +2889,14 @@ object SparkEntry {
     * materialization makes the oracle replay each iteration once, like
     * the engine does.
     */
-  private val bpeOracleSql: String = {
-    val k = 8
+  private val bpeMerges = 8
+
+  /** The shared CTE body (wc, w0, and the k iteration triples, ending at
+    * w$k — the fully-rewritten per-word symbol strings, `word` carried
+    * through for the token-count join).
+    */
+  private val bpeCtes: String = {
+    val k = bpeMerges
     val iters = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT ts[j] AS l, ts[j + 1] AS r, sum(freq)::BIGINT AS pair_count
@@ -2889,29 +2907,54 @@ object SparkEntry {
          |  SELECT l, r, pair_count FROM p$i WHERE pair_count >= 2
          |  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
          |), w$i AS MATERIALIZED (
-         |  SELECT regexp_replace(syms,
+         |  SELECT word, regexp_replace(syms,
          |    (SELECT l || '  ' || r FROM b$i),
          |    (SELECT l || r FROM b$i), 'g') AS syms, freq
          |  FROM w${i - 1}
          |)""".stripMargin
     }.mkString(",\n")
-    val ranks = (1 to k).map { i =>
+    s"""wc AS MATERIALIZED (
+       |  SELECT t AS word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY 1
+       |), w0 AS MATERIALIZED (
+       |  SELECT word, array_to_string(regexp_split_to_array(word, ''), '  ')
+       |    || '  </w>' AS syms, freq FROM wc
+       |),
+       |$iters""".stripMargin
+  }
+
+  // NOTE: bpeCtes is concatenated, never re-interpolated under a second
+  // stripMargin — its SQL contains `||` at line heads, which stripMargin
+  // would truncate to a stray `|`.
+  private val bpeOracleSql: String = {
+    val ranks = (1 to bpeMerges).map { i =>
       s"""SELECT $i AS rank, (SELECT l FROM b$i) AS "left",
          |  (SELECT r FROM b$i) AS "right",
          |  (SELECT pair_count FROM b$i) AS pair_count""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH wc AS MATERIALIZED (
-       |  SELECT t AS word, count(*)::BIGINT AS freq
-       |  FROM (SELECT unnest($duckToks) AS t FROM documents) GROUP BY 1
-       |), w0 AS MATERIALIZED (
-       |  SELECT array_to_string(regexp_split_to_array(word, ''), '  ')
-       |    || '  </w>' AS syms, freq FROM wc
-       |),
-       |$iters
-       |SELECT rank, "left", "right", pair_count FROM (
-       |$ranks
-       |) WHERE "left" IS NOT NULL ORDER BY rank""".stripMargin
+    "WITH " + bpeCtes + "\n" +
+      "SELECT rank, \"left\", \"right\", pair_count FROM (\n" +
+      ranks + "\n" +
+      ") WHERE \"left\" IS NOT NULL ORDER BY rank"
   }
+
+  /** Learned-BPE token counts: w$bpeMerges IS every corpus word segmented
+    * by the full merge table, so the per-doc count is one join of the
+    * unnested token stream against it.
+    */
+  private val bpeTokensOracleSql: String =
+    "WITH " + bpeCtes + ",\n" +
+      s"""seg AS MATERIALIZED (
+         |  SELECT word, len(regexp_split_to_array(syms, '  '))::BIGINT AS np
+         |  FROM w$bpeMerges
+         |)
+         |SELECT d.doc_id, coalesce(a.bt, 0)::BIGINT AS bpe_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, sum(np)::BIGINT AS bt
+         |  FROM (SELECT doc_id, unnest($duckToks) AS word FROM documents) t
+         |  JOIN seg USING (word) GROUP BY 1
+         |) a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
 
   /** The bigram-LM pipeline as DuckDB CTEs ending at `costed(doc_id,
     * cost)` — adjacency-ordered bigrams by 1-based list indexing (DuckDB's
@@ -3910,6 +3953,7 @@ object SparkEntry {
     },
 
     "vocab_bpe_merges" -> bpeOracleSql,
+    "text_bpe_tokens" -> bpeTokensOracleSql,
 
     // exact while distinct terms < maxTracked, so the merged estimate must
     // equal the whole-corpus aggregation

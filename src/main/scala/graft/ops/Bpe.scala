@@ -149,4 +149,31 @@ object Bpe {
     }
     words.withColumn("pieces", split(applied, Sep))
   }
+
+  /** Learned-BPE token counts per document — the token-budget currency of
+    * every downstream selection/packing stage, measured in the tokenizer
+    * actually trained on this corpus instead of the whitespace proxy.
+    *
+    * Scale shape: the corpus's DISTINCT words are segmented once (a
+    * vocab-sized projection — the same Zipf collapse training rides), the
+    * word → piece-count table broadcasts, and the corpus pays one
+    * broadcast join plus its per-doc aggregation. Re-segmenting every
+    * occurrence would run k regexes over corpus volume; this runs them
+    * over vocab volume.
+    */
+  def tokenCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(graft.expr.TextShingles.tokenize(col(textCol))).as("word"))
+    val segmented = segmentWords(tokens.select("word").distinct(), "word", merges)
+      .select(col("word"), size(col("pieces")).cast("long").as("_np"))
+    val agg = tokens.join(broadcast(segmented), "word")
+      .groupBy(col(idCol)).agg(sum(col("_np")).as("bpe_tokens"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
 }

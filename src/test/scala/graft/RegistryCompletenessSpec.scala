@@ -39,7 +39,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
   private val newSinceLastArtifact = Set(
     "join_bucketed", "pipeline_assemble_published", "g6_geohash_preagg",
     "text_boilerplate_stream", "quality_lm_score", "quality_lm_filter",
-    "g_cardinality", "g_cardinality_preagg", "vocab_bpe_merges")
+    "g_cardinality", "g_cardinality_preagg", "vocab_bpe_merges",
+    "text_bpe_tokens")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

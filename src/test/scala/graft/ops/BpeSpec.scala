@@ -67,4 +67,13 @@ class BpeSpec extends SparkSpecBase {
     assert(seg("newest") === Seq("n", "e", "w", "est" + Bpe.EndOfWord))
     assert(seg("x") === Seq("x", Bpe.EndOfWord))
   }
+
+  test("tokenCounts: learned-BPE token budget per doc; empty docs keep a zero row") {
+    val m = Bpe.trainMerges(docs, "text", numMerges = 5)
+    // low -> [low </w>]=2; lower -> [low e r </w>]=4; lowest -> [low est</w>]=2
+    val d = Seq((1L, "low lower lowest"), (2L, ""), (3L, "low low")).toDF("doc_id", "text")
+    val tc = Bpe.tokenCounts(d, "doc_id", "text", m)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tc === Seq((1L, 8L), (2L, 0L), (3L, 4L)))
+  }
 }
