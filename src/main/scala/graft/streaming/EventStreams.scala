@@ -483,6 +483,70 @@ object EventStreams {
     } finally merged.unpersist()
   }
 
+  /** [[maintainRollup]] for a rollup carrying HLL sketch measures
+    * ([[graft.query.PreAgg.incrementWithSketches]] — the Unique Count
+    * serving path for fields too high-cardinality to be dimensions): each
+    * batch appends its own sketched rollup under an epoch stamp. The
+    * replay contract is unchanged — a foreachBatch retry re-appends a
+    * whole epoch, a combo appears at most once per epoch, and the
+    * recomputed sketch bytes are identical (the register state is a pure
+    * function of the batch's value multiset) — so per-(combo, epoch) dedup
+    * drops exactly the replays.
+    */
+  def maintainSketchedRollup(
+      events: DataFrame,
+      dims: Seq[(String, Column)],
+      sketches: Seq[(String, Column)],
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.query.PreAgg.incrementWithSketches(batch, dims, sketches)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The current sketched serving rollup implied by
+    * [[maintainSketchedRollup]]'s increments: replay-dedup per (dimension
+    * combo, epoch), then [[graft.query.PreAgg.mergeSketched]] (group-sum
+    * counts, register-max union sketches). Feeds
+    * [[graft.query.PreAgg.termsUniqueCountSketch]] unchanged.
+    */
+  def sketchedRollupFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame = {
+    val inc = spark.read.parquet(incrementPath)
+    val dims = inc.columns.filter(c =>
+      c != graft.query.PreAgg.CntCol && c != "inc_batch_id" &&
+        !c.endsWith(graft.query.PreAgg.SketchSuffix))
+    graft.query.PreAgg.mergeSketched(
+      inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
+  }
+
+  /** Compact a sketched-rollup increment table to one row per dimension
+    * combo (counts summed, sketches unioned) via the same staged swap and
+    * sentinel epoch as [[compactRollupIncrements]].
+    */
+  def compactSketchedRollupIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = sketchedRollupFromIncrements(spark, incrementPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
   /** Compact an increment table: merge the accumulated per-batch rows into
     * ONE increment per column and swap it in, bounding the table at columns
     * × 1 rows no matter how many batches have run. Safe at any time —

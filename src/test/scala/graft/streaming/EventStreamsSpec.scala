@@ -212,6 +212,50 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(rows(EventStreams.rollupFromIncrements(spark, incPath)) === scratch)
   }
 
+  test("streaming sketched-rollup maintenance serves the whole-corpus unique counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_skrollup").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val dims = Seq[(String, org.apache.spark.sql.Column)]("event_type" -> col("event_type"))
+    val sketches = Seq[(String, org.apache.spark.sql.Column)]("user_id" -> col("user_id"))
+    def e(id: Long, user: Long, typ: String) =
+      EventStreams.Event(id, new java.sql.Timestamp((1440 + id) * 60000L), user, typ, 1.0)
+    val all = Seq(e(1, 1, "a"), e(2, 2, "a"), e(3, 1, "a"), e(4, 1, "b"),
+      e(5, 3, "a"), e(6, 2, "b"))
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainSketchedRollup(
+      mem.toDS().toDF(), dims, sketches, incPath, dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(all(0), all(1), all(2))
+      q.processAllAvailable()
+      mem.addData(all(3), all(4), all(5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def serve(pre: org.apache.spark.sql.DataFrame) =
+      graft.query.PreAgg.termsUniqueCountSketch(pre, "event_type", "user_id", 10)
+        .as[(String, Long, Long)].collect().toSeq
+    val streamed = serve(EventStreams.sketchedRollupFromIncrements(spark, incPath))
+    val whole = serve(graft.query.PreAgg.incrementWithSketches(
+      all.toDS().toDF(), dims, sketches))
+    assert(streamed === whole)
+    // at this cardinality the sketch is exact: a=3 users, b=2 users
+    assert(streamed === Seq(("a", 4L, 3L), ("b", 2L, 2L)))
+
+    // at-least-once replay: re-appending an epoch must not move estimates
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(serve(EventStreams.sketchedRollupFromIncrements(spark, incPath)) === whole,
+      "a replayed batch moved a sketched estimate")
+
+    // compaction bounds the table at |distinct combos| and preserves serving
+    EventStreams.compactSketchedRollupIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() === 2L)
+    assert(serve(EventStreams.sketchedRollupFromIncrements(spark, incPath)) === whole)
+  }
+
   test("batch and streaming sessionization agree on closed sessions") {
     val batchEvents = Seq(ev(1, 0, 1, 1.0), ev(2, 5, 1, 2.0), ev(3, 8, 1, 3.0)).toDS()
     val batch = EventStreams.sessionizeBatch(batchEvents.toDF(), gapMs = 10 * 60000L)
