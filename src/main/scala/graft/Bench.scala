@@ -126,7 +126,16 @@ object Bench {
       // the perf number
       "join_keyskew",
       // composes vocab_bpe_merges (the BPE family's visible number)
-      "text_bpe_tokens")
+      "text_bpe_tokens",
+      // the proportional-draw twin re-runs sample_importance's scoring DAG
+      // plus two arithmetic columns — the scoring query is the visible one
+      "sample_importance_priority",
+      // one row-local codegen'd corpus scan, same shape as the visible
+      // text_profile (regex counts over the same column)
+      "text_gopher_rules",
+      // composition twin: pipeline_assemble is the visible end-to-end
+      // composition, pipeline_prep the visible prep half
+      "pipeline_prep_llm")
 
   private[graft] def renderHeadline(
       results: Seq[(String, Double, Double)],

@@ -2389,6 +2389,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_importance" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // DSIR importance scoring (hashed-bigram log-ratio vs a target
+      // slice, integer bits): resample the raw multilingual corpus toward
+      // the ENGLISH target distribution. One corpus exchange builds the
+      // 1024-bucket model; scoring is a broadcast join + one doc_id
+      // aggregation. Top-50 by rate = the selection head.
+      ops.Sampling.importanceScores(load(dir, "documents"),
+          "doc_id", "text", targetCond = col("lang") === "en",
+          numBuckets = 1024, clipBits = 16, carry = Seq("lang"))
+        .orderBy(desc("bits_per_1k"), col("doc_id"))
+        .limit(50)
+    }),
+
+    "sample_importance_priority" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The PROPORTIONAL selection over the same scores: priority
+      // sampling (w/u with a seeded unit hash) draws ∝ shifted bits — a
+      // weighted sample without replacement, deterministic on any
+      // cluster, transcendental-free so the priorities hash-match SQL.
+      val scored = ops.Sampling.importanceScores(load(dir, "documents"),
+        "doc_id", "text", targetCond = col("lang") === "en",
+        numBuckets = 1024, clipBits = 16, carry = Seq("lang"))
+      ops.Sampling.importancePriority(scored, "doc_id", shift = 16001.0)
+        .orderBy(desc("pri"), col("doc_id"))
+        .limit(25)
+        .select("doc_id", "lang", "n_feats", "bits", "bits_per_1k", "w_lin", "pri")
+    }),
+
+    "text_gopher_rules" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The Gopher document-shape rule battery: seven published hard
+      // gates as ONE row-local codegen'd pass (regex counts only — no
+      // shuffle at any corpus size). Line-level rules are exercised on
+      // multi-line fixtures in GopherSpec; here they profile as constants
+      // on the single-line corpus, which the oracle restates identically.
+      ops.TextAnalysis.gopherProfile(load(dir, "documents"), "text")
+        .select("doc_id", "word_count", "mean_word_len", "symbol_word_ratio",
+          "alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac",
+          "stopword_hits", "gopher_pass")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_semantic" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // SemDeDup: k-means cells bound the candidate set (Σ|cell|², not
+      // N²), within-cell cosine ≥ τ pairs close under the oracled
+      // recursive closure, one representative survives per component.
+      // Same keep contract as dedup_embedding_cluster_keep but the
+      // published clustering candidate generator instead of LSH.
+      val emb = load(dir, "embeddings")
+      val pairs = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.42, nlist = 8)
+      Dedup.keepClusterRepresentatives(emb, "vec_id", pairs)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    }),
+
     "dedup_repeated_segments" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // C4 repeated-line removal restated on fixed 8-token spans (this
@@ -2986,6 +3045,42 @@ object SparkEntry {
        |  LEFT JOIN lmctx x USING (w1)
        |  LEFT JOIN lmhead h USING (w1, w2)
        |)""".stripMargin
+
+  /** The DSIR scoring pipeline as DuckDB CTEs ending at `scored(doc_id,
+    * lang, n_feats, bits, bits_per_1k)` — the exact mirror of
+    * [[graft.ops.Sampling.importanceScores]] at sample_importance's
+    * parameters (English target, 1024 md5 buckets, ±16-bit clip, seed 7):
+    * adjacency-ordered bigrams, the portable 52-bit bucket hash, raw and
+    * conditional target counts, the clipped ilog2 weight with the 1-row
+    * corpus normalizer, and the per-doc IEEE rate. Shared by the score and
+    * priority-sampling oracles.
+    */
+  private val dsirScoreCtes = {
+    val bg = "ts[i] || ' ' || ts[i + 1]"
+    val bucket = s"(${ops.Sampling.hashBits52Sql(bg, 7)} % 1024)"
+    s"""dt AS (
+       |  SELECT doc_id, lang, $duckToks AS ts FROM documents
+       |), dfeat AS (
+       |  SELECT doc_id, lang, $bucket AS b
+       |  FROM dt, unnest(range(1, len(ts))) AS u(i)
+       |), model AS (
+       |  SELECT b, count(*)::BIGINT AS cr,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
+       |  FROM dfeat GROUP BY b
+       |), tot AS (
+       |  SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM model
+       |), wts AS (
+       |  SELECT b, greatest(-16, least(16,
+       |    length(bin(ct + 1)) - length(bin(cr + 1))
+       |      + length(bin(nr + 1)) - length(bin(nt + 1))))::BIGINT AS w
+       |  FROM model, tot
+       |), scored AS (
+       |  SELECT doc_id, lang, count(*)::BIGINT AS n_feats, sum(w)::BIGINT AS bits,
+       |    (1000.0 * sum(w)) / count(*) AS bits_per_1k
+       |  FROM dfeat JOIN wts USING (b)
+       |  GROUP BY doc_id, lang
+       |)""".stripMargin
+  }
 
   /** The portable-MinHash pipeline as DuckDB CTEs ending at
     * `pairs(id_a, id_b, jaccard)` — gram texts, seeded md5 minima,
@@ -4026,6 +4121,72 @@ object SparkEntry {
          |SELECT doc_id, source, n_tok, cum_tok FROM p
          |WHERE cum_tok <= 600 ORDER BY doc_id""".stripMargin,
 
+    // DSIR restated end to end: analyzer bigrams, the portable md5 bucket
+    // hash, occurrence counts with conditional target sums, the clipped
+    // ilog2 weight with the 1-row corpus normalizer, and the per-doc rate
+    // as the same IEEE division. Shared CTE chain for both entries.
+    "sample_importance" ->
+      s"""WITH $dsirScoreCtes
+         |SELECT doc_id, lang, n_feats, bits, bits_per_1k FROM scored
+         |ORDER BY bits_per_1k DESC, doc_id LIMIT 50""".stripMargin,
+
+    // Priority sampling over the same scores: pri = (rate + shift) / u —
+    // two more IEEE divisions of exactly representable values, so the
+    // top-25 draw is bit-identical cross-engine.
+    "sample_importance_priority" ->
+      s"""WITH $dsirScoreCtes, pri AS (
+         |  SELECT doc_id, lang, n_feats, bits, bits_per_1k,
+         |    bits_per_1k + 16001.0 AS w_lin,
+         |    (bits_per_1k + 16001.0) / ${ops.Sampling.hashUnitSql("doc_id", 11)} AS pri
+         |  FROM scored
+         |)
+         |SELECT doc_id, lang, n_feats, bits, bits_per_1k, w_lin, pri FROM pri
+         |ORDER BY pri DESC, doc_id LIMIT 25""".stripMargin,
+
+    // The Gopher battery restated metric by metric: every count is a
+    // regexp_extract_all length over the same RE2/Java-identical pattern,
+    // ratios are the same guarded IEEE divisions, and the pass flag is the
+    // same inclusive-bounds conjunction.
+    "text_gopher_rules" -> {
+      val stopHits = ops.TextAnalysis.gopherStopwords.map(w =>
+        s"(CASE WHEN regexp_matches(text, '(?i)\\b$w\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS word_count,
+         |    len(regexp_extract_all(text, '\\S'))::BIGINT AS nsp,
+         |    (len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.|…')))::BIGINT AS sym,
+         |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::BIGINT AS alpha_words,
+         |    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]'))::BIGINT AS bullet_lines,
+         |    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$'))::BIGINT AS ellipsis_lines,
+         |    (len(regexp_extract_all(text, chr(10))) + 1)::BIGINT AS n_lines,
+         |    ($stopHits)::BIGINT AS stopword_hits
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, word_count,
+         |    CASE WHEN word_count = 0 THEN 0.0 ELSE nsp::DOUBLE / word_count END AS mean_word_len,
+         |    CASE WHEN word_count = 0 THEN 0.0 ELSE sym::DOUBLE / word_count END AS symbol_word_ratio,
+         |    CASE WHEN word_count = 0 THEN 0.0 ELSE alpha_words::DOUBLE / word_count END AS alpha_word_frac,
+         |    bullet_lines::DOUBLE / n_lines AS bullet_line_frac,
+         |    ellipsis_lines::DOUBLE / n_lines AS ellipsis_line_frac,
+         |    stopword_hits
+         |  FROM m
+         |)
+         |SELECT doc_id, word_count, mean_word_len, symbol_word_ratio,
+         |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac, stopword_hits,
+         |  (word_count BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_word_ratio <= 0.1
+         |    AND alpha_word_frac >= 0.8
+         |    AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3
+         |    AND stopword_hits >= 2) AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
     // Segment dedup restated verbatim: same analyzer tokens, same 1-based
     // inclusive span slicing (both engines truncate the last span), same
     // ordered reassembly (string_agg ORDER BY ≡ array_sort(collect_list)).
@@ -4761,6 +4922,35 @@ object SparkEntry {
          |WHERE comp.id IS NULL OR comp.component = emb.vec_id
          |GROUP BY label ORDER BY label""".stripMargin
     },
+
+    // SemDeDup restated: the SAME k-means cell assignment CTEs the IVF
+    // oracles replay (deterministic seeded init, r=1 pick with cell-ASC
+    // tiebreak), within-cell cosine pairs at the engine's threshold, then
+    // the recursive closure / min-id representative / per-label count
+    // shape shared with dedup_embedding_cluster_keep.
+    "dedup_semantic" ->
+      s"""WITH ${ivfAssignCtesSql(nlist = 8)}, pairs AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM assigned x JOIN assigned y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_inner_product(x.v, y.v)
+         |      / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.42
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e2.b FROM r JOIN edges e2 ON r.b = e2.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT label, count(*) AS n_kept
+         |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = emb.vec_id
+         |GROUP BY label ORDER BY label""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -190,4 +190,103 @@ object Sampling {
       .where(col("cum_tok") <= budget)
       .select(id, src, col("n_tok"), col("cum_tok"))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every raw
+    * document by how much its hashed-n-gram distribution looks like a
+    * TARGET slice of the corpus versus the raw corpus as a whole, then
+    * select by the score. The published estimator is
+    * `Σ_features log(p_target(f) / p_raw(f))` over hashed bigram features;
+    * the integer-exact twin here replaces each log2 with the repo's
+    * `ilog2(n+1) = length(bin(n+1))` discipline (see
+    * [[graft.ops.NgramLm]]), so scores hash-match across engines:
+    *
+    * {{{
+    * w(b)     = clip( ilog2p1(ct(b)) - ilog2p1(cr(b)) + S, ±clipBits )
+    * S        = ilog2p1(Nraw) - ilog2p1(Ntarget)      (corpus normalizer)
+    * bits     = Σ_{features of doc} w(bucket(feature))
+    * bits_per_1k = 1000·bits / n_feats               (IEEE double, exact-
+    *                                                  rounded identically
+    *                                                  in any engine)
+    * }}}
+    *
+    * where `ct`/`cr` are the target/raw occurrence counts of hash bucket
+    * `b`, and features are analyzer bigrams hashed into `numBuckets`
+    * buckets by the portable md5 hash ([[hashBits52]]) — hashing is what
+    * keeps the model a FIXED-width table regardless of vocabulary size
+    * (DSIR's own trick).
+    *
+    * 100 TB shape: one corpus exchange builds the model (output ≤
+    * `numBuckets` rows — broadcastable at any corpus size, by
+    * construction, not by a Zipf argument); totals ride a 1-row broadcast
+    * cross join; scoring explodes features row-locally, joins the
+    * broadcast model, and collapses by doc id with map-side partial
+    * aggregation. The corpus is never shuffled by anything wider than its
+    * own id.
+    *
+    * Output: `(idCol, carry…, n_feats, bits, bits_per_1k)` — one row per
+    * document that has ≥1 bigram feature. Rank on `bits_per_1k` for top-k
+    * selection, or feed [[importancePriority]] for proportional sampling.
+    */
+  def importanceScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCond: Column,
+      numBuckets: Int = 1024,
+      clipBits: Int = 16,
+      seed: Int = 7,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(clipBits > 0, s"clipBits must be positive, got $clipBits")
+    val id = col(s"`$idCol`")
+    val carried = carry.map(c => col(s"`$c`"))
+    def ilog2p1(c: Column): Column = length(bin(c + lit(1L))).cast("long")
+    val feats = df
+      .select(id +: targetCond.as("_tgt") +:
+        explode(NgramLm.bigramsCol(col(s"`$textCol`"))).as("_bg") +: carried: _*)
+      .withColumn("_b",
+        pmod(hashBits52(concat_ws(" ", col("_bg.w1"), col("_bg.w2")), seed),
+          lit(numBuckets.toLong)))
+    val model = feats
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
+    val totals = model.agg(sum("_cr").as("_nr"), sum("_ct").as("_nt"))
+    val weights = model
+      .crossJoin(broadcast(totals))
+      .withColumn("_w", greatest(lit(-clipBits.toLong), least(lit(clipBits.toLong),
+        ilog2p1(col("_ct")) - ilog2p1(col("_cr")) +
+          ilog2p1(col("_nr")) - ilog2p1(col("_nt")))))
+      .select(col("_b"), col("_w"))
+    feats
+      .join(broadcast(weights), Seq("_b"))
+      .groupBy(id +: carried: _*)
+      .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("bits"))
+      .withColumn("bits_per_1k",
+        (lit(1000.0) * col("bits")) / col("n_feats").cast("double"))
+  }
+
+  /** Weighted-sampling priority over importance scores: `pri = w / u` with
+    * a positive linear weight `w = bits_per_1k + shift` and the seeded
+    * unit hash `u` of the id — priority sampling (Duffield, Lund & Thorup
+    * 2007, public): taking the top-k rows by `pri` draws documents with
+    * probability proportional to `w` (without replacement, deterministic,
+    * reproducible on any cluster). Pure IEEE divisions of exactly
+    * representable values, so priorities are bit-identical cross-engine —
+    * no transcendental in sight (the reason the weight is linear in bits
+    * rather than DSIR's `exp(score)`: exponentiating would demand
+    * cross-engine `exp`/`ln`, which IEEE 754 does not pin down).
+    */
+  def importancePriority(
+      scored: DataFrame,
+      idCol: String,
+      shift: Double,
+      seed: Int = 11): DataFrame = {
+    require(shift > 0, s"shift must be positive, got $shift")
+    val id = col(s"`$idCol`")
+    scored
+      .withColumn("w_lin", col("bits_per_1k") + lit(shift))
+      .withColumn("pri", col("w_lin") / hashUnit(id, seed))
+  }
 }

@@ -612,6 +612,50 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup near-duplicate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication" —
+    * public): cluster the embedding space with k-means, then compare
+    * vectors ONLY within their cluster — the candidate step that turns
+    * all-pairs O(N²) into Σ_cells |cell|², with `nlist` the knob that
+    * drives per-cell cost down (SemDeDup runs 50k clusters over web
+    * scale). Returns every within-cell `(id_a < id_b)` pair with cosine
+    * `>= threshold`.
+    *
+    * Same candidate-generation contract as [[embeddingNearDupPairs]] but a
+    * different published mechanism: LSH recall is probabilistic per pair;
+    * SemDeDup recall is structural — a near-dup pair straddling a cell
+    * boundary is MISSED by construction (the paper's accepted trade; raise
+    * `nlist` resolution or probe neighboring cells to tighten). Centroids
+    * come from [[kmeansCentroids]] — the same deterministic seeded init +
+    * bit-stable refinement the IVF index family uses, so cells (and
+    * therefore the pair set) hash-match the SQL oracle's replay.
+    *
+    * 100 TB shape: centroids are a k×dim driver-side table (bounded
+    * collect, like every ANN index here); assignment is one broadcast-
+    * centroid map pass; the self-join exchanges on the cell key only. Cell
+    * skew is the hazard at scale — a mega-cell degenerates toward
+    * all-pairs — so size `nlist` to the corpus (√N keeps E|cell|² linear)
+    * and monitor the largest cell; [[cellStratifiedSample]] caps cells
+    * when an approximate pair set is acceptable.
+    */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      refineIters: Int = 0,
+      seed: Int = 42): DataFrame = {
+    val vecs = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed)
+    val assigned = vecs.withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
+    assigned.select(col("_cell"), col("_id").as("id_a"), col("_v").as("_va"))
+      .join(assigned.select(col("_cell"), col("_id").as("id_b"), col("_v").as("_vb")),
+        Seq("_cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** DuckDB restatement of [[lshBucket]] for oracle SQL: the seeded
     * hyperplanes are deterministic constants, inlined as array literals, so
     * the bucket id — and therefore the LSH candidate set — is fully

@@ -439,6 +439,79 @@ object TextAnalysis {
     df.join(drop, df(idCol) === col("_bp_drop"), "left_anti")
   }
 
+  /** The stopwords of the Gopher rule battery (Rae et al. 2021, app. A):
+    * a document must contain at least two of these to pass the final rule.
+    * Distinct from [[englishStopwords]] (a ratio feature list) — this is
+    * the published rule's own fixed 8-word set.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-level quality-rule battery (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A — the rule set
+    * reused by MassiveWeb's descendants): per-document metrics and the
+    * seven pass/fail rules, as one row-local codegen'd pass (regex counts
+    * and Column algebra only — no UDFs, no shuffle at any corpus size).
+    *
+    * Metrics and rules (word = whitespace-delimited segment):
+    *  - `word_count` ∈ [50, 100000]
+    *  - `mean_word_len` (non-space chars / words) ∈ [3, 10]
+    *  - `symbol_word_ratio` (count of `#`, `...`, `…` per word) ≤ 0.1
+    *  - `alpha_word_frac` (words containing ≥1 [A-Za-z]) ≥ 0.8
+    *  - `bullet_line_frac` (lines starting `-`/`*`/`•`) ≤ 0.9
+    *  - `ellipsis_line_frac` (lines ending `...`/`…`) ≤ 0.3
+    *  - `stopword_hits` (how many of [[gopherStopwords]] appear) ≥ 2
+    *
+    * `gopher_pass` is the conjunction. Complements [[qualityScore]] (a
+    * soft composite) and [[repetitionProfile]] (Gopher's REPETITION rules,
+    * separate battery): these are the hard document-shape gates. Every
+    * count restates in ANSI SQL (`regexp_extract_all` lengths), so the
+    * whole battery is oracle-checkable; line rules use `(?m)` anchors,
+    * identical in Java regex and RE2.
+    */
+  def gopherProfile(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(s"`$textCol`")
+    val nLines = (regexp_count(c, lit("\n")) + lit(1)).cast(DoubleType)
+    val wc = col("word_count")
+    val nonZero = wc > 0
+    val profiled = df
+      .withColumn("word_count", tokenCount(c).cast("long"))
+      .withColumn("mean_word_len", when(!nonZero, 0.0).otherwise(
+        regexp_count(c, lit("\\S")).cast(DoubleType) / wc.cast(DoubleType)))
+      .withColumn("symbol_word_ratio", when(!nonZero, 0.0).otherwise(
+        (regexp_count(c, lit("#")) + regexp_count(c, lit("\\.\\.\\.|…")))
+          .cast(DoubleType) / wc.cast(DoubleType)))
+      .withColumn("alpha_word_frac", when(!nonZero, 0.0).otherwise(
+        regexp_count(c, lit("\\S*[A-Za-z]\\S*")).cast(DoubleType) /
+          wc.cast(DoubleType)))
+      .withColumn("bullet_line_frac",
+        regexp_count(c, lit("(?m)^[ \\t]*[-*•]")).cast(DoubleType) / nLines)
+      .withColumn("ellipsis_line_frac",
+        regexp_count(c, lit("(?m)(\\.\\.\\.|…)[ \\t]*$")).cast(DoubleType) / nLines)
+      .withColumn("stopword_hits", gopherStopwords.map(w =>
+        when(c.rlike(s"(?i)\\b$w\\b"), 1).otherwise(0))
+        .reduce(_ + _).cast("long"))
+    profiled.withColumn("gopher_pass",
+      wc.between(50L, 100000L) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("bullet_line_frac") <= 0.9 &&
+        col("ellipsis_line_frac") <= 0.3 &&
+        col("stopword_hits") >= 2L)
+  }
+
+  /** Keep only documents passing every Gopher rule, original columns
+    * unchanged — the filter stage over [[gopherProfile]]; still one
+    * row-local scan (Catalyst collapses the projection into the filter).
+    */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    val metrics = Seq("word_count", "mean_word_len", "symbol_word_ratio",
+      "alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac",
+      "stopword_hits", "gopher_pass")
+    gopherProfile(df, textCol).where(col("gopher_pass")).drop(metrics: _*)
+  }
+
   /** Full per-document text profile as named columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -114,4 +114,74 @@ class SamplingSpec extends SparkSpecBase {
     assert(nullGroup.length === 3 && nullGroup.forall(_._4 <= 9L))
     assert(out.count(_._2.contains("a")) === 3)
   }
+
+  // ---- DSIR importance scoring ----
+
+  /** Two sublanguages over disjoint bigrams: "wiki"-flavored target docs
+    * and "spam"-flavored raw-only docs, plus mixed ones.
+    */
+  private def corpus = Seq(
+    (0L, "en", "the quick brown fox jumps over the lazy dog again today"),
+    (1L, "en", "the quick brown fox jumps over the lazy dog again tonight"),
+    (2L, "en", "a quick brown fox jumps over a lazy dog every day"),
+    (3L, "xx", "buy cheap pills now buy cheap pills now buy cheap pills"),
+    (4L, "xx", "buy cheap pills now click here buy cheap pills now click"),
+    (5L, "xx", "the quick brown fox buy cheap pills now lazy dog"),
+  ).toDF("doc_id", "lang", "text")
+
+  test("importanceScores ranks target-like documents above raw-only ones") {
+    val out = Sampling.importanceScores(corpus, "doc_id", "text",
+        targetCond = col("lang") === "en", numBuckets = 256, carry = Seq("lang"))
+      .orderBy("doc_id")
+      .select("doc_id", "lang", "n_feats", "bits", "bits_per_1k")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(out.length === 6)
+    val rate = out.map(r => r._1 -> r._5).toMap
+    // every target-flavored doc outranks every spam-flavored doc; the
+    // mixed doc 5 falls strictly between the two blocks
+    for (t <- Seq(0L, 1L, 2L); s <- Seq(3L, 4L)) assert(rate(t) > rate(s))
+    assert(rate(5L) < Seq(0L, 1L, 2L).map(rate).min)
+    assert(rate(5L) > Seq(3L, 4L).map(rate).max)
+    // n_feats = bigram positions
+    assert(out.find(_._1 === 0L).get._3 === 10L)
+  }
+
+  test("importanceScores is deterministic and partition-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.importanceScores(df, "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id").select("doc_id", "bits").as[(Long, Long)].collect().toSeq
+    assert(run(corpus) === run(corpus.repartition(7)))
+  }
+
+  test("importanceScores clips per-feature weights to ±clipBits") {
+    val out = Sampling.importanceScores(corpus, "doc_id", "text",
+      targetCond = col("lang") === "en", clipBits = 1)
+    val rates = out.select("bits", "n_feats").as[(Long, Long)].collect()
+    rates.foreach { case (bits, n) => assert(math.abs(bits) <= n) }
+  }
+
+  test("importancePriority draws proportionally more target documents") {
+    // corpus of 400 docs, half target-flavored, half spam-flavored: the
+    // top-100 priority draw must lean heavily toward the target side
+    val big = (0L until 400L).map { i =>
+      if (i % 2 == 0) (i, "en", s"the quick brown fox jumps over the lazy dog d$i")
+      else (i, "xx", s"buy cheap pills now click here win big prize p$i")
+    }.toDF("doc_id", "lang", "text")
+    val scored = Sampling.importanceScores(big, "doc_id", "text",
+      col("lang") === "en", carry = Seq("lang")).cache()
+    // anchor the shift just above the minimum rate so the weight RATIO is
+    // large (a generic shift like 16001 keeps weights positive but nearly
+    // equal, and the draw barely leans — proportionality is only as strong
+    // as the weights are spread)
+    val minRate = scored.agg(min("bits_per_1k")).as[Double].head()
+    val shift = -minRate + 1.0
+    def draw() = Sampling.importancePriority(scored, "doc_id", shift)
+      .orderBy(desc("pri"), col("doc_id")).limit(100)
+      .select("lang").as[String].collect()
+    val top = draw()
+    val en = top.count(_ == "en")
+    assert(en > 85, s"expected a target-dominated draw, got $en/100 en")
+    // and the draw is reproducible
+    assert(top.toSeq === draw().toSeq)
+  }
 }

@@ -278,4 +278,45 @@ class SimilaritySpec extends SparkSpecBase {
     val b = Similarity.hyperplanes(8, 4, seed = 7L)
     assert(a.map(_.toSeq) === b.map(_.toSeq))
   }
+
+  // ---- SemDeDup (k-means-scoped semantic dedup) ----
+
+  /** Two tight directional families plus an outlier — enough rows that a
+    * 2-means split separates the families.
+    */
+  private def families: DataFrame = (
+    (0L until 8L).map(i => (i, Seq(1.0f, 0.01f * i, 0.0f, 0.0f))) ++
+      (10L until 18L).map(i => (i, Seq(0.0f, 0.0f, 1.0f, 0.01f * (i - 10)))) :+
+      (20L, Seq(-1.0f, 0.5f, -0.5f, 0.2f))
+  ).toDF("vec_id", "embedding")
+
+  test("semanticNearDupPairs at one cell equals brute force exactly") {
+    val got = Similarity.semanticNearDupPairs(families, "vec_id", "embedding",
+        threshold = 0.995, nlist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForcePairs(families, "vec_id", "embedding", 0.995)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("semanticNearDupPairs with clusters finds within-family pairs only") {
+    val pairs = Similarity.semanticNearDupPairs(families, "vec_id", "embedding",
+        threshold = 0.99, nlist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // structural recall contract: every surviving pair is a true near-dup
+    // pair, and no pair crosses the two orthogonal families
+    val brute = Similarity.bruteForcePairs(families, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(brute))
+    assert(pairs.forall { case (a, b) => (a < 10) === (b < 10) })
+    // both families are internally near-duplicate, so pairs survive in each
+    assert(pairs.exists(_._1 < 8) && pairs.exists(_._1 >= 10))
+  }
+
+  test("semanticNearDupPairs is deterministic across partitioning") {
+    def run(df: DataFrame) =
+      Similarity.semanticNearDupPairs(df, "vec_id", "embedding", 0.99, nlist = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(families) === run(families.repartition(5)))
+  }
 }

@@ -189,4 +189,67 @@ class TextAnalysisSpec extends SparkSpecBase {
       .as[(Long, Long)].collect()
     got.foreach { case (g, w) => assert(g == w) }
   }
+
+  // ---- Gopher rule battery ----
+
+  /** A document passing every Gopher rule: 60 natural words with the
+    * stopwords "the"/"and" present, no symbols, no list structure.
+    */
+  private val goodDoc: String =
+    (1 to 12).map(_ => "the quick brown fox and hound").mkString(" ")
+
+  private def gopherRow(text: String) =
+    TextAnalysis.gopherProfile(Seq((1L, text)).toDF("id", "t"), "t")
+      .select("word_count", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac",
+        "stopword_hits", "gopher_pass")
+      .as[(Long, Double, Double, Double, Double, Double, Long, Boolean)]
+      .head()
+
+  test("gopherProfile passes a natural document and reports its metrics") {
+    val (wc, mwl, sym, alpha, bullet, ell, stops, pass) = gopherRow(goodDoc)
+    assert(wc === 72L)
+    assert(mwl === (goodDoc.count(!_.isWhitespace).toDouble / 72))
+    assert(sym === 0.0 && alpha === 1.0 && bullet === 0.0 && ell === 0.0)
+    assert(stops === 2L) // "the" and "and"
+    assert(pass)
+  }
+
+  test("gopherProfile word-count bounds: short documents fail rule 1") {
+    val (wc, _, _, _, _, _, _, pass) = gopherRow("the cat and the hat")
+    assert(wc === 5L && !pass)
+  }
+
+  test("gopherProfile counts bullet and ellipsis lines with (?m) anchors") {
+    val listy = Seq("- alpha item", "* beta item", "  • gamma item",
+      "plain line", "trailing dots...", "unicode dots…").mkString("\n")
+    val (_, _, _, _, bullet, ell, _, _) = gopherRow(listy)
+    assert(bullet === 3.0 / 6)
+    assert(ell === 2.0 / 6)
+    // 90%-bullet documents fail the bullet rule even when long enough
+    val allBullets = (1 to 60).map(i => s"- the item and part $i").mkString("\n")
+    assert(!gopherRow(allBullets)._8)
+  }
+
+  test("gopherProfile symbol ratio counts #, ... and … per word") {
+    val symDoc = goodDoc + " " + (1 to 10).map(_ => "# tag ... more").mkString(" ")
+    val (wc, _, sym, _, _, _, _, pass) = gopherRow(symDoc)
+    assert(sym === 20.0 / wc && !pass) // 10 hashes + 10 ellipses over words
+  }
+
+  test("gopherProfile alpha-word fraction and stopword floor") {
+    // 60 numeric words: alpha fraction 0, zero Gopher stopwords
+    val numeric = (1 to 60).map(_.toString).mkString(" ")
+    val (_, _, _, alpha, _, _, stops, pass) = gopherRow(numeric)
+    assert(alpha === 0.0 && stops === 0L && !pass)
+    // mixed alnum words still count as alphabetic
+    assert(gopherRow("ab12 34cd x9")._4 === 1.0)
+  }
+
+  test("gopherFilter keeps passing rows with original columns only") {
+    val df = Seq((1L, goodDoc), (2L, "too short")).toDF("id", "t")
+    val out = TextAnalysis.gopherFilter(df, "t")
+    assert(out.columns.toSeq === Seq("id", "t"))
+    assert(out.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
