@@ -355,4 +355,32 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"gram join must not sort-merge the corpus:\n$plan")
   }
+
+  test("gopher battery is one row-local scan: no exchange anywhere in the plan") {
+    val docs = Seq((1L, "the quick fox"), (2L, "- bullet line\nplain"))
+      .toDF("doc_id", "text")
+    val path = tmp(docs)
+    val plan = planOf(graft.ops.TextAnalysis.gopherProfile(
+      spark.read.parquet(path), "text"))
+    assert(!plan.contains("Exchange"),
+      s"all seven rules must fuse into the scan's projection:\n$plan")
+    assert(plan.contains("[codegen id : 1]"),
+      s"must fuse into one whole-stage codegen span:\n$plan")
+  }
+
+  test("importance scoring broadcasts the bucket model; corpus shuffles only by doc id") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "xx", "buy cheap pills now click here win big prize"),
+    ).toDF("doc_id", "lang", "text")
+    val plan = planOf(graft.ops.Sampling.importanceScores(
+      docs, "doc_id", "text", col("lang") === "en"))
+    // the ≤numBuckets model (and the 1-row totals) must arrive by
+    // broadcast — the exploded feature stream is never the build side of a
+    // shuffled join
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"model + totals must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"feature-weight join must not sort-merge the corpus:\n$plan")
+  }
 }
