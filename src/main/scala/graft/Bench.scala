@@ -128,8 +128,9 @@ object Bench {
       // composes vocab_bpe_merges (the BPE family's visible number)
       "text_bpe_tokens",
       // the proportional-draw twin re-runs sample_importance's scoring DAG
-      // plus two arithmetic columns — the scoring query is the visible one
-      "sample_importance_priority",
+      // plus two arithmetic columns, and the stream twin re-runs it over
+      // epoch increments — the scoring query is the visible one
+      "sample_importance_priority", "sample_importance_stream",
       // one row-local codegen'd corpus scan, same shape as the visible
       // text_profile (regex counts over the same column)
       "text_gopher_rules",

@@ -2418,6 +2418,36 @@ object SparkEntry {
         .select("doc_id", "lang", "n_feats", "bits", "bits_per_1k", "w_lin", "pri")
     }),
 
+    "sample_importance_stream" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The streamed DSIR serve path end-to-end as an oracled batch query
+      // (the same shape text_boilerplate_stream gives the gram-df table):
+      // the corpus-so-far model arrives as two epoch increments of
+      // (b, cr, ct) bucket counts — exactly what maintainImportanceModel
+      // appends per micro-batch — with epoch 0 appended TWICE (an
+      // at-least-once replay); importanceModelFromIncrements dedups the
+      // replay and bucket-sums; the implied weights then score a NEW batch
+      // the increments never saw, without re-reading corpus text. The
+      // oracle restates the path as a from-scratch model over the corpus
+      // split — replays and the increment layout must be invisible.
+      val docs = load(dir, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val newBatch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val incPath = s"/tmp/graft_dsir_stream_${math.abs(dir.hashCode)}"
+      def inc(epoch: Int): DataFrame =
+        ops.Sampling.importanceModel(
+            corpus.where(pmod(col("doc_id"), lit(2)) === epoch),
+            "text", col("lang") === "en")
+          .withColumn("inc_batch_id", lit(epoch.toLong))
+      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .write.mode("overwrite").parquet(incPath)
+      val model = EventStreams.importanceModelFromIncrements(s, incPath)
+      ops.Sampling.importanceScoresAgainst(newBatch, "doc_id", "text",
+          ops.Sampling.importanceWeights(model), carry = Seq("lang"))
+        .orderBy(desc("bits_per_1k"), col("doc_id"))
+        .limit(50)
+    }),
+
     "text_gopher_rules" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The Gopher document-shape rule battery: seven published hard
@@ -3055,7 +3085,7 @@ object SparkEntry {
     * corpus normalizer, and the per-doc IEEE rate. Shared by the score and
     * priority-sampling oracles.
     */
-  private val dsirScoreCtes = {
+  private def dsirCtes(modelPred: String, scorePred: String): String = {
     val bg = "ts[i] || ' ' || ts[i + 1]"
     val bucket = s"(${ops.Sampling.hashBits52Sql(bg, 7)} % 1024)"
     s"""dt AS (
@@ -3066,7 +3096,7 @@ object SparkEntry {
        |), model AS (
        |  SELECT b, count(*)::BIGINT AS cr,
        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ct
-       |  FROM dfeat GROUP BY b
+       |  FROM dfeat WHERE $modelPred GROUP BY b
        |), tot AS (
        |  SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM model
        |), wts AS (
@@ -3078,9 +3108,12 @@ object SparkEntry {
        |  SELECT doc_id, lang, count(*)::BIGINT AS n_feats, sum(w)::BIGINT AS bits,
        |    (1000.0 * sum(w)) / count(*) AS bits_per_1k
        |  FROM dfeat JOIN wts USING (b)
+       |  WHERE $scorePred
        |  GROUP BY doc_id, lang
        |)""".stripMargin
   }
+
+  private val dsirScoreCtes = dsirCtes("TRUE", "TRUE")
 
   /** The portable-MinHash pipeline as DuckDB CTEs ending at
     * `pairs(id_a, id_b, jaccard)` — gram texts, seeded md5 minima,
@@ -4127,6 +4160,15 @@ object SparkEntry {
     // as the same IEEE division. Shared CTE chain for both entries.
     "sample_importance" ->
       s"""WITH $dsirScoreCtes
+         |SELECT doc_id, lang, n_feats, bits, bits_per_1k FROM scored
+         |ORDER BY bits_per_1k DESC, doc_id LIMIT 50""".stripMargin,
+
+    // The streamed-model serve path: same CTE chain with the model built
+    // over the corpus split only and the scoring restricted to the unseen
+    // batch — the epoch-increment merge (with its replayed epoch 0) must
+    // be invisible to the scores.
+    "sample_importance_stream" ->
+      s"""WITH ${dsirCtes("doc_id % 3 <> 0", "doc_id % 3 = 0")}
          |SELECT doc_id, lang, n_feats, bits, bits_per_1k FROM scored
          |ORDER BY bits_per_1k DESC, doc_id LIMIT 50""".stripMargin,
 

@@ -236,33 +236,77 @@ object Sampling {
       numBuckets: Int = 1024,
       clipBits: Int = 16,
       seed: Int = 7,
+      carry: Seq[String] = Nil): DataFrame =
+    importanceScoresAgainst(df, idCol, textCol,
+      importanceWeights(
+        importanceModel(df, textCol, targetCond, numBuckets, seed), clipBits),
+      numBuckets, seed, carry)
+
+  private def ilog2p1(c: Column): Column = length(bin(c + lit(1L))).cast("long")
+
+  /** The hashed bigram bucket of one feature occurrence. */
+  private def featureBucket(numBuckets: Int, seed: Int): Column =
+    pmod(hashBits52(concat_ws(" ", col("_bg.w1"), col("_bg.w2")), seed),
+      lit(numBuckets.toLong))
+
+  /** The DSIR model: per hash bucket, raw occurrence count `cr` and
+    * target-slice occurrence count `ct` — `(b, cr, ct)`, at most
+    * `numBuckets` rows. This is the MERGEABLE piece: models of corpus
+    * parts sum bucket-wise to the whole-corpus model (group-sum on `b`),
+    * which is what lets [[graft.streaming.EventStreams
+    * .maintainImportanceModel]] keep it fresh from a document stream.
+    */
+  def importanceModel(
+      df: DataFrame,
+      textCol: String,
+      targetCond: Column,
+      numBuckets: Int = 1024,
+      seed: Int = 7): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    df.select(targetCond.as("_tgt"),
+        explode(NgramLm.bigramsCol(col(s"`$textCol`"))).as("_bg"))
+      .withColumn("b", featureBucket(numBuckets, seed))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("ct"))
+  }
+
+  /** Clipped integer weights from a model: `(b, w)` with the 1-row corpus
+    * normalizer riding a broadcast cross join.
+    */
+  def importanceWeights(model: DataFrame, clipBits: Int = 16): DataFrame = {
+    require(clipBits > 0, s"clipBits must be positive, got $clipBits")
+    val totals = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
+    model
+      .crossJoin(broadcast(totals))
+      .withColumn("w", greatest(lit(-clipBits.toLong), least(lit(clipBits.toLong),
+        ilog2p1(col("ct")) - ilog2p1(col("cr")) +
+          ilog2p1(col("_nr")) - ilog2p1(col("_nt")))))
+      .select(col("b"), col("w"))
+  }
+
+  /** Score documents against a given weight table (which need not come
+    * from the same frame — the streamed corpus-so-far model serves here):
+    * broadcast join over the row-local feature stream, one doc-id
+    * aggregation.
+    */
+  def importanceScoresAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      numBuckets: Int = 1024,
+      seed: Int = 7,
       carry: Seq[String] = Nil): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
-    require(clipBits > 0, s"clipBits must be positive, got $clipBits")
     val id = col(s"`$idCol`")
     val carried = carry.map(c => col(s"`$c`"))
-    def ilog2p1(c: Column): Column = length(bin(c + lit(1L))).cast("long")
-    val feats = df
-      .select(id +: targetCond.as("_tgt") +:
-        explode(NgramLm.bigramsCol(col(s"`$textCol`"))).as("_bg") +: carried: _*)
-      .withColumn("_b",
-        pmod(hashBits52(concat_ws(" ", col("_bg.w1"), col("_bg.w2")), seed),
-          lit(numBuckets.toLong)))
-    val model = feats
-      .groupBy(col("_b"))
-      .agg(count(lit(1)).as("_cr"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct"))
-    val totals = model.agg(sum("_cr").as("_nr"), sum("_ct").as("_nt"))
-    val weights = model
-      .crossJoin(broadcast(totals))
-      .withColumn("_w", greatest(lit(-clipBits.toLong), least(lit(clipBits.toLong),
-        ilog2p1(col("_ct")) - ilog2p1(col("_cr")) +
-          ilog2p1(col("_nr")) - ilog2p1(col("_nt")))))
-      .select(col("_b"), col("_w"))
-    feats
-      .join(broadcast(weights), Seq("_b"))
+    df.select(id +: explode(NgramLm.bigramsCol(col(s"`$textCol`"))).as("_bg") +:
+        carried: _*)
+      .withColumn("b", featureBucket(numBuckets, seed))
+      .join(broadcast(weights), Seq("b"))
       .groupBy(id +: carried: _*)
-      .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("bits"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("bits"))
       .withColumn("bits_per_1k",
         (lit(1000.0) * col("bits")) / col("n_feats").cast("double"))
   }

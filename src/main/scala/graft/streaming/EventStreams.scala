@@ -460,6 +460,68 @@ object EventStreams {
     } finally merged.unpersist()
   }
 
+  /** Maintain the DSIR importance model from a document stream: per
+    * micro-batch, [[graft.ops.Sampling.importanceModel]]'s `(b, cr, ct)`
+    * bucket counts append at rest stamped with the epoch — the model is
+    * bucket-wise sum-mergeable (its defining property), so the corpus-
+    * so-far model is a group-sum away at serve time and incoming documents
+    * score against it without re-reading any corpus text
+    * ([[graft.ops.Sampling.importanceScoresAgainst]]). Increment volume is
+    * ≤ `numBuckets` rows per batch — FIXED-width by construction, the
+    * smallest maintenance payload of any streamed artifact here. Same
+    * replay contract as [[maintainGramDf]]: per-batch epochs dedup retried
+    * appends (the increment rows are a pure function of the batch).
+    */
+  def maintainImportanceModel(
+      docs: DataFrame,
+      textCol: String,
+      targetCond: Column,
+      incrementPath: String,
+      checkpointDir: String,
+      numBuckets: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sampling.importanceModel(batch, textCol, targetCond, numBuckets)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The corpus-so-far DSIR model implied by [[maintainImportanceModel]]'s
+    * increments: replay-deduped per (bucket, epoch), then bucket-summed —
+    * `(b, cr, ct)`, [[graft.ops.Sampling.importanceWeights]]'s input.
+    */
+  def importanceModelFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("b", "inc_batch_id"))
+      .groupBy("b")
+      .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+
+  /** Compact an importance-model increment table to one row per bucket via
+    * the same staged swap as [[compactGramDfIncrements]]; bounded at
+    * `numBuckets` rows, sentinel epoch keeps replay dedup armed.
+    */
+  def compactImportanceModelIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = importanceModelFromIncrements(spark, incrementPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
   /** Compact a rollup-increment table to one row per dimension combination
     * via the same staged swap as [[compactIncrements]] (pause the writer or
     * call from its own cadence). The compacted row wears the sentinel epoch

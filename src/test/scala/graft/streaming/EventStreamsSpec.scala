@@ -444,4 +444,53 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(rowsOf(afterAppend) === rowsOf(wholeEight),
       "post-compaction appends diverged from the from-scratch profile")
   }
+
+  test("streaming importance-model maintenance converges to the whole-corpus scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox naps under the old tree"),
+      (3L, "xx", "buy cheap pills now click here win big"),
+      (4L, "xx", "buy cheap pills now claim your free prize"),
+      (5L, "en", "a quick brown fox and a lazy dog"),
+      (6L, "xx", "click here now buy cheap pills again today"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.maintainImportanceModel(
+      mem.toDS().toDF("doc_id", "lang", "text"), "text",
+      targetCond = col("lang") === "en",
+      incPath, dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val allDocs = docs.toDF("doc_id", "lang", "text")
+    def score(model: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.importanceScoresAgainst(allDocs, "doc_id", "text",
+          graft.ops.Sampling.importanceWeights(model))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val whole = graft.ops.Sampling.importanceScores(allDocs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(score(EventStreams.importanceModelFromIncrements(spark, incPath)) === whole)
+
+    // replayed epoch: per-(bucket, epoch) dedup keeps the model unchanged
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(score(EventStreams.importanceModelFromIncrements(spark, incPath)) === whole,
+      "a replayed epoch inflated the model")
+
+    // compaction bounds the table at |occupied buckets| and preserves scores
+    val buckets = EventStreams.importanceModelFromIncrements(spark, incPath).count()
+    EventStreams.compactImportanceModelIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() === buckets)
+    assert(score(EventStreams.importanceModelFromIncrements(spark, incPath)) === whole,
+      "compaction changed the implied model")
+  }
 }
