@@ -131,6 +131,8 @@ object Bench {
       // plus two arithmetic columns, and the stream twin re-runs it over
       // epoch increments — the scoring query is the visible one
       "sample_importance_priority", "sample_importance_stream",
+      // the multi-probe recall twin of the visible dedup_semantic
+      "dedup_semantic_probe",
       // one row-local codegen'd corpus scan, same shape as the visible
       // text_profile (regex counts over the same column)
       "text_gopher_rules",

@@ -2478,6 +2478,23 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    "dedup_semantic_probe" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // SemDeDup's structural-recall caveat closed the IVF way: nprobe=2
+      // also joins each vector against its second-nearest cell, so
+      // near-dup pairs straddling ONE cell boundary are recovered
+      // (candidate volume ≤ 2×; ids-only through the probe dedup). Same
+      // closure/keep contract — boundary pairs merge clusters, so keep
+      // counts can only move toward the true all-pairs answer.
+      val emb = load(dir, "embeddings")
+      val pairs = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.42, nlist = 8, nprobe = 2)
+      Dedup.keepClusterRepresentatives(emb, "vec_id", pairs)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    }),
+
     "dedup_repeated_segments" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // C4 repeated-line removal restated on fixed 8-token spans (this
@@ -4975,6 +4992,41 @@ object SparkEntry {
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
          |  FROM assigned x JOIN assigned y
          |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_inner_product(x.v, y.v)
+         |      / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.42
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e2.b FROM r JOIN edges e2 ON r.b = e2.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT label, count(*) AS n_kept
+         |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.id
+         |WHERE comp.id IS NULL OR comp.component = emb.vec_id
+         |GROUP BY label ORDER BY label""".stripMargin,
+
+    // The multi-probe twin: candidates additionally pair each vector's
+    // top-2 cells (cellranked r <= 2) against home cells, LEAST/GREATEST-
+    // normalized and DISTINCT'd exactly like the engine's ids-only dedup;
+    // everything downstream is the shared closure shape.
+    "dedup_semantic_probe" ->
+      s"""WITH ${ivfAssignCtesSql(nlist = 8)}, cand AS (
+         |  SELECT DISTINCT least(p.vec_id, b.vec_id) AS id_a,
+         |    greatest(p.vec_id, b.vec_id) AS id_b
+         |  FROM cellranked p JOIN assigned b
+         |    ON p.cell = b.cell AND p.vec_id <> b.vec_id
+         |  WHERE p.r <= 2
+         |), pairs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN e x ON x.vec_id = c.id_a
+         |  JOIN e y ON y.vec_id = c.id_b
          |  WHERE list_inner_product(x.v, y.v)
          |      / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) >= 0.42
          |), edges AS (

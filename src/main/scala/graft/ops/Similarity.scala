@@ -623,9 +623,11 @@ object Similarity {
     *
     * Same candidate-generation contract as [[embeddingNearDupPairs]] but a
     * different published mechanism: LSH recall is probabilistic per pair;
-    * SemDeDup recall is structural — a near-dup pair straddling a cell
-    * boundary is MISSED by construction (the paper's accepted trade; raise
-    * `nlist` resolution or probe neighboring cells to tighten). Centroids
+    * SemDeDup recall is structural — at `nprobe = 1` a near-dup pair
+    * straddling a cell boundary is MISSED by construction (the paper's
+    * accepted trade); `nprobe > 1` recovers boundary pairs by also joining
+    * each vector against its next-nearest cells, multiplying candidate
+    * volume by ≤ nprobe. Centroids
     * come from [[kmeansCentroids]] — the same deterministic seeded init +
     * bit-stable refinement the IVF index family uses, so cells (and
     * therefore the pair set) hash-match the SQL oracle's replay.
@@ -643,17 +645,44 @@ object Similarity {
       threshold: Double,
       nlist: Int = 16,
       refineIters: Int = 0,
+      nprobe: Int = 1,
       seed: Int = 42): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val vecs = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
     val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed)
-    val assigned = vecs.withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
-    assigned.select(col("_cell"), col("_id").as("id_a"), col("_v").as("_va"))
-      .join(assigned.select(col("_cell"), col("_id").as("id_b"), col("_v").as("_vb")),
-        Seq("_cell"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    if (nprobe == 1) {
+      val assigned = vecs.withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
+      assigned.select(col("_cell"), col("_id").as("id_a"), col("_v").as("_va"))
+        .join(assigned.select(col("_cell"), col("_id").as("id_b"), col("_v").as("_vb")),
+          Seq("_cell"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("_va"), col("_vb")))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    } else {
+      // Multi-probe recovery of cell-boundary pairs (the IVF nprobe idea
+      // applied to SemDeDup's candidate step): a pair is a candidate when
+      // either side's HOME cell appears among the other side's `nprobe`
+      // nearest cells. Candidates carry ids only through the multi-probe
+      // dedup (the LSH-table pattern — vectors rejoin per surviving pair),
+      // so probe fan-out multiplies a two-long-column stream, never the
+      // dim-sized vectors.
+      val assigned = vecs.withColumn("_cells", nearestCells(col("_v"), centroids, nprobe))
+      val base = assigned.select(col("_cells").getItem(0).as("_cell"), col("_id"))
+      val probed = assigned.select(explode(col("_cells")).as("_cell"), col("_id"))
+      val candidates = probed.select(col("_cell"), col("_id").as("_pid"))
+        .join(base.select(col("_cell"), col("_id").as("_bid")), Seq("_cell"))
+        .where(col("_pid") =!= col("_bid"))
+        .select(least(col("_pid"), col("_bid")).as("id_a"),
+          greatest(col("_pid"), col("_bid")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      candidates
+        .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
+        .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
+        .withColumn("cos", cosine(col("_va"), col("_vb")))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }
   }
 
   /** DuckDB restatement of [[lshBucket]] for oracle SQL: the seeded

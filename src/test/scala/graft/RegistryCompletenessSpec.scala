@@ -41,7 +41,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "text_boilerplate_stream", "quality_lm_score", "quality_lm_filter",
     "g_cardinality", "g_cardinality_preagg", "vocab_bpe_merges",
     "text_bpe_tokens", "sample_importance", "sample_importance_priority",
-    "sample_importance_stream", "text_gopher_rules", "dedup_semantic")
+    "sample_importance_stream", "text_gopher_rules", "dedup_semantic",
+    "dedup_semantic_probe")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

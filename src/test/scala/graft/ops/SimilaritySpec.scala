@@ -319,4 +319,22 @@ class SimilaritySpec extends SparkSpecBase {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(run(families) === run(families.repartition(5)))
   }
+
+  test("semanticNearDupPairs nprobe=2 recovers pairs without inventing any") {
+    def run(nlist: Int, nprobe: Int) =
+      Similarity.semanticNearDupPairs(families, "vec_id", "embedding",
+          threshold = 0.99, nlist = nlist, nprobe = nprobe)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForcePairs(families, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // monotone recall: every nprobe=1 pair survives, everything found is
+    // a true pair, and fragmenting the space (nlist up) loses pairs that
+    // the second probe then wins back
+    for (nl <- Seq(3, 6)) {
+      val one = run(nl, 1)
+      val two = run(nl, 2)
+      assert(one.subsetOf(two) && two.subsetOf(brute), s"nlist=$nl")
+    }
+    assert(run(6, 2).size >= run(6, 1).size)
+  }
 }
