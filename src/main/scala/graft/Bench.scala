@@ -116,6 +116,16 @@ object Bench {
       // corpus-scan twin of the visible g_cardinality_preagg (the same
       // scan-vs-rollup split as the pruned g6_geohash_grid)
       "g_cardinality",
+      // same split for the percentiles metric: the rollup-served form is
+      // the visible number
+      "g_percentiles",
+      // the exact all-pairs baseline of the embedding near-dup family —
+      // the LSH and SemDeDup candidate generators are the visible numbers
+      "dedup_embedding",
+      // the brute-force-vector-run RRF baseline; the serving-scale
+      // search_hybrid_rrf_ivfpq is the family's visible (verdict-tracked)
+      // number
+      "search_hybrid_rrf",
       // ANN family keeps bruteforce (the exact baseline) and ivf/ivfpq
       // (the scale paths) visible; the sign-LSH variant rides in DETAIL
       "ann_lsh",

@@ -1636,6 +1636,33 @@ object SparkEntry {
       query.PreAgg.termsUniqueCount(pre, "event_type", "user_id", 10)
     }),
 
+    "g_percentiles" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES "Percentiles" metric agg: exact interpolated quartiles + p95 of
+      // value per event-type bucket — the corpus-scan reference form; the
+      // rollup-served twin below shares this oracle.
+      Aggs.termsWithMetrics(loadEvents(dir), "event_type",
+        Seq(0.25, 0.5, 0.75, 0.95).map(p =>
+          expr(s"percentile(value, $p)").as("p" + math.round(p * 100))), 10)
+    }),
+
+    "g_percentiles_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same percentile dashboard served from the at-rest PAIR rollup:
+      // with value a rollup dimension, rollup rows are (bucket, value)
+      // groups with multiplicities, and the frequency-weighted percentile
+      // interpolates the identical rank statistic — serving is invisible
+      // to results (shared oracle). The covering trade is cardinality:
+      // this corpus's value column keeps ~90% distinct values, so the
+      // rollup win is thin HERE — the point certified is exactness; a
+      // truly continuous field routes to the KLL-sketch path the
+      // dictionary already maintains.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.termsPercentiles(pre, "event_type", "value",
+        Seq(0.25, 0.5, 0.75, 0.95), 10)
+    }),
+
     "g_pipeline_aggs" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES parent-pipeline aggs (cumulative_sum / derivative / moving_avg)
@@ -2982,6 +3009,15 @@ object SparkEntry {
       |FROM events GROUP BY 1
       |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin
 
+  private val percentilesOracleSql =
+    """SELECT event_type, count(*)::BIGINT AS count,
+      |  quantile_cont(value, 0.25) AS p25,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.75) AS p75,
+      |  quantile_cont(value, 0.95) AS p95
+      |FROM events GROUP BY 1
+      |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin
+
   /** The BPE training loop replayed in SQL: 8 generated CTE triples
     * (pair counts with overlapping get_stats semantics via 1-based list
     * indexing; the argmax pair under the (count DESC, left, right) total
@@ -3701,6 +3737,13 @@ object SparkEntry {
     // pair-rollup serving form — the serving layer provably invisible.
     "g_cardinality" -> cardinalityOracleSql,
     "g_cardinality_preagg" -> cardinalityOracleSql,
+
+    // One shared corpus restatement for the scan form AND the pair-rollup
+    // serving twin (the serving layer must be invisible to results):
+    // quantile_cont is the same linear-interpolated rank statistic as
+    // Spark's exact percentile, weighted or not.
+    "g_percentiles" -> percentilesOracleSql,
+    "g_percentiles_preagg" -> percentilesOracleSql,
 
     // Window semantics restated verbatim: trailing-inclusive moving window,
     // lag-derivative null in the first bucket, running sum including the

@@ -168,6 +168,45 @@ object PreAgg {
       .limit(n)
   }
 
+  /** ES "Percentiles" (the metric agg next to Unique Count in Kibana's
+    * metric list) served EXACTLY from the pair rollup: when the measured
+    * field is itself a rollup dimension, each rollup row is a (bucket,
+    * value) group with its multiplicity `cnt`, and Spark's
+    * frequency-weighted `percentile(value, p, cnt)` interpolates the
+    * identical rank statistic as the raw corpus scan — the weighted twin
+    * of the exact `percentile` the scan form uses (and of the oracle's
+    * `quantile_cont`). Serving touches |distinct pairs| rows, never the
+    * corpus.
+    *
+    * Same covering trade as [[termsUniqueCount]]: the metric must be a
+    * rollup dimension, which is exactly a statement about its
+    * cardinality. A continuous field too wide to be a dimension is the
+    * mergeable-quantile-SKETCH case — the dictionary already maintains
+    * KLL sketches with the same increment contract
+    * ([[graft.dict.Dictionary]] `quantileIncrement`/`mergeQuantileIncrements`);
+    * lift those per dim-combo when the exact pair rollup stops paying.
+    */
+  def termsPercentiles(
+      pre: DataFrame,
+      field: String,
+      metric: String,
+      ps: Seq[Double],
+      n: Int = 10): DataFrame = {
+    require(pre.columns.contains(metric),
+      s"percentile metric '$metric' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan " +
+        "or a KLL-sketch rollup")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0, 1], got $ps")
+    val pcols = ps.map(p =>
+      expr(s"percentile(`$metric`, $p, `$CntCol`)")
+        .as("p" + math.round(p * 100)))
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"), pcols: _*)
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** Suffix of rollup sketch measures. */
   val SketchSuffix = "_hll"
 

@@ -174,6 +174,36 @@ class PreAggSpec extends SparkSpecBase {
     assert(e.getMessage.contains("not a rollup dimension"))
   }
 
+  test("termsPercentiles from the pair rollup equals the corpus-scan exact form") {
+    val pre = PreAgg.increment(corpus, dims)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // weighted percentile over (value, cnt) groups must interpolate the
+    // identical rank statistic as exact percentile over the raw rows —
+    // INCLUDING where a duplicated value's multiplicity shifts the rank
+    // (balt years {2015, 2015, 2016})
+    assert(canon(PreAgg.termsPercentiles(pre, "city", "year", ps, 3))
+      === canon(Aggs.termsWithMetrics(corpus, "city",
+        ps.map(p => expr(s"percentile(year, $p)").as("p" + math.round(p * 100))), 3)))
+    // hand check: balt years multiset {2015, 2015, 2016} -> p50 at rank
+    // (3-1)*0.5 = 1 -> 2015; p75 at rank 1.5 -> 2015.5
+    val balt = PreAgg.termsPercentiles(pre, "city", "year", ps, 3)
+      .where(col("city") === "balt")
+      .select("p50", "p75").as[(Double, Double)].head()
+    assert(balt === ((2015.0, 2015.5)))
+  }
+
+  test("termsPercentiles fails loudly on a non-dimension metric or bad p") {
+    val pre = PreAgg.increment(corpus, dims)
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.termsPercentiles(pre, "city", "geolocation", Seq(0.5))
+    }.getMessage.contains("not a rollup dimension"))
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.termsPercentiles(pre, "city", "year", Seq(1.5))
+    }.getMessage.contains("percentiles must be in [0, 1]"))
+  }
+
   test("sketched rollup: increments merge to the whole-corpus sketch, estimates exact in list mode") {
     val sketches = Seq[(String, org.apache.spark.sql.Column)]("year" -> col("year"))
     val cityDim = dims.take(1)
