@@ -264,6 +264,80 @@ object PreAgg {
       .limit(n)
   }
 
+  /** Suffix of rollup quantile-sketch measures. */
+  val QuantileSketchSuffix = "_kll"
+
+  /** Rollup increment carrying mergeable KLL quantile sketches — the
+    * percentile path for fields too continuous/wide to be pair-rollup
+    * dimensions, completing the sketch symmetry (HLL ↔ unique count,
+    * KLL ↔ percentiles). Spark 4's `kll_sketch_agg_double` is the
+    * DataSketches KLL the dictionary's quantile surface already maintains
+    * ([[graft.dict.Dictionary]] `quantileIncrement`), with the same
+    * increment contract: fixed-size binary state per dim combo, merges by
+    * sketch union.
+    */
+  def incrementWithQuantileSketches(
+      df: DataFrame,
+      dims: Seq[(String, Column)],
+      measures: Seq[(String, Column)]): DataFrame = {
+    // stage each measure under a stable name: the kll aggregates have no
+    // Column-API form, so expr() needs a resolvable column reference
+    val staged = measures.zipWithIndex.foldLeft(df) {
+      case (d, ((_, c), i)) => d.withColumn(s"_q$i", c.cast("double"))
+    }
+    staged.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as(CntCol),
+        measures.zipWithIndex.map { case ((n, _), i) =>
+          expr(s"kll_sketch_agg_double(_q$i)")
+            .as(n + QuantileSketchSuffix) }: _*)
+  }
+
+  /** Merge quantile-sketched rollup increments: group-sum the counts,
+    * union the sketches. Associative/commutative modulo KLL's documented
+    * compaction nondeterminism — exact (and deterministic) while sketches
+    * hold fewer than k values, rank-error-bounded beyond, the same trade
+    * the dictionary's quantile surface certifies.
+    */
+  def mergeQuantileSketched(increments: DataFrame*): DataFrame = {
+    val all = increments.reduce(_.unionByName(_))
+    val dims = all.columns.filter(c =>
+      c != CntCol && !c.endsWith(QuantileSketchSuffix))
+    val sketchCols = all.columns.filter(_.endsWith(QuantileSketchSuffix)).toSeq
+    all.groupBy(dims.map(col): _*)
+      .agg(sum(col(CntCol)).as(CntCol),
+        sketchCols.map(c =>
+          expr(s"kll_merge_agg_double($c)").as(c)): _*)
+  }
+
+  /** Percentiles per bucket from a quantile-sketched rollup: union the
+    * bucket's sketches, query ranks. KLL returns retained ORDER STATISTICS
+    * (no interpolation), so estimates track [[termsPercentiles]] within
+    * the sketch's published rank error (~1.7% at k=200) rather than
+    * hash-matching it — the reason this path is spec-certified while the
+    * pair-rollup path is oracle-certified.
+    */
+  def termsPercentilesSketch(
+      pre: DataFrame,
+      field: String,
+      metric: String,
+      ps: Seq[Double],
+      n: Int = 10): DataFrame = {
+    val sk = metric + QuantileSketchSuffix
+    require(pre.columns.contains(sk),
+      s"no quantile sketch '$sk' in rollup (${pre.columns.mkString(", ")})")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0, 1], got $ps")
+    val pcols = ps.map(p =>
+      expr(s"kll_sketch_get_quantile_double(_merged, cast($p as double))")
+        .as("p" + math.round(p * 100)))
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"),
+        expr(s"kll_merge_agg_double($sk)").as("_merged"))
+      .select(col(field) +: col("count") +: pcols: _*)
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** G6 from the rollup: the geohash is a rollup DIMENSION (computed once at
     * ingest, at the precision the saved map uses), so the grid is a plain
     * weighted terms aggregation over it. Rows whose geolocation did not

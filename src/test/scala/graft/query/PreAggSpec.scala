@@ -194,6 +194,35 @@ class PreAggSpec extends SparkSpecBase {
     assert(balt === ((2015.0, 2015.5)))
   }
 
+  test("quantile-sketched rollup serves percentiles and merges batch-order-free") {
+    val dims2 = Seq[(String, org.apache.spark.sql.Column)]("city" -> col("city"))
+    val measure = Seq[(String, org.apache.spark.sql.Column)]("year" -> col("year"))
+    val pre = PreAgg.incrementWithQuantileSketches(corpus, dims2, measure)
+    val ps = Seq(0.5, 0.95)
+    // exact mode (n << k): the sketch holds every value, so quantiles are
+    // true order statistics of the bucket multiset
+    val balt = PreAgg.termsPercentilesSketch(pre, "city", "year", ps, 3)
+      .where(col("city") === "balt").select("p50", "p95")
+      .as[(Double, Double)].head()
+    assert(balt._1 === 2015.0)
+    assert(balt._2 >= 2015.0 && balt._2 <= 2016.0)
+    // split-merge ≡ whole in exact mode, in any batch order
+    val day1 = PreAgg.incrementWithQuantileSketches(
+      corpus.where(col("year") <= 2015), dims2, measure)
+    val day2 = PreAgg.incrementWithQuantileSketches(
+      corpus.where(col("year") > 2015), dims2, measure)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      PreAgg.termsPercentilesSketch(df, "city", "year", ps, 3)
+        .collect().map(_.toString).toSeq
+    assert(canon(PreAgg.mergeQuantileSketched(day1, day2)) === canon(pre))
+    assert(canon(PreAgg.mergeQuantileSketched(day2, day1)) === canon(pre))
+    // loud failure when the rollup carries no sketch for the metric
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.termsPercentilesSketch(PreAgg.increment(corpus, dims),
+        "city", "geolocation", Seq(0.5))
+    }.getMessage.contains("no quantile sketch"))
+  }
+
   test("termsPercentiles fails loudly on a non-dimension metric or bad p") {
     val pre = PreAgg.increment(corpus, dims)
     assert(intercept[IllegalArgumentException] {
