@@ -102,7 +102,7 @@ object Bench {
       "join_asof_forward", "q6_phrase_prefix_indexed",
       "sample_split", "sample_stratified", "sample_embedding_percell",
       "sample_mix_sources", "pack_sequences_text",
-      "text_langid", "text_fingerprint", "text_redact_pii",
+      "text_langid", "text_fingerprint", "text_redact_pii", "text_normalize",
       "text_chunk_windows", "text_repetition", "text_boilerplate_stream",
       "recipe_harmonize_detroit", "recipe_harmonize_losangeles",
       "mm_meta_stats", "vocab_topk_incremental", "dict_profile_incremental",

@@ -78,6 +78,10 @@ object GraftExtensions {
       info("graft_gram_hashes",
         "graft_gram_hashes(text, k) - sorted distinct portable (md5-based) k-gram hashes"),
       (args: Seq[Expression]) => GramHashesExpr(args(0), litInt(args(1)))),
+    ("graft_nfc_clean",
+      info("graft_nfc_clean",
+        "graft_nfc_clean(text) - unicode NFC normalization with control characters stripped"),
+      (args: Seq[Expression]) => NfcCleanExpr(args(0))),
   )
 
   /** Constant-int argument of a registered function (k, w, …): these size

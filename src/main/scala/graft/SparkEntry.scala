@@ -2489,6 +2489,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_normalize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Unicode NFC normalization + control stripping (the tokenizer
+      // pipeline's first stage) as a codegen'd expression. This corpus is
+      // ASCII, so the pass is an identity HERE — what the oracle certifies
+      // is the cross-engine CONTRACT (graft_nfc_clean ≡ DuckDB
+      // nfc_normalize over control-stripped text) plus the no-op fast
+      // path; the composed/decomposed unicode semantics are spec-pinned
+      // on real fixtures (UnicodeNormSpec).
+      load(dir, "documents").select(col("doc_id"),
+          graft.expr.UnicodeNorm.nfcClean(col("text")).as("norm_text"),
+          length(graft.expr.UnicodeNorm.nfcClean(col("text"))).cast("long")
+            .as("norm_chars"),
+          (graft.expr.UnicodeNorm.nfcClean(col("text")) === col("text"))
+            .as("unchanged"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // SemDeDup: k-means cells bound the candidate set (Σ|cell|², not
@@ -4288,6 +4306,19 @@ object SparkEntry {
          |    AND stopword_hits >= 2) AS gopher_pass
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // The normalization contract restated: DuckDB's nfc_normalize over the
+    // same control-stripped text (identical Unicode canonical composition
+    // for assigned codepoints).
+    "text_normalize" ->
+      s"""SELECT doc_id,
+         |  nfc_normalize(regexp_replace(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS norm_text,
+         |  length(nfc_normalize(regexp_replace(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')))::BIGINT AS norm_chars,
+         |  (nfc_normalize(regexp_replace(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) = text) AS unchanged
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Segment dedup restated verbatim: same analyzer tokens, same 1-based
     // inclusive span slicing (both engines truncate the last span), same

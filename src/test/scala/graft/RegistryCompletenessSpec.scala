@@ -42,7 +42,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_cardinality", "g_cardinality_preagg", "vocab_bpe_merges",
     "text_bpe_tokens", "sample_importance", "sample_importance_priority",
     "sample_importance_stream", "text_gopher_rules", "dedup_semantic",
-    "dedup_semantic_probe", "g_percentiles", "g_percentiles_preagg")
+    "dedup_semantic_probe", "g_percentiles", "g_percentiles_preagg",
+    "text_normalize")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet
