@@ -119,6 +119,14 @@ object Bench {
       // same split for the percentiles metric: the rollup-served form is
       // the visible number
       "g_percentiles",
+      // same split for the numeric histogram
+      "g_histogram",
+      // one-pass conditional-sum family: the FilterSpec-driven filters
+      // form is the visible number; range buckets share its plan shape
+      "g_range_buckets",
+      // micro-op exercised inside every city recipe —
+      // recipe_harmonize_baltimore is the etl family's visible number
+      "p6_regex_extract",
       // the exact all-pairs baseline of the embedding near-dup family —
       // the LSH and SemDeDup candidate generators are the visible numbers
       "dedup_embedding",

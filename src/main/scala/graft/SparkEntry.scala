@@ -1663,6 +1663,42 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.75, 0.95), 10)
     }),
 
+    "g_histogram" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES numeric histogram bucket agg (dateHistogram's fixed-interval
+      // sibling): interval-50 value buckets keyed by lower bound.
+      Aggs.numericHistogram(loadEvents(dir), "value", 50.0)
+    }),
+
+    "g_histogram_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The histogram served from the rollup: bucketing is a pure
+      // function of the value dimension, so quantize-and-resum over
+      // |distinct values| rows equals the corpus scan (shared oracle) —
+      // the numeric twin of the geohash prefix truncation, and the same
+      // one at-rest rollup serves EVERY interval.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("value" -> col("value")))
+      query.PreAgg.numericHistogram(pre, "value", 50.0)
+    }),
+
+    "g_range_buckets" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES range bucket agg: half-open [from, to) buckets with ES's own
+      // "from-to" keys, one conditional-sum pass — never a scan per range.
+      Aggs.rangeBuckets(loadEvents(dir), "value", esRanges)
+    }),
+
+    "g_filters_agg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES filters bucket agg: named arbitrary widget predicates as
+      // side-by-side buckets, one conditional-sum pass over the corpus.
+      Aggs.filtersAgg(loadEvents(dir), Seq(
+        "purchases" -> query.FilterSpec.EnumIn("event_type", Seq("purchase")),
+        "big_value" -> query.FilterSpec.NumericRange("value", 100.0, 10000.0),
+        "clicks_or_views" -> query.FilterSpec.EnumIn("event_type", Seq("click", "view"))))
+    }),
+
     "g_pipeline_aggs" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES parent-pipeline aggs (cumulative_sum / derivative / moving_avg)
@@ -3027,6 +3063,17 @@ object SparkEntry {
       |FROM events GROUP BY 1
       |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin
 
+  /** The ES range-agg buckets both the query and its oracle are built
+    * from, so bucket keys stay literally shared.
+    */
+  private val esRanges: Seq[(Option[Double], Option[Double])] =
+    Seq((None, Some(10.0)), (Some(10.0), Some(100.0)), (Some(100.0), None))
+
+  private val histogramOracleSql =
+    """SELECT floor(value / 50.0) * 50.0 AS bucket, count(*)::BIGINT AS count
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   private val percentilesOracleSql =
     """SELECT event_type, count(*)::BIGINT AS count,
       |  quantile_cont(value, 0.25) AS p25,
@@ -3762,6 +3809,37 @@ object SparkEntry {
     // Spark's exact percentile, weighted or not.
     "g_percentiles" -> percentilesOracleSql,
     "g_percentiles_preagg" -> percentilesOracleSql,
+
+    // One shared restatement for the scan histogram and its rollup-served
+    // twin (quantization commutes with the rollup).
+    "g_histogram" -> histogramOracleSql,
+    "g_histogram_preagg" -> histogramOracleSql,
+
+    // Range buckets generated from the SAME esRanges the engine buckets
+    // by, so the "from-to" keys are literally shared.
+    "g_range_buckets" -> {
+      val legs = esRanges.map { case (lo, hi) =>
+        val cond = (lo.map(v => s"value >= $v") ++ hi.map(v => s"value < $v"))
+          .reduceOption((a, b) => s"$a AND $b").getOrElse("value IS NOT NULL")
+        s"""SELECT '${query.Aggs.rangeKey(lo, hi)}' AS bucket,
+           |  sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS count
+           |FROM events""".stripMargin
+      }
+      legs.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY bucket")
+    },
+
+    "g_filters_agg" ->
+      """SELECT * FROM (
+        |  SELECT 'purchases' AS bucket,
+        |    sum(CASE WHEN event_type IN ('purchase') THEN 1 ELSE 0 END)::BIGINT AS count
+        |  FROM events
+        |  UNION ALL SELECT 'big_value',
+        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'clicks_or_views',
+        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |) ORDER BY bucket""".stripMargin,
 
     // Window semantics restated verbatim: trailing-inclusive moving window,
     // lag-derivative null in the first bucket, running sum including the

@@ -253,6 +253,73 @@ object Aggs {
       .orderBy(desc("count"), asc(field))
       .limit(n)
 
+  /** ES numeric `histogram` bucket agg (the fixed-interval sibling of
+    * [[dateHistogram]]): buckets keyed by their lower bound — ES's own
+    * key function `floor(value / interval) * interval` — empty buckets
+    * omitted (the `min_doc_count: 1` form; Kibana fills gaps
+    * client-side). One exchange on the bucket key, bucket count bounded
+    * by value-range/interval.
+    */
+  def numericHistogram(df: DataFrame, field: String, interval: Double): DataFrame = {
+    require(interval > 0, s"histogram interval must be positive, got $interval")
+    df.where(col(field).isNotNull)
+      .groupBy((floor(col(field) / interval) * interval).as("bucket"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** ES `range` bucket agg: arbitrary half-open `[from, to)` buckets
+    * (from inclusive, to exclusive, either side open), keyed `from-to`
+    * with `*` for an open side, exactly ES's bucket keys. Ranges may
+    * overlap and every named range emits a row even at count 0 (ES
+    * semantics) — so this is ONE conditional-sum pass over the corpus
+    * plus a bucket-count-sized unpivot, never one scan per range.
+    */
+  def rangeBuckets(
+      df: DataFrame,
+      field: String,
+      ranges: Seq[(Option[Double], Option[Double])]): DataFrame = {
+    require(ranges.nonEmpty, "rangeBuckets: at least one range")
+    val c = col(field)
+    val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val cond = (lo.map(c >= _) ++ hi.map(c < _))
+        .reduceOption(_ && _).getOrElse(c.isNotNull)
+      sum(when(cond, 1L).otherwise(0L)).as(s"_r$i")
+    }
+    val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      s"'${rangeKey(lo, hi)}', _r$i"
+    }.mkString(", ")
+    df.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${ranges.size}, $stackArgs) AS (bucket, count)")
+      .orderBy(asc("bucket"))
+  }
+
+  /** ES's range-bucket key: `from-to` with `*` for an open side. */
+  def rangeKey(lo: Option[Double], hi: Option[Double]): String =
+    s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
+
+  /** ES `filters` bucket agg: one named bucket per arbitrary
+    * [[FilterSpec]] — the "compare these three segments side by side"
+    * dashboard shape. Same one-pass conditional-sum + unpivot as
+    * [[rangeBuckets]] (a document may land in several buckets; every
+    * named bucket emits a row even at 0), and since the predicates are
+    * FilterSpecs, anything the widget layer can express is a bucket.
+    */
+  def filtersAgg(df: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
+    require(filters.nonEmpty, "filtersAgg: at least one filter")
+    filters.foreach { case (name, _) =>
+      require(!name.contains("'"), s"filters bucket name must not quote: $name") }
+    val sums = filters.zipWithIndex.map { case ((_, spec), i) =>
+      sum(when(spec.compile, 1L).otherwise(0L)).as(s"_f$i")
+    }
+    val stackArgs = filters.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', _f$i"
+    }.mkString(", ")
+    df.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${filters.size}, $stackArgs) AS (bucket, count)")
+      .orderBy(asc("bucket"))
+  }
+
   /** ES "parent pipeline" aggregations (cumulative_sum, derivative,
     * moving average — the TSVB/Timelion bucket pipelines) over an already
     * aggregated, bucket-ordered series such as [[dateHistogram]]'s output.

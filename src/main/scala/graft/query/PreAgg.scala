@@ -264,6 +264,28 @@ object PreAgg {
       .limit(n)
   }
 
+  /** ES numeric histogram from the rollup: when the measured field is a
+    * rollup dimension, the bucket key `floor(v / interval) * interval` is
+    * a pure function of the dimension value, so quantize-and-resum over
+    * |distinct values| rows equals the corpus histogram exactly — the
+    * numeric twin of the geohash prefix truncation ([[geohashGridAt]]):
+    * coarsening commutes with the rollup. Any interval serves from ONE
+    * at-rest rollup; no re-scan per zoom level.
+    */
+  def numericHistogram(
+      pre: DataFrame,
+      metric: String,
+      interval: Double): DataFrame = {
+    require(pre.columns.contains(metric),
+      s"histogram metric '$metric' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    require(interval > 0, s"histogram interval must be positive, got $interval")
+    pre.where(col(metric).isNotNull)
+      .groupBy((floor(col(metric) / interval) * interval).as("bucket"))
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(asc("bucket"))
+  }
+
   /** Suffix of rollup quantile-sketch measures. */
   val QuantileSketchSuffix = "_kll"
 

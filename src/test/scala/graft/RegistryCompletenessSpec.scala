@@ -43,7 +43,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "text_bpe_tokens", "sample_importance", "sample_importance_priority",
     "sample_importance_stream", "text_gopher_rules", "dedup_semantic",
     "dedup_semantic_probe", "g_percentiles", "g_percentiles_preagg",
-    "text_normalize")
+    "text_normalize", "g_histogram", "g_histogram_preagg",
+    "g_range_buckets", "g_filters_agg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -187,4 +187,35 @@ class AggsSpec extends SparkSpecBase {
     assert(cube.count(_._4 == 2L) === 2)
     assert(cube.size === roll.size + 2)
   }
+
+  test("numericHistogram buckets by lower bound, omits nulls and empty buckets") {
+    val df = Seq[java.lang.Double](1.0, 4.9, 5.0, 12.0, null, -3.0).toDF("v")
+    val got = Aggs.numericHistogram(df, "v", 5.0)
+      .as[(Double, Long)].collect().toSeq
+    // floor(-3/5)*5 = -5; no bucket row for the empty [15,20) etc.
+    assert(got === Seq((-5.0, 1L), (0.0, 2L), (5.0, 1L), (10.0, 1L)))
+  }
+
+  test("rangeBuckets: half-open ES ranges, overlap allowed, zero-count rows kept") {
+    val df = Seq(5.0, 10.0, 50.0, 200.0).toDF("v")
+    val got = Aggs.rangeBuckets(df, "v", Seq(
+        (None, Some(10.0)), (Some(10.0), Some(100.0)), (Some(100.0), None),
+        (Some(0.0), Some(1.0)), // empty bucket must still emit
+        (Some(0.0), None)))     // overlapping bucket counts independently
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "*-10.0" -> 1L, "10.0-100.0" -> 2L, "100.0-*" -> 1L,
+      "0.0-1.0" -> 0L, "0.0-*" -> 4L))
+  }
+
+  test("filtersAgg: named FilterSpec buckets in one pass") {
+    val got = Aggs.filtersAgg(events, Seq(
+        "theft" -> FilterSpec.EnumIn("description", Seq("Theft")),
+        "balt_morning" -> FilterSpec.And(Seq(
+          FilterSpec.EnumIn("city", Seq("baltimore")),
+          FilterSpec.NumericRange("hour", 0, 2))),
+        "none" -> FilterSpec.EnumIn("city", Seq("nowhere"))))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("theft" -> 3L, "balt_morning" -> 3L, "none" -> 0L))
+  }
 }

@@ -223,6 +223,20 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("no quantile sketch"))
   }
 
+  test("numericHistogram from the rollup equals the corpus-scan histogram") {
+    val pre = PreAgg.increment(corpus, dims)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // quantization commutes with the rollup at any interval
+    for (iv <- Seq(1.0, 2.0, 5.0)) {
+      assert(canon(PreAgg.numericHistogram(pre, "year", iv))
+        === canon(Aggs.numericHistogram(corpus, "year", iv)), s"interval $iv")
+    }
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.numericHistogram(pre, "geolocation", 5.0)
+    }.getMessage.contains("not a rollup dimension"))
+  }
+
   test("termsPercentiles fails loudly on a non-dimension metric or bad p") {
     val pre = PreAgg.increment(corpus, dims)
     assert(intercept[IllegalArgumentException] {
