@@ -97,6 +97,9 @@ object Bench {
       // BENCH_DETAIL.json — the capture-window budget prunes only the
       // headline, never the committed data)
       "ann_ivf_nlist256", "ann_ivfpq_nlist256",
+      // at-rest-index maintenance twin of the visible ann_ivf (same
+      // serving plan over the published index)
+      "ann_ivf_incremental",
       "dedup_exact_fingerprint", "dedup_exact_incremental",
       "decontaminate_fuzzy", "decontaminate_containment",
       "join_asof_forward", "q6_phrase_prefix_indexed",

@@ -719,7 +719,11 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
-  private def ivfAssignCtesSql(nlist: Int, refineIters: Int = 0): String = {
+  private def ivfAssignCtesSql(nlist: Int, refineIters: Int = 0,
+      centPred: String = "TRUE"): String = {
+    require(centPred == "TRUE" || refineIters == 0,
+      "a restricted centroid source is only restated for refineIters=0 " +
+        "(the refinement rounds below assign over the full corpus)")
     val u = ops.Sampling.hashUnitSql("vec_id", 42)
     // Cell assignment against centroid table `centTable`, emitting
     // sim/cellranked/assigned with `sfx`.
@@ -740,7 +744,7 @@ object SparkEntry {
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cent_0 AS (
          |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
-         |  FROM (SELECT vec_id, v, $u AS u FROM e)
+         |  FROM (SELECT vec_id, v, $u AS u FROM e WHERE $centPred)
          |  ORDER BY u, vec_id LIMIT $nlist
          |)""".stripMargin
     // One k-means round: assign against cent_r, then the BIT-STABLE cell
@@ -1920,6 +1924,32 @@ object SparkEntry {
           queries, "vec_id", "embedding", k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The IVF index as a MAINTAINED at-rest table (FAISS's
+      // add-after-train contract): centroids train on the initial half
+      // and FREEZE; both halves then join the index as epoch appends —
+      // exactly what maintainIvfIndex writes per micro-batch, with epoch
+      // 0 appended twice (an at-least-once replay the per-(vec, epoch)
+      // dedup must absorb); serving probes the deduped at-rest index.
+      // The oracle restates frozen-centroid assignment from scratch —
+      // epochs, replay, and the partitioned layout must be invisible.
+      val emb = load(dir, "embeddings")
+      val initial = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val centroids = Similarity.kmeansCentroids(initial, "vec_id", "embedding",
+        k = 8, iters = 0)
+      val path = s"/tmp/graft_ivf_inc_${math.abs(dir.hashCode)}"
+      def inc(epoch: Int): DataFrame =
+        Similarity.assignCells(emb.where(pmod(col("vec_id"), lit(2)) === epoch),
+            "vec_id", "embedding", centroids)
+          .withColumn("inc_batch_id", lit(epoch.toLong))
+      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      val index = EventStreams.ivfIndexFromIncrements(s, path)
+      Similarity.ivfTopKFromIndex(index, centroids,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 3)
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -5246,6 +5276,28 @@ object SparkEntry {
     // list_inner_product). Corpus rows take their top-1 cell; queries probe
     // their top-3; ranking is the brute-force shape over cell-joined
     // candidates.
+    // Frozen-centroid incremental index restated: centroids come from the
+    // initial half only (centPred), assignment and probing run over the
+    // whole corpus against them — the maintained index's serve-time view.
+    "ann_ivf_incremental" -> {
+      s"""WITH ${ivfAssignCtesSql(nlist = 8, centPred = "vec_id % 2 = 0")}, qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 3 AND vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(a.v, q.qv)
+         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "ann_ivf" -> {
       s"""WITH ${ivfAssignCtesSql(nlist = 8)}, qprobe AS (
          |  SELECT vec_id AS query_id, v AS qv, cell

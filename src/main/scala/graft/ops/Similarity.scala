@@ -234,13 +234,46 @@ object Similarity {
       refineIters: Int = 0,
       seed: Int = 42,
       excludeSelf: Boolean = true): DataFrame = {
-    val c = spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
     val centroids = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed)
+    ivfTopKFromIndex(assignCells(corpus, corpusId, corpusVec, centroids),
+      centroids, queries, queryId, queryVec, k, nprobe, excludeSelf)
+  }
 
-    val cAssigned = c.withColumn("_cell", nearestCells(col("_cv"), centroids, 1).getItem(0))
+  /** Cell assignment against a FROZEN centroid table — the maintenance
+    * half of an at-rest IVF index: new vectors join the index by one
+    * row-local nearest-centroid pass (centroids ride the closure as plan
+    * literals — no join, no shuffle), so index freshness is an APPEND,
+    * not a rebuild. Output is the index schema `(vec_id, vec, cell)`;
+    * partition the at-rest table by `cell` and serving prunes to the
+    * probed cells. Centroid drift is the documented trade (FAISS's own
+    * add-after-train contract): frozen centroids mean cell shapes lag
+    * the data distribution; retrain on a cadence and reassign.
+    */
+  def assignCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    spread(df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("vec")))
+      .withColumn("cell", nearestCells(col("vec"), centroids, 1).getItem(0))
+
+  /** IVF serving against an at-rest index (`(vec_id, vec, cell)` rows, as
+    * produced by [[assignCells]] / maintained by
+    * [[graft.streaming.EventStreams.maintainIvfIndex]]): queries probe
+    * their `nprobe` nearest cells and join the index on the cell key
+    * only — with the index partitioned by `cell`, the scan prunes to the
+    * probed partitions.
+    */
+  def ivfTopKFromIndex(
+      index: DataFrame,
+      centroids: Seq[Array[Double]],
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = index.select(col("vec_id").as("neighbor_id"),
+      col("vec").as("_cv"), col("cell").as("_cell"))
     val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
       .withColumn("_cell", explode(nearestCells(col("_qv"), centroids, nprobe)))
-    val scored = cAssigned.join(q, Seq("_cell"))
+    val scored = c.join(q, Seq("_cell"))
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("cos", cosine(col("_cv"), col("_qv")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))

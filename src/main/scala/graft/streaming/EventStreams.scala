@@ -522,6 +522,47 @@ object EventStreams {
     } finally merged.unpersist()
   }
 
+  /** Maintain an at-rest IVF ANN index from a vector stream: per
+    * micro-batch, [[graft.ops.Similarity.assignCells]] assigns incoming
+    * vectors to the FROZEN centroid table (row-local, centroids are plan
+    * literals — no shuffle beyond the cell-partitioned write) and appends
+    * `(vec_id, vec, cell, inc_batch_id)` partitioned by cell — index
+    * freshness is an append, serving prunes to probed cells, and the
+    * same replay contract as every increment table here applies (epoch
+    * stamps dedup retried appends). Centroid drift under a shifting
+    * distribution is the documented FAISS add-after-train trade; retrain
+    * + reassign on a cadence (a rebuild of the partitioned table, not of
+    * the serving code — [[graft.ops.Similarity.ivfTopKFromIndex]] reads
+    * whatever index is current).
+    */
+  def maintainIvfIndex(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.assignCells(batch, idCol, vecCol, centroids)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").partitionBy("cell").parquet(indexPath)
+      }
+      .start()
+
+  /** The servable index implied by [[maintainIvfIndex]]'s appends:
+    * replay-deduped per (vec_id, epoch) — assignment is a pure function
+    * of the vector and the frozen centroids, so a retried epoch's rows
+    * are identical and one survives.
+    */
+  def ivfIndexFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .dropDuplicates(Seq("vec_id", "inc_batch_id"))
+      .select("vec_id", "vec", "cell")
+
   /** Compact a rollup-increment table to one row per dimension combination
     * via the same staged swap as [[compactIncrements]] (pause the writer or
     * call from its own cadence). The compacted row wears the sentinel epoch

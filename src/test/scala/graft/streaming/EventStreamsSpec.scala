@@ -445,6 +445,47 @@ class EventStreamsSpec extends SparkSpecBase {
       "post-compaction appends diverged from the from-scratch profile")
   }
 
+  test("streamed IVF index serves the same neighbors as batch frozen-centroid assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toFile
+    dir.deleteOnExit()
+    val indexPath = dir.getAbsolutePath + "/index"
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.0f, 0.1f) else Seq(0.0f, 1.0f, 0.1f, 0.0f)
+      (i, base.map(_ + (i % 5) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = graft.ops.Similarity.kmeansCentroids(
+      df.where(col("vec_id") < 20), "vec_id", "embedding", k = 4, iters = 0)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.maintainIvfIndex(
+      mem.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centroids, indexPath, dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(vecs.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(vecs.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = df.where(col("vec_id") < 3)
+    def serve(index: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.ivfTopKFromIndex(index, centroids,
+          queries, "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val batchIndex = graft.ops.Similarity.assignCells(df, "vec_id", "embedding", centroids)
+    val streamed = serve(EventStreams.ivfIndexFromIncrements(spark, indexPath))
+    assert(streamed === serve(batchIndex))
+
+    // an at-least-once replay of epoch 0 must not duplicate neighbors
+    val replay = spark.read.parquet(indexPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").partitionBy("cell").parquet(indexPath)
+    assert(serve(EventStreams.ivfIndexFromIncrements(spark, indexPath)) === streamed,
+      "a replayed epoch changed the served neighbors")
+  }
+
   test("streaming importance-model maintenance converges to the whole-corpus scores") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
