@@ -130,6 +130,12 @@ object Bench {
       // micro-op exercised inside every city recipe —
       // recipe_harmonize_baltimore is the etl family's visible number
       "p6_regex_extract",
+      // the same windowed per-bucket top-k plan as the visible
+      // g4_nested_terms family
+      "g_top_hits",
+      // two pages of the same group-by plan as the visible g2 terms
+      // family (the pagination mechanism is the point, not the cost)
+      "g_composite_pages",
       // the exact all-pairs baseline of the embedding near-dup family —
       // the LSH and SemDeDup candidate generators are the visible numbers
       "dedup_embedding",

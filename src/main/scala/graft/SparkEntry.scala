@@ -1703,6 +1703,30 @@ object SparkEntry {
         "clicks_or_views" -> query.FilterSpec.EnumIn("event_type", Seq("click", "view"))))
     }),
 
+    "g_top_hits" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES top_hits metric agg: the 3 biggest-value events per type, id
+      // tiebreak — the windowed per-bucket top-k, one exchange.
+      Aggs.topHits(loadEvents(dir), "event_type", desc("value"), "event_id",
+        size = 3, select = Seq("event_id", "value"))
+    }),
+
+    "g_composite_pages" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES composite agg: the paginated full-bucket export (the shape
+      // that replaces top-N terms at 100 TB — unbounded bucket spaces in
+      // bounded pages, the tuple-order predicate pruning each page's
+      // skipped prefix BEFORE aggregation). This query walks to page 2:
+      // the after key is page 1's last bucket (a 1-page bounded collect,
+      // pagination's inherent driver round-trip), and page 2 must equal
+      // the oracle's ORDER BY ... OFFSET restatement.
+      val ev = loadEvents(dir)
+      val keys = Seq("event_type", "user_id")
+      val page1 = Aggs.compositeAgg(ev, keys, size = 5).collect()
+      val after = keys.indices.map(page1.last.get)
+      Aggs.compositeAgg(ev, keys, size = 5, after = Some(after))
+    }),
+
     "g_pipeline_aggs" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES parent-pipeline aggs (cumulative_sum / derivative / moving_avg)
@@ -3857,6 +3881,25 @@ object SparkEntry {
       }
       legs.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY bucket")
     },
+
+    // Per-bucket windowed top-k restated; desc sorts place NULLs last in
+    // both engines, id tiebreak pins the hit set.
+    "g_top_hits" ->
+      """SELECT event_type, rn AS hit_rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events
+        |) WHERE rn <= 3 ORDER BY event_type, rn""".stripMargin,
+
+    // Page 2 of the composite walk ≡ the ordered bucket space with the
+    // first page OFFSET away — the after-key mechanism must be invisible.
+    "g_composite_pages" ->
+      """SELECT event_type, user_id, count(*)::BIGINT AS count
+        |FROM events
+        |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, user_id
+        |LIMIT 5 OFFSET 5""".stripMargin,
 
     "g_filters_agg" ->
       """SELECT * FROM (

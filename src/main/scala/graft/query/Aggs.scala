@@ -253,6 +253,70 @@ object Aggs {
       .orderBy(desc("count"), asc(field))
       .limit(n)
 
+  /** ES `top_hits` metric agg: the top `size` documents per bucket under
+    * an explicit sort — "show me the 3 biggest events of each type". One
+    * exchange on the bucket key; the per-bucket ranking is the same
+    * windowed top-k [[nestedTermsTopK]] uses, with an id tiebreak so the
+    * hit set is deterministic.
+    */
+  def topHits(
+      df: DataFrame,
+      field: String,
+      sortCol: Column,
+      idCol: String,
+      size: Int,
+      select: Seq[String]): DataFrame = {
+    require(size > 0, s"topHits size must be positive, got $size")
+    val w = Window.partitionBy(col(field)).orderBy(sortCol, asc(idCol))
+    df.withColumn("hit_rank", row_number().over(w))
+      .where(col("hit_rank") <= size)
+      .select((col(field) +: col("hit_rank").cast("long") +:
+        select.map(col)): _*)
+      .orderBy(asc(field), asc("hit_rank"))
+  }
+
+  /** ES `composite` bucket agg: PAGINATED buckets over a deterministic
+    * (k1, k2, …) source order with an `after` key — ES's own answer to
+    * "export EVERY bucket" (terms aggs cap at top-N and shard_size; the
+    * composite agg streams the full bucket space page by page, which is
+    * the shape that survives 100 TB: each page aggregates then prunes to
+    * `size` rows after the bucket collapse, so a client walks unbounded
+    * bucket spaces in bounded pages). `after = None` is the first page;
+    * pass the previous page's last key tuple to continue.
+    *
+    * Plan shape per page: one aggregation exchange + the tuple-order
+    * filter PUSHED BENEATH the aggregation (filtering group keys before
+    * grouping is sound — key predicates commute with grouping), so late
+    * pages don't even aggregate the skipped prefix.
+    */
+  def compositeAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      size: Int,
+      after: Option[Seq[Any]] = None): DataFrame = {
+    require(keys.nonEmpty, "compositeAgg: at least one key")
+    require(size > 0, s"compositeAgg size must be positive, got $size")
+    require(after.forall(_.size == keys.size),
+      s"after key arity ${after.map(_.size)} != ${keys.size}")
+    // tuple "greater than" in key order, null-free keys assumed (ES's
+    // composite sources skip missing by default — mirrored here)
+    val base = keys.foldLeft(df)((d, k) => d.where(col(k).isNotNull))
+    val paged = after match {
+      case None => base
+      case Some(ak) =>
+        val gt = keys.indices.map { i =>
+          val eqPrefix = (0 until i).map(j => col(keys(j)) === lit(ak(j)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          eqPrefix && col(keys(i)) > lit(ak(i))
+        }.reduce(_ || _)
+        base.where(gt)
+    }
+    paged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("count"))
+      .orderBy(keys.map(asc): _*)
+      .limit(size)
+  }
+
   /** ES numeric `histogram` bucket agg (the fixed-interval sibling of
     * [[dateHistogram]]): buckets keyed by their lower bound — ES's own
     * key function `floor(value / interval) * interval` — empty buckets

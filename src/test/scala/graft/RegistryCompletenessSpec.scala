@@ -44,7 +44,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "sample_importance_stream", "text_gopher_rules", "dedup_semantic",
     "dedup_semantic_probe", "g_percentiles", "g_percentiles_preagg",
     "text_normalize", "g_histogram", "g_histogram_preagg",
-    "g_range_buckets", "g_filters_agg", "ann_ivf_incremental")
+    "g_range_buckets", "g_filters_agg", "ann_ivf_incremental",
+    "g_top_hits", "g_composite_pages")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

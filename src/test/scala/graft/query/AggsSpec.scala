@@ -208,6 +208,44 @@ class AggsSpec extends SparkSpecBase {
       "0.0-1.0" -> 0L, "0.0-*" -> 4L))
   }
 
+  test("topHits: top-k documents per bucket under explicit sort with id tiebreak") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 5.0),
+      ("b", 5L, 1.0)
+    ).toDF("k", "id", "v")
+    val got = Aggs.topHits(df, "k", desc("v"), "id", size = 2, select = Seq("id", "v"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // ties on v resolve by ascending id; bucket b has fewer than size hits
+    assert(got === Seq(("a", 1L, 2L, 30.0), ("a", 2L, 3L, 30.0), ("b", 1L, 5L, 1.0)))
+  }
+
+  test("compositeAgg pages tile the full bucket space without overlap") {
+    val df = Seq(
+      ("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 3), ("c", 1), ("c", 2)
+    ).toDF("k1", "k2")
+    val keys = Seq("k1", "k2")
+    def page(after: Option[Seq[Any]]) =
+      Aggs.compositeAgg(df, keys, size = 2, after)
+        .as[(String, Int, Long)].collect().toSeq
+    var all = Seq.empty[(String, Int, Long)]
+    var after: Option[Seq[Any]] = None
+    var done = false
+    while (!done) {
+      val p = page(after)
+      assert(p.size <= 2)
+      all ++= p
+      if (p.size < 2) done = true
+      else after = Some(Seq(p.last._1, p.last._2))
+    }
+    val whole = df.groupBy("k1", "k2").count()
+      .orderBy("k1", "k2").as[(String, Int, Long)].collect().toSeq
+    assert(all === whole, "concatenated pages must equal the full ordered bucket space")
+    // arity mismatch fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Aggs.compositeAgg(df, keys, 2, Some(Seq("a")))
+    }.getMessage.contains("arity"))
+  }
+
   test("filtersAgg: named FilterSpec buckets in one pass") {
     val got = Aggs.filtersAgg(events, Seq(
         "theft" -> FilterSpec.EnumIn("description", Seq("Theft")),
