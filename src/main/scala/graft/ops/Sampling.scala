@@ -222,7 +222,13 @@ object Sampling {
     * cross join; scoring explodes features row-locally, joins the
     * broadcast model, and collapses by doc id with map-side partial
     * aggregation. The corpus is never shuffled by anything wider than its
-    * own id.
+    * own id. Two corpus SCANS total (model pass + scoring pass — scoring
+    * cannot start before the model is whole, the same inherent two-pass
+    * shape as [[graft.ops.TextAnalysis.boilerplateFilter]]); a run that
+    * already persists the corpus columnar pays them as two cheap columnar
+    * reads, and the streamed-model path
+    * ([[graft.streaming.EventStreams.maintainImportanceModel]]) removes
+    * the model pass from the serving DAG entirely.
     *
     * Output: `(idCol, carry…, n_feats, bits, bits_per_1k)` — one row per
     * document that has ≥1 bigram feature. Rank on `bits_per_1k` for top-k
