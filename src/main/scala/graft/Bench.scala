@@ -104,7 +104,10 @@ object Bench {
       "decontaminate_fuzzy", "decontaminate_containment",
       "join_asof_forward", "q6_phrase_prefix_indexed",
       "sample_split", "sample_stratified", "sample_embedding_percell",
-      "sample_mix_sources", "pack_sequences_text",
+      "sample_mix_sources", "sample_mix_temperature", "pack_sequences_text",
+      // embedding-side anti-join whose cost rides the visible embedding
+      // pair numbers; decontaminate_ngram is the family's visible number
+      "decontaminate_semantic",
       "text_langid", "text_fingerprint", "text_redact_pii", "text_normalize",
       "text_chunk_windows", "text_repetition", "text_boilerplate_stream",
       "recipe_harmonize_detroit", "recipe_harmonize_losangeles",

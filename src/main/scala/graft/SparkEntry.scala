@@ -2956,6 +2956,36 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "sample_mix_temperature" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Temperature mixing (the multilingual-LM rule: sample ∝ share^α,
+      // α=0.5): the smallest language is kept whole, larger ones
+      // hash-downsample toward their square-rooted share. α=0.5 computes
+      // as exact IEEE sqrt on both engines — the reason this query can
+      // hash-match where a general pow could not.
+      ops.Sampling.mixTemperature(load(dir, "documents"), "doc_id", "lang",
+          alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    "decontaminate_semantic" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Embedding-space decontamination: the leakage n-grams cannot see
+      // (paraphrase/translation) — corpus vectors within cosine 0.42 of
+      // any benchmark vector are dropped; the bench broadcasts, the check
+      // is one row-local pass.
+      val emb = load(dir, "embeddings")
+      val bench = emb.where(pmod(col("vec_id"), lit(29)) === 0)
+      val corpus = emb.where(pmod(col("vec_id"), lit(29)) =!= 0)
+      ops.Decontaminate.cleanSemantic(corpus, "vec_id", "embedding",
+          bench, "vec_id", "embedding", threshold = 0.42)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("label")
+    }),
+
     "pipeline_prep_llm" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The round-9 full training-data story in ONE DAG, in the order a
@@ -4781,6 +4811,39 @@ object SparkEntry {
          |  ELSE 0.0::DOUBLE END
          |GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // Temperature mixing restated: the α=0.5 power is sqrt, so the scale
+    // (min over sources of c/sqrt(c)) and every kept-fraction
+    // (sqrt(c)·scale/c) are the same IEEE values in both engines.
+    "sample_mix_temperature" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""WITH cnt AS (
+         |  SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang
+         |), sc AS (
+         |  SELECT min(c / sqrt(c)) AS scale FROM cnt
+         |)
+         |SELECT d.lang, count(*)::BIGINT AS n
+         |FROM documents d JOIN cnt ON cnt.lang = d.lang, sc
+         |WHERE $u < sqrt(cnt.c) * sc.scale / cnt.c
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
+
+    // Semantic decontamination restated: the same sequential
+    // list_inner_product cosine, DISTINCT flagged ids, anti-join, kept
+    // counts per label.
+    "decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT * FROM e WHERE vec_id % 29 = 0),
+        |c AS (SELECT * FROM e WHERE vec_id % 29 <> 0),
+        |flagged AS (
+        |  SELECT DISTINCT c.vec_id FROM c JOIN b ON
+        |    list_inner_product(c.v, b.v)
+        |      / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.42
+        |)
+        |SELECT c.label, count(*)::BIGINT AS n_kept
+        |FROM c LEFT JOIN flagged ON c.vec_id = flagged.vec_id
+        |WHERE flagged.vec_id IS NULL
+        |GROUP BY c.label ORDER BY c.label""".stripMargin,
 
     // The composed round-9 pipeline: language/quality/repetition filters,
     // fingerprint dedup winners, exact-8-gram decontamination, and packing

@@ -169,4 +169,47 @@ object Decontaminate {
     */
   private def dropFlagged(corpus: DataFrame, idCol: String, flagged: DataFrame): DataFrame =
     corpus.join(broadcast(flagged.select(col(s"`$idCol`")).distinct()), Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination: pairs of (corpus, bench) embeddings with
+    * cosine ≥ `threshold` — the leakage the text detectors above cannot
+    * see (a paraphrased or translated eval item shares no n-gram, no
+    * shingle, no winnowed fingerprint with its source, but its embedding
+    * sits next to it). Benchmark suites are small, so the bench side
+    * BROADCASTS and the check is one row-local pass over corpus vectors:
+    * no shuffle at any corpus size. Cost is corpus × bench dot products —
+    * fine to ~10⁵ bench vectors; past that, compose the candidate
+    * machinery ([[graft.ops.Similarity.semanticNearDupPairs]]'s cells or
+    * LSH buckets) to prune pairs first.
+    */
+  def semanticOverlaps(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(s"`$idCol`"),
+      graft.ops.Similarity.asDouble(col(s"`$vecCol`")).as("_cv"))
+    val b = bench.select(col(s"`$benchIdCol`").as("bench_id"),
+      graft.ops.Similarity.asDouble(col(s"`$benchVecCol`")).as("_bv"))
+    c.join(broadcast(b), graft.ops.Similarity.cosine(col("_cv"), col("_bv")) >= threshold)
+      .withColumn("cos", graft.ops.Similarity.cosine(col("_cv"), col("_bv")))
+      .select(col(s"`$idCol`"), col("bench_id"), col("cos"))
+  }
+
+  /** [[clean]] with the semantic detector — drop corpus rows within
+    * cosine `threshold` of any benchmark embedding.
+    */
+  def cleanSemantic(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      threshold: Double): DataFrame =
+    dropFlagged(corpus, idCol,
+      semanticOverlaps(corpus, idCol, vecCol,
+        bench, benchIdCol, benchVecCol, threshold))
 }

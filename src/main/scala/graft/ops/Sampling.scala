@@ -126,6 +126,37 @@ object Sampling {
     stratifiedHashSample(df, keyCol, sourceCol, mixFractions(counts, targets), seed)
   }
 
+  /** Temperature re-weighting of a multi-source corpus (the multilingual
+    * LM mixing rule — mBERT/XLM sample source i ∝ share_i^α with α < 1 to
+    * lift small sources without drowning large ones): the α-powered
+    * counts themselves become [[mixFractions]] target weights, so the
+    * binding source (the one the temperature lifts most, i.e. the
+    * smallest) is kept whole and every other source hash-downsamples
+    * toward the tempered share. α = 0.5 (the common default) computes as
+    * an exact IEEE `sqrt`, which is what lets the oracle restate the
+    * kept-fraction arithmetic bit-for-bit; other α go through `pow`,
+    * which SQL engines do not pin to the last ulp — use spec certification
+    * there.
+    *
+    * Same scale shape as [[mixToTarget]]: one counting pass collapsed to
+    * source cardinality (bounded collect), then a row-local seeded-hash
+    * filter.
+    */
+  def mixTemperature(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      alpha: Double = 0.5,
+      seed: Int = 42): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(s"`$sourceCol`")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = counts.toSeq.sortBy(_._1).map { case (src, c) =>
+      src -> (if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha))
+    }
+    stratifiedHashSample(df, keyCol, sourceCol, mixFractions(counts, weights), seed)
+  }
+
   /** The oracle-side restatement of [[hashUnit]] for a SQL engine. */
   def hashUnitSql(keyExpr: String, seed: Int): String =
     s"(${hashBits52Sql(keyExpr, seed)} / ${(1L << 52).toDouble})"

@@ -45,7 +45,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "dedup_semantic_probe", "g_percentiles", "g_percentiles_preagg",
     "text_normalize", "g_histogram", "g_histogram_preagg",
     "g_range_buckets", "g_filters_agg", "ann_ivf_incremental",
-    "g_top_hits", "g_composite_pages")
+    "g_top_hits", "g_composite_pages", "sample_mix_temperature",
+    "decontaminate_semantic")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -109,4 +109,29 @@ class DecontaminateSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("semantic decontamination drops embedding-near rows the text detectors miss") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.05f)),  // near bench 100
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // far from every bench vec
+      (3L, Seq(0.95f, 0.05f, 0.0f, 0.0f)), // near bench 100 too
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val flagged = Decontaminate.semanticOverlaps(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(flagged === Set((1L, 100L), (3L, 100L)))
+    val kept = Decontaminate.cleanSemantic(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(kept === Seq(2L))
+    // the broadcast-nested-loop stays on the bench side (corpus streams)
+    val plan = Decontaminate.cleanSemantic(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
 }

@@ -115,6 +115,26 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.count(_._2.contains("a")) === 3)
   }
 
+  test("mixTemperature keeps the smallest source whole and lifts its share") {
+    // sources 1600/400/100: raw shares 76/19/5%; sqrt-tempered weights
+    // 40/20/10 → kept fractions 10·sqrt/c: 0.25/0.5/1.0
+    val df = ((1L to 1600L).map(i => (i, "big")) ++
+      (2001L to 2400L).map(i => (i, "mid")) ++
+      (3001L to 3100L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Sampling.mixTemperature(df, "id", "src", alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 100L) // binding source: kept whole
+    // hash-binomial bands around 400·0.5 and 1600·0.25
+    assert(kept("mid") > 160 && kept("mid") < 240, kept.toString)
+    assert(kept("big") > 330 && kept("big") < 470, kept.toString)
+    // the tempered mixture lifts the small source's share above its raw 5%
+    val total = kept.values.sum.toDouble
+    assert(kept("small") / total > 0.10)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.mixTemperature(df, "id", "src", alpha = 0.0)
+    }.getMessage.contains("alpha"))
+  }
+
   // ---- DSIR importance scoring ----
 
   /** Two sublanguages over disjoint bigrams: "wiki"-flavored target docs
