@@ -82,6 +82,10 @@ object GraftExtensions {
       info("graft_nfc_clean",
         "graft_nfc_clean(text) - unicode NFC normalization with control characters stripped"),
       (args: Seq[Expression]) => NfcCleanExpr(args(0))),
+    ("graft_deflate_len",
+      info("graft_deflate_len",
+        "graft_deflate_len(text) - deflate-compressed byte length (compression-ratio quality signal)"),
+      (args: Seq[Expression]) => DeflateLenExpr(args(0))),
   )
 
   /** Constant-int argument of a registered function (k, w, …): these size

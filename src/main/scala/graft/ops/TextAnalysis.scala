@@ -439,6 +439,27 @@ object TextAnalysis {
     df.join(drop, df(idCol) === col("_bp_drop"), "left_anti")
   }
 
+  /** Deflate-compressed size of the UTF-8 text (zlib level 6, raw
+    * deflate): the numerator of the compression-ratio quality signal
+    * RedPajama-v2 / CCNet-family pipelines carry — highly repetitive or
+    * templated text compresses far below natural prose, and random noise
+    * barely compresses at all, so BOTH tails are filterable on one
+    * number. Deterministic for a given zlib implementation (the JDK
+    * bundles one), row-local, no SQL-engine twin exists — spec-certified
+    * (TextAnalysisSpec pins ordering properties, not magic byte counts).
+    */
+  def deflateLength(c: Column): Column = graft.expr.DeflateLen.deflateLength(c)
+
+  /** `deflate_len / byte_len` ∈ (0, ~1.05]: low = repetitive/templated,
+    * ~1 = incompressible noise, natural prose sits between. 1.0 for empty
+    * text (nothing to judge).
+    */
+  def compressionRatio(c: Column): Column = {
+    val bytes = octet_length(c)
+    when(bytes === 0, 1.0)
+      .otherwise(deflateLength(c).cast(DoubleType) / bytes.cast(DoubleType))
+  }
+
   /** The stopwords of the Gopher rule battery (Rae et al. 2021, app. A):
     * a document must contain at least two of these to pass the final rule.
     * Distinct from [[englishStopwords]] (a ratio feature list) — this is

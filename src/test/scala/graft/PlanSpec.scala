@@ -368,6 +368,16 @@ class PlanSpec extends SparkSpecBase {
       s"must fuse into one whole-stage codegen span:\n$plan")
   }
 
+  test("semantic dedup joins on the cell key only — no cartesian product") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq(1.0f + (i % 3) * 0.01f, 0.1f * (i % 2), 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.semanticNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9, nlist = 3))
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell pairing must join on the cell key:\n$plan")
+  }
+
   test("importance scoring broadcasts the bucket model; corpus shuffles only by doc id") {
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog"),

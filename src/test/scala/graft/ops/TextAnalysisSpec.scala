@@ -246,6 +246,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(gopherRow("ab12 34cd x9")._4 === 1.0)
   }
 
+  test("compressionRatio orders repetitive < prose < noise; empty is 1.0") {
+    val repetitive = "spam spam spam spam " * 40
+    val prose = ("the committee reviewed seventeen proposals during autumn " +
+      "sessions and deferred several pending further analysis of costs ") * 5
+    val noise = (1 to 800).map(i =>
+      Integer.toString((i * 2654435761L % 1679616).toInt, 36)).mkString(" ")
+    def ratio(s: String) = one(s, TextAnalysis.compressionRatio(col("t")))
+    assert(ratio(repetitive) < ratio(prose), "templated text must compress harder")
+    assert(ratio(prose) < ratio(noise), "noise must compress worse than prose")
+    assert(ratio(repetitive) < 0.1)
+    assert(ratio("") === 1.0)
+    // deterministic across invocations (a fixed zlib level)
+    assert(ratio(prose) === ratio(prose))
+  }
+
   test("gopherFilter keeps passing rows with original columns only") {
     val df = Seq((1L, goodDoc), (2L, "too short")).toDF("id", "t")
     val out = TextAnalysis.gopherFilter(df, "t")
