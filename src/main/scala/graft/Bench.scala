@@ -155,6 +155,12 @@ object Bench {
       // the go/no-go diagnostic half of the skew family; join_salted is
       // the perf number
       "join_keyskew",
+      // layout twin of a plain equi-join (PlanSpec pins the exchange-free
+      // plan; its cost story is the ingest-side bucketing, not the query)
+      "join_bucketed",
+      // describe() computes the same count/mean/stddev/min/max surface
+      // the visible dict_profile_lineitem prices at full width
+      "a5_describe",
       // composes vocab_bpe_merges (the BPE family's visible number)
       "text_bpe_tokens",
       // the proportional-draw twin re-runs sample_importance's scoring DAG

@@ -2119,6 +2119,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "join_rolling_features" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Point-in-time-correct training-example assembly (the feature-
+      // store discipline): one example per click carrying the user's
+      // strictly-earlier 7-day purchase count and cent-sum plus a
+      // strictly-later 3-day conversion label — ONE entity exchange, two
+      // RANGE frames over one sort; same-ms outcomes excluded from both
+      // sides (neither safe past nor caused future). Values aggregate as
+      // floor-cents so frame-order float addition cannot smear a ulp.
+      ops.Features.rollingExamples(loadEvents(dir), "user_id", "ts",
+          anchorCond = col("event_type") === "click",
+          outcomeCond = col("event_type") === "purchase",
+          valueCol = floor(col("value") * 100),
+          featureWindowMs = 7L * 24 * 3600 * 1000,
+          labelWindowMs = 3L * 24 * 3600 * 1000,
+          carry = Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
     "join_range" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Interval-overlap join via the binning rewrite (hash join on
@@ -5462,6 +5481,32 @@ object SparkEntry {
     "ann_ivfpq_nlist256" ->
       ivfPqSql(nlist = 256, nprobe = 16, m = 8, ksub = 16, dim = 64, k = 5,
         nQueries = 5, refineIters = 1),
+
+    // The point-in-time frames restated as the same RANGE windows over
+    // epoch ms — strict [-7d, -1ms] past, strict [+1ms, +3d] future; the
+    // cent-sum is an integer aggregate, immune to frame order.
+    "join_rolling_features" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS t,
+        |    (event_type = 'click') AS a,
+        |    (event_type = 'purchase') AS o,
+        |    CASE WHEN event_type = 'purchase' THEN floor(value * 100)::BIGINT END AS v
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, a,
+        |    coalesce(sum(CASE WHEN o THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY t
+        |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_outcomes_past,
+        |    coalesce(sum(v) OVER (
+        |      PARTITION BY user_id ORDER BY t
+        |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS value_past,
+        |    (coalesce(sum(CASE WHEN o THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY t
+        |      RANGE BETWEEN 1 FOLLOWING AND 259200000 FOLLOWING), 0) > 0) AS converted
+        |  FROM b
+        |)
+        |SELECT event_id, user_id, n_outcomes_past, value_past, converted
+        |FROM w WHERE a ORDER BY event_id""".stripMargin,
 
     // The naive all-pairs overlap predicate — a different algorithm from
     // the engine's binning rewrite, so the dedup-free bin emission is
