@@ -108,6 +108,83 @@ object EventStreams {
       }
   }
 
+  /** Per-user event buffer for [[streamingExamples]]: `(tMs, eventId,
+    * isAnchor, isOutcome, valueCents)` tuples, kept sorted by (t, id).
+    */
+  final case class ExampleState(
+      events: List[(Long, Long, Boolean, Boolean, Long)])
+
+  final case class TrainingExample(user_id: Long, event_id: Long,
+      n_outcomes_past: Long, value_past: Long, converted: Boolean)
+
+  /** STREAMING point-in-time example assembly — the live twin of
+    * [[graft.ops.Features.rollingExamples]] (identical examples, proven in
+    * spec): an anchor's features are fully determined at its own event
+    * time, but its LABEL needs the forward horizon — so each example
+    * emits exactly when the event-time watermark passes `t + label`
+    * (the horizon has closed; any outcome later than the watermark
+    * allowance is missed by both this and any offline system that cuts
+    * at the same lateness bound). Per-user state holds only the event
+    * window that can still matter: tuples older than
+    * `watermark − label − feature` serve no pending or future anchor
+    * (future anchors arrive above the watermark) and are evicted every
+    * invocation, so state is bounded by per-user event RATE × (feature +
+    * label) span, never by stream history. Wake-ups ride event-time
+    * timeouts at the next pending anchor's close (or the eviction horizon
+    * when no anchor is pending), exactly [[sessionize]]'s discipline.
+    *
+    * Streaming-only semantics (the [[sessionize]] caveat): batch execution
+    * never advances a watermark, so no horizon ever closes — use
+    * [[graft.ops.Features.rollingExamples]] for batch/backfill.
+    */
+  def streamingExamples(
+      events: Dataset[Event],
+      anchorType: String,
+      outcomeType: String,
+      featureWindowMs: Long,
+      labelWindowMs: Long,
+      watermark: String = "10 minutes"): Dataset[TrainingExample] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ExampleState, TrainingExample](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[ExampleState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val incoming = it.map { e =>
+            (e.ts.getTime, e.event_id, e.event_type == anchorType,
+              e.event_type == outcomeType, math.floor(e.value * 100).toLong)
+          }.toList
+          val buffer = ((state.getOption.map(_.events).getOrElse(Nil) ++ incoming)
+            .distinct).sortBy(t => (t._1, t._2))
+          // emit every anchor whose label horizon closed under the watermark
+          val (closeable, pending) = buffer.partition {
+            case (t, _, isA, _, _) => isA && t + labelWindowMs <= wm
+          }
+          val out = closeable.map { case (t, id, _, _, _) =>
+            val past = buffer.filter { case (te, _, _, isO, _) =>
+              isO && te >= t - featureWindowMs && te <= t - 1 }
+            val future = buffer.exists { case (te, _, _, isO, _) =>
+              isO && te >= t + 1 && te <= t + labelWindowMs }
+            TrainingExample(userId, id, past.size.toLong, past.map(_._5).sum, future)
+          }
+          // evict tuples that can serve no pending or future anchor
+          val keep = pending.filter { case (t, _, isA, _, _) =>
+            isA || t >= wm - labelWindowMs - featureWindowMs }
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(ExampleState(keep))
+            val nextClose = keep.collect { case (t, _, true, _, _) => t + labelWindowMs }
+            val wake = if (nextClose.nonEmpty) nextClose.min
+              else wm + labelWindowMs + featureWindowMs + 1
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drops rows whose `keyCols` were already seen,
     * with state bounded by the watermark (`dropDuplicatesWithinWatermark`:
     * a duplicate arriving within the watermark delay of the original is

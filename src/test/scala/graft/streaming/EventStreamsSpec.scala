@@ -445,6 +445,61 @@ class EventStreamsSpec extends SparkSpecBase {
       "post-compaction appends diverged from the from-scratch profile")
   }
 
+  test("streaming example assembly matches the batch twin once horizons close") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, floor}
+    val Min = 60000L
+    def e(id: Long, minute: Long, user: Long, typ: String, v: Double) =
+      EventStreams.Event(id, new java.sql.Timestamp(minute * Min), user, typ, v)
+    // user 1: purchases before and after the click; user 2 pushes the
+    // watermark only
+    val all = Seq(
+      e(1, 10, 1, "purchase", 10.0),
+      e(2, 30, 1, "click", 0.0),     // anchor: past {1}, converted by 3
+      e(3, 40, 1, "purchase", 5.5),
+      e(4, 100, 1, "click", 0.0),    // anchor: past {3}, no conversion
+      e(5, 500, 2, "view", 0.0))     // watermark driver
+    val mem = MemoryStream[EventStreams.Event]
+    // feature window 60 min, label horizon 30 min, zero lateness
+    val q = EventStreams.streamingExamples(mem.toDS(), "click", "purchase",
+        featureWindowMs = 60 * Min, labelWindowMs = 30 * Min, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("examples_spec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      // horizon for the first click (closes at minute 60) is still open
+      assert(spark.table("examples_spec").count() === 0)
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+      mem.addData(all(4)) // watermark → minute 500: both horizons closed
+      q.processAllAvailable()
+      // event-time timeouts fire on the NEXT trigger after the watermark
+      // passes them — one more driver batch flushes the second click
+      mem.addData(e(6, 600, 2, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("examples_spec")
+        .orderBy("event_id")
+        .as[EventStreams.TrainingExample].collect().toSeq
+      val batch = graft.ops.Features.rollingExamples(
+          all.toDF(), "user_id", "ts",
+          anchorCond = col("event_type") === "click",
+          outcomeCond = col("event_type") === "purchase",
+          valueCol = floor(col("value") * 100),
+          featureWindowMs = 60 * Min, labelWindowMs = 30 * Min,
+          carry = Seq("event_id"))
+        .select("user_id", "event_id", "n_outcomes_past", "value_past", "converted")
+        .orderBy("event_id")
+        .as[EventStreams.TrainingExample].collect().toSeq
+      assert(streamed === batch, "streamed examples must equal the batch twin")
+      // hand values: click 2 saw purchase 1 (1000 cents) and converted;
+      // click 4's feature window [40,100) holds purchase 3, no conversion
+      assert(streamed === Seq(
+        EventStreams.TrainingExample(1L, 2L, 1L, 1000L, true),
+        EventStreams.TrainingExample(1L, 4L, 1L, 550L, false)))
+    } finally q.stop()
+  }
+
   test("streamed IVF index serves the same neighbors as batch frozen-centroid assignment") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
