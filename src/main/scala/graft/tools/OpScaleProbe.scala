@@ -75,6 +75,37 @@ object OpScaleProbe {
         graft.ops.Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
           threshold = 0.42, nlist = nlist).count()
       })
+
+      // events twin for the example assembler (ServeScaleProbe's
+      // construction: remapped event/user ids, unchanged ts/type/value —
+      // per-user history identical per copy, so the per-entity window
+      // cost is constant and the total must scale with rows)
+      val evPath =
+        if (label == "1x") "/root/testdata/sf0.1/events.parquet"
+        else {
+          val p = s"/tmp/graft_events_probe10/events.parquet"
+          if (!new java.io.File(p).exists()) {
+            val src = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+            src.withColumn("_k", explode(sequence(lit(0), lit(9))))
+              .select((col("event_id") * 10 + col("_k")).as("event_id"),
+                col("ts"), (col("user_id") * 10 + col("_k")).as("user_id"),
+                col("event_type"), col("value"))
+              .repartition(32).write.mode("overwrite").parquet(p)
+          }
+          p
+        }
+      val ev = spark.read.parquet(evPath)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      ev.count()
+      emit("rolling_examples", timeOp(repeats) {
+        graft.ops.Features.rollingExamples(ev, "user_id", "ts",
+          anchorCond = col("event_type") === "click",
+          outcomeCond = col("event_type") === "purchase",
+          valueCol = floor(col("value") * 100),
+          featureWindowMs = 7L * 24 * 3600 * 1000,
+          labelWindowMs = 3L * 24 * 3600 * 1000,
+          carry = Seq("event_id")).count()
+      })
     }
     println(s"""{"probe":"op_scale","load_end":${loadAvg()}}""")
     spark.stop()
