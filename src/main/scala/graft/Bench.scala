@@ -105,6 +105,8 @@ object Bench {
       "join_asof_forward", "q6_phrase_prefix_indexed",
       "sample_split", "sample_stratified", "sample_embedding_percell",
       "sample_mix_sources", "sample_mix_temperature", "pack_sequences_text",
+      // same bucketed-prefix plan family as the visible pack_sequences
+      "pack_length_bins",
       // embedding-side anti-join whose cost rides the visible embedding
       // pair numbers; decontaminate_ngram is the family's visible number
       "decontaminate_semantic",

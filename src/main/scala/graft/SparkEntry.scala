@@ -2419,6 +2419,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pack_length_bins" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Homogeneous batching: same-length docs fill bins of
+      // seqLen div L docs (no splits, no mixed lengths, zero intra-bin
+      // padding); rank within a length group is seeded-hash order via
+      // the bucketed two-phase prefix rank, so a head length never
+      // serializes into one window task.
+      ops.Packing.lengthGroupedBins(load(dir, "documents"), "doc_id",
+          ops.TextAnalysis.tokenCount(col("text")), seqLen = 256, numBuckets = 8)
+        .orderBy("doc_id")
+    }),
+
     "pipeline_assemble" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // This round's full corpus-ASSEMBLY story in one DAG: quality floor
@@ -4431,6 +4443,29 @@ object SparkEntry {
          |)
          |SELECT doc_id, source, n_tok, cum_tok FROM p
          |WHERE cum_tok <= 600 ORDER BY doc_id""".stripMargin,
+
+    // The two-phase rank restated as ONE global per-length window — the
+    // bucketed construction must be invisible; integer div/mod floor
+    // identically on non-negative operands.
+    "pack_length_bins" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS n_tok,
+         |    $u AS u
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n_tok,
+         |    row_number() OVER (PARTITION BY n_tok ORDER BY u, doc_id) - 1 AS rk
+         |  FROM d WHERE n_tok BETWEEN 1 AND 256
+         |)
+         |SELECT doc_id, n_tok,
+         |  (rk // (256 // n_tok))::BIGINT AS bin,
+         |  (rk % (256 // n_tok))::BIGINT AS slot
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     // DSIR restated end to end: analyzer bigrams, the portable md5 bucket
     // hash, occurrence counts with conditional target sums, the clipped

@@ -106,6 +106,63 @@ object Packing {
     packed.groupBy("bucket", "seq")
       .agg(sum("slice_len").as("tokens"))
 
+  /** Length-grouped bin packing (homogeneous batching — the fairseq/T5
+    * "bucket by length" discipline, public knowledge): documents with the
+    * SAME token count `L` fill bins of `k = seqLen div L` docs each, so a
+    * bin holds `k·L ≤ seqLen` tokens of identical-length documents —
+    * no cross-document attention, intra-bin padding zero, and the only
+    * waste is the common `seqLen − k·L` tail. The complement of
+    * [[packConcatChunk]]: that one splits documents to fill sequences
+    * exactly; this one never splits and never mixes lengths. Documents
+    * longer than `seqLen` are excluded (route them to concat-chunk).
+    *
+    * Rank within a length group is seeded-hash order. 100 TB shape: real
+    * corpora concentrate on head lengths, so a naive per-length window is
+    * one sequential task per popular length — instead the rank rides the
+    * same bucketed two-phase prefix machinery as
+    * [[graft.ops.Sampling.tokenBudgetSelect]]: hash-RANGE buckets
+    * (monotone in the hash, so bucket order IS hash order), per-(L,
+    * bucket) counts fold into offsets under one bounded window
+    * (lengths × buckets rows), and each bucket ranks its interior as its
+    * own task — provably the global per-length rank, at per-length
+    * parallelism `numBuckets`.
+    *
+    * Output: `(idCol, n_tok, bin, slot)` — `bin` the per-length bin
+    * index, `slot` the position inside the bin.
+    */
+  def lengthGroupedBins(
+      docs: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      seqLen: Int,
+      numBuckets: Int = 64,
+      seed: Int = 42): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val id = col(s"`$idCol`")
+    val keyed = docs
+      .select(id, tokenCount.cast("long").as("n_tok"))
+      .where(col("n_tok") >= 1 && col("n_tok") <= seqLen)
+      .withColumn("_u", graft.ops.Sampling.hashUnit(id, seed))
+      .withColumn("_bucket", floor(col("_u") * numBuckets).cast("long"))
+    val wBuckets = Window.partitionBy("_L").orderBy("_b")
+    val offsets = keyed
+      .groupBy(col("n_tok").as("_L"), col("_bucket").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", sum(col("_n")).over(wBuckets) - col("_n"))
+      .select(col("_L"), col("_b"), col("_offset"))
+    val wInBucket = Window.partitionBy(col("n_tok"), col("_bucket"))
+      .orderBy(col("_u"), id)
+    keyed
+      .join(broadcast(offsets),
+        col("n_tok") === col("_L") && col("_bucket") === col("_b"))
+      .withColumn("_rank", col("_offset") + row_number().over(wInBucket) - 1)
+      .withColumn("_k", expr(s"${seqLen}L div n_tok"))
+      .select(id, col("n_tok"),
+        expr("_rank div _k").as("bin"),
+        expr("_rank % _k").as("slot"))
+  }
+
   /** Deterministic shard-and-shuffle assignment — the "global shuffle"
     * every epoch pipeline wants before streaming shards to trainers: shard
     * = seeded 52-bit hash of the id modulo `numShards`, `pos` = the row's

@@ -161,4 +161,44 @@ class PackingSpec extends SparkSpecBase {
       assert(rows.map(_._2).sorted == rows.indices.map(_.toLong))
     }
   }
+
+  test("lengthGroupedBins: homogeneous bins at capacity, over-long docs excluded") {
+    // 9 docs of 3 tokens (k = 10/3 = 3 per bin), 4 docs of 5 tokens
+    // (k = 2), one 11-token doc excluded at seqLen 10
+    val docs = ((1L to 9L).map(i => (i, ("w " * 3).trim)) ++
+      (11L to 14L).map(i => (i, ("w " * 5).trim)) :+
+      (99L, ("w " * 11).trim)).toDF("doc_id", "text")
+    val out = Packing.lengthGroupedBins(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 10, numBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(!out.exists(_._1 == 99L), "over-long docs must be excluded")
+    // per length: bins fill to capacity, slots are exactly 0..k-1 per bin
+    for ((l, k) <- Seq(3L -> 3, 5L -> 2)) {
+      val group = out.filter(_._2 == l)
+      val byBin = group.groupBy(_._3).view.mapValues(_.map(_._4).sorted).toMap
+      val full = byBin.filterKeys(_ < byBin.keys.max)
+      assert(full.values.forall(_ == (0L until k.toLong)), s"L=$l full bins")
+      assert(byBin(byBin.keys.max).size <= k)
+    }
+    // the bucketed two-phase rank equals ONE global per-length window
+    val global = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          Sampling.hashUnit(col("doc_id"), 42).as("u"))
+        .where(col("n_tok").between(1, 10))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("n_tok").orderBy("u", "doc_id")) - 1)
+        .select(col("doc_id"), col("n_tok"),
+          expr("rk div (10L div n_tok)").as("bin"),
+          expr("rk % (10L div n_tok)").as("slot"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(out.sortBy(_._1) === global)
+    // and it is invariant to the bucket count
+    val other = Packing.lengthGroupedBins(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 10, numBuckets = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(other === global)
+  }
 }
