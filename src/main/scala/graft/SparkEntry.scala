@@ -358,6 +358,8 @@ object SparkEntry {
     *  - `POST /fields`: the Q8 dictionary fetch — the projection the webapp
     *    builds its widget list from on page load (`collections.js:66-81`);
     *    body ignored (the wildcard fetch takes no parameters).
+    *  - `POST /histogram`: ES numeric histogram of the current state's
+    *    slice, rollup-served when field + state stay inside the cube.
     *
     * `port = 0` binds an ephemeral port; caller owns `stop()`.
     */
@@ -403,6 +405,31 @@ object SparkEntry {
         WidgetServer.collectRowsJson(Aggs.typeahead(
           federatedHarmonized(s, warm = true), field,
           o.path("prefix").asText(""), o.path("size").asInt(10)))
+      },
+      "/histogram" -> { body =>
+        // ES numeric histogram of the CURRENT search: {"field": "hour",
+        // "interval": 6, "state": <widget-state JSON array>} → interval
+        // buckets of the state-matching slice. Rollup-served when the
+        // field AND every state field stay inside the cube (quantization
+        // commutes with the rollup — the same doc_values routing as
+        // /dashboard); anything else scans the pinned federation.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val field = o.path("field").asText("hour")
+        val interval = o.path("interval").asDouble(1.0)
+        val state = o.path("state")
+        val stateJson =
+          if (state.isMissingNode || state.isNull) "[]" else state.toString
+        val fc = Widgets.fromJson(dashboardWidgetFields(s), stateJson)
+        val covered = PreAgg.covers(dashboardCubeDims.map(_._1),
+          field +: fc.selections.keys.toSeq)
+        WidgetServer.collectRowsJson(
+          if (covered)
+            PreAgg.numericHistogram(
+              dashboardRollup(s).where(fc.compile), field, interval)
+          else
+            Aggs.numericHistogram(
+              federatedHarmonized(s, warm = true).where(fc.compile),
+              field, interval))
       },
       "/significant" -> { body =>
         // ES significant_terms of the CURRENT search: {"field": "...",

@@ -187,6 +187,60 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /histogram buckets the state's slice; rollup and scan routes agree on the wire") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val cityState =
+        """[{"name": "city", "value": "baltimore",
+          |  "enabled": {"state": true, "lastEnabled": 1}}]""".stripMargin
+      // hour and city are both cube dims → the rollup serves this
+      val (code1, covered) = post(s"http://127.0.0.1:$port/histogram",
+        s"""{"field": "hour", "interval": 6, "state": $cityState}""")
+      assert(code1 === 200)
+      val rows = mapper.readTree(covered)
+      assert(rows.isArray && rows.size > 0 && rows.size <= 4,
+        s"interval-6 hour buckets: $covered")
+      var it = rows.elements()
+      while (it.hasNext) {
+        val r = it.next()
+        assert(r.path("bucket").asDouble() % 6.0 === 0.0)
+        assert(r.path("count").asLong() > 0L)
+      }
+      // month is not a cube dim → the same request routes through the
+      // corpus scan (never an error for answerable states — the
+      // /dashboard routing contract); same wire shape, and the month
+      // filter genuinely constrains (fixture months are partly null), so
+      // the scanned slice is a subset of the rollup-served one
+      val uncovered =
+        """[{"name": "city", "value": "baltimore",
+          |  "enabled": {"state": true, "lastEnabled": 1}},
+          | {"name": "month", "value": [1, 12],
+          |  "enabled": {"state": true, "lastEnabled": 2}}]""".stripMargin
+      val (code2, scanned) = post(s"http://127.0.0.1:$port/histogram",
+        s"""{"field": "hour", "interval": 6, "state": $uncovered}""")
+      assert(code2 === 200)
+      val srows = mapper.readTree(scanned)
+      assert(srows.isArray, scanned)
+      val coveredCounts = {
+        var m = Map.empty[Double, Long]
+        val cit = rows.elements()
+        while (cit.hasNext) { val r = cit.next()
+          m += r.path("bucket").asDouble() -> r.path("count").asLong() }
+        m
+      }
+      val sit = srows.elements()
+      while (sit.hasNext) {
+        val r = sit.next()
+        val b = r.path("bucket").asDouble()
+        assert(b % 6.0 === 0.0)
+        assert(r.path("count").asLong() <= coveredCounts.getOrElse(b, 0L),
+          s"scanned slice must be a subset of the covered slice: $scanned vs $covered")
+      }
+    } finally server.stop(0)
+  }
+
   test("client faults are 400, wrong method 405, wrong path 404 — engine faults stay 500") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {
