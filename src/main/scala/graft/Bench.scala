@@ -114,6 +114,9 @@ object Bench {
       "text_chunk_windows", "text_repetition", "text_boilerplate_stream",
       "recipe_harmonize_detroit", "recipe_harmonize_losangeles",
       "mm_meta_stats", "vocab_topk_incremental", "dict_profile_incremental",
+      // the quantile surface of the visible dict_profile_lineitem (same
+      // single-pass profiling family)
+      "dict_quantiles",
       "g6_geohash_grid", "pipeline_assemble_published",
       // the filter composes quality_lm_score (the family's visible number)
       "quality_lm_filter",

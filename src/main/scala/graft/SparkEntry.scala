@@ -2446,6 +2446,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "drift_report" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Snapshot drift dashboard: the even-id half of the corpus vs the
+      // odd-id half over three bucketings (language, source, token-count
+      // decade) — TVD + symmetric chi-square per feature, each side one
+      // map-side-combined histogram, compare = a bucket-sized outer join.
+      val docs = load(dir, "documents")
+      val a = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      ops.Drift.driftReport(a, b, Seq(
+          "lang" -> col("lang"),
+          "source" -> col("source"),
+          "tok_decade" ->
+            (floor(ops.TextAnalysis.tokenCount(col("text")) / 10) * 10)))
+        .orderBy("feature")
+    }),
+
     "pack_length_bins" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Homogeneous batching: same-length docs fill bins of
@@ -4470,6 +4487,40 @@ object SparkEntry {
          |)
          |SELECT doc_id, source, n_tok, cum_tok FROM p
          |WHERE cum_tok <= 600 ORDER BY doc_id""".stripMargin,
+
+    // Drift restated feature by feature from the SAME bucketing
+    // expressions: per-side histogram shares, full-outer bucket join,
+    // exact-arithmetic TVD and symmetric chi-square, both rounded at 6
+    // (the dictionary-stats precedent for order-free double sums).
+    "drift_report" -> {
+      val tokCount =
+        """(CASE WHEN len(trim(text)) = 0 THEN 0
+          |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)""".stripMargin
+      val feats = Seq(
+        "lang" -> "lang",
+        "source" -> "source",
+        "tok_decade" -> s"(floor($tokCount / 10) * 10)")
+      val legs = feats.map { case (name, e) =>
+        s"""SELECT '$name' AS feature, count(*)::BIGINT AS n_buckets,
+           |  round(sum(abs(p - q)) / 2.0, 6) AS tvd,
+           |  round(sum((p - q) * (p - q) / (p + q)), 6) AS chi2_sym
+           |FROM (
+           |  SELECT coalesce(pa.p, 0.0) AS p, coalesce(pb.q, 0.0) AS q
+           |  FROM (SELECT $e AS bucket,
+           |          count(*)::DOUBLE / (SELECT count(*) FROM da) AS p
+           |        FROM da GROUP BY 1) pa
+           |  FULL OUTER JOIN (SELECT $e AS bucket,
+           |          count(*)::DOUBLE / (SELECT count(*) FROM db) AS q
+           |        FROM db GROUP BY 1) pb
+           |  USING (bucket)
+           |)""".stripMargin
+      }
+      s"""WITH da AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |db AS (SELECT * FROM documents WHERE doc_id % 2 = 1)
+         |SELECT * FROM (
+         |${legs.mkString("\nUNION ALL ")}
+         |) ORDER BY feature""".stripMargin
+    },
 
     // The two-phase rank restated as ONE global per-length window — the
     // bucketed construction must be invisible; integer div/mod floor

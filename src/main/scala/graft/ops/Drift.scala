@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift detection — the monitoring op every production data
+  * pipeline runs between corpus snapshots (yesterday's crawl vs today's,
+  * the training mix vs the serving distribution): bucket a feature on
+  * both sides, compare the bucket SHARE distributions. Public standard
+  * metrics, chosen for cross-engine exactness:
+  *
+  *  - total-variation distance `TVD = Σ|p−q| / 2` ∈ [0, 1] — pure
+  *    subtraction/abs/sum;
+  *  - the symmetric (Jeffreys) chi-square `χ²_sym = Σ (p−q)²/(p+q)` —
+  *    pure arithmetic and well-defined when a bucket is empty on one
+  *    side (the classic PSI's `ln(p/q)` both blows up on empty buckets
+  *    AND drags a transcendental into the comparison, which IEEE does
+  *    not pin cross-engine — the reason PSI is NOT the shape here).
+  *
+  * Both engines sum per-bucket doubles in nondeterministic order, so the
+  * emitted metrics are rounded to 6 decimals (the dictionary-stats
+  * precedent) — drift thresholds live at the second decimal, six is
+  * far inside any decision margin.
+  *
+  * 100 TB shape: each side collapses to its bucket histogram in one
+  * map-side-combined aggregation (output = bucket cardinality, a schema
+  * property); the compare is a full-outer join of two histogram frames
+  * plus a one-row aggregate. The corpus is never shuffled by anything
+  * wider than the bucket key, and never joined row-to-row.
+  */
+object Drift {
+
+  /** Bucket shares of one side: `(bucket, share)` with share = cnt/total.
+    * Null buckets form their own bucket (a feature going null IS drift).
+    */
+  def bucketShares(df: DataFrame, bucket: Column): DataFrame = {
+    val counts = df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("_n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("_n").as("_total"))))
+      .select(col("bucket"),
+        (col("_n").cast("double") / col("_total").cast("double")).as("share"))
+  }
+
+  /** Drift between two snapshots over one bucketing: a single row
+    * `(n_buckets, tvd, chi2_sym)`. `n_buckets` counts buckets present on
+    * EITHER side (appearing/vanishing buckets are the loudest drift).
+    */
+  def featureDrift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val pa = bucketShares(a, bucket).withColumnRenamed("share", "p")
+    val pb = bucketShares(b, bucket).withColumnRenamed("share", "q")
+    pa.join(pb, Seq("bucket"), "full_outer")
+      .select(coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        round(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tvd"),
+        // (p−q)·(p−q), not pow(·, 2): Math.pow is allowed a ulp of slack,
+        // plain multiplication is exact-rounded in every engine
+        round(sum((col("p") - col("q")) * (col("p") - col("q")) /
+          (col("p") + col("q"))), 6).as("chi2_sym"))
+  }
+
+  /** [[featureDrift]] across several named bucketings in one frame:
+    * `(feature, n_buckets, tvd, chi2_sym)`, one row per feature — the
+    * drift DASHBOARD between two corpus snapshots.
+    */
+  def driftReport(
+      a: DataFrame, b: DataFrame,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "driftReport: at least one feature")
+    features.map { case (name, bucket) =>
+      featureDrift(a, b, bucket).select(lit(name).as("feature"),
+        col("n_buckets"), col("tvd"), col("chi2_sym"))
+    }.reduce(_.unionByName(_))
+  }
+}

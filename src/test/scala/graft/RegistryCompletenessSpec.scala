@@ -46,7 +46,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "text_normalize", "g_histogram", "g_histogram_preagg",
     "g_range_buckets", "g_filters_agg", "ann_ivf_incremental",
     "g_top_hits", "g_composite_pages", "sample_mix_temperature",
-    "decontaminate_semantic", "join_rolling_features", "pack_length_bins")
+    "decontaminate_semantic", "join_rolling_features", "pack_length_bins",
+    "drift_report")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Drift metrics: hand-computed TVD / symmetric chi-square, identity on
+  * identical snapshots, appearing-bucket handling, report shape.
+  */
+class DriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")).toDF("id", "k")
+  private def b = Seq((5L, "x"), (6L, "y"), (7L, "y"), (8L, "z")).toDF("id", "k")
+
+  test("featureDrift: hand-computed TVD and chi2, bucket on either side counts") {
+    val row = Drift.featureDrift(a, b, col("k"))
+      .as[(Long, Double, Double)].head()
+    // p = (.5, .5, 0), q = (.25, .5, .25):
+    // TVD = (.25 + 0 + .25)/2 = .25
+    // chi2 = .0625/.75 + 0 + .0625/.25 = .083333 + .25 = .333333
+    assert(row._1 === 3L)
+    assert(row._2 === 0.25)
+    assert(row._3 === 0.333333)
+  }
+
+  test("identical snapshots drift by exactly zero") {
+    val row = Drift.featureDrift(a, a, col("k"))
+      .as[(Long, Double, Double)].head()
+    assert(row === ((2L, 0.0, 0.0)))
+  }
+
+  test("null buckets are their own bucket — a feature going null is drift") {
+    val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("id", "k")
+    val row = Drift.featureDrift(a, withNull, col("k"))
+      .as[(Long, Double, Double)].head()
+    // q has buckets x (.5) and NULL (.5); p has x (.5), y (.5)
+    assert(row._1 === 3L && row._2 === 0.5)
+  }
+
+  test("driftReport emits one row per named feature") {
+    val out = Drift.driftReport(a, b, Seq(
+        "k" -> col("k"), "parity" -> (col("id") % 2)))
+      .orderBy("feature")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq("k", "parity"))
+    assert(out.head._3 === 0.25)
+  }
+}
