@@ -117,6 +117,9 @@ object Bench {
       // the quantile surface of the visible dict_profile_lineitem (same
       // single-pass profiling family)
       "dict_quantiles",
+      // the date sibling of the pruned g_histogram scan form — the
+      // bucket-histogram serving number is g_histogram_preagg
+      "g_date_histogram",
       "g6_geohash_grid", "pipeline_assemble_published",
       // the filter composes quality_lm_score (the family's visible number)
       "quality_lm_filter",

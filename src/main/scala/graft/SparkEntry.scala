@@ -2475,6 +2475,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The round-12 CURATION pipeline composed end-to-end, every stage
+      // an already-oracled operator: document-shape gate (Gopher metrics
+      // at corpus-appropriate thresholds — the full battery's stopword
+      // floor would empty this synthetic vocabulary) → DSIR importance
+      // selection toward the English target (top-200 by integer bits
+      // rate) → temperature mixing over languages (α=0.5, sqrt-exact) →
+      // length-grouped bin packing → per-language manifest. The oracle
+      // replays the whole chain from the shared CTE fragments.
+      val docs = load(dir, "documents")
+      val gated = ops.TextAnalysis.gopherProfile(docs, "text")
+        .where(col("word_count") >= 30 && col("alpha_word_frac") >= 0.8)
+        .select(docs.columns.map(col): _*)
+      val selected = ops.Sampling.importanceScores(gated, "doc_id", "text",
+          targetCond = col("lang") === "en", carry = Seq("lang", "text"))
+        .orderBy(desc("bits_per_1k"), col("doc_id"))
+        .limit(200)
+      val mixed = ops.Sampling.mixTemperature(selected, "doc_id", "lang", alpha = 0.5)
+      val binned = ops.Packing.lengthGroupedBins(mixed, "doc_id",
+        ops.TextAnalysis.tokenCount(col("text")), seqLen = 256, numBuckets = 8)
+      binned.join(mixed.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(struct(col("n_tok"), col("bin"))).as("n_bins"),
+          sum("n_tok").as("n_tokens"))
+        .orderBy("lang")
+    }),
+
     "pipeline_assemble" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // This round's full corpus-ASSEMBLY story in one DAG: quality floor
@@ -4520,6 +4549,47 @@ object SparkEntry {
          |SELECT * FROM (
          |${legs.mkString("\nUNION ALL ")}
          |) ORDER BY feature""".stripMargin
+    },
+
+    // The round-12 curation chain replayed stage by stage from the shared
+    // fragments: metric gate → DSIR (model AND scoring over the gated set
+    // via the membership predicate) → top-200 → sqrt-share temperature
+    // mix → global-window length bins → per-language manifest.
+    "pipeline_curate" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      val tokCount =
+        """(CASE WHEN len(trim(text)) = 0 THEN 0
+          |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)""".stripMargin
+      val gatePred = "doc_id IN (SELECT doc_id FROM gated)"
+      s"""WITH gated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, $tokCount::BIGINT AS wc,
+         |      len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::BIGINT AS aw
+         |    FROM documents)
+         |  WHERE wc >= 30 AND aw::DOUBLE / wc >= 0.8
+         |), ${dsirCtes(gatePred, gatePred)}, sel AS (
+         |  SELECT doc_id, lang FROM scored
+         |  ORDER BY bits_per_1k DESC, doc_id LIMIT 200
+         |), cnt AS (
+         |  SELECT lang, count(*)::BIGINT AS c FROM sel GROUP BY lang
+         |), scl AS (
+         |  SELECT min(c / sqrt(c)) AS scale FROM cnt
+         |), mixed AS (
+         |  SELECT s.doc_id, s.lang
+         |  FROM sel s JOIN cnt ON cnt.lang = s.lang, scl
+         |  WHERE $u < sqrt(cnt.c) * scl.scale / cnt.c
+         |), bd AS (
+         |  SELECT m.doc_id, m.lang, $tokCount::BIGINT AS n_tok, $u AS bu
+         |  FROM mixed m JOIN documents USING (doc_id)
+         |), br AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    row_number() OVER (PARTITION BY n_tok ORDER BY bu, doc_id) - 1 AS rk
+         |  FROM bd WHERE n_tok BETWEEN 1 AND 256
+         |)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT (n_tok, rk // (256 // n_tok)))::BIGINT AS n_bins,
+         |  sum(n_tok)::BIGINT AS n_tokens
+         |FROM br GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // The two-phase rank restated as ONE global per-length window — the

@@ -47,7 +47,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_range_buckets", "g_filters_agg", "ann_ivf_incremental",
     "g_top_hits", "g_composite_pages", "sample_mix_temperature",
     "decontaminate_semantic", "join_rolling_features", "pack_length_bins",
-    "drift_report")
+    "drift_report", "pipeline_curate")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet
