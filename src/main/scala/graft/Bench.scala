@@ -44,7 +44,8 @@ object Bench {
     // (as it silently did for quality_classifier_* through r11, inflating
     // the serving subtotal by those pipeline queries' cost)
     val pipeline = Seq("ann_", "dedup_", "decontaminate_", "sample_", "pack_",
-      "text_", "vocab_", "join_", "mm_", "pipeline_", "layout_", "quality_")
+      "text_", "vocab_", "join_", "mm_", "pipeline_", "layout_", "quality_",
+      "drift_", "feat_")
     if (pipeline.exists(name.startsWith)) "pipeline"
     else if (serving.exists(name.startsWith)) "serving"
     else "etl"
