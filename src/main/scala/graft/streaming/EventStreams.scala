@@ -599,6 +599,74 @@ object EventStreams {
     } finally merged.unpersist()
   }
 
+  /** Maintain drift-detection histograms from a document stream: per
+    * micro-batch, each named bucketing's counts append at rest stamped
+    * with the epoch — histogram counts are sum-mergeable (the defining
+    * property every increment table here shares), so the corpus-so-far
+    * histogram is a group-sum away and [[graft.ops.Drift]]'s comparisons
+    * run against a FROZEN reference snapshot without re-reading any
+    * corpus text. Increment volume per batch is Σ bucket cardinalities —
+    * a schema property, not a data-volume one. Same replay contract as
+    * [[maintainGramDf]] (per-(feature, bucket, epoch) dedup).
+    */
+  def maintainDriftHistograms(
+      docs: DataFrame,
+      features: Seq[(String, Column)],
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(features.nonEmpty, "maintainDriftHistograms: at least one feature")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        features.map { case (name, bucket) =>
+          batch.groupBy(bucket.cast("string").as("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(name).as("feature"), col("bucket"), col("n"))
+        }.reduce(_.unionByName(_))
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+  }
+
+  /** The corpus-so-far histograms implied by [[maintainDriftHistograms]]'
+    * increments: replay-deduped per (feature, bucket, epoch), then
+    * sum-merged — `(feature, bucket, n)`. Feed two of these (or one
+    * against a frozen reference) to [[driftFromHistograms]].
+    */
+  def driftHistogramsFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("feature", "bucket", "inc_batch_id"))
+      .groupBy("feature", "bucket")
+      .agg(sum(col("n")).as("n"))
+
+  /** [[graft.ops.Drift.driftReport]] computed from two HISTOGRAM frames
+    * (`(feature, bucket, n)`) instead of two corpora — the serve-time
+    * form for streamed maintenance: shares derive per feature, the
+    * compare is the same full-outer bucket join and exact-arithmetic
+    * TVD / symmetric chi-square.
+    */
+  def driftFromHistograms(a: DataFrame, b: DataFrame): DataFrame = {
+    def shares(df: DataFrame) = df
+      .withColumn("_tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("feature")))
+      .select(col("feature"), col("bucket"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("share"))
+    shares(a).withColumnRenamed("share", "p")
+      .join(shares(b).withColumnRenamed("share", "q"),
+        Seq("feature", "bucket"), "full_outer")
+      .select(col("feature"),
+        coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+      .groupBy("feature")
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tvd"),
+        round(sum((col("p") - col("q")) * (col("p") - col("q")) /
+          (col("p") + col("q"))), 6).as("chi2_sym"))
+  }
+
   /** Maintain an at-rest IVF ANN index from a vector stream: per
     * micro-batch, [[graft.ops.Similarity.assignCells]] assigns incoming
     * vectors to the FROZEN centroid table (row-local, centroids are plan

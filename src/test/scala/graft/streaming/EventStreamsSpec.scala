@@ -445,6 +445,57 @@ class EventStreamsSpec extends SparkSpecBase {
       "post-compaction appends diverged from the from-scratch profile")
   }
 
+  test("streaming drift histograms converge to the whole corpus and serve drift") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val docs = (1L to 40L).map(i => (i, if (i % 4 == 0) "xx" else "en"))
+    val features = Seq[(String, org.apache.spark.sql.Column)](
+      "lang" -> col("lang"), "parity" -> pmod(col("doc_id"), lit(2)))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainDriftHistograms(
+      mem.toDS().toDF("doc_id", "lang"), features,
+      incPath, dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(docs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("feature", "bucket").collect().map(_.toSeq).toSeq
+    val allDocs = docs.toDF("doc_id", "lang")
+    val whole = features.map { case (n, c) =>
+      allDocs.groupBy(c.cast("string").as("bucket"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .select(lit(n).as("feature"), col("bucket"), col("n"))
+    }.reduce(_.unionByName(_))
+    val streamed = EventStreams.driftHistogramsFromIncrements(spark, incPath)
+    assert(canon(streamed) === canon(whole))
+
+    // a replayed epoch must not inflate any count
+    spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+      .write.mode("append").parquet(incPath)
+    assert(canon(EventStreams.driftHistogramsFromIncrements(spark, incPath))
+      === canon(whole), "a replayed epoch inflated the histograms")
+
+    // drift served from the streamed histograms against a shifted
+    // reference equals the same computation from batch histograms
+    val ref = features.map { case (n, c) =>
+      allDocs.where(col("doc_id") <= 20)
+        .groupBy(c.cast("string").as("bucket"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .select(lit(n).as("feature"), col("bucket"), col("n"))
+    }.reduce(_.unionByName(_))
+    def canonDrift(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("feature").collect().map(_.toSeq).toSeq
+    assert(canonDrift(EventStreams.driftFromHistograms(streamed, ref))
+      === canonDrift(EventStreams.driftFromHistograms(whole, ref)))
+  }
+
   test("streaming example assembly matches the batch twin once horizons close") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, floor}
