@@ -136,6 +136,9 @@ object Bench {
       "g_percentiles",
       // same split for the numeric histogram
       "g_histogram",
+      // the inverse-percentile pair rides the visible g_percentiles_preagg
+      // (identical rollup scan, two conditional sums instead of rank math)
+      "g_percentile_ranks", "g_percentile_ranks_preagg",
       // one-pass conditional-sum family: the FilterSpec-driven filters
       // form is the visible number; range buckets share its plan shape
       "g_range_buckets",

@@ -1694,6 +1694,28 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.75, 0.95), 10)
     }),
 
+    "g_percentile_ranks" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES percentile_ranks (the inverse of percentiles): fraction of
+      // each bucket's values at or below 100 / 500 — the scan form,
+      // pure count-ratio arithmetic.
+      Aggs.termsWithMetrics(loadEvents(dir), "event_type",
+        Seq(100.0, 500.0).map(v =>
+          (sum(when(col("value") <= v, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("rank_" + math.round(v))), 10)
+    }),
+
+    "g_percentile_ranks_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same ranks from the at-rest pair rollup: a weighted count
+      // ratio over (bucket, value, cnt) rows — exact, no interpolation,
+      // shared oracle (serving invisible).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.termsPercentileRanks(pre, "event_type", "value",
+        Seq(100.0, 500.0), 10)
+    }),
+
     "g_histogram" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES numeric histogram bucket agg (dateHistogram's fixed-interval
@@ -3257,6 +3279,13 @@ object SparkEntry {
   private val esRanges: Seq[(Option[Double], Option[Double])] =
     Seq((None, Some(10.0)), (Some(10.0), Some(100.0)), (Some(100.0), None))
 
+  private val percentileRanksOracleSql =
+    """SELECT event_type, count(*)::BIGINT AS count,
+      |  sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS rank_100,
+      |  sum(CASE WHEN value <= 500.0 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS rank_500
+      |FROM events GROUP BY 1
+      |ORDER BY count DESC, event_type ASC LIMIT 10""".stripMargin
+
   private val histogramOracleSql =
     """SELECT floor(value / 50.0) * 50.0 AS bucket, count(*)::BIGINT AS count
       |FROM events WHERE value IS NOT NULL
@@ -3997,6 +4026,11 @@ object SparkEntry {
     // Spark's exact percentile, weighted or not.
     "g_percentiles" -> percentilesOracleSql,
     "g_percentiles_preagg" -> percentilesOracleSql,
+
+    // One shared restatement for the rank pair: a count ratio is the same
+    // two IEEE-exact integers divided once, scan or rollup.
+    "g_percentile_ranks" -> percentileRanksOracleSql,
+    "g_percentile_ranks_preagg" -> percentileRanksOracleSql,
 
     // One shared restatement for the scan histogram and its rollup-served
     // twin (quantization commutes with the rollup).

@@ -286,6 +286,33 @@ object PreAgg {
       .orderBy(asc("bucket"))
   }
 
+  /** ES "Percentile Ranks" (the inverse metric: what fraction of the
+    * bucket's values sit at or below each given value) served EXACTLY
+    * from the pair rollup — a pure weighted count ratio
+    * `Σ cnt[value ≤ x] / Σ cnt`, no interpolation and no transcendental,
+    * so it hash-matches the scan restatement bit for bit. Same covering
+    * trade as [[termsPercentiles]].
+    */
+  def termsPercentileRanks(
+      pre: DataFrame,
+      field: String,
+      metric: String,
+      values: Seq[Double],
+      n: Int = 10): DataFrame = {
+    require(pre.columns.contains(metric),
+      s"percentile-rank metric '$metric' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    require(values.nonEmpty, "at least one rank value")
+    val rcols = values.map(v =>
+      (sum(when(col(s"`$metric`") <= v, col(CntCol)).otherwise(0L))
+        .cast("double") / sum(col(CntCol)).cast("double"))
+        .as("rank_" + math.round(v)))
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"), rcols: _*)
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** Suffix of rollup quantile-sketch measures. */
   val QuantileSketchSuffix = "_kll"
 

@@ -47,7 +47,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_range_buckets", "g_filters_agg", "ann_ivf_incremental",
     "g_top_hits", "g_composite_pages", "sample_mix_temperature",
     "decontaminate_semantic", "join_rolling_features", "pack_length_bins",
-    "drift_report", "pipeline_curate")
+    "drift_report", "pipeline_curate", "g_percentile_ranks",
+    "g_percentile_ranks_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

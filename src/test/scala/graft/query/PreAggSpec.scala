@@ -237,6 +237,25 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("not a rollup dimension"))
   }
 
+  test("termsPercentileRanks from the pair rollup equals the corpus-scan ratios") {
+    val pre = PreAgg.increment(corpus, dims)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val vals = Seq(2015.0, 2016.0)
+    assert(canon(PreAgg.termsPercentileRanks(pre, "city", "year", vals, 3))
+      === canon(Aggs.termsWithMetrics(corpus, "city",
+        vals.map(v => (sum(when(col("year") <= v, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("rank_" + math.round(v))), 3)))
+    // hand check: balt years {2015, 2015, 2016} -> rank_2015 = 2/3
+    val balt = PreAgg.termsPercentileRanks(pre, "city", "year", vals, 3)
+      .where(col("city") === "balt").select("rank_2015", "rank_2016")
+      .as[(Double, Double)].head()
+    assert(balt === ((2.0 / 3, 1.0)))
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.termsPercentileRanks(pre, "city", "geolocation", vals)
+    }.getMessage.contains("not a rollup dimension"))
+  }
+
   test("termsPercentiles fails loudly on a non-dimension metric or bad p") {
     val pre = PreAgg.increment(corpus, dims)
     assert(intercept[IllegalArgumentException] {
