@@ -36,19 +36,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * next round's artifact lands, the staleness check below forces this
     * list back toward empty.
     */
-  private val newSinceLastArtifact = Set(
-    "join_bucketed", "pipeline_assemble_published", "g6_geohash_preagg",
-    "text_boilerplate_stream", "quality_lm_score", "quality_lm_filter",
-    "g_cardinality", "g_cardinality_preagg", "vocab_bpe_merges",
-    "text_bpe_tokens", "sample_importance", "sample_importance_priority",
-    "sample_importance_stream", "text_gopher_rules", "dedup_semantic",
-    "dedup_semantic_probe", "g_percentiles", "g_percentiles_preagg",
-    "text_normalize", "g_histogram", "g_histogram_preagg",
-    "g_range_buckets", "g_filters_agg", "ann_ivf_incremental",
-    "g_top_hits", "g_composite_pages", "sample_mix_temperature",
-    "decontaminate_semantic", "join_rolling_features", "pack_length_bins",
-    "drift_report", "pipeline_curate", "g_percentile_ranks",
-    "g_percentile_ranks_preagg")
+  private val newSinceLastArtifact: Set[String] = Set.empty
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet
