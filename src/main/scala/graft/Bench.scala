@@ -97,7 +97,7 @@ object Bench {
       // refinement/variant twins of visible bases (full numbers live in
       // BENCH_DETAIL.json — the capture-window budget prunes only the
       // headline, never the committed data)
-      "ann_ivf_nlist256", "ann_ivfpq_nlist256",
+      "ann_ivf_nlist256", "ann_ivfpq_nlist256", "ann_ivf_sampled",
       // at-rest-index maintenance twin of the visible ann_ivf (same
       // serving plan over the published index)
       "ann_ivf_incremental",

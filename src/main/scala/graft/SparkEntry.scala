@@ -747,19 +747,20 @@ object SparkEntry {
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
   private def ivfAssignCtesSql(nlist: Int, refineIters: Int = 0,
-      centPred: String = "TRUE"): String = {
-    require(centPred == "TRUE" || refineIters == 0,
-      "a restricted centroid source is only restated for refineIters=0 " +
-        "(the refinement rounds below assign over the full corpus)")
+      trainPred: String = "TRUE"): String = {
     val u = ops.Sampling.hashUnitSql("vec_id", 42)
-    // Cell assignment against centroid table `centTable`, emitting
-    // sim/cellranked/assigned with `sfx`.
-    def assignBlock(centTable: String, sfx: String): String =
+    // Cell assignment of source table `src` against centroid table
+    // `centTable`, emitting sim/cellranked/assigned with `sfx`. The
+    // refinement rounds assign the TRAINING set `et` (matching
+    // kmeansCentroids, which refines over its — possibly trainCap-bounded —
+    // training frame); the final serving assignment runs over the full
+    // corpus `e` against the frozen result.
+    def assignBlock(centTable: String, sfx: String, src: String): String =
       s"""sim$sfx AS (
-         |  SELECT e.vec_id, e.v, $centTable.cell,
-         |    list_inner_product(e.v, $centTable.cv)
-         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product($centTable.cv, $centTable.cv))) AS ccos
-         |  FROM e, $centTable
+         |  SELECT $src.vec_id, $src.v, $centTable.cell,
+         |    list_inner_product($src.v, $centTable.cv)
+         |      / (sqrt(list_inner_product($src.v, $src.v)) * sqrt(list_inner_product($centTable.cv, $centTable.cv))) AS ccos
+         |  FROM $src, $centTable
          |), cellranked$sfx AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY ccos DESC, cell ASC) AS r
@@ -769,9 +770,10 @@ object SparkEntry {
          |)""".stripMargin
     val init =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |et AS (SELECT * FROM e WHERE $trainPred),
          |cent_0 AS (
          |  SELECT row_number() OVER (ORDER BY u, vec_id) - 1 AS cell, v AS cv
-         |  FROM (SELECT vec_id, v, $u AS u FROM e WHERE $centPred)
+         |  FROM (SELECT vec_id, v, $u AS u FROM et)
          |  ORDER BY u, vec_id LIMIT $nlist
          |)""".stripMargin
     // One k-means round: assign against cent_r, then the BIT-STABLE cell
@@ -783,7 +785,7 @@ object SparkEntry {
     val rounds = (0 until refineIters).map { r =>
       val sfx = s"_$r"
       val next = if (r == refineIters - 1) "cent" else s"cent_${r + 1}"
-      s"""${assignBlock(s"cent_$r", sfx)}, sums$sfx AS (
+      s"""${assignBlock(s"cent_$r", sfx, "et")}, sums$sfx AS (
          |  SELECT cell, count(*) AS n,
          |    list_reduce(list(v ORDER BY vec_id),
          |      (a, b) -> list_transform(generate_series(1, len(a)), ii -> a[ii] + b[ii])) AS s
@@ -797,7 +799,7 @@ object SparkEntry {
     }
     val centAlias =
       if (refineIters == 0) Seq("cent AS (SELECT * FROM cent_0)") else Nil
-    (Seq(init) ++ rounds ++ centAlias ++ Seq(assignBlock("cent", ""))).mkString(",\n")
+    (Seq(init) ++ rounds ++ centAlias ++ Seq(assignBlock("cent", "", "e"))).mkString(",\n")
   }
 
   /** The IVF-PQ pipeline in DuckDB (refineIters=0), continuing
@@ -2054,6 +2056,25 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 5, nlist = 256, nprobe = 16,
           refineIters = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_sampled" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The 100 TB-shaped index BUILD: k-means refinement trains on a
+      // trainingFrame-bounded deterministic sample (the FAISS discipline —
+      // an index trains on ≤ ~256·nlist points, never the corpus), so the
+      // ordered-fold cell means buffer ~trainCap/nlist vectors instead of
+      // ~n/nlist. Fully oracled: the sample is a portable md5-unit
+      // threshold (trainingFramePredSql), the refine round replays over
+      // exactly the sampled rows, and serving assigns the full corpus
+      // against the frozen refined centroids.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
+          refineIters = 1, trainCap = 200)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -5619,10 +5640,10 @@ object SparkEntry {
     // their top-3; ranking is the brute-force shape over cell-joined
     // candidates.
     // Frozen-centroid incremental index restated: centroids come from the
-    // initial half only (centPred), assignment and probing run over the
+    // initial half only (trainPred), assignment and probing run over the
     // whole corpus against them — the maintained index's serve-time view.
     "ann_ivf_incremental" -> {
-      s"""WITH ${ivfAssignCtesSql(nlist = 8, centPred = "vec_id % 2 = 0")}, qprobe AS (
+      s"""WITH ${ivfAssignCtesSql(nlist = 8, trainPred = "vec_id % 2 = 0")}, qprobe AS (
          |  SELECT vec_id AS query_id, v AS qv, cell
          |  FROM cellranked WHERE r <= 3 AND vec_id < 5
          |), scored AS (
@@ -5666,6 +5687,31 @@ object SparkEntry {
       s"""WITH ${ivfAssignCtesSql(nlist = 256, refineIters = 1)}, qprobe AS (
          |  SELECT vec_id AS query_id, v AS qv, cell
          |  FROM cellranked WHERE r <= 16 AND vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(a.v, q.qv)
+         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // The sampled-training build twin: the training set is the portable
+    // md5-unit threshold sample (trainingFramePredSql — LEAST/count
+    // arithmetic matches the engine's IEEE min(1.0, 1.05·cap/n) exactly),
+    // the refine round folds cell means over SAMPLED rows only, and the
+    // serving assignment runs the full corpus against the frozen result.
+    "ann_ivf_sampled" -> {
+      val pred = ops.Similarity.trainingFramePredSql("embeddings", "vec_id", cap = 200)
+      s"""WITH ${ivfAssignCtesSql(nlist = 8, refineIters = 1, trainPred = pred)}, qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 3 AND vec_id < 5
          |), scored AS (
          |  SELECT q.query_id, a.vec_id AS neighbor_id,
          |    list_inner_product(a.v, q.qv)

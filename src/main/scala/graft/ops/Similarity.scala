@@ -194,18 +194,72 @@ object Similarity {
        |                ELSE zip_with(acc, r.$vecField, (a, b) -> a + b) END),
        |  x -> x / cast(size(`$rowsCol`) as double))""".stripMargin)
 
+  /** Deterministic bounded training set — the FAISS discipline (an index
+    * trains on a sample, never the corpus): keep the rows whose seeded
+    * hash-unit lands under `(1.05 · cap) / n`, i.e. (within binomial
+    * noise) the ~cap smallest hash-units. Threshold form, not
+    * `orderBy.limit`: the sample stays DISTRIBUTED (no global sort, no
+    * single-partition limit) and — because the kept rows are exactly those
+    * below the cut — it is a SUPERSET of any k-smallest-(hashUnit, id)
+    * init pick whenever it holds ≥ k rows, so init selection is unchanged
+    * by the cap. Deterministic per (id, seed, cap, n) and restated in SQL
+    * by the same threshold over [[Sampling.hashUnitSql]].
+    *
+    * `cap <= 0` (the default everywhere) disables the bound — full-corpus
+    * training, bit-identical to the historical behavior. `materialize`
+    * localCheckpoints the ≤ ~1.05·cap-row sample so a refinement loop
+    * re-scans the sample, not the corpus (without it every k-means round
+    * would still read all n rows just to drop them — the corpus-sized
+    * per-iteration cost the cap exists to remove).
+    */
+  private[graft] def trainingFrame(
+      df: DataFrame, idCol: String, cap: Int, seed: Int,
+      materialize: Boolean): DataFrame = {
+    if (cap <= 0) df
+    else {
+      val n = df.count()
+      if (n <= cap) df
+      else {
+        val s = Sampling.hashSample(df, idCol, math.min(1.0, (1.05 * cap) / n), seed)
+        if (materialize) s.localCheckpoint() else s
+      }
+    }
+  }
+
+  /** The oracle-side restatement of [[trainingFrame]]'s keep predicate
+    * over `tableName` (same seeded md5-unit hash, same IEEE threshold
+    * arithmetic — `LEAST` + a scalar-subquery count matches
+    * `math.min(1.0, (1.05 · cap) / n)` exactly).
+    */
+  def trainingFramePredSql(tableName: String, keyExpr: String, cap: Int,
+      seed: Int = 42): String =
+    s"${Sampling.hashUnitSql(keyExpr, seed)} < LEAST(CAST(1.0 AS DOUBLE), " +
+      s"CAST(${1.05 * cap} AS DOUBLE) / CAST((SELECT count(*) FROM $tableName) AS DOUBLE))"
+
   /** Deterministic coarse centroids with optional spherical k-means
-    * refinement: init = the `k` corpus vectors with the smallest seeded
+    * refinement: init = the `k` training vectors with the smallest seeded
     * hash-unit of their id (reproducible on any cluster); each refinement
     * round reassigns rows to their nearest centroid and recomputes cell
     * means with the bit-stable ordered fold ([[orderedCellMean]] — sums in
     * ascending-id order, so refined centroids reproduce exactly in any
     * engine). Empty cells keep their previous centroid.
+    *
+    * `trainCap > 0` bounds the training set with [[trainingFrame]] —
+    * REQUIRED at scale: the ordered cell mean buffers one cell's vectors
+    * in one aggregation buffer, so full-corpus training holds ~n/k vectors
+    * per buffer (an executor OOM at 100× corpus), while capped training
+    * holds ~cap/k. FAISS's own sizing (≤ ~256·k training points) is the
+    * recommended cap; `0` keeps full-corpus training for small corpora and
+    * oracle twins. Init is IDENTICAL under any cap ≥ k (the threshold
+    * sample contains every k-smallest-hash row), so `iters = 0` results
+    * are cap-invariant.
     */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, seed: Int = 42): Seq[Array[Double]] = {
-    val c = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+      k: Int, iters: Int, seed: Int = 42, trainCap: Int = 0): Seq[Array[Double]] = {
+    val c = trainingFrame(
+      spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))),
+      "_id", trainCap, seed, materialize = iters > 0)
     var centroids: Seq[Array[Double]] = c
       .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
       .orderBy("_u", "_id").limit(k)
@@ -233,8 +287,9 @@ object Similarity {
       nprobe: Int = 4,
       refineIters: Int = 0,
       seed: Int = 42,
-      excludeSelf: Boolean = true): DataFrame = {
-    val centroids = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed)
+      excludeSelf: Boolean = true,
+      trainCap: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed, trainCap)
     ivfTopKFromIndex(assignCells(corpus, corpusId, corpusVec, centroids),
       centroids, queries, queryId, queryVec, k, nprobe, excludeSelf)
   }
@@ -305,10 +360,17 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ksub: Int,
       refineIters: Int = 0, seed: Int = 42,
-      coarse: Option[Seq[Array[Double]]] = None): Seq[Seq[Array[Double]]] = {
+      coarse: Option[Seq[Array[Double]]] = None,
+      trainCap: Int = 0): Seq[Seq[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val raw = spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
+    // trainCap bounds the codebook training set BEFORE residualization
+    // (same [[trainingFrame]] contract as kmeansCentroids — the ksub init
+    // pick is cap-invariant), so a capped refinement never residualizes
+    // or aggregates more than ~cap rows.
+    val raw = trainingFrame(
+      spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))),
+      "_id", trainCap, seed, materialize = refineIters > 0)
     def residualized(df: DataFrame): DataFrame = coarse match {
       case Some(cents) => df
         .withColumn("_cell", nearestCells(col("_v"), cents, 1).getItem(0))
@@ -337,15 +399,19 @@ object Similarity {
     */
   def pqCodebooksFromFrame(
       frame: DataFrame, dim: Int, m: Int, ksub: Int,
-      refineIters: Int, seed: Int): Seq[Seq[Array[Double]]] = {
+      refineIters: Int, seed: Int, trainCap: Int = 0): Seq[Seq[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val initRows = frame
+    // No localCheckpoint here even under a cap: the frame this path gets is
+    // already materialized by its caller (ivfPqTopK persists the residual
+    // frame), so the capped filter re-reads cached blocks, not the corpus.
+    val t = trainingFrame(frame, "_id", trainCap, seed, materialize = false)
+    val initRows = t
       .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
       .orderBy("_u", "_id").limit(ksub)
       .select("_v").collect().map(_.getSeq[Double](0).toArray)
     require(initRows.length == ksub, s"pqCodebooks: corpus smaller than ksub=$ksub")
-    refineBooks(frame, initRows, dsub, m, ksub, refineIters)
+    refineBooks(t, initRows, dsub, m, ksub, refineIters)
   }
 
   private def refineBooks(
@@ -422,10 +488,11 @@ object Similarity {
       ksub: Int = 16,
       refineIters: Int = 0,
       seed: Int = 42,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      trainCap: Int = 0): DataFrame = {
     require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val coarse = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed)
+    val coarse = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed, trainCap)
     // Residual codebooks (the standard FAISS IVFPQ construction): quantize
     // x − coarse_centroid(cell(x)), not x — residual magnitudes are small,
     // so the fixed m×ksub budget resolves the differences that actually
@@ -455,7 +522,7 @@ object Similarity {
     // the persisted frame on first touch.
     val books = pqCodebooksFromFrame(
       assigned.select(col("neighbor_id").as("_id"), col("_res").as("_v")),
-      dim, m, ksub, refineIters, seed)
+      dim, m, ksub, refineIters, seed, trainCap)
 
     // The PQ index: ids, coarse cell, m residual codes — the corpus vectors
     // are dropped here and never rejoin (the whole point of the
@@ -568,8 +635,8 @@ object Similarity {
   def cellStratifiedSample(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, perCell: Int,
-      refineIters: Int = 0, seed: Int = 42): DataFrame = {
-    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed)
+      refineIters: Int = 0, seed: Int = 42, trainCap: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed, trainCap)
     val c = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
       .withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
       .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
@@ -679,10 +746,11 @@ object Similarity {
       nlist: Int = 16,
       refineIters: Int = 0,
       nprobe: Int = 1,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42,
+      trainCap: Int = 0): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val vecs = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
-    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed)
+    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed, trainCap)
     if (nprobe == 1) {
       val assigned = vecs.withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
       assigned.select(col("_cell"), col("_id").as("id_a"), col("_v").as("_va"))

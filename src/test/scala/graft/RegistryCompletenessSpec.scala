@@ -36,7 +36,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * next round's artifact lands, the staleness check below forces this
     * list back toward empty.
     */
-  private val newSinceLastArtifact: Set[String] = Set.empty
+  private val newSinceLastArtifact: Set[String] = Set("ann_ivf_sampled")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -83,6 +83,52 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivf === brute)
   }
 
+  test("trainCap bounds the k-means training set deterministically") {
+    // 200 synthetic vectors on a ring; cap 40 → the training sample is a
+    // hash-threshold subset of ~42 rows, the same rows at any partitioning.
+    val big = spark.range(200).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.1), sin(col("id") * 0.1),
+        lit(0.0), lit(0.0)).as("embedding"))
+    val sampled = Similarity.trainingFrame(
+      big.select(col("vec_id").as("_id"), col("embedding").as("_v")),
+      "_id", cap = 40, seed = 42, materialize = false)
+    val n = sampled.count()
+    assert(n < 200 && n > 10, s"sample size $n should be near 42")
+    assert(sampled.select("_id").as[Long].collect().toSet ===
+      Similarity.trainingFrame(
+        big.repartition(13).select(col("vec_id").as("_id"), col("embedding").as("_v")),
+        "_id", cap = 40, seed = 42, materialize = false)
+        .select("_id").as[Long].collect().toSet)
+    // cap >= n → identity (full-corpus training unchanged)
+    assert(Similarity.trainingFrame(
+      big.select(col("vec_id").as("_id")), "_id", cap = 500, seed = 42,
+      materialize = false).count() === 200)
+  }
+
+  test("trainCap leaves init-only (iters=0) centroids unchanged, and refined centroids reproduce") {
+    val big = spark.range(200).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.1), sin(col("id") * 0.1),
+        lit(0.0), lit(0.0)).as("embedding"))
+    // Superset property: the threshold sample holds every k-smallest-hash
+    // row, so the init pick — and therefore iters=0 centroids — are
+    // cap-invariant.
+    val full0 = Similarity.kmeansCentroids(big, "vec_id", "embedding", k = 4, iters = 0)
+    val cap0 = Similarity.kmeansCentroids(big, "vec_id", "embedding", k = 4, iters = 0,
+      trainCap = 40)
+    assert(full0.map(_.toSeq) === cap0.map(_.toSeq))
+    // Capped refinement is deterministic run to run and across partitioning.
+    val capR = Similarity.kmeansCentroids(big, "vec_id", "embedding", k = 4, iters = 2,
+      trainCap = 40)
+    val capR2 = Similarity.kmeansCentroids(big.repartition(13), "vec_id", "embedding",
+      k = 4, iters = 2, trainCap = 40)
+    assert(capR.map(_.toSeq) === capR2.map(_.toSeq))
+    // ... and a capped refined index still serves a full valid ranking.
+    val q = big.where(col("vec_id") < 2)
+    val out = Similarity.ivfTopK(big, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2, refineIters = 2, trainCap = 40)
+    assert(out.count() === 6)
+  }
+
   test("vecAvg aggregates element-wise means per group, ignoring nulls") {
     val df = Seq(
       ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),
