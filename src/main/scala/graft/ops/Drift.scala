@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus drift detection — the monitoring op every production data
@@ -64,14 +65,48 @@ object Drift {
   /** [[featureDrift]] across several named bucketings in one frame:
     * `(feature, n_buckets, tvd, chi2_sym)`, one row per feature — the
     * drift DASHBOARD between two corpus snapshots.
+    *
+    * SINGLE-PASS per side regardless of feature count: every row explodes
+    * to its F `(feature, bucket)` pairs (buckets carried as strings — the
+    * engine's double/long→string rendering is injective, so grouping is
+    * unchanged) and ONE map-side-combined aggregation builds all F
+    * histograms — 2 corpus scans total where the per-feature form costs
+    * 2F (PlanSpec pins the scan count). Everything downstream operates on
+    * schema-bounded histogram frames. Join/metric arithmetic is identical
+    * to [[featureDrift]], including the NULL-bucket join convention (null
+    * keys never match — a null bucket present on both sides counts twice),
+    * so the per-feature rows hash-match the unioned form.
     */
   def driftReport(
       a: DataFrame, b: DataFrame,
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "driftReport: at least one feature")
-    features.map { case (name, bucket) =>
-      featureDrift(a, b, bucket).select(lit(name).as("feature"),
-        col("n_buckets"), col("tvd"), col("chi2_sym"))
-    }.reduce(_.unionByName(_))
+    def hist(df: DataFrame): DataFrame =
+      df.select(explode(array(features.map { case (name, bucket) =>
+          struct(lit(name).as("feature"), bucket.cast("string").as("bucket"))
+        }: _*)).as("fb"))
+        .groupBy(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("_n"))
+    // Per-feature totals come from a WINDOW over the histogram — the
+    // histogram is already partitioned by its group keys and
+    // schema-bounded, so the window is a local pass over ≤ Σ|buckets|
+    // rows and the plan holds exactly one corpus scan per side (a
+    // self-join for totals would re-derive the aggregation subtree —
+    // 2 scans per side before runtime exchange reuse).
+    def shares(h: DataFrame, out: String): DataFrame =
+      h.select(col("feature"), col("bucket"),
+        (col("_n").cast("double") /
+          sum("_n").over(Window.partitionBy("feature")).cast("double")).as(out))
+    shares(hist(a), "p")
+      .join(shares(hist(b), "q"), Seq("feature", "bucket"), "full_outer")
+      .select(col("feature"),
+        coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+      .groupBy("feature")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        round(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tvd"),
+        round(sum((col("p") - col("q")) * (col("p") - col("q")) /
+          (col("p") + col("q"))), 6).as("chi2_sym"))
   }
 }

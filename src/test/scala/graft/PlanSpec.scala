@@ -356,6 +356,27 @@ class PlanSpec extends SparkSpecBase {
       s"gram join must not sort-merge the corpus:\n$plan")
   }
 
+  test("drift report scans each snapshot once, regardless of feature count") {
+    // The unpivoted single-pass form: F features must NOT cost 2F corpus
+    // scans (the round-12 verdict measured the per-feature union at 2
+    // scans per feature per side). One exploded histogram aggregation per
+    // side; the per-feature totals reuse the histogram exchange.
+    val docs = Seq(
+      (1L, "en", "web", 5), (2L, "de", "web", 12),
+      (3L, "en", "book", 25), (4L, "fr", "web", 33),
+    ).toDF("doc_id", "lang", "source", "ntok")
+    val path = tmp(docs)
+    val d = spark.read.parquet(path)
+    val plan = planOf(graft.ops.Drift.driftReport(
+      d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+      Seq("lang" -> col("lang"), "source" -> col("source"),
+        "dec" -> (floor(col("ntok") / 10) * 10))))
+    // formatted explain prints each node twice (tree line + detail
+    // section) — count the numbered detail headers only
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected <=2 corpus scans for 3 features, got $scans:\n$plan")
+  }
+
   test("gopher battery is one row-local scan: no exchange anywhere in the plan") {
     val docs = Seq((1L, "the quick fox"), (2L, "- bullet line\nplain"))
       .toDF("doc_id", "text")

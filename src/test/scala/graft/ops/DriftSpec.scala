@@ -45,4 +45,23 @@ class DriftSpec extends SparkSpecBase {
     assert(out.map(_._1) === Seq("k", "parity"))
     assert(out.head._3 === 0.25)
   }
+
+  test("single-pass driftReport rows equal the per-feature featureDrift union") {
+    val feats = Seq("k" -> col("k"), "parity" -> (col("id") % 2),
+      "idlo" -> (col("id") < 4))
+    val onePass = Drift.driftReport(a, b, feats).orderBy("feature")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val union = feats.map { case (name, bucket) =>
+      val r = Drift.featureDrift(a, b, bucket).as[(Long, Double, Double)].head()
+      (name, r._1, r._2, r._3)
+    }.sortBy(_._1)
+    assert(onePass === union)
+  }
+
+  test("driftReport keeps the null-never-matches bucket convention of featureDrift") {
+    val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("id", "k")
+    val out = Drift.driftReport(a, withNull, Seq("k" -> col("k")))
+      .as[(String, Long, Double, Double)].head()
+    assert(out._2 === 3L && out._3 === 0.5)
+  }
 }
