@@ -159,8 +159,8 @@ object Bench {
       // number
       "search_hybrid_rrf",
       // ANN family keeps bruteforce (the exact baseline) and ivf/ivfpq
-      // (the scale paths) visible; the sign-LSH variant rides in DETAIL
-      "ann_lsh",
+      // (the scale paths) visible; the sign-LSH variants ride in DETAIL
+      "ann_lsh", "ann_lsh_probe",
       // windowed counts are the simpler half of the streaming pair —
       // stream_sessionize stays the family's visible number
       "stream_window_counts",

@@ -2329,6 +2329,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_lsh_probe" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The 2-bit multi-probe recall dial: queries also visit every bucket
+      // within 2 sign flips (1 + 6 + C(6,2) = 22 probes of an ids-only
+      // stream), recovering neighbors that 1-bit probing misses. The
+      // oracle's candidate predicate is the symmetric hamming distance
+      // <= 2 over the same inlined seeded hyperplane buckets.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, dim = 64, numPlanes = 6,
+          probeBits = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ===== Training-data ops: text analysis =====
 
     "text_profile" -> ((s, dir) => {
@@ -5622,6 +5638,28 @@ object SparkEntry {
          |      / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
          |  FROM b c, q
          |  WHERE c.vec_id <> q.vec_id AND bit_count(xor(c.bkt, q.bkt)) <= 1
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // 2-bit multi-probe twin: same buckets, hamming predicate loosened to
+    // <= 2 — exactly the candidate set the mask enumeration visits.
+    "ann_lsh_probe" -> {
+      val bucket = Similarity.lshBucketSql("v", dim = 64, numPlanes = 6, seed = 42L)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bkt FROM e),
+         |q AS (SELECT * FROM b WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_inner_product(c.v, q.v)
+         |      / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+         |  FROM b c, q
+         |  WHERE c.vec_id <> q.vec_id AND bit_count(xor(c.bkt, q.bkt)) <= 2
          |), ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id ASC) AS rank

@@ -99,14 +99,24 @@ object Similarity {
     val c = cVecs.withColumn("_bucket", lshBucket(col("_cv"), planes))
       .select("neighbor_id", "_bucket")
     // Each query probes its own bucket plus every bucket within `probeBits`
-    // sign flips (only 1 supported — the useful regime for small numPlanes).
-    require(probeBits <= 1, "multi-probe beyond 1 bit not implemented")
+    // sign flips: the XOR masks are every ≤ probeBits-bit pattern over
+    // numPlanes bits, enumerated on the driver (deterministic, plan
+    // literals). Probe count is Σ_{j≤probeBits} C(numPlanes, j) — the
+    // caller's recall/cost dial; the fan-out multiplies an ids-only
+    // stream (see below), never the vectors.
+    require(probeBits >= 0 && probeBits <= numPlanes,
+      s"probeBits=$probeBits out of range [0, numPlanes=$numPlanes]")
+    val probeMasks: Seq[Long] = {
+      def combos(start: Int, remaining: Int): Seq[Long] =
+        if (remaining == 0) Seq(0L)
+        else (start until numPlanes).flatMap(i =>
+          combos(i + 1, remaining - 1).map(m => m | (1L << i)))
+      (0 to probeBits).flatMap(j => combos(0, j))
+    }
     val qVecs = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
     val qBase = qVecs.withColumn("_qbucket", lshBucket(col("_qv"), planes))
     val probes =
-      if (probeBits == 0) array(col("_qbucket"))
-      else array(col("_qbucket") +: (0 until numPlanes).map(i =>
-        col("_qbucket").bitwiseXOR(lit(1L << i))): _*)
+      array(probeMasks.map(m => col("_qbucket").bitwiseXOR(lit(m))): _*)
     val q = qBase.withColumn("_bucket", explode(probes))
       .select("query_id", "_bucket")
     // Candidate generation and its multi-probe dedup carry ONLY the two ids:

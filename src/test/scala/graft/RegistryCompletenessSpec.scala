@@ -36,7 +36,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * next round's artifact lands, the staleness check below forces this
     * list back toward empty.
     */
-  private val newSinceLastArtifact: Set[String] = Set("ann_ivf_sampled")
+  private val newSinceLastArtifact: Set[String] = Set(
+    "ann_ivf_sampled", "ann_lsh_probe")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -129,6 +129,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.count() === 6)
   }
 
+  test("lshTopK recall vs brute force is monotone in probeBits, exhaustive at numPlanes") {
+    // 60 ring vectors in dim 8 — enough bucket diversity that probeBits
+    // actually changes the candidate set.
+    val big = spark.range(60).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.4), sin(col("id") * 0.4),
+        cos(col("id") * 0.7), sin(col("id") * 0.7),
+        lit(0.1), lit(0.2), lit(0.3), lit(0.4)).as("embedding"))
+    val q = big.where(col("vec_id") < 6)
+    val brute = Similarity.bruteForceTopK(big, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(pb: Int): Double = {
+      val got = Similarity.lshTopK(big, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 3, dim = 8, numPlanes = 5, probeBits = pb)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val rs = Seq(0, 1, 2, 3, 5).map(recall)
+    assert(rs.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must be monotone in probeBits: $rs")
+    // probeBits = numPlanes visits every bucket → brute-force equal
+    assert(rs.last === 1.0)
+  }
+
   test("vecAvg aggregates element-wise means per group, ignoring nulls") {
     val df = Seq(
       ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),
