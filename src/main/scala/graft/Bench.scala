@@ -103,7 +103,8 @@ object Bench {
       "ann_ivf_incremental",
       "dedup_exact_fingerprint", "dedup_exact_incremental",
       "decontaminate_fuzzy", "decontaminate_containment",
-      "join_asof_forward", "q6_phrase_prefix_indexed",
+      "join_asof_forward", "join_rolling_features_chunked",
+      "q6_phrase_prefix_indexed",
       "sample_split", "sample_stratified", "sample_embedding_percell",
       "sample_mix_sources", "sample_mix_temperature", "pack_sequences_text",
       // same bucketed-prefix plan family as the visible pack_sequences

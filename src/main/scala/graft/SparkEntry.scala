@@ -746,6 +746,32 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
+  /** Windowed point-in-time assembly restated once — shared verbatim by
+    * `join_rolling_features` and its time-chunked execution twin.
+    */
+  private val rollingFeaturesOracle: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS t,
+      |    (event_type = 'click') AS a,
+      |    (event_type = 'purchase') AS o,
+      |    CASE WHEN event_type = 'purchase' THEN floor(value * 100)::BIGINT END AS v
+      |  FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, a,
+      |    coalesce(sum(CASE WHEN o THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY t
+      |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_outcomes_past,
+      |    coalesce(sum(v) OVER (
+      |      PARTITION BY user_id ORDER BY t
+      |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS value_past,
+      |    (coalesce(sum(CASE WHEN o THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY t
+      |      RANGE BETWEEN 1 FOLLOWING AND 259200000 FOLLOWING), 0) > 0) AS converted
+      |  FROM b
+      |)
+      |SELECT event_id, user_id, n_outcomes_past, value_past, converted
+      |FROM w WHERE a ORDER BY event_id""".stripMargin
+
   private def ivfAssignCtesSql(nlist: Int, refineIters: Int = 0,
       trainPred: String = "TRUE"): String = {
     val u = ops.Sampling.hashUnitSql("vec_id", 42)
@@ -2205,6 +2231,24 @@ object SparkEntry {
           featureWindowMs = 7L * 24 * 3600 * 1000,
           labelWindowMs = 3L * 24 * 3600 * 1000,
           carry = Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
+    "join_rolling_features_chunked" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The mega-entity-safe execution of the same assembly: the window
+      // partitions by (user, 7-day chunk) with halo replication across
+      // boundaries, so one pathological entity's ordered pass spreads
+      // over span/chunk tasks instead of serializing — and the result is
+      // row-identical (same oracle text as join_rolling_features).
+      ops.Features.rollingExamples(loadEvents(dir), "user_id", "ts",
+          anchorCond = col("event_type") === "click",
+          outcomeCond = col("event_type") === "purchase",
+          valueCol = floor(col("value") * 100),
+          featureWindowMs = 7L * 24 * 3600 * 1000,
+          labelWindowMs = 3L * 24 * 3600 * 1000,
+          carry = Seq("event_id"),
+          chunkMs = 7L * 24 * 3600 * 1000)
         .orderBy("event_id")
     }),
 
@@ -5786,28 +5830,12 @@ object SparkEntry {
     // The point-in-time frames restated as the same RANGE windows over
     // epoch ms — strict [-7d, -1ms] past, strict [+1ms, +3d] future; the
     // cent-sum is an integer aggregate, immune to frame order.
-    "join_rolling_features" ->
-      """WITH b AS (
-        |  SELECT event_id, user_id, epoch_ms(ts) AS t,
-        |    (event_type = 'click') AS a,
-        |    (event_type = 'purchase') AS o,
-        |    CASE WHEN event_type = 'purchase' THEN floor(value * 100)::BIGINT END AS v
-        |  FROM events
-        |), w AS (
-        |  SELECT event_id, user_id, a,
-        |    coalesce(sum(CASE WHEN o THEN 1 ELSE 0 END) OVER (
-        |      PARTITION BY user_id ORDER BY t
-        |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS n_outcomes_past,
-        |    coalesce(sum(v) OVER (
-        |      PARTITION BY user_id ORDER BY t
-        |      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS value_past,
-        |    (coalesce(sum(CASE WHEN o THEN 1 ELSE 0 END) OVER (
-        |      PARTITION BY user_id ORDER BY t
-        |      RANGE BETWEEN 1 FOLLOWING AND 259200000 FOLLOWING), 0) > 0) AS converted
-        |  FROM b
-        |)
-        |SELECT event_id, user_id, n_outcomes_past, value_past, converted
-        |FROM w WHERE a ORDER BY event_id""".stripMargin,
+    "join_rolling_features" -> rollingFeaturesOracle,
+
+    // The chunked mega-entity twin shares the oracle VERBATIM: chunking
+    // with halo replication is an execution-layout choice that must be
+    // invisible in the result.
+    "join_rolling_features_chunked" -> rollingFeaturesOracle,
 
     // The naive all-pairs overlap predicate — a different algorithm from
     // the engine's binning rewrite, so the dedup-free bin emission is

@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   * with the anchor is neither safely "past" nor a caused "future".
   *
   * 100 TB shape: the exchange is entity-keyed (the natural key of a
-  * feature store); a pathological mega-entity serializes its own window —
-  * the standard mitigation is the salted twin of [[Joins]]' skew
-  * machinery or capping entity history at the feature window. Aggregate
-  * VALUE columns should be integer-shaped by the caller (e.g.
-  * `floor(value·100)` cents) so frame-order float accumulation can never
-  * smear the last ulp — the repo's usual exactness discipline.
+  * feature store); a pathological mega-entity would serialize its own
+  * window — `chunkMs > 0` engages the exact time-chunked mitigation
+  * (partition each entity's timeline into chunks with halo replication,
+  * so one entity's window spreads across tasks — see
+  * [[rollingExamples]]). Aggregate VALUE columns should be
+  * integer-shaped by the caller (e.g. `floor(value·100)` cents) so
+  * frame-order float accumulation can never smear the last ulp — the
+  * repo's usual exactness discipline.
   */
 object Features {
 
@@ -41,6 +43,22 @@ object Features {
     * @param featureWindowMs trailing feature window `[t-w, t)` in ms
     * @param labelWindowMs   forward label horizon `(t, t+h]` in ms
     * @param carry        anchor columns to keep (ids, entity, …)
+    * @param chunkMs      0 (default) = one window partition per entity;
+    *                     > 0 = the EXACT mega-entity mitigation: each
+    *                     entity's timeline splits into `chunkMs`-wide
+    *                     chunks and the window partitions by
+    *                     (entity, chunk), so a pathological entity's
+    *                     ordered pass spreads across ~span/chunkMs tasks
+    *                     instead of serializing in one. Rows near a chunk
+    *                     boundary replicate into the neighbor chunk as
+    *                     HALO (history for the next chunk's anchors,
+    *                     future for the previous chunk's) — ≤ 2 extra
+    *                     copies per row, bounded by requiring
+    *                     `chunkMs ≥ max(featureWindowMs, labelWindowMs)`
+    *                     so no frame can span more than one boundary.
+    *                     Anchors emit only from their HOME chunk, so the
+    *                     output is row-for-row identical to the unchunked
+    *                     form (FeaturesSpec pins the parity).
     */
   def rollingExamples(
       events: DataFrame,
@@ -51,19 +69,46 @@ object Features {
       valueCol: Column,
       featureWindowMs: Long,
       labelWindowMs: Long,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String],
+      chunkMs: Long = 0L): DataFrame = {
     require(featureWindowMs > 0, s"featureWindowMs must be positive, got $featureWindowMs")
     require(labelWindowMs > 0, s"labelWindowMs must be positive, got $labelWindowMs")
+    require(chunkMs == 0 || chunkMs >= math.max(featureWindowMs, labelWindowMs),
+      s"chunkMs=$chunkMs must be >= both windows so a frame spans at most one boundary")
     val entity = col(s"`$entityCol`")
     // epoch ms exactly as the oracle's epoch_ms(): micros floor-div 1000
     // (the repo's proven cross-engine convention — see join_range)
-    val base = events.select(
+    val raw = events.select(
       (entity +: expr(s"unix_micros(`$tsCol`) div 1000L").as("_t") +:
         anchorCond.as("_a") +: outcomeCond.as("_o") +:
         valueCol.cast("long").as("_v") +: carry.map(c => col(s"`$c`"))): _*)
-    val order = Window.partitionBy(entity).orderBy(col("_t"))
+    val (base, partKeys) =
+      if (chunkMs == 0) (raw, Seq(entity))
+      else {
+        // Exact floor division on longs via the non-negative pmod — `div`
+        // truncates toward zero and floor-via-double loses exactness past
+        // 2^52; epoch ms can be either side of zero in tests.
+        def floorDiv(t: Column): Column =
+          ((t - pmod(t, lit(chunkMs))) / lit(chunkMs)).cast("long")
+        val home = floorDiv(col("_t"))
+        // Halo replication: a row also serves chunk home+1 when it can be
+        // HISTORY for an anchor there (within featureWindowMs of the
+        // boundary), and chunk home-1 when it can be FUTURE for an anchor
+        // there (within labelWindowMs past the boundary).
+        val probes = filter(array(
+          home,
+          when(col("_t") >= (home + 1) * chunkMs - featureWindowMs, home + 1),
+          when(col("_t") < home * chunkMs + labelWindowMs, home - 1)),
+          x => x.isNotNull)
+        (raw.withColumn("_chunk", explode(probes)), Seq(entity, col("_chunk")))
+      }
+    val order = Window.partitionBy(partKeys: _*).orderBy(col("_t"))
     val past = order.rangeBetween(-featureWindowMs, -1)
     val future = order.rangeBetween(1, labelWindowMs)
+    val homeOnly =
+      if (chunkMs == 0) lit(true)
+      else col("_chunk") ===
+        ((col("_t") - pmod(col("_t"), lit(chunkMs))) / lit(chunkMs)).cast("long")
     base
       .withColumn("n_outcomes_past",
         coalesce(sum(when(col("_o"), 1L).otherwise(0L)).over(past), lit(0L)))
@@ -71,7 +116,7 @@ object Features {
         coalesce(sum(when(col("_o"), col("_v"))).over(past), lit(0L)))
       .withColumn("converted",
         coalesce(sum(when(col("_o"), 1L).otherwise(0L)).over(future), lit(0L)) > 0)
-      .where(col("_a"))
+      .where(col("_a") && homeOnly)
       .select((carry.map(c => col(s"`$c`")) :+ entity :+
         col("n_outcomes_past") :+ col("value_past") :+ col("converted")): _*)
   }

@@ -65,4 +65,37 @@ class FeaturesSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
     assert(out === Seq((1L, 1L, 0L, 0L, false)))
   }
+
+  test("time-chunked mega-entity form is row-for-row identical to the unchunked window") {
+    // One mega-entity with anchors and outcomes straddling every chunk
+    // boundary (chunk = 8 days; windows 7d back / 3d forward), plus a
+    // small entity for isolation. Events land exactly ON boundaries, one
+    // ms either side, and deep inside chunks.
+    val Chunk = 8 * Day
+    val mega = (0 until 120).map { i =>
+      val t = i.toLong * 2 * Day + (i % 3) // straddles every 8d boundary
+      val typ = if (i % 4 == 0) "click" else "purchase"
+      (1000L + i, 7L, typ, (i % 10).toDouble, ms(t))
+    }
+    val edgy = Seq(
+      (1L, 7L, "purchase", 5.0, ms(Chunk)),          // exactly on a boundary
+      (2L, 7L, "purchase", 5.0, ms(Chunk - 1)),      // one ms before
+      (3L, 7L, "click", 0.0, ms(Chunk + 1)),         // anchor just after
+      (4L, 7L, "click", 0.0, ms(2 * Chunk)),         // anchor on a boundary
+      (5L, 9L, "purchase", 5.0, ms(Chunk)),          // other entity
+      (6L, 9L, "click", 0.0, ms(Chunk + 1)),
+    )
+    val df = (mega ++ edgy).toDF("event_id", "user_id", "event_type", "value", "ts")
+    def run(chunkMs: Long) = Features.rollingExamples(df, "user_id", "ts",
+        col("event_type") === "click", col("event_type") === "purchase",
+        floor(col("value") * 100), 7 * Day, 3 * Day, Seq("event_id"),
+        chunkMs = chunkMs)
+      .orderBy("event_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val plain = run(0)
+    assert(plain.nonEmpty)
+    assert(run(Chunk) === plain)
+    // a chunk as small as the windows allow still agrees
+    assert(run(7 * Day) === plain)
+  }
 }
