@@ -746,6 +746,14 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
+  /** One corpus-scan date histogram, shared by the scan form and the
+    * hour-grain-rollup serving twin (coarsening commutes with the rollup).
+    */
+  private val dateHistogramOracleSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+      |  count(*) AS count
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Windowed point-in-time assembly restated once — shared verbatim by
     * `join_rolling_features` and its time-chunked execution twin.
     */
@@ -1668,6 +1676,20 @@ object SparkEntry {
     "g_date_histogram" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       Aggs.dateHistogram(loadEvents(dir), "ts", "day")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+    }),
+
+    "g_date_histogram_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The time axis served from the rollup: ingest truncates to HOUR
+      // grain (the rollup dimension), serving re-truncates to any coarser
+      // calendar interval and re-sums — time-bucket coarsening commutes
+      // with the rollup exactly like the geohash prefix and the numeric
+      // quantization, so one at-rest rollup serves every zoom of the
+      // dashboard's time axis (shared corpus-scan oracle).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("ts_hour" -> date_trunc("hour", col("ts"))))
+      query.PreAgg.dateHistogram(pre, "ts_hour", "hour", "day")
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
     }),
 
@@ -4091,10 +4113,9 @@ object SparkEntry {
         |)
         |GROUP BY src ORDER BY src""".stripMargin,
 
-    "g_date_histogram" ->
-      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
-        |  count(*) AS count
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_date_histogram" -> dateHistogramOracleSql,
+    // hour-grain rollup → day serving must be invisible: shared verbatim
+    "g_date_histogram_preagg" -> dateHistogramOracleSql,
 
     // One corpus-relation restatement shared by the scan form and the
     // pair-rollup serving form — the serving layer provably invisible.

@@ -286,6 +286,62 @@ object PreAgg {
       .orderBy(asc("bucket"))
   }
 
+  /** date_trunc grains that compose upward: truncating at a finer grain
+    * here only zeroes sub-fields a coarser truncation ignores, so
+    * `date_trunc(I, date_trunc(G, ts)) = date_trunc(I, ts)` for any
+    * target I at or above G. Deliberately ENDS at "day": week truncation
+    * MOVES the date (a month boundary's week starts in the previous
+    * month), so a week-grain rollup serves only week — calendar grains
+    * are equality-only ingest grains.
+    */
+  private val composableGrains =
+    Seq("microsecond", "millisecond", "second", "minute", "hour", "day")
+
+  /** Is a date histogram at `interval` servable from a rollup whose time
+    * dimension was truncated at `ingestInterval`? The calendar twin of
+    * [[covers]]/[[coversGeohash]]: true when truncation at the target
+    * composes over the ingest truncation — same grain always; any
+    * coarser-or-calendar grain over a composable (≤ day) ingest grain.
+    */
+  def coversDate(ingestInterval: String, interval: String): Boolean = {
+    val g = ingestInterval.toLowerCase
+    val i = interval.toLowerCase
+    if (g == i) true
+    else composableGrains.indexOf(g) match {
+      case -1 => false
+      case gi => composableGrains.indexOf(i) match {
+        case -1 => Seq("week", "month", "quarter", "year").contains(i)
+        case si => si >= gi
+      }
+    }
+  }
+
+  /** ES date histogram from the rollup: ingest the time dimension at a
+    * fine grain (`date_trunc(ingestInterval, ts)` as the rollup dim), and
+    * ANY coarser calendar interval re-truncates and re-sums over
+    * |distinct buckets| rows — the calendar twin of the geohash prefix
+    * truncation ([[geohashGridAt]]) and the numeric quantization
+    * ([[numericHistogram]]): coarsening commutes with the rollup, so one
+    * at-rest rollup serves every zoom level of the time axis and the
+    * result hash-matches the corpus scan at `interval`.
+    */
+  def dateHistogram(
+      pre: DataFrame,
+      tsDim: String,
+      ingestInterval: String,
+      interval: String): DataFrame = {
+    require(pre.columns.contains(tsDim),
+      s"date-histogram dimension '$tsDim' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    require(coversDate(ingestInterval, interval),
+      s"interval '$interval' is not servable from an ingest-grain-" +
+        s"'$ingestInterval' rollup — serve this interval from the corpus scan")
+    pre.where(col(tsDim).isNotNull)
+      .groupBy(date_trunc(interval, col(tsDim)).as("bucket"))
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(asc("bucket"))
+  }
+
   /** ES "Percentile Ranks" (the inverse metric: what fraction of the
     * bucket's values sit at or below each given value) served EXACTLY
     * from the pair rollup — a pure weighted count ratio

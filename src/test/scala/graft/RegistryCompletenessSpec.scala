@@ -37,7 +37,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * list back toward empty.
     */
   private val newSinceLastArtifact: Set[String] = Set(
-    "ann_ivf_sampled", "ann_lsh_probe", "join_rolling_features_chunked")
+    "ann_ivf_sampled", "ann_lsh_probe", "join_rolling_features_chunked",
+    "g_date_histogram_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

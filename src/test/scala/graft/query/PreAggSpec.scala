@@ -237,6 +237,31 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("not a rollup dimension"))
   }
 
+  test("dateHistogram from an hour-grain rollup equals the corpus scan at every coarser interval") {
+    // Timestamps straddling day/week/month/year boundaries, with
+    // sub-hour noise the hour-grain ingest must absorb.
+    val events = Seq(
+      "2015-12-31 23:59:58", "2016-01-01 00:00:01", "2016-01-01 13:45:00",
+      "2016-01-31 23:30:12", "2016-02-01 00:15:00", "2016-02-29 12:00:00",
+      "2016-03-06 00:00:00", "2016-03-07 08:20:40",
+    ).map(s => Tuple1(java.sql.Timestamp.valueOf(s))).toDF("ts")
+    val pre = PreAgg.increment(events, Seq("ts_hour" -> date_trunc("hour", col("ts"))))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    for (iv <- Seq("hour", "day", "week", "month", "quarter", "year")) {
+      assert(canon(PreAgg.dateHistogram(pre, "ts_hour", "hour", iv))
+        === canon(Aggs.dateHistogram(events, "ts", iv)), s"interval $iv")
+    }
+    // covering: finer-than-ingest and week-ingest-to-month are refused
+    assert(!PreAgg.coversDate("hour", "minute"))
+    assert(!PreAgg.coversDate("week", "month"))
+    assert(PreAgg.coversDate("week", "week"))
+    assert(PreAgg.coversDate("day", "week") && PreAgg.coversDate("minute", "year"))
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.dateHistogram(pre, "ts_hour", "hour", "minute")
+    }.getMessage.contains("not servable"))
+  }
+
   test("termsPercentileRanks from the pair rollup equals the corpus-scan ratios") {
     val pre = PreAgg.increment(corpus, dims)
     def canon(df: org.apache.spark.sql.DataFrame) =
