@@ -746,6 +746,16 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
+  /** Page 2 of the composite export as ORDER BY/OFFSET — shared by the
+    * corpus-scan form and the rollup-paged serving twin.
+    */
+  private val compositePagesOracleSql: String =
+    """SELECT event_type, user_id, count(*)::BIGINT AS count
+      |FROM events
+      |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, user_id
+      |LIMIT 5 OFFSET 5""".stripMargin
+
   /** One corpus-scan date histogram, shared by the scan form and the
     * hour-grain-rollup serving twin (coarsening commutes with the rollup).
     */
@@ -1824,6 +1834,21 @@ object SparkEntry {
       val page1 = Aggs.compositeAgg(ev, keys, size = 5).collect()
       val after = keys.indices.map(page1.last.get)
       Aggs.compositeAgg(ev, keys, size = 5, after = Some(after))
+    }),
+
+    "g_composite_pages_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same page-2 walk served from the at-rest rollup: the after
+      // predicate prunes |distinct (type, user)| rollup rows under a
+      // sum(cnt) re-aggregation — at 100 TB the full-bucket export pages
+      // over the rollup, never the corpus (shared oracle with the scan
+      // form, page-for-page).
+      val keys = Seq("event_type", "user_id")
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        keys.map(k => k -> col(k)))
+      val page1 = query.PreAgg.compositeAgg(pre, keys, size = 5).collect()
+      val after = keys.indices.map(page1.last.get)
+      query.PreAgg.compositeAgg(pre, keys, size = 5, after = Some(after))
     }),
 
     "g_pipeline_aggs" -> ((s, dir) => {
@@ -4164,12 +4189,9 @@ object SparkEntry {
 
     // Page 2 of the composite walk ≡ the ordered bucket space with the
     // first page OFFSET away — the after-key mechanism must be invisible.
-    "g_composite_pages" ->
-      """SELECT event_type, user_id, count(*)::BIGINT AS count
-        |FROM events
-        |WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY event_type, user_id
-        |LIMIT 5 OFFSET 5""".stripMargin,
+    "g_composite_pages" -> compositePagesOracleSql,
+    // rollup-paged export must be page-identical to the corpus scan
+    "g_composite_pages_preagg" -> compositePagesOracleSql,
 
     "g_filters_agg" ->
       """SELECT * FROM (

@@ -286,6 +286,44 @@ object PreAgg {
       .orderBy(asc("bucket"))
   }
 
+  /** ES `composite` pagination from the rollup — the full-bucket export
+    * at 100 TB: each page's tuple-order `after` predicate prunes ROLLUP
+    * rows (|distinct key combos| of them) before a `sum(cnt)`
+    * re-aggregation, so walking every page touches the rollup once per
+    * page and the corpus never. Identical page contents, ordering, and
+    * after-key semantics to [[Aggs.compositeAgg]] (nulls in any key
+    * column are skipped, mirroring ES's composite sources) — a page
+    * hash-matches the corpus-scan page.
+    */
+  def compositeAgg(
+      pre: DataFrame,
+      keys: Seq[String],
+      size: Int,
+      after: Option[Seq[Any]] = None): DataFrame = {
+    require(keys.nonEmpty, "compositeAgg: at least one key")
+    require(keys.forall(pre.columns.contains),
+      s"composite keys ${keys.mkString(",")} must all be rollup dimensions " +
+        s"(${pre.columns.mkString(", ")}) — serve this export from the corpus scan")
+    require(size > 0, s"compositeAgg size must be positive, got $size")
+    require(after.forall(_.size == keys.size),
+      s"after key arity ${after.map(_.size)} != ${keys.size}")
+    val base = keys.foldLeft(pre)((d, k) => d.where(col(k).isNotNull))
+    val paged = after match {
+      case None => base
+      case Some(ak) =>
+        val gt = keys.indices.map { i =>
+          val eqPrefix = (0 until i).map(j => col(keys(j)) === lit(ak(j)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          eqPrefix && col(keys(i)) > lit(ak(i))
+        }.reduce(_ || _)
+        base.where(gt)
+    }
+    paged.groupBy(keys.map(col): _*)
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(keys.map(asc): _*)
+      .limit(size)
+  }
+
   /** date_trunc grains that compose upward: truncating at a finer grain
     * here only zeroes sub-fields a coarser truncation ignores, so
     * `date_trunc(I, date_trunc(G, ts)) = date_trunc(I, ts)` for any

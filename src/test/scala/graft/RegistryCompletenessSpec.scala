@@ -38,7 +38,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     */
   private val newSinceLastArtifact: Set[String] = Set(
     "ann_ivf_sampled", "ann_lsh_probe", "join_rolling_features_chunked",
-    "g_date_histogram_preagg")
+    "g_date_histogram_preagg", "g_composite_pages_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

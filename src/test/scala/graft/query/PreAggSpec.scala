@@ -237,6 +237,36 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("not a rollup dimension"))
   }
 
+  test("compositeAgg pages over the rollup identically to the corpus-scan pages") {
+    val pre = PreAgg.increment(corpus, dims)
+    val keys = Seq("city", "description")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // walk every page with size 2 on both forms; pages must match 1:1
+    def walk(first: org.apache.spark.sql.DataFrame,
+        next: Option[Seq[Any]] => org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+      var after: Option[Seq[Any]] = None
+      var pages = Seq.empty[Seq[String]]
+      var done = false
+      while (!done) {
+        val page = next(after).collect()
+        if (page.isEmpty) done = true
+        else {
+          pages :+= page.map(_.toString).toSeq
+          after = Some(keys.indices.map(page.last.get))
+        }
+      }
+      pages
+    }
+    val scanPages = walk(null, a => Aggs.compositeAgg(corpus, keys, 2, a))
+    val rollupPages = walk(null, a => PreAgg.compositeAgg(pre, keys, 2, a))
+    assert(rollupPages === scanPages)
+    assert(scanPages.flatten.size === 6) // 6 distinct (city, description) pairs
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.compositeAgg(pre, Seq("city", "geolocation"), 2)
+    }.getMessage.contains("rollup dimensions"))
+  }
+
   test("dateHistogram from an hour-grain rollup equals the corpus scan at every coarser interval") {
     // Timestamps straddling day/week/month/year boundaries, with
     // sub-hour noise the hour-grain ingest must absorb.
