@@ -13,8 +13,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequences compose to their canonical precomposed forms (`e` +
   * U+0301 → `é`), so byte-level dedup/fingerprint/vocab stages see ONE
   * encoding per grapheme instead of every source's historical choice, and
-  * C0/C1 control characters (except tab/newline/carriage-return) plus DEL
-  * are stripped.
+  * C0 control characters (except tab/newline/carriage-return) plus DEL
+  * are stripped. C1 codepoints (U+0080–U+009F) deliberately pass through:
+  * they are legal (if rare) text the caller may still want, and the
+  * DuckDB oracle's strip regex draws the same line — extend [[keep]] AND
+  * the oracle together if a pipeline needs C1 removal.
   *
   * Cross-engine contract: the result equals DuckDB's `nfc_normalize` over
   * the same control-stripped text (both implement Unicode canonical

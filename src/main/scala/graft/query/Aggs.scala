@@ -348,7 +348,10 @@ object Aggs {
     val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       val cond = (lo.map(c >= _) ++ hi.map(c < _))
         .reduceOption(_ && _).getOrElse(c.isNotNull)
-      sum(when(cond, 1L).otherwise(0L)).as(s"_r$i")
+      // coalesce: a global sum over ZERO rows is null, and ES's contract
+      // is a 0-count row per named bucket even on an empty/fully-filtered
+      // input
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"_r$i")
     }
     val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
       s"'${rangeKey(lo, hi)}', _r$i"
@@ -374,7 +377,9 @@ object Aggs {
     filters.foreach { case (name, _) =>
       require(!name.contains("'"), s"filters bucket name must not quote: $name") }
     val sums = filters.zipWithIndex.map { case ((_, spec), i) =>
-      sum(when(spec.compile, 1L).otherwise(0L)).as(s"_f$i")
+      // coalesce as in [[rangeBuckets]]: empty input still emits 0-count
+      // rows for every named bucket (ES semantics)
+      coalesce(sum(when(spec.compile, 1L).otherwise(0L)), lit(0L)).as(s"_f$i")
     }
     val stackArgs = filters.zipWithIndex.map { case ((name, _), i) =>
       s"'$name', _f$i"

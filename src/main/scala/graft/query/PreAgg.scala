@@ -186,6 +186,17 @@ object PreAgg {
     * ([[graft.dict.Dictionary]] `quantileIncrement`/`mergeQuantileIncrements`);
     * lift those per dim-combo when the exact pair rollup stops paying.
     */
+  /** Output-column labels round for readability (`p95`, `rank_120`), so
+    * two close inputs can collide to ONE name and silently drop a column
+    * in the aggregated frame (`ps = 0.949, 0.951` → `p95` twice) — refuse
+    * loudly instead; the caller picks inputs that label apart (ES
+    * sidesteps this with keyed responses; column frames cannot).
+    */
+  private def requireDistinctLabels(labels: Seq[String], what: String): Unit =
+    require(labels.distinct.size == labels.size,
+      s"$what output labels collide after rounding: ${labels.mkString(", ")} " +
+        "— use values that round to distinct labels")
+
   def termsPercentiles(
       pre: DataFrame,
       field: String,
@@ -198,6 +209,7 @@ object PreAgg {
         "or a KLL-sketch rollup")
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0, 1], got $ps")
+    requireDistinctLabels(ps.map(p => "p" + math.round(p * 100)), "percentile")
     val pcols = ps.map(p =>
       expr(s"percentile(`$metric`, $p, `$CntCol`)")
         .as("p" + math.round(p * 100)))
@@ -397,6 +409,8 @@ object PreAgg {
       s"percentile-rank metric '$metric' is not a rollup dimension " +
         s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
     require(values.nonEmpty, "at least one rank value")
+    requireDistinctLabels(values.map(v => "rank_" + math.round(v)),
+      "percentile-rank")
     val rcols = values.map(v =>
       (sum(when(col(s"`$metric`") <= v, col(CntCol)).otherwise(0L))
         .cast("double") / sum(col(CntCol)).cast("double"))
@@ -470,6 +484,7 @@ object PreAgg {
       s"no quantile sketch '$sk' in rollup (${pre.columns.mkString(", ")})")
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0, 1], got $ps")
+    requireDistinctLabels(ps.map(p => "p" + math.round(p * 100)), "percentile")
     val pcols = ps.map(p =>
       expr(s"kll_sketch_get_quantile_double(_merged, cast($p as double))")
         .as("p" + math.round(p * 100)))

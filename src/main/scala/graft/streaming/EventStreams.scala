@@ -170,9 +170,20 @@ object EventStreams {
               isO && te >= t + 1 && te <= t + labelWindowMs }
             TrainingExample(userId, id, past.size.toLong, past.map(_._5).sum, future)
           }
-          // evict tuples that can serve no pending or future anchor
+          // evict tuples that can serve no pending or future anchor — but
+          // an emitted anchor that is ALSO an outcome (anchorType ==
+          // outcomeType, e.g. "every purchase is an example AND counts in
+          // later purchases' windows") must stay serveable until the
+          // eviction horizon passes it: keep it with the anchor flag
+          // dropped so it never re-emits, matching the batch twin where
+          // every row is visible to every window
+          val emittedOutcomes = closeable.collect {
+            case (t, id, _, true, v)
+                if t >= wm - labelWindowMs - featureWindowMs =>
+              (t, id, false, true, v)
+          }
           val keep = pending.filter { case (t, _, isA, _, _) =>
-            isA || t >= wm - labelWindowMs - featureWindowMs }
+            isA || t >= wm - labelWindowMs - featureWindowMs } ++ emittedOutcomes
           if (keep.isEmpty) state.remove()
           else {
             state.update(ExampleState(keep))
@@ -696,17 +707,25 @@ object EventStreams {
       }
       .start()
 
-  /** The servable index implied by [[maintainIvfIndex]]'s appends:
-    * replay-deduped per (vec_id, epoch) — assignment is a pure function
-    * of the vector and the frozen centroids, so a retried epoch's rows
-    * are identical and one survives.
+  /** The servable index implied by [[maintainIvfIndex]]'s appends: the
+    * LATEST epoch wins per vec_id. This subsumes replay dedup (a retried
+    * epoch's rows are identical — assignment is a pure function of the
+    * vector and the frozen centroids — and one survives) AND makes a
+    * vector legitimately re-emitted in a later micro-batch an UPDATE: its
+    * newest embedding/cell is the served one, instead of both rows
+    * persisting and a stale duplicate occupying a top-k slot in
+    * [[graft.ops.Similarity.ivfTopKFromIndex]].
     */
   def ivfIndexFromIncrements(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("inc_batch_id"))
     spark.read.parquet(indexPath)
-      .dropDuplicates(Seq("vec_id", "inc_batch_id"))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") === 1)
       .select("vec_id", "vec", "cell")
+  }
 
   /** Compact a rollup-increment table to one row per dimension combination
     * via the same staged swap as [[compactIncrements]] (pause the writer or

@@ -551,6 +551,55 @@ class EventStreamsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming examples with anchorType == outcomeType: an emitted anchor still serves later windows") {
+    // Every purchase is an example AND counts in later purchases'
+    // trailing windows. The first purchase's horizon closes BEFORE the
+    // second purchase arrives — pre-fix, emission evicted it from the
+    // buffer and the second example lost its past outcome.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, floor}
+    val Min = 60000L
+    def e(id: Long, minute: Long, user: Long, typ: String, v: Double) =
+      EventStreams.Event(id, new java.sql.Timestamp(minute * Min), user, typ, v)
+    val p1 = e(1, 10, 1, "purchase", 10.0)
+    val p2 = e(2, 60, 1, "purchase", 5.5)
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.streamingExamples(mem.toDS(), "purchase", "purchase",
+        featureWindowMs = 60 * Min, labelWindowMs = 30 * Min, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("examples_selfjoin_spec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(p1, e(100, 45, 2, "view", 0.0))
+      q.processAllAvailable() // watermark → 45 at batch end
+      mem.addData(e(101, 46, 2, "view", 0.0))
+      q.processAllAvailable() // p1's horizon (40) fires under wm 45 → emitted
+      mem.addData(p2)
+      q.processAllAvailable()
+      mem.addData(e(102, 200, 2, "view", 0.0))
+      q.processAllAvailable() // watermark → 200: p2's horizon closed
+      mem.addData(e(103, 300, 2, "view", 0.0))
+      q.processAllAvailable() // flush the fired timeout
+      val streamed = spark.table("examples_selfjoin_spec")
+        .orderBy("event_id")
+        .as[EventStreams.TrainingExample].collect().toSeq
+      val batch = graft.ops.Features.rollingExamples(
+          Seq(p1, p2).toDF(), "user_id", "ts",
+          anchorCond = col("event_type") === "purchase",
+          outcomeCond = col("event_type") === "purchase",
+          valueCol = floor(col("value") * 100),
+          featureWindowMs = 60 * Min, labelWindowMs = 30 * Min,
+          carry = Seq("event_id"))
+        .select("user_id", "event_id", "n_outcomes_past", "value_past", "converted")
+        .orderBy("event_id")
+        .as[EventStreams.TrainingExample].collect().toSeq
+      assert(streamed === batch, "streamed examples must equal the batch twin")
+      // p2's window [0, 60) must see the already-emitted p1
+      assert(streamed === Seq(
+        EventStreams.TrainingExample(1L, 1L, 0L, 0L, false),
+        EventStreams.TrainingExample(1L, 2L, 1L, 1000L, false)))
+    } finally q.stop()
+  }
+
   test("streamed IVF index serves the same neighbors as batch frozen-centroid assignment") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
@@ -590,6 +639,20 @@ class EventStreamsSpec extends SparkSpecBase {
     replay.write.mode("append").partitionBy("cell").parquet(indexPath)
     assert(serve(EventStreams.ivfIndexFromIncrements(spark, indexPath)) === streamed,
       "a replayed epoch changed the served neighbors")
+
+    // a vector re-emitted in a LATER epoch is an update: one served row
+    // per vec_id, carrying the newest embedding's cell
+    val moved = graft.ops.Similarity.assignCells(
+        Seq((0L, Seq(0.0f, 1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centroids)
+      .withColumn("inc_batch_id", org.apache.spark.sql.functions.lit(99L))
+    moved.write.mode("append").partitionBy("cell").parquet(indexPath)
+    val updated = EventStreams.ivfIndexFromIncrements(spark, indexPath)
+    assert(updated.where(col("vec_id") === 0L).count() === 1,
+      "a re-emitted vector must serve exactly once")
+    assert(updated.where(col("vec_id") === 0L).select("cell").head().getInt(0)
+      === moved.select("cell").head().getInt(0),
+      "the latest epoch's assignment must win")
   }
 
   test("streaming importance-model maintenance converges to the whole-corpus scores") {
