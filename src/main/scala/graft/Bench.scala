@@ -104,7 +104,7 @@ object Bench {
       "dedup_exact_fingerprint", "dedup_exact_incremental",
       "decontaminate_fuzzy", "decontaminate_containment",
       "join_asof_forward", "join_rolling_features_chunked",
-      "q6_phrase_prefix_indexed",
+      "q6_phrase_prefix_indexed", "q6_phrase_prefix_unicode",
       "sample_split", "sample_stratified", "sample_embedding_percell",
       "sample_mix_sources", "sample_mix_temperature", "pack_sequences_text",
       // same bucketed-prefix plan family as the visible pack_sequences
@@ -140,6 +140,11 @@ object Bench {
       // the inverse-percentile pair rides the visible g_percentiles_preagg
       // (identical rollup scan, two conditional sums instead of rank math)
       "g_percentile_ranks", "g_percentile_ranks_preagg",
+      // scan-vs-rollup serving twins of the round-13 ES agg additions —
+      // the preagg side is each family's visible number in DETAIL only;
+      // one-row metric tiles ride the visible g_filters_agg plan family
+      "g_extended_stats", "g_weighted_avg", "g_missing",
+      "g_rare_terms", "g_multi_terms", "g_serial_diff",
       // one-pass conditional-sum family: the FilterSpec-driven filters
       // form is the visible number; range buckets share its plan shape
       "g_range_buckets",

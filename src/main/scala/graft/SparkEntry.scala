@@ -756,6 +756,45 @@ object SparkEntry {
       |GROUP BY 1, 2 ORDER BY event_type, user_id
       |LIMIT 5 OFFSET 5""".stripMargin
 
+  /** Integer-cents extended stats: exact LONG folds, one fixed
+    * back-conversion tree evaluated identically by both engines — shared
+    * by the scan form and the cents-rollup serving twin.
+    */
+  private val extendedStatsOracleSql: String =
+    """WITH c AS (
+      |  SELECT floor(value * 100)::BIGINT AS ct FROM events
+      |  WHERE value IS NOT NULL
+      |), s AS (
+      |  SELECT count(*)::BIGINT AS count, min(ct) AS mn, max(ct) AS mx,
+      |    sum(ct)::BIGINT AS sc, sum(ct * ct)::BIGINT AS sc2
+      |  FROM c
+      |)
+      |SELECT count,
+      |  (mn::DOUBLE / 100.0) AS min,
+      |  (mx::DOUBLE / 100.0) AS max,
+      |  (sc / 100.0) AS sum,
+      |  ((sc / 100.0) / count) AS avg,
+      |  (sc2 / 10000.0) AS sum_of_squares,
+      |  ((sc2 / 10000.0) / count
+      |    - ((sc / 100.0) / count) * ((sc / 100.0) / count)) AS variance,
+      |  sqrt((sc2 / 10000.0) / count
+      |    - ((sc / 100.0) / count) * ((sc / 100.0) / count)) AS std_deviation
+      |FROM s""".stripMargin
+
+  /** Rare-first long-tail count-by-key, shared scan/rollup. */
+  private val rareTermsOracleSql: String =
+    """SELECT user_id, count(*)::BIGINT AS count
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 HAVING count(*) <= 55
+      |ORDER BY count, user_id""".stripMargin
+
+  /** Composite-key top-N with full-tuple tiebreak, shared scan/rollup. */
+  private val multiTermsOracleSql: String =
+    """SELECT lang, source, count(*)::BIGINT AS count
+      |FROM documents
+      |WHERE lang IS NOT NULL AND source IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY count DESC, lang, source LIMIT 10""".stripMargin
+
   /** One corpus-scan date histogram, shared by the scan form and the
     * hour-grain-rollup serving twin (coarsening commutes with the rollup).
     */
@@ -1221,6 +1260,21 @@ object SparkEntry {
       load(dir, "part").where(spec.compile)
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
+    }),
+
+    "q6_phrase_prefix_unicode" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ES standard-analyzer delta closed (round-12 "What's missing"
+      // #2): UAX#29-flavored segmentation — medial apostrophes stay in
+      // their token, Han/Hiragana emit unigrams, Katakana/Hangul runs —
+      // so multilingual phrase-prefix behaves like Lucene's
+      // StandardTokenizer. Oracled on the corpus (where ASCII and
+      // Unicode analysis agree); the CJK/apostrophe divergence cases are
+      // spec-pinned (TextMatchSpec) since the testdata is ASCII.
+      load(dir, "documents")
+        .where(graft.expr.TextMatch.phrasePrefixUnicode(col("text"), "spark mer"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }),
 
     "q6_phrase_prefix_indexed" -> ((s, dir) => {
@@ -1701,6 +1755,94 @@ object SparkEntry {
         Seq("ts_hour" -> date_trunc("hour", col("ts"))))
       query.PreAgg.dateHistogram(pre, "ts_hour", "hour", "day")
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+    }),
+
+    "g_extended_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES extended_stats in the repo's integer-cents discipline: every
+      // statistic folds exact LONG cents and converts back through one
+      // fixed arithmetic tree, so the row hash-matches cross-engine with
+      // no rounding and the rollup twin serves the identical row.
+      Aggs.extendedStats(loadEvents(dir), "value")
+    }),
+
+    "g_extended_stats_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The stats tile from a cents-dimension rollup: weighted LONG
+      // moments over |distinct cents values| rows — same oracle.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("value_cents" -> floor(col("value") * 100).cast("long")))
+      query.PreAgg.extendedStats(pre, "value_cents")
+    }),
+
+    "g_weighted_avg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES weighted_avg: mean line-item price weighted by quantity —
+      // integer-exact cents·quantity folds, one division back.
+      Aggs.weightedAvg(load(dir, "lineitem"),
+        col("l_extendedprice"), col("l_quantity"))
+    }),
+
+    "g_missing" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES missing bucket agg over a derived field ('view' rows carry no
+      // conversion type): the data-quality tile next to a terms widget.
+      Aggs.missingCount(loadEvents(dir), expr("nullif(event_type, 'view')"))
+    }),
+
+    "g_rare_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES rare_terms: the long-tail inverse of terms top-N — users with
+      // at most 55 events, rare-first. Exact one-exchange form (ES's
+      // CuckooFilter is a memory approximation, not less work).
+      Aggs.rareTerms(loadEvents(dir), "user_id", maxDocCount = 55)
+    }),
+
+    "g_rare_terms_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The long-tail export served from the rollup: rare values are
+      // invisible to any top-N cache, so at 100 TB this is exactly the
+      // query the at-rest rollup exists for (shared oracle).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("user_id" -> col("user_id")))
+      query.PreAgg.rareTerms(pre, "user_id", maxDocCount = 55)
+    }),
+
+    "g_multi_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES multi_terms: top composite (lang, source) buckets, count-desc
+      // with the full key tuple as deterministic tiebreak.
+      Aggs.multiTerms(load(dir, "documents"), Seq("lang", "source"), 10)
+    }),
+
+    "g_multi_terms_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val pre = query.PreAgg.increment(load(dir, "documents"),
+        Seq("lang" -> col("lang"), "source" -> col("source")))
+      query.PreAgg.multiTerms(pre, Seq("lang", "source"), 10)
+    }),
+
+    "g_adjacency_matrix" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES adjacency_matrix: named segments + every pairwise overlap in
+      // ONE conditional-sum pass; empty cells omitted (ES semantics —
+      // purchases&clicks is structurally zero and must not appear).
+      Aggs.adjacencyMatrix(loadEvents(dir), Seq(
+        "purchases" -> query.FilterSpec.EnumIn("event_type", Seq("purchase")),
+        "big_value" -> query.FilterSpec.NumericRange("value", 100.0, 10000.0),
+        "clicks" -> query.FilterSpec.EnumIn("event_type", Seq("click"))))
+    }),
+
+    "g_serial_diff" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES serial_diff at lag 7 over the daily histogram: same-weekday
+      // subtraction removes the weekly cycle; the window runs over the
+      // bucket-bounded series, never the corpus.
+      Aggs.serialDiff(
+          Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+          "bucket", "count", lagBuckets = 7)
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+        .orderBy("bucket")
     }),
 
     "g_cardinality" -> ((s, dir) => {
@@ -4018,6 +4160,13 @@ object SparkEntry {
          |WHERE ${graft.expr.TextMatch.phrasePrefixSql("p_name", "small wid")}
          |ORDER BY p_partkey""".stripMargin,
 
+    // The Unicode analyzer restated in RE2: same wrap passes + word
+    // extraction, so the token streams — and the match set — agree.
+    "q6_phrase_prefix_unicode" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.expr.TextMatch.phrasePrefixUnicodeSql("text", "spark mer")}
+         |ORDER BY doc_id""".stripMargin,
+
     // Full BM25 restated: same analyzer, token-equality TF (= the kernel's
     // boundary-sharing count), integer-derived idf inputs, identical
     // operator association — one ln() apart, agreeing far past the 9-decimal
@@ -4141,6 +4290,66 @@ object SparkEntry {
     "g_date_histogram" -> dateHistogramOracleSql,
     // hour-grain rollup → day serving must be invisible: shared verbatim
     "g_date_histogram_preagg" -> dateHistogramOracleSql,
+
+    // Integer-cents moments with the identical fixed conversion tree —
+    // shared by the corpus scan and the cents-dimension rollup twin.
+    "g_extended_stats" -> extendedStatsOracleSql,
+    "g_extended_stats_preagg" -> extendedStatsOracleSql,
+
+    "g_weighted_avg" ->
+      """SELECT ((sum(floor(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)
+        |  / sum(l_quantity::BIGINT)::DOUBLE) / 100.0) AS weighted_avg
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL""".stripMargin,
+
+    "g_missing" ->
+      """SELECT coalesce(sum(CASE WHEN nullif(event_type, 'view') IS NULL
+        |  THEN 1 ELSE 0 END), 0)::BIGINT AS missing_count
+        |FROM events""".stripMargin,
+
+    // One count-by-key restatement shared by the exact scan form and the
+    // rollup-served long-tail export.
+    "g_rare_terms" -> rareTermsOracleSql,
+    "g_rare_terms_preagg" -> rareTermsOracleSql,
+
+    "g_multi_terms" -> multiTermsOracleSql,
+    "g_multi_terms_preagg" -> multiTermsOracleSql,
+
+    // Singles + pairwise intersections in one pass; zero cells omitted
+    // (purchases&clicks is structurally empty and must not appear).
+    "g_adjacency_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'purchases' AS bucket,
+        |    sum(CASE WHEN event_type IN ('purchase') THEN 1 ELSE 0 END)::BIGINT AS count
+        |  FROM events
+        |  UNION ALL SELECT 'big_value',
+        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'clicks',
+        |    sum(CASE WHEN event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'purchases&big_value',
+        |    sum(CASE WHEN event_type IN ('purchase')
+        |      AND value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'purchases&clicks',
+        |    sum(CASE WHEN event_type IN ('purchase')
+        |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'big_value&clicks',
+        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0
+        |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |) WHERE count > 0 ORDER BY bucket""".stripMargin,
+
+    "g_serial_diff" ->
+      """WITH h AS (
+        |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS count
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
+        |  (count - lag(count, 7) OVER (ORDER BY b))::BIGINT AS serial_diff
+        |FROM h ORDER BY bucket""".stripMargin,
 
     // One corpus-relation restatement shared by the scan form and the
     // pair-rollup serving form — the serving layer provably invisible.

@@ -72,4 +72,81 @@ object TextMatch {
       s"position('$needle' in ' ' || regexp_replace(lower($column), '[^a-z0-9]+', ' ', 'g') || ' ') > 0"
     }
   }
+
+  // ===== Unicode analyzer (the ES standard-analyzer delta, SURVEY §7.4) ==
+  //
+  // The ASCII analyzer above shears multilingual text: "don't" splits at
+  // the apostrophe and a CJK sentence becomes one giant token. This mode
+  // follows Lucene's StandardTokenizer (UAX#29 word segmentation, the
+  // analyzer behind the reference's `.split` subfields) where it matters
+  // for retrieval:
+  //  - tokens are runs of Unicode letters/digits (any script), lowercased;
+  //  - a MEDIAL apostrophe (' or ’) stays inside its token ("don't" is one
+  //    token; a trailing "boys'" drops it) — UAX#29 WB6/WB7 MidNumLet;
+  //  - Han and Hiragana emit per-CHARACTER tokens, Katakana and Hangul as
+  //    runs — exactly StandardTokenizer's IDEOGRAPHIC/HIRAGANA vs
+  //    KATAKANA/HANGUL word classes, which is what makes CJK
+  //    phrase-prefix search behave like ES's.
+  // Mechanics: wrap CJK segments in spaces first (two regexp passes), then
+  // extract word tokens — one ordered construction both engines express
+  // (Java regex here, RE2 in [[phrasePrefixUnicodeSql]]); scripts disjoint,
+  // so pass order is immaterial beyond runs-before-singles.
+
+  private val Apos = "'’"
+  // Java syntax (executor + driver sides). RE2 twins below use \p{Script}.
+  private val jCjkRuns = "([\\p{IsKatakana}]+|[\\p{IsHangul}]+)"
+  private val jCjkSingles = "([\\p{IsHan}\\p{IsHiragana}])"
+  private val jWord = s"[\\p{L}\\p{Nd}]+(?:[$Apos][\\p{L}\\p{Nd}]+)*"
+
+  /** Driver-side Unicode analyze — the twin of [[normalizedUnicode]]. */
+  def analyzeUnicode(text: String): Seq[String] = {
+    val spaced = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll(jCjkRuns, " $1 ")
+      .replaceAll(jCjkSingles, " $1 ")
+    val m = java.util.regex.Pattern.compile(jWord).matcher(spaced)
+    val b = Seq.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  /** The Unicode-analyzed form of a text column: tokens space-joined, so
+    * token-sequence matching is substring matching (same padded-instr
+    * construction as the ASCII analyzer). Built-in regexp functions only —
+    * stays inside whole-stage codegen.
+    */
+  def normalizedUnicode(c: Column): Column = {
+    val spaced = regexp_replace(
+      regexp_replace(lower(c), jCjkRuns, " $1 "), jCjkSingles, " $1 ")
+    array_join(regexp_extract_all(spaced, lit(jWord), lit(0)), " ")
+  }
+
+  private def paddedUnicode(c: Column): Column =
+    concat(lit(" "), normalizedUnicode(c), lit(" "))
+
+  /** [[phrasePrefix]] under the Unicode analyzer. */
+  def phrasePrefixUnicode(c: Column, query: String): Column = {
+    val toks = analyzeUnicode(query)
+    if (toks.isEmpty) lit(true)
+    else instr(paddedUnicode(c), " " + toks.mkString(" ")) > 0
+  }
+
+  /** DuckDB (RE2) restatement of [[phrasePrefixUnicode]]: the same two
+    * wrap passes and word extraction with RE2 script classes — identical
+    * token streams on both engines for any input both regex dialects
+    * segment alike (scripts and categories here are dialect-stable).
+    */
+  def phrasePrefixUnicodeSql(column: String, query: String): String = {
+    val toks = analyzeUnicode(query)
+    if (toks.isEmpty) "TRUE"
+    else {
+      val needle = (" " + toks.mkString(" ")).replace("'", "''")
+      val word = s"[\\pL\\p{Nd}]+(?:[''’][\\pL\\p{Nd}]+)*"
+      val spaced =
+        s"""regexp_replace(regexp_replace(lower($column),
+           |  '([\\p{Katakana}]+|[\\p{Hangul}]+)', ' \\1 ', 'g'),
+           |  '([\\p{Han}\\p{Hiragana}])', ' \\1 ', 'g')""".stripMargin
+      s"""position('$needle' in ' ' || array_to_string(
+         |  regexp_extract_all($spaced, '$word'), ' ') || ' ') > 0""".stripMargin
+    }
+  }
 }

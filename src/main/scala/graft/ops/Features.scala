@@ -59,6 +59,16 @@ object Features {
     *                     Anchors emit only from their HOME chunk, so the
     *                     output is row-for-row identical to the unchunked
     *                     form (FeaturesSpec pins the parity).
+    *                     SIZE chunkMs SEVERAL× the windows: halo overhead
+    *                     is ~(feature+label)/chunk extra copies per row,
+    *                     so chunk == window duplicates ~2× and eats the
+    *                     parallel win (SCALE_r13 §3 measures 1.2× there
+    *                     vs 3.3× at chunk = 7×window); parallelism caps
+    *                     at span/chunk. The unchunked hazard it removes
+    *                     is SUPER-linear: a spilled window partition pays
+    *                     Spark's spill-array re-iteration per frame
+    *                     slide (measured n² growth, 300k→900k rows =
+    *                     47 s→459 s in one task).
     */
   def rollingExamples(
       events: DataFrame,

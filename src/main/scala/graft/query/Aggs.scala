@@ -419,6 +419,145 @@ object Aggs {
         round(avg(col(valueCol)).over(w.rowsBetween(-(movingWindow - 1), Window.currentRow)), 4))
   }
 
+  /** ES `serial_diff` parent-pipeline agg: `value − lag(value, lag)` over
+    * the bucket-ordered series (the seasonality-removal form of
+    * `derivative` — lag = 7 on a daily histogram subtracts the same
+    * weekday). Same aggregated-series contract as [[bucketPipeline]]: the
+    * window runs over bucket-bounded rows, never the corpus; the first
+    * `lag` buckets emit null, as in ES.
+    */
+  def serialDiff(
+      series: DataFrame,
+      bucketCol: String,
+      valueCol: String,
+      lagBuckets: Int): DataFrame = {
+    require(lagBuckets >= 1, s"lag must be >= 1, got $lagBuckets")
+    val w = Window.orderBy(col(bucketCol))
+    series.withColumn("serial_diff",
+      col(valueCol) - lag(col(valueCol), lagBuckets).over(w))
+  }
+
+  /** ES `extended_stats` metric agg over a money-shaped field, via the
+    * repo's integer-cents exactness discipline: EVERY statistic is
+    * computed in `floor(value·100)` cents — LONG folds, exact in any
+    * order and any engine — and converted back with a FIXED arithmetic
+    * tree (`(Σc / 100.0) / n`, variance = E[c²]/10⁴ − mean², σ = √var)
+    * that both engines evaluate identically, so the whole row
+    * hash-matches with no rounding escape hatch, and the rollup twin
+    * ([[PreAgg.extendedStats]], weighted moments over a cents dimension)
+    * serves the IDENTICAL row. Deliberate delta vs ES: ES folds raw
+    * doubles and its moments differ run-to-run in final ulps (shard
+    * order); the cents statistics are the deterministic twin. Variance
+    * is population (÷ n), ES's own convention.
+    */
+  def extendedStats(df: DataFrame, field: String): DataFrame = {
+    val c = col(field)
+    val cents = floor(c * 100).cast("long")
+    df.where(c.isNotNull)
+      .agg(
+        count(lit(1)).as("count"),
+        (min(cents).cast("double") / 100.0).as("min"),
+        (max(cents).cast("double") / 100.0).as("max"),
+        sum(cents).as("_sc"),
+        sum(cents * cents).as("_sc2"))
+      .select(
+        col("count"), col("min"), col("max"),
+        (col("_sc") / 100.0).as("sum"),
+        ((col("_sc") / 100.0) / col("count")).as("avg"),
+        (col("_sc2") / 10000.0).as("sum_of_squares"),
+        ((col("_sc2") / 10000.0) / col("count") -
+          ((col("_sc") / 100.0) / col("count")) *
+          ((col("_sc") / 100.0) / col("count"))).as("variance"),
+        sqrt((col("_sc2") / 10000.0) / col("count") -
+          ((col("_sc") / 100.0) / col("count")) *
+          ((col("_sc") / 100.0) / col("count"))).as("std_deviation"))
+  }
+
+  /** ES `weighted_avg` metric agg, integer-exact like [[extendedStats]]:
+    * `Σ floor(v·100)·w / Σ w` in cents (weights integer-shaped by the
+    * caller — quantities, counts), divided back once. Null value OR
+    * weight excludes the row (ES's default missing behavior).
+    */
+  def weightedAvg(df: DataFrame, valueCol: Column, weightCol: Column): DataFrame = {
+    val cents = floor(valueCol * 100).cast("long")
+    val w = weightCol.cast("long")
+    df.where(valueCol.isNotNull && weightCol.isNotNull)
+      .agg(sum(cents * w).as("_swv"), sum(w).as("_sw"))
+      .select(((col("_swv") / col("_sw").cast("double")) / 100.0)
+        .as("weighted_avg"))
+  }
+
+  /** ES `missing` bucket agg: how many documents carry NO value for the
+    * field — the data-quality tile next to every terms widget. One
+    * conditional sum; 0 (not null) on an empty frame.
+    */
+  def missingCount(df: DataFrame, field: Column): DataFrame =
+    df.agg(coalesce(sum(when(field.isNull, 1L).otherwise(0L)), lit(0L))
+      .as("missing_count"))
+
+  /** ES `rare_terms` bucket agg: the LONG-TAIL inverse of a terms top-N —
+    * every value whose doc count is ≤ `maxDocCount`, ascending by count
+    * then term (ES's rare-first ordering). Exact where ES documents a
+    * CuckooFilter approximation: the exact form is one count-by-key pass
+    * + a HAVING, the same single exchange as termsTopN — the
+    * approximation buys ES per-shard memory, not less work, and the
+    * rollup twin ([[PreAgg.rareTerms]]) serves the same question from
+    * |distinct values| rows at 100 TB.
+    */
+  def rareTerms(df: DataFrame, field: String, maxDocCount: Long): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    df.where(col(field).isNotNull)
+      .groupBy(col(field))
+      .agg(count(lit(1)).as("count"))
+      .where(col("count") <= maxDocCount)
+      .orderBy(asc("count"), asc(field))
+  }
+
+  /** ES `multi_terms` bucket agg: terms top-N over a COMPOSITE key
+    * (every distinct key tuple is one bucket), count-desc with the full
+    * key tuple as ascending tiebreak — deterministic limit boundary,
+    * like every top-N here. One exchange on the key tuple.
+    */
+  def multiTerms(df: DataFrame, fields: Seq[String], n: Int = 10): DataFrame = {
+    require(fields.size >= 2, "multi_terms needs at least two key fields")
+    val base = fields.foldLeft(df)((d, f) => d.where(col(f).isNotNull))
+    base.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count") +: fields.map(asc): _*)
+      .limit(n)
+  }
+
+  /** ES `adjacency_matrix` bucket agg: named filters as buckets PLUS
+    * every pairwise intersection (`A&B`, ES's own key separator) — the
+    * co-occurrence matrix behind "how do these segments overlap"
+    * dashboards. ONE conditional-sum pass computes all F + F(F−1)/2
+    * cells; empty buckets are omitted, exactly ES's behavior (unlike the
+    * range/filters aggs, which emit zeros).
+    */
+  def adjacencyMatrix(df: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
+    require(filters.size >= 2, "adjacency_matrix needs at least two filters")
+    filters.foreach { case (name, _) =>
+      require(!name.contains("'") && !name.contains("&"),
+        s"adjacency bucket name must not quote or contain '&': $name") }
+    val singles = filters.zipWithIndex.map { case ((name, spec), i) =>
+      (name, spec.compile, s"_a$i")
+    }
+    val pairs = for {
+      i <- filters.indices; j <- filters.indices if i < j
+    } yield (s"${filters(i)._1}&${filters(j)._1}",
+      filters(i)._2.compile && filters(j)._2.compile, s"_a${i}_$j")
+    val cells = singles ++ pairs
+    val sums = cells.map { case (_, cond, alias) =>
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(alias)
+    }
+    val stackArgs = cells.map { case (name, _, alias) => s"'$name', $alias" }
+      .mkString(", ")
+    df.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${cells.size}, $stackArgs) AS (bucket, count)")
+      .where(col("count") > 0)
+      .orderBy(asc("bucket"))
+  }
+
   /** Subtotal hierarchies — `ROLLUP` / `CUBE` over low-cardinality widget
     * dimensions, the "show totals" toggle of a terms table. Grouping-set
     * execution is one Expand over the aggregation (no per-level rescan);

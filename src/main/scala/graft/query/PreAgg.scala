@@ -336,6 +336,69 @@ object PreAgg {
       .limit(size)
   }
 
+  /** [[Aggs.rareTerms]] from the rollup: the long-tail export re-sums
+    * |distinct values| rows — exactly the query shape the rollup pays for
+    * at 100 TB, since the rare tail is invisible to any top-N cache but a
+    * full corpus scan otherwise.
+    */
+  def rareTerms(pre: DataFrame, field: String, maxDocCount: Long): DataFrame = {
+    require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    pre.where(col(field).isNotNull)
+      .groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"))
+      .where(col("count") <= maxDocCount)
+      .orderBy(asc("count"), asc(field))
+  }
+
+  /** [[Aggs.multiTerms]] from the rollup — identical buckets, ordering,
+    * and tiebreaks, with `sum(cnt)` standing in for `count(*)`.
+    */
+  def multiTerms(pre: DataFrame, fields: Seq[String], n: Int = 10): DataFrame = {
+    require(fields.size >= 2, "multi_terms needs at least two key fields")
+    require(fields.forall(pre.columns.contains),
+      s"multi_terms keys ${fields.mkString(",")} must all be rollup dimensions " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    val base = fields.foldLeft(pre)((d, f) => d.where(col(f).isNotNull))
+    base.groupBy(fields.map(col): _*)
+      .agg(sum(col(CntCol)).as("count"))
+      .orderBy(desc("count") +: fields.map(asc): _*)
+      .limit(n)
+  }
+
+  /** [[Aggs.extendedStats]] from a rollup whose dimension is the CENTS
+    * value (`floor(v·100)` — the covering contract for a money-shaped
+    * field): weighted LONG moments `Σ cnt·c`, `Σ cnt·c²` are exact in
+    * any order, and the back-conversion is the identical fixed arithmetic
+    * tree, so the rollup-served row hash-matches the corpus scan with no
+    * rounding. min/max divide the cents dimension back (floor makes this
+    * the scan's min/max only when values carry ≤ 2 decimals — true for
+    * money fields; a finer field needs the scan or a KLL rollup).
+    */
+  def extendedStats(pre: DataFrame, centsDim: String): DataFrame = {
+    require(pre.columns.contains(centsDim),
+      s"stats dimension '$centsDim' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    val c = col(centsDim)
+    pre.where(c.isNotNull)
+      .agg(
+        sum(col(CntCol)).as("count"),
+        (min(c).cast("double") / 100.0).as("min"),
+        (max(c).cast("double") / 100.0).as("max"),
+        sum(c * col(CntCol)).as("_sc"),
+        sum(c * c * col(CntCol)).as("_sc2"))
+      .select(
+        col("count"), col("min"), col("max"),
+        (col("_sc") / 100.0).as("sum"),
+        ((col("_sc") / 100.0) / col("count")).as("avg"),
+        (col("_sc2") / 10000.0).as("sum_of_squares"),
+        ((col("_sc2") / 10000.0) / col("count") -
+          ((col("_sc") / 100.0) / col("count")) *
+          ((col("_sc") / 100.0) / col("count"))).as("variance"),
+        sqrt((col("_sc2") / 10000.0) / col("count") -
+          ((col("_sc") / 100.0) / col("count")) *
+          ((col("_sc") / 100.0) / col("count"))).as("std_deviation"))
+  }
+
   /** date_trunc grains that compose upward: truncating at a finer grain
     * here only zeroes sub-fields a coarser truncation ignores, so
     * `date_trunc(I, date_trunc(G, ts)) = date_trunc(I, ts)` for any

@@ -38,7 +38,11 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     */
   private val newSinceLastArtifact: Set[String] = Set(
     "ann_ivf_sampled", "ann_lsh_probe", "join_rolling_features_chunked",
-    "g_date_histogram_preagg", "g_composite_pages_preagg")
+    "g_date_histogram_preagg", "g_composite_pages_preagg",
+    "g_extended_stats", "g_extended_stats_preagg", "g_weighted_avg",
+    "g_missing", "g_rare_terms", "g_rare_terms_preagg",
+    "g_multi_terms", "g_multi_terms_preagg", "g_adjacency_matrix",
+    "g_serial_diff", "q6_phrase_prefix_unicode")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

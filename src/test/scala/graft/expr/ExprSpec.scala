@@ -66,6 +66,42 @@ class ExprSpec extends SparkSpecBase {
       === Seq("small widget"))
   }
 
+  test("analyzeUnicode: medial apostrophes kept, CJK segmented like Lucene StandardTokenizer") {
+    // apostrophes: medial stays, trailing drops (UAX#29 MidNumLet)
+    assert(TextMatch.analyzeUnicode("Don't stop the boys' game")
+      === Seq("don't", "stop", "the", "boys", "game"))
+    assert(TextMatch.analyzeUnicode("l’époque") === Seq("l’époque"))
+    // Han: per-character tokens, mixed with Latin runs
+    assert(TextMatch.analyzeUnicode("Spark是快速引擎abc")
+      === Seq("spark", "是", "快", "速", "引", "擎", "abc"))
+    // Hiragana per character; Katakana as a RUN (StandardTokenizer classes)
+    assert(TextMatch.analyzeUnicode("これはテストです")
+      === Seq("こ", "れ", "は", "テスト", "で", "す"))
+    // Hangul as runs
+    assert(TextMatch.analyzeUnicode("안녕하세요 world") === Seq("안녕하세요", "world"))
+    // accents lowercase, digits join letters
+    assert(TextMatch.analyzeUnicode("Café 42x") === Seq("café", "42x"))
+    assert(TextMatch.analyzeUnicode(" …! ") === Seq())
+  }
+
+  test("phrasePrefixUnicode: executor column twin matches the driver analyzer, CJK prefix works") {
+    val df = Seq("Spark是快速引擎", "don't panic now", "boys' toys", "これはテストです").toDF("t")
+    def matches(q: String) =
+      df.where(TextMatch.phrasePrefixUnicode(col("t"), q)).as[String].collect().toSet
+    // CJK phrase-prefix: unigram stream "是 快 速..." — query "是快" is the
+    // two-token phrase, present contiguously
+    assert(matches("是快") === Set("Spark是快速引擎"))
+    assert(matches("spark 是") === Set("Spark是快速引擎"))
+    // apostrophe token matches whole, and as a prefix of itself
+    assert(matches("don't pan") === Set("don't panic now"))
+    // "don" alone is a PREFIX of "don't" (last-token prefix semantics)
+    assert(matches("don") === Set("don't panic now"))
+    // trailing apostrophe analyzed away on both sides
+    assert(matches("boys toy") === Set("boys' toys"))
+    // Katakana run is one token; its prefix matches
+    assert(matches("テス") === Set("これはテストです"))
+  }
+
   // --- Tokenize / shingles / minhash kernels ---
 
   test("native tokenizer matches the regex semantics") {

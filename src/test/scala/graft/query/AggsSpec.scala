@@ -256,4 +256,96 @@ class AggsSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toMap
     assert(got === Map("theft" -> 3L, "balt_morning" -> 3L, "none" -> 0L))
   }
+
+  test("rangeBuckets and filtersAgg emit 0-count buckets on an EMPTY input") {
+    val empty = events.where(lit(false))
+    val r = Aggs.rangeBuckets(empty, "hour", Seq((Some(0.0), Some(2.0)), (Some(2.0), None)))
+      .as[(String, Long)].collect().toMap
+    assert(r === Map("0.0-2.0" -> 0L, "2.0-*" -> 0L))
+    val f = Aggs.filtersAgg(empty, Seq(
+        "theft" -> FilterSpec.EnumIn("description", Seq("Theft"))))
+      .as[(String, Long)].collect().toMap
+    assert(f === Map("theft" -> 0L))
+  }
+
+  test("extendedStats: exact integer-cents moments on a hand-computed frame") {
+    val df = Seq(1.5, 2.5, 4.0).toDF("v")
+    val row = Aggs.extendedStats(df, "v").collect()(0)
+    // cents: 150, 250, 400 → sum 800, sos 150²+250²+400²=245000
+    assert(row.getLong(0) === 3L)          // count
+    assert(row.getDouble(1) === 1.5)       // min
+    assert(row.getDouble(2) === 4.0)       // max
+    assert(row.getDouble(3) === 8.0)       // sum
+    assert(math.abs(row.getDouble(4) - 8.0 / 3) < 1e-12)      // avg
+    assert(row.getDouble(5) === 24.5)      // sum_of_squares (245000/10⁴)
+    // variance = 24.5/3 − (8/3)² = 8.16667 − 7.11111 = 1.05556 (population)
+    assert(math.abs(row.getDouble(6) - (24.5 / 3 - (8.0 / 3) * (8.0 / 3))) < 1e-12)
+    assert(math.abs(row.getDouble(7) - math.sqrt(24.5 / 3 - (8.0 / 3) * (8.0 / 3))) < 1e-12)
+    // nulls excluded from count and moments
+    val withNull = Seq(Some(1.5), None, Some(2.5)).toDF("v")
+    assert(Aggs.extendedStats(withNull, "v").collect()(0).getLong(0) === 2L)
+  }
+
+  test("extendedStats from a cents rollup equals the corpus scan exactly") {
+    val df = Seq(1.5, 2.5, 2.5, 4.0, 4.0, 4.0).toDF("v")
+    val pre = PreAgg.increment(df, Seq("cents" -> (floor(col("v") * 100)).cast("long")))
+    assert(PreAgg.extendedStats(pre, "cents").collect()(0).toSeq
+      === Aggs.extendedStats(df, "v").collect()(0).toSeq)
+  }
+
+  test("weightedAvg: cents-exact, null value or weight excluded") {
+    val df = Seq((10.0, Some(1.0)), (20.0, Some(3.0)), (99.0, None))
+      .toDF("v", "w")
+    val got = Aggs.weightedAvg(df, col("v"), col("w")).as[Double].head()
+    assert(got === (10.0 * 1 + 20.0 * 3) / 4)  // 17.5
+  }
+
+  test("missingCount: nulls counted, zero on empty") {
+    val df = Seq(Some("a"), None, None, Some("b")).toDF("k")
+    assert(Aggs.missingCount(df, col("k")).as[Long].head() === 2L)
+    assert(Aggs.missingCount(df.where(lit(false)), col("k")).as[Long].head() === 0L)
+  }
+
+  test("rareTerms: rare-first long tail, scan and rollup identical") {
+    val out = Aggs.rareTerms(events, "city", maxDocCount = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("la", 1L), ("detroit", 2L)))  // baltimore(3) excluded
+    val pre = PreAgg.increment(events, Seq("city" -> col("city")))
+    assert(PreAgg.rareTerms(pre, "city", 2).as[(String, Long)].collect().toSeq === out)
+  }
+
+  test("multiTerms: composite-key top-N with full-tuple tiebreak, scan == rollup") {
+    val out = Aggs.multiTerms(events, Seq("city", "description"), 3)
+      .as[(String, String, Long)].collect().toSeq
+    // (baltimore, Theft) 2; then 1-count pairs in (city, description) asc
+    assert(out === Seq(
+      ("baltimore", "Theft", 2L),
+      ("baltimore", "Assault", 1L),
+      ("detroit", "Assault", 1L)))
+    val pre = PreAgg.increment(events,
+      Seq("city" -> col("city"), "description" -> col("description")))
+    assert(PreAgg.multiTerms(pre, Seq("city", "description"), 3)
+      .as[(String, String, Long)].collect().toSeq === out)
+  }
+
+  test("adjacencyMatrix: singles + pairwise intersections, zero cells omitted") {
+    val got = Aggs.adjacencyMatrix(events, Seq(
+        "theft" -> FilterSpec.EnumIn("description", Seq("Theft")),
+        "balt" -> FilterSpec.EnumIn("city", Seq("baltimore")),
+        "rob" -> FilterSpec.EnumIn("description", Seq("Robbery"))))
+      .as[(String, Long)].collect().toMap
+    // theft∩rob is structurally empty and balt∩rob is empty → omitted
+    assert(got === Map(
+      "theft" -> 3L, "balt" -> 3L, "rob" -> 1L, "theft&balt" -> 2L))
+  }
+
+  test("serialDiff: value minus the lag-N bucket, null for the first N") {
+    val series = Seq(("d1", 10L), ("d2", 12L), ("d3", 15L), ("d4", 11L))
+      .toDF("bucket", "count")
+    val out = Aggs.serialDiff(series, "bucket", "count", lagBuckets = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(out.toSeq === Seq(
+      ("d1", None), ("d2", None), ("d3", Some(5L)), ("d4", Some(-1L))))
+  }
 }
