@@ -1833,6 +1833,35 @@ object SparkEntry {
         "clicks" -> query.FilterSpec.EnumIn("event_type", Seq("click"))))
     }),
 
+    "g_sampler_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES sampler agg made deterministic: the inner terms agg runs over
+      // a seeded hash-sample (same docs on any cluster; ES's
+      // first-shard_size-per-shard is routing-dependent — the
+      // reproducibility trade is documented in Aggs.samplerTerms).
+      Aggs.samplerTerms(load(dir, "documents"), "doc_id", "lang",
+        fraction = 0.5)
+    }),
+
+    "g_diversified_sampler" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES diversified_sampler ≡ the per-domain cap of published corpus
+      // pipelines: at most 10 docs per source (seeded hash order) feed
+      // the language terms agg, de-biasing it from any dominant source.
+      Aggs.diversifiedSamplerTerms(load(dir, "documents"), "doc_id",
+        "source", maxPerValue = 10, field = "lang")
+    }),
+
+    "g_date_range" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES date_range agg: named half-open timestamp ranges in one
+      // conditional-sum pass, ES's from-to keys with * for open sides.
+      Aggs.dateRangeBuckets(loadEvents(dir), "ts", Seq(
+        (None, Some("2024-01-10")),
+        (Some("2024-01-10"), Some("2024-01-20")),
+        (Some("2024-01-20"), None)))
+    }),
+
     "g_serial_diff" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES serial_diff at lag 7 over the daily histogram: same-weekday
@@ -4341,6 +4370,38 @@ object SparkEntry {
         |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
         |  FROM events
         |) WHERE count > 0 ORDER BY bucket""".stripMargin,
+
+    "g_sampler_terms" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""SELECT lang, count(*)::BIGINT AS count
+         |FROM documents WHERE $u < 0.5
+         |GROUP BY 1 ORDER BY count DESC, lang LIMIT 10""".stripMargin
+    },
+
+    "g_diversified_sampler" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""WITH r AS (
+         |  SELECT lang, row_number() OVER (
+         |    PARTITION BY source ORDER BY $u, doc_id) AS rn
+         |  FROM documents
+         |)
+         |SELECT lang, count(*)::BIGINT AS count FROM r WHERE rn <= 10
+         |GROUP BY 1 ORDER BY count DESC, lang LIMIT 10""".stripMargin
+    },
+
+    "g_date_range" ->
+      """SELECT * FROM (
+        |  SELECT '*-2024-01-10' AS bucket,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END)::BIGINT AS count
+        |  FROM events
+        |  UNION ALL SELECT '2024-01-10-2024-01-20',
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+        |      AND ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT '2024-01-20-*',
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |) ORDER BY bucket""".stripMargin,
 
     "g_serial_diff" ->
       """WITH h AS (

@@ -527,6 +527,69 @@ object Aggs {
       .limit(n)
   }
 
+  /** ES `sampler` bucket agg, made deterministic: run the inner terms
+    * aggregation over a seeded hash-sample of documents instead of ES's
+    * first-`shard_size`-per-shard (which depends on shard routing and
+    * segment order — not reproducible). The sample is
+    * [[graft.ops.Sampling.hashSample]]'s threshold form: same documents
+    * kept on any cluster at any parallelism, restatable in SQL, sized by
+    * `fraction` (binomial around fraction·n; ES's count-exact cap is the
+    * non-reproducible part we deliberately trade away).
+    */
+  def samplerTerms(
+      df: DataFrame, keyCol: String, field: String,
+      fraction: Double, n: Int = 10, seed: Int = 42): DataFrame =
+    termsTopN(graft.ops.Sampling.hashSample(df, keyCol, fraction, seed), field, n)
+
+  /** ES `diversified_sampler`: at most `maxPerValue` documents per
+    * diversity value feed the inner aggregation — de-biasing a terms agg
+    * from a dominant source. Selection is the seeded `(hashUnit(key),
+    * key)` order per diversity value (deterministic; ES's is
+    * shard-order). This is ALSO the training-data curation op published
+    * pipelines call a per-domain cap (Dolma's URL/domain dedup cap: keep
+    * ≤ k docs per domain): one window over the diversity key, the same
+    * two-phase-rank scalability story as [[graft.ops.Packing]] if a
+    * mega-domain ever serializes.
+    */
+  def diversifiedSamplerTerms(
+      df: DataFrame, keyCol: String, diversityCol: String,
+      maxPerValue: Int, field: String, n: Int = 10, seed: Int = 42): DataFrame = {
+    require(maxPerValue >= 1, s"maxPerValue must be >= 1, got $maxPerValue")
+    val w = Window.partitionBy(col(diversityCol))
+      .orderBy(graft.ops.Sampling.hashUnit(col(keyCol), seed), col(keyCol))
+    termsTopN(
+      df.withColumn("_dsr", row_number().over(w)).where(col("_dsr") <= maxPerValue),
+      field, n)
+  }
+
+  /** ES `date_range` bucket agg: half-open `[from, to)` timestamp ranges
+    * keyed `from-to` with `*` for an open side (keys carry the caller's
+    * own boundary strings — ES echoes its configured format the same
+    * way). Same one-pass conditional-sum + unpivot as [[rangeBuckets]];
+    * every named range emits a row even at count 0.
+    */
+  def dateRangeBuckets(
+      df: DataFrame,
+      tsCol: String,
+      ranges: Seq[(Option[String], Option[String])]): DataFrame = {
+    require(ranges.nonEmpty, "dateRangeBuckets: at least one range")
+    val c = col(tsCol)
+    val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val cond = (lo.map(s => c >= lit(s).cast("timestamp")) ++
+          hi.map(s => c < lit(s).cast("timestamp")))
+        .reduceOption(_ && _).getOrElse(c.isNotNull)
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"_d$i")
+    }
+    val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
+      require(!key.contains("'"), s"date-range key must not quote: $key")
+      s"'$key', _d$i"
+    }.mkString(", ")
+    df.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${ranges.size}, $stackArgs) AS (bucket, count)")
+      .orderBy(asc("bucket"))
+  }
+
   /** ES `adjacency_matrix` bucket agg: named filters as buckets PLUS
     * every pairwise intersection (`A&B`, ES's own key separator) — the
     * co-occurrence matrix behind "how do these segments overlap"

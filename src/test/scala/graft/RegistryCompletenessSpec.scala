@@ -42,7 +42,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_extended_stats", "g_extended_stats_preagg", "g_weighted_avg",
     "g_missing", "g_rare_terms", "g_rare_terms_preagg",
     "g_multi_terms", "g_multi_terms_preagg", "g_adjacency_matrix",
-    "g_serial_diff", "q6_phrase_prefix_unicode")
+    "g_serial_diff", "q6_phrase_prefix_unicode",
+    "g_sampler_terms", "g_diversified_sampler", "g_date_range")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -339,6 +339,47 @@ class AggsSpec extends SparkSpecBase {
       "theft" -> 3L, "balt" -> 3L, "rob" -> 1L, "theft&balt" -> 2L))
   }
 
+  test("samplerTerms: deterministic hash-sample feeds the inner terms agg") {
+    val df = spark.range(200).selectExpr("id", "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END AS k")
+    val out = Aggs.samplerTerms(df, "id", "k", fraction = 0.5)
+      .as[(String, Long)].collect().toMap
+    // sample ~100 rows; b dominates a ~3:1 in any uniform sample
+    assert(out.values.sum < 200 && out.values.sum > 50)
+    assert(out("b") > out("a"))
+    // deterministic across partitioning
+    assert(Aggs.samplerTerms(df.repartition(13), "id", "k", fraction = 0.5)
+      .as[(String, Long)].collect().toMap === out)
+  }
+
+  test("diversifiedSamplerTerms caps each diversity value at maxPerValue") {
+    // source s1 has 30 docs all lang=x; s2 has 3 docs lang=y — uncapped
+    // terms would rank x 10:1; capped at 5/source it is 5:3
+    val df = ((0 until 30).map(i => (i.toLong, "s1", "x")) ++
+        (100 until 103).map(i => (i.toLong, "s2", "y")))
+      .toDF("id", "src", "lang")
+    val out = Aggs.diversifiedSamplerTerms(df, "id", "src",
+        maxPerValue = 5, field = "lang")
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("x", 5L), ("y", 3L)))
+  }
+
+  test("dateRangeBuckets: half-open ranges with ES from-to keys, zeros kept") {
+    val df = Seq(
+      ts("2016-01-01 00:00:00"), ts("2016-01-15 12:00:00"),
+      ts("2016-02-01 00:00:00")).map(Tuple1(_)).toDF("t")
+    val out = Aggs.dateRangeBuckets(df, "t", Seq(
+        (None, Some("2016-01-15")),
+        (Some("2016-01-15"), Some("2016-02-01")),
+        (Some("2016-02-01"), None),
+        (Some("2030-01-01"), None)))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map(
+      "*-2016-01-15" -> 1L,
+      "2016-01-15-2016-02-01" -> 1L,
+      "2016-02-01-*" -> 1L,
+      "2030-01-01-*" -> 0L))
+  }
+
   test("serialDiff: value minus the lag-N bucket, null for the first N") {
     val series = Seq(("d1", 10L), ("d2", 12L), ("d3", 15L), ("d4", 11L))
       .toDF("bucket", "count")
