@@ -130,6 +130,33 @@ object TextMatch {
     else instr(paddedUnicode(c), " " + toks.mkString(" ")) > 0
   }
 
+  /** Analyzer choice, threaded through the at-rest index build
+    * ([[graft.store.SearchIndex]]) and query-side analysis
+    * ([[graft.query.Bm25.queryTerms]]): index and queries MUST share one
+    * analyzer — that is ES's own index-time/search-time analyzer
+    * contract, and mixing them silently returns empty matches (the
+    * Unicode spec demonstrates the CJK case).
+    */
+  sealed trait Analyzer {
+    def analyze(text: String): Seq[String]
+    def normalized(c: Column): Column
+  }
+
+  /** The reference-faithful ASCII analyzer (lowercase, split on
+    * non-alphanumeric ASCII) — right for the reference corpus, shears
+    * multilingual text.
+    */
+  case object AsciiAnalyzer extends Analyzer {
+    def analyze(text: String): Seq[String] = TextMatch.analyze(text)
+    def normalized(c: Column): Column = TextMatch.normalized(c)
+  }
+
+  /** The ES standard-flavored Unicode analyzer ([[analyzeUnicode]]). */
+  case object UnicodeAnalyzer extends Analyzer {
+    def analyze(text: String): Seq[String] = TextMatch.analyzeUnicode(text)
+    def normalized(c: Column): Column = TextMatch.normalizedUnicode(c)
+  }
+
   /** DuckDB (RE2) restatement of [[phrasePrefixUnicode]]: the same two
     * wrap passes and word extraction with RE2 script classes — identical
     * token streams on both engines for any input both regex dialects

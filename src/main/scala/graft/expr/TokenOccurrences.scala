@@ -63,13 +63,18 @@ case class TokenOccurrencesExpr(child: Expression, token: String)
 }
 
 object TokenOccurrences {
-  /** Count of whole-token occurrences of `token` — a single analyzed token
-    * (lowercase alphanumeric), or a PHRASE of several joined by single
-    * spaces — in a PADDED analyzed column.
-    * [[graft.expr.TextMatch.analyze]] the raw query first.
+  /** Count of whole-token occurrences of `token` — a single analyzed
+    * token, or a PHRASE of several joined by single spaces — in a PADDED
+    * analyzed column. The token must come from the SAME analyzer that
+    * built the column ([[graft.expr.TextMatch]]'s `analyze` for ASCII
+    * columns, `analyzeUnicode` for Unicode ones — the kernel is a
+    * byte-level substring count, agnostic to which); the guard checks the
+    * joined-token SHAPE (no empty/edge/double spaces), not the ASCII
+    * alphabet, so CJK and apostrophe tokens pass.
     */
   def apply(paddedAnalyzed: Column, token: String): Column = {
-    require(token.nonEmpty && token.matches("[a-z0-9]+( [a-z0-9]+)*"),
+    require(token.nonEmpty && !token.startsWith(" ") && !token.endsWith(" ") &&
+        !token.contains("  "),
       s"tokenOccurrences: '$token' is not single-space-joined analyzed tokens")
     ColumnShim.column(TokenOccurrencesExpr(ColumnShim.expression(paddedAnalyzed), token))
   }

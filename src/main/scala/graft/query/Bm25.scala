@@ -57,7 +57,9 @@ object Bm25 {
     * common simplification of query-side TF; document the query, not the
     * operator, if per-occurrence boosting is ever needed).
     */
-  def queryTerms(query: String): Seq[String] = TextMatch.analyze(query).distinct
+  def queryTerms(query: String,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): Seq[String] =
+    analyzer.analyze(query).distinct
 
   /** One-pass corpus statistics for a term set, as a 1-row frame:
     * `_n` (doc count), `_sumdl` (total token count), `_df0.._dfT` (per-term
@@ -127,8 +129,9 @@ object Bm25 {
       k: Int,
       k1: Double = DefaultK1,
       b: Double = DefaultB,
-      stats: Option[DataFrame] = None): DataFrame = {
-    val terms = queryTerms(query)
+      stats: Option[DataFrame] = None,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val terms = queryTerms(query, analyzer)
     require(terms.nonEmpty, s"bm25: query '$query' has no analyzable terms")
     topKTerms(docs, idCol, analyzed, terms, k, k1, b, stats)
   }
@@ -148,8 +151,9 @@ object Bm25 {
       k: Int,
       k1: Double = DefaultK1,
       b: Double = DefaultB,
-      stats: Option[DataFrame] = None): DataFrame = {
-    val toks = TextMatch.analyze(phrase)
+      stats: Option[DataFrame] = None,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val toks = analyzer.analyze(phrase)
     require(toks.nonEmpty, s"bm25 phrase: '$phrase' has no analyzable tokens")
     topKTerms(docs, idCol, analyzed, Seq(toks.mkString(" ")), k, k1, b, stats)
   }
@@ -190,10 +194,11 @@ object Bm25 {
       query: String,
       k: Int,
       k1: Double = DefaultK1,
-      b: Double = DefaultB): DataFrame =
+      b: Double = DefaultB,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame =
     topK(docs, idCol,
-      concat(lit(" "), TextMatch.normalized(col(s"`$textCol`")), lit(" ")),
-      query, k, k1, b)
+      concat(lit(" "), analyzer.normalized(col(s"`$textCol`")), lit(" ")),
+      query, k, k1, b, stats = None, analyzer = analyzer)
 
   /** DuckDB restatement of the whole retrieval for oracle SQL: same analyzer
     * (`regexp_replace` lowercase normalization), TF as token-equality counts

@@ -30,33 +30,37 @@ object SearchIndex {
     * boundaries are literal spaces, so token-sequence matching is substring
     * matching (see [[TextMatch]]).
     */
-  def analyzedForm(c: Column): Column =
-    concat(lit(" "), TextMatch.normalized(c), lit(" "))
+  def analyzedForm(c: Column,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): Column =
+    concat(lit(" "), analyzer.normalized(c), lit(" "))
 
   /** Add `<col>_split` analyzed companions for the given string columns
     * (default: all of them) — the "index the dataset" step.
     */
-  def withAnalyzedColumns(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+  def withAnalyzedColumns(df: DataFrame, columns: Seq[String] = Seq.empty,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
     val targets =
       if (columns.nonEmpty) columns
       else df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     targets.foldLeft(df)((d, c) =>
-      d.withColumn(c + AnalyzedSuffix, analyzedForm(col(s"`$c`"))))
+      d.withColumn(c + AnalyzedSuffix, analyzedForm(col(s"`$c`"), analyzer)))
   }
 
   /** Phrase-prefix over a PRE-ANALYZED `<col>_split` column: the query's
     * tokens appear contiguously, last token as a prefix — same semantics as
     * [[TextMatch.phrasePrefix]] minus the per-row normalization.
     */
-  def phrasePrefixIndexed(analyzedCol: Column, query: String): Column = {
-    val toks = TextMatch.analyze(query)
+  def phrasePrefixIndexed(analyzedCol: Column, query: String,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): Column = {
+    val toks = analyzer.analyze(query)
     if (toks.isEmpty) lit(true)
     else instr(analyzedCol, " " + toks.mkString(" ")) > 0
   }
 
   /** Whole-token match over a pre-analyzed column. */
-  def containsTokenIndexed(analyzedCol: Column, token: String): Column = {
-    val toks = TextMatch.analyze(token)
+  def containsTokenIndexed(analyzedCol: Column, token: String,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): Column = {
+    val toks = analyzer.analyze(token)
     if (toks.isEmpty) lit(true)
     else instr(analyzedCol, " " + toks.mkString(" ") + " ") > 0
   }
@@ -72,7 +76,8 @@ object SearchIndex {
       table: String,
       basePath: String,
       analyzeColumns: Seq[String] = Seq.empty,
-      partitionBy: Seq[String] = Seq.empty): String =
+      partitionBy: Seq[String] = Seq.empty,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): String =
     TableStore.saveAsParquetTable(
-      withAnalyzedColumns(df, analyzeColumns), db, table, basePath, partitionBy)
+      withAnalyzedColumns(df, analyzeColumns, analyzer), db, table, basePath, partitionBy)
 }

@@ -103,6 +103,41 @@ class Bm25Spec extends graft.SparkSpecBase {
     assert(overlap === 2)
   }
 
+  test("Unicode analyzer end-to-end: CJK retrieval works, and mixing analyzers is the documented failure") {
+    import graft.expr.TextMatch
+    val cjk = Seq(
+      (1L, "Spark是一个快速的引擎"),
+      (2L, "这个引擎处理大数据"),
+      (3L, "completely unrelated latin text"),
+    ).toDF("doc_id", "text")
+    // index with the Unicode analyzer: Han unigrams make "引擎" the
+    // two-token phrase "引 擎"
+    val indexed = SearchIndex.withAnalyzedColumns(cjk, Seq("text"),
+      TextMatch.UnicodeAnalyzer)
+    // phrase-prefix over the at-rest Unicode index
+    val hits = indexed.where(SearchIndex.phrasePrefixIndexed(
+        col("text_split"), "引擎", TextMatch.UnicodeAnalyzer))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(1L, 2L))
+    // BM25 over the same index: both CJK docs score, doc 2 has no extra
+    // rare terms — ranking is deterministic and CJK-aware
+    val ranked = Bm25.topK(indexed, "doc_id", col("text_split"), "引擎", k = 5,
+        analyzer = TextMatch.UnicodeAnalyzer)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ranked === Set(1L, 2L))
+    // the ASCII analyzer on the same corpus finds NOTHING (CJK chars are
+    // non-alphanumeric ASCII → empty token stream): the analyzer-contract
+    // failure mode the Analyzer scaladoc documents
+    val asciiIndexed = SearchIndex.withAnalyzedColumns(cjk, Seq("text"))
+    assert(graft.expr.TextMatch.analyze("引擎").isEmpty)
+    val asciiHits = asciiIndexed.where(SearchIndex.phrasePrefixIndexed(
+        col("text_split"), "Spark是", TextMatch.AsciiAnalyzer))
+      .select("doc_id").as[Long].collect().toSet
+    // ASCII analysis of "Spark是" degrades to just "spark" — matches doc 1
+    // only because the latin token survives; the CJK half is sheared off
+    assert(asciiHits === Set(1L))
+  }
+
   test("topKPhrase ranks by phrase frequency with length normalization") {
     val corpus = Seq(
       (1L, "batch batch batch runs tonight"),   // phrase tf 2, short
