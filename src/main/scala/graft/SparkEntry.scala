@@ -1833,6 +1833,18 @@ object SparkEntry {
         "clicks" -> query.FilterSpec.EnumIn("event_type", Seq("click"))))
     }),
 
+    "g_geo_centroid" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_centroid per market-segment bucket over the synthetic
+      // customer coordinates (the g6 fixture): micro-degree LONG sums +
+      // one fixed conversion tree — hash-exact cross-engine where ES's
+      // raw-double mean drifts with shard order.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geoCentroid(pts, "c_mktsegment", "lat", "lon")
+    }),
+
     "g_sampler_terms" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES sampler agg made deterministic: the inner terms agg runs over
@@ -4370,6 +4382,31 @@ object SparkEntry {
         |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
         |  FROM events
         |) WHERE count > 0 ORDER BY bucket""".stripMargin,
+
+    "g_geo_centroid" ->
+      """WITH pts AS (
+        |  -- two IEEE pins the micro-degree floor needs that the coarse
+        |  -- geohash oracles never noticed: (a) 0.001 must be DOUBLE (as a
+        |  -- DECIMAL literal the addition stays exact and the floor flips
+        |  -- vs the engine's double add); (b) pmod on DOUBLES is ONE fmod
+        |  -- + conditional add — the ((x%m)+m)%m double-mod form re-rounds
+        |  -- r+m and loses the low bits of small remainders
+        |  SELECT c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |), m AS (
+        |  SELECT c_mktsegment, count(*)::BIGINT AS count,
+        |    sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat,
+        |    sum(floor(lon * 1000000)::BIGINT)::BIGINT AS slon
+        |  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT c_mktsegment, count,
+        |  ((slat / 1000000.0) / count) AS centroid_lat,
+        |  ((slon / 1000000.0) / count) AS centroid_lon
+        |FROM m ORDER BY count DESC, c_mktsegment LIMIT 10""".stripMargin,
 
     "g_sampler_terms" -> {
       val u = ops.Sampling.hashUnitSql("doc_id", 42)

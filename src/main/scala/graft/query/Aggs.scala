@@ -527,6 +527,35 @@ object Aggs {
       .limit(n)
   }
 
+  /** ES `geo_centroid` metric agg per terms bucket: the mean point of
+    * each bucket's documents — what Kibana centers a per-category map
+    * marker on. Micro-degree integer discipline (the [[extendedStats]]
+    * cents pattern at 1e-6° ≈ 0.1 m resolution): `floor(deg·10⁶)` LONG
+    * sums are exact in any order, divided back through one fixed tree, so
+    * the row hash-matches cross-engine — ES's raw-double mean drifts in
+    * final ulps with shard order. Null coordinates exclude the row from
+    * the centroid AND the bucket count, ES's missing behavior.
+    */
+  def geoCentroid(
+      df: DataFrame, field: String,
+      latCol: String, lonCol: String, n: Int = 10): DataFrame = {
+    val lat = col(latCol)
+    val lon = col(lonCol)
+    val mlat = floor(lat * 1000000).cast("long")
+    val mlon = floor(lon * 1000000).cast("long")
+    df.where(lat.isNotNull && lon.isNotNull)
+      .groupBy(col(field))
+      .agg(
+        count(lit(1)).as("count"),
+        sum(mlat).as("_slat"),
+        sum(mlon).as("_slon"))
+      .select(col(field), col("count"),
+        ((col("_slat") / 1000000.0) / col("count")).as("centroid_lat"),
+        ((col("_slon") / 1000000.0) / col("count")).as("centroid_lon"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** ES `sampler` bucket agg, made deterministic: run the inner terms
     * aggregation over a seeded hash-sample of documents instead of ES's
     * first-`shard_size`-per-shard (which depends on shard routing and

@@ -43,7 +43,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_missing", "g_rare_terms", "g_rare_terms_preagg",
     "g_multi_terms", "g_multi_terms_preagg", "g_adjacency_matrix",
     "g_serial_diff", "q6_phrase_prefix_unicode",
-    "g_sampler_terms", "g_diversified_sampler", "g_date_range")
+    "g_sampler_terms", "g_diversified_sampler", "g_date_range",
+    "g_geo_centroid")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

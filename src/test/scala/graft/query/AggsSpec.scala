@@ -339,6 +339,20 @@ class AggsSpec extends SparkSpecBase {
       "theft" -> 3L, "balt" -> 3L, "rob" -> 1L, "theft&balt" -> 2L))
   }
 
+  test("geoCentroid: micro-degree-exact bucket means, null coords excluded") {
+    val df = Seq(
+      ("a", Some(10.0), Some(20.0)),
+      ("a", Some(30.0), Some(40.0)),
+      ("a", None, Some(99.0)),       // excluded entirely
+      ("b", Some(-45.5), Some(170.25)),
+    ).toDF("k", "lat", "lon")
+    val out = Aggs.geoCentroid(df, "k", "lat", "lon")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 2L, 20.0, 30.0),
+      ("b", 1L, -45.5, 170.25)))
+  }
+
   test("samplerTerms: deterministic hash-sample feeds the inner terms agg") {
     val df = spark.range(200).selectExpr("id", "CASE WHEN id % 4 = 0 THEN 'a' ELSE 'b' END AS k")
     val out = Aggs.samplerTerms(df, "id", "k", fraction = 0.5)
