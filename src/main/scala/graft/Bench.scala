@@ -120,8 +120,9 @@ object Bench {
       // single-pass profiling family)
       "dict_quantiles",
       // the date sibling of the pruned g_histogram scan form — the
-      // bucket-histogram serving number is g_histogram_preagg
-      "g_date_histogram",
+      // bucket-histogram serving number is g_histogram_preagg; the
+      // increment-merge twin re-runs the same rollup three times
+      "g_date_histogram", "g_date_histogram_incremental",
       "g6_geohash_grid", "pipeline_assemble_published",
       // the filter composes quality_lm_score (the family's visible number)
       "quality_lm_filter",

@@ -1757,6 +1757,24 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
     }),
 
+    "g_date_histogram_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ingest half of the time-axis rollup: three hash-split batches
+      // each contribute a mergeable hour-grain increment (split on the
+      // full event identity so one hour's rows land in DIFFERENT batches
+      // and the merge genuinely sums), then the day histogram serves from
+      // the merged rollup — same oracle as the full scan; increment-then-
+      // merge commutes with the calendar coarsening.
+      val ev = loadEvents(dir)
+      val part = pmod(xxhash64(col("event_id"), col("ts")), lit(3))
+      val increments = (0 until 3).map(k =>
+        query.PreAgg.increment(ev.where(part === k),
+          Seq("ts_hour" -> date_trunc("hour", col("ts")))))
+      query.PreAgg.dateHistogram(
+          query.PreAgg.merge(increments: _*), "ts_hour", "hour", "day")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+    }),
+
     "g_extended_stats" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES extended_stats in the repo's integer-cents discipline: every
@@ -4329,8 +4347,10 @@ object SparkEntry {
         |GROUP BY src ORDER BY src""".stripMargin,
 
     "g_date_histogram" -> dateHistogramOracleSql,
-    // hour-grain rollup → day serving must be invisible: shared verbatim
+    // hour-grain rollup → day serving must be invisible: shared verbatim,
+    // whether the rollup is built whole or merged from batch increments
     "g_date_histogram_preagg" -> dateHistogramOracleSql,
+    "g_date_histogram_incremental" -> dateHistogramOracleSql,
 
     // Integer-cents moments with the identical fixed conversion tree —
     // shared by the corpus scan and the cents-dimension rollup twin.

@@ -68,6 +68,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("unicode analyzer: tokens are space-free, lowercase, and re-analyze to themselves") {
+    // mixed Latin / digit / punctuation / apostrophe / CJK streams; the
+    // re-analyze fixpoint is what makes the padded-instr matching
+    // construction sound (a stored token stream analyzed again must not
+    // change)
+    val mixedTextGen: Gen[String] =
+      Gen.listOf(Gen.oneOf(
+        Gen.alphaNumChar,
+        Gen.oneOf(' ', '.', ',', '\'', '’', '-', '!', '_'),
+        Gen.oneOf('漢', '字', '引', '擎', 'こ', 'れ', 'テ', 'ス', 'ト',
+          '안', '녕', 'é', 'Ü', 'ß'))).map(_.mkString)
+    check("unicode-analyze")(Prop.forAll(mixedTextGen) { s =>
+      val toks = graft.expr.TextMatch.analyzeUnicode(s)
+      toks.forall(t => t.nonEmpty && !t.contains(" ") &&
+        t == t.toLowerCase(java.util.Locale.ROOT)) &&
+        graft.expr.TextMatch.analyzeUnicode(toks.mkString(" ")) == toks
+    })
+  }
+
   test("sorted-merge jaccard equals the set definition") {
     check("jaccard")(Prop.forAll(
       Gen.listOf(Gen.chooseNum(0L, 40L)), Gen.listOf(Gen.chooseNum(0L, 40L))) { (a, b) =>
