@@ -1892,6 +1892,18 @@ object SparkEntry {
         (Some("2024-01-20"), None)))
     }),
 
+    "g_bucket_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES max/min/avg/sum/stats_bucket siblings in one row over the
+      // daily histogram: exact integer folds, avg divided once, extremes
+      // carrying their bucket keys (smallest key on ties — ES leaves the
+      // tiebreak unspecified; a total order is pinned here).
+      Aggs.bucketStats(
+        Aggs.dateHistogram(loadEvents(dir), "ts", "day")
+          .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd")),
+        "bucket", "count")
+    }),
+
     "g_serial_diff" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES serial_diff at lag 7 over the daily histogram: same-weekday
@@ -4459,6 +4471,25 @@ object SparkEntry {
         |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
         |  FROM events
         |) ORDER BY bucket""".stripMargin,
+
+    "g_bucket_stats" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+        |    count(*)::BIGINT AS count
+        |  FROM events GROUP BY 1
+        |), x AS (
+        |  SELECT bucket, count,
+        |    min(count) OVER () AS vmin, max(count) OVER () AS vmax
+        |  FROM h
+        |)
+        |SELECT count(*)::BIGINT AS n_buckets,
+        |  min(count)::BIGINT AS min_bucket,
+        |  max(count)::BIGINT AS max_bucket,
+        |  sum(count)::BIGINT AS sum_bucket,
+        |  (sum(count)::DOUBLE / count(*)) AS avg_bucket,
+        |  min(CASE WHEN count = vmin THEN bucket END) AS min_bucket_key,
+        |  min(CASE WHEN count = vmax THEN bucket END) AS max_bucket_key
+        |FROM x""".stripMargin,
 
     "g_serial_diff" ->
       """WITH h AS (

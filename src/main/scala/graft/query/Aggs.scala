@@ -527,6 +527,36 @@ object Aggs {
       .limit(n)
   }
 
+  /** ES sibling pipeline aggs (`max_bucket` / `min_bucket` / `avg_bucket`
+    * / `sum_bucket` / `stats_bucket`) in one row over a bucket series
+    * (e.g. [[dateHistogram]]'s output): the whole family is one
+    * aggregation over the bucket-bounded frame — count/min/max/sum are
+    * exact longs, avg divides once (both engines: `Σ / n` in double), and
+    * the extremes carry their bucket KEYS (ES returns the keys of the
+    * max/min buckets; ties resolve to the smallest key, a total order ES
+    * leaves unspecified). Corpus-sized work already collapsed upstream —
+    * the [[bucketPipeline]] contract.
+    */
+  def bucketStats(series: DataFrame, bucketCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val b = col(bucketCol)
+    // global extremes as window columns first (the bucket-bounded frame
+    // again), then one aggregation — a window inside an aggregate is not
+    // a thing, and a totals self-join would re-derive the series
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series
+      .withColumn("_vmin", min(v).over(w))
+      .withColumn("_vmax", max(v).over(w))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        min(v).as("min_bucket"),
+        max(v).as("max_bucket"),
+        sum(v).as("sum_bucket"),
+        (sum(v).cast("double") / count(lit(1))).as("avg_bucket"),
+        min(when(v === col("_vmin"), b)).as("min_bucket_key"),
+        min(when(v === col("_vmax"), b)).as("max_bucket_key"))
+  }
+
   /** ES `geo_centroid` metric agg per terms bucket: the mean point of
     * each bucket's documents — what Kibana centers a per-category map
     * marker on. Micro-degree integer discipline (the [[extendedStats]]

@@ -394,6 +394,19 @@ class AggsSpec extends SparkSpecBase {
       "2030-01-01-*" -> 0L))
   }
 
+  test("bucketStats: one-row sibling pipeline stats with keyed extremes, smallest key on ties") {
+    val series = Seq(("d1", 10L), ("d2", 30L), ("d3", 5L), ("d4", 30L))
+      .toDF("bucket", "count")
+    val row = Aggs.bucketStats(series, "bucket", "count").collect()(0)
+    assert(row.getLong(0) === 4L)        // n_buckets
+    assert(row.getLong(1) === 5L)        // min
+    assert(row.getLong(2) === 30L)       // max
+    assert(row.getLong(3) === 75L)       // sum
+    assert(row.getDouble(4) === 18.75)   // avg
+    assert(row.getString(5) === "d3")    // min key
+    assert(row.getString(6) === "d2")    // max key: tie d2/d4 → smallest
+  }
+
   test("serialDiff: value minus the lag-N bucket, null for the first N") {
     val series = Seq(("d1", 10L), ("d2", 12L), ("d3", 15L), ("d4", 11L))
       .toDF("bucket", "count")
