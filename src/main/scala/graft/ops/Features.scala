@@ -68,7 +68,10 @@ object Features {
     *                     is SUPER-linear: a spilled window partition pays
     *                     Spark's spill-array re-iteration per frame
     *                     slide (measured n² growth, 300k→900k rows =
-    *                     47 s→459 s in one task).
+    *                     47 s→459 s in one task; the onset knob is
+    *                     `spark.sql.windowExec.buffer.spill.threshold` —
+    *                     raising it buys headroom at task-memory cost,
+    *                     chunking removes the term instead of moving it).
     */
   def rollingExamples(
       events: DataFrame,

@@ -153,6 +153,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rs.last === 1.0)
   }
 
+  test("trainCap init-invariance holds across seeds and caps") {
+    val big = spark.range(150).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.3), sin(col("id") * 0.3),
+        cos(col("id") * 0.9), sin(col("id") * 0.9)).as("embedding"))
+    for (seed <- Seq(1, 7, 42); cap <- Seq(50, 120)) {
+      val full = Similarity.kmeansCentroids(big, "vec_id", "embedding",
+        k = 5, iters = 0, seed = seed)
+      val capped = Similarity.kmeansCentroids(big, "vec_id", "embedding",
+        k = 5, iters = 0, seed = seed, trainCap = cap)
+      assert(full.map(_.toSeq) === capped.map(_.toSeq), s"seed=$seed cap=$cap")
+    }
+  }
+
   test("vecAvg aggregates element-wise means per group, ignoring nulls") {
     val df = Seq(
       ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),
