@@ -148,8 +148,10 @@ object Bench {
       "g_rare_terms", "g_multi_terms", "g_serial_diff",
       "g_sampler_terms", "g_date_range", "g_geo_centroid", "g_bucket_stats",
       // one-pass conditional-sum family: the FilterSpec-driven filters
-      // form is the visible number; range buckets share its plan shape
-      "g_range_buckets",
+      // form is the visible number; range buckets share its plan shape,
+      // and the rollup-served twins ride in DETAIL
+      "g_range_buckets", "g_range_buckets_preagg", "g_filters_agg_preagg",
+      "g_adjacency_matrix_preagg",
       // micro-op exercised inside every city recipe —
       // recipe_harmonize_baltimore is the etl family's visible number
       "p6_regex_extract",

@@ -746,6 +746,64 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
+  /** Named widget-filter buckets — shared by the scan form and the
+    * (event_type, value)-rollup serving twin.
+    */
+  private val filtersAggOracleSql: String =
+    """SELECT * FROM (
+      |  SELECT 'purchases' AS bucket,
+      |    sum(CASE WHEN event_type IN ('purchase') THEN 1 ELSE 0 END)::BIGINT AS count
+      |  FROM events
+      |  UNION ALL SELECT 'big_value',
+      |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
+      |  FROM events
+      |  UNION ALL SELECT 'clicks_or_views',
+      |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT
+      |  FROM events
+      |) ORDER BY bucket""".stripMargin
+
+  /** Adjacency singles + pairwise intersections (zero cells omitted) —
+    * shared by the scan form and the rollup serving twin.
+    */
+  private val adjacencyMatrixOracleSql: String =
+    """SELECT * FROM (
+        |  SELECT 'purchases' AS bucket,
+        |    sum(CASE WHEN event_type IN ('purchase') THEN 1 ELSE 0 END)::BIGINT AS count
+        |  FROM events
+        |  UNION ALL SELECT 'big_value',
+        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'clicks',
+        |    sum(CASE WHEN event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'purchases&big_value',
+        |    sum(CASE WHEN event_type IN ('purchase')
+        |      AND value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'purchases&clicks',
+        |    sum(CASE WHEN event_type IN ('purchase')
+        |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |  UNION ALL SELECT 'big_value&clicks',
+        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0
+        |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events
+        |) WHERE count > 0 ORDER BY bucket""".stripMargin
+
+  /** Range buckets generated from the SAME esRanges the engine buckets —
+    * shared by the scan form and the (value)-rollup serving twin.
+    */
+  private lazy val rangeBucketsOracleSql: String = {
+    val legs = esRanges.map { case (lo, hi) =>
+      val cond = (lo.map(v => s"value >= $v") ++ hi.map(v => s"value < $v"))
+        .reduceOption((a, b) => s"$a AND $b").getOrElse("value IS NOT NULL")
+      s"""SELECT '${query.Aggs.rangeKey(lo, hi)}' AS bucket,
+         |  sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS count
+         |FROM events""".stripMargin
+    }
+    legs.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY bucket")
+  }
+
   /** Page 2 of the composite export as ORDER BY/OFFSET — shared by the
     * corpus-scan form and the rollup-paged serving twin.
     */
@@ -2023,6 +2081,42 @@ object SparkEntry {
         "purchases" -> query.FilterSpec.EnumIn("event_type", Seq("purchase")),
         "big_value" -> query.FilterSpec.NumericRange("value", 100.0, 10000.0),
         "clicks_or_views" -> query.FilterSpec.EnumIn("event_type", Seq("click", "view"))))
+    }),
+
+    "g_range_buckets_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Range buckets from the (value) rollup: conditional sums weight by
+      // cnt over |distinct values| rows — shared oracle with the scan.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("value" -> col("value")))
+      query.PreAgg.rangeBuckets(pre, "value", esRanges)
+    }),
+
+    "g_filters_agg_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Widget-filter buckets from the (event_type, value) pair rollup:
+      // each FilterSpec's fields are rollup dims (the covering contract —
+      // FilterSpec.fields feeds PreAgg.covers), the predicate filters
+      // rollup ROWS, counts are cnt-weighted — the dashboard's filter
+      // widgets answered from doc_values at 100 TB (shared oracle).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.filtersAgg(pre, Seq(
+        "purchases" -> query.FilterSpec.EnumIn("event_type", Seq("purchase")),
+        "big_value" -> query.FilterSpec.NumericRange("value", 100.0, 10000.0),
+        "clicks_or_views" -> query.FilterSpec.EnumIn("event_type", Seq("click", "view"))))
+    }),
+
+    "g_adjacency_matrix_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The co-occurrence matrix from the same pair rollup — zero cells
+      // omitted as in the scan form (shared oracle).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.adjacencyMatrix(pre, Seq(
+        "purchases" -> query.FilterSpec.EnumIn("event_type", Seq("purchase")),
+        "big_value" -> query.FilterSpec.NumericRange("value", 100.0, 10000.0),
+        "clicks" -> query.FilterSpec.EnumIn("event_type", Seq("click"))))
     }),
 
     "g_top_hits" -> ((s, dir) => {
@@ -4390,30 +4484,8 @@ object SparkEntry {
 
     // Singles + pairwise intersections in one pass; zero cells omitted
     // (purchases&clicks is structurally empty and must not appear).
-    "g_adjacency_matrix" ->
-      """SELECT * FROM (
-        |  SELECT 'purchases' AS bucket,
-        |    sum(CASE WHEN event_type IN ('purchase') THEN 1 ELSE 0 END)::BIGINT AS count
-        |  FROM events
-        |  UNION ALL SELECT 'big_value',
-        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |  UNION ALL SELECT 'clicks',
-        |    sum(CASE WHEN event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |  UNION ALL SELECT 'purchases&big_value',
-        |    sum(CASE WHEN event_type IN ('purchase')
-        |      AND value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |  UNION ALL SELECT 'purchases&clicks',
-        |    sum(CASE WHEN event_type IN ('purchase')
-        |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |  UNION ALL SELECT 'big_value&clicks',
-        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0
-        |      AND event_type IN ('click') THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |) WHERE count > 0 ORDER BY bucket""".stripMargin,
+    "g_adjacency_matrix" -> adjacencyMatrixOracleSql,
+    "g_adjacency_matrix_preagg" -> adjacencyMatrixOracleSql,
 
     "g_geo_centroid" ->
       """WITH pts AS (
@@ -4524,16 +4596,9 @@ object SparkEntry {
 
     // Range buckets generated from the SAME esRanges the engine buckets
     // by, so the "from-to" keys are literally shared.
-    "g_range_buckets" -> {
-      val legs = esRanges.map { case (lo, hi) =>
-        val cond = (lo.map(v => s"value >= $v") ++ hi.map(v => s"value < $v"))
-          .reduceOption((a, b) => s"$a AND $b").getOrElse("value IS NOT NULL")
-        s"""SELECT '${query.Aggs.rangeKey(lo, hi)}' AS bucket,
-           |  sum(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS count
-           |FROM events""".stripMargin
-      }
-      legs.mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY bucket")
-    },
+    "g_range_buckets" -> rangeBucketsOracleSql,
+    // (value)-rollup-served twin: cnt-weighted sums must be invisible
+    "g_range_buckets_preagg" -> rangeBucketsOracleSql,
 
     // Per-bucket windowed top-k restated; desc sorts place NULLs last in
     // both engines, id tiebreak pins the hit set.
@@ -4551,18 +4616,10 @@ object SparkEntry {
     // rollup-paged export must be page-identical to the corpus scan
     "g_composite_pages_preagg" -> compositePagesOracleSql,
 
-    "g_filters_agg" ->
-      """SELECT * FROM (
-        |  SELECT 'purchases' AS bucket,
-        |    sum(CASE WHEN event_type IN ('purchase') THEN 1 ELSE 0 END)::BIGINT AS count
-        |  FROM events
-        |  UNION ALL SELECT 'big_value',
-        |    sum(CASE WHEN value >= 100.0 AND value <= 10000.0 THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |  UNION ALL SELECT 'clicks_or_views',
-        |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |) ORDER BY bucket""".stripMargin,
+    "g_filters_agg" -> filtersAggOracleSql,
+    // (event_type, value)-rollup twin — the same covering pair serves
+    // every widget predicate here
+    "g_filters_agg_preagg" -> filtersAggOracleSql,
 
     // Window semantics restated verbatim: trailing-inclusive moving window,
     // lag-derivative null in the first bucket, running sum including the

@@ -20,6 +20,12 @@ sealed trait FilterSpec {
 
   /** Q9: display-text rendering (`collections.js:209-257`). */
   def render: String
+
+  /** Fields this predicate reads — the input to the rollup covering check
+    * ([[graft.query.PreAgg.covers]]): a filter is rollup-servable iff
+    * every field here is a rollup dimension.
+    */
+  def fields: Seq[String]
 }
 
 object FilterSpec {
@@ -30,6 +36,7 @@ object FilterSpec {
   case object MatchAll extends FilterSpec {
     def compile: Column = lit(true)
     def render: String = "*"
+    def fields: Seq[String] = Seq.empty
   }
 
   /** Q2 — numeric range slider `[lo, hi]`, both ends inclusive
@@ -41,6 +48,7 @@ object FilterSpec {
       val n = escName(field)
       s"$n:>=${fmtNum(lo)} AND $n:<=${fmtNum(hi)}"
     }
+    def fields: Seq[String] = Seq(field)
   }
 
   /** Q3 — enum multi-select compiles to IN (the ES `bool.should` +
@@ -55,6 +63,7 @@ object FilterSpec {
       val inner = " " + values.map(v => s"""$n:"$v"""").mkString(" OR ")
       if (values.length > 1) s"($inner)" else inner
     }
+    def fields: Seq[String] = Seq(field)
   }
 
   /** Q4 — boolean radio compiles to equality against 0/1
@@ -63,6 +72,7 @@ object FilterSpec {
   final case class BoolEq(field: String, value: Int) extends FilterSpec {
     def compile: Column = col(field) === value
     def render: String = s"${escName(field)}:$value"
+    def fields: Seq[String] = Seq(field)
   }
 
   /** Q5 — datetime range in epoch millis (`collections.js:178-184`); default
@@ -77,6 +87,7 @@ object FilterSpec {
       val n = escName(field)
       s"$n:>=$fromMillis AND $n:<=$toMillis"
     }
+    def fields: Seq[String] = Seq(field)
   }
 
   /** Q6 — text phrase-prefix over the analyzed (`.split`) form of the field
@@ -87,6 +98,7 @@ object FilterSpec {
   final case class PhrasePrefix(field: String, query: String) extends FilterSpec {
     def compile: Column = TextMatch.phrasePrefix(col(field), query)
     def render: String = s"""${escName(field)}:"* $query*""""
+    def fields: Seq[String] = Seq(field)
   }
 
   /** Q7 — conjunction of all enabled widgets (`collections.js:194-199`). */
@@ -95,6 +107,7 @@ object FilterSpec {
       if (specs.isEmpty) MatchAll.compile else specs.map(_.compile).reduce(_ && _)
     def render: String =
       if (specs.isEmpty) MatchAll.render else specs.map(_.render).mkString(" AND ")
+    def fields: Seq[String] = specs.flatMap(_.fields).distinct
   }
 
   /** Build the conjunction the way the webapp does: empty widget list →

@@ -336,6 +336,89 @@ object PreAgg {
       .limit(size)
   }
 
+  /** [[Aggs.rangeBuckets]] from the rollup: the conditional sums weight by
+    * `cnt` over |distinct values| rows. Same ES `from-to` keys, zero-count
+    * rows kept, coalesced 0 on an empty rollup.
+    */
+  def rangeBuckets(
+      pre: DataFrame,
+      field: String,
+      ranges: Seq[(Option[Double], Option[Double])]): DataFrame = {
+    require(pre.columns.contains(field),
+      s"range field '$field' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    require(ranges.nonEmpty, "rangeBuckets: at least one range")
+    val c = col(field)
+    val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val cond = (lo.map(c >= _) ++ hi.map(c < _))
+        .reduceOption(_ && _).getOrElse(c.isNotNull)
+      coalesce(sum(when(cond, col(CntCol)).otherwise(0L)), lit(0L)).as(s"_r$i")
+    }
+    val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      s"'${Aggs.rangeKey(lo, hi)}', _r$i"
+    }.mkString(", ")
+    pre.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${ranges.size}, $stackArgs) AS (bucket, count)")
+      .orderBy(asc("bucket"))
+  }
+
+  /** [[Aggs.filtersAgg]] from the rollup: each named [[FilterSpec]] must
+    * read only rollup dimensions (its `fields` — the covering contract);
+    * the predicate then filters rollup ROWS and the bucket count is the
+    * `cnt`-weighted sum. At 100 TB this is every dashboard filter widget
+    * answered from doc_values.
+    */
+  def filtersAgg(pre: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
+    require(filters.nonEmpty, "filtersAgg: at least one filter")
+    filters.foreach { case (name, spec) =>
+      require(!name.contains("'"), s"filters bucket name must not quote: $name")
+      require(covers(pre.columns.toSeq, spec.fields),
+        s"filter '$name' reads ${spec.fields.mkString(",")} outside the rollup " +
+          s"dims (${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    }
+    val sums = filters.zipWithIndex.map { case ((_, spec), i) =>
+      coalesce(sum(when(spec.compile, col(CntCol)).otherwise(0L)), lit(0L)).as(s"_f$i")
+    }
+    val stackArgs = filters.zipWithIndex.map { case ((name, _), i) =>
+      s"'$name', _f$i"
+    }.mkString(", ")
+    pre.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${filters.size}, $stackArgs) AS (bucket, count)")
+      .orderBy(asc("bucket"))
+  }
+
+  /** [[Aggs.adjacencyMatrix]] from the rollup — singles + pairwise
+    * intersections as `cnt`-weighted conditional sums, zero cells omitted
+    * (ES semantics), same covering contract as [[filtersAgg]].
+    */
+  def adjacencyMatrix(pre: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
+    require(filters.size >= 2, "adjacency_matrix needs at least two filters")
+    filters.foreach { case (name, spec) =>
+      require(!name.contains("'") && !name.contains("&"),
+        s"adjacency bucket name must not quote or contain '&': $name")
+      require(covers(pre.columns.toSeq, spec.fields),
+        s"filter '$name' reads ${spec.fields.mkString(",")} outside the rollup " +
+          s"dims (${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    }
+    val singles = filters.zipWithIndex.map { case ((name, spec), i) =>
+      (name, spec.compile, s"_a$i")
+    }
+    val pairs = for {
+      i <- filters.indices; j <- filters.indices if i < j
+    } yield (s"${filters(i)._1}&${filters(j)._1}",
+      filters(i)._2.compile && filters(j)._2.compile, s"_a${i}_$j")
+    val cells = singles ++ pairs
+    val sums = cells.map { case (_, cond, alias) =>
+      coalesce(sum(when(cond, col(CntCol)).otherwise(0L)), lit(0L)).as(alias)
+    }
+    val stackArgs = cells.map { case (name, _, alias) => s"'$name', $alias" }
+      .mkString(", ")
+    pre.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${cells.size}, $stackArgs) AS (bucket, count)")
+      .where(col("count") > 0)
+      .orderBy(asc("bucket"))
+  }
+
   /** [[Aggs.rareTerms]] from the rollup: the long-tail export re-sums
     * |distinct values| rows — exactly the query shape the rollup pays for
     * at 100 TB, since the rare tail is invisible to any top-N cache but a

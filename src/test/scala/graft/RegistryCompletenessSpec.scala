@@ -44,7 +44,9 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_multi_terms", "g_multi_terms_preagg", "g_adjacency_matrix",
     "g_serial_diff", "q6_phrase_prefix_unicode",
     "g_sampler_terms", "g_diversified_sampler", "g_date_range",
-    "g_geo_centroid", "g_date_histogram_incremental", "g_bucket_stats")
+    "g_geo_centroid", "g_date_histogram_incremental", "g_bucket_stats",
+    "g_range_buckets_preagg", "g_filters_agg_preagg",
+    "g_adjacency_matrix_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -237,6 +237,31 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("not a rollup dimension"))
   }
 
+  test("range/filters/adjacency from the rollup equal their corpus-scan twins, covering enforced") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val pre = PreAgg.increment(corpus,
+      Seq("description" -> col("description"), "year" -> col("year")))
+    val ranges = Seq((Some(2015.0), Some(2017.0)), (None, Some(2016.0)), (Some(2030.0), None))
+    assert(canon(PreAgg.rangeBuckets(pre, "year", ranges))
+      === canon(Aggs.rangeBuckets(corpus, "year", ranges)))
+    val filters = Seq(
+      "theft" -> FilterSpec.EnumIn("description", Seq("Theft")),
+      "recent" -> FilterSpec.NumericRange("year", 2016, 2020),
+      "none" -> FilterSpec.EnumIn("description", Seq("nothing")))
+    assert(canon(PreAgg.filtersAgg(pre, filters))
+      === canon(Aggs.filtersAgg(corpus, filters)))
+    assert(canon(PreAgg.adjacencyMatrix(pre, filters))
+      === canon(Aggs.adjacencyMatrix(corpus, filters)))
+    // a filter outside the dims must refuse loudly toward the scan
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.filtersAgg(pre, Seq("city" -> FilterSpec.EnumIn("city", Seq("balt"))))
+    }.getMessage.contains("outside the rollup"))
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.rangeBuckets(pre, "city", ranges)
+    }.getMessage.contains("not a rollup dimension"))
+  }
+
   test("compositeAgg pages over the rollup identically to the corpus-scan pages") {
     val pre = PreAgg.increment(corpus, dims)
     val keys = Seq("city", "description")
