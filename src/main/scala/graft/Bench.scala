@@ -147,6 +147,7 @@ object Bench {
       "g_extended_stats", "g_weighted_avg", "g_missing",
       "g_rare_terms", "g_multi_terms", "g_serial_diff",
       "g_sampler_terms", "g_date_range", "g_geo_centroid", "g_bucket_stats",
+      "g_missing_preagg",
       // one-pass conditional-sum family: the FilterSpec-driven filters
       // form is the visible number; range buckets share its plan shape,
       // and the rollup-served twins ride in DETAIL

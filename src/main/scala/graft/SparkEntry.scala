@@ -746,6 +746,14 @@ object SparkEntry {
     * (per-row cells by bit-stable cosine) → `assigned` (top-1 cell per
     * row). Emits CTE bodies only; callers continue the WITH chain.
     */
+  /** Missing-bucket count over the derived conversion-type field —
+    * shared by the scan form and the derived-dim rollup twin.
+    */
+  private val missingOracleSql: String =
+    """SELECT coalesce(sum(CASE WHEN nullif(event_type, 'view') IS NULL
+      |  THEN 1 ELSE 0 END), 0)::BIGINT AS missing_count
+      |FROM events""".stripMargin
+
   /** Named widget-filter buckets — shared by the scan form and the
     * (event_type, value)-rollup serving twin.
     */
@@ -1864,6 +1872,17 @@ object SparkEntry {
       // ES missing bucket agg over a derived field ('view' rows carry no
       // conversion type): the data-quality tile next to a terms widget.
       Aggs.missingCount(loadEvents(dir), expr("nullif(event_type, 'view')"))
+    }),
+
+    "g_missing_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The data-quality tile from a rollup whose dimension is the
+      // derived field: null is a rollup row like any value, so the
+      // missing count is one cnt-sum over |distinct values| rows
+      // (shared oracle with the scan form).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("conv_type" -> expr("nullif(event_type, 'view')")))
+      query.PreAgg.missingCount(pre, "conv_type")
     }),
 
     "g_rare_terms" -> ((s, dir) => {
@@ -4469,10 +4488,9 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL""".stripMargin,
 
-    "g_missing" ->
-      """SELECT coalesce(sum(CASE WHEN nullif(event_type, 'view') IS NULL
-        |  THEN 1 ELSE 0 END), 0)::BIGINT AS missing_count
-        |FROM events""".stripMargin,
+    "g_missing" -> missingOracleSql,
+    // derived-dim rollup twin: null is a rollup row like any value
+    "g_missing_preagg" -> missingOracleSql,
 
     // One count-by-key restatement shared by the exact scan form and the
     // rollup-served long-tail export.

@@ -419,6 +419,19 @@ object PreAgg {
       .orderBy(asc("bucket"))
   }
 
+  /** [[Aggs.missingCount]] from the rollup: null is a rollup row like any
+    * other value (a dimension going null IS a combination), so the
+    * missing count is one cnt-sum over the null rows — 0 on an empty or
+    * fully-present rollup.
+    */
+  def missingCount(pre: DataFrame, dim: String): DataFrame = {
+    require(pre.columns.contains(dim),
+      s"missing dimension '$dim' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    pre.agg(coalesce(sum(when(col(dim).isNull, col(CntCol)).otherwise(0L)),
+      lit(0L)).as("missing_count"))
+  }
+
   /** [[Aggs.rareTerms]] from the rollup: the long-tail export re-sums
     * |distinct values| rows — exactly the query shape the rollup pays for
     * at 100 TB, since the rare tail is invisible to any top-N cache but a
