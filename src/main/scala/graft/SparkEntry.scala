@@ -869,6 +869,57 @@ object SparkEntry {
       |  count(*) AS count
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The zoom-5 geotile grid: the g_geo_centroid pts pins + the
+    * Aggs.geoTileXY Mercator tree restated operator-for-operator
+    * (π/180 as ONE shared double — neither engine's radians(), whose
+    * trees differ).
+    */
+  private val geoTileGrid5OracleSql: String =
+    """WITH pts AS (
+      |  SELECT
+      |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+      |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+      |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+      |  FROM customer
+      |), idx AS (
+      |  SELECT
+      |    least(31, greatest(0,
+      |      floor((lon + 180.0) / 360.0 * 32)::BIGINT)) AS tx,
+      |    least(31, greatest(0,
+      |      floor((1.0 - ln(tan(lat * (pi() / 180.0))
+      |                      + 1.0 / cos(lat * (pi() / 180.0))) / pi())
+      |            / 2.0 * 32)::BIGINT)) AS ty
+      |  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+      |)
+      |SELECT '5/' || tx || '/' || ty AS tile, count(*)::BIGINT AS count
+      |FROM idx GROUP BY 1 ORDER BY count DESC, tile LIMIT 10""".stripMargin
+
+  /** The auto_date_histogram chooser replayed in SQL: one aggregation
+    * computes every grain cardinality, one CASE picks the finest grain
+    * fitting the target, the histogram truncates at the winner.
+    */
+  private val autoDateHistogram100OracleSql: String =
+    """WITH c AS (
+      |  SELECT count(DISTINCT date_trunc('minute', ts)) AS cm,
+      |         count(DISTINCT date_trunc('hour', ts)) AS ch,
+      |         count(DISTINCT date_trunc('day', ts)) AS cd,
+      |         count(DISTINCT date_trunc('month', ts)) AS cmo
+      |  FROM events WHERE ts IS NOT NULL
+      |), g AS (
+      |  SELECT CASE WHEN cm <= 100 THEN 'minute' WHEN ch <= 100 THEN 'hour'
+      |              WHEN cd <= 100 THEN 'day' WHEN cmo <= 100 THEN 'month'
+      |              ELSE 'year' END AS grain FROM c
+      |)
+      |SELECT strftime(CASE g.grain
+      |    WHEN 'minute' THEN date_trunc('minute', ts)
+      |    WHEN 'hour' THEN date_trunc('hour', ts)
+      |    WHEN 'day' THEN date_trunc('day', ts)
+      |    WHEN 'month' THEN date_trunc('month', ts)
+      |    ELSE date_trunc('year', ts) END, '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  count(*)::BIGINT AS count, g.grain AS grain
+      |FROM events, g WHERE ts IS NOT NULL
+      |GROUP BY 1, g.grain ORDER BY 1""".stripMargin
+
   /** Windowed point-in-time assembly restated once — shared verbatim by
     * `join_rolling_features` and its time-chunked execution twin.
     */
@@ -1991,6 +2042,114 @@ object SparkEntry {
           "bucket", "count", lagBuckets = 7)
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
         .orderBy("bucket")
+    }),
+
+    "g_geotile_grid" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geotile_grid at zoom 5 over the synthetic customer coordinates
+      // (the g6 fixture): slippy z/x/y Web-Mercator tiles, the one grid
+      // whose cell function is transcendental (tan/ln library-rounded;
+      // boundary-flip odds ~1e-14/row, documented at Aggs.geoTileGrid).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geoTileGrid(pts, "lat", "lon", z = 5)
+    }),
+
+    "g_geotile_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same zoom-5 grid served from a zoom-8 at-rest rollup: zoom-out
+      // is integer >> over the tile dims — BIT-exact against the corpus
+      // scan (power-of-two scaling commutes with IEEE rounding), so the
+      // shared oracle certifies the serving identity. One rollup serves
+      // every coarser zoom, the slippy-map-server identity as an
+      // aggregation (PreAgg.geoTileGridAt).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      val Seq(tx, ty) = Aggs.geoTileXY(col("lat"), col("lon"), 8)
+      val pre = query.PreAgg.increment(pts, Seq("tx" -> tx, "ty" -> ty))
+      query.PreAgg.geoTileGridAt(pre, ingestZoom = 8, z = 5)
+    }),
+
+    "g_geo_bounds" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_bounds per market-segment bucket: the viewport-fit box.
+      // min/max on raw doubles are order-exact — no quantization needed.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geoBounds(pts, "c_mktsegment", "lat", "lon")
+    }),
+
+    "g_top_metrics" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES top_metrics (size=1, the default): the value carried by each
+      // event type's LATEST event — one lexicographic max(struct), no
+      // window, costs what max costs at any scale. event_id breaks
+      // timestamp ties deterministically.
+      Aggs.termsTopMetrics(loadEvents(dir), "event_type",
+        sortCol = col("ts"), tiebreak = col("event_id"), metric = col("value"))
+    }),
+
+    "g_boxplot" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES boxplot per event-type bucket: exact interpolated quartiles
+      // (deliberate exactness delta vs ES's TDigest) + the 1.5·IQR
+      // whiskers as data values, ES's own whisker definition.
+      Aggs.boxplot(loadEvents(dir), "event_type", "value")
+    }),
+
+    "g_mad" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES median_absolute_deviation per event-type bucket: the robust
+      // dispersion metric, exact (median-of-|deviations| via two
+      // bucket-bounded passes and one broadcast).
+      Aggs.medianAbsoluteDeviation(loadEvents(dir), "event_type", "value")
+    }),
+
+    "g_string_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES string_stats over the documents corpus text: exact lengths +
+      // Shannon entropy of the character distribution, pinned by an
+      // ORDERED fold over the char table (never a partition-order float
+      // sum) and round(·,6) absorbing the ≤1-ulp ln library delta.
+      Aggs.stringStats(load(dir, "documents"), "text")
+    }),
+
+    "g_matrix_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES matrix_stats over three lineitem measures: the full
+      // covariance/correlation matrices in ONE corpus pass, integer-cents
+      // exact (LONG cross-moment folds; IEEE sqrt is correctly rounded so
+      // even correlation hash-matches with no rounding escape hatch).
+      // Fields are passed alphabetically so pair order == output order.
+      Aggs.matrixStats(load(dir, "lineitem"),
+        Seq("l_discount", "l_quantity", "l_tax"))
+    }),
+
+    "g_auto_date_histogram" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES auto_date_histogram targeting ≤100 buckets: the chooser
+      // computes all five grain cardinalities in ONE aggregation (events
+      // span 30 days at ~9k distinct minutes → day wins), then histograms
+      // at the chosen grain; the grain ships as a column so the oracle
+      // replays the decision.
+      Aggs.autoDateHistogram(loadEvents(dir), "ts", targetBuckets = 100)
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
+    }),
+
+    "g_auto_date_histogram_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same auto histogram decided AND served from the hour-grain
+      // rollup: count monotonicity certifies the scan chooser would skip
+      // every sub-ingest grain (the require in PreAgg.autoDateHistogram),
+      // so both choosers walk the same ladder tail and the shared oracle
+      // certifies decision + serving together.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("h" -> date_trunc("hour", col("ts"))))
+      query.PreAgg.autoDateHistogram(pre, "h", "hour", targetBuckets = 100)
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
     "g_cardinality" -> ((s, dir) => {
@@ -4589,6 +4748,144 @@ object SparkEntry {
         |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
         |  (count - lag(count, 7) OVER (ORDER BY b))::BIGINT AS serial_diff
         |FROM h ORDER BY bucket""".stripMargin,
+
+    // One transcendental grid (tan/ln library-rounded, documented at
+    // Aggs.geoTileGrid); everything around them — the pmod/0.001 pts pins
+    // from g_geo_centroid, π/180 as ONE shared double, the clamp, the
+    // floor — is the identical IEEE tree on both engines. The rollup twin
+    // shares this oracle: zoom-out over the z=8 rollup is integer >>.
+    "g_geotile_grid" -> geoTileGrid5OracleSql,
+    "g_geotile_preagg" -> geoTileGrid5OracleSql,
+
+    "g_geo_bounds" ->
+      """WITH pts AS (
+        |  SELECT c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, count(*)::BIGINT AS count,
+        |  max(lat) AS top, min(lon) AS "left",
+        |  min(lat) AS bottom, max(lon) AS "right"
+        |FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+        |GROUP BY 1 ORDER BY count DESC, c_mktsegment LIMIT 10""".stripMargin,
+
+    "g_top_metrics" ->
+      """WITH r AS (
+        |  SELECT event_type, ts, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, count(*)::BIGINT AS count
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |)
+        |SELECT r.event_type, c.count, r.ts AS top_sort, r.value AS top_metric
+        |FROM r JOIN c ON r.event_type = c.event_type WHERE r.rn = 1
+        |ORDER BY c.count DESC, r.event_type LIMIT 10""".stripMargin,
+
+    "g_boxplot" ->
+      """WITH q AS (
+        |  SELECT event_type, count(*)::BIGINT AS count, min(value) AS min,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
+        |    quantile_cont(value, 0.75) AS q3, max(value) AS max
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), w AS (
+        |  SELECT e.event_type,
+        |    min(e.value) FILTER (WHERE e.value >= q.q1 - (q.q3 - q.q1) * 1.5)
+        |      AS lower_whisker,
+        |    max(e.value) FILTER (WHERE e.value <= q.q3 + (q.q3 - q.q1) * 1.5)
+        |      AS upper_whisker
+        |  FROM events e JOIN q ON e.event_type = q.event_type
+        |  WHERE e.value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT q.event_type, q.count, q.min, q.q1, q.q2, q.q3, q.max,
+        |  w.lower_whisker, w.upper_whisker
+        |FROM q JOIN w ON q.event_type = w.event_type
+        |ORDER BY q.count DESC, q.event_type LIMIT 10""".stripMargin,
+
+    "g_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*)::BIGINT AS count,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT e.event_type, any_value(m.count) AS count,
+        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE e.value IS NOT NULL
+        |GROUP BY e.event_type
+        |ORDER BY count DESC, e.event_type LIMIT 10""".stripMargin,
+
+    // Entropy: the SAME fixed per-term tree over exact LONG char counts,
+    // summed by the SAME char-ordered running-sum fold, rounded at 6 —
+    // the one statistic here with no integer-exact form.
+    "g_string_stats" ->
+      """WITH chars AS (
+        |  SELECT c, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split(text, '')) AS c
+        |    FROM documents WHERE text IS NOT NULL
+        |  ) WHERE length(c) > 0 GROUP BY c
+        |), tot AS (
+        |  SELECT sum(cnt)::BIGINT AS n FROM chars
+        |), terms AS (
+        |  SELECT c,
+        |    -(cnt::DOUBLE / n) * ln(cnt::DOUBLE / n) / ln(2.0) AS term
+        |  FROM chars, tot
+        |), folded AS (
+        |  SELECT c, sum(term) OVER (
+        |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        |  FROM terms
+        |), e AS (
+        |  SELECT round(h, 6) AS entropy FROM folded ORDER BY c DESC LIMIT 1
+        |)
+        |SELECT count(*)::BIGINT AS count,
+        |  min(length(text))::INT AS min_length,
+        |  max(length(text))::INT AS max_length,
+        |  (sum(length(text))::DOUBLE / count(*)) AS avg_length,
+        |  any_value(e.entropy) AS entropy
+        |FROM documents, e WHERE text IS NOT NULL GROUP BY e.entropy""".stripMargin,
+
+    // Six pair rows restated by hand: LONG cents folds (sums < 2^53, so
+    // even the engines' differing wide-sum types convert to the same
+    // doubles), then the per-statistic fixed trees — IEEE sqrt is
+    // correctly rounded, so correlation needs no rounding escape hatch.
+    "g_matrix_stats" -> {
+      val fields = Seq("l_discount", "l_quantity", "l_tax")
+      val pairs = for { i <- fields.indices; j <- i until fields.size }
+        yield (fields(i), fields(j))
+      def mean(f: String) = s"(s_$f / 100.0) / n"
+      def vr(f: String) = s"(p_${f}_$f / 10000.0) / n - ${mean(f)} * ${mean(f)}"
+      def cov(a: String, b: String) =
+        s"(p_${a}_$b / 10000.0) / n - ${mean(a)} * ${mean(b)}"
+      val sums =
+        fields.map(f => s"sum(c_$f)::BIGINT AS s_$f") ++
+          pairs.map { case (a, b) => s"sum(c_$a * c_$b)::BIGINT AS p_${a}_$b" }
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS field_i, '$b' AS field_j, n AS count,
+           |  ${mean(a)} AS mean_i, ${mean(b)} AS mean_j,
+           |  ${vr(a)} AS var_i, ${vr(b)} AS var_j,
+           |  ${cov(a, b)} AS covariance,
+           |  (${cov(a, b)}) / sqrt((${vr(a)}) * (${vr(b)})) AS correlation
+           |FROM s""".stripMargin
+      }
+      s"""WITH b AS (
+         |  SELECT ${fields.map(f => s"floor($f * 100)::BIGINT AS c_$f").mkString(", ")}
+         |  FROM lineitem
+         |  WHERE ${fields.map(f => s"$f IS NOT NULL").mkString(" AND ")}
+         |), s AS (
+         |  SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM b
+         |)
+         |${rows.mkString("\nUNION ALL\n")}
+         |ORDER BY field_i, field_j""".stripMargin
+    },
+
+    // The chooser replayed in SQL: the same five one-pass grain counts,
+    // the same finest-grain-fitting-target CASE; both twins (scan chooser
+    // and the rollup's certified ladder tail) share it.
+    "g_auto_date_histogram" -> autoDateHistogram100OracleSql,
+    "g_auto_date_histogram_preagg" -> autoDateHistogram100OracleSql,
 
     // One corpus-relation restatement shared by the scan form and the
     // pair-rollup serving form — the serving layer provably invisible.

@@ -737,6 +737,261 @@ object Aggs {
       .limit(n)
   }
 
+  /** Web-Mercator latitude bound: tiles exist only inside ±85.0511°;
+    * ES's `GeoTileUtils` clamps out-of-range latitudes to the edge tiles
+    * and this repo does the same (via index clamping below, which is the
+    * arithmetic-only equivalent and keeps the expression tree free of a
+    * second conditional).
+    */
+  private val MercatorLatLimit = 85.0511287798066
+
+  /** ES `geotile_grid` bucket agg: counts per slippy-map tile `z/x/y`
+    * (OSM tile scheme), the Web-Mercator sibling of [[geohashGrid]].
+    * `x = ⌊(lon+180)/360·2ᶻ⌋`, `y = ⌊(1 − ln(tan φ + sec φ)/π)/2·2ᶻ⌋`,
+    * both clamped to `[0, 2ᶻ)` (ES clamps |lat| > 85.0511° to the edge
+    * row the same way).
+    *
+    * Determinism note: this is the one grid whose cell function is
+    * transcendental (Mercator needs `tan`/`ln`); `+ − × /`, `floor`, and
+    * the clamp are IEEE-exact cross-engine, but `tan`/`cos`/`ln` are
+    * library-rounded (≤1 ulp each in the JVM and libm), so a point within
+    * ~1e-14 tile-widths of a boundary could in principle land differently
+    * in the DuckDB oracle — probability ~1e-14 per row, accepted and
+    * documented rather than papered over with lossy rounding. The
+    * geohash/numeric/date grids stay fully exact; zoom-out over THIS grid
+    * is integer `>>` and therefore exact too ([[PreAgg.geoTileGridAt]]).
+    */
+  def geoTileGrid(
+      df: DataFrame, latCol: String, lonCol: String, z: Int, n: Int = 10): DataFrame = {
+    require(z >= 0 && z <= 29, s"geotile zoom must be in [0,29], got $z")
+    df.where(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .select(geoTileXY(col(latCol), col(lonCol), z): _*)
+      .groupBy("tx", "ty")
+      .agg(count(lit(1)).as("count"))
+      .select(concat_ws("/", lit(z), col("tx"), col("ty")).as("tile"), col("count"))
+      .orderBy(desc("count"), asc("tile"))
+      .limit(n)
+  }
+
+  /** The tile-index pair at zoom `z` — shared by the scan grid above and
+    * the rollup ingest ([[PreAgg]] callers pass the finest zoom here).
+    */
+  def geoTileXY(lat: Column, lon: Column, z: Int): Seq[Column] = {
+    val tiles = lit(1L << z)
+    val x = floor((lon + 180.0) / 360.0 * tiles).cast("long")
+    // NOT radians(): Spark's is x/180·π, DuckDB's is x·(π/180) — different
+    // IEEE trees. One explicit multiply by the shared π/180 double pins it.
+    val latRad = lat * lit(math.Pi / 180.0)
+    val merc = (lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / 2.0
+    val y = floor(merc * tiles).cast("long")
+    Seq(least(tiles - 1L, greatest(lit(0L), x)).as("tx"),
+      least(tiles - 1L, greatest(lit(0L), y)).as("ty"))
+  }
+
+  /** ES `geo_bounds` metric agg per terms bucket: the tightest
+    * axis-aligned box around each bucket's points (what Kibana fits a
+    * map viewport to). `min`/`max` on the raw doubles are order-exact,
+    * so no integer quantization is needed — the row hash-matches
+    * cross-engine as-is. Null coordinates exclude the row from both the
+    * bounds and the count (ES missing behavior); `wrap_longitude`
+    * antimeridian wrapping is not implemented (documented delta — the
+    * reference corpus is single-city).
+    */
+  def geoBounds(
+      df: DataFrame, field: String,
+      latCol: String, lonCol: String, n: Int = 10): DataFrame =
+    df.where(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .groupBy(col(field))
+      .agg(
+        count(lit(1)).as("count"),
+        max(col(latCol)).as("top"),
+        min(col(lonCol)).as("left"),
+        min(col(latCol)).as("bottom"),
+        max(col(lonCol)).as("right"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
+  /** ES `top_metrics` agg per terms bucket (size = 1, ES's default):
+    * the metric value carried by the row that maximizes the sort field —
+    * "latest value per key" / "price at peak hour" dashboards. One hash
+    * aggregate via a lexicographic `max(struct(sort, tiebreak, metric))`:
+    * no window, no second exchange — the `size=1` form is max_by and
+    * should cost exactly what max costs at 100 TB. `tiebreak` must be a
+    * total order within the bucket (an id column) so the carried metric
+    * is deterministic under any partitioning when sort values tie.
+    */
+  def termsTopMetrics(
+      df: DataFrame, field: String,
+      sortCol: Column, tiebreak: Column, metric: Column,
+      n: Int = 10): DataFrame =
+    df.where(sortCol.isNotNull)
+      .groupBy(col(field))
+      .agg(count(lit(1)).as("count"),
+        max(struct(sortCol.as("s"), tiebreak.as("t"), metric.as("m"))).as("_top"))
+      .select(col(field), col("count"),
+        col("_top.s").as("top_sort"), col("_top.m").as("top_metric"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
+  /** ES `boxplot` metric agg per terms bucket: min / q1 / q2 / q3 / max
+    * plus the 1.5·IQR whiskers (the lowest/highest DATA values inside
+    * the fences, ES's own definition). Quartiles are Spark's exact
+    * interpolated `percentile` (the same statistic the oracle's
+    * `quantile_cont` computes — the established [[termsWithMetrics]]
+    * percentile discipline, not ES's TDigest approximation, a
+    * deliberate exactness delta). Two bucket-bounded passes: quartiles
+    * first, then a broadcast join feeds the fence-conditional extremes —
+    * the second scan prunes to the same two columns.
+    */
+  def boxplot(df: DataFrame, field: String, valueCol: String, n: Int = 10): DataFrame = {
+    val v = col(valueCol)
+    val quart = df.where(v.isNotNull).groupBy(col(field)).agg(
+      count(lit(1)).as("count"),
+      min(v).as("min"),
+      expr(s"percentile($valueCol, 0.25)").as("q1"),
+      expr(s"percentile($valueCol, 0.5)").as("q2"),
+      expr(s"percentile($valueCol, 0.75)").as("q3"),
+      max(v).as("max"))
+    val fenced = df.where(v.isNotNull).select(col(field), v)
+      .join(broadcast(quart.select(col(field),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("_lofence"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("_hifence"))), field)
+      .groupBy(col(field))
+      .agg(min(when(v >= col("_lofence"), v)).as("lower_whisker"),
+        max(when(v <= col("_hifence"), v)).as("upper_whisker"))
+    quart.join(fenced, field)
+      .select(field, "count", "min", "q1", "q2", "q3", "max",
+        "lower_whisker", "upper_whisker")
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
+  /** ES `median_absolute_deviation` metric agg per terms bucket:
+    * `median(|x − median(x)|)` — the robust dispersion statistic. Exact
+    * interpolated medians (ES uses TDigest; same deliberate delta as
+    * [[boxplot]]). The inner median broadcasts back per bucket;
+    * `|x − m|` and the interpolation `(1−f)·a + f·b` are fixed IEEE
+    * trees, so the row hash-matches cross-engine.
+    */
+  def medianAbsoluteDeviation(
+      df: DataFrame, field: String, valueCol: String, n: Int = 10): DataFrame = {
+    val v = col(valueCol)
+    val med = df.where(v.isNotNull).groupBy(col(field)).agg(
+      count(lit(1)).as("count"),
+      expr(s"percentile($valueCol, 0.5)").as("_med"))
+    df.where(v.isNotNull).select(col(field), v)
+      .join(broadcast(med), field)
+      .groupBy(col(field))
+      .agg(first(col("count")).as("count"),
+        expr(s"percentile(abs($valueCol - _med), 0.5)").as("mad"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
+  /** ES `string_stats` metric agg: count, min/max/avg length, and the
+    * Shannon entropy of the character distribution across all values.
+    * Lengths are integer-exact; `avg_length` is one fixed division.
+    * Entropy has no integer-exact form (it is a sum of irrational
+    * terms), so it is pinned two ways instead: (1) each term
+    * `−(c/N)·ln(c/N)/ln 2` is a fixed IEEE tree over the exact LONG
+    * char-counts, and (2) the terms are summed by an ORDERED fold — a
+    * running-sum window over the char-ordered distribution table, never
+    * a partition-order float sum — so the result is identical run-to-run
+    * AND engine-to-engine up to the ≤1-ulp `ln` library difference,
+    * which `round(·, 6)` absorbs. The window frame is the distribution
+    * table (|alphabet| rows), not the corpus — the [[bucketStats]]
+    * bounded-frame precedent.
+    */
+  def stringStats(df: DataFrame, field: String): DataFrame = {
+    val chars = df.where(col(field).isNotNull)
+      .select(explode(split(col(field), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+      .groupBy("ch").agg(count(lit(1)).as("c"))
+    val total = chars.agg(sum(col("c")).as("n"))
+    val w = Window.orderBy(col("ch")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val entropy = chars.crossJoin(broadcast(total))
+      .withColumn("_term",
+        -(col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")) / log(lit(2.0)))
+      .withColumn("_h", sum(col("_term")).over(w))
+      .orderBy(desc("ch")).limit(1)
+      .select(round(col("_h"), 6).as("entropy"))
+    df.where(col(field).isNotNull).agg(
+        count(lit(1)).as("count"),
+        min(length(col(field))).as("min_length"),
+        max(length(col(field))).as("max_length"),
+        (sum(length(col(field))).cast("double") / count(lit(1))).as("avg_length"))
+      .crossJoin(broadcast(entropy))
+  }
+
+  /** ES `matrix_stats` agg over a set of numeric fields: per unordered
+    * field pair, the count, means, variances, covariance, and Pearson
+    * correlation — the full matrices ES renders, in ONE corpus pass.
+    * The [[extendedStats]] integer-cents discipline extends to the cross
+    * moment: `Σ cᵢ·cⱼ` is a LONG fold (exact in any order; bounded by
+    * 10⁴·max²·rows, callers keep fields < ~10⁵ in magnitude), and every
+    * derived statistic is one fixed conversion tree — IEEE `sqrt` is
+    * correctly rounded, so even `correlation` hash-matches cross-engine
+    * with no rounding escape hatch. ES's per-field skewness/kurtosis are
+    * omitted (their c³/c⁴ folds overflow LONG for money-scaled fields;
+    * documented delta). Rows with ANY null field are excluded, ES's
+    * listwise-deletion behavior.
+    */
+  def matrixStats(df: DataFrame, fields: Seq[String]): DataFrame = {
+    require(fields.size >= 2, "matrix_stats needs at least two fields")
+    val cents = fields.map(f => floor(col(f) * 100).cast("long").as(s"_c_$f"))
+    val base = df.where(fields.map(col(_).isNotNull).reduce(_ && _)).select(cents: _*)
+    val pairs = for { i <- fields.indices; j <- i until fields.size }
+      yield (fields(i), fields(j))
+    val sums =
+      Seq(count(lit(1)).as("_n")) ++
+        fields.map(f => sum(col(s"_c_$f")).as(s"_s_$f")) ++
+        pairs.map { case (a, b) => sum(col(s"_c_$a") * col(s"_c_$b")).as(s"_p_${a}_$b") }
+    val agg = base.agg(sums.head, sums.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("_n").cast("double")
+      def mean(f: String) = (col(s"_s_$f") / 100.0) / n
+      def variance(f: String) =
+        (col(s"_p_${f}_$f") / 10000.0) / n - mean(f) * mean(f)
+      val cov = (col(s"_p_${a}_$b") / 10000.0) / n - mean(a) * mean(b)
+      struct(lit(a).as("field_i"), lit(b).as("field_j"), col("_n").as("count"),
+        mean(a).as("mean_i"), mean(b).as("mean_j"),
+        variance(a).as("var_i"), variance(b).as("var_j"),
+        cov.as("covariance"),
+        (cov / sqrt(variance(a) * variance(b))).as("correlation"))
+    }
+    agg.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
+      .orderBy(asc("field_i"), asc("field_j"))
+  }
+
+  /** The `auto_date_histogram` grain ladder: calendar `date_trunc`
+    * grains, finest first. ES's ladder also has multiples (5m, 30m, 3h);
+    * this repo serves single grains only so every chosen grain is also a
+    * rollup-servable one (documented delta).
+    */
+  val AutoDateGrains: Seq[String] = Seq("minute", "hour", "day", "month", "year")
+
+  /** ES `auto_date_histogram` bucket agg: pick the finest calendar grain
+    * whose bucket count fits `targetBuckets`, then histogram at it. The
+    * chooser is ONE aggregation computing all five distinct-truncation
+    * counts (no per-grain scans), collected as a single bounded row (the
+    * [[autoPrecision]] driver-branch precedent); ties on the ladder are
+    * impossible since counts are monotone coarser→fewer. Falls back to
+    * `year` when even the coarsest grain overflows the target (ES keeps
+    * coarsening; year is this repo's ladder top). Returns the chosen
+    * grain as a constant column so callers (and the oracle) see the
+    * decision.
+    */
+  def autoDateHistogram(df: DataFrame, tsCol: String, targetBuckets: Int): DataFrame = {
+    require(targetBuckets >= 1, s"targetBuckets must be >= 1, got $targetBuckets")
+    val aggs = AutoDateGrains.map(g => count_distinct(date_trunc(g, col(tsCol))).as(g))
+    val row = df.where(col(tsCol).isNotNull).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val grain = AutoDateGrains.zipWithIndex
+      .find { case (g, i) => row.getLong(i) <= targetBuckets }
+      .map(_._1).getOrElse(AutoDateGrains.last)
+    dateHistogram(df, tsCol, grain).withColumn("grain", lit(grain))
+  }
+
   def rollupCounts(df: DataFrame, dims: Seq[String], cube: Boolean = false): DataFrame = {
     val cols = dims.map(col)
     val grouped = if (cube) df.cube(cols: _*) else df.rollup(cols: _*)

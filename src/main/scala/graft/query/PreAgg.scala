@@ -551,6 +551,40 @@ object PreAgg {
       .orderBy(asc("bucket"))
   }
 
+  /** ES `auto_date_histogram` served from the rollup: replicate the
+    * scan chooser's ladder walk ([[Aggs.autoDateHistogram]]) over the
+    * SERVABLE grains, then serve the winner via [[dateHistogram]]. The
+    * rollup cannot count buckets at sub-ingest grains, so servability of
+    * the DECISION (not just the histogram) rests on monotonicity:
+    * distinct-bucket counts only shrink as grains coarsen, so if the
+    * ingest grain itself overflows `targetBuckets`, every finer grain
+    * the scan chooser would have considered overflows too and both
+    * choosers walk the same tail of the ladder — certified by the
+    * `require` below, which fails loudly toward the corpus scan
+    * otherwise (the standard covering-miss contract here). One bounded
+    * chooser aggregation over |rollup| rows, then one serve.
+    */
+  def autoDateHistogram(
+      pre: DataFrame,
+      tsDim: String,
+      ingestInterval: String,
+      targetBuckets: Int): DataFrame = {
+    require(targetBuckets >= 1, s"targetBuckets must be >= 1, got $targetBuckets")
+    val servable = Aggs.AutoDateGrains.filter(coversDate(ingestInterval, _))
+    require(servable.nonEmpty,
+      s"no auto-date grain is servable from an ingest-grain-'$ingestInterval' rollup")
+    val aggs = servable.map(g => count_distinct(date_trunc(g, col(tsDim))).as(g))
+    val row = pre.where(col(tsDim).isNotNull).agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(row.getLong(0) > targetBuckets,
+      s"the ingest grain '${servable.head}' already fits $targetBuckets buckets — " +
+        "the scan chooser could pick a finer grain the rollup cannot count; " +
+        "serve this target from the corpus scan")
+    val grain = servable.zipWithIndex
+      .find { case (_, i) => row.getLong(i) <= targetBuckets }
+      .map(_._1).getOrElse(servable.last)
+    dateHistogram(pre, tsDim, ingestInterval, grain).withColumn("grain", lit(grain))
+  }
+
   /** ES "Percentile Ranks" (the inverse metric: what fraction of the
     * bucket's values sit at or below each given value) served EXACTLY
     * from the pair rollup — a pure weighted count ratio
@@ -695,6 +729,42 @@ object PreAgg {
       .groupBy(substring(col(geohashCol), 1, precision).as("geohash"))
       .agg(sum(col(CntCol)).as("count"))
       .orderBy(desc("count"), asc("geohash"))
+  }
+
+  /** Is a geotile grid at zoom `z` servable from a rollup whose
+    * `(tx, ty)` dimensions were computed at `ingestZoom`? Slippy tiles
+    * are a strict quadtree: the zoom-`z` ancestor of a zoom-`zi` tile is
+    * `(x >> (zi−z), y >> (zi−z))` — so any zoom at or below ingest
+    * aggregates from the rollup; anything deeper needs the corpus. The
+    * Web-Mercator twin of [[coversGeohash]].
+    */
+  def coversGeoTile(ingestZoom: Int, z: Int): Boolean =
+    z >= 0 && z <= ingestZoom
+
+  /** ES `geotile_grid` at any zoom ≤ the rollup's ingest zoom: integer
+    * right-shift the tile dimensions and re-sum. Exactness is stronger
+    * here than for the transcendental scan path: `⌊u·2^zi⌋ >> (zi−z) =
+    * ⌊u·2^z⌋` holds BIT-EXACTLY for IEEE doubles (scaling by a power of
+    * two is a bare exponent shift, so the two roundings are the same
+    * rounding), and the edge-clamp commutes with the shift
+    * (`(2^zi−1) >> k = 2^z−1`) — zooming out over the at-rest rollup
+    * hash-matches the corpus scan at `z`, for free, at any corpus size.
+    * This is exactly how slippy-map tile servers serve zoom-outs, here
+    * as an aggregation identity.
+    */
+  def geoTileGridAt(
+      pre: DataFrame, ingestZoom: Int, z: Int, n: Int = 10): DataFrame = {
+    require(coversGeoTile(ingestZoom, z),
+      s"zoom $z is not servable from an ingest-zoom-$ingestZoom rollup — " +
+        "serve this zoom from the corpus scan")
+    val shift = ingestZoom - z
+    pre.where(col("tx").isNotNull && col("ty").isNotNull)
+      .groupBy(shiftright(col("tx"), shift).as("tx"),
+        shiftright(col("ty"), shift).as("ty"))
+      .agg(sum(col(CntCol)).as("count"))
+      .select(concat_ws("/", lit(z), col("tx"), col("ty")).as("tile"), col("count"))
+      .orderBy(desc("count"), asc("tile"))
+      .limit(n)
   }
 
   /** Kibana's autoPrecision drill-down ([[Aggs.geohashGridDrilldown]])

@@ -46,7 +46,10 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_sampler_terms", "g_diversified_sampler", "g_date_range",
     "g_geo_centroid", "g_date_histogram_incremental", "g_bucket_stats",
     "g_range_buckets_preagg", "g_filters_agg_preagg",
-    "g_adjacency_matrix_preagg", "g_missing_preagg")
+    "g_adjacency_matrix_preagg", "g_missing_preagg",
+    "g_geotile_grid", "g_geotile_preagg", "g_geo_bounds", "g_top_metrics",
+    "g_boxplot", "g_mad", "g_string_stats", "g_matrix_stats",
+    "g_auto_date_histogram", "g_auto_date_histogram_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -416,4 +416,128 @@ class AggsSpec extends SparkSpecBase {
     assert(out.toSeq === Seq(
       ("d1", None), ("d2", None), ("d3", Some(5L)), ("d4", Some(-1L))))
   }
+
+  test("geoTileGrid: slippy z/x/y cells, equator/meridian sides, polar clamp") {
+    val pts = Seq(
+      (0.0001, 0.0001),   // NE quadrant → 1/1/0
+      (0.0001, 0.0002),   // same tile
+      (-10.0, -10.0),     // SW quadrant → 1/0/1
+      (89.9, 0.0001),     // beyond the Mercator limit → clamped to y=0
+      (-89.9, 0.0001))    // clamped to y = 2^z − 1
+      .toDF("lat", "lon")
+    val out = Aggs.geoTileGrid(pts, "lat", "lon", z = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("1/1/0", 3L), ("1/0/1", 1L), ("1/1/1", 1L)))
+  }
+
+  test("geoTileGridAt: zoom-out from the rollup is integer >> and equals the scan") {
+    val pts = Seq(
+      (37.77, -122.41), (37.80, -122.27), (40.71, -74.0),
+      (51.5, -0.12), (-33.86, 151.2), (35.68, 139.69), (35.69, 139.70))
+      .toDF("lat", "lon")
+    val Seq(tx, ty) = Aggs.geoTileXY(col("lat"), col("lon"), 6)
+    val pre = PreAgg.increment(pts, Seq("tx" -> tx, "ty" -> ty))
+    for (z <- 0 to 6) {
+      assert(PreAgg.coversGeoTile(6, z))
+      val served = PreAgg.geoTileGridAt(pre, 6, z, n = 100).collect().toSeq
+      val scan = Aggs.geoTileGrid(pts, "lat", "lon", z, n = 100).collect().toSeq
+      assert(served === scan, s"zoom $z")
+    }
+    assert(!PreAgg.coversGeoTile(6, 7))
+    intercept[IllegalArgumentException](PreAgg.geoTileGridAt(pre, 6, 7))
+  }
+
+  test("geoBounds: tightest box per bucket, null coords excluded") {
+    val pts = Seq(
+      ("a", Some(10.0), Some(20.0)), ("a", Some(-5.0), Some(25.0)),
+      ("a", Some(2.0), Some(-8.0)), ("b", Some(1.0), Some(1.0)),
+      ("b", None, Some(9.0)))
+      .toDF("k", "lat", "lon")
+    val out = Aggs.geoBounds(pts, "k", "lat", "lon")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out === Seq(
+      ("a", 3L, 10.0, -8.0, -5.0, 25.0),
+      ("b", 1L, 1.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("termsTopMetrics: metric at the max sort value, max-id tiebreak, one hash agg") {
+    val rows = Seq(
+      ("a", 5.0, 1L, 10.0), ("a", 5.0, 2L, 20.0), ("a", 3.0, 3L, 30.0),
+      ("b", 7.0, 4L, 40.0))
+      .toDF("k", "s", "id", "m")
+    val out = Aggs.termsTopMetrics(rows, "k", col("s"), col("id"), col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // bucket a: sort ties at 5.0 → the larger id (2) carries the metric
+    assert(out === Seq(("a", 3L, 5.0, 20.0), ("b", 1L, 7.0, 40.0)))
+  }
+
+  test("boxplot: exact interpolated quartiles and 1.5-IQR whiskers from data values") {
+    val rows = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) :+ (("b", 5.0)))
+      .toDF("k", "v")
+    val out = Aggs.boxplot(rows, "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))).toSeq
+    // a: q1=2 q2=3 q3=4, IQR=2 → fences [-1, 7] → whiskers 1 and 4
+    assert(out === Seq(
+      ("a", 5L, 1.0, 2.0, 3.0, 4.0, 100.0, 1.0, 4.0),
+      ("b", 1L, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0)))
+  }
+
+  test("medianAbsoluteDeviation: median of absolute deviations, exact") {
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)).toDF("k", "v")
+    val out = Aggs.medianAbsoluteDeviation(rows, "k", "v").collect()(0)
+    // med=3, |dev| = [2,1,0,1,97] → median 1
+    assert((out.getString(0), out.getLong(1), out.getDouble(2)) === ("a", 5L, 1.0))
+  }
+
+  test("stringStats: exact lengths, ordered-fold entropy over the char distribution") {
+    val rows = Seq("ab", "b").toDF("t")
+    val out = Aggs.stringStats(rows, "t").collect()(0)
+    assert(out.getLong(0) === 2L)
+    assert(out.getInt(1) === 1)
+    assert(out.getInt(2) === 2)
+    assert(out.getDouble(3) === 1.5)
+    // chars a:1 b:2, N=3 → H = log2(3) − 2/3 ≈ 0.918296
+    assert(out.getDouble(4) === 0.918296)
+  }
+
+  test("matrixStats: cents-exact pairwise moments; perfect correlation is exactly 1") {
+    val rows = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0))
+      .toDF("x", "y", "z")
+    val out = Aggs.matrixStats(rows, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(7), r.getDouble(8))).toSeq
+    // (x,y): cov = 28/3 − 8 = 4/3; corr = (4/3)/√((2/3)(8/3)) = 1
+    val xy = out.find(t => t._1 == "x" && t._2 == "y").get
+    assert(xy._3 === 3L)
+    assert(math.abs(xy._4 - 4.0 / 3) < 1e-12)
+    assert(math.abs(xy._5 - 1.0) < 1e-12)
+    val xz = out.find(t => t._1 == "x" && t._2 == "z").get
+    assert(math.abs(xz._5 + 1.0) < 1e-12)
+    assert(out.map(t => (t._1, t._2)) ===
+      Seq(("x", "x"), ("x", "y"), ("x", "z"), ("y", "y"), ("y", "z"), ("z", "z")))
+  }
+
+  test("autoDateHistogram: finest grain fitting the target, chooser in one pass") {
+    val out = Aggs.autoDateHistogram(events, "datetime", targetBuckets = 3)
+    val rows = out.collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
+    // minute 6 > hour 5 > day 5 > 3 ≥ month 3 → month
+    assert(rows === Seq(
+      (ts("2016-01-01 00:00:00"), 3L, "month"),
+      (ts("2016-02-01 00:00:00"), 2L, "month"),
+      (ts("2017-01-01 00:00:00"), 1L, "month")))
+    // a target every grain fits → the finest grain (minute) wins
+    assert(Aggs.autoDateHistogram(events, "datetime", 100).collect()(0).getString(2) === "minute")
+  }
+
+  test("autoDateHistogram from the hour-grain rollup walks the same ladder tail") {
+    val pre = PreAgg.increment(events, Seq("h" -> date_trunc("hour", col("datetime"))))
+    val served = PreAgg.autoDateHistogram(pre, "h", "hour", targetBuckets = 3)
+    assert(served.collect().toSeq ===
+      Aggs.autoDateHistogram(events, "datetime", 3).collect().toSeq)
+    // ingest grain already fits the target → decision not certifiable → loud miss
+    intercept[IllegalArgumentException](
+      PreAgg.autoDateHistogram(pre, "h", "hour", targetBuckets = 100))
+  }
 }
