@@ -67,9 +67,10 @@ object Drift {
     * drift DASHBOARD between two corpus snapshots.
     *
     * SINGLE-PASS per side regardless of feature count: every row explodes
-    * to its F `(feature, bucket)` pairs (buckets carried as strings — the
-    * engine's double/long→string rendering is injective, so grouping is
-    * unchanged) and ONE map-side-combined aggregation builds all F
+    * to its F `(feature, bucket)` pairs (buckets carried as strings, with
+    * floating -0.0 normalized to +0.0 first so the rendering respects the
+    * native grouping equivalence — see `hist`) and ONE map-side-combined
+    * aggregation builds all F
     * histograms — 2 corpus scans total where the per-feature form costs
     * 2F (PlanSpec pins the scan count). Everything downstream operates on
     * schema-bounded histogram frames. Join/metric arithmetic is identical
@@ -81,12 +82,26 @@ object Drift {
       a: DataFrame, b: DataFrame,
       features: Seq[(String, Column)]): DataFrame = {
     require(features.nonEmpty, "driftReport: at least one feature")
-    def hist(df: DataFrame): DataFrame =
-      df.select(explode(array(features.map { case (name, bucket) =>
+    // The string rendering is injective UP TO the grouping equivalence
+    // only after one repair: native groupBy normalizes -0.0 == 0.0 for
+    // float/double buckets but renders them as distinct strings, so a
+    // floating bucket gets `+ 0.0` (IEEE: -0.0 + 0.0 = +0.0, every other
+    // value unchanged) before the cast. Resolved per side from the
+    // frame's own schema; non-floating types need no repair.
+    def hist(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val normalized = features.map { case (name, bucket) =>
+        df.select(bucket).schema.head.dataType match {
+          case DoubleType | FloatType => (name, bucket + lit(0.0))
+          case _ => (name, bucket)
+        }
+      }
+      df.select(explode(array(normalized.map { case (name, bucket) =>
           struct(lit(name).as("feature"), bucket.cast("string").as("bucket"))
         }: _*)).as("fb"))
         .groupBy(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
         .agg(count(lit(1)).as("_n"))
+    }
     // Per-feature totals come from a WINDOW over the histogram — the
     // histogram is already partitioned by its group keys and
     // schema-bounded, so the window is a local pass over ≤ Σ|buckets|

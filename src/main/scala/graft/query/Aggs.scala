@@ -339,27 +339,67 @@ object Aggs {
     * semantics) — so this is ONE conditional-sum pass over the corpus
     * plus a bucket-count-sized unpivot, never one scan per range.
     */
+  /** The one-pass conditional-sum + stack-unpivot kernel shared by the
+    * range/filters/adjacency bucket aggs — scan and rollup twins alike
+    * (the rollup side weighs each row by its `cnt`, the scan side by 1).
+    * ONE builder is what keeps the scan/rollup parity the PreAggSpec
+    * tests pin from desynchronizing by hand. `coalesce`: a global sum
+    * over ZERO rows is null, and ES's contract (for the zero-keeping
+    * aggs) is a 0-count row per named bucket even on an empty input.
+    */
+  private[query] def conditionalBuckets(
+      df: DataFrame,
+      cells: Seq[(String, Column)],
+      weight: Column,
+      keepZeros: Boolean): DataFrame = {
+    require(cells.nonEmpty, "conditionalBuckets: at least one bucket")
+    val sums = cells.zipWithIndex.map { case ((_, cond), i) =>
+      coalesce(sum(when(cond, weight).otherwise(0L)), lit(0L)).as(s"_b$i")
+    }
+    val stackArgs = cells.zipWithIndex.map { case ((name, _), i) =>
+      require(!name.contains("'"), s"bucket name must not quote: $name")
+      s"'$name', _b$i"
+    }.mkString(", ")
+    val stacked = df.agg(sums.head, sums.tail: _*)
+      .selectExpr(s"stack(${cells.size}, $stackArgs) AS (bucket, count)")
+    (if (keepZeros) stacked else stacked.where(col("count") > 0))
+      .orderBy(asc("bucket"))
+  }
+
+  /** The named half-open cells behind [[rangeBuckets]] (scan and rollup). */
+  private[query] def rangeCells(
+      field: String,
+      ranges: Seq[(Option[Double], Option[Double])]): Seq[(String, Column)] = {
+    require(ranges.nonEmpty, "rangeBuckets: at least one range")
+    val c = col(field)
+    ranges.map { case (lo, hi) =>
+      (rangeKey(lo, hi),
+        (lo.map(c >= _) ++ hi.map(c < _)).reduceOption(_ && _).getOrElse(c.isNotNull))
+    }
+  }
+
+  /** The singles + pairwise-intersection cells behind [[adjacencyMatrix]]
+    * (scan and rollup), with ES's `&` pair-key separator guarded.
+    */
+  private[query] def adjacencyCells(
+      filters: Seq[(String, FilterSpec)]): Seq[(String, Column)] = {
+    require(filters.size >= 2, "adjacency_matrix needs at least two filters")
+    filters.foreach { case (name, _) =>
+      require(!name.contains("&"),
+        s"adjacency bucket name must not contain '&': $name") }
+    val singles = filters.map { case (name, spec) => (name, spec.compile) }
+    val pairs = for {
+      i <- filters.indices; j <- filters.indices if i < j
+    } yield (s"${filters(i)._1}&${filters(j)._1}",
+      filters(i)._2.compile && filters(j)._2.compile)
+    singles ++ pairs
+  }
+
   def rangeBuckets(
       df: DataFrame,
       field: String,
-      ranges: Seq[(Option[Double], Option[Double])]): DataFrame = {
-    require(ranges.nonEmpty, "rangeBuckets: at least one range")
-    val c = col(field)
-    val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      val cond = (lo.map(c >= _) ++ hi.map(c < _))
-        .reduceOption(_ && _).getOrElse(c.isNotNull)
-      // coalesce: a global sum over ZERO rows is null, and ES's contract
-      // is a 0-count row per named bucket even on an empty/fully-filtered
-      // input
-      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"_r$i")
-    }
-    val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      s"'${rangeKey(lo, hi)}', _r$i"
-    }.mkString(", ")
-    df.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${ranges.size}, $stackArgs) AS (bucket, count)")
-      .orderBy(asc("bucket"))
-  }
+      ranges: Seq[(Option[Double], Option[Double])]): DataFrame =
+    conditionalBuckets(df, rangeCells(field, ranges), lit(1L), keepZeros = true)
 
   /** ES's range-bucket key: `from-to` with `*` for an open side. */
   def rangeKey(lo: Option[Double], hi: Option[Double]): String =
@@ -374,19 +414,8 @@ object Aggs {
     */
   def filtersAgg(df: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
     require(filters.nonEmpty, "filtersAgg: at least one filter")
-    filters.foreach { case (name, _) =>
-      require(!name.contains("'"), s"filters bucket name must not quote: $name") }
-    val sums = filters.zipWithIndex.map { case ((_, spec), i) =>
-      // coalesce as in [[rangeBuckets]]: empty input still emits 0-count
-      // rows for every named bucket (ES semantics)
-      coalesce(sum(when(spec.compile, 1L).otherwise(0L)), lit(0L)).as(s"_f$i")
-    }
-    val stackArgs = filters.zipWithIndex.map { case ((name, _), i) =>
-      s"'$name', _f$i"
-    }.mkString(", ")
-    df.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${filters.size}, $stackArgs) AS (bucket, count)")
-      .orderBy(asc("bucket"))
+    conditionalBuckets(df, filters.map { case (n, s) => (n, s.compile) },
+      lit(1L), keepZeros = true)
   }
 
   /** ES "parent pipeline" aggregations (cumulative_sum, derivative,
@@ -656,29 +685,8 @@ object Aggs {
     * cells; empty buckets are omitted, exactly ES's behavior (unlike the
     * range/filters aggs, which emit zeros).
     */
-  def adjacencyMatrix(df: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
-    require(filters.size >= 2, "adjacency_matrix needs at least two filters")
-    filters.foreach { case (name, _) =>
-      require(!name.contains("'") && !name.contains("&"),
-        s"adjacency bucket name must not quote or contain '&': $name") }
-    val singles = filters.zipWithIndex.map { case ((name, spec), i) =>
-      (name, spec.compile, s"_a$i")
-    }
-    val pairs = for {
-      i <- filters.indices; j <- filters.indices if i < j
-    } yield (s"${filters(i)._1}&${filters(j)._1}",
-      filters(i)._2.compile && filters(j)._2.compile, s"_a${i}_$j")
-    val cells = singles ++ pairs
-    val sums = cells.map { case (_, cond, alias) =>
-      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(alias)
-    }
-    val stackArgs = cells.map { case (name, _, alias) => s"'$name', $alias" }
-      .mkString(", ")
-    df.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${cells.size}, $stackArgs) AS (bucket, count)")
-      .where(col("count") > 0)
-      .orderBy(asc("bucket"))
-  }
+  def adjacencyMatrix(df: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame =
+    conditionalBuckets(df, adjacencyCells(filters), lit(1L), keepZeros = false)
 
   /** Subtotal hierarchies — `ROLLUP` / `CUBE` over low-cardinality widget
     * dimensions, the "show totals" toggle of a terms table. Grouping-set
@@ -916,12 +924,16 @@ object Aggs {
       .withColumn("_h", sum(col("_term")).over(w))
       .orderBy(desc("ch")).limit(1)
       .select(round(col("_h"), 6).as("entropy"))
+    // LEFT join + 0.0 fill, not a crossJoin: an empty char distribution
+    // (all-empty or all-null strings) must not annihilate the stats row —
+    // ES reports entropy 0.0 there, counts intact.
     df.where(col(field).isNotNull).agg(
         count(lit(1)).as("count"),
         min(length(col(field))).as("min_length"),
         max(length(col(field))).as("max_length"),
         (sum(length(col(field))).cast("double") / count(lit(1))).as("avg_length"))
-      .crossJoin(broadcast(entropy))
+      .join(broadcast(entropy), lit(true), "left")
+      .withColumn("entropy", coalesce(col("entropy"), lit(0.0)))
   }
 
   /** ES `matrix_stats` agg over a set of numeric fields: per unordered

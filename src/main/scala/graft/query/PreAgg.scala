@@ -347,19 +347,8 @@ object PreAgg {
     require(pre.columns.contains(field),
       s"range field '$field' is not a rollup dimension " +
         s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
-    require(ranges.nonEmpty, "rangeBuckets: at least one range")
-    val c = col(field)
-    val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      val cond = (lo.map(c >= _) ++ hi.map(c < _))
-        .reduceOption(_ && _).getOrElse(c.isNotNull)
-      coalesce(sum(when(cond, col(CntCol)).otherwise(0L)), lit(0L)).as(s"_r$i")
-    }
-    val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      s"'${Aggs.rangeKey(lo, hi)}', _r$i"
-    }.mkString(", ")
-    pre.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${ranges.size}, $stackArgs) AS (bucket, count)")
-      .orderBy(asc("bucket"))
+    Aggs.conditionalBuckets(pre, Aggs.rangeCells(field, ranges),
+      col(CntCol), keepZeros = true)
   }
 
   /** [[Aggs.filtersAgg]] from the rollup: each named [[FilterSpec]] must
@@ -370,53 +359,27 @@ object PreAgg {
     */
   def filtersAgg(pre: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
     require(filters.nonEmpty, "filtersAgg: at least one filter")
+    requireCovering(pre, filters)
+    Aggs.conditionalBuckets(pre, filters.map { case (n, s) => (n, s.compile) },
+      col(CntCol), keepZeros = true)
+  }
+
+  private def requireCovering(
+      pre: DataFrame, filters: Seq[(String, FilterSpec)]): Unit =
     filters.foreach { case (name, spec) =>
-      require(!name.contains("'"), s"filters bucket name must not quote: $name")
       require(covers(pre.columns.toSeq, spec.fields),
         s"filter '$name' reads ${spec.fields.mkString(",")} outside the rollup " +
           s"dims (${pre.columns.mkString(", ")}) — serve it from the corpus scan")
     }
-    val sums = filters.zipWithIndex.map { case ((_, spec), i) =>
-      coalesce(sum(when(spec.compile, col(CntCol)).otherwise(0L)), lit(0L)).as(s"_f$i")
-    }
-    val stackArgs = filters.zipWithIndex.map { case ((name, _), i) =>
-      s"'$name', _f$i"
-    }.mkString(", ")
-    pre.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${filters.size}, $stackArgs) AS (bucket, count)")
-      .orderBy(asc("bucket"))
-  }
 
   /** [[Aggs.adjacencyMatrix]] from the rollup — singles + pairwise
     * intersections as `cnt`-weighted conditional sums, zero cells omitted
     * (ES semantics), same covering contract as [[filtersAgg]].
     */
   def adjacencyMatrix(pre: DataFrame, filters: Seq[(String, FilterSpec)]): DataFrame = {
-    require(filters.size >= 2, "adjacency_matrix needs at least two filters")
-    filters.foreach { case (name, spec) =>
-      require(!name.contains("'") && !name.contains("&"),
-        s"adjacency bucket name must not quote or contain '&': $name")
-      require(covers(pre.columns.toSeq, spec.fields),
-        s"filter '$name' reads ${spec.fields.mkString(",")} outside the rollup " +
-          s"dims (${pre.columns.mkString(", ")}) — serve it from the corpus scan")
-    }
-    val singles = filters.zipWithIndex.map { case ((name, spec), i) =>
-      (name, spec.compile, s"_a$i")
-    }
-    val pairs = for {
-      i <- filters.indices; j <- filters.indices if i < j
-    } yield (s"${filters(i)._1}&${filters(j)._1}",
-      filters(i)._2.compile && filters(j)._2.compile, s"_a${i}_$j")
-    val cells = singles ++ pairs
-    val sums = cells.map { case (_, cond, alias) =>
-      coalesce(sum(when(cond, col(CntCol)).otherwise(0L)), lit(0L)).as(alias)
-    }
-    val stackArgs = cells.map { case (name, _, alias) => s"'$name', $alias" }
-      .mkString(", ")
-    pre.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${cells.size}, $stackArgs) AS (bucket, count)")
-      .where(col("count") > 0)
-      .orderBy(asc("bucket"))
+    requireCovering(pre, filters)
+    Aggs.conditionalBuckets(pre, Aggs.adjacencyCells(filters),
+      col(CntCol), keepZeros = false)
   }
 
   /** [[Aggs.missingCount]] from the rollup: null is a rollup row like any
@@ -439,6 +402,9 @@ object PreAgg {
     */
   def rareTerms(pre: DataFrame, field: String, maxDocCount: Long): DataFrame = {
     require(maxDocCount >= 1, s"maxDocCount must be >= 1, got $maxDocCount")
+    require(pre.columns.contains(field),
+      s"rare_terms field '$field' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
     pre.where(col(field).isNotNull)
       .groupBy(col(field))
       .agg(sum(col(CntCol)).as("count"))
@@ -575,10 +541,14 @@ object PreAgg {
       s"no auto-date grain is servable from an ingest-grain-'$ingestInterval' rollup")
     val aggs = servable.map(g => count_distinct(date_trunc(g, col(tsDim))).as(g))
     val row = pre.where(col(tsDim).isNotNull).agg(aggs.head, aggs.tail: _*).collect()(0)
-    require(row.getLong(0) > targetBuckets,
-      s"the ingest grain '${servable.head}' already fits $targetBuckets buckets — " +
-        "the scan chooser could pick a finer grain the rollup cannot count; " +
-        "serve this target from the corpus scan")
+    // Vacuously certified when the servable ladder IS the whole ladder
+    // (ingest at the finest grain or finer): no sub-ladder grain exists
+    // for the scan chooser to prefer, so both choosers walk identical
+    // ladders regardless of the target.
+    require(servable.size == Aggs.AutoDateGrains.size || row.getLong(0) > targetBuckets,
+      s"the finest servable grain '${servable.head}' already fits $targetBuckets " +
+        "buckets — the scan chooser could pick a finer grain the rollup cannot " +
+        "count; serve this target from the corpus scan")
     val grain = servable.zipWithIndex
       .find { case (_, i) => row.getLong(i) <= targetBuckets }
       .map(_._1).getOrElse(servable.last)

@@ -110,27 +110,27 @@ object R13ScaleProbe {
     }
 
     // ---- 3. chunked vs unchunked rolling window on a skewed corpus ----
-    // 10× events twin with 30% of rows remapped to ONE entity: the shape
-    // a mega-user (bot, ingestion artifact) produces at 100 TB.
-    val skewPcts = sys.env.getOrElse("SPARK_GRAFT_SKEW_PCTS", "30,90")
-      .split(",").map(_.trim.toInt).toSeq
-    for (megaPct <- skewPcts if sections("skew")) {
-      val skewPath = s"/tmp/graft_events_skew10_$megaPct/events.parquet"
+    // events twin replicated factor-fold with megaPct% of rows remapped to
+    // ONE entity: the shape a mega-user (bot, ingestion artifact) produces
+    // at 100 TB. One parameterized probe serves both the 10x sweep and the
+    // 100x crossover case.
+    def skewProbe(factor: Int, megaPct: Int, label: String, forms: Set[String]): Unit = {
+      val skewPath = s"/tmp/graft_events_skew${factor}_$megaPct/events.parquet"
       if (!new java.io.File(skewPath).exists()) {
         val src = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-        src.withColumn("_k", explode(sequence(lit(0), lit(9))))
+        src.withColumn("_k", explode(sequence(lit(0), lit(factor - 1))))
           .select(
-            (col("event_id") * 10 + col("_k")).as("event_id"),
+            (col("event_id") * factor + col("_k")).as("event_id"),
             col("ts"),
-            when(pmod(col("event_id") * 10 + col("_k"), lit(100)) < megaPct, lit(0L))
-              .otherwise(col("user_id") * 10 + col("_k")).as("user_id"),
+            when(pmod(col("event_id") * factor + col("_k"), lit(100)) < megaPct, lit(0L))
+              .otherwise(col("user_id") * factor + col("_k")).as("user_id"),
             col("event_type"), col("value"))
           .repartition(32).write.mode("overwrite").parquet(skewPath)
       }
       val ev = spark.read.parquet(skewPath).withColumn("ts", col("ts").cast("timestamp"))
       ev.count()
       val mega = ev.where(col("user_id") === 0L).count()
-      println(s"""{"probe":"r13_scale","op":"skew_shape","mega_pct":$megaPct,""" +
+      println(s"""{"probe":"r13_scale","op":"skew_shape","label":"$label","mega_pct":$megaPct,""" +
         s""""total":${ev.count()},"mega_entity_rows":$mega}""")
       // window sizes are env-tunable: the chunked win depends on the
       // chunk-to-window ratio (halo = (feature+label)/chunk extra copies),
@@ -150,54 +150,26 @@ object R13ScaleProbe {
           // DELETE the Window operator (nothing downstream reads it) and
           // the probe would time the scan, not the windows
           .agg(sum(col("value_past")), count(lit(1))).collect()(0).getLong(1)
-      val forms = sys.env.getOrElse("SPARK_GRAFT_SKEW_FORMS", "unchunked,chunk")
-      if (forms.contains("unchunked"))
-        emit(s"10x_skew$megaPct", "rolling_examples_unchunked", timeOp(repeats)(rolling(0)))
-      if (forms.contains("chunk"))
-        emit(s"10x_skew$megaPct", "rolling_examples_chunk7d", timeOp(repeats)(
+      if (forms("unchunked"))
+        emit(label, "rolling_examples_unchunked", timeOp(repeats)(rolling(0)))
+      if (forms("chunk"))
+        emit(label, "rolling_examples_chunk7d", timeOp(repeats)(
           rolling(7L * 24 * 3600 * 1000)))
     }
+    val skewPcts = sys.env.getOrElse("SPARK_GRAFT_SKEW_PCTS", "30,90")
+      .split(",").map(_.trim.toInt).toSeq
+    // set membership over the split list, NOT substring contains —
+    // "unchunked".contains("chunk") would make the forms inseparable
+    val skewForms = sys.env.getOrElse("SPARK_GRAFT_SKEW_FORMS", "unchunked,chunk")
+      .split(",").map(_.trim).toSet
+    for (megaPct <- skewPcts if sections("skew"))
+      skewProbe(10, megaPct, s"10x_skew$megaPct", skewForms)
 
     // The crossover case: a mega-entity whose history alone dominates one
-    // task — 100× events (10M rows), 90% in one entity (9M). The corpus
+    // task — 100x events (10M rows), 90% in one entity (9M). The corpus
     // spans 30 days, so chunk=7d caps per-task history at ~1/5 + halo.
-    if (sys.env.get("SPARK_GRAFT_SKEW100").contains("1")) {
-      val skewPath = "/tmp/graft_events_skew100_90/events.parquet"
-      if (!new java.io.File(skewPath).exists()) {
-        val src = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-        src.withColumn("_k", explode(sequence(lit(0), lit(99))))
-          .select(
-            (col("event_id") * 100 + col("_k")).as("event_id"),
-            col("ts"),
-            when(pmod(col("event_id") * 100 + col("_k"), lit(100)) < 90, lit(0L))
-              .otherwise(col("user_id") * 100 + col("_k")).as("user_id"),
-            col("event_type"), col("value"))
-          .repartition(32).write.mode("overwrite").parquet(skewPath)
-      }
-      val ev = spark.read.parquet(skewPath).withColumn("ts", col("ts").cast("timestamp"))
-      ev.count()
-      // window sizes are env-tunable: the chunked win depends on the
-      // chunk-to-window ratio (halo = (feature+label)/chunk extra copies),
-      // so the honest demonstration needs chunk >> window
-      val featMs = sys.env.getOrElse("SPARK_GRAFT_FEAT_H", "168").toLong * 3600 * 1000
-      val labelMs = sys.env.getOrElse("SPARK_GRAFT_LABEL_H", "72").toLong * 3600 * 1000
-      def rolling(chunk: Long): Long =
-        graft.ops.Features.rollingExamples(ev, "user_id", "ts",
-          anchorCond = col("event_type") === "click",
-          outcomeCond = col("event_type") === "purchase",
-          valueCol = floor(col("value") * 100),
-          featureWindowMs = featMs,
-          labelWindowMs = labelMs,
-          carry = Seq("event_id"),
-          chunkMs = chunk)
-          // consume the window outputs: a bare count() lets column pruning
-          // DELETE the Window operator (nothing downstream reads it) and
-          // the probe would time the scan, not the windows
-          .agg(sum(col("value_past")), count(lit(1))).collect()(0).getLong(1)
-      emit("100x_skew90", "rolling_examples_unchunked", timeOp(repeats)(rolling(0)))
-      emit("100x_skew90", "rolling_examples_chunk7d", timeOp(repeats)(
-        rolling(7L * 24 * 3600 * 1000)))
-    }
+    if (sys.env.get("SPARK_GRAFT_SKEW100").contains("1"))
+      skewProbe(100, 90, "100x_skew90", skewForms)
 
     println(s"""{"probe":"r13_scale","load_end":${loadAvg()}}""")
     spark.stop()

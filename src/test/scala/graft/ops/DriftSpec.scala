@@ -64,4 +64,18 @@ class DriftSpec extends SparkSpecBase {
       .as[(String, Long, Double, Double)].head()
     assert(out._2 === 3L && out._3 === 0.5)
   }
+
+  test("driftReport groups -0.0 with 0.0 like native grouping (string-cast repair)") {
+    // v * 0.0 yields -0.0 for negative v, +0.0 for positive — the native
+    // groupBy treats them as ONE bucket; the string-cast path must too.
+    val p = Seq((1L, -2.0), (2L, 3.0)).toDF("id", "v")
+    val q = Seq((3L, 4.0), (4L, -5.0)).toDF("id", "v")
+    val feats = Seq("zero" -> (col("v") * 0.0))
+    val onePass = Drift.driftReport(p, q, feats)
+      .as[(String, Long, Double, Double)].head()
+    val native = Drift.featureDrift(p, q, col("v") * 0.0)
+      .as[(Long, Double, Double)].head()
+    assert((onePass._2, onePass._3, onePass._4) === native)
+    assert(onePass._2 === 1L) // one bucket, not a -0.0/0.0 split
+  }
 }

@@ -536,8 +536,29 @@ class AggsSpec extends SparkSpecBase {
     val served = PreAgg.autoDateHistogram(pre, "h", "hour", targetBuckets = 3)
     assert(served.collect().toSeq ===
       Aggs.autoDateHistogram(events, "datetime", 3).collect().toSeq)
-    // ingest grain already fits the target → decision not certifiable → loud miss
+    // ingest grain already fits the target AND finer grains exist below the
+    // servable ladder → decision not certifiable → loud miss
     intercept[IllegalArgumentException](
       PreAgg.autoDateHistogram(pre, "h", "hour", targetBuckets = 100))
+    // …but a minute-grain ingest spans the WHOLE ladder: no finer grain
+    // exists for the scan chooser to prefer, so any target is certifiable
+    val preM = PreAgg.increment(events,
+      Seq("m" -> date_trunc("minute", col("datetime"))))
+    assert(PreAgg.autoDateHistogram(preM, "m", "minute", targetBuckets = 100)
+      .collect().toSeq ===
+      Aggs.autoDateHistogram(events, "datetime", 100).collect().toSeq)
+  }
+
+  test("stringStats keeps the stats row when the char distribution is empty") {
+    val out = Aggs.stringStats(Seq("", "").toDF("t"), "t").collect()(0)
+    assert((out.getLong(0), out.getInt(1), out.getInt(2),
+      out.getDouble(3), out.getDouble(4)) === ((2L, 0, 0, 0.0, 0.0)))
+  }
+
+  test("PreAgg.rareTerms fails loudly toward the scan when the field is not a dim") {
+    val pre = PreAgg.increment(events, Seq("city" -> col("city")))
+    val e = intercept[IllegalArgumentException](
+      PreAgg.rareTerms(pre, "description", 2))
+    assert(e.getMessage.contains("corpus scan"))
   }
 }
