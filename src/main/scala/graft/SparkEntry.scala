@@ -2152,6 +2152,46 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
+    "g_t_test" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES t_test (Welch): does value differ between click and purchase
+      // events? One conditional-sum pass; exact LONG cents moments; t and
+      // Welch–Satterthwaite df as fixed IEEE trees (the p-value is ES's
+      // non-portable incomplete-beta — documented delta at Aggs.tTest).
+      Aggs.tTest(loadEvents(dir), "value",
+        col("event_type") === "click", col("event_type") === "purchase")
+    }),
+
+    "g_geo_distance" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_distance rings around the null-island origin over the
+      // synthetic customer coordinates: half-open km rings, zero-count
+      // rings kept, one conditionalBuckets pass (haversine tree pinned at
+      // Aggs.haversineKm).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geoDistanceRings(pts, "lat", "lon", 0.0, 0.0,
+        Seq((None, Some(2000.0)), (Some(2000.0), Some(5000.0)),
+          (Some(5000.0), Some(10000.0)), (Some(10000.0), None)))
+    }),
+
+    "g_bucket_script" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ES bucket_script → bucket_selector → bucket_sort pipeline
+      // chain over a terms+metrics parent: per-event-type average value
+      // derived in-frame, low-traffic buckets kept (HAVING of the bucket
+      // world), re-sorted by the derived metric. Row-local arithmetic on
+      // the aggregated frame — zero additional exchanges.
+      val series = Aggs.termsWithMetrics(loadEvents(dir), "event_type",
+        Seq(sum(floor(col("value") * 100)).cast("long").as("cents")), 100)
+      val scripted = Aggs.bucketScript(series,
+        Seq("avg_value" -> ((col("cents") / 100.0) / col("count"))))
+      val selected = Aggs.bucketSelector(scripted, col("count") >= lit(10L))
+      Aggs.bucketSort(selected, Seq(col("avg_value").desc, col("event_type").asc),
+        from = 0, size = Some(3))
+    }),
+
     "g_cardinality" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES "Unique Count" (cardinality metric agg): distinct users per
@@ -4886,6 +4926,84 @@ object SparkEntry {
     // and the rollup's certified ladder tail) share it.
     "g_auto_date_histogram" -> autoDateHistogram100OracleSql,
     "g_auto_date_histogram_preagg" -> autoDateHistogram100OracleSql,
+
+    // Welch t-test: the same conditional LONG cents folds and the same
+    // fixed t/df trees ((Σc)² exceeds 2^53 as a double but the rounding
+    // is ONE shared multiply — determinism, not absolute exactness, is
+    // the contract there).
+    "g_t_test" ->
+      """WITH s AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS sa,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN floor(value * 100)::BIGINT * floor(value * 100)::BIGINT
+        |        ELSE 0 END)::BIGINT AS qa,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS sb,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN floor(value * 100)::BIGINT * floor(value * 100)::BIGINT
+        |        ELSE 0 END)::BIGINT AS qb
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  (sa / 100.0) / na AS mean_a, (sb / 100.0) / nb AS mean_b,
+        |  (((sa / 100.0) / na) - ((sb / 100.0) / nb)) /
+        |    sqrt((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |       + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb) AS t,
+        |  (((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb)
+        |   * ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb))
+        |  / ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |     * ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na)
+        |     / (na - 1.0)
+        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb
+        |     * ((qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb)
+        |     / (nb - 1.0)) AS df
+        |FROM s""".stripMargin,
+
+    // Haversine restated operator-for-operator (π/180 as one shared
+    // double, sin/cos/asin library-rounded — same documented risk class
+    // as the geotile oracle).
+    "g_geo_distance" ->
+      """WITH pts AS (
+        |  SELECT
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |), d AS (
+        |  SELECT (2.0 * 6371.0088) * asin(sqrt(
+        |    sin(((lat - 0.0) * (pi() / 180.0)) / 2.0)
+        |      * sin(((lat - 0.0) * (pi() / 180.0)) / 2.0)
+        |    + cos(lat * (pi() / 180.0)) * cos(0.0 * (pi() / 180.0))
+        |      * sin(((lon - 0.0) * (pi() / 180.0)) / 2.0)
+        |      * sin(((lon - 0.0) * (pi() / 180.0)) / 2.0))) AS km
+        |  FROM pts
+        |)
+        |SELECT * FROM (
+        |  SELECT '*-2000.0' AS bucket,
+        |    sum(CASE WHEN km < 2000.0 THEN 1 ELSE 0 END)::BIGINT AS count FROM d
+        |  UNION ALL SELECT '2000.0-5000.0',
+        |    sum(CASE WHEN km >= 2000.0 AND km < 5000.0 THEN 1 ELSE 0 END)::BIGINT FROM d
+        |  UNION ALL SELECT '5000.0-10000.0',
+        |    sum(CASE WHEN km >= 5000.0 AND km < 10000.0 THEN 1 ELSE 0 END)::BIGINT FROM d
+        |  UNION ALL SELECT '10000.0-*',
+        |    sum(CASE WHEN km >= 10000.0 THEN 1 ELSE 0 END)::BIGINT FROM d
+        |) ORDER BY bucket""".stripMargin,
+
+    "g_bucket_script" ->
+      """WITH series AS (
+        |  SELECT event_type, count(*)::BIGINT AS count,
+        |    sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, count, cents, (cents / 100.0) / count AS avg_value
+        |FROM series WHERE count >= 10
+        |ORDER BY avg_value DESC, event_type LIMIT 3""".stripMargin,
 
     // One corpus-relation restatement shared by the scan form and the
     // pair-rollup serving form — the serving layer provably invisible.

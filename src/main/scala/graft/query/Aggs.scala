@@ -976,6 +976,119 @@ object Aggs {
       .orderBy(asc("field_i"), asc("field_j"))
   }
 
+  /** ES `t_test` metric agg (Welch's unpaired form, ES's default): the
+    * t-statistic and Welch–Satterthwaite degrees of freedom between two
+    * filter-defined populations, in ONE conditional-sum pass over the
+    * corpus. The [[extendedStats]] cents discipline: per-side moments are
+    * exact LONG folds; t and df are fixed IEEE trees over them (sqrt is
+    * correctly rounded), so the row hash-matches cross-engine. Variances
+    * are the SAMPLE form (÷ n−1), the t-test's own convention — each side
+    * needs n ≥ 2. Deliberate delta vs ES: ES returns the p-value (an
+    * incomplete-beta evaluation with no portable SQL twin); the
+    * t-statistic and df are the deterministic sufficient pair — any
+    * caller can table-lookup the p-value.
+    */
+  def tTest(
+      df: DataFrame, valueCol: String,
+      filterA: Column, filterB: Column): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val sums = df.where(col(valueCol).isNotNull).agg(
+      sum(when(filterA, 1L).otherwise(0L)).as("_na"),
+      sum(when(filterA, cents).otherwise(0L)).as("_sa"),
+      sum(when(filterA, cents * cents).otherwise(0L)).as("_qa"),
+      sum(when(filterB, 1L).otherwise(0L)).as("_nb"),
+      sum(when(filterB, cents).otherwise(0L)).as("_sb"),
+      sum(when(filterB, cents * cents).otherwise(0L)).as("_qb"))
+    def mean(s: String, n: String) = (col(s) / 100.0) / col(n)
+    // sample variance via the exact moments: (Σc² − (Σc)²/n) / (10⁴·(n−1))
+    def varS(q: String, s: String, n: String) =
+      (col(q) - col(s).cast("double") * col(s) / col(n)) /
+        (lit(10000.0) * (col(n) - 1.0))
+    val va = varS("_qa", "_sa", "_na")
+    val vb = varS("_qb", "_sb", "_nb")
+    val sea = va / col("_na")
+    val seb = vb / col("_nb")
+    sums.select(
+      col("_na").as("n_a"), col("_nb").as("n_b"),
+      mean("_sa", "_na").as("mean_a"), mean("_sb", "_nb").as("mean_b"),
+      ((mean("_sa", "_na") - mean("_sb", "_nb")) / sqrt(sea + seb)).as("t"),
+      ((sea + seb) * (sea + seb) /
+        (sea * sea / (col("_na") - 1.0) + seb * seb / (col("_nb") - 1.0))).as("df"))
+  }
+
+  /** ES `geo_distance` bucket agg: documents bucketed by haversine
+    * distance rings around an origin, half-open `[from, to)` in km, keyed
+    * like [[rangeBuckets]], every named ring emitting a row even at 0 —
+    * the same [[conditionalBuckets]] kernel, so scan and any future
+    * rollup twin share one body. The distance is the standard haversine
+    * on the mean-Earth radius 6371.0088 km as ONE fixed expression tree
+    * (`sin`/`cos`/`asin` are library-rounded like [[geoTileGrid]]'s
+    * Mercator — a point within ~1e-10 m of a ring boundary could in
+    * principle land differently cross-engine; same accepted, documented
+    * risk). Null coordinates fall outside every ring.
+    */
+  def geoDistanceRings(
+      df: DataFrame, latCol: String, lonCol: String,
+      originLat: Double, originLon: Double,
+      ringsKm: Seq[(Option[Double], Option[Double])]): DataFrame = {
+    val d = haversineKm(col(latCol), col(lonCol), originLat, originLon)
+    val cells = ringsKm.map { case (lo, hi) =>
+      (rangeKey(lo, hi),
+        (Seq(d.isNotNull) ++ lo.map(d >= _) ++ hi.map(d < _)).reduce(_ && _))
+    }
+    conditionalBuckets(df, cells, lit(1L), keepZeros = true)
+  }
+
+  /** Haversine great-circle distance in km — the one fixed tree both
+    * engines evaluate (π/180 as one shared double, never `radians()`;
+    * see [[geoTileXY]]).
+    */
+  def haversineKm(lat: Column, lon: Column, originLat: Double, originLon: Double): Column = {
+    val rad = math.Pi / 180.0
+    val dLat = (lat - originLat) * lit(rad)
+    val dLon = (lon - originLon) * lit(rad)
+    val h = sin(dLat / 2.0) * sin(dLat / 2.0) +
+      cos(lat * lit(rad)) * cos(lit(originLat * rad)) *
+        sin(dLon / 2.0) * sin(dLon / 2.0)
+    lit(2.0 * 6371.0088) * asin(sqrt(h))
+  }
+
+  /** ES `bucket_script` pipeline agg: a per-bucket derived metric over an
+    * already aggregated series — row-local arithmetic on the bucket
+    * frame, zero exchanges. The caller's expressions see the series'
+    * columns by name (ES's `buckets_path` resolution, statically).
+    */
+  def bucketScript(series: DataFrame, derived: Seq[(String, Column)]): DataFrame =
+    derived.foldLeft(series) { case (d, (name, e)) => d.withColumn(name, e) }
+
+  /** ES `bucket_selector` pipeline agg: keep the buckets whose metrics
+    * satisfy the predicate — the HAVING of the bucket world, row-local on
+    * the aggregated frame.
+    */
+  def bucketSelector(series: DataFrame, keep: Column): DataFrame =
+    series.where(keep)
+
+  /** ES `bucket_sort` pipeline agg: re-order the parent's bucket frame by
+    * arbitrary metric columns, with ES's `from`/`size` truncation
+    * (size = None keeps the tail). Sorting an aggregated frame, never the
+    * corpus; `from > 0` composes `offset`-style via a row_number over the
+    * requested order (a bounded frame, the [[bucketPipeline]] contract).
+    */
+  def bucketSort(
+      series: DataFrame, by: Seq[Column],
+      from: Int = 0, size: Option[Int] = None): DataFrame = {
+    require(from >= 0, s"from must be >= 0, got $from")
+    val sorted = series.orderBy(by: _*)
+    val sliced =
+      if (from == 0) sorted
+      else {
+        val w = Window.orderBy(by: _*)
+        sorted.withColumn("_bs_rn", row_number().over(w))
+          .where(col("_bs_rn") > from).drop("_bs_rn")
+      }
+    size.fold(sliced)(sliced.limit)
+  }
+
   /** The `auto_date_histogram` grain ladder: calendar `date_trunc`
     * grains, finest first. ES's ladder also has multiples (5m, 30m, 3h);
     * this repo serves single grains only so every chosen grain is also a

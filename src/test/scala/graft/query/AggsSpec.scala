@@ -549,6 +549,48 @@ class AggsSpec extends SparkSpecBase {
       Aggs.autoDateHistogram(events, "datetime", 100).collect().toSeq)
   }
 
+  test("tTest: Welch t and df from one conditional-sum pass, hand-computed") {
+    val rows = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++ Seq(2.0, 4.0, 6.0, 8.0).map(("b", _)))
+      .toDF("g", "v")
+    val out = Aggs.tTest(rows, "v", col("g") === "a", col("g") === "b").collect()(0)
+    assert((out.getLong(0), out.getLong(1)) === ((3L, 4L)))
+    assert(out.getDouble(2) === 2.0)
+    assert(out.getDouble(3) === 5.0)
+    // var_a=1, var_b=20/3; t = (2−5)/√(1/3+5/3) = −3/√2
+    assert(math.abs(out.getDouble(4) - (-3.0 / math.sqrt(2.0))) < 1e-12)
+    // df = (1/3+5/3)² / ((1/3)²/2 + (5/3)²/3)
+    val df = 4.0 / (1.0 / 18 + 25.0 / 27)
+    assert(math.abs(out.getDouble(5) - df) < 1e-12)
+  }
+
+  test("geoDistanceRings: haversine half-open rings, zeros kept, nulls outside") {
+    val pts = Seq(
+      (Some(0.0), Some(0.0)),   // 0 km
+      (Some(0.0), Some(1.0)),   // ~111.2 km
+      (Some(1.0), Some(1.0)),   // ~157 km
+      (None, Some(1.0)))        // no ring
+      .toDF("lat", "lon")
+    val out = Aggs.geoDistanceRings(pts, "lat", "lon", 0.0, 0.0,
+      Seq((None, Some(100.0)), (Some(100.0), Some(200.0)), (Some(1000.0), None)))
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("*-100.0", 1L), ("100.0-200.0", 2L), ("1000.0-*", 0L)))
+  }
+
+  test("bucketScript / bucketSelector / bucketSort compose over the bucket frame") {
+    val series = Seq(("d1", 10L, 2L), ("d2", 30L, 3L), ("d3", 5L, 5L))
+      .toDF("bucket", "sales", "units")
+    val scripted = Aggs.bucketScript(series,
+      Seq("per_unit" -> (col("sales").cast("double") / col("units"))))
+    assert(scripted.where(col("bucket") === "d1").collect()(0).getDouble(3) === 5.0)
+    val kept = Aggs.bucketSelector(scripted, col("per_unit") > 2.0)
+      .collect().map(_.getString(0)).toSeq
+    assert(kept === Seq("d1", "d2"))
+    val sorted = Aggs.bucketSort(series, Seq(col("sales").desc), from = 1, size = Some(1))
+      .collect().map(_.getString(0)).toSeq
+    assert(sorted === Seq("d1"))
+  }
+
   test("stringStats keeps the stats row when the char distribution is empty") {
     val out = Aggs.stringStats(Seq("", "").toDF("t"), "t").collect()(0)
     assert((out.getLong(0), out.getInt(1), out.getInt(2),
