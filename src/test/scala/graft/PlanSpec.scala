@@ -377,6 +377,27 @@ class PlanSpec extends SparkSpecBase {
     assert(scans <= 2, s"expected <=2 corpus scans for 3 features, got $scans:\n$plan")
   }
 
+  test("matrix_stats is ONE corpus scan for any field count") {
+    // The full covariance/correlation matrices must not cost a scan per
+    // pair: one conditional-sum aggregation carries every moment.
+    val rows = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0))
+      .toDF("x", "y", "z")
+    val path = tmp(rows)
+    val plan = planOf(graft.query.Aggs.matrixStats(
+      spark.read.parquet(path), Seq("x", "y", "z")))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 corpus scan for 3 fields (6 pairs), got $scans:\n$plan")
+  }
+
+  test("t_test is ONE corpus scan: both populations fold in one pass") {
+    val rows = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val path = tmp(rows)
+    val plan = planOf(graft.query.Aggs.tTest(
+      spark.read.parquet(path), "v", col("g") === "a", col("g") === "b"))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans === 1, s"expected 1 corpus scan for both populations, got $scans:\n$plan")
+  }
+
   test("gopher battery is one row-local scan: no exchange anywhere in the plan") {
     val docs = Seq((1L, "the quick fox"), (2L, "- bullet line\nplain"))
       .toDF("doc_id", "text")

@@ -157,6 +157,41 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(rows(EventStreams.dictionaryFromIncrements(spark, incPath)) === streamed)
   }
 
+  test("streamed geotile rollup serves every coarser zoom exactly") {
+    // The tile dims ride the GENERIC rollup maintenance (increment →
+    // append → merge-on-read), and zoom-out over the streamed rollup is
+    // the same integer >> identity the batch twin certifies — so one
+    // streamed z=6 rollup serves z ∈ [0,6] equal to a whole-corpus scan.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tile").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val lat = pmod(col("value") * 37, lit(180)) - 90
+    val lon = pmod(col("user_id") * 53, lit(360)) - 180
+    val Seq(tx, ty) = graft.query.Aggs.geoTileXY(lat, lon, 6)
+    val dims = Seq("tx" -> tx, "ty" -> ty)
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainRollup(
+      mem.toDS().toDF(), dims, incPath, dir.getAbsolutePath + "/ckpt")
+    val all = (1 to 12).map(i => ev(i, i * 3, i * 7, value = i * 1.37))
+    try {
+      mem.addData(all.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rollup = EventStreams.rollupFromIncrements(spark, incPath)
+    val batch = all.toDS().toDF().withColumn("lat", lat).withColumn("lon", lon)
+    for (z <- Seq(0, 2, 4, 6)) {
+      val served = graft.query.PreAgg.geoTileGridAt(rollup, 6, z, n = 100)
+        .collect().toSeq
+      val scan = graft.query.Aggs.geoTileGrid(batch, "lat", "lon", z, n = 100)
+        .collect().toSeq
+      assert(served === scan, s"zoom $z diverged from the corpus scan")
+    }
+  }
+
   test("streaming rollup maintenance converges to the whole-corpus rollup") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
