@@ -3421,6 +3421,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_duplicate_spans" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ExactSubstr (Lee et al. 2022) restated distributed: every token
+      // inside a >=8-token substring occurring more than once corpus-wide
+      // is cut, at ANY alignment — sliding md5 gram postings, coverage
+      // explode on duplicated occurrences only, document-bounded
+      // reassembly. The alignment-free sibling of
+      // dedup_repeated_segments (this corpus: ~1k duplicated 8-grams).
+      ops.Dedup.duplicateSpanRemoval(load(dir, "documents"),
+          "doc_id", "text", minLen = 8)
+        .orderBy("doc_id")
+    }),
+
     "text_boilerplate" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // C4/RefinedWeb-style template-text signal: 3-grams present in ≥1%
@@ -5729,6 +5742,35 @@ object SparkEntry {
          |    ' ' ORDER BY s.seg_idx), '') AS text
          |FROM seg s LEFT JOIN over_rep o ON s.seg = o.seg
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // The sliding-gram postings, the duplicated set, the coverage
+    // explode, and the ordered reassembly — all restated; md5 is the
+    // portable gram fingerprint on both engines.
+    "dedup_duplicate_spans" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i AS tp, toks[i] AS tok
+         |  FROM t, unnest(generate_series(1, len(toks))) u(i)
+         |  WHERE len(toks) > 0
+         |), grams AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(toks[i : i + 7], ' ')) AS g
+         |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(i)
+         |  WHERE len(toks) >= 8
+         |), dup AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+         |), covered AS (
+         |  SELECT DISTINCT grams.doc_id, pos + j AS tp
+         |  FROM grams JOIN dup USING (g),
+         |    unnest(generate_series(0, 7)) v(j)
+         |)
+         |SELECT tok.doc_id, count(*) AS n_tokens,
+         |  count(covered.tp) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN covered.tp IS NULL THEN tok.tok END,
+         |    ' ' ORDER BY tok.tp), '') AS text
+         |FROM tok LEFT JOIN covered
+         |  ON tok.doc_id = covered.doc_id AND tok.tp = covered.tp
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     // Boilerplate restated on gram STRINGS where the engine counts distinct
     // gram HASHES — identical counts because per-doc grams are distinct by

@@ -866,6 +866,76 @@ object Dedup {
     * analyzer (lowercase alnum runs), so spans restate verbatim in the
     * oracle's SQL.
     */
+  /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): remove
+    * every token lying inside a substring of ≥ `minLen` tokens that
+    * occurs more than once corpus-wide — at ANY alignment, the delta vs
+    * [[repeatedSegmentFilter]]'s non-overlapping windows (which miss a
+    * duplicate shifted by one token). The suffix-array of the paper is a
+    * single-machine construction; the distributed restatement is sliding
+    * `minLen`-gram postings: a token is inside a ≥`minLen` duplicated
+    * substring iff some duplicated `minLen`-gram covers it, so the
+    * removal SET is identical to the paper's.
+    *
+    * Output: `(idCol, n_tokens, n_removed, text)` per document with ≥1
+    * token ([[repeatedSegmentFilter]]'s contract); exact duplicates
+    * annihilate each other (every copy's spans are removed — the paper's
+    * own policy; run exact dedup first for one survivor).
+    *
+    * 100 TB shape: postings are one md5 per token position (32 bytes
+    * regardless of `minLen` — the fingerprint IS the gram identity, and
+    * md5 restates in the oracle), one partial-aggregated exchange on the
+    * gram finds the duplicated set (Zipf-bounded), coverage explodes
+    * `minLen`× on DUPLICATED occurrences only, and the reassembly
+    * groupBy hashes on the document id with document-bounded sort
+    * frames. No all-pairs anything.
+    */
+  def duplicateSpanRemoval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val id = col(s"`$idCol`")
+    val carried = carry.map(c => col(s"`$c`"))
+    val toks = df
+      .select(id +: tokens(col(s"`$textCol`")).as("_toks") +: carried: _*)
+      .where(size(col("_toks")) > 0)
+    // sliding 1-based gram starts; a doc shorter than minLen emits none
+    // (sequence(1, 0) would DESCEND — guard, don't clamp)
+    val grams = toks
+      .where(size(col("_toks")) >= minLen)
+      .select(id, explode(transform(
+        sequence(lit(1), size(col("_toks")) - (minLen - 1)),
+        i => struct(i.cast("long").as("_pos"),
+          md5(concat_ws(" ", slice(col("_toks"), i, lit(minLen)))).as("_g"))))
+        .as("_pg"))
+      .select(id, col("_pg._pos").as("_pos"), col("_pg._g").as("_g"))
+    val dup = grams.groupBy("_g").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).select("_g")
+    val covered = grams.join(dup, Seq("_g"))
+      .select(id, explode(sequence(col("_pos"), col("_pos") + (minLen - 1)))
+        .as("_tp"))
+      .distinct()
+      .withColumn("_drop", lit(1))
+    val tokRows = toks
+      .select(id +: posexplode(col("_toks")) +: carried: _*)
+      .select(id +: (col("pos") + 1).cast("long").as("_tp") +:
+        col("col").as("_tok") +: carried: _*)
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n_tokens"),
+      coalesce(sum(col("_drop")), lit(0)).cast("long").as("n_removed"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("_drop").isNull,
+          struct(col("_tp"), col("_tok"))))),
+        s => s("_tok"))).as("text")) ++
+      carry.map(c => first(col(s"`$c`")).as(c))
+    tokRows.join(covered, Seq(idCol, "_tp"), "left")
+      .groupBy(id)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def repeatedSegmentFilter(
       df: DataFrame,
       idCol: String,

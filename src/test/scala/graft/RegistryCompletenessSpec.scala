@@ -50,7 +50,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_geotile_grid", "g_geotile_preagg", "g_geo_bounds", "g_top_metrics",
     "g_boxplot", "g_mad", "g_string_stats", "g_matrix_stats",
     "g_auto_date_histogram", "g_auto_date_histogram_preagg",
-    "g_t_test", "g_geo_distance", "g_bucket_script")
+    "g_t_test", "g_geo_distance", "g_bucket_script",
+    "dedup_duplicate_spans")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -362,4 +362,29 @@ class DedupSpec extends SparkSpecBase {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(lax.forall(_._2 == 0L))
   }
+
+  test("duplicateSpanRemoval: alignment-free covered-token cut (ExactSubstr)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // the shared 5-token run sits at a DIFFERENT alignment — the case
+      // window-aligned segments (repeatedSegmentFilter) structurally miss
+      (2L, "x alpha beta gamma delta epsilon y"),
+      (3L, "solo words here"),                 // shorter than minLen: untouched
+      (4L, "p q r s t p q r s t")              // within-doc repetition counts too
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRemoval(docs, "doc_id", "text", minLen = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 6L, 5L, "zeta"),
+      (2L, 7L, 5L, "x y"),
+      (3L, 3L, 0L, "solo words here"),
+      (4L, 10L, 10L, "")))
+    // the window-aligned filter misses the shifted duplicate entirely
+    val aligned = Dedup.repeatedSegmentFilter(docs.where(col("doc_id") <= 2),
+        "doc_id", "text", window = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(aligned.forall(_._2 == 0L), "window-aligned segments see no duplicate")
+  }
 }
