@@ -2152,6 +2152,31 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
+    "g_geotile_drilldown" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Kibana map drill-down on the geotile grid, served from the z=8
+      // rollup: the clicked zoom-1 NE-quadrant tile bounds the view by a
+      // PURE integer ancestor test (tx >> 7 == 1), deepened to zoom 4 by
+      // the same >> identity — no geometry anywhere, rollup rows only.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      val Seq(tx, ty) = Aggs.geoTileXY(col("lat"), col("lon"), 8)
+      val pre = query.PreAgg.increment(pts, Seq("tx" -> tx, "ty" -> ty))
+      query.PreAgg.geoTileGridDrilldown(pre, ingestZoom = 8,
+        cellZ = 1, cellX = 1, cellY = 0, z = 4)
+    }),
+
+    "g_frequent_pairs" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES 8 frequent_item_sets (2-itemset form) made exact: event-type
+      // pairs co-occurring for at least 10 users — ES mines this
+      // approximately per shard (routing-dependent); the exact
+      // per-transaction self-join is the determinism delta.
+      Aggs.frequentItemPairs(loadEvents(dir), "user_id", "event_type",
+        minSupport = 10)
+    }),
+
     "g_t_test" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES t_test (Welch): does value differ between click and purchase
@@ -4939,6 +4964,40 @@ object SparkEntry {
     // and the rollup's certified ladder tail) share it.
     "g_auto_date_histogram" -> autoDateHistogram100OracleSql,
     "g_auto_date_histogram_preagg" -> autoDateHistogram100OracleSql,
+
+    // The drill-down restated at zoom 4 directly — equal to the
+    // rollup-served shift by the bit-exact ⌊u·2^zi⌋ >> k identity; the
+    // ancestor filter is the same integer test on the z=4 indices.
+    "g_geotile_drilldown" ->
+      """WITH pts AS (
+        |  SELECT
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |), idx AS (
+        |  SELECT
+        |    least(15, greatest(0,
+        |      floor((lon + 180.0) / 360.0 * 16)::BIGINT)) AS tx,
+        |    least(15, greatest(0,
+        |      floor((1.0 - ln(tan(lat * (pi() / 180.0))
+        |                      + 1.0 / cos(lat * (pi() / 180.0))) / pi())
+        |            / 2.0 * 16)::BIGINT)) AS ty
+        |  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+        |)
+        |SELECT '4/' || tx || '/' || ty AS tile, count(*)::BIGINT AS count
+        |FROM idx WHERE (tx >> 3) = 1 AND (ty >> 3) = 0
+        |GROUP BY 1 ORDER BY count DESC, tile LIMIT 10""".stripMargin,
+
+    "g_frequent_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT user_id AS t, event_type AS i
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS support
+        |FROM it a JOIN it b ON a.t = b.t AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY support DESC, item_a, item_b LIMIT 10""".stripMargin,
 
     // Welch t-test: the same conditional LONG cents folds and the same
     // fixed t/df trees ((Σc)² exceeds 2^53 as a double but the rounding

@@ -1117,6 +1117,35 @@ object Aggs {
     dateHistogram(df, tsCol, grain).withColumn("grain", lit(grain))
   }
 
+  /** ES 8 `frequent_item_sets` agg, the 2-itemset form made EXACT: item
+    * pairs co-occurring in at least `minSupport` transactions, top-N by
+    * support with full-pair tiebreak. ES mines approximately (sampled
+    * per-shard eclat — results vary with routing); the exact form is one
+    * per-transaction self-join — deliberate determinism delta, same
+    * class as [[samplerTerms]].
+    *
+    * Scale shape: the join key is the transaction id, so the exchange is
+    * one hash partition of the distinct (txn, item) pairs, and the
+    * per-transaction pair blowup is k(k−1)/2 for a k-item transaction —
+    * bounded by the ITEMSET width (tens), never the corpus. A mega
+    * transaction (bot basket) is the [[graft.ops.Features]] mega-entity
+    * hazard; cap items per transaction upstream if the domain allows one.
+    */
+  def frequentItemPairs(
+      df: DataFrame, txnCol: String, itemCol: String,
+      minSupport: Long, n: Int = 10): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = df.select(col(txnCol).as("_t"), col(itemCol).as("_i"))
+      .where(col("_i").isNotNull).distinct()
+    items.as("a").join(items.as("b"),
+        col("a._t") === col("b._t") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("item_a"), col("b._i").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .orderBy(desc("support"), asc("item_a"), asc("item_b"))
+      .limit(n)
+  }
+
   def rollupCounts(df: DataFrame, dims: Seq[String], cube: Boolean = false): DataFrame = {
     val cols = dims.map(col)
     val grouped = if (cube) df.cube(cols: _*) else df.rollup(cols: _*)

@@ -737,6 +737,30 @@ object PreAgg {
       .limit(n)
   }
 
+  /** Geotile drill-down served from the rollup: the clicked zoom-`cellZ`
+    * tile `(cellX, cellY)` bounds the view, deepened to zoom `z` — the
+    * quadtree makes membership a pure integer test (`tx >> (ingest−cellZ)
+    * == cellX`), so the filter prunes rollup ROWS with no geometry at
+    * all, and the deeper grid is the same [[geoTileGridAt]] shift.
+    * Covered iff `cellZ < z ≤ ingestZoom`; a deeper zoom fails loudly
+    * toward the corpus scan, the standard covering-miss contract.
+    */
+  def geoTileGridDrilldown(
+      pre: DataFrame,
+      ingestZoom: Int,
+      cellZ: Int, cellX: Long, cellY: Long,
+      z: Int, n: Int = 10): DataFrame = {
+    require(cellZ < z, s"drill-down must deepen: cell zoom $cellZ, requested $z")
+    require(coversGeoTile(ingestZoom, z),
+      s"zoom $z is not servable from an ingest-zoom-$ingestZoom rollup — " +
+        "serve this drill-down from the corpus scan")
+    val k = ingestZoom - cellZ
+    geoTileGridAt(
+      pre.where(shiftright(col("tx"), k) === cellX &&
+        shiftright(col("ty"), k) === cellY),
+      ingestZoom, z, n)
+  }
+
   /** Kibana's autoPrecision drill-down ([[Aggs.geohashGridDrilldown]])
     * served from the rollup: the clicked cell's decoded bounds pick the
     * precision through the same zoom ladder, the viewport filter is the

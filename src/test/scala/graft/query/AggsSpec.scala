@@ -591,6 +591,40 @@ class AggsSpec extends SparkSpecBase {
     assert(sorted === Seq("d1"))
   }
 
+  test("geoTileGridDrilldown: pure integer tile-membership filter, deeper grid from the rollup") {
+    val pts = Seq(
+      (10.0, 10.0), (11.0, 11.0), (40.0, 40.0), (-30.0, -120.0))
+      .toDF("lat", "lon")
+    val Seq(tx, ty) = Aggs.geoTileXY(col("lat"), col("lon"), 6)
+    val pre = PreAgg.increment(pts, Seq("tx" -> tx, "ty" -> ty))
+    // the clicked zoom-2 cell containing (10,10): x=2, y=1
+    val drilled = PreAgg.geoTileGridDrilldown(pre, 6, cellZ = 2, cellX = 2, cellY = 1, z = 4)
+      .collect().toSeq
+    // scan twin: grid at z=4, keep tiles whose z=2 ancestor is (2,1)
+    val scan = Aggs.geoTileGrid(pts, "lat", "lon", 4, n = 100)
+      .collect().filter { r =>
+        val Array(_, x, y) = r.getString(0).split("/")
+        (x.toLong >> 2) == 2L && (y.toLong >> 2) == 1L
+      }.toSeq
+    assert(drilled === scan)
+    assert(drilled.nonEmpty)
+    intercept[IllegalArgumentException](
+      PreAgg.geoTileGridDrilldown(pre, 6, 2, 2, 1, z = 7))
+    intercept[IllegalArgumentException](
+      PreAgg.geoTileGridDrilldown(pre, 6, 4, 2, 1, z = 4))
+  }
+
+  test("frequentItemPairs: exact co-occurrence support, duplicates in a txn count once") {
+    val rows = Seq(
+      (1L, "bread"), (1L, "butter"), (1L, "bread"), (1L, "milk"),
+      (2L, "bread"), (2L, "butter"),
+      (3L, "bread"), (3L, "milk"),
+      (4L, "tea")).toDF("txn", "item")
+    val out = Aggs.frequentItemPairs(rows, "txn", "item", minSupport = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("bread", "butter", 2L), ("bread", "milk", 2L)))
+  }
+
   test("stringStats keeps the stats row when the char distribution is empty") {
     val out = Aggs.stringStats(Seq("", "").toDF("t"), "t").collect()(0)
     assert((out.getLong(0), out.getInt(1), out.getInt(2),
