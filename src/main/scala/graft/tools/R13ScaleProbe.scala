@@ -109,6 +109,45 @@ object R13ScaleProbe {
       })
     }
 
+    // ---- 2b. round-13 second-batch ops at 1x/10x ----
+    // duplicate-span removal (sliding-gram postings + coverage join +
+    // document reassembly — the only new op with super-scan volume),
+    // string_stats (char explode), frequent pairs (per-txn self-join).
+    for ((label, dir) <- Seq(("1x", "/root/testdata/sf0.1"), ("10x", "/tmp/graft_sf1"))
+        if sections("newops")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      emit(label, "duplicate_span_removal", timeOp(repeats) {
+        graft.ops.Dedup.duplicateSpanRemoval(docs, "doc_id", "text", minLen = 8)
+          .agg(count(lit(1)), sum("n_removed")).collect()(0).getLong(0)
+      })
+      emit(label, "string_stats", timeOp(repeats) {
+        graft.query.Aggs.stringStats(docs, "text").collect()(0).getLong(0)
+      })
+      val evPath =
+        if (label == "1x") "/root/testdata/sf0.1/events.parquet"
+        else {
+          // OpScaleProbe's 10x twin construction: remapped ids, unchanged
+          // ts/type/value — per-user itemsets identical per copy
+          val p = "/tmp/graft_events_probe10/events.parquet"
+          if (!new java.io.File(p).exists()) {
+            val src = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+            src.withColumn("_k", explode(sequence(lit(0), lit(9))))
+              .select((col("event_id") * 10 + col("_k")).as("event_id"),
+                col("ts"), (col("user_id") * 10 + col("_k")).as("user_id"),
+                col("event_type"), col("value"))
+              .repartition(32).write.mode("overwrite").parquet(p)
+          }
+          p
+        }
+      val ev = spark.read.parquet(evPath)
+      ev.count()
+      emit(label, "frequent_item_pairs", timeOp(repeats) {
+        graft.query.Aggs.frequentItemPairs(ev, "user_id", "event_type",
+          minSupport = 10, n = 100).count()
+      })
+    }
+
     // ---- 3. chunked vs unchunked rolling window on a skewed corpus ----
     // events twin replicated factor-fold with megaPct% of rows remapped to
     // ONE entity: the shape a mega-user (bot, ingestion artifact) produces
