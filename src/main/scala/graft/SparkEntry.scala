@@ -2152,6 +2152,40 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
+    "g_moving_fn" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES moving_fn (min/max/sum) over the daily histogram, trailing
+      // 7-bucket frame including the current bucket — the bucket-bounded
+      // window contract of every parent pipeline agg here.
+      Aggs.movingFn(Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+          "bucket", "count", window = 7)
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+        .orderBy("bucket")
+    }),
+
+    "g_normalize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES normalize over the daily histogram: percent_of_sum /
+      // rescale_0_1 / z-score side by side. Counts are integer-valued, so
+      // the series moments are order-exact and every derived value is one
+      // fixed tree (Aggs.normalizeBuckets's moment-form variance).
+      Aggs.normalizeBuckets(Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+          "bucket", "count")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+        .orderBy("bucket")
+    }),
+
+    "g_rate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES rate: weekly buckets rescaled to a per-day rate by the NOMINAL
+      // span (a week is always 7 days — ES's convention; month→day uses
+      // calendar length, spec-covered).
+      Aggs.ratePerUnit(Aggs.dateHistogram(loadEvents(dir), "ts", "week"),
+          "bucket", "count", "week", "day")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+        .orderBy("bucket")
+    }),
+
     "g_geotile_drilldown" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Kibana map drill-down on the geotile grid, served from the z=8
@@ -4964,6 +4998,52 @@ object SparkEntry {
     // and the rollup's certified ladder tail) share it.
     "g_auto_date_histogram" -> autoDateHistogram100OracleSql,
     "g_auto_date_histogram_preagg" -> autoDateHistogram100OracleSql,
+
+    "g_moving_fn" ->
+      """WITH h AS (
+        |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS count
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
+        |  min(count) OVER w AS moving_min,
+        |  max(count) OVER w AS moving_max,
+        |  (sum(count) OVER w)::BIGINT AS moving_sum
+        |FROM h
+        |WINDOW w AS (ORDER BY b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
+
+    // The same fixed trees over order-exact integer moments: mean = Σv/n,
+    // var = Σv²/n − mean², each reference recomputed identically.
+    "g_normalize" ->
+      """WITH h AS (
+        |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS count
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT b, count,
+        |    sum(count::DOUBLE) OVER () AS s,
+        |    min(count::DOUBLE) OVER () AS mn,
+        |    max(count::DOUBLE) OVER () AS mx,
+        |    count(*) OVER () AS n,
+        |    sum(count::DOUBLE * count::DOUBLE) OVER () AS q
+        |  FROM h
+        |)
+        |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
+        |  count::DOUBLE / s * 100.0 AS percent_of_sum,
+        |  CASE WHEN mx <> mn
+        |    THEN (count::DOUBLE - mn) / (mx - mn) END AS rescale_0_1,
+        |  CASE WHEN q / n - (s / n) * (s / n) > 0.0
+        |    THEN (count::DOUBLE - s / n) / sqrt(q / n - (s / n) * (s / n))
+        |  END AS z_score
+        |FROM t ORDER BY bucket""".stripMargin,
+
+    "g_rate" ->
+      """WITH h AS (
+        |  SELECT date_trunc('week', ts) AS b, count(*)::BIGINT AS count
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
+        |  count / 7.0 AS rate
+        |FROM h ORDER BY bucket""".stripMargin,
 
     // The drill-down restated at zoom 4 directly — equal to the
     // rollup-served shift by the bit-exact ⌊u·2^zi⌋ >> k identity; the

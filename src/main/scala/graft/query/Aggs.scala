@@ -448,6 +448,80 @@ object Aggs {
         round(avg(col(valueCol)).over(w.rowsBetween(-(movingWindow - 1), Window.currentRow)), 4))
   }
 
+  /** ES `moving_fn` parent-pipeline agg: the named reductions over the
+    * trailing `window`-bucket frame INCLUDING the current bucket (ES's
+    * default shift) — min/max/sum beside [[bucketPipeline]]'s moving
+    * average. Same aggregated-series contract: the window frame is
+    * bucket-bounded, never the corpus.
+    */
+  def movingFn(
+      series: DataFrame, bucketCol: String, valueCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.orderBy(col(bucketCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    series
+      .withColumn("moving_min", min(col(valueCol)).over(w))
+      .withColumn("moving_max", max(col(valueCol)).over(w))
+      .withColumn("moving_sum", sum(col(valueCol)).over(w))
+  }
+
+  /** ES `normalize` parent-pipeline agg: per-bucket rescalings of a
+    * metric against the WHOLE series — `percent_of_sum`, `rescale_0_1`,
+    * and `z-score` (ES's method names), all emitted beside each other.
+    * Series-wide moments ride one unbounded window over the aggregated
+    * frame (the [[bucketStats]] precedent); every derived value is a
+    * fixed IEEE tree, restatable in the oracle. The z-score uses the
+    * population σ over the buckets, ES's own convention; a constant
+    * series (σ = 0, max = min) emits null for z-score and rescale, ES's
+    * divide-by-zero behavior.
+    */
+  def normalizeBuckets(
+      series: DataFrame, bucketCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series
+      .withColumn("_sum", sum(v).over(w))
+      .withColumn("_min", min(v).over(w))
+      .withColumn("_max", max(v).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_mean", col("_sum") / col("_n"))
+      // moment form, not Σ(v−mean)²: with integer-valued metrics (counts)
+      // Σv and Σv² are order-exact doubles, so the variance is ONE fixed
+      // tree — the deviation form sums non-integer addends in engine
+      // order and would not restate deterministically in the oracle
+      .withColumn("_var", sum(v * v).over(w) / col("_n") - col("_mean") * col("_mean"))
+      .withColumn("percent_of_sum", v / col("_sum") * 100.0)
+      .withColumn("rescale_0_1",
+        when(col("_max") =!= col("_min"),
+          (v - col("_min")) / (col("_max") - col("_min"))))
+      .withColumn("z_score",
+        when(col("_var") > 0.0, (v - col("_mean")) / sqrt(col("_var"))))
+      .drop("_sum", "_min", "_max", "_n", "_mean", "_var")
+  }
+
+  /** ES `rate` agg under a date histogram: the bucket's count rescaled to
+    * a smaller calendar unit using the bucket's NOMINAL span (ES
+    * divides by the configured-interval/unit ratio — a week is always 7
+    * days, a day always 24 hours — not by elapsed wall time; month→day
+    * uses the bucket's own calendar length, the one variable case).
+    */
+  def ratePerUnit(
+      series: DataFrame, bucketCol: String, valueCol: String,
+      interval: String, unit: String): DataFrame = {
+    val divisor: Column = (interval.toLowerCase, unit.toLowerCase) match {
+      case ("week", "day")   => lit(7.0)
+      case ("day", "hour")   => lit(24.0)
+      case ("hour", "minute") => lit(60.0)
+      case ("month", "day")  =>
+        // the bucket's own calendar length: days to the next month start
+        datediff(add_months(col(bucketCol), 1), col(bucketCol)).cast("double")
+      case (i, u) => throw new IllegalArgumentException(
+        s"unsupported rate conversion $i → $u")
+    }
+    series.withColumn("rate", col(valueCol) / divisor)
+  }
+
   /** ES `serial_diff` parent-pipeline agg: `value − lag(value, lag)` over
     * the bucket-ordered series (the seasonality-removal form of
     * `derivative` — lag = 7 on a daily histogram subtracts the same

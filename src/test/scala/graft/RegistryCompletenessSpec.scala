@@ -51,7 +51,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_boxplot", "g_mad", "g_string_stats", "g_matrix_stats",
     "g_auto_date_histogram", "g_auto_date_histogram_preagg",
     "g_t_test", "g_geo_distance", "g_bucket_script",
-    "dedup_duplicate_spans", "g_geotile_drilldown", "g_frequent_pairs")
+    "dedup_duplicate_spans", "g_geotile_drilldown", "g_frequent_pairs",
+    "g_moving_fn", "g_normalize", "g_rate")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -417,6 +417,49 @@ class AggsSpec extends SparkSpecBase {
       ("d1", None), ("d2", None), ("d3", Some(5L)), ("d4", Some(-1L))))
   }
 
+  test("movingFn: trailing-window min/max/sum including the current bucket") {
+    val series = Seq(("d1", 10L), ("d2", 30L), ("d3", 5L), ("d4", 20L))
+      .toDF("bucket", "count")
+    val out = Aggs.movingFn(series, "bucket", "count", window = 2)
+      .orderBy("bucket")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      ("d1", 10L, 10L, 10L), ("d2", 10L, 30L, 40L),
+      ("d3", 5L, 30L, 35L), ("d4", 5L, 20L, 25L)))
+  }
+
+  test("normalizeBuckets: percent_of_sum / rescale_0_1 / z-score; constant series nulls") {
+    val series = Seq(("d1", 10L), ("d2", 30L), ("d3", 20L)).toDF("bucket", "count")
+    val out = Aggs.normalizeBuckets(series, "bucket", "count")
+      .orderBy("bucket")
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0)._2 === 10.0 / 60 * 100.0)  // the emitted v/Σ·100 tree
+    assert(out(0)._3 === 0.0)
+    assert(out(1)._3 === 1.0)
+    assert(out(2)._3 === 0.5)
+    // mean 20, var = (100+100+0)/3 = 200/3 → z(d2) = 10/√(200/3)
+    assert(math.abs(out(1)._4 - 10.0 / math.sqrt(200.0 / 3)) < 1e-12)
+    val const = Aggs.normalizeBuckets(
+      Seq(("d1", 5L), ("d2", 5L)).toDF("bucket", "count"), "bucket", "count")
+      .collect()
+    assert(const.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("ratePerUnit: nominal spans for fixed grains, calendar length for months") {
+    val series = Seq(
+      (ts("2016-01-01 00:00:00"), 310L), (ts("2016-02-01 00:00:00"), 290L))
+      .toDF("bucket", "count")
+    val out = Aggs.ratePerUnit(series, "bucket", "count", "month", "day")
+      .orderBy("bucket").collect().map(_.getDouble(2)).toSeq
+    assert(out === Seq(310.0 / 31, 290.0 / 29)) // 2016 is a leap year
+    val weekly = Aggs.ratePerUnit(
+      Seq((ts("2016-01-04 00:00:00"), 14L)).toDF("bucket", "count"),
+      "bucket", "count", "week", "day").collect()(0).getDouble(2)
+    assert(weekly === 2.0)
+    intercept[IllegalArgumentException](
+      Aggs.ratePerUnit(series, "bucket", "count", "year", "minute"))
+  }
+
   test("geoTileGrid: slippy z/x/y cells, equator/meridian sides, polar clamp") {
     val pts = Seq(
       (0.0001, 0.0001),   // NE quadrant → 1/1/0
