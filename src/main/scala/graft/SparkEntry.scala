@@ -2152,6 +2152,39 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
+    "g_categorize_text" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES categorize_text made order-free: digit-bearing tokens template
+      // to *, the word sequence is the category, smallest doc exemplar
+      // carried — where ES's incremental categorizer depends on document
+      // arrival order (not reproducible across shard routings).
+      Aggs.categorizeText(load(dir, "documents"), "doc_id", "text")
+    }),
+
+    "g_ip_prefix" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES ip_prefix over synthetic dotted quads derived from customer
+      // keys (the corpus has no address column — same fixture discipline
+      // as the g6 coordinates): parse → integer >> → CIDR render. The
+      // oracle derives the /16 blocks from the CONSTRUCTION instead of
+      // re-parsing — an independent restatement.
+      val ip = concat_ws(".", lit(10), pmod(col("c_custkey"), lit(50)),
+        pmod(col("c_custkey"), lit(256)), pmod(col("c_custkey"), lit(251)))
+      Aggs.ipPrefixBuckets(load(dir, "customer").withColumn("ip", ip), "ip", 16)
+    }),
+
+    "g_ip_range" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES ip_range on the same synthetic quads: half-open address ranges
+      // via the parsed integer order, zero-count ranges kept.
+      val ip = concat_ws(".", lit(10), pmod(col("c_custkey"), lit(50)),
+        pmod(col("c_custkey"), lit(256)), pmod(col("c_custkey"), lit(251)))
+      Aggs.ipRangeBuckets(load(dir, "customer").withColumn("ip", ip), "ip", Seq(
+        (None, Some("10.10.0.0")),
+        (Some("10.10.0.0"), Some("10.30.0.0")),
+        (Some("10.30.0.0"), None)))
+    }),
+
     "g_moving_fn" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES moving_fn (min/max/sum) over the daily histogram, trailing
@@ -4998,6 +5031,39 @@ object SparkEntry {
     // and the rollup's certified ladder tail) share it.
     "g_auto_date_histogram" -> autoDateHistogram100OracleSql,
     "g_auto_date_histogram_preagg" -> autoDateHistogram100OracleSql,
+
+    "g_categorize_text" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, array_to_string(list_transform($duckToks,
+         |    t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '*' ELSE t END),
+         |    ' ') AS category
+         |  FROM documents WHERE text IS NOT NULL
+         |)
+         |SELECT category, count(*)::BIGINT AS count,
+         |  min(doc_id) AS example_id
+         |FROM t WHERE len(category) > 0
+         |GROUP BY 1 ORDER BY count DESC, category LIMIT 10""".stripMargin,
+
+    // Derived from the CONSTRUCTION (second octet = custkey % 50), not by
+    // re-parsing — an independent restatement of the parse→shift→render
+    // path.
+    "g_ip_prefix" ->
+      """SELECT '10.' || (c_custkey % 50) || '.0.0/16' AS prefix,
+        |  count(*)::BIGINT AS count
+        |FROM customer GROUP BY 1 ORDER BY count DESC, prefix LIMIT 10""".stripMargin,
+
+    "g_ip_range" ->
+      """SELECT * FROM (
+        |  SELECT '*-10.10.0.0' AS bucket,
+        |    sum(CASE WHEN (c_custkey % 50) < 10 THEN 1 ELSE 0 END)::BIGINT AS count
+        |  FROM customer
+        |  UNION ALL SELECT '10.10.0.0-10.30.0.0',
+        |    sum(CASE WHEN (c_custkey % 50) BETWEEN 10 AND 29 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM customer
+        |  UNION ALL SELECT '10.30.0.0-*',
+        |    sum(CASE WHEN (c_custkey % 50) >= 30 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM customer
+        |) ORDER BY bucket""".stripMargin,
 
     "g_moving_fn" ->
       """WITH h AS (

@@ -1220,6 +1220,86 @@ object Aggs {
       .limit(n)
   }
 
+  /** ES `categorize_text` agg, made DETERMINISTIC: cluster messages by
+    * their variable-stripped token template — every token containing a
+    * digit becomes `*` (timestamps, ids, counters, hex), the remaining
+    * word sequence IS the category key — then count per category and
+    * carry the smallest exemplar id. ES's categorizer is a stateful
+    * incremental tree whose categories depend on document ARRIVAL ORDER
+    * (shard/segment dependent, not reproducible); the fixed template is
+    * the order-free restatement, the [[samplerTerms]] determinism-delta
+    * class. One row-local projection + one hash aggregation — log-volume
+    * shaped.
+    */
+  def categorizeText(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
+    val template = concat_ws(" ", transform(
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0),
+      t => when(t.rlike("[0-9]"), lit("*")).otherwise(t)))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), template.as("category"))
+      .where(length(col("category")) > 0)
+      .groupBy("category")
+      .agg(count(lit(1)).as("count"), min(col("_id")).as("example_id"))
+      .orderBy(desc("count"), asc("category"))
+      .limit(n)
+  }
+
+  /** Dotted-quad IPv4 → unsigned 32-bit LONG — pure integer arithmetic
+    * (split, cast, shift), restatable in any engine; malformed addresses
+    * (missing octets, octet > 255, non-numeric) are null.
+    */
+  def ipToLong(ip: Column): Column = {
+    val o = split(ip, "\\.")
+    // try_element_at + digit-guarded cast: malformed addresses (missing
+    // octets, non-numeric) must yield null, not an ANSI error
+    val octets = (0 to 3).map { i =>
+      val s = try_element_at(o, lit(i + 1))
+      when(s.rlike("^[0-9]{1,3}$"), s.cast("long"))
+    }
+    when(size(o) === 4 &&
+        octets.map(c => c.isNotNull && c >= 0 && c <= 255).reduce(_ && _),
+      octets.reduce((a, b) => a * 256 + b))
+  }
+
+  /** ES `ip_prefix` bucket agg: counts per /`prefixLen` IPv4 block —
+    * integer `>>` on the parsed address, keys rendered as CIDR
+    * (`a.b.c.0/24`). Unparseable addresses form no bucket (ES missing
+    * behavior). The same shift-commutes-with-aggregation identity as the
+    * geotile zoom: a finer-prefix rollup serves every coarser prefix.
+    */
+  def ipPrefixBuckets(df: DataFrame, ipCol: String, prefixLen: Int, n: Int = 10): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 32, s"prefixLen in [1,32], got $prefixLen")
+    val ipl = ipToLong(col(ipCol))
+    val base = shiftleft(shiftright(ipl, 32 - prefixLen), 32 - prefixLen)
+    val cidr = concat_ws(".",
+      shiftright(base, 24) % 256, shiftright(base, 16) % 256,
+      shiftright(base, 8) % 256, base % 256)
+    df.where(ipl.isNotNull)
+      .groupBy(concat(cidr, lit(s"/$prefixLen")).as("prefix"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), asc("prefix"))
+      .limit(n)
+  }
+
+  /** ES `ip_range` bucket agg: half-open `[from, to)` address ranges on
+    * the parsed integer form, keyed `from-to` with `*` for open sides —
+    * the [[conditionalBuckets]] kernel once more, zero-count ranges kept.
+    */
+  def ipRangeBuckets(
+      df: DataFrame, ipCol: String,
+      ranges: Seq[(Option[String], Option[String])]): DataFrame = {
+    require(ranges.nonEmpty, "ipRangeBuckets: at least one range")
+    val ipl = ipToLong(col(ipCol))
+    val cells = ranges.map { case (lo, hi) =>
+      val cond = (Seq(ipl.isNotNull) ++
+        lo.map(s => ipl >= ipToLong(lit(s))) ++
+        hi.map(s => ipl < ipToLong(lit(s)))).reduce(_ && _)
+      (s"${lo.getOrElse("*")}-${hi.getOrElse("*")}", cond)
+    }
+    conditionalBuckets(df, cells, lit(1L), keepZeros = true)
+  }
+
   def rollupCounts(df: DataFrame, dims: Seq[String], cube: Boolean = false): DataFrame = {
     val cols = dims.map(col)
     val grouped = if (cube) df.cube(cols: _*) else df.rollup(cols: _*)

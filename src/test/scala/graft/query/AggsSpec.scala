@@ -668,6 +668,38 @@ class AggsSpec extends SparkSpecBase {
     assert(out === Seq(("bread", "butter", 2L), ("bread", "milk", 2L)))
   }
 
+  test("categorizeText: digit-bearing tokens template to *, order-free categories") {
+    val logs = Seq(
+      (1L, "Error 42 at node7 disk full"),
+      (2L, "error 17 at node9 disk full"),
+      (3L, "User login ok"),
+      (4L, "12 34")) // all-variable message: category "* *"
+      .toDF("id", "msg")
+    val out = Aggs.categorizeText(logs, "id", "msg")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("error * at * disk full", 2L, 1L),
+      ("* *", 1L, 4L),
+      ("user login ok", 1L, 3L)))
+  }
+
+  test("ipToLong/ipPrefixBuckets/ipRangeBuckets: integer parsing, prefix shifts, half-open ranges") {
+    val ips = Seq("10.0.0.1", "10.0.0.200", "10.0.1.5", "bad", "1.2.3.300")
+      .toDF("ip")
+    val prefixes = Aggs.ipPrefixBuckets(ips, "ip", 24)
+      .as[(String, Long)].collect().toSeq
+    assert(prefixes === Seq(("10.0.0.0/24", 2L), ("10.0.1.0/24", 1L)))
+    val ranges = Aggs.ipRangeBuckets(ips, "ip", Seq(
+      (None, Some("10.0.0.128")),
+      (Some("10.0.0.128"), Some("10.0.2.0")),
+      (Some("192.168.0.0"), None)))
+      .as[(String, Long)].collect().toSeq
+    assert(ranges === Seq(
+      ("*-10.0.0.128", 1L),
+      ("10.0.0.128-10.0.2.0", 2L),
+      ("192.168.0.0-*", 0L)))
+  }
+
   test("stringStats keeps the stats row when the char distribution is empty") {
     val out = Aggs.stringStats(Seq("", "").toDF("t"), "t").collect()(0)
     assert((out.getLong(0), out.getInt(1), out.getInt(2),
