@@ -2152,6 +2152,19 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
+    "g_geo_line" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_line per market segment over the synthetic coordinates:
+      // key-ordered micro-degree track, WKT lon-lat order, size-capped.
+      // Integer rendering sidesteps the engines' diverging double
+      // formatting rules (Aggs.geoLine scaladoc).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      Aggs.geoLine(pts, "c_mktsegment", "lat", "lon", "c_custkey",
+        tiebreak = col("c_custkey"), size = 20)
+    }),
+
     "g_categorize_text" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES categorize_text made order-free: digit-bearing tokens template
@@ -5032,6 +5045,27 @@ object SparkEntry {
     "g_auto_date_histogram" -> autoDateHistogram100OracleSql,
     "g_auto_date_histogram_preagg" -> autoDateHistogram100OracleSql,
 
+    "g_geo_line" ->
+      """WITH pts AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |), r AS (
+        |  SELECT c_mktsegment,
+        |    floor(lon * 1000000)::BIGINT AS lon6,
+        |    floor(lat * 1000000)::BIGINT AS lat6,
+        |    row_number() OVER (
+        |      PARTITION BY c_mktsegment ORDER BY c_custkey, c_custkey) AS rn
+        |  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+        |)
+        |SELECT c_mktsegment, count(*)::BIGINT AS points,
+        |  'LINESTRING_E6 (' ||
+        |    string_agg(lon6 || ' ' || lat6, ', ' ORDER BY rn) || ')' AS line
+        |FROM r WHERE rn <= 20
+        |GROUP BY 1 ORDER BY points DESC, c_mktsegment LIMIT 10""".stripMargin,
+
     "g_categorize_text" ->
       s"""WITH t AS (
          |  SELECT doc_id, array_to_string(list_transform($duckToks,
@@ -5073,7 +5107,8 @@ object SparkEntry {
         |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
         |  min(count) OVER w AS moving_min,
         |  max(count) OVER w AS moving_max,
-        |  (sum(count) OVER w)::BIGINT AS moving_sum
+        |  (sum(count) OVER w)::BIGINT AS moving_sum,
+        |  median(count) OVER w AS moving_median
         |FROM h
         |WINDOW w AS (ORDER BY b ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY bucket""".stripMargin,

@@ -464,6 +464,25 @@ object Aggs {
       .withColumn("moving_min", min(col(valueCol)).over(w))
       .withColumn("moving_max", max(col(valueCol)).over(w))
       .withColumn("moving_sum", sum(col(valueCol)).over(w))
+      // ES moving_percentiles, the p50 form: exact median over the same
+      // trailing frame (ES feeds TDigests through the window; the exact
+      // statistic is this repo's percentile discipline). Spark's median
+      // is an ordered-set aggregate that rejects window frames, so the
+      // frame collects into a ≤window-element array and interpolates by
+      // hand — (a+b)/2 over integer-valued metrics is exact in binary,
+      // so it equals the oracle's median() regardless of tree.
+      .withColumn("_frame", array_sort(collect_list(col(valueCol)).over(w)))
+      .withColumn("moving_median", {
+        val m = size(col("_frame"))
+        // Column / is double division; the indices cast back exactly
+        // (halves of ints are exact doubles)
+        val mid = ((m + 1) / 2).cast("int")
+        val lo = (m / 2).cast("int")
+        when(m % 2 === 1, element_at(col("_frame"), mid).cast("double"))
+          .otherwise((element_at(col("_frame"), lo) +
+            element_at(col("_frame"), lo + 1)) / 2.0)
+      })
+      .drop("_frame")
   }
 
   /** ES `normalize` parent-pipeline agg: per-bucket rescalings of a
@@ -1088,6 +1107,42 @@ object Aggs {
       ((mean("_sa", "_na") - mean("_sb", "_nb")) / sqrt(sea + seb)).as("t"),
       ((sea + seb) * (sea + seb) /
         (sea * sea / (col("_na") - 1.0) + seb * seb / (col("_nb") - 1.0))).as("df"))
+  }
+
+  /** ES `geo_line` metric agg per terms bucket: the document track as an
+    * ordered point sequence — sort-field order with an explicit id
+    * tiebreak (ES's tie order is shard-dependent), capped at `size` (ES
+    * keeps the FIRST `size` under ascending sort). Points render in
+    * micro-degrees (`floor(deg·10⁶)` — the [[geoCentroid]] integer
+    * discipline), `lon lat` order per WKT, as `LINESTRING_E6 (…)`:
+    * integer rendering is identical in every engine, where raw
+    * double→string formatting diverges between Java's and other engines'
+    * shortest-round-trip rules (E-notation thresholds). Window top-k on
+    * the bucket key — the [[topHits]] shape with a string assembly on
+    * top.
+    */
+  def geoLine(
+      df: DataFrame, field: String,
+      latCol: String, lonCol: String, sortCol: String, tiebreak: Column,
+      size: Int = 100, n: Int = 10): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    val w = Window.partitionBy(col(field)).orderBy(col(sortCol).asc, tiebreak.asc)
+    val pt = concat_ws(" ",
+      floor(col(lonCol) * 1000000).cast("long"),
+      floor(col(latCol) * 1000000).cast("long"))
+    df.where(col(latCol).isNotNull && col(lonCol).isNotNull &&
+        col(sortCol).isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= size)
+      .groupBy(col(field))
+      .agg(count(lit(1)).as("points"),
+        concat(lit("LINESTRING_E6 ("),
+          concat_ws(", ", transform(
+            array_sort(collect_list(struct(col("_rn"), pt.as("_pt")))),
+            s => s("_pt"))),
+          lit(")")).as("line"))
+      .orderBy(desc("points"), asc(field))
+      .limit(n)
   }
 
   /** ES `geo_distance` bucket agg: documents bucketed by haversine

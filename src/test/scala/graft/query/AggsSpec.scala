@@ -422,10 +422,23 @@ class AggsSpec extends SparkSpecBase {
       .toDF("bucket", "count")
     val out = Aggs.movingFn(series, "bucket", "count", window = 2)
       .orderBy("bucket")
-      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      .collect().map(r =>
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
     assert(out === Seq(
-      ("d1", 10L, 10L, 10L), ("d2", 10L, 30L, 40L),
-      ("d3", 5L, 30L, 35L), ("d4", 5L, 20L, 25L)))
+      ("d1", 10L, 10L, 10L, 10.0), ("d2", 10L, 30L, 40L, 20.0),
+      ("d3", 5L, 30L, 35L, 17.5), ("d4", 5L, 20L, 25L, 12.5)))
+  }
+
+  test("geoLine: sort-ordered micro-degree track, id tiebreak, size cap") {
+    val pts = Seq(
+      ("a", 1L, 10.5, 20.25, 1L), ("a", 2L, 11.0, 21.0, 2L),
+      ("a", 3L, 12.0, 22.0, 3L), ("b", 4L, -5.0, -6.0, 1L))
+      .toDF("k", "id", "lat", "lon", "t")
+    val out = Aggs.geoLine(pts, "k", "lat", "lon", "t", col("id"), size = 2)
+      .as[(String, Long, String)].collect().toSeq
+    assert(out === Seq(
+      ("a", 2L, "LINESTRING_E6 (20250000 10500000, 21000000 11000000)"),
+      ("b", 1L, "LINESTRING_E6 (-6000000 -5000000)")))
   }
 
   test("normalizeBuckets: percent_of_sum / rescale_0_1 / z-score; constant series nulls") {
