@@ -2152,6 +2152,24 @@ object SparkEntry {
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss"))
     }),
 
+    "dedup_duplicate_spans_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ExactSubstr deployment shape: the ARRIVING half (odd doc ids)
+      // deduplicates against the maintained corpus-wide gram-count state
+      // — a gram's duplicate status is a pure function of that count, so
+      // this emits exactly the whole-corpus rows for those documents (the
+      // oracle is the whole-corpus restatement restricted to them). The
+      // streamed maintenance twin is spec-certified
+      // (EventStreamsSpec span-gram test).
+      val docs = load(dir, "documents")
+      val counts = ops.Dedup.slidingGramPostings(docs, "doc_id", "text", 8)
+        .groupBy(col("_g").as("g")).agg(count(lit(1)).as("n"))
+      ops.Dedup.duplicateSpanRemovalAgainst(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", counts, minLen = 8)
+        .orderBy("doc_id")
+    }),
+
     "g_geo_line" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES geo_line per market segment over the synthetic coordinates:
@@ -6003,6 +6021,36 @@ object SparkEntry {
          |  SELECT DISTINCT grams.doc_id, pos + j AS tp
          |  FROM grams JOIN dup USING (g),
          |    unnest(generate_series(0, 7)) v(j)
+         |)
+         |SELECT tok.doc_id, count(*) AS n_tokens,
+         |  count(covered.tp) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN covered.tp IS NULL THEN tok.tok END,
+         |    ' ' ORDER BY tok.tp), '') AS text
+         |FROM tok LEFT JOIN covered
+         |  ON tok.doc_id = covered.doc_id AND tok.tp = covered.tp
+         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    // The whole-corpus restatement restricted to the arriving half: the
+    // duplicated set still comes from ALL documents (that is the point),
+    // only the tokens/coverage narrow to odd ids.
+    "dedup_duplicate_spans_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, i AS tp, toks[i] AS tok
+         |  FROM t, unnest(generate_series(1, len(toks))) u(i)
+         |  WHERE len(toks) > 0 AND (doc_id % 2) = 1
+         |), grams AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(toks[i : i + 7], ' ')) AS g
+         |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(i)
+         |  WHERE len(toks) >= 8
+         |), dup AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+         |), covered AS (
+         |  SELECT DISTINCT grams.doc_id, pos + j AS tp
+         |  FROM grams JOIN dup USING (g),
+         |    unnest(generate_series(0, 7)) v(j)
+         |  WHERE (grams.doc_id % 2) = 1
          |)
          |SELECT tok.doc_id, count(*) AS n_tokens,
          |  count(covered.tp) AS n_removed,

@@ -890,10 +890,55 @@ object Dedup {
     * groupBy hashes on the document id with document-bounded sort
     * frames. No all-pairs anything.
     */
+  /** The sliding `minLen`-gram postings under [[duplicateSpanRemoval]]:
+    * `(idCol, _pos, _g)` — 1-based start position and the md5 fingerprint
+    * of the gram's token window. Shared by the batch form, the streamed
+    * gram-count maintenance ([[graft.streaming.EventStreams
+    * .maintainSpanGramCounts]]), and the incremental removal.
+    */
+  def slidingGramPostings(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val id = col(s"`$idCol`")
+    // sliding 1-based gram starts; a doc shorter than minLen emits none
+    // (sequence(1, 0) would DESCEND — guard, don't clamp)
+    df.select(id, tokens(col(s"`$textCol`")).as("_toks"))
+      .where(size(col("_toks")) >= minLen)
+      .select(id, explode(transform(
+        sequence(lit(1), size(col("_toks")) - (minLen - 1)),
+        i => struct(i.cast("long").as("_pos"),
+          md5(concat_ws(" ", slice(col("_toks"), i, lit(minLen)))).as("_g"))))
+        .as("_pg"))
+      .select(id, col("_pg._pos").as("_pos"), col("_pg._g").as("_g"))
+  }
+
   def duplicateSpanRemoval(
       df: DataFrame,
       idCol: String,
       textCol: String,
+      minLen: Int = 8,
+      carry: Seq[String] = Nil): DataFrame = {
+    val grams = slidingGramPostings(df, idCol, textCol, minLen)
+    val counts = grams.groupBy(col("_g").as("g")).agg(count(lit(1)).as("n"))
+    duplicateSpanRemovalAgainst(df, idCol, textCol, counts, minLen, carry)
+  }
+
+  /** [[duplicateSpanRemoval]] for a micro-batch against the CORPUS-WIDE
+    * gram-count state (which must already include this batch — the
+    * [[graft.streaming.EventStreams.maintainSpanGramCounts]] maintainer
+    * consumed it first): a gram's duplicate status is a pure function of
+    * its corpus-wide occurrence count, so removing the batch's documents
+    * against the at-rest counts emits EXACTLY the rows the whole-corpus
+    * form would emit for those documents — certified by the streaming
+    * spec. This is the 100 TB deployment shape: the arriving slice pays
+    * its own postings plus one broadcast-or-bucketed join against the
+    * maintained counts, never a corpus re-scan.
+    */
+  def duplicateSpanRemovalAgainst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusGramCounts: DataFrame,
       minLen: Int = 8,
       carry: Seq[String] = Nil): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
@@ -902,18 +947,9 @@ object Dedup {
     val toks = df
       .select(id +: tokens(col(s"`$textCol`")).as("_toks") +: carried: _*)
       .where(size(col("_toks")) > 0)
-    // sliding 1-based gram starts; a doc shorter than minLen emits none
-    // (sequence(1, 0) would DESCEND — guard, don't clamp)
-    val grams = toks
-      .where(size(col("_toks")) >= minLen)
-      .select(id, explode(transform(
-        sequence(lit(1), size(col("_toks")) - (minLen - 1)),
-        i => struct(i.cast("long").as("_pos"),
-          md5(concat_ws(" ", slice(col("_toks"), i, lit(minLen)))).as("_g"))))
-        .as("_pg"))
-      .select(id, col("_pg._pos").as("_pos"), col("_pg._g").as("_g"))
-    val dup = grams.groupBy("_g").agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1).select("_g")
+    val grams = slidingGramPostings(df, idCol, textCol, minLen)
+    val dup = corpusGramCounts.where(col("n") > 1)
+      .select(col("g").as("_g"))
     val covered = grams.join(dup, Seq("_g"))
       .select(id, explode(sequence(col("_pos"), col("_pos") + (minLen - 1)))
         .as("_tp"))

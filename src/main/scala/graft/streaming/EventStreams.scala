@@ -548,6 +548,66 @@ object EventStreams {
     } finally merged.unpersist()
   }
 
+  /** Maintain the ExactSubstr gram-count state from a document stream:
+    * per micro-batch, the sliding `minLen`-gram occurrence counts
+    * ([[graft.ops.Dedup.slidingGramPostings]]) append at rest as
+    * `(g, n, inc_batch_id)` — occurrence counts are sum-mergeable, so the
+    * corpus-so-far state is a group-sum away and an arriving batch
+    * deduplicates against it WITHOUT re-reading any corpus text
+    * ([[graft.ops.Dedup.duplicateSpanRemovalAgainst]]). Same replay
+    * contract as [[maintainGramDf]] (per-(gram, epoch) dedup), same
+    * compaction ([[compactSpanGramIncrements]]).
+    */
+  def maintainSpanGramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Dedup.slidingGramPostings(batch, idCol, textCol, minLen)
+          .groupBy(col("_g").as("g")).agg(count(lit(1)).as("n"))
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The corpus-so-far gram counts implied by [[maintainSpanGramCounts]]'s
+    * increments: replay-deduped per (gram, epoch), sum-merged — the
+    * `(g, n)` shape [[graft.ops.Dedup.duplicateSpanRemovalAgainst]]
+    * consumes.
+    */
+  def spanGramCountsFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("g", "inc_batch_id"))
+      .groupBy("g").agg(sum(col("n")).as("n"))
+
+  /** Compact a span-gram increment table to one row per gram — the
+    * [[compactGramDfIncrements]] staged swap on the `(g, n)` schema.
+    */
+  def compactSpanGramIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = spanGramCountsFromIncrements(spark, incrementPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count()
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
   /** Maintain the DSIR importance model from a document stream: per
     * micro-batch, [[graft.ops.Sampling.importanceModel]]'s `(b, cr, ct)`
     * bucket counts append at rest stamped with the epoch — the model is

@@ -53,7 +53,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_t_test", "g_geo_distance", "g_bucket_script",
     "dedup_duplicate_spans", "g_geotile_drilldown", "g_frequent_pairs",
     "g_moving_fn", "g_normalize", "g_rate",
-    "g_categorize_text", "g_ip_prefix", "g_ip_range", "g_geo_line")
+    "g_categorize_text", "g_ip_prefix", "g_ip_range", "g_geo_line",
+    "dedup_duplicate_spans_incremental")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

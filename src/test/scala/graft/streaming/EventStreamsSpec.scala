@@ -145,7 +145,7 @@ class EventStreamsSpec extends SparkSpecBase {
     // at-least-once replay: re-appending an epoch's increment (what a
     // foreachBatch retry does) must not change the implied dictionary
     import org.apache.spark.sql.functions.col
-    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    val replay = spark.read.parquet(incPath).where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
     replay.write.mode("append").parquet(incPath)
     assert(rows(EventStreams.dictionaryFromIncrements(spark, incPath)) === streamed,
       "a replayed batch inflated the dictionary")
@@ -236,7 +236,7 @@ class EventStreamsSpec extends SparkSpecBase {
 
     // at-least-once replay: re-appending an epoch (a foreachBatch retry)
     // must not inflate any count
-    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    val replay = spark.read.parquet(incPath).where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
     replay.write.mode("append").parquet(incPath)
     assert(rows(EventStreams.rollupFromIncrements(spark, incPath)) === scratch,
       "a replayed batch inflated the rollup")
@@ -280,7 +280,7 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(streamed === Seq(("a", 4L, 3L), ("b", 2L, 2L)))
 
     // at-least-once replay: re-appending an epoch must not move estimates
-    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    val replay = spark.read.parquet(incPath).where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
     replay.write.mode("append").parquet(incPath)
     assert(serve(EventStreams.sketchedRollupFromIncrements(spark, incPath)) === whole,
       "a replayed batch moved a sketched estimate")
@@ -327,6 +327,55 @@ class EventStreamsSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toSeq
     assert(streamed === scratch)
     assert(streamed === Seq(("apple", 4L), ("banana", 4L), ("cherry", 2L)))
+  }
+
+  test("streamed span-gram counts: batch removal against state equals the whole-corpus cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_spans").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainSpanGramCounts(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", minLen = 4,
+      incPath, dir.getAbsolutePath + "/ckpt")
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "solo words here"))
+    val b2 = Seq((3L, "x alpha beta gamma delta epsilon y"),
+      (4L, "p q r s t p q r s t"))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = EventStreams.spanGramCountsFromIncrements(spark, incPath)
+    // a gram's duplicate status is a pure function of corpus-wide counts,
+    // so removing the ARRIVING batch against the maintained state equals
+    // the whole-corpus removal restricted to that batch's documents
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val incremental = rows(graft.ops.Dedup.duplicateSpanRemovalAgainst(
+      b2.toDF("doc_id", "text"), "doc_id", "text", state, minLen = 4))
+    val wholeCorpus = rows(graft.ops.Dedup.duplicateSpanRemoval(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", minLen = 4)
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 3L))
+    assert(incremental === wholeCorpus)
+    // the cross-batch duplicate WAS cut (doc 3 shares the shifted run
+    // with batch-1's doc 1) — the state, not the batch, carried that fact
+    assert(incremental.exists(r => r.head == 3L && r(3) == "x y"))
+    // replay: re-appending an epoch must not inflate any count
+    def gramRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().map(_.toSeq).toSeq
+    val stateRows = gramRows(state)
+    val replay = spark.read.parquet(incPath).where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(gramRows(EventStreams.spanGramCountsFromIncrements(spark, incPath))
+      === stateRows)
+    // compaction bounds the table at |distinct grams| and preserves it
+    EventStreams.compactSpanGramIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() === stateRows.size.toLong)
+    assert(gramRows(EventStreams.spanGramCountsFromIncrements(spark, incPath))
+      === stateRows)
   }
 
   test("dedupToCorpus drops content dups across micro-batches forever, not per watermark") {
@@ -437,7 +486,7 @@ class EventStreamsSpec extends SparkSpecBase {
 
     // a foreachBatch retry re-appends an epoch: the per-(gram, epoch)
     // dedup must keep the implied statistics unchanged
-    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    val replay = spark.read.parquet(incPath).where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
     replay.write.mode("append").parquet(incPath)
     val replayed = graft.ops.TextAnalysis.boilerplateProfileAgainst(
       allDocs, "doc_id", "text", n = 3,
@@ -726,7 +775,7 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(score(EventStreams.importanceModelFromIncrements(spark, incPath)) === whole)
 
     // replayed epoch: per-(bucket, epoch) dedup keeps the model unchanged
-    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    val replay = spark.read.parquet(incPath).where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
     replay.write.mode("append").parquet(incPath)
     assert(score(EventStreams.importanceModelFromIncrements(spark, incPath)) === whole,
       "a replayed epoch inflated the model")
