@@ -142,6 +142,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("geotile zoom-out identity: finer floor >> k equals coarser floor, clamp included") {
+    // The PreAgg.geoTileGridAt serving identity, checked on the exact
+    // double trees Aggs.geoTileXY emits (power-of-two scaling is a bare
+    // exponent shift, so the two roundings are the same rounding; the
+    // edge clamp commutes because (2^zi−1) >> k = 2^z−1).
+    def tile(u: Double, z: Int): Long = {
+      val t = 1L << z
+      math.min(t - 1L, math.max(0L, math.floor(u * t).toLong))
+    }
+    check("geotile-zoom")(Prop.forAll(
+      Gen.chooseNum(-90.0, 90.0), Gen.chooseNum(-180.0, 180.0),
+      Gen.chooseNum(0, 18), Gen.chooseNum(0, 18)) { (lat, lon, a, b) =>
+      val z = math.min(a, b)
+      val zi = math.max(a, b)
+      val ux = (lon + 180.0) / 360.0
+      val latRad = lat * (math.Pi / 180.0)
+      val uy = (1.0 - math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0
+      (tile(ux, zi) >> (zi - z)) == tile(ux, z) &&
+        (tile(uy, zi) >> (zi - z)) == tile(uy, z)
+    })
+  }
+
   test("winnowing selects a subset of gram hashes at guaranteed coverage") {
     val textGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
     check("winnow")(Prop.forAll(textGen, Gen.chooseNum(1, 3), Gen.chooseNum(1, 4)) { (text, k, w) =>
