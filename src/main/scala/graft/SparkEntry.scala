@@ -431,6 +431,25 @@ object SparkEntry {
               federatedHarmonized(s, warm = true).where(fc.compile),
               field, interval))
       },
+      "/geotile" -> { body =>
+        // Kibana-map tiles over the harmonized federation: {"z": 4} for
+        // the top grid, {"z": 6, "cell": "4/x/y"} to drill into a clicked
+        // tile, {"size": N} to widen. Every request is integer shifts
+        // over the at-rest zoom-10 rollup (PreAgg.geoTileGridAt /
+        // geoTileGridDrilldown) — no geometry, no corpus, any zoom ≤ 10.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val z = o.path("z").asInt(4)
+        val size = o.path("size").asInt(10)
+        val cell = o.path("cell").asText("")
+        WidgetServer.collectRowsJson(
+          if (cell.isEmpty)
+            PreAgg.geoTileGridAt(geoTileRollup(s), geoTileIngestZoom, z, size)
+          else {
+            val Array(cz, cx, cy) = cell.split("/")
+            PreAgg.geoTileGridDrilldown(geoTileRollup(s), geoTileIngestZoom,
+              cz.toInt, cx.toLong, cy.toLong, z, size)
+          })
+      },
       "/significant" -> { body =>
         // ES significant_terms of the CURRENT search: {"field": "...",
         // "size": N, "state": <widget-state JSON array>} → which values of
@@ -617,6 +636,26 @@ object SparkEntry {
   private def dashboardRollup(s: SparkSession): DataFrame =
     PreAgg.materialize(s, federatedHarmonized(s, warm = false),
       dashboardCubeDims, "graft_dashboard_preagg")
+
+  /** The Web-Mercator twin of the geohash cube dimension: an at-rest
+    * `(tx, ty)` rollup at ingest zoom 10 over the federation's parsed
+    * coordinates, materialized once — every map request ([[serveHttp]]'s
+    * `/geotile`) is then integer shifts over its rows.
+    */
+  private val geoTileIngestZoom = 10
+  private def geoTileRollup(s: SparkSession): DataFrame = {
+    implicit val spark: SparkSession = s
+    def coords = {
+      val parts = split(col("geolocation"), ",")
+      federatedHarmonized(s, warm = false)
+        .where(length(col("geolocation")) > 0)
+        .withColumn("_lat", parts.getItem(0).cast("double"))
+        .withColumn("_lon", parts.getItem(1).cast("double"))
+    }
+    val Seq(tx, ty) = Aggs.geoTileXY(col("_lat"), col("_lon"), geoTileIngestZoom)
+    PreAgg.materialize(s, coords, Seq("tx" -> tx, "ty" -> ty),
+      "graft_geotile_preagg")
+  }
 
   private def dashboardRefreshPreagg(
       s: SparkSession,

@@ -187,6 +187,43 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /geotile serves zoom and drill-down as integer shifts over the rollup") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val (code, body) = post(s"http://127.0.0.1:$port/geotile", """{"z": 4}""")
+      assert(code === 200)
+      val rows = mapper.readTree(body)
+      assert(rows.isArray && rows.size > 0, body)
+      val top = rows.elements().next()
+      val tile = top.path("tile").asText()
+      assert(tile.startsWith("4/"), body)
+      assert(top.path("count").asLong() > 0L)
+      // drill into the busiest tile: every returned z=6 tile must be a
+      // descendant (its z=4 ancestor is the clicked cell), counts sum ≤
+      // the parent's count cap at most
+      val Array(_, cx, cy) = tile.split("/")
+      val (code2, drilled) = post(s"http://127.0.0.1:$port/geotile",
+        s"""{"z": 6, "cell": "$tile", "size": 100}""")
+      assert(code2 === 200)
+      val drows = mapper.readTree(drilled)
+      assert(drows.isArray && drows.size > 0, drilled)
+      var sum = 0L
+      val it = drows.elements()
+      while (it.hasNext) {
+        val r = it.next()
+        val Array(z6, x6, y6) = r.path("tile").asText().split("/")
+        assert(z6 === "6")
+        assert((x6.toLong >> 2) === cx.toLong && (y6.toLong >> 2) === cy.toLong,
+          s"tile outside the clicked cell: $drilled")
+        sum += r.path("count").asLong()
+      }
+      assert(sum === top.path("count").asLong(),
+        "drill-down counts must tile the clicked cell exactly")
+    } finally server.stop(0)
+  }
+
   test("POST /histogram buckets the state's slice; rollup and scan routes agree on the wire") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {
