@@ -3312,6 +3312,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_spans" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ExactSubstr curation chain composed end-to-end: exact dedup
+      // first (smallest doc id survives per normalized content — full
+      // copies would otherwise annihilate each other in the span pass),
+      // alignment-free duplicate-span removal over the survivors, a
+      // ≥10-surviving-tokens floor, then per-source kept/cut token
+      // accounting — the shape a 100 TB curation run reports per domain.
+      val docs = load(dir, "documents")
+      val unique = ops.Dedup.exactByFingerprint(docs, "text", "doc_id")
+      val cleaned = ops.Dedup.duplicateSpanRemoval(unique, "doc_id", "text",
+        minLen = 8, carry = Seq("source"))
+      cleaned.where(col("n_tokens") - col("n_removed") >= 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tokens") - col("n_removed")).as("tokens_kept"),
+          sum(col("n_removed")).as("tokens_cut"))
+        .orderBy("source")
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The round-12 CURATION pipeline composed end-to-end, every stage
@@ -6068,6 +6088,44 @@ object SparkEntry {
          |FROM tok LEFT JOIN covered
          |  ON tok.doc_id = covered.doc_id AND tok.tp = covered.tp
          |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    // The full chain restated: survivors (rn=1 per normalized content),
+    // spans over the SURVIVORS only, the token floor, the per-source
+    // accounting.
+    "pipeline_spans" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source,
+         |      row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) AS rn
+         |    FROM documents
+         |  ) WHERE rn = 1
+         |), t AS (SELECT doc_id, source, $duckToks AS toks FROM surv),
+         |tok AS (
+         |  SELECT doc_id, i AS tp
+         |  FROM t, unnest(generate_series(1, len(toks))) u(i)
+         |  WHERE len(toks) > 0
+         |), grams AS (
+         |  SELECT doc_id, i AS pos,
+         |    md5(array_to_string(toks[i : i + 7], ' ')) AS g
+         |  FROM t, unnest(generate_series(1, len(toks) - 7)) u(i)
+         |  WHERE len(toks) >= 8
+         |), dup AS (
+         |  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+         |), covered AS (
+         |  SELECT DISTINCT grams.doc_id, pos + j AS tp
+         |  FROM grams JOIN dup USING (g), unnest(generate_series(0, 7)) v(j)
+         |), per_doc AS (
+         |  SELECT tok.doc_id, count(*) AS n_tokens, count(covered.tp) AS n_removed
+         |  FROM tok LEFT JOIN covered
+         |    ON tok.doc_id = covered.doc_id AND tok.tp = covered.tp
+         |  GROUP BY tok.doc_id
+         |)
+         |SELECT t.source, count(*)::BIGINT AS docs,
+         |  sum(p.n_tokens - p.n_removed)::BIGINT AS tokens_kept,
+         |  sum(p.n_removed)::BIGINT AS tokens_cut
+         |FROM per_doc p JOIN t ON p.doc_id = t.doc_id
+         |WHERE p.n_tokens - p.n_removed >= 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The whole-corpus restatement restricted to the arriving half: the
     // duplicated set still comes from ALL documents (that is the point),
