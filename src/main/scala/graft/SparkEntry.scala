@@ -908,6 +908,43 @@ object SparkEntry {
       |  count(*) AS count
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared by the scan boxplot/MAD and their pair-rollup twins — the
+    * weighted percentile's frequency argument is bit-identical to the
+    * expanded-rows statistic, so one restatement certifies both.
+    */
+  private val boxplotOracleSql: String =
+    """WITH q AS (
+      |  SELECT event_type, count(*)::BIGINT AS count, min(value) AS min,
+      |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
+      |    quantile_cont(value, 0.75) AS q3, max(value) AS max
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), w AS (
+      |  SELECT e.event_type,
+      |    min(e.value) FILTER (WHERE e.value >= q.q1 - (q.q3 - q.q1) * 1.5)
+      |      AS lower_whisker,
+      |    max(e.value) FILTER (WHERE e.value <= q.q3 + (q.q3 - q.q1) * 1.5)
+      |      AS upper_whisker
+      |  FROM events e JOIN q ON e.event_type = q.event_type
+      |  WHERE e.value IS NOT NULL GROUP BY 1
+      |)
+      |SELECT q.event_type, q.count, q.min, q.q1, q.q2, q.q3, q.max,
+      |  w.lower_whisker, w.upper_whisker
+      |FROM q JOIN w ON q.event_type = w.event_type
+      |ORDER BY q.count DESC, q.event_type LIMIT 10""".stripMargin
+
+  private val madOracleSql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*)::BIGINT AS count,
+      |    quantile_cont(value, 0.5) AS med
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |)
+      |SELECT e.event_type, any_value(m.count) AS count,
+      |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |WHERE e.value IS NOT NULL
+      |GROUP BY e.event_type
+      |ORDER BY count DESC, e.event_type LIMIT 10""".stripMargin
+
   /** The zoom-5 geotile grid: the g_geo_centroid pts pins + the
     * Aggs.geoTileXY Mercator tree restated operator-for-operator
     * (π/180 as ONE shared double — neither engine's radians(), whose
@@ -2139,12 +2176,33 @@ object SparkEntry {
       Aggs.boxplot(loadEvents(dir), "event_type", "value")
     }),
 
+    "g_boxplot_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same boxplot served from the at-rest PAIR rollup: weighted
+      // quartiles over (value, cnt) rows are bit-identical to the scan
+      // statistic (percentile's frequency argument — shared oracle), and
+      // the whisker pass re-reads rollup ROWS, never the corpus. The
+      // 100 TB answer to the scan form's per-bucket value buffering.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.termsBoxplot(pre, "event_type", "value")
+    }),
+
     "g_mad" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES median_absolute_deviation per event-type bucket: the robust
       // dispersion metric, exact (median-of-|deviations| via two
       // bucket-bounded passes and one broadcast).
       Aggs.medianAbsoluteDeviation(loadEvents(dir), "event_type", "value")
+    }),
+
+    "g_mad_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // MAD from the pair rollup — same weighted-percentile identity as
+      // g_boxplot_preagg (shared oracle).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.termsMad(pre, "event_type", "value")
     }),
 
     "g_string_stats" -> ((s, dir) => {
@@ -5020,38 +5078,11 @@ object SparkEntry {
         |FROM r JOIN c ON r.event_type = c.event_type WHERE r.rn = 1
         |ORDER BY c.count DESC, r.event_type LIMIT 10""".stripMargin,
 
-    "g_boxplot" ->
-      """WITH q AS (
-        |  SELECT event_type, count(*)::BIGINT AS count, min(value) AS min,
-        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2,
-        |    quantile_cont(value, 0.75) AS q3, max(value) AS max
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1
-        |), w AS (
-        |  SELECT e.event_type,
-        |    min(e.value) FILTER (WHERE e.value >= q.q1 - (q.q3 - q.q1) * 1.5)
-        |      AS lower_whisker,
-        |    max(e.value) FILTER (WHERE e.value <= q.q3 + (q.q3 - q.q1) * 1.5)
-        |      AS upper_whisker
-        |  FROM events e JOIN q ON e.event_type = q.event_type
-        |  WHERE e.value IS NOT NULL GROUP BY 1
-        |)
-        |SELECT q.event_type, q.count, q.min, q.q1, q.q2, q.q3, q.max,
-        |  w.lower_whisker, w.upper_whisker
-        |FROM q JOIN w ON q.event_type = w.event_type
-        |ORDER BY q.count DESC, q.event_type LIMIT 10""".stripMargin,
+    "g_boxplot" -> boxplotOracleSql,
+    "g_boxplot_preagg" -> boxplotOracleSql,
 
-    "g_mad" ->
-      """WITH m AS (
-        |  SELECT event_type, count(*)::BIGINT AS count,
-        |    quantile_cont(value, 0.5) AS med
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1
-        |)
-        |SELECT e.event_type, any_value(m.count) AS count,
-        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
-        |FROM events e JOIN m ON e.event_type = m.event_type
-        |WHERE e.value IS NOT NULL
-        |GROUP BY e.event_type
-        |ORDER BY count DESC, e.event_type LIMIT 10""".stripMargin,
+    "g_mad" -> madOracleSql,
+    "g_mad_preagg" -> madOracleSql,
 
     // Entropy: the SAME fixed per-term tree over exact LONG char counts,
     // summed by the SAME char-ordered running-sum fold, rounded at 6 —

@@ -219,6 +219,67 @@ object PreAgg {
       .limit(n)
   }
 
+  /** [[Aggs.boxplot]] from the PAIR rollup: Spark's `percentile` takes a
+    * FREQUENCY argument, so the weighted quartiles over `(value, cnt)`
+    * rows are bit-identical to the unweighted scan statistic (shared
+    * oracle), and the fence-conditional whisker pass re-reads rollup
+    * ROWS, not the corpus. This is the 100 TB answer to the scan form's
+    * per-bucket value buffering: every pass here is |distinct pairs|
+    * rows. Same covering trade as [[termsPercentiles]] (a ~all-distinct
+    * continuous field routes to the KLL path instead).
+    */
+  def termsBoxplot(
+      pre: DataFrame, field: String, metric: String, n: Int = 10): DataFrame = {
+    require(pre.columns.contains(metric),
+      s"boxplot metric '$metric' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan " +
+        "or a KLL-sketch rollup")
+    val m = col(metric)
+    def q(p: Double) = expr(s"percentile(`$metric`, $p, `$CntCol`)")
+    val quart = pre.where(m.isNotNull).groupBy(col(field)).agg(
+      sum(col(CntCol)).as("count"),
+      min(m).as("min"),
+      q(0.25).as("q1"), q(0.5).as("q2"), q(0.75).as("q3"),
+      max(m).as("max"))
+    val fenced = pre.where(m.isNotNull)
+      .select(col(field), m.as("_v"), col(CntCol))
+      .join(broadcast(quart.select(col(field),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("_lofence"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("_hifence"))), field)
+      .groupBy(col(field))
+      .agg(min(when(col("_v") >= col("_lofence"), col("_v"))).as("lower_whisker"),
+        max(when(col("_v") <= col("_hifence"), col("_v"))).as("upper_whisker"))
+    quart.join(fenced, field)
+      .select(field, "count", "min", "q1", "q2", "q3", "max",
+        "lower_whisker", "upper_whisker")
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
+  /** [[Aggs.medianAbsoluteDeviation]] from the pair rollup — the same
+    * weighted-percentile identity as [[termsBoxplot]]: the inner median
+    * broadcasts back, `|v − med|` evaluates per rollup ROW, and the outer
+    * weighted median matches the scan exactly (shared oracle).
+    */
+  def termsMad(
+      pre: DataFrame, field: String, metric: String, n: Int = 10): DataFrame = {
+    require(pre.columns.contains(metric),
+      s"mad metric '$metric' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    val m = col(metric)
+    val med = pre.where(m.isNotNull).groupBy(col(field)).agg(
+      sum(col(CntCol)).as("count"),
+      expr(s"percentile(`$metric`, 0.5, `$CntCol`)").as("_med"))
+    pre.where(m.isNotNull)
+      .select(col(field), m.as("_v"), col(CntCol))
+      .join(broadcast(med), field)
+      .groupBy(col(field))
+      .agg(first(col("count")).as("count"),
+        expr(s"percentile(abs(_v - _med), 0.5, `$CntCol`)").as("mad"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** Suffix of rollup sketch measures. */
   val SketchSuffix = "_hll"
 

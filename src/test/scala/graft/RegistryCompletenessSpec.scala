@@ -54,7 +54,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "dedup_duplicate_spans", "g_geotile_drilldown", "g_frequent_pairs",
     "g_moving_fn", "g_normalize", "g_rate",
     "g_categorize_text", "g_ip_prefix", "g_ip_range", "g_geo_line",
-    "dedup_duplicate_spans_incremental", "pipeline_spans")
+    "dedup_duplicate_spans_incremental", "pipeline_spans",
+    "g_boxplot_preagg", "g_mad_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -336,6 +336,27 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("not a rollup dimension"))
   }
 
+  test("boxplot and MAD from the pair rollup equal their corpus-scan twins") {
+    // duplicated values give cnt > 1 rollup rows, so the weighted
+    // percentile identity (frequency arg ≡ expanded rows) is exercised
+    val vals = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0)).toDF("k", "v")
+    val pre = PreAgg.increment(vals,
+      Seq[(String, org.apache.spark.sql.Column)]("k" -> col("k"), "v" -> col("v")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.termsBoxplot(pre, "k", "v"))
+      === canon(Aggs.boxplot(vals, "k", "v")))
+    assert(canon(PreAgg.termsMad(pre, "k", "v"))
+      === canon(Aggs.medianAbsoluteDeviation(vals, "k", "v")))
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.termsBoxplot(pre, "k", "other")
+    }.getMessage.contains("not a rollup dimension"))
+    assert(intercept[IllegalArgumentException] {
+      PreAgg.termsMad(pre, "k", "other")
+    }.getMessage.contains("not a rollup dimension"))
+  }
+
   test("termsPercentiles fails loudly on a non-dimension metric or bad p") {
     val pre = PreAgg.increment(corpus, dims)
     assert(intercept[IllegalArgumentException] {
