@@ -945,6 +945,40 @@ object SparkEntry {
       |GROUP BY e.event_type
       |ORDER BY count DESC, e.event_type LIMIT 10""".stripMargin
 
+  private val tTestOracleSql: String =
+    """WITH s AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS sa,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN floor(value * 100)::BIGINT * floor(value * 100)::BIGINT
+        |        ELSE 0 END)::BIGINT AS qa,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS sb,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN floor(value * 100)::BIGINT * floor(value * 100)::BIGINT
+        |        ELSE 0 END)::BIGINT AS qb
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  (sa / 100.0) / na AS mean_a, (sb / 100.0) / nb AS mean_b,
+        |  (((sa / 100.0) / na) - ((sb / 100.0) / nb)) /
+        |    sqrt((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |       + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb) AS t,
+        |  (((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb)
+        |   * ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb))
+        |  / ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
+        |     * ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na)
+        |     / (na - 1.0)
+        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb
+        |     * ((qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb)
+        |     / (nb - 1.0)) AS df
+        |FROM s""".stripMargin
+
   /** The zoom-5 geotile grid: the g_geo_centroid pts pins + the
     * Aggs.geoTileXY Mercator tree restated operator-for-operator
     * (π/180 as ONE shared double — neither engine's radians(), whose
@@ -2379,6 +2413,17 @@ object SparkEntry {
       // Welch–Satterthwaite df as fixed IEEE trees (the p-value is ES's
       // non-portable incomplete-beta — documented delta at Aggs.tTest).
       Aggs.tTest(loadEvents(dir), "value",
+        col("event_type") === "click", col("event_type") === "purchase")
+    }),
+
+    "g_t_test_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same Welch test served from the pair rollup: cnt-weighted
+      // cents folds over |distinct (type, value)| rows, identical fixed
+      // trees, identical row (shared oracle).
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("event_type" -> col("event_type"), "value" -> col("value")))
+      query.PreAgg.tTest(pre, "value",
         col("event_type") === "click", col("event_type") === "purchase")
     }),
 
@@ -5292,39 +5337,8 @@ object SparkEntry {
     // fixed t/df trees ((Σc)² exceeds 2^53 as a double but the rounding
     // is ONE shared multiply — determinism, not absolute exactness, is
     // the contract there).
-    "g_t_test" ->
-      """WITH s AS (
-        |  SELECT
-        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
-        |    sum(CASE WHEN event_type = 'click'
-        |        THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS sa,
-        |    sum(CASE WHEN event_type = 'click'
-        |        THEN floor(value * 100)::BIGINT * floor(value * 100)::BIGINT
-        |        ELSE 0 END)::BIGINT AS qa,
-        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS nb,
-        |    sum(CASE WHEN event_type = 'purchase'
-        |        THEN floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS sb,
-        |    sum(CASE WHEN event_type = 'purchase'
-        |        THEN floor(value * 100)::BIGINT * floor(value * 100)::BIGINT
-        |        ELSE 0 END)::BIGINT AS qb
-        |  FROM events WHERE value IS NOT NULL
-        |)
-        |SELECT na AS n_a, nb AS n_b,
-        |  (sa / 100.0) / na AS mean_a, (sb / 100.0) / nb AS mean_b,
-        |  (((sa / 100.0) / na) - ((sb / 100.0) / nb)) /
-        |    sqrt((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
-        |       + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb) AS t,
-        |  (((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
-        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb)
-        |   * ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
-        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb))
-        |  / ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na
-        |     * ((qa - sa::DOUBLE * sa / na) / (10000.0 * (na - 1.0)) / na)
-        |     / (na - 1.0)
-        |   + (qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb
-        |     * ((qb - sb::DOUBLE * sb / nb) / (10000.0 * (nb - 1.0)) / nb)
-        |     / (nb - 1.0)) AS df
-        |FROM s""".stripMargin,
+    "g_t_test" -> tTestOracleSql,
+    "g_t_test_preagg" -> tTestOracleSql,
 
     // Haversine restated operator-for-operator (π/180 as one shared
     // double, sin/cos/asin library-rounded — same documented risk class

@@ -1092,6 +1092,14 @@ object Aggs {
       sum(when(filterB, 1L).otherwise(0L)).as("_nb"),
       sum(when(filterB, cents).otherwise(0L)).as("_sb"),
       sum(when(filterB, cents * cents).otherwise(0L)).as("_qb"))
+    tTestFromMoments(sums)
+  }
+
+  /** The fixed t/df conversion trees over a one-row exact-moments frame
+    * (`_na,_sa,_qa,_nb,_sb,_qb`) — shared by the corpus scan above and
+    * the rollup serve ([[PreAgg.tTest]]), so both emit the identical row.
+    */
+  private[query] def tTestFromMoments(sums: DataFrame): DataFrame = {
     def mean(s: String, n: String) = (col(s) / 100.0) / col(n)
     // sample variance via the exact moments: (Σc² − (Σc)²/n) / (10⁴·(n−1))
     def varS(q: String, s: String, n: String) =

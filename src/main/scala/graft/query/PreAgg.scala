@@ -280,6 +280,30 @@ object PreAgg {
       .limit(n)
   }
 
+  /** [[Aggs.tTest]] from a rollup whose dimensions cover the value AND
+    * both population filters: the conditional LONG cents folds become
+    * `cnt`-weighted folds over rollup rows — exact in any order, so the
+    * identical fixed t/df trees produce the identical row (shared
+    * oracle). One pass over |distinct combos| rows at any corpus size.
+    */
+  def tTest(
+      pre: DataFrame, valueDim: String,
+      filterA: Column, filterB: Column): DataFrame = {
+    require(pre.columns.contains(valueDim),
+      s"t_test value '$valueDim' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    val cents = floor(col(valueDim) * 100).cast("long")
+    val w = col(CntCol)
+    val sums = pre.where(col(valueDim).isNotNull).agg(
+      sum(when(filterA, w).otherwise(0L)).as("_na"),
+      sum(when(filterA, cents * w).otherwise(0L)).as("_sa"),
+      sum(when(filterA, cents * cents * w).otherwise(0L)).as("_qa"),
+      sum(when(filterB, w).otherwise(0L)).as("_nb"),
+      sum(when(filterB, cents * w).otherwise(0L)).as("_sb"),
+      sum(when(filterB, cents * cents * w).otherwise(0L)).as("_qb"))
+    Aggs.tTestFromMoments(sums)
+  }
+
   /** Suffix of rollup sketch measures. */
   val SketchSuffix = "_hll"
 
