@@ -945,6 +945,34 @@ object SparkEntry {
       |GROUP BY e.event_type
       |ORDER BY count DESC, e.event_type LIMIT 10""".stripMargin
 
+  private val geoBoundsOracleSql: String =
+    """WITH pts AS (
+        |  SELECT c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, count(*)::BIGINT AS count,
+        |  max(lat) AS top, min(lon) AS "left",
+        |  min(lat) AS bottom, max(lon) AS "right"
+        |FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+        |GROUP BY 1 ORDER BY count DESC, c_mktsegment LIMIT 10""".stripMargin
+
+  private val topMetricsOracleSql: String =
+    """WITH r AS (
+        |  SELECT event_type, ts, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, count(*)::BIGINT AS count
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |)
+        |SELECT r.event_type, c.count, r.ts AS top_sort, r.value AS top_metric
+        |FROM r JOIN c ON r.event_type = c.event_type WHERE r.rn = 1
+        |ORDER BY c.count DESC, r.event_type LIMIT 10""".stripMargin
+
   private val tTestOracleSql: String =
     """WITH s AS (
         |  SELECT
@@ -2190,6 +2218,44 @@ object SparkEntry {
         .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
         .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
       Aggs.geoBounds(pts, "c_mktsegment", "lat", "lon")
+    }),
+
+    "g_geo_bounds_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same bounds served from a MERGED extremes rollup (two
+      // hash-split increments — the maintenance shape): min/max measures
+      // are idempotent-mergeable and order-exact, so the served box
+      // hash-matches the scan (shared oracle) from |distinct buckets|
+      // rows at any corpus size.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+        .where(col("lat").isNotNull && col("lon").isNotNull)
+      def inc(df: DataFrame) = query.PreAgg.incrementWithExtremes(df,
+        Seq("c_mktsegment" -> col("c_mktsegment")),
+        mins = Seq("lat_min" -> col("lat"), "lon_min" -> col("lon")),
+        maxs = Seq("lat_max" -> col("lat"), "lon_max" -> col("lon")))
+      val merged = query.PreAgg.mergeExtremes(
+        inc(pts.where(pmod(col("c_custkey"), lit(2)) === 0)),
+        inc(pts.where(pmod(col("c_custkey"), lit(2)) === 1)))
+      query.PreAgg.geoBounds(merged, "c_mktsegment")
+    }),
+
+    "g_top_metrics_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // top_metrics from the extremes rollup: the lexicographic
+      // max(struct) is itself a mergeable max measure, so "latest value
+      // per key" serves from |distinct keys| rows (shared oracle).
+      val ev = loadEvents(dir).where(col("ts").isNotNull)
+      def inc(df: DataFrame) = query.PreAgg.incrementWithExtremes(df,
+        Seq("event_type" -> col("event_type")),
+        mins = Nil,
+        maxs = Seq("top_max" -> struct(col("ts").as("s"),
+          col("event_id").as("t"), col("value").as("m"))))
+      val merged = query.PreAgg.mergeExtremes(
+        inc(ev.where(pmod(col("event_id"), lit(2)) === 0)),
+        inc(ev.where(pmod(col("event_id"), lit(2)) === 1)))
+      query.PreAgg.termsTopMetrics(merged, "event_type")
     }),
 
     "g_top_metrics" -> ((s, dir) => {
@@ -5095,33 +5161,11 @@ object SparkEntry {
     "g_geotile_grid" -> geoTileGrid5OracleSql,
     "g_geotile_preagg" -> geoTileGrid5OracleSql,
 
-    "g_geo_bounds" ->
-      """WITH pts AS (
-        |  SELECT c_mktsegment,
-        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
-        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
-        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
-        |  FROM customer
-        |)
-        |SELECT c_mktsegment, count(*)::BIGINT AS count,
-        |  max(lat) AS top, min(lon) AS "left",
-        |  min(lat) AS bottom, max(lon) AS "right"
-        |FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
-        |GROUP BY 1 ORDER BY count DESC, c_mktsegment LIMIT 10""".stripMargin,
+    "g_geo_bounds" -> geoBoundsOracleSql,
+    "g_geo_bounds_preagg" -> geoBoundsOracleSql,
 
-    "g_top_metrics" ->
-      """WITH r AS (
-        |  SELECT event_type, ts, value,
-        |    row_number() OVER (
-        |      PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE ts IS NOT NULL
-        |), c AS (
-        |  SELECT event_type, count(*)::BIGINT AS count
-        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
-        |)
-        |SELECT r.event_type, c.count, r.ts AS top_sort, r.value AS top_metric
-        |FROM r JOIN c ON r.event_type = c.event_type WHERE r.rn = 1
-        |ORDER BY c.count DESC, r.event_type LIMIT 10""".stripMargin,
+    "g_top_metrics" -> topMetricsOracleSql,
+    "g_top_metrics_preagg" -> topMetricsOracleSql,
 
     "g_boxplot" -> boxplotOracleSql,
     "g_boxplot_preagg" -> boxplotOracleSql,

@@ -304,6 +304,69 @@ object PreAgg {
     Aggs.tTestFromMoments(sums)
   }
 
+  /** Rollup increment carrying EXTREME measures beside the count: min and
+    * max are idempotent-mergeable (min of mins, max of maxes — replay of
+    * an epoch cannot even inflate them), so per-batch increments merge to
+    * the whole-corpus extremes exactly, and order-exactness means the
+    * served row hash-matches the scan with no quantization. Measure
+    * names must end `_min`/`_max` — the suffix is what [[mergeExtremes]]
+    * merges by. A lexicographic `max(struct(sort, tiebreak, metric))` is
+    * a legal max measure (struct ordering is total), which is how
+    * [[termsTopMetrics]] serves from this rollup.
+    */
+  def incrementWithExtremes(
+      df: DataFrame,
+      dims: Seq[(String, Column)],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)]): DataFrame = {
+    require(mins.forall(_._1.endsWith("_min")) && maxs.forall(_._1.endsWith("_max")),
+      "extreme measure names must end _min/_max (mergeExtremes merges by suffix)")
+    df.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as(CntCol),
+        mins.map { case (n, c) => min(c).as(n) } ++
+          maxs.map { case (n, c) => max(c).as(n) }: _*)
+  }
+
+  /** Merge extremes increments: group-sum the count, min the `_min`
+    * measures, max the `_max` measures.
+    */
+  def mergeExtremes(increments: DataFrame*): DataFrame = {
+    val all = increments.reduce(_.unionByName(_))
+    val dims = all.columns.filterNot(c =>
+      c == CntCol || c.endsWith("_min") || c.endsWith("_max"))
+    val measures =
+      Seq(sum(col(CntCol)).as(CntCol)) ++
+        all.columns.filter(_.endsWith("_min")).map(c => min(col(c)).as(c)) ++
+        all.columns.filter(_.endsWith("_max")).map(c => max(col(c)).as(c))
+    all.groupBy(dims.map(col).toSeq: _*).agg(measures.head, measures.tail: _*)
+  }
+
+  /** [[Aggs.geoBounds]] from an extremes rollup keyed by the bucket field
+    * (callers exclude null-coordinate rows at ingest, the scan's missing
+    * behavior): the viewport box is min/max over |distinct buckets| rows
+    * — shared oracle with the scan.
+    */
+  def geoBounds(pre: DataFrame, field: String, n: Int = 10): DataFrame =
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"),
+        max(col("lat_max")).as("top"), min(col("lon_min")).as("left"),
+        min(col("lat_min")).as("bottom"), max(col("lon_max")).as("right"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
+  /** [[Aggs.termsTopMetrics]] from an extremes rollup whose `top_max`
+    * measure is the lexicographic `max(struct(sort, tiebreak, metric))`
+    * (callers exclude null-sort rows at ingest): the served row is the
+    * identical struct max, merged across increments — shared oracle.
+    */
+  def termsTopMetrics(pre: DataFrame, field: String, n: Int = 10): DataFrame =
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"), max(col("top_max")).as("_top"))
+      .select(col(field), col("count"),
+        col("_top.s").as("top_sort"), col("_top.m").as("top_metric"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
   /** Suffix of rollup sketch measures. */
   val SketchSuffix = "_hll"
 

@@ -55,7 +55,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "g_moving_fn", "g_normalize", "g_rate",
     "g_categorize_text", "g_ip_prefix", "g_ip_range", "g_geo_line",
     "dedup_duplicate_spans_incremental", "pipeline_spans",
-    "g_boxplot_preagg", "g_mad_preagg", "g_t_test_preagg")
+    "g_boxplot_preagg", "g_mad_preagg", "g_t_test_preagg",
+    "g_geo_bounds_preagg", "g_top_metrics_preagg")
 
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet

@@ -357,6 +357,41 @@ class PreAggSpec extends SparkSpecBase {
     }.getMessage.contains("not a rollup dimension"))
   }
 
+  test("extremes rollup: split increments merge to the whole; bounds and top_metrics serve exactly") {
+    val pts = Seq(
+      ("a", 1L, 10.0, 20.0, 5.0), ("a", 2L, -5.0, 25.0, 7.0),
+      ("a", 3L, 2.0, -8.0, 7.0), ("b", 4L, 1.0, 1.0, 3.0))
+      .toDF("k", "id", "lat", "lon", "s")
+    def inc(df: org.apache.spark.sql.DataFrame) =
+      PreAgg.incrementWithExtremes(df,
+        Seq[(String, org.apache.spark.sql.Column)]("k" -> col("k")),
+        mins = Seq("lat_min" -> col("lat"), "lon_min" -> col("lon")),
+        maxs = Seq("lat_max" -> col("lat"), "lon_max" -> col("lon"),
+          "top_max" -> struct(col("s").as("s"), col("id").as("t"), col("lat").as("m"))))
+    val merged = PreAgg.mergeExtremes(
+      inc(pts.where(col("id") % 2 === 0)), inc(pts.where(col("id") % 2 === 1)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    // split-merge ≡ whole-corpus increment
+    assert(canon(merged.orderBy("k")) === canon(inc(pts).orderBy("k")))
+    // the served bounds and top-metric rows equal the scan twins
+    assert(canon(PreAgg.geoBounds(merged, "k"))
+      === canon(Aggs.geoBounds(pts, "k", "lat", "lon")))
+    // scan top_metrics: sort=s, tiebreak=id, metric=lat — s ties at 7.0
+    // for ids 2,3 → max id 3 carries lat 2.0
+    assert(canon(PreAgg.termsTopMetrics(merged, "k"))
+      === canon(Aggs.termsTopMetrics(pts, "k", col("s"), col("id"), col("lat"))))
+    // replaying an increment epoch cannot inflate idempotent extremes,
+    // and the count guard below is why cnt-bearing rollups still dedup
+    val replayed = PreAgg.mergeExtremes(inc(pts), inc(pts))
+    assert(canon(PreAgg.geoBounds(replayed, "k").drop("count"))
+      === canon(PreAgg.geoBounds(merged, "k").drop("count")))
+    intercept[IllegalArgumentException] {
+      PreAgg.incrementWithExtremes(pts,
+        Seq[(String, org.apache.spark.sql.Column)]("k" -> col("k")),
+        mins = Seq("lat" -> col("lat")), maxs = Nil)
+    }
+  }
+
   test("termsPercentiles fails loudly on a non-dimension metric or bad p") {
     val pre = PreAgg.increment(corpus, dims)
     assert(intercept[IllegalArgumentException] {
