@@ -475,6 +475,43 @@ object EventStreams {
       inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
   }
 
+  /** [[maintainRollup]] for the EXTREMES rollup flavor
+    * ([[graft.query.PreAgg.incrementWithExtremes]]): per-batch min/max
+    * measures beside the count. Replay dedup is per (dim combo, epoch)
+    * like the count rollup — though the extreme measures would survive a
+    * replay even unguarded (min/max are idempotent), the count would
+    * not, so the same discipline applies.
+    */
+  def maintainExtremesRollup(
+      events: DataFrame,
+      dims: Seq[(String, Column)],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)],
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.query.PreAgg.incrementWithExtremes(batch, dims, mins, maxs)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The serving extremes rollup implied by [[maintainExtremesRollup]]'s
+    * increments — per-combo epoch dedup, then [[graft.query.PreAgg
+    * .mergeExtremes]].
+    */
+  def extremesRollupFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame = {
+    val inc = spark.read.parquet(incrementPath)
+    val dims = inc.columns.filter(c => c != graft.query.PreAgg.CntCol &&
+      c != "inc_batch_id" && !c.endsWith("_min") && !c.endsWith("_max"))
+    graft.query.PreAgg.mergeExtremes(
+      inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
+  }
+
   /** Maintain the boilerplate gram-df statistics from a DOCUMENT stream —
     * the corpus-fraction threshold needs corpus-wide document frequencies,
     * which are sum-mergeable: each batch appends `(gram, df)` counts plus

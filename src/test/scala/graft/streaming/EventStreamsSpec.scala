@@ -329,6 +329,42 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(streamed === Seq(("apple", 4L), ("banana", 4L), ("cherry", 2L)))
   }
 
+  test("streamed extremes rollup serves top_metrics equal to the whole-corpus scan") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ext").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainExtremesRollup(
+      mem.toDS().toDF().where(col("ts").isNotNull),
+      Seq("event_type" -> col("event_type")),
+      mins = Seq("value_min" -> col("value")),
+      maxs = Seq("top_max" -> struct(col("ts").as("s"),
+        col("event_id").as("t"), col("value").as("m"))),
+      incPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(ev(1, 0, 1, 2.0), ev(2, 5, 2, 9.0), ev(3, 10, 1, 4.0),
+      ev(4, 20, 3, 1.0))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = graft.query.PreAgg.termsTopMetrics(
+      EventStreams.extremesRollupFromIncrements(spark, incPath), "event_type")
+    val scan = graft.query.Aggs.termsTopMetrics(all.toDS().toDF(), "event_type",
+      col("ts"), col("event_id"), col("value"))
+    assert(served.collect().toSeq === scan.collect().toSeq)
+    // replayed epoch: count unchanged (dedup), extremes unchanged (idempotent)
+    val replay = spark.read.parquet(incPath)
+      .where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(graft.query.PreAgg.termsTopMetrics(
+        EventStreams.extremesRollupFromIncrements(spark, incPath), "event_type")
+      .collect().toSeq === scan.collect().toSeq)
+  }
+
   test("streamed span-gram counts: batch removal against state equals the whole-corpus cut") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_spans").toFile
