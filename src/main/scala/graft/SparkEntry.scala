@@ -900,6 +900,225 @@ object SparkEntry {
       |WHERE lang IS NOT NULL AND source IS NOT NULL
       |GROUP BY 1, 2 ORDER BY count DESC, lang, source LIMIT 10""".stripMargin
 
+  /** Weighted mean via exact cents·weight folds, shared scan/sum-rollup. */
+  private val weightedAvgOracleSql: String =
+    """SELECT ((sum(floor(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)
+      |  / sum(l_quantity::BIGINT)::DOUBLE) / 100.0) AS weighted_avg
+      |FROM lineitem
+      |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL""".stripMargin
+
+  /** Micro-degree centroid per segment, shared scan/sum-rollup. */
+  private val geoCentroidOracleSql: String =
+    """WITH pts AS (
+      |  -- two IEEE pins the micro-degree floor needs that the coarse
+      |  -- geohash oracles never noticed: (a) 0.001 must be DOUBLE (as a
+      |  -- DECIMAL literal the addition stays exact and the floor flips
+      |  -- vs the engine's double add); (b) pmod on DOUBLES is ONE fmod
+      |  -- + conditional add — the ((x%m)+m)%m double-mod form re-rounds
+      |  -- r+m and loses the low bits of small remainders
+      |  SELECT c_mktsegment,
+      |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+      |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+      |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+      |  FROM customer
+      |), m AS (
+      |  SELECT c_mktsegment, count(*)::BIGINT AS count,
+      |    sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat,
+      |    sum(floor(lon * 1000000)::BIGINT)::BIGINT AS slon
+      |  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT c_mktsegment, count,
+      |  ((slat / 1000000.0) / count) AS centroid_lat,
+      |  ((slon / 1000000.0) / count) AS centroid_lon
+      |FROM m ORDER BY count DESC, c_mktsegment LIMIT 10""".stripMargin
+
+  /** Exact lengths + ordered entropy fold, shared scan/rollup (the char
+    * and length rollups reproduce the identical distribution tables).
+    */
+  private val stringStatsOracleSql: String =
+    """WITH chars AS (
+      |  SELECT c, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(string_split(text, '')) AS c
+      |    FROM documents WHERE text IS NOT NULL
+      |  ) WHERE length(c) > 0 GROUP BY c
+      |), tot AS (
+      |  SELECT sum(cnt)::BIGINT AS n FROM chars
+      |), terms AS (
+      |  SELECT c,
+      |    -(cnt::DOUBLE / n) * ln(cnt::DOUBLE / n) / ln(2.0) AS term
+      |  FROM chars, tot
+      |), folded AS (
+      |  SELECT c, sum(term) OVER (
+      |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+      |  FROM terms
+      |), e AS (
+      |  SELECT round(h, 6) AS entropy FROM folded ORDER BY c DESC LIMIT 1
+      |)
+      |SELECT count(*)::BIGINT AS count,
+      |  min(length(text))::INT AS min_length,
+      |  max(length(text))::INT AS max_length,
+      |  (sum(length(text))::DOUBLE / count(*)) AS avg_length,
+      |  any_value(e.entropy) AS entropy
+      |FROM documents, e WHERE text IS NOT NULL GROUP BY e.entropy""".stripMargin
+
+  /** Six pair rows restated by hand: LONG cents folds (sums < 2^53, so
+    * even the engines' differing wide-sum types convert to the same
+    * doubles), then the per-statistic fixed trees — IEEE sqrt is
+    * correctly rounded, so correlation needs no rounding escape hatch.
+    * Shared scan/sum-rollup (the rollup's measures ARE these moments).
+    */
+  private val matrixStatsOracleSql: String = {
+    val fields = Seq("l_discount", "l_quantity", "l_tax")
+    val pairs = for { i <- fields.indices; j <- i until fields.size }
+      yield (fields(i), fields(j))
+    def mean(f: String) = s"(s_$f / 100.0) / n"
+    def vr(f: String) = s"(p_${f}_$f / 10000.0) / n - ${mean(f)} * ${mean(f)}"
+    def cov(a: String, b: String) =
+      s"(p_${a}_$b / 10000.0) / n - ${mean(a)} * ${mean(b)}"
+    val sums =
+      fields.map(f => s"sum(c_$f)::BIGINT AS s_$f") ++
+        pairs.map { case (a, b) => s"sum(c_$a * c_$b)::BIGINT AS p_${a}_$b" }
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS field_i, '$b' AS field_j, n AS count,
+         |  ${mean(a)} AS mean_i, ${mean(b)} AS mean_j,
+         |  ${vr(a)} AS var_i, ${vr(b)} AS var_j,
+         |  ${cov(a, b)} AS covariance,
+         |  (${cov(a, b)}) / sqrt((${vr(a)}) * (${vr(b)})) AS correlation
+         |FROM s""".stripMargin
+    }
+    s"""WITH b AS (
+       |  SELECT ${fields.map(f => s"floor($f * 100)::BIGINT AS c_$f").mkString(", ")}
+       |  FROM lineitem
+       |  WHERE ${fields.map(f => s"$f IS NOT NULL").mkString(" AND ")}
+       |), s AS (
+       |  SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM b
+       |)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY field_i, field_j""".stripMargin
+  }
+
+  /** Named half-open timestamp ranges, shared scan/date-rollup (every
+    * boundary sits on an hour-grain edge, so the predicates commute with
+    * the truncated dimension).
+    */
+  private val dateRangeOracleSql: String =
+    """SELECT * FROM (
+      |  SELECT '*-2024-01-10' AS bucket,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END)::BIGINT AS count
+      |  FROM events
+      |  UNION ALL SELECT '2024-01-10-2024-01-20',
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+      |      AND ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
+      |  FROM events
+      |  UNION ALL SELECT '2024-01-20-*',
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
+      |  FROM events
+      |) ORDER BY bucket""".stripMargin
+
+  /** /16 CIDR blocks derived from the synthetic-quad CONSTRUCTION (an
+    * independent restatement — no re-parse), shared scan//24-rollup.
+    */
+  private val ipPrefixOracleSql: String =
+    """SELECT '10.' || (c_custkey % 50) || '.0.0/16' AS prefix,
+      |  count(*)::BIGINT AS count
+      |FROM customer GROUP BY 1 ORDER BY count DESC, prefix LIMIT 10""".stripMargin
+
+  /** First-seen attribution + bounded-series running sum, shared by the
+    * scan and the date-rollup + first-seen-extremes-rollup serve.
+    */
+  private val cumulativeCardinalityOracleSql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('day', ts) AS bucket, count(*)::BIGINT AS count
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+      |), f AS (
+      |  SELECT user_id, min(date_trunc('day', ts)) AS bucket
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1
+      |), n AS (
+      |  SELECT bucket, count(*)::BIGINT AS news FROM f GROUP BY 1
+      |)
+      |SELECT strftime(b.bucket, '%Y-%m-%d') AS bucket, b.count,
+      |  sum(coalesce(n.news, 0)) OVER (
+      |    ORDER BY b.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS cumulative_cardinality
+      |FROM b LEFT JOIN n ON b.bucket = n.bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** Pearson vs the 1..30 ramp over exact integer moments, shared by the
+    * scan series and the rollup-served series.
+    */
+  private val bucketCorrelationOracleSql: String =
+    """WITH s AS (
+      |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1
+      |), x AS (
+      |  SELECT c AS x, row_number() OVER (ORDER BY b)::BIGINT AS y FROM s
+      |), m AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+      |    sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy,
+      |    sum(x * y)::BIGINT AS sxy
+      |  FROM x
+      |)
+      |SELECT ((n * sxy - sx * sy)::DOUBLE /
+      |  sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+      |  AS correlation
+      |FROM m""".stripMargin
+
+  /** Exact-integer ECDFs (counts vs ppm fractions), per-row fixed
+    * two-division deviations, order-free max reductions. Shared
+    * scan/rollup-served-series.
+    */
+  private val ksTestOracleSql: String =
+    """WITH s AS (
+      |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1
+      |), e AS (
+      |  SELECT b, c, row_number() OVER (ORDER BY b) AS pos,
+      |    sum(c) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ca,
+      |    sum(c) OVER ()::BIGINT AS tot
+      |  FROM s
+      |), d AS (
+      |  SELECT ca::DOUBLE / tot -
+      |    (CASE WHEN pos <= 10 THEN pos * 50000
+      |          ELSE 500000 + (pos - 10) * 25000 END)::DOUBLE / 1000000.0
+      |    AS dev
+      |  FROM e
+      |)
+      |SELECT greatest(max(-dev), 0.0) AS less,
+      |  greatest(max(dev), 0.0) AS greater,
+      |  max(abs(dev)) AS two_sided
+      |FROM d""".stripMargin
+
+  /** Every candidate split's cross-multiplied mean difference is an
+    * exact LONG; one division to the magnitude, deterministic argmax
+    * with the smallest boundary bucket on ties. Shared
+    * scan/rollup-served-series.
+    */
+  private val changePointOracleSql: String =
+    """WITH s AS (
+      |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1
+      |), x AS (
+      |  SELECT b, c, row_number() OVER (ORDER BY b)::BIGINT AS k,
+      |    sum(c) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s1,
+      |    count(*) OVER ()::BIGINT AS n,
+      |    sum(c) OVER ()::BIGINT AS tot,
+      |    lead(b) OVER (ORDER BY b) AS nxt
+      |  FROM s
+      |), y AS (
+      |  SELECT strftime(nxt, '%Y-%m-%d') AS change_point,
+      |    abs(s1 * (n - k) - (tot - s1) * k)::DOUBLE /
+      |      (k * (n - k))::DOUBLE AS delta,
+      |    b
+      |  FROM x WHERE k < n
+      |)
+      |SELECT change_point, delta FROM y
+      |ORDER BY delta DESC, b LIMIT 1""".stripMargin
+
   /** One corpus-scan date histogram, shared by the scan form and the
     * hour-grain-rollup serving twin (coarsening commutes with the rollup).
     */
@@ -2056,6 +2275,22 @@ object SparkEntry {
         col("l_extendedprice"), col("l_quantity"))
     }),
 
+    "g_weighted_avg_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same weighted mean from a sum rollup keyed by return flag:
+      // Σ cents·w and Σ w are exact LONG measures, merged per batch, so
+      // the serve re-sums |distinct flags| rows through the scan's own
+      // division tree (shared oracle).
+      val li = load(dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      val pre = query.PreAgg.incrementWithSums(li,
+        Seq("l_returnflag" -> col("l_returnflag")),
+        Seq("swv_sum" -> (floor(col("l_extendedprice") * 100).cast("long") *
+            col("l_quantity").cast("long")),
+          "w_sum" -> col("l_quantity")))
+      query.PreAgg.weightedAvg(pre)
+    }),
+
     "g_missing" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES missing bucket agg over a derived field ('view' rows carry no
@@ -2129,6 +2364,23 @@ object SparkEntry {
       Aggs.geoCentroid(pts, "c_mktsegment", "lat", "lon")
     }),
 
+    "g_geo_centroid_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Centroids from a sum rollup keyed by segment: the micro-degree
+      // LONG sums are mergeable measures, so serving is |segments| rows
+      // through the scan's own conversion tree (shared oracle) — map
+      // markers at 100 TB without touching a document.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+        .where(col("lat").isNotNull && col("lon").isNotNull)
+      val pre = query.PreAgg.incrementWithSums(pts,
+        Seq("c_mktsegment" -> col("c_mktsegment")),
+        Seq("slat_sum" -> floor(col("lat") * 1000000).cast("long"),
+          "slon_sum" -> floor(col("lon") * 1000000).cast("long")))
+      query.PreAgg.geoCentroid(pre, "c_mktsegment")
+    }),
+
     "g_sampler_terms" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES sampler agg made deterministic: the inner terms agg runs over
@@ -2153,6 +2405,21 @@ object SparkEntry {
       // ES date_range agg: named half-open timestamp ranges in one
       // conditional-sum pass, ES's from-to keys with * for open sides.
       Aggs.dateRangeBuckets(loadEvents(dir), "ts", Seq(
+        (None, Some("2024-01-10")),
+        (Some("2024-01-10"), Some("2024-01-20")),
+        (Some("2024-01-20"), None)))
+    }),
+
+    "g_date_range_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same named ranges from the hour-grain date rollup: every
+      // boundary sits on an hour edge (coversDateBoundary certifies), so
+      // the conditional sums weight by cnt over |distinct hours| rows
+      // (shared oracle) — the g_date_histogram_preagg rollup reused for
+      // its third serving shape.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("h" -> date_trunc("hour", col("ts"))))
+      query.PreAgg.dateRange(pre, "h", "hour", Seq(
         (None, Some("2024-01-10")),
         (Some("2024-01-10"), Some("2024-01-20")),
         (Some("2024-01-20"), None)))
@@ -2314,6 +2581,23 @@ object SparkEntry {
       Aggs.stringStats(load(dir, "documents"), "text")
     }),
 
+    "g_string_stats_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // string_stats from TWO count rollups — lengths and characters,
+      // both sum-mergeable: length stats re-aggregate |distinct lengths|
+      // rows, entropy folds over the identical |alphabet|-row
+      // distribution table (shared oracle). ES doc_values for text
+      // statistics, maintained at ingest.
+      val docs = load(dir, "documents").where(col("text").isNotNull)
+      val lenPre = query.PreAgg.increment(docs,
+        Seq("len" -> length(col("text"))))
+      val charPre = query.PreAgg.increment(
+        docs.select(explode(split(col("text"), "")).as("ch"))
+          .where(length(col("ch")) > 0),
+        Seq("ch" -> col("ch")))
+      query.PreAgg.stringStats(lenPre, charPre)
+    }),
+
     "g_matrix_stats" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES matrix_stats over three lineitem measures: the full
@@ -2323,6 +2607,26 @@ object SparkEntry {
       // Fields are passed alphabetically so pair order == output order.
       Aggs.matrixStats(load(dir, "lineitem"),
         Seq("l_discount", "l_quantity", "l_tax"))
+    }),
+
+    "g_matrix_stats_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The full covariance/correlation matrices from a sum rollup keyed
+      // by return flag: the cents moments (Σc_f, Σc_a·c_b) are exact LONG
+      // measures, so the serve re-sums |distinct flags| rows into the
+      // scan's own fixed trees (shared oracle). The 100 TB shape for
+      // "correlations across the whole corpus, updated per batch".
+      val fields = Seq("l_discount", "l_quantity", "l_tax")
+      val li = load(dir, "lineitem")
+        .where(fields.map(col(_).isNotNull).reduce(_ && _))
+      val cents = fields.map(f => f -> floor(col(f) * 100).cast("long")).toMap
+      val pairs = for { i <- fields.indices; j <- i until fields.size }
+        yield (fields(i), fields(j))
+      val pre = query.PreAgg.incrementWithSums(li,
+        Seq("l_returnflag" -> col("l_returnflag")),
+        fields.map(f => s"s_${f}_sum" -> cents(f)) ++
+          pairs.map { case (a, b) => s"p_${a}_${b}_sum" -> (cents(a) * cents(b)) })
+      query.PreAgg.matrixStats(pre, fields)
     }),
 
     "g_auto_date_histogram" -> ((s, dir) => {
@@ -2401,6 +2705,21 @@ object SparkEntry {
       Aggs.ipPrefixBuckets(load(dir, "customer").withColumn("ip", ip), "ip", 16)
     }),
 
+    "g_ip_prefix_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The /16 blocks served from a /24-masked rollup: masking commutes
+      // with aggregation (the geotile zoom-out identity on address bits),
+      // so one at-rest rollup answers every coarser prefix length with
+      // the scan's own render/tiebreak kernel (shared oracle).
+      val ip = concat_ws(".", lit(10), pmod(col("c_custkey"), lit(50)),
+        pmod(col("c_custkey"), lit(256)), pmod(col("c_custkey"), lit(251)))
+      val ipl = Aggs.ipToLong(col("ip"))
+      val pre = query.PreAgg.increment(
+        load(dir, "customer").withColumn("ip", ip).where(ipl.isNotNull),
+        Seq("ipb" -> shiftleft(shiftright(ipl, 8), 8)))
+      query.PreAgg.ipPrefix(pre, "ipb", ingestLen = 24, prefixLen = 16)
+    }),
+
     "g_ip_range" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES ip_range on the same synthetic quads: half-open address ranges
@@ -2445,6 +2764,99 @@ object SparkEntry {
           "bucket", "count", "week", "day")
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
         .orderBy("bucket")
+    }),
+
+    "g_cumulative_cardinality" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES cumulative_cardinality (x-pack): unique users seen so far per
+      // day — exact via first-seen-bucket attribution (one key-level
+      // exchange) + a running sum over the 30-row series, where ES merges
+      // per-bucket HLL prefixes.
+      Aggs.cumulativeCardinality(loadEvents(dir), "ts", "user_id")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+    }),
+
+    "g_cumulative_cardinality_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The running unique-user series from TWO at-rest rollups: the
+      // hour-grain date rollup serves the day series, and a user-keyed
+      // extremes rollup carries each user's first day as an
+      // idempotent-mergeable min measure — exact cumulative cardinality
+      // with no corpus scan at serve time (shared oracle).
+      val ev = loadEvents(dir).where(col("ts").isNotNull)
+      val datePre = query.PreAgg.increment(ev,
+        Seq("h" -> date_trunc("hour", col("ts"))))
+      val series = query.PreAgg.dateHistogram(datePre, "h", "hour", "day")
+      val firstSeen = query.PreAgg.incrementWithExtremes(
+        ev.where(col("user_id").isNotNull),
+        Seq("user_id" -> col("user_id")),
+        mins = Seq("fb_min" -> date_trunc("day", col("ts"))), maxs = Nil)
+      query.PreAgg.cumulativeCardinality(series, firstSeen, "fb_min")
+        .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd"))
+    }),
+
+    "g_bucket_correlation" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES bucket_correlation (count_correlation): does daily traffic
+      // trend with the month — Pearson between the 30 daily counts and
+      // the 1..30 ramp, every moment an exact LONG fold.
+      Aggs.bucketCorrelation(Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+        "bucket", "count", (1L to 30L))
+    }),
+
+    "g_ks_test" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES bucket_count_ks_test: daily counts against a front-loaded
+      // expected distribution (first 10 days carry half the mass) — the
+      // one-sided and two-sided K-S distances from exact-integer ECDFs.
+      Aggs.bucketCountKsTest(Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+        "bucket", "count",
+        Seq.fill(10)(50000L) ++ Seq.fill(20)(25000L))
+    }),
+
+    "g_change_point" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES change_point, deterministic core: the split of the daily
+      // series maximizing |mean(prefix) − mean(suffix)| via exact
+      // cross-multiplied LONG folds; reports the first bucket of the new
+      // regime.
+      Aggs.changePoint(Aggs.dateHistogram(loadEvents(dir), "ts", "day"),
+          "bucket", "count")
+        .withColumn("change_point",
+          date_format(col("change_point"), "yyyy-MM-dd"))
+    }),
+
+    "g_bucket_correlation_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same Pearson over a ROLLUP-SERVED series: the pipeline agg
+      // reads |buckets| rows wherever they came from, so pointing it at
+      // the hour rollup's day histogram makes the whole analytic
+      // corpus-scan-free (shared oracle) — as are the two twins below.
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("h" -> date_trunc("hour", col("ts"))))
+      Aggs.bucketCorrelation(
+        query.PreAgg.dateHistogram(pre, "h", "hour", "day"),
+        "bucket", "count", (1L to 30L))
+    }),
+
+    "g_ks_test_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("h" -> date_trunc("hour", col("ts"))))
+      Aggs.bucketCountKsTest(
+        query.PreAgg.dateHistogram(pre, "h", "hour", "day"),
+        "bucket", "count", Seq.fill(10)(50000L) ++ Seq.fill(20)(25000L))
+    }),
+
+    "g_change_point_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      val pre = query.PreAgg.increment(loadEvents(dir),
+        Seq("h" -> date_trunc("hour", col("ts"))))
+      Aggs.changePoint(
+          query.PreAgg.dateHistogram(pre, "h", "hour", "day"),
+          "bucket", "count")
+        .withColumn("change_point",
+          date_format(col("change_point"), "yyyy-MM-dd"))
     }),
 
     "g_geotile_drilldown" -> ((s, dir) => {
@@ -5045,11 +5457,9 @@ object SparkEntry {
     "g_extended_stats" -> extendedStatsOracleSql,
     "g_extended_stats_preagg" -> extendedStatsOracleSql,
 
-    "g_weighted_avg" ->
-      """SELECT ((sum(floor(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)
-        |  / sum(l_quantity::BIGINT)::DOUBLE) / 100.0) AS weighted_avg
-        |FROM lineitem
-        |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL""".stripMargin,
+    "g_weighted_avg" -> weightedAvgOracleSql,
+    // sum-measure rollup twin: Σ cents·w and Σ w merge exactly
+    "g_weighted_avg_preagg" -> weightedAvgOracleSql,
 
     "g_missing" -> missingOracleSql,
     // derived-dim rollup twin: null is a rollup row like any value
@@ -5068,30 +5478,9 @@ object SparkEntry {
     "g_adjacency_matrix" -> adjacencyMatrixOracleSql,
     "g_adjacency_matrix_preagg" -> adjacencyMatrixOracleSql,
 
-    "g_geo_centroid" ->
-      """WITH pts AS (
-        |  -- two IEEE pins the micro-degree floor needs that the coarse
-        |  -- geohash oracles never noticed: (a) 0.001 must be DOUBLE (as a
-        |  -- DECIMAL literal the addition stays exact and the floor flips
-        |  -- vs the engine's double add); (b) pmod on DOUBLES is ONE fmod
-        |  -- + conditional add — the ((x%m)+m)%m double-mod form re-rounds
-        |  -- r+m and loses the low bits of small remainders
-        |  SELECT c_mktsegment,
-        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
-        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
-        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
-        |  FROM customer
-        |), m AS (
-        |  SELECT c_mktsegment, count(*)::BIGINT AS count,
-        |    sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat,
-        |    sum(floor(lon * 1000000)::BIGINT)::BIGINT AS slon
-        |  FROM pts WHERE lat IS NOT NULL AND lon IS NOT NULL
-        |  GROUP BY 1
-        |)
-        |SELECT c_mktsegment, count,
-        |  ((slat / 1000000.0) / count) AS centroid_lat,
-        |  ((slon / 1000000.0) / count) AS centroid_lon
-        |FROM m ORDER BY count DESC, c_mktsegment LIMIT 10""".stripMargin,
+    "g_geo_centroid" -> geoCentroidOracleSql,
+    // micro-degree sums are rollup measures: merged exactly, same tree
+    "g_geo_centroid_preagg" -> geoCentroidOracleSql,
 
     "g_sampler_terms" -> {
       val u = ops.Sampling.hashUnitSql("doc_id", 42)
@@ -5111,19 +5500,10 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY count DESC, lang LIMIT 10""".stripMargin
     },
 
-    "g_date_range" ->
-      """SELECT * FROM (
-        |  SELECT '*-2024-01-10' AS bucket,
-        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END)::BIGINT AS count
-        |  FROM events
-        |  UNION ALL SELECT '2024-01-10-2024-01-20',
-        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
-        |      AND ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |  UNION ALL SELECT '2024-01-20-*',
-        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END)::BIGINT
-        |  FROM events
-        |) ORDER BY bucket""".stripMargin,
+    "g_date_range" -> dateRangeOracleSql,
+    // day boundaries sit on hour-grain edges, so range predicates commute
+    // with the truncated rollup dimension
+    "g_date_range_preagg" -> dateRangeOracleSql,
 
     "g_bucket_stats" ->
       """WITH h AS (
@@ -5176,65 +5556,19 @@ object SparkEntry {
     // Entropy: the SAME fixed per-term tree over exact LONG char counts,
     // summed by the SAME char-ordered running-sum fold, rounded at 6 —
     // the one statistic here with no integer-exact form.
-    "g_string_stats" ->
-      """WITH chars AS (
-        |  SELECT c, count(*)::BIGINT AS cnt FROM (
-        |    SELECT unnest(string_split(text, '')) AS c
-        |    FROM documents WHERE text IS NOT NULL
-        |  ) WHERE length(c) > 0 GROUP BY c
-        |), tot AS (
-        |  SELECT sum(cnt)::BIGINT AS n FROM chars
-        |), terms AS (
-        |  SELECT c,
-        |    -(cnt::DOUBLE / n) * ln(cnt::DOUBLE / n) / ln(2.0) AS term
-        |  FROM chars, tot
-        |), folded AS (
-        |  SELECT c, sum(term) OVER (
-        |    ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
-        |  FROM terms
-        |), e AS (
-        |  SELECT round(h, 6) AS entropy FROM folded ORDER BY c DESC LIMIT 1
-        |)
-        |SELECT count(*)::BIGINT AS count,
-        |  min(length(text))::INT AS min_length,
-        |  max(length(text))::INT AS max_length,
-        |  (sum(length(text))::DOUBLE / count(*)) AS avg_length,
-        |  any_value(e.entropy) AS entropy
-        |FROM documents, e WHERE text IS NOT NULL GROUP BY e.entropy""".stripMargin,
+    "g_string_stats" -> stringStatsOracleSql,
+    // length + char count rollups: identical distribution tables, same
+    // ordered entropy fold
+    "g_string_stats_preagg" -> stringStatsOracleSql,
 
     // Six pair rows restated by hand: LONG cents folds (sums < 2^53, so
     // even the engines' differing wide-sum types convert to the same
     // doubles), then the per-statistic fixed trees — IEEE sqrt is
     // correctly rounded, so correlation needs no rounding escape hatch.
-    "g_matrix_stats" -> {
-      val fields = Seq("l_discount", "l_quantity", "l_tax")
-      val pairs = for { i <- fields.indices; j <- i until fields.size }
-        yield (fields(i), fields(j))
-      def mean(f: String) = s"(s_$f / 100.0) / n"
-      def vr(f: String) = s"(p_${f}_$f / 10000.0) / n - ${mean(f)} * ${mean(f)}"
-      def cov(a: String, b: String) =
-        s"(p_${a}_$b / 10000.0) / n - ${mean(a)} * ${mean(b)}"
-      val sums =
-        fields.map(f => s"sum(c_$f)::BIGINT AS s_$f") ++
-          pairs.map { case (a, b) => s"sum(c_$a * c_$b)::BIGINT AS p_${a}_$b" }
-      val rows = pairs.map { case (a, b) =>
-        s"""SELECT '$a' AS field_i, '$b' AS field_j, n AS count,
-           |  ${mean(a)} AS mean_i, ${mean(b)} AS mean_j,
-           |  ${vr(a)} AS var_i, ${vr(b)} AS var_j,
-           |  ${cov(a, b)} AS covariance,
-           |  (${cov(a, b)}) / sqrt((${vr(a)}) * (${vr(b)})) AS correlation
-           |FROM s""".stripMargin
-      }
-      s"""WITH b AS (
-         |  SELECT ${fields.map(f => s"floor($f * 100)::BIGINT AS c_$f").mkString(", ")}
-         |  FROM lineitem
-         |  WHERE ${fields.map(f => s"$f IS NOT NULL").mkString(" AND ")}
-         |), s AS (
-         |  SELECT count(*)::BIGINT AS n, ${sums.mkString(", ")} FROM b
-         |)
-         |${rows.mkString("\nUNION ALL\n")}
-         |ORDER BY field_i, field_j""".stripMargin
-    },
+    "g_matrix_stats" -> matrixStatsOracleSql,
+    // moments ARE rollup measures: the serve renames them into the same
+    // fixed trees
+    "g_matrix_stats_preagg" -> matrixStatsOracleSql,
 
     // The chooser replayed in SQL: the same five one-pass grain counts,
     // the same finest-grain-fitting-target CASE; both twins (scan chooser
@@ -5278,10 +5612,9 @@ object SparkEntry {
     // Derived from the CONSTRUCTION (second octet = custkey % 50), not by
     // re-parsing — an independent restatement of the parse→shift→render
     // path.
-    "g_ip_prefix" ->
-      """SELECT '10.' || (c_custkey % 50) || '.0.0/16' AS prefix,
-        |  count(*)::BIGINT AS count
-        |FROM customer GROUP BY 1 ORDER BY count DESC, prefix LIMIT 10""".stripMargin,
+    "g_ip_prefix" -> ipPrefixOracleSql,
+    // /24-masked rollup serves /16 by re-masking (geotile zoom-out twin)
+    "g_ip_prefix_preagg" -> ipPrefixOracleSql,
 
     "g_ip_range" ->
       """SELECT * FROM (
@@ -5342,6 +5675,24 @@ object SparkEntry {
         |SELECT strftime(b, '%Y-%m-%d') AS bucket, count,
         |  count / 7.0 AS rate
         |FROM h ORDER BY bucket""".stripMargin,
+
+    // First-seen attribution + a running sum over the series — the exact
+    // restatement of what ES serves from merged per-bucket HLL prefixes.
+    // Shared scan/rollup (the first-seen min is an extremes-rollup measure).
+    "g_cumulative_cardinality" -> cumulativeCardinalityOracleSql,
+    "g_cumulative_cardinality_preagg" -> cumulativeCardinalityOracleSql,
+
+    // Pearson against the 1..30 ramp: exact integer moments (DuckDB's
+    // wide-sum types and Spark's LONGs convert to identical doubles) and
+    // the variance factors convert BEFORE multiplying, as in the engine.
+    // Shared scan/rollup-served-series, as for the two twins below.
+    "g_bucket_correlation" -> bucketCorrelationOracleSql,
+    "g_bucket_correlation_preagg" -> bucketCorrelationOracleSql,
+    "g_ks_test" -> ksTestOracleSql,
+    "g_ks_test_preagg" -> ksTestOracleSql,
+    "g_change_point" -> changePointOracleSql,
+    "g_change_point_preagg" -> changePointOracleSql,
+
 
     // The drill-down restated at zoom 4 directly — equal to the
     // rollup-served shift by the bit-exact ⌊u·2^zi⌋ >> k identity; the

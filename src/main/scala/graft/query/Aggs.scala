@@ -752,23 +752,23 @@ object Aggs {
   def dateRangeBuckets(
       df: DataFrame,
       tsCol: String,
-      ranges: Seq[(Option[String], Option[String])]): DataFrame = {
+      ranges: Seq[(Option[String], Option[String])]): DataFrame =
+    conditionalBuckets(df, dateRangeCells(tsCol, ranges), lit(1L), keepZeros = true)
+
+  /** The named half-open timestamp cells behind [[dateRangeBuckets]] (scan
+    * and rollup serve — [[PreAgg.dateRange]]).
+    */
+  private[query] def dateRangeCells(
+      tsCol: String,
+      ranges: Seq[(Option[String], Option[String])]): Seq[(String, Column)] = {
     require(ranges.nonEmpty, "dateRangeBuckets: at least one range")
     val c = col(tsCol)
-    val sums = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      val cond = (lo.map(s => c >= lit(s).cast("timestamp")) ++
-          hi.map(s => c < lit(s).cast("timestamp")))
-        .reduceOption(_ && _).getOrElse(c.isNotNull)
-      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"_d$i")
+    ranges.map { case (lo, hi) =>
+      (s"${lo.getOrElse("*")}-${hi.getOrElse("*")}",
+        (lo.map(s => c >= lit(s).cast("timestamp")) ++
+            hi.map(s => c < lit(s).cast("timestamp")))
+          .reduceOption(_ && _).getOrElse(c.isNotNull))
     }
-    val stackArgs = ranges.zipWithIndex.map { case ((lo, hi), i) =>
-      val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
-      require(!key.contains("'"), s"date-range key must not quote: $key")
-      s"'$key', _d$i"
-    }.mkString(", ")
-    df.agg(sums.head, sums.tail: _*)
-      .selectExpr(s"stack(${ranges.size}, $stackArgs) AS (bucket, count)")
-      .orderBy(asc("bucket"))
   }
 
   /** ES `adjacency_matrix` bucket agg: named filters as buckets PLUS
@@ -1008,15 +1008,7 @@ object Aggs {
       .select(explode(split(col(field), "")).as("ch"))
       .where(length(col("ch")) > 0)
       .groupBy("ch").agg(count(lit(1)).as("c"))
-    val total = chars.agg(sum(col("c")).as("n"))
-    val w = Window.orderBy(col("ch")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val entropy = chars.crossJoin(broadcast(total))
-      .withColumn("_term",
-        -(col("c").cast("double") / col("n")) *
-          log(col("c").cast("double") / col("n")) / log(lit(2.0)))
-      .withColumn("_h", sum(col("_term")).over(w))
-      .orderBy(desc("ch")).limit(1)
-      .select(round(col("_h"), 6).as("entropy"))
+    val entropy = entropyFromCharTable(chars)
     // LEFT join + 0.0 fill, not a crossJoin: an empty char distribution
     // (all-empty or all-null strings) must not annihilate the stats row —
     // ES reports entropy 0.0 there, counts intact.
@@ -1027,6 +1019,25 @@ object Aggs {
         (sum(length(col(field))).cast("double") / count(lit(1))).as("avg_length"))
       .join(broadcast(entropy), lit(true), "left")
       .withColumn("entropy", coalesce(col("entropy"), lit(0.0)))
+  }
+
+  /** The ordered Shannon-entropy fold over an exact character-count table
+    * (`ch`, `c` — |alphabet| rows) described in [[stringStats]]'s scaladoc:
+    * fixed per-term IEEE tree, char-ordered running-sum window, `round(·,6)`
+    * absorbing ≤1-ulp `ln` library drift. Shared by the corpus scan and the
+    * rollup serve ([[PreAgg.stringStats]]) — the char-count table is
+    * sum-mergeable, so both folds see the identical distribution.
+    */
+  private[query] def entropyFromCharTable(chars: DataFrame): DataFrame = {
+    val total = chars.agg(sum(col("c")).as("n"))
+    val w = Window.orderBy(col("ch")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chars.crossJoin(broadcast(total))
+      .withColumn("_term",
+        -(col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")) / log(lit(2.0)))
+      .withColumn("_h", sum(col("_term")).over(w))
+      .orderBy(desc("ch")).limit(1)
+      .select(round(col("_h"), 6).as("entropy"))
   }
 
   /** ES `matrix_stats` agg over a set of numeric fields: per unordered
@@ -1052,7 +1063,17 @@ object Aggs {
       Seq(count(lit(1)).as("_n")) ++
         fields.map(f => sum(col(s"_c_$f")).as(s"_s_$f")) ++
         pairs.map { case (a, b) => sum(col(s"_c_$a") * col(s"_c_$b")).as(s"_p_${a}_$b") }
-    val agg = base.agg(sums.head, sums.tail: _*)
+    matrixStatsFromMoments(base.agg(sums.head, sums.tail: _*), fields)
+  }
+
+  /** The fixed per-pair conversion trees over a one-row exact-moments frame
+    * (`_n`, `_s_<f>` cents sums, `_p_<a>_<b>` cents cross-products for every
+    * unordered pair) — shared by the corpus scan above and the rollup serve
+    * ([[PreAgg.matrixStats]]), so both emit identical rows.
+    */
+  private[query] def matrixStatsFromMoments(agg: DataFrame, fields: Seq[String]): DataFrame = {
+    val pairs = for { i <- fields.indices; j <- i until fields.size }
+      yield (fields(i), fields(j))
     val rows = pairs.map { case (a, b) =>
       val n = col("_n").cast("double")
       def mean(f: String) = (col(s"_s_$f") / 100.0) / n
@@ -1332,15 +1353,26 @@ object Aggs {
     * geotile zoom: a finer-prefix rollup serves every coarser prefix.
     */
   def ipPrefixBuckets(df: DataFrame, ipCol: String, prefixLen: Int, n: Int = 10): DataFrame = {
-    require(prefixLen >= 1 && prefixLen <= 32, s"prefixLen in [1,32], got $prefixLen")
     val ipl = ipToLong(col(ipCol))
-    val base = shiftleft(shiftright(ipl, 32 - prefixLen), 32 - prefixLen)
+    ipPrefixTopN(df.where(ipl.isNotNull).select(ipl.as("_ip")),
+      "_ip", prefixLen, n, lit(1L))
+  }
+
+  /** The mask + CIDR render + weighted top-N behind [[ipPrefixBuckets]],
+    * over an already-parsed LONG address column — shared by the scan (unit
+    * weight) and the rollup serve ([[PreAgg.ipPrefix]], `cnt` weight), so
+    * both emit identical buckets, keys, ordering, and tiebreaks.
+    */
+  private[query] def ipPrefixTopN(
+      df: DataFrame, ipLongCol: String, prefixLen: Int, n: Int,
+      weight: Column): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 32, s"prefixLen in [1,32], got $prefixLen")
+    val base = shiftleft(shiftright(col(ipLongCol), 32 - prefixLen), 32 - prefixLen)
     val cidr = concat_ws(".",
       shiftright(base, 24) % 256, shiftright(base, 16) % 256,
       shiftright(base, 8) % 256, base % 256)
-    df.where(ipl.isNotNull)
-      .groupBy(concat(cidr, lit(s"/$prefixLen")).as("prefix"))
-      .agg(count(lit(1)).as("count"))
+    df.groupBy(concat(cidr, lit(s"/$prefixLen")).as("prefix"))
+      .agg(sum(weight).as("count"))
       .orderBy(desc("count"), asc("prefix"))
       .limit(n)
   }
@@ -1369,5 +1401,160 @@ object Aggs {
     grouped.agg(count(lit(1)).as("count"),
         grouping_id().as("gid"))
       .orderBy(col("gid") +: cols.map(_.asc_nulls_first): _*)
+  }
+
+  /** ES `cumulative_cardinality` pipeline agg (x-pack analytics): the
+    * running DISTINCT count of `keyCol` values per date-histogram bucket —
+    * "total unique users seen so far", the incremental-cardinality series
+    * ES serves from merged HLL sketches per bucket prefix. Exact
+    * distributed form: each key contributes to its FIRST bucket
+    * (one `min` aggregation on the key — the only corpus-sized exchange),
+    * new-key counts join the bucket series, and the running sum windows
+    * over the AGGREGATED series only ([[bucketPipeline]]'s bounded-frame
+    * contract). Buckets with no events don't exist (ES histogram with
+    * min_doc_count 1); buckets whose events are all old keys emit their
+    * count with an unchanged cumulative value.
+    */
+  def cumulativeCardinality(
+      df: DataFrame, tsCol: String, keyCol: String,
+      interval: String = "day"): DataFrame = {
+    val bucket = date_trunc(interval, col(tsCol))
+    val series = df.where(col(tsCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("count"))
+    val firstSeen = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(bucket).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("cumulative_cardinality",
+        sum(coalesce(col("_new"), lit(0L))).over(w))
+      .select(col("bucket"), col("count"), col("cumulative_cardinality"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** Attach a caller-supplied per-bucket curve to an ordered bucket series
+    * by POSITION (ES zips its indicator array with the response buckets the
+    * same way): full-outer on the rank so a length mismatch surfaces as an
+    * in-plan `raise_error` (referenced from the WHERE, the
+    * [[nestedBucketsFromPairs]] guard idiom) instead of silent truncation.
+    * Series-bounded: the join is |buckets| × |curve| positions, never corpus.
+    */
+  private def zipWithCurve(
+      series: DataFrame, bucketCol: String, curve: Seq[Long],
+      what: String): DataFrame = {
+    val w = Window.orderBy(col(bucketCol))
+    val xs = series.withColumn("_pos", row_number().over(w))
+    val ind = series.sparkSession.range(1)
+      .select(posexplode(array(curve.map(lit): _*)).as(Seq("_p0", "_y")))
+      .select((col("_p0") + 1).as("_pos"), col("_y"))
+    xs.join(ind, Seq("_pos"), "full_outer")
+      .withColumn("_len_ok",
+        when(col(bucketCol).isNull || col("_y").isNull,
+          raise_error(lit(s"$what: curve length ${curve.size} != bucket count"))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+      .where(col("_len_ok"))
+  }
+
+  /** ES `bucket_correlation` pipeline agg (`count_correlation` function):
+    * the Pearson correlation between a histogram's bucket doc counts and a
+    * caller-supplied indicator curve — "does traffic track this known
+    * pattern". The curve is INTEGER-scaled by the caller (ES takes raw
+    * doubles; scaling keeps every moment an exact LONG fold so the single
+    * final tree hash-matches cross-engine — the [[extendedStats]]
+    * discipline; Pearson is scale-invariant, so integerizing the curve
+    * loses nothing). The two variance factors convert to double BEFORE
+    * multiplying (their LONG product can overflow where each factor
+    * cannot); `sqrt` is correctly rounded, so no rounding escape needed.
+    */
+  def bucketCorrelation(
+      series: DataFrame, bucketCol: String, countCol: String,
+      curve: Seq[Long]): DataFrame = {
+    require(curve.size >= 2, "bucket_correlation: curve needs >= 2 points")
+    val x = col(countCol)
+    val y = col("_y")
+    val m = zipWithCurve(series, bucketCol, curve, "bucketCorrelation")
+      .agg(count(lit(1)).as("_n"),
+        sum(x).as("_sx"), sum(x * x).as("_sxx"),
+        sum(y).as("_sy"), sum(y * y).as("_syy"),
+        sum(x * y).as("_sxy"))
+    m.select(
+      ((col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+        sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double") *
+          (col("_n") * col("_syy") - col("_sy") * col("_sy")).cast("double")))
+        .as("correlation"))
+  }
+
+  /** ES `bucket_count_ks_test` pipeline agg: Kolmogorov–Smirnov distances
+    * between the histogram's bucket-count distribution and a caller-supplied
+    * expected distribution — the A/B "did the shape shift" test. Expected
+    * fractions arrive in PARTS-PER-MILLION (ES takes raw doubles; ppm longs
+    * keep both ECDFs exact-integer prefix sums, each row's deviation one
+    * fixed two-division tree). `less` = max(expected − actual) (actual runs
+    * BELOW expected), `greater` = max(actual − expected), `two_sided` =
+    * max |deviation| — ES's alternative trio as one row. Deliberate delta
+    * vs ES: ES returns p-values via sampled simulation (not deterministic);
+    * the D-statistics are the deterministic sufficient values — callers
+    * table-lookup significance, the [[tTest]] p-value precedent. Windows
+    * run over the aggregated series only.
+    */
+  def bucketCountKsTest(
+      series: DataFrame, bucketCol: String, countCol: String,
+      fractionsPpm: Seq[Long]): DataFrame = {
+    require(fractionsPpm.nonEmpty, "bucket_count_ks_test: at least one fraction")
+    require(fractionsPpm.sum == 1000000L,
+      s"expected fractions must sum to 1e6 ppm, got ${fractionsPpm.sum}")
+    val w = Window.orderBy(col(bucketCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    zipWithCurve(series, bucketCol, fractionsPpm, "bucketCountKsTest")
+      .withColumn("_ca", sum(col(countCol)).over(cum))
+      .withColumn("_ce", sum(col("_y")).over(cum))
+      .withColumn("_tot", sum(col(countCol)).over(all))
+      .withColumn("_dev",
+        col("_ca").cast("double") / col("_tot") -
+          col("_ce").cast("double") / 1000000.0)
+      .agg(greatest(max(-col("_dev")), lit(0.0)).as("less"),
+        greatest(max(col("_dev")), lit(0.0)).as("greater"),
+        max(abs(col("_dev"))).as("two_sided"))
+  }
+
+  /** ES `change_point` agg, the deterministic core: the split of the
+    * ordered bucket series maximizing the absolute difference of segment
+    * means — binary segmentation's first step (the CUSUM family ES's
+    * ml-model variant refines; documented delta: no ml typing/p-value, the
+    * reported kind is always the mean-shift). Exact discipline: with
+    * integer bucket values, the cross-multiplied difference
+    * `|s₁·(n−k) − (S−s₁)·k|` is a LONG fold per candidate split and the
+    * magnitude one division — deterministic argmax, smallest boundary
+    * bucket on ties. `change_point` is the FIRST bucket of the new regime
+    * (ES reports the bucket where the change is detected). Windows run
+    * over the aggregated series only ([[bucketPipeline]] contract);
+    * needs >= 2 buckets (ES wants 22 — that guard is the caller's).
+    */
+  def changePoint(
+      series: DataFrame, bucketCol: String, valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(bucketCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    series
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_s1", sum(col(valueCol)).over(cum))
+      .withColumn("_n", count(lit(1)).over(all))
+      .withColumn("_tot", sum(col(valueCol)).over(all))
+      .withColumn("_next", lead(col(bucketCol), 1).over(w))
+      .where(col("_k") < col("_n"))
+      .withColumn("_num",
+        abs(col("_s1") * (col("_n") - col("_k")) -
+          (col("_tot") - col("_s1")) * col("_k")))
+      .withColumn("_delta",
+        col("_num").cast("double") /
+          (col("_k") * (col("_n") - col("_k"))).cast("double"))
+      .orderBy(desc("_delta"), asc(bucketCol))
+      .limit(1)
+      .select(col("_next").as("change_point"), col("_delta").as("delta"))
   }
 }

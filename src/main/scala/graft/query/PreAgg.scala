@@ -930,6 +930,211 @@ object PreAgg {
       ingestPrecision, p, geohashCol)
   }
 
+  /** Suffix of rollup SUM measures. */
+  val SumSuffix = "_sum"
+
+  /** Rollup increment carrying exact LONG SUM measures beside the count —
+    * the moments layer: integer sums are associative/commutative, so
+    * per-batch increments merge to the whole-corpus sums exactly and any
+    * statistic that is a FIXED TREE over such sums (weighted mean,
+    * centroid, variance, covariance, correlation, Welch t — the
+    * [[Aggs.extendedStats]] cents discipline) serves from |distinct dim
+    * combos| rollup rows hash-identically to its corpus scan. Measure
+    * names must end `_sum` ([[mergeSums]] merges by suffix). Callers
+    * integer-scale measures at ingest (cents, micro-degrees) and apply
+    * the scan's own null-row exclusions — the rollup stores no doubles.
+    */
+  def incrementWithSums(
+      df: DataFrame,
+      dims: Seq[(String, Column)],
+      sums: Seq[(String, Column)]): DataFrame = {
+    require(sums.nonEmpty && sums.forall(_._1.endsWith(SumSuffix)),
+      "sum measure names must end _sum (mergeSums merges by suffix)")
+    df.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as(CntCol),
+        sums.map { case (n, c) => sum(c.cast("long")).as(n) }: _*)
+  }
+
+  /** Merge sum-measure increments: group-sum the count and every `_sum`
+    * measure. Associative and commutative like [[merge]].
+    */
+  def mergeSums(increments: DataFrame*): DataFrame = {
+    val all = increments.reduce(_.unionByName(_))
+    val dims = all.columns.filterNot(c => c == CntCol || c.endsWith(SumSuffix))
+    val measures = (CntCol +: all.columns.filter(_.endsWith(SumSuffix)).toSeq)
+      .map(c => sum(col(c)).as(c))
+    all.groupBy(dims.map(col).toSeq: _*).agg(measures.head, measures.tail: _*)
+  }
+
+  /** [[Aggs.weightedAvg]] from a sum rollup carrying `swv_sum`
+    * (Σ floor(value·100)·weight) and `w_sum` (Σ weight) — callers exclude
+    * null value/weight rows at ingest, the scan's missing behavior. The
+    * division tree is the scan's own, over identical exact LONGs — shared
+    * oracle.
+    */
+  def weightedAvg(pre: DataFrame): DataFrame =
+    pre.agg(sum(col("swv_sum")).as("_swv"), sum(col("w_sum")).as("_sw"))
+      .select(((col("_swv") / col("_sw").cast("double")) / 100.0)
+        .as("weighted_avg"))
+
+  /** [[Aggs.geoCentroid]] from a sum rollup keyed by the bucket field with
+    * micro-degree measures `slat_sum`/`slon_sum` (callers exclude
+    * null-coordinate rows at ingest): integer sums merge exactly, the
+    * conversion tree is the scan's own — shared oracle.
+    */
+  def geoCentroid(pre: DataFrame, field: String, n: Int = 10): DataFrame =
+    pre.groupBy(col(field))
+      .agg(sum(col(CntCol)).as("count"),
+        sum(col("slat_sum")).as("_slat"), sum(col("slon_sum")).as("_slon"))
+      .select(col(field), col("count"),
+        ((col("_slat") / 1000000.0) / col("count")).as("centroid_lat"),
+        ((col("_slon") / 1000000.0) / col("count")).as("centroid_lon"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+
+  /** [[Aggs.matrixStats]] from a sum rollup carrying the cents moments:
+    * `s_<f>_sum` per field and `p_<a>_<b>_sum` per unordered pair
+    * (callers apply the scan's listwise deletion at ingest). The rollup
+    * sums ARE the scan's `_n/_s_<f>/_p_<a>_<b>` moment frame, so the
+    * serve is one rename into [[Aggs.matrixStatsFromMoments]]'s fixed
+    * trees — identical rows, shared oracle. At 100 TB the full
+    * correlation matrix costs |rollup| rows, not a corpus pass.
+    */
+  def matrixStats(pre: DataFrame, fields: Seq[String]): DataFrame = {
+    require(fields.size >= 2, "matrix_stats needs at least two fields")
+    val pairs = for { i <- fields.indices; j <- i until fields.size }
+      yield (fields(i), fields(j))
+    val measures =
+      Seq(sum(col(CntCol)).as("_n")) ++
+        fields.map(f => sum(col(s"s_${f}_sum")).as(s"_s_$f")) ++
+        pairs.map { case (a, b) => sum(col(s"p_${a}_${b}_sum")).as(s"_p_${a}_$b") }
+    Aggs.matrixStatsFromMoments(pre.agg(measures.head, measures.tail: _*), fields)
+  }
+
+  /** [[Aggs.stringStats]] from TWO plain count rollups — lengths
+    * (`len` dim) and characters (`ch` dim), both sum-mergeable (callers
+    * exclude null values at ingest; the char rollup explodes values the
+    * scan's own way). Length stats re-aggregate |distinct lengths| rows
+    * with the scan's exact-LONG folds (`Σ len·cnt` ≡ the scan's
+    * `Σ length`); entropy is [[Aggs.entropyFromCharTable]]'s identical
+    * ordered fold over the identical distribution table — shared oracle.
+    */
+  def stringStats(lenPre: DataFrame, charPre: DataFrame): DataFrame = {
+    val entropy = Aggs.entropyFromCharTable(
+      charPre.select(col("ch"), col(CntCol).as("c")))
+    lenPre.agg(
+        sum(col(CntCol)).as("count"),
+        min(col("len")).as("min_length"),
+        max(col("len")).as("max_length"),
+        (sum(col("len") * col(CntCol)).cast("double") / sum(col(CntCol)))
+          .as("avg_length"))
+      .join(broadcast(entropy), lit(true), "left")
+      .withColumn("entropy", coalesce(col("entropy"), lit(0.0)))
+  }
+
+  /** Is a `[from, to)` boundary servable from an ingest-grain rollup?
+    * True iff the parsed boundary sits ON an ingest-grain edge — then
+    * `ts >= b` ⟺ `date_trunc(grain, ts) >= b` (truncation is monotone
+    * and b is a fixed point), so range predicates commute with the
+    * rollup's truncated dimension.
+    */
+  def coversDateBoundary(ingestInterval: String, boundary: String): Boolean = {
+    import java.time.LocalDateTime
+    import java.time.LocalDate
+    import java.time.format.DateTimeFormatter
+    val dt =
+      try LocalDateTime.parse(boundary.replace(' ', 'T'),
+        DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      catch { case _: Exception =>
+        try LocalDate.parse(boundary).atStartOfDay()
+        catch { case _: Exception => return false }
+      }
+    val subDay = dt.getNano == 0 && (ingestInterval.toLowerCase match {
+      case "second" => true
+      case "minute" => dt.getSecond == 0
+      case "hour"   => dt.getSecond == 0 && dt.getMinute == 0
+      case "day"    => dt.getSecond == 0 && dt.getMinute == 0 && dt.getHour == 0
+      case _        => false
+    })
+    subDay
+  }
+
+  /** [[Aggs.dateRangeBuckets]] from the date rollup: when every boundary
+    * sits on an ingest-grain edge ([[coversDateBoundary]] — enforced
+    * loudly toward the corpus scan otherwise), the range predicates
+    * evaluate identically over the truncated dimension, so the
+    * conditional sums weight by `cnt` over |distinct buckets| rows —
+    * same cells, keys, zero-keeping, and ordering as the scan, shared
+    * oracle.
+    */
+  def dateRange(
+      pre: DataFrame,
+      tsDim: String,
+      ingestInterval: String,
+      ranges: Seq[(Option[String], Option[String])]): DataFrame = {
+    require(pre.columns.contains(tsDim),
+      s"date-range dimension '$tsDim' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")}) — serve it from the corpus scan")
+    ranges.flatMap { case (lo, hi) => lo.toSeq ++ hi.toSeq }.foreach { b =>
+      require(coversDateBoundary(ingestInterval, b),
+        s"boundary '$b' is not on an ingest-grain-'$ingestInterval' edge — " +
+          "serve this range set from the corpus scan")
+    }
+    Aggs.conditionalBuckets(pre, Aggs.dateRangeCells(tsDim, ranges),
+      col(CntCol), keepZeros = true)
+  }
+
+  /** [[Aggs.cumulativeCardinality]] from TWO at-rest rollups: the date
+    * rollup serves the bucket series ([[dateHistogram]]), and `firstSeen`
+    * is a KEY-dimension extremes rollup whose `_min` measure is the
+    * key's first bucket — `min` is idempotent-mergeable, so per-batch
+    * increments converge to the true first-seen epoch no matter the
+    * arrival order (the exact-distinct state ES approximates with
+    * per-bucket HLL prefixes; |keys| rollup rows is the inherent floor
+    * for EXACT cumulative cardinality). The serve aggregates the key
+    * rollup to per-bucket first-appearance counts and runs the scan's
+    * own bounded-series window — shared oracle.
+    */
+  def cumulativeCardinality(
+      series: DataFrame, firstSeen: DataFrame, firstSeenMin: String): DataFrame = {
+    require(firstSeen.columns.contains(firstSeenMin),
+      s"first-seen measure '$firstSeenMin' is not in the key rollup " +
+        s"(${firstSeen.columns.mkString(", ")})")
+    val news = firstSeen.groupBy(col(firstSeenMin).as("bucket"))
+      .agg(count(lit(1)).as("_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    series.join(news, Seq("bucket"), "left")
+      .withColumn("cumulative_cardinality",
+        sum(coalesce(col("_new"), lit(0L))).over(w))
+      .select(col("bucket"), col("count"), col("cumulative_cardinality"))
+      .orderBy(asc("bucket"))
+  }
+
+  /** Is an ip_prefix at `prefixLen` servable from a rollup masked at
+    * `ingestLen`? The bit-shift twin of [[coversGeoTile]]: any coarser
+    * (shorter) prefix re-masks the stored base.
+    */
+  def coversIpPrefix(ingestLen: Int, prefixLen: Int): Boolean =
+    prefixLen >= 1 && prefixLen <= ingestLen && ingestLen <= 32
+
+  /** [[Aggs.ipPrefixBuckets]] from a rollup whose dimension is the parsed
+    * address masked to `ingestLen` bits (unparseable addresses excluded
+    * at ingest, the scan's missing behavior): masking commutes with
+    * aggregation exactly like the geotile zoom-out, so one at-rest
+    * rollup serves every coarser prefix length with the scan's own
+    * render/ordering kernel — shared oracle.
+    */
+  def ipPrefix(
+      pre: DataFrame, ipDim: String, ingestLen: Int, prefixLen: Int,
+      n: Int = 10): DataFrame = {
+    require(coversIpPrefix(ingestLen, prefixLen),
+      s"/$prefixLen is not servable from a /$ingestLen rollup — serve it " +
+        "from the corpus scan")
+    Aggs.ipPrefixTopN(pre, ipDim, prefixLen, n, col(CntCol))
+  }
+
   /** Build-once, serve-many: the at-rest rollup a 100 TB deployment writes
     * at ingest. Two serving representations, chosen by MEASURED size:
     *

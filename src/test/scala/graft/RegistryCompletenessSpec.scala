@@ -37,6 +37,11 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * list back toward empty.
     */
   private val newSinceLastArtifact: Set[String] = Set(
+    "g_weighted_avg_preagg", "g_geo_centroid_preagg", "g_matrix_stats_preagg",
+    "g_string_stats_preagg", "g_date_range_preagg", "g_ip_prefix_preagg",
+    "g_cumulative_cardinality", "g_bucket_correlation", "g_ks_test",
+    "g_change_point", "g_cumulative_cardinality_preagg",
+    "g_bucket_correlation_preagg", "g_ks_test_preagg", "g_change_point_preagg",
     "ann_ivf_sampled", "ann_lsh_probe", "join_rolling_features_chunked",
     "g_date_histogram_preagg", "g_composite_pages_preagg",
     "g_extended_stats", "g_extended_stats_preagg", "g_weighted_avg",

@@ -725,4 +725,70 @@ class AggsSpec extends SparkSpecBase {
       PreAgg.rareTerms(pre, "description", 2))
     assert(e.getMessage.contains("corpus scan"))
   }
+
+  test("cumulativeCardinality attributes keys to first-seen buckets and runs the sum") {
+    val ev = Seq(
+      ("u1", ts("2024-01-01 05:00:00")), ("u2", ts("2024-01-01 06:00:00")),
+      ("u1", ts("2024-01-02 05:00:00")),                       // old key only
+      ("u3", ts("2024-01-03 05:00:00")), ("u1", ts("2024-01-03 06:00:00")),
+    ).toDF("user", "t")
+    val out = Aggs.cumulativeCardinality(ev, "t", "user")
+      .select(date_format(col("bucket"), "yyyy-MM-dd"), col("count"),
+        col("cumulative_cardinality"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 2L, 2L), ("2024-01-02", 1L, 2L), ("2024-01-03", 2L, 3L)))
+  }
+
+  test("bucketCorrelation is exactly ±1 on perfectly (anti)linear series") {
+    val up = Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L)).toDF("bucket", "count")
+    assert(Aggs.bucketCorrelation(up, "bucket", "count", Seq(1L, 2L, 3L, 4L))
+      .as[Double].head() === 1.0)
+    assert(Aggs.bucketCorrelation(up, "bucket", "count", Seq(4L, 3L, 2L, 1L))
+      .as[Double].head() === -1.0)
+  }
+
+  test("curve length mismatches raise in-plan instead of truncating") {
+    val s = Seq((1, 10L), (2, 20L)).toDF("bucket", "count")
+    val e = intercept[Exception](
+      Aggs.bucketCorrelation(s, "bucket", "count", Seq(1L, 2L, 3L)).collect())
+    assert(e.getMessage.contains("curve length"))
+    val e2 = intercept[Exception](
+      Aggs.bucketCountKsTest(s, "bucket", "count",
+        Seq(500000L, 300000L, 200000L)).collect())
+    assert(e2.getMessage.contains("curve length"))
+  }
+
+  test("bucketCountKsTest: zero distances on an exact match, one-sided asymmetry on a shifted one") {
+    // counts (10, 30, 60) over expected (10%, 30%, 60%) — ECDFs coincide
+    val exact = Seq((1, 10L), (2, 30L), (3, 60L)).toDF("bucket", "count")
+    val z = Aggs.bucketCountKsTest(exact, "bucket", "count",
+      Seq(100000L, 300000L, 600000L)).as[(Double, Double, Double)].head()
+    assert(z === ((0.0, 0.0, 0.0)))
+    // front-loaded actual vs uniform expected: actual ECDF runs ABOVE →
+    // greater > 0, less == 0, two_sided == greater
+    val front = Seq((1, 60L), (2, 30L), (3, 10L)).toDF("bucket", "count")
+    val (less, greater, two) = Aggs.bucketCountKsTest(front, "bucket", "count",
+      Seq(333334L, 333333L, 333333L)).as[(Double, Double, Double)].head()
+    assert(less === 0.0 && greater > 0.25 && two === greater)
+    // fractions must sum to exactly 1e6 ppm
+    intercept[IllegalArgumentException](
+      Aggs.bucketCountKsTest(front, "bucket", "count", Seq(1L, 2L)))
+  }
+
+  test("changePoint finds a constructed mean shift at the first bucket of the new regime") {
+    val series = Seq(
+      (1, 10L), (2, 10L), (3, 10L), (4, 50L), (5, 50L), (6, 50L),
+    ).toDF("bucket", "count")
+    val (cp, delta) = Aggs.changePoint(series, "bucket", "count")
+      .as[(Int, Double)].head()
+    assert(cp === 4)
+    assert(delta === 40.0) // |mean(10,10,10) − mean(50,50,50)|
+    // ties in delta resolve to the SMALLEST boundary bucket: a two-level
+    // symmetric series has equal deltas at k=1..3 only at the true split
+    val flat = Seq((1, 5L), (2, 5L), (3, 5L), (4, 5L)).toDF("bucket", "count")
+    val (cpFlat, dFlat) = Aggs.changePoint(flat, "bucket", "count")
+      .as[(Int, Double)].head()
+    assert(cpFlat === 2 && dFlat === 0.0)
+  }
 }

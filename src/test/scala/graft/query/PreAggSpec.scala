@@ -442,4 +442,120 @@ class PreAggSpec extends SparkSpecBase {
       assert(math.abs(u - 4000.0) / 4000.0 < 0.05, s"estimate $u vs 4000")
     }
   }
+
+  test("sum rollup: split increments merge to the whole; weighted mean, centroid, and matrix stats serve exactly") {
+    val rows = Seq(
+      ("A", 12.34, 3L, 10.5, 20.25), ("A", 56.78, 1L, -5.125, 30.0),
+      ("B", 9.99, 2L, 2.5, -8.75), ("A", 100.01, 4L, 7.25, 1.5),
+      ("B", 0.07, 5L, -1.0, 2.0))
+      .toDF("k", "v", "w", "lat", "lon")
+    def inc(df: org.apache.spark.sql.DataFrame) =
+      PreAgg.incrementWithSums(df,
+        Seq[(String, org.apache.spark.sql.Column)]("k" -> col("k")),
+        Seq("swv_sum" -> (floor(col("v") * 100).cast("long") * col("w")),
+          "w_sum" -> col("w"),
+          "slat_sum" -> floor(col("lat") * 1000000).cast("long"),
+          "slon_sum" -> floor(col("lon") * 1000000).cast("long")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val merged = PreAgg.mergeSums(
+      inc(rows.where(col("w") % 2 === 0)), inc(rows.where(col("w") % 2 === 1)))
+    assert(canon(merged.orderBy("k")) === canon(inc(rows).orderBy("k")))
+    // served statistics equal the scan twins bit-for-bit
+    assert(canon(PreAgg.weightedAvg(merged))
+      === canon(Aggs.weightedAvg(rows, col("v"), col("w"))))
+    assert(canon(PreAgg.geoCentroid(merged, "k"))
+      === canon(Aggs.geoCentroid(rows, "k", "lat", "lon")))
+    // matrix stats over (lat, lon) through a cents-moment sum rollup
+    val fields = Seq("lat", "lon")
+    val cents = fields.map(f => f -> floor(col(f) * 100).cast("long")).toMap
+    val mPre = PreAgg.incrementWithSums(rows,
+      Seq[(String, org.apache.spark.sql.Column)]("k" -> col("k")),
+      fields.map(f => s"s_${f}_sum" -> cents(f)) ++
+        Seq("p_lat_lat_sum" -> (cents("lat") * cents("lat")),
+          "p_lat_lon_sum" -> (cents("lat") * cents("lon")),
+          "p_lon_lon_sum" -> (cents("lon") * cents("lon"))))
+    assert(canon(PreAgg.matrixStats(mPre, fields))
+      === canon(Aggs.matrixStats(rows, fields)))
+    // measure names must wear the merge suffix
+    intercept[IllegalArgumentException] {
+      PreAgg.incrementWithSums(rows,
+        Seq[(String, org.apache.spark.sql.Column)]("k" -> col("k")),
+        Seq("swv" -> col("w")))
+    }
+  }
+
+  test("stringStats from length+char rollups equals the scan, including the entropy fold") {
+    val docs = Seq("abcabc", "xyz", "aab", "", "zz").toDF("text")
+      .where(col("text").isNotNull)
+    val lenPre = PreAgg.increment(docs, Seq("len" -> length(col("text"))))
+    val charPre = PreAgg.increment(
+      docs.select(explode(split(col("text"), "")).as("ch"))
+        .where(length(col("ch")) > 0),
+      Seq("ch" -> col("ch")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.stringStats(lenPre, charPre))
+      === canon(Aggs.stringStats(docs, "text")))
+  }
+
+  test("dateRange serves from the hour rollup iff every boundary is on an ingest edge") {
+    val ev = Seq(
+      ts("2024-01-09 23:59:59"), ts("2024-01-10 00:00:00"),
+      ts("2024-01-15 12:30:00"), ts("2024-01-20 00:00:01"))
+      .map(Tuple1(_)).toDF("t")
+    val ranges = Seq[(Option[String], Option[String])](
+      (None, Some("2024-01-10")),
+      (Some("2024-01-10"), Some("2024-01-20")),
+      (Some("2024-01-20"), None))
+    val pre = PreAgg.increment(ev, Seq("h" -> date_trunc("hour", col("t"))))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.dateRange(pre, "h", "hour", ranges))
+      === canon(Aggs.dateRangeBuckets(ev, "t", ranges)))
+    // a mid-hour boundary cannot commute with the hour-truncated dim
+    val e = intercept[IllegalArgumentException] {
+      PreAgg.dateRange(pre, "h", "hour",
+        Seq((Some("2024-01-10 12:30:00"), None)))
+    }
+    assert(e.getMessage.contains("corpus scan"))
+    // ...but it does commute with a minute-grain rollup
+    assert(PreAgg.coversDateBoundary("minute", "2024-01-10 12:30:00"))
+    assert(!PreAgg.coversDateBoundary("day", "2024-01-10 12:00:00"))
+  }
+
+  test("cumulativeCardinality serves from date + first-seen rollups, batch-order free") {
+    val ev = Seq(
+      ("u1", ts("2024-01-01 05:00:00")), ("u2", ts("2024-01-01 06:00:00")),
+      ("u1", ts("2024-01-02 05:00:00")),
+      ("u3", ts("2024-01-03 05:00:00")), ("u1", ts("2024-01-03 06:00:00")))
+      .toDF("user", "t")
+    def datePre(df: org.apache.spark.sql.DataFrame) =
+      PreAgg.increment(df, Seq("h" -> date_trunc("hour", col("t"))))
+    def seenPre(df: org.apache.spark.sql.DataFrame) =
+      PreAgg.incrementWithExtremes(df,
+        Seq[(String, org.apache.spark.sql.Column)]("user" -> col("user")),
+        mins = Seq("fb_min" -> date_trunc("day", col("t"))), maxs = Nil)
+    // split so u1's FIRST appearance arrives in the SECOND batch: the min
+    // measure must still converge to the true first-seen day
+    val b1 = ev.where(col("t") >= ts("2024-01-02 00:00:00"))
+    val b2 = ev.where(col("t") < ts("2024-01-02 00:00:00"))
+    val served = PreAgg.cumulativeCardinality(
+      PreAgg.dateHistogram(PreAgg.merge(datePre(b1), datePre(b2)), "h", "hour", "day"),
+      PreAgg.mergeExtremes(seenPre(b1), seenPre(b2)), "fb_min")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(canon(served) === canon(Aggs.cumulativeCardinality(ev, "t", "user")))
+  }
+
+  test("ipPrefix serves coarser prefixes from a masked rollup, never deeper") {
+    val quads = Seq("10.1.2.3", "10.1.2.200", "10.1.7.4", "10.9.0.1", "bogus")
+      .map(Tuple1(_)).toDF("ip")
+    val ipl = Aggs.ipToLong(col("ip"))
+    val pre = PreAgg.increment(quads.where(ipl.isNotNull),
+      Seq("ipb" -> shiftleft(shiftright(ipl, 8), 8)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    for (len <- Seq(24, 16, 8))
+      assert(canon(PreAgg.ipPrefix(pre, "ipb", 24, len))
+        === canon(Aggs.ipPrefixBuckets(quads, "ip", len)), s"/$len")
+    val e = intercept[IllegalArgumentException](
+      PreAgg.ipPrefix(pre, "ipb", 24, 32))
+    assert(e.getMessage.contains("corpus scan"))
+  }
 }
