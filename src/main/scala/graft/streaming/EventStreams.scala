@@ -512,6 +512,43 @@ object EventStreams {
       inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
   }
 
+  /** [[maintainRollup]] for the SUM-MEASURE rollup flavor
+    * ([[graft.query.PreAgg.incrementWithSums]]): exact LONG sum measures
+    * beside the count — the moments layer behind the weighted_avg /
+    * geo_centroid / matrix_stats / string_stats serves. Unlike the
+    * extremes, a replayed epoch WOULD inflate a sum, so the per-(combo,
+    * epoch) dedup in [[sumRollupFromIncrements]] is load-bearing for
+    * every measure here, not just the count.
+    */
+  def maintainSumRollup(
+      events: DataFrame,
+      dims: Seq[(String, Column)],
+      sums: Seq[(String, Column)],
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.query.PreAgg.incrementWithSums(batch, dims, sums)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The serving sum-measure rollup implied by [[maintainSumRollup]]'s
+    * increments — per-combo epoch dedup (exactly the replays, see
+    * [[rollupFromIncrements]]), then [[graft.query.PreAgg.mergeSums]].
+    */
+  def sumRollupFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame = {
+    val inc = spark.read.parquet(incrementPath)
+    val dims = inc.columns.filter(c => c != graft.query.PreAgg.CntCol &&
+      c != "inc_batch_id" && !c.endsWith(graft.query.PreAgg.SumSuffix))
+    graft.query.PreAgg.mergeSums(
+      inc.dropDuplicates(dims :+ "inc_batch_id").drop("inc_batch_id"))
+  }
+
   /** Maintain the boilerplate gram-df statistics from a DOCUMENT stream —
     * the corpus-fraction threshold needs corpus-wide document frequencies,
     * which are sum-mergeable: each batch appends `(gram, df)` counts plus

@@ -365,6 +365,41 @@ class EventStreamsSpec extends SparkSpecBase {
       .collect().toSeq === scan.collect().toSeq)
   }
 
+  test("streamed sum rollup serves weighted_avg equal to the scan; replay cannot inflate the sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, floor}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sum").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.maintainSumRollup(
+      mem.toDS().toDF().where(col("value").isNotNull && col("user_id").isNotNull),
+      Seq("event_type" -> col("event_type")),
+      Seq("swv_sum" -> (floor(col("value") * 100).cast("long") *
+          col("user_id").cast("long")),
+        "w_sum" -> col("user_id")),
+      incPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(ev(1, 0, 2, 2.25), ev(2, 5, 3, 9.5), ev(3, 10, 1, 4.0),
+      ev(4, 20, 4, 1.75))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val scan = graft.query.Aggs.weightedAvg(all.toDS().toDF(),
+      col("value"), col("user_id")).collect().toSeq
+    def served() = graft.query.PreAgg.weightedAvg(
+      EventStreams.sumRollupFromIncrements(spark, incPath)).collect().toSeq
+    assert(served() === scan)
+    // replayed epoch: the per-(combo, epoch) dedup is load-bearing here —
+    // a sum, unlike an extreme, would inflate if the replay survived
+    val replay = spark.read.parquet(incPath)
+      .where(org.apache.spark.sql.functions.col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(served() === scan)
+  }
+
   test("streamed span-gram counts: batch removal against state equals the whole-corpus cut") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_spans").toFile
