@@ -2391,6 +2391,24 @@ object SparkEntry {
         fraction = 0.5)
     }),
 
+    "g_random_sampler" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES random_sampler: the terms agg over a deterministic 1-in-4
+      // hash-sample with counts scaled back by 1/p — the dashboard
+      // accuracy-for-speed trade, reproducible on any cluster.
+      Aggs.randomSamplerTerms(load(dir, "documents"), "doc_id", "lang",
+        probability = 0.25)
+    }),
+
+    "g_significant_text" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES significant_text with filter_duplicate_text: exact duplicate
+      // (text, slice) rows collapse before the JLH scoring so mirrored
+      // boilerplate cannot dominate the zh slice's signature tokens.
+      Aggs.significantText(load(dir, "documents"), col("text"),
+        col("lang") === "zh", ops.Dedup.tokens, n = 15)
+    }),
+
     "g_diversified_sampler" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES diversified_sampler ≡ the per-domain cap of published corpus
@@ -3025,6 +3043,26 @@ object SparkEntry {
       val pre = query.PreAgg.increment(loadEvents(dir),
         Seq("value" -> col("value")))
       query.PreAgg.numericHistogram(pre, "value", 50.0)
+    }),
+
+    "g_variable_width_histogram" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES variable_width_histogram, the deterministic gap-cluster form
+      // (documented delta vs ES's order-dependent centroid merging):
+      // clusters split where ordered cents values gap by > 50; the
+      // window runs over the distinct-value table, never the corpus.
+      Aggs.variableWidthHistogram(loadEvents(dir), "value", gapCents = 50L)
+    }),
+
+    "g_variable_width_histogram_preagg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The same clusters from the at-rest cents rollup: the kernel's
+      // input IS a (v, cnt) value table, counts are sum-mergeable, so
+      // the serve is corpus-scan-free (shared oracle with the scan).
+      val pre = query.PreAgg.increment(
+        loadEvents(dir).where(col("value").isNotNull),
+        Seq("v" -> floor(col("value") * 100).cast("long")))
+      query.PreAgg.variableWidthHistogram(pre, "v", gapCents = 50L)
     }),
 
     "g_range_buckets" -> ((s, dir) => {
@@ -4720,6 +4758,28 @@ object SparkEntry {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // Gap-cluster variable-width histogram restated: identical cents
+  // quantization, identical lag-gap flag, identical running-sum cluster
+  // ids, identical centroid division tree — shared by the scan and the
+  // rollup serve (the rollup's merged increments ARE this value table).
+  private val variableWidthOracleSql =
+    """WITH v AS (
+      |  SELECT floor(value * 100)::BIGINT AS v, count(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), g AS (
+      |  SELECT v, cnt,
+      |    CASE WHEN v - lag(v) OVER (ORDER BY v) > 50 THEN 1 ELSE 0 END AS nw
+      |  FROM v
+      |), c AS (
+      |  SELECT v, cnt, sum(nw) OVER (
+      |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+      |  FROM g
+      |)
+      |SELECT (sum(v * cnt)::DOUBLE / sum(cnt)) / 100.0 AS key,
+      |  min(v) / 100.0 AS min, max(v) / 100.0 AS max,
+      |  sum(cnt)::BIGINT AS count
+      |FROM c GROUP BY cl ORDER BY min""".stripMargin
+
   private val percentilesOracleSql =
     """SELECT event_type, count(*)::BIGINT AS count,
       |  quantile_cont(value, 0.25) AS p25,
@@ -5489,6 +5549,15 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY count DESC, lang LIMIT 10""".stripMargin
     },
 
+    // random_sampler: the same deterministic hash sample, counts scaled
+    // back by 1/p with the identical division + half-up round.
+    "g_random_sampler" -> {
+      val u = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""SELECT lang, round(count(*) / 0.25)::BIGINT AS count
+         |FROM documents WHERE $u < 0.25
+         |GROUP BY 1 ORDER BY count DESC, lang LIMIT 10""".stripMargin
+    },
+
     "g_diversified_sampler" -> {
       val u = ops.Sampling.hashUnitSql("doc_id", 42)
       s"""WITH r AS (
@@ -5796,6 +5865,11 @@ object SparkEntry {
     // twin (quantization commutes with the rollup).
     "g_histogram" -> histogramOracleSql,
     "g_histogram_preagg" -> histogramOracleSql,
+
+    // Gap-cluster variable-width histogram — scan and rollup serve share
+    // the restatement (the rollup's merged increments ARE the value table).
+    "g_variable_width_histogram" -> variableWidthOracleSql,
+    "g_variable_width_histogram_preagg" -> variableWidthOracleSql,
 
     // Range buckets generated from the SAME esRanges the engine buckets
     // by, so the "from-to" keys are literally shared.
@@ -6238,6 +6312,28 @@ object SparkEntry {
       s"""WITH base AS (
          |  SELECT list_distinct($duckToks) AS terms, (lang = 'zh') AS fg
          |  FROM documents
+         |), tot AS (
+         |  SELECT count(*) AS bgt,
+         |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fgt FROM base
+         |), e AS (SELECT unnest(terms) AS term, fg FROM base),
+         |c AS (
+         |  SELECT term, count(*) AS bg_count,
+         |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count
+         |  FROM e GROUP BY term
+         |)
+         |SELECT term, fg_count, bg_count,
+         |  (fg_count::DOUBLE / fgt - bg_count::DOUBLE / bgt)
+         |    * ((fg_count::DOUBLE / fgt) / (bg_count::DOUBLE / bgt)) AS score
+         |FROM c, tot WHERE fg_count > 0
+         |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
+
+    // significant_text = the same JLH chain over the duplicate-collapsed
+    // frame: each distinct (text, slice-membership) combination counts
+    // once (the deterministic filter_duplicate_text contract).
+    "g_significant_text" ->
+      s"""WITH base AS (
+         |  SELECT list_distinct($duckToks) AS terms, fg FROM (
+         |    SELECT DISTINCT text, (lang = 'zh') AS fg FROM documents)
          |), tot AS (
          |  SELECT count(*) AS bgt,
          |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fgt FROM base

@@ -332,6 +332,78 @@ object Aggs {
       .orderBy(asc("bucket"))
   }
 
+  /** ES `variable_width_histogram`, made deterministic: buckets form
+    * wherever the ORDERED distinct values leave a gap wider than
+    * `gapCents` (values integer-quantized to cents, the
+    * [[extendedStats]] discipline, so the clustering predicate is pure
+    * LONG arithmetic). ES's own agg is explicitly approximate and
+    * collection-order-dependent (it nearest-merges centroids per shard);
+    * this repo trades its `buckets`-count knob for a gap threshold —
+    * the same 1-D clusters where they are well-separated, but
+    * REPRODUCIBLE on any cluster at any parallelism, and restatable
+    * cross-engine (documented delta). Emits ES's response fields: `key`
+    * (the centroid), `min`, `max`, `count`, clusters ascending.
+    *
+    * Scale shape: one map-side-combined exchange builds the distinct
+    * cents-value table; the gap scan is a window over THAT table (value-
+    * domain-bounded, corpus-size-free), self-guarded by `maxDistinct`
+    * exactly like [[nestedBucketsFromPairs]] — a column whose distinct
+    * cents outgrow one task's frame wants a coarser quantization, not a
+    * silent spill cliff. The value table is a count rollup, so the
+    * at-rest serve ([[PreAgg.variableWidthHistogram]]) re-runs the
+    * identical kernel over merged increments — shared oracle.
+    */
+  def variableWidthHistogram(
+      df: DataFrame, field: String, gapCents: Long,
+      maxDistinct: Int = 100000): DataFrame = {
+    require(gapCents >= 1, s"gapCents must be >= 1, got $gapCents")
+    variableWidthFromValueTable(
+      df.where(col(field).isNotNull)
+        .groupBy(floor(col(field) * 100).cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt")),
+      gapCents, maxDistinct)
+  }
+
+  /** The gap-cluster kernel behind [[variableWidthHistogram]], over any
+    * `(v: LONG cents, cnt)` value table — a fresh corpus aggregation or a
+    * merged at-rest rollup. A cluster starts at every value whose gap to
+    * its predecessor exceeds `gapCents`; per cluster the count-weighted
+    * centroid `(Σ v·cnt / Σ cnt) / 100` is one exact-LONG fold and one
+    * division. The single-task window is self-guarded in-plan (see
+    * [[nestedBucketsFromPairs]] — referenced from the WHERE so pruning
+    * cannot drop it).
+    */
+  private[query] def variableWidthFromValueTable(
+      vals: DataFrame, gapCents: Long, maxDistinct: Int): DataFrame = {
+    val ordered = Window.orderBy(col("v"))
+    val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totalVals = count(lit(1)).over(
+      ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val guard = when(totalVals > maxDistinct,
+      raise_error(concat(
+        lit("variableWidthHistogram: "), totalVals.cast("string"),
+        lit(s" distinct cents values exceed maxDistinct=$maxDistinct — " +
+          "the gap scan windows the value table through one task; " +
+          "quantize coarser (a pre-floor on the column) before clustering")))
+        .cast("boolean")).otherwise(lit(true))
+    vals
+      .withColumn("_new",
+        when(col("v") - lag(col("v"), 1).over(ordered) > gapCents, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("_cl", sum(col("_new")).over(run))
+      .withColumn("_bound_ok", guard)
+      .where(col("_bound_ok"))
+      .groupBy(col("_cl"))
+      .agg(
+        ((sum(col("v") * col("cnt")).cast("double") / sum(col("cnt"))) / 100.0)
+          .as("key"),
+        (min(col("v")) / 100.0).as("min"),
+        (max(col("v")) / 100.0).as("max"),
+        sum(col("cnt")).as("count"))
+      .select(col("key"), col("min"), col("max"), col("count"))
+      .orderBy(asc("min"))
+  }
+
   /** ES `range` bucket agg: arbitrary half-open `[from, to)` buckets
     * (from inclusive, to exclusive, either side open), keyed `from-to`
     * with `*` for an open side, exactly ES's bucket keys. Ranges may
@@ -722,6 +794,28 @@ object Aggs {
       fraction: Double, n: Int = 10, seed: Int = 42): DataFrame =
     termsTopN(graft.ops.Sampling.hashSample(df, keyCol, fraction, seed), field, n)
 
+  /** ES `random_sampler` agg (the probabilistic-sampling wrapper ES added
+    * for dashboards over huge indices): the inner aggregation runs over a
+    * `probability` sample and every count is scaled back by `1/p`, so the
+    * buckets ESTIMATE the full corpus — the explicit accuracy-for-speed
+    * trade, here with [[graft.ops.Sampling.hashSample]]'s seeded
+    * deterministic sample instead of ES's per-shard RNG (same documents
+    * on any cluster at any parallelism; reproducible, restatable
+    * cross-engine). Scaled count = `round(count / p)` — the one division
+    * and half-up round are IEEE-identical cross-engine.
+    */
+  def randomSamplerTerms(
+      df: DataFrame, keyCol: String, field: String,
+      probability: Double, n: Int = 10, seed: Int = 42): DataFrame = {
+    require(probability > 0 && probability <= 1,
+      s"probability must be in (0,1], got $probability")
+    graft.ops.Sampling.hashSample(df, keyCol, probability, seed)
+      .groupBy(col(field))
+      .agg(round(count(lit(1)) / probability, 0).cast("long").as("count"))
+      .orderBy(desc("count"), asc(field))
+      .limit(n)
+  }
+
   /** ES `diversified_sampler`: at most `maxPerValue` documents per
     * diversity value feed the inner aggregation — de-biasing a terms agg
     * from a dominant source. Selection is the seeded `(hashUnit(key),
@@ -836,6 +930,31 @@ object Aggs {
       .orderBy(desc("score"), asc("term"))
       .select("term", "fg_count", "bg_count", "score")
       .limit(n)
+  }
+
+  /** ES `significant_text` — [[significantTerms]] re-analyzing raw text
+    * on the fly, with the agg's signature `filter_duplicate_text`
+    * de-noising: boilerplate copied across many documents (syndicated
+    * articles, mirrored pages) would otherwise dominate every slice's
+    * "significant" tokens. ES filters near-duplicate token SEQUENCES
+    * per shard (order-dependent, approximate); this repo's deterministic
+    * contract counts each distinct `(text, foreground)` combination once
+    * — exact duplicate collapse, cluster-reproducible, restatable
+    * cross-engine (documented delta; the near-dup generalization is the
+    * MinHash/SimHash dedup family upstream in [[graft.ops.Dedup]], which
+    * a pipeline runs BEFORE analytics anyway). The significance kernel,
+    * scoring, and tiebreaks are [[significantTerms]]'s own.
+    */
+  def significantText(
+      df: DataFrame,
+      textCol: Column,
+      foreground: Column,
+      tokens: Column => Column,
+      n: Int = 10,
+      filterDuplicateText: Boolean = true): DataFrame = {
+    val base = df.select(textCol.as("_text"), foreground.cast("boolean").as("_fg"))
+    val deduped = if (filterDuplicateText) base.distinct() else base
+    significantTerms(deduped, tokens(col("_text")), col("_fg"), n)
   }
 
   /** Web-Mercator latitude bound: tiles exist only inside ±85.0511°;

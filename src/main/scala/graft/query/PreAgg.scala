@@ -1135,6 +1135,26 @@ object PreAgg {
     Aggs.ipPrefixTopN(pre, ipDim, prefixLen, n, col(CntCol))
   }
 
+  /** [[Aggs.variableWidthHistogram]] from a rollup whose dimension `v` is
+    * the cents-quantized value (null values excluded at ingest, the
+    * scan's missing behavior): the gap-cluster kernel's input IS a
+    * `(v, cnt)` value table, and counts are sum-mergeable, so merged
+    * increments feed [[Aggs.variableWidthFromValueTable]] unchanged —
+    * identical clusters, centroids, and ordering, shared oracle. The
+    * whole clustering goes corpus-scan-free: |distinct cents| rollup
+    * rows at any corpus size.
+    */
+  def variableWidthHistogram(
+      pre: DataFrame, vDim: String, gapCents: Long,
+      maxDistinct: Int = 100000): DataFrame = {
+    require(pre.columns.contains(vDim),
+      s"value dimension '$vDim' is not a rollup dimension " +
+        s"(${pre.columns.mkString(", ")})")
+    Aggs.variableWidthFromValueTable(
+      pre.select(col(vDim).as("v"), col(CntCol).as("cnt")),
+      gapCents, maxDistinct)
+  }
+
   /** Build-once, serve-many: the at-rest rollup a 100 TB deployment writes
     * at ingest. Two serving representations, chosen by MEASURED size:
     *

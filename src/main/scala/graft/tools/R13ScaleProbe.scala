@@ -148,6 +148,35 @@ object R13ScaleProbe {
       })
     }
 
+    // ---- 2c. round-13 fourth batch: variable-width histogram ----
+    // The scan pays one corpus aggregation; the serve re-clusters the
+    // at-rest cents rollup (|distinct cents| rows — value-domain-bounded,
+    // corpus-size-free). The rollup build is the ingest side and is not
+    // the serve cost; both measured for the record.
+    for ((label, dir) <- Seq(("1x", "/root/testdata/sf0.1"), ("10x", "/tmp/graft_sf1"))
+        if sections("vwh")) {
+      val evPath =
+        if (label == "1x") "/root/testdata/sf0.1/events.parquet"
+        else "/tmp/graft_events_probe10/events.parquet" // newops construction
+      if (new java.io.File(evPath).exists()) {
+        val ev = spark.read.parquet(evPath)
+        ev.count()
+        emit(label, "vwh_scan", timeOp(repeats) {
+          graft.query.Aggs.variableWidthHistogram(ev, "value", 50L).count()
+        })
+        val rollPath = s"/tmp/graft_vwh_rollup_$label"
+        graft.query.PreAgg.increment(ev.where(col("value").isNotNull),
+            Seq("v" -> floor(col("value") * 100).cast("long")))
+          .write.mode("overwrite").parquet(rollPath)
+        val pre = spark.read.parquet(rollPath)
+        println(s"""{"probe":"r13_scale","scale":"$label","op":"vwh_rollup_rows",""" +
+          s""""corpus_rows":${ev.count()},"rollup_rows":${pre.count()}}""")
+        emit(label, "vwh_serve", timeOp(repeats) {
+          graft.query.PreAgg.variableWidthHistogram(pre, "v", 50L).count()
+        })
+      }
+    }
+
     // ---- 3. chunked vs unchunked rolling window on a skewed corpus ----
     // events twin replicated factor-fold with megaPct% of rows remapped to
     // ONE entity: the shape a mega-user (bot, ingestion artifact) produces

@@ -37,6 +37,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * list back toward empty.
     */
   private val newSinceLastArtifact: Set[String] = Set(
+    "g_variable_width_histogram", "g_variable_width_histogram_preagg",
+    "g_random_sampler", "g_significant_text",
     "g_weighted_avg_preagg", "g_geo_centroid_preagg", "g_matrix_stats_preagg",
     "g_string_stats_preagg", "g_date_range_preagg", "g_ip_prefix_preagg",
     "g_cumulative_cardinality", "g_bucket_correlation", "g_ks_test",

@@ -791,4 +791,58 @@ class AggsSpec extends SparkSpecBase {
       .as[(Int, Double)].head()
     assert(cpFlat === 2 && dFlat === 0.0)
   }
+
+  test("variableWidthHistogram clusters at gaps, weights centroids, guards the value table") {
+    // binary-exact quarters: cents 100,125,125,150 | 500 | 1000,1025 —
+    // gaps 350 and 500 split at >50
+    val df = Seq(1.0, 1.25, 1.25, 1.5, 5.0, 10.0, 10.25)
+      .toDF("value")
+    val out = Aggs.variableWidthHistogram(df, "value", gapCents = 50L)
+      .as[(Double, Double, Double, Long)].collect().toSeq
+    // centroid of cluster 1: (100 + 125·2 + 150)/4 = 125 cents = 1.25
+    assert(out === Seq(
+      (1.25, 1.0, 1.5, 4L), (5.0, 5.0, 5.0, 1L), (10.125, 10.0, 10.25, 2L)))
+    // the single-task window refuses loudly past maxDistinct
+    val wide = (1 to 40).map(_.toDouble).toDF("value")
+    val e = intercept[Exception](
+      Aggs.variableWidthHistogram(wide, "value", 50L, maxDistinct = 10).collect())
+    assert(e.getMessage.contains("maxDistinct"))
+  }
+
+  test("randomSamplerTerms scales sampled counts back by 1/p deterministically") {
+    val docs = (1 to 400).map(i => (s"d$i", if (i % 4 == 0) "fr" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Aggs.randomSamplerTerms(docs, "doc_id", "lang", probability = 0.5)
+      .as[(String, Long)].collect().toMap
+    val sampled = graft.ops.Sampling.hashSample(docs, "doc_id", 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(out === sampled.map { case (k, v) => k -> math.round(v / 0.5) })
+    // rerun identical: the sample is the seeded hash, not an RNG
+    assert(Aggs.randomSamplerTerms(docs, "doc_id", "lang", 0.5)
+      .as[(String, Long)].collect().toMap === out)
+  }
+
+  test("significantText collapses duplicate (text, slice) rows before scoring") {
+    val docs = Seq(
+      ("syndicated boilerplate card", "en"), ("syndicated boilerplate card", "en"),
+      ("syndicated boilerplate card", "en"), ("unique meaning here", "en"),
+      ("syndicated boilerplate card", "zh"), ("characteristic token", "zh"),
+    ).toDF("text", "lang")
+    val out = Aggs.significantText(docs, col("text"), col("lang") === "zh",
+      graft.ops.Dedup.tokens, n = 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // deduped frame: 4 rows (boilerplate collapses per slice), fg total 2
+    // "characteristic"/"token": fg 1/1, bg 1/4 → (0.5−0.25)·(0.5/0.25) = 0.5
+    val top = out.filter(r => r._1 == "characteristic" || r._1 == "token")
+    assert(top.map(_._2).toSet === Set(1L) && top.map(_._3).toSet === Set(1L))
+    assert(top.map(_._4).toSet === Set(0.5))
+    // boilerplate counts once per slice, not five times
+    val bp = out.find(_._1 == "boilerplate").get
+    assert(bp._2 === 1L && bp._3 === 2L)
+    // without the filter, raw doc frequencies drive the counts
+    val raw = Aggs.significantText(docs, col("text"), col("lang") === "zh",
+      graft.ops.Dedup.tokens, n = 10, filterDuplicateText = false)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(raw.find(_._1 == "boilerplate").get._3 === 4L)
+  }
 }

@@ -558,4 +558,20 @@ class PreAggSpec extends SparkSpecBase {
       PreAgg.ipPrefix(pre, "ipb", 24, 32))
     assert(e.getMessage.contains("corpus scan"))
   }
+
+  test("variableWidthHistogram serves from the cents rollup, split increments merged") {
+    val rows = Seq(1.0, 1.25, 1.25, 1.5, 5.0, 10.0, 10.25, 10.25)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    def inc(df: org.apache.spark.sql.DataFrame) =
+      PreAgg.increment(df.where(col("value").isNotNull),
+        Seq("v" -> floor(col("value") * 100).cast("long")))
+    val merged = PreAgg.merge(
+      inc(rows.where(col("id") % 2 === 0)), inc(rows.where(col("id") % 2 === 1)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    assert(canon(PreAgg.variableWidthHistogram(merged, "v", 50L))
+      === canon(Aggs.variableWidthHistogram(rows, "value", 50L)))
+    val e = intercept[IllegalArgumentException](
+      PreAgg.variableWidthHistogram(merged, "value", 50L))
+    assert(e.getMessage.contains("not a rollup dimension"))
+  }
 }
