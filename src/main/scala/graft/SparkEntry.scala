@@ -1835,6 +1835,99 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ===== query_string — the Kibana search bar (round-13 fifth batch) =====
+
+    "q_query_string" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The search-bar composite: field term + analyzed prefix + exact
+      // phrase under full boolean algebra — the grammar every reference
+      // dashboard ships in its searchSourceJSON (analyze_wildcard: true,
+      // kibana-exported-visualizations.json).
+      val spec = graft.query.QueryString.parse(
+        """lang:en AND (text:dup* OR text:"vector scan") AND NOT source:src1*""",
+        defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q_query_string_default" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Bare clauses hit the default field and adjacency is the default
+      // operator OR — Lucene's default_operator, exactly what a user
+      // typing two words into the search bar gets.
+      val spec = graft.query.QueryString.parse(
+        """dup "big vector"""", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q_query_string_analytics" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // exists + half-open range + NOT over the events stream: the
+      // webapp's own `dict_field:*` exists idiom (collections.js:79)
+      // against a derived nullable (view rows carry no conversion type —
+      // the g_missing construction).
+      val spec = graft.query.QueryString.parse(
+        "conv_type:* AND value:[10 TO 50} AND NOT event_type:error",
+        defaultField = "event_type")
+      loadEvents(dir)
+        .withColumn("conv_type", expr("nullif(event_type, 'view')"))
+        .where(spec.compile)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "q_fuzzy_match" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES fuzzy query through the search bar: `dupe~1` reaches the
+      // corpus term 'dup' at one edit. Scan form: per-row bounded
+      // levenshtein over analyzed tokens (classic distance — documented
+      // transpositions:false delta, Spark and DuckDB share it).
+      val spec = graft.query.QueryString.parse(
+        "text:dupe~1", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_fuzzy_match_indexed" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The 100 TB serve path: SymSpell deletion-neighborhood index over
+      // the vocabulary (Heaps-law-sized), probe + exact verify + one
+      // corpus semi-join — provably the scan twin's result set, so the
+      // oracle is shared.
+      graft.query.Fuzzy.fuzzyDocs(
+          load(dir, "documents"), "text", "dupe", maxEdits = 1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_phrase_slop" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Sloppy phrase via the search bar: tokens in order within slop
+      // extra positions (ordered form — documented delta vs Lucene's
+      // transposition-tolerant moves metric). Positions and the chain
+      // check are higher-order Column algebra — no UDF, row-local.
+      val spec = graft.query.QueryString.parse(
+        """text:"spark scan"~2""", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_wildcard" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES term-level wildcard (embedded ? defeats analyze_wildcard's
+      // prefix fast path): raw keyword field, LIKE-translated — both
+      // engines share the operator.
+      val spec = graft.query.QueryString.parse(
+        "source:s?c1*", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
     "w_dict_driven_query" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The system's data-driven core, end to end (SURVEY.md §3.2): profile
@@ -5411,6 +5504,78 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
         |  AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // ===== query_string oracles: each clause restated with the SAME
+    // analyzed-containment constructions the engine compiles to =====
+
+    "q_query_string" -> {
+      import graft.expr.TextMatch.{containsTokenSql, phrasePrefixSql}
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${containsTokenSql("lang", "en")}
+         |  AND (${phrasePrefixSql("text", "dup")}
+         |       OR ${containsTokenSql("text", "vector scan")})
+         |  AND NOT ${phrasePrefixSql("source", "src1")}
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_query_string_default" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      s"""SELECT count(*) AS n FROM documents
+         |WHERE ${containsTokenSql("text", "dup")}
+         |   OR ${containsTokenSql("text", "big vector")}""".stripMargin
+    },
+
+    "q_query_string_analytics" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      s"""SELECT event_type, count(*) AS n FROM events
+         |WHERE nullif(event_type, 'view') IS NOT NULL
+         |  AND value >= 10 AND value < 50
+         |  AND NOT ${containsTokenSql("event_type", "error")}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    // Fuzzy: the same analyzed tokens, the same classic-Levenshtein
+    // threshold — list_filter + levenshtein is DuckDB's spelling of the
+    // engine's higher-order exists.
+    "q_fuzzy_match" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> levenshtein(t, 'dupe') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // The SymSpell index path returns provably the same documents — the
+    // candidate superset is closed under the deletion lemma and the
+    // levenshtein verify makes it exact — so the oracle is shared.
+    "q_fuzzy_match_indexed" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> levenshtein(t, 'dupe') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Sloppy phrase: positions from the identical token stream, the same
+    // ordered constraint p2 > p1 AND p2 - p1 - 1 <= slop.
+    "q_phrase_slop" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, u.i AS p1 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |), b AS (
+        |  SELECT doc_id, u.i AS p2 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM a JOIN b USING (doc_id) JOIN t USING (doc_id)
+        |WHERE p2 > p1 AND p2 - p1 - 1 <= 2
+        |ORDER BY doc_id""".stripMargin,
+
+    // Wildcard: the identical LIKE translation (* -> %, ? -> _).
+    "q_wildcard" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE source LIKE 's_c1%'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "g1_count" -> "SELECT count(*) AS count FROM lineitem",
 

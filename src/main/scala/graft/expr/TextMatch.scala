@@ -73,6 +73,19 @@ object TextMatch {
     }
   }
 
+  /** DuckDB SQL for [[containsToken]] — whole-token (or whole contiguous
+    * token sequence) containment; the oracle twin of the query_string
+    * `field:term` and `field:"a b"` clauses.
+    */
+  def containsTokenSql(column: String, token: String): String = {
+    val toks = analyze(token)
+    if (toks.isEmpty) "TRUE"
+    else {
+      val needle = (" " + toks.mkString(" ") + " ").replace("'", "''")
+      s"position('$needle' in ' ' || regexp_replace(lower($column), '[^a-z0-9]+', ' ', 'g') || ' ') > 0"
+    }
+  }
+
   // ===== Unicode analyzer (the ES standard-analyzer delta, SURVEY §7.4) ==
   //
   // The ASCII analyzer above shears multilingual text: "don't" splits at

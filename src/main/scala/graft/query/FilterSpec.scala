@@ -110,6 +110,207 @@ object FilterSpec {
     def fields: Seq[String] = specs.flatMap(_.fields).distinct
   }
 
+  // ===== query_string nodes (round-13 fifth batch) =====
+  //
+  // The Kibana search bar issues Lucene `query_string` queries — the
+  // reference's own saved dashboards carry `query_string` +
+  // `analyze_wildcard: true` in every searchSourceJSON
+  // (`notebooks/kibana-content/kibana-exported-visualizations.json`), and
+  // the webapp itself queries `dict_field:*` (`collections.js:79`). The
+  // nodes below complete the predicate algebra that grammar compiles to
+  // ([[QueryString.parse]]); analyzed matching runs the documented ASCII
+  // analyzer (SURVEY §7.4) via [[graft.expr.TextMatch]].
+
+  /** Disjunction — `bool.should` with `minimum_should_match: 1`. */
+  final case class Or(specs: Seq[FilterSpec]) extends FilterSpec {
+    require(specs.nonEmpty, "Or of zero clauses")
+    def compile: Column = specs.map(_.compile).reduce(_ || _)
+    def render: String = specs.map(_.render).mkString("(", " OR ", ")")
+    def fields: Seq[String] = specs.flatMap(_.fields).distinct
+  }
+
+  /** Negation — `bool.must_not`. Lucene semantics: a document matches iff
+    * the inner clause does NOT (nulls in the inner predicate count as
+    * non-matching, hence match here — the `coalesce` keeps three-valued
+    * SQL logic from silently dropping null rows ES would return).
+    */
+  final case class Not(spec: FilterSpec) extends FilterSpec {
+    def compile: Column = !coalesce(spec.compile, lit(false))
+    def render: String = s"NOT ${spec.render}"
+    def fields: Seq[String] = spec.fields
+  }
+
+  /** Analyzed single-term match — ES `match` with a one-term query (the
+    * query_string bare `field:term` clause): the term appears as a
+    * complete token of the analyzed field.
+    */
+  final case class TermMatch(field: String, term: String) extends FilterSpec {
+    def compile: Column = TextMatch.containsToken(col(field), term)
+    def render: String = s"${escName(field)}:$term"
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Analyzed token-prefix match — a trailing-`*` term under Kibana's
+    * `analyze_wildcard: true` (the reference's own searchSourceJSON
+    * setting): some token of the analyzed field starts with `prefix`.
+    */
+  final case class AnalyzedPrefix(field: String, prefix: String) extends FilterSpec {
+    def compile: Column = TextMatch.phrasePrefix(col(field), prefix)
+    def render: String = s"${escName(field)}:$prefix*"
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Exact analyzed phrase — `field:"a b"`: the tokens appear contiguously
+    * and completely (the [[PhrasePrefix]] construction with the final
+    * token whole).
+    */
+  final case class Phrase(field: String, phrase: String) extends FilterSpec {
+    def compile: Column = {
+      val toks = TextMatch.analyze(phrase)
+      if (toks.isEmpty) lit(true)
+      else TextMatch.containsToken(col(field), toks.mkString(" "))
+    }
+    def render: String = s"""${escName(field)}:"$phrase""""
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Sloppy phrase — `field:"a b"~N`: the query tokens appear IN ORDER
+    * with at most `slop` extra positions between first and last
+    * (`p_last − p_first − (n−1) ≤ slop`). Documented delta vs Lucene's
+    * sloppy-phrase "moves" metric: Lucene also matches out-of-order
+    * arrangements at cost 2 per transposition; this form is
+    * order-preserving only — deterministic, restatable cross-engine, and
+    * the common case (users widen a phrase, they don't reverse it).
+    *
+    * Mechanics: token-position lists per query term via higher-order
+    * `filter`/`transform` (codegen'd, no UDF), then a nested-`exists`
+    * chain — each successive term strictly after the previous, the last
+    * within the slop bound of the first. Row-local work bounded by
+    * `Π |positions(tᵢ)|` in the worst case, in practice tiny (query
+    * terms are few and text positions short-circuit).
+    */
+  final case class PhraseSlop(field: String, phrase: String, slop: Int) extends FilterSpec {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    def compile: Column = {
+      val terms = TextMatch.analyze(phrase)
+      if (terms.isEmpty) lit(true)
+      else if (terms.size == 1) TermMatch(field, terms.head).compile
+      else {
+        val toks = split(trim(TextMatch.normalized(col(field))), " ")
+        def positions(t: String): Column =
+          filter(
+            transform(toks, (x, i) => when(x === t, i).otherwise(lit(-1))),
+            p => p >= 0)
+        // exists p1 < p2 < … < pn with pn ≤ p1 + (n-1) + slop
+        def chain(rest: Seq[String], prev: Column, first: Column): Column =
+          rest match {
+            case Seq() => lit(true)
+            case t +: tail =>
+              exists(positions(t), p =>
+                p > prev &&
+                  (if (tail.isEmpty)
+                     p - first - lit(terms.size - 1) <= slop
+                   else lit(true)) &&
+                  chain(tail, p, first))
+          }
+        exists(positions(terms.head), p1 => chain(terms.tail, p1, p1))
+      }
+    }
+    def render: String = s"""${escName(field)}:"$phrase"~$slop"""
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Fuzzy term — `field:term~N` (ES `fuzzy` / `match` with `fuzziness`):
+    * some analyzed token within Levenshtein distance `maxEdits` of the
+    * term, the first `prefixLength` characters matching exactly (ES's
+    * own recall/cost knob). Documented delta: classic Levenshtein, not
+    * ES's default Damerau transpositions (Spark ships only the former;
+    * `transpositions:false` in ES terms). Scan form is a per-row
+    * higher-order `exists` with Spark's threshold-bounded `levenshtein`;
+    * the 100 TB path is the SymSpell deletion-neighborhood index
+    * ([[Fuzzy]]) whose results are provably identical.
+    */
+  final case class FuzzyTerm(
+      field: String, term: String, maxEdits: Int,
+      prefixLength: Int = 0) extends FilterSpec {
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"maxEdits must be 0..2 (the Lucene bound), got $maxEdits")
+    require(prefixLength >= 0, s"prefixLength must be >= 0, got $prefixLength")
+    def compile: Column = {
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      val q = term.toLowerCase
+      exists(toks, t =>
+        length(t) > 0 &&
+          (if (prefixLength > 0)
+             substring(t, 1, prefixLength) === q.take(prefixLength)
+           else lit(true)) &&
+          levenshtein(t, lit(q)) <= maxEdits)
+    }
+    def render: String = s"${escName(field)}:$term~$maxEdits"
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Term-level wildcard — ES `wildcard` query: runs on the RAW (keyword)
+    * field, case-sensitively, `*` = any run, `?` = one char. Compiles to
+    * a `LIKE` both engines share (`%`/`_`/`\` in the pattern are escaped
+    * first). The leading-wildcard scan cost caveat is ES's own.
+    */
+  final case class Wildcard(field: String, pattern: String) extends FilterSpec {
+    def compile: Column = col(field).like(Wildcard.toLike(pattern))
+    def render: String = s"${escName(field)}:$pattern"
+    def fields: Seq[String] = Seq(field)
+  }
+
+  object Wildcard {
+    /** `*`/`?` → `%`/`_` with pre-existing LIKE metacharacters escaped. */
+    def toLike(pattern: String): String =
+      pattern.flatMap {
+        case '*' => "%"
+        case '?' => "_"
+        case c @ ('%' | '_' | '\\') => "\\" + c
+        case c => c.toString
+      }
+  }
+
+  /** Field presence — `field:*` (ES `exists`; the webapp's own
+    * `query_string: {query: 'dict_field:*'}`, `collections.js:79`):
+    * the field is non-null.
+    */
+  final case class Exists(field: String) extends FilterSpec {
+    def compile: Column = col(field).isNotNull
+    def render: String = s"${escName(field)}:*"
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Bracketed term range — `field:[a TO b]` / `{a TO b}` (inclusive /
+    * exclusive ends, mixable; `*` opens a side). Values compare
+    * numerically when BOTH bounds parse as numbers, else lexically —
+    * query_string has no mapping to consult, so the literal decides
+    * (documented; ES resolves by field type).
+    */
+  final case class TermRange(
+      field: String,
+      lo: Option[String], hi: Option[String],
+      loInclusive: Boolean = true, hiInclusive: Boolean = true) extends FilterSpec {
+    private def isNum(s: String): Boolean =
+      scala.util.Try(s.toDouble).isSuccess
+    private val numeric = (lo ++ hi).nonEmpty && (lo ++ hi).forall(isNum)
+    private def bound(v: String): Column =
+      if (numeric) lit(v.toDouble) else lit(v)
+    private def side(v: Option[String], f: Column => Column): Column =
+      v.map(f.compose(bound)).getOrElse(lit(true))
+    def compile: Column = {
+      val c = if (numeric) col(field).cast("double") else col(field)
+      side(lo, b => if (loInclusive) c >= b else c > b) &&
+        side(hi, b => if (hiInclusive) c <= b else c < b)
+    }
+    def render: String = {
+      val (l, r) = (if (loInclusive) "[" else "{", if (hiInclusive) "]" else "}")
+      s"${escName(field)}:$l${lo.getOrElse("*")} TO ${hi.getOrElse("*")}$r"
+    }
+    def fields: Seq[String] = Seq(field)
+  }
+
   /** Build the conjunction the way the webapp does: empty widget list →
     * match_all, else bool-must of each widget's predicate.
     */

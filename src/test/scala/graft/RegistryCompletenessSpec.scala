@@ -37,6 +37,8 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     * list back toward empty.
     */
   private val newSinceLastArtifact: Set[String] = Set(
+    "q_query_string", "q_query_string_default", "q_query_string_analytics",
+    "q_fuzzy_match", "q_fuzzy_match_indexed", "q_phrase_slop", "q_wildcard",
     "g_variable_width_histogram", "g_variable_width_histogram_preagg",
     "g_random_sampler", "g_significant_text",
     "g_weighted_avg_preagg", "g_geo_centroid_preagg", "g_matrix_stats_preagg",

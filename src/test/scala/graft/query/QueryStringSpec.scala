@@ -1,0 +1,168 @@
+package graft.query
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The Kibana search bar: query_string grammar → FilterSpec compilation
+  * (round-13 fifth batch). Parser shape, precedence, clause semantics,
+  * the sloppy-phrase ordered contract, fuzzy matching, and the SymSpell
+  * deletion-index equivalence proof obligation.
+  */
+class QueryStringSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark batch scan table", "en", "src1", Some("a")),
+    (2L, "scan spark merge", "en", "src12", Some("b")),
+    (3L, "vector scan dup table", "fr", "web", None),
+    (4L, "spark row group filter scan", "zh", "s3", Some("c")),
+    (5L, "dup dupes duped", "en", "src2", None),
+  ).toDF("id", "text", "lang", "source", "opt")
+
+  private def ids(spec: FilterSpec): Seq[Long] =
+    docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+
+  private def parse(q: String): FilterSpec =
+    QueryString.parse(q, defaultField = "text")
+
+  // ===== parser shape =====
+
+  test("precedence: NOT > AND > OR, adjacency is OR, parens group") {
+    // a AND b OR c == (a AND b) OR c
+    assert(parse("lang:en AND text:merge OR text:dup") ===
+      FilterSpec.Or(Seq(
+        FilterSpec.And(Seq(
+          FilterSpec.TermMatch("lang", "en"), FilterSpec.TermMatch("text", "merge"))),
+        FilterSpec.TermMatch("text", "dup"))))
+    // adjacency == OR (Lucene default_operator)
+    assert(parse("dup merge") ===
+      FilterSpec.Or(Seq(
+        FilterSpec.TermMatch("text", "dup"), FilterSpec.TermMatch("text", "merge"))))
+    // NOT binds to the immediately following clause
+    assert(parse("NOT lang:en AND text:scan") ===
+      FilterSpec.And(Seq(
+        FilterSpec.Not(FilterSpec.TermMatch("lang", "en")),
+        FilterSpec.TermMatch("text", "scan"))))
+    // parens override
+    assert(parse("lang:en AND (text:merge OR text:dup)") ===
+      FilterSpec.And(Seq(
+        FilterSpec.TermMatch("lang", "en"),
+        FilterSpec.Or(Seq(
+          FilterSpec.TermMatch("text", "merge"), FilterSpec.TermMatch("text", "dup"))))))
+  }
+
+  test("clause forms classify: term, prefix, wildcard, exists, range, fuzzy, phrase, slop") {
+    assert(parse("text:dup*") === FilterSpec.AnalyzedPrefix("text", "dup"))
+    assert(parse("source:s?c1*") === FilterSpec.Wildcard("source", "s?c1*"))
+    assert(parse("opt:*") === FilterSpec.Exists("opt"))
+    assert(parse("*") === FilterSpec.MatchAll)
+    assert(parse("id:[2 TO 4}") ===
+      FilterSpec.TermRange("id", Some("2"), Some("4"), loInclusive = true, hiInclusive = false))
+    assert(parse("id:[* TO 3]") ===
+      FilterSpec.TermRange("id", None, Some("3")))
+    assert(parse("text:dupe~1") === FilterSpec.FuzzyTerm("text", "dupe", 1))
+    assert(parse("text:dupe~") === FilterSpec.FuzzyTerm("text", "dupe", 2))
+    assert(parse("""text:"vector scan"""") === FilterSpec.Phrase("text", "vector scan"))
+    assert(parse("""text:"spark scan"~2""") === FilterSpec.PhraseSlop("text", "spark scan", 2))
+    assert(QueryString.parse("text:dup*", "text", analyzeWildcard = false) ===
+      FilterSpec.Wildcard("text", "dup*"))
+    assert(parse("") === FilterSpec.MatchAll)
+  }
+
+  test("unsupported syntax errors loudly instead of silently dropping") {
+    for (bad <- Seq("text:a^2", "/re.*gex/", "+must", "text:\"open", "id:[1 TO]", "a AND"))
+      intercept[IllegalArgumentException](parse(bad))
+  }
+
+  test("render round-trips the Lucene-ish display text") {
+    assert(parse("lang:en AND (text:merge OR text:dup)").render ===
+      "lang:en AND (text:merge OR text:dup)")
+    assert(parse("""NOT text:"spark scan"~2""").render === """NOT text:"spark scan"~2""")
+    assert(parse("id:[* TO 3]").render === "id:[* TO 3]")
+  }
+
+  // ===== compiled semantics =====
+
+  test("term / prefix / phrase / exists / wildcard / range compile correctly") {
+    assert(ids(parse("text:scan")) === Seq(1L, 2L, 3L, 4L))
+    assert(ids(parse("text:dup")) === Seq(3L, 5L)) // whole token, not substring
+    assert(ids(parse("text:dup*")) === Seq(3L, 5L)) // dup, dupes, duped
+    assert(ids(parse("""text:"vector scan"""")) === Seq(3L))
+    assert(ids(parse("opt:*")) === Seq(1L, 2L, 4L))
+    assert(ids(parse("source:src1*")) === Seq(1L, 2L)) // analyzed prefix
+    assert(ids(parse("source:s?c1*")) === Seq(1L, 2L)) // raw-field LIKE
+    assert(ids(parse("source:src?")) === Seq(1L, 5L)) // exactly one char
+    assert(ids(parse("id:[2 TO 4}")) === Seq(2L, 3L))
+    assert(ids(parse("id:{2 TO *]")) === Seq(3L, 4L, 5L))
+    // non-numeric bounds compare lexically
+    assert(ids(parse("source:[src1 TO src2]")) === Seq(1L, 2L, 5L))
+  }
+
+  test("NOT matches null-valued rows (Lucene must_not semantics, not SQL three-valued)") {
+    assert(ids(parse("NOT opt:a")) === Seq(2L, 3L, 4L, 5L)) // 3 and 5 have null opt
+    assert(ids(parse("NOT opt:*")) === Seq(3L, 5L))
+  }
+
+  test("sloppy phrase: ordered within slop, exact at the boundary, no transpositions") {
+    // doc 1: spark(0) … scan(2): gap 1
+    // doc 2: scan(0) spark(1): reversed — the documented ordered-only delta
+    // doc 4: spark(0) … scan(4): gap 3
+    assert(ids(parse("""text:"spark scan"~0""")) === Seq())
+    assert(ids(parse("""text:"spark scan"~1""")) === Seq(1L))
+    assert(ids(parse("""text:"spark scan"~3""")) === Seq(1L, 4L))
+    assert(ids(parse("""text:"scan spark"~0""")) === Seq(2L))
+    // three terms: total displacement p_n - p_1 - (n-1) pooled, not per-gap
+    val three = Seq((10L, "a x b y c")).toDF("id", "text")
+    def hit(q: String): Seq[Long] =
+      three.where(parse(q).compile).select("id").as[Long].collect().toSeq
+    assert(hit("""text:"a b c"~2""") === Seq(10L))
+    assert(hit("""text:"a b c"~1""") === Seq())
+    // repeated query term needs distinct increasing positions
+    val rep = Seq((11L, "batch merge batch")).toDF("id", "text")
+    assert(rep.where(parse("""text:"batch batch"~1""").compile).count() === 1)
+    assert(rep.where(parse("""text:"batch batch"~0""").compile).count() === 0)
+  }
+
+  test("fuzzy term: bounded levenshtein over analyzed tokens, prefixLength pins the head") {
+    assert(ids(parse("text:dupe~1")) === Seq(3L, 5L)) // dup, dupes, duped at 1 edit
+    assert(ids(parse("text:dupe~0")) === Seq())
+    assert(ids(parse("text:spark~1")) === Seq(1L, 2L, 4L))
+    // prefixLength: 'mark'~2 reaches 'merge'? lev=3 no; 'mark'~2 vs 'spark' lev=2 yes,
+    // but prefixLength=1 requires leading 'm'
+    assert(ids(FilterSpec.FuzzyTerm("text", "mark", 2)) === Seq(1L, 2L, 4L))
+    assert(ids(FilterSpec.FuzzyTerm("text", "mark", 2, prefixLength = 1)) === Seq())
+  }
+
+  // ===== SymSpell deletion index ≡ brute-force scan =====
+
+  test("deletion neighborhood hand values") {
+    assert(Fuzzy.deletionNeighborhood("ab", 1).toSet === Set("ab", "b", "a"))
+    assert(Fuzzy.deletionNeighborhood("abc", 2).toSet ===
+      Set("abc", "ab", "ac", "bc", "a", "b", "c"))
+    assert(Fuzzy.deletionNeighborhood("ab", 0) === Seq("ab"))
+  }
+
+  test("indexed fuzzy equals the scan twin on the corpus, maxEdits 1 and 2") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(1, 2); term <- Seq("dupe", "scane", "vectr")) {
+      val scan = corpus.where(FilterSpec.FuzzyTerm("text", term, k).compile)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val indexed = Fuzzy.fuzzyDocs(corpus, "text", term, k)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(indexed === scan, s"term=$term maxEdits=$k")
+    }
+    // prefixLength threads through both paths identically
+    val scanP = corpus.where(FilterSpec.FuzzyTerm("text", "vectr", 2, 2).compile)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val idxP = Fuzzy.fuzzyDocs(corpus, "text", "vectr", 2, prefixLength = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idxP === scanP)
+  }
+
+  test("the webapp's own dict_field:* query parses and compiles (collections.js:79)") {
+    val spec = QueryString.parse("dict_field:*", defaultField = "dict_field")
+    assert(spec === FilterSpec.Exists("dict_field"))
+    val dict = Seq((Some("a"), 1), (None, 2)).toDF("dict_field", "n")
+    assert(dict.where(spec.compile).count() === 1)
+  }
+}
