@@ -177,6 +177,39 @@ object R13ScaleProbe {
       }
     }
 
+    // ---- 2d. round-13 fifth batch: SymSpell fuzzy index ----
+    // Scan form pays per-row bounded levenshtein over every token; the
+    // indexed form probes a VOCABULARY-sized deletion table (Heaps' law:
+    // sublinear in corpus) and touches the corpus once by semi-join.
+    // Build cost is the ingest side (once, beside the _split companions);
+    // serve measured against a prebuilt at-rest index.
+    for ((label, dir) <- Seq(("1x", "/root/testdata/sf0.1"), ("10x", "/tmp/graft_sf1"))
+        if sections("fuzzy")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      emit(label, "fuzzy_scan", timeOp(repeats) {
+        docs.where(graft.query.FilterSpec.FuzzyTerm("text", "dupe", 2).compile).count()
+      })
+      val vocab = graft.query.Fuzzy.vocabulary(docs, col("text"))
+      val idxPath = s"/tmp/graft_fuzzy_idx_$label"
+      emit(label, "fuzzy_index_build", timeOp(1) {
+        val idx = graft.query.Fuzzy.deletionIndex(vocab, maxEdits = 2)
+        idx.write.mode("overwrite").parquet(idxPath)
+        spark.read.parquet(idxPath).count()
+      })
+      println(s"""{"probe":"r13_scale","scale":"$label","op":"fuzzy_index_rows",""" +
+        s""""corpus_rows":${docs.count()},"vocab_rows":${vocab.count()},""" +
+        s""""index_rows":${spark.read.parquet(idxPath).count()}}""")
+      val atRest = spark.read.parquet(idxPath)
+      emit(label, "fuzzy_serve_prebuilt", timeOp(repeats) {
+        val matched = graft.query.Fuzzy.matchingTerms(atRest, "dupe", 2)
+        val toks = docs.withColumn("_tok", explode(split(trim(
+          graft.expr.TextMatch.normalized(col("text"))), " ")))
+        toks.join(broadcast(matched), toks("_tok") === matched("term"), "left_semi")
+          .select("doc_id").distinct().count()
+      })
+    }
+
     // ---- 3. chunked vs unchunked rolling window on a skewed corpus ----
     // events twin replicated factor-fold with megaPct% of rows remapped to
     // ONE entity: the shape a mega-user (bot, ingestion artifact) produces
