@@ -1928,6 +1928,42 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "search_more_like_this" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES more_like_this: rank doc 42's terms by tf·idf, keep the top
+      // 10 past the min_term_freq/min_doc_freq prunes (ES defaults 2/5),
+      // BM25-score every other document sharing a selected term —
+      // "related items" next to a search result. Deterministic ordered
+      // score fold; full retrieval restated in the oracle.
+      graft.query.MoreLikeThis.moreLikeThis(
+        load(dir, "documents"), "doc_id", "text", seedId = 42L)
+    }),
+
+    "q_suggest_term" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES term suggester ("did you mean"): vocabulary terms within 2
+      // edits of the misspelling 'tabel', ranked distance-then-frequency
+      // — candidates from the same SymSpell deletion probe as fuzzy
+      // retrieval, document frequency as the popularity statistic.
+      graft.query.Fuzzy.suggestTerms(
+        load(dir, "documents"), col("text"), "tabel", maxEdits = 2, n = 5)
+    }),
+
+    "q_highlight" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES highlight, whole-field mode: every whole-token occurrence of
+      // a query term wrapped in <em> tags over the matching documents —
+      // the search-results display tier. Single-pass alternation so
+      // inserted tags are never re-matched.
+      import graft.expr.TextMatch
+      load(dir, "documents")
+        .where(TextMatch.containsToken(col("text"), "dup") ||
+          TextMatch.containsToken(col("text"), "vector"))
+        .select(col("doc_id"),
+          TextMatch.highlight(col("text"), "dup vector").as("highlighted"))
+        .orderBy("doc_id")
+    }),
+
     "w_dict_driven_query" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The system's data-driven core, end to end (SURVEY.md §3.2): profile
@@ -5570,6 +5606,35 @@ object SparkEntry {
         |FROM a JOIN b USING (doc_id) JOIN t USING (doc_id)
         |WHERE p2 > p1 AND p2 - p1 - 1 <= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // Full MLT retrieval restated: identical analyzer, integer tf/df/dl,
+    // identical IEEE selection + scoring trees, term-ordered fold.
+    "search_more_like_this" ->
+      graft.query.MoreLikeThis.oracleSql("documents", "doc_id", "text", seedId = 42L),
+
+    // Term suggester: the same vocabulary document frequencies, the same
+    // classic-Levenshtein band, the same distance/freq/term ranking.
+    "q_suggest_term" ->
+      """WITH v AS (
+        |  SELECT t AS term, count(*)::BIGINT AS freq FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |    FROM documents) GROUP BY 1
+        |)
+        |SELECT term, freq, levenshtein(term, 'tabel')::INT AS distance
+        |FROM v WHERE levenshtein(term, 'tabel') BETWEEN 1 AND 2
+        |ORDER BY distance ASC, freq DESC, term ASC LIMIT 5""".stripMargin,
+
+    // Highlight: the identical single-pass word-boundary alternation
+    // (RE2 spelling), over the identically-filtered match set.
+    "q_highlight" -> {
+      import graft.expr.TextMatch.{containsTokenSql, highlightSql}
+      s"""SELECT doc_id, ${highlightSql("text", "dup vector")} AS highlighted
+         |FROM documents
+         |WHERE ${containsTokenSql("text", "dup")}
+         |   OR ${containsTokenSql("text", "vector")}
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Wildcard: the identical LIKE translation (* -> %, ? -> _).
     "q_wildcard" ->

@@ -73,6 +73,38 @@ object TextMatch {
     }
   }
 
+  /** ES highlighting, whole-field mode (`number_of_fragments: 0`): every
+    * whole-token occurrence of any query term wrapped in `pre`/`post`
+    * tags, on the ORIGINAL text (ES highlights at the analyzed offsets;
+    * for this analyzer those are exactly the case-insensitive
+    * word-boundary occurrences). One single-pass alternation — matches
+    * are found against the original text only, so inserted tags are
+    * never re-matched even when a term occurs inside the tag strings.
+    * Query terms are analyzed first, so the pattern body is `[a-z0-9]+`
+    * alternatives — regex-injection-free by construction.
+    */
+  def highlight(c: Column, query: String,
+      pre: String = "<em>", post: String = "</em>"): Column = {
+    val terms = analyze(query).distinct
+    require(terms.nonEmpty, s"highlight: query '$query' has no analyzable terms")
+    regexp_replace(c,
+      "(?i)\\b(" + terms.mkString("|") + ")\\b",
+      java.util.regex.Matcher.quoteReplacement(pre) + "$1" +
+        java.util.regex.Matcher.quoteReplacement(post))
+  }
+
+  /** DuckDB twin of [[highlight]] (RE2 spelling: flags argument, `\1`
+    * backreference — same matches, same output strings).
+    */
+  def highlightSql(column: String, query: String,
+      pre: String = "<em>", post: String = "</em>"): String = {
+    val terms = analyze(query).distinct
+    require(terms.nonEmpty, s"highlight: query '$query' has no analyzable terms")
+    val prq = pre.replace("'", "''")
+    val poq = post.replace("'", "''")
+    s"""regexp_replace($column, '\\b(${terms.mkString("|")})\\b', '$prq\\1$poq', 'gi')"""
+  }
+
   /** DuckDB SQL for [[containsToken]] — whole-token (or whole contiguous
     * token sequence) containment; the oracle twin of the query_string
     * `field:term` and `field:"a b"` clauses.

@@ -99,6 +99,36 @@ object Fuzzy {
     else verified
   }
 
+  /** ES term suggester — "did you mean": vocabulary terms within
+    * `maxEdits` of `input`, ranked the deterministic way (distance
+    * ascending, document frequency descending, term ascending — ES ranks
+    * by string-similarity score then frequency; classic Levenshtein
+    * replaces its internal distance, the [[FilterSpec.FuzzyTerm]]
+    * transpositions delta). The input term itself (distance 0) is never
+    * suggested. Output: `(term, freq, distance)`, top `n`.
+    *
+    * Candidates come from the same SymSpell deletion probe as retrieval
+    * — vocabulary-sized work; frequency is DOCUMENT frequency (one count
+    * per containing document, ES's popular-mode statistic).
+    */
+  def suggestTerms(
+      df: DataFrame, textCol: Column, input: String,
+      maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    val q = input.toLowerCase
+    val vocab = df
+      .select(array_distinct(
+        split(trim(TextMatch.normalized(textCol)), " ")).as("_ts"))
+      .select(explode(col("_ts")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val cand = matchingTerms(deletionIndex(vocab.select("term"), maxEdits), q, maxEdits)
+    vocab.join(broadcast(cand), "term")
+      .withColumn("distance", levenshtein(col("term"), lit(q)))
+      .where(col("distance") >= 1)
+      .orderBy(asc("distance"), desc("freq"), asc("term"))
+      .limit(n)
+  }
+
   /** End-to-end indexed fuzzy retrieval: documents of `df` containing an
     * analyzed token within `maxEdits` of `term`. Equals
     * `df.where(FilterSpec.FuzzyTerm(field, term, maxEdits, prefixLength)

@@ -1,0 +1,93 @@
+package graft.query
+
+import graft.SparkSpecBase
+import graft.expr.TextMatch
+import org.apache.spark.sql.functions._
+
+/** Round-13 sixth batch: more_like_this, the term suggester, and
+  * highlighting — the search-response tier around BM25.
+  */
+class SearchExtrasSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("moreLikeThis selects seed terms by tf·idf past the prunes and excludes the seed") {
+    // seed 1: 'rare' tf=2 (df=2), 'common' tf=2 (df=4 — all docs),
+    // 'once' tf=1 (pruned by min_term_freq=2), 'thin' tf=2 but df=1... df
+    // counts docs: 'thin' appears only in seed -> df=1, pruned by
+    // min_doc_freq=2.
+    val docs = Seq(
+      (1L, "rare rare common common once thin thin"),
+      (2L, "rare common zz zz zz"),
+      (3L, "common yy yy"),
+      (4L, "common xx"),
+    ).toDF("id", "text")
+    val out = MoreLikeThis.moreLikeThis(docs, "id", "text", seedId = 1L,
+      maxQueryTerms = 10, k = 10, minTermFreq = 2, minDocFreq = 2)
+      .as[(Long, Double)].collect().toSeq
+    // seed never returns; every candidate contains a selected term
+    assert(!out.map(_._1).contains(1L))
+    // doc 2 contains 'rare' (idf-heavy) + 'common' -> highest score
+    assert(out.head._1 === 2L)
+    // docs 3 and 4 match only 'common'; shorter doc 4 scores higher (BM25
+    // length normalization), tie broken deterministically otherwise
+    assert(out.map(_._1) === Seq(2L, 4L, 3L))
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("moreLikeThis score equals Bm25 topK over the same selected terms (rounded)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mlt = MoreLikeThis.moreLikeThis(docs, "doc_id", "text", seedId = 42L,
+      maxQueryTerms = 3, k = 8).as[(Long, Double)].collect().toMap
+    // recover the 3 selected terms by replaying the selection pieces
+    val toks = docs.select(col("doc_id"),
+        explode(split(trim(TextMatch.normalized(col("text"))), " +")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val sel = tf.where(col("doc_id") === 42L && col("tf") >= 2)
+      .join(df, "term").where(col("df") >= 5)
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .orderBy((col("tf").cast("double") * col("idf")).desc, col("term").asc)
+      .limit(3).select("term").as[String].collect().toSeq
+    // corpus stats over the FULL corpus (MLT only excludes the seed from
+    // scoring, not from the statistics)
+    val analyzed = concat(lit(" "), TextMatch.normalized(col("text")), lit(" "))
+    val stats = Bm25.corpusStats(docs, analyzed, sel)
+    val bm = Bm25.topK(docs.where(col("doc_id") =!= 42L), "doc_id", analyzed,
+      sel.mkString(" "), k = 8, stats = Some(stats)).as[(Long, Double)].collect().toMap
+    assert(mlt.keySet === bm.keySet)
+    for ((id, s) <- mlt)
+      assert(math.abs(s - bm(id)) < 1e-6, s"doc $id: mlt=$s bm25=${bm(id)}")
+  }
+
+  test("suggestTerms ranks by distance, then document frequency, then term; never the input") {
+    // 'tble' -> table d=1 (insert a) df=2, able d=1 (sub t/a) df=1,
+    // the d=2 df=3: distance ranks first, then df within a distance.
+    val docs = Seq(
+      (1L, "the table stands"), (2L, "the able mind"), (3L, "the end"),
+      (4L, "table table tble"),
+    ).toDF("id", "text")
+    val out = Fuzzy.suggestTerms(docs, col("text"), "tble", maxEdits = 2, n = 10)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(!out.map(_._1).contains("tble")) // distance-0 never suggested
+    // df counts docs, not occurrences (table appears 3x in 2 docs)
+    assert(out.take(3) === Seq(("table", 2L, 1), ("able", 1L, 1), ("the", 3L, 2)))
+  }
+
+  test("highlight wraps whole tokens case-insensitively and never re-matches inserted tags") {
+    val df = Seq(
+      (1L, "Dup and DUPS and dup."),
+      (2L, "em goes emphatic"),
+    ).toDF("id", "text")
+    val hl = df.select(col("id"),
+      TextMatch.highlight(col("text"), "dup em").as("h"))
+      .as[(Long, String)].collect().toMap
+    // whole tokens only (DUPS untouched), original case preserved
+    assert(hl(1L) === "<em>Dup</em> and DUPS and <em>dup</em>.")
+    // the term 'em' occurs inside the inserted tag string — single-pass
+    // alternation must not highlight the tags themselves
+    assert(hl(2L) === "<em>em</em> goes emphatic")
+  }
+}
