@@ -1928,6 +1928,48 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_suggest_phrase" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES phrase suggester: per-position Levenshtein candidates, cross-
+      // product sequences, each rescored by the corpus-trained integer
+      // bigram LM — "tabel scan fastt" corrects to "table scan fast"
+      // because the corrected bigrams are cheap where the OOV ones pay
+      // the flat 24-bit cost.
+      graft.query.Fuzzy.suggestPhrase(
+        load(dir, "documents"), "doc_id", "text", "tabel scan fastt",
+        maxEdits = 2, perTermCandidates = 3, n = 5)
+    }),
+
+    "search_bm25_collapse" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES collapse: one best BM25 hit per lang (field collapsing — dedup
+      // the result list by source/domain without an aggregation round
+      // trip), collapsed list ranked by surviving scores.
+      val docs = load(dir, "documents")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+      val scored = graft.query.Bm25.scoredAll(docs, "doc_id", analyzed,
+        "dup vector scan")
+      val withLang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+      graft.query.Paging.collapseTopHits(withLang, "doc_id", "score", "lang", k = 3)
+        .select("doc_id", "lang", "score")
+    }),
+
+    "search_bm25_page2" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES search_after: the page after the anchor (score, id) tuple —
+      // the deep-pagination shape (a predicate on the sort key, constant
+      // work per page), never an offset scan. Anchor = page 1's last hit
+      // at sf0.01, passed back as literals the way a client would.
+      val docs = load(dir, "documents")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+      val scored = graft.query.Bm25.scoredAll(docs, "doc_id", analyzed,
+        "dup vector scan")
+      graft.query.Paging.searchAfter(scored, "doc_id", "score",
+        afterScore = 4.268536153941243, afterId = 45L, k = 5)
+    }),
+
     "search_more_like_this" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES more_like_this: rank doc 42's terms by tf·idf, keep the top
@@ -5606,6 +5648,43 @@ object SparkEntry {
         |FROM a JOIN b USING (doc_id) JOIN t USING (doc_id)
         |WHERE p2 > p1 AND p2 - p1 - 1 <= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // The whole phrase-suggester chain restated: vocabulary df, banded
+    // candidates with min/max dedup, positional cross product, integer
+    // bigram-LM rescoring (the quality_lm_* CTE pattern).
+    "q_suggest_phrase" ->
+      graft.query.Fuzzy.suggestPhraseOracleSql(
+        "documents", "text", "tabel scan fastt",
+        maxEdits = 2, perTermCandidates = 3, n = 5),
+
+    // Collapse: identical scored set (shared scored CTE), per-lang argmax
+    // via QUALIFY, identical final ranking.
+    "search_bm25_collapse" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector scan")
+      s"""WITH s AS (
+         |$scored
+         |)
+         |SELECT s.doc_id, d.lang, s.score
+         |FROM s JOIN documents d USING (doc_id)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) = 1
+         |ORDER BY s.score DESC, s.doc_id ASC LIMIT 3""".stripMargin
+    },
+
+    // search_after: identical scored set, the identical lexicographic
+    // strictly-after predicate on the (score, id) anchor.
+    "search_bm25_page2" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector scan")
+      s"""WITH s AS (
+         |$scored
+         |)
+         |SELECT doc_id, score FROM s
+         |WHERE score < 4.268536153941243
+         |   OR (score = 4.268536153941243 AND doc_id > 45)
+         |ORDER BY score DESC, doc_id ASC LIMIT 5""".stripMargin
+    },
 
     // Full MLT retrieval restated: identical analyzer, integer tf/df/dl,
     // identical IEEE selection + scoring trees, term-ordered fold.

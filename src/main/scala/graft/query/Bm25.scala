@@ -158,12 +158,31 @@ object Bm25 {
     topKTerms(docs, idCol, analyzed, Seq(toks.mkString(" ")), k, k1, b, stats)
   }
 
-  private def topKTerms(
+  /** Every matching document with its BM25 score, UNORDERED and
+    * unlimited — the frame [[topK]] ranks, exposed for serving features
+    * that need the full match set before their own bound: field collapse
+    * ([[Paging.collapseTopHits]]) and keyset pagination
+    * ([[Paging.searchAfter]]). Same contract as [[topK]] otherwise.
+    */
+  def scoredAll(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      query: String,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val terms = queryTerms(query, analyzer)
+    require(terms.nonEmpty, s"bm25: query '$query' has no analyzable terms")
+    scoredTerms(docs, idCol, analyzed, terms, k1, b, stats)
+  }
+
+  private def scoredTerms(
       docs: DataFrame,
       idCol: String,
       analyzed: Column,
       terms: Seq[String],
-      k: Int,
       k1: Double,
       b: Double,
       stats: Option[DataFrame]): DataFrame = {
@@ -176,13 +195,24 @@ object Bm25 {
       .where(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
       .withColumn("score", scoreColumn(terms.size, k1, b))
       .select(col(s"`$idCol`"), col("score"))
+  }
+
+  private def topKTerms(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      terms: Seq[String],
+      k: Int,
+      k1: Double,
+      b: Double,
+      stats: Option[DataFrame]): DataFrame =
+    scoredTerms(docs, idCol, analyzed, terms, k1, b, stats)
       // Project BEFORE sort+limit: Limit(Sort(Project)) is the shape the
       // planner turns into TakeOrderedAndProject (per-partition partial
       // top-k, k-row final merge); Project(Limit(Sort)) is a full global
       // sort with a range exchange.
       .orderBy(desc("score"), asc(s"`$idCol`"))
       .limit(k)
-  }
 
   /** [[topK]] over a RAW text column: analyzes per row first (the unindexed
     * path — prefer a stored `_split` companion at scale).
@@ -237,12 +267,38 @@ object Bm25 {
     oracleSqlForTerms(table, idCol, textExpr, Seq(toks.mkString(" ")), k, k1, b)
   }
 
+  /** The scored match set as a self-contained SQL subquery — the
+    * [[scoredAll]] twin, for oracles that rank/filter it further
+    * (collapse, search_after). Columns: `(idCol, score)`.
+    */
+  def oracleSqlScored(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      query: String,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): String = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, s"bm25 oracle: query '$query' has no analyzable terms")
+    oracleScoredForTerms(table, idCol, textExpr, terms, k1, b)
+  }
+
   private def oracleSqlForTerms(
       table: String,
       idCol: String,
       textExpr: String,
       terms: Seq[String],
       k: Int,
+      k1: Double,
+      b: Double): String =
+    oracleScoredForTerms(table, idCol, textExpr, terms, k1, b) +
+      s"\nORDER BY score DESC, $idCol ASC LIMIT $k"
+
+  private def oracleScoredForTerms(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      terms: Seq[String],
       k1: Double,
       b: Double): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -281,7 +337,6 @@ object Bm25 {
        |SELECT b.$idCol,
        |  $score AS score
        |FROM base b, st
-       |WHERE $anyMatch
-       |ORDER BY score DESC, b.$idCol ASC LIMIT $k""".stripMargin
+       |WHERE $anyMatch""".stripMargin
   }
 }

@@ -129,6 +129,152 @@ object Fuzzy {
       .limit(n)
   }
 
+  /** ES phrase suggester — whole-phrase "did you mean", ES's own
+    * architecture faithfully: per-position candidate terms from a direct
+    * generator (here the Levenshtein band over the vocabulary — the
+    * SymSpell probe serves the same set at scale), candidate SEQUENCES
+    * from the per-position cross product, each sequence RESCORED by a
+    * corpus-trained n-gram language model (ES uses a Laplace/stupid-
+    * backoff word LM over the index; here [[graft.ops.NgramLm]]'s
+    * integer-exact bigram model, so the whole chain restates in SQL).
+    *
+    * Per position `i`, candidates are the top `perTermCandidates` of
+    * `{(t, lev(t, wᵢ), df(t)) : t ∈ vocab, lev ≤ maxEdits} ∪
+    * {(wᵢ, 0, 0)}` ranked (distance asc, freq desc, term asc) after a
+    * min-dist/max-freq dedup — the original term always survives (at
+    * its real frequency when in-vocabulary). Ranking of sequences:
+    * `total_cost = lm_cost + editPenaltyBits·Σ distances` ascending
+    * (the default 3 bits/edit is a ~1-in-8 typo prior — the knob ES
+    * exposes as `real_word_error_likelihood`),
+    * suggestion ascending — the LM decides when the corrected phrase is
+    * worth its edits ("tabel scan" → "table scan" because the corrected
+    * bigram is cheap and the OOV one costs the flat 24 bits).
+    *
+    * Bounded by construction: ≤ `perTermCandidates^m` sequences (loud
+    * require caps m and the branching), scored by two broadcast joins
+    * against the minCount-pruned model — no corpus work beyond the
+    * vocabulary build and LM training (both at-rest artifacts in a real
+    * deployment). Output: `(suggestion, lm_cost, edits, total_cost)`.
+    */
+  def suggestPhrase(
+      df: DataFrame, idCol: String, textCol: String, input: String,
+      maxEdits: Int = 2, perTermCandidates: Int = 3, n: Int = 5,
+      minCount: Int = 2, editPenaltyBits: Long = 3L): DataFrame = {
+    val terms = TextMatch.analyze(input)
+    require(terms.nonEmpty, s"suggestPhrase: '$input' has no analyzable terms")
+    require(terms.size <= 5 && perTermCandidates <= 5,
+      s"suggestPhrase: ${terms.size} terms × $perTermCandidates candidates — " +
+        "the sequence cross product is capped at 5^5; shorten the phrase")
+    val vocab = df
+      .select(array_distinct(
+        split(trim(TextMatch.normalized(col(s"`$textCol`"))), " ")).as("_ts"))
+      .select(explode(col("_ts")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+
+    val spark = df.sparkSession
+    val cands = terms.zipWithIndex.map { case (t, i) =>
+      val band = vocab
+        .where(levenshtein(col("term"), lit(t)) <= maxEdits)
+        .select(col("term"),
+          levenshtein(col("term"), lit(t)).cast("long").as("dist"), col("freq"))
+      val withOriginal = band.unionByName(
+        spark.range(1).select(lit(t).as("term"), lit(0L).as("dist"), lit(0L).as("freq")))
+      withOriginal
+        .groupBy("term")
+        .agg(min(col("dist")).as("dist"), max(col("freq")).as("freq"))
+        .orderBy(asc("dist"), desc("freq"), asc("term"))
+        .limit(perTermCandidates)
+        .select(col("term").as(s"_t$i"), col("dist").as(s"_d$i"))
+    }
+    val seq = cands.map(broadcast).reduce(_.crossJoin(_))
+      .withColumn("suggestion",
+        concat_ws(" ", terms.indices.map(i => col(s"_t$i")): _*))
+      .withColumn("edits",
+        terms.indices.map(i => col(s"_d$i")).reduce(_ + _))
+
+    val (bigrams, contexts) =
+      graft.ops.NgramLm.train(df, idCol, textCol, minCount)
+    val scored = graft.ops.NgramLm.scoreDocs(
+      seq.select("suggestion"), "suggestion", "suggestion", bigrams, contexts)
+    seq.join(scored, "suggestion")
+      .select(col("suggestion"), col("lm_cost"), col("edits"),
+        (col("lm_cost") + lit(editPenaltyBits) * col("edits")).as("total_cost"))
+      .orderBy(asc("total_cost"), asc("suggestion"))
+      .limit(n)
+  }
+
+  /** DuckDB restatement of the whole [[suggestPhrase]] chain: the same
+    * vocabulary document frequencies, the same banded candidates with
+    * the min/max dedup and ranking, the same positional cross product,
+    * and the SAME integer bigram-cost model CTEs the `quality_lm_*`
+    * oracles replay (`ilog2 = length(bin(n+1))`, flat OOV constant).
+    */
+  def suggestPhraseOracleSql(
+      table: String, textExpr: String, input: String,
+      maxEdits: Int = 2, perTermCandidates: Int = 3, n: Int = 5,
+      minCount: Int = 2, editPenaltyBits: Long = 3L): String = {
+    val terms = TextMatch.analyze(input)
+    require(terms.nonEmpty && terms.size <= 5)
+    val toks = s"list_filter(str_split_regex(trim(regexp_replace(lower($textExpr), " +
+      s"'[^a-z0-9]+', ' ', 'g')), ' +'), x -> x <> '')"
+    val candCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"""cand$i AS (
+         |  SELECT term, dist FROM (
+         |    SELECT term, min(dist)::BIGINT AS dist, max(freq)::BIGINT AS freq FROM (
+         |      SELECT term, levenshtein(term, '$t')::BIGINT AS dist, freq
+         |      FROM v WHERE levenshtein(term, '$t') <= $maxEdits
+         |      UNION ALL SELECT '$t' AS term, 0::BIGINT AS dist, 0::BIGINT AS freq
+         |    ) GROUP BY term
+         |  ) ORDER BY dist ASC, freq DESC, term ASC LIMIT $perTermCandidates
+         |)""".stripMargin
+    }.mkString(",\n")
+    val seqCols = terms.indices.map(i => s"c$i.term AS t$i").mkString(", ")
+    val seqFrom = terms.indices.map(i => s"cand$i c$i").mkString(", ")
+    val editsSum = terms.indices.map(i => s"c$i.dist").mkString(" + ")
+    val sugg = terms.indices.map(i => s"t$i").mkString(" || ' ' || ")
+    val pairJoins = (0 until terms.size - 1).map { i =>
+      s"""LEFT JOIN ctx x$i ON x$i.w1 = seq.t$i
+         |LEFT JOIN bg b$i ON b$i.w1 = seq.t$i AND b$i.w2 = seq.t${i + 1}""".stripMargin
+    }.mkString("\n")
+    val costSum =
+      if (terms.size == 1) "0"
+      else (0 until terms.size - 1).map { i =>
+        s"(CASE WHEN x$i.c1 IS NULL THEN ${graft.ops.NgramLm.OovCost} " +
+          s"ELSE length(bin(x$i.c1 + 1)) - length(bin(coalesce(b$i.c2, 0) + 1)) END)"
+      }.mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT $toks AS ts FROM $table
+       |), v AS (
+       |  SELECT t AS term, count(*)::BIGINT AS freq
+       |  FROM (SELECT list_distinct(ts) AS dts FROM d), unnest(dts) AS u(t)
+       |  GROUP BY 1
+       |), occ AS (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(ts))) AS u(i)
+       |), c2full AS (
+       |  SELECT w1, w2, count(*)::BIGINT AS c2 FROM occ GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, sum(c2)::BIGINT AS c1 FROM c2full
+       |  GROUP BY 1 HAVING sum(c2) >= $minCount
+       |), bg AS (
+       |  SELECT w1, w2, c2 FROM c2full WHERE c2 >= $minCount
+       |),
+       |$candCtes,
+       |seq AS (
+       |  SELECT $seqCols, ($editsSum)::BIGINT AS edits FROM $seqFrom
+       |), rescored AS (
+       |  SELECT $sugg AS suggestion, seq.edits,
+       |    ($costSum)::BIGINT AS lm_cost
+       |  FROM seq
+       |$pairJoins
+       |)
+       |SELECT suggestion, lm_cost, edits,
+       |  (lm_cost + $editPenaltyBits * edits)::BIGINT AS total_cost
+       |FROM rescored
+       |ORDER BY total_cost ASC, suggestion ASC LIMIT $n""".stripMargin
+  }
+
   /** End-to-end indexed fuzzy retrieval: documents of `df` containing an
     * analyzed token within `maxEdits` of `term`. Equals
     * `df.where(FilterSpec.FuzzyTerm(field, term, maxEdits, prefixLength)

@@ -76,6 +76,51 @@ class SearchExtrasSpec extends SparkSpecBase {
     assert(out.take(3) === Seq(("table", 2L, 1), ("able", 1L, 1), ("the", 3L, 2)))
   }
 
+  test("suggestPhrase corrects via the bigram LM where term ranking alone would not") {
+    // 'grep log' is the dominant bigram; 'grap' alone ranks 'grab' (freq 3)
+    // above 'grep' (freq 2) at equal distance 1 — the LM flips it because
+    // 'grab log' is an unseen bigram and 'grep log' is cheap.
+    val docs = (1 to 3).map(i => (i.toLong, "grab the bag")) ++
+      Seq((4L, "grep log lines grep log files"), (5L, "grep log streams"))
+    val df = docs.toDF("id", "text")
+    val out = Fuzzy.suggestPhrase(df, "id", "text", "grap log",
+      maxEdits = 1, perTermCandidates = 3, n = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.head._1 === "grep log")
+    // the term suggester alone prefers 'grab' (freq ranking)
+    val term = Fuzzy.suggestTerms(df, col("text"), "grap", maxEdits = 1, n = 2)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(term.head._1 === "grab")
+    // single-term phrase degenerates to edit ranking; bound is loud
+    val one = Fuzzy.suggestPhrase(df, "id", "text", "grap", maxEdits = 1, n = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(one.forall(_._2 === 0L)) // no bigrams -> lm_cost 0
+    intercept[IllegalArgumentException](
+      Fuzzy.suggestPhrase(df, "id", "text", "a b c d e f"))
+  }
+
+  test("collapseTopHits keeps one best hit per group; searchAfter continues the ranking exactly") {
+    val scored = Seq(
+      (1L, 9.0, "en"), (2L, 8.0, "en"), (3L, 8.0, "fr"),
+      (4L, 7.0, "fr"), (5L, 6.0, "zh"), (6L, 5.0, "zh"),
+    ).toDF("id", "score", "lang")
+    val collapsed = Paging.collapseTopHits(scored, "id", "score", "lang", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(collapsed === Seq(1L, 3L, 5L)) // best of en, fr, zh in score order
+    // search_after: every page of size 2 stitches back to the full ranking
+    val full = scored.orderBy(desc("score"), asc("id"))
+      .select("id").as[Long].collect().toSeq
+    val page1 = scored.orderBy(desc("score"), asc("id")).limit(2)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val (aId, aScore) = (page1.last._1, page1.last._2)
+    val page2 = Paging.searchAfter(scored.select("id", "score"), "id", "score",
+      aScore, aId, k = 2).select("id").as[Long].collect().toSeq
+    assert(page1.map(_._1) ++ page2 === full.take(4))
+    // the equal-score boundary pages correctly (anchor id 2, score 8.0 ->
+    // id 3 at the same score must appear on page 2)
+    assert(page2.head === 3L)
+  }
+
   test("highlight wraps whole tokens case-insensitively and never re-matches inserted tags") {
     val df = Seq(
       (1L, "Dup and DUPS and dup."),
