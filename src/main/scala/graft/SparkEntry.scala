@@ -4005,6 +4005,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_ml_select" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Moore-Lewis cross-entropy-difference selection (Moore & Lewis
+      // 2010): corpus-trained vs in-domain-trained (lang = 'en') bigram
+      // models, rank documents by target_bits - corpus_bits ascending —
+      // the most-target-like head. Both rates integer, delta exact.
+      ops.NgramLm.contrastScores(load(dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", minCount = 2)
+        .orderBy(asc("ml_delta"), asc("doc_id"))
+        .limit(50)
+    }),
+
+    "q_rank_eval" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES rank_eval: score the search_bm25 run against a judged set
+      // (docs containing the rare term 'dup') — precision/recall@15,
+      // MRR, binary-gain NDCG@15. The offline ranking regression test.
+      import graft.expr.TextMatch
+      val docs = load(dir, "documents")
+      val run = graft.query.Bm25.topKRaw(docs, "doc_id", "text",
+        "dup vector scan", k = 15)
+      val relevant = docs.where(TextMatch.containsToken(col("text"), "dup"))
+        .select("doc_id")
+      graft.query.RankEval.evaluate(run, "doc_id", "score", relevant, k = 15)
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Overlapping 64-token windows with 16-token overlap — the RAG/
@@ -6467,6 +6493,109 @@ object SparkEntry {
          |        ELSE (1000 * a.lm_cost) // a.lm_bigrams END)::BIGINT AS lm_bits_per_1k
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Moore-Lewis restated: TWO model chains over the shared bigram
+    // stream (corpus; lang='en' target), the identical ilog2 costs and
+    // flooring rates, integer delta, ascending head.
+    "quality_ml_select" ->
+      s"""WITH lmtoks AS (
+         |  SELECT doc_id, lang, $duckToks AS ts FROM documents
+         |), lmbg AS (
+         |  SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM lmtoks, unnest(range(1, len(ts))) AS u(i)
+         |), cc2 AS (
+         |  SELECT w1, w2, count(*)::BIGINT AS c2 FROM lmbg GROUP BY 1, 2
+         |), cctx AS (
+         |  SELECT w1, sum(c2)::BIGINT AS c1 FROM cc2
+         |  GROUP BY 1 HAVING sum(c2) >= 2
+         |), chead AS (
+         |  SELECT w1, w2, c2 FROM cc2 WHERE c2 >= 2
+         |), tc2 AS (
+         |  SELECT w1, w2, count(*)::BIGINT AS c2 FROM lmbg
+         |  WHERE lang = 'en' GROUP BY 1, 2
+         |), tctx AS (
+         |  SELECT w1, sum(c2)::BIGINT AS c1 FROM tc2
+         |  GROUP BY 1 HAVING sum(c2) >= 2
+         |), thead AS (
+         |  SELECT w1, w2, c2 FROM tc2 WHERE c2 >= 2
+         |), ccost AS (
+         |  SELECT b.doc_id,
+         |    (CASE WHEN x.c1 IS NULL THEN ${ops.NgramLm.OovCost}
+         |          ELSE length(bin(x.c1 + 1)) - length(bin(coalesce(h.c2, 0) + 1))
+         |     END)::BIGINT AS cost
+         |  FROM lmbg b LEFT JOIN cctx x USING (w1) LEFT JOIN chead h USING (w1, w2)
+         |), tcost AS (
+         |  SELECT b.doc_id,
+         |    (CASE WHEN x.c1 IS NULL THEN ${ops.NgramLm.OovCost}
+         |          ELSE length(bin(x.c1 + 1)) - length(bin(coalesce(h.c2, 0) + 1))
+         |     END)::BIGINT AS cost
+         |  FROM lmbg b LEFT JOIN tctx x USING (w1) LEFT JOIN thead h USING (w1, w2)
+         |), cagg AS (
+         |  SELECT doc_id, sum(cost)::BIGINT AS lm_cost, count(*)::BIGINT AS n
+         |  FROM ccost GROUP BY 1
+         |), tagg AS (
+         |  SELECT doc_id, sum(cost)::BIGINT AS lm_cost, count(*)::BIGINT AS n
+         |  FROM tcost GROUP BY 1
+         |), rates AS (
+         |  SELECT d.doc_id,
+         |    (CASE WHEN coalesce(c.n, 0) = 0 THEN 0
+         |          ELSE (1000 * c.lm_cost) // c.n END)::BIGINT AS corpus_bits_per_1k,
+         |    (CASE WHEN coalesce(t.n, 0) = 0 THEN 0
+         |          ELSE (1000 * t.lm_cost) // t.n END)::BIGINT AS target_bits_per_1k
+         |  FROM documents d
+         |  LEFT JOIN cagg c USING (doc_id) LEFT JOIN tagg t USING (doc_id)
+         |)
+         |SELECT doc_id, corpus_bits_per_1k, target_bits_per_1k,
+         |  (target_bits_per_1k - corpus_bits_per_1k)::BIGINT AS ml_delta
+         |FROM rates ORDER BY ml_delta ASC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // rank_eval: identical run (shared scored CTE + rank), identical
+    // judged set, fixed IEEE metric trees, rank-ordered DCG folds with
+    // arg_max extraction, round(ndcg, 6).
+    "q_rank_eval" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector scan")
+      val relPred = graft.expr.TextMatch.containsTokenSql("text", "dup")
+      s"""WITH s AS (
+         |$scored
+         |), run AS (
+         |  SELECT doc_id, score FROM s ORDER BY score DESC, doc_id ASC LIMIT 15
+         |), ranked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM run
+         |), rel AS (
+         |  SELECT doc_id FROM documents WHERE $relPred
+         |), tot AS (
+         |  SELECT count(*)::BIGINT AS r FROM rel
+         |), flags AS (
+         |  SELECT rank, (doc_id IN (SELECT doc_id FROM rel)) AS is_rel FROM ranked
+         |), fold AS (
+         |  SELECT rank, sum(CASE WHEN is_rel
+         |      THEN 1.0 / (ln(rank + 1) / ln(2.0)) ELSE 0.0 END)
+         |    OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sdcg
+         |  FROM flags
+         |), dcg AS (
+         |  SELECT arg_max(sdcg, rank) AS dcg FROM fold
+         |), hits AS (
+         |  SELECT sum(CASE WHEN is_rel THEN 1 ELSE 0 END)::BIGINT AS h,
+         |    min(CASE WHEN is_rel THEN rank END)::BIGINT AS fr
+         |  FROM flags
+         |), ideal AS (
+         |  SELECT i FROM tot, unnest(range(1, least(15, r) + 1)) AS u(i)
+         |), ifold AS (
+         |  SELECT i, sum(1.0 / (ln(i + 1) / ln(2.0)))
+         |    OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidcg
+         |  FROM ideal
+         |), idcg AS (
+         |  SELECT arg_max(sidcg, i) AS idcg FROM ifold
+         |)
+         |SELECT h::DOUBLE / 15 AS precision_at_k,
+         |  CASE WHEN r = 0 THEN 0.0 ELSE h::DOUBLE / r::DOUBLE END AS recall_at_k,
+         |  CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr::DOUBLE END AS mrr,
+         |  CASE WHEN idcg IS NULL OR idcg = 0.0 THEN 0.0
+         |       ELSE round(dcg / idcg, 6) END AS ndcg_at_k
+         |FROM hits, tot, dcg, idcg""".stripMargin
+    },
 
     "quality_lm_filter" ->
       s"""WITH $lmCostCtes,

@@ -150,6 +150,44 @@ object NgramLm {
     scoreDocs(docs, idCol, textCol, bg, ctx)
   }
 
+  /** Moore–Lewis intelligent selection (Moore & Lewis 2010, "Intelligent
+    * Selection of Language Model Training Data" — the classic
+    * cross-entropy-difference criterion behind most published
+    * domain-selection pipelines, CCNet's head/tail split included):
+    * train ONE model on the whole corpus and ONE on the in-domain slice
+    * (`targetPred`), score every document with both, and rank by
+    *
+    *   ml_delta = target_bits_per_1k − corpus_bits_per_1k
+    *
+    * ascending — a document the TARGET model finds easier than the
+    * general model is target-like; boilerplate every model finds easy
+    * and garbage every model finds hard both cancel out, which is
+    * exactly why the difference beats a single-model perplexity gate.
+    * Both rates are this file's integer bits-per-1k, so the delta is
+    * integer-exact and the selection restates cross-engine.
+    *
+    * Output: `(idCol, corpus_bits_per_1k, target_bits_per_1k, ml_delta)`
+    * for every document. Scale shape: two [[train]] passes (one corpus
+    * exchange each, the target one over the slice) and two broadcast-join
+    * scorings — nothing wider than the doc key.
+    */
+  def contrastScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      minCount: Int = 2): DataFrame = {
+    val (cBg, cCtx) = train(docs, idCol, textCol, minCount)
+    val (tBg, tCtx) = train(docs.where(targetPred), idCol, textCol, minCount)
+    val corpus = scoreDocs(docs, idCol, textCol, cBg, cCtx)
+      .select(col(idCol), col("lm_bits_per_1k").as("corpus_bits_per_1k"))
+    val target = scoreDocs(docs, idCol, textCol, tBg, tCtx)
+      .select(col(idCol), col("lm_bits_per_1k").as("target_bits_per_1k"))
+    corpus.join(target, Seq(idCol))
+      .withColumn("ml_delta",
+        col("target_bits_per_1k") - col("corpus_bits_per_1k"))
+  }
+
   /** The perplexity gate: keep documents inside [minBitsPer1k,
     * maxBitsPer1k]. Two-sided because both tails are suspect — near-zero
     * bits means the document is made of the corpus's most-repeated

@@ -66,6 +66,28 @@ class NgramLmSpec extends SparkSpecBase {
     assert(kept === Set(1L, 2L))
   }
 
+  test("contrastScores: the Moore-Lewis delta separates target-like from off-domain docs") {
+    // target slice speaks x/y/z bigrams; the rest speaks p/q/r. Both
+    // probe docs sit in the general slice, so the target model has never
+    // seen doc 14's transitions (flat OOV cost) while doc 13's are its
+    // bread and butter — opposite ends of ml_delta.
+    val corpus = ((1 to 6).map(i => (i.toLong, "x y x z x y x z", "t")) ++
+      (7 to 12).map(i => (i.toLong, "p q p r p q p r", "g")) ++
+      Seq((13L, "x y x z", "g"), (14L, "p q p r", "g"))).toDF("doc_id", "text", "lang")
+    val out = NgramLm.contrastScores(corpus, "doc_id", "text",
+      targetPred = col("lang") === "t", minCount = 1)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // doc 13 (target dialect): cheap under the target model, negative-ish
+    // delta; doc 14 (off-domain dialect): the target model has barely seen
+    // 'p q', so target bits exceed corpus bits.
+    assert(out(13L) < out(14L))
+    // deltas are exact integers of the two integer rates
+    val full = NgramLm.contrastScores(corpus, "doc_id", "text",
+      col("lang") === "t", minCount = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(full.forall(r => r._4 === r._3 - r._2))
+  }
+
   test("scoring joins the model broadcast — no corpus-sized model shuffle") {
     val plan = NgramLm.perplexityScore(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
