@@ -1928,6 +1928,37 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q_percolate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES percolator — search reversed (the Kibana-alerting machinery):
+      // stored queries are user-authored query_string TEXT, compiled by
+      // the parser, all evaluated in ONE codegen'd corpus scan. Long
+      // form: one (query_id, doc_id) row per match.
+      val stored = graft.query.Percolator.fromStrings(Seq(
+        "alert_dup" -> "text:dup",
+        "alert_vector_scan" -> """text:"vector scan"""",
+        "alert_long_en" -> "lang:en AND n_chars:[400 TO *]"),
+        defaultField = "text")
+      graft.query.Percolator.percolateLong(load(dir, "documents"), "doc_id", stored)
+        .orderBy("query_id", "doc_id")
+    }),
+
+    "corpus_diff" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Snapshot diff — which documents moved between corpus versions
+      // (the pre-retrain audit): 'before' lacks the %7 ids and carries
+      // older text for the %5 ids; 'after' lacks the %11 ids. One
+      // full-outer id join over md5 fingerprints.
+      val docs = load(dir, "documents")
+      val before = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")))
+      val after = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+      ops.Drift.snapshotDiff(before, after, "doc_id", col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_suggest_phrase" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES phrase suggester: per-position Levenshtein candidates, cross-
@@ -5674,6 +5705,39 @@ object SparkEntry {
         |FROM a JOIN b USING (doc_id) JOIN t USING (doc_id)
         |WHERE p2 > p1 AND p2 - p1 - 1 <= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // Percolator: each stored query's predicate restated, one UNION ALL
+    // branch per query — the reverse of the usual one-query oracle.
+    "q_percolate" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      s"""SELECT query_id, doc_id FROM (
+         |  SELECT 'alert_dup' AS query_id, doc_id FROM documents
+         |  WHERE ${containsTokenSql("text", "dup")}
+         |  UNION ALL
+         |  SELECT 'alert_vector_scan' AS query_id, doc_id FROM documents
+         |  WHERE ${containsTokenSql("text", "vector scan")}
+         |  UNION ALL
+         |  SELECT 'alert_long_en' AS query_id, doc_id FROM documents
+         |  WHERE ${containsTokenSql("lang", "en")} AND n_chars::DOUBLE >= 400
+         |) ORDER BY query_id, doc_id""".stripMargin
+    },
+
+    // Snapshot diff: identical derived snapshots, md5 fingerprints, the
+    // same full-outer status derivation.
+    "corpus_diff" ->
+      """SELECT doc_id, status FROM (
+        |  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |    CASE WHEN b.f IS NULL THEN 'added'
+        |         WHEN a.f IS NULL THEN 'removed'
+        |         WHEN b.f <> a.f THEN 'changed' END AS status
+        |  FROM (
+        |    SELECT doc_id,
+        |      md5(CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END) AS f
+        |    FROM documents WHERE doc_id % 7 <> 0
+        |  ) b FULL OUTER JOIN (
+        |    SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id % 11 <> 0
+        |  ) a USING (doc_id)
+        |) WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // The whole phrase-suggester chain restated: vocabulary df, banded
     // candidates with min/max dedup, positional cross product, integer

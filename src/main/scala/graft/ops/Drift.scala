@@ -124,4 +124,32 @@ object Drift {
         round(sum((col("p") - col("q")) * (col("p") - col("q")) /
           (col("p") + col("q"))), 6).as("chi2_sym"))
   }
+
+  /** Snapshot diff — the row-level complement of the distributional
+    * [[driftReport]]: which documents were ADDED, REMOVED, or CHANGED
+    * between two corpus versions (the audit a data-versioning layer
+    * answers before a retrain: "what actually moved?"). Rows are matched
+    * by `idCol`; change detection compares `md5(fingerprint expression)`
+    * — portable, content-addressed, never a full-text compare across the
+    * join. Unchanged rows are dropped (the interesting set is the delta;
+    * counts per status are one `groupBy` away).
+    *
+    * Output: `(idCol, status)` with status ∈ {added, removed, changed},
+    * ordered by the caller. Scale shape: ONE hash-partitioned full-outer
+    * join on the id key, fingerprints reduced map-side — nothing wider
+    * than the id exchange, no text shuffled.
+    */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame,
+      idCol: String, fingerprint: Column): DataFrame = {
+    val b = before.select(col(s"`$idCol`"), md5(fingerprint.cast("string")).as("_fb"))
+    val a = after.select(col(s"`$idCol`"), md5(fingerprint.cast("string")).as("_fa"))
+    b.join(a, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_fb").isNull, lit("added"))
+          .when(col("_fa").isNull, lit("removed"))
+          .when(col("_fb") =!= col("_fa"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(s"`$idCol`"), col("status"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ES percolator — search REVERSED: queries are stored as data and each
+  * incoming document reports which stored queries it matches (the
+  * machinery under Kibana alerting/Watcher: "tell me when a document
+  * like THIS arrives"). The dictionary-driven philosophy the reference's
+  * webapp is built on (widgets-from-data, `collections.js`) taken to its
+  * endpoint: with [[QueryString.parse]], the stored queries themselves
+  * are user-authored STRINGS, compiled at plan time.
+  *
+  * Spark-first shape: ONE corpus scan; every stored query compiles to a
+  * boolean `Column` evaluated row-locally inside whole-stage codegen (no
+  * per-query pass, no join against a query table — the query set is
+  * plan-side, exactly where ES's percolator holds its candidate-pruned
+  * query set per segment). `|queries|` bounded by plan size — thousands
+  * are fine; index-scale millions would shard the query set into several
+  * plans, each still one scan.
+  *
+  * Streaming is the same plan over a streaming frame: percolating each
+  * micro-batch IS the alerting tier (PercolatorSpec drives it through
+  * MemoryStream).
+  */
+object Percolator {
+
+  /** A stored query: stable id + compiled predicate. */
+  final case class StoredQuery(id: String, spec: FilterSpec)
+
+  /** Parse stored query STRINGS (the at-rest representation a real
+    * deployment keeps in a table) into [[StoredQuery]]s.
+    */
+  def fromStrings(
+      queries: Seq[(String, String)],
+      defaultField: String): Seq[StoredQuery] =
+    queries.map { case (id, q) =>
+      StoredQuery(id, QueryString.parse(q, defaultField))
+    }
+
+  /** Wide form: the input rows with a `matched_queries` array column
+    * (stored-query ids, in registration order; empty when none match —
+    * every document keeps its row, the filter is the caller's choice).
+    * Null predicate results count as non-matching, the [[FilterSpec.Not]]
+    * three-valued-logic discipline.
+    */
+  def percolate(docs: DataFrame, queries: Seq[StoredQuery]): DataFrame = {
+    require(queries.nonEmpty, "percolate: no stored queries")
+    require(queries.map(_.id).distinct.size == queries.size,
+      "percolate: duplicate stored-query ids")
+    val flags = queries.map(q =>
+      when(coalesce(q.spec.compile, lit(false)), lit(q.id)))
+    docs.withColumn("matched_queries",
+      filter(array(flags: _*), x => x.isNotNull))
+  }
+
+  /** Long form: one `(queryId, <doc columns...>)` row per match — the
+    * alert stream shape.
+    */
+  def percolateLong(
+      docs: DataFrame, idCol: String, queries: Seq[StoredQuery]): DataFrame =
+    percolate(docs, queries)
+      .select(explode(col("matched_queries")).as("query_id"), col(s"`$idCol`"))
+      .select(col("query_id"), col(s"`$idCol`"))
+}

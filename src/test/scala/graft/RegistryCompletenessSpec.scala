@@ -41,7 +41,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "q_fuzzy_match", "q_fuzzy_match_indexed", "q_phrase_slop", "q_wildcard",
     "search_more_like_this", "q_suggest_term", "q_highlight",
     "q_suggest_phrase", "search_bm25_collapse", "search_bm25_page2",
-    "quality_ml_select", "q_rank_eval",
+    "quality_ml_select", "q_rank_eval", "q_percolate", "corpus_diff",
     "g_variable_width_histogram", "g_variable_width_histogram_preagg",
     "g_random_sampler", "g_significant_text",
     "g_weighted_avg_preagg", "g_geo_centroid_preagg", "g_matrix_stats_preagg",
