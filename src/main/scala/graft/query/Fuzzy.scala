@@ -113,14 +113,31 @@ object Fuzzy {
     */
   def suggestTerms(
       df: DataFrame, textCol: Column, input: String,
-      maxEdits: Int = 2, n: Int = 5): DataFrame = {
-    val q = input.toLowerCase
-    val vocab = df
-      .select(array_distinct(
+      maxEdits: Int = 2, n: Int = 5): DataFrame =
+    suggestTermsFromVocab(vocabularyWithFreq(df, textCol), input, maxEdits, n)
+
+  /** The `(term, freq)` vocabulary with DOCUMENT frequencies — the
+    * at-rest artifact behind the suggester and the deletion index.
+    * Per-batch counts are integer sums, so a stream maintains it
+    * incrementally ([[graft.streaming.EventStreams.maintainFuzzyVocab]]).
+    */
+  def vocabularyWithFreq(df: DataFrame, textCol: Column): DataFrame =
+    df.select(array_distinct(
         split(trim(TextMatch.normalized(textCol)), " ")).as("_ts"))
       .select(explode(col("_ts")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("freq"))
+
+  /** [[suggestTerms]] over an already-built `(term, freq)` vocabulary —
+    * the serve path against the at-rest (possibly stream-maintained)
+    * artifact. The deletion index is rebuilt from the vocabulary here
+    * (deterministic per term, vocabulary-sized work); a deployment
+    * persists it beside the vocabulary and probes it directly.
+    */
+  def suggestTermsFromVocab(
+      vocab: DataFrame, input: String,
+      maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    val q = input.toLowerCase
     val cand = matchingTerms(deletionIndex(vocab.select("term"), maxEdits), q, maxEdits)
     vocab.join(broadcast(cand), "term")
       .withColumn("distance", levenshtein(col("term"), lit(q)))

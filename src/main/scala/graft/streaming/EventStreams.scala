@@ -622,6 +622,43 @@ object EventStreams {
     } finally merged.unpersist()
   }
 
+  /** Maintain the fuzzy-search vocabulary from a DOCUMENT stream — the
+    * at-rest artifact behind the SymSpell deletion index, the term
+    * suggester, and the phrase suggester's candidate generator
+    * ([[graft.query.Fuzzy]]): per micro-batch, per-doc-distinct term
+    * counts append as `(term, freq, inc_batch_id)`. Document frequencies
+    * are integer sums, so the corpus-so-far vocabulary is one group-sum
+    * away and every fuzzy serve path runs WITHOUT re-reading corpus
+    * text. Same replay contract as [[maintainGramDf]]: per-(term, epoch)
+    * dedup makes retried appends idempotent.
+    */
+  def maintainFuzzyVocab(
+      docs: DataFrame,
+      textCol: String,
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.query.Fuzzy.vocabularyWithFreq(batch, col(s"`$textCol`"))
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The corpus-so-far `(term, freq)` vocabulary implied by
+    * [[maintainFuzzyVocab]]'s increments: replay-deduped per
+    * (term, epoch), then sum-merged — feed it straight to
+    * [[graft.query.Fuzzy.suggestTermsFromVocab]] /
+    * [[graft.query.Fuzzy.deletionIndex]].
+    */
+  def fuzzyVocabFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("term", "inc_batch_id"))
+      .groupBy("term").agg(sum(col("freq")).as("freq"))
+
   /** Maintain the ExactSubstr gram-count state from a document stream:
     * per micro-batch, the sliding `minLen`-gram occurrence counts
     * ([[graft.ops.Dedup.slidingGramPostings]]) append at rest as

@@ -858,4 +858,49 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(score(EventStreams.importanceModelFromIncrements(spark, incPath)) === whole,
       "compaction changed the implied model")
   }
+
+  test("streamed fuzzy vocabulary serves suggestions and fuzzy matches ≡ batch, replay-proof") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fuzzy").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainFuzzyVocab(
+      mem.toDS().toDF("doc_id", "text"), "text", incPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(
+      (1L, "the table stands"), (2L, "the able mind"),
+      (3L, "the end"), (4L, "table table tble"))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDf = all.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val servedVocab = EventStreams.fuzzyVocabFromIncrements(spark, incPath)
+    // suggester over the streamed artifact ≡ the batch scan
+    assert(
+      rows(graft.query.Fuzzy.suggestTermsFromVocab(servedVocab, "tble", 2, 10)) ===
+        rows(graft.query.Fuzzy.suggestTerms(batchDf, col("text"), "tble", 2, 10)))
+    // deletion-index retrieval candidates agree too
+    val streamedTerms = graft.query.Fuzzy.matchingTerms(
+        graft.query.Fuzzy.deletionIndex(servedVocab.select("term"), 1), "tble", 1)
+      .as[String].collect().sorted.toSeq
+    val batchTerms = graft.query.Fuzzy.matchingTerms(
+        graft.query.Fuzzy.deletionIndex(
+          graft.query.Fuzzy.vocabulary(batchDf, col("text")), 1), "tble", 1)
+      .as[String].collect().sorted.toSeq
+    assert(streamedTerms === batchTerms)
+    // a replayed epoch (foreachBatch retry) must not inflate frequencies
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(
+      rows(graft.query.Fuzzy.suggestTermsFromVocab(
+        EventStreams.fuzzyVocabFromIncrements(spark, incPath), "tble", 2, 10)) ===
+        rows(graft.query.Fuzzy.suggestTerms(batchDf, col("text"), "tble", 2, 10)),
+      "a replayed epoch inflated the vocabulary")
+  }
 }
