@@ -475,6 +475,61 @@ object SparkEntry {
           else
             Aggs.significantTerms(federatedHarmonized(s, warm = true),
               array(col(field)), fc.compile, size))
+      },
+      "/search" -> { body =>
+        // The search endpoint over the documents corpus: {"q": "dup
+        // vector", "filter": "lang:en" (query_string, optional),
+        // "size": N, "collapse": "lang" (optional), "after": [score, id]
+        // (search_after, optional), "highlight": true (optional)}. BM25
+        // over the analyzed text; filter compiled by the query_string
+        // parser; collapse/after are the Paging tier; highlight wraps
+        // matched tokens.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val qText = o.path("q").asText("")
+        require(qText.nonEmpty, "search: missing q")
+        val size = o.path("size").asInt(10)
+        val docs0 = load(dir, "documents")
+        val docs =
+          if (o.hasNonNull("filter"))
+            docs0.where(graft.query.QueryString.parse(
+              o.path("filter").asText(), defaultField = "text").compile)
+          else docs0
+        val analyzed = concat(lit(" "),
+          graft.expr.TextMatch.normalized(col("text")), lit(" "))
+        val scored = graft.query.Bm25.scoredAll(docs, "doc_id", analyzed, qText)
+        val page =
+          if (o.hasNonNull("collapse"))
+            graft.query.Paging.collapseTopHits(
+              scored.join(docs.select("doc_id", o.path("collapse").asText()), "doc_id"),
+              "doc_id", "score", o.path("collapse").asText(), size)
+          else if (o.hasNonNull("after")) {
+            val a = o.path("after")
+            graft.query.Paging.searchAfter(scored, "doc_id", "score",
+              a.get(0).asDouble(), a.get(1).asLong(), size)
+          } else scored.orderBy(desc("score"), asc("doc_id")).limit(size)
+        WidgetServer.collectRowsJson(
+          if (o.path("highlight").asBoolean(false))
+            page.join(docs0.select(col("doc_id"),
+              graft.expr.TextMatch.highlight(col("text"), qText).as("highlighted")),
+              "doc_id")
+              .orderBy(desc("score"), asc("doc_id"))
+          else page)
+      },
+      "/percolate" -> { body =>
+        // The alerting endpoint: {"queries": {"alert_id": "<query_string
+        // text>", ...}} percolated against the documents corpus — one
+        // (query_id, doc_id) row per match, the Watcher wire shape.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val qs = o.path("queries")
+        require(qs.isObject && qs.size() > 0, "percolate: missing queries")
+        val it = qs.fields()
+        val b = Seq.newBuilder[(String, String)]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        val stored = graft.query.Percolator.fromStrings(b.result(), defaultField = "text")
+        WidgetServer.collectRowsJson(
+          graft.query.Percolator.percolateLong(
+            load(dir, "documents"), "doc_id", stored)
+            .orderBy("query_id", "doc_id"))
       })
   }
 

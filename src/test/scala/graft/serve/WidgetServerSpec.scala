@@ -329,4 +329,80 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(body.contains("dict_field") && body.contains("dict_vartype"))
     } finally server.stop(0)
   }
+
+  test("POST /search serves BM25 with filter, collapse, search_after, and highlight on the wire") {
+    import org.apache.spark.sql.functions._
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+
+      // plain ranked page == engine-direct topK
+      val (c1, b1) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup vector scan", "size": 5}""")
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(
+        graft.query.Bm25.topKRaw(docs, "doc_id", "text", "dup vector scan", 5)))
+
+      // filter narrows the scored corpus (stats shift with it, like ES
+      // filtered query context narrows the index)
+      val (c2, b2) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup vector scan", "filter": "lang:en", "size": 5}""")
+      assert(c2 === 200)
+      val enDocs = docs.where(graft.query.QueryString.parse(
+        "lang:en", "text").compile)
+      assert(b2 === WidgetServer.collectRowsJson(
+        graft.query.Bm25.topKRaw(enDocs, "doc_id", "text", "dup vector scan", 5)))
+
+      // collapse: one best hit per lang
+      val (c3, b3) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup vector scan", "collapse": "lang", "size": 3}""")
+      assert(c3 === 200)
+      val scored = graft.query.Bm25.scoredAll(docs, "doc_id", analyzed, "dup vector scan")
+      assert(b3 === WidgetServer.collectRowsJson(
+        graft.query.Paging.collapseTopHits(
+          scored.join(docs.select("doc_id", "lang"), "doc_id"),
+          "doc_id", "score", "lang", 3)))
+
+      // search_after: page 2 stitches to the full ranking
+      val p1 = scored.orderBy(desc("score"), asc("doc_id")).limit(2)
+        .collect().last
+      val (c4, b4) = post(s"http://127.0.0.1:$port/search",
+        s"""{"q": "dup vector scan", "size": 2,
+           | "after": [${p1.getDouble(1)}, ${p1.getLong(0)}]}""".stripMargin)
+      assert(c4 === 200)
+      assert(b4 === WidgetServer.collectRowsJson(
+        graft.query.Paging.searchAfter(scored, "doc_id", "score",
+          p1.getDouble(1), p1.getLong(0), 2)))
+
+      // highlight decorates the page with wrapped matches
+      val (c5, b5) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup", "size": 2, "highlight": true}""")
+      assert(c5 === 200)
+      assert(b5.contains("<em>dup</em>"))
+
+      // missing q is a client fault
+      assert(post(s"http://127.0.0.1:$port/search", """{"size": 2}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
+  test("POST /percolate matches posted stored queries against the corpus on the wire") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) = post(s"http://127.0.0.1:$port/percolate",
+        """{"queries": {"a_dup": "text:dup", "a_vs": "text:\"vector scan\""}}""")
+      assert(code === 200)
+      val stored = graft.query.Percolator.fromStrings(
+        Seq("a_dup" -> "text:dup", "a_vs" -> """text:"vector scan""""), "text")
+      val direct = WidgetServer.collectRowsJson(
+        graft.query.Percolator.percolateLong(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", stored)
+          .orderBy("query_id", "doc_id"))
+      assert(body === direct)
+      assert(post(s"http://127.0.0.1:$port/percolate", """{}""")._1 === 400)
+    } finally server.stop(0)
+  }
 }
