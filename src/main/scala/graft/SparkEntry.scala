@@ -3663,6 +3663,40 @@ object SparkEntry {
         emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 3)
     }),
 
+    "ann_filtered" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES 8 knn-with-filter, PRE-filter semantics: only candidates
+      // passing the predicate compete for top-k (post-filtering an
+      // unfiltered top-k silently returns < k — the recall hole the
+      // pre-filter exists to close; SimilaritySpec demonstrates it).
+      // Brute-force exact baseline: filter then rank.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.bruteForceTopK(
+          emb.where(pmod(col("label"), lit(2)) === 0), "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    "ann_ivf_filtered" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The scale path: the IVF index is built ONCE over the full corpus
+      // (centroids shared by every filtered and unfiltered query, ES's
+      // own shared-HNSW shape), and the filter prunes the CANDIDATE set
+      // before ranking — cell assignment against frozen centroids is
+      // row-local, so filtering before assignment equals filtering the
+      // at-rest index rows.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val centroids = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 0, seed = 42)
+      val index = Similarity.assignCells(
+        emb.where(pmod(col("label"), lit(2)) === 0), "vec_id", "embedding", centroids)
+      Similarity.ivfTopKFromIndex(index, centroids,
+          queries, "vec_id", "embedding", k = 5, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // IVF coarse quantization, fully oracled at refineIters=0: the init
@@ -8144,6 +8178,51 @@ object SparkEntry {
          |    list_inner_product(a.v, q.qv)
          |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
          |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Pre-filter knn, brute baseline: the corpus side filters BEFORE the
+    // ranking window — queries stay unfiltered (ES filters results, not
+    // the query vector).
+    "ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |c AS (SELECT * FROM e WHERE label % 2 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(c.v, q.v)
+        |      / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+        |  FROM c, q WHERE c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Pre-filter knn over the SHARED full-corpus IVF index: identical
+    // centroid/assignment CTEs, the filter applied to the candidate index
+    // rows before the probed-cell ranking.
+    "ann_ivf_filtered" -> {
+      s"""WITH ${ivfAssignCtesSql(nlist = 8)}, fidx AS (
+         |  SELECT a.* FROM assigned a JOIN embeddings em USING (vec_id)
+         |  WHERE em.label % 2 = 0
+         |), qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 3 AND vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(a.v, q.qv)
+         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |  FROM fidx a JOIN qprobe q ON a.cell = q.cell
          |  WHERE a.vec_id <> q.query_id
          |), ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -420,4 +420,37 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(run(6, 2).size >= run(6, 1).size)
   }
+
+  test("filtered knn: pre-filter keeps k results where post-filtering loses them") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val pred = pmod(col("label"), lit(2)) === 0
+    val k = 5
+    // pre-filter: filter the corpus, then rank — always k hits (corpus
+    // side has plenty of matching rows)
+    val pre = Similarity.bruteForceTopK(emb.where(pred), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(pre.values.forall(_ === k.toLong))
+    // post-filter: rank first, filter the top-k after — returns FEWER
+    // than k whenever odd-label neighbors occupied top slots (the recall
+    // hole ES's knn filter exists to close)
+    val post = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .where(pred)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(post.values.exists(_ < k.toLong),
+      "post-filter kept k hits for every query — fixture too easy to demonstrate the hole")
+    // the shared-index IVF pre-filter returns only predicate-passing
+    // neighbors, and at nprobe=nlist it equals the filtered brute force
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 0)
+    val idx = Similarity.assignCells(emb.where(pred), "vec_id", "embedding", cents)
+    val ivf = Similarity.ivfTopKFromIndex(idx, cents, queries, "vec_id", "embedding",
+      k, nprobe = 4)
+    val bruteRows = Similarity.bruteForceTopK(emb.where(pred), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k)
+      .collect().map(_.toSeq).toSeq
+    assert(ivf.collect().map(_.toSeq).toSeq === bruteRows)
+  }
 }
