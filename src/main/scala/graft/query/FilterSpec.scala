@@ -295,12 +295,20 @@ object FilterSpec {
     private def isNum(s: String): Boolean =
       scala.util.Try(s.toDouble).isSuccess
     private val numeric = (lo ++ hi).nonEmpty && (lo ++ hi).forall(isNum)
+    // Type the LITERAL, never cast the column: an integral bound becomes a
+    // long literal (comparisons against integral columns then push into
+    // the parquet scan — a column cast blocks pushdown, and long→double
+    // cannot be unwrapped since longs exceed double's 53-bit mantissa);
+    // a decimal bound becomes a double literal, which Catalyst promotes
+    // against safely.
     private def bound(v: String): Column =
-      if (numeric) lit(v.toDouble) else lit(v)
+      if (!numeric) lit(v)
+      else if (v.matches("-?\\d+") && scala.util.Try(v.toLong).isSuccess) lit(v.toLong)
+      else lit(v.toDouble)
     private def side(v: Option[String], f: Column => Column): Column =
       v.map(f.compose(bound)).getOrElse(lit(true))
     def compile: Column = {
-      val c = if (numeric) col(field).cast("double") else col(field)
+      val c = col(field)
       side(lo, b => if (loInclusive) c >= b else c > b) &&
         side(hi, b => if (hiInclusive) c <= b else c < b)
     }

@@ -420,6 +420,70 @@ class PlanSpec extends SparkSpecBase {
       s"within-cell pairing must join on the cell key:\n$plan")
   }
 
+  test("query_string exists/range/wildcard clauses push down into the parquet scan") {
+    val p = tmp(Seq((1L, "src1", 450L), (2L, "web", 30L)).toDF("id", "source", "n"))
+    val spec = graft.query.QueryString.parse(
+      "source:* AND n:[400 TO *]", defaultField = "source")
+    val plan = planOf(spark.read.parquet(p).where(spec.compile))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("IsNotNull(source)"), s"exists not pushed:\n$plan")
+    // UnwrapCastInBinaryComparison turns the range's double compare back
+    // into a pushable long predicate
+    assert(plan.contains("GreaterThanOrEqual(n,400"), s"range not pushed:\n$plan")
+    // term-level wildcard is a LIKE the source can evaluate
+    val w = planOf(spark.read.parquet(p).where(
+      graft.query.QueryString.parse("source:s?c1*", "source").compile))
+    assert(w.contains("StringStartsWith") || w.contains("LIKE") || w.contains("Like"),
+      s"wildcard not pushed or evaluated at scan:\n$w")
+  }
+
+  test("percolate is ONE scan: no exchange, stored queries evaluated in-plan") {
+    val docs = Seq((1L, "dup text here"), (2L, "other")).toDF("id", "text")
+    val stored = graft.query.Percolator.fromStrings(
+      Seq("a" -> "text:dup", "b" -> """text:"dup text""""), "text")
+    val plan = planOf(graft.query.Percolator.percolateLong(docs, "id", stored))
+    assert(!plan.contains("Exchange"),
+      s"percolation must not shuffle — queries are plan-side:\n$plan")
+    assert(!plan.contains("Join"), s"no query-table join:\n$plan")
+  }
+
+  test("search_after plans as a partial top-k, never a global sort") {
+    val p = tmp(Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "score"))
+    val plan = planOf(graft.query.Paging.searchAfter(
+      spark.read.parquet(p), "id", "score", 2.5, 1L, 2))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"keyset page must be a partial top-k:\n$plan")
+    // and the anchor predicate reaches the scan (constant work per page)
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan(score,2.5)"),
+      s"anchor predicate not pushed:\n$plan")
+  }
+
+  test("collapse windows partition by the collapse field — group-parallel, no single-task sort") {
+    val scored = Seq((1L, 3.0, "en"), (2L, 2.0, "fr")).toDF("id", "score", "lang")
+    val plan = planOf(graft.query.Paging.collapseTopHits(
+      scored, "id", "score", "lang", 5))
+    assert(plan.contains("hashpartitioning(lang"),
+      s"per-group argmax must partition by the collapse field:\n$plan")
+  }
+
+  test("indexed fuzzy retrieval semi-joins the corpus against broadcast matched terms") {
+    val docs = Seq((1L, "dup vector"), (2L, "other words")).toDF("id", "text")
+    val plan = planOf(graft.query.Fuzzy.fuzzyDocs(docs, "text", "dupe", 1))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"matched terms must broadcast into a semi-join:\n$plan")
+  }
+
+  test("more_like_this: selected terms and corpus stats arrive by broadcast") {
+    val docs = Seq(
+      (1L, "rare rare common common"), (2L, "rare common zz zz"),
+      (3L, "common yy"), (4L, "common xx")).toDF("id", "text")
+    val plan = planOf(graft.query.MoreLikeThis.moreLikeThis(
+      docs, "id", "text", 1L, maxQueryTerms = 3, k = 3,
+      minTermFreq = 1, minDocFreq = 1))
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"selected terms + stats must broadcast:\n$plan")
+  }
+
   test("importance scoring broadcasts the bucket model; corpus shuffles only by doc id") {
     val docs = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog"),
