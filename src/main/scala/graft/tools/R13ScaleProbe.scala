@@ -210,6 +210,42 @@ object R13ScaleProbe {
       })
     }
 
+    // ---- 2e. round-13 sixth..twelfth batches: search/selection ops ----
+    // more_like_this (tf/df/dl exchanges linear in corpus tokens),
+    // phrase suggester (vocab + LM training linear; sequence scoring
+    // constant), percolator (row-local single scan), rank_eval (one
+    // scored run + k-row metrics), Moore-Lewis (two LM chains).
+    for ((label, dir) <- Seq(("1x", "/root/testdata/sf0.1"), ("10x", "/tmp/graft_sf1"))
+        if sections("search2")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      emit(label, "more_like_this", timeOp(repeats) {
+        graft.query.MoreLikeThis.moreLikeThis(docs, "doc_id", "text", 42L).count()
+      })
+      emit(label, "suggest_phrase", timeOp(repeats) {
+        graft.query.Fuzzy.suggestPhrase(docs, "doc_id", "text",
+          "tabel scan fastt", maxEdits = 2, perTermCandidates = 3, n = 5).count()
+      })
+      val stored = graft.query.Percolator.fromStrings(Seq(
+        "alert_dup" -> "text:dup",
+        "alert_vs" -> """text:"vector scan"""",
+        "alert_long" -> "n_chars:[400 TO *]"), defaultField = "text")
+      emit(label, "percolate_3q", timeOp(repeats) {
+        graft.query.Percolator.percolateLong(docs, "doc_id", stored).count()
+      })
+      emit(label, "rank_eval", timeOp(repeats) {
+        val run = graft.query.Bm25.topKRaw(docs, "doc_id", "text",
+          "dup vector scan", k = 15)
+        val rel = docs.where(
+          graft.expr.TextMatch.containsToken(col("text"), "dup")).select("doc_id")
+        graft.query.RankEval.evaluate(run, "doc_id", "score", rel, 15).count()
+      })
+      emit(label, "moore_lewis", timeOp(repeats) {
+        graft.ops.NgramLm.contrastScores(docs, "doc_id", "text",
+          col("lang") === "en").count()
+      })
+    }
+
     // ---- 3. chunked vs unchunked rolling window on a skewed corpus ----
     // events twin replicated factor-fold with megaPct% of rows remapped to
     // ONE entity: the shape a mega-user (bot, ingestion artifact) produces
