@@ -4137,6 +4137,21 @@ object SparkEntry {
         .limit(50)
     }),
 
+    "q_ltr_features" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES LTR feature logging: per hit in the result window, the raw
+      // ranking features (per-term TF, per-term IDF, doc length, BM25
+      // total — shared trees with the serving scorer) joined with the
+      // judged label. The log IS reranker training data — the search
+      // tier feeding the training-data tier.
+      import graft.expr.TextMatch
+      val docs = load(dir, "documents")
+      val judged = docs.where(TextMatch.containsToken(col("text"), "dup"))
+        .select("doc_id")
+      graft.query.Ltr.logFeatures(docs, "doc_id", "text",
+        "dup vector scan", judged, k = 15)
+    }),
+
     "q_rank_eval" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES rank_eval: score the search_bm25 run against a judged set
@@ -6701,6 +6716,13 @@ object SparkEntry {
          |SELECT doc_id, corpus_bits_per_1k, target_bits_per_1k,
          |  (target_bits_per_1k - corpus_bits_per_1k)::BIGINT AS ml_delta
          |FROM rates ORDER BY ml_delta ASC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // LTR feature log: Bm25's exact analyzer/TF/IDF/score spellings with
+    // the feature projection and the judged-label join.
+    "q_ltr_features" ->
+      graft.query.Ltr.oracleSql("documents", "doc_id", "text",
+        "dup vector scan",
+        graft.expr.TextMatch.containsTokenSql("text", "dup"), k = 15),
 
     // rank_eval: identical run (shared scored CTE + rank), identical
     // judged set, fixed IEEE metric trees, rank-ordered DCG folds with

@@ -101,7 +101,7 @@ object Bm25 {
     * broadcast stats columns (`_n`, `_sumdl`, `_df<i>`). Fixed left-fold
     * over terms in order — the association the SQL oracle restates.
     */
-  private def scoreColumn(nTerms: Int, k1: Double, b: Double): Column = {
+  private[query] def scoreColumn(nTerms: Int, k1: Double, b: Double): Column = {
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("_dl").cast("double") / avgdl)
     (0 until nTerms).map { i =>

@@ -121,6 +121,25 @@ class SearchExtrasSpec extends SparkSpecBase {
     assert(page2.head === 3L)
   }
 
+  test("LTR feature log: f_bm25 is bit-identical to the serving score, labels join the judged set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val judged = docs.where(TextMatch.containsToken(col("text"), "dup"))
+      .select("doc_id")
+    val feats = Ltr.logFeatures(docs, "doc_id", "text", "dup vector scan", judged, k = 10)
+      .collect()
+    val serving = Bm25.topKRaw(docs, "doc_id", "text", "dup vector scan", k = 10)
+      .as[(Long, Double)].collect().toMap
+    val judgedSet = judged.as[Long].collect().toSet
+    assert(feats.length === 10)
+    for (r <- feats) {
+      val id = r.getLong(0)
+      assert(r.getAs[Double]("f_bm25") === serving(id), s"doc $id score drifted")
+      assert((r.getInt(1) == 1) === judgedSet(id), s"doc $id label wrong")
+      // tf features positive iff the doc matched at least one term; dl > 0
+      assert(r.getAs[Long]("f_dl") > 0)
+    }
+  }
+
   test("highlight wraps whole tokens case-insensitively and never re-matches inserted tags") {
     val df = Seq(
       (1L, "Dup and DUPS and dup."),
