@@ -4166,6 +4166,18 @@ object SparkEntry {
       graft.query.RankEval.evaluate(run, "doc_id", "score", relevant, k = 15)
     }),
 
+    "text_unigram_segment" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // SentencePiece-style unigram segmentation (Kudo 2018), the other
+      // tokenizer family beside BPE: corpus-substring piece vocabulary
+      // with integer ilog2 costs, per-word Viterbi decode packed into
+      // single-long DP values (cost first, fewest pieces tiebreak) —
+      // fully replayed in the oracle via unrolled position CTEs.
+      ops.Unigram.segmentCounts(load(dir, "documents"), "doc_id", "text",
+          maxPieceLen = 4, minCount = 2, maxWordLen = 16)
+        .orderBy("doc_id")
+    }),
+
     "text_chunk_windows" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Overlapping 64-token windows with 16-token overlap — the RAG/
@@ -6661,6 +6673,13 @@ object SparkEntry {
          |        ELSE (1000 * a.lm_cost) // a.lm_bigrams END)::BIGINT AS lm_bits_per_1k
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Unigram segmentation replayed end-to-end: weighted substring
+    // vocabulary, ilog2 costs, and the Viterbi DP as unrolled position
+    // CTEs (the BPE merge-replay precedent).
+    "text_unigram_segment" ->
+      ops.Unigram.oracleSql("documents", "doc_id", "text",
+        maxPieceLen = 4, minCount = 2, maxWordLen = 16),
 
     // Moore-Lewis restated: TWO model chains over the shared bigram
     // stream (corpus; lang='en' target), the identical ilog2 costs and

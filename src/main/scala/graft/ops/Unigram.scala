@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.expr.TextMatch
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword segmentation — the OTHER
+  * major tokenizer family beside [[Bpe]]: a piece VOCABULARY with
+  * corpus-derived costs, and per-word Viterbi decoding that picks the
+  * minimum-total-cost segmentation (Kudo 2018, "Subword Regularization";
+  * the SentencePiece unigram model's decode step). Where SentencePiece
+  * trains piece probabilities by EM, this repo derives them directly
+  * from corpus substring frequencies — the EM seed vocabulary — and
+  * keeps every cost INTEGER so the whole pipeline (vocabulary, costs,
+  * the DP itself) restates in ANSI SQL and hash-matches cross-engine
+  * (the [[NgramLm]] discipline):
+  *
+  *   cost(piece) = ilog2(total + 1) − ilog2(count(piece) + 1)
+  *
+  * with `ilog2(n) = length(bin(n))`, `count` the corpus occurrence count
+  * of the substring (weighted by word frequency, multiple occurrences
+  * inside one word all counting), `total` the sum over all retained
+  * pieces — the integer twin of −log2 P(piece). Single-character pieces
+  * are ALWAYS retained (the coverage guarantee every unigram tokenizer
+  * needs: any word segments into characters in the worst case); longer
+  * pieces survive `minCount`. An unseen character at decode time costs
+  * the flat [[NgramLm.OovCost]].
+  *
+  * Viterbi with deterministic tiebreak: the DP value packs
+  * `cost·256 + tokens` into one long, so `min` ranks by total cost
+  * first, FEWEST pieces second — bit-stable on any cluster, no float
+  * anywhere. (Token counts stay < 256 because words are capped at
+  * `maxWordLen` ≤ 64, enforced by an in-plan `raise_error`.)
+  *
+  * Scale shape: the vocabulary is one exploded substring aggregation
+  * (map-side combined; `maxPieceLen·|word|` spans per word occurrence —
+  * corpus-linear) pruned to a broadcastable Zipf head; decoding works
+  * over the DISTINCT-word table (Heaps-law-sized, not corpus-sized),
+  * each word's DP a row-local `aggregate` fold over its collected span
+  * list; per-document totals come back by one broadcast-friendly join
+  * on the word. The corpus is never shuffled by anything wider than its
+  * own tokens.
+  */
+object Unigram {
+
+  /** Per-document unigram segmentation totals against a corpus-derived
+    * piece vocabulary: `(idCol, uni_tokens, uni_cost)` — the number of
+    * pieces and the total integer cost of the optimal segmentation of
+    * every word occurrence. Documents with no analyzable tokens keep a
+    * row with zeros (a downstream filter must see every document, the
+    * [[NgramLm.scoreDocs]] contract).
+    */
+  def segmentCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      minCount: Int = 2,
+      maxWordLen: Int = 32): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be 1..16, got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 64,
+      s"maxWordLen must be 1..64 (token counts pack into 8 bits), got $maxWordLen")
+
+    // one row per WORD OCCURRENCE: (id, word)
+    val occ = docs.select(col(s"`$idCol`").as("_id"),
+        explode(split(trim(TextMatch.normalized(col(s"`$textCol`"))), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    // corpus word frequencies, with the loud length guard in-plan
+    val wf = occ.groupBy("word").agg(count(lit(1)).as("occ"))
+      .withColumn("word",
+        when(length(col("word")) > maxWordLen,
+          raise_error(concat(lit("unigram: word longer than maxWordLen="),
+            lit(maxWordLen), lit(": "), col("word"))))
+          .otherwise(col("word")))
+
+    // all substrings (start s, end e, 1-based inclusive) of distinct
+    // words, length ≤ maxPieceLen
+    def spansOf(word: Column): Column =
+      flatten(transform(sequence(lit(1), length(word)), s =>
+        transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - s + 1)), l =>
+          struct(s.as("s"), (s + l - 1).as("e"),
+            word.substr(s, l).as("piece")))))
+    val sp = wf.select(col("word"), col("occ"), explode(spansOf(col("word"))).as("sp"))
+      .select(col("word"), col("occ"), col("sp.s").as("s"), col("sp.e").as("e"),
+        col("sp.piece").as("piece"))
+
+    // piece counts weighted by word frequency; total over retained pieces
+    val pc = sp.groupBy("piece").agg(sum(col("occ")).as("cnt"))
+      .where(col("cnt") >= minCount || length(col("piece")) === 1)
+    val tot = pc.agg(sum(col("cnt")).as("t"))
+    def ilog2p1(c: Column): Column = length(bin(c + lit(1L))).cast("long")
+    val costs = pc.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (ilog2p1(col("t")) - ilog2p1(col("cnt"))).as("cost"))
+
+    // spans of each distinct word, joined to costs; single chars fall
+    // back to the flat OOV cost, longer out-of-vocab spans drop
+    val spans = sp.select("word", "s", "e", "piece").distinct()
+      .join(broadcast(costs), Seq("piece"), "left")
+      .withColumn("cost",
+        when(col("cost").isNotNull, col("cost"))
+          .when(col("e") === col("s"), lit(NgramLm.OovCost)))
+      .where(col("cost").isNotNull)
+      // pack (cost, one piece) into the single-long DP addend
+      .select(col("word"), struct(col("s"), col("e"),
+        (col("cost") * 256L + 1L).as("comb")).as("sp"))
+
+    // the Viterbi fold: dp(0)=0; dp(i) = min over spans ending at i of
+    // dp(s-1) + comb — one row-local aggregate over the collected spans
+    val perWord = spans.groupBy("word").agg(collect_list(col("sp")).as("sps"))
+      .withColumn("_dp",
+        aggregate(
+          sequence(lit(1), length(col("word"))),
+          array(lit(0L)),
+          (acc, i) => concat(acc, array(
+            array_min(transform(
+              filter(col("sps"), sp => sp.getField("e") === i),
+              sp => element_at(acc, sp.getField("s")) + sp.getField("comb")))))))
+      .select(col("word"),
+        element_at(col("_dp"), length(col("word")) + 1).as("best"))
+
+    val perDoc = occ.join(perWord, Seq("word"))
+      .groupBy(col("_id"))
+      .agg(sum(col("best") % 256L).as("uni_tokens"),
+        sum(expr("best div 256")).as("uni_cost"))
+    docs.select(col(s"`$idCol`").as("_id")).distinct()
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("uni_tokens"), lit(0L)).as("uni_tokens"),
+        coalesce(col("uni_cost"), lit(0L)).as("uni_cost"))
+  }
+
+  /** DuckDB restatement of the whole pipeline — identical analyzer,
+    * identical weighted substring counts and integer costs, and the
+    * identical DP via UNROLLED position CTEs (the [[Bpe]] replay
+    * precedent: `maxWordLen` chained `dp<i>` stages, each a min-join
+    * against the accumulated table). Single-long packing makes every
+    * `min` a plain BIGINT min.
+    */
+  def oracleSql(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      maxPieceLen: Int = 4,
+      minCount: Int = 2,
+      maxWordLen: Int = 32): String = {
+    val toks = s"list_filter(str_split_regex(trim(regexp_replace(lower($textExpr), " +
+      s"'[^a-z0-9]+', ' ', 'g')), ' +'), x -> x <> '')"
+    // a<i> references a<i-1> twice (directly and through dp<i>), so the
+    // accumulators are MATERIALIZED — without it DuckDB inlines the chain
+    // into a 2^maxWordLen-way plan explosion.
+    val dpChain = (1 to maxWordLen).map { i =>
+      val prev = if (i == 1) "dp0" else s"a${i - 1}"
+      s"""dp$i AS (
+         |  SELECT s.word, min(p.best + s.cost * 256 + 1)::BIGINT AS best
+         |  FROM spans s JOIN $prev p ON p.word = s.word AND p.pos = s.s - 1
+         |  WHERE s.e = $i GROUP BY s.word
+         |), a$i AS MATERIALIZED (
+         |  SELECT * FROM $prev UNION ALL SELECT word, $i AS pos, best FROM dp$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH occ AS (
+       |  SELECT $idCol AS _id, t AS word
+       |  FROM (SELECT $idCol, unnest($toks) AS t FROM $table)
+       |), wf AS (
+       |  SELECT word, count(*)::BIGINT AS occ FROM occ GROUP BY 1
+       |), dw AS (
+       |  SELECT DISTINCT word FROM wf
+       |), sp AS (
+       |  SELECT w.word, u.i AS s, u.i + v.l - 1 AS e,
+       |    substr(w.word, u.i, v.l) AS piece
+       |  FROM dw w,
+       |    unnest(range(1, len(w.word) + 1)) AS u(i),
+       |    unnest(range(1, $maxPieceLen + 1)) AS v(l)
+       |  WHERE u.i + v.l - 1 <= len(w.word)
+       |), pc AS (
+       |  SELECT piece, sum(f.occ)::BIGINT AS cnt
+       |  FROM sp JOIN wf f USING (word) GROUP BY 1
+       |  HAVING sum(f.occ) >= $minCount OR length(piece) = 1
+       |), tot AS (
+       |  SELECT sum(cnt)::BIGINT AS t FROM pc
+       |), costs AS (
+       |  SELECT piece,
+       |    (length(bin(t + 1)) - length(bin(cnt + 1)))::BIGINT AS cost
+       |  FROM pc, tot
+       |), spans AS (
+       |  SELECT s.word, s.s, s.e,
+       |    CASE WHEN c.cost IS NOT NULL THEN c.cost
+       |         WHEN s.e = s.s THEN ${NgramLm.OovCost} END AS cost
+       |  FROM (SELECT DISTINCT word, s, e, piece FROM sp) s
+       |  LEFT JOIN costs c ON c.piece = s.piece
+       |  WHERE c.cost IS NOT NULL OR s.e = s.s
+       |), dp0 AS (
+       |  SELECT word, 0 AS pos, 0::BIGINT AS best FROM dw
+       |),
+       |$dpChain,
+       |final AS (
+       |  SELECT p.word, p.best FROM a$maxWordLen p
+       |  WHERE p.pos = len(p.word)
+       |), perdoc AS (
+       |  SELECT o._id,
+       |    sum(f.best % 256)::BIGINT AS uni_tokens,
+       |    sum(f.best // 256)::BIGINT AS uni_cost
+       |  FROM occ o JOIN final f USING (word) GROUP BY 1
+       |)
+       |SELECT d.$idCol,
+       |  coalesce(p.uni_tokens, 0)::BIGINT AS uni_tokens,
+       |  coalesce(p.uni_cost, 0)::BIGINT AS uni_cost
+       |FROM (SELECT DISTINCT $idCol FROM $table) d
+       |LEFT JOIN perdoc p ON p._id = d.$idCol
+       |ORDER BY d.$idCol""".stripMargin
+  }
+}
