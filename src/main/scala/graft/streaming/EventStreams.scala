@@ -659,6 +659,75 @@ object EventStreams {
       .dropDuplicates(Seq("term", "inc_batch_id"))
       .groupBy("term").agg(sum(col("freq")).as("freq"))
 
+  /** Maintain the bigram-LM state from a DOCUMENT stream — the model
+    * behind the perplexity gate ([[graft.ops.NgramLm.perplexityScore]])
+    * and Moore–Lewis selection ([[graft.ops.NgramLm.contrastScores]]):
+    * per micro-batch, `(w1, w2, c2)` bigram counts append with epochs.
+    * Bigram counts are integer sums, so the corpus-so-far model is one
+    * replay-deduped group-sum away, and a NEW batch scores against the
+    * model-so-far WITHOUT re-reading corpus text — the CCNet deployment
+    * shape (train once on the reference corpus, gate every later crawl).
+    */
+  def maintainBigramLm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.NgramLm.bigramCounts(batch, idCol, textCol)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The corpus-so-far `(bigrams, contexts)` model implied by
+    * [[maintainBigramLm]]'s increments — replay-deduped per
+    * ((w1, w2), epoch), summed, then EXACTLY [[graft.ops.NgramLm.train]]'s
+    * derivation: context totals from the FULL summed table (pruning the
+    * head never changes a denominator), both pruned to `minCount`. Feed
+    * straight to [[graft.ops.NgramLm.scoreDocs]].
+    */
+  def bigramLmFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String,
+      minCount: Int = 2): (DataFrame, DataFrame) = {
+    val c2 = spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("w1", "w2", "inc_batch_id"))
+      .groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+    val contexts = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"))
+      .where(col("c1") >= minCount)
+    (c2.where(col("c2") >= minCount), contexts)
+  }
+
+  /** Compact a bigram-count increment table to one row per bigram via the
+    * staged swap ([[compactGramDfIncrements]]'s contract: sentinel epoch
+    * keeps replay dedup armed; bigram cardinality grows with the corpus,
+    * so cadence matters like the gram-df case).
+    */
+  def compactBigramLmIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("w1", "w2", "inc_batch_id"))
+      .groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
   /** Maintain the ExactSubstr gram-count state from a document stream:
     * per micro-batch, the sliding `minLen`-gram occurrence counts
     * ([[graft.ops.Dedup.slidingGramPostings]]) append at rest as

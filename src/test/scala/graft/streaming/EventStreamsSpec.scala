@@ -859,6 +859,47 @@ class EventStreamsSpec extends SparkSpecBase {
       "compaction changed the implied model")
   }
 
+  test("streamed bigram-LM state scores ≡ the batch-trained model, replay-proof, compacting") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lm").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainBigramLm(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      incPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(
+      (1L, "the quick brown fox the quick"), (2L, "the quick dog"),
+      (3L, "brown fox runs"), (4L, "zz yy xx"))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDf = all.toDF("doc_id", "text")
+    def scores(bg: org.apache.spark.sql.DataFrame, ctx: org.apache.spark.sql.DataFrame) =
+      graft.ops.NgramLm.scoreDocs(batchDf, "doc_id", "text", bg, ctx)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (bBg, bCtx) = graft.ops.NgramLm.train(batchDf, "doc_id", "text", minCount = 2)
+    val whole = scores(bBg, bCtx)
+    val (sBg, sCtx) = EventStreams.bigramLmFromIncrements(spark, incPath, minCount = 2)
+    assert(scores(sBg, sCtx) === whole)
+    // a replayed epoch (foreachBatch retry) must not inflate counts
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    val (rBg, rCtx) = EventStreams.bigramLmFromIncrements(spark, incPath, minCount = 2)
+    assert(scores(rBg, rCtx) === whole, "a replayed epoch inflated the model")
+    // compaction bounds the table at |distinct bigrams| and preserves scores
+    EventStreams.compactBigramLmIncrements(spark, incPath)
+    val distinctBigrams = graft.ops.NgramLm.bigramCounts(batchDf, "doc_id", "text").count()
+    assert(spark.read.parquet(incPath).count() === distinctBigrams)
+    val (cBg, cCtx) = EventStreams.bigramLmFromIncrements(spark, incPath, minCount = 2)
+    assert(scores(cBg, cCtx) === whole, "compaction changed the implied model")
+  }
+
   test("streamed fuzzy vocabulary serves suggestions and fuzzy matches ≡ batch, replay-proof") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
