@@ -246,6 +246,24 @@ object R13ScaleProbe {
       })
     }
 
+    // ---- 2f. round-13 fourteenth batch: unigram segmentation ----
+    // The corpus-linear term is the weighted-substring vocabulary build;
+    // the Viterbi DP runs over the DISTINCT-word table (Heaps-sized).
+    for ((label, dir) <- Seq(("1x", "/root/testdata/sf0.1"), ("10x", "/tmp/graft_sf1"))
+        if sections("unigram")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count()
+      emit(label, "unigram_segment", timeOp(repeats) {
+        graft.ops.Unigram.segmentCounts(docs, "doc_id", "text",
+          maxPieceLen = 4, minCount = 2, maxWordLen = 16).count()
+      })
+      val words = docs.select(explode(split(trim(
+          graft.expr.TextMatch.normalized(col("text"))), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      println(s"""{"probe":"r13_scale","scale":"$label","op":"unigram_words",""" +
+        s""""occurrences":${words.count()},"distinct":${words.distinct().count()}}""")
+    }
+
     // ---- 3. chunked vs unchunked rolling window on a skewed corpus ----
     // events twin replicated factor-fold with megaPct% of rows remapped to
     // ONE entity: the shape a mega-user (bot, ingestion artifact) produces
