@@ -62,6 +62,74 @@ object Ltr {
       .limit(k)
   }
 
+  /** Close the loop: ridge-regression weights over a logged feature
+    * frame — the reranker the feature log exists to train. Normal
+    * equations `(XᵀX + λI)w = Xᵀy` with an intercept column; the moment
+    * matrix is one distributed aggregation over the log (k² sums — a
+    * bounded 1-row collect, k = |features| + 1), solved driver-side by
+    * Gaussian elimination with partial pivoting. Deterministic: the
+    * moments are fixed IEEE sums over the (tiny, ordered) log frame and
+    * the solve is a fixed elimination order.
+    *
+    * Returns `(intercept, weights…)` aligned with `featureCols`.
+    */
+  def trainLinear(
+      features: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      l2: Double = 1e-6): Array[Double] = {
+    require(featureCols.nonEmpty, "ltr: no feature columns")
+    val k = featureCols.size + 1
+    val xs = lit(1.0) +: featureCols.map(c => col(s"`$c`").cast("double"))
+    val y = col(s"`$labelCol`").cast("double")
+    val moments = (for (i <- 0 until k; j <- i until k)
+      yield sum(xs(i) * xs(j)).as(s"xx_${i}_$j")) ++
+      (0 until k).map(i => sum(xs(i) * y).as(s"xy_$i"))
+    val row = features.agg(moments.head, moments.tail: _*).collect()(0)
+    val a = Array.ofDim[Double](k, k + 1)
+    var idx = 0
+    for (i <- 0 until k; j <- i until k) {
+      a(i)(j) = row.getDouble(idx); a(j)(i) = a(i)(j); idx += 1
+    }
+    for (i <- 0 until k) { a(i)(k) = row.getDouble(idx); idx += 1 }
+    for (i <- 0 until k) a(i)(i) += l2
+    // Gaussian elimination, partial pivot
+    for (p <- 0 until k) {
+      val piv = (p until k).maxBy(r => math.abs(a(r)(p)))
+      val t = a(p); a(p) = a(piv); a(piv) = t
+      require(math.abs(a(p)(p)) > 1e-12, "ltr: singular moment matrix — add l2")
+      for (r <- p + 1 until k) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to k) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    val w = new Array[Double](k)
+    for (p <- k - 1 to 0 by -1) {
+      var s = a(p)(k)
+      for (c <- p + 1 until k) s -= a(p)(c) * w(c)
+      w(p) = s / a(p)(p)
+    }
+    w
+  }
+
+  /** Rerank a logged feature frame by the learned linear score
+    * (intercept + w·features), descending, id ascending on ties —
+    * the `rescore`-window application of the trained model.
+    */
+  def rerank(
+      features: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      weights: Array[Double]): DataFrame = {
+    require(weights.length == featureCols.size + 1,
+      s"ltr: ${weights.length} weights for ${featureCols.size} features + intercept")
+    val score = featureCols.zipWithIndex
+      .map { case (c, i) => col(s"`$c`").cast("double") * lit(weights(i + 1)) }
+      .foldLeft(lit(weights(0)))(_ + _)
+    features.withColumn("ltr_score", score)
+      .orderBy(desc("ltr_score"), asc(s"`$idCol`"))
+  }
+
   /** DuckDB restatement of [[logFeatures]] — [[Bm25.oracleSql]]'s exact
     * analyzer/TF/IDF/score spellings with the feature projection and the
     * judged-set label join. Single-word query terms only (the logged

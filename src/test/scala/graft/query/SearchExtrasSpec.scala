@@ -140,6 +140,35 @@ class SearchExtrasSpec extends SparkSpecBase {
     }
   }
 
+  test("LTR loop closes: the trained reranker lifts NDCG over BM25 where labels follow a non-BM25 feature") {
+    // Construct a log where relevance correlates with f_tf1 ('vector'
+    // occurrences) while f_bm25 ranks by something else — the reranker
+    // must learn to weight f_tf1 and beat the BM25 ordering.
+    val log = Seq(
+      //  id, label, f_dl, f_tf0, f_tf1, f_bm25
+      (1L, 0, 10L, 5L, 0L, 9.0), (2L, 0, 10L, 4L, 0L, 8.0),
+      (3L, 1, 10L, 1L, 3L, 7.0), (4L, 1, 10L, 1L, 4L, 6.0),
+      (5L, 0, 10L, 2L, 0L, 5.0), (6L, 1, 10L, 0L, 2L, 4.0),
+    ).toDF("id", "label", "f_dl", "f_tf0", "f_tf1", "f_bm25")
+    val feats = Seq("f_tf0", "f_tf1", "f_bm25")
+    val w = Ltr.trainLinear(log, feats, "label")
+    val reranked = Ltr.rerank(log, "id", feats, w)
+      .select("id", "ltr_score").as[(Long, Double)].collect().map(r => (r._1, r._2))
+    // relevant docs rise to the top of the reranked list
+    assert(reranked.take(3).map(_._1).toSet === Set(3L, 4L, 6L))
+    // quantified: NDCG@6 improves over the BM25 ordering
+    val judged = Seq(3L, 4L, 6L).toDF("id")
+    val bm25Ndcg = RankEval.evaluate(
+        log.select(col("id"), col("f_bm25").as("score")), "id", "score", judged, 6)
+      .select("ndcg_at_k").as[Double].head()
+    val ltrNdcg = RankEval.evaluate(
+        Ltr.rerank(log, "id", feats, w)
+          .select(col("id"), col("ltr_score").as("score")), "id", "score", judged, 6)
+      .select("ndcg_at_k").as[Double].head()
+    assert(ltrNdcg > bm25Ndcg, s"ltr=$ltrNdcg bm25=$bm25Ndcg")
+    assert(ltrNdcg === 1.0) // separable by construction
+  }
+
   test("highlight wraps whole tokens case-insensitively and never re-matches inserted tags") {
     val df = Seq(
       (1L, "Dup and DUPS and dup."),
