@@ -56,37 +56,83 @@ object Unigram {
       textCol: String,
       maxPieceLen: Int = 4,
       minCount: Int = 2,
+      maxWordLen: Int = 32): DataFrame =
+    segmentCountsWithPieces(docs, idCol, textCol,
+      pieceCounts(docs, textCol, maxPieceLen, maxWordLen),
+      maxPieceLen, minCount, maxWordLen)
+
+  /** One row per WORD OCCURRENCE of the analyzed text: `(_id, word)`. */
+  private def occurrences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(s"`$idCol`").as("_id"),
+        explode(split(trim(TextMatch.normalized(col(s"`$textCol`"))), " ")).as("word"))
+      .where(length(col("word")) > 0)
+
+  private def guardLen(word: Column, maxWordLen: Int): Column =
+    when(length(word) > maxWordLen,
+      raise_error(concat(lit("unigram: word longer than maxWordLen="),
+        lit(maxWordLen), lit(": "), word)))
+      .otherwise(word)
+
+  /** All substrings (1-based inclusive `[s, e]`, length ≤ maxPieceLen)
+    * of a word column, as an array of `(s, e, piece)` structs.
+    */
+  private def spansOf(word: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(word)), s =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - s + 1)), l =>
+        struct(s.as("s"), (s + l - 1).as("e"),
+          word.substr(s, l).as("piece")))))
+
+  /** The RAW (unpruned) piece-count artifact: corpus substring
+    * occurrence counts weighted by word frequency — `(piece, cnt)`.
+    * Integer sums, so per-batch counts MERGE: this is the at-rest table
+    * a stream maintains ([[graft.streaming.EventStreams
+    * .maintainUnigramPieces]]); pruning happens at SERVE time
+    * ([[segmentCountsWithPieces]]) so merging can never lose counts.
+    */
+  def pieceCounts(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 32): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      s"maxPieceLen must be 1..16, got $maxPieceLen")
+    val words = docs.select(
+        explode(split(trim(TextMatch.normalized(col(s"`$textCol`"))), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val wf = words.groupBy("word").agg(count(lit(1)).as("occ"))
+      .withColumn("word", guardLen(col("word"), maxWordLen))
+    wf.select(col("occ"), explode(spansOf(col("word"), maxPieceLen)).as("sp"))
+      .groupBy(col("sp.piece").as("piece")).agg(sum(col("occ")).as("cnt"))
+  }
+
+  /** [[segmentCounts]] against a PREBUILT raw piece-count frame — the
+    * serve path over the at-rest (possibly stream-maintained) artifact.
+    * Identical results to the inline form when the counts came from the
+    * same corpus (spec-pinned).
+    */
+  def segmentCountsWithPieces(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rawCounts: DataFrame,
+      maxPieceLen: Int = 4,
+      minCount: Int = 2,
       maxWordLen: Int = 32): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen must be 1..16, got $maxPieceLen")
     require(maxWordLen >= 1 && maxWordLen <= 64,
       s"maxWordLen must be 1..64 (token counts pack into 8 bits), got $maxWordLen")
 
-    // one row per WORD OCCURRENCE: (id, word)
-    val occ = docs.select(col(s"`$idCol`").as("_id"),
-        explode(split(trim(TextMatch.normalized(col(s"`$textCol`"))), " ")).as("word"))
-      .where(length(col("word")) > 0)
-    // corpus word frequencies, with the loud length guard in-plan
+    val occ = occurrences(docs, idCol, textCol)
+    // distinct scored words, with the loud length guard in-plan
     val wf = occ.groupBy("word").agg(count(lit(1)).as("occ"))
-      .withColumn("word",
-        when(length(col("word")) > maxWordLen,
-          raise_error(concat(lit("unigram: word longer than maxWordLen="),
-            lit(maxWordLen), lit(": "), col("word"))))
-          .otherwise(col("word")))
-
-    // all substrings (start s, end e, 1-based inclusive) of distinct
-    // words, length ≤ maxPieceLen
-    def spansOf(word: Column): Column =
-      flatten(transform(sequence(lit(1), length(word)), s =>
-        transform(sequence(lit(1), least(lit(maxPieceLen), length(word) - s + 1)), l =>
-          struct(s.as("s"), (s + l - 1).as("e"),
-            word.substr(s, l).as("piece")))))
-    val sp = wf.select(col("word"), col("occ"), explode(spansOf(col("word"))).as("sp"))
-      .select(col("word"), col("occ"), col("sp.s").as("s"), col("sp.e").as("e"),
+      .withColumn("word", guardLen(col("word"), maxWordLen))
+    val sp = wf.select(col("word"), explode(spansOf(col("word"), maxPieceLen)).as("sp"))
+      .select(col("word"), col("sp.s").as("s"), col("sp.e").as("e"),
         col("sp.piece").as("piece"))
 
-    // piece counts weighted by word frequency; total over retained pieces
-    val pc = sp.groupBy("piece").agg(sum(col("occ")).as("cnt"))
+    // prune the raw counts at serve time: coverage chars always retained
+    val pc = rawCounts
       .where(col("cnt") >= minCount || length(col("piece")) === 1)
     val tot = pc.agg(sum(col("cnt")).as("t"))
     def ilog2p1(c: Column): Column = length(bin(c + lit(1L))).cast("long")

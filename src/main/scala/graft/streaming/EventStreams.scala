@@ -659,6 +659,64 @@ object EventStreams {
       .dropDuplicates(Seq("term", "inc_batch_id"))
       .groupBy("term").agg(sum(col("freq")).as("freq"))
 
+  /** Compact a fuzzy-vocabulary increment table to one row per term via
+    * the staged swap (sentinel epoch keeps replay dedup armed — the
+    * [[compactGramDfIncrements]] contract).
+    */
+  def compactFuzzyVocabIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): Unit = {
+    val merged = fuzzyVocabFromIncrements(spark, incrementPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .coalesce(1)
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = incrementPath + ".compacting"
+      merged.write.mode("overwrite").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(incrementPath))
+    } finally merged.unpersist()
+  }
+
+  /** Maintain the unigram piece-count artifact from a DOCUMENT stream
+    * ([[graft.ops.Unigram]]): per micro-batch, the RAW weighted substring
+    * counts append with epochs — integer sums, merge-safe precisely
+    * because pruning lives at SERVE time
+    * ([[graft.ops.Unigram.segmentCountsWithPieces]] prunes the MERGED
+    * counts; pruning per batch would lose sub-minCount mass that later
+    * batches complete). Tokenize any corpus against the vocabulary-so-far
+    * without re-reading corpus text.
+    */
+  def maintainUnigramPieces(
+      docs: DataFrame,
+      textCol: String,
+      maxPieceLen: Int,
+      incrementPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Unigram.pieceCounts(batch, textCol, maxPieceLen)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(incrementPath)
+      }
+      .start()
+
+  /** The corpus-so-far raw piece counts implied by
+    * [[maintainUnigramPieces]]'s increments: replay-deduped per
+    * (piece, epoch), then summed — feed straight to
+    * [[graft.ops.Unigram.segmentCountsWithPieces]].
+    */
+  def unigramPiecesFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      incrementPath: String): DataFrame =
+    spark.read.parquet(incrementPath)
+      .dropDuplicates(Seq("piece", "inc_batch_id"))
+      .groupBy("piece").agg(sum(col("cnt")).as("cnt"))
+
   /** Maintain the bigram-LM state from a DOCUMENT stream — the model
     * behind the perplexity gate ([[graft.ops.NgramLm.perplexityScore]])
     * and Moore–Lewis selection ([[graft.ops.NgramLm.contrastScores]]):

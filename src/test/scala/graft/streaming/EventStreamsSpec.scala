@@ -943,5 +943,55 @@ class EventStreamsSpec extends SparkSpecBase {
         EventStreams.fuzzyVocabFromIncrements(spark, incPath), "tble", 2, 10)) ===
         rows(graft.query.Fuzzy.suggestTerms(batchDf, col("text"), "tble", 2, 10)),
       "a replayed epoch inflated the vocabulary")
+    // compaction bounds the table at |vocabulary| and preserves the serve
+    EventStreams.compactFuzzyVocabIncrements(spark, incPath)
+    assert(spark.read.parquet(incPath).count() ===
+      graft.query.Fuzzy.vocabulary(batchDf, col("text")).count())
+    assert(
+      rows(graft.query.Fuzzy.suggestTermsFromVocab(
+        EventStreams.fuzzyVocabFromIncrements(spark, incPath), "tble", 2, 10)) ===
+        rows(graft.query.Fuzzy.suggestTerms(batchDf, col("text"), "tble", 2, 10)),
+      "compaction changed the served vocabulary")
+  }
+
+  test("streamed unigram pieces tokenize ≡ the batch vocabulary, pruning at serve time") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_uni").toFile
+    dir.deleteOnExit()
+    val incPath = dir.getAbsolutePath + "/inc"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainUnigramPieces(
+      mem.toDS().toDF("doc_id", "text"), "text", maxPieceLen = 3,
+      incPath, dir.getAbsolutePath + "/ckpt")
+    // 'ab' count crosses minCount=2 only ACROSS batches — per-batch
+    // pruning would lose it; serve-time pruning must keep it
+    val all = Seq((1L, "aaab"), (2L, "ab"), (3L, "aaab aaab"))
+    try {
+      mem.addData(all(0))
+      q.processAllAvailable()
+      mem.addData(all(1), all(2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDf = all.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val served = EventStreams.unigramPiecesFromIncrements(spark, incPath)
+    assert(
+      rows(graft.ops.Unigram.segmentCountsWithPieces(batchDf, "doc_id", "text",
+        served, maxPieceLen = 3, minCount = 2, maxWordLen = 8)) ===
+        rows(graft.ops.Unigram.segmentCounts(batchDf, "doc_id", "text",
+          maxPieceLen = 3, minCount = 2, maxWordLen = 8)))
+    // replayed epoch cannot inflate piece counts
+    val replay = spark.read.parquet(incPath).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").parquet(incPath)
+    assert(
+      rows(graft.ops.Unigram.segmentCountsWithPieces(batchDf, "doc_id", "text",
+        EventStreams.unigramPiecesFromIncrements(spark, incPath),
+        maxPieceLen = 3, minCount = 2, maxWordLen = 8)) ===
+        rows(graft.ops.Unigram.segmentCounts(batchDf, "doc_id", "text",
+          maxPieceLen = 3, minCount = 2, maxWordLen = 8)),
+      "a replayed epoch inflated the piece counts")
   }
 }
