@@ -515,6 +515,36 @@ object SparkEntry {
               .orderBy(desc("score"), asc("doc_id"))
           else page)
       },
+      "/knn" -> { body =>
+        // ES 8 knn search over the wire: {"vec_id": 3, "k": 5,
+        // "filter": "label:[0 TO 5]" (query_string over the metadata
+        // columns, optional), "nprobe": N (optional — IVF path; omitted
+        // = exact brute force)}. The filter is PRE-filter semantics
+        // (candidates prune before ranking, the recall-preserving form);
+        // the query vector is looked up by id, the kNN-by-example shape.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        require(o.hasNonNull("vec_id"), "knn: missing vec_id")
+        val qid = o.path("vec_id").asLong()
+        val k = o.path("k").asInt(5)
+        val emb0 = load(dir, "embeddings")
+        val emb =
+          if (o.hasNonNull("filter"))
+            emb0.where(graft.query.QueryString.parse(
+              o.path("filter").asText(), defaultField = "label").compile)
+          else emb0
+        val queries = emb0.where(col("vec_id") === qid)
+        WidgetServer.collectRowsJson(
+          if (o.hasNonNull("nprobe")) {
+            val cents = ops.Similarity.kmeansCentroids(
+              emb0, "vec_id", "embedding", k = 8, iters = 0)
+            ops.Similarity.ivfTopKFromIndex(
+              ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
+              cents, queries, "vec_id", "embedding", k,
+              nprobe = o.path("nprobe").asInt(3))
+          } else
+            ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+              queries, "vec_id", "embedding", k))
+      },
       "/percolate" -> { body =>
         // The alerting endpoint: {"queries": {"alert_id": "<query_string
         // text>", ...}} percolated against the documents corpus — one

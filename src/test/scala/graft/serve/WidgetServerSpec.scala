@@ -388,6 +388,47 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /knn serves exact and IVF vector search with the pre-filter on the wire") {
+    import org.apache.spark.sql.functions._
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.where(col("vec_id") === 3L)
+
+      val (c1, b1) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "k": 4}""")
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 4)))
+
+      // pre-filter narrows candidates before ranking
+      val (c2, b2) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "k": 4, "filter": "label:[0 TO 2]"}""")
+      assert(c2 === 200)
+      val filtered = emb.where(graft.query.QueryString.parse(
+        "label:[0 TO 2]", "label").compile)
+      assert(b2 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.bruteForceTopK(filtered, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 4)))
+      assert(b2 !== b1)
+
+      // IVF path: shared full-corpus centroids, filtered index rows
+      val (c3, b3) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "k": 4, "nprobe": 3}""")
+      assert(c3 === 200)
+      val cents = graft.ops.Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", k = 8, iters = 0)
+      assert(b3 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.ivfTopKFromIndex(
+          graft.ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
+          cents, queries, "vec_id", "embedding", 4, nprobe = 3)))
+
+      assert(post(s"http://127.0.0.1:$port/knn", """{"k": 4}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("POST /percolate matches posted stored queries against the corpus on the wire") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {
