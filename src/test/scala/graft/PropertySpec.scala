@@ -180,4 +180,48 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("query_string render/parse round-trips over generated predicate trees") {
+    import graft.query.{FilterSpec, QueryString}
+    val word: Gen[String] = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9')))
+    } yield cs.mkString
+    val field: Gen[String] = Gen.oneOf("text", "lang", "source", "n")
+    val leaf: Gen[FilterSpec] = Gen.oneOf(
+      for { f <- field; t <- word } yield FilterSpec.TermMatch(f, t),
+      for { f <- field; t <- word } yield FilterSpec.AnalyzedPrefix(f, t),
+      for { f <- field; a <- word; b <- word } yield FilterSpec.Phrase(f, s"$a $b"),
+      for { f <- field; a <- word; b <- word; s <- Gen.chooseNum(0, 3) }
+        yield FilterSpec.PhraseSlop(f, s"$a $b", s),
+      for { f <- field; t <- word; e <- Gen.chooseNum(0, 2) }
+        yield FilterSpec.FuzzyTerm(f, t, e),
+      for { f <- field; a <- word; b <- word }
+        yield FilterSpec.Wildcard(f, s"$a?$b*"), // embedded ? defeats analyze_wildcard
+      field.map(FilterSpec.Exists(_)),
+      for {
+        f <- field
+        lo <- Gen.option(Gen.chooseNum(-99, 999).map(_.toString))
+        hi <- Gen.option(Gen.chooseNum(-99, 999).map(_.toString))
+        li <- Gen.oneOf(true, false); hiI <- Gen.oneOf(true, false)
+      } yield FilterSpec.TermRange(f, lo, hi, li, hiI),
+      Gen.const(FilterSpec.MatchAll))
+    // composites avoid shapes render cannot re-parenthesize: And never
+    // directly nests And (it renders flat), Not never wraps a bare And
+    val orOfLeaves: Gen[FilterSpec] =
+      Gen.listOfN(2, leaf).map(FilterSpec.Or(_))
+    val andOfLeaves: Gen[FilterSpec] =
+      Gen.listOfN(2, leaf).map(FilterSpec.And(_))
+    val notG: Gen[FilterSpec] = Gen.oneOf(leaf, orOfLeaves).map(FilterSpec.Not(_))
+    val tree: Gen[FilterSpec] = Gen.oneOf(
+      leaf,
+      Gen.listOfN(2, Gen.oneOf(leaf, orOfLeaves, notG)).map(FilterSpec.And(_)),
+      Gen.listOfN(2, Gen.oneOf(leaf, andOfLeaves, notG)).map(FilterSpec.Or(_)),
+      notG)
+    check("query_string round-trip")(Prop.forAll(tree) { spec =>
+      val got = QueryString.parse(spec.render, defaultField = "zzz")
+      if (got != spec) println(s"MISMATCH: ${spec.render}\n  want $spec\n  got  $got")
+      got == spec
+    })
+  }
 }
