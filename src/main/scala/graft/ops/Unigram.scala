@@ -118,6 +118,93 @@ object Unigram {
       maxPieceLen: Int = 4,
       minCount: Int = 2,
       maxWordLen: Int = 32): DataFrame = {
+    val decoded = decode(docs, idCol, textCol, rawCounts,
+      maxPieceLen, minCount, maxWordLen)
+    val perWord = decoded.select(col("word"),
+      element_at(col("_dp"), length(col("word")) + 1).as("best"))
+    val perDoc = occurrences(docs, idCol, textCol).join(perWord, Seq("word"))
+      .groupBy(col("_id"))
+      .agg(sum(col("best") % 256L).as("uni_tokens"),
+        sum(expr("best div 256")).as("uni_cost"))
+    docs.select(col(s"`$idCol`").as("_id")).distinct()
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("uni_tokens"), lit(0L)).as("uni_tokens"),
+        coalesce(col("uni_cost"), lit(0L)).as("uni_cost"))
+  }
+
+  /** The ACTUAL segmentation — per document, the optimal piece sequence
+    * in document word order (`(idCol, pieces: array<string>)`): the
+    * usable tokenizer output (feed it where [[Bpe.applyMerges]] feeds,
+    * e.g. [[Packing]]'s token streams). Reconstruction is a backward
+    * walk over the SAME dp array the counts form produced: from
+    * `pos = L`, take the span ending at `pos` whose `dp(s−1) + comb`
+    * realizes `dp(pos)` — the LONGEST such piece (smallest `s`) on ties,
+    * deterministic; boundaries reverse into `[0, …, L]` and pieces are
+    * the substrings between them. Consistency with the counts form
+    * (`|pieces| = uni_tokens`, pieces rejoin to the text) is spec-pinned.
+    */
+  def segmentPieces(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 4,
+      minCount: Int = 2,
+      maxWordLen: Int = 32): DataFrame = {
+    val decoded = decode(docs, idCol, textCol,
+      pieceCounts(docs, textCol, maxPieceLen, maxWordLen),
+      maxPieceLen, minCount, maxWordLen)
+    val walked = decoded
+      .withColumn("_walk",
+        aggregate(
+          sequence(lit(1), length(col("word"))),
+          struct(length(col("word")).as("pos"),
+            array(length(col("word"))).as("ends")),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            val prev = array_min(transform(
+              filter(col("sps"), sp => sp.getField("e") === pos &&
+                element_at(col("_dp"), sp.getField("s")) + sp.getField("comb")
+                  === element_at(col("_dp"), pos + 1)),
+              sp => sp.getField("s") - 1))
+            when(pos > 0,
+              struct(prev.as("pos"),
+                concat(acc.getField("ends"), array(prev)).as("ends")))
+              .otherwise(acc)
+          }))
+      .withColumn("_b", reverse(col("_walk").getField("ends")))
+      .select(col("word"),
+        transform(sequence(lit(1), size(col("_b")) - 1), i =>
+          col("word").substr(element_at(col("_b"), i) + 1,
+            element_at(col("_b"), i + 1) - element_at(col("_b"), i)))
+          .as("pieces"))
+    // per-doc pieces in document word order
+    val occPos = docs.select(col(s"`$idCol`").as("_id"),
+        posexplode(split(trim(TextMatch.normalized(col(s"`$textCol`"))), " ")))
+      .toDF("_id", "_p", "word")
+      .where(length(col("word")) > 0)
+    val byDoc = occPos.join(walked, Seq("word"))
+      .groupBy("_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_p"), col("pieces")))),
+        s => s.getField("pieces"))).as("pieces"))
+    docs.select(col(s"`$idCol`").as("_id")).distinct()
+      .join(byDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("pieces"), array().cast("array<string>")).as("pieces"))
+  }
+
+  /** Shared decode core: distinct scored words with their span lists and
+    * forward-DP arrays — `(word, sps, _dp)`.
+    */
+  private def decode(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rawCounts: DataFrame,
+      maxPieceLen: Int,
+      minCount: Int,
+      maxWordLen: Int): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen must be 1..16, got $maxPieceLen")
     require(maxWordLen >= 1 && maxWordLen <= 64,
@@ -154,7 +241,7 @@ object Unigram {
 
     // the Viterbi fold: dp(0)=0; dp(i) = min over spans ending at i of
     // dp(s-1) + comb — one row-local aggregate over the collected spans
-    val perWord = spans.groupBy("word").agg(collect_list(col("sp")).as("sps"))
+    spans.groupBy("word").agg(collect_list(col("sp")).as("sps"))
       .withColumn("_dp",
         aggregate(
           sequence(lit(1), length(col("word"))),
@@ -163,18 +250,6 @@ object Unigram {
             array_min(transform(
               filter(col("sps"), sp => sp.getField("e") === i),
               sp => element_at(acc, sp.getField("s")) + sp.getField("comb")))))))
-      .select(col("word"),
-        element_at(col("_dp"), length(col("word")) + 1).as("best"))
-
-    val perDoc = occ.join(perWord, Seq("word"))
-      .groupBy(col("_id"))
-      .agg(sum(col("best") % 256L).as("uni_tokens"),
-        sum(expr("best div 256")).as("uni_cost"))
-    docs.select(col(s"`$idCol`").as("_id")).distinct()
-      .join(perDoc, Seq("_id"), "left")
-      .select(col("_id").as(idCol),
-        coalesce(col("uni_tokens"), lit(0L)).as("uni_tokens"),
-        coalesce(col("uni_cost"), lit(0L)).as("uni_cost"))
   }
 
   /** DuckDB restatement of the whole pipeline — identical analyzer,

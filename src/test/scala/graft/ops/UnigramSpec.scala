@@ -47,6 +47,37 @@ class UnigramSpec extends SparkSpecBase {
     assert(seg(0)._2 === 3L) // x|y|z — chars always in vocabulary
   }
 
+  test("segmentPieces reconstructs the optimal segmentation, consistent with the counts form") {
+    val docs = Seq(
+      (1L, "aaab"), (2L, "ab"), (3L, "aaab aaab"), (4L, ""),
+    ).toDF("doc_id", "text")
+    val pieces = Unigram.segmentPieces(docs, "doc_id", "text",
+      maxPieceLen = 3, minCount = 2, maxWordLen = 8)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    // hand values: aaab -> a|aab (cost 3, longest-last on the tie path),
+    // ab -> ab
+    assert(pieces === Seq(
+      (1L, Seq("a", "aab")),
+      (2L, Seq("ab")),
+      (3L, Seq("a", "aab", "a", "aab")),
+      (4L, Seq.empty)))
+    // consistency with the counts form on the real corpus: piece counts
+    // equal uni_tokens and pieces rejoin to the analyzed words
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val p = Unigram.segmentPieces(corpus, "doc_id", "text", maxWordLen = 16)
+      .as[(Long, Seq[String])].collect().toMap
+    val c = Unigram.segmentCounts(corpus, "doc_id", "text", maxWordLen = 16)
+      .as[(Long, Long, Long)].collect()
+    for ((id, toks, _) <- c)
+      assert(p(id).size.toLong === toks, s"doc $id piece count drifted")
+    val words = corpus.select(col("doc_id"),
+        concat_ws("", split(trim(graft.expr.TextMatch.normalized(col("text"))), " ")))
+      .as[(Long, String)].collect().toMap
+    for ((id, ps) <- p)
+      assert(ps.mkString("") === words(id), s"doc $id pieces do not rejoin")
+  }
+
   test("words longer than maxWordLen fail loudly in-plan") {
     val docs = Seq((1L, "a" * 40)).toDF("doc_id", "text")
     val e = intercept[Exception](
