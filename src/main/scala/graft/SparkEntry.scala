@@ -4130,6 +4130,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_classifier_auc" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The evaluation row the holdout run should end with: ROC AUC of
+      // the frozen classifier's integer scores against the truth labels
+      // on unseen rows — Mann-Whitney rank sums with exact average-rank
+      // tie handling (every addend a multiple of 0.5, order-free exact).
+      val docs = load(dir, "documents")
+      val train = ops.Sampling.hashSample(docs, "doc_id", 0.6, seed = 7)
+      val holdout = docs.join(train.select("doc_id"), Seq("doc_id"), "left_anti")
+      val weights = ops.QualityModel.trainTokenWeights(train, "doc_id", "text",
+        ops.QualityModel.lengthLabel(col("text")), minDf = 2)
+      val scoredH = ops.QualityModel.scoreDocs(holdout, "doc_id", "text", weights)
+      val truth = holdout.select(col("doc_id"),
+        ops.QualityModel.lengthLabel(col("text")).as("actual"))
+      ops.QualityModel.auc(scoredH.join(truth, "doc_id"), "score", "actual")
+    }),
+
     "quality_lm_score" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Label-free quality signal (CCNet's other half): a bigram LM
@@ -6685,6 +6702,67 @@ object SparkEntry {
          |FROM holdout h LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // AUC: the identical holdout scoring chain extended with the truth
+    // label and the Mann-Whitney rank-sum form — cumulative tie-group
+    // ranks, every addend an exact multiple of 0.5.
+    "quality_classifier_auc" ->
+      s"""WITH train AS (
+         |  SELECT * FROM documents
+         |  WHERE ${ops.Sampling.hashUnitSql("doc_id", 7)} < 0.6
+         |), holdout AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM train)
+         |), tposting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM train)
+         |  GROUP BY 1, 2
+         |), labels AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 50 AS pos
+         |  FROM train
+         |), dfc AS (
+         |  SELECT t,
+         |    sum(CASE WHEN l.pos THEN 1 ELSE 0 END)::BIGINT AS pos_df,
+         |    sum(CASE WHEN l.pos THEN 0 ELSE 1 END)::BIGINT AS neg_df
+         |  FROM tposting p JOIN labels l USING (doc_id) GROUP BY t
+         |), w AS (
+         |  SELECT t,
+         |    (${ops.QualityModel.Scale} * (pos_df + 1)) // (neg_df + 1)
+         |      - (${ops.QualityModel.Scale} * (neg_df + 1)) // (pos_df + 1) AS w
+         |  FROM dfc WHERE pos_df + neg_df >= 2
+         |), hposting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM holdout)
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT p.doc_id, sum(p.tf * w.w)::BIGINT AS score
+         |  FROM hposting p JOIN w USING (t) GROUP BY 1
+         |), hl AS (
+         |  SELECT h.doc_id, coalesce(s.score, 0)::BIGINT AS score,
+         |    (CASE WHEN len(trim(h.text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(h.text), '\\s+')) END) >= 50 AS actual
+         |  FROM holdout h LEFT JOIN s USING (doc_id)
+         |), grp AS (
+         |  SELECT score, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN actual THEN 1 ELSE 0 END)::BIGINT AS np
+         |  FROM hl GROUP BY 1
+         |), cum AS (
+         |  SELECT score, n, np,
+         |    coalesce(sum(n) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bfr
+         |  FROM grp
+         |), tot AS (
+         |  SELECT sum(np)::BIGINT AS p, sum(n - np)::BIGINT AS nn,
+         |    sum(np::DOUBLE * (bfr::DOUBLE + (n::DOUBLE + 1.0) / 2.0)) AS rs
+         |  FROM cum
+         |)
+         |SELECT p AS n_pos, nn AS n_neg,
+         |  CASE WHEN p = 0 OR nn = 0 THEN NULL
+         |       ELSE round((rs - p::DOUBLE * (p::DOUBLE + 1.0) / 2.0)
+         |                  / (p::DOUBLE * nn::DOUBLE), 6) END AS auc
+         |FROM tot""".stripMargin,
+
     // Bigram-LM training AND scoring restated: row-ordered bigrams via
     // 1-based list indexing over the token array, counts, minCount-pruned
     // head with FULL-count context totals, ilog2 (= length(bin(n+1)))
@@ -7066,7 +7144,9 @@ object SparkEntry {
       val legs = feats.map { case (name, e) =>
         s"""SELECT '$name' AS feature, count(*)::BIGINT AS n_buckets,
            |  round(sum(abs(p - q)) / 2.0, 6) AS tvd,
-           |  round(sum((p - q) * (p - q) / (p + q)), 6) AS chi2_sym
+           |  round(sum((p - q) * (p - q) / (p + q)), 6) AS chi2_sym,
+           |  round(sum(CASE WHEN p > 0 AND q > 0
+           |    THEN (p - q) * ln(p / q) ELSE 0.0 END), 6) AS psi
            |FROM (
            |  SELECT coalesce(pa.p, 0.0) AS p, coalesce(pb.q, 0.0) AS q
            |  FROM (SELECT $e AS bucket,

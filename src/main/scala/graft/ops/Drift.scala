@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   *    subtraction/abs/sum;
   *  - the symmetric (Jeffreys) chi-square `χ²_sym = Σ (p−q)²/(p+q)` —
   *    pure arithmetic and well-defined when a bucket is empty on one
-  *    side (the classic PSI's `ln(p/q)` both blows up on empty buckets
-  *    AND drags a transcendental into the comparison, which IEEE does
-  *    not pin cross-engine — the reason PSI is NOT the shape here).
+  *    side;
+  *  - PSI `Σ (p−q)·ln(p/q)`, the ML-ops monitoring standard, computed
+  *    over CO-PRESENT buckets only — `ln(p/q)` blows up on empty
+  *    buckets, and the usual ε-smoothing is a knob, not a definition:
+  *    appearing/vanishing buckets already scream through `tvd` and
+  *    `n_buckets`, so the restriction loses no signal and keeps the
+  *    statistic exact (the t_test library-`ln` precedent covers the
+  *    transcendental; `round(·, 6)` covers the last ulp).
   *
   * Both engines sum per-bucket doubles in nondeterministic order, so the
   * emitted metrics are rounded to 6 decimals (the dictionary-stats
@@ -59,7 +64,14 @@ object Drift {
         // (p−q)·(p−q), not pow(·, 2): Math.pow is allowed a ulp of slack,
         // plain multiplication is exact-rounded in every engine
         round(sum((col("p") - col("q")) * (col("p") - col("q")) /
-          (col("p") + col("q"))), 6).as("chi2_sym"))
+          (col("p") + col("q"))), 6).as("chi2_sym"),
+        // PSI (the ML-ops monitoring standard) over CO-PRESENT buckets —
+        // appearing/vanishing buckets already scream through tvd and
+        // n_buckets, and skipping them keeps the statistic epsilon-free
+        // (the usual smoothing constant is a knob, not a definition)
+        round(sum(when(col("p") > 0 && col("q") > 0,
+          (col("p") - col("q")) * log(col("p") / col("q"))).otherwise(lit(0.0))),
+          6).as("psi"))
   }
 
   /** [[featureDrift]] across several named bucketings in one frame:
@@ -122,7 +134,10 @@ object Drift {
         count(lit(1)).as("n_buckets"),
         round(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tvd"),
         round(sum((col("p") - col("q")) * (col("p") - col("q")) /
-          (col("p") + col("q"))), 6).as("chi2_sym"))
+          (col("p") + col("q"))), 6).as("chi2_sym"),
+        round(sum(when(col("p") > 0 && col("q") > 0,
+          (col("p") - col("q")) * log(col("p") / col("q"))).otherwise(lit(0.0))),
+          6).as("psi"))
   }
 
   /** Snapshot diff — the row-level complement of the distributional

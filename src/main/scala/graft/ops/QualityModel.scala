@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained linear quality classifier — the "train fasttext on weak
@@ -117,4 +118,51 @@ object QualityModel {
       minDf: Int = 2): DataFrame =
     scoreDocs(docs, idCol, textCol,
       trainTokenWeights(docs, idCol, textCol, label, minDf))
+
+  /** ROC AUC of a scored frame against boolean truth labels — the
+    * classifier-evaluation row every holdout run should end with. The
+    * Mann–Whitney rank-sum form with EXACT average-rank tie handling
+    * (integer scores tie constantly): group by score, cumulative counts
+    * give each tie group its average rank `before + (n+1)/2`, and
+    *
+    *   AUC = (Σ_pos rank − P(P+1)/2) / (P·N)
+    *
+    * Every addend is a multiple of 0.5 far below 2⁵³, so the sums are
+    * EXACT in any aggregation order — no fold discipline needed; one
+    * division at the end carries `round(·, 6)`. The score-group window
+    * runs over the aggregated |distinct scores| frame, self-guarded
+    * in-plan like [[graft.query.Aggs]]'s bounded-series windows. Output:
+    * one row `(n_pos, n_neg, auc)` — `auc` null when a class is absent.
+    */
+  def auc(
+      scored: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinctScores: Int = 1000000): DataFrame = {
+    val grp = scored.groupBy(col(s"`$scoreCol`").as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(s"`$labelCol`"), 1L).otherwise(0L)).as("_np"))
+    val ordered = Window.orderBy(col("_s"))
+    val before = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val totalGroups = count(lit(1)).over(
+      ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val guard = when(totalGroups > maxDistinctScores,
+      raise_error(lit(s"auc: distinct scores exceed $maxDistinctScores — " +
+        "quantize the score before evaluating")).cast("boolean"))
+      .otherwise(lit(true))
+    grp
+      .withColumn("_before", coalesce(sum(col("_n")).over(before), lit(0L)))
+      .withColumn("_ok", guard)
+      .where(col("_ok"))
+      .agg(
+        sum(col("_np")).as("_P"),
+        sum(col("_n") - col("_np")).as("_N"),
+        sum(col("_np").cast("double") *
+          (col("_before").cast("double") +
+            (col("_n").cast("double") + 1.0) / 2.0)).as("_rs"))
+      .select(
+        col("_P").as("n_pos"), col("_N").as("n_neg"),
+        when(col("_P") === 0 || col("_N") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_rs") - col("_P").cast("double") * (col("_P").cast("double") + 1.0) / 2.0) /
+              (col("_P").cast("double") * col("_N").cast("double")), 6)).as("auc"))
+  }
 }

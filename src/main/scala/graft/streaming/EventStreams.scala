@@ -973,7 +973,10 @@ object EventStreams {
       .agg(count(lit(1)).as("n_buckets"),
         round(sum(abs(col("p") - col("q"))) / 2.0, 6).as("tvd"),
         round(sum((col("p") - col("q")) * (col("p") - col("q")) /
-          (col("p") + col("q"))), 6).as("chi2_sym"))
+          (col("p") + col("q"))), 6).as("chi2_sym"),
+        round(sum(when(col("p") > 0 && col("q") > 0,
+          (col("p") - col("q")) * log(col("p") / col("q"))).otherwise(lit(0.0))),
+          6).as("psi"))
   }
 
   /** Maintain an at-rest IVF ANN index from a vector stream: per

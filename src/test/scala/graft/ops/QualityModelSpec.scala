@@ -69,4 +69,27 @@ class QualityModelSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
+
+  test("auc: rank-sum hand values, average-rank ties, degenerate classes") {
+    import spark.implicits._
+    def aucOf(rows: Seq[(Long, Boolean)]): (Long, Long, Option[Double]) = {
+      val r = QualityModel.auc(rows.toDF("score", "actual"), "score", "actual")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // perfectly separable incl. a tie WITHIN the positive class
+    assert(aucOf(Seq((3L, true), (3L, true), (2L, true), (1L, false), (0L, false)))
+      === ((3L, 2L, Some(1.0))))
+    // a cross-class tie gets the average rank: single tied pair -> 0.5
+    assert(aucOf(Seq((2L, true), (2L, false))) === ((1L, 1L, Some(0.5))))
+    // perfectly inverted
+    assert(aucOf(Seq((1L, true), (2L, false))) === ((1L, 1L, Some(0.0))))
+    // a missing class yields null, not a division blow-up
+    assert(aucOf(Seq((1L, true), (2L, true))) === ((2L, 0L, None)))
+    // the distinct-score guard refuses loudly
+    val wide = (1L to 50L).map(s => (s, s % 2 == 0)).toDF("score", "actual")
+    val e = intercept[Exception](
+      QualityModel.auc(wide, "score", "actual", maxDistinctScores = 10).collect())
+    assert(e.getMessage.contains("distinct scores"))
+  }
 }
