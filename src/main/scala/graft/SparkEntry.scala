@@ -4147,6 +4147,23 @@ object SparkEntry {
       ops.QualityModel.auc(scoredH.join(truth, "doc_id"), "score", "actual")
     }),
 
+    "quality_classifier_report" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The holdout report card: confusion cells + accuracy, precision,
+      // recall, F1, and Cohen's kappa (honest under class imbalance) —
+      // every metric one fixed tree over four integer cells.
+      val docs = load(dir, "documents")
+      val train = ops.Sampling.hashSample(docs, "doc_id", 0.6, seed = 7)
+      val holdout = docs.join(train.select("doc_id"), Seq("doc_id"), "left_anti")
+      val weights = ops.QualityModel.trainTokenWeights(train, "doc_id", "text",
+        ops.QualityModel.lengthLabel(col("text")), minDf = 2)
+      val scoredH = ops.QualityModel.scoreDocs(holdout, "doc_id", "text", weights)
+      val truth = holdout.select(col("doc_id"),
+        ops.QualityModel.lengthLabel(col("text")).as("actual"))
+      ops.QualityModel.classifierReport(
+        scoredH.join(truth, "doc_id"), "predicted", "actual")
+    }),
+
     "quality_lm_score" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Label-free quality signal (CCNet's other half): a bigram LM
@@ -6762,6 +6779,88 @@ object SparkEntry {
          |       ELSE round((rs - p::DOUBLE * (p::DOUBLE + 1.0) / 2.0)
          |                  / (p::DOUBLE * nn::DOUBLE), 6) END AS auc
          |FROM tot""".stripMargin,
+
+    // Report card: the identical holdout chain, four integer cells, and
+    // the identical fixed metric trees (left-associated sums, single
+    // divisions — no rounding escape needed).
+    "quality_classifier_report" ->
+      s"""WITH train AS (
+         |  SELECT * FROM documents
+         |  WHERE ${ops.Sampling.hashUnitSql("doc_id", 7)} < 0.6
+         |), holdout AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM train)
+         |), tposting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM train)
+         |  GROUP BY 1, 2
+         |), labels AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 50 AS pos
+         |  FROM train
+         |), dfc AS (
+         |  SELECT t,
+         |    sum(CASE WHEN l.pos THEN 1 ELSE 0 END)::BIGINT AS pos_df,
+         |    sum(CASE WHEN l.pos THEN 0 ELSE 1 END)::BIGINT AS neg_df
+         |  FROM tposting p JOIN labels l USING (doc_id) GROUP BY t
+         |), w AS (
+         |  SELECT t,
+         |    (${ops.QualityModel.Scale} * (pos_df + 1)) // (neg_df + 1)
+         |      - (${ops.QualityModel.Scale} * (neg_df + 1)) // (pos_df + 1) AS w
+         |  FROM dfc WHERE pos_df + neg_df >= 2
+         |), hposting AS (
+         |  SELECT doc_id, t, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM holdout)
+         |  GROUP BY 1, 2
+         |), s AS (
+         |  SELECT p.doc_id, sum(p.tf * w.w)::BIGINT AS score
+         |  FROM hposting p JOIN w USING (t) GROUP BY 1
+         |), hl AS (
+         |  SELECT coalesce(s.score, 0) > 0 AS pred,
+         |    (CASE WHEN len(trim(h.text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(h.text), '\\s+')) END) >= 50 AS actual
+         |  FROM holdout h LEFT JOIN s USING (doc_id)
+         |), cells AS (
+         |  SELECT
+         |    sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END)::BIGINT AS tn,
+         |    sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END)::BIGINT AS fn
+         |  FROM hl
+         |)
+         |SELECT tp, fp, tn, fn,
+         |  (tp::DOUBLE + tn::DOUBLE)
+         |    / (tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE) AS accuracy,
+         |  CASE WHEN tp::DOUBLE + fp::DOUBLE = 0.0 THEN NULL
+         |       ELSE tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE) END AS precision,
+         |  CASE WHEN tp::DOUBLE + fn::DOUBLE = 0.0 THEN NULL
+         |       ELSE tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE) END AS recall,
+         |  CASE WHEN tp::DOUBLE + fp::DOUBLE = 0.0 OR tp::DOUBLE + fn::DOUBLE = 0.0
+         |         OR tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE)
+         |            + tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE) = 0.0 THEN NULL
+         |       ELSE 2.0 * (tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE))
+         |            * (tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE))
+         |            / (tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE)
+         |               + tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE)) END AS f1,
+         |  CASE WHEN ((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |             + (fn::DOUBLE + tn::DOUBLE) * (fp::DOUBLE + tn::DOUBLE))
+         |            / ((tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)
+         |               * (tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)) = 1.0
+         |       THEN NULL
+         |       ELSE ((tp::DOUBLE + tn::DOUBLE)
+         |              / (tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)
+         |             - ((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |                + (fn::DOUBLE + tn::DOUBLE) * (fp::DOUBLE + tn::DOUBLE))
+         |               / ((tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)
+         |                  * (tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)))
+         |            / (1.0
+         |               - ((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |                  + (fn::DOUBLE + tn::DOUBLE) * (fp::DOUBLE + tn::DOUBLE))
+         |                 / ((tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)
+         |                    * (tp::DOUBLE + fp::DOUBLE + tn::DOUBLE + fn::DOUBLE)))
+         |       END AS kappa
+         |FROM cells""".stripMargin,
 
     // Bigram-LM training AND scoring restated: row-ordered bigrams via
     // 1-based list indexing over the token array, counts, minCount-pruned

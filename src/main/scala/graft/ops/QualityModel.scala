@@ -119,6 +119,43 @@ object QualityModel {
     scoreDocs(docs, idCol, textCol,
       trainTokenWeights(docs, idCol, textCol, label, minDf))
 
+  /** The classifier evaluation row beside [[auc]]: confusion-matrix
+    * cells and the derived metrics — accuracy, precision, recall, F1,
+    * and Cohen's kappa (chance-corrected agreement, the metric that
+    * stays honest under class imbalance where accuracy flatters). Every
+    * metric is ONE fixed IEEE tree over the four integer cells —
+    * hash-exact cross-engine with no rounding escape; zero-denominator
+    * cases yield null, never a blow-up.
+    */
+  def classifierReport(
+      scored: DataFrame, predictedCol: String, labelCol: String): DataFrame = {
+    val p = col(s"`$predictedCol`")
+    val y = col(s"`$labelCol`")
+    def cell(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val cells = scored.agg(
+      cell(p && y).as("tp"), cell(p && !y).as("fp"),
+      cell(!p && !y).as("tn"), cell(!p && y).as("fn"))
+    def d(c: Column) = c.cast("double")
+    def safe(num: Column, den: Column) =
+      when(den === 0.0, lit(null).cast("double")).otherwise(num / den)
+    val n = d(col("tp")) + d(col("fp")) + d(col("tn")) + d(col("fn"))
+    val prec = safe(d(col("tp")), d(col("tp")) + d(col("fp")))
+    val rec = safe(d(col("tp")), d(col("tp")) + d(col("fn")))
+    val po = (d(col("tp")) + d(col("tn"))) / n
+    val pe = ((d(col("tp")) + d(col("fp"))) * (d(col("tp")) + d(col("fn"))) +
+      (d(col("fn")) + d(col("tn"))) * (d(col("fp")) + d(col("tn")))) / (n * n)
+    cells.select(
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      po.as("accuracy"),
+      prec.as("precision"),
+      rec.as("recall"),
+      when(prec.isNull || rec.isNull || (prec + rec) === 0.0,
+        lit(null).cast("double"))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** ROC AUC of a scored frame against boolean truth labels — the
     * classifier-evaluation row every holdout run should end with. The
     * Mann–Whitney rank-sum form with EXACT average-rank tie handling

@@ -70,6 +70,29 @@ class QualityModelSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("classifierReport: hand-computed cells and metrics, null-safe degenerate cases") {
+    import spark.implicits._
+    // tp=2 fp=1 tn=3 fn=1 -> acc 5/7, prec 2/3, rec 2/3, f1 2/3,
+    // kappa = (5/7 - 25/49)/(1 - 25/49) = 10/24
+    val rows = Seq(
+      (true, true), (true, true), (true, false),
+      (false, false), (false, false), (false, false), (false, true),
+    ).toDF("predicted", "actual")
+    val r = QualityModel.classifierReport(rows, "predicted", "actual").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((2L, 1L, 3L, 1L)))
+    assert(r.getDouble(4) === 5.0 / 7)
+    assert(r.getDouble(5) === 2.0 / 3)
+    assert(r.getDouble(6) === 2.0 / 3)
+    assert(r.getDouble(7) === 2.0 * (2.0 / 3) * (2.0 / 3) / ((2.0 / 3) + (2.0 / 3)))
+    val po = 5.0 / 7; val pe = (3.0 * 3 + 4.0 * 4) / 49
+    assert(r.getDouble(8) === (po - pe) / (1.0 - pe))
+    // never-predicts-positive: precision and f1 null, recall 0
+    val neg = Seq((false, true), (false, false)).toDF("predicted", "actual")
+    val rn = QualityModel.classifierReport(neg, "predicted", "actual").collect()(0)
+    assert(rn.isNullAt(5) && rn.isNullAt(7))
+    assert(rn.getDouble(6) === 0.0)
+  }
+
   test("auc: rank-sum hand values, average-rank ties, degenerate classes") {
     import spark.implicits._
     def aucOf(rows: Seq[(Long, Boolean)]): (Long, Long, Option[Double]) = {
