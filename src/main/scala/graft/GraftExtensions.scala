@@ -86,6 +86,10 @@ object GraftExtensions {
       info("graft_deflate_len",
         "graft_deflate_len(text) - deflate-compressed byte length (compression-ratio quality signal)"),
       (args: Seq[Expression]) => DeflateLenExpr(args(0))),
+    ("damerau_levenshtein",
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - full (unrestricted) Damerau-Levenshtein edit distance"),
+      (args: Seq[Expression]) => DamerauLevenshteinExpr(args(0), args(1))),
   )
 
   /** Constant-int argument of a registered function (k, w, …): these size

@@ -1988,6 +1988,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_fuzzy_match_damerau" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES's DEFAULT fuzziness counts a transposition as ONE edit:
+      // 'tbale'~1 reaches 'table' under Damerau (swap) where classic
+      // Levenshtein needs 2 — the transpositions delta, closed by the
+      // codegen'd full DL expression (DuckDB's damerau_levenshtein is
+      // the same unrestricted variant).
+      load(dir, "documents")
+        .where(graft.query.FilterSpec.FuzzyTerm(
+          "text", "tbale", maxEdits = 1, transpositions = true).compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_phrase_slop" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Sloppy phrase via the search bar: tokens in order within slop
@@ -5865,6 +5879,14 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
         |      t -> levenshtein(t, 'dupe') <= 1)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // Damerau fuzzy: the same analyzed tokens under the same unrestricted
+    // transposition-counting distance.
+    "q_fuzzy_match_damerau" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> damerau_levenshtein(t, 'tbale') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // Sloppy phrase: positions from the identical token stream, the same

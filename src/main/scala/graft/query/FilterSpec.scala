@@ -221,30 +221,38 @@ object FilterSpec {
   }
 
   /** Fuzzy term — `field:term~N` (ES `fuzzy` / `match` with `fuzziness`):
-    * some analyzed token within Levenshtein distance `maxEdits` of the
-    * term, the first `prefixLength` characters matching exactly (ES's
-    * own recall/cost knob). Documented delta: classic Levenshtein, not
-    * ES's default Damerau transpositions (Spark ships only the former;
-    * `transpositions:false` in ES terms). Scan form is a per-row
-    * higher-order `exists` with Spark's threshold-bounded `levenshtein`;
-    * the 100 TB path is the SymSpell deletion-neighborhood index
-    * ([[Fuzzy]]) whose results are provably identical.
+    * some analyzed token within edit distance `maxEdits` of the term,
+    * the first `prefixLength` characters matching exactly (ES's own
+    * recall/cost knob). `transpositions = true` is ES's DEFAULT distance
+    * (a swap of adjacent characters costs ONE edit), served by the
+    * codegen'd full Damerau–Levenshtein expression
+    * ([[graft.expr.Damerau]] — the same unrestricted variant DuckDB's
+    * `damerau_levenshtein` implements, so it oracles); `false` is
+    * classic Levenshtein via Spark's builtin. Scan form is a per-row
+    * higher-order `exists`; the 100 TB path is the SymSpell
+    * deletion-neighborhood index ([[Fuzzy]]) whose candidate lemma
+    * covers BOTH distances (a transposition is one deletion from each
+    * side), results provably identical.
     */
   final case class FuzzyTerm(
       field: String, term: String, maxEdits: Int,
-      prefixLength: Int = 0) extends FilterSpec {
+      prefixLength: Int = 0,
+      transpositions: Boolean = false) extends FilterSpec {
     require(maxEdits >= 0 && maxEdits <= 2,
       s"maxEdits must be 0..2 (the Lucene bound), got $maxEdits")
     require(prefixLength >= 0, s"prefixLength must be >= 0, got $prefixLength")
     def compile: Column = {
       val toks = split(trim(TextMatch.normalized(col(field))), " ")
       val q = term.toLowerCase
+      def dist(t: Column): Column =
+        if (transpositions) graft.expr.Damerau.distance(t, lit(q))
+        else levenshtein(t, lit(q))
       exists(toks, t =>
         length(t) > 0 &&
           (if (prefixLength > 0)
              substring(t, 1, prefixLength) === q.take(prefixLength)
            else lit(true)) &&
-          levenshtein(t, lit(q)) <= maxEdits)
+          dist(t) <= maxEdits)
     }
     def render: String = s"${escName(field)}:$term~$maxEdits"
     def fields: Seq[String] = Seq(field)

@@ -123,6 +123,28 @@ class QueryStringSpec extends SparkSpecBase {
     assert(rep.where(parse("""text:"batch batch"~0""").compile).count() === 0)
   }
 
+  test("Damerau fuzzy: a transposition costs one edit; the full variant, not OSA") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(a: String, b: String): Int =
+      graft.expr.DamerauAlgo.distance(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // the quadruple probed against DuckDB's damerau_levenshtein — same
+    // unrestricted variant (OSA would give 3 for the first)
+    assert(d("ca", "abc") === 2)
+    assert(d("ab", "ba") === 1)
+    assert(d("abcdef", "abcfad") === 3)
+    assert(d("a cat", "an abct") === 3)
+    assert(d("", "abc") === 3 && d("abc", "") === 3 && d("same", "same") === 0)
+    // FuzzyTerm: 'tbale'~1 reaches 'table' only when transpositions count
+    assert(ids(FilterSpec.FuzzyTerm("text", "tbale", 1, transpositions = true))
+      === Seq(1L, 3L)) // docs 1 and 3 contain 'table'
+    assert(ids(FilterSpec.FuzzyTerm("text", "tbale", 1)) === Seq())
+    // registered as a SQL function too
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('ca', 'abc')")
+      .collect()(0).getInt(0) === 2)
+  }
+
   test("fuzzy term: bounded levenshtein over analyzed tokens, prefixLength pins the head") {
     assert(ids(parse("text:dupe~1")) === Seq(3L, 5L)) // dup, dupes, duped at 1 edit
     assert(ids(parse("text:dupe~0")) === Seq())
