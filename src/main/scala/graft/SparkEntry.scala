@@ -2042,6 +2042,16 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "corpus_datasheet" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The data card a corpus release publishes beside its shards
+      // (Datasheets for Datasets): size, token volume, label diversity,
+      // exact-duplicate rate, language concentration — long-form
+      // (metric, value) rows, every value a fixed tree over counts.
+      ops.Datasheet.corpusReport(load(dir, "documents"),
+        "text", "lang", "source")
+    }),
+
     "corpus_diff" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Snapshot diff — which documents moved between corpus versions
@@ -5922,6 +5932,34 @@ object SparkEntry {
          |  SELECT 'alert_long_en' AS query_id, doc_id FROM documents
          |  WHERE ${containsTokenSql("lang", "en")} AND n_chars::DOUBLE >= 400
          |) ORDER BY query_id, doc_id""".stripMargin
+    },
+
+    // Datasheet: each metric leg restated over the same analyzer tokens,
+    // md5 fingerprints, and count trees.
+    "corpus_datasheet" -> {
+      val tokCount =
+        s"len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))"
+      s"""WITH base AS (
+         |  SELECT count(*)::BIGINT AS n, sum($tokCount)::BIGINT AS t
+         |  FROM documents
+         |)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n::DOUBLE AS value FROM base
+         |  UNION ALL SELECT 'n_tokens', t::DOUBLE FROM base
+         |  UNION ALL SELECT 'mean_doc_tokens', t::DOUBLE / n::DOUBLE FROM base
+         |  UNION ALL SELECT 'n_langs',
+         |    (SELECT count(DISTINCT lang) FROM documents)::DOUBLE
+         |  UNION ALL SELECT 'n_sources',
+         |    (SELECT count(DISTINCT source) FROM documents)::DOUBLE
+         |  UNION ALL SELECT 'distinct_text_rate',
+         |    (SELECT count(DISTINCT md5(text)) FROM documents)::DOUBLE / n::DOUBLE
+         |    FROM base
+         |  UNION ALL SELECT 'top_lang_share',
+         |    (SELECT max(c) FROM (
+         |       SELECT count(*)::BIGINT AS c FROM documents GROUP BY lang))::DOUBLE
+         |      / n::DOUBLE
+         |    FROM base
+         |) ORDER BY metric""".stripMargin
     },
 
     // Snapshot diff: identical derived snapshots, md5 fingerprints, the

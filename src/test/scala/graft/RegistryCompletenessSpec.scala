@@ -44,7 +44,7 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "quality_ml_select", "q_rank_eval", "q_percolate", "corpus_diff",
     "ann_filtered", "ann_ivf_filtered", "q_ltr_features",
     "text_unigram_segment", "quality_classifier_auc",
-    "quality_classifier_report", "q_fuzzy_match_damerau",
+    "quality_classifier_report", "q_fuzzy_match_damerau", "corpus_datasheet",
     "g_variable_width_histogram", "g_variable_width_histogram_preagg",
     "g_random_sampler", "g_significant_text",
     "g_weighted_avg_preagg", "g_geo_centroid_preagg", "g_matrix_stats_preagg",
