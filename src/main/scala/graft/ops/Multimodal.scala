@@ -106,6 +106,34 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
     }
+
+    /** 64-bit difference hash (dHash — the standard public perceptual
+      * image fingerprint): nearest-neighbor resize to 9×8, integer
+      * luminance, bit `y·8+x` set when `lum(x,y) > lum(x+1,y)`. Robust
+      * to re-encoding and rescaling (the same content at a different
+      * resolution hashes near-identically), DETERMINISTIC here because
+      * the resize is the codec's bit-stable nearest-neighbor and the
+      * luminance weights are integer.
+      */
+    def dHash(img: BufferedImage): Long = {
+      val r = resize(img, 9, 8)
+      def lum(x: Int, y: Int): Int = {
+        val rgb = r.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
   }
 
   /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/PCM decode
@@ -643,6 +671,59 @@ object Multimodal {
         sum(coalesce(col("_nframes"), lit(0L))).as("n_frames"),
         sum(coalesce(col("_framebytes"), lit(0L))).as("frame_bytes"))
       .orderBy("kind")
+  }
+
+  /** Perceptual fingerprints of decodable images: `(id, dhash)` — one
+    * 64-bit [[ImageCodec.dHash]] per item whose bytes the JDK codec
+    * decodes (non-images and undecodable bytes drop; row-stability is
+    * the metadata tier's job). Per-partition decode, no shuffle.
+    */
+  def imageDHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        ImageCodec.decode(m.bytes).map(img => (m.id, ImageCodec.dHash(img)))
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: pairs of ids whose
+    * dHashes differ in at most `maxHamming` of 64 bits — re-encoded,
+    * rescaled, or lightly-edited copies of the same picture (the image
+    * half of the dedup tier; text near-dup is MinHash/SimHash upstream).
+    *
+    * The pairing is the SimHash pigeonhole: split the 64 bits into
+    * `maxHamming + 1` chunks — any pair within the budget agrees on at
+    * least one whole chunk — band-join on (chunk index, chunk value),
+    * dedup candidates, verify with one `bit_count(xor)`. Candidate
+    * volume is Σ per-bucket² over hash-chunk buckets, never |images|²;
+    * ids-only through the join.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be 0..63, got $maxHamming")
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val banded = hashes.select(col("id"), col("dhash"),
+      posexplode(array((0 until chunks).map { c =>
+        // chunk c: bits [c*width, ...) — the last chunk takes the remainder
+        val lo = c * width
+        val w = if (c == chunks - 1) 64 - lo else width
+        shiftrightunsigned(col("dhash"), lo)
+          .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1L))
+      }: _*)))
+      .toDF("id", "dhash", "band", "chunk")
+    val l = banded.select(col("band"), col("chunk"),
+      col("id").as("id_a"), col("dhash").as("h_a"))
+    val r = banded.select(col("band"), col("chunk"),
+      col("id").as("id_b"), col("dhash").as("h_b"))
+    l.join(r, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   def featureStatsByKind(df: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {

@@ -350,6 +350,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(refreshed.meta.format === "gif" && refreshed.meta.durationMs === 200L)
   }
 
+  test("dHash: scale-invariant on block patterns, complementary on inversion; banded pairs find near-dups") {
+    // an 8-column vertical block pattern rendered at two resolutions —
+    // the same PICTURE, different pixels: the perceptual hash must land
+    // within a small hamming budget (identical blocks sample identically
+    // up to boundary pixels under nearest-neighbor)
+    def blocksPng(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val on = (x * 8 / w) % 2 == 0
+        img.setRGB(x, y, if (on != invert) 0xffffff else 0x000000)
+      }
+      ImageCodec.encodePng(img)
+    }
+    val a64 = ImageCodec.dHash(ImageCodec.decode(blocksPng(64, 64, invert = false)).get)
+    val a128 = ImageCodec.dHash(ImageCodec.decode(blocksPng(128, 128, invert = false)).get)
+    val bInv = ImageCodec.dHash(ImageCodec.decode(blocksPng(64, 64, invert = true)).get)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(a64, a128) <= 4, s"rescaled twin drifted: ${hamming(a64, a128)} bits")
+    assert(hamming(a64, bInv) >= 30, s"inverted image too close: ${hamming(a64, bInv)} bits")
+    // identical bytes hash identically
+    assert(ImageCodec.dHash(ImageCodec.decode(blocksPng(64, 64, invert = false)).get) === a64)
+
+    // end-to-end: hashes from MediaItems, banded pairing finds the
+    // rescaled twin and nothing else
+    val items = Seq(
+      MediaItem(1L, blocksPng(64, 64, invert = false), MediaMeta("image", "png", 64, 64, 0L)),
+      MediaItem(2L, blocksPng(128, 128, invert = false), MediaMeta("image", "png", 128, 128, 0L)),
+      MediaItem(3L, blocksPng(64, 64, invert = true), MediaMeta("image", "png", 64, 64, 0L)),
+      MediaItem(4L, "not an image".getBytes("UTF-8"), MediaMeta("image", "png", 0, 0, 0L)),
+    ).toDS()
+    val hashes = Multimodal.imageDHashes(items)
+    assert(hashes.count() === 3) // undecodable bytes drop
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("resize really rescales decodable images and re-encodes PNG") {
     val real = Seq(
       MediaItem(1L, testPng(4, 2), MediaMeta("image", "png", 4, 2, 0L)),
