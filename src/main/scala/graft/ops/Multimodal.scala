@@ -207,6 +207,36 @@ object Multimodal {
       }
       out
     }
+
+    /** 64-bit audio difference hash — [[ImageCodec.dHash]]'s contract on
+      * sound: mean-square energy pooled into 65 duration-proportional
+      * windows, bit `i` set when `e(i) > e(i+1)`. Invariant to uniform
+      * GAIN (both sides of every comparison scale together) and to
+      * duration (windows are proportional) — a re-leveled or
+      * re-containered copy of the same recording hashes identically;
+      * feed the same pigeonhole pairing as the image half.
+      */
+    def dHash(samples: Array[Double]): Long = {
+      val e = new Array[Double](65)
+      val cnt = new Array[Int](65)
+      val n = math.max(1, samples.length)
+      var i = 0
+      while (i < samples.length) {
+        val cell = math.min(64, (i.toLong * 65 / n).toInt)
+        e(cell) += samples(i) * samples(i)
+        cnt(cell) += 1
+        i += 1
+      }
+      var d = 0
+      while (d < 65) { if (cnt(d) > 0) e(d) /= cnt(d); d += 1 }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(b) > e(b + 1)) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
   }
 
   /** Real video CONTAINER parsing — an ISO-BMFF (MP4/MOV) box walk and a
@@ -684,6 +714,20 @@ object Multimodal {
     items.mapPartitions { it =>
       it.flatMap { m =>
         ImageCodec.decode(m.bytes).map(img => (m.id, ImageCodec.dHash(img)))
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** Perceptual fingerprints of decodable WAV audio: `(id, dhash)` — the
+    * [[AudioCodec.dHash]] energy-profile twin of [[imageDHashes]]; feed
+    * [[imageNearDupPairs]] (the pairing is hash-kind-agnostic).
+    */
+  def audioDHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        AudioCodec.decode(m.bytes).map(s => (m.id, AudioCodec.dHash(s)))
       }
     }.toDF("id", "dhash")
   }

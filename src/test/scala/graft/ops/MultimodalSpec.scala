@@ -129,6 +129,48 @@ class MultimodalSpec extends SparkSpecBase {
     out.toByteArray
   }
 
+  test("audio dHash: gain- and duration-invariant on the same profile, far on different content") {
+    // square wave whose per-130-frame block amplitude follows a seeded
+    // pseudo-random profile — a rich energy contour the hash bits track
+    def profiledWav(frames: Int, gain: Double, seed: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](frames * 2)
+      for (f <- 0 until frames) {
+        val block = f * 65 / frames // align blocks to the hash windows
+        val amp = gain * (((block * 37 + seed) % 100) + 1) / 101.0
+        val v = (if (f % 2 == 0) amp else -amp) * 32767.0
+        val s = math.max(-32768, math.min(32767, v.toInt)).toShort
+        pcm(f * 2) = (s & 0xff).toByte
+        pcm(f * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    def hash(b: Array[Byte]): Long = AudioCodec.dHash(AudioCodec.decode(b).get)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val a = hash(profiledWav(6500, 1.0, seed = 1))
+    // re-leveled copy (half gain): energy comparisons scale together
+    assert(hash(profiledWav(6500, 0.5, seed = 1)) === a)
+    // same content at double duration: windows are proportional
+    assert(hamming(hash(profiledWav(13000, 1.0, seed = 1)), a) <= 4)
+    // different content is far
+    assert(hamming(hash(profiledWav(6500, 1.0, seed = 55)), a) >= 16)
+    // end-to-end: hashes + the shared pigeonhole pairing find the twin
+    val items = Seq(
+      MediaItem(1L, profiledWav(6500, 1.0, 1), MediaMeta("audio", "wav", 0, 0, 0L)),
+      MediaItem(2L, profiledWav(6500, 0.25, 1), MediaMeta("audio", "wav", 0, 0, 0L)),
+      MediaItem(3L, profiledWav(6500, 1.0, 55), MediaMeta("audio", "wav", 0, 0, 0L)),
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.audioDHashes(items), maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("AudioCodec decodes WAV/PCM and pools RMS energy features") {
     val samples = AudioCodec.decode(testWav()).get
     assert(samples.length === 1000)
