@@ -171,6 +171,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("video near-dup: identical footage in different containers pairs frame by frame") {
+    // structured JPEG frames (vertical block patterns, phase-shifted per
+    // frame) so frame hashes are distinctive — solid frames hash 0
+    def patternJpeg(phase: Int, vertical: Boolean, w: Int = 64): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, w,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until w) {
+        val band = if (vertical) x else y
+        val on = ((band * 8 / w) + phase) % 2 == 0
+        img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // video 2 = the same frames re-containered with a different cadence;
+    // video 3 = genuinely different footage (horizontal stripes — a
+    // column-comparison dHash sees a flat profile, far from A's)
+    val fsA = (0 until 4).map(i => patternJpeg(i, vertical = true))
+    val fsC = (0 until 4).map(i => patternJpeg(i, vertical = false))
+    val items = Seq(
+      MediaItem(1L, testAvi(fsA), MediaMeta("video", "avi", 64, 64, 0L)),
+      MediaItem(2L, testAvi(fsA, microSecPerFrame = 20000), MediaMeta("video", "avi", 64, 64, 0L)),
+      MediaItem(3L, testAvi(fsC), MediaMeta("video", "avi", 64, 64, 0L)),
+    ).toDS()
+    val hashes = Multimodal.videoFrameDHashes(items, framesPerVideo = 4)
+    assert(hashes.count() === 12)
+    val pairs = Multimodal.videoNearDupPairs(hashes, maxHamming = 6,
+        minMatchingFrames = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("AudioCodec decodes WAV/PCM and pools RMS energy features") {
     val samples = AudioCodec.decode(testWav()).get
     assert(samples.length === 1000)
