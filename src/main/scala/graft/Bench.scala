@@ -337,11 +337,14 @@ object Bench {
       val all = if (noisy) times ++ timePasses(name, fn, repeat) else times
       (name, all.min, median(all))
     }
-    // Per-query medians: diagnostic detail, printed FIRST and behind a text
-    // prefix so (a) a tail-truncated capture sacrifices this line, never the
-    // headline, and (b) no JSON-line scanner can mistake it for the
-    // contract line.
-    println("bench_medians_detail " + jmap(results.map(r => r._1 -> r._3)))
+    // Per-query medians on stdout ONLY for partial (SPARK_GRAFT_ONLY) scale
+    // probes, which skip the detail file below. Full-registry runs write the
+    // same data to BENCH_DETAIL.json and print nothing here: three rounds
+    // running, this line's tail-clipped carcass shared the driver's ~2 KB
+    // capture window with the headline and the parser recorded null. The
+    // capture must contain exactly one JSON line — the headline.
+    if (only.nonEmpty)
+      println("bench_medians_detail " + jmap(results.map(r => r._1 -> r._3)))
     // The COMPLETE per-query record as a repo file: the driver's capture
     // keeps only a ~2 KB stdout tail (the r11 artifact lost the dict's
     // head), so the capture-window budget prunes the headline — and the
