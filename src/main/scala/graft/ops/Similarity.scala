@@ -215,13 +215,32 @@ object Similarity {
     * by the cap. Deterministic per (id, seed, cap, n) and restated in SQL
     * by the same threshold over [[Sampling.hashUnitSql]].
     *
-    * `cap <= 0` (the default everywhere) disables the bound — full-corpus
-    * training, bit-identical to the historical behavior. `materialize`
+    * `cap = 0` disables the bound — full-corpus training, an EXPLICIT
+    * choice reserved for tiny-corpus oracle twins (the default at every
+    * public entry point is [[AutoTrainCap]] = the FAISS-style 256·k, so a
+    * production-shaped caller is bounded unless it opts out). `materialize`
     * localCheckpoints the ≤ ~1.05·cap-row sample so a refinement loop
     * re-scans the sample, not the corpus (without it every k-means round
     * would still read all n rows just to drop them — the corpus-sized
     * per-iteration cost the cap exists to remove).
     */
+  /** Sentinel `trainCap` meaning "the FAISS-style default": resolve to
+    * `256·k` at the entry point that knows its `k` (FAISS warns below
+    * ~39·k points and caps its own samplers at 256·k — the bound that
+    * keeps one ordered-fold cell-mean buffer at ~256 vectors regardless
+    * of corpus size). The DEFAULT at every public training entry point:
+    * unbounded full-corpus training (`trainCap = 0`) is now an explicit
+    * opt-in for tiny-corpus oracle twins, never something a
+    * production-shaped caller inherits silently (round-13 verdict #5).
+    * Results are cap-invariant whenever the corpus already fits the
+    * resolved cap, and the INIT pick is cap-invariant always (the
+    * threshold sample is a superset of every k-smallest-hash row).
+    */
+  val AutoTrainCap: Int = -1
+
+  private def resolveTrainCap(trainCap: Int, k: Int): Int =
+    if (trainCap == AutoTrainCap) 256 * k else trainCap
+
   private[graft] def trainingFrame(
       df: DataFrame, idCol: String, cap: Int, seed: Int,
       materialize: Boolean): DataFrame = {
@@ -266,10 +285,10 @@ object Similarity {
     */
   def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, seed: Int = 42, trainCap: Int = 0): Seq[Array[Double]] = {
+      k: Int, iters: Int, seed: Int = 42, trainCap: Int = AutoTrainCap): Seq[Array[Double]] = {
     val c = trainingFrame(
       spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))),
-      "_id", trainCap, seed, materialize = iters > 0)
+      "_id", resolveTrainCap(trainCap, k), seed, materialize = iters > 0)
     var centroids: Seq[Array[Double]] = c
       .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
       .orderBy("_u", "_id").limit(k)
@@ -298,7 +317,7 @@ object Similarity {
       refineIters: Int = 0,
       seed: Int = 42,
       excludeSelf: Boolean = true,
-      trainCap: Int = 0): DataFrame = {
+      trainCap: Int = AutoTrainCap): DataFrame = {
     val centroids = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed, trainCap)
     ivfTopKFromIndex(assignCells(corpus, corpusId, corpusVec, centroids),
       centroids, queries, queryId, queryVec, k, nprobe, excludeSelf)
@@ -371,7 +390,7 @@ object Similarity {
       dim: Int, m: Int, ksub: Int,
       refineIters: Int = 0, seed: Int = 42,
       coarse: Option[Seq[Array[Double]]] = None,
-      trainCap: Int = 0): Seq[Seq[Array[Double]]] = {
+      trainCap: Int = AutoTrainCap): Seq[Seq[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     // trainCap bounds the codebook training set BEFORE residualization
@@ -380,7 +399,7 @@ object Similarity {
     // or aggregates more than ~cap rows.
     val raw = trainingFrame(
       spread(corpus.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v"))),
-      "_id", trainCap, seed, materialize = refineIters > 0)
+      "_id", resolveTrainCap(trainCap, ksub), seed, materialize = refineIters > 0)
     def residualized(df: DataFrame): DataFrame = coarse match {
       case Some(cents) => df
         .withColumn("_cell", nearestCells(col("_v"), cents, 1).getItem(0))
@@ -409,13 +428,13 @@ object Similarity {
     */
   def pqCodebooksFromFrame(
       frame: DataFrame, dim: Int, m: Int, ksub: Int,
-      refineIters: Int, seed: Int, trainCap: Int = 0): Seq[Seq[Array[Double]]] = {
+      refineIters: Int, seed: Int, trainCap: Int = AutoTrainCap): Seq[Seq[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"pqCodebooks: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     // No localCheckpoint here even under a cap: the frame this path gets is
     // already materialized by its caller (ivfPqTopK persists the residual
     // frame), so the capped filter re-reads cached blocks, not the corpus.
-    val t = trainingFrame(frame, "_id", trainCap, seed, materialize = false)
+    val t = trainingFrame(frame, "_id", resolveTrainCap(trainCap, ksub), seed, materialize = false)
     val initRows = t
       .withColumn("_u", Sampling.hashUnit(col("_id"), seed))
       .orderBy("_u", "_id").limit(ksub)
@@ -499,7 +518,7 @@ object Similarity {
       refineIters: Int = 0,
       seed: Int = 42,
       excludeSelf: Boolean = true,
-      trainCap: Int = 0): DataFrame = {
+      trainCap: Int = AutoTrainCap): DataFrame = {
     require(m >= 1 && dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
     val dsub = dim / m
     val coarse = kmeansCentroids(corpus, corpusId, corpusVec, nlist, refineIters, seed, trainCap)
@@ -602,10 +621,12 @@ object Similarity {
       refineFactor: Int = 4,
       refineIters: Int = 0,
       seed: Int = 42,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      trainCap: Int = AutoTrainCap): DataFrame = {
     require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
     val cand = ivfPqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
-      k * refineFactor, dim, nlist, nprobe, m, ksub, refineIters, seed, excludeSelf)
+      k * refineFactor, dim, nlist, nprobe, m, ksub, refineIters, seed, excludeSelf,
+      trainCap)
       .select(col("query_id"), col("neighbor_id"))
     val cv = corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv"))
     val qv = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
@@ -645,7 +666,7 @@ object Similarity {
   def cellStratifiedSample(
       df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, perCell: Int,
-      refineIters: Int = 0, seed: Int = 42, trainCap: Int = 0): DataFrame = {
+      refineIters: Int = 0, seed: Int = 42, trainCap: Int = AutoTrainCap): DataFrame = {
     val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed, trainCap)
     val c = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
       .withColumn("_cell", nearestCells(col("_v"), centroids, 1).getItem(0))
@@ -757,7 +778,7 @@ object Similarity {
       refineIters: Int = 0,
       nprobe: Int = 1,
       seed: Int = 42,
-      trainCap: Int = 0): DataFrame = {
+      trainCap: Int = AutoTrainCap): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val vecs = spread(df.select(col(idCol).as("_id"), asDouble(col(vecCol)).as("_v")))
     val centroids = kmeansCentroids(df, idCol, vecCol, nlist, refineIters, seed, trainCap)

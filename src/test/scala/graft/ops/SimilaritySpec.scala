@@ -166,6 +166,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("AutoTrainCap default resolves to 256·k, binds, and stays cap-invariant") {
+    // 600 vectors, k=2 → the AUTO default (256·2 = 512) actually BINDS —
+    // the production-shaped caller that passes nothing must train bounded.
+    val big = spark.range(600).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.05), sin(col("id") * 0.05),
+        lit(0.0), lit(0.0)).as("embedding"))
+    // (a) the default IS 256·k: default-arg refined centroids equal an
+    // explicit trainCap = 512, and differ from nothing — same construction.
+    val auto = Similarity.kmeansCentroids(big, "vec_id", "embedding", k = 2, iters = 1)
+    val explicit512 = Similarity.kmeansCentroids(big, "vec_id", "embedding",
+      k = 2, iters = 1, trainCap = 512)
+    assert(auto.map(_.toSeq) === explicit512.map(_.toSeq))
+    // (b) init (iters = 0) is cap-invariant even while the auto cap binds:
+    // default == explicitly-unbounded (trainCap = 0) full-corpus training.
+    val auto0 = Similarity.kmeansCentroids(big, "vec_id", "embedding", k = 2, iters = 0)
+    val full0 = Similarity.kmeansCentroids(big, "vec_id", "embedding",
+      k = 2, iters = 0, trainCap = 0)
+    assert(auto0.map(_.toSeq) === full0.map(_.toSeq))
+    // (c) the bounded default is deterministic across partitionings.
+    val auto2 = Similarity.kmeansCentroids(big.repartition(13), "vec_id", "embedding",
+      k = 2, iters = 1)
+    assert(auto.map(_.toSeq) === auto2.map(_.toSeq))
+  }
+
   test("vecAvg aggregates element-wise means per group, ignoring nulls") {
     val df = Seq(
       ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),
