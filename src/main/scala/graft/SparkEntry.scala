@@ -3,7 +3,7 @@ package graft
 import graft.dict.Dictionary
 import graft.etl.{CityRecipes, Transforms}
 import graft.store.Sources
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, PerceptualFixtures, Similarity, TextAnalysis}
 import graft.query.{Aggs, Federation, FilterSpec, PreAgg, Widgets}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1204,6 +1204,26 @@ object SparkEntry {
       |SELECT change_point, delta FROM y
       |ORDER BY delta DESC, b LIMIT 1""".stripMargin
 
+  /** The three stored alert queries restated clause-for-clause — shared
+    * by the one-shot percolation (`q_percolate`) and its streamed
+    * deployment twin (`stream_percolate`): batch boundaries, the
+    * at-least-once replay, and the at-rest stored-query table must all be
+    * invisible in the alert set.
+    */
+  private val percolateOracleSql: String = {
+    import graft.expr.TextMatch.containsTokenSql
+    s"""SELECT query_id, doc_id FROM (
+       |  SELECT 'alert_dup' AS query_id, doc_id FROM documents
+       |  WHERE ${containsTokenSql("text", "dup")}
+       |  UNION ALL
+       |  SELECT 'alert_vector_scan' AS query_id, doc_id FROM documents
+       |  WHERE ${containsTokenSql("text", "vector scan")}
+       |  UNION ALL
+       |  SELECT 'alert_long_en' AS query_id, doc_id FROM documents
+       |  WHERE ${containsTokenSql("lang", "en")} AND n_chars::DOUBLE >= 400
+       |) ORDER BY query_id, doc_id""".stripMargin
+  }
+
   /** One corpus-scan date histogram, shared by the scan form and the
     * hour-grain-rollup serving twin (coarsening commutes with the rollup).
     */
@@ -1963,6 +1983,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q_query_string_escaped" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // `\`-escapes (round-13 verdict #6): reserved characters queried
+      // LITERALLY — `key\-agg` is the hyphenated term (not a MUST_NOT
+      // operator), `big\ vector` a term with a literal space (not two
+      // clauses). Both reach the analyzer whole, which folds them to
+      // contiguous-token containment — ES's analyzed match of the same
+      // user input.
+      val spec = graft.query.QueryString.parse(
+        """text:key\-agg OR text:big\ vector""", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q_query_string_ops" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Lucene `+`/`-` occurrence prefixes (round-13 verdict #6): with no
+      // MUST present, the SHOULD clause still constrains (≥ 1 must
+      // match) and the MUST_NOT excludes — `dup* -source:src1*` filters
+      // to prefix(dup) AND NOT prefix(src1), the Kibana-habituated
+      // user's exclusion idiom.
+      val spec = graft.query.QueryString.parse(
+        """text:dup* -source:src1*""", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "q_fuzzy_match" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES fuzzy query through the search bar: `dupe~1` reaches the
@@ -2039,6 +2088,42 @@ object SparkEntry {
         "alert_long_en" -> "lang:en AND n_chars:[400 TO *]"),
         defaultField = "text")
       graft.query.Percolator.percolateLong(load(dir, "documents"), "doc_id", stored)
+        .orderBy("query_id", "doc_id")
+    }),
+
+    "stream_percolate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      // The alerting deployment end-to-end (round-13 verdict #8): stored
+      // queries live AT REST as rows (queries-are-data, the webapp's
+      // dictionary-driven philosophy) and are compiled at plan-build time;
+      // each arriving micro-batch percolates against the compiled set and
+      // APPENDS its (query_id, doc_id) alert increment — epoch 0 appended
+      // twice, the at-least-once replay the alert-table dedup must absorb.
+      // The deduped union of increments must equal the one-shot
+      // percolation: stream_percolate SHARES q_percolate's oracle. The
+      // true streaming path drives the identical row-local plan through
+      // MemoryStream (PercolatorSpec).
+      val storedPath = s"/tmp/graft_percolate_stored_${math.abs(dir.hashCode)}"
+      Seq(
+        ("alert_dup", "text:dup"),
+        ("alert_vector_scan", """text:"vector scan""""),
+        ("alert_long_en", "lang:en AND n_chars:[400 TO *]"))
+        .toDF("query_id", "query_text")
+        .write.mode("overwrite").parquet(storedPath)
+      val stored = graft.query.Percolator.storedFromTable(
+        spark.read.parquet(storedPath), "query_id", "query_text",
+        defaultField = "text")
+      val docs = load(dir, "documents")
+      val alertsPath = s"/tmp/graft_percolate_alerts_${math.abs(dir.hashCode)}"
+      def inc(epoch: Int): DataFrame =
+        graft.query.Percolator.percolateLong(
+            docs.where(pmod(col("doc_id"), lit(2)) === epoch), "doc_id", stored)
+          .withColumn("inc_batch_id", lit(epoch.toLong))
+      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .write.mode("overwrite").parquet(alertsPath)
+      spark.read.parquet(alertsPath)
+        .select("query_id", "doc_id").distinct() // absorb the replay
         .orderBy("query_id", "doc_id")
     }),
 
@@ -3578,6 +3663,47 @@ object SparkEntry {
       // (dedup_simhash) stays the scale path.
       Dedup.simhashNearDupPairsPortable(load(dir, "documents"), "doc_id", "text",
           maxHamming = 3, numChunks = 4)
+        .transform(pairSorted)
+    }),
+
+    "dedup_perceptual_image" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Perceptual image dedup certified end to end: real PNG render →
+      // javax.imageio decode → 64-bit dHash → pigeonhole-banded pairing →
+      // Hamming verify, over the deterministic in-code media corpus (the
+      // parquet testdata carries no binary media). The DuckDB oracle PINS
+      // the 16 expected dHashes as literals and re-pairs them brute-force:
+      // hash-match certifies BOTH the codec chain's determinism and the
+      // banding's exactness (pigeonhole = no false negatives, verify = no
+      // false positives ≡ the all-pairs answer).
+      Multimodal.imageNearDupPairs(
+          Multimodal.imageDHashes(PerceptualFixtures.imageItems(s)),
+          maxHamming = 6)
+        .transform(pairSorted)
+    }),
+
+    "dedup_perceptual_audio" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The audio twin: real WAV encode → javax.sound decode → energy-
+      // profile dHash → the SAME hash-kind-agnostic banded pairing. The
+      // re-leveled (quarter-gain) and re-sampled (double-duration) copies
+      // must hash identically — gain and duration invariance oracled.
+      Multimodal.imageNearDupPairs(
+          Multimodal.audioDHashes(PerceptualFixtures.audioItems(s)),
+          maxHamming = 6)
+        .transform(pairSorted)
+    }),
+
+    "dedup_perceptual_video" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The video tier: real MJPEG-AVI container walk → per-frame JPEG
+      // decode → frame dHashes → banded FRAME pairing → per-video-pair
+      // match count. The re-muxed copy (same frame bytes, double cadence)
+      // must match on all 4 frames; distinct footage matches none.
+      Multimodal.videoNearDupPairs(
+          Multimodal.videoFrameDHashes(
+            PerceptualFixtures.videoItems(s), framesPerVideo = 4),
+          maxHamming = 6, minMatchingFrames = 3)
         .transform(pairSorted)
     }),
 
@@ -5873,6 +5999,27 @@ object SparkEntry {
          |GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
+    // Escaped reserved characters reach the analyzer whole; the analyzer
+    // folds them to contiguous-token containment — so the oracle passes
+    // the same literal terms through the same analysis.
+    "q_query_string_escaped" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${containsTokenSql("text", "key-agg")}
+         |   OR ${containsTokenSql("text", "big vector")}
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // `-` MUST_NOT with a constraining SHOULD (no must present):
+    // prefix(dup) AND NOT prefix(src1).
+    "q_query_string_ops" -> {
+      import graft.expr.TextMatch.phrasePrefixSql
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${phrasePrefixSql("text", "dup")}
+         |  AND NOT ${phrasePrefixSql("source", "src1")}
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // Fuzzy: the same analyzed tokens, the same classic-Levenshtein
     // threshold — list_filter + levenshtein is DuckDB's spelling of the
     // engine's higher-order exists.
@@ -5920,19 +6067,11 @@ object SparkEntry {
 
     // Percolator: each stored query's predicate restated, one UNION ALL
     // branch per query — the reverse of the usual one-query oracle.
-    "q_percolate" -> {
-      import graft.expr.TextMatch.containsTokenSql
-      s"""SELECT query_id, doc_id FROM (
-         |  SELECT 'alert_dup' AS query_id, doc_id FROM documents
-         |  WHERE ${containsTokenSql("text", "dup")}
-         |  UNION ALL
-         |  SELECT 'alert_vector_scan' AS query_id, doc_id FROM documents
-         |  WHERE ${containsTokenSql("text", "vector scan")}
-         |  UNION ALL
-         |  SELECT 'alert_long_en' AS query_id, doc_id FROM documents
-         |  WHERE ${containsTokenSql("lang", "en")} AND n_chars::DOUBLE >= 400
-         |) ORDER BY query_id, doc_id""".stripMargin
-    },
+    "q_percolate" -> percolateOracleSql,
+
+    // The streamed deployment twin: increments-union-dedup must be
+    // invisible — the SAME oracle as the one-shot percolation.
+    "stream_percolate" -> percolateOracleSql,
 
     // Datasheet: each metric leg restated over the same analyzer tokens,
     // md5 fingerprints, and count trees.
@@ -8111,6 +8250,77 @@ object SparkEntry {
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    // Perceptual image dedup from the hash table down: the 16 dHashes the
+    // real render→PNG→decode→dHash chain MUST reproduce are pinned as
+    // literals (PerceptualFixtures.imageItems: 4 content seeds × base /
+    // rescaled / inverted / 2-cells-edited), and the oracle re-pairs them
+    // brute-force — equality with the engine's banded pairing certifies
+    // the pigeonhole's exactness, equality of the hashes certifies the
+    // codec chain (the dedup_simhash_portable pattern; codec floats stay
+    // spec-pinned like mm_feature_stats).
+    "dedup_perceptual_image" ->
+      s"""WITH h(id, dhash) AS (VALUES
+         |  (0::BIGINT, 4630899439270693008::BIGINT),
+         |  (1, 4630899439270693008), (2, 617284796691915041),
+         |  (3, 4630899439270693008), (10, 2887449548950081866),
+         |  (11, 2887449548950081866), (12, 6090173087819793556),
+         |  (13, 2887449549084299594), (20, 6136440453505061024),
+         |  (21, 6136440453505061024), (22, -6191180341422577592),
+         |  (23, 6136440453639278753), (30, 1172101461208355108),
+         |  (31, 1172101461208355108), (32, 5226726719570094097),
+         |  (33, 1172101461208355108))
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+         |FROM h a JOIN h b ON a.id < b.id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The audio twin: pinned energy-profile dHashes (4 seeds × unit gain /
+    // quarter gain / double duration — all three variants of a seed hash
+    // IDENTICALLY, oracling the gain- and duration-invariance contract).
+    "dedup_perceptual_audio" ->
+      s"""WITH h(id, dhash) AS (VALUES
+         |  (0::BIGINT, 5280797294829315364::BIGINT),
+         |  (1, 5280797294829315364), (2, 5280797294829315364),
+         |  (10, 2640416308320310418), (11, 2640416308320310418),
+         |  (12, 2640416308320310418), (20, -7885079115306218934),
+         |  (21, -7885079115306218934), (22, -7885079115306218934),
+         |  (30, 5352890211215419689), (31, 5352890211215419689),
+         |  (32, 5352890211215419689))
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+         |FROM h a JOIN h b ON a.id < b.id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The video tier: pinned PER-FRAME dHashes (3 footages × 4 frames,
+    // each footage in two containers at different cadence), brute-force
+    // frame pairing, per-video-pair match count — the re-muxed copy must
+    // match all 4 frames, distinct footage none.
+    "dedup_perceptual_video" ->
+      s"""WITH f(id, frame, dhash) AS (VALUES
+         |  (0::BIGINT, 0, 4630899439270693008::BIGINT),
+         |  (0, 1, 2887449548950081866), (0, 2, 6136440453505061024),
+         |  (0, 3, 1172101461208355108), (1, 0, 4630899439270693008),
+         |  (1, 1, 2887449548950081866), (1, 2, 6136440453505061024),
+         |  (1, 3, 1172101461208355108), (10, 0, 146528212543931714),
+         |  (10, 1, 4684875151837499412), (10, 2, 5341625546202220552),
+         |  (10, 3, 2455029179965539722), (11, 0, 146528212543931714),
+         |  (11, 1, 4684875151837499412), (11, 2, 5341625546202220552),
+         |  (11, 3, 2455029179965539722), (20, 0, 5770248019920423490),
+         |  (20, 1, -7923922441996775356), (20, 2, 595611565877897488),
+         |  (20, 3, 4632693297563059202), (21, 0, 5770248019920423490),
+         |  (21, 1, -7923922441996775356), (21, 2, 595611565877897488),
+         |  (21, 3, 4632693297563059202)),
+         |m AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM f a JOIN f b ON a.id < b.id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |)
+         |SELECT id_a, id_b, count(*) AS matching_frames
+         |FROM m GROUP BY id_a, id_b HAVING count(*) >= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Integer postings → BIGINT dot/norms → three IEEE ops: bit-exact in
     // any engine (see Dedup.tfCosinePairs).

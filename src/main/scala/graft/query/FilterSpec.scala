@@ -32,6 +32,17 @@ object FilterSpec {
 
   private def escName(name: String): String = name.replaceAll("\\s", "\\\\ ")
 
+  /** Escape query_string-reserved characters so a rendered TERM re-parses
+    * to the same spec ([[QueryString]]'s `\`-escape rules): every
+    * character that could act as an operator, separator, wildcard, fuzzy
+    * marker, quote, bracket, or escape gets a leading backslash.
+    */
+  private[query] def escTerm(t: String): String =
+    t.flatMap { c =>
+      if (c.isWhitespace || "\\+-!(){}[]^\"~*?:/".indexOf(c.toInt) >= 0) s"\\$c"
+      else c.toString
+    }
+
   /** Q1 — no enabled widgets: `match_all` (`collections.js:147,197-199`). */
   case object MatchAll extends FilterSpec {
     def compile: Column = lit(true)
@@ -146,7 +157,7 @@ object FilterSpec {
     */
   final case class TermMatch(field: String, term: String) extends FilterSpec {
     def compile: Column = TextMatch.containsToken(col(field), term)
-    def render: String = s"${escName(field)}:$term"
+    def render: String = s"${escName(field)}:${escTerm(term)}"
     def fields: Seq[String] = Seq(field)
   }
 
@@ -156,7 +167,7 @@ object FilterSpec {
     */
   final case class AnalyzedPrefix(field: String, prefix: String) extends FilterSpec {
     def compile: Column = TextMatch.phrasePrefix(col(field), prefix)
-    def render: String = s"${escName(field)}:$prefix*"
+    def render: String = s"${escName(field)}:${escTerm(prefix)}*"
     def fields: Seq[String] = Seq(field)
   }
 
@@ -254,7 +265,7 @@ object FilterSpec {
            else lit(true)) &&
           dist(t) <= maxEdits)
     }
-    def render: String = s"${escName(field)}:$term~$maxEdits"
+    def render: String = s"${escName(field)}:${escTerm(term)}~$maxEdits"
     def fields: Seq[String] = Seq(field)
   }
 

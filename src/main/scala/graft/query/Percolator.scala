@@ -38,6 +38,20 @@ object Percolator {
       StoredQuery(id, QueryString.parse(q, defaultField))
     }
 
+  /** Compile the AT-REST stored-query table — the alerting deployment
+    * shape: queries are ROWS a UI or API writes (`(id, query_string)`),
+    * read and compiled at percolation-plan build time. The collect is
+    * bounded by design: the stored-query set is plan-side (see class doc;
+    * [[percolateSharded]] is the index-scale spill-over).
+    */
+  def storedFromTable(
+      table: DataFrame, idCol: String, queryCol: String,
+      defaultField: String): Seq[StoredQuery] =
+    fromStrings(
+      table.select(col(idCol).cast("string"), col(queryCol).cast("string"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1))),
+      defaultField)
+
   /** Wide form: the input rows with a `matched_queries` array column
     * (stored-query ids, in registration order; empty when none match —
     * every document keeps its row, the filter is the caller's choice).
@@ -62,4 +76,28 @@ object Percolator {
     percolate(docs, queries)
       .select(explode(col("matched_queries")).as("query_id"), col(s"`$idCol`"))
       .select(col("query_id"), col(s"`$idCol`"))
+
+  /** Index-scale percolation: the stored-query set sharded into plans of
+    * at most `maxQueriesPerPlan`, each shard ONE codegen'd corpus scan,
+    * results unioned (the long form — union of wide forms would multiply
+    * doc rows). This is the documented answer to the single-plan bound:
+    * one plan carries thousands of compiled predicates comfortably, but
+    * ten-thousand `when` columns overflow whole-stage codegen's method
+    * budget and fall back to interpreted evaluation — sharding keeps
+    * every shard inside codegen at the cost of `⌈n/max⌉` scans (ES pays
+    * the same shape per segment). Shard boundaries are invisible in the
+    * result: exact parity with [[percolateLong]] over the full set.
+    */
+  def percolateSharded(
+      docs: DataFrame, idCol: String, queries: Seq[StoredQuery],
+      maxQueriesPerPlan: Int = 1024): DataFrame = {
+    require(maxQueriesPerPlan >= 1,
+      s"percolateSharded: maxQueriesPerPlan must be >= 1, got $maxQueriesPerPlan")
+    require(queries.nonEmpty, "percolate: no stored queries")
+    require(queries.map(_.id).distinct.size == queries.size,
+      "percolate: duplicate stored-query ids")
+    queries.grouped(maxQueriesPerPlan)
+      .map(shard => percolateLong(docs, idCol, shard))
+      .reduce(_.unionByName(_))
+  }
 }

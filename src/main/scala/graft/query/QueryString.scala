@@ -15,6 +15,23 @@ package graft.query
   *  - boolean algebra: `AND`, `OR`, `NOT`, parentheses; adjacency is the
   *    default operator `OR` (Lucene's `default_operator` default);
   *    `NOT` binds tightest, then `AND`, then `OR`.
+  *  - `+`/`-` clause prefixes with Lucene MATCHING semantics (this engine
+  *    compiles to filters, so only matching — never scoring — is at
+  *    stake): once an adjacency level contains a `+`(MUST) or
+  *    `-`(MUST_NOT) clause, a doc must satisfy every must, no must-not,
+  *    and — only when there is no must — at least one unprefixed SHOULD
+  *    clause; with musts present the shoulds become scoring-only and stop
+  *    constraining, exactly Lucene's BooleanQuery rule. A level with no
+  *    `+`/`-` remains the usual boolean OR, and `NOT` remains a true
+  *    boolean complement everywhere (the grammar's documented delta from
+  *    Lucene's quirky word-NOT) — so `a -b` filters to `a AND NOT b`
+  *    while `a NOT b` stays `a OR NOT b`.
+  *  - `\`-escapes (Lucene's reserved-character escaping): `\X` anywhere
+  *    outside quotes makes `X` a literal part of the term/field — so
+  *    `desc:3\:00` queries a term containing a colon, `path:a\*b` a
+  *    literal asterisk. The escaped character never acts as an operator,
+  *    wildcard, fuzzy marker, separator, or quote. (Inside `"…"` nothing
+  *    is special except the closing quote, as before.)
   *  - `field:term` — analyzed single-term match; bare terms hit
   *    `defaultField`.
   *  - `field:"a b"` — analyzed phrase; `"a b"~N` — sloppy phrase
@@ -29,8 +46,11 @@ package graft.query
   *  - `field:[a TO b]` / `{a TO b}` — inclusive/exclusive range, sides
   *    mixable, `*` opens a side.
   *
-  * Not supported (loud parse error, not silent drop): boosts (`^2`),
-  * regex literals (`/…/`), `\`-escapes, `+`/`-` prefix operators.
+  * Not supported — DELIBERATELY kept a loud parse error, not a silent
+  * drop: boosts (`^2` — pure scoring; in a filter compilation a dropped
+  * boost would silently change nothing while LOOKING honored, so the
+  * honest answer is rejection) and regex literals (`/…/`). Escape the
+  * characters to query them literally.
   */
 object QueryString {
 
@@ -56,14 +76,26 @@ object QueryString {
 
   // ===== scanner =====
 
+  /** One character of a clause, tagged with whether it arrived
+    * `\`-escaped — the tag is what lets every later structural decision
+    * (separators, quotes, wildcards, fuzzy markers, prefixes) see only
+    * UNESCAPED occurrences while the literal text keeps the character.
+    */
+  private final case class EChar(c: Char, esc: Boolean)
+
   private sealed trait Tok
   private case object LP extends Tok
   private case object RP extends Tok
   private case object AndTok extends Tok
   private case object OrTok extends Tok
   private case object NotTok extends Tok
-  /** A field:value unit, quotes/brackets kept verbatim for the clause parser. */
-  private final case class Unit(text: String) extends Tok
+  /** A field:value unit — escape-decoded characters, quotes/brackets kept
+    * for the clause parser, escape FLAGS kept per character.
+    */
+  private final case class Unit(chars: Vector[EChar]) extends Tok {
+    def text: String = chars.map(_.c).mkString
+    override def toString: String = text
+  }
 
   private def tokenize(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -74,26 +106,36 @@ object QueryString {
         case '(' => out += LP; i += 1
         case ')' => out += RP; i += 1
         case _ =>
-          val start = i
+          val chars = Vector.newBuilder[EChar]
           var depth = 0 // inside [..] / {..}
           var quoted = false
           var done = false
+          var escaped = false // saw a raw "AND"/"OR"/"NOT"? never: flag any escape
           while (i < q.length && !done) {
             val c = q(i)
-            if (quoted) { if (c == '"') quoted = false; i += 1 }
-            else if (c == '"') { quoted = true; i += 1 }
-            else if (c == '[' || c == '{') { depth += 1; i += 1 }
-            else if (c == ']' || c == '}') { depth -= 1; i += 1 }
+            if (quoted) {
+              // nothing is special inside quotes except the closing quote
+              if (c == '"') quoted = false
+              chars += EChar(c, esc = false); i += 1
+            } else if (c == '\\') {
+              require(i + 1 < q.length,
+                s"query_string: dangling escape at end of <$q>")
+              chars += EChar(q(i + 1), esc = true); escaped = true; i += 2
+            } else if (c == '"') { quoted = true; chars += EChar(c, esc = false); i += 1 }
+            else if (c == '[' || c == '{') { depth += 1; chars += EChar(c, esc = false); i += 1 }
+            else if (c == ']' || c == '}') { depth -= 1; chars += EChar(c, esc = false); i += 1 }
             else if (depth == 0 && (c.isWhitespace || c == '(' || c == ')')) done = true
-            else i += 1
+            else { chars += EChar(c, esc = false); i += 1 }
           }
           require(!quoted, s"query_string: unterminated quote in <$q>")
           require(depth == 0, s"query_string: unterminated range bracket in <$q>")
-          q.substring(start, i) match {
-            case "AND" => out += AndTok
-            case "OR" => out += OrTok
-            case "NOT" => out += NotTok
-            case u => out += Unit(u)
+          val u = Unit(chars.result())
+          u.text match {
+            // an escaped AND/OR/NOT (`\AND`) is a term, not an operator
+            case "AND" if !escaped => out += AndTok
+            case "OR" if !escaped => out += OrTok
+            case "NOT" if !escaped => out += NotTok
+            case _ => out += u
           }
       }
     }
@@ -101,6 +143,12 @@ object QueryString {
   }
 
   // ===== recursive descent =====
+
+  /** Lucene BooleanQuery occurrence of a clause at its adjacency level. */
+  private sealed trait Occur
+  private case object Should extends Occur
+  private case object Must extends Occur
+  private case object MustNot extends Occur
 
   private final class Parser(
       toks: Vector[Tok], defaultField: String, analyzeWildcard: Boolean) {
@@ -113,37 +161,96 @@ object QueryString {
       val t = toks(pos); pos += 1; t
     }
 
+    /** Resolve one adjacency level's (occur, spec) clauses to a filter.
+      * With no `+`/`-` clause present, the level is the plain boolean OR
+      * it always was (including `NOT x` parts — this grammar keeps `NOT`
+      * a true boolean complement, the documented delta from Lucene's
+      * quirky word-NOT). Once any MUST/MUST_NOT appears, the Lucene
+      * BooleanQuery MATCHING rule applies: all musts, no must-nots;
+      * shoulds constrain only when there is no must (then ≥ 1 should
+      * must match), and are scoring-only — unconstraining — otherwise.
+      */
+    private def resolve(parts: Seq[(Occur, FilterSpec)]): FilterSpec = {
+      val musts = parts.collect { case (Must, s) => s }
+      val nots = parts.collect { case (MustNot, s) => FilterSpec.Not(s) }
+      val shoulds = parts.collect { case (Should, s) => s }
+      if (musts.isEmpty && nots.isEmpty) {
+        if (shoulds.size == 1) shoulds.head else FilterSpec.Or(shoulds)
+      } else {
+        val shouldReq =
+          if (musts.isEmpty && shoulds.nonEmpty)
+            Seq(if (shoulds.size == 1) shoulds.head else FilterSpec.Or(shoulds))
+          else Seq.empty // musts exist → shoulds are scoring-only
+        val req = musts ++ shouldReq ++ nots
+        if (req.size == 1) req.head else FilterSpec.And(req)
+      }
+    }
+
     /** orExpr := andExpr ((OR | adjacency) andExpr)* — adjacency is the
-      * Lucene default operator (OR).
+      * Lucene default operator (OR); `+`/`-` clauses override per
+      * [[resolve]].
       */
     def orExpr(): FilterSpec = {
-      val parts = Seq.newBuilder[FilterSpec]
+      val parts = Seq.newBuilder[(Occur, FilterSpec)]
       parts += andExpr()
       var more = true
-      var n = 1
       while (more) {
         peek match {
-          case Some(OrTok) => advance(); parts += andExpr(); n += 1
-          case Some(LP) | Some(NotTok) | Some(Unit(_)) => parts += andExpr(); n += 1
+          case Some(OrTok) => advance(); parts += andExpr()
+          case Some(LP) | Some(NotTok) | Some(Unit(_)) => parts += andExpr()
           case _ => more = false
         }
       }
-      val ps = parts.result()
-      if (n == 1) ps.head else FilterSpec.Or(ps)
+      resolve(parts.result())
     }
 
-    private def andExpr(): FilterSpec = {
-      val parts = Seq.newBuilder[FilterSpec]
-      parts += unary()
-      var n = 1
-      while (peek.contains(AndTok)) { advance(); parts += unary(); n += 1 }
-      val ps = parts.result()
-      if (n == 1) ps.head else FilterSpec.And(ps)
+    /** An AND chain: every clause is required. A chain that CONTAINS a
+      * `+`/`-` clause surfaces as a MUST at the or level (the user opted
+      * into Lucene occurrence semantics there); a plain chain stays a
+      * SHOULD part, preserving the grammar's boolean-algebra reading of
+      * explicit operators (`x AND y z` remains `(x AND y) OR z`).
+      * Single clauses pass their own occurrence through.
+      */
+    private def andExpr(): (Occur, FilterSpec) = {
+      val first = unary()
+      if (!peek.contains(AndTok)) first
+      else {
+        val parts = Seq.newBuilder[FilterSpec]
+        var modified = false
+        def req(p: (Occur, FilterSpec)): FilterSpec = p match {
+          case (MustNot, s) => modified = true; FilterSpec.Not(s)
+          case (Must, s) => modified = true; s
+          case (Should, s) => s
+        }
+        parts += req(first)
+        while (peek.contains(AndTok)) { advance(); parts += req(unary()) }
+        (if (modified) Must else Should, FilterSpec.And(parts.result()))
+      }
     }
 
-    private def unary(): FilterSpec = peek match {
-      case Some(NotTok) => advance(); FilterSpec.Not(unary())
-      case _ => primary()
+    private def unary(): (Occur, FilterSpec) = peek match {
+      case Some(NotTok) =>
+        advance()
+        val (occ, spec) = unary()
+        // NOT stays a true boolean complement (documented delta from
+        // Lucene's word-NOT); NOT of a must-not folds: NOT -x ≡ NOT NOT x
+        (Should, FilterSpec.Not(
+          if (occ == MustNot) FilterSpec.Not(spec) else spec))
+      case Some(u: Unit) if !u.chars.head.esc && (u.text == "+" || u.text == "-") =>
+        // a bare +/- unit: Lucene's `+(...)` / `-(...)` group prefix
+        require(pos + 1 < toks.length && toks(pos + 1) == LP,
+          s"query_string: dangling '${u.text}' (expected '(' or a term)")
+        advance()
+        val spec = primary()
+        (if (u.text == "+") Must else MustNot, spec)
+      case Some(u: Unit)
+          if u.chars.nonEmpty && !u.chars.head.esc &&
+            (u.chars.head.c == '+' || u.chars.head.c == '-') &&
+            u.chars.length > 1 =>
+        advance()
+        val spec = clause(Unit(u.chars.tail), u.text)
+        (if (u.chars.head.c == '+') Must else MustNot, spec)
+      case _ => (Should, primary())
     }
 
     private def primary(): FilterSpec = advance() match {
@@ -153,71 +260,82 @@ object QueryString {
           s"query_string: expected ')' but found $peekRaw")
         pos += 1
         inner
-      case Unit(text) => clause(text)
+      case u: Unit => clause(u, u.text)
       case t => throw new IllegalArgumentException(
         s"query_string: expected a clause but found $t")
     }
 
     // ===== clause classification =====
+    // Every structural test below looks only at UNESCAPED characters; the
+    // literal text (escapes already decoded) is what reaches the spec.
 
-    private def clause(text: String): FilterSpec = {
-      require(!text.exists(c => c == '^' || c == '\\' || c == '/') &&
-        !text.startsWith("+") && !text.startsWith("-"),
-        s"query_string: unsupported syntax in clause <$text> " +
-          "(boosts, escapes, regex literals, +/- operators)")
-      val colon = colonSplit(text)
-      colon match {
-        case Some((field, value)) => fielded(field, value, text)
-        case None => fielded(defaultField, text, text)
+    private def lit(cs: Seq[EChar]): String = cs.map(_.c).mkString
+
+    private def hasUnescaped(cs: Seq[EChar], p: Char => Boolean): Boolean =
+      cs.exists(e => !e.esc && p(e.c))
+
+    private def clause(u: Unit, raw: String): FilterSpec = {
+      require(!hasUnescaped(u.chars, c => c == '^' || c == '/'),
+        s"query_string: unsupported syntax in clause <$raw> " +
+          "(boosts and regex literals; escape with \\ to query the character)")
+      colonSplit(u.chars) match {
+        case Some((field, value)) => fielded(lit(field), value, raw)
+        case None => fielded(defaultField, u.chars, raw)
       }
     }
 
-    /** First ':' outside quotes — Lucene field separator. */
-    private def colonSplit(text: String): Option[(String, String)] = {
+    /** First unescaped ':' outside quotes — Lucene field separator. */
+    private def colonSplit(cs: Vector[EChar]): Option[(Vector[EChar], Vector[EChar])] = {
       var i = 0
       var quoted = false
-      while (i < text.length) {
-        val c = text(i)
-        if (c == '"') quoted = !quoted
-        else if (c == ':' && !quoted)
-          return Some((text.substring(0, i), text.substring(i + 1)))
+      while (i < cs.length) {
+        val e = cs(i)
+        if (!e.esc && e.c == '"') quoted = !quoted
+        else if (!e.esc && e.c == ':' && !quoted)
+          return Some((cs.take(i), cs.drop(i + 1)))
         i += 1
       }
       None
     }
 
-    private val FuzzySuffix = "^(.*?)~(\\d*)$".r
-
-    private def fielded(field: String, value: String, raw: String): FilterSpec = {
+    private def fielded(field: String, value: Vector[EChar], raw: String): FilterSpec = {
       require(value.nonEmpty, s"query_string: empty value in clause <$raw>")
-      if (value.startsWith("\"")) phraseClause(field, value, raw)
-      else if (value.startsWith("[") || value.startsWith("{"))
-        rangeClause(field, value, raw)
-      else if (value == "*") {
+      val text = lit(value)
+      def unesc(c: Char): Boolean = !value.exists(e => !e.esc && e.c == c) // no unescaped c
+      if (!value.head.esc && value.head.c == '"') phraseClause(field, value, raw)
+      else if (!value.head.esc && (value.head.c == '[' || value.head.c == '{'))
+        rangeClause(field, text, raw)
+      else if (text == "*" && !value.head.esc) {
         if (raw.contains(':')) FilterSpec.Exists(field) else FilterSpec.MatchAll
-      } else value match {
-        case FuzzySuffix(term, edits) if !term.contains("~") =>
-          require(term.nonEmpty && !term.exists(c => c == '*' || c == '?'),
+      } else {
+        // fuzzy suffix: a trailing UNESCAPED `~` + optional digits
+        val tilde = value.lastIndexWhere(e => !e.esc && e.c == '~')
+        val digitsAfter = tilde >= 0 && value.drop(tilde + 1).forall(e => !e.esc && e.c.isDigit)
+        if (tilde >= 0 && digitsAfter) {
+          val term = value.take(tilde)
+          require(term.nonEmpty &&
+            !hasUnescaped(term, c => c == '*' || c == '?' || c == '~'),
             s"query_string: fuzzy applies to a plain term, got <$raw>")
-          FilterSpec.FuzzyTerm(field, term,
-            if (edits.isEmpty) 2 else edits.toInt)
-        case _ if analyzeWildcard && value.endsWith("*") &&
-            !value.dropRight(1).exists(c => c == '*' || c == '?') &&
-            value.length > 1 =>
-          FilterSpec.AnalyzedPrefix(field, value.dropRight(1))
-        case _ if value.exists(c => c == '*' || c == '?') =>
-          FilterSpec.Wildcard(field, value)
-        case _ =>
-          require(!value.contains("~"),
+          val edits = lit(value.drop(tilde + 1))
+          FilterSpec.FuzzyTerm(field, lit(term), if (edits.isEmpty) 2 else edits.toInt)
+        } else if (analyzeWildcard && !value.last.esc && value.last.c == '*' &&
+            !hasUnescaped(value.dropRight(1), c => c == '*' || c == '?') &&
+            value.length > 1) {
+          FilterSpec.AnalyzedPrefix(field, lit(value.dropRight(1)))
+        } else if (hasUnescaped(value, c => c == '*' || c == '?')) {
+          FilterSpec.Wildcard(field, text)
+        } else {
+          require(unesc('~'),
             s"query_string: malformed fuzzy suffix in <$raw>")
-          FilterSpec.TermMatch(field, value)
+          FilterSpec.TermMatch(field, text)
+        }
       }
     }
 
     private val PhraseRx = "^\"([^\"]*)\"(?:~(\\d+))?$".r
 
-    private def phraseClause(field: String, value: String, raw: String): FilterSpec =
-      value match {
+    private def phraseClause(field: String, value: Vector[EChar], raw: String): FilterSpec =
+      lit(value) match {
         case PhraseRx(phrase, null) => FilterSpec.Phrase(field, phrase)
         case PhraseRx(phrase, slop) => FilterSpec.PhraseSlop(field, phrase, slop.toInt)
         case _ => throw new IllegalArgumentException(

@@ -187,10 +187,23 @@ class PropertySpec extends AnyFunSuite {
       n <- Gen.chooseNum(1, 6)
       cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9')))
     } yield cs.mkString
+    // terms that NEED `\`-escaping: reserved characters (operators,
+    // wildcards, separators, quotes, whitespace) mixed into plain words —
+    // render must escape them, parse must return the literal term
+    // (round-13 verdict #6's escape round-trip).
+    val hardWord: Gen[String] = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.oneOf(('a' to 'z') ++ ('0' to '9')),
+        Gen.oneOf("+-!(){}[]^\"~*?:\\/ ".toSeq)))
+    } yield cs.mkString
     val field: Gen[String] = Gen.oneOf("text", "lang", "source", "n")
     val leaf: Gen[FilterSpec] = Gen.oneOf(
       for { f <- field; t <- word } yield FilterSpec.TermMatch(f, t),
+      for { f <- field; t <- hardWord } yield FilterSpec.TermMatch(f, t),
       for { f <- field; t <- word } yield FilterSpec.AnalyzedPrefix(f, t),
+      for { f <- field; t <- hardWord } yield FilterSpec.AnalyzedPrefix(f, t),
+      for { f <- field; t <- hardWord; e <- Gen.chooseNum(0, 2) }
+        yield FilterSpec.FuzzyTerm(f, t, e),
       for { f <- field; a <- word; b <- word } yield FilterSpec.Phrase(f, s"$a $b"),
       for { f <- field; a <- word; b <- word; s <- Gen.chooseNum(0, 3) }
         yield FilterSpec.PhraseSlop(f, s"$a $b", s),

@@ -36,6 +36,29 @@ class PercolatorSpec extends SparkSpecBase {
       Percolator.percolate(docs, stored :+ stored.head))
   }
 
+  test("percolateSharded: shard boundaries are invisible; compiled from the at-rest table") {
+    // 2-per-plan over 3 queries forces a 2-shard split mid-set
+    val sharded = Percolator.percolateSharded(docs, "id", stored, maxQueriesPerPlan = 2)
+      .as[(String, Long)].collect().toSet
+    val oneShot = Percolator.percolateLong(docs, "id", stored)
+      .as[(String, Long)].collect().toSet
+    assert(sharded === oneShot)
+    // degenerate shards (1 query per plan) still agree
+    assert(Percolator.percolateSharded(docs, "id", stored, maxQueriesPerPlan = 1)
+      .as[(String, Long)].collect().toSet === oneShot)
+    intercept[IllegalArgumentException](
+      Percolator.percolateSharded(docs, "id", stored, maxQueriesPerPlan = 0))
+    intercept[IllegalArgumentException](
+      Percolator.percolateSharded(docs, "id", stored :+ stored.head, 2))
+    // the deployment path: stored queries compiled FROM ROWS, same alerts
+    val atRest = Seq(
+      ("a_dup", "text:dup"), ("a_phrase", """text:"vector scan""""),
+      ("a_range", "n:[10 TO *]")).toDF("qid", "q")
+    val fromTable = Percolator.storedFromTable(atRest, "qid", "q", defaultField = "text")
+    assert(Percolator.percolateLong(docs, "id", fromTable)
+      .as[(String, Long)].collect().toSet === oneShot)
+  }
+
   test("streaming percolate: each arriving micro-batch emits its alerts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]

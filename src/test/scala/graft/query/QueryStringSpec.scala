@@ -70,8 +70,73 @@ class QueryStringSpec extends SparkSpecBase {
   }
 
   test("unsupported syntax errors loudly instead of silently dropping") {
-    for (bad <- Seq("text:a^2", "/re.*gex/", "+must", "text:\"open", "id:[1 TO]", "a AND"))
+    for (bad <- Seq("text:a^2", "/re.*gex/", "text:\"open", "id:[1 TO]", "a AND",
+        "text:a\\", "+ text:a", "-"))
       intercept[IllegalArgumentException](parse(bad))
+  }
+
+  test("backslash escapes make reserved characters literal term text") {
+    // separators, operators, wildcards, fuzzy markers — all literal when
+    // escaped; the analyzer then folds them like ES's analyzed match
+    assert(parse("""text:3\:00""") === FilterSpec.TermMatch("text", "3:00"))
+    assert(parse("""text:key\-agg""") === FilterSpec.TermMatch("text", "key-agg"))
+    assert(parse("""text:big\ vector""") === FilterSpec.TermMatch("text", "big vector"))
+    assert(parse("""text:a\*b""") === FilterSpec.TermMatch("text", "a*b"))
+    assert(parse("""text:a\~2""") === FilterSpec.TermMatch("text", "a~2"))
+    assert(parse("""text:a\\b""") === FilterSpec.TermMatch("text", "a\\b"))
+    // escaped char in a prefix clause: the trailing * still analyzes
+    assert(parse("""text:a\-b*""") === FilterSpec.AnalyzedPrefix("text", "a-b"))
+    // an escaped field separator keeps the whole unit on the default field
+    assert(parse("""a\:b""") === FilterSpec.TermMatch("text", "a:b"))
+    // escaped operator words are terms
+    assert(parse("""\AND""") === FilterSpec.TermMatch("text", "AND"))
+    // escaped * is a literal-asterisk term, not exists/match_all
+    assert(parse("""text:\*""") === FilterSpec.TermMatch("text", "*"))
+    // compiled semantics: the analyzer folds the literal to token containment
+    assert(ids(parse("""text:vector\ scan""")) === Seq(3L))
+  }
+
+  test("+/- occurrence prefixes follow the Lucene matching rule") {
+    // pure should level stays OR; -x excludes with the should constraining
+    assert(parse("text:dup -source:src1*") ===
+      FilterSpec.And(Seq(
+        FilterSpec.TermMatch("text", "dup"),
+        FilterSpec.Not(FilterSpec.AnalyzedPrefix("source", "src1")))))
+    assert(ids(parse("text:dup -source:src1*")) === Seq(3L, 5L))
+    // with a MUST present, shoulds stop constraining (scoring-only)
+    assert(parse("text:dup +lang:en") === FilterSpec.TermMatch("lang", "en"))
+    assert(ids(parse("text:dup +lang:en")) === Seq(1L, 2L, 5L))
+    // several shoulds against one must-not: at least one should must match
+    assert(parse("text:dup text:merge -lang:fr") ===
+      FilterSpec.And(Seq(
+        FilterSpec.Or(Seq(
+          FilterSpec.TermMatch("text", "dup"), FilterSpec.TermMatch("text", "merge"))),
+        FilterSpec.Not(FilterSpec.TermMatch("lang", "fr")))))
+    assert(ids(parse("text:dup text:merge -lang:fr")) === Seq(2L, 5L))
+    // pure negative matches everything except (the ES behavior)
+    assert(parse("-text:dup") === FilterSpec.Not(FilterSpec.TermMatch("text", "dup")))
+    assert(ids(parse("-text:dup")) === Seq(1L, 2L, 4L))
+    // group prefixes
+    assert(parse("-(text:dup OR text:merge) text:scan") ===
+      FilterSpec.And(Seq(
+        FilterSpec.TermMatch("text", "scan"),
+        FilterSpec.Not(FilterSpec.Or(Seq(
+          FilterSpec.TermMatch("text", "dup"), FilterSpec.TermMatch("text", "merge")))))))
+    assert(parse("+(text:dup text:merge)") ===
+      FilterSpec.Or(Seq(
+        FilterSpec.TermMatch("text", "dup"), FilterSpec.TermMatch("text", "merge"))))
+    // an AND chain containing a modifier surfaces as MUST at the or level
+    assert(parse("lang:en AND -text:dup text:scan") ===
+      FilterSpec.And(Seq(
+        FilterSpec.TermMatch("lang", "en"),
+        FilterSpec.Not(FilterSpec.TermMatch("text", "dup")))))
+    // NOT stays the boolean complement: adjacency ORs it (documented delta)
+    assert(parse("text:dup NOT lang:fr") ===
+      FilterSpec.Or(Seq(
+        FilterSpec.TermMatch("text", "dup"),
+        FilterSpec.Not(FilterSpec.TermMatch("lang", "fr")))))
+    // a leading escaped +/- is literal term text, not an operator
+    assert(parse("""\-foo""") === FilterSpec.TermMatch("text", "-foo"))
   }
 
   test("render round-trips the Lucene-ish display text") {
