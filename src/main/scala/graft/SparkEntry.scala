@@ -1224,6 +1224,40 @@ object SparkEntry {
        |) ORDER BY query_id, doc_id""".stripMargin
   }
 
+  /** SQ8 ADC retrieval restated end to end — shared by the from-scratch
+    * form (`ann_sq8`) and the maintained-bounds twin
+    * (`ann_sq8_incremental`, whose merged increments equal these bounds
+    * exactly by min/max algebra): per-dim bounds from one corpus scan,
+    * the same clamp(floor((v−mn)·(256/(mx−mn)))) codes, the same midpoint
+    * dequant tree, the same sequential ADC dot.
+    */
+  private val annSq8OracleSql: String = {
+    val dim = 64
+    val bounds = (0 until dim).map(j =>
+      s"min(v[${j + 1}]) AS mn$j, max(v[${j + 1}]) AS mx$j").mkString(", ")
+    val dq = (0 until dim).map { j =>
+      val code = s"least(greatest(floor((v[${j + 1}] - mn$j) * " +
+        s"(256.0 / (mx$j - mn$j)))::INT, 0), 255)"
+      s"CASE WHEN mx$j = mn$j THEN mn$j " +
+        s"ELSE mn$j + ($code + 0.5) * ((mx$j - mn$j) / 256.0) END"
+    }.mkString("list_value(", ", ", ")")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT $bounds FROM e),
+       |dqt AS (SELECT vec_id, $dq AS dq FROM e, b),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+       |    list_inner_product(d.dq, q.v) AS score
+       |  FROM dqt d, q WHERE d.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, score FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** One corpus-scan date histogram, shared by the scan form and the
     * hour-grain-rollup serving twin (coarsening commutes with the rollup).
     */
@@ -3817,6 +3851,66 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_random_projection" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // JL random projection (Achlioptas ±1 planes — sign literals restate
+      // exactly in SQL) 64→16 dims BEFORE the quadratic stage: the cheap
+      // first rung of a 100 TB vector pipeline (4× less data through every
+      // downstream scan/shuffle; relative distances within (1±ε)). The
+      // whole pipeline — projection then top-k in the projected space —
+      // hash-matches the oracle's restatement; recall vs the full-dim
+      // exact ranking is pinned in SimilaritySpec.
+      val emb = load(dir, "embeddings")
+      val proj = Similarity.randomProject(emb, "vec_id", "embedding",
+        outDim = 16, dim = 64)
+      val queries = proj.where(col("vec_id") < 5)
+      Similarity.bruteForceTopK(proj, "vec_id", "vec",
+          queries, "vec_id", "vec", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_sq8" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // FAISS-SQ8 / ES-int8 scalar quantization: the corpus rides as
+      // uint8 codes (8× smaller than float64 — the at-rest compression
+      // tier of a 100 TB vector store), queries stay full-precision, and
+      // serving scores dot(q, dequant(codes)) row-locally (ADC). Bounds
+      // train in ONE corpus scan (2·dim map-side aggregates, no explode).
+      // Every stage — bounds, codes, midpoint dequant, dot — is a fixed
+      // IEEE tree the oracle replays bit for bit.
+      val emb = load(dir, "embeddings")
+      Similarity.sq8TopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_sq8_incremental" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The SQ8 bounds as a MAINTAINED at-rest table: per-epoch
+      // (dim, mn, mx) increments — epoch 0 appended twice (at-least-once
+      // replay) — merged by one groupBy(dim).min/max. min/max are
+      // idempotent AND commutative, so replays and batch boundaries
+      // vanish by ALGEBRA (no dedup machinery — the mildest maintained
+      // index; bounds only WIDEN as data arrives). Serving quantizes
+      // against the merged bounds, which equal from-scratch training
+      // exactly — the query SHARES ann_sq8's oracle.
+      val emb = load(dir, "embeddings")
+      val path = s"/tmp/graft_sq8_bounds_${math.abs(dir.hashCode)}"
+      def inc(epoch: Int): DataFrame =
+        Similarity.sqBoundsFrame(
+            emb.where(pmod(col("vec_id"), lit(2)) === epoch), "embedding", 64)
+          .withColumn("inc_batch_id", lit(epoch.toLong))
+      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .write.mode("overwrite").parquet(path)
+      val (mn, mx) = EventStreams.sqBoundsFromIncrements(s, path)
+      Similarity.sq8TopKFromBounds(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, mn, mx)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_ivf_incremental" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The IVF index as a MAINTAINED at-rest table (FAISS's
@@ -4891,6 +4985,102 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       query.Hybrid.rrf(Seq(bmRun, vecRun), "doc_id", "rank", rrfK = 60, topK = 20)
         .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
+
+    "search_linear_fusion" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `linear` retriever fusion — the rank-free combiner for when
+      // score MAGNITUDES matter: the same two proven runs rrf fuses by
+      // rank, min-max normalized over their own top-50 windows and
+      // weighted 0.7 lexical / 0.3 vector. Min/max are exact; the
+      // normalization and weighted sum are fixed IEEE trees.
+      val docs = load(dir, "documents")
+      val emb = load(dir, "embeddings")
+      val bmRun = query.Bm25.topKRaw(docs, "doc_id", "text",
+        "spark merge join window", k = 50).select(col("doc_id"), col("score"))
+      val vecRun = ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("cos").as("score"))
+      query.Hybrid.linearFusion(Seq(bmRun -> 0.7, vecRun -> 0.3),
+          "doc_id", "score", topK = 20)
+        .orderBy(desc("fused_score"), asc("doc_id"))
+    }),
+
+    "search_pinned" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `pinned` query — the editorial override: curated ids surface
+      // first in their given order, the organic BM25 run follows with
+      // the pinned ids deduped out.
+      val docs = load(dir, "documents")
+      val organic = query.Bm25.topKRaw(docs, "doc_id", "text",
+        "spark merge join window", k = 20)
+      query.Hybrid.pinned(organic, "doc_id", "score",
+          pinnedIds = Seq(400L, 7L, 123L), topK = 10)
+        .orderBy("rank")
+    }),
+
+    "search_rescore" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `rescore` — the text twin of the vector rerank: BM25 nominates
+      // 30, only the top-10 window pays the secondary scorer (an exact
+      // phrase-containment boost at weight 2), everything below keeps
+      // its primary order.
+      val docs = load(dir, "documents")
+      val primary = query.Bm25.topKRaw(docs, "doc_id", "text",
+        "spark merge join window", k = 30)
+      val secondary = docs.select(col("doc_id"),
+        when(graft.expr.TextMatch.containsToken(col("text"), "big vector"),
+          lit(1.0)).otherwise(lit(0.0)).as("boost"))
+      query.Hybrid.rescore(primary, "doc_id", "score", secondary, "boost",
+          windowSize = 10, queryWeight = 1.0, rescoreWeight = 2.0)
+        .orderBy("rank")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `fingerprint` analyzer (the OpenRefine clustering key):
+      // analyze → dedupe → sort → rejoin. Texts differing only in word
+      // order / repetition / punctuation / case collapse to one key —
+      // the cheap first pass of the text-dedup tier, row-local built-in
+      // column algebra only.
+      load(dir, "documents").select(col("doc_id"),
+          graft.expr.TextMatch.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "search_mmr" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // MMR diversification (Carbonell & Goldstein 1998) — the standard
+      // post-retrieval step when the top of a ranked list is near-dup
+      // heavy: greedy argmax of λ·rel − (1−λ)·max-sim-to-selected over
+      // the retriever's top-10, k=3 picks, λ=0.7. The greedy loop
+      // unrolls into k plan stages (no driver-side data), every score a
+      // fixed IEEE tree over bit-reproducible cosines — the oracle
+      // replays the full greedy trace as unrolled CTEs.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 3)
+      val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      val cands = top
+        .select(col("query_id"), col("neighbor_id").as("cand_id"), col("cos").as("rel"))
+        .join(emb.select(col("vec_id").as("cand_id"),
+          Similarity.asDouble(col("embedding")).as("vec")), Seq("cand_id"))
+      query.Mmr.diversify(cands, k = 3, lambda = 0.7)
+        .orderBy("query_id", "pick")
+    }),
+
+    "pipeline_fim" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Fill-in-the-Middle example construction (Bavarian et al. 2022):
+      // half the corpus rearranged into <PRE>prefix<SUF>suffix<MID>middle
+      // (the mixed objective), cut points the sorted pair of seeded
+      // md5-unit hashes scaled by text length — portable, row-local, and
+      // restated in SQL by the same unit-hash arithmetic. The reassembly
+      // invariant (strip sentinels, reorder → original text) is
+      // spec-pinned.
+      ops.Packing.fimExamples(load(dir, "documents"), "doc_id", "text",
+          fimRate = 0.5)
+        .orderBy("doc_id")
     }),
 
     "pack_sequences" -> ((s, dir) => {
@@ -7876,6 +8066,101 @@ object SparkEntry {
          |LEFT JOIN ln USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
+    // Linear fusion restated: the same two runs, each min-max normalized
+    // over its own top-50 window (degenerate run → 1.0), weighted 0.7/0.3,
+    // absent docs contributing 0.
+    "search_linear_fusion" -> {
+      val bm = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 50)
+      s"""WITH bm AS (
+         |$bm
+         |), bstats AS (SELECT min(score) AS mn, max(score) AS mx FROM bm),
+         |bn AS (
+         |  SELECT doc_id, 0.7 * (CASE WHEN mx = mn THEN 1.0
+         |    ELSE (score - mn) / (mx - mn) END) AS c
+         |  FROM bm, bstats
+         |), e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), q AS (
+         |  SELECT * FROM e WHERE vec_id = 0
+         |), scored AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    list_inner_product(e.v, q.v)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.vec_id
+         |), vr AS (
+         |  SELECT doc_id, cos AS score FROM (
+         |    SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+         |    FROM scored
+         |  ) WHERE rank <= 50
+         |), vstats AS (SELECT min(score) AS mn, max(score) AS mx FROM vr),
+         |vn AS (
+         |  SELECT doc_id, 0.3 * (CASE WHEN mx = mn THEN 1.0
+         |    ELSE (score - mn) / (mx - mn) END) AS c
+         |  FROM vr, vstats
+         |)
+         |SELECT doc_id, coalesce(bn.c, 0.0) + coalesce(vn.c, 0.0) AS fused_score
+         |FROM bn FULL OUTER JOIN vn USING (doc_id)
+         |ORDER BY fused_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // Pinned restated: three literal curated rows ranked 1..3, the organic
+    // top-20 anti-filtered and shifted by 3.
+    "search_pinned" -> {
+      val bm = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 20)
+      s"""WITH bm AS (
+         |$bm
+         |), org AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) + 3 AS rank,
+         |    false AS pinned
+         |  FROM bm WHERE doc_id NOT IN (400, 7, 123)
+         |)
+         |SELECT doc_id, rank, pinned FROM (
+         |  SELECT 400::BIGINT AS doc_id, 1 AS rank, true AS pinned
+         |  UNION ALL SELECT 7, 2, true
+         |  UNION ALL SELECT 123, 3, true
+         |  UNION ALL SELECT doc_id, rank, pinned FROM org)
+         |ORDER BY rank LIMIT 10""".stripMargin
+    },
+
+    // Rescore restated: primary ranks, the top-10 window recombined with
+    // the phrase boost at weight 2, the tail below it untouched.
+    "search_rescore" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      val bm = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 30)
+      s"""WITH bm AS (
+         |$bm
+         |), pr AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS prank
+         |  FROM bm
+         |), win AS (
+         |  SELECT p.doc_id,
+         |    1.0 * p.score + 2.0 * (CASE WHEN ${containsTokenSql("d.text", "big vector")}
+         |      THEN 1.0 ELSE 0.0 END) AS score,
+         |    0 AS tier
+         |  FROM pr p JOIN documents d ON d.doc_id = p.doc_id
+         |  WHERE p.prank <= 10
+         |), tl AS (
+         |  SELECT doc_id, score, 1 AS tier FROM pr WHERE prank > 10
+         |)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY tier ASC, score DESC, doc_id ASC) AS rank,
+         |  score
+         |FROM (SELECT * FROM win UNION ALL SELECT * FROM tl)
+         |ORDER BY rank""".stripMargin
+    },
+
+    // The fingerprint analyzer restated token for token.
+    "text_fingerprint" -> {
+      import graft.expr.TextMatch.fingerprintSql
+      s"""SELECT doc_id, ${fingerprintSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     // Both retriever runs restate by their own proven oracle constructions
     // (the BM25 query verbatim, the brute-force cosine ranking shape);
     // fusion adds integer ranks and a two-term sum, order-exact in IEEE.
@@ -7906,6 +8191,31 @@ object SparkEntry {
          |SELECT doc_id, coalesce(c0.c, 0.0) + coalesce(c1.c, 0.0) AS rrf_score
          |FROM c0 FULL OUTER JOIN c1 USING (doc_id)
          |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // FIM restated: the same seeded unit hashes decide the gate and the
+    // sorted cut pair; 1-indexed substr slices are identical both engines.
+    "pipeline_fim" -> {
+      import graft.ops.Sampling.hashUnitSql
+      s"""WITH cuts AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    ${hashUnitSql("doc_id", 42)} AS u0,
+         |    floor(${hashUnitSql("doc_id", 43)} * length(text))::INT AS c1,
+         |    floor(${hashUnitSql("doc_id", 44)} * length(text))::INT AS c2
+         |  FROM documents
+         |), spans AS (
+         |  SELECT doc_id, text, n, u0,
+         |    least(c1, c2) AS lo, greatest(c1, c2) AS hi
+         |  FROM cuts
+         |)
+         |SELECT doc_id,
+         |  (text IS NOT NULL AND u0 < 0.5) AS fim,
+         |  CASE WHEN text IS NOT NULL AND u0 < 0.5 THEN
+         |    '<PRE>' || substr(text, 1, lo) ||
+         |    '<SUF>' || substr(text, hi + 1, n - hi) ||
+         |    '<MID>' || substr(text, lo + 1, hi - lo)
+         |  ELSE text END AS fim_text
+         |FROM spans ORDER BY doc_id""".stripMargin
     },
 
     "pack_sequences" ->
@@ -8631,6 +8941,93 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // JL projection restated: the same ±1 plane literals, the same
+    // sequential inner products, then the brute-force ranking shape over
+    // the PROJECTED vectors.
+    "ann_random_projection" -> {
+      val proj = Similarity.randomProjectSql("embedding::DOUBLE[]", outDim = 16, dim = 64)
+      s"""WITH e AS (SELECT vec_id, $proj AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    list_inner_product(e.v, q.v)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // SQ8 restated end to end: per-dim bounds from the same corpus scan,
+    // the same clamp(floor((v-mn)·(256/(mx-mn)))) codes, the same midpoint
+    // dequant tree, the same sequential ADC dot.
+    "ann_sq8" -> annSq8OracleSql,
+
+    // The maintained-bounds twin: increments merge to EXACTLY the
+    // from-scratch bounds (min/max algebra), so the SAME oracle applies —
+    // epochs, the replay, and the at-rest layout must be invisible.
+    "ann_sq8_incremental" -> annSq8OracleSql,
+
+    // The MMR greedy trace unrolled: top-10 candidates, then pick-1 /
+    // pick-2 / pick-3 as explicit CTE stages — each an argmax of the same
+    // fixed λ·rel − (1−λ)·max-sim tree over the not-yet-picked set.
+    "search_mmr" -> {
+      def cosSql(a: String, b: String): String =
+        s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * " +
+          s"sqrt(list_inner_product($b, $b)))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+         |    ${cosSql("e.v", "q.v")} AS rel, e.v AS vec
+         |  FROM e, q WHERE e.vec_id <> q.vec_id
+         |), cand AS (
+         |  SELECT * FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, cand_id ASC) <= 10
+         |), p1 AS (
+         |  SELECT query_id, 1 AS pick, cand_id, rel, vec, 0.7 * rel AS mmr
+         |  FROM cand
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY 0.7 * rel DESC, cand_id ASC) = 1
+         |), m2 AS (
+         |  SELECT c.query_id, c.cand_id, max(${cosSql("c.vec", "s.vec")}) AS msim
+         |  FROM cand c JOIN p1 s USING (query_id)
+         |  WHERE c.cand_id <> s.cand_id
+         |  GROUP BY 1, 2
+         |), p2 AS (
+         |  SELECT c.query_id, 2 AS pick, c.cand_id, c.rel, c.vec,
+         |    0.7 * c.rel - (1.0 - 0.7) * m.msim AS mmr
+         |  FROM cand c JOIN m2 m ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+         |  QUALIFY row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY 0.7 * c.rel - (1.0 - 0.7) * m.msim DESC, c.cand_id ASC) = 1
+         |), sel2 AS (
+         |  SELECT query_id, cand_id, vec FROM p1
+         |  UNION ALL SELECT query_id, cand_id, vec FROM p2
+         |), m3 AS (
+         |  SELECT c.query_id, c.cand_id, max(${cosSql("c.vec", "s.vec")}) AS msim
+         |  FROM cand c JOIN sel2 s USING (query_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel2 s2
+         |    WHERE s2.query_id = c.query_id AND s2.cand_id = c.cand_id)
+         |  GROUP BY 1, 2
+         |), p3 AS (
+         |  SELECT c.query_id, 3 AS pick, c.cand_id, c.rel, c.vec,
+         |    0.7 * c.rel - (1.0 - 0.7) * m.msim AS mmr
+         |  FROM cand c JOIN m3 m ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+         |  QUALIFY row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY 0.7 * c.rel - (1.0 - 0.7) * m.msim DESC, c.cand_id ASC) = 1
+         |)
+         |SELECT query_id, pick, cand_id, rel, mmr FROM (
+         |  SELECT query_id, pick, cand_id, rel, mmr FROM p1
+         |  UNION ALL SELECT query_id, pick, cand_id, rel, mmr FROM p2
+         |  UNION ALL SELECT query_id, pick, cand_id, rel, mmr FROM p3)
+         |ORDER BY query_id, pick""".stripMargin
+    },
 
     // Sign-LSH ANN: same seeded-hyperplane bucket restatement as
     // dedup_embedding_lsh (one table, 6 planes), with the 1-bit multi-probe

@@ -52,6 +52,26 @@ object TextMatch {
     else instr(padded(c), " " + toks.mkString(" ")) > 0
   }
 
+  /** ES `fingerprint` analyzer (the OpenRefine clustering key): analyze,
+    * DEDUPE the tokens, SORT them, re-join with single spaces — texts that
+    * differ only in word order, repetition, punctuation, or case collapse
+    * to one key. Built-in column algebra only (split → filter → distinct →
+    * sort → join), row-local, codegen'd; the canonical cheap first pass of
+    * a text-dedup tier (exact dedup catches byte copies, this catches
+    * shuffled/re-punctuated copies, MinHash catches the rest).
+    */
+  def fingerprint(c: Column): Column =
+    array_join(
+      array_sort(array_distinct(
+        filter(split(normalized(c), " "), t => length(t) > 0))), " ")
+
+  /** DuckDB restatement of [[fingerprint]] — same analysis, same
+    * distinct-sort-join pipeline.
+    */
+  def fingerprintSql(column: String): String =
+    s"array_to_string(list_sort(list_distinct(list_filter(" +
+      s"regexp_split_to_array(lower($column), '[^a-z0-9]+'), t -> len(t) > 0))), ' ')"
+
   /** Whole-token match — ES `match` on an analyzed field with a single-term
     * query (the typeahead's filtered suggest path, `views.js:378-412`).
     */

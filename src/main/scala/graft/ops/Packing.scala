@@ -206,4 +206,48 @@ object Packing {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Fill-in-the-Middle training examples (Bavarian et al. 2022): with
+    * probability `fimRate` a document is rearranged into the PSM layout
+    * `<PRE> prefix <SUF> suffix <MID> middle` (the model learns to infill
+    * the middle span conditioned on both sides); the rest pass through
+    * verbatim — the paper's mixed objective. The two cut points are the
+    * SORTED pair of seeded md5-unit hashes of the id scaled by the text
+    * length: deterministic per `(id, seed)`, reproducible on any cluster,
+    * and restated in SQL by the same unit-hash arithmetic (the sampling
+    * tier's portability discipline). Row-local — no shuffle at any
+    * corpus size; character-level cuts (token-boundary snapping is the
+    * tokenizer's composition, not this op's).
+    *
+    * Output: `(idCol, fim, fim_text)` — `fim` whether the doc was
+    * transformed; reassembly invariant (spec-pinned): stripping the
+    * sentinels and reordering middle back between prefix and suffix
+    * reproduces the original text exactly.
+    */
+  def fimExamples(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      fimRate: Double,
+      seed: Int = 42,
+      preTok: String = "<PRE>",
+      sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, s"fimRate must be in [0,1], got $fimRate")
+    val id = col(s"`$idCol`")
+    val text = col(s"`$textCol`")
+    val n = length(text)
+    val c1 = floor(graft.ops.Sampling.hashUnit(id, seed + 1) * n).cast("int")
+    val c2 = floor(graft.ops.Sampling.hashUnit(id, seed + 2) * n).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val transformed = concat(
+      lit(preTok), text.substr(lit(1), lo),
+      lit(sufTok), text.substr(hi + 1, n - hi),
+      lit(midTok), text.substr(lo + 1, hi - lo))
+    val gate = text.isNotNull && graft.ops.Sampling.hashUnit(id, seed) < fimRate
+    docs.select(id.as(idCol),
+      gate.as("fim"),
+      when(gate, transformed).otherwise(text).as("fim_text"))
+  }
 }

@@ -829,4 +829,155 @@ object Similarity {
       val planeLit = p.mkString("[", ",", "]")
       s"(CASE WHEN list_inner_product($vecExpr, $planeLit) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // ===== random-projection dimensionality reduction (JL / Achlioptas) ====
+
+  /** Deterministic Rademacher (±1) projection matrix: `outDim` rows of
+    * `dim` signs from a seeded PRNG (`java.util.Random`'s LCG is
+    * spec-fixed, so any JVM reproduces it). The JL lemma holds for ±1
+    * entries (Achlioptas 2001 — sparse/sign matrices embed as well as
+    * Gaussians), and ±1.0 literals restate EXACTLY in any engine's SQL,
+    * where a 17-digit Gaussian literal invites parse drift.
+    */
+  def rademacherPlanes(dim: Int, outDim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(outDim)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-projection dimensionality reduction — the cheap first rung of
+    * a 100 TB vector pipeline (project 64→16 dims BEFORE the quadratic
+    * candidate stages; JL keeps relative distances within (1±ε)): each
+    * output coordinate is one [[graft.expr.VectorMath.dot]] against a ±1
+    * plane riding the plan as literals — row-local, codegen'd, ZERO
+    * shuffle at any corpus size, and bit-reproducible cross-engine (the
+    * sequential sum matches `list_inner_product`; see
+    * [[randomProjectSql]]). Output `(idCol, vec)` with `vec` the
+    * projected `array<double>`.
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val planes = rademacherPlanes(dim, outDim, seed)
+    spread(df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("_v")))
+      .select(col("vec_id"),
+        array(planes.map(p => dot(col("_v"), array(p.map(lit).toIndexedSeq: _*))): _*)
+          .as("vec"))
+  }
+
+  /** DuckDB restatement of [[randomProject]]'s projected vector over
+    * `vecExpr` (a `DOUBLE[]` expression): the same ±1 plane literals, the
+    * same sequential inner products.
+    */
+  def randomProjectSql(vecExpr: String, outDim: Int, dim: Int, seed: Long = 42L): String =
+    rademacherPlanes(dim, outDim, seed)
+      .map(p => s"list_inner_product($vecExpr, ${p.mkString("[", ",", "]")})")
+      .mkString("list_value(", ", ", ")")
+
+  // ===== scalar quantization (FAISS SQ8 / ES int8 vectors) ===============
+
+  /** Train per-dimension quantization bounds: `(min_j, max_j)` over the
+    * corpus in ONE scan with 2·dim map-side-combined aggregates — no
+    * explode, no shuffle beyond the single agg exchange of one row per
+    * partition. Bounds are the whole "model" (2·dim doubles, plan-side).
+    */
+  def sqBounds(df: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val v = df.select(asDouble(col(vecCol)).as("_v")).where(col("_v").isNotNull)
+    val aggs = (0 until dim).flatMap(j => Seq(
+      min(element_at(col("_v"), j + 1)).as(s"mn$j"),
+      max(element_at(col("_v"), j + 1)).as(s"mx$j")))
+    val row = v.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mn = Array.tabulate(dim)(j => row.getDouble(2 * j))
+    val mx = Array.tabulate(dim)(j => row.getDouble(2 * j + 1))
+    (mn, mx)
+  }
+
+  /** Per-dimension uint8 scalar quantization (the FAISS SQ8 / ES `int8`
+    * compression tier — 8× smaller than float64 at serving time):
+    * `code_j = clamp(floor((v_j − min_j) · 256 / (max_j − min_j)), 0, 255)`
+    * with degenerate dims (max = min) coding to 0. Row-local against the
+    * plan-side bounds — no join, no shuffle. Output `(idCol, codes)` with
+    * `codes array<int>` — exact integers, hash-stable in any engine.
+    */
+  def sq8Codes(
+      df: DataFrame, idCol: String, vecCol: String,
+      mn: Array[Double], mx: Array[Double]): DataFrame = {
+    val dim = mn.length
+    spread(df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("_v")))
+      .select(col("vec_id"),
+        array((0 until dim).map { j =>
+          if (mx(j) == mn(j)) lit(0)
+          else least(greatest(
+            floor((element_at(col("_v"), j + 1) - lit(mn(j))) * lit(256.0 / (mx(j) - mn(j))))
+              .cast("int"), lit(0)), lit(255))
+        }: _*).as("codes"))
+  }
+
+  /** Midpoint dequantization of [[sq8Codes]] codes as a Column:
+    * `min_j + (code_j + 0.5) · (max_j − min_j) / 256` — the standard SQ
+    * reconstruction (each code reproduces its cell's center).
+    */
+  def sq8Dequant(codes: Column, mn: Array[Double], mx: Array[Double]): Column =
+    array(mn.indices.map { j =>
+      lit(mn(j)) + (element_at(codes, j + 1).cast("double") + lit(0.5)) *
+        lit((mx(j) - mn(j)) / 256.0)
+    }: _*)
+
+  /** [[sqBounds]] as mergeable ROWS `(dim, mn, mx)` — the increment shape
+    * an at-rest bounds table appends per micro-batch: min/max are
+    * idempotent AND commutative, so batch boundaries and at-least-once
+    * replays are invisible BY ALGEBRA (merge = groupBy(dim).min/max, no
+    * dedup machinery needed — the simplest possible streamed index
+    * maintenance; see [[graft.streaming.EventStreams.maintainSqBounds]]).
+    */
+  def sqBoundsFrame(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val v = df.select(asDouble(col(vecCol)).as("_v")).where(col("_v").isNotNull)
+    val aggs = (0 until dim).flatMap(j => Seq(
+      min(element_at(col("_v"), j + 1)).as(s"mn$j"),
+      max(element_at(col("_v"), j + 1)).as(s"mx$j")))
+    v.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((0 until dim).map(j =>
+        struct(lit(j).as("dim"), col(s"mn$j").as("mn"), col(s"mx$j").as("mx"))): _*))
+        .as("_b"))
+      .select(col("_b.dim"), col("_b.mn"), col("_b.mx"))
+  }
+
+  /** Asymmetric (ADC) top-`k` over an SQ8-compressed corpus: the corpus
+    * rides as uint8 codes (8× smaller scans), queries stay full-precision,
+    * scores are `dot(q, dequant(codes))` — one row-local reconstruction +
+    * dot per pair, the FAISS SQDistanceComputer shape. Bounds train on
+    * the corpus itself ([[sqBounds]], one scan). Same ranking contract as
+    * [[bruteForceTopK]] (score desc, id asc).
+    */
+  def sq8TopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dim: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val (mn, mx) = sqBounds(corpus, corpusVec, dim)
+    sq8TopKFromBounds(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k, mn, mx, excludeSelf)
+  }
+
+  /** [[sq8TopK]] against EXPLICIT bounds — the serving half of a
+    * MAINTAINED at-rest bounds table
+    * ([[graft.streaming.EventStreams.sqBoundsFromIncrements]]): index
+    * freshness is a bounds-row append, not a corpus re-scan.
+    */
+  def sq8TopKFromBounds(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, mn: Array[Double], mx: Array[Double],
+      excludeSelf: Boolean = true): DataFrame = {
+    val coded = sq8Codes(corpus, corpusId, corpusVec, mn, mx)
+      .select(col("vec_id").as("neighbor_id"), sq8Dequant(col("codes"), mn, mx).as("_dq"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv")))
+    val scored = coded
+      .join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("score", dot(col("_dq"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
 }

@@ -65,4 +65,105 @@ object Hybrid {
       .orderBy(desc("rrf_score"), asc(s"`$idCol`"))
       .limit(topK)
   }
+
+  /** ES `linear` retriever fusion (the retrievers API's other combiner —
+    * the one to use when score MAGNITUDES matter, not just ranks): each
+    * run is min-max normalized over ITS OWN top-k window —
+    * `(s − min)/(max − min)`, a degenerate run (max = min) normalizing to
+    * 1.0 (every doc IS the run's maximum; documented convention) — then
+    * fused as `Σ wᵢ · normᵢ(d)` with absent docs contributing 0.
+    * Same bounded-by-construction contract as [[rrf]]: inputs are
+    * pre-limited top-k frames, so the per-run min/max aggregates and the
+    * full-outer joins are k-row-cheap. Min/max are exact and
+    * order-insensitive; the normalization and weighted sum are fixed IEEE
+    * trees — the whole fusion restates in SQL.
+    */
+  def linearFusion(runs: Seq[(DataFrame, Double)], idCol: String,
+      scoreCol: String, topK: Int = 10): DataFrame = {
+    require(runs.nonEmpty, "linearFusion: no runs to fuse")
+    val contribs = runs.zipWithIndex.map { case ((r, weight), i) =>
+      val stats = r.agg(
+        min(col(s"`$scoreCol`")).as("_mn"), max(col(s"`$scoreCol`")).as("_mx"))
+      r.crossJoin(broadcast(stats))
+        .select(col(s"`$idCol`"),
+          (lit(weight) * when(col("_mx") === col("_mn"), lit(1.0))
+            .otherwise((col(s"`$scoreCol`") - col("_mn")) / (col("_mx") - col("_mn"))))
+            .as(s"_c$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = contribs.indices.map(i => coalesce(col(s"_c$i"), lit(0.0))).reduce(_ + _)
+    joined
+      .withColumn("fused_score", score)
+      .select(col(s"`$idCol`"), col("fused_score"))
+      .orderBy(desc("fused_score"), asc(s"`$idCol`"))
+      .limit(topK)
+  }
+
+  /** ES `pinned` query: curated ids surface FIRST in their given order
+    * (rank 1..p, regardless of score), organic results follow by their own
+    * ranking with the pinned ids deduped out — the merchandising /
+    * editorial-override primitive. Pinned ids ride the plan as literals;
+    * the organic run keeps its retriever's scale shape.
+    *
+    * Output: `(idCol, rank, pinned)` — `rank` over the combined list.
+    */
+  def pinned(organic: DataFrame, idCol: String, scoreCol: String,
+      pinnedIds: Seq[Long], topK: Int = 10): DataFrame = {
+    require(pinnedIds.distinct.size == pinnedIds.size, "pinned: duplicate pinned ids")
+    val id = col(s"`$idCol`")
+    val pinRank = pinnedIds.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (pid, i)) =>
+        when(id === lit(pid), lit(i + 1)).otherwise(acc)
+      }
+    val w = Window.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`"))
+    val organicRanked = organic
+      .where(!id.isin(pinnedIds: _*))
+      .withColumn("rank", row_number().over(w) + lit(pinnedIds.size))
+      .withColumn("pinned", lit(false))
+      .select(id.as(idCol), col("rank"), col("pinned"))
+    val pinnedRows = organic.sparkSession
+      .createDataFrame(pinnedIds.zipWithIndex.map { case (pid, i) => (pid, i + 1, true) })
+      .toDF(idCol, "rank", "pinned")
+    pinnedRows.unionByName(organicRanked)
+      .orderBy("rank")
+      .limit(topK)
+  }
+
+  /** ES `rescore`: re-rank ONLY the top `windowSize` of a ranked run by a
+    * secondary scorer — `total = queryWeight·primary +
+    * rescoreWeight·secondary` inside the window (missing secondary scores
+    * contribute 0) — while everything below the window keeps its primary
+    * order, below the window, untouched (the ES contract: rescoring
+    * re-orders within the window; the tail never pays the expensive
+    * second query). This is the text twin of the vector tier's
+    * `ivfPqTopKRerank`: a cheap retriever nominates, an expensive scorer
+    * refines a BOUNDED window.
+    *
+    * Output: `(idCol, rank, score)` — `score` the combined total inside
+    * the window, the primary score below it.
+    */
+  def rescore(run: DataFrame, idCol: String, scoreCol: String,
+      secondary: DataFrame, secondaryScoreCol: String,
+      windowSize: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0): DataFrame = {
+    require(windowSize >= 1, s"rescore: windowSize must be >= 1, got $windowSize")
+    val id = col(s"`$idCol`")
+    val w = Window.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`"))
+    val ranked = run.withColumn("_prank", row_number().over(w))
+    val window = ranked.where(col("_prank") <= windowSize)
+      .join(secondary.select(id.as(idCol),
+        col(s"`$secondaryScoreCol`").as("_s2")), Seq(idCol), "left")
+      .withColumn("score",
+        lit(queryWeight) * col(s"`$scoreCol`") +
+          lit(rescoreWeight) * coalesce(col("_s2"), lit(0.0)))
+      .withColumn("_tier", lit(0))
+    val tail = ranked.where(col("_prank") > windowSize)
+      .withColumn("score", col(s"`$scoreCol`").cast("double"))
+      .withColumn("_tier", lit(1))
+    val w2 = Window.orderBy(asc("_tier"), desc("score"), asc(s"`$idCol`"))
+    window.select(id.as(idCol), col("score"), col("_tier"))
+      .unionByName(tail.select(id.as(idCol), col("score"), col("_tier")))
+      .withColumn("rank", row_number().over(w2))
+      .select(id.as(idCol), col("rank"), col("score"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — greedy
+  * result diversification, the standard post-retrieval step when the top
+  * of a ranked list is near-duplicate heavy (exactly what a dedup-less
+  * vector corpus serves): picks are made one at a time by
+  *
+  *   argmax_c  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+  *
+  * over the remaining candidates, where `S` is the selected-so-far set.
+  *
+  * Spark-first shape: `k` is small and fixed (it is the RESULT size), so
+  * the greedy loop UNROLLS into `k` plan stages — each stage one
+  * join+aggregate against the selected frame (all queries advance
+  * together; per-query candidate lists are window-bounded) — with no
+  * driver-side data movement. Every pick's score is a fixed IEEE tree
+  * over bit-reproducible cosines, so the whole greedy trace restates in
+  * SQL (the oracle unrolls the same k stages as CTEs).
+  */
+object Mmr {
+
+  /** Diversify per-query candidate lists.
+    *
+    * @param candidates `(query_id, cand_id, rel, vec)` — relevance score
+    *                   and the candidate's vector (for pairwise
+    *                   similarity); bounded per query by construction
+    *                   (the upstream retriever's top-N).
+    * @param k      picks per query (the diversified result size)
+    * @param lambda relevance weight: 1.0 = pure relevance ranking,
+    *               0.0 = pure diversity
+    * @return `(query_id, pick, cand_id, rel, mmr)` — `pick` = 1..k in
+    *         selection order; `mmr` the score at selection time (pick 1's
+    *         score is `λ·rel`: the max-sim term is empty-set zero)
+    */
+  def diversify(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"mmr: k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"mmr: lambda must be in [0,1], got $lambda")
+    val lam = lit(lambda)
+    val w = Window.partitionBy("query_id").orderBy(desc("_mmr"), asc("cand_id"))
+    def pickTop(scored: DataFrame, t: Int): DataFrame =
+      scored.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("query_id"), lit(t).as("pick"), col("cand_id"),
+          col("rel"), col("vec"), col("_mmr").as("mmr"))
+
+    var selected = pickTop(
+      candidates.withColumn("_mmr", lam * col("rel")), 1)
+    var remaining = candidates.join(
+      selected.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+    for (t <- 2 to k) {
+      // max similarity of each remaining candidate to the selected set —
+      // an exact, order-insensitive max, then the fixed MMR tree.
+      val msim = remaining
+        .join(selected.select(col("query_id"), col("vec").as("_sv")), Seq("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(max(graft.ops.Similarity.cosine(col("vec"), col("_sv"))).as("_msim"))
+      val scored = remaining.join(msim, Seq("query_id", "cand_id"))
+        .withColumn("_mmr", lam * col("rel") - (lit(1.0) - lam) * col("_msim"))
+      val pick = pickTop(scored, t)
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+    }
+    selected.select("query_id", "pick", "cand_id", "rel", "mmr")
+  }
+}

@@ -1028,6 +1028,54 @@ object EventStreams {
       .select("vec_id", "vec", "cell")
   }
 
+  /** Streamed maintenance of the SQ8 quantization bounds: each arriving
+    * micro-batch appends its per-dimension `(dim, mn, mx)` increment
+    * ([[graft.ops.Similarity.sqBoundsFrame]]). min/max are idempotent and
+    * commutative, so this is the SIMPLEST possible maintained index —
+    * at-least-once replays and batch boundaries vanish by algebra, no
+    * dedup or epoch bookkeeping (the bounds can only WIDEN as data
+    * arrives, FAISS's add-after-train contract in its mildest form;
+    * retrain on a cadence if the distribution tightens).
+    */
+  def maintainSqBounds(
+      vecs: DataFrame,
+      vecCol: String,
+      dim: Int,
+      boundsPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.sqBoundsFrame(batch, vecCol, dim)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").parquet(boundsPath)
+      }
+      .start()
+
+  /** The servable bounds implied by [[maintainSqBounds]]'s appends: one
+    * `groupBy(dim).agg(min, max)` over the increment table — equal to the
+    * from-scratch full-corpus bounds whenever the increments cover the
+    * corpus (the `ann_sq8_incremental` oracle equivalence).
+    */
+  def sqBoundsFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      boundsPath: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(boundsPath)
+      .groupBy("dim").agg(min("mn").as("mn"), max("mx").as("mx"))
+      .orderBy("dim")
+      .select("dim", "mn", "mx")
+      .collect()
+    val dim = rows.length
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      mn(j) = r.getDouble(1)
+      mx(j) = r.getDouble(2)
+    }
+    (mn, mx)
+  }
+
   /** Compact a rollup-increment table to one row per dimension combination
     * via the same staged swap as [[compactIncrements]] (pause the writer or
     * call from its own cadence). The compacted row wears the sentinel epoch

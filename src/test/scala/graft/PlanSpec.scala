@@ -499,4 +499,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"),
       s"feature-weight join must not sort-merge the corpus:\n$plan")
   }
+
+  test("random projection is row-local: planes are plan literals, no key shuffle, no join") {
+    val df = Seq((1L, Seq.fill(8)(0.5))).toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.randomProject(
+      df, "vec_id", "embedding", outDim = 4, dim = 8))
+    // the only exchange allowed is spread()'s deliberate round-robin
+    // widening of a narrow input — never a key (hash/range) shuffle
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"projection must not key-shuffle — planes ride the plan:\n$plan")
+    assert(!plan.contains("Join"), s"no plane-table join:\n$plan")
+  }
+
+  test("sq8 coding is row-local against plan-side bounds: no join, no key shuffle") {
+    val df = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(2.0, 3.0))).toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.sq8Codes(
+      df, "vec_id", "embedding", Array(0.0, 1.0), Array(2.0, 3.0)))
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"coding must not key-shuffle — bounds are plan literals:\n$plan")
+    assert(!plan.contains("Join"), s"no bounds join:\n$plan")
+  }
 }

@@ -218,4 +218,21 @@ class ExprSpec extends SparkSpecBase {
       .as[Seq[Int]].collect().map(_.head).toSeq
     assert(one === Seq(0, 2, 0))
   }
+
+  test("fingerprint analyzer: case/punct/order/repetition-invariant clustering key") {
+    val docs = Seq(
+      (1L, "The quick, BROWN fox!"),
+      (2L, "fox quick brown the"),
+      (3L, "brown brown FOX ... the --- quick"),
+      (4L, "a different text"),
+      (5L, ""),
+    ).toDF("id", "text")
+    val out = docs.select(col("id"), TextMatch.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "brown fox quick the")
+    assert(out(2L) === out(1L) && out(3L) === out(1L),
+      "reordered / repeated / re-punctuated copies must share the key")
+    assert(out(4L) === "a different text")
+    assert(out(5L) === "")
+  }
 }

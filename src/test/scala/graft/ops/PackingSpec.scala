@@ -201,4 +201,50 @@ class PackingSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(other === global)
   }
+
+  private val fimDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "abcdefghij"),
+    (3L, ""),
+    (4L, "pack my box with five dozen liquor jugs"),
+    (5L, "sphinx of black quartz judge my vow"),
+  ).toDF("doc_id", "text")
+
+  test("FIM: reassembly invariant — strip sentinels, reorder, recover the text") {
+    val out = Packing.fimExamples(fimDocs, "doc_id", "text", fimRate = 1.0)
+      .as[(Long, Boolean, String)].collect()
+    val orig = fimDocs.as[(Long, String)].collect().toMap
+    assert(out.forall(_._2), "rate 1.0 must transform every doc")
+    for ((id, _, t) <- out) {
+      assert(t.startsWith("<PRE>"), s"doc $id: $t")
+      val body = t.stripPrefix("<PRE>")
+      val Array(prefix, rest) = body.split("<SUF>", 2)
+      val Array(suffix, middle) = rest.split("<MID>", 2)
+      assert(prefix + middle + suffix === orig(id),
+        s"doc $id reassembly failed: <$prefix|$middle|$suffix> vs <${orig(id)}>")
+    }
+  }
+
+  test("FIM: rate 0 passes through verbatim; the gate is the seeded unit hash") {
+    val out = Packing.fimExamples(fimDocs, "doc_id", "text", fimRate = 0.0)
+      .as[(Long, Boolean, String)].collect()
+    val orig = fimDocs.as[(Long, String)].collect().toMap
+    assert(out.forall(!_._2))
+    assert(out.forall { case (id, _, t) => t === orig(id) })
+    // a mid-rate transforms a strict, deterministic subset
+    val half = Packing.fimExamples(fimDocs, "doc_id", "text", fimRate = 0.5)
+      .as[(Long, Boolean, String)].collect().toSeq
+    val again = Packing.fimExamples(fimDocs, "doc_id", "text", fimRate = 0.5)
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(half.sortBy(_._1) === again.sortBy(_._1), "must be deterministic")
+    intercept[IllegalArgumentException](
+      Packing.fimExamples(fimDocs, "doc_id", "text", fimRate = 1.5))
+  }
+
+  test("FIM: empty text survives (all spans empty, sentinels only)") {
+    val out = Packing.fimExamples(fimDocs.where(col("doc_id") === 3L),
+        "doc_id", "text", fimRate = 1.0)
+      .as[(Long, Boolean, String)].collect().head
+    assert(out._3 === "<PRE><SUF><MID>")
+  }
 }

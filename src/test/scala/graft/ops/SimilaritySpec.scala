@@ -190,6 +190,71 @@ class SimilaritySpec extends SparkSpecBase {
     assert(auto.map(_.toSeq) === auto2.map(_.toSeq))
   }
 
+  test("randomProject: deterministic ±1 planes, linear, and rank-preserving on clustered vectors") {
+    val planes = Similarity.rademacherPlanes(4, 3)
+    assert(planes.length === 3 && planes.forall(_.length === 4))
+    assert(planes.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(planes.map(_.toSeq) ===
+      Similarity.rademacherPlanes(4, 3).map(_.toSeq)) // spec-fixed PRNG
+    // projection is linear: P(2v) = 2·P(v) exactly (±1 weights, exact doubling)
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0)), (2L, Seq(2.0, 4.0, 6.0, 8.0)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(df, "vec_id", "embedding", outDim = 3, dim = 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p(2L) === p(1L).map(_ * 2.0))
+    // recall vs full-dim exact ranking on a clustered corpus: 64→16 dims
+    val big = spark.range(120).select(col("id").as("vec_id"),
+      array((0 until 64).map(d =>
+        cos(col("id") * 0.15 + lit(d * 0.4)) + (col("id") % 3).cast("double") * 2.0
+      ): _*).as("embedding"))
+    val q = big.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(big, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val proj = Similarity.randomProject(big, "vec_id", "embedding", outDim = 16, dim = 64)
+    val approx = Similarity.bruteForceTopK(proj, "vec_id", "vec",
+        proj.where(col("vec_id") < 5), "vec_id", "vec", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"JL 64→16 recall@5 too low: $recall")
+  }
+
+  test("sq8: codes bounded 0..255, extremes exact, midpoint dequant within half a cell, degenerate dims code 0") {
+    val df = Seq(
+      (1L, Seq(0.0, 5.0, 7.0)),
+      (2L, Seq(10.0, 5.0, -3.0)),
+      (3L, Seq(5.0, 5.0, 2.0))).toDF("vec_id", "embedding")
+    val (mn, mx) = Similarity.sqBounds(df, "embedding", 3)
+    assert(mn.toSeq === Seq(0.0, 5.0, -3.0) && mx.toSeq === Seq(10.0, 5.0, 7.0))
+    val codes = Similarity.sq8Codes(df, "vec_id", "embedding", mn, mx)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    assert(codes(1L)(0) === 0 && codes(2L)(0) === 255) // extremes hit the rails
+    assert(codes.values.forall(_(1) === 0)) // degenerate dim (mn = mx) codes 0
+    // dequant lands within half a quantization cell of the original
+    val dq = Similarity.sq8Codes(df, "vec_id", "embedding", mn, mx)
+      .select(col("vec_id"), Similarity.sq8Dequant(col("codes"), mn, mx).as("dq"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = df.as[(Long, Seq[Double])].collect().toMap
+    for ((id, v) <- orig; j <- v.indices if mx(j) > mn(j)) {
+      val cell = (mx(j) - mn(j)) / 256.0
+      assert(math.abs(dq(id)(j) - v(j)) <= cell / 2 + 1e-12,
+        s"vec $id dim $j: ${dq(id)(j)} vs ${v(j)}")
+    }
+    // ADC ranking recovers the exact top-k on well-separated vectors
+    val big = spark.range(80).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        cos(col("id") * 0.3 + lit(d * 0.7)) * 5.0): _*).as("embedding"))
+    val exact = Similarity.bruteForceTopK(big, "vec_id", "embedding",
+        big.where(col("vec_id") < 4), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = Similarity.sq8TopK(big, "vec_id", "embedding",
+        big.where(col("vec_id") < 4), "vec_id", "embedding", k = 5, dim = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 ADC recall@5 too low: $recall")
+  }
+
   test("vecAvg aggregates element-wise means per group, ignoring nulls") {
     val df = Seq(
       ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),

@@ -58,4 +58,50 @@ class HybridSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toSeq.map(_._1)
     assert(got == Seq(10L, 20L, 30L))
   }
+
+  test("linearFusion: per-run min-max, weighted sum, absent docs contribute 0") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "score")
+    val b = Seq((2L, 2.0), (4L, 1.0)).toDF("id", "score")
+    val got = Hybrid.linearFusion(Seq(a -> 0.7, b -> 0.3), "id", "score", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    // run a normalizes 10→1, 5→0.5, 0→0; run b: 2→1, 1→0
+    assert(got(1L) === 0.7 * 1.0)
+    assert(got(2L) === 0.7 * 0.5 + 0.3 * 1.0)
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 0.0) // 0.3 * 0 — the run's minimum
+    // degenerate run (all scores equal) normalizes to 1.0
+    val c = Seq((7L, 4.0), (8L, 4.0)).toDF("id", "score")
+    val deg = Hybrid.linearFusion(Seq(c -> 0.5), "id", "score", topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(deg(7L) === 0.5 && deg(8L) === 0.5)
+  }
+
+  test("pinned: curated order first, organic follows deduped, rank dense") {
+    val organic = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0), (40L, 6.0))
+      .toDF("id", "score")
+    val got = Hybrid.pinned(organic, "id", "score",
+        pinnedIds = Seq(30L, 99L), topK = 10)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._2).toSeq
+    // 30 promoted to rank 1 (out of its organic slot), 99 surfaces even
+    // though the organic run never returned it, then organic minus pinned
+    assert(got === Seq((30L, 1, true), (99L, 2, true),
+      (10L, 3, false), (20L, 4, false), (40L, 5, false)))
+    intercept[IllegalArgumentException](
+      Hybrid.pinned(organic, "id", "score", Seq(1L, 1L), 10))
+  }
+
+  test("rescore: only the window recombines; the tail keeps primary order below it") {
+    val primary = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0), (4L, 7.0))
+      .toDF("id", "score")
+    val secondary = Seq((2L, 5.0), (4L, 100.0)).toDF("id", "s2")
+    val got = Hybrid.rescore(primary, "id", "score", secondary, "s2",
+        windowSize = 2, queryWeight = 1.0, rescoreWeight = 1.0)
+      .as[(Long, Int, Double)].collect().sortBy(_._2).toSeq
+    // window {1, 2}: 2 gains the boost (9+5=14) and overtakes 1 (10+0);
+    // 4's huge secondary is IGNORED — it sits below the window, and the
+    // tail keeps primary order BELOW every window doc
+    assert(got === Seq((2L, 1, 14.0), (1L, 2, 10.0), (3L, 3, 8.0), (4L, 4, 7.0)))
+    intercept[IllegalArgumentException](
+      Hybrid.rescore(primary, "id", "score", secondary, "s2", windowSize = 0))
+  }
 }

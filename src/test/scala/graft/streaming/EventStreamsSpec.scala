@@ -994,4 +994,34 @@ class EventStreamsSpec extends SparkSpecBase {
           maxPieceLen = 3, minCount = 2, maxWordLen = 8)),
       "a replayed epoch inflated the piece counts")
   }
+
+  test("streaming SQ8 bounds maintenance equals from-scratch training") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sq8").toFile
+    dir.deleteOnExit()
+    val boundsPath = dir.getAbsolutePath + "/bounds"
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.maintainSqBounds(
+      mem.toDS().toDF("vec_id", "embedding"), "embedding", dim = 3,
+      boundsPath, dir.getAbsolutePath + "/ckpt")
+    val all = Seq(
+      (1L, Seq(0.0, 5.0, 7.0)),
+      (2L, Seq(10.0, 5.0, -3.0)),
+      (3L, Seq(5.0, 5.0, 2.0)),
+      (4L, Seq(-1.0, 6.0, 9.0)))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one (dim, mn, mx) triple per dimension per micro-batch at rest...
+    assert(spark.read.parquet(boundsPath).count() === 6)
+    // ...and min/max-merging the increments equals from-scratch training
+    val (mn, mx) = EventStreams.sqBoundsFromIncrements(spark, boundsPath)
+    val batchDf = all.toDF("vec_id", "embedding")
+    val (mnS, mxS) = graft.ops.Similarity.sqBounds(batchDf, "embedding", 3)
+    assert(mn.toSeq === mnS.toSeq && mx.toSeq === mxS.toSeq)
+    assert(mn.toSeq === Seq(-1.0, 5.0, -3.0) && mx.toSeq === Seq(10.0, 6.0, 9.0))
+  }
 }
