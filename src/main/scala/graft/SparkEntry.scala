@@ -2214,6 +2214,21 @@ object SparkEntry {
         .select("doc_id", "lang", "score")
     }),
 
+    "search_bm25_collapse_inner" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES collapse + inner_hits: the top-3 langs by their best BM25 hit,
+      // each group carrying its own top-2 hits (group_rank × inner_rank)
+      // — the "best page per site, with runners-up" serving shape.
+      val docs = load(dir, "documents")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+      val scored = graft.query.Bm25.scoredAll(docs, "doc_id", analyzed,
+        "dup vector scan")
+      val withLang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+      graft.query.Paging.collapseInnerHits(withLang, "doc_id", "score",
+        "lang", k = 3, innerK = 2)
+    }),
+
     "search_bm25_page2" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES search_after: the page after the anchor (score, id) tuple —
@@ -4725,6 +4740,17 @@ object SparkEntry {
         ops.Dedup.tokens(col("text")), col("lang") === "zh", n = 15)
     }),
 
+    "g_significant_terms_chi2" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The chi_square significance heuristic (ES's alternative scorer —
+      // the textbook 2×2 contingency χ² over fg/bg marginals): same
+      // exact-count plumbing as the JLH form, a different fixed IEEE
+      // tree the oracle replays.
+      query.Aggs.significantTerms(load(dir, "documents"),
+        ops.Dedup.tokens(col("text")), col("lang") === "zh", n = 15,
+        heuristic = "chi_square")
+    }),
+
     "sample_token_budget" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // "Give me 600 tokens of every domain": per source, docs are taken
@@ -4985,6 +5011,56 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       query.Hybrid.rrf(Seq(bmRun, vecRun), "doc_id", "rank", rrfK = 60, topK = 20)
         .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
+
+    "q_min_should_match" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Lucene's group minimum_should_match — `(a b c)~2`: the general
+      // N-of-M should group (ES bool.should + minimum_should_match),
+      // parsed by the grammar and compiled to ONE codegen'd integer sum.
+      val spec = graft.query.QueryString.parse(
+        "(text:dup text:merge text:vector)~2", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "search_multi_match_best" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES multi_match best_fields (the default dis_max mode): each field
+      // scored by its OWN BM25 statistics, a doc takes its best field's
+      // score — 'src1' only matches in `source`, 'spark' only in `text`,
+      // so the two fields genuinely compete.
+      query.Bm25.multiMatchTopK(load(dir, "documents"), "doc_id",
+          Seq("text", "source"), "src1 spark", k = 20, mode = "best_fields")
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    "search_multi_match_most" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // most_fields: the same per-field runs SUMMED — docs matching in
+      // both fields outrank single-field matches.
+      query.Bm25.multiMatchTopK(load(dir, "documents"), "doc_id",
+          Seq("text", "source"), "src1 spark", k = 20, mode = "most_fields")
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    "q_function_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES function_score: a linear length-decay around 400 chars
+      // multiplied by a log1p popularity-style factor — the
+      // relevance-shaping tier (freshness/distance/popularity) as fixed
+      // IEEE trees (gauss/exp decay are spec-certified — bare exp()'s
+      // last-ulp rounding is libm-specific; ln/log1p/sqrt oracle fine).
+      val docs = load(dir, "documents")
+      val score = query.Scoring.linearDecay(
+          col("n_chars").cast("double"), origin = 400, scale = 200) *
+        query.Scoring.fieldValueFactor(col("n_chars"), factor = 0.1,
+          modifier = "log1p")
+      docs.select(col("doc_id"), score.as("score"))
+        .where(col("score") > 0)
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(30)
     }),
 
     "search_linear_fusion" -> ((s, dir) => {
@@ -6331,6 +6407,29 @@ object SparkEntry {
          |ORDER BY s.score DESC, s.doc_id ASC LIMIT 3""".stripMargin
     },
 
+    // collapse + inner_hits: the same scored set; groups ranked by their
+    // best hit, each group's top-2 kept with in-group ranks.
+    "search_bm25_collapse_inner" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector scan")
+      s"""WITH s AS (
+         |$scored
+         |), ranked AS (
+         |  SELECT d.lang, s.doc_id, s.score,
+         |    row_number() OVER (
+         |      PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id ASC) AS inner_rank
+         |  FROM s JOIN documents d USING (doc_id)
+         |  QUALIFY inner_rank <= 2
+         |), topg AS (
+         |  SELECT lang, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS group_rank
+         |  FROM ranked WHERE inner_rank = 1
+         |  QUALIFY group_rank <= 3
+         |)
+         |SELECT r.lang, t.group_rank, r.inner_rank, r.doc_id, r.score
+         |FROM ranked r JOIN topg t USING (lang)
+         |ORDER BY t.group_rank, r.inner_rank""".stripMargin
+    },
+
     // search_after: identical scored set, the identical lexicographic
     // strictly-after predicate on the (score, id) anchor.
     "search_bm25_page2" -> {
@@ -7555,6 +7654,36 @@ object SparkEntry {
          |FROM c, tot WHERE fg_count > 0
          |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
 
+    // The chi_square heuristic: the same exact counts, the textbook 2×2
+    // contingency tree in DOUBLE arithmetic, identical operation order.
+    "g_significant_terms_chi2" ->
+      s"""WITH base AS (
+         |  SELECT list_distinct($duckToks) AS terms, (lang = 'zh') AS fg
+         |  FROM documents
+         |), tot AS (
+         |  SELECT count(*) AS bgt,
+         |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fgt FROM base
+         |), e AS (SELECT unnest(terms) AS term, fg FROM base),
+         |c AS (
+         |  SELECT term, count(*) AS bg_count,
+         |    sum(CASE WHEN fg THEN 1 ELSE 0 END)::BIGINT AS fg_count
+         |  FROM e GROUP BY term
+         |), m AS (
+         |  SELECT term, fg_count, bg_count,
+         |    fg_count::DOUBLE AS a,
+         |    fgt::DOUBLE - fg_count::DOUBLE AS b,
+         |    bg_count::DOUBLE - fg_count::DOUBLE AS c,
+         |    (bgt::DOUBLE - fgt::DOUBLE) - (bg_count::DOUBLE - fg_count::DOUBLE) AS d,
+         |    bgt::DOUBLE AS n
+         |  FROM c, tot WHERE fg_count > 0
+         |)
+         |SELECT term, fg_count, bg_count,
+         |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0.0 THEN 0.0
+         |       ELSE ((a * d - b * c) * (a * d - b * c) * n)
+         |            / ((a + b) * (c + d) * (a + c) * (b + d)) END AS score
+         |FROM m
+         |ORDER BY score DESC, term ASC LIMIT 15""".stripMargin,
+
     // significant_text = the same JLH chain over the duplicate-collapsed
     // frame: each distinct (text, slice-membership) combination counts
     // once (the deterministic filter_duplicate_text contract).
@@ -8065,6 +8194,59 @@ object SparkEntry {
          |LEFT JOIN dup5 USING (doc_id)
          |LEFT JOIN ln USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    // N-of-M restated: the same analyzed-containment clauses as integer
+    // CASE sums against the same threshold.
+    "q_min_should_match" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      def c(t: String) = s"(CASE WHEN ${containsTokenSql("text", t)} THEN 1 ELSE 0 END)"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${c("dup")} + ${c("merge")} + ${c("vector")} >= 2
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // multi_match restated: per-field BM25 runs by the proven scored
+    // restatement, combined by greatest (best_fields) with absent fields 0.
+    "search_multi_match_best" -> {
+      val s0 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "text", "src1 spark")
+      val s1 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "source", "src1 spark")
+      s"""WITH s0 AS (
+         |$s0
+         |), s1 AS (
+         |$s1
+         |)
+         |SELECT doc_id,
+         |  greatest(coalesce(s0.score, 0.0), coalesce(s1.score, 0.0)) AS score
+         |FROM s0 FULL OUTER JOIN s1 USING (doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // ... and by their sum (most_fields).
+    "search_multi_match_most" -> {
+      val s0 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "text", "src1 spark")
+      val s1 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "source", "src1 spark")
+      s"""WITH s0 AS (
+         |$s0
+         |), s1 AS (
+         |$s1
+         |)
+         |SELECT doc_id,
+         |  coalesce(s0.score, 0.0) + coalesce(s1.score, 0.0) AS score
+         |FROM s0 FULL OUTER JOIN s1 USING (doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // function_score restated with the engine's precomputed divisor
+    // (s = scale/(1−decay) = 400.0) and the identical operator tree;
+    // log1p(x) ≡ ln(1+x) well past 9 decimals at x ≥ 48.
+    "q_function_score" ->
+      s"""SELECT doc_id, score FROM (
+         |  SELECT doc_id,
+         |    greatest(0.0, (400.0 - greatest(0.0, abs(n_chars::DOUBLE - 400.0) - 0.0))
+         |      / 400.0)
+         |    * (0.1 * ln(1 + coalesce(n_chars::DOUBLE, 0.0))) AS score
+         |  FROM documents)
+         |WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 30""".stripMargin,
 
     // Linear fusion restated: the same two runs, each min-max normalized
     // over its own top-50 window (degenerate run → 1.0), weighted 0.7/0.3,

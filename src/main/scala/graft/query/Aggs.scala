@@ -904,14 +904,18 @@ object Aggs {
       df: DataFrame,
       termsCol: Column,
       foreground: Column,
-      n: Int = 10): DataFrame = {
+      n: Int = 10,
+      heuristic: String = "jlh"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(Seq("jlh", "chi_square", "percentage").contains(heuristic),
+      s"significant_terms: unsupported heuristic <$heuristic> " +
+        "(jlh|chi_square|percentage)")
     val base = df.select(array_distinct(termsCol).as("_terms"),
       foreground.cast("boolean").as("_fg"))
     val totals = base.agg(
       count(lit(1)).as("_bg_total"),
       sum(when(col("_fg"), 1L).otherwise(0L)).as("_fg_total"))
-    base
+    val counted = base
       .select(explode(col("_terms")).as("term"), col("_fg"))
       // missing terms form no bucket (ES's missing behavior); totals above
       // still count every document
@@ -921,12 +925,39 @@ object Aggs {
         sum(when(col("_fg"), 1L).otherwise(0L)).as("fg_count"))
       .where(col("fg_count") > 0)
       .crossJoin(broadcast(totals))
-      .withColumn("_fg_pct",
-        col("fg_count").cast("double") / col("_fg_total"))
-      .withColumn("_bg_pct",
-        col("bg_count").cast("double") / col("_bg_total"))
-      .withColumn("score",
-        (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+    // The score heuristics, per ES's significance family (all public
+    // formulas). bg here is the SUPERSET (ES's background_is_superset
+    // default): every doc counts toward bg, foreground docs included.
+    val score = heuristic match {
+      case "jlh" =>
+        // (fg% − bg%) · (fg% / bg%) — high when the term is both absolutely
+        // and relatively more frequent in the foreground (ES default).
+        val fgPct = col("fg_count").cast("double") / col("_fg_total")
+        val bgPct = col("bg_count").cast("double") / col("_bg_total")
+        (fgPct - bgPct) * (fgPct / bgPct)
+      case "chi_square" =>
+        // the standard 2×2 contingency chi² — N·(ad − bc)² over the four
+        // marginals, with a = fg∧term, b = fg∧¬term, c = ¬fg∧term,
+        // d = ¬fg∧¬term. Double arithmetic in a FIXED tree (long products
+        // would overflow at web-corpus counts; the oracle replays the
+        // identical IEEE operations, so determinism survives the cast).
+        val a = col("fg_count").cast("double")
+        val b = col("_fg_total").cast("double") - a
+        val c = col("bg_count").cast("double") - a
+        val d = (col("_bg_total").cast("double") - col("_fg_total").cast("double")) -
+          (col("bg_count").cast("double") - a)
+        val nTot = col("_bg_total").cast("double")
+        val num = (a * d - b * c) * (a * d - b * c) * nTot
+        val den = (a + b) * (c + d) * (a + c) * (b + d)
+        when(den === 0.0, lit(0.0)).otherwise(num / den)
+      case "percentage" =>
+        // fg/bg — the share of the term's occurrences that are foreground
+        // (ES `percentage`: right when the foreground is NOT a subset
+        // sample bias concern and you just want containment).
+        col("fg_count").cast("double") / col("bg_count").cast("double")
+    }
+    counted
+      .withColumn("score", score)
       .orderBy(desc("score"), asc("term"))
       .select("term", "fg_count", "bg_count", "score")
       .limit(n)

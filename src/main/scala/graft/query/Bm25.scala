@@ -230,6 +230,49 @@ object Bm25 {
       concat(lit(" "), analyzer.normalized(col(s"`$textCol`")), lit(" ")),
       query, k, k1, b, stats = None, analyzer = analyzer)
 
+  /** ES `multi_match` over several raw text columns, each scored by its
+    * OWN BM25 statistics (the ES contract — per-field IDF and avgdl, so a
+    * term rare in `title` but common in `body` weighs differently per
+    * field): `best_fields` takes the max of the per-field scores (ES's
+    * `dis_max` with `tie_breaker` 0 — the default mode, right when the
+    * query should match ONE field well), `most_fields` their sum (right
+    * when fields are analyzed views of the same text). Docs matching in
+    * no field don't appear. Per-field scoring keeps [[scoredAll]]'s scale
+    * shape (one scan per field, broadcast stats); the combining join is
+    * over match-bounded frames.
+    */
+  def multiMatchTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCols: Seq[String],
+      query: String,
+      k: Int,
+      mode: String = "best_fields",
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    require(textCols.nonEmpty, "multiMatch: no fields")
+    require(mode == "best_fields" || mode == "most_fields",
+      s"multiMatch: unsupported mode <$mode> (best_fields|most_fields)")
+    val perField = textCols.zipWithIndex.map { case (f, i) =>
+      scoredAll(docs, idCol,
+          concat(lit(" "), analyzer.normalized(col(s"`$f`")), lit(" ")),
+          query, k1, b, stats = None, analyzer = analyzer)
+        .select(col(s"`$idCol`"), col("score").as(s"_s$i"))
+    }
+    val joined = perField.reduce((a, c) => a.join(c, Seq(idCol), "full_outer"))
+    val per = textCols.indices.map(i => coalesce(col(s"_s$i"), lit(0.0)))
+    val combined =
+      if (per.size == 1) per.head
+      else if (mode == "best_fields") greatest(per: _*)
+      else per.reduce(_ + _)
+    joined
+      .withColumn("score", combined)
+      .select(col(s"`$idCol`"), col("score"))
+      .orderBy(desc("score"), asc(s"`$idCol`"))
+      .limit(k)
+  }
+
   /** DuckDB restatement of the whole retrieval for oracle SQL: same analyzer
     * (`regexp_replace` lowercase normalization), TF as token-equality counts
     * (provably equal to the kernel's boundary-sharing substring count), and

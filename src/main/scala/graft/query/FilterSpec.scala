@@ -140,6 +140,24 @@ object FilterSpec {
     def fields: Seq[String] = specs.flatMap(_.fields).distinct
   }
 
+  /** The general N-of-M should group — ES `bool.should` with
+    * `minimum_should_match: n` (Lucene's classic `(a b c)~2` group
+    * syntax, which [[QueryString]] parses and this renders): a document
+    * matches iff at least `minMatch` of the clauses do. Null clause
+    * results count as non-matching (the [[Not]] three-valued-logic
+    * discipline). Compiles to one codegen'd integer sum — no join, no
+    * per-clause pass.
+    */
+  final case class MinShouldMatch(minMatch: Int, specs: Seq[FilterSpec]) extends FilterSpec {
+    require(minMatch >= 1, s"minimum_should_match must be >= 1, got $minMatch")
+    require(specs.nonEmpty, "MinShouldMatch of zero clauses")
+    def compile: Column =
+      specs.map(s => when(coalesce(s.compile, lit(false)), lit(1)).otherwise(lit(0)))
+        .reduce(_ + _) >= minMatch
+    def render: String = specs.map(_.render).mkString("(", " ", ")") + s"~$minMatch"
+    def fields: Seq[String] = specs.flatMap(_.fields).distinct
+  }
+
   /** Negation — `bool.must_not`. Lucene semantics: a document matches iff
     * the inner clause does NOT (nulls in the inner predicate count as
     * non-matching, hence match here — the `coalesce` keeps three-valued

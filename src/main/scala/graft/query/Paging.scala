@@ -57,4 +57,34 @@ object Paging {
       .orderBy(desc(scoreCol), asc(idCol))
       .limit(k)
   }
+
+  /** [[collapseTopHits]] with ES `inner_hits`: the top `k` collapse
+    * groups — ordered by each group's BEST hit, exactly as the collapsed
+    * list would order them — each carrying its own top `innerK` hits
+    * (`inner_rank` 1..innerK within the group, `group_rank` over groups).
+    * The per-group window is group-parallel (partitioned by the collapse
+    * field, the PlanSpec-pinned collapse shape); the group-ranking frame
+    * is one row per surviving group, k-row-bounded downstream.
+    */
+  def collapseInnerHits(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, k: Int, innerK: Int): DataFrame = {
+    require(k >= 1 && innerK >= 1,
+      s"collapseInnerHits: k and innerK must be >= 1, got k=$k innerK=$innerK")
+    val g = col(s"`$groupCol`")
+    val w = Window.partitionBy(g).orderBy(desc(scoreCol), asc(idCol))
+    val ranked = scored
+      .withColumn("inner_rank", row_number().over(w))
+      .where(col("inner_rank") <= innerK)
+    val topGroups = ranked.where(col("inner_rank") === 1)
+      .orderBy(desc(scoreCol), asc(idCol))
+      .limit(k)
+      .select(g.as(groupCol),
+        row_number().over(Window.orderBy(desc(scoreCol), asc(idCol)))
+          .as("group_rank"))
+    ranked.join(broadcast(topGroups), Seq(groupCol))
+      .select(col(s"`$groupCol`"), col("group_rank"), col("inner_rank"),
+        col(s"`$idCol`"), col(scoreCol))
+      .orderBy("group_rank", "inner_rank")
+  }
 }

@@ -259,7 +259,26 @@ object QueryString {
         require(!exhausted && toks(pos) == RP,
           s"query_string: expected ')' but found $peekRaw")
         pos += 1
-        inner
+        // Lucene's group minimum_should_match: `(a b c)~2` — at least N
+        // of the group's should clauses must match. Only a pure
+        // adjacency/OR group has "should clauses" to count.
+        peek match {
+          case Some(u: Unit)
+              if u.chars.length > 1 && !u.chars.head.esc && u.chars.head.c == '~' &&
+                u.chars.tail.forall(e => !e.esc && e.c.isDigit) =>
+            advance()
+            val n = u.text.drop(1).toInt
+            require(n >= 1, s"query_string: minimum_should_match must be >= 1, got $n")
+            val specs = inner match {
+              case FilterSpec.Or(ss) => ss
+              case single => Seq(single)
+            }
+            require(n <= specs.size,
+              s"query_string: minimum_should_match $n exceeds the group's " +
+                s"${specs.size} should clause(s) — the query could never match")
+            FilterSpec.MinShouldMatch(n, specs)
+          case _ => inner
+        }
       case u: Unit => clause(u, u.text)
       case t => throw new IllegalArgumentException(
         s"query_string: expected a clause but found $t")

@@ -226,11 +226,18 @@ class PropertySpec extends AnyFunSuite {
     val andOfLeaves: Gen[FilterSpec] =
       Gen.listOfN(2, leaf).map(FilterSpec.And(_))
     val notG: Gen[FilterSpec] = Gen.oneOf(leaf, orOfLeaves).map(FilterSpec.Not(_))
+    // the Lucene group-msm form `(a b c)~n`, n bounded by the group size
+    val msmG: Gen[FilterSpec] = for {
+      m <- Gen.chooseNum(2, 4)
+      ls <- Gen.listOfN(m, leaf)
+      n <- Gen.chooseNum(1, m)
+    } yield FilterSpec.MinShouldMatch(n, ls)
     val tree: Gen[FilterSpec] = Gen.oneOf(
       leaf,
-      Gen.listOfN(2, Gen.oneOf(leaf, orOfLeaves, notG)).map(FilterSpec.And(_)),
+      Gen.listOfN(2, Gen.oneOf(leaf, orOfLeaves, notG, msmG)).map(FilterSpec.And(_)),
       Gen.listOfN(2, Gen.oneOf(leaf, andOfLeaves, notG)).map(FilterSpec.Or(_)),
-      notG)
+      notG,
+      msmG)
     check("query_string round-trip")(Prop.forAll(tree) { spec =>
       val got = QueryString.parse(spec.render, defaultField = "zzz")
       if (got != spec) println(s"MISMATCH: ${spec.render}\n  want $spec\n  got  $got")

@@ -170,6 +170,33 @@ class AggsSpec extends SparkSpecBase {
     assert(common.exists(c => c._4 == 0.0 && c._3 == 5L))
   }
 
+  test("significantTerms heuristics: chi_square matches the hand contingency; percentage is fg/bg") {
+    val docs = Seq(
+      (1L, "dragon dragon common", true),
+      (2L, "dragon common extra", true),
+      (3L, "common plain words", false),
+      (4L, "common other stuff", false),
+      (5L, "common more filler", false)
+    ).toDF("id", "text", "fg")
+    def top(h: String): Map[String, Double] =
+      Aggs.significantTerms(docs, graft.ops.Dedup.tokens(col("text")),
+          col("fg"), n = 10, heuristic = h)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> r._4).toMap
+    // dragon contingency: a=2 (fg∧term), b=0, c=0, d=3, N=5 →
+    // χ² = 5·(2·3 − 0)²/((2)(3)(2)(3)) = 180/36 = 5.0
+    val chi = top("chi_square")
+    assert(chi("dragon") === 5.0)
+    // common: a=2,b=0,c=3,d=0 → ad−bc = 0 → 0
+    assert(chi("common") === 0.0)
+    val pct = top("percentage")
+    assert(pct("dragon") === 1.0) // all of dragon's docs are foreground
+    assert(pct("common") === 2.0 / 5.0)
+    intercept[IllegalArgumentException](
+      Aggs.significantTerms(docs, graft.ops.Dedup.tokens(col("text")),
+        col("fg"), heuristic = "gnd"))
+  }
+
   test("rollupCounts: every prefix level with grouping_id; cube adds the cross level") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "x")).toDF("k1", "k2")
     val roll = Aggs.rollupCounts(df, Seq("k1", "k2"))

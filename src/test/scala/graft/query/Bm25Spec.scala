@@ -167,4 +167,35 @@ class Bm25Spec extends graft.SparkSpecBase {
       assert(!plan.contains("Window"), s"unpartitioned window crept in:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("multiMatch: per-field stats, best takes the max, most the sum") {
+    val two = Seq(
+      (1L, "spark spark", "alpha"), // strong in text only
+      (2L, "join scan", "spark"),   // matches only in title
+      (3L, "spark misc", "spark"),  // matches in both
+      (4L, "window", "beta"),       // matches neither
+    ).toDF("doc_id", "text", "title")
+    def scores(mode: String): Map[Long, Double] =
+      Bm25.multiMatchTopK(two, "doc_id", Seq("text", "title"), "spark",
+          k = 10, mode = mode)
+        .as[(Long, Double)].collect().toMap
+    val best = scores("best_fields")
+    val most = scores("most_fields")
+    // per-field reference scores from each field's OWN statistics
+    def one(field: String, id: Long): Double =
+      Bm25.scoredAll(two, "doc_id",
+          concat(lit(" "), graft.expr.TextMatch.normalized(col(field)), lit(" ")),
+          "spark")
+        .as[(Long, Double)].collect().toMap.getOrElse(id, 0.0)
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(best(id) === math.max(one("text", id), one("title", id)), s"best $id")
+      assert(most(id) === one("text", id) + one("title", id), s"most $id")
+    }
+    // the both-fields doc outranks single-field docs under most_fields
+    assert(most(3L) > most(1L) && most(3L) > most(2L))
+    // no-match docs never appear
+    assert(!best.contains(4L) && !most.contains(4L))
+    intercept[IllegalArgumentException](
+      Bm25.multiMatchTopK(two, "doc_id", Seq("text"), "spark", 5, mode = "cross_fields"))
+  }
 }

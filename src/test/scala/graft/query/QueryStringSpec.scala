@@ -96,6 +96,32 @@ class QueryStringSpec extends SparkSpecBase {
     assert(ids(parse("""text:vector\ scan""")) === Seq(3L))
   }
 
+  test("group minimum_should_match: (a b c)~2 compiles to an N-of-M sum") {
+    val spec = parse("(text:dup text:merge text:scan)~2")
+    assert(spec === FilterSpec.MinShouldMatch(2, Seq(
+      FilterSpec.TermMatch("text", "dup"), FilterSpec.TermMatch("text", "merge"),
+      FilterSpec.TermMatch("text", "scan"))))
+    // docs matching >= 2 of {dup, merge, scan}: 2 (scan+merge), 3 (scan+dup)
+    assert(ids(spec) === Seq(2L, 3L))
+    // ~1 behaves as OR; ~3 requires all
+    assert(ids(parse("(text:dup text:merge text:scan)~1")) ===
+      ids(parse("text:dup OR text:merge OR text:scan")))
+    assert(ids(parse("(text:dup text:vector text:scan)~3")) === Seq(3L))
+    // render round-trips
+    assert(parse(spec.render) === spec)
+    // a single-clause group takes ~1
+    assert(parse("(text:dup)~1") ===
+      FilterSpec.MinShouldMatch(1, Seq(FilterSpec.TermMatch("text", "dup"))))
+    // over-asking is a loud error, not a never-matching query
+    intercept[IllegalArgumentException](parse("(text:dup text:merge)~3"))
+    // an escaped tilde stays a term
+    assert(parse("""(text:dup text:merge) \~2""") ===
+      FilterSpec.Or(Seq(
+        FilterSpec.Or(Seq(FilterSpec.TermMatch("text", "dup"),
+          FilterSpec.TermMatch("text", "merge"))),
+        FilterSpec.TermMatch("text", "~2"))))
+  }
+
   test("+/- occurrence prefixes follow the Lucene matching rule") {
     // pure should level stays OR; -x excludes with the should constraining
     assert(parse("text:dup -source:src1*") ===

@@ -121,6 +121,27 @@ class SearchExtrasSpec extends SparkSpecBase {
     assert(page2.head === 3L)
   }
 
+  test("collapseInnerHits: groups by best hit, innerK runners-up, bounded k") {
+    val scored = Seq(
+      (1L, 9.0, "en"), (2L, 8.0, "en"), (7L, 4.0, "en"),
+      (3L, 8.0, "fr"), (4L, 7.0, "fr"),
+      (5L, 6.0, "zh"), (6L, 5.0, "zh"),
+      (8L, 3.0, "de"),
+    ).toDF("id", "score", "lang")
+    val out = Paging.collapseInnerHits(scored, "id", "score", "lang",
+        k = 3, innerK = 2)
+      .select("lang", "group_rank", "inner_rank", "id")
+      .as[(String, Int, Int, Long)].collect().toSeq
+    // groups by best hit: en(9) > fr(8) > zh(6); de(3) cut by k=3;
+    // en's third hit (id 7) cut by innerK=2
+    assert(out === Seq(
+      ("en", 1, 1, 1L), ("en", 1, 2, 2L),
+      ("fr", 2, 1, 3L), ("fr", 2, 2, 4L),
+      ("zh", 3, 1, 5L), ("zh", 3, 2, 6L)))
+    intercept[IllegalArgumentException](
+      Paging.collapseInnerHits(scored, "id", "score", "lang", k = 0, innerK = 1))
+  }
+
   test("LTR feature log: f_bm25 is bit-identical to the serving score, labels join the judged set") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val judged = docs.where(TextMatch.containsToken(col("text"), "dup"))
