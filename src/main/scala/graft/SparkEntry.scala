@@ -3901,6 +3901,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "pairs_hard_negatives" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Contrastive-pair mining for embedding-model training data (the
+      // DPR/ANCE hard-negative recipe): per anchor, the best neighbor at
+      // cos ≥ 0.3 becomes the positive, the top-5 in [0.2, 0.3) the hard
+      // negatives — close enough to teach the margin, below the
+      // duplicate bar. Built on the exact ranking (swap in the IVF
+      // retriever at corpus scale — roles and thresholds are
+      // retriever-agnostic).
+      val emb = load(dir, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          negK = 5, posThreshold = 0.3, negFloor = 0.2)
+        .orderBy("anchor_id", "role", "rank")
+    }),
+
     "ann_sq8_incremental" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The SQ8 bounds as a MAINTAINED at-rest table: per-epoch
@@ -9144,6 +9160,37 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // Hard negatives restated: the same candidate top-50 per anchor, the
+    // same threshold split, the same per-role rankings.
+    "pairs_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    list_inner_product(e.v, q.v)
+         |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.vec_id
+         |), cand AS (
+         |  SELECT * FROM scored QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= 50
+         |), pos AS (
+         |  SELECT query_id AS anchor_id, 'positive' AS role, 1 AS rank,
+         |    neighbor_id, cos
+         |  FROM cand WHERE cos >= 0.3
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) = 1
+         |), neg AS (
+         |  SELECT query_id AS anchor_id, 'hard_negative' AS role,
+         |    row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::INT AS rank,
+         |    neighbor_id, cos
+         |  FROM cand WHERE cos < 0.3 AND cos >= 0.2
+         |  QUALIFY rank <= 5
+         |)
+         |SELECT anchor_id, role, rank, neighbor_id, cos FROM (
+         |  SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY anchor_id, role, rank""".stripMargin,
 
     // SQ8 restated end to end: per-dim bounds from the same corpus scan,
     // the same clamp(floor((v-mn)·(256/(mx-mn)))) codes, the same midpoint

@@ -922,6 +922,51 @@ object Similarity {
         lit((mx(j) - mn(j)) / 256.0)
     }: _*)
 
+  /** Hard-negative mining for embedding-model training data (the
+    * contrastive-pair construction behind every dense-retriever recipe —
+    * DPR/ANCE-style: negatives that are CLOSE but not duplicates teach
+    * the margin; random negatives teach nothing): for each anchor, rank
+    * its neighbors, take the single best neighbor at or above
+    * `posThreshold` as the POSITIVE (a near-duplicate / paraphrase
+    * stand-in; anchors with none emit no positive row) and the top
+    * `negK` neighbors BELOW `posThreshold` and at or above
+    * `negFloor` as the hard negatives (the floor drops easy negatives a
+    * sampler would find anyway).
+    *
+    * Output: `(anchor_id, role, rank, neighbor_id, cos)` — `role` ∈
+    * {positive, hard_negative}, `rank` 1..negK within the negatives.
+    * Built on the exact ranking ([[bruteForceTopK]] shape) so the whole
+    * construction restates in SQL; swap the retriever for
+    * [[ivfTopKFromIndex]] at corpus scale (the candidates, thresholds,
+    * and roles are retriever-agnostic).
+    */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      anchors: DataFrame, anchorId: String, anchorVec: String,
+      negK: Int,
+      posThreshold: Double,
+      negFloor: Double = 0.0,
+      candidateK: Int = 50): DataFrame = {
+    require(negK >= 1, s"hardNegatives: negK must be >= 1, got $negK")
+    require(posThreshold > negFloor,
+      s"hardNegatives: posThreshold $posThreshold must exceed negFloor $negFloor")
+    val ranked = bruteForceTopK(corpus, corpusId, corpusVec,
+      anchors, anchorId, anchorVec, candidateK)
+    val pos = ranked.where(col("cos") >= posThreshold)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .where(col("_r") === 1)
+      .select(col("query_id").as("anchor_id"), lit("positive").as("role"),
+        lit(1).as("rank"), col("neighbor_id"), col("cos"))
+    val neg = ranked.where(col("cos") < posThreshold && col("cos") >= negFloor)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))))
+      .where(col("_r") <= negK)
+      .select(col("query_id").as("anchor_id"), lit("hard_negative").as("role"),
+        col("_r").as("rank"), col("neighbor_id"), col("cos"))
+    pos.unionByName(neg)
+  }
+
   /** [[sqBounds]] as mergeable ROWS `(dim, mn, mx)` — the increment shape
     * an at-rest bounds table appends per micro-batch: min/max are
     * idempotent AND commutative, so batch boundaries and at-least-once

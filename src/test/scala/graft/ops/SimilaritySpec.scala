@@ -255,6 +255,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"SQ8 ADC recall@5 too low: $recall")
   }
 
+  test("hardNegatives: positive above the bar, negatives in the band, easy ones dropped") {
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),   // anchor
+      (101L, Seq(1.0, 0.05, 0.0, 0.0)),  // near-dup → the positive
+      (102L, Seq(1.0, 1.0, 0.0, 0.0)),   // cos ≈ .707 → hard negative 1
+      (103L, Seq(1.0, 2.0, 0.0, 0.0)),   // cos ≈ .447 → hard negative 2
+      (104L, Seq(0.0, 0.0, 1.0, 0.0)),   // cos 0 → easy, dropped by the floor
+      (200L, Seq(0.0, 0.0, 0.0, 1.0)),   // isolated anchor: nothing emitted
+    ).toDF("vec_id", "embedding")
+    val anchors = corpus.where(col("vec_id") === 100L || col("vec_id") === 200L)
+    val out = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        anchors, "vec_id", "embedding",
+        negK = 2, posThreshold = 0.9, negFloor = 0.3)
+      .select("anchor_id", "role", "rank", "neighbor_id")
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(out === Set(
+      (100L, "positive", 1, 101L),
+      (100L, "hard_negative", 1, 102L),
+      (100L, "hard_negative", 2, 103L)))
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(corpus, "vec_id", "embedding", anchors,
+        "vec_id", "embedding", negK = 0, posThreshold = 0.9))
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(corpus, "vec_id", "embedding", anchors,
+        "vec_id", "embedding", negK = 1, posThreshold = 0.2, negFloor = 0.3))
+  }
+
   test("vecAvg aggregates element-wise means per group, ignoring nulls") {
     val df = Seq(
       ("a", Some(Seq(1.0, 2.0))), ("a", Some(Seq(3.0, 4.0))), ("a", None),
