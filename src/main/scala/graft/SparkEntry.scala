@@ -506,6 +506,21 @@ object SparkEntry {
             val a = o.path("after")
             graft.query.Paging.searchAfter(scored, "doc_id", "score",
               a.get(0).asDouble(), a.get(1).asLong(), size)
+          } else if (o.hasNonNull("rescore")) {
+            // ES rescore over the wire: {"rescore": {"q": "<query_string
+            // phrase>", "window": N, "weight": w}} — only the window pays
+            // the secondary phrase boost, the tail keeps primary order.
+            val r = o.path("rescore")
+            val rq = r.path("q").asText("")
+            require(rq.nonEmpty, "search: rescore.q missing")
+            val boost = docs0.select(col("doc_id"),
+              when(graft.expr.TextMatch.containsToken(col("text"), rq),
+                lit(1.0)).otherwise(lit(0.0)).as("boost"))
+            graft.query.Hybrid.rescore(scored, "doc_id", "score",
+                boost, "boost",
+                windowSize = r.path("window").asInt(10),
+                rescoreWeight = r.path("weight").asDouble(2.0))
+              .orderBy("rank").limit(size)
           } else scored.orderBy(desc("score"), asc("doc_id")).limit(size)
         WidgetServer.collectRowsJson(
           if (o.path("highlight").asBoolean(false))
@@ -544,6 +559,59 @@ object SparkEntry {
           } else
             ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
               queries, "vec_id", "embedding", k))
+      },
+      "/fuse" -> { body =>
+        // Hybrid retrieval over the wire (the ES retrievers API shape):
+        // {"q": "<text query>", "vec_id": N, "k": N, "mode": "rrf"|
+        // "linear", "weights": [wLex, wVec] (linear only), "mmr":
+        // {"k": n, "lambda": l} (optional diversification of the fused
+        // list using the embedding vectors)}.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val qText = o.path("q").asText("")
+        require(qText.nonEmpty, "fuse: missing q")
+        require(o.hasNonNull("vec_id"), "fuse: missing vec_id")
+        val k = o.path("k").asInt(10)
+        val mode = o.path("mode").asText("rrf")
+        val docs = load(dir, "documents")
+        val emb = load(dir, "embeddings")
+        val bmScored = graft.query.Bm25.topKRaw(docs, "doc_id", "text", qText, k = 50)
+          .select(col("doc_id"), col("score"))
+        val vecScored = ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            emb.where(col("vec_id") === o.path("vec_id").asLong()),
+            "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"), col("cos").as("score"))
+        val fused = mode match {
+          case "rrf" =>
+            val bmRun = graft.query.Hybrid.withRank(bmScored, "score", "doc_id")
+              .select("doc_id", "rank")
+            graft.query.Hybrid.rrf(
+                Seq(bmRun, vecScored.select("doc_id", "rank")),
+                "doc_id", "rank", topK = k)
+              .withColumnRenamed("rrf_score", "fused_score")
+          case "linear" =>
+            val w = o.path("weights")
+            val (w0, w1) =
+              if (w.isArray && w.size() == 2) (w.get(0).asDouble(), w.get(1).asDouble())
+              else (0.7, 0.3)
+            graft.query.Hybrid.linearFusion(
+              Seq(bmScored -> w0, vecScored.select("doc_id", "score") -> w1),
+              "doc_id", "score", topK = k)
+          case other => throw new IllegalArgumentException(
+            s"fuse: unsupported mode <$other> (rrf|linear)")
+        }
+        WidgetServer.collectRowsJson(
+          if (o.hasNonNull("mmr")) {
+            val m = o.path("mmr")
+            graft.query.Mmr.diversify(
+              fused.select(col("doc_id").as("cand_id"),
+                  col("fused_score").as("rel"))
+                .join(emb.select(col("vec_id").as("cand_id"),
+                  ops.Similarity.asDouble(col("embedding")).as("vec")), Seq("cand_id"))
+                .withColumn("query_id", lit(0L)),
+              k = m.path("k").asInt(5), lambda = m.path("lambda").asDouble(0.7))
+              .orderBy("pick")
+              .select("pick", "cand_id", "rel", "mmr")
+          } else fused.orderBy(desc("fused_score"), asc("doc_id")))
       },
       "/percolate" -> { body =>
         // The alerting endpoint: {"queries": {"alert_id": "<query_string
@@ -2105,6 +2173,18 @@ object SparkEntry {
       // engines share the operator.
       val spec = graft.query.QueryString.parse(
         "source:s?c1*", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    }),
+
+    "q_regexp" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES/Lucene regexp query through the search bar — `field:/pattern/`,
+      // implicitly anchored full-value match over the raw keyword field,
+      // in the RE2-compatible dialect both engines share.
+      val spec = graft.query.QueryString.parse(
+        "source:/src1[0-9]/ OR source:/s[0-9]/", defaultField = "text")
       load(dir, "documents").where(spec.compile)
         .groupBy("source").agg(count(lit(1)).as("n"))
         .orderBy("source")
@@ -6493,6 +6573,14 @@ object SparkEntry {
     "q_wildcard" ->
       """SELECT source, count(*) AS n FROM documents
         |WHERE source LIKE 's_c1%'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Regexp: DuckDB's full-match primitive mirrors the engine's anchored
+    // rlike wrapper.
+    "q_regexp" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE regexp_full_match(source, 'src1[0-9]')
+        |   OR regexp_full_match(source, 's[0-9]')
         |GROUP BY source ORDER BY source""".stripMargin,
 
     "g1_count" -> "SELECT count(*) AS count FROM lineitem",

@@ -298,6 +298,22 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** ES/Lucene `regexp` query — `field:/pattern/`: the RAW field value
+    * matches the pattern IN FULL (Lucene regexps are implicitly anchored;
+    * the compile wraps `^(?:…)$` since Spark's `rlike` is a search).
+    * Pattern dialect: the RE2-compatible subset shared by Java regex and
+    * DuckDB (character classes, alternation, quantifiers, grouping) — the
+    * Lucene operators `~`(complement) and `<1-9>`(numeric ranges) are not
+    * supported (they exist in no SQL engine; a loud mismatch beats a
+    * silent one). Null fields don't match (the ES missing-field
+    * contract).
+    */
+  final case class Regexp(field: String, pattern: String) extends FilterSpec {
+    def compile: Column = col(field).rlike("^(?:" + pattern + ")$")
+    def render: String = s"${escName(field)}:/$pattern/"
+    def fields: Seq[String] = Seq(field)
+  }
+
   object Wildcard {
     /** `*`/`?` → `%`/`_` with pre-existing LIKE metacharacters escaped. */
     def toLike(pattern: String): String =

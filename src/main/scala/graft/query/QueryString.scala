@@ -46,11 +46,18 @@ package graft.query
   *  - `field:[a TO b]` / `{a TO b}` — inclusive/exclusive range, sides
   *    mixable, `*` opens a side.
   *
+  *  - `field:/pattern/` — Lucene regexp query over the RAW field value,
+  *    implicitly anchored (full-value match), RE2-compatible dialect
+  *    ([[FilterSpec.Regexp]]); backslash usage inside the literal is
+  *    reconstructed from the scanner's escape tags so `\d` stays `\d`.
+  *    A bare space would end the token — match whitespace with `\s` or a
+  *    `[ ]` class (character classes ride whole through the scanner).
+  *
   * Not supported — DELIBERATELY kept a loud parse error, not a silent
   * drop: boosts (`^2` — pure scoring; in a filter compilation a dropped
   * boost would silently change nothing while LOOKING honored, so the
-  * honest answer is rejection) and regex literals (`/…/`). Escape the
-  * characters to query them literally.
+  * honest answer is rejection). Escape reserved characters to query them
+  * literally.
   */
 object QueryString {
 
@@ -294,9 +301,9 @@ object QueryString {
       cs.exists(e => !e.esc && p(e.c))
 
     private def clause(u: Unit, raw: String): FilterSpec = {
-      require(!hasUnescaped(u.chars, c => c == '^' || c == '/'),
+      require(!hasUnescaped(u.chars, c => c == '^'),
         s"query_string: unsupported syntax in clause <$raw> " +
-          "(boosts and regex literals; escape with \\ to query the character)")
+          "(boosts; escape with \\ to query the character)")
       colonSplit(u.chars) match {
         case Some((field, value)) => fielded(lit(field), value, raw)
         case None => fielded(defaultField, u.chars, raw)
@@ -321,7 +328,23 @@ object QueryString {
       require(value.nonEmpty, s"query_string: empty value in clause <$raw>")
       val text = lit(value)
       def unesc(c: Char): Boolean = !value.exists(e => !e.esc && e.c == c) // no unescaped c
-      if (!value.head.esc && value.head.c == '"') phraseClause(field, value, raw)
+      if (!value.head.esc && value.head.c == '/') {
+        // Lucene regexp literal `field:/pattern/` — the pattern text
+        // reconstructs the ORIGINAL backslash usage from the escape tags
+        // (the scanner decoded `\d` to an escaped 'd'; a regex needs the
+        // backslash back).
+        require(value.length >= 2 && !value.last.esc && value.last.c == '/',
+          s"query_string: unterminated regexp literal in <$raw>")
+        val pattern = value.slice(1, value.length - 1)
+          .map(e => if (e.esc) "\\" + e.c else e.c.toString).mkString
+        require(pattern.nonEmpty, s"query_string: empty regexp in <$raw>")
+        FilterSpec.Regexp(field, pattern)
+      }
+      else if (hasUnescaped(value, _ == '/'))
+        throw new IllegalArgumentException(
+          s"query_string: stray '/' in clause <$raw> — regexps are " +
+            "field:/pattern/; escape with \\ to query the character")
+      else if (!value.head.esc && value.head.c == '"') phraseClause(field, value, raw)
       else if (!value.head.esc && (value.head.c == '[' || value.head.c == '{'))
         rangeClause(field, text, raw)
       else if (text == "*" && !value.head.esc) {

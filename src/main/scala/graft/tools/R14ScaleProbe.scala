@@ -9,15 +9,21 @@ import graft.query.Percolator
   * [[OpScaleProbe]]/[[R13ScaleProbe]] (min/median wall seconds over
   * repeats):
   *
-  *  - `percolate_10k`: 10,000 stored queries over the sf0.1 documents
-  *    corpus — the single-plan form (all 10k predicates in one projection;
-  *    whole-stage codegen falls back past its method budget and the
-  *    driver pays a 10k-column analysis) versus `percolateSharded` at
-  *    1024 queries per plan (every shard codegen'd, ⌈n/1024⌉ scans).
-  *    Parity of the two result sets is asserted, not assumed.
+  *  - `percolate_10k` (section `percolate`): 10,000 stored queries over
+  *    the sf0.1 documents corpus — the single-plan form (all 10k
+  *    predicates in one projection; whole-stage codegen falls back past
+  *    its method budget and the driver pays a 10k-column analysis) versus
+  *    `percolateSharded` at 1024 queries per plan (every shard codegen'd,
+  *    ⌈n/1024⌉ scans). Parity of the two result sets is asserted, not
+  *    assumed.
+  *  - section `ops`: the round's new operators at 1× (sf0.1) vs 10× (the
+  *    ScaleGen disjoint twin at `/tmp/graft_sf1`) — random projection,
+  *    SQ8 build+ADC serve, fingerprint analyzer, FIM construction,
+  *    hard-negative mining. All are designed row-local / one-scan; the
+  *    probe verifies the ~linear wall shape instead of asserting it.
   *
-  * Usage: `runMain graft.tools.R14ScaleProbe [repeats=3]`. Emits one JSON
-  * line per measurement.
+  * Usage: `SPARK_GRAFT_SECTIONS=ops runMain graft.tools.R14ScaleProbe
+  * [repeats]`. Emits one JSON line per measurement.
   */
 object R14ScaleProbe {
 
@@ -51,8 +57,44 @@ object R14ScaleProbe {
         s""""min":${math.round(r._1 * 1000) / 1000.0},""" +
         s""""median":${math.round(r._2 * 1000) / 1000.0},"rows":${r._3}}""")
 
+    val sections = sys.env.getOrElse("SPARK_GRAFT_SECTIONS", "percolate,ops")
+      .split(",").toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    if (sections.contains("ops")) {
+      import graft.ops.{Packing, Similarity}
+      import graft.expr.TextMatch
+      val twin = sys.env.getOrElse("SPARK_GRAFT_TWIN_DIR", "/tmp/graft_sf1")
+      for ((label, dir) <- Seq("1x" -> sfDir, "10x" -> twin)) {
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        emit(s"rp_project_$label", timeOp(repeats) {
+          // aggregate an element so column pruning cannot drop the work
+          Similarity.randomProject(e, "vec_id", "embedding", outDim = 16, dim = 64)
+            .agg(sum(element_at(col("vec"), 1))).collect(); e.count()
+        })
+        emit(s"sq8_build_serve_$label", timeOp(repeats) {
+          Similarity.sq8TopK(e, "vec_id", "embedding",
+            e.limit(5), "vec_id", "embedding", k = 5, dim = 64).count()
+        })
+        emit(s"fingerprint_$label", timeOp(repeats) {
+          d.select(TextMatch.fingerprint(col("text")).as("fp"))
+            .agg(sum(length(col("fp")))).collect(); d.count()
+        })
+        emit(s"fim_$label", timeOp(repeats) {
+          Packing.fimExamples(d, "doc_id", "text", fimRate = 0.5)
+            .agg(sum(length(col("fim_text")))).collect(); d.count()
+        })
+        emit(s"hard_negatives_$label", timeOp(repeats) {
+          Similarity.hardNegatives(e, "vec_id", "embedding",
+            e.limit(5), "vec_id", "embedding",
+            negK = 5, posThreshold = 0.3, negFloor = 0.2).count()
+        })
+      }
+    }
+
+    if (!sections.contains("percolate")) { spark.stop(); return }
 
     // 10k stored queries drawn from the corpus vocabulary so a realistic
     // fraction actually match: analyzed terms, fuzzy, prefixes, ranges.

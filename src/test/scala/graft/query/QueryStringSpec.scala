@@ -70,9 +70,29 @@ class QueryStringSpec extends SparkSpecBase {
   }
 
   test("unsupported syntax errors loudly instead of silently dropping") {
-    for (bad <- Seq("text:a^2", "/re.*gex/", "text:\"open", "id:[1 TO]", "a AND",
-        "text:a\\", "+ text:a", "-"))
+    for (bad <- Seq("text:a^2", "text:\"open", "id:[1 TO]", "a AND",
+        "text:a\\", "+ text:a", "-", "text:/unterminated", "text://",
+        "text:a/b"))
       intercept[IllegalArgumentException](parse(bad))
+  }
+
+  test("regexp literal: full-value anchored match, escapes reconstructed") {
+    assert(parse("source:/src1[0-9]/") === FilterSpec.Regexp("source", "src1[0-9]"))
+    // anchored: src1 itself must NOT match /src1[0-9]/ (full-value), and
+    // src12 must
+    assert(ids(parse("source:/src1[0-9]/")) === Seq(2L))
+    assert(ids(parse("source:/src./")) === Seq(1L, 5L)) // src1, src2 — not src12
+    assert(ids(parse("source:/s.*/")) === Seq(1L, 2L, 4L, 5L))
+    // backslash classes survive the scanner's escape decoding
+    assert(parse("""source:/src\d+/""") === FilterSpec.Regexp("source", """src\d+"""))
+    assert(ids(parse("""source:/src\d+/""")) === Seq(1L, 2L, 5L))
+    // a bare regex hits the default field; whitespace rides inside a
+    // character class (the unit scanner splits on bare spaces)
+    assert(parse("/dup[ ].*/") === FilterSpec.Regexp("text", "dup[ ].*"))
+    assert(ids(parse("/dup[ ].*/")) === Seq(5L))
+    // render round-trips
+    val r = parse("source:/src1[0-9]/")
+    assert(parse(r.render) === r)
   }
 
   test("backslash escapes make reserved characters literal term text") {

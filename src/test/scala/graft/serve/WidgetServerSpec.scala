@@ -385,6 +385,73 @@ class WidgetServerSpec extends SparkSpecBase {
 
       // missing q is a client fault
       assert(post(s"http://127.0.0.1:$port/search", """{"size": 2}""")._1 === 400)
+
+      // rescore: the window recombines with the phrase boost, pinned to
+      // the engine-direct form
+      val (c6, b6) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup vector scan", "size": 4,
+          | "rescore": {"q": "vector scan", "window": 3, "weight": 2.0}}""".stripMargin)
+      assert(c6 === 200)
+      val boost = docs.select(col("doc_id"),
+        when(graft.expr.TextMatch.containsToken(col("text"), "vector scan"),
+          lit(1.0)).otherwise(lit(0.0)).as("boost"))
+      assert(b6 === WidgetServer.collectRowsJson(
+        graft.query.Hybrid.rescore(scored, "doc_id", "score", boost, "boost",
+            windowSize = 3, rescoreWeight = 2.0)
+          .orderBy("rank").limit(4)))
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup", "rescore": {"window": 3}}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
+  test("POST /fuse serves rrf and linear hybrid retrieval, with optional MMR") {
+    import org.apache.spark.sql.functions._
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val bmScored = graft.query.Bm25.topKRaw(docs, "doc_id", "text",
+        "dup vector scan", k = 50).select(col("doc_id"), col("score"))
+      val vecScored = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"), col("cos").as("score"))
+
+      val (c1, b1) = post(s"http://127.0.0.1:$port/fuse",
+        """{"q": "dup vector scan", "vec_id": 0, "k": 5, "mode": "rrf"}""")
+      assert(c1 === 200)
+      val bmRun = graft.query.Hybrid.withRank(bmScored, "score", "doc_id")
+        .select("doc_id", "rank")
+      assert(b1 === WidgetServer.collectRowsJson(
+        graft.query.Hybrid.rrf(Seq(bmRun, vecScored.select("doc_id", "rank")),
+            "doc_id", "rank", topK = 5)
+          .withColumnRenamed("rrf_score", "fused_score")
+          .orderBy(desc("fused_score"), asc("doc_id"))))
+
+      val (c2, b2) = post(s"http://127.0.0.1:$port/fuse",
+        """{"q": "dup vector scan", "vec_id": 0, "k": 5, "mode": "linear",
+          | "weights": [0.6, 0.4]}""".stripMargin)
+      assert(c2 === 200)
+      assert(b2 === WidgetServer.collectRowsJson(
+        graft.query.Hybrid.linearFusion(
+            Seq(bmScored -> 0.6, vecScored.select("doc_id", "score") -> 0.4),
+            "doc_id", "score", topK = 5)
+          .orderBy(desc("fused_score"), asc("doc_id"))))
+
+      // MMR diversification of the fused list returns pick-ordered rows
+      val (c3, b3) = post(s"http://127.0.0.1:$port/fuse",
+        """{"q": "dup vector scan", "vec_id": 0, "k": 10, "mode": "rrf",
+          | "mmr": {"k": 3, "lambda": 0.7}}""".stripMargin)
+      assert(c3 === 200)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b3)
+      assert(om.isArray && om.size() === 3)
+      assert((0 until 3).map(i => om.get(i).path("pick").asInt()) === Seq(1, 2, 3))
+
+      // faults: missing q / vec_id, unknown mode
+      assert(post(s"http://127.0.0.1:$port/fuse", """{"vec_id": 0}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/fuse", """{"q": "x"}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/fuse",
+        """{"q": "dup", "vec_id": 0, "mode": "zmode"}""")._1 === 400)
     } finally server.stop(0)
   }
 
