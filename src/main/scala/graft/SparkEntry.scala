@@ -624,8 +624,10 @@ object SparkEntry {
         val b = Seq.newBuilder[(String, String)]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
         val stored = graft.query.Percolator.fromStrings(b.result(), defaultField = "text")
+        // sharded form: identical results (parity-spec'd), and a caller
+        // POSTing an index-scale query set stays inside codegen budgets
         WidgetServer.collectRowsJson(
-          graft.query.Percolator.percolateLong(
+          graft.query.Percolator.percolateSharded(
             load(dir, "documents"), "doc_id", stored)
             .orderBy("query_id", "doc_id"))
       })
@@ -2570,6 +2572,15 @@ object SparkEntry {
       // the corpus-scan oracle.
       PreAgg.significantTerms(dashboardRollup(s), "description",
         col("dataset") === "baltimore", n = 10)
+    }),
+
+    "g_significant_terms_chi2_preagg" -> ((s, _) => {
+      // The chi_square heuristic served from the SAME at-rest rollup —
+      // the x-pack-style "pick your significance scorer" knob with rollup
+      // rows replacing doc-frequency counts; identical IEEE tree, shared
+      // corpus-scan oracle restatement.
+      PreAgg.significantTerms(dashboardRollup(s), "description",
+        col("dataset") === "baltimore", n = 10, heuristic = "chi_square")
     }),
 
     "dashboard_refresh_preagg" -> ((s, _) => {
@@ -5141,6 +5152,17 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    "search_combined_fields" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES combined_fields — the term-centric cousin of multi_match:
+      // fields POOL into one (tf, dl, and IDF over the union — BM25F at
+      // unit weights), the right mode for title+body-style parts of the
+      // same text. One scan over the analyzed concatenation.
+      query.Bm25.combinedFieldsTopK(load(dir, "documents"), "doc_id",
+          Seq("text", "source"), "src1 spark", k = 20)
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     "q_function_score" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES function_score: a linear length-decay around 400 chars
@@ -6257,6 +6279,37 @@ object SparkEntry {
          |  (fg_count::DOUBLE / fgt - bg_count::DOUBLE / bgt)
          |    * ((fg_count::DOUBLE / fgt) / (bg_count::DOUBLE / bgt)) AS score
          |FROM c, tot WHERE fg_count > 0
+         |ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
+
+    // chi_square over the rollup: the same contingency tree over the same
+    // federated counts.
+    "g_significant_terms_chi2_preagg" ->
+      s"""WITH fed AS (
+         |${federatedCitySql}
+         |), tot AS (
+         |  SELECT count(*) AS bgt,
+         |    sum(CASE WHEN dataset = 'baltimore' THEN 1 ELSE 0 END)::BIGINT
+         |      AS fgt
+         |  FROM fed
+         |), c AS (
+         |  SELECT description AS term, count(*) AS bg_count,
+         |    sum(CASE WHEN dataset = 'baltimore' THEN 1 ELSE 0 END)::BIGINT
+         |      AS fg_count
+         |  FROM fed WHERE description IS NOT NULL GROUP BY 1
+         |), m AS (
+         |  SELECT term, fg_count, bg_count,
+         |    fg_count::DOUBLE AS a,
+         |    fgt::DOUBLE - fg_count::DOUBLE AS b,
+         |    bg_count::DOUBLE - fg_count::DOUBLE AS c,
+         |    (bgt::DOUBLE - fgt::DOUBLE) - (bg_count::DOUBLE - fg_count::DOUBLE) AS d,
+         |    bgt::DOUBLE AS n
+         |  FROM c, tot WHERE fg_count > 0
+         |)
+         |SELECT term, fg_count, bg_count,
+         |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0.0 THEN 0.0
+         |       ELSE ((a * d - b * c) * (a * d - b * c) * n)
+         |            / ((a + b) * (c + d) * (a + c) * (b + d)) END AS score
+         |FROM m
          |ORDER BY score DESC, term ASC LIMIT 10""".stripMargin,
 
     "q2_range_filter" ->
@@ -8339,6 +8392,13 @@ object SparkEntry {
          |FROM s0 FULL OUTER JOIN s1 USING (doc_id)
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // combined_fields restated: the SAME concatenation expression through
+    // the proven scored restatement - one stats set over the pooled field.
+    "search_combined_fields" -> graft.query.Bm25.oracleSql(
+      "documents", "doc_id",
+      "concat_ws(' ', coalesce(text, ''), coalesce(source, ''))",
+      "src1 spark", 20),
 
     // function_score restated with the engine's precomputed divisor
     // (s = scale/(1−decay) = 400.0) and the identical operator tree;

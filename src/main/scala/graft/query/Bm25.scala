@@ -273,6 +273,33 @@ object Bm25 {
       .limit(k)
   }
 
+  /** ES `combined_fields` — the term-centric cousin of `multi_match`: the
+    * fields are treated as ONE combined field (term frequencies and field
+    * lengths pool, ONE set of corpus statistics over the union), which is
+    * BM25F with unit field weights — the right mode when fields are parts
+    * of the same text (title + body) rather than competing views. This
+    * engine realizes the pooling literally: score BM25 over the analyzed
+    * CONCATENATION of the fields (identical tf/dl/IDF algebra, one scan);
+    * the oracle passes the same concatenation expression through the
+    * proven scored restatement.
+    */
+  def combinedFieldsTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCols: Seq[String],
+      query: String,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    require(textCols.nonEmpty, "combinedFields: no fields")
+    val combined = concat_ws(" ",
+      textCols.map(f => coalesce(col(s"`$f`"), lit(""))): _*)
+    topK(docs, idCol,
+      concat(lit(" "), analyzer.normalized(combined), lit(" ")),
+      query, k, k1, b, stats = None, analyzer = analyzer)
+  }
+
   /** DuckDB restatement of the whole retrieval for oracle SQL: same analyzer
     * (`regexp_replace` lowercase normalization), TF as token-equality counts
     * (provably equal to the kernel's boundary-sharing substring count), and

@@ -113,26 +113,47 @@ object PreAgg {
       pre: DataFrame,
       field: String,
       foreground: Column,
-      n: Int = 10): DataFrame = {
+      n: Int = 10,
+      heuristic: String = "jlh"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(Seq("jlh", "chi_square", "percentage").contains(heuristic),
+      s"significant_terms: unsupported heuristic <$heuristic> " +
+        "(jlh|chi_square|percentage)")
     val base = pre.select(col(field).as("term"),
       foreground.cast("boolean").as("_fg"), col(CntCol))
     val totals = base.agg(
       sum(col(CntCol)).as("_bg_total"),
       sum(when(col("_fg"), col(CntCol)).otherwise(0L)).as("_fg_total"))
-    base
+    val counted = base
       .where(col("term").isNotNull)
       .groupBy("term")
       .agg(sum(col(CntCol)).as("bg_count"),
         sum(when(col("_fg"), col(CntCol)).otherwise(0L)).as("fg_count"))
       .where(col("fg_count") > 0)
       .crossJoin(broadcast(totals))
-      .withColumn("_fg_pct",
-        col("fg_count").cast("double") / col("_fg_total"))
-      .withColumn("_bg_pct",
-        col("bg_count").cast("double") / col("_bg_total"))
-      .withColumn("score",
-        (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+    // the same score trees as the corpus-scan form
+    // ([[graft.query.Aggs.significantTerms]]) — rollup counts replace
+    // doc-frequency counts, the heuristic algebra is shared
+    val score = heuristic match {
+      case "jlh" =>
+        val fgPct = col("fg_count").cast("double") / col("_fg_total")
+        val bgPct = col("bg_count").cast("double") / col("_bg_total")
+        (fgPct - bgPct) * (fgPct / bgPct)
+      case "chi_square" =>
+        val a = col("fg_count").cast("double")
+        val b = col("_fg_total").cast("double") - a
+        val c = col("bg_count").cast("double") - a
+        val d = (col("_bg_total").cast("double") - col("_fg_total").cast("double")) -
+          (col("bg_count").cast("double") - a)
+        val nTot = col("_bg_total").cast("double")
+        val num = (a * d - b * c) * (a * d - b * c) * nTot
+        val den = (a + b) * (c + d) * (a + c) * (b + d)
+        when(den === 0.0, lit(0.0)).otherwise(num / den)
+      case "percentage" =>
+        col("fg_count").cast("double") / col("bg_count").cast("double")
+    }
+    counted
+      .withColumn("score", score)
       .orderBy(desc("score"), asc("term"))
       .select("term", "fg_count", "bg_count", "score")
       .limit(n)

@@ -198,4 +198,32 @@ class Bm25Spec extends graft.SparkSpecBase {
     intercept[IllegalArgumentException](
       Bm25.multiMatchTopK(two, "doc_id", Seq("text"), "spark", 5, mode = "cross_fields"))
   }
+
+  test("combinedFields pools tf/dl/idf across fields - BM25F at unit weights") {
+    val two = Seq(
+      (1L, "spark spark", "spark"),  // pooled tf 3
+      (2L, "join scan", "spark"),    // pooled tf 1
+      (3L, "window", "beta"),        // no match
+      (4L, "spark misc", null.asInstanceOf[String]), // null field pools as empty
+    ).toDF("doc_id", "text", "title")
+    val got = Bm25.combinedFieldsTopK(two, "doc_id", Seq("text", "title"),
+        "spark", k = 10)
+      .as[(Long, Double)].collect().toMap
+    // identical to scoring the concatenated text as ONE field
+    val concatDocs = two.select(col("doc_id"),
+      concat_ws(" ", coalesce(col("text"), lit("")),
+        coalesce(col("title"), lit(""))).as("text"))
+    val ref = Bm25.topKRaw(concatDocs, "doc_id", "text", "spark", k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got === ref)
+    assert(got.contains(1L) && got.contains(2L) && got.contains(4L) && !got.contains(3L))
+    // the pooled doc 1 (tf 3 over dl 3) outranks the single-hit doc 2
+    assert(got(1L) > got(2L))
+    // and combined_fields DIFFERS from multi_match most_fields (separate
+    // stats): the two modes are genuinely different scorers
+    val most = Bm25.multiMatchTopK(two, "doc_id", Seq("text", "title"),
+        "spark", k = 10, mode = "most_fields")
+      .as[(Long, Double)].collect().toMap
+    assert(most(1L) !== got(1L))
+  }
 }
