@@ -5163,6 +5163,32 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    "search_multi_match_dismax" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // dis_max with tie_breaker 0.3 (the ES knob between best_fields and
+      // most_fields): best + 0.3*(sum of the other fields) - matching in
+      // several fields counts, weighted below the best.
+      query.Bm25.multiMatchTopK(load(dir, "documents"), "doc_id",
+          Seq("text", "source"), "src1 spark", k = 20, mode = "best_fields",
+          tieBreaker = 0.3)
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    "q_terms_set" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES terms_set - minimum_should_match read FROM THE DOCUMENT (the
+      // "required skills" idiom): each doc demands (doc_id % 3) + 1 of the
+      // four query terms; one codegen'd integer sum against the per-row
+      // bound, no join.
+      val spec = graft.query.FilterSpec.TermsSet("text",
+        Seq("dup", "merge", "vector", "scan"), "req_terms")
+      load(dir, "documents")
+        .withColumn("req_terms", (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+        .where(spec.compile)
+        .groupBy("req_terms").agg(count(lit(1)).as("n"))
+        .orderBy("req_terms")
+    }),
+
     "q_function_score" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES function_score: a linear length-decay around 400 chars
@@ -8399,6 +8425,38 @@ object SparkEntry {
       "documents", "doc_id",
       "concat_ws(' ', coalesce(text, ''), coalesce(source, ''))",
       "src1 spark", 20),
+
+    // dis_max restated: greatest + tb*(sum - greatest) over the same
+    // per-field scored runs.
+    "search_multi_match_dismax" -> {
+      val s0 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "text", "src1 spark")
+      val s1 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "source", "src1 spark")
+      s"""WITH s0 AS (
+         |$s0
+         |), s1 AS (
+         |$s1
+         |), j AS (
+         |  SELECT doc_id, coalesce(s0.score, 0.0) AS a, coalesce(s1.score, 0.0) AS b
+         |  FROM s0 FULL OUTER JOIN s1 USING (doc_id)
+         |)
+         |SELECT doc_id,
+         |  greatest(a, b) + 0.3 * ((a + b) - greatest(a, b)) AS score
+         |FROM j
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // terms_set restated: the same CASE sum against the same derived
+    // per-row threshold.
+    "q_terms_set" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      def c(t: String) = s"(CASE WHEN ${containsTokenSql("text", t)} THEN 1 ELSE 0 END)"
+      s"""SELECT req_terms, count(*) AS n FROM (
+         |  SELECT (doc_id % 3 + 1)::INT AS req_terms,
+         |    ${c("dup")} + ${c("merge")} + ${c("vector")} + ${c("scan")} AS hits
+         |  FROM documents)
+         |WHERE hits >= req_terms
+         |GROUP BY req_terms ORDER BY req_terms""".stripMargin
+    },
 
     // function_score restated with the engine's precomputed divisor
     // (s = scale/(1−decay) = 400.0) and the identical operator tree;

@@ -250,10 +250,15 @@ object Bm25 {
       mode: String = "best_fields",
       k1: Double = DefaultK1,
       b: Double = DefaultB,
+      tieBreaker: Double = 0.0,
       analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
     require(textCols.nonEmpty, "multiMatch: no fields")
     require(mode == "best_fields" || mode == "most_fields",
       s"multiMatch: unsupported mode <$mode> (best_fields|most_fields)")
+    require(tieBreaker >= 0 && tieBreaker <= 1,
+      s"multiMatch: tie_breaker must be in [0,1], got $tieBreaker")
+    require(tieBreaker == 0.0 || mode == "best_fields",
+      "multiMatch: tie_breaker applies to best_fields (dis_max) only")
     val perField = textCols.zipWithIndex.map { case (f, i) =>
       scoredAll(docs, idCol,
           concat(lit(" "), analyzer.normalized(col(s"`$f`")), lit(" ")),
@@ -264,7 +269,12 @@ object Bm25 {
     val per = textCols.indices.map(i => coalesce(col(s"_s$i"), lit(0.0)))
     val combined =
       if (per.size == 1) per.head
-      else if (mode == "best_fields") greatest(per: _*)
+      else if (mode == "best_fields" && tieBreaker == 0.0) greatest(per: _*)
+      else if (mode == "best_fields")
+        // ES dis_max with tie_breaker: best + tb·(sum of the others) —
+        // matching in several fields now counts, weighted below the best.
+        greatest(per: _*) +
+          lit(tieBreaker) * (per.reduce(_ + _) - greatest(per: _*))
       else per.reduce(_ + _)
     joined
       .withColumn("score", combined)

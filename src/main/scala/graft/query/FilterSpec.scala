@@ -158,6 +158,27 @@ object FilterSpec {
     def fields: Seq[String] = specs.flatMap(_.fields).distinct
   }
 
+  /** ES `terms_set` — a terms match whose minimum_should_match comes FROM
+    * THE DOCUMENT (`minimum_should_match_field`, the "required skills"
+    * idiom: a job row states how many of the query's terms it needs): the
+    * doc matches when at least `msmField`-many of `terms` appear as
+    * analyzed tokens of `field`. Docs with a NULL threshold never match
+    * (ES skips them). One codegen'd integer sum against a per-row bound —
+    * no join. Display form: `field:(t1 t2)~@msmField` (no Lucene syntax
+    * exists for terms_set; the `~@` marks the field-sourced threshold).
+    */
+  final case class TermsSet(field: String, terms: Seq[String], msmField: String) extends FilterSpec {
+    require(terms.nonEmpty, "TermsSet of zero terms")
+    def compile: Column =
+      terms.map(t =>
+          when(coalesce(TextMatch.containsToken(col(field), t), lit(false)), lit(1))
+            .otherwise(lit(0)))
+        .reduce(_ + _) >= coalesce(col(msmField).cast("int"), lit(Int.MaxValue))
+    def render: String =
+      terms.map(escTerm).mkString(s"${escName(field)}:(", " ", s")~@${escName(msmField)}")
+    def fields: Seq[String] = Seq(field, msmField)
+  }
+
   /** Negation — `bool.must_not`. Lucene semantics: a document matches iff
     * the inner clause does NOT (nulls in the inner predicate count as
     * non-matching, hence match here — the `coalesce` keeps three-valued

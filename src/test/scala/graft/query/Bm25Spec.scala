@@ -226,4 +226,28 @@ class Bm25Spec extends graft.SparkSpecBase {
       .as[(Long, Double)].collect().toMap
     assert(most(1L) !== got(1L))
   }
+
+  test("dis_max tie_breaker interpolates between best_fields and most_fields") {
+    val two = Seq(
+      (1L, "spark spark", "alpha"),
+      (2L, "join scan", "spark"),
+      (3L, "spark misc", "spark"),
+    ).toDF("doc_id", "text", "title")
+    def run(mode: String, tb: Double = 0.0): Map[Long, Double] =
+      Bm25.multiMatchTopK(two, "doc_id", Seq("text", "title"), "spark",
+          k = 10, mode = mode, tieBreaker = tb)
+        .as[(Long, Double)].collect().toMap
+    val best = run("best_fields")
+    val most = run("most_fields")
+    val dm = run("best_fields", tb = 0.3)
+    for (id <- Seq(1L, 2L, 3L)) {
+      // best + 0.3*(sum - best), exactly
+      assert(dm(id) === best(id) + 0.3 * (most(id) - best(id)), s"doc $id")
+      assert(dm(id) >= best(id) && dm(id) <= most(id) + 1e-15)
+    }
+    // tb = 1 IS most_fields (max + (sum - max) = sum)
+    assert(run("best_fields", tb = 1.0) === most)
+    intercept[IllegalArgumentException](run("most_fields", tb = 0.3))
+    intercept[IllegalArgumentException](run("best_fields", tb = 1.5))
+  }
 }

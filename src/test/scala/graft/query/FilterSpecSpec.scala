@@ -65,4 +65,22 @@ class FilterSpecSpec extends SparkSpecBase {
     // field names with spaces are escaped
     assert(FilterSpec.NumericRange("a b", 1, 2).render === """a\ b:>=1 AND a\ b:<=2""")
   }
+
+  test("TermsSet: per-document minimum_should_match, null threshold never matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "dup merge vector scan", Some(4)),  // all four -> meets 4
+      (2L, "dup merge other words", Some(2)),  // two hits, needs 2
+      (3L, "dup alone here", Some(2)),         // one hit, needs 2 -> out
+      (4L, "dup merge vector", Some(2)),       // three hits, needs 2
+      (5L, "dup merge vector scan", None),     // null threshold -> never
+    ).toDF("id", "text", "req")
+    val spec = FilterSpec.TermsSet("text", Seq("dup", "merge", "vector", "scan"), "req")
+    assert(docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 4L))
+    assert(spec.render === "text:(dup merge vector scan)~@req")
+    assert(spec.fields === Seq("text", "req"))
+    intercept[IllegalArgumentException](FilterSpec.TermsSet("text", Seq.empty, "req"))
+  }
 }
