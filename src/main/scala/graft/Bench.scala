@@ -265,7 +265,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the fusion/paging tier's deliberate bounded ≤k-row
+    // unpartitioned windows emit ~30 `WindowExec: No Partition Defined`
+    // WARN lines that bury the headline inside the driver's ~2 KB stdout
+    // tail capture (four rounds of `parsed: null`). The bench catches and
+    // prints its own failures on stderr; nothing real is lost at ERROR.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: initialize executor pool, parquet reader, and codegen
     // compiler once so the first timed query measures the query, not JVM
     // startup (~4-5s otherwise attributed to whichever query sorts first).
@@ -376,7 +381,19 @@ object Bench {
     // The contract line goes LAST, compact enough to fit a ~2 KB tail
     // capture whole even with sbt's epilogue after it (BenchLineSpec pins
     // the budget against the real registry).
-    println(renderHeadline(results, sfDir, loadStart, loadEnd))
+    val headline = renderHeadline(results, sfDir, loadStart, loadEnd)
+    // The headline ALSO lands as a repo file: a file either parses or the
+    // bench failed — no stdout-capture hygiene in the loop. Stdout scrape
+    // stays for driver compatibility; BENCH_HEADLINE.json is the artifact
+    // of record (full-registry runs only, same ownership rule as the
+    // detail file above — a partial probe must not clobber it).
+    if (only.isEmpty) try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_HEADLINE_OUT", "BENCH_HEADLINE.json")),
+        headline + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] headline write failed: $e") }
+    println(headline)
     spark.stop()
   }
 }

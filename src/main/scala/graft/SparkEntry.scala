@@ -496,7 +496,12 @@ object SparkEntry {
           else docs0
         val analyzed = concat(lit(" "),
           graft.expr.TextMatch.normalized(col("text")), lit(" "))
-        val scored = graft.query.Bm25.scoredAll(docs, "doc_id", analyzed, qText)
+        // `term^2` boosts compile to per-term BM25 weights on this (the
+        // scoring) path; an unboosted q takes the identical unweighted
+        // tree (boostedTerms defaults every weight to 1.0 and
+        // scoredAllBoosted short-circuits the 1.0 multiplier).
+        val scored = graft.query.Bm25.scoredAllBoosted(docs, "doc_id", analyzed,
+          graft.query.QueryString.boostedTerms(qText))
         val page =
           if (o.hasNonNull("collapse"))
             graft.query.Paging.collapseTopHits(
@@ -1982,6 +1987,22 @@ object SparkEntry {
       // path: analyzes per row, computes corpus stats in-query.
       graft.query.Bm25.topKRaw(load(dir, "documents"), "doc_id", "text",
         "dup vector scan", k = 15)
+    }),
+
+    "search_bm25_boosted" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // query_string boosts on the SCORING path: `vector^2 dup scan^0.5`
+      // compiles to per-term BM25 weight multipliers (the real Lucene
+      // boost meaning) through the same QueryString.boostedTerms →
+      // Bm25.scoredAllBoosted chain the /search route serves — the
+      // common term 'vector' doubled outweighs the rare 'dup''s idf
+      // advantage for multi-occurrence docs, 'scan' half-weighted. The
+      // filter path keeps its loud boost rejection.
+      val docs = load(dir, "documents")
+      val termBoosts = graft.query.QueryString.boostedTerms("vector^2 dup scan^0.5")
+      graft.query.Bm25.topKBoosted(docs, "doc_id",
+        concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")),
+        termBoosts, k = 15)
     }),
 
     "search_bm25_indexed" -> ((s, dir) => {
@@ -5207,6 +5228,41 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "q_function_score_modes" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES function_score COMBINE modes — score_mode folds the function
+      // array (sum / first / weighted avg exercised here), max_boost caps
+      // the combined factor, boost_mode merges with the query score
+      // (multiply / max / sum exercised). Three functions: an unfiltered
+      // linear length-decay at weight 2, a weight-only function (ES's
+      // `weight` with no kernel — score 1) on lang:en at weight 3, and a
+      // log1p popularity factor filtered to even doc_ids. All row-local
+      // fixed IEEE trees over oracle-able kernels (no bare exp).
+      import graft.query.Scoring.ScoreFunction
+      val docs = load(dir, "documents")
+      val qscore = query.Scoring.fieldValueFactor(col("n_chars"),
+        factor = 0.01, modifier = "sqrt")
+      val decay = ScoreFunction(query.Scoring.linearDecay(
+        col("n_chars").cast("double"), origin = 400, scale = 200), weight = 2.0)
+      val enWeight = ScoreFunction(lit(1.0), weight = 3.0,
+        filter = Some(col("lang") === "en"))
+      val popEven = ScoreFunction(query.Scoring.fieldValueFactor(
+          col("doc_id"), factor = 0.5, modifier = "log1p"),
+        filter = Some(pmod(col("doc_id"), lit(2)) === 0))
+      val fns = Seq(decay, enWeight, popEven)
+      docs.select(col("doc_id"),
+          query.Scoring.functionScore(qscore, fns,
+            scoreMode = "sum", boostMode = "multiply", maxBoost = 4.0)
+            .as("score_sum"),
+          // filtered functions FIRST so the `first` cascade is non-trivial
+          query.Scoring.functionScore(qscore, Seq(enWeight, popEven, decay),
+            scoreMode = "first", boostMode = "max").as("score_first"),
+          query.Scoring.functionScore(qscore, fns,
+            scoreMode = "avg", boostMode = "sum").as("score_avg"))
+        .orderBy(desc("score_sum"), asc("doc_id"))
+        .limit(40)
+    }),
+
     "search_linear_fusion" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES `linear` retriever fusion — the rank-free combiner for when
@@ -5230,12 +5286,16 @@ object SparkEntry {
       implicit val spark: SparkSession = s
       // ES `pinned` query — the editorial override: curated ids surface
       // first in their given order, the organic BM25 run follows with
-      // the pinned ids deduped out.
+      // the pinned ids deduped out. The curated list carries a STALE id
+      // (10000000 — exists at no SF) and the corpus semi-join drops it,
+      // the ES contract: only ids present in the index are promoted,
+      // survivors' ranks compacting in curated order.
       val docs = load(dir, "documents")
       val organic = query.Bm25.topKRaw(docs, "doc_id", "text",
         "spark merge join window", k = 20)
       query.Hybrid.pinned(organic, "doc_id", "score",
-          pinnedIds = Seq(400L, 7L, 123L), topK = 10)
+          pinnedIds = Seq(400L, 10000000L, 7L, 123L), topK = 10,
+          corpus = Some(docs))
         .orderBy("rank")
     }),
 
@@ -6394,6 +6454,13 @@ object SparkEntry {
 
     "search_bm25_indexed" ->
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    // Boosted twin: the identical scored restatement with each term's
+    // contribution multiplied by its boost literal (1.0 boosts keep the
+    // unweighted tree — the engine's own short-circuit).
+    "search_bm25_boosted" ->
+      graft.query.Bm25.oracleSqlBoosted("documents", "doc_id", "text",
+        graft.query.QueryString.boostedTerms("vector^2 dup scan^0.5"), 15),
 
     "search_bm25_phrase" ->
       graft.query.Bm25.oracleSqlPhrase("documents", "doc_id", "text", "batch batch", 15),
@@ -8470,6 +8537,34 @@ object SparkEntry {
          |  FROM documents)
          |WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 30""".stripMargin,
 
+    // The combine-mode surface restated: per-function (match, weight·value)
+    // columns once in a CTE, then each score column replays the engine's
+    // exact fold — sum with the 4.0 max_boost cap under multiply, the
+    // first-match cascade under max, the weighted average under sum. The
+    // decay function is unfiltered so every doc matches ≥1 function (the
+    // no-match→1 branch is constant-false and drops out of the oracle).
+    "q_function_score_modes" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    0.01 * sqrt(coalesce(n_chars::DOUBLE, 0.0)) AS q,
+         |    2.0 * greatest(0.0, (400.0 - greatest(0.0, abs(n_chars::DOUBLE - 400.0) - 0.0))
+         |      / 400.0) AS v1,
+         |    (lang = 'en') AS m2,
+         |    (doc_id % 2 = 0) AS m3,
+         |    1.0 * (0.5 * ln(1 + coalesce(doc_id::DOUBLE, 0.0))) AS v3
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  q * least(v1 + (CASE WHEN m2 THEN 3.0 ELSE 0.0 END)
+         |    + (CASE WHEN m3 THEN v3 ELSE 0.0 END), 4.0) AS score_sum,
+         |  greatest(q, CASE WHEN m2 THEN 3.0 WHEN m3 THEN v3 ELSE v1 END) AS score_first,
+         |  q + ((v1 + (CASE WHEN m2 THEN 3.0 ELSE 0.0 END)
+         |    + (CASE WHEN m3 THEN v3 ELSE 0.0 END))
+         |    / (2.0 + (CASE WHEN m2 THEN 3.0 ELSE 0.0 END)
+         |    + (CASE WHEN m3 THEN 1.0 ELSE 0.0 END))) AS score_avg
+         |FROM f
+         |ORDER BY score_sum DESC, doc_id ASC LIMIT 40""".stripMargin,
+
     // Linear fusion restated: the same two runs, each min-max normalized
     // over its own top-50 window (degenerate run → 1.0), weighted 0.7/0.3,
     // absent docs contributing 0.
@@ -8510,21 +8605,33 @@ object SparkEntry {
 
     // Pinned restated: three literal curated rows ranked 1..3, the organic
     // top-20 anti-filtered and shifted by 3.
+    // Pinned restated with the existence contract: the curated VALUES
+    // list semi-joins the corpus (the stale id 10000000 drops out),
+    // survivors re-rank in curated order, organic ranks offset by the
+    // SURVIVING pin count.
     "search_pinned" -> {
       val bm = graft.query.Bm25.oracleSql(
         "documents", "doc_id", "text", "spark merge join window", 20)
       s"""WITH bm AS (
          |$bm
+         |), pins AS (
+         |  SELECT doc_id, pin_order FROM (VALUES
+         |    (400::BIGINT, 1), (10000000::BIGINT, 2), (7::BIGINT, 3),
+         |    (123::BIGINT, 4)) AS t(doc_id, pin_order)
+         |  WHERE doc_id IN (SELECT doc_id FROM documents)
+         |), pr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY pin_order) AS rank,
+         |    true AS pinned
+         |  FROM pins
          |), org AS (
          |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) + 3 AS rank,
+         |    row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |      + (SELECT count(*) FROM pins) AS rank,
          |    false AS pinned
-         |  FROM bm WHERE doc_id NOT IN (400, 7, 123)
+         |  FROM bm WHERE doc_id NOT IN (400, 10000000, 7, 123)
          |)
          |SELECT doc_id, rank, pinned FROM (
-         |  SELECT 400::BIGINT AS doc_id, 1 AS rank, true AS pinned
-         |  UNION ALL SELECT 7, 2, true
-         |  UNION ALL SELECT 123, 3, true
+         |  SELECT doc_id, rank, pinned FROM pr
          |  UNION ALL SELECT doc_id, rank, pinned FROM org)
          |ORDER BY rank LIMIT 10""".stripMargin
     },

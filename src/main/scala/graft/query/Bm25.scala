@@ -101,14 +101,24 @@ object Bm25 {
     * broadcast stats columns (`_n`, `_sumdl`, `_df<i>`). Fixed left-fold
     * over terms in order — the association the SQL oracle restates.
     */
-  private[query] def scoreColumn(nTerms: Int, k1: Double, b: Double): Column = {
+  private[query] def scoreColumn(nTerms: Int, k1: Double, b: Double): Column =
+    scoreColumnWeighted(Seq.fill(nTerms)(1.0), k1, b)
+
+  /** [[scoreColumn]] with a per-term boost multiplying each term's BM25
+    * contribution — the Lucene `term^boost` scoring semantics. Weight 1.0
+    * emits the UNWEIGHTED term tree (no `1.0 *` node), so unboosted
+    * queries keep the exact IEEE tree every existing oracle pins.
+    */
+  private[query] def scoreColumnWeighted(
+      weights: Seq[Double], k1: Double, b: Double): Column = {
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("_dl").cast("double") / avgdl)
-    (0 until nTerms).map { i =>
+    weights.zipWithIndex.map { case (w, i) =>
       val tf = col(s"_tf$i").cast("double")
       val df = col(s"_df$i")
       val idf = log(lit(1.0) + (col("_n") - df + lit(0.5)) / (df + lit(0.5)))
-      idf * ((tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * dlNorm))
+      val term = idf * ((tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * dlNorm))
+      if (w == 1.0) term else lit(w) * term
     }.reduce(_ + _)
   }
 
@@ -185,17 +195,57 @@ object Bm25 {
       terms: Seq[String],
       k1: Double,
       b: Double,
-      stats: Option[DataFrame]): DataFrame = {
+      stats: Option[DataFrame],
+      weights: Option[Seq[Double]] = None): DataFrame = {
     val st = stats.getOrElse(corpusStats(docs, analyzed, terms))
+    val ws = weights.getOrElse(Seq.fill(terms.size)(1.0))
+    require(ws.size == terms.size, "bm25: weights/terms length mismatch")
     val base = docs.select(
       col(s"`$idCol`") +:
         docLength(analyzed).as("_dl") +:
         terms.zipWithIndex.map { case (t, i) => TokenOccurrences(analyzed, t).as(s"_tf$i") }: _*)
     base.crossJoin(broadcast(st))
       .where(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
-      .withColumn("score", scoreColumn(terms.size, k1, b))
+      .withColumn("score", scoreColumnWeighted(ws, k1, b))
       .select(col(s"`$idCol`"), col("score"))
   }
+
+  /** Scored retrieval with PER-TERM BOOSTS — the `query_string`
+    * `term^2` scoring compilation (Lucene: a boost multiplies its term
+    * query's score contribution inside the sum). Boost 1.0 terms score
+    * with the exact unweighted tree, so a boost-free term list is
+    * bit-identical to [[scoredAll]]. Terms must be pre-analyzed and
+    * distinct ([[graft.query.QueryString.boostedTerms]] produces exactly
+    * that).
+    */
+  def scoredAllBoosted(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      termBoosts: Seq[(String, Double)],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None): DataFrame = {
+    require(termBoosts.nonEmpty, "bm25: empty boosted term set")
+    require(termBoosts.map(_._1).distinct.size == termBoosts.size,
+      "bm25: duplicate terms in boosted term set")
+    scoredTerms(docs, idCol, analyzed, termBoosts.map(_._1), k1, b, stats,
+      weights = Some(termBoosts.map(_._2)))
+  }
+
+  /** [[scoredAllBoosted]] ranked and limited — the boosted [[topK]]. */
+  def topKBoosted(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      termBoosts: Seq[(String, Double)],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None): DataFrame =
+    scoredAllBoosted(docs, idCol, analyzed, termBoosts, k1, b, stats)
+      .orderBy(desc("score"), asc(s"`$idCol`"))
+      .limit(k)
 
   private def topKTerms(
       docs: DataFrame,
@@ -363,6 +413,19 @@ object Bm25 {
     oracleScoredForTerms(table, idCol, textExpr, terms, k1, b)
   }
 
+  /** [[oracleSql]] with per-term boosts — the [[topKBoosted]] twin. */
+  def oracleSqlBoosted(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      termBoosts: Seq[(String, Double)],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): String =
+    oracleScoredForTerms(table, idCol, textExpr, termBoosts.map(_._1), k1, b,
+      weights = Some(termBoosts.map(_._2))) +
+      s"\nORDER BY score DESC, $idCol ASC LIMIT $k"
+
   private def oracleSqlForTerms(
       table: String,
       idCol: String,
@@ -380,7 +443,10 @@ object Bm25 {
       textExpr: String,
       terms: Seq[String],
       k1: Double,
-      b: Double): String = {
+      b: Double,
+      weights: Option[Seq[Double]] = None): String = {
+    val ws = weights.getOrElse(Seq.fill(terms.size)(1.0))
+    require(ws.size == terms.size, "bm25 oracle: weights/terms length mismatch")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       if (t.contains(' ')) {
         // Phrase TF: count of starting positions of the full token
@@ -396,8 +462,12 @@ object Bm25 {
     }.mkString(",\n    ")
     val dlNorm = s"(1.0 - $b + $b * (b.dl::DOUBLE / (st.sumdl::DOUBLE / st.n::DOUBLE)))"
     val score = terms.indices.map { i =>
-      s"(ln(1.0 + (st.n - st.df$i + 0.5) / (st.df$i + 0.5)) * " +
-        s"((b.tf$i::DOUBLE * ($k1 + 1.0)) / (b.tf$i::DOUBLE + $k1 * $dlNorm)))"
+      val term =
+        s"(ln(1.0 + (st.n - st.df$i + 0.5) / (st.df$i + 0.5)) * " +
+          s"((b.tf$i::DOUBLE * ($k1 + 1.0)) / (b.tf$i::DOUBLE + $k1 * $dlNorm)))"
+      // boost 1.0 keeps the exact unweighted tree (the engine's own
+      // short-circuit) so boost-free oracles stay bit-identical
+      if (ws(i) == 1.0) term else s"(${ws(i)} * $term)"
     }.mkString("(", "\n    + ", ")")
     val anyMatch = terms.indices.map(i => s"b.tf$i > 0").mkString(" OR ")
     s"""WITH d AS (

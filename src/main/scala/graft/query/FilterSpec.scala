@@ -336,14 +336,36 @@ object FilterSpec {
   }
 
   object Wildcard {
-    /** `*`/`?` → `%`/`_` with pre-existing LIKE metacharacters escaped. */
-    def toLike(pattern: String): String =
-      pattern.flatMap {
-        case '*' => "%"
-        case '?' => "_"
-        case c @ ('%' | '_' | '\\') => "\\" + c
-        case c => c.toString
+    /** Lucene wildcard pattern → SQL LIKE pattern, `\`-escape-aware:
+      * unescaped `*`/`?` become `%`/`_`; a `\`-escaped character is a
+      * LITERAL (so `\*` matches an asterisk, never acting as a wildcard —
+      * the query_string escape contract), LIKE-escaped when it is itself
+      * a LIKE metacharacter; unescaped LIKE metacharacters in the pattern
+      * text are literals too and get LIKE-escaped. A trailing lone `\`
+      * stays a literal backslash.
+      */
+    def toLike(pattern: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < pattern.length) {
+        val c = pattern(i)
+        if (c == '\\' && i + 1 < pattern.length) {
+          val n = pattern(i + 1)
+          if (n == '%' || n == '_' || n == '\\') out.append('\\').append(n)
+          else out.append(n)
+          i += 2
+        } else {
+          c match {
+            case '*' => out.append('%')
+            case '?' => out.append('_')
+            case '%' | '_' | '\\' => out.append('\\').append(c)
+            case other => out.append(other)
+          }
+          i += 1
+        }
       }
+      out.toString
+    }
   }
 
   /** Field presence — `field:*` (ES `exists`; the webapp's own

@@ -105,26 +105,50 @@ object Hybrid {
     * editorial-override primitive. Pinned ids ride the plan as literals;
     * the organic run keeps its retriever's scale shape.
     *
+    * ES promotes only pinned ids that EXIST in the index — a stale curated
+    * list must not surface phantom documents. Pass `corpus` (the index /
+    * source frame the organic run was retrieved from) to get that
+    * semantics: pinned ids are semi-joined against it and absent ids drop
+    * out, the survivors' ranks compacting to 1..p' in curated order. With
+    * `corpus = None` the ids are trusted as-is (every pinned id surfaces,
+    * existing or not) — the documented divergence, acceptable only when
+    * the caller has already validated the curated list.
+    *
     * Output: `(idCol, rank, pinned)` — `rank` over the combined list.
     */
   def pinned(organic: DataFrame, idCol: String, scoreCol: String,
-      pinnedIds: Seq[Long], topK: Int = 10): DataFrame = {
+      pinnedIds: Seq[Long], topK: Int = 10,
+      corpus: Option[DataFrame] = None): DataFrame = {
     require(pinnedIds.distinct.size == pinnedIds.size, "pinned: duplicate pinned ids")
     val id = col(s"`$idCol`")
-    val pinRank = pinnedIds.zipWithIndex
-      .foldLeft(lit(null).cast("int")) { case (acc, (pid, i)) =>
-        when(id === lit(pid), lit(i + 1)).otherwise(acc)
-      }
     val w = Window.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`"))
+    val allPinned = organic.sparkSession
+      .createDataFrame(pinnedIds.zipWithIndex.map { case (pid, i) => (pid, i + 1, true) })
+      .toDF(idCol, "_pin_order", "pinned")
+    // Existence check + rank compaction: survivors re-rank 1..p' in the
+    // curated order (row_number over _pin_order — a ≤p-row frame, the
+    // curated list itself, so the unpartitioned window is bounded by
+    // construction). The semi-join broadcasts the p-row pinned side — the
+    // corpus keeps its scale shape.
+    val pinnedRows = corpus match {
+      case Some(c) =>
+        allPinned.join(c.select(id.as(idCol)), Seq(idCol), "left_semi")
+          .withColumn("rank", row_number().over(Window.orderBy("_pin_order")))
+          .select(id.as(idCol), col("rank"), col("pinned"))
+      case None =>
+        allPinned.select(id.as(idCol), col("_pin_order").as("rank"), col("pinned"))
+    }
     val organicRanked = organic
       .where(!id.isin(pinnedIds: _*))
-      .withColumn("rank", row_number().over(w) + lit(pinnedIds.size))
+      .withColumn("_orank", row_number().over(w))
       .withColumn("pinned", lit(false))
-      .select(id.as(idCol), col("rank"), col("pinned"))
-    val pinnedRows = organic.sparkSession
-      .createDataFrame(pinnedIds.zipWithIndex.map { case (pid, i) => (pid, i + 1, true) })
-      .toDF(idCol, "rank", "pinned")
-    pinnedRows.unionByName(organicRanked)
+      .select(id.as(idCol), col("_orank"), col("pinned"))
+    // Offset the organic ranks by the SURVIVING pin count (≤p-row
+    // broadcast), so the combined list stays gapless when stale ids drop.
+    val pinCount = pinnedRows.agg(count(lit(1)).cast("int").as("_pc"))
+    organicRanked.crossJoin(broadcast(pinCount))
+      .select(id.as(idCol), (col("_orank") + col("_pc")).as("rank"), col("pinned"))
+      .unionByName(pinnedRows)
       .orderBy("rank")
       .limit(topK)
   }
@@ -139,17 +163,29 @@ object Hybrid {
     * `ivfPqTopKRerank`: a cheap retriever nominates, an expensive scorer
     * refines a BOUNDED window.
     *
+    * The run is PRE-LIMITED in-plan to `runLimit` rows by primary order
+    * (`orderBy(...).limit` → TakeOrderedAndProject: per-partition top-k +
+    * driver merge, never a full-run single-partition funnel) BEFORE the
+    * global rank window — so an unbounded scored match set from the
+    * serving route costs a distributed top-k, not a one-partition sort of
+    * the whole corpus. Ranks beyond `runLimit` truncate; a serving caller
+    * reads pages from the top, so `runLimit` is the page budget, and it
+    * must be ≥ `windowSize` (the rescored window must survive the cut).
+    *
     * Output: `(idCol, rank, score)` — `score` the combined total inside
     * the window, the primary score below it.
     */
   def rescore(run: DataFrame, idCol: String, scoreCol: String,
       secondary: DataFrame, secondaryScoreCol: String,
       windowSize: Int, queryWeight: Double = 1.0,
-      rescoreWeight: Double = 1.0): DataFrame = {
+      rescoreWeight: Double = 1.0, runLimit: Int = 1000): DataFrame = {
     require(windowSize >= 1, s"rescore: windowSize must be >= 1, got $windowSize")
+    require(runLimit >= windowSize,
+      s"rescore: runLimit=$runLimit must cover windowSize=$windowSize")
     val id = col(s"`$idCol`")
     val w = Window.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`"))
-    val ranked = run.withColumn("_prank", row_number().over(w))
+    val bounded = run.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`")).limit(runLimit)
+    val ranked = bounded.withColumn("_prank", row_number().over(w))
     val window = ranked.where(col("_prank") <= windowSize)
       .join(secondary.select(id.as(idCol),
         col(s"`$secondaryScoreCol`").as("_s2")), Seq(idCol), "left")

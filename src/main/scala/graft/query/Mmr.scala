@@ -32,19 +32,45 @@ object Mmr {
     * @param k      picks per query (the diversified result size)
     * @param lambda relevance weight: 1.0 = pure relevance ranking,
     *               0.0 = pure diversity
+    * @param maxCandidates per-query candidate bound, SELF-ENFORCED in-plan
+    *                   (the `Hybrid.withRank` discipline): a per-`query_id`
+    *                   window count raises during the checkpoint
+    *                   materialization when any query's candidate list
+    *                   exceeds it — the signature that a corpus-sized frame
+    *                   reached the diversification tier, which would
+    *                   otherwise silently checkpoint a corpus to executor
+    *                   storage.
     * @return `(query_id, pick, cand_id, rel, mmr)` — `pick` = 1..k in
     *         selection order; `mmr` the score at selection time (pick 1's
     *         score is `λ·rel`: the max-sim term is empty-set zero)
     */
-  def diversify(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+  def diversify(candidates: DataFrame, k: Int, lambda: Double,
+      maxCandidates: Int = 10000): DataFrame = {
     require(k >= 1, s"mmr: k must be >= 1, got $k")
     require(lambda >= 0 && lambda <= 1, s"mmr: lambda must be in [0,1], got $lambda")
+    // Per-query bound guard, evaluated in-plan BEFORE the checkpoint so an
+    // oversized frame fails the materialization loudly instead of landing
+    // on executor storage. Partitioned by query_id — no single-task funnel.
+    val wq = Window.partitionBy("query_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perQuery = count(lit(1)).over(wq)
+    val guard = when(perQuery > maxCandidates,
+      raise_error(concat(
+        lit("Mmr.diversify: "), perQuery.cast("string"),
+        lit(s" candidates for query_id "), col("query_id").cast("string"),
+        lit(s" exceed maxCandidates=$maxCandidates — diversify only the " +
+          "retriever's top-N; limit candidates per query first")))
+      .cast("boolean")).otherwise(lit(true))
     // Materialize the candidate frame ONCE: every unrolled stage joins
     // against the picks of the previous stages, and without this the
     // lineage re-executes the upstream retriever O(k²) times (measured
     // 2.5 s → 1.0 s on the sf0.1 registry query). Candidates are
-    // top-N-per-query bounded by contract, so the checkpoint is small.
-    val cand = candidates.localCheckpoint()
+    // top-N-per-query bounded by contract — and now by the guard above.
+    val cand = candidates
+      .withColumn("_bound_ok", guard)
+      .where(col("_bound_ok"))
+      .drop("_bound_ok")
+      .localCheckpoint()
     val lam = lit(lambda)
     val w = Window.partitionBy("query_id").orderBy(desc("_mmr"), asc("cand_id"))
     def pickTop(scored: DataFrame, t: Int): DataFrame =

@@ -41,16 +41,30 @@ object Percolator {
   /** Compile the AT-REST stored-query table — the alerting deployment
     * shape: queries are ROWS a UI or API writes (`(id, query_string)`),
     * read and compiled at percolation-plan build time. The collect is
-    * bounded by design: the stored-query set is plan-side (see class doc;
-    * [[percolateSharded]] is the index-scale spill-over).
+    * bounded by design — the stored-query set is plan-side (see class
+    * doc) — and the bound is ENFORCED: `maxQueries` caps the driver-side
+    * collect (default 100k, the sharding guidance's ceiling — ~100 shards
+    * of 1024 through [[percolateSharded]]), so an unbounded registry
+    * table fails loudly instead of silently OOMing the driver.
     */
   def storedFromTable(
       table: DataFrame, idCol: String, queryCol: String,
-      defaultField: String): Seq[StoredQuery] =
-    fromStrings(
-      table.select(col(idCol).cast("string"), col(queryCol).cast("string"))
-        .collect().toSeq.map(r => (r.getString(0), r.getString(1))),
-      defaultField)
+      defaultField: String, maxQueries: Int = 100000): Seq[StoredQuery] = {
+    require(maxQueries >= 1,
+      s"storedFromTable: maxQueries must be >= 1, got $maxQueries")
+    // limit(max+1): one row past the bound is enough to detect overflow
+    // without ever collecting the full oversized registry.
+    val rows = table
+      .select(col(idCol).cast("string"), col(queryCol).cast("string"))
+      .limit(maxQueries + 1)
+      .collect()
+    require(rows.length <= maxQueries,
+      s"storedFromTable: stored-query table exceeds maxQueries=$maxQueries — " +
+        "stored queries are plan-side (driver-compiled); partition the " +
+        "registry and percolate each partition via percolateSharded, or " +
+        "raise maxQueries deliberately")
+    fromStrings(rows.toSeq.map(r => (r.getString(0), r.getString(1))), defaultField)
+  }
 
   /** Wide form: the input rows with a `matched_queries` array column
     * (stored-query ids, in registration order; empty when none match —

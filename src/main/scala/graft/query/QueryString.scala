@@ -53,11 +53,14 @@ package graft.query
   *    A bare space would end the token — match whitespace with `\s` or a
   *    `[ ]` class (character classes ride whole through the scanner).
   *
-  * Not supported — DELIBERATELY kept a loud parse error, not a silent
-  * drop: boosts (`^2` — pure scoring; in a filter compilation a dropped
-  * boost would silently change nothing while LOOKING honored, so the
-  * honest answer is rejection). Escape reserved characters to query them
-  * literally.
+  * Boosts (`^2`) are pure scoring, so they split by path: the FILTER
+  * compile ([[parse]]) DELIBERATELY keeps them a loud parse error, not a
+  * silent drop — in a filter compilation a dropped boost would silently
+  * change nothing while LOOKING honored. The SCORING compile
+  * ([[boostedTerms]], the `/search` route's `q`) honors them with their
+  * real Lucene meaning: per-term BM25 weight multipliers
+  * ([[Bm25.scoredAllBoosted]]). Escape reserved characters to query them
+  * literally on either path.
   */
 object QueryString {
 
@@ -79,6 +82,60 @@ object QueryString {
       require(p.exhausted, s"query_string: unexpected '${p.peekRaw}' after a complete query in <$q>")
       spec
     }
+  }
+
+  /** The SCORING-path boost compile — `term^2` as per-term BM25 weights
+    * for the `/search` route ([[Bm25.scoredAllBoosted]]). The filter path
+    * ([[parse]]) keeps its loud boost rejection: a boost honored in a
+    * FILTER compilation is a silent no-op that looks honored, but on the
+    * scoring path a boost has its real Lucene meaning — it multiplies the
+    * term's score contribution.
+    *
+    * Surface: a FLAT whitespace-separated term list, each term optionally
+    * `^<number>`-boosted; `\`-escapes honored (`a\^2` is a literal term,
+    * no boost). Structure (operators, groups, `field:`) is the filter
+    * path's job and rejects loudly here. Terms analyze through
+    * `analyzer`; duplicate analyzed terms collapse keeping the MAXIMUM
+    * boost (the boosted twin of [[Bm25.queryTerms]]'s `.distinct`).
+    */
+  def boostedTerms(
+      q: String,
+      analyzer: graft.expr.TextMatch.Analyzer = graft.expr.TextMatch.AsciiAnalyzer)
+      : Seq[(String, Double)] = {
+    val BoostRx = "^(\\d+(?:\\.\\d+)?)$".r
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    tokenize(q).foreach {
+      case u: Unit =>
+        val cs = u.chars
+        val raw = cs.map(_.c).mkString
+        require(!cs.exists(e => !e.esc && e.c == ':'),
+          s"query_string: fielded clause <$raw> on the scoring path — " +
+            "boosted terms are bare; route structure through the filter")
+        val caret = cs.indexWhere(e => !e.esc && e.c == '^')
+        val (termCs, boost) =
+          if (caret < 0) (cs, 1.0)
+          else {
+            val after = cs.drop(caret + 1)
+            require(!after.exists(e => !e.esc && e.c == '^'),
+              s"query_string: multiple boosts in <$raw>")
+            after.map(_.c).mkString match {
+              case BoostRx(n) => (cs.take(caret), n.toDouble)
+              case bad => throw new IllegalArgumentException(
+                s"query_string: malformed boost <^$bad> in <$raw>")
+            }
+          }
+        val terms = analyzer.analyze(termCs.map(_.c).mkString)
+        require(terms.nonEmpty,
+          s"query_string: clause <$raw> has no analyzable term")
+        terms.foreach { t =>
+          out.update(t, out.get(t).map(math.max(_, boost)).getOrElse(boost))
+        }
+      case other => throw new IllegalArgumentException(
+        s"query_string: operator/group <$other> on the scoring path — " +
+          "boosted terms are a flat list; route structure through the filter")
+    }
+    require(out.nonEmpty, "query_string: no terms on the scoring path")
+    out.toSeq
   }
 
   // ===== scanner =====
@@ -365,7 +422,15 @@ object QueryString {
             value.length > 1) {
           FilterSpec.AnalyzedPrefix(field, lit(value.dropRight(1)))
         } else if (hasUnescaped(value, c => c == '*' || c == '?')) {
-          FilterSpec.Wildcard(field, text)
+          // Escape-aware: reconstruct the ORIGINAL backslash usage from
+          // the escape tags (as the regexp branch does) so a clause mixing
+          // an escaped and a live wildcard — `a\*b?` — keeps the escaped
+          // `*` LITERAL. The decoded `text` would hand Wildcard a live
+          // star, violating the documented contract that an escaped
+          // character never acts as a wildcard; Wildcard.toLike honors
+          // the `\`-escapes this reconstruction preserves.
+          val pattern = value.map(e => if (e.esc) "\\" + e.c else e.c.toString).mkString
+          FilterSpec.Wildcard(field, pattern)
         } else {
           require(unesc('~'),
             s"query_string: malformed fuzzy suffix in <$raw>")

@@ -51,6 +51,81 @@ object Scoring {
     exp(greatest(lit(0.0), abs(v - lit(origin)) - lit(offset)) * lit(lambda))
   }
 
+  /** One function inside a `function_score` composition: a score column
+    * (any [[Scoring]] kernel, or `lit(1.0)` for ES's weight-only
+    * function), a `weight` multiplier, and an optional `filter` — the
+    * function applies only to documents the filter matches (ES's
+    * filtered-functions array). Null filter results count as non-matching
+    * (the [[FilterSpec]] three-valued-logic discipline).
+    */
+  final case class ScoreFunction(score: Column, weight: Double = 1.0,
+      filter: Option[Column] = None)
+
+  /** Combine several [[ScoreFunction]]s under an ES `score_mode` —
+    * `multiply` (default) / `sum` / `avg` / `max` / `min` / `first` —
+    * over the MATCHING functions per document. Each matching function
+    * contributes `weight · score`; `avg` is the ES weighted average
+    * `Σ(wᵢ·fᵢ)/Σwᵢ`; `first` takes the first matching function in the
+    * given order. When NO function matches a document the combined factor
+    * is 1 (the ES contract: the query score passes through unmodified
+    * under `boost_mode: multiply`). Fixed left-fold association in the
+    * given function order — the tree the SQL oracle restates.
+    */
+  def combine(functions: Seq[ScoreFunction],
+      scoreMode: String = "multiply"): Column = {
+    require(functions.nonEmpty, "function_score: no functions")
+    val parts = functions.map { f =>
+      val m = f.filter.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      (m, lit(f.weight) * f.score, f.weight)
+    }
+    val anyMatch = parts.map(_._1).reduce(_ || _)
+    val combined = scoreMode match {
+      case "multiply" =>
+        parts.map { case (m, v, _) => when(m, v).otherwise(lit(1.0)) }.reduce(_ * _)
+      case "sum" =>
+        parts.map { case (m, v, _) => when(m, v).otherwise(lit(0.0)) }.reduce(_ + _)
+      case "avg" =>
+        val num = parts.map { case (m, v, _) => when(m, v).otherwise(lit(0.0)) }.reduce(_ + _)
+        val den = parts.map { case (m, _, w) => when(m, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
+        num / den
+      case "max" =>
+        parts.map { case (m, v, _) => when(m, v) }.reduce((a, b) => greatest(a, b))
+      case "min" =>
+        parts.map { case (m, v, _) => when(m, v) }.reduce((a, b) => least(a, b))
+      case "first" =>
+        parts.foldRight(lit(1.0)) { case ((m, v, _), acc) => when(m, v).otherwise(acc) }
+      case other => throw new IllegalArgumentException(
+        s"function_score: unsupported score_mode <$other> " +
+          "(multiply|sum|avg|max|min|first)")
+    }
+    when(anyMatch, combined).otherwise(lit(1.0))
+  }
+
+  /** Full ES `function_score`: [[combine]] the functions under
+    * `scoreMode`, cap at `maxBoost` (ES default: unbounded), then merge
+    * with the query score under `boostMode` — `multiply` (default) /
+    * `replace` / `sum` / `avg` / `max` / `min`. Row-local fixed IEEE
+    * trees throughout; oracles restate the same CASE/greatest/least
+    * algebra.
+    */
+  def functionScore(queryScore: Column, functions: Seq[ScoreFunction],
+      scoreMode: String = "multiply", boostMode: String = "multiply",
+      maxBoost: Double = Double.PositiveInfinity): Column = {
+    require(!maxBoost.isNaN, "function_score: max_boost is NaN")
+    val f = least(combine(functions, scoreMode), lit(maxBoost))
+    boostMode match {
+      case "multiply" => queryScore * f
+      case "replace" => f
+      case "sum" => queryScore + f
+      case "avg" => (queryScore + f) / lit(2.0)
+      case "max" => greatest(queryScore, f)
+      case "min" => least(queryScore, f)
+      case other => throw new IllegalArgumentException(
+        s"function_score: unsupported boost_mode <$other> " +
+          "(multiply|replace|sum|avg|max|min)")
+    }
+  }
+
   /** ES `field_value_factor`: `factor · modifier(coalesce(v, missing))`.
     * Supported modifiers: `none`, `log1p` (ln(1+v)), `sqrt` — the three
     * the popularity-boost idiom actually uses. `log1p`/`sqrt` are

@@ -83,11 +83,26 @@ class HybridSpec extends SparkSpecBase {
         pinnedIds = Seq(30L, 99L), topK = 10)
       .as[(Long, Int, Boolean)].collect().sortBy(_._2).toSeq
     // 30 promoted to rank 1 (out of its organic slot), 99 surfaces even
-    // though the organic run never returned it, then organic minus pinned
+    // though the organic run never returned it (no corpus to check
+    // against — the documented trust-the-list divergence), then organic
+    // minus pinned
     assert(got === Seq((30L, 1, true), (99L, 2, true),
       (10L, 3, false), (20L, 4, false), (40L, 5, false)))
     intercept[IllegalArgumentException](
       Hybrid.pinned(organic, "id", "score", Seq(1L, 1L), 10))
+  }
+
+  test("pinned with corpus: stale ids drop, ranks compact, offset follows survivors") {
+    val organic = Seq((10L, 9.0), (20L, 8.0), (30L, 7.0), (40L, 6.0))
+      .toDF("id", "score")
+    val corpus = Seq(10L, 20L, 30L, 40L, 50L).toDF("id")
+    // 99 is NOT in the corpus — the ES contract drops it; 50 IS in the
+    // corpus though never returned organically — it still promotes
+    val got = Hybrid.pinned(organic, "id", "score",
+        pinnedIds = Seq(30L, 99L, 50L), topK = 10, corpus = Some(corpus))
+      .as[(Long, Int, Boolean)].collect().sortBy(_._2).toSeq
+    assert(got === Seq((30L, 1, true), (50L, 2, true),
+      (10L, 3, false), (20L, 4, false), (40L, 5, false)))
   }
 
   test("rescore: only the window recombines; the tail keeps primary order below it") {
@@ -103,5 +118,22 @@ class HybridSpec extends SparkSpecBase {
     assert(got === Seq((2L, 1, 14.0), (1L, 2, 10.0), (3L, 3, 8.0), (4L, 4, 7.0)))
     intercept[IllegalArgumentException](
       Hybrid.rescore(primary, "id", "score", secondary, "s2", windowSize = 0))
+  }
+
+  test("rescore pre-limits the run to runLimit before the global window") {
+    val primary = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0), (4L, 7.0))
+      .toDF("id", "score")
+    val secondary = Seq((2L, 5.0)).toDF("id", "s2")
+    // runLimit=3: doc 4 (primary rank 4) truncates out entirely — the
+    // page-budget bound that keeps an unbounded serving match set from
+    // funneling through the one-partition rank window
+    val got = Hybrid.rescore(primary, "id", "score", secondary, "s2",
+        windowSize = 2, runLimit = 3)
+      .as[(Long, Int, Double)].collect().sortBy(_._2).toSeq
+    assert(got === Seq((2L, 1, 14.0), (1L, 2, 10.0), (3L, 3, 8.0)))
+    // the rescored window must survive the cut
+    intercept[IllegalArgumentException](
+      Hybrid.rescore(primary, "id", "score", secondary, "s2",
+        windowSize = 5, runLimit = 3))
   }
 }

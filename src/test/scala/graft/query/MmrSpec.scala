@@ -55,4 +55,17 @@ class MmrSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Mmr.diversify(cands, k = 0, lambda = 0.5))
     intercept[IllegalArgumentException](Mmr.diversify(cands, k = 2, lambda = 1.5))
   }
+
+  test("candidate bound is enforced in-plan: an oversized frame raises at checkpoint") {
+    // query 1 has 4 candidates; maxCandidates=3 must raise DURING the
+    // checkpoint materialization (the Hybrid.withRank discipline), before
+    // a corpus-sized frame could silently land on executor storage
+    val e = intercept[Exception] {
+      Mmr.diversify(cands, k = 2, lambda = 0.7, maxCandidates = 3).collect()
+    }
+    assert(e.getMessage.contains("exceed maxCandidates=3"))
+    // at the bound exactly, the guard passes untouched
+    assert(Mmr.diversify(cands, k = 2, lambda = 0.7, maxCandidates = 4)
+      .count() === 2)
+  }
 }

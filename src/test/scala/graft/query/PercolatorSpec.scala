@@ -57,6 +57,16 @@ class PercolatorSpec extends SparkSpecBase {
     val fromTable = Percolator.storedFromTable(atRest, "qid", "q", defaultField = "text")
     assert(Percolator.percolateLong(docs, "id", fromTable)
       .as[(String, Long)].collect().toSet === oneShot)
+    // the driver-side collect is BOUNDED: an oversized registry table
+    // fails loudly (pointing at sharding) instead of OOMing the driver
+    val oversized = intercept[IllegalArgumentException](
+      Percolator.storedFromTable(atRest, "qid", "q", defaultField = "text",
+        maxQueries = 2))
+    assert(oversized.getMessage.contains("exceeds maxQueries=2"))
+    assert(oversized.getMessage.contains("percolateSharded"))
+    // at the bound exactly, the registry compiles
+    assert(Percolator.storedFromTable(atRest, "qid", "q",
+      defaultField = "text", maxQueries = 3).size === 3)
   }
 
   test("streaming percolate: each arriving micro-batch emits its alerts") {

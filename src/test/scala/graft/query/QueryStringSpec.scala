@@ -69,6 +69,37 @@ class QueryStringSpec extends SparkSpecBase {
     assert(parse("") === FilterSpec.MatchAll)
   }
 
+  test("escaped wildcard chars stay literal inside a live-wildcard clause") {
+    // a\*b? mixes an escaped * (literal) with a live ? — the compiled
+    // pattern keeps the backslash so Wildcard.toLike renders the escaped
+    // star as a literal asterisk, never a LIKE %
+    assert(parse("""text:a\*b?""") === FilterSpec.Wildcard("text", """a\*b?"""))
+    assert(FilterSpec.Wildcard.toLike("""a\*b?""") === "a*b_")
+    assert(parse("""text:a\?b*c""") === FilterSpec.Wildcard("text", """a\?b*c"""))
+    assert(FilterSpec.Wildcard.toLike("""a\?b*c""") === "a?b%c")
+    // unescaped LIKE metachars in the pattern text are literals, escaped
+    // for LIKE; a \-escaped backslash is one literal backslash
+    assert(FilterSpec.Wildcard.toLike("""a%b_c*""") === """a\%b\_c%""")
+    assert(FilterSpec.Wildcard.toLike("""a\\b*""") === """a\\b%""")
+    // all wildcards escaped → no live wildcard at all → a literal term
+    assert(parse("""text:a\*b""") === FilterSpec.TermMatch("text", "a*b"))
+  }
+
+  test("boostedTerms: the scoring path honors ^N; the filter path still rejects it") {
+    assert(QueryString.boostedTerms("vector^2 dup scan^0.5") ===
+      Seq("vector" -> 2.0, "dup" -> 1.0, "scan" -> 0.5))
+    // duplicates collapse keeping the max boost, first-occurrence order
+    assert(QueryString.boostedTerms("a b^3 a^2") ===
+      Seq("a" -> 2.0, "b" -> 3.0))
+    // an escaped caret is literal text — the analyzer strips it, no boost
+    assert(QueryString.boostedTerms("""a\^2""") === Seq("a" -> 1.0, "2" -> 1.0))
+    // structure is the filter path's job; malformed boosts are loud
+    for (bad <- Seq("a AND b", "(a b)", "text:a^2", "a^", "a^x", "a^2^3", ""))
+      intercept[IllegalArgumentException](QueryString.boostedTerms(bad))
+    // and the FILTER path keeps rejecting live boosts
+    intercept[IllegalArgumentException](parse("text:a^2"))
+  }
+
   test("unsupported syntax errors loudly instead of silently dropping") {
     for (bad <- Seq("text:a^2", "text:\"open", "id:[1 TO]", "a AND",
         "text:a\\", "+ text:a", "-", "text:/unterminated", "text://",

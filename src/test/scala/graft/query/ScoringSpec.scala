@@ -63,4 +63,59 @@ class ScoringSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Scoring.fieldValueFactor(col("v"), 1.0, "square"))
   }
+
+  // (v, flag) rows for the combine-mode tests: two filtered functions —
+  // f1 = 2·v on flag, f2 = 3 (weight-only) unfiltered, f3 = 10·v on v>1.
+  private def modes(v: Double, flag: Boolean, scoreMode: String,
+      boostMode: String = "multiply", maxBoost: Double = Double.PositiveInfinity,
+      q: Double = 5.0): Double = {
+    import Scoring.ScoreFunction
+    Seq((v, flag)).toDF("v", "flag")
+      .select(Scoring.functionScore(lit(q),
+        Seq(
+          ScoreFunction(col("v"), weight = 2.0, filter = Some(col("flag"))),
+          ScoreFunction(lit(1.0), weight = 3.0),
+          ScoreFunction(lit(10.0) * col("v"), filter = Some(col("v") > 1.0))),
+        scoreMode, boostMode, maxBoost).as("s"))
+      .as[Double].collect().head
+  }
+
+  test("score_mode folds matching functions: sum/multiply/avg/max/min/first") {
+    // v=2, flag=true: f1=2·2=4, f2=3, f3=10·2=20 all match
+    assert(modes(2.0, flag = true, "sum") === 5.0 * (4.0 + 3.0 + 20.0))
+    assert(modes(2.0, flag = true, "multiply") === 5.0 * (4.0 * 3.0 * 20.0))
+    // weighted avg: Σwᵢfᵢ/Σwᵢ = (4+3+20)/(2+3+1)
+    assert(modes(2.0, flag = true, "avg") === 5.0 * ((4.0 + 3.0 + 20.0) / 6.0))
+    assert(modes(2.0, flag = true, "max") === 5.0 * 20.0)
+    assert(modes(2.0, flag = true, "min") === 5.0 * 3.0)
+    assert(modes(2.0, flag = true, "first") === 5.0 * 4.0)
+    // v=0.5, flag=false: only the weight-only f2 matches
+    assert(modes(0.5, flag = false, "sum") === 5.0 * 3.0)
+    assert(modes(0.5, flag = false, "max") === 5.0 * 3.0)
+    assert(modes(0.5, flag = false, "first") === 5.0 * 3.0)
+    intercept[IllegalArgumentException](modes(1.0, flag = true, "median"))
+  }
+
+  test("no matching function leaves the query score unmodified under multiply") {
+    import Scoring.ScoreFunction
+    val out = Seq((0.5, false)).toDF("v", "flag")
+      .select(Scoring.functionScore(lit(5.0),
+        Seq(ScoreFunction(col("v"), weight = 2.0, filter = Some(col("flag")))),
+        "sum", "multiply").as("s"))
+      .as[Double].collect().head
+    assert(out === 5.0) // combined factor 1, the ES pass-through contract
+  }
+
+  test("max_boost caps the combined factor; boost_mode merges with the query") {
+    // sum = 27 capped at 10 → 5·10
+    assert(modes(2.0, flag = true, "sum", maxBoost = 10.0) === 50.0)
+    assert(modes(2.0, flag = true, "sum", boostMode = "replace") === 27.0)
+    assert(modes(2.0, flag = true, "sum", boostMode = "sum") === 5.0 + 27.0)
+    assert(modes(2.0, flag = true, "sum", boostMode = "avg") === (5.0 + 27.0) / 2.0)
+    assert(modes(2.0, flag = true, "sum", boostMode = "max") === 27.0)
+    assert(modes(2.0, flag = true, "sum", boostMode = "min") === 5.0)
+    intercept[IllegalArgumentException](
+      modes(1.0, flag = true, "sum", boostMode = "xor"))
+    intercept[IllegalArgumentException](Scoring.combine(Nil, "sum"))
+  }
 }

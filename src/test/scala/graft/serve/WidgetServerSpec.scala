@@ -401,6 +401,21 @@ class WidgetServerSpec extends SparkSpecBase {
           .orderBy("rank").limit(4)))
       assert(post(s"http://127.0.0.1:$port/search",
         """{"q": "dup", "rescore": {"window": 3}}""")._1 === 400)
+
+      // query_string boosts compile to scoring weights on THIS path
+      // (the filter path keeps its loud rejection): `vector^2` must
+      // re-rank vs the unboosted query, pinned to the engine-direct
+      // boosted form
+      val (c7, b7) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "vector^2 dup scan^0.5", "size": 5}""")
+      assert(c7 === 200)
+      assert(b7 === WidgetServer.collectRowsJson(
+        graft.query.Bm25.topKBoosted(docs, "doc_id", analyzed,
+          Seq("vector" -> 2.0, "dup" -> 1.0, "scan" -> 0.5), 5)))
+      assert(b7 !== b1)
+      // a boost in the FILTER stays a client fault
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup", "filter": "text:a^2", "size": 2}""")._1 === 400)
     } finally server.stop(0)
   }
 
