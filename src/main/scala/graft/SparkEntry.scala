@@ -2189,6 +2189,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_span_near" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Lucene/ES span_near, ANY order (in_order: false) — the span
+      // family's typable grammar form `~nearN`: all three terms at
+      // pairwise-distinct positions inside a window of total gap budget
+      // 4, in any arrangement. 266 sf0.01 docs contain all three terms;
+      // the window cuts that to 64 — the slop is doing the work. Nested
+      // higher-order exists over the row's own position lists: row-local,
+      // no UDF, no join.
+      val spec = graft.query.QueryString.parse(
+        """text:"spark scan merge"~near4""", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_intervals" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES intervals `match` with ordered + max_gaps (`~gapsN`): 'scan'
+      // before 'spark' with at most 3 intervening positions — the
+      // REVERSE of the corpus's dominant phrasing, so order matters (318
+      // docs have both terms; 85 satisfy the ordered gap bound). Same
+      // position-list machinery as span_near/phrase-slop.
+      val spec = graft.query.QueryString.parse(
+        """text:"scan spark"~gaps3""", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_wildcard" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES term-level wildcard (embedded ? defeats analyze_wildcard's
@@ -6571,6 +6601,49 @@ object SparkEntry {
         |SELECT DISTINCT t.doc_id, t.lang
         |FROM a JOIN b USING (doc_id) JOIN t USING (doc_id)
         |WHERE p2 > p1 AND p2 - p1 - 1 <= 2
+        |ORDER BY doc_id""".stripMargin,
+
+    // span_near any-order: one position per term, pairwise distinct,
+    // window width − 3 ≤ 4 — the exact predicate the nested exists
+    // evaluates row-locally.
+    "q_span_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, u.i AS p1 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |), b AS (
+        |  SELECT doc_id, u.i AS p2 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |), c AS (
+        |  SELECT doc_id, u.i AS p3 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'merge'
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM a JOIN b USING (doc_id) JOIN c USING (doc_id) JOIN t USING (doc_id)
+        |WHERE p1 <> p2 AND p1 <> p3 AND p2 <> p3
+        |  AND greatest(p1, p2, p3) - least(p1, p2, p3) - 2 <= 4
+        |ORDER BY doc_id""".stripMargin,
+
+    // intervals ordered match: 'scan' strictly before 'spark' with at
+    // most max_gaps intervening positions.
+    "q_intervals" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, u.i AS p1 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |), b AS (
+        |  SELECT doc_id, u.i AS p2 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM a JOIN b USING (doc_id) JOIN t USING (doc_id)
+        |WHERE p2 > p1 AND p2 - p1 - 1 <= 3
         |ORDER BY doc_id""".stripMargin,
 
     // Percolator: each stored query's predicate restated, one UNION ALL

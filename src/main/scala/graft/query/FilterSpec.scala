@@ -241,16 +241,34 @@ object FilterSpec {
     */
   final case class PhraseSlop(field: String, phrase: String, slop: Int) extends FilterSpec {
     require(slop >= 0, s"slop must be >= 0, got $slop")
-    def compile: Column = {
-      val terms = TextMatch.analyze(phrase)
-      if (terms.isEmpty) lit(true)
-      else if (terms.size == 1) TermMatch(field, terms.head).compile
-      else {
-        val toks = split(trim(TextMatch.normalized(col(field))), " ")
-        def positions(t: String): Column =
-          filter(
-            transform(toks, (x, i) => when(x === t, i).otherwise(lit(-1))),
-            p => p >= 0)
+    def compile: Column =
+      proximityPredicate(field, TextMatch.analyze(phrase), slop, inOrder = true)
+    def render: String = s"""${escName(field)}:"$phrase"~$slop"""
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Shared position-list predicate behind the proximity family
+    * ([[PhraseSlop]], [[SpanNear]], [[IntervalsMatch]]): one position per
+    * term from the analyzed token stream, total gap budget `slop` =
+    * match-window width minus the term count (Lucene's span-slop /
+    * ES intervals' `max_gaps` — the same quantity). `inOrder` demands the
+    * positions ascend in term order (strictly — repeated terms need
+    * distinct occurrences); unordered demands pairwise-distinct positions
+    * within the window. Higher-order Column algebra over the row's own
+    * token list — row-local, no UDF, no join; cost is the product of the
+    * matched terms' occurrence counts, bounded by document length.
+    */
+  private[query] def proximityPredicate(
+      field: String, terms: Seq[String], slop: Int, inOrder: Boolean): Column = {
+    if (terms.isEmpty) lit(true)
+    else if (terms.size == 1) TermMatch(field, terms.head).compile
+    else {
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      def positions(t: String): Column =
+        filter(
+          transform(toks, (x, i) => when(x === t, i).otherwise(lit(-1))),
+          p => p >= 0)
+      if (inOrder) {
         // exists p1 < p2 < … < pn with pn ≤ p1 + (n-1) + slop
         def chain(rest: Seq[String], prev: Column, first: Column): Column =
           rest match {
@@ -264,9 +282,56 @@ object FilterSpec {
                   chain(tail, p, first))
           }
         exists(positions(terms.head), p1 => chain(terms.tail, p1, p1))
+      } else {
+        // exists pairwise-distinct p₁..pₙ (one per term, any order) with
+        // max(p) − min(p) − (n−1) ≤ slop
+        def chain(rest: Seq[String], chosen: Seq[Column]): Column =
+          rest match {
+            case Seq() =>
+              val mn = chosen.reduce((a, b) => least(a, b))
+              val mx = chosen.reduce((a, b) => greatest(a, b))
+              mx - mn - lit(terms.size - 1) <= slop
+            case t +: tail =>
+              exists(positions(t), p =>
+                chosen.map(c => p =!= c).foldLeft(lit(true))(_ && _) &&
+                  chain(tail, chosen :+ p))
+          }
+        chain(terms, Nil)
       }
     }
-    def render: String = s"""${escName(field)}:"$phrase"~$slop"""
+  }
+
+  /** Lucene/ES `span_near` — the span query family's proximity workhorse
+    * (ES JSON DSL; the grammar's typable forms are
+    * `field:"a b"~spanN` (in_order) / `field:"a b"~nearN` (any order)):
+    * every term present with total gap budget `slop` between the spans,
+    * `inOrder` per the flag. Terms are PRE-ANALYZED tokens (span clauses
+    * wrap term queries); [[IntervalsMatch]] is the analyze-a-phrase
+    * surface.
+    */
+  final case class SpanNear(field: String, terms: Seq[String], slop: Int,
+      inOrder: Boolean) extends FilterSpec {
+    require(terms.nonEmpty, "span_near: no terms")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    def compile: Column = proximityPredicate(field, terms, slop, inOrder)
+    def render: String =
+      s"""${escName(field)}:"${terms.mkString(" ")}"~${if (inOrder) "span" else "near"}$slop"""
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** ES `intervals` with a `match` rule — `max_gaps` + `ordered` (the
+    * analyzed-text cousin of [[SpanNear]]; grammar forms
+    * `field:"a b"~gapsN` (ordered) / `field:"a b"~anyN` (unordered)).
+    * The phrase analyzes at compile time; `max_gaps` bounds the summed
+    * gaps inside the match window, exactly the span-slop quantity.
+    */
+  final case class IntervalsMatch(field: String, phrase: String, maxGaps: Int,
+      ordered: Boolean) extends FilterSpec {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    def compile: Column =
+      proximityPredicate(field, TextMatch.analyze(phrase), maxGaps, ordered)
+    def render: String =
+      s"""${escName(field)}:"$phrase"~${if (ordered) "gaps" else "any"}$maxGaps"""
     def fields: Seq[String] = Seq(field)
   }
 

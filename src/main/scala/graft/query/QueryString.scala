@@ -36,6 +36,12 @@ package graft.query
   *    `defaultField`.
   *  - `field:"a b"` — analyzed phrase; `"a b"~N` — sloppy phrase
   *    ([[FilterSpec.PhraseSlop]], ordered form, documented delta).
+  *  - span/intervals proximity (ES exposes these only in the JSON DSL;
+  *    the grammar names them): `"a b"~spanN` — `span_near` in_order with
+  *    slop N ([[FilterSpec.SpanNear]]); `"a b"~nearN` — `span_near` any
+  *    order; `"a b"~gapsN` — `intervals` match, `ordered` with
+  *    `max_gaps: N` ([[FilterSpec.IntervalsMatch]]); `"a b"~anyN` — the
+  *    unordered intervals form.
   *  - `field:pre*` — analyzed token prefix under `analyzeWildcard=true`
   *    (the reference's own setting); any other `*`/`?` shape — raw-field
   *    [[FilterSpec.Wildcard]] (ES's term-level wildcard query).
@@ -439,15 +445,36 @@ object QueryString {
       }
     }
 
-    private val PhraseRx = "^\"([^\"]*)\"(?:~(\\d+))?$".r
+    private val PhraseRx = "^\"([^\"]*)\"(?:~(near|span|gaps|any)?(\\d+))?$".r
 
+    /** Quoted-phrase clause family. Bare `~N` is the sloppy phrase; the
+      * word-suffixed forms are the span/intervals proximity family — ES
+      * exposes these only in the JSON DSL, so the grammar gives them
+      * typable names: `~spanN` = span_near in_order, `~nearN` = span_near
+      * any-order, `~gapsN` = intervals match ordered max_gaps,
+      * `~anyN` = intervals match unordered.
+      */
     private def phraseClause(field: String, value: Vector[EChar], raw: String): FilterSpec =
       lit(value) match {
-        case PhraseRx(phrase, null) => FilterSpec.Phrase(field, phrase)
-        case PhraseRx(phrase, slop) => FilterSpec.PhraseSlop(field, phrase, slop.toInt)
+        case PhraseRx(phrase, null, null) => FilterSpec.Phrase(field, phrase)
+        case PhraseRx(phrase, null, slop) => FilterSpec.PhraseSlop(field, phrase, slop.toInt)
+        case PhraseRx(phrase, "span", slop) =>
+          FilterSpec.SpanNear(field, analyzedTerms(phrase, raw), slop.toInt, inOrder = true)
+        case PhraseRx(phrase, "near", slop) =>
+          FilterSpec.SpanNear(field, analyzedTerms(phrase, raw), slop.toInt, inOrder = false)
+        case PhraseRx(phrase, "gaps", slop) =>
+          FilterSpec.IntervalsMatch(field, phrase, slop.toInt, ordered = true)
+        case PhraseRx(phrase, "any", slop) =>
+          FilterSpec.IntervalsMatch(field, phrase, slop.toInt, ordered = false)
         case _ => throw new IllegalArgumentException(
           s"query_string: malformed phrase in <$raw>")
       }
+
+    private def analyzedTerms(phrase: String, raw: String): Seq[String] = {
+      val ts = graft.expr.TextMatch.analyze(phrase)
+      require(ts.nonEmpty, s"query_string: no analyzable span terms in <$raw>")
+      ts
+    }
 
     private val RangeRx = "^([\\[{])\\s*(\\S+)\\s+TO\\s+(\\S+)\\s*([\\]}])$".r
 

@@ -207,6 +207,13 @@ class PropertySpec extends AnyFunSuite {
       for { f <- field; a <- word; b <- word } yield FilterSpec.Phrase(f, s"$a $b"),
       for { f <- field; a <- word; b <- word; s <- Gen.chooseNum(0, 3) }
         yield FilterSpec.PhraseSlop(f, s"$a $b", s),
+      // the span/intervals proximity suffixes (~span/~near/~gaps/~any)
+      for { f <- field; a <- word; b <- word; s <- Gen.chooseNum(0, 3)
+            o <- Gen.oneOf(true, false) }
+        yield FilterSpec.SpanNear(f, Seq(a, b), s, inOrder = o),
+      for { f <- field; a <- word; b <- word; s <- Gen.chooseNum(0, 3)
+            o <- Gen.oneOf(true, false) }
+        yield FilterSpec.IntervalsMatch(f, s"$a $b", s, ordered = o),
       for { f <- field; t <- word; e <- Gen.chooseNum(0, 2) }
         yield FilterSpec.FuzzyTerm(f, t, e),
       for { f <- field; a <- word; b <- word }

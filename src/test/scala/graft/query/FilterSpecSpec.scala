@@ -83,4 +83,63 @@ class FilterSpecSpec extends SparkSpecBase {
     assert(spec.fields === Seq("text", "req"))
     intercept[IllegalArgumentException](FilterSpec.TermsSet("text", Seq.empty, "req"))
   }
+
+  test("SpanNear: gap budget, order flag, repeated terms need distinct occurrences") {
+    val docs = Seq(
+      (1L, "alpha x beta"),        // alpha..beta gap 1, ordered
+      (2L, "beta x x alpha"),      // reversed, gap 2
+      (3L, "alpha x x x x x beta"),// ordered but gap 5
+      (4L, "alpha beta"),          // adjacent ordered
+      (5L, "alpha only here"),     // beta missing
+      (6L, "gamma alpha gamma"),   // two gammas around alpha
+      (7L, "gamma alpha delta"),   // ONE gamma — a repeated-term query must not reuse it
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    // ordered (in_order): only forward arrangements inside the budget
+    assert(ids(FilterSpec.SpanNear("text", Seq("alpha", "beta"), 2, inOrder = true))
+      === Seq(1L, 4L))
+    // any order: the reversed doc 2 joins; doc 3 still out (gap 5 > 2)
+    assert(ids(FilterSpec.SpanNear("text", Seq("alpha", "beta"), 2, inOrder = false))
+      === Seq(1L, 2L, 4L))
+    // wide budget admits doc 3
+    assert(ids(FilterSpec.SpanNear("text", Seq("alpha", "beta"), 5, inOrder = true))
+      === Seq(1L, 3L, 4L))
+    // repeated term: needs TWO distinct gamma occurrences — doc 7's single
+    // gamma must not satisfy both slots (ordered and unordered)
+    assert(ids(FilterSpec.SpanNear("text", Seq("gamma", "gamma"), 3, inOrder = true))
+      === Seq(6L))
+    assert(ids(FilterSpec.SpanNear("text", Seq("gamma", "gamma"), 3, inOrder = false))
+      === Seq(6L))
+    assert(FilterSpec.SpanNear("text", Seq("a", "b"), 2, inOrder = true).render
+      === """text:"a b"~span2""")
+    assert(FilterSpec.SpanNear("text", Seq("a", "b"), 2, inOrder = false).render
+      === """text:"a b"~near2""")
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanNear("text", Seq.empty, 1, inOrder = true))
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanNear("text", Seq("a"), -1, inOrder = true))
+  }
+
+  test("IntervalsMatch: analyzed phrase, max_gaps, ordered flag; 3-term window") {
+    val docs = Seq(
+      (1L, "one x two y three"),   // ordered, gaps 1+1 = 2
+      (2L, "three two one"),       // fully reversed, width 3
+      (3L, "two one x three"),     // scrambled, width 4 → gaps 1
+      (4L, "one two"),             // three missing
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    assert(ids(FilterSpec.IntervalsMatch("text", "one two three", 2, ordered = true))
+      === Seq(1L))
+    assert(ids(FilterSpec.IntervalsMatch("text", "one two three", 2, ordered = false))
+      === Seq(1L, 2L, 3L))
+    // gaps 0 unordered: only a contiguous window of the three terms
+    assert(ids(FilterSpec.IntervalsMatch("text", "one two three", 0, ordered = false))
+      === Seq(2L))
+    assert(FilterSpec.IntervalsMatch("text", "a b", 2, ordered = true).render
+      === """text:"a b"~gaps2""")
+    assert(FilterSpec.IntervalsMatch("text", "a b", 2, ordered = false).render
+      === """text:"a b"~any2""")
+  }
 }

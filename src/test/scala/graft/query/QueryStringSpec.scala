@@ -64,6 +64,17 @@ class QueryStringSpec extends SparkSpecBase {
     assert(parse("text:dupe~") === FilterSpec.FuzzyTerm("text", "dupe", 2))
     assert(parse("""text:"vector scan"""") === FilterSpec.Phrase("text", "vector scan"))
     assert(parse("""text:"spark scan"~2""") === FilterSpec.PhraseSlop("text", "spark scan", 2))
+    // the span/intervals proximity family's typable forms
+    assert(parse("""text:"spark scan"~span2""") ===
+      FilterSpec.SpanNear("text", Seq("spark", "scan"), 2, inOrder = true))
+    assert(parse("""text:"spark scan"~near4""") ===
+      FilterSpec.SpanNear("text", Seq("spark", "scan"), 4, inOrder = false))
+    assert(parse("""text:"spark scan"~gaps3""") ===
+      FilterSpec.IntervalsMatch("text", "spark scan", 3, ordered = true))
+    assert(parse("""text:"spark scan"~any1""") ===
+      FilterSpec.IntervalsMatch("text", "spark scan", 1, ordered = false))
+    intercept[IllegalArgumentException](parse("""text:"a b"~woo2"""))
+    intercept[IllegalArgumentException](parse("""text:"a b"~near"""))
     assert(QueryString.parse("text:dup*", "text", analyzeWildcard = false) ===
       FilterSpec.Wildcard("text", "dup*"))
     assert(parse("") === FilterSpec.MatchAll)
