@@ -3836,8 +3836,14 @@ object SparkEntry {
       // The linear-generator cluster-keep pipeline, certified end to end:
       // portable-MinHash banded pairs → connected components → smallest
       // doc_id per cluster → per-source counts, hash-matched against the
-      // recursive-CTE closure over the same portable pairs.
-      val docs = load(dir, "documents")
+      // recursive-CTE closure over the same portable pairs. PINNED
+      // 500-doc certification slice: the twin proves MECHANISM
+      // equivalence (every stage cross-engine), not serving cost — the
+      // scale numbers are dedup_cluster_keep_minhash's; at sf0.01 the
+      // slice is the whole corpus, so certification strength is unchanged
+      // while the sf0.1 bench stops paying a 10× fixture for no extra
+      // proof (r14 verdict, What's wrong #2).
+      val docs = load(dir, "documents").where(col("doc_id") < 500)
       val pairs = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
         threshold = 0.4, shingleK = 2, numBands = 16, rowsPerBand = 2)
       Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
@@ -6004,7 +6010,8 @@ object SparkEntry {
     * the pair-level and cluster-keep oracles.
     */
   private def portableMinhashCtesSql(
-      k: Int, numHashes: Int, r: Int, threshold: Double): String = {
+      k: Int, numHashes: Int, r: Int, threshold: Double,
+      from: String = "documents"): String = {
     val P = graft.ops.Dedup.PortableP
     val sigCols = (0 until numHashes).map { i =>
       val (a, b) = graft.ops.Dedup.portablePerm(i)
@@ -6015,7 +6022,7 @@ object SparkEntry {
       s"SELECT doc_id, $j AS bidx, $key AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""d AS (
-       |  SELECT doc_id, $duckToks AS toks FROM documents
+       |  SELECT doc_id, $duckToks AS toks FROM $from
        |), g AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, len(toks) - ${k - 1}),
@@ -9096,7 +9103,8 @@ object SparkEntry {
     // representative per cluster: the whole linear-generator cluster-keep
     // pipeline certified cross-engine.
     "dedup_cluster_keep_portable" ->
-      s"""WITH ${portableMinhashCtesSql(k = 2, numHashes = 32, r = 2, threshold = 0.4)},
+      s"""WITH ${portableMinhashCtesSql(k = 2, numHashes = 32, r = 2, threshold = 0.4,
+            from = "(SELECT * FROM documents WHERE doc_id < 500)")},
          |edges AS (
          |  SELECT id_a AS a, id_b AS b FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs
@@ -9111,7 +9119,8 @@ object SparkEntry {
          |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
          |)
          |SELECT source, count(*) AS n_kept
-         |FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.id
+         |FROM (SELECT * FROM documents WHERE doc_id < 500) doc
+         |  LEFT JOIN comp ON doc.doc_id = comp.id
          |WHERE comp.id IS NULL OR comp.component = doc.doc_id
          |GROUP BY source ORDER BY source""".stripMargin,
 

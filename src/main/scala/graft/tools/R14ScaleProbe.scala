@@ -27,6 +27,12 @@ import graft.query.Percolator
   */
 object R14ScaleProbe {
 
+  /** Checksum of the most recent countAndChecksum evaluation — threaded
+    * through a var because timeOp's op contract returns only the row
+    * count.
+    */
+  private var lastChecksum: String = "0"
+
   private def timeOp(repeats: Int)(op: => Long): (Double, Double, Long) = {
     var rows = 0L
     val times = (1 to repeats).map { _ =>
@@ -113,22 +119,43 @@ object R14ScaleProbe {
       },
       defaultField = "text")
 
+    // Result-SET parity, not just row-count parity (round-14 advice: a
+    // query matching extra docs in one shard while another loses some
+    // would pass a count compare): each evaluation folds the match set
+    // into an order-insensitive checksum — count plus the decimal sum of
+    // xxhash64(query_id, doc_id) — in the same single pass the timing
+    // measures, so the parity assertion costs no extra evaluation of the
+    // 10k-predicate plans.
+    def countAndChecksum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("query_id"), col("doc_id")).cast("decimal(38,0)")))
+        .collect()(0)
+      lastChecksum = Option(r.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
+      r.getLong(0)
+    }
+
     System.err.println("[r14probe] timing sharded(1024)...")
     val sharded = timeOp(repeats) {
-      Percolator.percolateSharded(docs, "doc_id", stored, maxQueriesPerPlan = 1024)
-        .count()
+      countAndChecksum(
+        Percolator.percolateSharded(docs, "doc_id", stored, maxQueriesPerPlan = 1024)
+          .select("query_id", "doc_id"))
     }
+    val shardedSum = lastChecksum
     emit("percolate_10k_sharded_1024", sharded)
 
     System.err.println("[r14probe] timing single plan (10k predicates, 1 pass)...")
     val onePlan = timeOp(1) {
-      Percolator.percolateLong(docs, "doc_id", stored).count()
+      countAndChecksum(
+        Percolator.percolateLong(docs, "doc_id", stored).select("query_id", "doc_id"))
     }
+    val singleSum = lastChecksum
     emit("percolate_10k_single_plan", onePlan)
 
-    require(sharded._3 == onePlan._3,
-      s"parity violated: sharded=${sharded._3} single=${onePlan._3}")
-    println(s"""{"probe":"r14_scale","op":"percolate_10k_parity","rows":${sharded._3}}""")
+    require(sharded._3 == onePlan._3 && shardedSum == singleSum,
+      s"parity violated: sharded=(${sharded._3}, $shardedSum) " +
+        s"single=(${onePlan._3}, $singleSum)")
+    println(s"""{"probe":"r14_scale","op":"percolate_10k_parity",""" +
+      s""""rows":${sharded._3},"checksum":"$shardedSum"}""")
 
     spark.stop()
   }

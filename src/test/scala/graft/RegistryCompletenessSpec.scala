@@ -26,6 +26,31 @@ object RegistryCompleteness {
     val pending = (registered diff latest) diff regressions
     (regressions, pending)
   }
+
+  /** Pending-age escalation (round-14 advice): a pending query must not
+    * stay pending across a full artifact cycle. `firstSeen` records, per
+    * query, the latest-artifact round current when the query was FIRST
+    * observed registered (self-maintained — unknown queries are stamped
+    * with `latestRound` now). A query with no row in the latest artifact
+    * whose first-seen round predates that artifact was already registered
+    * when the artifact's Verify ran and STILL earned no row — that is a
+    * perpetually-failing query, not a fresh one, and it HARD-FAILS here
+    * (the old allowlist's staleness check, re-derived without the
+    * allowlist).
+    *
+    * @return (stale, updatedFirstSeen) — stale = registered queries absent
+    *         from `latest` though registered before round `latestRound`;
+    *         updatedFirstSeen = `firstSeen` with new queries stamped and
+    *         deregistered ones dropped (persist it).
+    */
+  def checkAged(registered: Set[String], latest: Set[String],
+      firstSeen: Map[String, Int], latestRound: Int)
+      : (Set[String], Map[String, Int]) = {
+    val updated = registered.iterator
+      .map(q => q -> firstSeen.getOrElse(q, latestRound)).toMap
+    val stale = (registered diff latest).filter(q => updated(q) < latestRound)
+    (stale, updated)
+  }
 }
 
 /** The registry-vs-artifact completeness gate (round-11 verdict #1): a query
@@ -89,6 +114,64 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     if (pending.nonEmpty)
       info(s"${pending.size} queries registered after ${latest.getName}, " +
         s"awaiting their first artifact row: ${pending.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no pending query survives a full artifact cycle (age-bounded)") {
+    val artifacts = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+    assume(artifacts.nonEmpty, "no committed CORRECTNESS artifact to check against")
+    val latest = artifacts.last
+    val latestRound = latest.getName.replaceAll("\\D", "").toInt
+    // REGISTRY_AGE.json: query → latest-artifact round at first sighting.
+    // SELF-MAINTAINED here (new queries stamped, deregistered ones
+    // dropped) and committed with the round, the same build-artifact
+    // discipline as the CORRECTNESS files this spec already reads.
+    val ageFile = new java.io.File("REGISTRY_AGE.json")
+    val mapper = new ObjectMapper()
+    val firstSeen: Map[String, Int] =
+      if (!ageFile.exists()) Map.empty
+      else {
+        val node = mapper.readTree(ageFile)
+        val b = Map.newBuilder[String, Int]
+        val it = node.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asInt() }
+        b.result()
+      }
+    val (stale, updated) = RegistryCompleteness.checkAged(
+      SparkEntry.queries.keySet, artifactNames(latest), firstSeen, latestRound)
+    if (updated != firstSeen) {
+      val json = updated.toSeq.sorted
+        .map { case (q, r) => s"""  "$q": $r""" }.mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(ageFile.toPath, json)
+      info(s"REGISTRY_AGE.json updated (${updated.size} queries tracked)")
+    }
+    assert(stale.isEmpty,
+      s"queries registered before ${latest.getName} landed that STILL have " +
+        s"no correctness row: ${stale.toSeq.sorted.mkString(", ")} — a pending " +
+        "query must earn its first row within one artifact cycle " +
+        "(round-14 advice: bound pending age)")
+  }
+
+  test("age gate: fresh queries pend, cycle-old holes fail, stamps persist (fixture)") {
+    // q_new first seen while r10 is latest: pending, not stale
+    val (s1, u1) = RegistryCompleteness.checkAged(
+      Set("q_old", "q_new"), Set("q_old"), Map("q_old" -> 9), latestRound = 10)
+    assert(s1.isEmpty)
+    assert(u1 === Map("q_old" -> 9, "q_new" -> 10))
+    // next cycle: r11 landed WITH q_new's row — clean, stamp carried
+    val (s2, u2) = RegistryCompleteness.checkAged(
+      Set("q_old", "q_new"), Set("q_old", "q_new"), u1, latestRound = 11)
+    assert(s2.isEmpty && u2 === u1)
+    // the escalation case: r11 landed WITHOUT q_new's row though q_new was
+    // registered while r10 was latest — a full cycle passed, hard fail
+    val (s3, _) = RegistryCompleteness.checkAged(
+      Set("q_old", "q_new"), Set("q_old"), u1, latestRound = 11)
+    assert(s3 === Set("q_new"))
+    // deregistration drops the stamp
+    val (_, u4) = RegistryCompleteness.checkAged(
+      Set("q_old"), Set("q_old"), u1, latestRound = 11)
+    assert(u4 === Map("q_old" -> 9))
   }
 
   test("derived gate is green on both sides of an artifact drop (fixture)") {
