@@ -519,4 +519,23 @@ class PlanSpec extends SparkSpecBase {
       s"coding must not key-shuffle — bounds are plan literals:\n$plan")
     assert(!plan.contains("Join"), s"no bounds join:\n$plan")
   }
+
+  test("span/intervals proximity is a row-local scan: pruned columns, no shuffle, no join") {
+    val path = tmp(Seq((1L, "spark scan merge", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val df = spark.read.parquet(path)
+      .where(graft.query.FilterSpec.SpanNear("text",
+        Seq("spark", "scan", "merge"), 4, inOrder = false).compile)
+      .select("doc_id", "lang")
+    val plan = planOf(df)
+    // the position machinery must not read beyond the filtered/selected
+    // columns, and the whole predicate must evaluate at the scan — no
+    // exchange, no join, no position-table materialization
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && read.contains("lang") &&
+      !read.contains("source") && !read.contains("n_chars"),
+      s"scan must read only doc_id/text/lang:\n$read")
+    assert(!plan.contains("Exchange"), s"proximity must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"proximity must not join:\n$plan")
+  }
 }
