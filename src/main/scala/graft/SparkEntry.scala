@@ -2219,6 +2219,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_intervals_all_of" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES intervals all_of COMBINATION (ordered): each slot a nested
+      // any_of of MIXED-LENGTH alternatives — ("spark" | "big vector")
+      // then ("merge join" | "scan") — intervals strictly ordered and
+      // non-overlapping with total gap budget 3 (94 sf0.01 docs; the
+      // budget is doing real work: 61 at gaps 1, 146 at 6). One
+      // occurrence interval chosen per slot via nested exists over the
+      // row's own phrase-occurrence lists.
+      val spec = graft.query.FilterSpec.IntervalsAllOf("text",
+        Seq(Seq("spark", "big vector"), Seq("merge join", "scan")), maxGaps = 3)
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_wildcard" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES term-level wildcard (embedded ? defeats analyze_wildcard's
@@ -6632,6 +6648,38 @@ object SparkEntry {
         |FROM a JOIN b USING (doc_id) JOIN c USING (doc_id) JOIN t USING (doc_id)
         |WHERE p1 <> p2 AND p1 <> p3 AND p2 <> p3
         |  AND greatest(p1, p2, p3) - least(p1, p2, p3) - 2 <= 4
+        |ORDER BY doc_id""".stripMargin,
+
+    // all_of restated: per-alternative phrase-occurrence intervals from
+    // the same token stream (list-slice equality gives the starts), slot
+    // alternatives unioned, the ordered non-overlap + gap-budget algebra
+    // verbatim: s2 > e1, enclosing width − Σ widths ≤ 8.
+    "q_intervals_all_of" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, u.i AS s, u.i AS e
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |  UNION ALL
+        |  SELECT doc_id, u.i, u.i + 1
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i:u.i+1] = ['big', 'vector']
+        |), s2 AS (
+        |  SELECT doc_id, u.i AS s, u.i + 1 AS e
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i:u.i+1] = ['merge', 'join']
+        |  UNION ALL
+        |  SELECT doc_id, u.i, u.i
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM s1 JOIN s2 USING (doc_id) JOIN t USING (doc_id)
+        |WHERE s2.s > s1.e
+        |  AND (s2.e - s1.s + 1) - ((s1.e - s1.s + 1) + (s2.e - s2.s + 1)) <= 3
         |ORDER BY doc_id""".stripMargin,
 
     // intervals ordered match: 'scan' strictly before 'spark' with at

@@ -335,6 +335,91 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** ES `intervals` `all_of` COMBINATION rule, ordered form — the nested
+    * composition the intervals DSL exists for: each SLOT is a set of
+    * alternative phrases (a nested `any_of` of `match` rules); the
+    * document matches when one occurrence per slot can be chosen with the
+    * slots' intervals strictly ordered and non-overlapping
+    * (`s_{k+1} > e_k`, ES `ordered: true`) and the total gap budget
+    * inside the enclosing window — enclosing width minus the sum of the
+    * chosen intervals' widths — at most `maxGaps`. A single-token slot
+    * degenerates to the [[SpanNear]] term case (same gap algebra); a
+    * single slot degenerates to phrase existence.
+    *
+    * ES's unordered `all_of` (overlap rules differ by flag) is NOT
+    * implemented — the unordered composition of single terms is
+    * [[SpanNear]]`(inOrder = false)`; a loud absence beats a silently
+    * different overlap semantic.
+    *
+    * Compile shape: per-alternative phrase-occurrence intervals as
+    * `array<struct<s,e>>` built by a bounded window-compare `transform`
+    * over the row's own token list (alternatives concat into the slot's
+    * interval set), then one nested `exists` chain across slots — all
+    * row-local higher-order Column algebra, no UDF, no join; per-row cost
+    * is the product of slot occurrence counts, bounded by document
+    * length.
+    */
+  final case class IntervalsAllOf(field: String, slots: Seq[Seq[String]],
+      maxGaps: Int) extends FilterSpec {
+    require(slots.nonEmpty, "intervals all_of: no slots")
+    require(slots.forall(_.nonEmpty), "intervals all_of: a slot has no alternatives")
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+
+    def compile: Column = {
+      val analyzedSlots = slots.map(_.map { p =>
+        val ts = TextMatch.analyze(p)
+        require(ts.nonEmpty, s"intervals all_of: no analyzable tokens in <$p>")
+        ts
+      })
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      // occurrence intervals of one analyzed phrase: candidate start at
+      // every token index, the full window compared in-bounds (the bound
+      // conjunct leads, so element_at never reads past the list)
+      def phraseIntervals(ts: Seq[String]): Column = {
+        val L = ts.length
+        filter(
+          transform(toks, (x, i0) => {
+            val inBounds = i0 + lit(L - 1) < size(toks)
+            val matches = ts.zipWithIndex.map { case (t, j) =>
+              if (j == 0) x === t
+              else element_at(toks, i0 + lit(j + 1)) === t
+            }.reduce(_ && _)
+            when(inBounds && matches,
+              struct(i0.as("s"), (i0 + lit(L - 1)).as("e")))
+          }),
+          v => v.isNotNull)
+      }
+      val slotIvs: Seq[Column] = analyzedSlots.map(alts =>
+        alts.map(phraseIntervals).reduce((a, b) => concat(a, b)))
+      def width(iv: Column): Column = iv("e") - iv("s") + lit(1)
+      // ordered chain: pick one interval per slot, each starting strictly
+      // after the previous slot's end; the last pick closes the gap check
+      def chain(rest: Seq[Column], prevEnd: Column, firstStart: Column,
+          widthSum: Column): Column =
+        rest match {
+          case Seq(last) =>
+            exists(last, iv => iv("s") > prevEnd &&
+              (iv("e") - firstStart + lit(1)) - (widthSum + width(iv)) <= lit(maxGaps))
+          case head +: tail =>
+            exists(head, iv => iv("s") > prevEnd &&
+              chain(tail, iv("e"), firstStart, widthSum + width(iv)))
+          case Seq() => lit(true) // unreachable: slots is non-empty
+        }
+      slotIvs match {
+        case Seq(only) => exists(only, _ => lit(true))
+        case first +: rest =>
+          exists(first, iv => chain(rest, iv("e"), iv("s"), width(iv)))
+      }
+    }
+
+    def render: String = {
+      val slotsR = slots.map(_.map(p => s""""$p"""").mkString("(", " | ", ")"))
+        .mkString(" ")
+      s"${escName(field)}:allof[$slotsR]~gaps$maxGaps"
+    }
+    def fields: Seq[String] = Seq(field)
+  }
+
   /** Fuzzy term — `field:term~N` (ES `fuzzy` / `match` with `fuzziness`):
     * some analyzed token within edit distance `maxEdits` of the term,
     * the first `prefixLength` characters matching exactly (ES's own

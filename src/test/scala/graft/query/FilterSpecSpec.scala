@@ -142,4 +142,41 @@ class FilterSpecSpec extends SparkSpecBase {
     assert(FilterSpec.IntervalsMatch("text", "a b", 2, ordered = false).render
       === """text:"a b"~any2""")
   }
+
+  test("IntervalsAllOf: ordered phrase slots, alternatives, gap budget, no overlap") {
+    val docs = Seq(
+      (1L, "big vector then merge join here"), // [0,1]..[3,4]: gaps 1
+      (2L, "merge join then big vector"),      // reversed → ordered fails
+      (3L, "big vector merge join"),           // adjacent: gaps 0
+      (4L, "big vector w x y z merge join"),   // gaps 4
+      (5L, "big vector only"),                 // slot 2 missing
+      (6L, "big vector scan"),                 // slot 2 via the 'scan' alternative, gaps 0
+      (7L, "big vector scan merge join"),      // both alternatives present
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    val slots = Seq(Seq("big vector"), Seq("merge join", "scan"))
+    assert(ids(FilterSpec.IntervalsAllOf("text", slots, maxGaps = 1))
+      === Seq(1L, 3L, 6L, 7L))
+    assert(ids(FilterSpec.IntervalsAllOf("text", slots, maxGaps = 4))
+      === Seq(1L, 3L, 4L, 6L, 7L))
+    // chosen intervals must not overlap: "vector scan" starts INSIDE
+    // "big vector" — s2 > e1 fails on the 3-token doc
+    assert(ids(FilterSpec.IntervalsAllOf("text",
+      Seq(Seq("big vector"), Seq("vector scan")), maxGaps = 9)) === Seq())
+    // single slot degenerates to phrase existence
+    assert(ids(FilterSpec.IntervalsAllOf("text", Seq(Seq("merge join")), 0))
+      === Seq(1L, 2L, 3L, 4L, 7L))
+    // three slots chain: big vector .. scan .. merge join (doc 7 only)
+    assert(ids(FilterSpec.IntervalsAllOf("text",
+      Seq(Seq("big vector"), Seq("scan"), Seq("merge join")), maxGaps = 0))
+      === Seq(7L))
+    assert(FilterSpec.IntervalsAllOf("text", slots, 2).render
+      === """text:allof[("big vector") ("merge join" | "scan")]~gaps2""")
+    intercept[IllegalArgumentException](FilterSpec.IntervalsAllOf("text", Seq.empty, 1))
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsAllOf("text", Seq(Seq("a"), Seq.empty), 1))
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsAllOf("text", Seq(Seq("a")), -1))
+  }
 }
