@@ -263,40 +263,64 @@ object FilterSpec {
     if (terms.isEmpty) lit(true)
     else if (terms.size == 1) TermMatch(field, terms.head).compile
     else {
+      // Cheap NECESSARY guard first: every term must be present as a
+      // token (a codegen'd substring probe). `&&` short-circuits per row
+      // in both codegen and interpreted evaluation, so the position-list
+      // construction below — the expensive interpreted HOF work — runs
+      // only on candidate documents; at corpus scale the overwhelming
+      // majority of rows stop at the substring probes.
+      val contains = terms.distinct
+        .map(t => TextMatch.containsToken(col(field), t)).reduce(_ && _)
       val toks = split(trim(TextMatch.normalized(col(field))), " ")
       def positions(t: String): Column =
         filter(
           transform(toks, (x, i) => when(x === t, i).otherwise(lit(-1))),
           p => p >= 0)
+      // BIND each distinct term's position list ONCE per row: nested
+      // `exists` inlines its argument expression into the outer lambda,
+      // so an unbound chain re-BUILDS the inner lists for every outer
+      // occurrence — O(occ₁ · |toks|) instead of O(|toks|). A 1-element
+      // struct array materializes the lists once; the chain then
+      // iterates the bound fields (the occurrence-product part stays,
+      // bounded by document length).
+      val uniq = terms.distinct
+      val termIdx = uniq.zipWithIndex.toMap
+      val bound = array(struct(
+        uniq.zipWithIndex.map { case (t, i) => positions(t).as(s"_p$i") }: _*))
+      def pos(row: Column, t: String): Column = row(s"_p${termIdx(t)}")
       if (inOrder) {
         // exists p1 < p2 < … < pn with pn ≤ p1 + (n-1) + slop
-        def chain(rest: Seq[String], prev: Column, first: Column): Column =
-          rest match {
-            case Seq() => lit(true)
-            case t +: tail =>
-              exists(positions(t), p =>
-                p > prev &&
-                  (if (tail.isEmpty)
-                     p - first - lit(terms.size - 1) <= slop
-                   else lit(true)) &&
-                  chain(tail, p, first))
-          }
-        exists(positions(terms.head), p1 => chain(terms.tail, p1, p1))
+        contains && exists(bound, row => {
+          def chain(rest: Seq[String], prev: Column, first: Column): Column =
+            rest match {
+              case Seq() => lit(true)
+              case t +: tail =>
+                exists(pos(row, t), p =>
+                  p > prev &&
+                    (if (tail.isEmpty)
+                       p - first - lit(terms.size - 1) <= slop
+                     else lit(true)) &&
+                    chain(tail, p, first))
+            }
+          exists(pos(row, terms.head), p1 => chain(terms.tail, p1, p1))
+        })
       } else {
         // exists pairwise-distinct p₁..pₙ (one per term, any order) with
         // max(p) − min(p) − (n−1) ≤ slop
-        def chain(rest: Seq[String], chosen: Seq[Column]): Column =
-          rest match {
-            case Seq() =>
-              val mn = chosen.reduce((a, b) => least(a, b))
-              val mx = chosen.reduce((a, b) => greatest(a, b))
-              mx - mn - lit(terms.size - 1) <= slop
-            case t +: tail =>
-              exists(positions(t), p =>
-                chosen.map(c => p =!= c).foldLeft(lit(true))(_ && _) &&
-                  chain(tail, chosen :+ p))
-          }
-        chain(terms, Nil)
+        contains && exists(bound, row => {
+          def chain(rest: Seq[String], chosen: Seq[Column]): Column =
+            rest match {
+              case Seq() =>
+                val mn = chosen.reduce((a, b) => least(a, b))
+                val mx = chosen.reduce((a, b) => greatest(a, b))
+                mx - mn - lit(terms.size - 1) <= slop
+              case t +: tail =>
+                exists(pos(row, t), p =>
+                  chosen.map(c => p =!= c).foldLeft(lit(true))(_ && _) &&
+                    chain(tail, chosen :+ p))
+            }
+          chain(terms, Nil)
+        })
       }
     }
   }
@@ -371,45 +395,81 @@ object FilterSpec {
         require(ts.nonEmpty, s"intervals all_of: no analyzable tokens in <$p>")
         ts
       })
+      // cheap NECESSARY guard: every slot needs some alternative present
+      // as a contiguous token sequence (codegen'd substring probes; `&&`
+      // short-circuits so the position work below runs only on candidate
+      // documents — the proximityPredicate discipline)
+      val contains = analyzedSlots.map(alts =>
+        alts.map(ts => TextMatch.containsToken(col(field), ts.mkString(" ")))
+          .reduce(_ || _)).reduce(_ && _)
+      // TWO-LEVEL per-row binding. A lambda body re-evaluates every
+      // non-lambda expression it references PER ELEMENT — referencing
+      // the split-of-normalize token list inside a transform would cost
+      // O(|toks|²) regex normalizations per row, and an unbound start
+      // list inside a nested exists would re-build per outer occurrence.
+      // So: (1) bind the token list once, (2) build every alternative's
+      // start list FROM the bound tokens (element_at on a lambda
+      // variable is O(1)) and bind those, (3) chain over bound fields.
       val toks = split(trim(TextMatch.normalized(col(field))), " ")
-      // occurrence intervals of one analyzed phrase: candidate start at
-      // every token index, the full window compared in-bounds (the bound
-      // conjunct leads, so element_at never reads past the list)
-      def phraseIntervals(ts: Seq[String]): Column = {
-        val L = ts.length
-        filter(
-          transform(toks, (x, i0) => {
-            val inBounds = i0 + lit(L - 1) < size(toks)
-            val matches = ts.zipWithIndex.map { case (t, j) =>
-              if (j == 0) x === t
-              else element_at(toks, i0 + lit(j + 1)) === t
-            }.reduce(_ && _)
-            when(inBounds && matches,
-              struct(i0.as("s"), (i0 + lit(L - 1)).as("e")))
-          }),
-          v => v.isNotNull)
+      val flat = analyzedSlots.zipWithIndex.flatMap { case (alts, si) =>
+        alts.zipWithIndex.map { case (ts, ai) => (s"_s${si}_$ai", ts) }
       }
-      val slotIvs: Seq[Column] = analyzedSlots.map(alts =>
-        alts.map(phraseIntervals).reduce((a, b) => concat(a, b)))
-      def width(iv: Column): Column = iv("e") - iv("s") + lit(1)
-      // ordered chain: pick one interval per slot, each starting strictly
-      // after the previous slot's end; the last pick closes the gap check
-      def chain(rest: Seq[Column], prevEnd: Column, firstStart: Column,
-          widthSum: Column): Column =
-        rest match {
-          case Seq(last) =>
-            exists(last, iv => iv("s") > prevEnd &&
-              (iv("e") - firstStart + lit(1)) - (widthSum + width(iv)) <= lit(maxGaps))
-          case head +: tail =>
-            exists(head, iv => iv("s") > prevEnd &&
-              chain(tail, iv("e"), firstStart, widthSum + width(iv)))
-          case Seq() => lit(true) // unreachable: slots is non-empty
+      val slotAlts: Seq[Seq[(String, Int)]] =
+        analyzedSlots.zipWithIndex.map { case (alts, si) =>
+          alts.zipWithIndex.map { case (ts, ai) => (s"_s${si}_$ai", ts.length) }
         }
-      slotIvs match {
-        case Seq(only) => exists(only, _ => lit(true))
-        case first +: rest =>
-          exists(first, iv => chain(rest, iv("e"), iv("s"), width(iv)))
-      }
+      contains && exists(array(struct(toks.as("_t"))), trow => {
+        val tk = trow("_t")
+        // occurrence START positions of one analyzed phrase — a plain
+        // INT list (lengths are static per alternative: e = s + L − 1 is
+        // literal arithmetic, chosen widths fold to compile-time Ints);
+        // candidate start at every token index, the full window compared
+        // in-bounds (the bound conjunct leads, so element_at never reads
+        // past the list)
+        def phraseStarts(ts: Seq[String]): Column = {
+          val L = ts.length
+          filter(
+            transform(tk, (x, i0) => {
+              val inBounds = i0 + lit(L - 1) < size(tk)
+              val matches = ts.zipWithIndex.map { case (t, j) =>
+                if (j == 0) x === t
+                else element_at(tk, i0 + lit(j + 1)) === t
+              }.reduce(_ && _)
+              when(inBounds && matches, i0)
+            }),
+            v => v.isNotNull)
+        }
+        exists(array(struct(
+          flat.map { case (name, ts) => phraseStarts(ts).as(name) }: _*)), row => {
+          // ordered chain: pick one occurrence per slot, each starting
+          // strictly after the previous slot's end; the last pick closes
+          // the gap check (enclosing width − Σ static widths ≤ maxGaps)
+          def chain(rest: Seq[Seq[(String, Int)]], prevEnd: Column,
+              firstStart: Column, widthSum: Int): Column =
+            rest match {
+              case Seq(lastSlot) =>
+                lastSlot.map { case (name, len) =>
+                  exists(row(name), s => s > prevEnd &&
+                    (s + lit(len) - firstStart) - lit(widthSum + len) <= lit(maxGaps))
+                }.reduce(_ || _)
+              case slot +: tail =>
+                slot.map { case (name, len) =>
+                  exists(row(name), s => s > prevEnd &&
+                    chain(tail, s + lit(len - 1), firstStart, widthSum + len))
+                }.reduce(_ || _)
+              case Seq() => lit(true) // unreachable: slots is non-empty
+            }
+          slotAlts match {
+            case Seq(only) =>
+              only.map { case (name, _) => exists(row(name), _ => lit(true)) }
+                .reduce(_ || _)
+            case first +: rest =>
+              first.map { case (name, len) =>
+                exists(row(name), s => chain(rest, s + lit(len - 1), s, len))
+              }.reduce(_ || _)
+          }
+        })
+      })
     }
 
     def render: String = {
