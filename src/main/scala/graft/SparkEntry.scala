@@ -1989,6 +1989,31 @@ object SparkEntry {
         "dup vector scan", k = 15)
     }),
 
+    "search_explain" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES _explain — the relevance-debugging surface: the BM25 top-5
+      // exploded into one row per (doc, query term) with the full score
+      // decomposition (tf, df, idf, dl, per-term contribution, doc
+      // total) — every value the same fixed IEEE tree the retrieval
+      // computes, restated branch-for-branch in the oracle.
+      val docs = load(dir, "documents")
+      graft.query.Bm25.explainTopK(docs, "doc_id",
+        concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")),
+        "dup vector scan", k = 5)
+    }),
+
+    "search_term_vectors" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES _termvectors: per-(doc, term) frequency + sorted 0-based
+      // positions over the analyzed text — the index-introspection API of
+      // the dual-field mapping's analyzed view. A 12-doc page (the
+      // API is per-document; a bounded id range stands in for the
+      // request's doc list).
+      graft.query.TermVectors.termVectors(
+          load(dir, "documents").where(col("doc_id") < 12), "doc_id", "text")
+        .orderBy("doc_id", "term")
+    }),
+
     "search_bm25_boosted" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // query_string boosts on the SCORING path: `vector^2 dup scan^0.5`
@@ -6507,6 +6532,29 @@ object SparkEntry {
 
     "search_bm25_indexed" ->
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    // _explain restated: the same base/stats CTEs, the ranked top-k with
+    // its tf/df/dl context, one UNION ALL branch per term with the
+    // identical idf/contribution trees.
+    "search_explain" ->
+      graft.query.Bm25.oracleSqlExplain(
+        "documents", "doc_id", "text", "dup vector scan", 5),
+
+    // _termvectors restated: unnest-with-position over the identical
+    // token stream, grouped with ordered position lists.
+    "search_term_vectors" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id < 12
+        |), e AS (
+        |  SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS term
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |)
+        |SELECT doc_id, term, count(*)::BIGINT AS freq,
+        |  list(pos ORDER BY pos) AS positions
+        |FROM e GROUP BY doc_id, term
+        |ORDER BY doc_id, term""".stripMargin,
 
     // Boosted twin: the identical scored restatement with each term's
     // contribution multiplied by its boost literal (1.0 boosts keep the

@@ -233,6 +233,104 @@ object Bm25 {
       weights = Some(termBoosts.map(_._2)))
   }
 
+  /** ES `_explain` for BM25 retrieval — the relevance-debugging surface:
+    * the top-`k` documents EXPLODED into one row per (document, query
+    * term) carrying the full score decomposition — `tf` (the term's
+    * occurrence count), `df`/`idf` (corpus statistics and the idf tree),
+    * `dl` (document token length), the term's `contribution` (the exact
+    * per-term product from the score fold), and the document's total
+    * `score` — every value the SAME fixed IEEE tree the retrieval
+    * computes, so the whole explanation restates in SQL. Rows order by
+    * (score DESC, idCol, term) — the ranked list with its per-term
+    * breakdown inline, ES's `_explain` details flattened.
+    */
+  def explainTopK(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      query: String,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      stats: Option[DataFrame] = None,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val terms = queryTerms(query, analyzer)
+    require(terms.nonEmpty, s"bm25 explain: query '$query' has no analyzable terms")
+    val st = stats.getOrElse(corpusStats(docs, analyzed, terms))
+    val base = docs.select(
+      col(s"`$idCol`") +:
+        docLength(analyzed).as("_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          TokenOccurrences(analyzed, t).as(s"_tf$i")
+        }: _*)
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val dlNorm = lit(1.0) - lit(b) + lit(b) * (col("_dl").cast("double") / avgdl)
+    def idfOf(i: Int): Column =
+      log(lit(1.0) + (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
+    def contribOf(i: Int): Column = {
+      val tf = col(s"_tf$i").cast("double")
+      idfOf(i) * ((tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * dlNorm))
+    }
+    val details = array(terms.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("term"), col(s"_tf$i").cast("long").as("tf"),
+        col(s"_df$i").cast("long").as("df"), idfOf(i).as("idf"),
+        contribOf(i).as("contribution"))
+    }: _*)
+    base.crossJoin(broadcast(st))
+      .where(terms.indices.map(i => col(s"_tf$i") > 0).reduce(_ || _))
+      .withColumn("score", scoreColumn(terms.size, k1, b))
+      .orderBy(desc("score"), asc(s"`$idCol`"))
+      .limit(k)
+      .select(col(s"`$idCol`"), col("_dl").cast("int").as("dl"),
+        col("score"), explode(details).as("_d"))
+      .select(col(s"`$idCol`"), col("_d.term").as("term"),
+        col("_d.tf").as("tf"), col("_d.df").as("df"), col("_d.idf").as("idf"),
+        col("dl"), col("_d.contribution").as("contribution"), col("score"))
+      .orderBy(desc("score"), asc(s"`$idCol`"), asc("term"))
+  }
+
+  /** The [[explainTopK]] oracle: same base/stats CTEs as the scored
+    * restatement, the top-k ranked subquery, then one UNION ALL branch
+    * per term restating tf/df/idf/contribution with the identical
+    * operator trees and literals.
+    */
+  def oracleSqlExplain(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      query: String,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): String = {
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, s"bm25 explain oracle: '$query' has no analyzable terms")
+    val dlNormB = s"(1.0 - $b + $b * (b.dl::DOUBLE / (st.sumdl::DOUBLE / st.n::DOUBLE)))"
+    val score = terms.indices.map { i =>
+      s"(ln(1.0 + (st.n - st.df$i + 0.5) / (st.df$i + 0.5)) * " +
+        s"((b.tf$i::DOUBLE * ($k1 + 1.0)) / (b.tf$i::DOUBLE + $k1 * $dlNormB)))"
+    }.mkString("(", "\n    + ", ")")
+    val anyMatch = terms.indices.map(i => s"b.tf$i > 0").mkString(" OR ")
+    val dlNormT = s"(1.0 - $b + $b * (t.dl::DOUBLE / (t.sumdl::DOUBLE / t.n::DOUBLE)))"
+    val branches = terms.zipWithIndex.map { case (t, i) =>
+      val idf = s"ln(1.0 + (t.n - t.df$i + 0.5) / (t.df$i + 0.5))"
+      val contrib = s"($idf * ((t.tf$i::DOUBLE * ($k1 + 1.0)) / " +
+        s"(t.tf$i::DOUBLE + $k1 * $dlNormT)))"
+      s"""SELECT $idCol, '$t' AS term, tf$i::BIGINT AS tf, df$i::BIGINT AS df,
+         |  $idf AS idf, dl::INT AS dl, $contrib AS contribution, score
+         |FROM topk t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${oracleBaseCtes(table, idCol, textExpr, terms)},
+       |topk AS (
+       |  SELECT b.*, st.*,
+       |    $score AS score
+       |  FROM base b, st
+       |  WHERE $anyMatch
+       |  ORDER BY score DESC, b.$idCol ASC LIMIT $k
+       |)
+       |$branches
+       |ORDER BY score DESC, $idCol ASC, term ASC""".stripMargin
+  }
+
   /** [[scoredAllBoosted]] ranked and limited — the boosted [[topK]]. */
   def topKBoosted(
       docs: DataFrame,
@@ -437,16 +535,15 @@ object Bm25 {
     oracleScoredForTerms(table, idCol, textExpr, terms, k1, b) +
       s"\nORDER BY score DESC, $idCol ASC LIMIT $k"
 
-  private def oracleScoredForTerms(
+  /** The shared `d`/`base`/`st` CTE bodies (no `WITH` keyword) — the
+    * tokenized corpus, per-doc tf/dl, and the 1-row statistics — so
+    * multi-stage oracles (explain) can extend the same scope.
+    */
+  private def oracleBaseCtes(
       table: String,
       idCol: String,
       textExpr: String,
-      terms: Seq[String],
-      k1: Double,
-      b: Double,
-      weights: Option[Seq[Double]] = None): String = {
-    val ws = weights.getOrElse(Seq.fill(terms.size)(1.0))
-    require(ws.size == terms.size, "bm25 oracle: weights/terms length mismatch")
+      terms: Seq[String]): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       if (t.contains(' ')) {
         // Phrase TF: count of starting positions of the full token
@@ -460,17 +557,7 @@ object Bm25 {
     val dfCols = terms.indices.map { i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i"
     }.mkString(",\n    ")
-    val dlNorm = s"(1.0 - $b + $b * (b.dl::DOUBLE / (st.sumdl::DOUBLE / st.n::DOUBLE)))"
-    val score = terms.indices.map { i =>
-      val term =
-        s"(ln(1.0 + (st.n - st.df$i + 0.5) / (st.df$i + 0.5)) * " +
-          s"((b.tf$i::DOUBLE * ($k1 + 1.0)) / (b.tf$i::DOUBLE + $k1 * $dlNorm)))"
-      // boost 1.0 keeps the exact unweighted tree (the engine's own
-      // short-circuit) so boost-free oracles stay bit-identical
-      if (ws(i) == 1.0) term else s"(${ws(i)} * $term)"
-    }.mkString("(", "\n    + ", ")")
-    val anyMatch = terms.indices.map(i => s"b.tf$i > 0").mkString(" OR ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT $idCol,
        |    list_filter(str_split_regex(trim(regexp_replace(lower($textExpr), '[^a-z0-9]+', ' ', 'g')), ' +'),
        |      x -> x <> '') AS toks
@@ -483,7 +570,30 @@ object Bm25 {
        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
        |    $dfCols
        |  FROM base
-       |)
+       |)""".stripMargin
+  }
+
+  private def oracleScoredForTerms(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      terms: Seq[String],
+      k1: Double,
+      b: Double,
+      weights: Option[Seq[Double]] = None): String = {
+    val ws = weights.getOrElse(Seq.fill(terms.size)(1.0))
+    require(ws.size == terms.size, "bm25 oracle: weights/terms length mismatch")
+    val dlNorm = s"(1.0 - $b + $b * (b.dl::DOUBLE / (st.sumdl::DOUBLE / st.n::DOUBLE)))"
+    val score = terms.indices.map { i =>
+      val term =
+        s"(ln(1.0 + (st.n - st.df$i + 0.5) / (st.df$i + 0.5)) * " +
+          s"((b.tf$i::DOUBLE * ($k1 + 1.0)) / (b.tf$i::DOUBLE + $k1 * $dlNorm)))"
+      // boost 1.0 keeps the exact unweighted tree (the engine's own
+      // short-circuit) so boost-free oracles stay bit-identical
+      if (ws(i) == 1.0) term else s"(${ws(i)} * $term)"
+    }.mkString("(", "\n    + ", ")")
+    val anyMatch = terms.indices.map(i => s"b.tf$i > 0").mkString(" OR ")
+    s"""WITH ${oracleBaseCtes(table, idCol, textExpr, terms)}
        |SELECT b.$idCol,
        |  $score AS score
        |FROM base b, st

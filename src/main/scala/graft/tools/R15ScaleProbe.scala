@@ -69,6 +69,11 @@ object R15ScaleProbe {
         d.where(FilterSpec.IntervalsMatch("text",
           "scan spark", 3, ordered = true).compile).count()
       })
+      emit(s"intervals_all_of_$label", timeOp(repeats) {
+        d.where(FilterSpec.IntervalsAllOf("text",
+          Seq(Seq("spark", "big vector"), Seq("merge join", "scan")),
+          maxGaps = 3).compile).count()
+      })
       emit(s"bm25_boosted_$label", timeOp(repeats) {
         Bm25.topKBoosted(d, "doc_id",
           concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")),

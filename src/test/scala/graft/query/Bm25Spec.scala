@@ -250,4 +250,40 @@ class Bm25Spec extends graft.SparkSpecBase {
     intercept[IllegalArgumentException](run("most_fields", tb = 0.3))
     intercept[IllegalArgumentException](run("best_fields", tb = 1.5))
   }
+
+  test("explainTopK: per-term decomposition matches hand values and refolds to the score") {
+    val analyzed = concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" "))
+    val rows = Bm25.explainTopK(docs, "doc_id", analyzed, "Spark TABLE", k = 10)
+      .select("doc_id", "term", "tf", "df", "idf", "dl", "contribution", "score")
+      .as[(Long, String, Long, Long, Double, Int, Double, Double)]
+      .collect().toSeq
+    // every matching doc explodes into BOTH query terms (zero-tf rows
+    // included — ES explains non-contributing clauses too)
+    assert(rows.map(_._1).distinct.sorted === Seq(1L, 2L, 3L))
+    assert(rows.count(_._1 == 2L) === 2)
+    // hand value: doc 1, term spark — tf 2, df 2, the published formula
+    val d1spark = rows.find(r => r._1 == 1L && r._2 == "spark").get
+    assert(d1spark._3 === 2L && d1spark._4 === 2L && d1spark._6 === 3)
+    assert(math.abs(d1spark._7 - bm25(tf = 2, df = 2, n = 4, dl = 3, avgdl = 2.5)) < 1e-12)
+    // doc 2 has no 'table': its table row carries tf 0, contribution 0
+    val d2table = rows.find(r => r._1 == 2L && r._2 == "table").get
+    assert(d2table._3 === 0L && d2table._7 === 0.0)
+    // contributions refold to the doc score EXACTLY (same left fold)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val refold = rs.sortBy(_._2).map(_._7) // term order spark < table = query order
+      assert(refold.sum === rs.head._8)
+    }
+  }
+
+  test("termVectors: freq and sorted positions per (doc, term)") {
+    val got = TermVectors.termVectors(docs, "doc_id", "text")
+      .as[(Long, String, Long, Seq[Int])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, "spark")) === ((2L, Seq(0, 1))))
+    assert(got((1L, "table")) === ((1L, Seq(2))))
+    assert(got((3L, "scan")) === ((2L, Seq(1, 2))))
+    assert(got((3L, "table")) === ((2L, Seq(0, 3))))
+    assert(got((4L, "window")) === ((1L, Seq(0))))
+    assert(got.size === 7) // (1:spark,table)(2:spark,join)(3:table,scan)(4:window)
+  }
 }
