@@ -476,6 +476,33 @@ object SparkEntry {
             Aggs.significantTerms(federatedHarmonized(s, warm = true),
               array(col(field)), fc.compile, size))
       },
+      "/explain" -> { body =>
+        // ES _explain over the wire: {"q": "<query>", "size": N} — the
+        // ranked top-N with each doc's per-term score decomposition
+        // (tf/df/idf/dl/contribution/total), the relevance-debugging
+        // payload.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val qText = o.path("q").asText("")
+        require(qText.nonEmpty, "explain: missing q")
+        WidgetServer.collectRowsJson(
+          graft.query.Bm25.explainTopK(load(dir, "documents"), "doc_id",
+            concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" ")),
+            qText, k = o.path("size").asInt(5)))
+      },
+      "/termvectors" -> { body =>
+        // ES _termvectors over the wire: {"ids": [1, 2, ...]} — per-(doc,
+        // term) frequency + sorted positions for the requested documents
+        // (the API is per-document; the id list bounds the scan).
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val ids = o.path("ids")
+        require(ids.isArray && ids.size() > 0, "termvectors: missing ids")
+        val idSeq = (0 until ids.size()).map(ids.get(_).asLong())
+        WidgetServer.collectRowsJson(
+          graft.query.TermVectors.termVectors(
+              load(dir, "documents").where(col("doc_id").isin(idSeq: _*)),
+              "doc_id", "text")
+            .orderBy("doc_id", "term"))
+      },
       "/search" -> { body =>
         // The search endpoint over the documents corpus: {"q": "dup
         // vector", "filter": "lang:en" (query_string, optional),
@@ -1987,6 +2014,21 @@ object SparkEntry {
       // path: analyzes per row, computes corpus stats in-query.
       graft.query.Bm25.topKRaw(load(dir, "documents"), "doc_id", "text",
         "dup vector scan", k = 15)
+    }),
+
+    "search_highlight_fragments" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES fragment highlighting (fragment_size/number_of_fragments)
+      // under the deterministic fixed-window contract (documented delta
+      // from the unified highlighter's passage breaker): 60-char windows
+      // ranked by match count, best 2 returned score-then-offset with
+      // matches wrapped. Row-local; docs with no matching window drop.
+      val frags = graft.expr.TextMatch.highlightFragments(
+        col("text"), "dup vector", fragmentSize = 60, numberOfFragments = 2)
+      load(dir, "documents")
+        .select(col("doc_id"), frags.as("fragments"))
+        .where(size(col("fragments")) > 0)
+        .orderBy("doc_id")
     }),
 
     "search_explain" -> ((s, dir) => {
@@ -6532,6 +6574,19 @@ object SparkEntry {
 
     "search_bm25_indexed" ->
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    // Fragment highlighting restated by the SQL twin builder — the same
+    // fixed windows, negated-count struct sort, slice, and RE2 wrap.
+    "search_highlight_fragments" -> {
+      val frags = graft.expr.TextMatch.highlightFragmentsSql(
+        "text", "dup vector", fragmentSize = 60, numberOfFragments = 2)
+      s"""SELECT doc_id, fragments FROM (
+         |  SELECT doc_id,
+         |$frags AS fragments
+         |  FROM documents)
+         |WHERE len(fragments) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // _explain restated: the same base/stats CTEs, the ranked top-k with
     // its tf/df/dl context, one UNION ALL branch per term with the

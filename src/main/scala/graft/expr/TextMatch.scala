@@ -125,6 +125,74 @@ object TextMatch {
     s"""regexp_replace($column, '\\b(${terms.mkString("|")})\\b', '$prq\\1$poq', 'gi')"""
   }
 
+  /** ES fragment highlighting (`fragment_size` / `number_of_fragments`)
+    * with a DETERMINISTIC windowing contract: the text splits into fixed
+    * `fragmentSize`-character windows aligned at offset 0 (ES's unified
+    * highlighter breaks at sentence/passage boundaries and scores
+    * passages — shard- and analyzer-dependent; fixed windows trade that
+    * fidelity for a bit-reproducible, SQL-restatable rule — a documented
+    * delta, like the sampler family's). Windows rank by (whole-token
+    * match count DESC, offset ASC); the top `numberOfFragments` with at
+    * least one match return IN THAT ORDER (ES's default
+    * `order: "score"`), each with its matches wrapped `pre`/`post`. A
+    * term cut by a window boundary matches in neither window (the `\b`
+    * boundary sees a partial word) — deterministic in both engines. No
+    * matching window → empty array; null text → null.
+    *
+    * Row-local column algebra: window substrings via a bounded
+    * `transform` over `sequence` (every lambda body references only the
+    * lambda variable, literals, and the ROW-LEVEL text column — no
+    * rebinding trap), natural struct sort (both engines compare structs
+    * field-lexicographically; the negated count makes it (count DESC,
+    * offset ASC)), slice, wrap.
+    */
+  def highlightFragments(c: Column, query: String,
+      fragmentSize: Int = 100, numberOfFragments: Int = 5,
+      pre: String = "<em>", post: String = "</em>"): Column = {
+    require(fragmentSize >= 1, s"highlightFragments: fragmentSize must be >= 1")
+    require(numberOfFragments >= 1, s"highlightFragments: numberOfFragments must be >= 1")
+    val terms = analyze(query).distinct
+    require(terms.nonEmpty, s"highlightFragments: query '$query' has no analyzable terms")
+    val pattern = "(?i)\\b(" + terms.mkString("|") + ")\\b"
+    val fs = lit(fragmentSize)
+    val nWin = greatest(ceil(length(c).cast("double") / fs.cast("double")).cast("int"), lit(1))
+    val scored = transform(sequence(lit(0), nWin - 1), i => {
+      val frag = c.substr((i * fs + 1).cast("int"), lit(fragmentSize))
+      struct((-regexp_count(frag, lit(pattern))).cast("int").as("negc"),
+        i.cast("int").as("off"), frag.as("frag"))
+    })
+    val selected = slice(
+      array_sort(filter(scored, s => s("negc") < 0)),
+      1, numberOfFragments)
+    transform(selected, s =>
+      regexp_replace(s("frag"), pattern,
+        java.util.regex.Matcher.quoteReplacement(pre) + "$1" +
+          java.util.regex.Matcher.quoteReplacement(post)))
+  }
+
+  /** DuckDB twin of [[highlightFragments]] — the same fixed windows,
+    * negated-count struct sort, slice, and RE2 wrap.
+    */
+  def highlightFragmentsSql(column: String, query: String,
+      fragmentSize: Int = 100, numberOfFragments: Int = 5,
+      pre: String = "<em>", post: String = "</em>"): String = {
+    val terms = analyze(query).distinct
+    require(terms.nonEmpty, s"highlightFragments: query '$query' has no analyzable terms")
+    val pattern = ("(?i)\\b(" + terms.mkString("|") + ")\\b").replace("'", "''")
+    val prq = pre.replace("'", "''")
+    val poq = post.replace("'", "''")
+    val fs = fragmentSize
+    s"""list_transform(
+       |  list_sort(list_filter(
+       |    list_transform(range(0, greatest(cast(ceil(len($column)::DOUBLE / $fs) AS INT), 1)),
+       |      i -> struct_pack(
+       |        negc := -len(regexp_extract_all(substr($column, cast(i * $fs + 1 AS INT), $fs), '$pattern')),
+       |        off := cast(i AS INT),
+       |        frag := substr($column, cast(i * $fs + 1 AS INT), $fs))),
+       |    s -> s.negc < 0))[1:$numberOfFragments],
+       |  x -> regexp_replace(x.frag, '$pattern', '$prq\\1$poq', 'g'))""".stripMargin
+  }
+
   /** DuckDB SQL for [[containsToken]] — whole-token (or whole contiguous
     * token sequence) containment; the oracle twin of the query_string
     * `field:term` and `field:"a b"` clauses.

@@ -204,4 +204,39 @@ class SearchExtrasSpec extends SparkSpecBase {
     // alternation must not highlight the tags themselves
     assert(hl(2L) === "<em>em</em> goes emphatic")
   }
+
+  test("highlightFragments: fixed windows ranked by match count, order score-then-offset") {
+    // fragmentSize 10 → windows |0123456789|0123456789|...
+    val df = Seq(
+      // windows: "aa dup dup" (2 matches), " bb cc dd " (0), "dup ee ff" (1)
+      (1L, "aa dup dup bb cc dd dup ee ff"),
+      (2L, "no matches anywhere here"),
+      (3L, "dup"),
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextMatch.highlightFragments(col("text"), "dup",
+        fragmentSize = 10, numberOfFragments = 2).as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    // two-match window first, then the one-match window; zero-match
+    // window never surfaces; matches wrapped inside each fragment
+    assert(out(1L) === Seq("aa <em>dup</em> <em>dup</em>", "<em>dup</em> ee ff"))
+    assert(out(2L) === Seq.empty)
+    assert(out(3L) === Seq("<em>dup</em>"))
+    // numberOfFragments truncates: only the best window survives
+    val one = df.where(col("id") === 1L).select(
+      TextMatch.highlightFragments(col("text"), "dup",
+        fragmentSize = 10, numberOfFragments = 1).as("f"))
+      .as[Seq[String]].collect().head
+    assert(one === Seq("aa <em>dup</em> <em>dup</em>"))
+    // a term cut by a window boundary ("aaaaaaaa d|up") matches in
+    // neither window — the documented fixed-window delta from ES's
+    // passage breaker
+    val cut = Seq((1L, "aaaaaaaa dup")).toDF("id", "text")
+      .select(TextMatch.highlightFragments(col("text"), "dup",
+        fragmentSize = 10, numberOfFragments = 2).as("f"))
+      .as[Seq[String]].collect().head
+    assert(cut === Seq.empty)
+    intercept[IllegalArgumentException](
+      TextMatch.highlightFragments(col("text"), "dup", fragmentSize = 0))
+  }
 }

@@ -416,6 +416,26 @@ class WidgetServerSpec extends SparkSpecBase {
       // a boost in the FILTER stays a client fault
       assert(post(s"http://127.0.0.1:$port/search",
         """{"q": "dup", "filter": "text:a^2", "size": 2}""")._1 === 400)
+
+      // _explain: the per-term decomposition, pinned to engine-direct
+      val (c8, b8) = post(s"http://127.0.0.1:$port/explain",
+        """{"q": "dup vector scan", "size": 3}""")
+      assert(c8 === 200)
+      assert(b8 === WidgetServer.collectRowsJson(
+        graft.query.Bm25.explainTopK(docs, "doc_id", analyzed,
+          "dup vector scan", k = 3)))
+      assert(b8.contains("\"contribution\""))
+      assert(post(s"http://127.0.0.1:$port/explain", """{"size": 3}""")._1 === 400)
+
+      // _termvectors: per-doc term stats for a requested id list
+      val (c9, b9) = post(s"http://127.0.0.1:$port/termvectors",
+        """{"ids": [0, 1]}""")
+      assert(c9 === 200)
+      assert(b9 === WidgetServer.collectRowsJson(
+        graft.query.TermVectors.termVectors(
+            docs.where(col("doc_id").isin(0L, 1L)), "doc_id", "text")
+          .orderBy("doc_id", "term")))
+      assert(post(s"http://127.0.0.1:$port/termvectors", """{}""")._1 === 400)
     } finally server.stop(0)
   }
 
