@@ -2016,6 +2016,19 @@ object SparkEntry {
         "dup vector scan", k = 15)
     }),
 
+    "q_match_bool_prefix" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES match_bool_prefix (search_as_you_type's bool_prefix mode — the
+      // search bar mid-keystroke): 'vector' must appear as a whole token
+      // ANYWHERE (the delta from contiguous match_phrase_prefix), 'sc'
+      // matches as a token prefix (scan/screen/...). Pure composition of
+      // proven nodes.
+      val spec = graft.query.FilterSpec.matchBoolPrefix("text", "vector sc")
+      load(dir, "documents").where(spec.compile)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     "search_highlight_fragments" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES fragment highlighting (fragment_size/number_of_fragments)
@@ -6574,6 +6587,14 @@ object SparkEntry {
 
     "search_bm25_indexed" ->
       graft.query.Bm25.oracleSql("documents", "doc_id", "text", "dup vector scan", 15),
+
+    // bool_prefix restated: whole-token containment for the complete
+    // terms, the shared prefix predicate for the trailing fragment.
+    "q_match_bool_prefix" ->
+      s"""SELECT lang, count(*)::BIGINT AS n FROM documents
+         |WHERE ${graft.expr.TextMatch.containsTokenSql("text", "vector")}
+         |  AND ${graft.expr.TextMatch.phrasePrefixSql("text", "sc")}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Fragment highlighting restated by the SQL twin builder — the same
     // fixed windows, negated-count struct sort, slice, and RE2 wrap.

@@ -1707,4 +1707,5 @@ object Aggs {
       .limit(1)
       .select(col("_next").as("change_point"), col("_delta").as("delta"))
   }
+
 }

@@ -210,6 +210,22 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** ES `match_bool_prefix` — the query behind `search_as_you_type`'s
+    * bool_prefix mode, i.e. the search bar mid-keystroke: every analyzed
+    * term must appear somewhere in the field (any positions, any order —
+    * the delta from the CONTIGUOUS `match_phrase_prefix` / Q6), except
+    * the LAST term, which matches as a token prefix (the word still
+    * being typed). A pure composition of proven nodes: AND of
+    * [[TermMatch]]es plus a trailing [[AnalyzedPrefix]].
+    */
+  def matchBoolPrefix(field: String, query: String): FilterSpec = {
+    val ts = TextMatch.analyze(query)
+    require(ts.nonEmpty, s"match_bool_prefix: query '$query' has no analyzable terms")
+    if (ts.size == 1) AnalyzedPrefix(field, ts.head)
+    else And(ts.init.map(t => TermMatch(field, t): FilterSpec) :+
+      (AnalyzedPrefix(field, ts.last): FilterSpec))
+  }
+
   /** Exact analyzed phrase — `field:"a b"`: the tokens appear contiguously
     * and completely (the [[PhrasePrefix]] construction with the final
     * token whole).

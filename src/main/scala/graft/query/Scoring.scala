@@ -144,4 +144,49 @@ object Scoring {
     }
     lit(factor) * m
   }
+
+  /** ES `rank_feature` query, `saturation` function:
+    * `boost · v / (v + pivot)` — the sub-linear popularity/quality boost
+    * (pagerank, url_length, …) Lucene computes from the rank-feature
+    * index. Pure division — oracle-exact. Non-positive / missing feature
+    * values score 0 (ES skips docs without the feature; a filter-less
+    * scan surfaces them as zero so callers can `where(score > 0)`).
+    */
+  def rankFeatureSaturation(v: Column, pivot: Double,
+      boost: Double = 1.0): Column = {
+    require(pivot > 0, s"rank_feature saturation: pivot must be > 0, got $pivot")
+    val x = v.cast("double")
+    when(x.isNotNull && x > 0, lit(boost) * x / (x + lit(pivot)))
+      .otherwise(lit(0.0))
+  }
+
+  /** ES `rank_feature` query, `log` function:
+    * `boost · ln(scaling_factor · v + 1)` — the unbounded-growth variant.
+    * `ln` is correctly-rounded at the driver compare's 9-decimal
+    * tolerance (the `fieldValueFactor` log1p discipline), so this
+    * oracles.
+    */
+  def rankFeatureLog(v: Column, scalingFactor: Double,
+      boost: Double = 1.0): Column = {
+    require(scalingFactor > 0,
+      s"rank_feature log: scaling_factor must be > 0, got $scalingFactor")
+    val x = v.cast("double")
+    when(x.isNotNull && x > 0, lit(boost) * log(lit(scalingFactor) * x + lit(1.0)))
+      .otherwise(lit(0.0))
+  }
+
+  /** ES `distance_feature` query: `boost · pivot / (pivot + dist)` with
+    * `dist = |v − origin|` — recency/proximity boosting over a numeric or
+    * date field (dates: pass µs/ms integers cast to double; the algebra
+    * is exact either way). Score is `boost` AT the origin, `boost/2` at
+    * one pivot away — pure arithmetic, oracle-exact. Missing values score
+    * 0 (ES skips them).
+    */
+  def distanceFeature(v: Column, origin: Double, pivot: Double,
+      boost: Double = 1.0): Column = {
+    require(pivot > 0, s"distance_feature: pivot must be > 0, got $pivot")
+    val dist = abs(v.cast("double") - lit(origin))
+    when(v.isNotNull, lit(boost) * lit(pivot) / (lit(pivot) + dist))
+      .otherwise(lit(0.0))
+  }
 }

@@ -872,4 +872,5 @@ class AggsSpec extends SparkSpecBase {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(raw.find(_._1 == "boilerplate").get._3 === 4L)
   }
+
 }

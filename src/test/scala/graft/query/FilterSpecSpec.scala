@@ -179,4 +179,21 @@ class FilterSpecSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       FilterSpec.IntervalsAllOf("text", Seq(Seq("a")), -1))
   }
+
+  test("matchBoolPrefix: whole terms in any order, the last term as prefix") {
+    val docs = Seq(
+      (1L, "vector scan done"),   // whole 'vector' + 'scan' has prefix sc
+      (2L, "scan the vector"),    // order-free: sc-word BEFORE vector
+      (3L, "vector only"),        // no sc-prefixed token
+      (4L, "scanner vector"),     // 'scanner' satisfies the prefix
+      (5L, "scan without the v"), // 'vector' missing
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    assert(ids(FilterSpec.matchBoolPrefix("text", "vector sc"))
+      === Seq(1L, 2L, 4L))
+    // single term degenerates to the bare prefix
+    assert(ids(FilterSpec.matchBoolPrefix("text", "sc")) === Seq(1L, 2L, 4L, 5L))
+    intercept[IllegalArgumentException](FilterSpec.matchBoolPrefix("text", "..."))
+  }
 }
