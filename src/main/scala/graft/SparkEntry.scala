@@ -2029,6 +2029,74 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "q_geo_bounding_box" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_bounding_box — the filter a Kibana map viewport sends on
+      // every pan — over the synthetic customer coordinates (FIXTURES.md
+      // §3), with the box CROSSING the antimeridian (left 150 > right
+      // -120) to exercise the dateline disjunction. Pure comparisons:
+      // oracle-exact, and the predicate pushes into the scan.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      val box = graft.query.FilterSpec.GeoBoundingBox("lat", "lon",
+        top = 60.0, left = 150.0, bottom = -10.0, right = -120.0)
+      pts.where(box.compile)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"),
+          sum(floor(col("lat") * 1000000).cast("long")).as("slat"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_geo_distance_filter" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_distance QUERY (filter context — "within 3000 km of the
+      // pin", the map's radius filter; g_geo_distance is the RING AGG
+      // twin) via the pinned haversine tree. The binary include/exclude
+      // is libm-stable at this fixture: min |km − 3000| over the corpus
+      // is 2.35 km at sf0.01 / 4.07 km at sf0.1 (margin asserted in
+      // FilterSpecSpec), ~12 orders above the ≤1-ulp trig drift.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      val near = graft.query.FilterSpec.GeoDistance("lat", "lon",
+        originLat = 10.0, originLon = 20.0, radiusKm = 3000.0)
+      pts.where(near.compile)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"),
+          sum(floor(col("lat") * 1000000).cast("long")).as("slat"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_rank_feature" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES rank_feature query — the static quality/popularity boost
+      // (pagerank, url_length) in a bool.should: saturation + log
+      // functions summed, ES's additive should-clause scoring. Pure
+      // division + correctly-rounded ln — oracle-exact row-local trees,
+      // lexicographic tie-break (scores collide across equal n_chars).
+      val score =
+        query.Scoring.rankFeatureSaturation(col("n_chars"), pivot = 250.0,
+          boost = 2.0) +
+        query.Scoring.rankFeatureLog(col("n_chars"), scalingFactor = 0.1)
+      load(dir, "documents").select(col("doc_id"), score.as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(30)
+    }),
+
+    "q_distance_feature" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES distance_feature query — recency boosting on a date field:
+      // boost·pivot/(pivot + |ts − origin|) on epoch-µs integers
+      // (exact doubles < 2^53; the division is the only rounding step,
+      // identically rounded in both engines). Origin mid-corpus
+      // (2024-01-15), pivot 3 days.
+      val score = query.Scoring.distanceFeature(
+        unix_micros(col("ts")).cast("double"),
+        origin = 1705276800000000.0, pivot = 259200000000.0, boost = 2.0)
+      loadEvents(dir).select(col("event_id"), score.as("score"))
+        .orderBy(desc("score"), asc("event_id"))
+        .limit(25)
+    }),
+
     "search_highlight_fragments" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES fragment highlighting (fragment_size/number_of_fragments)
@@ -6595,6 +6663,69 @@ object SparkEntry {
          |WHERE ${graft.expr.TextMatch.containsTokenSql("text", "vector")}
          |  AND ${graft.expr.TextMatch.phrasePrefixSql("text", "sc")}
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The viewport box restated: the pmod CASE form (DuckDB's % re-rounds
+    // under the ((x%m)+m)%m form on doubles), micro-degree integer sums
+    // (the geoCentroid rendering discipline), dateline-crossing lon
+    // disjunction.
+    "q_geo_bounding_box" ->
+      """WITH pts AS (
+        |  SELECT c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |  sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat
+        |FROM pts
+        |WHERE lat <= 60.0 AND lat >= -10.0 AND (lon >= 150.0 OR lon <= -120.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The radius filter restates the pinned haversine tree
+    // operator-for-operator (π/180 as one shared double — never
+    // radians(); cos(origin·rad) recomputed from the same operands in the
+    // same order). Threshold margin documented at the query.
+    "q_geo_distance_filter" ->
+      """WITH pts AS (
+        |  SELECT c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |), d AS (
+        |  SELECT c_mktsegment, lat,
+        |    (2.0 * 6371.0088) * asin(sqrt(
+        |      sin(((lat - 10.0) * (pi() / 180.0)) / 2.0)
+        |        * sin(((lat - 10.0) * (pi() / 180.0)) / 2.0)
+        |      + cos(lat * (pi() / 180.0)) * cos(10.0 * (pi() / 180.0))
+        |        * sin(((lon - 20.0) * (pi() / 180.0)) / 2.0)
+        |        * sin(((lon - 20.0) * (pi() / 180.0)) / 2.0))) AS km
+        |  FROM pts
+        |)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n,
+        |  sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat
+        |FROM d WHERE km <= 3000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rank_feature restated: saturation (pure division) + log (ln is
+    // correctly-rounded at the 9-decimal compare). n_chars > 0 corpus-wide,
+    // so the missing-feature zero branch is constant-false and drops out.
+    "q_rank_feature" ->
+      """SELECT doc_id,
+        |  2.0 * n_chars::DOUBLE / (n_chars::DOUBLE + 250.0)
+        |    + 1.0 * ln(0.1 * n_chars::DOUBLE + 1.0) AS score
+        |FROM documents
+        |ORDER BY score DESC, doc_id ASC LIMIT 30""".stripMargin,
+
+    // distance_feature restated on epoch-µs integers (exact doubles
+    // < 2^53; epoch_us ≡ unix_micros under the UTC session) — one
+    // division is the only rounding step.
+    "q_distance_feature" ->
+      """SELECT event_id,
+        |  2.0 * 259200000000.0 / (259200000000.0
+        |    + abs(epoch_us(ts)::DOUBLE - 1705276800000000.0)) AS score
+        |FROM events
+        |ORDER BY score DESC, event_id ASC LIMIT 25""".stripMargin,
 
     // Fragment highlighting restated by the SQL twin builder — the same
     // fixed windows, negated-count struct sort, slice, and RE2 wrap.

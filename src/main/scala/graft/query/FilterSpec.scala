@@ -641,6 +641,53 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** ES `geo_bounding_box` — the query a map viewport sends on every pan
+    * (Kibana tile map → coordinate filter): point inside the
+    * `top_left`/`bottom_right` rectangle. Pure comparisons on the lat/lon
+    * columns (oracle-exact, pushdown-eligible). `left > right` means the
+    * box CROSSES the antimeridian (ES's dateline rule): the lon predicate
+    * becomes a disjunction of the two half-boxes.
+    */
+  final case class GeoBoundingBox(latField: String, lonField: String,
+      top: Double, left: Double, bottom: Double, right: Double)
+      extends FilterSpec {
+    require(top >= bottom, s"geo_bounding_box: top $top < bottom $bottom")
+    require(top <= 90 && bottom >= -90, "geo_bounding_box: lat out of [-90,90]")
+    require(left >= -180 && left <= 180 && right >= -180 && right <= 180,
+      "geo_bounding_box: lon out of [-180,180]")
+    def compile: Column = {
+      val (lat, lon) = (col(latField), col(lonField))
+      val lonIn =
+        if (left <= right) lon >= lit(left) && lon <= lit(right)
+        else lon >= lit(left) || lon <= lit(right) // crosses the antimeridian
+      lat <= lit(top) && lat >= lit(bottom) && lonIn
+    }
+    def render: String =
+      s"${escName(latField)},${escName(lonField)}:geo_box[$bottom,$left TO $top,$right]"
+    def fields: Seq[String] = Seq(latField, lonField)
+  }
+
+  /** ES `geo_distance` query (filter context — "within N km of the
+    * pin"): haversine distance at most `radiusKm` from the origin, via
+    * the repo's pinned fixed-IEEE haversine tree ([[Aggs.haversineKm]] —
+    * π/180 as one shared double, never `radians()`). sin/cos/asin are
+    * library-rounded (≤1 ulp each); the binary include/exclude outcome is
+    * stable when no point sits within ~1e-9 relative of the radius —
+    * fixture margin asserted in FilterSpecSpec, same discipline as the
+    * [[Aggs.geoDistanceRings]] bucket edges.
+    */
+  final case class GeoDistance(latField: String, lonField: String,
+      originLat: Double, originLon: Double, radiusKm: Double)
+      extends FilterSpec {
+    require(radiusKm > 0, s"geo_distance: radius must be > 0, got $radiusKm")
+    def compile: Column =
+      Aggs.haversineKm(col(latField), col(lonField), originLat, originLon) <=
+        lit(radiusKm)
+    def render: String =
+      s"${escName(latField)},${escName(lonField)}:geo_distance[$originLat,$originLon r=${radiusKm}km]"
+    def fields: Seq[String] = Seq(latField, lonField)
+  }
+
   /** Build the conjunction the way the webapp does: empty widget list →
     * match_all, else bool-must of each widget's predicate.
     */

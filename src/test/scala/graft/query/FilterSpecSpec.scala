@@ -196,4 +196,53 @@ class FilterSpecSpec extends SparkSpecBase {
     assert(ids(FilterSpec.matchBoolPrefix("text", "sc")) === Seq(1L, 2L, 4L, 5L))
     intercept[IllegalArgumentException](FilterSpec.matchBoolPrefix("text", "..."))
   }
+
+  test("geo_bounding_box: plain box and antimeridian-crossing box") {
+    val pts = Seq(
+      (1L, 10.0, 0.0),    // inside the plain box
+      (2L, 70.0, 0.0),    // north of top
+      (3L, 10.0, 100.0),  // east of right (plain box)
+      (4L, 10.0, 170.0),  // inside the CROSSING box (east half)
+      (5L, 10.0, -150.0), // inside the CROSSING box (west half)
+      (6L, 10.0, 0.0),    // outside the crossing box's lon
+    ).toDF("id", "lat", "lon")
+    def ids(spec: FilterSpec): Seq[Long] =
+      pts.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    // plain: left <= right
+    assert(ids(FilterSpec.GeoBoundingBox("lat", "lon", 60, -20, -10, 20))
+      === Seq(1L, 6L))
+    // crossing: left 150 > right -120 → two half-boxes
+    assert(ids(FilterSpec.GeoBoundingBox("lat", "lon", 60, 150, -10, -120))
+      === Seq(4L, 5L))
+    intercept[IllegalArgumentException](
+      FilterSpec.GeoBoundingBox("lat", "lon", top = -10, left = 0, bottom = 10, right = 0))
+    intercept[IllegalArgumentException](
+      FilterSpec.GeoBoundingBox("lat", "lon", 91, 0, 0, 0))
+  }
+
+  test("geo_distance: radius semantics and the oracle fixture's libm margin") {
+    // ~111.2 km per degree at the equator: 1° away is inside 200 km,
+    // 2° away is outside
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 0.0, 2.0))
+      .toDF("id", "lat", "lon")
+    val near = FilterSpec.GeoDistance("lat", "lon", 0.0, 0.0, 200.0)
+    assert(pts.where(near.compile).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    intercept[IllegalArgumentException](
+      FilterSpec.GeoDistance("lat", "lon", 0, 0, 0.0))
+    // The q_geo_distance_filter oracle compares library-rounded trig to a
+    // threshold — binary-stable ONLY with corpus margin. Assert the sf0.01
+    // fixture keeps every point ≥ 1 km away from the 3000 km edge
+    // (measured 2.35 km; ≥12 orders above ≤1-ulp drift).
+    val custPath = "/root/testdata/sf0.01/customer.parquet"
+    if (new java.io.File(custPath).exists) {
+      val km = Aggs.haversineKm(col("lat"), col("lon"), 10.0, 20.0)
+      val minMargin = spark.read.parquet(custPath)
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+        .select(min(abs(km - lit(3000.0))).as("m")).as[Double].collect().head
+      assert(minMargin > 1.0,
+        s"geo fixture margin collapsed to $minMargin km — re-pick the radius")
+    }
+  }
 }

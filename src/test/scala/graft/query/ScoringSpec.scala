@@ -118,4 +118,50 @@ class ScoringSpec extends SparkSpecBase {
       modes(1.0, flag = true, "sum", boostMode = "xor"))
     intercept[IllegalArgumentException](Scoring.combine(Nil, "sum"))
   }
+
+  test("rank_feature saturation: pivot-half point, monotone, zero on missing") {
+    def sat(v: java.lang.Double) =
+      Seq(Option(v).map(_.doubleValue)).toDF("v")
+        .select(Scoring.rankFeatureSaturation(col("v"), pivot = 10.0).as("s"))
+        .as[Double].collect().head
+    assert(sat(10.0) === 0.5) // v == pivot → exactly half
+    assert(sat(30.0) === 0.75) // 30/40
+    assert(sat(5.0) < sat(10.0) && sat(10.0) < sat(100.0)) // monotone
+    assert(sat(0.0) === 0.0) // non-positive feature scores 0
+    assert(sat(-3.0) === 0.0)
+    assert(sat(null) === 0.0) // ES skips docs without the feature
+    // boost scales linearly
+    assert(Seq(10.0).toDF("v")
+      .select(Scoring.rankFeatureSaturation(col("v"), 10.0, boost = 4.0).as("s"))
+      .as[Double].collect().head === 2.0)
+    intercept[IllegalArgumentException](
+      Scoring.rankFeatureSaturation(col("v"), pivot = 0.0))
+  }
+
+  test("rank_feature log: ln(sf·v + 1), zero on missing/non-positive") {
+    def lg(v: java.lang.Double) =
+      Seq(Option(v).map(_.doubleValue)).toDF("v")
+        .select(Scoring.rankFeatureLog(col("v"), scalingFactor = 2.0).as("s"))
+        .as[Double].collect().head
+    assert(lg(0.5) === math.log(2.0 * 0.5 + 1.0)) // ln 2
+    assert(lg(4.5) === math.log(10.0))
+    assert(lg(0.0) === 0.0 && lg(null) === 0.0)
+    intercept[IllegalArgumentException](
+      Scoring.rankFeatureLog(col("v"), scalingFactor = 0.0))
+  }
+
+  test("distance_feature: boost at origin, half at one pivot away, symmetric") {
+    def df(v: java.lang.Double) =
+      Seq(Option(v).map(_.doubleValue)).toDF("v")
+        .select(Scoring.distanceFeature(col("v"), origin = 100.0,
+          pivot = 20.0, boost = 2.0).as("s"))
+        .as[Double].collect().head
+    assert(df(100.0) === 2.0) // at the origin: full boost
+    assert(df(120.0) === 1.0) // one pivot away: half
+    assert(df(80.0) === 1.0) // symmetric
+    assert(df(160.0) === 2.0 * 20.0 / 80.0) // the published formula
+    assert(df(null) === 0.0) // missing values skipped
+    intercept[IllegalArgumentException](
+      Scoring.distanceFeature(col("v"), 0.0, pivot = -1.0))
+  }
 }
