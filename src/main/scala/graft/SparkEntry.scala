@@ -2066,6 +2066,34 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_nested_query" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES nested query vs the object-mapping default, side by side: an
+      // order matches NESTED when one line item has BOTH quantity >= 45
+      // and discount >= 0.08 (same element); the flattened OBJECT mapping
+      // cross-matches different items and reports ~2.3x the orders — the
+      // false-positive class the nested field type exists to kill. One
+      // collect_list hash aggregate (bounded by items-per-order) + one
+      // keyed join; both predicates are row-local exists HOFs.
+      val items = graft.query.NestedDocs.nest(
+        load(dir, "lineitem"), "l_orderkey",
+        Seq("l_quantity", "l_discount"))
+      val hit = (it: Column) =>
+        it("l_quantity") >= 45 && it("l_discount") >= 0.08
+      val flagged = items.select(col("l_orderkey"),
+        graft.query.NestedDocs.nestedMatch(col("items"), hit).as("_nested"),
+        graft.query.NestedDocs.objectMatch(col("items"), Seq(
+          it => it("l_quantity") >= 45,
+          it => it("l_discount") >= 0.08)).as("_object"))
+      load(dir, "orders")
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(coalesce(col("_nested"), lit(false)), 1).otherwise(0)).as("n_nested"),
+          sum(when(coalesce(col("_object"), lit(false)), 1).otherwise(0)).as("n_object"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_rank_feature" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES rank_feature query — the static quality/popularity boost
@@ -6706,6 +6734,21 @@ object SparkEntry {
         |  sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat
         |FROM d WHERE km <= 3000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Nested-vs-object restated relationally: same-element = one EXISTS
+    // with both conditions; flattened = independent EXISTS per condition.
+    "q_nested_query" ->
+      """SELECT o.o_orderpriority,
+        |  sum(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey
+        |          AND l.l_quantity >= 45 AND l.l_discount >= 0.08)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_nested,
+        |  sum(CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |      AND EXISTS (SELECT 1 FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_object
+        |FROM orders o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // rank_feature restated: saturation (pure division) + log (ln is
     // correctly-rounded at the 9-decimal compare). n_chars > 0 corpus-wide,
