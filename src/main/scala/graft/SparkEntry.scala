@@ -2066,6 +2066,32 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_span_first" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Lucene span_first: 'spark' ending within the first 6 positions —
+      // the lead-paragraph/title-prefix match (88 of 500 docs at sf0.01
+      // vs 384 with 'spark' anywhere). Same bound-position machinery as
+      // span_near, substring-guarded.
+      val spec = graft.query.FilterSpec.SpanFirst("text", "spark", end = 6)
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_span_not" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Lucene span_not: a 'scan' occurrence NOT inside 'vector scan' —
+      // the classic exclude-the-longer-phrase query (7 docs at sf0.01
+      // have scan ONLY as part of 'vector scan' and drop out). exists
+      // over bound include starts, forall non-overlap over bound exclude
+      // starts.
+      val spec = graft.query.FilterSpec.SpanNot("text",
+        include = "scan", exclude = "vector scan")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_nested_query" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES nested query vs the object-mapping default, side by side: an
@@ -6734,6 +6760,39 @@ object SparkEntry {
         |  sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat
         |FROM d WHERE km <= 3000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // span_first restated: 1-based DuckDB position p = 0-based start + 1;
+    // the end-position bound s + L <= 6 becomes p <= 6 for the single term.
+    "q_span_first" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |WHERE toks[u.i] = 'spark' AND u.i <= 6
+        |ORDER BY doc_id""".stripMargin,
+
+    // span_not restated: an include position with NO overlapping exclude
+    // span — the same interval non-overlap algebra, NOT EXISTS form.
+    "q_span_not" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), i AS (
+        |  SELECT doc_id, u.i AS s FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |), e AS (
+        |  SELECT doc_id, u.i AS x FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i:u.i+1] = ['vector', 'scan']
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM i JOIN t USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM e
+        |  WHERE e.doc_id = i.doc_id AND NOT (e.x + 1 < i.s OR e.x > i.s))
+        |ORDER BY doc_id""".stripMargin,
 
     // Nested-vs-object restated relationally: same-element = one EXISTS
     // with both conditions; flattened = independent EXISTS per condition.

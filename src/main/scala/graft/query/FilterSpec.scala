@@ -359,6 +359,89 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** Phrase-occurrence START positions (0-based) of the analyzed token
+    * sequence `ts` within a BOUND token-list column `tk` (a lambda-var
+    * field — binding discipline per [[IntervalsAllOf]]'s scaladoc): a
+    * candidate start at every index, the full window compared in-bounds
+    * (the bound conjunct leads, so `element_at` never reads past the
+    * list). Shared by the span nodes below.
+    */
+  private def phraseStartsIn(tk: Column, ts: Seq[String]): Column = {
+    val L = ts.length
+    filter(
+      transform(tk, (x, i0) => {
+        val inBounds = i0 + lit(L - 1) < size(tk)
+        val matches = ts.zipWithIndex.map { case (t, j) =>
+          if (j == 0) x === t
+          else element_at(tk, i0 + lit(j + 1)) === t
+        }.reduce(_ && _)
+        when(inBounds && matches, i0)
+      }),
+      v => v.isNotNull)
+  }
+
+  /** Lucene/ES `span_first` — the match must sit near the START of the
+    * field (title-prefix matching, lead-paragraph boosts): some
+    * occurrence of the analyzed phrase ENDS at position ≤ `end`
+    * (Lucene's end-position bound; a single term at 0-based index `p`
+    * has end `p + 1`). Same bound-token machinery as the proximity
+    * family — row-local, guarded by a codegen'd substring probe.
+    */
+  final case class SpanFirst(field: String, phrase: String, end: Int)
+      extends FilterSpec {
+    require(end >= 1, s"span_first: end must be >= 1, got $end")
+    def compile: Column = {
+      val ts = TextMatch.analyze(phrase)
+      require(ts.nonEmpty, s"span_first: no analyzable tokens in <$phrase>")
+      val contains = TextMatch.containsToken(col(field), ts.mkString(" "))
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      contains && exists(array(struct(toks.as("_t"))), trow => {
+        val tk = trow("_t")
+        exists(phraseStartsIn(tk, ts), s => s + lit(ts.length) <= lit(end))
+      })
+    }
+    def render: String = s"""${escName(field)}:"$phrase"~first$end"""
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Lucene/ES `span_not` — occurrences of `include` NOT overlapping any
+    * occurrence of `exclude`, the exclusion widened `pre` tokens before
+    * and `post` after (Lucene's span_not dilation; the classic use:
+    * a term NOT inside a longer phrase — include "scan", exclude
+    * "vector scan"). The include phrase must occur somewhere clear of
+    * every exclude span: `exists` over bound include starts with a
+    * `forall` non-overlap test over bound exclude starts — both position
+    * lists materialized once per row (the HOF let-binding discipline).
+    */
+  final case class SpanNot(field: String, include: String, exclude: String,
+      pre: Int = 0, post: Int = 0) extends FilterSpec {
+    require(pre >= 0 && post >= 0,
+      s"span_not: pre/post must be >= 0, got $pre/$post")
+    def compile: Column = {
+      val inc = TextMatch.analyze(include)
+      val exc = TextMatch.analyze(exclude)
+      require(inc.nonEmpty, s"span_not: no analyzable tokens in <$include>")
+      require(exc.nonEmpty, s"span_not: no analyzable tokens in <$exclude>")
+      val contains = TextMatch.containsToken(col(field), inc.mkString(" "))
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      contains && exists(array(struct(toks.as("_t"))), trow => {
+        val tk = trow("_t")
+        exists(array(struct(
+            phraseStartsIn(tk, inc).as("_i"),
+            phraseStartsIn(tk, exc).as("_e"))), row =>
+          exists(row("_i"), s => {
+            val incEnd = s + lit(inc.length - 1)
+            forall(row("_e"), t =>
+              t + lit(exc.length - 1) < s - lit(pre) ||
+                t > incEnd + lit(post))
+          }))
+      })
+    }
+    def render: String =
+      s"""${escName(field)}:"$include"~not("$exclude",pre=$pre,post=$post)"""
+    def fields: Seq[String] = Seq(field)
+  }
+
   /** ES `intervals` with a `match` rule — `max_gaps` + `ordered` (the
     * analyzed-text cousin of [[SpanNear]]; grammar forms
     * `field:"a b"~gapsN` (ordered) / `field:"a b"~anyN` (unordered)).

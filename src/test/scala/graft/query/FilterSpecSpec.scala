@@ -197,6 +197,51 @@ class FilterSpecSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](FilterSpec.matchBoolPrefix("text", "..."))
   }
 
+  test("span_first: phrase must END within the position bound") {
+    val docs = Seq(
+      (1L, "spark at the front"),        // spark ends at 1
+      (2L, "a b c d e spark late"),      // spark ends at 6 — boundary in
+      (3L, "a b c d e f spark too late"),// ends at 7 — out
+      (4L, "big data spark"),            // ends at 3
+      (5L, "no match here"),
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    assert(ids(FilterSpec.SpanFirst("text", "spark", end = 6)) === Seq(1L, 2L, 4L))
+    // phrase form: both tokens inside the bound
+    assert(ids(FilterSpec.SpanFirst("text", "data spark", end = 3)) === Seq(4L))
+    assert(ids(FilterSpec.SpanFirst("text", "data spark", end = 2)) === Seq())
+    intercept[IllegalArgumentException](FilterSpec.SpanFirst("text", "spark", 0))
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanFirst("text", "...", 3).compile)
+  }
+
+  test("span_not: include occurrence clear of every exclude span") {
+    val docs = Seq(
+      (1L, "plain scan here"),           // clear scan
+      (2L, "vector scan only"),          // scan only inside the phrase
+      (3L, "vector scan then scan"),     // second scan is clear
+      (4L, "scan vector"),               // clear (phrase not formed)
+      (5L, "no match"),
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    assert(ids(FilterSpec.SpanNot("text", "scan", "vector scan"))
+      === Seq(1L, 3L, 4L))
+    // pre-dilation: doc 3's clear scan sits 2 past the exclude span's
+    // end — pre=2 widens the window enough to swallow it
+    assert(ids(FilterSpec.SpanNot("text", "scan", "vector scan", pre = 2))
+      === Seq(1L, 4L))
+    // single-token exclude with pre=1: 'scan' must not IMMEDIATELY follow
+    // 'vector' — doc 2's only scan does; doc 3's second scan is clear
+    assert(ids(FilterSpec.SpanNot("text", "scan", "vector", pre = 1))
+      === Seq(1L, 3L, 4L))
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanNot("text", "scan", "vector scan", pre = -1))
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanNot("text", "...", "x").compile)
+  }
+
   test("geo_bounding_box: plain box and antimeridian-crossing box") {
     val pts = Seq(
       (1L, 10.0, 0.0),    // inside the plain box
