@@ -4232,6 +4232,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_radius" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES knn `similarity` threshold (radius search): all corpus vectors
+      // with cosine >= 0.30 of each query — no k bound, the threshold IS
+      // the cut. Margin at the fixture: min |cos - 0.30| = 1.2e-3 at
+      // sf0.01 / 5.0e-4 at sf0.1, ~12 orders above libm drift.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.bruteForceRadius(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", minCosine = 0.30)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     "ann_random_projection" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // JL random projection (Achlioptas ±1 planes — sign literals restate
@@ -9923,6 +9936,19 @@ object SparkEntry {
          |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.id
          |WHERE comp.id IS NULL OR comp.component = emb.vec_id
          |GROUP BY label ORDER BY label""".stripMargin,
+
+    // Radius search restated: same cosine tree as ann_bruteforce, the
+    // threshold replacing the window.
+    "ann_radius" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5)
+        |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  list_inner_product(e.v, q.v)
+        |    / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+        |FROM e, q WHERE e.vec_id <> q.vec_id
+        |  AND list_inner_product(e.v, q.v)
+        |    / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.30
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -60,6 +60,32 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** ES 8.x knn `similarity` threshold — a RADIUS search, not top-k:
+    * every corpus vector with cosine ≥ `minCosine` per query (ES drops
+    * knn hits below the threshold; vector stores call it range search).
+    * Exact brute scan, same broadcast + per-row-cast shape as
+    * [[bruteForceTopK]] minus the window — NO k-row bound exists for a
+    * radius query, so result size is data-dependent; at corpus scale
+    * compose a bucketed retriever with an over-fetched k and apply the
+    * threshold as the final cut. The binary `cos ≥ τ` outcome is
+    * libm-stable only with corpus margin at τ (the geo_distance filter
+    * discipline — margin documented at the `ann_radius` fixture).
+    */
+  def bruteForceRadius(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      minCosine: Double,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"bruteForceRadius: minCosine must be in [-1,1], got $minCosine")
+    val q = broadcast(queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv")))
+    spread(corpus.select(col(corpusId).as("neighbor_id"), asDouble(col(corpusVec)).as("_cv")))
+      .join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+      .where(col("cos") >= lit(minCosine))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: `numPlanes` unit-free
     * Gaussian vectors of dimension `dim`, from a seeded PRNG (same seed →
     * same planes on every executor and run).

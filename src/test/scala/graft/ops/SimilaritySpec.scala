@@ -569,4 +569,26 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSeq
     assert(ivf.collect().map(_.toSeq).toSeq === bruteRows)
   }
+
+  test("bruteForceRadius: inclusive threshold cut, no k bound, self excluded") {
+    import spark.implicits._
+    // hand vectors with known cosines to q=(1,0): (1,0)=1, (0,1)=0,
+    // (1,1)=1/sqrt(2)≈0.707, (-1,0)=-1
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 0L)
+    def hits(tau: Double, self: Boolean = true): Set[Long] =
+      Similarity.bruteForceRadius(corpus, "vec_id", "embedding",
+          q, "vec_id", "embedding", tau, excludeSelf = self)
+        .select("neighbor_id").as[Long].collect().toSet
+    assert(hits(0.5) === Set(2L)) // 0.707 in, 0 and -1 out, self excluded
+    assert(hits(0.0) === Set(1L, 2L)) // inclusive: cos = 0 exactly is IN
+    assert(hits(0.5, self = false) === Set(0L, 2L))
+    assert(hits(-1.0).size === 3) // radius -1 keeps everything (minus self)
+    intercept[IllegalArgumentException](
+      Similarity.bruteForceRadius(corpus, "vec_id", "embedding",
+        q, "vec_id", "embedding", 1.5))
+  }
 }
