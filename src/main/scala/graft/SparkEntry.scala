@@ -2066,6 +2066,35 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_intervals_not_containing" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES intervals filter, the famous form: 'spark ... scan' within 5
+      // gaps with NO 'vector' inside the matched window (126 docs match
+      // the bare gapped source at sf0.01; 121 have a vector-free
+      // interval). Bound position lists, forall non-containment at the
+      // chain leaf.
+      val spec = graft.query.FilterSpec.IntervalsFiltered("text",
+        phrase = "spark scan", maxGaps = 5,
+        rule = "not_containing", filterPhrase = "vector")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q_intervals_containing" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The positive dual: some 'spark ... scan' window (<= 5 gaps) DOES
+      // contain 'vector' (10 docs at sf0.01) — the filter phrase joins
+      // the codegen'd substring guard, so non-candidates never reach the
+      // position work.
+      val spec = graft.query.FilterSpec.IntervalsFiltered("text",
+        phrase = "spark scan", maxGaps = 5,
+        rule = "containing", filterPhrase = "vector")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_span_first" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Lucene span_first: 'spark' ending within the first 6 positions —
@@ -6773,6 +6802,53 @@ object SparkEntry {
         |  sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat
         |FROM d WHERE km <= 3000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Intervals filter restated: gapped ordered source pairs, then the
+    // containment test per interval — EXISTS an interval with no filter
+    // position inside it / with one inside it.
+    "q_intervals_not_containing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, u.i AS p1 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |), b AS (
+        |  SELECT doc_id, u.i AS p2 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |), iv AS (
+        |  SELECT a.doc_id, p1, p2 FROM a JOIN b USING (doc_id)
+        |  WHERE p2 > p1 AND p2 - p1 - 1 <= 5
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM iv JOIN t USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM t f, unnest(range(1, len(f.toks)+1)) AS u(i)
+        |  WHERE f.doc_id = iv.doc_id AND f.toks[u.i] = 'vector'
+        |    AND u.i >= iv.p1 AND u.i <= iv.p2)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_intervals_containing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, u.i AS p1 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |), b AS (
+        |  SELECT doc_id, u.i AS p2 FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |), iv AS (
+        |  SELECT a.doc_id, p1, p2 FROM a JOIN b USING (doc_id)
+        |  WHERE p2 > p1 AND p2 - p1 - 1 <= 5
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM iv JOIN t USING (doc_id)
+        |WHERE EXISTS (SELECT 1 FROM t f, unnest(range(1, len(f.toks)+1)) AS u(i)
+        |  WHERE f.doc_id = iv.doc_id AND f.toks[u.i] = 'vector'
+        |    AND u.i >= iv.p1 AND u.i <= iv.p2)
+        |ORDER BY doc_id""".stripMargin,
 
     // span_first restated: 1-based DuckDB position p = 0-based start + 1;
     // the end-position bound s + L <= 6 becomes p <= 6 for the single term.

@@ -579,6 +579,99 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** ES `intervals` `filter` rule — the source `match` (ordered,
+    * `max_gaps`) must produce an interval standing in `rule` relation to
+    * the filter phrase's occurrences: `containing` / `not_containing`
+    * (filter interval inside the source interval), `overlapping` /
+    * `not_overlapping` (any position shared), `contained_by` /
+    * `not_contained_by` (source inside a filter occurrence). The
+    * "a near b but NOT with c between them" query the intervals DSL is
+    * famous for. Ordered source only (the [[IntervalsAllOf]] precedent —
+    * a loud absence beats a silently different overlap semantic).
+    *
+    * Compile shape: the ordered position chain of [[proximityPredicate]]
+    * but tracking (first, last) per candidate interval, with the filter
+    * phrase's start list BOUND in the same per-row struct (an unbound
+    * list in the leaf would re-build per evaluated combination — the HOF
+    * rebinding trap). Negative rules quantify with `forall`; positive
+    * rules add the filter phrase to the codegen'd substring guard.
+    */
+  final case class IntervalsFiltered(field: String, phrase: String,
+      maxGaps: Int, rule: String, filterPhrase: String) extends FilterSpec {
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    private val positiveRules = Set("containing", "overlapping", "contained_by")
+    private val negativeRules = positiveRules.map("not_" + _)
+    require(positiveRules.contains(rule) || negativeRules.contains(rule),
+      s"intervals filter: unsupported rule <$rule> " +
+        "(containing|not_containing|overlapping|not_overlapping|" +
+        "contained_by|not_contained_by)")
+
+    def compile: Column = {
+      val src = TextMatch.analyze(phrase)
+      require(src.nonEmpty, s"intervals filter: no analyzable tokens in <$phrase>")
+      val flt = TextMatch.analyze(filterPhrase)
+      require(flt.nonEmpty,
+        s"intervals filter: no analyzable tokens in filter <$filterPhrase>")
+      val Lf = flt.length
+      // substring guard: all source terms; plus the filter phrase for
+      // positive rules (a doc can't satisfy `containing` without it)
+      val guardTerms = src.distinct.map(t =>
+        TextMatch.containsToken(col(field), t)) ++
+        (if (positiveRules.contains(rule))
+           Seq(TextMatch.containsToken(col(field), flt.mkString(" ")))
+         else Nil)
+      val contains = guardTerms.reduce(_ && _)
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      contains && exists(array(struct(toks.as("_t"))), trow => {
+        val tk = trow("_t")
+        val uniq = src.distinct
+        val termIdx = uniq.zipWithIndex.toMap
+        val bound = array(struct(
+          (uniq.zipWithIndex.map { case (t, i) =>
+            phraseStartsIn(tk, Seq(t)).as(s"_p$i")
+          } :+ phraseStartsIn(tk, flt).as("_f")): _*))
+        def pos(row: Column, t: String): Column = row(s"_p${termIdx(t)}")
+        def ruleCond(fStarts: Column, s: Column, e: Column): Column = {
+          def containing = exists(fStarts, t => t >= s && t + lit(Lf - 1) <= e)
+          def overlapping = exists(fStarts, t => t <= e && t + lit(Lf - 1) >= s)
+          def containedBy = exists(fStarts, t => t <= s && e <= t + lit(Lf - 1))
+          rule match {
+            case "containing" => containing
+            case "not_containing" =>
+              forall(fStarts, t => !(t >= s && t + lit(Lf - 1) <= e))
+            case "overlapping" => overlapping
+            case "not_overlapping" =>
+              forall(fStarts, t => t > e || t + lit(Lf - 1) < s)
+            case "contained_by" => containedBy
+            case "not_contained_by" =>
+              forall(fStarts, t => !(t <= s && e <= t + lit(Lf - 1)))
+          }
+        }
+        exists(bound, row => {
+          // ordered chain tracking (first, last): gap budget + rule at
+          // the leaf
+          def chain(rest: Seq[String], prev: Column, first: Column): Column =
+            rest match {
+              case Seq() =>
+                // single-term source: the interval is [first, first]
+                ruleCond(row("_f"), first, first)
+              case t +: tail =>
+                exists(pos(row, t), p =>
+                  p > prev && (
+                    if (tail.isEmpty)
+                      p - first - lit(src.size - 1) <= lit(maxGaps) &&
+                        ruleCond(row("_f"), first, p)
+                    else chain(tail, p, first)))
+            }
+          exists(pos(row, src.head), p1 => chain(src.tail, p1, p1))
+        })
+      })
+    }
+    def render: String =
+      s"""${escName(field)}:"$phrase"~gaps$maxGaps&$rule("$filterPhrase")"""
+    def fields: Seq[String] = Seq(field)
+  }
+
   /** Fuzzy term — `field:term~N` (ES `fuzzy` / `match` with `fuzziness`):
     * some analyzed token within edit distance `maxEdits` of the term,
     * the first `prefixLength` characters matching exactly (ES's own

@@ -242,6 +242,36 @@ class FilterSpecSpec extends SparkSpecBase {
       FilterSpec.SpanNot("text", "...", "x").compile)
   }
 
+  test("intervals filter rules: all six containment relations") {
+    val docs = Seq(
+      (1L, "spark quick scan"),          // interval [0,2], no vector
+      (2L, "spark vector scan"),         // vector INSIDE the interval
+      (3L, "vector spark quick scan"),   // vector outside, interval clear
+      (4L, "spark a b c d e f scan"),    // gaps 6 > 5: no source match
+      (5L, "scan then spark"),           // wrong order: no source match
+      (6L, "spark scan and spark vector scan"), // one clear + one containing
+    ).toDF("id", "text")
+    def ids(rule: String, flt: String = "vector"): Seq[Long] =
+      docs.where(FilterSpec.IntervalsFiltered("text", "spark scan", 5,
+        rule, flt).compile).select("id").as[Long].collect().sorted.toSeq
+    assert(ids("not_containing") === Seq(1L, 3L, 6L))
+    assert(ids("containing") === Seq(2L, 6L))
+    assert(ids("overlapping") === Seq(2L, 6L)) // single-token filter: same
+    assert(ids("not_overlapping") === Seq(1L, 3L, 6L))
+    // contained_by: the source interval inside a filter occurrence — a
+    // 3-token filter phrase covering the whole 'spark vector scan' window
+    assert(ids("contained_by", "spark vector scan") === Seq(2L, 6L))
+    // doc 2's ONLY interval is exactly the filter occurrence → excluded
+    assert(ids("not_contained_by", "spark vector scan") === Seq(1L, 3L, 6L))
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsFiltered("text", "spark scan", 5, "inside", "x"))
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsFiltered("text", "spark scan", -1, "containing", "x"))
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsFiltered("text", "spark scan", 5, "containing", "...")
+        .compile)
+  }
+
   test("geo_bounding_box: plain box and antimeridian-crossing box") {
     val pts = Seq(
       (1L, 10.0, 0.0),    // inside the plain box
