@@ -5962,6 +5962,24 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "sample_split_cluster_safe" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Leakage-safe split: near-dup clusters (portable-MinHash pairs →
+      // connected components, the certified dedup_cluster_keep_portable
+      // pipeline) are the split unit — no paraphrase pair can straddle
+      // train/test. Same pinned 500-doc certification slice; the
+      // cross-engine proof re-runs pairs → closure → representative →
+      // hash-split end to end.
+      val docs = load(dir, "documents").where(col("doc_id") < 500)
+      val pairs = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
+        threshold = 0.4, shingleK = 2, numBands = 16, rowsPerBand = 2)
+      ops.Sampling.clusterSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       ops.Sampling.stratifiedHashSample(load(dir, "documents"), "doc_id", "source",
@@ -8359,6 +8377,32 @@ object SparkEntry {
          |            WHEN ${ops.Sampling.hashUnitSql("doc_id", 42)} < 0.875 THEN 'val'
          |            ELSE 'test' END AS split, count(*) AS n
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Cluster-safe split restated end to end: the portable pair CTEs +
+    // recursive closure of dedup_cluster_keep_portable, then the split
+    // CASE on the coalesced representative — the same md5 unit hash.
+    "sample_split_cluster_safe" ->
+      s"""WITH ${portableMinhashCtesSql(k = 2, numHashes = 32, r = 2, threshold = 0.4,
+            from = "(SELECT * FROM documents WHERE doc_id < 500)")},
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM edges
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+         |  ) SELECT * FROM r
+         |), comp AS (
+         |  SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+         |)
+         |SELECT CASE
+         |    WHEN ${ops.Sampling.hashUnitSql("coalesce(comp.component, doc.doc_id)", 42)} < 0.75 THEN 'train'
+         |    WHEN ${ops.Sampling.hashUnitSql("coalesce(comp.component, doc.doc_id)", 42)} < 0.875 THEN 'val'
+         |    ELSE 'test' END AS split, count(*) AS n
+         |FROM (SELECT * FROM documents WHERE doc_id < 500) doc
+         |  LEFT JOIN comp ON doc.doc_id = comp.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT source, count(*) AS n FROM documents

@@ -73,15 +73,52 @@ object Sampling {
       keyCol: String,
       weights: Seq[(String, Double)],
       seed: Int = 42,
-      splitCol: String = "split"): DataFrame = {
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitLabel(hashUnit(col(s"`$keyCol`"), seed), weights))
+
+  /** The cumulative-interval label fold shared by [[assignSplit]] and
+    * [[clusterSafeSplit]]: the label of the interval the unit hash falls
+    * in.
+    */
+  private def splitLabel(u: Column, weights: Seq[(String, Double)]): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     val total = weights.map(_._2).sum
-    val u = hashUnit(col(s"`$keyCol`"), seed)
     val cums = weights.scanLeft(0.0)(_ + _._2 / total).tail
-    val expr = weights.zip(cums).init.foldRight(lit(weights.last._1): Column) {
+    weights.zip(cums).init.foldRight(lit(weights.last._1): Column) {
       case (((name, _), hi), acc) => when(u < hi, name).otherwise(acc)
     }
-    df.withColumn(splitCol, expr)
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are the
+    * split unit, not documents — a near-dup pair straddling train and
+    * test is benchmark contamination by construction (the test doc is a
+    * paraphrase of a training doc), and a row-keyed [[assignSplit]]
+    * straddles every cluster with probability `1 − Σwᵢ²`. Each row is
+    * labeled by the unit hash of its cluster REPRESENTATIVE (the min-id
+    * component label of the near-dup pair graph — the
+    * [[graft.ops.Dedup.connectedComponents]] convention); singletons
+    * hash their own key, so on an empty pair set this IS [[assignSplit]].
+    * One left join against the component labeling (pair graphs are
+    * orders of magnitude smaller than their corpora — broadcast-class)
+    * plus the same row-local label fold; split sizes stay ≈ weights
+    * because cluster mass is hash-distributed.
+    */
+  def clusterSafeSplit(
+      df: DataFrame,
+      keyCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      seed: Int = 42,
+      splitCol: String = "split",
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val comps = graft.ops.Dedup.connectedComponents(pairs, idA, idB)
+      .select(col("id").as("_cc_id"), col("component").as("_cc_unit"))
+    df.join(comps, col(s"`$keyCol`") === col("_cc_id"), "left")
+      .withColumn(splitCol,
+        splitLabel(hashUnit(coalesce(col("_cc_unit"), col(s"`$keyCol`")), seed),
+          weights))
+      .drop("_cc_id", "_cc_unit")
   }
 
   /** Per-source keep-fractions that re-weight observed `counts` to the

@@ -204,4 +204,28 @@ class SamplingSpec extends SparkSpecBase {
     // and the draw is reproducible
     assert(top.toSeq === draw().toSeq)
   }
+
+  test("clusterSafeSplit: no near-dup pair straddles a split boundary") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains (1-2-3, 10-11) plus singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val split = Sampling.clusterSafeSplit(docs, "doc_id", pairs, w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the leakage property: every pair co-located, transitively
+    assert(split(1L) === split(2L) && split(2L) === split(3L))
+    assert(split(10L) === split(11L))
+    // singletons fall where assignSplit puts them — on an empty pair set
+    // the two operators agree row for row
+    val plain = Sampling.assignSplit(docs, "doc_id", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val viaEmpty = Sampling.clusterSafeSplit(docs, "doc_id",
+        pairs.where(lit(false)), w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(viaEmpty === plain)
+    (12L to 200L).foreach(i => assert(split(i) === plain(i)))
+    // and the split is exhaustive over the weights' labels
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
