@@ -538,4 +538,48 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"proximity must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"proximity must not join:\n$plan")
   }
+
+  test("geo_bounding_box pushes its comparisons into the parquet scan — crossing box included") {
+    val geoPath = tmp(Seq((39.29, -76.61), (10.0, 170.0)).toDF("lat", "lon"))
+    val plain = planOf(spark.read.parquet(geoPath)
+      .where(FilterSpec.GeoBoundingBox("lat", "lon", 60, -120, -10, -60).compile))
+    assert(plain.contains("PushedFilters:"), plain)
+    assert(plain.contains("LessThanOrEqual(lat,60.0)") &&
+      plain.contains("GreaterThanOrEqual(lat,-10.0)") &&
+      plain.contains("GreaterThanOrEqual(lon,-120.0)"),
+      s"box bounds not pushed:\n$plain")
+    // the antimeridian-crossing disjunction pushes as an Or
+    val crossing = planOf(spark.read.parquet(geoPath)
+      .where(FilterSpec.GeoBoundingBox("lat", "lon", 60, 150, -10, -120).compile))
+    assert(crossing.contains("Or(GreaterThanOrEqual(lon,150.0),LessThanOrEqual(lon,-120.0))"),
+      s"crossing-box lon disjunction not pushed:\n$crossing")
+  }
+
+  test("span_first / span_not / filtered intervals: row-local scan, no shuffle, no join") {
+    val path = tmp(Seq((1L, "spark vector scan", "en", "web", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    for (spec <- Seq(
+        FilterSpec.SpanFirst("text", "spark", 6),
+        FilterSpec.SpanNot("text", "scan", "vector scan"),
+        FilterSpec.IntervalsFiltered("text", "spark scan", 5,
+          "not_containing", "vector"))) {
+      val plan = planOf(spark.read.parquet(path)
+        .where(spec.compile).select("doc_id", "lang"))
+      assert(!plan.contains("Exchange"), s"${spec.render} must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"${spec.render} must not join:\n$plan")
+      val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!read.contains("n_chars"), s"${spec.render} reads too much:\n$read")
+    }
+  }
+
+  test("radius vector search broadcasts the query side — the corpus never shuffles") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.bruteForceRadius(
+      emb, "vec_id", "embedding", emb.where($"vec_id" === 1L), "vec_id", "embedding", 0.3))
+    assert(plan.contains("BroadcastExchange"), s"query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("hashpartitioning"),
+      s"corpus must not shuffle for a broadcast-side radius cut:\n$plan")
+    // no window: the threshold IS the cut — no rank machinery
+    assert(!plan.contains("Window"), s"radius search must not rank:\n$plan")
+  }
 }
