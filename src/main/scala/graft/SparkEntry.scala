@@ -5659,6 +5659,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_span_corruption" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // T5 span-corruption examples (Raffel et al. 2020): two 3-token
+      // spans masked with <extra_id_i> sentinels, inputs/targets pair
+      // per document. Span positions from the portable seeded md5 unit
+      // hash, one per equal token segment (never overlapping) — the FIM
+      // discipline at token granularity; row-local split + slices, zero
+      // shuffle, restated in SQL by list slicing.
+      ops.Packing.spanCorruptionExamples(load(dir, "documents"),
+          "doc_id", "text", numSpans = 2, spanLen = 3)
+        .orderBy("doc_id")
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Concat-and-chunk packing of the documents corpus into 512-token
@@ -9345,6 +9358,35 @@ object SparkEntry {
          |    '<MID>' || substr(text, lo + 1, hi - lo)
          |  ELSE text END AS fim_text
          |FROM spans ORDER BY doc_id""".stripMargin
+    },
+
+    // Span corruption restated by list slicing: the same seeded unit
+    // hashes place one span per token segment; DuckDB's inclusive [a:b]
+    // slices mirror Spark's (start, length) slices exactly.
+    "pipeline_span_corruption" -> {
+      import graft.ops.Sampling.hashUnitSql
+      s"""WITH p AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n,
+         |    floor(len(string_split(text, ' ')) / 2.0)::INT AS seg
+         |  FROM documents
+         |), s AS (
+         |  SELECT *,
+         |    (0 * seg + floor(${hashUnitSql("doc_id", 43)} * (seg - 3 + 1))::INT) AS s0,
+         |    (1 * seg + floor(${hashUnitSql("doc_id", 44)} * (seg - 3 + 1))::INT) AS s1
+         |  FROM p
+         |)
+         |SELECT doc_id,
+         |  (text IS NOT NULL AND seg >= 3) AS corrupted,
+         |  CASE WHEN text IS NOT NULL AND seg >= 3 THEN array_to_string(
+         |    toks[1:s0] || ['<extra_id_0>'] || toks[s0+4:s1]
+         |      || ['<extra_id_1>'] || toks[s1+4:n], ' ')
+         |  ELSE text END AS inputs,
+         |  CASE WHEN text IS NOT NULL AND seg >= 3 THEN array_to_string(
+         |    ['<extra_id_0>'] || toks[s0+1:s0+3]
+         |      || ['<extra_id_1>'] || toks[s1+1:s1+3] || ['<extra_id_2>'], ' ')
+         |  ELSE '' END AS targets
+         |FROM s ORDER BY doc_id""".stripMargin
     },
 
     "pack_sequences" ->

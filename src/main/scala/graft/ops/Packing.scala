@@ -250,4 +250,58 @@ object Packing {
       gate.as("fim"),
       when(gate, transformed).otherwise(text).as("fim_text"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020, the C4 denoising
+    * objective): mask `numSpans` token spans of length `spanLen` with
+    * `<extra_id_i>` sentinels — `inputs` is the text with each span
+    * replaced by its sentinel, `targets` is the sentinel-delimited
+    * concatenation of the masked spans (closed by the final sentinel).
+    * Deterministic twin of the [[fimExamples]] discipline: span
+    * positions come from the portable seeded md5 unit hash, one per
+    * span, each placed inside its own equal token segment (span `i`
+    * lands in `[i·seg, i·seg + seg − spanLen]`) so spans can never
+    * overlap and the whole construction restates as SQL list slicing.
+    * Documents too short to host the spans (`seg < spanLen`) pass
+    * through uncorrupted with empty targets. Row-local: split + slices +
+    * concat, zero shuffle. Reassembly invariant (spec-pinned): splicing
+    * the target spans back over the sentinels reproduces the original
+    * token stream exactly.
+    */
+  def spanCorruptionExamples(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numSpans: Int = 2,
+      spanLen: Int = 3,
+      seed: Int = 42): DataFrame = {
+    require(numSpans >= 1, s"numSpans must be >= 1, got $numSpans")
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val id = col(s"`$idCol`")
+    val text = col(s"`$textCol`")
+    val toks = split(text, " ")
+    val n = size(toks)
+    val seg = floor(n / lit(numSpans.toDouble)).cast("int")
+    val starts = (0 until numSpans).map { i =>
+      lit(i) * seg + floor(graft.ops.Sampling.hashUnit(id, seed + i + 1) *
+        (seg - lit(spanLen) + lit(1))).cast("int")
+    }
+    def sentinel(i: Int): Column = lit(s"<extra_id_$i>")
+    val inPieces = Seq(slice(toks, lit(1), starts.head)) ++
+      (0 until numSpans).flatMap { i =>
+        val afterSpan = starts(i) + lit(spanLen) + lit(1)
+        val untilTok = if (i + 1 < numSpans) starts(i + 1) else n
+        Seq(array(sentinel(i)),
+          slice(toks, afterSpan, untilTok - starts(i) - lit(spanLen)))
+      }
+    val inputs = array_join(concat(inPieces: _*), " ")
+    val tgtPieces = (0 until numSpans).flatMap { i =>
+      Seq(array(sentinel(i)), slice(toks, starts(i) + 1, lit(spanLen)))
+    } :+ array(sentinel(numSpans))
+    val targets = array_join(concat(tgtPieces: _*), " ")
+    val gate = text.isNotNull && seg >= spanLen
+    docs.select(id.as(idCol),
+      gate.as("corrupted"),
+      when(gate, inputs).otherwise(text).as("inputs"),
+      when(gate, targets).otherwise(lit("")).as("targets"))
+  }
 }

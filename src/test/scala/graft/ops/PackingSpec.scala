@@ -247,4 +247,41 @@ class PackingSpec extends SparkSpecBase {
       .as[(Long, Boolean, String)].collect().head
     assert(out._3 === "<PRE><SUF><MID>")
   }
+
+  test("span corruption: sentinel structure, non-overlap, reassembly invariant") {
+    import spark.implicits._
+    val docs = (1L to 60L)
+      .map(i => (i, (1 to (4 + (i % 17)).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val out = Packing.spanCorruptionExamples(docs, "doc_id", "text",
+        numSpans = 2, spanLen = 3)
+      .as[(Long, Boolean, String, String)].collect()
+    assert(out.exists(_._2) && out.exists(!_._2), "fixture must exercise both gates")
+    out.foreach { case (id, corrupted, inputs, targets) =>
+      val text = texts(id)
+      if (!corrupted) {
+        assert(inputs === text && targets === "")
+      } else {
+        // structure: exactly one of each sentinel, in order
+        for (i <- 0 to 1)
+          assert(inputs.split(" ").count(_ == s"<extra_id_$i>") === 1, inputs)
+        assert(targets.startsWith("<extra_id_0> ") &&
+          targets.endsWith(" <extra_id_2>"), targets)
+        // reassembly: splice each target span over its sentinel → original
+        val spans = targets.split("<extra_id_\\d>").map(_.trim).filter(_.nonEmpty)
+        assert(spans.length === 2, targets)
+        assert(spans.forall(_.split(" ").length === 3), targets) // spanLen
+        val rebuilt = inputs
+          .replace("<extra_id_0>", spans(0))
+          .replace("<extra_id_1>", spans(1))
+          .replaceAll(" +", " ").trim
+        assert(rebuilt === text, s"doc $id: reassembly broke\n$inputs\n$targets")
+      }
+    }
+    intercept[IllegalArgumentException](
+      Packing.spanCorruptionExamples(docs, "doc_id", "text", numSpans = 0))
+    intercept[IllegalArgumentException](
+      Packing.spanCorruptionExamples(docs, "doc_id", "text", spanLen = 0))
+  }
 }
