@@ -360,6 +360,8 @@ object SparkEntry {
     *    body ignored (the wildcard fetch takes no parameters).
     *  - `POST /histogram`: ES numeric histogram of the current state's
     *    slice, rollup-served when field + state stay inside the cube.
+    *  - `POST /geo`: the map's viewport/pin filters (geo_bounding_box +
+    *    geo_distance) → geohash grid of the matching points.
     *
     * `port = 0` binds an ephemeral port; caller owns `stop()`.
     */
@@ -566,9 +568,12 @@ object SparkEntry {
         // ES 8 knn search over the wire: {"vec_id": 3, "k": 5,
         // "filter": "label:[0 TO 5]" (query_string over the metadata
         // columns, optional), "nprobe": N (optional — IVF path; omitted
-        // = exact brute force)}. The filter is PRE-filter semantics
-        // (candidates prune before ranking, the recall-preserving form);
-        // the query vector is looked up by id, the kNN-by-example shape.
+        // = exact brute force), "similarity": t (optional — ES's
+        // similarity threshold: ranked hits below cosine t drop AFTER
+        // the k cut, exactly the documented ES semantics)}. The filter
+        // is PRE-filter semantics (candidates prune before ranking, the
+        // recall-preserving form); the query vector is looked up by id,
+        // the kNN-by-example shape.
         val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
         require(o.hasNonNull("vec_id"), "knn: missing vec_id")
         val qid = o.path("vec_id").asLong()
@@ -580,7 +585,7 @@ object SparkEntry {
               o.path("filter").asText(), defaultField = "label").compile)
           else emb0
         val queries = emb0.where(col("vec_id") === qid)
-        WidgetServer.collectRowsJson(
+        val ranked =
           if (o.hasNonNull("nprobe")) {
             val cents = ops.Similarity.kmeansCentroids(
               emb0, "vec_id", "embedding", k = 8, iters = 0)
@@ -590,7 +595,40 @@ object SparkEntry {
               nprobe = o.path("nprobe").asInt(3))
           } else
             ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-              queries, "vec_id", "embedding", k))
+              queries, "vec_id", "embedding", k)
+        WidgetServer.collectRowsJson(
+          if (o.hasNonNull("similarity"))
+            ranked.where(col("cos") >= o.path("similarity").asDouble())
+          else ranked)
+      },
+      "/geo" -> { body =>
+        // Kibana map filters over the wire: {"box": {"top": t, "left": l,
+        // "bottom": b, "right": r}} (the viewport geo_bounding_box —
+        // antimeridian crossing honored) and/or {"pin": {"lat": y,
+        // "lon": x, "km": r}} (the geo_distance radius filter), plus
+        // {"precision": p} — returns the geohash grid of the matching
+        // points (the map's clustered-dots layer after a pan/pin).
+        // Filters compile to plain comparisons / the pinned haversine
+        // tree and push into the scan (PlanSpec).
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val precision = o.path("precision").asInt(2)
+        val pts = load(dir, "customer")
+          .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+          .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+        val specs = Seq(
+          Option(o.path("box")).filter(_.isObject).map(b =>
+            graft.query.FilterSpec.GeoBoundingBox("lat", "lon",
+              b.path("top").asDouble(90), b.path("left").asDouble(-180),
+              b.path("bottom").asDouble(-90), b.path("right").asDouble(180))),
+          Option(o.path("pin")).filter(_.isObject).map { p =>
+            require(p.hasNonNull("km"), "geo: pin needs km")
+            graft.query.FilterSpec.GeoDistance("lat", "lon",
+              p.path("lat").asDouble(0), p.path("lon").asDouble(0),
+              p.path("km").asDouble())
+          }).flatten
+        WidgetServer.collectRowsJson(Aggs.geohashGrid(
+          pts.where(graft.query.FilterSpec.conjunction(specs).compile),
+          "lat", "lon", precision))
       },
       "/fuse" -> { body =>
         // Hybrid retrieval over the wire (the ES retrievers API shape):

@@ -528,6 +528,48 @@ class WidgetServerSpec extends SparkSpecBase {
           cents, queries, "vec_id", "embedding", 4, nprobe = 3)))
 
       assert(post(s"http://127.0.0.1:$port/knn", """{"k": 4}""")._1 === 400)
+
+      // ES similarity threshold: hits below cosine t drop AFTER the k cut
+      val (c4, b4) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "k": 4, "similarity": 0.2}""")
+      assert(c4 === 200)
+      assert(b4 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 4).where(col("cos") >= 0.2)))
+    } finally server.stop(0)
+  }
+
+  test("POST /geo serves the map's box and pin filters as a geohash grid") {
+    import org.apache.spark.sql.functions._
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val pts = spark.read.parquet(s"$sfDir/customer.parquet")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+
+      // viewport box (antimeridian-crossing) → the same grid as the
+      // compiled GeoBoundingBox over the fixture points
+      val (c1, b1) = post(s"http://127.0.0.1:$port/geo",
+        """{"box": {"top": 60, "left": 150, "bottom": -10, "right": -120},
+          | "precision": 2}""".stripMargin)
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(graft.query.Aggs.geohashGrid(
+        pts.where(graft.query.FilterSpec.GeoBoundingBox(
+          "lat", "lon", 60, 150, -10, -120).compile), "lat", "lon", 2)))
+
+      // radius pin composes with the box as a conjunction
+      val (c2, b2) = post(s"http://127.0.0.1:$port/geo",
+        """{"pin": {"lat": 10.0, "lon": 20.0, "km": 3000.0}}""")
+      assert(c2 === 200)
+      assert(b2 === WidgetServer.collectRowsJson(graft.query.Aggs.geohashGrid(
+        pts.where(graft.query.FilterSpec.GeoDistance(
+          "lat", "lon", 10.0, 20.0, 3000.0).compile), "lat", "lon", 2)))
+      assert(b1 !== b2)
+
+      // a pin without km is a loud 400, not a silent default radius
+      assert(post(s"http://127.0.0.1:$port/geo",
+        """{"pin": {"lat": 0, "lon": 0}}""")._1 === 400)
     } finally server.stop(0)
   }
 
