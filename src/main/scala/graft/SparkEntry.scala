@@ -5697,6 +5697,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_curriculum" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Curriculum ordering (Bengio 2009): difficulty stages from length
+      // thresholds (the classic proxy), deterministic within-stage pace
+      // from the portable unit hash. The op emits sort KEYS (row-local);
+      // this query samples each stage's first 5 in curriculum order via
+      // a stage-PARTITIONED window — group-parallel, no global funnel.
+      val staged = ops.Packing.curriculumKeys(load(dir, "documents"),
+        "doc_id", "n_chars", bounds = Seq(150.0, 300.0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stage").orderBy(asc("pace"), asc("doc_id"))
+      staged.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 5)
+        .select(col("stage"), col("rn"), col("doc_id"))
+        .orderBy("stage", "rn")
+    }),
+
+    "q_random_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES function_score random_score with seed + field: deterministic
+      // pseudo-random ordering (the reproducible sample page) — the
+      // portable unit hash restates ES's seeded field hash.
+      val score = query.Scoring.randomScore(col("doc_id"), seed = 7)
+      load(dir, "documents").select(col("doc_id"), score.as("score"))
+        .orderBy(asc("score"), asc("doc_id"))
+        .limit(20)
+    }),
+
     "pipeline_span_corruption" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // T5 span-corruption examples (Raffel et al. 2020): two 3-token
@@ -9396,6 +9424,32 @@ object SparkEntry {
          |    '<MID>' || substr(text, lo + 1, hi - lo)
          |  ELSE text END AS fim_text
          |FROM spans ORDER BY doc_id""".stripMargin
+    },
+
+    // Curriculum keys restated: the CASE-sum stage, the same unit hash
+    // pace, a stage-partitioned row_number.
+    "pipeline_curriculum" -> {
+      import graft.ops.Sampling.hashUnitSql
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_chars::DOUBLE >= 150.0 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_chars::DOUBLE >= 300.0 THEN 1 ELSE 0 END) AS stage,
+         |    ${hashUnitSql("doc_id", 42)} AS pace
+         |  FROM documents
+         |), r AS (
+         |  SELECT stage, doc_id,
+         |    row_number() OVER (PARTITION BY stage ORDER BY pace, doc_id) AS rn
+         |  FROM s
+         |)
+         |SELECT stage, rn, doc_id FROM r WHERE rn <= 5
+         |ORDER BY stage, rn""".stripMargin
+    },
+
+    // random_score restated: the identical seeded md5 unit hash.
+    "q_random_score" -> {
+      import graft.ops.Sampling.hashUnitSql
+      s"""SELECT doc_id, ${hashUnitSql("doc_id", 7)} AS score
+         |FROM documents ORDER BY score ASC, doc_id ASC LIMIT 20""".stripMargin
     },
 
     // Span corruption restated by list slicing: the same seeded unit

@@ -304,4 +304,30 @@ object Packing {
       when(gate, inputs).otherwise(text).as("inputs"),
       when(gate, targets).otherwise(lit("")).as("targets"))
   }
+
+  /** Curriculum ordering (Bengio et al. 2009): assign each document a
+    * difficulty `stage` from monotone score thresholds (`stage` = how
+    * many `bounds` the score clears) and a deterministic within-stage
+    * `pace` (the portable seeded unit hash) — the `(stage, pace)` pair
+    * IS the training order. Deliberately emits sort KEYS, not a sorted
+    * frame: a global order would funnel the corpus through one range
+    * sort, while the keys feed the existing shard writer
+    * ([[shardAssignments]] / `repartitionByRange(stage, pace)` +
+    * `sortWithinPartitions`) so each stage streams out in parallel —
+    * the 100 TB curriculum path. Row-local, zero shuffle here.
+    */
+  def curriculumKeys(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      bounds: Seq[Double],
+      seed: Int = 42): DataFrame = {
+    require(bounds.nonEmpty, "curriculumKeys: no stage bounds")
+    require(bounds == bounds.sorted, s"bounds must ascend, got $bounds")
+    val score = col(s"`$scoreCol`").cast("double")
+    val stage = bounds.map(b => when(score >= lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.withColumn("stage", stage)
+      .withColumn("pace", graft.ops.Sampling.hashUnit(col(s"`$idCol`"), seed))
+  }
 }

@@ -145,6 +145,17 @@ object Scoring {
     lit(factor) * m
   }
 
+  /** ES `function_score` `random_score` with `seed` + `field`:
+    * deterministic pseudo-random in [0, 1) — ES hashes the seed with the
+    * field's value so the "random" order is reproducible across pages
+    * and replicas; this restates it as the portable seeded md5 unit hash
+    * ([[graft.ops.Sampling.hashUnit]]), which carries the same contract
+    * (same seed + same key → same score anywhere, including the SQL
+    * oracle). The deterministically-shuffled sample page idiom.
+    */
+  def randomScore(field: Column, seed: Int): Column =
+    graft.ops.Sampling.hashUnit(field, seed)
+
   /** ES `rank_feature` query, `saturation` function:
     * `boost · v / (v + pivot)` — the sub-linear popularity/quality boost
     * (pagerank, url_length, …) Lucene computes from the rank-feature
