@@ -2224,13 +2224,16 @@ object SparkEntry {
       // under the deterministic fixed-window contract (documented delta
       // from the unified highlighter's passage breaker): 60-char windows
       // ranked by match count, best 2 returned score-then-offset with
-      // matches wrapped. Row-local; docs with no matching window drop.
+      // matches wrapped. Row-local; docs with no matching window drop
+      // (posexplode of an empty array emits no rows). One row per
+      // (doc, frag_rank) — scalar columns only: the round-15 array-typed
+      // `fragments` column crashed the driver's pandas comparator
+      // (unhashable ndarray), the search_explain explode precedent.
       val frags = graft.expr.TextMatch.highlightFragments(
         col("text"), "dup vector", fragmentSize = 60, numberOfFragments = 2)
       load(dir, "documents")
-        .select(col("doc_id"), frags.as("fragments"))
-        .where(size(col("fragments")) > 0)
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(frags).as(Seq("frag_rank", "fragment")))
+        .orderBy("doc_id", "frag_rank")
     }),
 
     "search_explain" -> ((s, dir) => {
@@ -2252,8 +2255,10 @@ object SparkEntry {
       // positions over the analyzed text — the index-introspection API of
       // the dual-field mapping's analyzed view. A 12-doc page (the
       // API is per-document; a bounded id range stands in for the
-      // request's doc list).
-      graft.query.TermVectors.termVectors(
+      // request's doc list). Positions render comma-joined (the
+      // comparator-safe scalar twin of the array column that crashed the
+      // round-15 pandas comparator).
+      graft.query.TermVectors.termVectorsFlat(
           load(dir, "documents").where(col("doc_id") < 12), "doc_id", "text")
         .orderBy("doc_id", "term")
     }),
@@ -7016,16 +7021,20 @@ object SparkEntry {
         |ORDER BY score DESC, event_id ASC LIMIT 25""".stripMargin,
 
     // Fragment highlighting restated by the SQL twin builder — the same
-    // fixed windows, negated-count struct sort, slice, and RE2 wrap.
+    // fixed windows, negated-count struct sort, slice, and RE2 wrap —
+    // then unnested to one (doc_id, frag_rank, fragment) row per
+    // fragment (scalar columns only; an empty list unnests to no rows,
+    // matching posexplode).
     "search_highlight_fragments" -> {
       val frags = graft.expr.TextMatch.highlightFragmentsSql(
         "text", "dup vector", fragmentSize = 60, numberOfFragments = 2)
-      s"""SELECT doc_id, fragments FROM (
+      s"""WITH f AS (
          |  SELECT doc_id,
          |$frags AS fragments
          |  FROM documents)
-         |WHERE len(fragments) > 0
-         |ORDER BY doc_id""".stripMargin
+         |SELECT doc_id, (u.i - 1)::INT AS frag_rank, fragments[u.i] AS fragment
+         |FROM f, unnest(range(1, len(fragments)+1)) AS u(i)
+         |ORDER BY doc_id, frag_rank""".stripMargin
     },
 
     // _explain restated: the same base/stats CTEs, the ranked top-k with
@@ -7036,7 +7045,8 @@ object SparkEntry {
         "documents", "doc_id", "text", "dup vector scan", 5),
 
     // _termvectors restated: unnest-with-position over the identical
-    // token stream, grouped with ordered position lists.
+    // token stream, grouped with ordered position lists rendered as the
+    // comma-joined string (the comparator-safe scalar shape).
     "search_term_vectors" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -7047,7 +7057,7 @@ object SparkEntry {
         |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
         |)
         |SELECT doc_id, term, count(*)::BIGINT AS freq,
-        |  list(pos ORDER BY pos) AS positions
+        |  array_to_string(list(pos ORDER BY pos), ',') AS positions
         |FROM e GROUP BY doc_id, term
         |ORDER BY doc_id, term""".stripMargin,
 
@@ -7196,7 +7206,7 @@ object SparkEntry {
     // all_of restated: per-alternative phrase-occurrence intervals from
     // the same token stream (list-slice equality gives the starts), slot
     // alternatives unioned, the ordered non-overlap + gap-budget algebra
-    // verbatim: s2 > e1, enclosing width − Σ widths ≤ 8.
+    // verbatim: s2 > e1, enclosing width − Σ widths ≤ 3.
     "q_intervals_all_of" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -27,4 +27,13 @@ object TermVectors {
       .agg(count(lit(1)).as("freq"),
         sort_array(collect_list(col("pos"))).as("positions"))
   }
+
+  /** [[termVectors]] with `positions` rendered as a comma-joined string —
+    * the comparator-safe scalar shape the correctness harness can
+    * sort/hash (array-typed result columns crash its pandas comparator);
+    * semantics identical, the join is a bijection on sorted int lists.
+    */
+  def termVectorsFlat(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termVectors(docs, idCol, textCol).withColumn("positions",
+      array_join(transform(col("positions"), _.cast("string")), ","))
 }
