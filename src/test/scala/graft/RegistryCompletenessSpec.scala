@@ -51,6 +51,24 @@ object RegistryCompleteness {
     val stale = (registered diff latest).filter(q => updated(q) < latestRound)
     (stale, updated)
   }
+
+  /** Err-row escalation (round-15 verdict #2): a query whose artifact row
+    * EXISTS but carries a non-null `err` satisfies both gates above — it
+    * has a row — so a broken-but-present query (round 15's array-column
+    * comparator crashes) could linger red in the artifact forever under a
+    * green suite. An err row gets the same one-artifact-cycle grace as a
+    * pending query (its first err row postdates the window in which the
+    * builder could have seen it); err rows in TWO consecutive artifacts
+    * are a hard failure.
+    *
+    * @param allowed the declared no-oracle set — those rows carry
+    *                `err: no_oracle` every round by design.
+    * @return registered queries err-red in both `previousErr` and
+    *         `latestErr`, minus `allowed`.
+    */
+  def checkErr(registered: Set[String], previousErr: Set[String],
+      latestErr: Set[String], allowed: Set[String]): Set[String] =
+    ((latestErr intersect previousErr) intersect registered) diff allowed
 }
 
 /** The registry-vs-artifact completeness gate (round-11 verdict #1): a query
@@ -96,6 +114,56 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     val it = node.fieldNames()
     while (it.hasNext) b += it.next()
     b.result()
+  }
+
+  /** Names whose artifact row exists but carries a non-null `err` — the
+    * comparator crashed or errored on them, so they are unverified despite
+    * having a row.
+    */
+  private def artifactErrNames(f: java.io.File): Set[String] = {
+    val node = new ObjectMapper().readTree(f)
+    val b = Set.newBuilder[String]
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.hasNonNull("err")) b += e.getKey
+    }
+    b.result()
+  }
+
+  test("no registered query stays err-red across two consecutive artifacts") {
+    val artifacts = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+    assume(artifacts.nonEmpty, "no committed CORRECTNESS artifact to check against")
+    val latest = artifacts.last
+    val previousErr = artifacts.dropRight(1).lastOption
+      .map(artifactErrNames).getOrElse(Set.empty)
+    val errs = RegistryCompleteness.checkErr(
+      SparkEntry.queries.keySet, previousErr, artifactErrNames(latest), rowsOnly)
+    assert(errs.isEmpty,
+      s"queries err-red in ${latest.getName} AND the artifact before it: " +
+        s"${errs.toSeq.sorted.mkString(", ")} — an err row is an unverified " +
+        "query with a row-shaped alibi; it must go green within one " +
+        "artifact cycle (round-15 verdict #2)")
+  }
+
+  test("err gate: one-cycle grace, two-cycle hard fail, exclusions (fixture)") {
+    // first err row (absent from the previous artifact): grace, not a failure
+    assert(RegistryCompleteness.checkErr(
+      Set("q_a", "q_b"), Set.empty, Set("q_a"), Set.empty).isEmpty)
+    // err persisting into a second consecutive artifact: hard fail
+    assert(RegistryCompleteness.checkErr(
+      Set("q_a", "q_b"), Set("q_a"), Set("q_a"), Set.empty) === Set("q_a"))
+    // the declared no-oracle rows carry err every round by design — exempt
+    assert(RegistryCompleteness.checkErr(
+      Set("q_n"), Set("q_n"), Set("q_n"), allowed = Set("q_n")).isEmpty)
+    // a deregistered query's lingering err rows don't fail the build
+    assert(RegistryCompleteness.checkErr(
+      Set("q_b"), Set("q_a"), Set("q_a"), Set.empty).isEmpty)
+    // err in the previous artifact only (went green in the latest): clean
+    assert(RegistryCompleteness.checkErr(
+      Set("q_a"), Set("q_a"), Set.empty, Set.empty).isEmpty)
   }
 
   test("no registered query regresses out of the newest CORRECTNESS artifact") {
