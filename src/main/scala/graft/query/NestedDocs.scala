@@ -31,12 +31,38 @@ object NestedDocs {
     * `groupBy(parentKey).agg(collect_list(struct(itemCols)))` — ONE hash
     * aggregate keyed on the parent (map-side partial collect applies;
     * array size is bounded by children-per-parent, not corpus size).
+    *
+    * `maxChildren` ENFORCES that bound in-plan (round-15 verdict #3: the
+    * bound was a data contract, not an enforcement — one skewed parent
+    * silently builds an arbitrarily large aggregation array): a row-local
+    * `size` check on the aggregate output raises loudly, naming the
+    * parent, at the same materialization. The check sits AFTER the
+    * collect (zero extra exchange — the pre-aggregation window-count
+    * alternative costs a second full shuffle of the children and buffers
+    * the same skewed partition anyway); its job is loudness at the first
+    * action, not allocation avoidance. TPC-H orders hold ≤7 items; the
+    * default is generous for any real parent-with-line-items shape while
+    * still catching a hot-key join explosion.
     */
   def nest(children: DataFrame, parentKey: String,
-      itemCols: Seq[String], as: String = "items"): DataFrame = {
+      itemCols: Seq[String], as: String = "items",
+      maxChildren: Int = 10000): DataFrame = {
     require(itemCols.nonEmpty, "nest: no item columns")
+    require(maxChildren >= 1, s"nest: maxChildren must be >= 1, got $maxChildren")
     children.groupBy(col(parentKey))
       .agg(collect_list(struct(itemCols.map(col): _*)).as(as))
+      .withColumn("_bound_ok",
+        when(size(col(as)) > maxChildren,
+          raise_error(concat(
+            lit("NestedDocs.nest: parent "), col(parentKey).cast("string"),
+            lit(" has "), size(col(as)).cast("string"),
+            lit(s" children > maxChildren=$maxChildren — a skewed parent " +
+              "builds an unbounded nested-doc array; filter or chunk the " +
+              "children (the Features chunkMs precedent) or raise the " +
+              "bound deliberately"))).cast("boolean"))
+          .otherwise(lit(true)))
+      .where(col("_bound_ok"))
+      .drop("_bound_ok")
   }
 
   /** ES `nested` query: SOME element satisfies the WHOLE predicate —

@@ -41,4 +41,20 @@ class NestedDocsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](NestedDocs.nest(children, "pk", Nil))
     intercept[IllegalArgumentException](NestedDocs.objectMatch(col("items"), Nil))
   }
+
+  test("nest: maxChildren raises in-plan on a skewed parent, naming it") {
+    // parent 1 has 2 children, parent 2 has 2, parent 3 has 1:
+    // maxChildren=1 must intercept at materialization and NAME a skewed key
+    val e = intercept[Exception] {
+      NestedDocs.nest(children, "pk", Seq("qty"), maxChildren = 1).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("NestedDocs.nest") && msg.contains("maxChildren=1"))
+    // at the bound (2) every parent passes — the guard is > not >=
+    assert(NestedDocs.nest(children, "pk", Seq("qty"), maxChildren = 2)
+      .count() === 3)
+    intercept[IllegalArgumentException](
+      NestedDocs.nest(children, "pk", Seq("qty"), maxChildren = 0))
+  }
 }
