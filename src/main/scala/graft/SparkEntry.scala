@@ -526,11 +526,20 @@ object SparkEntry {
         val analyzed = concat(lit(" "),
           graft.expr.TextMatch.normalized(col("text")), lit(" "))
         // `term^2` boosts compile to per-term BM25 weights on this (the
-        // scoring) path; an unboosted q takes the identical unweighted
-        // tree (boostedTerms defaults every weight to 1.0 and
-        // scoredAllBoosted short-circuits the 1.0 multiplier).
-        val scored = graft.query.Bm25.scoredAllBoosted(docs, "doc_id", analyzed,
-          graft.query.QueryString.boostedTerms(qText))
+        // scoring) path THROUGH boostedTerms' strict flat-list contract
+        // (operators/groups/fielded tokens reject loudly — structure
+        // belongs in "filter"). A caret-free q keeps the original
+        // tolerant bag-of-words path (Bm25.queryTerms), so pre-boost
+        // route clients sending `a AND b` keep their accepted-as-terms
+        // behavior — the route contract only tightens where a boost is
+        // actually used (round-15 advice: don't break caret-free
+        // payloads). Boost-free boostedTerms output is bit-identical to
+        // scoredAll anyway (every weight 1.0 short-circuits).
+        val scored =
+          if (graft.query.QueryString.hasBoost(qText))
+            graft.query.Bm25.scoredAllBoosted(docs, "doc_id", analyzed,
+              graft.query.QueryString.boostedTerms(qText))
+          else graft.query.Bm25.scoredAll(docs, "doc_id", analyzed, qText)
         val page =
           if (o.hasNonNull("collapse"))
             graft.query.Paging.collapseTopHits(
@@ -550,6 +559,10 @@ object SparkEntry {
             val boost = docs0.select(col("doc_id"),
               when(graft.expr.TextMatch.containsToken(col("text"), rq),
                 lit(1.0)).otherwise(lit(0.0)).as("boost"))
+            // ROUTE CONTRACT: rescore serves at most runLimit (default
+            // 1000) ranks — ranks beyond it truncate BY DESIGN (the
+            // distributed top-k page budget; rescore's scaladoc). A
+            // deeper page product would pass runLimit explicitly here.
             graft.query.Hybrid.rescore(scored, "doc_id", "score",
                 boost, "boost",
                 windowSize = r.path("window").asInt(10),

@@ -144,6 +144,20 @@ object QueryString {
     out.toSeq
   }
 
+  /** True when `q` carries any UNESCAPED boost caret in a term unit — the
+    * /search route's dispatch test: caret-free queries keep the tolerant
+    * bag-of-words scoring path (structure tokens scored as words, the
+    * pre-boost route contract), boosted ones opt into [[boostedTerms]]'s
+    * strict flat-list contract. Escapes honored (`a\^2` is caret-free);
+    * a caret inside an operator/group query returns true and lets
+    * [[boostedTerms]] reject it loudly.
+    */
+  def hasBoost(q: String): Boolean =
+    tokenize(q).exists {
+      case u: Unit => u.chars.exists(e => !e.esc && e.c == '^')
+      case _ => false
+    }
+
   // ===== scanner =====
 
   /** One character of a clause, tagged with whether it arrived

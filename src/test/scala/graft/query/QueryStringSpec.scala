@@ -111,6 +111,16 @@ class QueryStringSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](parse("text:a^2"))
   }
 
+  test("hasBoost: the /search dispatch sees only unescaped carets in units") {
+    assert(QueryString.hasBoost("vector^2 dup"))
+    assert(QueryString.hasBoost("dup^2 AND vector")) // boosted + structure →
+    // boostedTerms then rejects it loudly downstream
+    assert(!QueryString.hasBoost("dup vector"))
+    assert(!QueryString.hasBoost("dup AND vector")) // caret-free structure
+    // stays on the tolerant bag-of-words path (pre-boost route contract)
+    assert(!QueryString.hasBoost("""a\^2"""))       // escaped caret is text
+  }
+
   test("unsupported syntax errors loudly instead of silently dropping") {
     for (bad <- Seq("text:a^2", "text:\"open", "id:[1 TO]", "a AND",
         "text:a\\", "+ text:a", "-", "text:/unterminated", "text://",

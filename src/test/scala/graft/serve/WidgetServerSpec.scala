@@ -416,6 +416,18 @@ class WidgetServerSpec extends SparkSpecBase {
       // a boost in the FILTER stays a client fault
       assert(post(s"http://127.0.0.1:$port/search",
         """{"q": "dup", "filter": "text:a^2", "size": 2}""")._1 === 400)
+      // ROUTE CONTRACT (round-15 advice): a CARET-FREE q keeps the
+      // tolerant bag-of-words path — operator tokens score as plain
+      // words (the pre-boost behavior), they do not 400
+      val (c7b, b7b) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup AND vector", "size": 3}""")
+      assert(c7b === 200)
+      assert(b7b === WidgetServer.collectRowsJson(
+        graft.query.Bm25.topKRaw(docs, "doc_id", "text", "dup AND vector", 3)))
+      // ...while a boosted q opts into the strict flat-list contract:
+      // structure alongside a caret rejects loudly
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup^2 AND vector", "size": 3}""")._1 === 400)
 
       // _explain: the per-term decomposition, pinned to engine-direct
       val (c8, b8) = post(s"http://127.0.0.1:$port/explain",
