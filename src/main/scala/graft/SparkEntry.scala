@@ -581,16 +581,20 @@ object SparkEntry {
         // ES 8 knn search over the wire: {"vec_id": 3, "k": 5,
         // "filter": "label:[0 TO 5]" (query_string over the metadata
         // columns, optional), "nprobe": N (optional — IVF path; omitted
-        // = exact brute force), "similarity": t (optional — ES's
-        // similarity threshold: ranked hits below cosine t drop AFTER
-        // the k cut, exactly the documented ES semantics)}. The filter
-        // is PRE-filter semantics (candidates prune before ranking, the
+        // = exact brute force), "similarity": t (optional)}. With "k"
+        // present (or neither given), "similarity" is ES's documented
+        // knn threshold: ranked hits below cosine t drop AFTER the k
+        // cut. With "similarity" and NO "k", the request is a pure
+        // RADIUS search — every hit with cos ≥ t, no rank window at
+        // all: ivfRadius over the probed cells when "nprobe" is given
+        // (the serving path — cell-pruned scan, round-15 verdict #3),
+        // exact bruteForceRadius otherwise. The filter is PRE-filter
+        // semantics (candidates prune before ranking, the
         // recall-preserving form); the query vector is looked up by id,
         // the kNN-by-example shape.
         val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
         require(o.hasNonNull("vec_id"), "knn: missing vec_id")
         val qid = o.path("vec_id").asLong()
-        val k = o.path("k").asInt(5)
         val emb0 = load(dir, "embeddings")
         val emb =
           if (o.hasNonNull("filter"))
@@ -598,21 +602,39 @@ object SparkEntry {
               o.path("filter").asText(), defaultField = "label").compile)
           else emb0
         val queries = emb0.where(col("vec_id") === qid)
-        val ranked =
-          if (o.hasNonNull("nprobe")) {
-            val cents = ops.Similarity.kmeansCentroids(
-              emb0, "vec_id", "embedding", k = 8, iters = 0)
-            ops.Similarity.ivfTopKFromIndex(
-              ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
-              cents, queries, "vec_id", "embedding", k,
-              nprobe = o.path("nprobe").asInt(3))
-          } else
-            ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-              queries, "vec_id", "embedding", k)
-        WidgetServer.collectRowsJson(
-          if (o.hasNonNull("similarity"))
-            ranked.where(col("cos") >= o.path("similarity").asDouble())
-          else ranked)
+        def centroids() = ops.Similarity.kmeansCentroids(
+          emb0, "vec_id", "embedding", k = 8, iters = 0)
+        val hits =
+          if (o.hasNonNull("similarity") && !o.hasNonNull("k")) {
+            val t = o.path("similarity").asDouble()
+            val radius =
+              if (o.hasNonNull("nprobe")) {
+                val cents = centroids()
+                ops.Similarity.ivfRadius(
+                  ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
+                  cents, queries, "vec_id", "embedding", t,
+                  nprobe = o.path("nprobe").asInt(3))
+              } else
+                ops.Similarity.bruteForceRadius(emb, "vec_id", "embedding",
+                  queries, "vec_id", "embedding", t)
+            radius.orderBy(desc("cos"), asc("neighbor_id"))
+          } else {
+            val k = o.path("k").asInt(5)
+            val ranked =
+              if (o.hasNonNull("nprobe")) {
+                val cents = centroids()
+                ops.Similarity.ivfTopKFromIndex(
+                  ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
+                  cents, queries, "vec_id", "embedding", k,
+                  nprobe = o.path("nprobe").asInt(3))
+              } else
+                ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+                  queries, "vec_id", "embedding", k)
+            if (o.hasNonNull("similarity"))
+              ranked.where(col("cos") >= o.path("similarity").asDouble())
+            else ranked
+          }
+        WidgetServer.collectRowsJson(hits)
       },
       "/geo" -> { body =>
         // Kibana map filters over the wire: {"box": {"top": t, "left": l,
@@ -4327,6 +4349,27 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
       Similarity.bruteForceRadius(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", minCosine = 0.30)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    "ann_radius_ivf" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The SERVING-scale radius search (round-15 verdict #3): the same
+      // 0.30 threshold cut applied over the probed cells of the at-rest
+      // IVF index — cell-pruned scan + hash join, no window, no full
+      // scan per query batch. Same margin discipline as ann_radius
+      // (min |cos − 0.30| documented there); the oracle shares the
+      // ann_ivf assignment CTEs and applies the threshold predicate.
+      // Recall vs bruteForceRadius is nprobe-monotone, pinned in
+      // SimilaritySpec.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 0)
+      Similarity.ivfRadius(
+          Similarity.assignCells(emb, "vec_id", "embedding", cents),
+          cents, queries, "vec_id", "embedding",
+          minCosine = 0.30, nprobe = 3)
         .orderBy("query_id", "neighbor_id")
     }),
 
@@ -10226,6 +10269,24 @@ object SparkEntry {
         |  AND list_inner_product(e.v, q.v)
         |    / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.30
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // Cell-pruned radius restated: the ann_ivf assignment CTEs (identical
+    // centroid pick + argmax assignment), the 3-cell probe, and the same
+    // 0.30 threshold predicate in place of the rank window.
+    "ann_radius_ivf" -> {
+      s"""WITH ${ivfAssignCtesSql(nlist = 8)}, qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 3 AND vec_id < 5
+         |)
+         |SELECT q.query_id, a.vec_id AS neighbor_id,
+         |  list_inner_product(a.v, q.qv)
+         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |WHERE a.vec_id <> q.query_id
+         |  AND list_inner_product(a.v, q.qv)
+         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) >= 0.30
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
 
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -393,6 +393,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Cell-pruned RADIUS search against an at-rest IVF index — the
+    * 100 TB-shaped twin of [[bruteForceRadius]] (round-15 verdict: the
+    * exact scan is fine at sf-scale but a serving corpus needs the
+    * pruned path, and over-fetching a top-k is a guess for a radius
+    * query). [[ivfTopKFromIndex]]'s shape MINUS the window: queries
+    * probe their `nprobe` nearest cells, the index joins on the cell key
+    * only (partition the at-rest table by `cell` and the scan prunes to
+    * the probed partitions), and the `cos ≥ minCosine` threshold is the
+    * final row-local cut — no rank window at all, so the result costs
+    * one pruned scan + one hash join, never a per-query sort.
+    *
+    * APPROXIMATE exactly like IVF top-k: a neighbor above the threshold
+    * whose cell no probe visits is missed; recall is `nprobe`-monotone
+    * and reaches the brute answer at `nprobe = nlist`
+    * (SimilaritySpec pins both). The threshold's binary outcome needs
+    * corpus margin at `minCosine`, same discipline as
+    * [[bruteForceRadius]].
+    */
+  def ivfRadius(
+      index: DataFrame,
+      centroids: Seq[Array[Double]],
+      queries: DataFrame, queryId: String, queryVec: String,
+      minCosine: Double,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"ivfRadius: minCosine must be in [-1,1], got $minCosine")
+    val c = index.select(col("vec_id").as("neighbor_id"),
+      col("vec").as("_cv"), col("cell").as("_cell"))
+    val q = queries.select(col(queryId).as("query_id"), asDouble(col(queryVec)).as("_qv"))
+      .withColumn("_cell", explode(nearestCells(col("_qv"), centroids, nprobe)))
+    c.join(q, Seq("_cell"))
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("cos", cosine(col("_cv"), col("_qv")))
+      .where(col("cos") >= lit(minCosine))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
   /** Per-subspace product-quantization codebooks: split the vector into `m`
     * contiguous subspaces of `dim / m` dims and give each subspace `ksub`
     * centroids. Init is the deterministic corpus sample ([[kmeansCentroids]]'s

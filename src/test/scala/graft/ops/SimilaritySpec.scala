@@ -129,6 +129,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.count() === 6)
   }
 
+  test("ivfRadius: nprobe-monotone recall, always a subset of brute, exact at nprobe=nlist") {
+    // 120 ring vectors in dim 8 (angle = id·0.0523 ≈ full circle): the
+    // 0.9-cosine radius is an angular band (±~8 ids; margin at the cut
+    // ~1.4e-2 — cos(8Δ)=0.914, cos(9Δ)=0.891), and the IVF cells are arcs
+    // of the ring, so nprobe genuinely gates which band segments are seen.
+    val big = spark.range(120).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.0523), sin(col("id") * 0.0523),
+        lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0), lit(0.0))
+        .as("embedding"))
+    val q = big.where(col("vec_id") % 30 === 0) // 4 queries spread around
+    val brute = Similarity.bruteForceRadius(big, "vec_id", "embedding",
+        q, "vec_id", "embedding", minCosine = 0.9)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.kmeansCentroids(big, "vec_id", "embedding",
+      k = 8, iters = 0)
+    val index = Similarity.assignCells(big, "vec_id", "embedding", cents)
+    def hits(np: Int): Set[(Long, Long)] =
+      Similarity.ivfRadius(index, cents, q, "vec_id", "embedding",
+          minCosine = 0.9, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val h = Seq(1, 2, 4, 8).map(hits)
+    // the threshold predicate is identical — every probed result is a
+    // subset of the exact answer, and probing more cells only adds
+    assert(h.forall(_.subsetOf(brute)))
+    assert(h.sliding(2).forall { case Seq(a, b) => a.subsetOf(b) })
+    // exhaustive probing IS the exact radius search
+    assert(brute.nonEmpty && h.last === brute)
+  }
+
   test("lshTopK recall vs brute force is monotone in probeBits, exhaustive at numPlanes") {
     // 60 ring vectors in dim 8 — enough bucket diversity that probeBits
     // actually changes the candidate set.

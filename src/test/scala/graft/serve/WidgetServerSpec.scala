@@ -548,6 +548,25 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(b4 === WidgetServer.collectRowsJson(
         graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", 4).where(col("cos") >= 0.2)))
+
+      // similarity WITHOUT k = a pure RADIUS search: every hit ≥ t, no
+      // rank window — exact brute path...
+      val (c5, b5) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "similarity": 0.2}""")
+      assert(c5 === 200)
+      assert(b5 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.bruteForceRadius(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", 0.2)
+          .orderBy(desc("cos"), asc("neighbor_id"))))
+      // ...and the cell-pruned serving path when nprobe is given
+      val (c6, b6) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "similarity": 0.2, "nprobe": 3}""")
+      assert(c6 === 200)
+      assert(b6 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.ivfRadius(
+            graft.ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
+            cents, queries, "vec_id", "embedding", 0.2, nprobe = 3)
+          .orderBy(desc("cos"), asc("neighbor_id"))))
     } finally server.stop(0)
   }
 
