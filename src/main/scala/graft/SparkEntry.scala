@@ -2544,6 +2544,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_intervals_all_of_any" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES intervals all_of with ordered: false (round-15 "decide
+      // unordered" — implemented on the exact domain): Lucene's
+      // unordered source — any arrangement, overlaps allowed, gaps =
+      // enclosing width − Σ chosen widths ≤ 2 — over uniform-width
+      // slots ("spark") + ("batch scan"), where the exists-a-choice
+      // evaluation equals Lucene's minimal-interval enumeration
+      // (IntervalsAllOf scaladoc). The flag does real work at the
+      // fixture: 10 sf0.01 docs vs 3 for the ordered twin of the same
+      // slots (reversed arrangements join here).
+      val spec = graft.query.FilterSpec.IntervalsAllOf("text",
+        Seq(Seq("spark"), Seq("batch scan")), maxGaps = 2, ordered = false)
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_wildcard" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES term-level wildcard (embedded ? defeats analyze_wildcard's
@@ -7289,6 +7307,31 @@ object SparkEntry {
         |FROM s1 JOIN s2 USING (doc_id) JOIN t USING (doc_id)
         |WHERE s2.s > s1.e
         |  AND (s2.e - s1.s + 1) - ((s1.e - s1.s + 1) + (s2.e - s2.s + 1)) <= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // all_of unordered restated: the same per-slot occurrence intervals,
+    // the minimal-enclosing-window gap algebra with NO arrangement
+    // constraint — greatest(e) − least(s) + 1 − Σ widths ≤ 2 (overlaps
+    // drive the expression negative, which still passes — Lucene's
+    // unordered overlap semantics).
+    "q_intervals_all_of_any" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, u.i AS s, u.i AS e
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'spark'
+        |), s2 AS (
+        |  SELECT doc_id, u.i AS s, u.i + 1 AS e
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i:u.i+1] = ['batch', 'scan']
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM s1 JOIN s2 USING (doc_id) JOIN t USING (doc_id)
+        |WHERE (greatest(s1.e, s2.e) - least(s1.s, s2.s) + 1)
+        |  - ((s1.e - s1.s + 1) + (s2.e - s2.s + 1)) <= 2
         |ORDER BY doc_id""".stripMargin,
 
     // intervals ordered match: 'scan' strictly before 'spark' with at

@@ -458,21 +458,37 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
-  /** ES `intervals` `all_of` COMBINATION rule, ordered form — the nested
-    * composition the intervals DSL exists for: each SLOT is a set of
-    * alternative phrases (a nested `any_of` of `match` rules); the
-    * document matches when one occurrence per slot can be chosen with the
-    * slots' intervals strictly ordered and non-overlapping
-    * (`s_{k+1} > e_k`, ES `ordered: true`) and the total gap budget
-    * inside the enclosing window — enclosing width minus the sum of the
-    * chosen intervals' widths — at most `maxGaps`. A single-token slot
-    * degenerates to the [[SpanNear]] term case (same gap algebra); a
-    * single slot degenerates to phrase existence.
+  /** ES `intervals` `all_of` COMBINATION rule — the nested composition
+    * the intervals DSL exists for: each SLOT is a set of alternative
+    * phrases (a nested `any_of` of `match` rules); the document matches
+    * when one occurrence per slot can be chosen meeting the flag's
+    * arrangement rule with the total gap budget inside the enclosing
+    * window — enclosing width minus the sum of the chosen intervals'
+    * widths — at most `maxGaps`. A single-token slot degenerates to the
+    * [[SpanNear]] term case (same gap algebra); a single slot
+    * degenerates to phrase existence.
     *
-    * ES's unordered `all_of` (overlap rules differ by flag) is NOT
-    * implemented — the unordered composition of single terms is
-    * [[SpanNear]]`(inOrder = false)`; a loud absence beats a silently
-    * different overlap semantic.
+    * `ordered = true` (ES `ordered: true`): the chosen intervals are
+    * strictly ordered and non-overlapping (`s_{k+1} > e_k`).
+    *
+    * `ordered = false` (ES `ordered: false`, round-15 verdict "decide
+    * unordered all_of"): Lucene's unordered source — any arrangement,
+    * overlaps ALLOWED (including two slots matching the same occurrence
+    * of the same term; Lucene's separate `unorderedNoOverlaps` mode is
+    * not this flag), gaps = enclosing width − Σ chosen widths, which
+    * overlaps can drive negative. Implemented as "some choice of one
+    * occurrence per slot satisfies the gap bound", which EQUALS Lucene's
+    * minimal-interval enumeration + maxgaps filter exactly when each
+    * slot's alternatives share one analyzed length (proof sketch: a
+    * passing window either is minimal or contains a minimal window over
+    * the same slots; uniform widths make Σ widths choice-invariant, and
+    * a contained window is narrower, so its gaps only shrink). A slot
+    * MIXING alternative lengths breaks that containment argument — a
+    * suppressed non-minimal window could pass while every minimal one
+    * fails — so the unordered form REJECTS mixed-length slots loudly
+    * rather than ship a silently-over-matching semantic (the pinned
+    * divergence risk; split the slot into per-length queries or use the
+    * ordered form).
     *
     * Compile shape: per-alternative phrase-occurrence intervals as
     * `array<struct<s,e>>` built by a bounded window-compare `transform`
@@ -483,7 +499,7 @@ object FilterSpec {
     * length.
     */
   final case class IntervalsAllOf(field: String, slots: Seq[Seq[String]],
-      maxGaps: Int) extends FilterSpec {
+      maxGaps: Int, ordered: Boolean = true) extends FilterSpec {
     require(slots.nonEmpty, "intervals all_of: no slots")
     require(slots.forall(_.nonEmpty), "intervals all_of: a slot has no alternatives")
     require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
@@ -494,6 +510,13 @@ object FilterSpec {
         require(ts.nonEmpty, s"intervals all_of: no analyzable tokens in <$p>")
         ts
       })
+      if (!ordered) analyzedSlots.zip(slots).foreach { case (alts, raw) =>
+        require(alts.map(_.length).distinct.size == 1,
+          s"intervals all_of unordered: slot ${raw.mkString("(", " | ", ")")} " +
+            "mixes alternative lengths — the exists-a-choice evaluation can " +
+            "over-match vs Lucene's minimal-interval enumeration there " +
+            "(see scaladoc); split the slot by length or use ordered: true")
+      }
       // cheap NECESSARY guard: every slot needs some alternative present
       // as a contiguous token sequence (codegen'd substring probes; `&&`
       // short-circuits so the position work below runs only on candidate
@@ -558,13 +581,35 @@ object FilterSpec {
                 }.reduce(_ || _)
               case Seq() => lit(true) // unreachable: slots is non-empty
             }
+          // unordered chain (Lucene unordered, overlaps allowed): fold
+          // the running enclosing window (min start, max end) through
+          // one pick per slot; the leaf closes the same gap algebra —
+          // enclosing width − Σ static widths ≤ maxGaps, no arrangement
+          // constraint at all (widths stay compile-time Ints)
+          def chainUnordered(rest: Seq[Seq[(String, Int)]], minS: Column,
+              maxE: Column, widthSum: Int): Column =
+            rest match {
+              case Seq() =>
+                (maxE - minS + lit(1)) - lit(widthSum) <= lit(maxGaps)
+              case slot +: tail =>
+                slot.map { case (name, len) =>
+                  exists(row(name), s =>
+                    chainUnordered(tail, least(minS, s),
+                      greatest(maxE, s + lit(len - 1)), widthSum + len))
+                }.reduce(_ || _)
+            }
           slotAlts match {
             case Seq(only) =>
               only.map { case (name, _) => exists(row(name), _ => lit(true)) }
                 .reduce(_ || _)
-            case first +: rest =>
+            case first +: rest if ordered =>
               first.map { case (name, len) =>
                 exists(row(name), s => chain(rest, s + lit(len - 1), s, len))
+              }.reduce(_ || _)
+            case first +: rest =>
+              first.map { case (name, len) =>
+                exists(row(name), s =>
+                  chainUnordered(rest, s, s + lit(len - 1), len))
               }.reduce(_ || _)
           }
         })
@@ -574,7 +619,7 @@ object FilterSpec {
     def render: String = {
       val slotsR = slots.map(_.map(p => s""""$p"""").mkString("(", " | ", ")"))
         .mkString(" ")
-      s"${escName(field)}:allof[$slotsR]~gaps$maxGaps"
+      s"${escName(field)}:allof[$slotsR]~${if (ordered) "gaps" else "any"}$maxGaps"
     }
     def fields: Seq[String] = Seq(field)
   }

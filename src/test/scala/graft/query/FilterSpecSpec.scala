@@ -180,6 +180,55 @@ class FilterSpecSpec extends SparkSpecBase {
       FilterSpec.IntervalsAllOf("text", Seq(Seq("a")), -1))
   }
 
+  test("IntervalsAllOf unordered: any arrangement, overlaps allowed, uniform-width slots only") {
+    val docs = Seq(
+      (1L, "big vector then merge join here"), // window 5, gaps 1
+      (2L, "merge join then big vector"),      // reversed: unordered admits
+      (3L, "merge join big vector"),           // adjacent reversed: gaps 0
+      (4L, "merge join w x y big vector"),     // window 7, gaps 3
+      (5L, "big vector only"),                 // slot 2 missing
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(spec.compile).select("id").as[Long].collect().sorted.toSeq
+    val slots = Seq(Seq("big vector"), Seq("merge join"))
+    // ordered keeps its arrangement rule (reversed docs out)...
+    assert(ids(FilterSpec.IntervalsAllOf("text", slots, 1)) === Seq(1L))
+    // ...unordered admits any arrangement under the same gap algebra
+    assert(ids(FilterSpec.IntervalsAllOf("text", slots, 1, ordered = false))
+      === Seq(1L, 2L, 3L))
+    assert(ids(FilterSpec.IntervalsAllOf("text", slots, 0, ordered = false))
+      === Seq(3L))
+    assert(ids(FilterSpec.IntervalsAllOf("text", slots, 3, ordered = false))
+      === Seq(1L, 2L, 3L, 4L))
+    // overlaps ALLOWED (Lucene unordered, not unorderedNoOverlaps): the
+    // shared 'join' occurrence serves both slots — width 3 − Σwidths 4 =
+    // gaps −1 passes at 0; the ordered form's s2 > e1 refuses it
+    val ov = Seq((10L, "merge join batch")).toDF("id", "text")
+    val ovSlots = Seq(Seq("merge join"), Seq("join batch"))
+    assert(ov.where(FilterSpec.IntervalsAllOf("text", ovSlots, 0,
+      ordered = false).compile).count() === 1)
+    assert(ov.where(FilterSpec.IntervalsAllOf("text", ovSlots, 9).compile)
+      .count() === 0)
+    // same-term slots may even share ONE occurrence (the overlap-mode
+    // delta from SpanNear's repeated-term distinctness, documented)
+    val rep = Seq((11L, "gamma once")).toDF("id", "text")
+    assert(rep.where(FilterSpec.IntervalsAllOf("text",
+      Seq(Seq("gamma"), Seq("gamma")), 0, ordered = false).compile)
+      .count() === 1)
+    // a slot mixing alternative lengths rejects loudly (the pinned
+    // divergence domain — see IntervalsAllOf scaladoc)
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsAllOf("text",
+        Seq(Seq("big vector"), Seq("merge join", "scan")), 1,
+        ordered = false).compile)
+    // ...but the SAME slot set stays legal ordered (unchanged behavior;
+    // only doc 1 has the slots in order)
+    assert(ids(FilterSpec.IntervalsAllOf("text",
+      Seq(Seq("big vector"), Seq("merge join", "scan")), 1)) === Seq(1L))
+    assert(FilterSpec.IntervalsAllOf("text", slots, 2, ordered = false).render
+      === """text:allof[("big vector") ("merge join")]~any2""")
+  }
+
   test("matchBoolPrefix: whole terms in any order, the last term as prefix") {
     val docs = Seq(
       (1L, "vector scan done"),   // whole 'vector' + 'scan' has prefix sc
