@@ -114,6 +114,29 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() === 1)
   }
 
+  test("ivfRadius over a cell-partitioned index dynamically prunes to the probed cells") {
+    // The 100 TB radius-serving claim: with the at-rest IVF index
+    // partitioned by `cell`, the probe join's cell keys reach the index
+    // SCAN as a dynamic partition filter — unprobed cells are never read.
+    val vecs = spark.range(64).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.1), sin(col("id") * 0.1), lit(0.0), lit(0.0))
+        .as("embedding"))
+    val cents = graft.ops.Similarity.kmeansCentroids(
+      vecs, "vec_id", "embedding", k = 8, iters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/idx"
+    graft.ops.Similarity.assignCells(vecs, "vec_id", "embedding", cents)
+      .write.partitionBy("cell").parquet(p)
+    val out = graft.ops.Similarity.ivfRadius(spark.read.parquet(p), cents,
+      vecs.where(col("vec_id") < 2), "vec_id", "embedding",
+      minCosine = 0.9, nprobe = 2)
+    val plan = planOf(out)
+    assert(plan.contains("dynamicpruning"),
+      s"index scan lacks a dynamic cell-pruning partition filter:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("co-bucketed tables join without an exchange on either side") {
     graft.store.TableStore.recreateDatabase(spark, "graft_bkt")
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
