@@ -5804,6 +5804,57 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q_boosting" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `boosting` query: BM25 positive ("dup vector") with docs
+      // matching the negative term ("merge") DEMOTED by
+      // negative_boost = 0.25 — not excluded, the query's whole point.
+      // 0.25 is dyadic so the demotion multiply is IEEE-exact; the
+      // oracle replays the scored set and the same CASE.
+      val docs = load(dir, "documents")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+      val scored = query.Bm25.scoredAll(docs, "doc_id", analyzed, "dup vector")
+      val neg = docs.select(col("doc_id"),
+        graft.expr.TextMatch.containsToken(col("text"), "merge").as("_neg"))
+      scored.join(neg, "doc_id")
+        .withColumn("score",
+          query.Scoring.boosting(col("score"), col("_neg"), negativeBoost = 0.25))
+        .select("doc_id", "score")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(15)
+    }),
+
+    "q_constant_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `constant_score`: filter semantics with a scored hit list —
+      // every match scores exactly the boost (1.5, dyadic), no tf/idf.
+      // The filter is a compiled query_string conjunction; both engines
+      // emit the same literal.
+      val spec = graft.query.QueryString.parse(
+        "lang:en AND text:vector", defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select(col("doc_id"),
+          query.Scoring.constantScore(1.5).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    "search_sparse_vector" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES `sparse_vector` (ELSER/SPLADE serving): sparse dot product of
+      // a (term, weight) query against at-rest tf postings — ONE
+      // broadcast join on term + ONE doc-keyed aggregate, work ∝ the
+      // query terms' postings (the inverted-index property). tf × dyadic
+      // weights keep every product and sum IEEE-exact in any fold order
+      // (SparseVector scaladoc).
+      val postings = query.SparseVector.tfPostings(
+        load(dir, "documents"), "doc_id", "text")
+      query.SparseVector.topK(postings, "doc_id",
+          Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5), k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")
+    }),
+
     "pipeline_span_corruption" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // T5 span-corruption examples (Raffel et al. 2020): two 3-token
@@ -9560,6 +9611,54 @@ object SparkEntry {
       s"""SELECT doc_id, ${hashUnitSql("doc_id", 7)} AS score
          |FROM documents ORDER BY score ASC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // boosting restated: the shared scored CTE, the same whole-token
+    // negative probe, the same dyadic CASE multiply.
+    "q_boosting" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector")
+      val neg = graft.expr.TextMatch.containsTokenSql("d2.text", "merge")
+      s"""WITH s AS (
+         |$scored
+         |)
+         |SELECT s.doc_id,
+         |  CASE WHEN $neg THEN s.score * 0.25 ELSE s.score END AS score
+         |FROM s JOIN documents d2 ON s.doc_id = d2.doc_id
+         |ORDER BY score DESC, s.doc_id ASC LIMIT 15""".stripMargin
+    },
+
+    // constant_score restated: the same compiled whole-token filters,
+    // the literal.
+    "q_constant_score" -> {
+      val langEn = graft.expr.TextMatch.containsTokenSql("lang", "en")
+      val in = graft.expr.TextMatch.containsTokenSql("text", "vector")
+      s"""SELECT doc_id, 1.5 AS score FROM documents
+         |WHERE $langEn AND $in
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // sparse_vector restated: the same tf postings (token-equality
+    // counts over the identical analyzer stream), the same dyadic
+    // (term, weight) VALUES list, one join + one sum per doc.
+    "search_sparse_vector" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, u.x AS term FROM t, unnest(toks) AS u(x)
+        |), p AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS weight
+        |  FROM e GROUP BY doc_id, term
+        |), q AS (
+        |  SELECT * FROM (VALUES ('vector', 2.0), ('dup', 1.5), ('scan', 0.5))
+        |    AS q(term, qw)
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY sum(weight * qw) DESC, doc_id ASC) AS rank,
+        |  sum(weight * qw) AS score
+        |FROM p JOIN q USING (term) GROUP BY doc_id
+        |ORDER BY rank LIMIT 15""".stripMargin,
 
     // Span corruption restated by list slicing: the same seeded unit
     // hashes place one span per token segment; DuckDB's inclusive [a:b]

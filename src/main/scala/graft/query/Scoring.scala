@@ -200,4 +200,32 @@ object Scoring {
     when(v.isNotNull, lit(boost) * lit(pivot) / (lit(pivot) + dist))
       .otherwise(lit(0.0))
   }
+
+  /** ES `boosting` query: documents matching the NEGATIVE query are
+    * DEMOTED, not excluded — `score = positive_score ·
+    * (negative matches ? negative_boost : 1)` — the "relevant but about
+    * apples-the-company" idiom ES built the query for. `score` is the
+    * positive query's score column (BM25 or any kernel here);
+    * `negativeMatches` any compiled [[FilterSpec]]-style predicate. Null
+    * predicate results count as non-matching (the three-valued-logic
+    * discipline). One `when` over two columns — row-local, oracle-exact
+    * (a single IEEE multiply on the demoted branch).
+    */
+  def boosting(score: Column, negativeMatches: Column,
+      negativeBoost: Double): Column = {
+    require(negativeBoost >= 0 && negativeBoost < 1,
+      s"boosting: negative_boost must be in [0,1) — ≥1 would not demote, " +
+        s"got $negativeBoost")
+    when(coalesce(negativeMatches, lit(false)), score * lit(negativeBoost))
+      .otherwise(score)
+  }
+
+  /** ES `constant_score` query: every document matching the wrapped
+    * filter scores exactly `boost` — the "I want filter semantics but a
+    * scored hit list" wrapper (no tf/idf, no per-doc variation; ES uses
+    * it to cache the inner filter). The score column is just the
+    * literal; the match set is the caller's `where(pred)`. Provided as
+    * the named pair so the route/DSL layer has a single vocabulary.
+    */
+  def constantScore(boost: Double = 1.0): Column = lit(boost)
 }

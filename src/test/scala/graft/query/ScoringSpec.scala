@@ -164,4 +164,25 @@ class ScoringSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Scoring.distanceFeature(col("v"), 0.0, pivot = -1.0))
   }
+
+  test("boosting: negative matches demote (never exclude), nulls don't match") {
+    val rows = Seq((1L, 8.0, Some(true)), (2L, 6.0, Some(false)),
+      (3L, 4.0, None)).toDF("id", "s", "neg")
+    val got = rows.select(col("id"),
+        Scoring.boosting(col("s"), col("neg"), negativeBoost = 0.25).as("b"))
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 1 demoted below both others — present, not excluded; the null
+    // negative result counts as non-matching (three-valued discipline)
+    assert(got === Seq((1L, 2.0), (2L, 6.0), (3L, 4.0)))
+    intercept[IllegalArgumentException](
+      Scoring.boosting(col("s"), col("neg"), negativeBoost = 1.0))
+    intercept[IllegalArgumentException](
+      Scoring.boosting(col("s"), col("neg"), negativeBoost = -0.1))
+  }
+
+  test("constantScore: every match scores exactly the boost literal") {
+    val got = Seq(1L, 2L).toDF("id")
+      .select(Scoring.constantScore(1.5).as("s")).as[Double].collect().toSeq
+    assert(got === Seq(1.5, 1.5))
+  }
 }

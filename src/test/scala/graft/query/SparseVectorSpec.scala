@@ -1,0 +1,59 @@
+package graft.query
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** sparse_vector (ELSER/SPLADE-shape) retrieval: tf postings, hand dot
+  * products, ranking tiebreak, guards — and the plan shape (broadcast
+  * join on term, no corpus HOF).
+  */
+class SparseVectorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "vector scan vector"), // vector tf 2, scan tf 1
+    (2L, "dup merge"),          // dup tf 1
+    (3L, "scan scan scan"),     // scan tf 3
+    (4L, "nothing here"),       // no query term — absent from results
+  ).toDF("doc_id", "text")
+
+  private val q = Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5)
+
+  test("tfPostings: one (id, term, tf) row per distinct term") {
+    val p = SparseVector.tfPostings(docs, "doc_id", "text")
+      .as[(Long, String, Double)].collect().toSet
+    assert(p === Set((1L, "vector", 2.0), (1L, "scan", 1.0),
+      (2L, "dup", 1.0), (2L, "merge", 1.0), (3L, "scan", 3.0),
+      (4L, "nothing", 1.0), (4L, "here", 1.0)))
+  }
+
+  test("score is the sparse dot product; docs sharing no term are absent") {
+    val postings = SparseVector.tfPostings(docs, "doc_id", "text")
+    val got = SparseVector.score(postings, "doc_id", q)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // doc 1: 2·2.0 + 1·0.5 = 4.5; doc 2: 1·1.5; doc 3: 3·0.5 = 1.5
+    assert(got === Seq((1L, 4.5), (2L, 1.5), (3L, 1.5)))
+  }
+
+  test("topK ranks score DESC with id tiebreak; k bounds the page") {
+    val postings = SparseVector.tfPostings(docs, "doc_id", "text")
+    val got = SparseVector.topK(postings, "doc_id", q, k = 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._2).toSeq
+    // docs 2 and 3 tie at 1.5 — the lower id wins rank 2
+    assert(got === Seq((1L, 1, 4.5), (2L, 2, 1.5)))
+    intercept[IllegalArgumentException](
+      SparseVector.topK(postings, "doc_id", q, k = 0))
+    intercept[IllegalArgumentException](
+      SparseVector.score(postings, "doc_id", Nil))
+    intercept[IllegalArgumentException](
+      SparseVector.score(postings, "doc_id", Seq("a" -> 1.0, "a" -> 2.0)))
+  }
+
+  test("plan: the query literals broadcast; no corpus-side HOF or cross join") {
+    val postings = SparseVector.tfPostings(docs, "doc_id", "text")
+    val plan = SparseVector.score(postings, "doc_id", q)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
