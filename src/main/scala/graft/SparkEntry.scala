@@ -5305,6 +5305,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_source_cap" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // RefinedWeb/C4-style per-domain cap ("at most 10 docs per
+      // source"): each source's first 10 in seeded-hash order — the
+      // anti-domination step of web-corpus assembly, computed as a unit-
+      // weight token budget through the same bucketed two-phase prefix
+      // (no per-source sequential window). Sources hold 25 docs at
+      // sf0.01, so the cap genuinely cuts.
+      ops.Sampling.perSourceCap(load(dir, "documents"),
+          "doc_id", "source", cap = 10, numBuckets = 8)
+        .orderBy("doc_id")
+    }),
+
     "sample_importance" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // DSIR importance scoring (hashed-bigram log-ratio vs a target
@@ -8852,6 +8865,20 @@ object SparkEntry {
          |)
          |SELECT doc_id, source, n_tok, cum_tok FROM p
          |WHERE cum_tok <= 600 ORDER BY doc_id""".stripMargin,
+
+    // Per-source cap restated as the one-window form the bucketed
+    // two-phase prefix provably equals: per-source row_number in the
+    // identical (hash, id) order, kept ≤ cap.
+    "sample_source_cap" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${ops.Sampling.hashUnitSql("doc_id", 42)}, doc_id)
+         |      AS rank_in_source
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, rank_in_source FROM r
+         |WHERE rank_in_source <= 10 ORDER BY doc_id""".stripMargin,
 
     // Drift restated feature by feature from the SAME bucketing
     // expressions: per-side histogram shares, full-outer bucket join,

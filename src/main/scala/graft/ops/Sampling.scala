@@ -259,6 +259,33 @@ object Sampling {
       .select(id, src, col("n_tok"), col("cum_tok"))
   }
 
+  /** Per-source document cap — the RefinedWeb/C4-style "at most N
+    * documents per domain" anti-domination step of corpus assembly (a
+    * handful of boilerplate-heavy hosts otherwise dominate a web crawl):
+    * keep each source's first `cap` documents in the seeded-hash order
+    * (reproducible on any cluster, ties by id), drop the rest. This IS
+    * [[tokenBudgetSelect]] with unit weights — a document cap is a token
+    * budget where every document costs 1 — so the bucketed two-phase
+    * prefix machinery (per-source parallelism `numBuckets`, provably ≡
+    * the one-window form) rides unchanged; no new kernel, no per-source
+    * sequential task.
+    *
+    * Output: `(idCol, sourceCol, rank_in_source)` — the kept prefix with
+    * its 1-based per-source hash-order rank.
+    */
+  def perSourceCap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      numBuckets: Int = 64,
+      seed: Int = 42): DataFrame = {
+    require(cap > 0, s"perSourceCap: cap must be positive, got $cap")
+    tokenBudgetSelect(df, idCol, sourceCol, lit(1L), cap.toLong, numBuckets, seed)
+      .select(col(s"`$idCol`"), col(s"`$sourceCol`"),
+        col("cum_tok").as("rank_in_source"))
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public): score every raw
     * document by how much its hashed-n-gram distribution looks like a

@@ -115,6 +115,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(out.count(_._2.contains("a")) === 3)
   }
 
+  test("perSourceCap: exactly cap docs per big source, hash-order prefix, bucket-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 4 == 0) "small" else "big", "text"))
+      .toDF("id", "src", "text") // big: 30 docs, small: 10
+    def run(buckets: Int) =
+      Sampling.perSourceCap(docs, "id", "src", cap = 8, numBuckets = buckets)
+        .as[(Long, String, Long)].collect().toSet
+    val global = run(1)
+    assert(global === run(5) && global === run(64))
+    // the dominating source is cut to exactly cap; the small one (10 > 8)
+    // is cut too; ranks are a dense 1..cap prefix per source
+    for (s <- Seq("big", "small")) {
+      val ranks = global.filter(_._2 == s).map(_._3).toSeq.sorted
+      assert(ranks === (1L to 8L), s"source $s ranks: $ranks")
+    }
+    // the kept set is the hash-order prefix: recomputing the hash rank
+    // directly agrees row for row
+    val direct = docs.withColumn("u", Sampling.hashUnit(col("id"), 42))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("u"), col("id"))))
+      .where(col("r") <= 8).select("id").as[Long].collect().toSet
+    assert(global.map(_._1) === direct)
+    intercept[IllegalArgumentException](
+      Sampling.perSourceCap(docs, "id", "src", cap = 0))
+  }
+
   test("mixTemperature keeps the smallest source whole and lifts its share") {
     // sources 1600/400/100: raw shares 76/19/5%; sqrt-tempered weights
     // 40/20/10 → kept fractions 10·sqrt/c: 0.25/0.5/1.0
