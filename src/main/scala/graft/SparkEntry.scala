@@ -5579,6 +5579,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_msm_percent" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The full ES minimum_should_match SPEC grammar on the group
+      // suffix: `~-25%` over 4 clauses resolves (driver-side, clause
+      // count static) to 4 − ⌊4·0.25⌋ = 3 — percentages, negatives, and
+      // k<spec conditionals all fold to one integer through
+      // MinShouldMatch.resolve, and degenerate results (pure-OR or
+      // never-matching) reject loudly instead of silently clamping.
+      val spec = graft.query.QueryString.parse(
+        "(text:dup text:merge text:vector text:scan)~-25%",
+        defaultField = "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "search_multi_match_best" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES multi_match best_fields (the default dis_max mode): each field
@@ -9336,6 +9352,17 @@ object SparkEntry {
       def c(t: String) = s"(CASE WHEN ${containsTokenSql("text", t)} THEN 1 ELSE 0 END)"
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${c("dup")} + ${c("merge")} + ${c("vector")} >= 2
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // msm spec grammar restated at its RESOLVED integer: -25% of 4
+    // clauses = threshold 3 (the resolution itself is pinned in
+    // QueryStringSpec against the ES documentation's own examples).
+    "q_msm_percent" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      def c(t: String) = s"(CASE WHEN ${containsTokenSql("text", t)} THEN 1 ELSE 0 END)"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${c("dup")} + ${c("merge")} + ${c("vector")} + ${c("scan")} >= 3
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -158,6 +158,54 @@ object FilterSpec {
     def fields: Seq[String] = specs.flatMap(_.fields).distinct
   }
 
+  object MinShouldMatch {
+    private val IntRx = "^(-?\\d+)$".r
+    private val PctRx = "^(-?\\d+)%$".r
+    private val CondRx = "^(\\d+)<(.+)$".r
+
+    /** Resolve an ES `minimum_should_match` SPEC STRING against a clause
+      * count `n` — the full documented grammar (driver-side: `n` is
+      * static at compile time, so every form folds to one integer):
+      *
+      *  - positive integer `3`: that many;
+      *  - negative integer `-2`: `n − 2` (that many clauses OPTIONAL);
+      *  - percentage `75%`: `⌊n · 0.75⌋`;
+      *  - negative percentage `-25%`: `n − ⌊n · 0.25⌋`;
+      *  - conditional `k<spec`: for `n ≤ k` ALL clauses required
+      *    (`msm = n`), otherwise `spec` applies (ES supports
+      *    space-separated conditional CHAINS; the typable grammar carries
+      *    one unit, so a single conditional — chains would need the JSON
+      *    DSL and are rejected loudly by the spec regex).
+      *
+      * A spec resolving outside `[1, n]` is rejected loudly: ES/Lucene
+      * silently clamp (≤0 behaves as pure OR; >n can never match) and a
+      * silently-degenerate group is exactly the bug class this engine
+      * refuses elsewhere (the boost-in-filter discipline).
+      */
+    def resolve(spec: String, n: Int): Int = {
+      require(n >= 1, s"minimum_should_match: no clauses to count (n=$n)")
+      val v = spec.trim match {
+        case IntRx(s) =>
+          val i = s.toInt
+          if (i >= 0) i else n + i
+        case PctRx(s) =>
+          val p = s.toInt
+          if (p >= 0) n * p / 100
+          else n - (n * -p / 100)
+        case CondRx(k, rest) =>
+          if (n <= k.toInt) n else resolve(rest, n)
+        case other => throw new IllegalArgumentException(
+          s"minimum_should_match: unsupported spec <$other> " +
+            "(integer, -integer, pct%, -pct%, or one k<spec conditional)")
+      }
+      require(v >= 1 && v <= n,
+        s"minimum_should_match: spec <$spec> resolves to $v of $n clauses — " +
+          "a group that would be pure OR (< 1) or could never match (> n); " +
+          "say what you mean")
+      v
+    }
+  }
+
   /** ES `terms_set` — a terms match whose minimum_should_match comes FROM
     * THE DOCUMENT (`minimum_should_match_field`, the "required skills"
     * idiom: a job row states how many of the query's terms it needs): the

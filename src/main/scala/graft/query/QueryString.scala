@@ -345,21 +345,22 @@ object QueryString {
         pos += 1
         // Lucene's group minimum_should_match: `(a b c)~2` — at least N
         // of the group's should clauses must match. Only a pure
-        // adjacency/OR group has "should clauses" to count.
+        // adjacency/OR group has "should clauses" to count. The suffix
+        // takes the FULL ES msm spec grammar — `~2`, `~-1`, `~75%`,
+        // `~-25%`, `~3<90%` — resolved to one integer against the static
+        // clause count ([[FilterSpec.MinShouldMatch.resolve]], which
+        // rejects degenerate results loudly).
         peek match {
           case Some(u: Unit)
               if u.chars.length > 1 && !u.chars.head.esc && u.chars.head.c == '~' &&
-                u.chars.tail.forall(e => !e.esc && e.c.isDigit) =>
+                u.chars.tail.forall(e =>
+                  !e.esc && (e.c.isDigit || e.c == '-' || e.c == '%' || e.c == '<')) =>
             advance()
-            val n = u.text.drop(1).toInt
-            require(n >= 1, s"query_string: minimum_should_match must be >= 1, got $n")
             val specs = inner match {
               case FilterSpec.Or(ss) => ss
               case single => Seq(single)
             }
-            require(n <= specs.size,
-              s"query_string: minimum_should_match $n exceeds the group's " +
-                s"${specs.size} should clause(s) — the query could never match")
+            val n = FilterSpec.MinShouldMatch.resolve(u.text.drop(1), specs.size)
             FilterSpec.MinShouldMatch(n, specs)
           case _ => inner
         }

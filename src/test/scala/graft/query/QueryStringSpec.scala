@@ -194,6 +194,35 @@ class QueryStringSpec extends SparkSpecBase {
         FilterSpec.TermMatch("text", "~2"))))
   }
 
+  test("minimum_should_match spec grammar: percents, negatives, conditionals") {
+    import FilterSpec.MinShouldMatch.resolve
+    // the ES documentation's own forms, against static clause counts
+    assert(resolve("3", 5) === 3)
+    assert(resolve("-2", 5) === 3)    // 2 optional
+    assert(resolve("75%", 4) === 3)   // floor(4·0.75)
+    assert(resolve("75%", 5) === 3)   // floor(3.75) — rounded DOWN
+    assert(resolve("-25%", 4) === 3)  // 4 − floor(1.0)
+    assert(resolve("-25%", 9) === 7)  // 9 − floor(2.25)
+    assert(resolve("3<90%", 3) === 3) // n ≤ k: all required
+    assert(resolve("3<90%", 10) === 9)
+    assert(resolve("3<-1", 10) === 9)
+    // degenerate results reject loudly (pure-OR or never-matching groups)
+    intercept[IllegalArgumentException](resolve("10%", 4)) // floor(0.4) = 0
+    intercept[IllegalArgumentException](resolve("-5", 4))
+    intercept[IllegalArgumentException](resolve("7", 4))
+    intercept[IllegalArgumentException](resolve("2<", 4))
+    intercept[IllegalArgumentException](resolve("banana", 4))
+    // the typable grammar carries the same forms on a group suffix
+    assert(parse("(text:dup text:merge text:scan text:vector)~75%") ===
+      parse("(text:dup text:merge text:scan text:vector)~3"))
+    assert(parse("(text:dup text:merge text:scan)~-1") ===
+      parse("(text:dup text:merge text:scan)~2"))
+    assert(parse("(text:dup text:merge text:scan text:vector)~2<50%") ===
+      parse("(text:dup text:merge text:scan text:vector)~2"))
+    intercept[IllegalArgumentException](
+      parse("(text:dup text:merge)~10%"))
+  }
+
   test("+/- occurrence prefixes follow the Lucene matching rule") {
     // pure should level stays OR; -x excludes with the should constraining
     assert(parse("text:dup -source:src1*") ===
