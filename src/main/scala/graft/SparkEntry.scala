@@ -4391,6 +4391,22 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Matryoshka prefix-truncation recall ladder (MRL, Kusupati 2022):
+      // top-10 rankings over the first 8/16/32/64 dims vs the full-dim
+      // ranking — the dimension-selection report that says how much of
+      // the store's 64 dims serving actually needs (row-local slice, no
+      // reprojection — the MRL contract). The 64 rung is the identity
+      // sanity (recall exactly 1.0); counts are integers, the one
+      // division two exact small ints.
+      val emb = load(dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.matryoshkaRecallReport(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10, dims = Seq(8, 16, 32, 64))
+        .orderBy("dim")
+    }),
+
     "ann_random_projection" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // JL random projection (Achlioptas ±1 planes — sign literals restate
@@ -10499,6 +10515,35 @@ object SparkEntry {
         |)
         |SELECT query_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Matryoshka ladder restated: one ranked CTE per prefix dim (the
+    // same certified cosine/rank shape over DuckDB's [1:d] slice — the
+    // identical prefix fold), intersection counts against the d=64
+    // identity rung, the one exact division per row.
+    "ann_matryoshka_recall" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val ctes = dims.map { d =>
+        s"""e$d AS (SELECT vec_id, (embedding::DOUBLE[])[1:$d] AS v FROM embeddings),
+           |q$d AS (SELECT * FROM e$d WHERE vec_id < 5),
+           |r$d AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |        list_inner_product(e.v, q.v)
+           |          / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.v, q.v))) DESC,
+           |        e.vec_id ASC) AS rank
+           |    FROM e$d e, q$d q WHERE e.vec_id <> q.vec_id)
+           |  WHERE rank <= 10
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rungs = dims.map { d =>
+        s"""SELECT $d AS dim,
+           |  (SELECT count(*) FROM r$d t JOIN r64 f
+           |     USING (query_id, neighbor_id))::DOUBLE
+           |    / 50.0 AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$rungs\nORDER BY dim"
+    },
 
     // JL projection restated: the same ±1 plane literals, the same
     // sequential inner products, then the brute-force ranking shape over

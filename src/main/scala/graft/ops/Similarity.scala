@@ -894,6 +894,50 @@ object Similarity {
       s"(CASE WHEN list_inner_product($vecExpr, $planeLit) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) prefix-truncation recall
+    * ladder — the embedding-dimension selection report for a vector
+    * store: MRL-trained embeddings keep their head dims most informative,
+    * so serving the first `d` of `dim` coordinates cuts storage and scan
+    * cost `dim/d`-fold IF recall holds — this measures exactly that.
+    * For each `d` in `dims`: rank top-`k` per query over the PREFIX
+    * `slice(vec, 1, d)` (a row-local slice — no reprojection pass, the
+    * whole point of MRL vs [[randomProject]]) and report
+    * `recall@k = |truncated ∩ full| / (|queries|·k)`.
+    *
+    * Output `(dim, recall)`, one row per ladder rung. Exactness: the
+    * intersection counts are integers and the one division is two small
+    * exact integers — hash-stable cross-engine; the rankings themselves
+    * are the certified [[bruteForceTopK]] cosine trees over prefix
+    * folds (`list_inner_product` agrees at every length, not just 64).
+    * Cost: |dims|+1 brute rankings of the same broadcast-query shape —
+    * an EVALUATION op run on a sample, not a serving path.
+    */
+  def matryoshkaRecallReport(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dims: Seq[Int],
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dims.nonEmpty, "matryoshka: no dims")
+    require(dims.forall(_ >= 1), s"matryoshka: dims must be >= 1, got $dims")
+    val nq = queries.count()
+    require(nq > 0, "matryoshka: no queries")
+    val full = bruteForceTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, k, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    dims.map { d =>
+      val c = corpus.select(col(corpusId).as(corpusId),
+        slice(col(corpusVec), 1, d).as("_tv"))
+      val q = queries.select(col(queryId).as(queryId),
+        slice(col(queryVec), 1, d).as("_tv"))
+      val trunc = bruteForceTopK(c, corpusId, "_tv", q, queryId, "_tv",
+          k, excludeSelf)
+        .select(col("query_id"), col("neighbor_id"))
+      full.join(trunc, Seq("query_id", "neighbor_id"))
+        .agg((count(lit(1)).cast("double") / lit(nq.toDouble * k)).as("recall"))
+        .select(lit(d).as("dim"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   // ===== random-projection dimensionality reduction (JL / Achlioptas) ====
 
   /** Deterministic Rademacher (±1) projection matrix: `outDim` rows of

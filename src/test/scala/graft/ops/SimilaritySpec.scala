@@ -158,6 +158,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(brute.nonEmpty && h.last === brute)
   }
 
+  test("matryoshkaRecallReport: identity at full dim, degraded head-only rung, exact shares") {
+    // ring in dims 1-2 of a 4-dim vector: the 2-dim prefix carries the
+    // whole geometry (recall 1.0 like full), the 1-dim prefix collapses
+    // the ring to cos(angle) and genuinely degrades
+    val big = spark.range(60).select(col("id").as("vec_id"),
+      array(cos(col("id") * 0.105), sin(col("id") * 0.105),
+        lit(0.0), lit(0.0)).as("embedding"))
+    val q = big.where(col("vec_id") < 3)
+    val got = Similarity.matryoshkaRecallReport(big, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, dims = Seq(1, 2, 4))
+      .as[(Int, Double)].collect().toMap
+    assert(got(4) === 1.0) // full prefix IS the full ranking
+    assert(got(2) === 1.0) // the ring lives in dims 1-2
+    assert(got(1) < 1.0 && got(1) >= 0.0) // cos-only collapses neighbors
+    // every rung is an exact integer share of nq·k = 15
+    assert(got.values.forall(r => (r * 15).round.toDouble === r * 15))
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaRecallReport(big, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, dims = Nil))
+  }
+
   test("lshTopK recall vs brute force is monotone in probeBits, exhaustive at numPlanes") {
     // 60 ring vectors in dim 8 — enough bucket diversity that probeBits
     // actually changes the candidate set.
