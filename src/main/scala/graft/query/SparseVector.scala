@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ES `sparse_vector` query — the learned-sparse-retrieval serving shape
@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   * of the postings against the query's literal rows + ONE hash
   * aggregate keyed by doc — work ∝ the postings of the QUERY'S terms
   * (the inverted-index property), never a per-document pass over full
-  * texts; at corpus scale partition the postings table by `term` and
-  * the scan prunes to the query's terms (the ivfRadius cell-pruning
-  * discipline, term-keyed).
+  * texts. At corpus scale the at-rest layout is TERM-BUCKET
+  * partitioned ([[tfPostingsBucketed]] — `term_bucket = portable
+  * hash(term) mod B`; partitioning by raw term would mean one
+  * directory per vocabulary entry, a small-files disaster). The query
+  * terms are driver-side literals, so their buckets are TOO: [[score]]
+  * adds a STATIC `term_bucket IN (…)` partition filter (strictly
+  * better than dynamic pruning — no subquery broadcast, the unprobed
+  * directories never even enumerate) plus the `(term_bucket, term)`
+  * join keys; the spec pins the PartitionFilters line.
   *
   * Float discipline (the cross-engine oracle contract): document
   * weights from [[tfPostings]] are small integers and the fixture's
@@ -42,21 +48,62 @@ object SparseVector {
       .select(col(s"`$idCol`"), col("term"),
         col("freq").cast("double").as("weight"))
 
+  /** The term-bucket partition key of the at-rest postings layout:
+    * the portable seeded hash of the term folded into `numBuckets` —
+    * the same md5-derived hash family every cross-engine-reproducible
+    * key in this repo uses, so a SQL twin can recompute it.
+    */
+  def termBucket(term: Column, numBuckets: Int): Column =
+    floor(graft.ops.Sampling.hashUnit(term, seed = 17) * numBuckets)
+      .cast("int")
+
+  /** [[tfPostings]] plus the `term_bucket` partition column — write this
+    * `partitionBy("term_bucket")` and [[score]] against the read-back
+    * table prunes the scan to the query terms' buckets.
+    */
+  def tfPostingsBucketed(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 1, s"sparse_vector: numBuckets must be >= 1")
+    tfPostings(docs, idCol, textCol)
+      .withColumn("term_bucket", termBucket(col("term"), numBuckets))
+  }
+
   /** Sparse dot-product scores of every document sharing at least one
     * term with the query: broadcast the (term, weight) literals, join on
-    * term, sum per doc. Duplicate query terms are a caller error (their
-    * weights would double-count invisibly).
+    * term — plus `term_bucket` when the postings carry it (recomputed
+    * for the query literals via [[termBucket]]), which is what lets a
+    * bucket-partitioned at-rest scan dynamically prune. `numBuckets`
+    * MUST match the layout's ([[tfPostingsBucketed]]) — a mismatch
+    * hashes the query terms into the wrong buckets and the join comes
+    * back EMPTY, so treat it as part of the index's schema contract.
+    * Duplicate query terms are a caller error (their weights would
+    * double-count invisibly).
     */
   def score(postings: DataFrame, idCol: String,
-      queryWeights: Seq[(String, Double)]): DataFrame = {
+      queryWeights: Seq[(String, Double)],
+      numBuckets: Int = 64): DataFrame = {
     require(queryWeights.nonEmpty, "sparse_vector: empty query")
     require(queryWeights.map(_._1).distinct.size == queryWeights.size,
       "sparse_vector: duplicate query terms")
     val spark = postings.sparkSession
     import spark.implicits._
-    val q = queryWeights.toDF("term", "_qw")
-    postings.join(broadcast(q), "term")
-      .groupBy(col(s"`$idCol`"))
+    val bucketed = postings.columns.contains("term_bucket")
+    val q =
+      if (bucketed)
+        queryWeights.toDF("term", "_qw")
+          .withColumn("term_bucket", termBucket(col("term"), numBuckets))
+      else queryWeights.toDF("term", "_qw")
+    val joined =
+      if (bucketed) {
+        // query buckets are literal-derived — resolve them DRIVER-SIDE
+        // and push a static partition filter (no dynamic-pruning
+        // subquery needed; unprobed directories never enumerate)
+        val qBuckets = q.select("term_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        postings.where(col("term_bucket").isin(qBuckets: _*))
+          .join(broadcast(q), Seq("term_bucket", "term"))
+      } else postings.join(broadcast(q), Seq("term"))
+    joined.groupBy(col(s"`$idCol`"))
       .agg(sum(col("weight") * col("_qw")).as("score"))
   }
 
@@ -68,9 +115,10 @@ object SparseVector {
     * weight list instead (the ES `prune` option's job).
     */
   def topK(postings: DataFrame, idCol: String,
-      queryWeights: Seq[(String, Double)], k: Int): DataFrame = {
+      queryWeights: Seq[(String, Double)], k: Int,
+      numBuckets: Int = 64): DataFrame = {
     require(k >= 1, s"sparse_vector: k must be >= 1, got $k")
-    score(postings, idCol, queryWeights)
+    score(postings, idCol, queryWeights, numBuckets)
       .orderBy(desc("score"), asc(s"`$idCol`"))
       .limit(k)
       .withColumn("rank",

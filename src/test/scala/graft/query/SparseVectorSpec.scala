@@ -56,4 +56,30 @@ class SparseVectorSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("bucketed at-rest postings: identical scores, scan dynamically prunes to query buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sv_dpp").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/postings"
+    SparseVector.tfPostingsBucketed(docs, "doc_id", "text", numBuckets = 16)
+      .write.partitionBy("term_bucket").parquet(p)
+    val atRest = spark.read.parquet(p)
+    val got = SparseVector.score(atRest, "doc_id", q, numBuckets = 16)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    // layout invisible to results
+    assert(got === Seq((1L, 4.5), (2L, 1.5), (3L, 1.5)))
+    // ... and visible to the SCAN: the literal-derived buckets arrive
+    // as a STATIC partition filter — unprobed bucket directories never
+    // even enumerate (stronger than the ivfRadius dynamic pruning,
+    // possible here because query terms are driver-side literals)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      SparseVector.score(atRest, "doc_id", q, numBuckets = 16)
+        .explain("formatted")
+    }
+    val pf = out.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("term_bucket") && pf.contains(" IN "),
+      s"postings scan lacks the static bucket partition filter:\n$out")
+  }
 }
