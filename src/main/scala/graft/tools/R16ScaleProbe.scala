@@ -77,8 +77,29 @@ object R16ScaleProbe {
         d.select(col("doc_id"), posexplode(frags).as(Seq("r", "f"))).count()
       })
 
+      emit(s"sparse_vector_topk_$label", timeOp(repeats) {
+        val postings = graft.query.SparseVector.tfPostings(d, "doc_id", "text")
+        graft.query.SparseVector.topK(postings, "doc_id",
+          Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5), k = 15).count()
+      })
+      // the at-rest bucketed layout: postings written partitionBy once
+      // (outside the timer — index maintenance), serving reads with the
+      // static bucket partition filter
+      val pPath = s"/tmp/graft_r16_sv_postings_$label"
+      graft.query.SparseVector.tfPostingsBucketed(d, "doc_id", "text", 64)
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(pPath)
+      emit(s"sparse_vector_atrest_$label", timeOp(repeats) {
+        graft.query.SparseVector.topK(spark.read.parquet(pPath), "doc_id",
+          Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5), k = 15,
+          numBuckets = 64).count()
+      })
+
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = e.where(col("vec_id") < 5)
+      emit(s"matryoshka_ladder_$label", timeOp(repeats) {
+        graft.ops.Similarity.matryoshkaRecallReport(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10, dims = Seq(8, 16, 32, 64)).count()
+      })
       emit(s"ann_radius_brute_$label", timeOp(repeats) {
         Similarity.bruteForceRadius(e, "vec_id", "embedding",
           q, "vec_id", "embedding", 0.30).count()
