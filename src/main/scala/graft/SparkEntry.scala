@@ -2222,6 +2222,23 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "g_nested_agg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES nested aggregation + reverse_nested in one pass — the agg
+      // pair SURVEY §2.7 originally declared out of scope on the flat
+      // schema; NestedDocs.nest changed the premise. The ENGINE path
+      // buckets the nested-doc ARRAYS (one bounded explode + one hash
+      // agg: child doc_count per l_returnflag bucket AND the
+      // reverse_nested distinct-parent count); the oracle restates over
+      // the flat child table the nest provably round-trips to.
+      val items = graft.query.NestedDocs.nest(
+        load(dir, "lineitem"), "l_orderkey",
+        Seq("l_returnflag", "l_quantity"))
+      graft.query.NestedDocs.nestedAgg(items, "l_orderkey", "items",
+          it => it("l_returnflag"), as = "key")
+        .orderBy("key")
+    }),
+
     "q_rank_feature" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES rank_feature query — the static quality/popularity boost
@@ -7179,6 +7196,14 @@ object SparkEntry {
         |    + 1.0 * ln(0.1 * n_chars::DOUBLE + 1.0) AS score
         |FROM documents
         |ORDER BY score DESC, doc_id ASC LIMIT 30""".stripMargin,
+
+    // nested + reverse_nested aggs restated over the flat child table
+    // (explode(nest(x)) round-trips to x — NestedDocsSpec pins the nest
+    // semantics; the engine path buckets the ARRAYS).
+    "g_nested_agg" ->
+      """SELECT l_returnflag AS key, count(*)::BIGINT AS doc_count,
+        |  count(DISTINCT l_orderkey)::BIGINT AS parent_count
+        |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,
 
     // distance_feature restated on epoch-µs integers (exact doubles
     // < 2^53; epoch_us ≡ unix_micros under the UTC session) — one

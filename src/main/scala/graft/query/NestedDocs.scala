@@ -81,4 +81,28 @@ object NestedDocs {
     require(preds.nonEmpty, "objectMatch: no conditions")
     preds.map(p => exists(items, p)).reduce(_ && _)
   }
+
+  /** ES `nested` aggregation + `reverse_nested`, in one pass — the agg
+    * pair SURVEY §2.7 originally declared out of scope because the flat
+    * harmonized schema had no nested documents; [[nest]] changed that
+    * premise, so the pair is now exact: bucket the CHILD documents of a
+    * nested-array column by a child expression, reporting both the
+    * nested scope's `doc_count` (child docs per bucket — what ES counts
+    * inside `nested`) and the `reverse_nested` `parent_count` (distinct
+    * parents owning at least one such child — "how many orders contain
+    * a returned item", not "how many returned items").
+    *
+    * Shape: one bounded explode (array size is [[nest]]'s enforced
+    * `maxChildren`) + ONE hash aggregate keyed by the bucket; the
+    * distinct-parent count rides the same aggregate. No join — the
+    * parent key travels with its exploded children.
+    */
+  def nestedAgg(parents: DataFrame, parentKey: String, itemsCol: String,
+      childExpr: Column => Column, as: String = "key"): DataFrame =
+    parents
+      .select(col(s"`$parentKey`"), explode(col(s"`$itemsCol`")).as("_item"))
+      .select(col(s"`$parentKey`"), childExpr(col("_item")).as(as))
+      .groupBy(col(s"`$as`"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col(s"`$parentKey`")).as("parent_count"))
 }

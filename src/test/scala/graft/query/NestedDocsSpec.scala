@@ -42,6 +42,26 @@ class NestedDocsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](NestedDocs.objectMatch(col("items"), Nil))
   }
 
+  test("nestedAgg: child doc_count + reverse_nested distinct-parent count per bucket") {
+    val items = NestedDocs.nest(children, "pk", Seq("qty", "disc"))
+    val got = NestedDocs.nestedAgg(items, "pk", "items",
+        it => it("disc") >= 0.08, as = "hi_disc")
+      .as[(Boolean, Long, Long)].collect().sortBy(_._1).toSeq
+    // hi_disc=true: children (1,.10) and (2,.10) → 2 child docs across 2
+    // parents; false: 3 child docs across parents {1,2,3}
+    assert(got === Seq((false, 3L, 3L), (true, 2L, 2L)))
+    // parent_count ≠ doc_count is the whole reverse_nested point: parent 1
+    // holds TWO low-disc children? no — each parent here holds one per
+    // bucket, so sharpen: a parent with two same-bucket children counts
+    // once as a parent, twice as docs
+    val skew = Seq((9L, 1.0), (9L, 2.0)).toDF("pk", "qty")
+    val agg2 = NestedDocs.nestedAgg(
+        NestedDocs.nest(skew, "pk", Seq("qty")), "pk", "items",
+        it => it("qty") > 0, as = "pos")
+      .as[(Boolean, Long, Long)].collect().toSeq
+    assert(agg2 === Seq((true, 2L, 1L)))
+  }
+
   test("nest: maxChildren raises in-plan on a skewed parent, naming it") {
     // parent 1 has 2 children, parent 2 has 2, parent 3 has 1:
     // maxChildren=1 must intercept at materialization and NAME a skewed key
