@@ -1,0 +1,150 @@
+package graft.query
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Adversarial semantic verification of the proximity family: the
+  * compiled HOF position algebra (SpanNear ordered/unordered,
+  * IntervalsAllOf ordered/unordered) evaluated by Spark on hundreds of
+  * seeded random documents, compared doc-for-doc against INDEPENDENT
+  * brute-force reference evaluators written directly from the Lucene
+  * semantics (recursive enumeration over position lists — no shared
+  * code with the Column implementation). A disagreement prints the
+  * offending document. One Spark job evaluates every predicate for the
+  * whole corpus at once.
+  */
+class ProximitySemanticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // -- seeded random corpus over a tiny vocabulary: high collision rates
+  //    exercise repeated terms, adjacency, and absence --
+  private val vocab = Vector("a", "b", "c", "d")
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(20260815L)
+    (0L until 400L).map { i =>
+      val n = rnd.nextInt(13) // 0..12 tokens
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+  private def toks(text: String): Vector[String] =
+    text.split(" ").filter(_.nonEmpty).toVector
+  private def positionsOf(ts: Vector[String], t: String): Seq[Int] =
+    ts.indices.filter(ts(_) == t)
+  private def phraseStarts(ts: Vector[String], p: Seq[String]): Seq[Int] =
+    (0 to ts.length - p.length).filter(s => ts.slice(s, s + p.length) == p)
+
+  // -- reference evaluators: direct recursive enumeration --
+
+  /** Lucene span_near: ordered = strictly increasing picks with the
+    * pooled displacement bound; unordered = pairwise-distinct picks, one
+    * per term, window width − n ≤ slop.
+    */
+  private def refSpanNear(ts: Vector[String], terms: Seq[String], slop: Int,
+      inOrder: Boolean): Boolean =
+    if (inOrder) {
+      def chain(rest: Seq[String], prev: Int, first: Int): Boolean = rest match {
+        case Seq() => true
+        case t +: tail => positionsOf(ts, t).exists(p =>
+          p > prev &&
+            (tail.nonEmpty || p - first - (terms.size - 1) <= slop) &&
+            chain(tail, p, first))
+      }
+      positionsOf(ts, terms.head).exists(p1 => chain(terms.tail, p1, p1))
+    } else {
+      def chain(rest: Seq[String], chosen: Seq[Int]): Boolean = rest match {
+        case Seq() => chosen.max - chosen.min - (terms.size - 1) <= slop
+        case t +: tail => positionsOf(ts, t).exists(p =>
+          !chosen.contains(p) && chain(tail, chosen :+ p))
+      }
+      chain(terms, Nil)
+    }
+
+  /** intervals all_of: one occurrence (alt, start) per slot; ordered =
+    * strictly after the previous slot's end with the enclosing-window
+    * gap budget; unordered = any arrangement (overlaps allowed), minimal
+    * enclosing window − Σ widths ≤ maxGaps.
+    */
+  private def refAllOf(ts: Vector[String], slots: Seq[Seq[Seq[String]]],
+      maxGaps: Int, ordered: Boolean): Boolean = {
+    val occ: Seq[Seq[(Int, Int)]] = slots.map(_.flatMap(alt =>
+      phraseStarts(ts, alt.toVector).map(s => (s, s + alt.length - 1))))
+    if (ordered) {
+      def chain(rest: Seq[Seq[(Int, Int)]], prevEnd: Int, first: Int,
+          widthSum: Int): Boolean = rest match {
+        case Seq() => true
+        case slot +: tail => slot.exists { case (s, e) =>
+          s > prevEnd && {
+            val w = widthSum + (e - s + 1)
+            if (tail.isEmpty) (e + 1 - first) - w <= maxGaps
+            else chain(tail, e, first, w)
+          }
+        }
+      }
+      if (occ.size == 1) occ.head.nonEmpty
+      else occ.head.exists { case (s, e) =>
+        chain(occ.tail, e, s, e - s + 1)
+      }
+    } else {
+      def chain(rest: Seq[Seq[(Int, Int)]], minS: Int, maxE: Int,
+          widthSum: Int): Boolean = rest match {
+        case Seq() => (maxE - minS + 1) - widthSum <= maxGaps
+        case slot +: tail => slot.exists { case (s, e) =>
+          chain(tail, math.min(minS, s), math.max(maxE, e),
+            widthSum + (e - s + 1))
+        }
+      }
+      if (occ.size == 1) occ.head.nonEmpty
+      else occ.head.exists { case (s, e) =>
+        chain(occ.tail, s, e, e - s + 1)
+      }
+    }
+  }
+
+  private def compare(name: String, spec: FilterSpec,
+      ref: Vector[String] => Boolean): Unit = {
+    val got = corpus.toDF("id", "text")
+      .select(col("id"), coalesce(spec.compile, lit(false)).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    val bad = corpus.filter { case (i, text) => got(i) != ref(toks(text)) }
+    if (bad.nonEmpty) fail(
+      s"$name: engine disagrees with the reference evaluator on " +
+        s"${bad.size} docs, first: <${bad.head._2}> " +
+        s"(engine=${got(bad.head._1)})")
+  }
+
+  test("SpanNear ordered/unordered agree with brute-force enumeration on 400 random docs") {
+    for (slop <- Seq(0, 1, 3); inOrder <- Seq(true, false)) {
+      compare(s"span_near(a b, $slop, $inOrder)",
+        FilterSpec.SpanNear("text", Seq("a", "b"), slop, inOrder),
+        ts => refSpanNear(ts, Seq("a", "b"), slop, inOrder))
+      compare(s"span_near(a b c, $slop, $inOrder)",
+        FilterSpec.SpanNear("text", Seq("a", "b", "c"), slop, inOrder),
+        ts => refSpanNear(ts, Seq("a", "b", "c"), slop, inOrder))
+      // repeated term: the distinctness rule is where implementations rot
+      compare(s"span_near(a a, $slop, $inOrder)",
+        FilterSpec.SpanNear("text", Seq("a", "a"), slop, inOrder),
+        ts => refSpanNear(ts, Seq("a", "a"), slop, inOrder))
+    }
+  }
+
+  test("IntervalsAllOf ordered/unordered agree with brute-force enumeration on 400 random docs") {
+    // uniform-width slots so both flags are legal; phrases + alternatives
+    val slots: Seq[Seq[Seq[String]]] = Seq(
+      Seq(Seq("a", "b"), Seq("c", "d")), // 2-token alternatives
+      Seq(Seq("c")))                     // single term
+    val specSlots = Seq(Seq("a b", "c d"), Seq("c"))
+    for (g <- Seq(0, 1, 4); ordered <- Seq(true, false)) {
+      compare(s"all_of(g=$g, ordered=$ordered)",
+        FilterSpec.IntervalsAllOf("text", specSlots, g, ordered),
+        ts => refAllOf(ts, slots, g, ordered))
+    }
+    // same-term twin slots, unordered: the overlap-allowed rule
+    for (g <- Seq(0, 2)) {
+      compare(s"all_of(b,b g=$g unordered)",
+        FilterSpec.IntervalsAllOf("text", Seq(Seq("b"), Seq("b")), g,
+          ordered = false),
+        ts => refAllOf(ts, Seq(Seq(Seq("b")), Seq(Seq("b"))), g,
+          ordered = false))
+    }
+  }
+}
