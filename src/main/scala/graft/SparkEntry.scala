@@ -1385,6 +1385,32 @@ object SparkEntry {
     * at-least-once replay, and the at-rest stored-query table must all be
     * invisible in the alert set.
     */
+  /** The sparse_vector retrieval restated for the oracle — shared by the
+    * one-shot postings query (`search_sparse_vector`) and its streamed
+    * maintained-index twin (`stream_sparse_vector`): epochs, the
+    * at-least-once replay, and the bucket-partitioned at-rest layout
+    * must all be invisible in the ranked page.
+    */
+  private val sparseVectorOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, u.x AS term FROM t, unnest(toks) AS u(x)
+      |), p AS (
+      |  SELECT doc_id, term, count(*)::DOUBLE AS weight
+      |  FROM e GROUP BY doc_id, term
+      |), q AS (
+      |  SELECT * FROM (VALUES ('vector', 2.0), ('dup', 1.5), ('scan', 0.5))
+      |    AS q(term, qw)
+      |)
+      |SELECT doc_id,
+      |  row_number() OVER (ORDER BY sum(weight * qw) DESC, doc_id ASC) AS rank,
+      |  sum(weight * qw) AS score
+      |FROM p JOIN q USING (term) GROUP BY doc_id
+      |ORDER BY rank LIMIT 15""".stripMargin
+
   private val percolateOracleSql: String = {
     import graft.expr.TextMatch.containsTokenSql
     s"""SELECT query_id, doc_id FROM (
@@ -5917,6 +5943,32 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "stream_sparse_vector" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The sparse index as a MAINTAINED at-rest table: the corpus joins
+      // the postings as epoch appends (doc-parity halves, epoch 0
+      // appended TWICE — the at-least-once replay the per-doc epoch cut
+      // must absorb), exactly what maintainPostings writes per
+      // micro-batch; serving scores the deduped at-rest view. The oracle
+      // is search_sparse_vector's VERBATIM — epochs, replay, and the
+      // bucket-partitioned layout must be invisible to results.
+      val docs = load(dir, "documents")
+      val path = s"/tmp/graft_postings_inc_${math.abs(dir.hashCode)}"
+      def inc(epoch: Int): DataFrame =
+        query.SparseVector.tfPostingsBucketed(
+            docs.where(pmod(col("doc_id"), lit(2)) === epoch),
+            "doc_id", "text", numBuckets = 64)
+          .withColumn("inc_batch_id", lit(epoch.toLong))
+      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+      val postings = streaming.EventStreams.postingsFromIncrements(
+        s, "doc_id", path)
+      query.SparseVector.topK(postings, "doc_id",
+          Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5), k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")
+    }),
+
     "pipeline_span_corruption" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // T5 span-corruption examples (Raffel et al. 2020): two 3-token
@@ -9734,26 +9786,12 @@ object SparkEntry {
 
     // sparse_vector restated: the same tf postings (token-equality
     // counts over the identical analyzer stream), the same dyadic
-    // (term, weight) VALUES list, one join + one sum per doc.
-    "search_sparse_vector" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents
-        |), e AS (
-        |  SELECT doc_id, u.x AS term FROM t, unnest(toks) AS u(x)
-        |), p AS (
-        |  SELECT doc_id, term, count(*)::DOUBLE AS weight
-        |  FROM e GROUP BY doc_id, term
-        |), q AS (
-        |  SELECT * FROM (VALUES ('vector', 2.0), ('dup', 1.5), ('scan', 0.5))
-        |    AS q(term, qw)
-        |)
-        |SELECT doc_id,
-        |  row_number() OVER (ORDER BY sum(weight * qw) DESC, doc_id ASC) AS rank,
-        |  sum(weight * qw) AS score
-        |FROM p JOIN q USING (term) GROUP BY doc_id
-        |ORDER BY rank LIMIT 15""".stripMargin,
+    // (term, weight) VALUES list, one join + one sum per doc. The
+    // streamed deployment twin shares it VERBATIM (epochs/replay/layout
+    // invisible) via sparseVectorOracleSql below the map.
+    "search_sparse_vector" -> sparseVectorOracleSql,
+
+    "stream_sparse_vector" -> sparseVectorOracleSql,
 
     // Span corruption restated by list slicing: the same seeded unit
     // hashes place one span per token segment; DuckDB's inclusive [a:b]

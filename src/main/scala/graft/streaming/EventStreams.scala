@@ -1028,6 +1028,52 @@ object EventStreams {
       .select("vec_id", "vec", "cell")
   }
 
+  /** Streamed maintenance of the at-rest SPARSE POSTINGS index (the
+    * `sparse_vector` serving table, [[graft.query.SparseVector]]): each
+    * arriving document batch appends its term-bucket-partitioned tf
+    * postings stamped with the epoch — index freshness is an APPEND,
+    * exactly the [[maintainIvfIndex]] contract with `term_bucket` as
+    * the partition key instead of `cell`.
+    */
+  def maintainPostings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int,
+      postingsPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.query.SparseVector.tfPostingsBucketed(batch, idCol, textCol, numBuckets)
+          .withColumn("inc_batch_id", lit(batchId))
+          .write.mode("append").partitionBy("term_bucket").parquet(postingsPath)
+      }
+      .start()
+
+  /** The servable postings implied by [[maintainPostings]]' appends:
+    * per DOCUMENT, only its latest epoch's rows survive — which both
+    * absorbs at-least-once replays (a retried epoch's rows are
+    * identical; the per-(doc, term) dedup keeps one) and makes a
+    * re-emitted document an UPDATE in the strong sense: a term the new
+    * text DROPPED disappears from the index (the per-(doc, term)
+    * latest-epoch rule [[ivfIndexFromIncrements]] uses would keep such
+    * orphan terms serving forever — postings are a SET replaced per doc,
+    * not a value updated per key, so the epoch cut must be per doc).
+    */
+  def postingsFromIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      idCol: String,
+      postingsPath: String): DataFrame = {
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$idCol`"))
+    spark.read.parquet(postingsPath)
+      .withColumn("_maxe", max(col("inc_batch_id")).over(perDoc))
+      .where(col("inc_batch_id") === col("_maxe"))
+      .dropDuplicates(idCol, "term")
+      .select(col(s"`$idCol`"), col("term"), col("weight"), col("term_bucket"))
+  }
+
   /** Streamed maintenance of the SQ8 quantization bounds: each arriving
     * micro-batch appends its per-dimension `(dim, mn, mx)` increment
     * ([[graft.ops.Similarity.sqBoundsFrame]]). min/max are idempotent and

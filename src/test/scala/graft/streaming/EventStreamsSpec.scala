@@ -810,6 +810,56 @@ class EventStreamsSpec extends SparkSpecBase {
       "the latest epoch's assignment must win")
   }
 
+  test("streamed sparse postings serve ≡ batch, replay-proof, doc updates drop stale terms") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_stream").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/postings"
+    val docs = Seq(
+      (1L, "vector scan vector"), (2L, "dup merge"),
+      (3L, "scan scan scan"), (4L, "dup vector"))
+    val q = Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5)
+    val mem = MemoryStream[(Long, String)]
+    val sq = EventStreams.maintainPostings(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      numBuckets = 8, path, dir.getAbsolutePath + "/ckpt")
+    try {
+      mem.addData(docs.take(2): _*)
+      sq.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      sq.processAllAvailable()
+    } finally sq.stop()
+
+    def serve(postings: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      graft.query.SparseVector.score(postings, "doc_id", q, numBuckets = 8)
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = graft.query.SparseVector.tfPostingsBucketed(
+      docs.toDF("doc_id", "text"), "doc_id", "text", numBuckets = 8)
+    val streamed = serve(EventStreams.postingsFromIncrements(spark, "doc_id", path))
+    assert(streamed === serve(batch))
+
+    // at-least-once replay of epoch 0: scores must not double
+    val replay = spark.read.parquet(path).where(col("inc_batch_id") === 0L)
+    replay.write.mode("append").partitionBy("term_bucket").parquet(path)
+    assert(serve(EventStreams.postingsFromIncrements(spark, "doc_id", path))
+      === streamed, "a replayed epoch changed the served scores")
+
+    // a re-emitted document REPLACES its postings: doc 1 loses 'vector'
+    // entirely — the stale term must stop serving (the per-doc epoch cut;
+    // a per-(doc, term) rule would keep it forever)
+    graft.query.SparseVector.tfPostingsBucketed(
+        Seq((1L, "merge merge")).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .withColumn("inc_batch_id", org.apache.spark.sql.functions.lit(99L))
+      .write.mode("append").partitionBy("term_bucket").parquet(path)
+    val updated = EventStreams.postingsFromIncrements(spark, "doc_id", path)
+    assert(updated.where(col("doc_id") === 1L).select("term")
+      .as[String].collect().toSet === Set("merge"))
+    // and the served ranking reflects the update (doc 1 no longer matches
+    // any query term above zero except... none — it drops out entirely)
+    assert(serve(updated).map(_._1) === Seq(2L, 3L, 4L))
+  }
+
   test("streaming importance-model maintenance converges to the whole-corpus scores") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
