@@ -112,6 +112,76 @@ class ProximitySemanticsSpec extends SparkSpecBase {
         s"(engine=${got(bad.head._1)})")
   }
 
+  /** span_first: some occurrence of the phrase ENDS at position ≤ end. */
+  private def refSpanFirst(ts: Vector[String], phrase: Seq[String],
+      end: Int): Boolean =
+    phraseStarts(ts, phrase.toVector).exists(s => s + phrase.length <= end)
+
+  /** span_not: some include occurrence clear of every (pre/post-dilated)
+    * exclude occurrence.
+    */
+  private def refSpanNot(ts: Vector[String], inc: Seq[String],
+      exc: Seq[String], pre: Int, post: Int): Boolean =
+    phraseStarts(ts, inc.toVector).exists { s =>
+      val incEnd = s + inc.length - 1
+      phraseStarts(ts, exc.toVector).forall(t =>
+        t + exc.length - 1 < s - pre || t > incEnd + post)
+    }
+
+  /** intervals filter: some ordered source interval (strictly increasing
+    * per-term picks, pooled gap ≤ maxGaps) standing in `rule` relation
+    * to the filter phrase's occurrences.
+    */
+  private def refFiltered(ts: Vector[String], src: Seq[String], maxGaps: Int,
+      rule: String, flt: Seq[String]): Boolean = {
+    val f = phraseStarts(ts, flt.toVector)
+    val lf = flt.length
+    def ruleCond(s: Int, e: Int): Boolean = rule match {
+      case "containing" => f.exists(t => t >= s && t + lf - 1 <= e)
+      case "not_containing" => !f.exists(t => t >= s && t + lf - 1 <= e)
+      case "overlapping" => f.exists(t => t <= e && t + lf - 1 >= s)
+      case "not_overlapping" => f.forall(t => t > e || t + lf - 1 < s)
+      case "contained_by" => f.exists(t => t <= s && e <= t + lf - 1)
+      case "not_contained_by" => !f.exists(t => t <= s && e <= t + lf - 1)
+    }
+    def chain(rest: Seq[String], prev: Int, first: Int): Boolean = rest match {
+      case Seq() => ruleCond(first, first) // single-term source
+      case t +: tail => positionsOf(ts, t).exists(p =>
+        p > prev && (
+          if (tail.isEmpty)
+            p - first - (src.size - 1) <= maxGaps && ruleCond(first, p)
+          else chain(tail, p, first)))
+    }
+    positionsOf(ts, src.head).exists(p1 =>
+      if (src.size == 1) ruleCond(p1, p1) else chain(src.tail, p1, p1))
+  }
+
+  test("SpanFirst / SpanNot agree with brute-force enumeration on 400 random docs") {
+    for (end <- Seq(1, 3, 6)) compare(s"span_first(a b, $end)",
+      FilterSpec.SpanFirst("text", "a b", end),
+      ts => refSpanFirst(ts, Seq("a", "b"), end))
+    for ((pre, post) <- Seq((0, 0), (1, 0), (0, 2))) {
+      compare(s"span_not(b, a b, $pre, $post)",
+        FilterSpec.SpanNot("text", "b", "a b", pre, post),
+        ts => refSpanNot(ts, Seq("b"), Seq("a", "b"), pre, post))
+      compare(s"span_not(c d, d, $pre, $post)",
+        FilterSpec.SpanNot("text", "c d", "d", pre, post),
+        ts => refSpanNot(ts, Seq("c", "d"), Seq("d"), pre, post))
+    }
+  }
+
+  test("IntervalsFiltered agrees with brute-force enumeration across all six rules") {
+    for (rule <- Seq("containing", "not_containing", "overlapping",
+        "not_overlapping", "contained_by", "not_contained_by")) {
+      compare(s"filtered(a..b, $rule c)",
+        FilterSpec.IntervalsFiltered("text", "a b", 3, rule, "c"),
+        ts => refFiltered(ts, Seq("a", "b"), 3, rule, Seq("c")))
+      compare(s"filtered(a, $rule 'a b')",
+        FilterSpec.IntervalsFiltered("text", "a", 0, rule, "a b"),
+        ts => refFiltered(ts, Seq("a"), 0, rule, Seq("a", "b")))
+    }
+  }
+
   test("SpanNear ordered/unordered agree with brute-force enumeration on 400 random docs") {
     for (slop <- Seq(0, 1, 3); inOrder <- Seq(true, false)) {
       compare(s"span_near(a b, $slop, $inOrder)",
