@@ -93,9 +93,11 @@ object NestedDocs {
     * a returned item", not "how many returned items").
     *
     * Shape: one bounded explode (array size is [[nest]]'s enforced
-    * `maxChildren`) + ONE hash aggregate keyed by the bucket; the
-    * distinct-parent count rides the same aggregate. No join — the
-    * parent key travels with its exploded children.
+    * `maxChildren`) into the standard two-phase distinct aggregation —
+    * a partial (bucket, parent) dedup feeding the counts, ONE exchange
+    * on the bucket key, and NO Expand (a single distinct column never
+    * triggers it). No join — the parent key travels with its exploded
+    * children.
     */
   def nestedAgg(parents: DataFrame, parentKey: String, itemsCol: String,
       childExpr: Column => Column, as: String = "key"): DataFrame =
