@@ -60,12 +60,21 @@ object SparseVector {
   /** [[tfPostings]] plus the `term_bucket` partition column — write this
     * `partitionBy("term_bucket")` and [[score]] against the read-back
     * table prunes the scan to the query terms' buckets.
+    *
+    * The layout is SELF-DESCRIBING: a constant `num_buckets` column
+    * (RLE-compressed to nothing in parquet) records the bucket count the
+    * terms were hashed with, and [[score]] verifies its argument against
+    * it — a caller scoring a 64-bucket table with `numBuckets = 32` would
+    * otherwise hash the query terms into the WRONG buckets and get an
+    * empty result with no error, the silently-degenerate failure mode
+    * this engine rejects loudly everywhere else.
     */
   def tfPostingsBucketed(docs: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 64): DataFrame = {
     require(numBuckets >= 1, s"sparse_vector: numBuckets must be >= 1")
     tfPostings(docs, idCol, textCol)
       .withColumn("term_bucket", termBucket(col("term"), numBuckets))
+      .withColumn("num_buckets", lit(numBuckets))
   }
 
   /** Sparse dot-product scores of every document sharing at least one
@@ -74,8 +83,12 @@ object SparseVector {
     * for the query literals via [[termBucket]]), which is what lets a
     * bucket-partitioned at-rest scan dynamically prune. `numBuckets`
     * MUST match the layout's ([[tfPostingsBucketed]]) — a mismatch
-    * hashes the query terms into the wrong buckets and the join comes
-    * back EMPTY, so treat it as part of the index's schema contract.
+    * hashes the query terms into the wrong buckets and the join would
+    * come back EMPTY. The layout's own `num_buckets` column ENFORCES the
+    * contract: when present, a mismatched argument raises before any
+    * scoring runs (one limit-1 footer probe of the unpruned table — the
+    * probe must not use the about-to-be-wrong bucket filter). A layout
+    * without the column (hand-built postings) is trusted as before.
     * Duplicate query terms are a caller error (their weights would
     * double-count invisibly).
     */
@@ -88,6 +101,14 @@ object SparseVector {
     val spark = postings.sparkSession
     import spark.implicits._
     val bucketed = postings.columns.contains("term_bucket")
+    if (bucketed && postings.columns.contains("num_buckets"))
+      postings.select("num_buckets").limit(1).collect().headOption.foreach { r =>
+        val layoutB = r.getInt(0)
+        require(layoutB == numBuckets,
+          s"sparse_vector: layout was bucketed with num_buckets=$layoutB " +
+            s"but the caller passed numBuckets=$numBuckets — the query terms " +
+            "would hash into the wrong buckets and silently match nothing")
+      }
     val q =
       if (bucketed)
         queryWeights.toDF("term", "_qw")

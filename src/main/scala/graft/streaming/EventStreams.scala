@@ -1028,6 +1028,42 @@ object EventStreams {
       .select("vec_id", "vec", "cell")
   }
 
+  /** Compact an IVF-index increment table to its SERVED rows — the
+    * latest epoch per vec_id ([[ivfIndexFromIncrements]]), stamped with
+    * the sentinel epoch and swapped in via the staged-promote contract
+    * ([[compactGramDfIncrements]]). Unlike the sum-merge compactions this
+    * one materializes a LATEST-WINS view: update churn (a vector
+    * re-emitted across epochs) leaves exactly one row, and the per-vec
+    * window [[ivfIndexFromIncrements]] pays on every serve-view rebuild
+    * shrinks back to one epoch's worth of rows. Post-compaction appends
+    * keep the update semantic — any real batch epoch (≥ 0) outranks the
+    * sentinel, so a re-emitted vector still wins over its compacted row.
+    *
+    * The index is corpus-sized (one row per vector), so the compacted
+    * write repartitions ON the partition key — one task per cell, one
+    * file per directory — instead of the `coalesce(1)` the
+    * vocabulary-sized increment tables use; a single writer task funneling
+    * the whole index is exactly the driver-shaped bottleneck the
+    * cell-partitioned layout exists to avoid.
+    */
+  def compactIvfIndexIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val merged = ivfIndexFromIncrements(spark, indexPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .repartition(col("cell"))
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = indexPath + ".compacting"
+      merged.write.mode("overwrite").partitionBy("cell").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(indexPath))
+    } finally merged.unpersist()
+  }
+
   /** Streamed maintenance of the at-rest SPARSE POSTINGS index (the
     * `sparse_vector` serving table, [[graft.query.SparseVector]]): each
     * arriving document batch appends its term-bucket-partitioned tf
@@ -1067,11 +1103,48 @@ object EventStreams {
       postingsPath: String): DataFrame = {
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"`$idCol`"))
-    spark.read.parquet(postingsPath)
+    val raw = spark.read.parquet(postingsPath)
+    // carry the layout's num_buckets contract column through to serving
+    // ([[graft.query.SparseVector.score]] verifies its argument against it)
+    val keep = Seq(idCol, "term", "weight", "term_bucket") ++
+      (if (raw.columns.contains("num_buckets")) Seq("num_buckets") else Nil)
+    raw
       .withColumn("_maxe", max(col("inc_batch_id")).over(perDoc))
       .where(col("inc_batch_id") === col("_maxe"))
       .dropDuplicates(idCol, "term")
-      .select(col(s"`$idCol`"), col("term"), col("weight"), col("term_bucket"))
+      .select(keep.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Compact a sparse-postings increment table to its SERVED rows — the
+    * per-DOC latest-epoch cut of [[postingsFromIncrements]] (a compacted
+    * re-emitted doc keeps only its FINAL term set; the per-key rule the
+    * IVF compaction uses would resurrect dropped terms), stamped with the
+    * sentinel epoch and swapped in via the staged-promote contract. This
+    * bounds the table at one row per live (doc, term) no matter how many
+    * epochs have run, and the full-history per-doc window the serve view
+    * pays per rebuild shrinks to the live rows. Post-compaction appends
+    * keep the update semantic: a real epoch (≥ 0) outranks the sentinel,
+    * so a doc re-emitted after compaction replaces its compacted term set
+    * whole. Corpus-sized table → repartition on the partition key
+    * (one task per bucket; see [[compactIvfIndexIncrements]]).
+    */
+  def compactPostingsIncrements(
+      spark: org.apache.spark.sql.SparkSession,
+      idCol: String,
+      postingsPath: String): Unit = {
+    val merged = postingsFromIncrements(spark, idCol, postingsPath)
+      .withColumn("inc_batch_id", lit(-1L))
+      .repartition(col("term_bucket"))
+      .cache()
+    try {
+      merged.count() // materialize BEFORE touching the directory being read
+      val staged = postingsPath + ".compacting"
+      merged.write.mode("overwrite").partitionBy("term_bucket").parquet(staged)
+      val fs = graft.store.FsOps.fileSystem(spark, staged)
+      graft.store.FsOps.promote(fs,
+        new org.apache.hadoop.fs.Path(staged),
+        new org.apache.hadoop.fs.Path(postingsPath))
+    } finally merged.unpersist()
   }
 
   /** Streamed maintenance of the SQ8 quantization bounds: each arriving

@@ -82,4 +82,32 @@ class SparseVectorSpec extends SparkSpecBase {
     assert(pf.contains("term_bucket") && pf.contains(" IN "),
       s"postings scan lacks the static bucket partition filter:\n$out")
   }
+
+  test("a numBuckets mismatch against the layout's contract column raises, never returns empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sv_nb").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/postings"
+    SparseVector.tfPostingsBucketed(docs, "doc_id", "text", numBuckets = 16)
+      .write.partitionBy("term_bucket").parquet(p)
+    val atRest = spark.read.parquet(p)
+    // the layout is self-describing: num_buckets rides as a constant column
+    assert(atRest.select("num_buckets").distinct()
+      .as[Int].collect().toSeq === Seq(16))
+    // wrong bucket count → loud raise BEFORE any scoring (the silent-empty
+    // failure mode the scaladoc forbids)
+    val ex = intercept[IllegalArgumentException](
+      SparseVector.score(atRest, "doc_id", q, numBuckets = 32))
+    assert(ex.getMessage.contains("num_buckets=16") &&
+      ex.getMessage.contains("numBuckets=32"), ex.getMessage)
+    // matching count still serves identically
+    assert(SparseVector.score(atRest, "doc_id", q, numBuckets = 16)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 4.5), (2L, 1.5), (3L, 1.5)))
+    // a hand-built bucketed table WITHOUT the contract column keeps the
+    // documented trust-the-caller behavior
+    val legacy = atRest.drop("num_buckets")
+    assert(SparseVector.score(legacy, "doc_id", q, numBuckets = 16)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 4.5), (2L, 1.5), (3L, 1.5)))
+  }
 }

@@ -808,6 +808,33 @@ class EventStreamsSpec extends SparkSpecBase {
     assert(updated.where(col("vec_id") === 0L).select("cell").head().getInt(0)
       === moved.select("cell").head().getInt(0),
       "the latest epoch's assignment must win")
+
+    // compaction bounds the table at one LIVE row per vec_id (the update
+    // churn above had left vec 0 twice and a whole replayed epoch) and
+    // preserves serving exactly
+    val servedBefore = serve(EventStreams.ivfIndexFromIncrements(spark, indexPath))
+    EventStreams.compactIvfIndexIncrements(spark, indexPath)
+    val compacted = spark.read.parquet(indexPath)
+    assert(compacted.count() === 40, "compaction must keep exactly the live rows")
+    assert(compacted.select("inc_batch_id").distinct()
+      .as[Long].collect().toSeq === Seq(-1L))
+    assert(serve(EventStreams.ivfIndexFromIncrements(spark, indexPath))
+      === servedBefore, "compaction changed the served neighbors")
+    // the cell-partitioned layout survives the swap (the pruning story)
+    assert(new java.io.File(indexPath).listFiles()
+      .exists(f => f.getName.startsWith("cell=")), "cell partitioning lost")
+    // …and the update semantic stays armed: a post-compaction re-emit
+    // (real epoch > sentinel) still replaces its compacted row
+    val movedBack = graft.ops.Similarity.assignCells(
+        Seq((0L, vecs.head._2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centroids)
+      .withColumn("inc_batch_id", org.apache.spark.sql.functions.lit(100L))
+    movedBack.write.mode("append").partitionBy("cell").parquet(indexPath)
+    val after = EventStreams.ivfIndexFromIncrements(spark, indexPath)
+    assert(after.where(col("vec_id") === 0L).count() === 1)
+    assert(after.where(col("vec_id") === 0L).select("cell").head().getInt(0)
+      === movedBack.select("cell").head().getInt(0),
+      "a post-compaction re-emit must outrank the sentinel epoch")
   }
 
   test("streamed sparse postings serve ≡ batch, replay-proof, doc updates drop stale terms") {
@@ -858,6 +885,36 @@ class EventStreamsSpec extends SparkSpecBase {
     // and the served ranking reflects the update (doc 1 no longer matches
     // any query term above zero except... none — it drops out entirely)
     assert(serve(updated).map(_._1) === Seq(2L, 3L, 4L))
+
+    // compaction bounds the table at the LIVE (doc, term) rows — the full
+    // epoch history (two epochs + a replay + an update) folds to the
+    // served set under the sentinel epoch — and serving is unchanged
+    val servedBefore = serve(EventStreams.postingsFromIncrements(spark, "doc_id", path))
+    val liveRows = EventStreams.postingsFromIncrements(spark, "doc_id", path).count()
+    EventStreams.compactPostingsIncrements(spark, "doc_id", path)
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() === liveRows,
+      "compaction must keep exactly the live (doc, term) rows")
+    assert(compacted.select("inc_batch_id").distinct()
+      .as[Long].collect().toSeq === Seq(-1L))
+    assert(serve(EventStreams.postingsFromIncrements(spark, "doc_id", path))
+      === servedBefore, "compaction changed the served scores")
+    // bucket partitioning and the num_buckets contract column both survive
+    assert(new java.io.File(path).listFiles()
+      .exists(f => f.getName.startsWith("term_bucket=")), "bucket partitioning lost")
+    assert(compacted.select("num_buckets").distinct()
+      .as[Int].collect().toSeq === Seq(8), "num_buckets contract column lost")
+    // …and the per-DOC update semantic stays armed post-compaction: doc 1
+    // re-emitted again — its compacted 'merge' postings must stop serving
+    graft.query.SparseVector.tfPostingsBucketed(
+        Seq((1L, "vector vector vector")).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .withColumn("inc_batch_id", org.apache.spark.sql.functions.lit(100L))
+      .write.mode("append").partitionBy("term_bucket").parquet(path)
+    val after = EventStreams.postingsFromIncrements(spark, "doc_id", path)
+    assert(after.where(col("doc_id") === 1L).select("term")
+      .as[String].collect().toSet === Set("vector"),
+      "a post-compaction re-emit must replace the compacted term set whole")
+    assert(serve(after).map(_._1) === Seq(1L, 2L, 3L, 4L))
   }
 
   test("streaming importance-model maintenance converges to the whole-corpus scores") {
