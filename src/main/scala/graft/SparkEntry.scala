@@ -617,7 +617,16 @@ object SparkEntry {
               } else
                 ops.Similarity.bruteForceRadius(emb, "vec_id", "embedding",
                   queries, "vec_id", "embedding", t)
+            // ROUTE CONTRACT (a diverging wire shape, documented): ES
+            // defines `similarity` only alongside `k`; here `similarity`
+            // WITHOUT `k` is this route's radius extension, and since
+            // round 16 it returns the FULL radius set rather than the
+            // old top-5-then-threshold page. "size" (default 1000)
+            // bounds the response — a permissive threshold over a big
+            // corpus must not stream the corpus down one HTTP body; a
+            // deeper page passes size explicitly.
             radius.orderBy(desc("cos"), asc("neighbor_id"))
+              .limit(o.path("size").asInt(1000))
           } else {
             val k = o.path("k").asInt(5)
             val ranked =
@@ -635,6 +644,50 @@ object SparkEntry {
             else ranked
           }
         WidgetServer.collectRowsJson(hits)
+      },
+      "/sparse" -> { body =>
+        // ES `sparse_vector` search over the wire (the ELSER/SPLADE
+        // serving endpoint): {"terms": {"vector": 2.0, "dup": 1.5} —
+        // the ES query_vector object — OR [["vector", 2.0], ...],
+        // "k": N, "prune": true (optional; the ES pruning_config:
+        // "freq_ratio" = tokens_freq_ratio_threshold, default 5.0,
+        // "weight_ratio" = tokens_weight_threshold, default 0.4)}.
+        // Scores the tf postings of the documents corpus — the same
+        // engine path search_sparse_vector pins. Fault pins (400):
+        // missing/empty terms, a non-numeric weight, duplicate terms
+        // (the array form can carry them; SparseVector rejects), and
+        // prune thresholds outside their ES ranges.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val t = o.path("terms")
+        val b = Seq.newBuilder[(String, Double)]
+        if (t.isObject && t.size() > 0) {
+          val it = t.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            require(e.getValue.isNumber,
+              s"sparse: weight of term <${e.getKey}> must be a number")
+            b += e.getKey -> e.getValue.asDouble()
+          }
+        } else if (t.isArray && t.size() > 0) {
+          (0 until t.size()).foreach { i =>
+            val pair = t.get(i)
+            require(pair.isArray && pair.size() == 2 && pair.get(0).isTextual &&
+              pair.get(1).isNumber, "sparse: terms array entries must be [term, weight]")
+            b += pair.get(0).asText() -> pair.get(1).asDouble()
+          }
+        } else throw new IllegalArgumentException("sparse: missing terms")
+        val weights = b.result()
+        val postings = query.SparseVector.tfPostings(
+          load(dir, "documents"), "doc_id", "text")
+        val served =
+          if (o.path("prune").asBoolean(false))
+            query.SparseVector.prune(postings, weights,
+              freqRatioThreshold = o.path("freq_ratio").asDouble(5.0),
+              weightThreshold = o.path("weight_ratio").asDouble(0.4))
+          else weights
+        WidgetServer.collectRowsJson(
+          query.SparseVector.topK(postings, "doc_id", served,
+            k = o.path("k").asInt(10)))
       },
       "/geo" -> { body =>
         // Kibana map filters over the wire: {"box": {"top": t, "left": l,
@@ -5943,6 +5996,46 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "search_sparse_vector_pruned" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES sparse_vector `prune` (token pruning, the learned-sparse
+      // stop-word guard): tokens that are BOTH corpus-frequent
+      // (df > freq_ratio · avg df — 1.0 here, ES's legal minimum; this
+      // synthetic corpus's Zipf head sits ~3-7% above the mean at every
+      // sf, miles below the default 5×) AND insignificant
+      // (w < 0.4 · best) drop before scoring. 'scan' and 'merge' prune
+      // (frequent + light); 'dup' survives on rarity, 'vector' on
+      // weight — the candidate set provably shrinks (docs matching only
+      // scan/merge leave the result entirely) yet serving work drops,
+      // which is the flag's whole point at ELSER scale.
+      val postings = query.SparseVector.tfPostings(
+        load(dir, "documents"), "doc_id", "text")
+      val kept = query.SparseVector.prune(postings,
+        Seq("vector" -> 2.0, "dup" -> 0.5, "scan" -> 0.3, "merge" -> 0.25),
+        freqRatioThreshold = 1.0, weightThreshold = 0.4)
+      query.SparseVector.topK(postings, "doc_id", kept, k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")
+    }),
+
+    "search_sparse_vector_quantized" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Arbitrary learned weights (ELSER floats) made bit-stable: the
+      // non-dyadic query weights quantize to k/256 dyadics
+      // (floor(w·256 + 0.5)/256 — the SQ8 arithmetic), so every tf·w
+      // product and the doc-sum are IEEE-exact in any fold order and the
+      // cross-engine hash can gate them. Closes the SparseVector class
+      // scaladoc's float caveat with a mechanism instead of a warning.
+      val postings = query.SparseVector.tfPostings(
+        load(dir, "documents"), "doc_id", "text")
+      query.SparseVector.topK(postings, "doc_id",
+          query.SparseVector.quantizeWeights(
+            Seq("vector" -> 1.7, "dup" -> 0.9, "scan" -> 0.31), bits = 8),
+          k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")
+    }),
+
     "stream_sparse_vector" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The sparse index as a MAINTAINED at-rest table: the corpus joins
@@ -9792,6 +9885,66 @@ object SparkEntry {
     "search_sparse_vector" -> sparseVectorOracleSql,
 
     "stream_sparse_vector" -> sparseVectorOracleSql,
+
+    // Token pruning restated end to end: df per term IS the postings row
+    // count (one row per (doc, term)), avg df is total rows over distinct
+    // terms, and the ES keep rule — NOT (frequent outlier AND
+    // insignificant weight) — filters the query VALUES list before the
+    // same join + sum. All comparisons are exact (integer dfs, one IEEE
+    // division computed identically by both engines); scores stay
+    // tf × dyadic.
+    "search_sparse_vector_pruned" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, u.x AS term FROM t, unnest(toks) AS u(x)
+        |), p AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS weight
+        |  FROM e GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term
+        |), a AS (
+        |  SELECT count(*)::DOUBLE / count(DISTINCT term) AS avg_df FROM p
+        |), q0 AS (
+        |  SELECT * FROM (VALUES ('vector', 2.0), ('dup', 0.5),
+        |    ('scan', 0.3), ('merge', 0.25)) AS q0(term, qw)
+        |), q AS (
+        |  SELECT q0.term, q0.qw FROM q0 LEFT JOIN df USING (term), a
+        |  WHERE NOT (coalesce(df.df, 0.0) > 1.0 * a.avg_df
+        |    AND q0.qw < 0.4 * (SELECT max(qw) FROM q0))
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY sum(weight * qw) DESC, doc_id ASC) AS rank,
+        |  sum(weight * qw) AS score
+        |FROM p JOIN q USING (term) GROUP BY doc_id
+        |ORDER BY rank LIMIT 15""".stripMargin,
+
+    // Quantized learned weights restated: the identical
+    // floor(w·256 + 0.5)/256 dyadic snap on the same double literals
+    // (both engines parse and multiply them identically), then the
+    // standard postings join + sum — exact in any fold order.
+    "search_sparse_vector_quantized" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, u.x AS term FROM t, unnest(toks) AS u(x)
+        |), p AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS weight
+        |  FROM e GROUP BY doc_id, term
+        |), q AS (
+        |  SELECT term, floor(w * 256.0 + 0.5) / 256.0 AS qw
+        |  FROM (VALUES ('vector', 1.7), ('dup', 0.9), ('scan', 0.31))
+        |    AS q0(term, w)
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY sum(weight * qw) DESC, doc_id ASC) AS rank,
+        |  sum(weight * qw) AS score
+        |FROM p JOIN q USING (term) GROUP BY doc_id
+        |ORDER BY rank LIMIT 15""".stripMargin,
 
     // Span corruption restated by list slicing: the same seeded unit
     // hashes place one span per token segment; DuckDB's inclusive [a:b]

@@ -128,6 +128,88 @@ object SparseVector {
       .agg(sum(col("weight") * col("_qw")).as("score"))
   }
 
+  /** ES `sparse_vector` `prune`/`pruning_config` — the stop-word guard for
+    * learned-sparse queries (an ELSER expansion routinely carries hundreds
+    * of low-weight tokens whose postings dominate serving cost): drop
+    * query tokens that are BOTH corpus-frequent outliers AND
+    * insignificant to the query. A token is pruned iff
+    *
+    *   df(t) > freqRatioThreshold · avgDf   AND
+    *   w(t)  < weightThreshold · max query weight
+    *
+    * (ES defaults 5 and 0.4: "more than five times the average frequency
+    * of all tokens in the field" and "less than 0.4 of the best weight" —
+    * both conditions must hold, so a frequent-but-heavy token and a
+    * rare-but-light token each survive). `onlyScorePrunedTokens = true`
+    * returns the COMPLEMENT — ES's rescore idiom: retrieve on the kept
+    * tokens, rescore the window on the pruned remainder.
+    *
+    * df comes from the postings themselves (one row per (doc, term) —
+    * a row count per term IS document frequency) and the query terms' dfs
+    * collect driver-side bounded by the query size. avgDf is one
+    * aggregate over the postings; at corpus scale serve from a maintained
+    * vocabulary-sized df table (the [[graft.streaming.EventStreams
+    * .maintainGramDf]] pattern) instead of re-scanning per query.
+    *
+    * Never prunes the whole query — structurally: the best-weight token
+    * can't be below `weightThreshold · best` (threshold ≤ 1), so the kept
+    * list always holds at least the query's heaviest token. With
+    * `onlyScorePrunedTokens` an empty PRUNE set raises instead —
+    * rescoring on nothing is a caller error.
+    */
+  def prune(postings: DataFrame, queryWeights: Seq[(String, Double)],
+      freqRatioThreshold: Double = 5.0, weightThreshold: Double = 0.4,
+      onlyScorePrunedTokens: Boolean = false): Seq[(String, Double)] = {
+    require(queryWeights.nonEmpty, "sparse_vector prune: empty query")
+    require(freqRatioThreshold >= 1 && freqRatioThreshold <= 100,
+      "sparse_vector prune: freqRatioThreshold must be in [1, 100] " +
+        s"(the ES tokens_freq_ratio_threshold range), got $freqRatioThreshold")
+    require(weightThreshold >= 0 && weightThreshold <= 1,
+      s"sparse_vector prune: weightThreshold must be in [0, 1], got $weightThreshold")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val stats = postings.agg(
+        (count(lit(1)).cast("double") /
+          countDistinct(col("term")).cast("double")).as("avg_df"))
+      .head()
+    val avgDf = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val q = queryWeights.toDF("term", "_qw")
+    val dfByTerm = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .join(broadcast(q.select("term")), Seq("term"))
+      .as[(String, Double)].collect().toMap
+    val best = queryWeights.map(_._2).max
+    val (pruned, kept) = queryWeights.partition { case (t, w) =>
+      dfByTerm.getOrElse(t, 0.0) > freqRatioThreshold * avgDf &&
+        w < weightThreshold * best
+    }
+    if (onlyScorePrunedTokens) {
+      require(pruned.nonEmpty,
+        "sparse_vector prune: onlyScorePrunedTokens with nothing pruned — " +
+          "the rescore leg would score on an empty query")
+      pruned
+    } else kept // never empty: the heaviest token always survives (scaladoc)
+  }
+
+  /** Quantize learned sparse weights to dyadic rationals (`k / 2^bits`) so
+    * scores are bit-stable under ANY aggregation fold order — the class
+    * scaladoc's caveat made actionable: arbitrary ELSER-style floats make
+    * `Σ tf·w` order-dependent, but integer tf × dyadic w products are
+    * IEEE-exact and their sums stay exact far beyond any realistic
+    * magnitude. Rounds half-up via `floor(w·2^bits + 0.5) / 2^bits` — the
+    * same arithmetic as this repo's SQ8 codes, restatable verbatim in a
+    * SQL oracle. 8 bits (ES's `token_pruning` era quantization of ELSER
+    * weights is also byte-granular) loses ~0.2% relative precision on
+    * unit-scale weights — ranking-neutral in practice; raise `bits` when
+    * in doubt.
+    */
+  def quantizeWeights(weights: Seq[(String, Double)], bits: Int = 8): Seq[(String, Double)] = {
+    require(bits >= 1 && bits <= 30,
+      s"sparse_vector quantize: bits must be in [1, 30], got $bits")
+    val scale = (1L << bits).toDouble
+    weights.map { case (t, w) => t -> math.floor(w * scale + 0.5) / scale }
+  }
+
   /** Ranked page: (id, rank, score), score DESC with id tiebreak —
     * deterministic because the fixture scores are IEEE-exact (class
     * doc). The global window runs over the scored MATCH SET (docs

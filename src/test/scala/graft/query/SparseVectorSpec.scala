@@ -83,6 +83,56 @@ class SparseVectorSpec extends SparkSpecBase {
       s"postings scan lacks the static bucket partition filter:\n$out")
   }
 
+  test("prune drops tokens that are BOTH frequent outliers AND light; either alone survives") {
+    val postings = SparseVector.tfPostings(docs, "doc_id", "text")
+    // dfs: scan 2, everything else 1; avg df = 7 rows / 6 terms ≈ 1.17.
+    // At freqRatio 1.0 only 'scan' is a frequent outlier; best weight 2.0
+    // puts the light bar at 0.8 → 'scan' (0.5, frequent+light) prunes,
+    // 'dup' (1.5, light bar cleared) and 'vector' (infrequent) survive.
+    val q3 = Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5)
+    assert(SparseVector.prune(postings, q3, freqRatioThreshold = 1.0)
+      === Seq("vector" -> 2.0, "dup" -> 1.5))
+    // frequent but HEAVY survives: scan at weight 1.9 clears 0.8
+    assert(SparseVector.prune(postings,
+      Seq("vector" -> 2.0, "scan" -> 1.9), freqRatioThreshold = 1.0)
+      === Seq("vector" -> 2.0, "scan" -> 1.9))
+    // light but RARE survives: dup df 1 is below any ≥1 ratio of avg
+    assert(SparseVector.prune(postings,
+      Seq("vector" -> 2.0, "dup" -> 0.1), freqRatioThreshold = 1.0)
+      === Seq("vector" -> 2.0, "dup" -> 0.1))
+    // ES defaults (5× average) prune nothing on this near-uniform corpus
+    assert(SparseVector.prune(postings, q3) === q3)
+    // the rescore complement: ONLY the pruned tokens
+    assert(SparseVector.prune(postings, q3, freqRatioThreshold = 1.0,
+      onlyScorePrunedTokens = true) === Seq("scan" -> 0.5))
+    intercept[IllegalArgumentException](SparseVector.prune(postings, q3,
+      onlyScorePrunedTokens = true)) // nothing pruned at defaults
+    // a query term absent from the corpus has df 0 — kept
+    assert(SparseVector.prune(postings,
+      Seq("vector" -> 2.0, "ghost" -> 0.1), freqRatioThreshold = 1.0)
+      === Seq("vector" -> 2.0, "ghost" -> 0.1))
+    // thresholds outside the ES ranges reject loudly
+    intercept[IllegalArgumentException](
+      SparseVector.prune(postings, q3, freqRatioThreshold = 0.5))
+    intercept[IllegalArgumentException](
+      SparseVector.prune(postings, q3, weightThreshold = 1.5))
+  }
+
+  test("quantizeWeights snaps to k/2^bits dyadics, round-half-up") {
+    val got = SparseVector.quantizeWeights(
+      Seq("a" -> 1.7, "b" -> 0.9, "c" -> -0.31), bits = 8)
+    assert(got === Seq("a" -> 435.0 / 256, "b" -> 230.0 / 256, "c" -> -79.0 / 256))
+    // every output is exactly representable: w·2^bits is an integer
+    got.foreach { case (_, w) => assert(w * 256 === math.rint(w * 256)) }
+    // already-dyadic weights are fixed points
+    assert(SparseVector.quantizeWeights(Seq("a" -> 1.5, "b" -> 0.25))
+      === Seq("a" -> 1.5, "b" -> 0.25))
+    intercept[IllegalArgumentException](
+      SparseVector.quantizeWeights(Seq("a" -> 1.0), bits = 0))
+    intercept[IllegalArgumentException](
+      SparseVector.quantizeWeights(Seq("a" -> 1.0), bits = 31))
+  }
+
   test("a numBuckets mismatch against the layout's contract column raises, never returns empty") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sv_nb").toFile
     dir.deleteOnExit()

@@ -567,6 +567,67 @@ class WidgetServerSpec extends SparkSpecBase {
             graft.ops.Similarity.assignCells(emb, "vec_id", "embedding", cents),
             cents, queries, "vec_id", "embedding", 0.2, nprobe = 3)
           .orderBy(desc("cos"), asc("neighbor_id"))))
+
+      // the radius response is BOUNDED: "size" caps the page (default
+      // 1000) — the route-contract guard against a permissive threshold
+      // streaming a corpus down one HTTP body
+      val (c7, b7) = post(s"http://127.0.0.1:$port/knn",
+        """{"vec_id": 3, "similarity": 0.2, "size": 2}""")
+      assert(c7 === 200)
+      assert(b7 === WidgetServer.collectRowsJson(
+        graft.ops.Similarity.bruteForceRadius(emb, "vec_id", "embedding",
+            queries, "vec_id", "embedding", 0.2)
+          .orderBy(desc("cos"), asc("neighbor_id")).limit(2)))
+    } finally server.stop(0)
+  }
+
+  test("POST /sparse serves sparse_vector retrieval with pruning on the wire") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val postings = graft.query.SparseVector.tfPostings(docs, "doc_id", "text")
+
+      // wire ≡ engine-direct (the search_sparse_vector path)
+      val (c1, b1) = post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": {"vector": 2.0, "dup": 1.5, "scan": 0.5}, "k": 5}""")
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(graft.query.SparseVector.topK(
+        postings, "doc_id",
+        Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5), k = 5)))
+
+      // the array form carries the same query
+      val (c1b, b1b) = post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": [["vector", 2.0], ["dup", 1.5], ["scan", 0.5]], "k": 5}""")
+      assert(c1b === 200 && b1b === b1)
+
+      // pruning on the wire ≡ engine-direct prune → topK, and it does
+      // real work (the pruned page differs from the unpruned one)
+      val (c2, b2) = post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": {"vector": 2.0, "dup": 0.5, "scan": 0.3, "merge": 0.25},
+          | "k": 5, "prune": true, "freq_ratio": 1.0}""".stripMargin)
+      assert(c2 === 200)
+      val kept = graft.query.SparseVector.prune(postings,
+        Seq("vector" -> 2.0, "dup" -> 0.5, "scan" -> 0.3, "merge" -> 0.25),
+        freqRatioThreshold = 1.0, weightThreshold = 0.4)
+      assert(b2 === WidgetServer.collectRowsJson(
+        graft.query.SparseVector.topK(postings, "doc_id", kept, k = 5)))
+      val (c2b, b2b) = post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": {"vector": 2.0, "dup": 0.5, "scan": 0.3, "merge": 0.25},
+          | "k": 5}""".stripMargin)
+      assert(c2b === 200)
+      assert(b2b !== b2, "pruning changed nothing on the wire")
+
+      // fault pins: missing terms, malformed weight, duplicate terms
+      // (array form), thresholds outside the ES ranges
+      assert(post(s"http://127.0.0.1:$port/sparse", """{"k": 5}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": {"vector": "heavy"}}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": [["vector", 2.0], ["vector", 1.0]]}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/sparse",
+        """{"terms": {"vector": 2.0}, "prune": true, "freq_ratio": 0.5}""")._1
+        === 400)
     } finally server.stop(0)
   }
 
