@@ -5707,6 +5707,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_msm_chain" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES minimum_should_match conditional CHAIN (the JSON-DSL
+      // "multiple combinations" form, round-16 verdict #6): over these 5
+      // clauses, `2<-25% 4<60%` picks the spec bound to the LARGEST k
+      // below n — the 4< leg — so ⌊5·0.60⌋ = 3 of 5 must match. The
+      // chain rule itself (all-required at n ≤ 2, the 2< leg at 3-4, in
+      // any part order, nested conditionals rejected) is pinned across
+      // clause counts in QueryStringSpec; this query proves the resolved
+      // group end to end as one codegen'd integer sum.
+      val terms = Seq("dup", "merge", "vector", "scan", "data")
+      val msm = graft.query.FilterSpec.MinShouldMatch.resolve(
+        "2<-25% 4<60%", terms.size)
+      val spec = graft.query.FilterSpec.MinShouldMatch(
+        msm, terms.map(t => graft.query.FilterSpec.TermMatch("text", t)))
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "search_multi_match_best" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES multi_match best_fields (the default dis_max mode): each field
@@ -9549,6 +9569,18 @@ object SparkEntry {
       def c(t: String) = s"(CASE WHEN ${containsTokenSql("text", t)} THEN 1 ELSE 0 END)"
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${c("dup")} + ${c("merge")} + ${c("vector")} + ${c("scan")} >= 3
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // msm chain restated: the chain `2<-25% 4<60%` over 5 clauses folds
+    // (largest k below n, then ⌊5·0.60⌋) to the integer 3 — the oracle
+    // carries the folded bound over the same whole-token counts.
+    "q_msm_chain" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      def c(t: String) = s"(CASE WHEN ${containsTokenSql("text", t)} THEN 1 ELSE 0 END)"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${c("dup")} + ${c("merge")} + ${c("vector")} + ${c("scan")}
+         |  + ${c("data")} >= 3
          |ORDER BY doc_id""".stripMargin
     },
 

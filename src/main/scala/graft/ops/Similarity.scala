@@ -902,7 +902,12 @@ object Similarity {
     * For each `d` in `dims`: rank top-`k` per query over the PREFIX
     * `slice(vec, 1, d)` (a row-local slice — no reprojection pass, the
     * whole point of MRL vs [[randomProject]]) and report
-    * `recall@k = |truncated ∩ full| / (|queries|·k)`.
+    * `recall@k = |truncated ∩ full| / |full|`. The denominator is the
+    * full-dimension ranking's ACTUAL row count — equal to `|queries|·k`
+    * whenever the corpus offers k (non-self) neighbors per query, but
+    * still correct on a smaller corpus, where a fixed `nq·k` would bias
+    * every rung low and break the "the identity rung reads exactly 1.0"
+    * invariant the report is read by.
     *
     * Output `(dim, recall)`, one row per ladder rung. Exactness: the
     * intersection counts are integers and the one division is two small
@@ -924,6 +929,8 @@ object Similarity {
     val full = bruteForceTopK(corpus, corpusId, corpusVec,
         queries, queryId, queryVec, k, excludeSelf)
       .select(col("query_id"), col("neighbor_id"))
+      .cache()
+    val denom = full.count().toDouble // = nq·k unless the corpus is short
     dims.map { d =>
       val c = corpus.select(col(corpusId).as(corpusId),
         slice(col(corpusVec), 1, d).as("_tv"))
@@ -933,7 +940,7 @@ object Similarity {
           k, excludeSelf)
         .select(col("query_id"), col("neighbor_id"))
       full.join(trunc, Seq("query_id", "neighbor_id"))
-        .agg((count(lit(1)).cast("double") / lit(nq.toDouble * k)).as("recall"))
+        .agg((count(lit(1)).cast("double") / lit(denom)).as("recall"))
         .select(lit(d).as("dim"), col("recall"))
     }.reduce(_ unionByName _)
   }

@@ -161,7 +161,13 @@ object FilterSpec {
   object MinShouldMatch {
     private val IntRx = "^(-?\\d+)$".r
     private val PctRx = "^(-?\\d+)%$".r
-    private val CondRx = "^(\\d+)<(.+)$".r
+    // The conditional's spec side is ATOMIC (int/-int/pct/-pct): a nested
+    // `2<3<90%` must NOT parse — ES combines conditionals as
+    // space-separated CHAINS with a largest-k rule (below), which is a
+    // different algebra from left-to-right nesting, so an open-ended
+    // rest group here would silently accept chains with the wrong
+    // semantics.
+    private val CondRx = "^(\\d+)<(-?\\d+%?)$".r
 
     /** Resolve an ES `minimum_should_match` SPEC STRING against a clause
       * count `n` — the full documented grammar (driver-side: `n` is
@@ -172,19 +178,26 @@ object FilterSpec {
       *  - percentage `75%`: `⌊n · 0.75⌋`;
       *  - negative percentage `-25%`: `n − ⌊n · 0.25⌋`;
       *  - conditional `k<spec`: for `n ≤ k` ALL clauses required
-      *    (`msm = n`), otherwise `spec` applies (ES supports
-      *    space-separated conditional CHAINS; the typable grammar carries
-      *    one unit, so a single conditional — chains would need the JSON
-      *    DSL and are rejected loudly by the spec regex).
+      *    (`msm = n`), otherwise `spec` (atomic, one of the forms above)
+      *    applies;
+      *  - conditional CHAIN `k1<spec1 k2<spec2 …` (space-separated — the
+      *    ES "multiple combinations" form, JSON-DSL/programmatic only;
+      *    the typable grammar's group suffix carries a single unit): the
+      *    spec attached to the LARGEST `k` below `n` applies, and
+      *    `n ≤ min k` requires ALL clauses. The documentation's
+      *    `2<-25% 9<-3`: 1-2 clauses → all; 3-9 → 25% optional;
+      *    10+ → 3 optional.
       *
       * A spec resolving outside `[1, n]` is rejected loudly: ES/Lucene
       * silently clamp (≤0 behaves as pure OR; >n can never match) and a
       * silently-degenerate group is exactly the bug class this engine
-      * refuses elsewhere (the boost-in-filter discipline).
+      * refuses elsewhere (the boost-in-filter discipline). Malformed
+      * chains — a non-conditional part, a duplicated `k` — reject the
+      * same way.
       */
     def resolve(spec: String, n: Int): Int = {
       require(n >= 1, s"minimum_should_match: no clauses to count (n=$n)")
-      val v = spec.trim match {
+      def atomic(one: String): Int = one match {
         case IntRx(s) =>
           val i = s.toInt
           if (i >= 0) i else n + i
@@ -193,10 +206,30 @@ object FilterSpec {
           if (p >= 0) n * p / 100
           else n - (n * -p / 100)
         case CondRx(k, rest) =>
-          if (n <= k.toInt) n else resolve(rest, n)
+          if (n <= k.toInt) n else atomic(rest)
         case other => throw new IllegalArgumentException(
           s"minimum_should_match: unsupported spec <$other> " +
-            "(integer, -integer, pct%, -pct%, or one k<spec conditional)")
+            "(integer, -integer, pct%, k<spec, or a space-separated " +
+            "k<spec chain)")
+      }
+      val v = spec.trim.split("\\s+").toSeq.filter(_.nonEmpty) match {
+        case Seq() => throw new IllegalArgumentException(
+          "minimum_should_match: empty spec")
+        case Seq(one) => atomic(one)
+        case chain =>
+          val conds = chain.map {
+            case CondRx(k, rest) => k.toInt -> rest
+            case other => throw new IllegalArgumentException(
+              s"minimum_should_match: chain part <$other> is not a " +
+                "k<spec conditional — chains combine conditionals only")
+          }
+          require(conds.map(_._1).distinct.size == conds.size,
+            s"minimum_should_match: chain <$spec> repeats a clause-count " +
+              "bound — which spec applies there would be ambiguous")
+          conds.filter(_._1 < n).sortBy(_._1).lastOption match {
+            case None => n // n at or below every bound: all required
+            case Some((_, rest)) => atomic(rest)
+          }
       }
       require(v >= 1 && v <= n,
         s"minimum_should_match: spec <$spec> resolves to $v of $n clauses — " +

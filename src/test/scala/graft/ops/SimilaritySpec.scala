@@ -177,6 +177,16 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Similarity.matryoshkaRecallReport(big, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 5, dims = Nil))
+    // a corpus SHORTER than k (3 non-self neighbors per query against
+    // k = 5): the denominator is the full ranking's ACTUAL size, so the
+    // identity rung still reads exactly 1.0 — an nq·k denominator would
+    // bias every rung to ≤ 0.6 (the round-16 advice)
+    val tiny = big.where(col("vec_id") < 4)
+    val short = Similarity.matryoshkaRecallReport(tiny, "vec_id", "embedding",
+        tiny, "vec_id", "embedding", k = 5, dims = Seq(2, 4))
+      .as[(Int, Double)].collect().toMap
+    assert(short(4) === 1.0, s"identity rung biased low: $short")
+    assert(short(2) === 1.0)
   }
 
   test("lshTopK recall vs brute force is monotone in probeBits, exhaustive at numPlanes") {

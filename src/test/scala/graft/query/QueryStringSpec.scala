@@ -206,12 +206,30 @@ class QueryStringSpec extends SparkSpecBase {
     assert(resolve("3<90%", 3) === 3) // n ≤ k: all required
     assert(resolve("3<90%", 10) === 9)
     assert(resolve("3<-1", 10) === 9)
+    // conditional CHAINS — the ES documentation's own multiple-combination
+    // example `2<-25% 9<-3`: 1-2 clauses all required, 3-9 drop 25%,
+    // 10+ drop 3; the LARGEST k below n picks the spec, in any order
+    assert(resolve("2<-25% 9<-3", 2) === 2)   // at the bound: all
+    assert(resolve("2<-25% 9<-3", 3) === 3)   // 3 − ⌊0.75⌋
+    assert(resolve("2<-25% 9<-3", 8) === 6)   // 8 − ⌊2.0⌋
+    assert(resolve("2<-25% 9<-3", 9) === 7)   // 9 − ⌊2.25⌋ — still the 2< leg
+    assert(resolve("2<-25% 9<-3", 10) === 7)  // the 9< leg takes over
+    assert(resolve("2<-25% 9<-3", 24) === 21)
+    assert(resolve("9<-3 2<-25%", 10) === 7)  // order-insensitive
+    assert(resolve("3<2 6<50%", 4) === 2)     // positive specs chain too
     // degenerate results reject loudly (pure-OR or never-matching groups)
     intercept[IllegalArgumentException](resolve("10%", 4)) // floor(0.4) = 0
     intercept[IllegalArgumentException](resolve("-5", 4))
     intercept[IllegalArgumentException](resolve("7", 4))
     intercept[IllegalArgumentException](resolve("2<", 4))
     intercept[IllegalArgumentException](resolve("banana", 4))
+    // a NESTED conditional is not the chain grammar (its left-to-right
+    // reading would contradict ES's largest-k rule) — reject, never
+    // silently accept with different semantics
+    intercept[IllegalArgumentException](resolve("2<3<90%", 10))
+    // chain faults: a non-conditional part, a repeated bound
+    intercept[IllegalArgumentException](resolve("2<-25% 75%", 10))
+    intercept[IllegalArgumentException](resolve("2<-25% 2<-3", 10))
     // the typable grammar carries the same forms on a group suffix
     assert(parse("(text:dup text:merge text:scan text:vector)~75%") ===
       parse("(text:dup text:merge text:scan text:vector)~3"))
