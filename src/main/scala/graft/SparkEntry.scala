@@ -2658,6 +2658,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_intervals_all_of_mixed" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES intervals all_of unordered over MIXED-length slots (round-16
+      // verdict #7 — the formerly-rejected domain): ("scan" |
+      // "batch scan") then ("merge"), gap budget 0, any arrangement.
+      // Evaluated per the minimal-interval algebra (IntervalsAllOf
+      // scaladoc: per-slot OR-minimization — every "batch scan"
+      // occurrence contains a "scan", so the wide alternative never
+      // serves — then combine-minimal candidate windows). The algebra
+      // does real work at this fixture: 49 sf0.01 docs vs 51 under the
+      // naive exists-a-choice evaluation whose over-match the old
+      // loud reject pinned (58 vs 59 at sf0.001, 515 vs 522 at sf0.1).
+      // Certified against an independent brute-force evaluator in
+      // ProximitySemanticsSpec; the oracle restates the same algebra in
+      // SQL (1-based positions — window arithmetic is base-invariant).
+      val spec = graft.query.FilterSpec.IntervalsAllOf("text",
+        Seq(Seq("scan", "batch scan"), Seq("merge")), maxGaps = 0,
+        ordered = false)
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_wildcard" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES term-level wildcard (embedded ? defeats analyze_wildcard's
@@ -7619,6 +7642,47 @@ object SparkEntry {
         |WHERE (greatest(s1.e, s2.e) - least(s1.s, s2.s) + 1)
         |  - ((s1.e - s1.s + 1) + (s2.e - s2.s + 1)) <= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // all_of unordered MIXED-length slots restated: the same occurrence
+    // intervals, per-slot OR-minimization as a correlated NOT EXISTS
+    // (an interval properly containing another of its slot never
+    // serves), the cross-joined candidate windows, and combine
+    // minimality as a second NOT EXISTS over the candidates — the
+    // minimal-interval algebra end to end in SQL.
+    "q_intervals_all_of_mixed" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, u.i AS s, u.i AS e
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |  UNION ALL
+        |  SELECT doc_id, u.i, u.i + 1
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i:u.i+1] = ['batch', 'scan']
+        |), s1m AS (
+        |  SELECT * FROM s1 x WHERE NOT EXISTS (
+        |    SELECT 1 FROM s1 y WHERE y.doc_id = x.doc_id
+        |      AND y.s >= x.s AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+        |), s2 AS (
+        |  SELECT doc_id, u.i AS s, u.i AS e
+        |  FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'merge'
+        |), cand AS (
+        |  SELECT s1m.doc_id, least(s1m.s, s2.s) AS ws,
+        |    greatest(s1m.e, s2.e) AS we,
+        |    (s1m.e - s1m.s + 1) + (s2.e - s2.s + 1) AS inner_w
+        |  FROM s1m JOIN s2 USING (doc_id)
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM cand c JOIN t ON c.doc_id = t.doc_id
+        |WHERE (c.we - c.ws + 1) - c.inner_w <= 0
+        |  AND NOT EXISTS (SELECT 1 FROM cand d WHERE d.doc_id = c.doc_id
+        |    AND d.ws >= c.ws AND d.we <= c.we
+        |    AND (d.ws > c.ws OR d.we < c.we))
+        |ORDER BY t.doc_id""".stripMargin,
 
     // intervals ordered match: 'scan' strictly before 'spark' with at
     // most max_gaps intervening positions.

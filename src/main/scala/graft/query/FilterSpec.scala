@@ -553,31 +553,57 @@ object FilterSpec {
     * strictly ordered and non-overlapping (`s_{k+1} > e_k`).
     *
     * `ordered = false` (ES `ordered: false`, round-15 verdict "decide
-    * unordered all_of"): Lucene's unordered source — any arrangement,
-    * overlaps ALLOWED (including two slots matching the same occurrence
-    * of the same term; Lucene's separate `unorderedNoOverlaps` mode is
-    * not this flag), gaps = enclosing width − Σ chosen widths, which
-    * overlaps can drive negative. Implemented as "some choice of one
-    * occurrence per slot satisfies the gap bound", which EQUALS Lucene's
-    * minimal-interval enumeration + maxgaps filter exactly when each
-    * slot's alternatives share one analyzed length (proof sketch: a
-    * passing window either is minimal or contains a minimal window over
-    * the same slots; uniform widths make Σ widths choice-invariant, and
-    * a contained window is narrower, so its gaps only shrink). A slot
-    * MIXING alternative lengths breaks that containment argument — a
-    * suppressed non-minimal window could pass while every minimal one
-    * fails — so the unordered form REJECTS mixed-length slots loudly
-    * rather than ship a silently-over-matching semantic (the pinned
-    * divergence risk; split the slot into per-length queries or use the
-    * ordered form).
+    * unordered all_of"; mixed-length slots round-16 verdict #7): Lucene's
+    * unordered source — any arrangement, overlaps ALLOWED (including two
+    * slots matching the same occurrence of the same term; Lucene's
+    * separate `unorderedNoOverlaps` mode is not this flag), gaps =
+    * enclosing width − Σ chosen widths, which overlaps can drive
+    * negative. Implemented as the MINIMAL-INTERVAL algebra Lucene's
+    * intervals framework defines (Clarke–Cormack GC-lists):
+    *
+    *  1. per slot, the occurrence set of all alternatives is
+    *     OR-MINIMIZED — an interval properly containing another of the
+    *     same slot is dropped (Lucene's `Intervals.or` rule: the slot
+    *     `("scan" | "batch scan")` only ever matches `scan`, because
+    *     every `batch scan` occurrence contains one);
+    *  2. every choice of one minimized interval per slot yields a
+    *     candidate window `[min start, max end]` carrying Σ chosen
+    *     widths;
+    *  3. a candidate whose window PROPERLY CONTAINS another candidate's
+    *     window is never emitted (the unordered iterator enumerates
+    *     minimal combined intervals only);
+    *  4. the document matches iff some emitted candidate passes the gap
+    *     bound.
+    *
+    * On slots whose alternatives share one analyzed length this EQUALS
+    * the plain "some choice passes" evaluation (proof: Σ widths is
+    * choice-invariant, per-slot minimization is a no-op on equal widths,
+    * and a passing window contains a containment-minimal candidate whose
+    * narrower window only shrinks the gaps — so minimality never changes
+    * the existential answer), which is the previously-certified uniform
+    * semantics; fixtures pinned there stay pinned. On MIXED-length slots
+    * the minimality steps do real work: a wider alternative inflates
+    * Σ widths, so a suppressed non-minimal window could pass while every
+    * minimal one fails — the formerly-rejected divergence domain, now
+    * evaluated per the written algebra above and certified against an
+    * independent brute-force evaluator (ProximitySemanticsSpec). Residual
+    * Lucene-fidelity note: Lucene's ITERATOR computes its gap value from
+    * live sub-iterator state (with a padding rule for sub-intervals
+    * extending past the emitted end) rather than per choice tuple; on
+    * every certified configuration the written algebra and the shipped
+    * gap formula agree with brute-force enumeration, and the formula is
+    * the class-documented `width − Σ widths` throughout.
     *
     * Compile shape: per-alternative phrase-occurrence intervals as
     * `array<struct<s,e>>` built by a bounded window-compare `transform`
     * over the row's own token list (alternatives concat into the slot's
-    * interval set), then one nested `exists` chain across slots — all
-    * row-local higher-order Column algebra, no UDF, no join; per-row cost
-    * is the product of slot occurrence counts, bounded by document
-    * length.
+    * interval set). Ordered then runs one nested `exists` chain across
+    * slots; unordered materializes the candidate windows through a
+    * let-bound minimize → cross-product → minimal+gaps pipeline — all
+    * row-local higher-order Column algebra, no UDF, no join; per-row
+    * cost is the product of slot occurrence counts (plus a quadratic
+    * containment scan over candidates for unordered), bounded by
+    * document length and guarded by the codegen'd substring probes.
     */
   final case class IntervalsAllOf(field: String, slots: Seq[Seq[String]],
       maxGaps: Int, ordered: Boolean = true) extends FilterSpec {
@@ -591,13 +617,6 @@ object FilterSpec {
         require(ts.nonEmpty, s"intervals all_of: no analyzable tokens in <$p>")
         ts
       })
-      if (!ordered) analyzedSlots.zip(slots).foreach { case (alts, raw) =>
-        require(alts.map(_.length).distinct.size == 1,
-          s"intervals all_of unordered: slot ${raw.mkString("(", " | ", ")")} " +
-            "mixes alternative lengths — the exists-a-choice evaluation can " +
-            "over-match vs Lucene's minimal-interval enumeration there " +
-            "(see scaladoc); split the slot by length or use ordered: true")
-      }
       // cheap NECESSARY guard: every slot needs some alternative present
       // as a contiguous token sequence (codegen'd substring probes; `&&`
       // short-circuits so the position work below runs only on candidate
@@ -614,6 +633,17 @@ object FilterSpec {
       // start list FROM the bound tokens (element_at on a lambda
       // variable is O(1)) and bind those, (3) chain over bound fields.
       val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      if (!ordered && analyzedSlots.size > 1)
+        contains && compileUnordered(toks, analyzedSlots)
+      else
+        contains && compileOrderedOrSingle(toks, analyzedSlots)
+    }
+
+    /** The ordered chain (and the flag-independent single-slot
+      * degeneration) over bound per-alternative start lists.
+      */
+    private def compileOrderedOrSingle(
+        toks: Column, analyzedSlots: Seq[Seq[Seq[String]]]): Column = {
       val flat = analyzedSlots.zipWithIndex.flatMap { case (alts, si) =>
         alts.zipWithIndex.map { case (ts, ai) => (s"_s${si}_$ai", ts) }
       }
@@ -621,7 +651,7 @@ object FilterSpec {
         analyzedSlots.zipWithIndex.map { case (alts, si) =>
           alts.zipWithIndex.map { case (ts, ai) => (s"_s${si}_$ai", ts.length) }
         }
-      contains && exists(array(struct(toks.as("_t"))), trow => {
+      exists(array(struct(toks.as("_t"))), trow => {
         val tk = trow("_t")
         // occurrence START positions of one analyzed phrase — a plain
         // INT list (lengths are static per alternative: e = s + L − 1 is
@@ -662,37 +692,74 @@ object FilterSpec {
                 }.reduce(_ || _)
               case Seq() => lit(true) // unreachable: slots is non-empty
             }
-          // unordered chain (Lucene unordered, overlaps allowed): fold
-          // the running enclosing window (min start, max end) through
-          // one pick per slot; the leaf closes the same gap algebra —
-          // enclosing width − Σ static widths ≤ maxGaps, no arrangement
-          // constraint at all (widths stay compile-time Ints)
-          def chainUnordered(rest: Seq[Seq[(String, Int)]], minS: Column,
-              maxE: Column, widthSum: Int): Column =
-            rest match {
-              case Seq() =>
-                (maxE - minS + lit(1)) - lit(widthSum) <= lit(maxGaps)
-              case slot +: tail =>
-                slot.map { case (name, len) =>
-                  exists(row(name), s =>
-                    chainUnordered(tail, least(minS, s),
-                      greatest(maxE, s + lit(len - 1)), widthSum + len))
-                }.reduce(_ || _)
-            }
           slotAlts match {
             case Seq(only) =>
               only.map { case (name, _) => exists(row(name), _ => lit(true)) }
                 .reduce(_ || _)
-            case first +: rest if ordered =>
+            case first +: rest =>
               first.map { case (name, len) =>
                 exists(row(name), s => chain(rest, s + lit(len - 1), s, len))
               }.reduce(_ || _)
-            case first +: rest =>
-              first.map { case (name, len) =>
-                exists(row(name), s =>
-                  chainUnordered(rest, s, s + lit(len - 1), len))
-              }.reduce(_ || _)
           }
+        })
+      })
+    }
+
+    /** The unordered minimal-interval pipeline (class scaladoc steps
+      * 1-4), as staged per-row let-bindings — every array an inner
+      * lambda iterates is a bound struct field, never a rebuilt
+      * expression (the HOF rebinding discipline):
+      *
+      *  L1 bind the token list; L2 bind each slot's RAW occurrence
+      *  intervals (alternatives concatenated, `struct<s, e>` with the
+      *  end a static-length literal offset); L3 bind each slot's
+      *  OR-MINIMIZED intervals (a quadratic filter-over-exists on the
+      *  bound raw field); L4 bind the candidate windows (an unrolled
+      *  cross-product fold accumulating `struct<ws, we, inner>`); L5
+      *  one `exists`: a candidate passing the gap bound with NO other
+      *  candidate properly contained in its window.
+      */
+    private def compileUnordered(
+        toks: Column, analyzedSlots: Seq[Seq[Seq[String]]]): Column = {
+      val n = analyzedSlots.size
+      exists(array(struct(toks.as("_t"))), trow => {
+        val tk = trow("_t")
+        val rawIvals = analyzedSlots.zipWithIndex.map { case (alts, si) =>
+          val perAlt = alts.map { ts =>
+            transform(phraseStartsIn(tk, ts),
+              s => struct(s.as("s"), (s + lit(ts.length - 1)).as("e")))
+          }
+          val all = if (perAlt.size == 1) perAlt.head else concat(perAlt: _*)
+          all.as(s"_iv$si")
+        }
+        exists(array(struct(rawIvals: _*)), rrow => {
+          def properlyInside(y: Column, x: Column): Column =
+            y("s") >= x("s") && y("e") <= x("e") &&
+              (y("s") > x("s") || y("e") < x("e"))
+          val minIvals = (0 until n).map { si =>
+            val a = rrow(s"_iv$si")
+            filter(a, x => !exists(a, y => properlyInside(y, x)))
+              .as(s"_mv$si")
+          }
+          exists(array(struct(minIvals: _*)), mrow => {
+            val first = transform(mrow("_mv0"), i => struct(
+              i("s").as("ws"), i("e").as("we"),
+              (i("e") - i("s") + lit(1)).as("inner")))
+            val cands = (1 until n).foldLeft(first) { (acc, si) =>
+              flatten(transform(acc, c => transform(mrow(s"_mv$si"), i =>
+                struct(least(c("ws"), i("s")).as("ws"),
+                  greatest(c("we"), i("e")).as("we"),
+                  (c("inner") + (i("e") - i("s") + lit(1))).as("inner")))))
+            }
+            exists(array(struct(cands.as("_c"))), crow => {
+              val cs = crow("_c")
+              exists(cs, c =>
+                (c("we") - c("ws") + lit(1)) - c("inner") <= lit(maxGaps) &&
+                  !exists(cs, d =>
+                    d("ws") >= c("ws") && d("we") <= c("we") &&
+                      (d("ws") > c("ws") || d("we") < c("we"))))
+            })
+          })
         })
       })
     }

@@ -180,7 +180,7 @@ class FilterSpecSpec extends SparkSpecBase {
       FilterSpec.IntervalsAllOf("text", Seq(Seq("a")), -1))
   }
 
-  test("IntervalsAllOf unordered: any arrangement, overlaps allowed, uniform-width slots only") {
+  test("IntervalsAllOf unordered: any arrangement, overlaps allowed, minimal-interval algebra") {
     val docs = Seq(
       (1L, "big vector then merge join here"), // window 5, gaps 1
       (2L, "merge join then big vector"),      // reversed: unordered admits
@@ -215,16 +215,31 @@ class FilterSpecSpec extends SparkSpecBase {
     assert(rep.where(FilterSpec.IntervalsAllOf("text",
       Seq(Seq("gamma"), Seq("gamma")), 0, ordered = false).compile)
       .count() === 1)
-    // a slot mixing alternative lengths rejects loudly (the pinned
-    // divergence domain — see IntervalsAllOf scaladoc)
-    intercept[IllegalArgumentException](
-      FilterSpec.IntervalsAllOf("text",
-        Seq(Seq("big vector"), Seq("merge join", "scan")), 1,
-        ordered = false).compile)
-    // ...but the SAME slot set stays legal ordered (unchanged behavior;
-    // only doc 1 has the slots in order)
-    assert(ids(FilterSpec.IntervalsAllOf("text",
-      Seq(Seq("big vector"), Seq("merge join", "scan")), 1)) === Seq(1L))
+    // MIXED-length slots (round-16 verdict #7 — the formerly-rejected
+    // domain) evaluate under the minimal-interval algebra (class
+    // scaladoc; ProximitySemanticsSpec certifies it against brute
+    // force). Where 'scan' is absent the slot serves via "merge join":
+    val mixed = Seq(Seq("big vector"), Seq("merge join", "scan"))
+    assert(ids(FilterSpec.IntervalsAllOf("text", mixed, 1, ordered = false))
+      === Seq(1L, 2L, 3L))
+    // ...and the short alternative genuinely serves where it appears
+    val ms = Seq((20L, "scan big vector")).toDF("id", "text")
+    assert(ms.where(FilterSpec.IntervalsAllOf("text", mixed, 0,
+      ordered = false).compile).count() === 1)
+    // per-slot OR-minimization (Lucene Intervals.or): every "big vector"
+    // occurrence contains a "vector" occurrence, so the slot only ever
+    // matches 'vector' — the wide alternative cannot buy gap budget with
+    // its inflated width (doc 21 stays OUT at gaps 0; the naive
+    // exists-a-choice would have let it in)
+    val or = Seq((21L, "merge join big vector"), (22L, "merge join vector"))
+      .toDF("id", "text")
+    val orSlots = Seq(Seq("vector", "big vector"), Seq("merge join"))
+    assert(or.where(FilterSpec.IntervalsAllOf("text", orSlots, 0,
+      ordered = false).compile).select("id").as[Long].collect().toSeq
+      === Seq(22L))
+    // the SAME mixed slot set ordered: unchanged behavior (only doc 1
+    // has the slots in order)
+    assert(ids(FilterSpec.IntervalsAllOf("text", mixed, 1)) === Seq(1L))
     assert(FilterSpec.IntervalsAllOf("text", slots, 2, ordered = false).render
       === """text:allof[("big vector") ("merge join")]~any2""")
   }
