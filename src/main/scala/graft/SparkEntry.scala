@@ -6079,6 +6079,35 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "search_sparse_vector_rescored" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES's full token-pruning serving story, composed from this
+      // round's pieces: quantize the learned weights to dyadics, PRUNE
+      // the frequent+light tokens for the cheap retrieval leg, then
+      // rescore only the top-10 window with the pruned remainder
+      // (`only_score_pruned_tokens: true` in a rescorer — the documented
+      // companion of `prune`). Inside the window the total is the EXACT
+      // full-query score (kept + pruned legs partition the terms);
+      // below it, the cheap leg's order stands. Work profile at corpus
+      // scale: the expensive wide posting lists (the pruned stop-words)
+      // are only ever joined against the 10-doc window, never the
+      // match set.
+      val postings = query.SparseVector.tfPostings(
+        load(dir, "documents"), "doc_id", "text")
+      val all = query.SparseVector.quantizeWeights(
+        Seq("vector" -> 2.0, "dup" -> 0.5, "scan" -> 0.3, "merge" -> 0.25))
+      val kept = query.SparseVector.prune(postings, all,
+        freqRatioThreshold = 1.0, weightThreshold = 0.4)
+      val pruned = query.SparseVector.prune(postings, all,
+        freqRatioThreshold = 1.0, weightThreshold = 0.4,
+        onlyScorePrunedTokens = true)
+      query.Hybrid.rescore(
+          query.SparseVector.score(postings, "doc_id", kept), "doc_id", "score",
+          query.SparseVector.score(postings, "doc_id", pruned), "score",
+          windowSize = 10)
+        .orderBy("rank").limit(15)
+    }),
+
     "stream_sparse_vector" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The sparse index as a MAINTAINED at-rest table: the corpus joins
@@ -10016,6 +10045,62 @@ object SparkEntry {
         |  sum(weight * qw) AS score
         |FROM p JOIN q USING (term) GROUP BY doc_id
         |ORDER BY rank LIMIT 15""".stripMargin,
+
+    // The pruning+rescore composition restated: quantized weights, the
+    // ES keep rule splitting the query into kept/pruned legs, the cheap
+    // leg's ranked run bounded at the rescore page budget (QUALIFY
+    // prank ≤ 1000 — the same distributed-top-k cut), the top-10 window
+    // totalled with the pruned leg (1.0·x + 1.0·y, IEEE-exact dyadics),
+    // the tail keeping primary order.
+    "search_sparse_vector_rescored" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, u.x AS term FROM t, unnest(toks) AS u(x)
+        |), p AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS weight
+        |  FROM e GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY term
+        |), a AS (
+        |  SELECT count(*)::DOUBLE / count(DISTINCT term) AS avg_df FROM p
+        |), q0 AS (
+        |  SELECT term, floor(w * 256.0 + 0.5) / 256.0 AS qw
+        |  FROM (VALUES ('vector', 2.0), ('dup', 0.5), ('scan', 0.3),
+        |    ('merge', 0.25)) AS v(term, w)
+        |), mx AS (SELECT max(qw) AS best FROM q0
+        |), keep AS (
+        |  SELECT q0.term, q0.qw FROM q0 LEFT JOIN df USING (term), a, mx
+        |  WHERE NOT (coalesce(df.df, 0.0) > 1.0 * a.avg_df
+        |    AND q0.qw < 0.4 * mx.best)
+        |), prn AS (
+        |  SELECT q0.term, q0.qw FROM q0 LEFT JOIN df USING (term), a, mx
+        |  WHERE coalesce(df.df, 0.0) > 1.0 * a.avg_df
+        |    AND q0.qw < 0.4 * mx.best
+        |), run AS (
+        |  SELECT doc_id, sum(weight * qw) AS score
+        |  FROM p JOIN keep USING (term) GROUP BY doc_id
+        |), bounded AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS prank
+        |  FROM run QUALIFY prank <= 1000
+        |), sec AS (
+        |  SELECT doc_id, sum(weight * qw) AS s2
+        |  FROM p JOIN prn USING (term) GROUP BY doc_id
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.prank <= 10
+        |      THEN 1.0 * b.score + 1.0 * coalesce(sec.s2, 0.0)
+        |      ELSE b.score END AS score,
+        |    CASE WHEN b.prank <= 10 THEN 0 ELSE 1 END AS tier
+        |  FROM bounded b LEFT JOIN sec USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY tier ASC, score DESC, doc_id ASC) AS rank,
+        |  score
+        |FROM scored ORDER BY rank LIMIT 15""".stripMargin,
 
     // Quantized learned weights restated: the identical
     // floor(w·256 + 0.5)/256 dyadic snap on the same double literals
