@@ -99,8 +99,11 @@ object Bench {
       // headline, never the committed data)
       "ann_ivf_nlist256", "ann_ivfpq_nlist256", "ann_ivf_sampled",
       // at-rest-index maintenance twin of the visible ann_ivf (same
-      // serving plan over the published index)
-      "ann_ivf_incremental",
+      // serving plan over the published index), and the compacted
+      // lifecycle twins of the maintenance pair (in-query compaction
+      // writes dominate their timings by design)
+      "ann_ivf_incremental", "ann_ivf_compacted",
+      "stream_sparse_vector_compacted",
       "dedup_exact_fingerprint", "dedup_exact_incremental",
       "decontaminate_fuzzy", "decontaminate_containment",
       "join_asof_forward", "join_rolling_features_chunked",

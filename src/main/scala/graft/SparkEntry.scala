@@ -4628,6 +4628,40 @@ object SparkEntry {
         emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 3)
     }),
 
+    "ann_ivf_compacted" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ann_ivf_incremental's lifecycle driven THROUGH a compaction
+      // (round-17 batch 1): epochs 0/1 append with epoch 0 replayed,
+      // compactIvfIndexIncrements folds the history to the served rows
+      // under the sentinel epoch (staged swap, cell layout preserved),
+      // then a post-compaction epoch RE-EMITS a third of the vectors —
+      // identical embeddings, so the latest-epoch cut must pick the new
+      // rows AND not double-serve against the sentinel rows; any
+      // mistake in the cut breaks the hash. The oracle is
+      // ann_ivf_incremental's VERBATIM: compaction and the
+      // post-compaction update must be invisible to serving.
+      val emb = load(dir, "embeddings")
+      val initial = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val centroids = Similarity.kmeansCentroids(initial, "vec_id", "embedding",
+        k = 8, iters = 0)
+      val path = s"/tmp/graft_ivf_cmp_${math.abs(dir.hashCode)}"
+      graft.store.FsOps.fileSystem(s, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      def inc(epoch: Long, cond: Column): DataFrame =
+        Similarity.assignCells(emb.where(cond), "vec_id", "embedding", centroids)
+          .withColumn("inc_batch_id", lit(epoch))
+      inc(0L, pmod(col("vec_id"), lit(2)) === 0)
+        .unionByName(inc(1L, pmod(col("vec_id"), lit(2)) === 1))
+        .unionByName(inc(0L, pmod(col("vec_id"), lit(2)) === 0)) // replay
+        .write.mode("append").partitionBy("cell").parquet(path)
+      EventStreams.compactIvfIndexIncrements(s, path)
+      inc(2L, pmod(col("vec_id"), lit(3)) === 0) // post-compaction update
+        .write.mode("append").partitionBy("cell").parquet(path)
+      val index = EventStreams.ivfIndexFromIncrements(s, path)
+      Similarity.ivfTopKFromIndex(index, centroids,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 3)
+    }),
+
     "ann_filtered" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES 8 knn-with-filter, PRE-filter semantics: only candidates
@@ -6126,6 +6160,41 @@ object SparkEntry {
           .withColumn("inc_batch_id", lit(epoch.toLong))
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
         .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+      val postings = streaming.EventStreams.postingsFromIncrements(
+        s, "doc_id", path)
+      query.SparseVector.topK(postings, "doc_id",
+          Seq("vector" -> 2.0, "dup" -> 1.5, "scan" -> 0.5), k = 15)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("rank")
+    }),
+
+    "stream_sparse_vector_compacted" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // stream_sparse_vector's lifecycle driven THROUGH a compaction
+      // (round-17 batch 1): epoch appends + a replay, then
+      // compactPostingsIncrements folds the history to the live
+      // (doc, term) rows under the sentinel epoch (staged swap —
+      // term_bucket layout and the num_buckets contract column
+      // preserved), then a post-compaction epoch RE-EMITS a third of
+      // the documents with identical text: the per-DOC latest-epoch cut
+      // must serve the new rows and drop those docs' sentinel rows
+      // whole — a per-(doc, term) cut or a dedup slip double-counts and
+      // breaks the hash. Oracle: search_sparse_vector's VERBATIM.
+      val docs = load(dir, "documents")
+      val path = s"/tmp/graft_postings_cmp_${math.abs(dir.hashCode)}"
+      graft.store.FsOps.fileSystem(s, path)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
+      def inc(epoch: Long, cond: Column): DataFrame =
+        query.SparseVector.tfPostingsBucketed(
+            docs.where(cond), "doc_id", "text", numBuckets = 64)
+          .withColumn("inc_batch_id", lit(epoch))
+      inc(0L, pmod(col("doc_id"), lit(2)) === 0)
+        .unionByName(inc(1L, pmod(col("doc_id"), lit(2)) === 1))
+        .unionByName(inc(0L, pmod(col("doc_id"), lit(2)) === 0)) // replay
+        .write.mode("append").partitionBy("term_bucket").parquet(path)
+      streaming.EventStreams.compactPostingsIncrements(s, "doc_id", path)
+      inc(2L, pmod(col("doc_id"), lit(3)) === 0) // post-compaction update
+        .write.mode("append").partitionBy("term_bucket").parquet(path)
       val postings = streaming.EventStreams.postingsFromIncrements(
         s, "doc_id", path)
       query.SparseVector.topK(postings, "doc_id",
@@ -10011,6 +10080,10 @@ object SparkEntry {
 
     "stream_sparse_vector" -> sparseVectorOracleSql,
 
+    // The compacted lifecycle twin shares it too: the sentinel fold, the
+    // staged swap, and the post-compaction re-emit must be invisible.
+    "stream_sparse_vector_compacted" -> sparseVectorOracleSql,
+
     // Token pruning restated end to end: df per term IS the postings row
     // count (one row per (doc, term)), avg df is total rows over distinct
     // terms, and the ES keep rule — NOT (frequent outlier AND
@@ -11118,6 +11191,28 @@ object SparkEntry {
     // initial half only (trainPred), assignment and probing run over the
     // whole corpus against them — the maintained index's serve-time view.
     "ann_ivf_incremental" -> {
+      s"""WITH ${ivfAssignCtesSql(nlist = 8, trainPred = "vec_id % 2 = 0")}, qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell
+         |  FROM cellranked WHERE r <= 3 AND vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    list_inner_product(a.v, q.qv)
+         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+         |  FROM assigned a JOIN qprobe q ON a.cell = q.cell
+         |  WHERE a.vec_id <> q.query_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // The compacted lifecycle twin shares ann_ivf_incremental's oracle
+    // VERBATIM: compaction (sentinel fold + staged swap) and the
+    // post-compaction re-emit must be invisible to serving.
+    "ann_ivf_compacted" -> {
       s"""WITH ${ivfAssignCtesSql(nlist = 8, trainPred = "vec_id % 2 = 0")}, qprobe AS (
          |  SELECT vec_id AS query_id, v AS qv, cell
          |  FROM cellranked WHERE r <= 3 AND vec_id < 5
