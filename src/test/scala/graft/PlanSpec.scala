@@ -595,6 +595,44 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("mixed-length unordered all_of is a row-local scan: pruned columns, no shuffle, no join") {
+    val path = tmp(Seq((1L, "merge batch scan", "en", "web", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val df = spark.read.parquet(path)
+      .where(graft.query.FilterSpec.IntervalsAllOf("text",
+        Seq(Seq("scan", "batch scan"), Seq("merge")), maxGaps = 0,
+        ordered = false).compile)
+      .select("doc_id", "lang")
+    val plan = planOf(df)
+    // the five-level candidate pipeline (minimize, cross-product,
+    // minimality scan) must stay entirely inside the row — the quadratic
+    // work is per-document HOF algebra, never a materialized join
+    assert(!plan.contains("Exchange"), s"mixed all_of must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"mixed all_of must not join:\n$plan")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("n_chars") &&
+      !read.contains("source"), s"scan reads too much:\n$read")
+  }
+
+  test("sparse rescore: broadcast term joins + a bounded top-k page cut, no corpus-wide sort") {
+    val docs = Seq((1L, "vector scan vector"), (2L, "dup merge"),
+      (3L, "scan scan scan"), (4L, "dup vector")).toDF("doc_id", "text")
+    val postings = graft.query.SparseVector.tfPostings(docs, "doc_id", "text")
+    val plan = planOf(graft.query.Hybrid.rescore(
+      graft.query.SparseVector.score(postings, "doc_id",
+        Seq("vector" -> 2.0, "dup" -> 0.5)), "doc_id", "score",
+      graft.query.SparseVector.score(postings, "doc_id",
+        Seq("scan" -> 0.25)), "score",
+      windowSize = 2))
+    // both sparse legs broadcast their (term, weight) literals; the run
+    // is page-bounded by TakeOrderedAndProject (distributed top-k),
+    // never a whole-match-set single-partition sort before the cut
+    assert(plan.contains("BroadcastHashJoin"), s"term joins must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the page cut must be a distributed top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("radius vector search broadcasts the query side — the corpus never shuffles") {
     val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val plan = planOf(graft.ops.Similarity.bruteForceRadius(
