@@ -159,6 +159,30 @@ object SparseVector {
     */
   def prune(postings: DataFrame, queryWeights: Seq[(String, Double)],
       freqRatioThreshold: Double = 5.0, weightThreshold: Double = 0.4,
+      onlyScorePrunedTokens: Boolean = false): Seq[(String, Double)] =
+    pruneAgainstDf(dfStats(postings), queryWeights,
+      freqRatioThreshold, weightThreshold, onlyScorePrunedTokens)
+
+  /** The vocabulary-sized `(term, df)` table of a postings table — one
+    * row per (doc, term) makes df a row count per term. This is the
+    * artifact a deployment MAINTAINS (the
+    * [[graft.streaming.EventStreams.maintainGramDf]] pattern applies
+    * verbatim with terms as the key) so [[pruneAgainstDf]] never
+    * re-scans the corpus per query.
+    */
+  def dfStats(postings: DataFrame): DataFrame =
+    postings.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+  /** [[prune]] against a PRECOMPUTED `(term, df)` table — the serving
+    * shape at corpus scale: the df table is vocabulary-sized (cacheable,
+    * incrementally maintainable), the average folds from it in one tiny
+    * aggregate, and only the query terms' rows collect (broadcast-join
+    * bounded by the query size). Identical keep/prune decisions to
+    * [[prune]] whenever the table equals [[dfStats]] of the postings —
+    * SparseVectorSpec pins the equality.
+    */
+  def pruneAgainstDf(dfTable: DataFrame, queryWeights: Seq[(String, Double)],
+      freqRatioThreshold: Double = 5.0, weightThreshold: Double = 0.4,
       onlyScorePrunedTokens: Boolean = false): Seq[(String, Double)] = {
     require(queryWeights.nonEmpty, "sparse_vector prune: empty query")
     require(freqRatioThreshold >= 1 && freqRatioThreshold <= 100,
@@ -166,17 +190,14 @@ object SparseVector {
         s"(the ES tokens_freq_ratio_threshold range), got $freqRatioThreshold")
     require(weightThreshold >= 0 && weightThreshold <= 1,
       s"sparse_vector prune: weightThreshold must be in [0, 1], got $weightThreshold")
-    val spark = postings.sparkSession
+    val spark = dfTable.sparkSession
     import spark.implicits._
-    val stats = postings.agg(
-        (count(lit(1)).cast("double") /
-          countDistinct(col("term")).cast("double")).as("avg_df"))
-      .head()
+    val stats = dfTable.agg(avg(col("df")).as("avg_df")).head()
     val avgDf = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
     val q = queryWeights.toDF("term", "_qw")
-    val dfByTerm = postings.groupBy("term")
-      .agg(count(lit(1)).cast("double").as("df"))
+    val dfByTerm = dfTable
       .join(broadcast(q.select("term")), Seq("term"))
+      .select(col("term"), col("df").cast("double"))
       .as[(String, Double)].collect().toMap
     val best = queryWeights.map(_._2).max
     val (pruned, kept) = queryWeights.partition { case (t, w) =>

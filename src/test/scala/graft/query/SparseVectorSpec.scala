@@ -116,6 +116,19 @@ class SparseVectorSpec extends SparkSpecBase {
       SparseVector.prune(postings, q3, freqRatioThreshold = 0.5))
     intercept[IllegalArgumentException](
       SparseVector.prune(postings, q3, weightThreshold = 1.5))
+    // the serving shape: pruning against a PRECOMPUTED (maintained)
+    // df table decides identically to the corpus-scanning form — and
+    // an at-rest round-trip of the stats changes nothing (integer dfs)
+    val stats = SparseVector.dfStats(postings)
+    assert(SparseVector.pruneAgainstDf(stats, q3, freqRatioThreshold = 1.0)
+      === SparseVector.prune(postings, q3, freqRatioThreshold = 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sv_df").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/df"
+    stats.write.parquet(p)
+    assert(SparseVector.pruneAgainstDf(spark.read.parquet(p), q3,
+      freqRatioThreshold = 1.0, onlyScorePrunedTokens = true)
+      === Seq("scan" -> 0.5))
   }
 
   test("quantizeWeights snaps to k/2^bits dyadics, round-half-up") {
