@@ -2273,6 +2273,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_span_within" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Lucene span_within: a 'key' occurrence INSIDE a span_near(scan,
+      // table, slop=3, unordered) window — the "term in context" query.
+      // Plain conjunction keeps 261 of 500 docs at sf0.01; the enclosure
+      // keeps 8 (3 with inOrder=true — the flag certified in
+      // ProximitySemanticsSpec). Same bound-position machinery as
+      // span_not: substring guards lead, one nested exists chain carries
+      // the window bounds, row-local.
+      val spec = graft.query.FilterSpec.SpanWithin("text",
+        little = "key", big = Seq("scan", "table"), slop = 3)
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_nested_query" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES nested query vs the object-mapping default, side by side: an
@@ -7456,6 +7472,34 @@ object SparkEntry {
         |FROM i JOIN t USING (doc_id)
         |WHERE NOT EXISTS (SELECT 1 FROM e
         |  WHERE e.doc_id = i.doc_id AND NOT (e.x + 1 < i.s OR e.x > i.s))
+        |ORDER BY doc_id""".stripMargin,
+
+    // span_within restated: an EXISTS over the (b1, b2, little) position
+    // triple — pairwise-distinct big picks, window width − Σ widths ≤
+    // slop, little inside [least, greatest] — the enclosurePredicate
+    // algebra verbatim in 1-based SQL positions.
+    "q_span_within" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, u.i AS s FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'key'
+        |), b1 AS (
+        |  SELECT doc_id, u.i AS s FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'scan'
+        |), b2 AS (
+        |  SELECT doc_id, u.i AS s FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE toks[u.i] = 'table'
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM t
+        |WHERE EXISTS (SELECT 1 FROM b1, b2, l
+        |  WHERE b1.doc_id = t.doc_id AND b2.doc_id = t.doc_id
+        |    AND l.doc_id = t.doc_id AND b1.s <> b2.s
+        |    AND greatest(b1.s, b2.s) - least(b1.s, b2.s) + 1 - 2 <= 3
+        |    AND l.s >= least(b1.s, b2.s) AND l.s <= greatest(b1.s, b2.s))
         |ORDER BY doc_id""".stripMargin,
 
     // Nested-vs-object restated relationally: same-element = one EXISTS

@@ -523,6 +523,135 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** The shared enclosure predicate of [[SpanWithin]] / [[SpanContaining]]
+    * — Lucene's `span_within`/`span_containing` pair over a `span_near`
+    * big side. A document matches when SOME choice of one occurrence per
+    * `big` clause that satisfies the span_near arrangement rule (ordered:
+    * strictly sequential, `s_{k+1} > e_k`; unordered: pairwise-distinct
+    * starts — the repo's certified [[SpanNear]] algebra) yields a window
+    * `[min start, max end]` whose width minus Σ clause widths is at most
+    * `slop`, AND some occurrence of `little` lies entirely inside that
+    * window (`ws ≤ s` and `s + |little| − 1 ≤ we` — Lucene's
+    * `SpanWithinQuery` boundary rule).
+    *
+    * The big side MUST be a slop window to be non-degenerate: with a
+    * single contiguous phrase as big, a little span inside the phrase's
+    * extent is necessarily a subsequence of it, so containment collapses
+    * to plain phrase existence — which is why these two queries only
+    * take the span_near form here.
+    *
+    * Residual Lucene-fidelity note (the [[IntervalsAllOf]] discipline):
+    * Lucene evaluates containment against the spans its NearSpans
+    * ITERATOR emits, a lazily-advanced subsequence of all valid clause
+    * combinations; this implementation (and its brute-force certifier in
+    * ProximitySemanticsSpec) quantifies over EVERY valid combination —
+    * the written algebra above, matching the repo's certified span_near
+    * existential semantics.
+    *
+    * Compile shape: the SpanNot machinery — codegen'd substring guards
+    * lead, the token list and every phrase's start list bind once per
+    * row, then one nested `exists` chain enumerates clause choices
+    * carrying the running window bounds as Columns. Row-local, no UDF;
+    * per-row cost is the product of clause occurrence counts, bounded by
+    * document length behind the guard.
+    */
+  private def enclosureArgsOk(big: Seq[String], slop: Int): Unit = {
+    require(big.size >= 2,
+      s"span_within/containing: big must be a span_near of >= 2 clauses " +
+        s"(a single contiguous phrase makes containment degenerate), got ${big.size}")
+    require(slop >= 0, s"span_within/containing: slop must be >= 0, got $slop")
+  }
+
+  private def enclosurePredicate(field: String, little: String,
+      big: Seq[String], slop: Int, inOrder: Boolean): Column = {
+    val lts = TextMatch.analyze(little)
+    require(lts.nonEmpty, s"span_within/containing: no analyzable tokens in <$little>")
+    val bigTs = big.map { p =>
+      val ts = TextMatch.analyze(p)
+      require(ts.nonEmpty, s"span_within/containing: no analyzable tokens in <$p>")
+      ts
+    }
+    val widthSum = bigTs.map(_.length).sum
+    val contains = (TextMatch.containsToken(col(field), lts.mkString(" ")) +:
+      bigTs.map(ts => TextMatch.containsToken(col(field), ts.mkString(" "))))
+      .reduce(_ && _)
+    val toks = split(trim(TextMatch.normalized(col(field))), " ")
+    contains && exists(array(struct(toks.as("_t"))), trow => {
+      val tk = trow("_t")
+      val bound = phraseStartsIn(tk, lts).as("_l") +:
+        bigTs.zipWithIndex.map { case (ts, i) => phraseStartsIn(tk, ts).as(s"_b$i") }
+      exists(array(struct(bound: _*)), row => {
+        // the window close: gap bound + little containment, on the
+        // accumulated [ws, we]
+        def close(ws: Column, we: Column): Column =
+          (we - ws + 1) - lit(widthSum) <= lit(slop) &&
+            exists(row("_l"), l => l >= ws && l + lit(lts.length - 1) <= we)
+        if (inOrder) {
+          // sequential picks: window = [first start, last end]
+          def chain(i: Int, prevEnd: Column, firstStart: Column): Column = {
+            val len = bigTs(i).length
+            exists(row(s"_b$i"), s => s > prevEnd && {
+              val e = s + lit(len - 1)
+              if (i == bigTs.length - 1) close(firstStart, e)
+              else chain(i + 1, e, firstStart)
+            })
+          }
+          exists(row("_b0"), s =>
+            chain(1, s + lit(bigTs.head.length - 1), s))
+        } else {
+          // pairwise-distinct starts: window = [min start, max end]
+          def chain(i: Int, picked: Seq[(Column, Int)]): Column =
+            if (i == bigTs.length) {
+              val ws = picked.map(_._1).reduce(least(_, _))
+              val we = picked.map { case (s, len) => s + lit(len - 1) }
+                .reduce(greatest(_, _))
+              close(ws, we)
+            } else exists(row(s"_b$i"), s =>
+              picked.map(p => s =!= p._1).foldLeft(lit(true))(_ && _) &&
+                chain(i + 1, picked :+ (s -> bigTs(i).length)))
+          chain(0, Nil)
+        }
+      })
+    })
+  }
+
+  /** Lucene/ES `span_within` — match where an occurrence of the `little`
+    * phrase sits INSIDE a `span_near(big, slop, inOrder)` span (the
+    * "term in context" query: `little = "timeout"` within
+    * `big = ("connection", "failed")` slop 4). Semantics and compile
+    * shape per [[FilterSpec.enclosurePredicate]]. At the document-filter
+    * level this is the same match set as [[SpanContaining]] with the
+    * same operands — the two Lucene queries differ only in WHICH spans
+    * they emit (little vs big) for scoring and further span composition,
+    * a distinction with no observable effect on a boolean filter; both
+    * names ship so each ES query type has its literal counterpart.
+    */
+  final case class SpanWithin(field: String, little: String,
+      big: Seq[String], slop: Int, inOrder: Boolean = false)
+      extends FilterSpec {
+    enclosureArgsOk(big, slop)
+    def compile: Column = enclosurePredicate(field, little, big, slop, inOrder)
+    def render: String =
+      s"""${escName(field)}:"$little"~within(${big.map("\"" + _ + "\"").mkString(",")},slop=$slop,${if (inOrder) "ordered" else "unordered"})"""
+    def fields: Seq[String] = Seq(field)
+  }
+
+  /** Lucene/ES `span_containing` — match where a
+    * `span_near(big, slop, inOrder)` span CONTAINS an occurrence of the
+    * `little` phrase. The document-level dual of [[SpanWithin]] (same
+    * match set, see there); emitted-span semantics differ only under
+    * span composition, out of scope for a document filter.
+    */
+  final case class SpanContaining(field: String, little: String,
+      big: Seq[String], slop: Int, inOrder: Boolean = false)
+      extends FilterSpec {
+    enclosureArgsOk(big, slop)
+    def compile: Column = enclosurePredicate(field, little, big, slop, inOrder)
+    def render: String =
+      s"""${escName(field)}:"$little"~containing(${big.map("\"" + _ + "\"").mkString(",")},slop=$slop,${if (inOrder) "ordered" else "unordered"})"""
+    def fields: Seq[String] = Seq(field)
+  }
+
   /** ES `intervals` with a `match` rule — `max_gaps` + `ordered` (the
     * analyzed-text cousin of [[SpanNear]]; grammar forms
     * `field:"a b"~gapsN` (ordered) / `field:"a b"~anyN` (unordered)).

@@ -306,6 +306,46 @@ class FilterSpecSpec extends SparkSpecBase {
       FilterSpec.SpanNot("text", "...", "x").compile)
   }
 
+  test("span_within / span_containing: little inside a span_near window") {
+    val docs = Seq(
+      (1L, "alpha key beta"),            // key inside [alpha..beta], width 3
+      (2L, "alpha beta key"),            // key OUTSIDE the window (after beta)
+      (3L, "key alpha beta"),            // key before the window
+      (4L, "alpha gap gap key beta"),    // inside, but window needs slop 3
+      (5L, "beta key alpha"),            // unordered window only
+      (6L, "alpha key"),                 // no beta: big never forms
+      (7L, "no match"),
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(coalesce(spec.compile, lit(false)))
+        .select("id").as[Long].collect().sorted.toSeq
+    // conjunction would keep docs 1-5; ordered enclosure keeps only 1
+    // at slop 1, unordered adds doc 5's reversed window
+    assert(ids(FilterSpec.SpanWithin("text", "key",
+      Seq("alpha", "beta"), slop = 1, inOrder = true)) === Seq(1L))
+    assert(ids(FilterSpec.SpanWithin("text", "key",
+      Seq("alpha", "beta"), slop = 1)) === Seq(1L, 5L))
+    // slop 3 admits doc 4's wide window; doc 5 needs the unordered flag
+    assert(ids(FilterSpec.SpanWithin("text", "key",
+      Seq("alpha", "beta"), slop = 3)) === Seq(1L, 4L, 5L))
+    assert(ids(FilterSpec.SpanWithin("text", "key",
+      Seq("alpha", "beta"), slop = 3, inOrder = true)) === Seq(1L, 4L))
+    // the document-level dual matches identically
+    assert(ids(FilterSpec.SpanContaining("text", "key",
+      Seq("alpha", "beta"), slop = 3)) === Seq(1L, 4L, 5L))
+    // degenerate big (single contiguous phrase) rejects loudly
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanWithin("text", "key", Seq("alpha beta"), slop = 1))
+    intercept[IllegalArgumentException](
+      FilterSpec.SpanWithin("text", "key", Seq("alpha", "beta"), slop = -1))
+    // render carries the operands and flags
+    assert(FilterSpec.SpanWithin("text", "key", Seq("a", "b"), 2).render
+      === """text:"key"~within("a","b",slop=2,unordered)""")
+    assert(FilterSpec.SpanContaining("text", "key", Seq("a", "b"), 2,
+      inOrder = true).render
+      === """text:"key"~containing("a","b",slop=2,ordered)""")
+  }
+
   test("intervals filter rules: all six containment relations") {
     val docs = Seq(
       (1L, "spark quick scan"),          // interval [0,2], no vector

@@ -300,4 +300,64 @@ class ProximitySemanticsSpec extends SparkSpecBase {
     assert(divergent, "mixed-length configs never separated the naive " +
       "and minimal semantics on this corpus — the certification has no teeth")
   }
+
+  /** span_within / span_containing: some choice of one occurrence per big
+    * clause satisfying the span_near arrangement rule (ordered: strictly
+    * sequential; unordered: pairwise-distinct starts) whose window
+    * [min start, max end] passes the slop bound AND encloses some little
+    * occurrence — written straight from the enclosurePredicate scaladoc,
+    * recursive enumeration over position lists.
+    */
+  private def refEnclosure(ts: Vector[String], little: Seq[String],
+      big: Seq[Seq[String]], slop: Int, inOrder: Boolean): Boolean = {
+    val l = phraseStarts(ts, little.toVector)
+    val widthSum = big.map(_.length).sum
+    def close(ws: Int, we: Int): Boolean =
+      (we - ws + 1) - widthSum <= slop &&
+        l.exists(s => s >= ws && s + little.length - 1 <= we)
+    if (inOrder) {
+      def chain(rest: Seq[Seq[String]], prevEnd: Int, first: Int): Boolean =
+        rest match {
+          case Seq() => close(first, prevEnd)
+          case p +: tail => phraseStarts(ts, p.toVector).exists(s =>
+            s > prevEnd && chain(tail, s + p.length - 1, first))
+        }
+      phraseStarts(ts, big.head.toVector).exists(s =>
+        chain(big.tail, s + big.head.length - 1, s))
+    } else {
+      def chain(rest: Seq[Seq[String]], picked: Seq[(Int, Int)]): Boolean =
+        rest match {
+          case Seq() => close(picked.map(_._1).min, picked.map(_._2).max)
+          case p +: tail => phraseStarts(ts, p.toVector).exists(s =>
+            !picked.exists(_._1 == s) &&
+              chain(tail, picked :+ ((s, s + p.length - 1))))
+        }
+      chain(big, Nil)
+    }
+  }
+
+  test("SpanWithin / SpanContaining agree with brute-force enumeration on 400 random docs") {
+    for (slop <- Seq(0, 1, 3); ord <- Seq(true, false)) {
+      compare(s"span_within(b, [a,c], $slop, ord=$ord)",
+        FilterSpec.SpanWithin("text", "b", Seq("a", "c"), slop, ord),
+        ts => refEnclosure(ts, Seq("b"), Seq(Seq("a"), Seq("c")), slop, ord))
+      // multi-token little
+      compare(s"span_containing(c d, [a,b], $slop, ord=$ord)",
+        FilterSpec.SpanContaining("text", "c d", Seq("a", "b"), slop, ord),
+        ts => refEnclosure(ts, Seq("c", "d"), Seq(Seq("a"), Seq("b")), slop, ord))
+      // three clauses
+      compare(s"span_within(a, [b,c,d], $slop, ord=$ord)",
+        FilterSpec.SpanWithin("text", "a", Seq("b", "c", "d"), slop, ord),
+        ts => refEnclosure(ts, Seq("a"),
+          Seq(Seq("b"), Seq("c"), Seq("d")), slop, ord))
+      // a PHRASE clause on the big side
+      compare(s"span_within(b, [a b, c], $slop, ord=$ord)",
+        FilterSpec.SpanWithin("text", "b", Seq("a b", "c"), slop, ord),
+        ts => refEnclosure(ts, Seq("b"), Seq(Seq("a", "b"), Seq("c")), slop, ord))
+      // repeated clause terms: the pairwise-distinct rule does real work
+      compare(s"span_within(a, [a,a], $slop, ord=$ord)",
+        FilterSpec.SpanWithin("text", "a", Seq("a", "a"), slop, ord),
+        ts => refEnclosure(ts, Seq("a"), Seq(Seq("a"), Seq("a")), slop, ord))
+    }
+  }
 }
