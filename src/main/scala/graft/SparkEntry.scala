@@ -2334,6 +2334,50 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "q_has_child" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES has_child over the join-field pair orders/lineitem: orders
+      // with AT LEAST TWO line items of quantity >= 49 (min_children=2
+      // makes the count bound do real work: 165 parents at sf0.01 vs
+      // 2,198 with the default at-least-one). Filtered children -> one
+      // partial+final hash agg on the parent key -> left-semi join; at
+      // the default bounds the agg disappears entirely (JoinFieldSpec
+      // pins the agg-free plan).
+      graft.query.JoinField.hasChild(
+          load(dir, "orders"), load(dir, "lineitem"),
+          "o_orderkey", "l_orderkey",
+          col("l_quantity") >= 49, minChildren = 2)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_has_parent" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES has_parent: line items of urgent, high-value orders — one
+      // left-semi join of children against the filtered parents' keys
+      // (selective parent side -> AQE broadcasts it; the 60k-row child
+      // scan never shuffles).
+      graft.query.JoinField.hasParent(
+          load(dir, "orders"), load(dir, "lineitem"),
+          "o_orderkey", "l_orderkey",
+          col("o_orderpriority") === "1-URGENT" && col("o_totalprice") >= 250000)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "g_children_agg" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES children aggregation: order-priority buckets stepping down to
+      // child metrics (line-item doc_count + summed quantity — integral
+      // doubles, so the sum is fold-order exact). One projected join on
+      // the parent key + one hash agg.
+      graft.query.JoinField.childrenAgg(
+          load(dir, "orders"), load(dir, "lineitem"),
+          "o_orderkey", "l_orderkey", "o_orderpriority",
+          Seq(sum(col("l_quantity")).cast("long").as("sum_qty")))
+        .orderBy("key")
+    }),
+
     "q_rank_feature" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES rank_feature query — the static quality/popularity boost
@@ -7534,6 +7578,31 @@ object SparkEntry {
       """SELECT l_returnflag AS key, count(*)::BIGINT AS doc_count,
         |  count(DISTINCT l_orderkey)::BIGINT AS parent_count
         |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // has_child restated: a correlated HAVING-count subquery — the
+    // matching-children bound as SQL says it.
+    "q_has_child" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49
+        |  GROUP BY 1 HAVING count(*) >= 2)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // has_parent restated: children IN the filtered parents' key set.
+    "q_has_parent" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 250000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // children agg restated: the parent-bucket join flattened to one
+    // grouped join (integral-double quantities sum exactly).
+    "g_children_agg" ->
+      """SELECT o.o_orderpriority AS key, count(*)::BIGINT AS doc_count,
+        |  sum(l.l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY key""".stripMargin,
 
     // distance_feature restated on epoch-µs integers (exact doubles
     // < 2^53; epoch_us ≡ unix_micros under the UTC session) — one
