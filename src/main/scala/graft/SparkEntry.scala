@@ -2378,6 +2378,29 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    "g_frequent_item_sets" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES frequent_item_sets: closed itemsets of co-occurring operator
+      // terms per document (a 12-word basket keeps the oracle's
+      // level-joins polynomial and the lattice honest: 505 frequent sets
+      // up to size 4 at sf0.01, support 0.45). Level-wise Apriori — one
+      // broadcast equi-join + two-phase count per level, driver-bounded
+      // candidates; maxSetSize=5 raises loudly if the family outgrows
+      // the oracle's enumerated levels instead of truncating. The
+      // minCount fold shares the float guard ceil(sup·N − 1e-9) with the
+      // oracle (0.45·500 = 225.00000000000003 in IEEE — a bare ceil
+      // would demand 226 docs).
+      val basket = Seq("scan", "join", "hash", "merge", "sort", "filter",
+        "agg", "batch", "window", "index", "table", "key")
+      val items = array_intersect(
+        split(trim(graft.expr.TextMatch.normalized(col("text"))), " "),
+        array(basket.map(lit): _*))
+      graft.query.Aggs.frequentItemSets(
+        load(dir, "documents").select(col("doc_id"), items.as("items")),
+        col("doc_id"), col("items"),
+        minSupport = 0.45, minSetSize = 2, size = 10, maxSetSize = 5)
+    }),
+
     "q_rank_feature" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES rank_feature query — the static quality/popularity boost
@@ -7603,6 +7626,54 @@ object SparkEntry {
         |  sum(l.l_quantity)::BIGINT AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // frequent_item_sets restated level-by-level: a LEFT-DEEP chain of
+    // per-doc ordered-combination joins (j2..j5 — each level extends the
+    // previous on an adjacent doc_id equi-key; the n-way self-join form
+    // makes DuckDB's reorderer cross-join non-adjacent legs and spill),
+    // the shared float-guarded minCount, closed = NO equal-count
+    // superset one larger (counts are antitone, so size+1 suffices —
+    // the engine's argument verbatim), the f5 level guarding the same
+    // completeness the engine's maxSetSize=5 raise does.
+    "g_frequent_item_sets" ->
+      """WITH tx AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    x -> x IN ('scan','join','hash','merge','sort','filter',
+        |               'agg','batch','window','index','table','key'))) AS items
+        |  FROM documents
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM tx),
+        |mc AS (SELECT ceil(0.45 * n - 1e-9) AS c FROM nn),
+        |p AS (SELECT doc_id, u.item FROM tx, unnest(items) AS u(item)),
+        |f1 AS (SELECT item FROM p GROUP BY item
+        |       HAVING count(*) >= (SELECT c FROM mc)),
+        |fp AS (SELECT p.doc_id, p.item FROM p JOIN f1 USING (item)),
+        |j2 AS (SELECT a.doc_id, a.item AS i1, b.item AS i2
+        |  FROM fp a JOIN fp b ON a.doc_id = b.doc_id AND a.item < b.item),
+        |j3 AS (SELECT j2.doc_id, i1, i2, c.item AS i3
+        |  FROM j2 JOIN fp c ON j2.doc_id = c.doc_id AND i2 < c.item),
+        |j4 AS (SELECT j3.doc_id, i1, i2, i3, d.item AS i4
+        |  FROM j3 JOIN fp d ON j3.doc_id = d.doc_id AND i3 < d.item),
+        |j5 AS (SELECT j4.doc_id, i1, i2, i3, i4, e.item AS i5
+        |  FROM j4 JOIN fp e ON j4.doc_id = e.doc_id AND i4 < e.item),
+        |f2 AS (SELECT [i1, i2] AS key, count(*)::BIGINT AS cnt FROM j2
+        |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
+        |f3 AS (SELECT [i1, i2, i3] AS key, count(*)::BIGINT AS cnt FROM j3
+        |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
+        |f4 AS (SELECT [i1, i2, i3, i4] AS key, count(*)::BIGINT AS cnt FROM j4
+        |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
+        |f5 AS (SELECT [i1, i2, i3, i4, i5] AS key, count(*)::BIGINT AS cnt FROM j5
+        |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
+        |fs AS (SELECT * FROM f2 UNION ALL SELECT * FROM f3
+        |       UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5),
+        |closed AS (SELECT key, cnt FROM fs f WHERE NOT EXISTS (
+        |  SELECT 1 FROM fs t WHERE t.cnt = f.cnt
+        |    AND len(t.key) = len(f.key) + 1 AND list_has_all(t.key, f.key)))
+        |SELECT array_to_string(key, ',') AS key, cnt AS doc_count,
+        |  cnt::DOUBLE / (SELECT n FROM nn) AS support
+        |FROM closed
+        |ORDER BY doc_count DESC, len(key) DESC, array_to_string(key, ',') ASC
+        |LIMIT 10""".stripMargin,
 
     // distance_feature restated on epoch-µs integers (exact doubles
     // < 2^53; epoch_us ≡ unix_micros under the UTC session) — one

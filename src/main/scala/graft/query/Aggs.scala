@@ -1708,4 +1708,124 @@ object Aggs {
       .select(col("_next").as("change_point"), col("_delta").as("delta"))
   }
 
+  /** ES `frequent_item_sets` agg (x-pack, 8.4+): market-basket mining —
+    * the CLOSED itemsets of support ≥ `minSupport` over per-document item
+    * sets, top `size` by doc count. ES runs ECLAT per shard; this is the
+    * level-wise Apriori restated on Spark primitives:
+    *
+    *  - **L1** one hash aggregate over the exploded `(tx, item)` pairs;
+    *  - **candidate generation** driver-side from the previous level
+    *    (prefix-grouped join + all-subsets-frequent pruning — the
+    *    candidate table is SUPPORT-BOUNDED, the vocabulary-sized
+    *    iteration budget of the BPE/unigram ops);
+    *  - **counting** per level: ONE broadcast hash equi-join of the
+    *    exploded pairs against the exploded candidates on `item`, then a
+    *    two-phase count — `(cand, tx)` hit counts (map-side partial),
+    *    hits = set size ⇒ containment, then the per-candidate total. No
+    *    nested-loop join, no per-candidate subset scan: work is
+    *    `Σ_tx Σ_cand |cand ∩ tx|`, join-pruned to candidate items.
+    *
+    * The `(tx, item)` pairs persist across the (few, support-bounded)
+    * levels and unpersist before return.
+    *
+    * Closed-set filtering (ES returns only closed sets — a set is closed
+    * iff no strict superset has the same doc count) runs driver-side over
+    * the complete frequent family: counts are antitone under ⊆, so any
+    * equal-count superset implies an equal-count superset ONE larger, and
+    * Apriori's completeness guarantees that superset was counted —
+    * checking size+1 suffices. Completeness is exactly what `maxSetSize`
+    * could silently break, so a level still growing there RAISES instead
+    * of truncating (the no-silent-caps discipline); the default is far
+    * above any real basket depth at sane supports.
+    *
+    * Output: `key` (comma-joined sorted items — the comparator-safe
+    * scalar shape), `doc_count`, `support` (= doc_count/N). Ordering:
+    * doc_count desc, then LARGER set first (the closed-set preference),
+    * then key asc — ES's count ordering with the tiebreaks made explicit.
+    *
+    * 100 TB notes: per level there is one broadcast join (candidates are
+    * driver-bounded by construction) and one two-phase aggregate keyed by
+    * `(cand, tx)` then `cand` — both partial map-side. The driver only
+    * ever holds support-bounded frequent sets. minSupport low enough to
+    * admit a combinatorial lattice raises at `maxSetSize` rather than
+    * running away.
+    *
+    * `idCol` must be UNIQUE per transaction (it keys the per-transaction
+    * hit counts — a reused id would merge two baskets into one).
+    */
+  def frequentItemSets(tx: DataFrame, idCol: Column, itemsCol: Column,
+      minSupport: Double = 0.1, minSetSize: Int = 1, size: Int = 10,
+      maxSetSize: Int = 10): DataFrame = {
+    require(minSupport > 0 && minSupport <= 1,
+      s"frequent_item_sets: minimum_support must be in (0, 1], got $minSupport")
+    require(minSetSize >= 1, s"frequent_item_sets: minimum_set_size >= 1, got $minSetSize")
+    require(size >= 1, s"frequent_item_sets: size >= 1, got $size")
+    require(maxSetSize >= minSetSize,
+      s"frequent_item_sets: maxSetSize ($maxSetSize) < minSetSize ($minSetSize)")
+    val spark = tx.sparkSession
+    import spark.implicits._
+    val pairs = tx
+      .select(idCol.as("_tx"), explode(array_distinct(itemsCol)).as("item"))
+      .where(col("item").isNotNull)
+      .persist()
+    try {
+      val n = tx.count()
+      require(n > 0, "frequent_item_sets: empty transaction table")
+      val minCount = math.max(1L, math.ceil(minSupport * n - 1e-9).toLong)
+      val frequent = scala.collection.mutable.Map.empty[Vector[String], Long]
+      var level: Seq[Vector[String]] =
+        pairs.groupBy("item").agg(count(lit(1)).as("n"))
+          .where(col("n") >= minCount)
+          .as[(String, Long)].collect()
+          .map { case (it, c) => val k = Vector(it); frequent(k) = c; k }
+          .toSeq
+      var k = 1
+      while (level.nonEmpty && k < maxSetSize) {
+        // prefix-grouped generation + all-subsets-frequent pruning
+        val inLevel = level.toSet
+        val cands: Seq[Vector[String]] = level.groupBy(_.dropRight(1)).toSeq
+          .flatMap { case (pref, vs) =>
+            val lasts = vs.map(_.last).sorted
+            for {
+              i <- lasts.indices; j <- (i + 1) until lasts.length
+              c = pref :+ lasts(i) :+ lasts(j)
+              if c.indices.forall(d => inLevel.contains(c.patch(d, Nil, 1)))
+            } yield c
+          }
+        level =
+          if (cands.isEmpty) Seq.empty
+          else {
+            val candPairs = cands.zipWithIndex
+              .flatMap { case (c, i) => c.map(it => (i, it)) }
+              .toDF("_cid", "item")
+            val counts = pairs.join(broadcast(candPairs), "item")
+              .groupBy("_cid", "_tx").agg(count(lit(1)).as("_hit"))
+              .where(col("_hit") === (k + 1))
+              .groupBy("_cid").agg(count(lit(1)).as("n"))
+              .where(col("n") >= minCount)
+              .as[(Int, Long)].collect()
+            counts.map { case (i, c) =>
+              val set = cands(i); frequent(set) = c; set
+            }.toSeq
+          }
+        k += 1
+      }
+      require(level.isEmpty,
+        s"frequent_item_sets: frequent sets still growing at maxSetSize=" +
+          s"$maxSetSize (${level.size} sets of size $maxSetSize) — the " +
+          "closed-set filter needs the COMPLETE family; raise maxSetSize " +
+          "or minimum_support instead of truncating silently")
+      val closed = frequent.filter { case (s, c) =>
+        !frequent.exists { case (t, m) =>
+          m == c && t.size == s.size + 1 && s.forall(t.contains) }
+      }
+      val out = closed.toSeq
+        .filter(_._1.size >= minSetSize)
+        .map { case (s, c) => (s.mkString(","), s.size, c) }
+        .sortBy { case (key, sz, c) => (-c, -sz, key) }
+        .take(size)
+        .map { case (key, _, c) => (key, c, c.toDouble / n) }
+      out.toDF("key", "doc_count", "support")
+    } finally { pairs.unpersist(); () }
+  }
 }

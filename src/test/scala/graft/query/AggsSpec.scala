@@ -873,4 +873,43 @@ class AggsSpec extends SparkSpecBase {
     assert(raw.find(_._1 == "boilerplate").get._3 === 4L)
   }
 
+  test("frequentItemSets: Apriori counts, closed-set filter, ordering, loud growth cap") {
+    // counts: a=4 b=3 c=5 d=2; ab=3 ac=4 bc=3 (c,d co-occur only once —
+    // below support); abc=3 — so a, b, ab, bc are NOT closed (an
+    // equal-count strict superset exists) and the closed family at
+    // support 2/6 is {c:5, ac:4, abc:3, d:2}
+    val tx = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")),          // order inside a basket is free
+      (3L, Seq("a", "b", "c")),
+      (4L, Seq("a", "c", "c", "a")),     // duplicates count once
+      (5L, Seq("c", "d")),
+      (6L, Seq("d")),
+    ).toDF("id", "items")
+    val got = Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.3, minSetSize = 1, size = 10)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("c", 5L, 5.0 / 6), ("a,c", 4L, 4.0 / 6),
+      ("a,b,c", 3L, 3.0 / 6), ("d", 2L, 2.0 / 6)))
+    // minimum_set_size drops the singleton; size truncates after ordering
+    assert(Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.3, minSetSize = 2, size = 2)
+      .as[(String, Long, Double)].collect().toSeq
+      === Seq(("a,c", 4L, 4.0 / 6), ("a,b,c", 3L, 3.0 / 6)))
+    // a level still growing at maxSetSize raises instead of truncating
+    // (closed-filter completeness), naming the cap
+    val e = intercept[IllegalArgumentException](
+      Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.3, maxSetSize = 2))
+    assert(e.getMessage.contains("maxSetSize=2"))
+    // parameter rejects
+    intercept[IllegalArgumentException](
+      Aggs.frequentItemSets(tx, col("id"), col("items"), minSupport = 0.0))
+    intercept[IllegalArgumentException](
+      Aggs.frequentItemSets(tx, col("id"), col("items"), minSupport = 1.5))
+    intercept[IllegalArgumentException](
+      Aggs.frequentItemSets(tx, col("id"), col("items"), minSetSize = 0))
+  }
+
 }
