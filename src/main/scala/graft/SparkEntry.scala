@@ -2401,6 +2401,24 @@ object SparkEntry {
         minSupport = 0.45, minSetSize = 2, size = 10, maxSetSize = 5)
     }),
 
+    "g_categorize_text" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES categorize_text (similarity_threshold 100 — the deterministic
+      // exact-template core; the sub-100 CC merge is CategorizeSpec's):
+      // log lines derived from events collapse to their structural
+      // template once the digit-bearing tokens (user ids, codes,
+      // durations) drop out — 10 categories from 10,000 messages, one
+      // row-local key + one hash aggregate.
+      val msg = when(col("value") < 10,
+          concat(col("event_type"), lit(" failed for user "),
+            col("user_id").cast("string"), lit(" with code "),
+            floor(col("value")).cast("long").cast("string")))
+        .otherwise(concat(col("event_type"), lit(" completed for user "),
+          col("user_id").cast("string"), lit(" in "),
+          floor(col("value")).cast("long").cast("string"), lit(" ms")))
+      graft.query.Categorize.categorizeText(loadEvents(dir), msg, size = 10)
+    }),
+
     "q_rank_feature" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES rank_feature query — the static quality/popularity boost
@@ -7674,6 +7692,27 @@ object SparkEntry {
         |FROM closed
         |ORDER BY doc_count DESC, len(key) DESC, array_to_string(key, ',') ASC
         |LIMIT 10""".stripMargin,
+
+    // categorize_text restated: the same derived message, the same
+    // digit-token drop (the [a-z0-9]+ extraction then digit filter =
+    // the engine's normalize-then-filter), one GROUP BY.
+    "g_categorize_text" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN value < 10
+        |    THEN event_type || ' failed for user ' || user_id ||
+        |         ' with code ' || CAST(floor(value) AS BIGINT)
+        |    ELSE event_type || ' completed for user ' || user_id ||
+        |         ' in ' || CAST(floor(value) AS BIGINT) || ' ms' END AS msg
+        |  FROM events
+        |), k AS (
+        |  SELECT array_to_string(list_filter(
+        |    regexp_extract_all(lower(msg), '[a-z0-9]+'),
+        |    x -> NOT regexp_matches(x, '[0-9]')), ' ') AS key
+        |  FROM m
+        |)
+        |SELECT key, count(*)::BIGINT AS doc_count
+        |FROM k GROUP BY 1
+        |ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin,
 
     // distance_feature restated on epoch-µs integers (exact doubles
     // < 2^53; epoch_us ≡ unix_micros under the UTC session) — one
