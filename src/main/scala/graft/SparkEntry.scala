@@ -2289,6 +2289,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_intervals_pattern" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES intervals with PREDICATE sources: a token starting with 'sca'
+      // followed (ordered) by a token within one Damerau edit of 'tabel'
+      // — prefix + fuzzy rules composed under all_of, max_gaps 3 (104 of
+      // 500 docs at sf0.01). Width-1 sources ride the span gap algebra
+      // directly (no minimal-interval machinery); certified against the
+      // brute-force evaluator in ProximitySemanticsSpec.
+      import graft.query.FilterSpec.IntervalSource.{Fuzzy, Prefix}
+      val spec = graft.query.FilterSpec.IntervalsPattern("text",
+        Seq(Prefix("sca"), Fuzzy("tabel", 1)), maxGaps = 3)
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_nested_query" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES nested query vs the object-mapping default, side by side: an
@@ -7585,6 +7601,29 @@ object SparkEntry {
         |    AND l.doc_id = t.doc_id AND b1.s <> b2.s
         |    AND greatest(b1.s, b2.s) - least(b1.s, b2.s) + 1 - 2 <= 3
         |    AND l.s >= least(b1.s, b2.s) AND l.s <= greatest(b1.s, b2.s))
+        |ORDER BY doc_id""".stripMargin,
+
+    // intervals predicate sources restated: per-predicate position CTEs
+    // (starts_with / damerau_levenshtein — the unrestricted variant both
+    // engines share, q_fuzzy_match_damerau's pairing), the ordered
+    // width-1 window check.
+    "q_intervals_pattern" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, u.i AS s FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE starts_with(toks[u.i], 'sca')
+        |), b AS (
+        |  SELECT doc_id, u.i AS s FROM t, unnest(range(1, len(toks)+1)) AS u(i)
+        |  WHERE len(toks[u.i]) > 0 AND damerau_levenshtein(toks[u.i], 'tabel') <= 1
+        |)
+        |SELECT DISTINCT t.doc_id, t.lang
+        |FROM t
+        |WHERE EXISTS (SELECT 1 FROM a, b
+        |  WHERE a.doc_id = t.doc_id AND b.doc_id = t.doc_id
+        |    AND b.s > a.s AND (b.s - a.s + 1) - 2 <= 3)
         |ORDER BY doc_id""".stripMargin,
 
     // Nested-vs-object restated relationally: same-element = one EXISTS

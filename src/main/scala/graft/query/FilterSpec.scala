@@ -901,6 +901,149 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** The PREDICATE sources of the ES `intervals` DSL — `prefix`,
+    * `wildcard`, `fuzzy`, `range` (plus exact `term` for composition):
+    * each matches single TOKENS by a predicate instead of a literal, so
+    * every source interval has width 1. [[IntervalsPattern]] combines
+    * them under `all_of`; exact multi-token phrases keep using
+    * [[IntervalsAllOf]] (predicate sources are token-level in ES too —
+    * Lucene expands them against the terms dictionary).
+    */
+  sealed trait IntervalSource {
+    /** The token predicate, over a bound lambda token. */
+    private[query] def pred(t: Column): Column
+    /** A cheap NECESSARY document guard, or None when the predicate has
+      * no substring-probe form (ES pays the term-expansion cost for
+      * those sources too).
+      */
+    private[query] def guard(field: String): Option[Column]
+    private[query] def renderPart: String
+  }
+  object IntervalSource {
+    /** Exact analyzed token (`match` with a single token). */
+    final case class Term(term: String) extends IntervalSource {
+      private val t0 = TextMatch.analyze(term)
+      require(t0.size == 1,
+        s"intervals term source must analyze to ONE token, got <$term> " +
+          "(use IntervalsAllOf for phrases)")
+      private[query] def pred(t: Column): Column = t === t0.head
+      private[query] def guard(field: String): Option[Column] =
+        Some(TextMatch.containsToken(col(field), t0.head))
+      private[query] def renderPart: String = s""""${t0.head}""""
+    }
+    /** ES intervals `prefix` rule: tokens starting with `prefix`. */
+    final case class Prefix(prefix: String) extends IntervalSource {
+      private val p0 = TextMatch.analyze(prefix)
+      require(p0.size == 1,
+        s"intervals prefix must analyze to ONE token, got <$prefix>")
+      private[query] def pred(t: Column): Column = t.startsWith(p0.head)
+      // a prefixed token is a substring occurrence of ' ' + prefix
+      private[query] def guard(field: String): Option[Column] = Some(
+        instr(concat(lit(" "), TextMatch.normalized(col(field))),
+          " " + p0.head) > 0)
+      private[query] def renderPart: String = s"${p0.head}*"
+    }
+    /** ES intervals `wildcard` rule: `*` any run, `?` one char, over the
+      * WHOLE token ([[Wildcard]]'s anchoring).
+      */
+    final case class WildcardPat(pattern: String) extends IntervalSource {
+      require(pattern.nonEmpty, "intervals wildcard: empty pattern")
+      private val like = Wildcard.toLike(pattern.toLowerCase)
+      private[query] def pred(t: Column): Column = t.like(like)
+      private[query] def guard(field: String): Option[Column] = None
+      private[query] def renderPart: String = s"w:$pattern"
+    }
+    /** ES intervals `fuzzy` rule: tokens within `maxEdits` of `term`
+      * ([[FuzzyTerm]]'s distance conventions — Damerau when
+      * `transpositions`, the ES default).
+      */
+    final case class Fuzzy(term: String, maxEdits: Int = 1,
+        transpositions: Boolean = true) extends IntervalSource {
+      require(maxEdits >= 0 && maxEdits <= 2,
+        s"intervals fuzzy: maxEdits must be 0..2 (the Lucene bound), got $maxEdits")
+      private val q = term.toLowerCase
+      private[query] def pred(t: Column): Column =
+        length(t) > 0 && (
+          if (transpositions) graft.expr.Damerau.distance(t, lit(q)) <= maxEdits
+          else levenshtein(t, lit(q)) <= maxEdits)
+      private[query] def guard(field: String): Option[Column] = None
+      private[query] def renderPart: String = s"$term~$maxEdits"
+    }
+    /** ES intervals `range` rule: tokens in `[lo, hi]` (inclusive, the
+      * gte/lte form), binary codepoint order.
+      */
+    final case class Range(lo: String, hi: String) extends IntervalSource {
+      require(lo <= hi, s"intervals range: lo <$lo> > hi <$hi>")
+      private[query] def pred(t: Column): Column = t >= lo && t <= hi
+      private[query] def guard(field: String): Option[Column] = None
+      private[query] def renderPart: String = s"[$lo..$hi]"
+    }
+  }
+
+  /** ES `intervals` `all_of` over PREDICATE sources ([[IntervalSource]])
+    * — "a token starting with `sca`, then something within one edit of
+    * `tabel`, within 4 gaps". All sources are width 1, so the gap algebra
+    * is the [[SpanNear]] term case with per-slot predicates and needs no
+    * minimal-interval machinery: choose one matching position per slot;
+    * `ordered` = strictly increasing; unordered = ANY positions
+    * (overlaps allowed — the [[IntervalsAllOf]] unordered flag's rule,
+    * where two slots may pick the same token); window
+    * `[min, max]`, gaps = width − #slots ≤ `maxGaps`.
+    *
+    * Compile shape: the bound-token/bound-position-list discipline; each
+    * slot's position list is one `filter(transform(tk, pred))` over the
+    * bound token list. Sources with a substring-probe form contribute to
+    * the leading codegen'd guard; wildcard/fuzzy/range have none (the
+    * guard conjunction keeps whatever probes exist — ES's own cost
+    * profile: expanded-term sources scan the dictionary there, every
+    * token here, row-locally).
+    */
+  final case class IntervalsPattern(field: String,
+      slots: Seq[IntervalSource], maxGaps: Int,
+      ordered: Boolean = true) extends FilterSpec {
+    require(slots.nonEmpty, "intervals pattern: no slots")
+    require(maxGaps >= 0, s"max_gaps must be >= 0, got $maxGaps")
+    def compile: Column = {
+      val k = slots.size
+      val guards = slots.flatMap(_.guard(field))
+      val contains = guards.reduceOption(_ && _).getOrElse(lit(true))
+      val toks = split(trim(TextMatch.normalized(col(field))), " ")
+      contains && exists(array(struct(toks.as("_t"))), trow => {
+        val tk = trow("_t")
+        val bound = slots.zipWithIndex.map { case (src, i) =>
+          filter(
+            transform(tk, (x, i0) => when(src.pred(x), i0)),
+            v => v.isNotNull).as(s"_p$i")
+        }
+        exists(array(struct(bound: _*)), row => {
+          if (ordered) {
+            def chain(i: Int, prev: Column, first: Column): Column =
+              exists(row(s"_p$i"), s => s > prev && {
+                if (i == k - 1) (s - first + 1) - lit(k) <= lit(maxGaps)
+                else chain(i + 1, s, first)
+              })
+            if (k == 1) exists(row("_p0"), _ => lit(true))
+            else exists(row("_p0"), s => chain(1, s, s))
+          } else {
+            def chain(i: Int, picked: Seq[Column]): Column =
+              if (i == k) {
+                val ws = picked.reduce(least(_, _))
+                val we = picked.reduce(greatest(_, _))
+                (we - ws + 1) - lit(k) <= lit(maxGaps)
+              } else exists(row(s"_p$i"), s => chain(i + 1, picked :+ s))
+            if (k == 1) exists(row("_p0"), _ => lit(true))
+            else chain(0, Nil)
+          }
+        })
+      })
+    }
+    def render: String = {
+      val slotsR = slots.map(_.renderPart).mkString(" ")
+      s"${escName(field)}:pat[$slotsR]~${if (ordered) "gaps" else "any"}$maxGaps"
+    }
+    def fields: Seq[String] = Seq(field)
+  }
+
   /** ES `intervals` `filter` rule — the source `match` (ordered,
     * `max_gaps`) must produce an interval standing in `rule` relation to
     * the filter phrase's occurrences: `containing` / `not_containing`

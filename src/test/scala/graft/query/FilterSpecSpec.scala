@@ -346,6 +346,42 @@ class FilterSpecSpec extends SparkSpecBase {
       === """text:"key"~containing("a","b",slop=2,ordered)""")
   }
 
+  test("intervals predicate sources: prefix, wildcard, fuzzy, range compose under all_of") {
+    import FilterSpec.IntervalSource._
+    val docs = Seq(
+      (1L, "scan the table now"),     // sca* .. ~tabel within 4
+      (2L, "table before scan"),      // wrong order
+      (3L, "scan far far far far away table"), // window too wide at gaps 3
+      (4L, "scab tabel"),             // prefix + exact-fuzzy hit, adjacent
+      (5L, "scan only"),
+    ).toDF("id", "text")
+    def ids(spec: FilterSpec): Seq[Long] =
+      docs.where(coalesce(spec.compile, lit(false)))
+        .select("id").as[Long].collect().sorted.toSeq
+    val ord = FilterSpec.IntervalsPattern("text",
+      Seq(Prefix("sca"), Fuzzy("tabel", 1)), maxGaps = 3)
+    assert(ids(ord) === Seq(1L, 4L))
+    // unordered admits the reversed doc
+    assert(ids(FilterSpec.IntervalsPattern("text",
+      Seq(Prefix("sca"), Fuzzy("tabel", 1)), maxGaps = 3, ordered = false))
+      === Seq(1L, 2L, 4L))
+    // wildcard and range sources
+    assert(ids(FilterSpec.IntervalsPattern("text",
+      Seq(WildcardPat("t?ble"), Term("now")), maxGaps = 0)) === Seq(1L))
+    assert(ids(FilterSpec.IntervalsPattern("text",
+      Seq(Range("sca", "scb")), maxGaps = 0)) === Seq(1L, 2L, 3L, 4L, 5L))
+    // rejects: multi-token term/prefix, bad fuzzy bound, negative gaps
+    intercept[IllegalArgumentException](Term("two words"))
+    intercept[IllegalArgumentException](Prefix("a b"))
+    intercept[IllegalArgumentException](Fuzzy("x", maxEdits = 3))
+    intercept[IllegalArgumentException](Range("b", "a"))
+    intercept[IllegalArgumentException](
+      FilterSpec.IntervalsPattern("text", Seq(Term("a")), maxGaps = -1))
+    assert(FilterSpec.IntervalsPattern("text",
+      Seq(Prefix("sca"), Fuzzy("tabel", 1), Range("a", "b")), 2).render
+      === """text:pat[sca* tabel~1 [a..b]]~gaps2""")
+  }
+
   test("intervals filter rules: all six containment relations") {
     val docs = Seq(
       (1L, "spark quick scan"),          // interval [0,2], no vector

@@ -336,6 +336,96 @@ class ProximitySemanticsSpec extends SparkSpecBase {
     }
   }
 
+  // -- predicate-source intervals need a vocabulary where prefix /
+  //    wildcard / fuzzy / range distinguish tokens --
+  private val vocab2 = Vector("aa", "ab", "abc", "ba", "bb", "ca")
+  private lazy val corpus2: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(20260816L)
+    (0L until 400L).map { i =>
+      val n = rnd.nextInt(11) // 0..10 tokens
+      (i, Seq.fill(n)(vocab2(rnd.nextInt(vocab2.size))).mkString(" "))
+    }
+  }
+  private def compare2(name: String, spec: FilterSpec,
+      ref: Vector[String] => Boolean): Unit = {
+    val got = corpus2.toDF("id", "text")
+      .select(col("id"), coalesce(spec.compile, lit(false)).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    val bad = corpus2.filter { case (i, text) => got(i) != ref(toks(text)) }
+    if (bad.nonEmpty) fail(
+      s"$name: engine disagrees with the reference evaluator on " +
+        s"${bad.size} docs, first: <${bad.head._2}> " +
+        s"(engine=${got(bad.head._1)})")
+  }
+
+  /** Independent edit-distance-at-most-one predicate: equality, one
+    * substitution, one adjacent transposition, or one insert/delete —
+    * written case-by-case, no DP shared with the engine's expression.
+    */
+  private def within1Edit(a: String, b: String): Boolean = {
+    def oneSub = a.length == b.length &&
+      a.indices.count(i => a(i) != b(i)) == 1
+    def oneSwap = a.length == b.length && {
+      val d = a.indices.filter(i => a(i) != b(i))
+      d.length == 2 && d(1) == d(0) + 1 &&
+        a(d(0)) == b(d(1)) && a(d(1)) == b(d(0))
+    }
+    def oneIndel = {
+      val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+      l.length == s.length + 1 &&
+        (0 to s.length).exists(i => l.take(i) + l.drop(i + 1) == s)
+    }
+    a == b || oneSub || oneSwap || oneIndel
+  }
+
+  /** intervals all_of over width-1 predicate sources: one position per
+    * slot; ordered = strictly increasing; unordered = any (repeats
+    * allowed); window − #slots ≤ maxGaps.
+    */
+  private def refPattern(ts: Vector[String], preds: Seq[String => Boolean],
+      maxGaps: Int, ordered: Boolean): Boolean = {
+    val pos: Seq[Seq[Int]] = preds.map(p => ts.indices.filter(i => p(ts(i))))
+    val k = preds.size
+    if (k == 1) pos.head.nonEmpty
+    else if (ordered) {
+      def go(i: Int, prev: Int, first: Int): Boolean =
+        if (i == k) (prev - first + 1) - k <= maxGaps
+        else pos(i).exists(s => s > prev && go(i + 1, s, first))
+      pos.head.exists(s => go(1, s, s))
+    } else {
+      def go(i: Int, picked: Seq[Int]): Boolean =
+        if (i == k) (picked.max - picked.min + 1) - k <= maxGaps
+        else pos(i).exists(s => go(i + 1, picked :+ s))
+      go(0, Nil)
+    }
+  }
+
+  test("IntervalsPattern predicate sources agree with brute-force enumeration on 400 random docs") {
+    import FilterSpec.IntervalSource._
+    val wc = "(?s)^.b$".r // token-level ?b wildcard as an anchored regex
+    for (g <- Seq(0, 1, 3); ord <- Seq(true, false)) {
+      compare2(s"pat(a*, ba; g=$g, ord=$ord)",
+        FilterSpec.IntervalsPattern("text",
+          Seq(Prefix("a"), Term("ba")), g, ord),
+        ts => refPattern(ts,
+          Seq(_.startsWith("a"), _ == "ba"), g, ord))
+      compare2(s"pat([aa..ba], ab~1; g=$g, ord=$ord)",
+        FilterSpec.IntervalsPattern("text",
+          Seq(Range("aa", "ba"), Fuzzy("ab", 1)), g, ord),
+        ts => refPattern(ts,
+          Seq(t => t >= "aa" && t <= "ba", within1Edit(_, "ab")), g, ord))
+      compare2(s"pat(?b, a*, ca; g=$g, ord=$ord)",
+        FilterSpec.IntervalsPattern("text",
+          Seq(WildcardPat("?b"), Prefix("a"), Term("ca")), g, ord),
+        ts => refPattern(ts,
+          Seq(t => wc.matches(t), _.startsWith("a"), _ == "ca"), g, ord))
+    }
+    // single predicate slot degenerates to existence
+    compare2("pat(abc~1)",
+      FilterSpec.IntervalsPattern("text", Seq(Fuzzy("abc", 1)), 0),
+      ts => ts.exists(within1Edit(_, "abc")))
+  }
+
   test("SpanWithin / SpanContaining agree with brute-force enumeration on 400 random docs") {
     for (slop <- Seq(0, 1, 3); ord <- Seq(true, false)) {
       compare(s"span_within(b, [a,c], $slop, ord=$ord)",
