@@ -2218,6 +2218,24 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q_geo_shape_polygon" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_shape with a CONCAVE polygon (a notched square — the
+      // even-odd rule's reason to exist) over the synthetic customer
+      // coordinates: 255 of 1,500 customers inside at sf0.01. Ray
+      // casting is pure +,-,*,/ — no libm, so unlike the geo_distance
+      // twin the oracle is bit-exact with no fixture margin.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      val poly = graft.query.FilterSpec.GeoPolygon("lat", "lon", Seq(
+        (-60.0, -150.0), (60.0, -150.0), (60.0, -30.0), (-60.0, -30.0),
+        (0.0, -90.0)))
+      pts.where(poly.compile)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     "q_intervals_not_containing" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES intervals filter, the famous form: 'spark ... scan' within 5
@@ -7494,6 +7512,38 @@ object SparkEntry {
         |  sum(floor(lat * 1000000)::BIGINT)::BIGINT AS slat
         |FROM d WHERE km <= 3000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // geo_shape polygon restated: the identical per-edge crossing tests
+    // (same operand order, so IEEE rounds identically — no libm, no
+    // margin) summed for even-odd parity. The horizontal edge's division
+    // never decides: its crossing conjunct is already false.
+    "q_geo_shape_polygon" ->
+      """WITH pts AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |)
+        |SELECT c_custkey, c_mktsegment FROM pts
+        |WHERE (
+        |    (CASE WHEN ((-60 > lat) <> (60 > lat))
+        |      AND lon < (-150 - -150) * (lat - -60) / (60 - -60) + -150
+        |      THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ((60 > lat) <> (60 > lat))
+        |      AND lon < (-30 - -150) * (lat - 60) / (60 - 60) + -150
+        |      THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ((60 > lat) <> (-60 > lat))
+        |      AND lon < (-30 - -30) * (lat - 60) / (-60 - 60) + -30
+        |      THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ((-60 > lat) <> (0 > lat))
+        |      AND lon < (-90 - -30) * (lat - -60) / (0 - -60) + -30
+        |      THEN 1 ELSE 0 END)
+        |  + (CASE WHEN ((0 > lat) <> (-60 > lat))
+        |      AND lon < (-150 - -90) * (lat - 0) / (-60 - 0) + -90
+        |      THEN 1 ELSE 0 END)
+        |) % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
 
     // Intervals filter restated: gapped ordered source pairs, then the
     // containment test per interval — EXISTS an interval with no filter

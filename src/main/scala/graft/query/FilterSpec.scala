@@ -1329,6 +1329,53 @@ object FilterSpec {
     def fields: Seq[String] = Seq(latField, lonField)
   }
 
+  /** ES `geo_shape` query with a `polygon` over geo_point docs (the
+    * successor of the deprecated `geo_polygon` query): the point lies
+    * inside the closed polygon by EVEN-ODD ray casting — for each edge,
+    * one crossing test `((yi > lat) ≠ (yj > lat)) ∧ lon < xi + (xj −
+    * xi)·(lat − yi)/(yj − yi)`, inside ⇔ odd crossing count. Planar
+    * lat/lon semantics (ES's own pre-7.0 behavior and the convention of
+    * every vector-tile renderer); vertices are `(lat, lon)`, the edge
+    * back to the first vertex implicit, concave and convex alike,
+    * orientation-free. Unlike the haversine family there is NO libm in
+    * the tree — pure +,−,×,÷ and comparisons round identically under
+    * IEEE on any engine, so the oracle restatement is bit-exact with no
+    * fixture margin. Horizontal edges never divide: their crossing test
+    * is false before the division matters (both engines conjoin to
+    * false whether ÷0 yields ±Inf or NULL). Antimeridian-crossing
+    * polygons are NOT interpreted (ES splits those at index time) —
+    * vertices validate against the plain ranges. The unrolled crossing
+    * sum is static arithmetic over two columns: codegen'd, pushdown-
+    * friendly, row-local.
+    */
+  final case class GeoPolygon(latField: String, lonField: String,
+      vertices: Seq[(Double, Double)]) extends FilterSpec {
+    require(vertices.size >= 3,
+      s"geo_shape polygon: need >= 3 vertices, got ${vertices.size}")
+    require(vertices.forall { case (la, lo) =>
+      la >= -90 && la <= 90 && lo >= -180 && lo <= 180 },
+      "geo_shape polygon: vertex out of lat [-90,90] / lon [-180,180]")
+    def compile: Column = {
+      val (lat, lon) = (col(latField), col(lonField))
+      val n = vertices.size
+      val crossings = (0 until n).map { i =>
+        val (yi, xi) = vertices(i)
+        val (yj, xj) = vertices((i + 1) % n)
+        val crosses = (lit(yi) > lat) =!= (lit(yj) > lat)
+        val leftOf = lon <
+          (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)
+        when(crosses && leftOf, lit(1)).otherwise(lit(0))
+      }
+      crossings.reduce(_ + _) % 2 === 1
+    }
+    def render: String = {
+      val vs = vertices.map { case (la, lo) => s"${fmtNum(la)},${fmtNum(lo)}" }
+        .mkString(" ")
+      s"${escName(latField)},${escName(lonField)}:geo_polygon[$vs]"
+    }
+    def fields: Seq[String] = Seq(latField, lonField)
+  }
+
   /** Build the conjunction the way the webapp does: empty widget list →
     * match_all, else bool-must of each widget's predicate.
     */

@@ -435,6 +435,29 @@ class FilterSpecSpec extends SparkSpecBase {
       FilterSpec.GeoBoundingBox("lat", "lon", 91, 0, 0, 0))
   }
 
+  test("geo_shape polygon: even-odd ray casting handles concave shapes") {
+    // notched square: bottom boundary dips up to the apex (0,-90), so the
+    // triangle under the apex is OUTSIDE
+    val poly = FilterSpec.GeoPolygon("lat", "lon", Seq(
+      (-60.0, -150.0), (60.0, -150.0), (60.0, -30.0), (-60.0, -30.0),
+      (0.0, -90.0)))
+    val pts = Seq(
+      (1L, 30.0, -90.0),    // inside, above the apex
+      (2L, -50.0, -90.0),   // in the notch -> outside
+      (3L, 0.0, -170.0),    // west of the square
+      (4L, 0.0, 0.0),       // east of the square
+      (5L, -50.0, -145.0),  // inside the west lobe, below the apex
+      (6L, 70.0, -90.0),    // north of the square
+    ).toDF("id", "lat", "lon")
+    assert(pts.where(poly.compile).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 5L))
+    intercept[IllegalArgumentException](
+      FilterSpec.GeoPolygon("lat", "lon", Seq((0.0, 0.0), (1.0, 1.0))))
+    intercept[IllegalArgumentException](
+      FilterSpec.GeoPolygon("lat", "lon",
+        Seq((0.0, 0.0), (1.0, 1.0), (95.0, 0.0))))
+  }
+
   test("geo_distance: radius semantics and the oracle fixture's libm margin") {
     // ~111.2 km per degree at the equator: 1° away is inside 200 km,
     // 2° away is outside
