@@ -2385,6 +2385,24 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_has_child_scored" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // has_child score_mode=sum: parents ranked by their matching
+      // children's folded scores (child score = floor(extendedprice) —
+      // integral doubles, so the distributed sum is fold-order exact
+      // and the oracle bit-matches without rounding). Same exchange
+      // profile as the count-bounded has_child: one partial+final agg
+      // on the parent key + one join.
+      graft.query.JoinField.hasChildScored(
+          load(dir, "orders"), load(dir, "lineitem"),
+          "o_orderkey", "l_orderkey",
+          col("l_quantity") >= 40, floor(col("l_extendedprice")),
+          scoreMode = "sum")
+        .select(col("o_orderkey"), col("_score").cast("long").as("score"))
+        .orderBy(desc("score"), asc("o_orderkey"))
+        .limit(20)
+    }),
+
     "q_has_parent" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES has_parent: line items of urgent, high-value orders — one
@@ -2417,9 +2435,10 @@ object SparkEntry {
       // ES frequent_item_sets: closed itemsets of co-occurring operator
       // terms per document (a 12-word basket keeps the oracle's
       // level-joins polynomial and the lattice honest: 505 frequent sets
-      // up to size 4 at sf0.01, support 0.45). Level-wise Apriori — one
-      // broadcast equi-join + two-phase count per level, driver-bounded
-      // candidates; maxSetSize=5 raises loudly if the family outgrows
+      // up to size 4 at sf0.01, support 0.45; the sf0.001 smoke corpus
+      // reaches size 5). Level-wise Apriori — one broadcast equi-join +
+      // two-phase count per level, driver-bounded candidates;
+      // maxSetSize=6 raises loudly if the family outgrows
       // the oracle's enumerated levels instead of truncating. The
       // minCount fold shares the float guard ceil(sup·N − 1e-9) with the
       // oracle (0.45·500 = 225.00000000000003 in IEEE — a bare ceil
@@ -2432,25 +2451,7 @@ object SparkEntry {
       graft.query.Aggs.frequentItemSets(
         load(dir, "documents").select(col("doc_id"), items.as("items")),
         col("doc_id"), col("items"),
-        minSupport = 0.45, minSetSize = 2, size = 10, maxSetSize = 5)
-    }),
-
-    "g_categorize_text" -> ((s, dir) => {
-      implicit val spark: SparkSession = s
-      // ES categorize_text (similarity_threshold 100 — the deterministic
-      // exact-template core; the sub-100 CC merge is CategorizeSpec's):
-      // log lines derived from events collapse to their structural
-      // template once the digit-bearing tokens (user ids, codes,
-      // durations) drop out — 10 categories from 10,000 messages, one
-      // row-local key + one hash aggregate.
-      val msg = when(col("value") < 10,
-          concat(col("event_type"), lit(" failed for user "),
-            col("user_id").cast("string"), lit(" with code "),
-            floor(col("value")).cast("long").cast("string")))
-        .otherwise(concat(col("event_type"), lit(" completed for user "),
-          col("user_id").cast("string"), lit(" in "),
-          floor(col("value")).cast("long").cast("string"), lit(" ms")))
-      graft.query.Categorize.categorizeText(loadEvents(dir), msg, size = 10)
+        minSupport = 0.45, minSetSize = 2, size = 10, maxSetSize = 6)
     }),
 
     "q_rank_feature" -> ((s, dir) => {
@@ -7718,6 +7719,17 @@ object SparkEntry {
         |  GROUP BY 1 HAVING count(*) >= 2)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // has_child score_mode restated: one grouped sum of the integral
+    // child scores, top-20 with the explicit tiebreak.
+    "q_has_child_scored" ->
+      """SELECT o_orderkey,
+        |  (SELECT sum(floor(l_extendedprice))::BIGINT FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 40) AS score
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 40)
+        |ORDER BY score DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
     // has_parent restated: children IN the filtered parents' key set.
     "q_has_parent" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
@@ -7741,7 +7753,7 @@ object SparkEntry {
     // the shared float-guarded minCount, closed = NO equal-count
     // superset one larger (counts are antitone, so size+1 suffices —
     // the engine's argument verbatim), the f5 level guarding the same
-    // completeness the engine's maxSetSize=5 raise does.
+    // completeness the engine's maxSetSize=6 raise does.
     "g_frequent_item_sets" ->
       """WITH tx AS (
         |  SELECT doc_id, list_distinct(list_filter(
@@ -7763,6 +7775,8 @@ object SparkEntry {
         |  FROM j3 JOIN fp d ON j3.doc_id = d.doc_id AND i3 < d.item),
         |j5 AS (SELECT j4.doc_id, i1, i2, i3, i4, e.item AS i5
         |  FROM j4 JOIN fp e ON j4.doc_id = e.doc_id AND i4 < e.item),
+        |j6 AS (SELECT j5.doc_id, i1, i2, i3, i4, i5, g.item AS i6
+        |  FROM j5 JOIN fp g ON j5.doc_id = g.doc_id AND i5 < g.item),
         |f2 AS (SELECT [i1, i2] AS key, count(*)::BIGINT AS cnt FROM j2
         |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
         |f3 AS (SELECT [i1, i2, i3] AS key, count(*)::BIGINT AS cnt FROM j3
@@ -7771,8 +7785,11 @@ object SparkEntry {
         |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
         |f5 AS (SELECT [i1, i2, i3, i4, i5] AS key, count(*)::BIGINT AS cnt FROM j5
         |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
+        |f6 AS (SELECT [i1, i2, i3, i4, i5, i6] AS key, count(*)::BIGINT AS cnt FROM j6
+        |  GROUP BY 1 HAVING count(*) >= (SELECT c FROM mc)),
         |fs AS (SELECT * FROM f2 UNION ALL SELECT * FROM f3
-        |       UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5),
+        |       UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5
+        |       UNION ALL SELECT * FROM f6),
         |closed AS (SELECT key, cnt FROM fs f WHERE NOT EXISTS (
         |  SELECT 1 FROM fs t WHERE t.cnt = f.cnt
         |    AND len(t.key) = len(f.key) + 1 AND list_has_all(t.key, f.key)))
@@ -7782,26 +7799,6 @@ object SparkEntry {
         |ORDER BY doc_count DESC, len(key) DESC, array_to_string(key, ',') ASC
         |LIMIT 10""".stripMargin,
 
-    // categorize_text restated: the same derived message, the same
-    // digit-token drop (the [a-z0-9]+ extraction then digit filter =
-    // the engine's normalize-then-filter), one GROUP BY.
-    "g_categorize_text" ->
-      """WITH m AS (
-        |  SELECT CASE WHEN value < 10
-        |    THEN event_type || ' failed for user ' || user_id ||
-        |         ' with code ' || CAST(floor(value) AS BIGINT)
-        |    ELSE event_type || ' completed for user ' || user_id ||
-        |         ' in ' || CAST(floor(value) AS BIGINT) || ' ms' END AS msg
-        |  FROM events
-        |), k AS (
-        |  SELECT array_to_string(list_filter(
-        |    regexp_extract_all(lower(msg), '[a-z0-9]+'),
-        |    x -> NOT regexp_matches(x, '[0-9]')), ' ') AS key
-        |  FROM m
-        |)
-        |SELECT key, count(*)::BIGINT AS doc_count
-        |FROM k GROUP BY 1
-        |ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin,
 
     // distance_feature restated on epoch-µs integers (exact doubles
     // < 2^53; epoch_us ≡ unix_micros under the UTC session) — one

@@ -1479,6 +1479,81 @@ object Aggs {
       .limit(n)
   }
 
+  /** ES `categorize_text`'s `similarity_threshold` BELOW 100, order-free:
+    * [[categorizeText]]'s exact template categories (that method is the
+    * threshold-100 case) merge along CONNECTED COMPONENTS of the
+    * category-similarity relation — two templates connect when their
+    * distinct WORD-token overlap covers at least `threshold` of the
+    * larger one (`|A ∩ B| / max(|A|,|B|)`, the symmetric restatement of
+    * ES's "this % of tokens must match to join"; `*` placeholders are
+    * variable parts and never count). ES's own sub-100 merging is
+    * incremental against a stream-ordered category list — document-order
+    * dependent, the class of nondeterminism the oracle gate cannot hold
+    * — so the CC closure REPLACES that semantic rather than emulating
+    * it (the [[categorizeText]] determinism-delta, extended). The merged
+    * key is the representative's template narrowed to tokens every
+    * member shares (`*`s kept — they are already "anything"); the
+    * representative is the lexicographically smallest member, counts
+    * sum, the exemplar id is the cluster minimum.
+    *
+    * Plan shape: the exact hash aggregate first (corpus → template-
+    * shaped category table), then ALL pair/closure work runs on
+    * categories only: word-token-blocked self-join, overlap filter, then
+    * [[graft.ops.Dedup.connectedComponents]] (driver union-find under
+    * its bounded gate, distributed label propagation above it). Ids are
+    * `xxhash64(category)` — the dedup family's portable-hash convention.
+    * All-variable templates (no word tokens) cannot merge and pass
+    * through as their own categories.
+    */
+  def categorizeTextMerged(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, n: Int = 10): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"categorize_text: similarity_threshold must be in (0, 1], got $threshold")
+    val template = concat_ws(" ", transform(
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0),
+      t => when(t.rlike("[0-9]"), lit("*")).otherwise(t)))
+    val cats = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_id0"), template.as("category"))
+      .where(length(col("category")) > 0)
+      .groupBy("category")
+      .agg(count(lit(1)).as("count"), min(col("_id0")).as("example_id"))
+      .withColumn("_id", xxhash64(col("category")))
+      .withColumn("_toks",
+        array_distinct(filter(split(col("category"), " "), t => t =!= "*")))
+      .withColumn("_n", array_size(col("_toks")))
+    val sides = cats.select(col("_id"), col("_toks"), col("_n"),
+      explode(col("_toks")).as("_t"))
+    val a = sides.select(col("_id").as("id_a"), col("_toks").as("_ta"),
+      col("_n").as("_na"), col("_t"))
+    val b = sides.select(col("_id").as("id_b"), col("_toks").as("_tb"),
+      col("_n").as("_nb"), col("_t"))
+    val pairs = a.join(b, Seq("_t"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "_ta", "_tb", "_na", "_nb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("_shared", array_size(array_intersect(col("_ta"), col("_tb"))))
+      .where(col("_shared").cast("double") >=
+        lit(threshold) * greatest(col("_na"), col("_nb")).cast("double"))
+      .select("id_a", "id_b")
+    val comps = graft.ops.Dedup.connectedComponents(pairs)
+    cats.join(comps, cats("_id") === comps("id"), "left")
+      .withColumn("_comp", coalesce(col("component"), col("_id")))
+      .groupBy("_comp")
+      .agg(sum(col("count")).as("count"),
+        min(col("example_id")).as("example_id"),
+        min(col("category")).as("_rep"),
+        collect_list(col("_toks")).as("_all"))
+      .select(
+        array_join(
+          aggregate(col("_all"), split(col("_rep"), " "),
+            (acc, t) => filter(acc, x => x === "*" || array_contains(t, x))),
+          " ").as("category"),
+        col("count"), col("example_id"))
+      .orderBy(desc("count"), asc("category"))
+      .limit(n)
+  }
+
   /** Dotted-quad IPv4 → unsigned 32-bit LONG — pure integer arithmetic
     * (split, cast, shift), restatable in any engine; malformed addresses
     * (missing octets, octet > 255, non-numeric) are null.

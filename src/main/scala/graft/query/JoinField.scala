@@ -57,6 +57,33 @@ object JoinField {
     parents.join(matching, parents(parentKey) === matching("_pk"), "left_semi")
   }
 
+  /** ES `has_child` with a `score_mode` — the SCORED form: each parent's
+    * relevance is the `min`/`max`/`sum`/`avg` of its matching children's
+    * scores (`none` is [[hasChild]] — filter context). Returns the
+    * matching parents with a `_score` column, unsorted (rank/page with
+    * the usual Bm25/Paging machinery). One partial+final hash aggregate
+    * over the filtered children keyed by the parent key, then ONE inner
+    * join — the same exchange profile as the count-bounded [[hasChild]],
+    * co-bucketable the same way. `avg` divides sum by count once per
+    * parent (one rounding step, the weightedAvg discipline).
+    */
+  def hasChildScored(parents: DataFrame, children: DataFrame,
+      parentKey: String, childKey: String, childFilter: Column,
+      childScore: Column, scoreMode: String = "sum"): DataFrame = {
+    val folded = scoreMode match {
+      case "sum" => sum(childScore)
+      case "min" => min(childScore)
+      case "max" => max(childScore)
+      case "avg" => sum(childScore) / count(lit(1)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"has_child: score_mode must be sum|min|max|avg (none = hasChild), got <$other>")
+    }
+    val scored = children.where(childFilter)
+      .groupBy(col(childKey).as("_pk")).agg(folded.as("_score"))
+    parents.join(scored, parents(parentKey) === scored("_pk"))
+      .drop("_pk")
+  }
+
   /** ES `has_parent` — CHILD docs whose parent matches `parentFilter`.
     * ONE left-semi join of children against the filtered parents'
     * keys; the filtered side is the small one by construction (a

@@ -873,6 +873,42 @@ class AggsSpec extends SparkSpecBase {
     assert(raw.find(_._1 == "boilerplate").get._3 === 4L)
   }
 
+  test("categorizeTextMerged: CC closure at the threshold, narrowed template, sums") {
+    val msgs = Seq(
+      (1L, "user 1 login from host"), (2L, "user 2 login from host"),
+      (3L, "user 3 login from host"),
+      (4L, "user 4 login from host retry 1"),
+      (5L, "user 5 login from host retry 2"),
+      (6L, "disk 7 failure alarm"),
+      (7L, "cache miss 12"), (8L, "cache hit 9 evict"),
+    ).toDF("id", "text")
+    // exact templates: "user * login from host" (3) and "user * login
+    // from host retry *" (2) share 4 of max 5 word tokens -> 0.8 >= 0.7
+    // merges them; the merged key narrows to the shared tokens in the
+    // representative's order ('*'s kept); "cache miss *" vs
+    // "cache hit * evict" overlap 1/3 stays split
+    val got = Aggs.categorizeTextMerged(msgs, "id", "text", threshold = 0.7)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("user * login from host", 5L, 1L),
+      ("cache hit * evict", 1L, 8L),
+      ("cache miss *", 1L, 7L),
+      ("disk * failure alarm", 1L, 6L)))
+    // threshold 1.0: only identical word-token SETS merge -> none here,
+    // the exact categories survive
+    val strict = Aggs.categorizeTextMerged(msgs, "id", "text", threshold = 1.0)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(strict.toSet === Set(
+      ("user * login from host", 3L, 1L),
+      ("user * login from host retry *", 2L, 4L),
+      ("cache miss *", 1L, 7L), ("cache hit * evict", 1L, 8L),
+      ("disk * failure alarm", 1L, 6L)))
+    intercept[IllegalArgumentException](
+      Aggs.categorizeTextMerged(msgs, "id", "text", threshold = 0.0))
+    intercept[IllegalArgumentException](
+      Aggs.categorizeTextMerged(msgs, "id", "text", threshold = 1.5))
+  }
+
   test("frequentItemSets: Apriori counts, closed-set filter, ordering, loud growth cap") {
     // counts: a=4 b=3 c=5 d=2; ab=3 ac=4 bc=3 (c,d co-occur only once —
     // below support); abc=3 — so a, b, ab, bc are NOT closed (an

@@ -46,6 +46,22 @@ class JoinFieldSpec extends SparkSpecBase {
         minChildren = 3, maxChildren = 2))
   }
 
+  test("has_child score modes fold matching-children scores per parent") {
+    val scored = Seq((1L, 10L, 2.0), (1L, 11L, 4.0), (2L, 20L, 6.0),
+      (99L, 90L, 8.0)).toDF("fk", "ck", "sc")
+    def run(mode: String): Map[Long, Double] =
+      JoinField.hasChildScored(parents, scored, "pk", "fk",
+          col("sc") > 0, col("sc"), mode)
+        .select("pk", "_score").as[(Long, Double)].collect().toMap
+    assert(run("sum") === Map(1L -> 6.0, 2L -> 6.0))
+    assert(run("max") === Map(1L -> 4.0, 2L -> 6.0))
+    assert(run("min") === Map(1L -> 2.0, 2L -> 6.0))
+    assert(run("avg") === Map(1L -> 3.0, 2L -> 6.0))
+    intercept[IllegalArgumentException](
+      JoinField.hasChildScored(parents, scored, "pk", "fk",
+        col("sc") > 0, col("sc"), "mean"))
+  }
+
   test("has_parent / parent_id: children of matching / named parents") {
     val hp = JoinField.hasParent(parents, children, "pk", "fk",
       col("prio") === "urgent")
