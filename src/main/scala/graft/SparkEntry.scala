@@ -1953,7 +1953,21 @@ object SparkEntry {
   private def pairSorted(df: DataFrame): DataFrame =
     df.repartition(1).sortWithinPartitions("id_a", "id_b")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** A Map literal silently keeps the LAST entry on a duplicate key —
+    * in a registry this long (325+ entries across 10k lines) a re-added
+    * name would shadow the live query/oracle pair without any symptom
+    * (a drafted duplicate of the round-14 g_categorize_text got one
+    * entry deep before review caught it). Build from Seq and reject
+    * duplicates loudly instead.
+    */
+  private[graft] def distinctByName[V](what: String, entries: Seq[(String, V)]): Map[String, V] = {
+    val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"$what: duplicate keys would silently shadow: ${dups.mkString(", ")}")
+    entries.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = distinctByName("queries", Seq(
 
     // ===== §2.3 aggregations / sorts (A1-A7, O1-O2) =====
 
@@ -5197,10 +5211,15 @@ object SparkEntry {
         .orderBy("lang_pred")
     }),
 
-    "text_fingerprint" -> ((s, dir) => {
+    "text_content_fingerprint" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Portable md5 form so DuckDB can oracle it; the xxhash64 variant
       // (same normalization) drives exactByFingerprint and is spec-tested.
+      // RENAMED from text_fingerprint in round 17: the ES fingerprint-
+      // ANALYZER query later registered under the same key, and the Map
+      // literal's last-wins rule silently shadowed THIS dedup-tier
+      // content-fingerprint pair from that round on — found the moment
+      // the registry construction started rejecting duplicates.
       load(dir, "documents")
         .select(col("doc_id"), TextAnalysis.contentFingerprintHex(col("text")).as("fingerprint"))
         .orderBy("doc_id")
@@ -6719,7 +6738,7 @@ object SparkEntry {
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy("user_id", "session_start")
     }),
-  )
+  ))
 
   // ---------------------------------------------------------------------
   // DuckDB oracles — ANSI SQL over the same parquet files. The driver runs
@@ -7195,7 +7214,7 @@ object SparkEntry {
       |       count(*) AS count
       |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = distinctByName("oracleSql", Seq(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -8916,7 +8935,7 @@ object SparkEntry {
         |       count(*) AS count
         |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin,
 
-    "text_fingerprint" ->
+    "text_content_fingerprint" ->
       s"""SELECT doc_id, md5($duckNorm) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -11790,5 +11809,5 @@ object SparkEntry {
          |SELECT vec_id, cell FROM keep WHERE kr <= 4
          |ORDER BY cell, vec_id""".stripMargin
     },
-  )
+  ))
 }

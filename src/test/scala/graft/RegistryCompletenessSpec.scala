@@ -99,6 +99,20 @@ class RegistryCompletenessSpec extends SparkSpecBase {
     "dedup_minhash", "dedup_simhash", "dedup_cluster_keep_minhash",
     "mm_feature_stats")
 
+  test("registry construction rejects duplicate keys instead of shadowing") {
+    // Map literals keep the LAST duplicate silently — the hazard that let
+    // a drafted duplicate of g_categorize_text shadow a live oracle pair
+    // (round 17); both registries now build through this guard
+    val e = intercept[IllegalArgumentException](
+      SparkEntry.distinctByName("t", Seq("a" -> 1, "b" -> 2, "a" -> 3)))
+    assert(e.getMessage.contains("a") && e.getMessage.contains("shadow"))
+    assert(SparkEntry.distinctByName("t", Seq("a" -> 1, "b" -> 2))
+      === Map("a" -> 1, "b" -> 2))
+    // the live registries pass through the guard at object init — touch
+    // them so a duplicate fails HERE, loudly, not wherever first accessed
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+  }
+
   test("every oracle key is a registered query, rows-only remainder is pinned") {
     val registered = SparkEntry.queries.keySet
     val oracled = SparkEntry.oracleSql.keySet
