@@ -3901,6 +3901,22 @@ object SparkEntry {
         tiebreak = col("c_custkey"), size = 20)
     }),
 
+    "g_time_series_rate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES TSDB time_series + counter rate: per-event_type series, a
+      // derived counter with GENUINE resets (row_number·7 mod 1000 —
+      // wraps every ~143 samples), reset-adjusted hourly increase /
+      // 3600 s. One series-partitioned window + one hash agg; 3,600
+      // (series, hour) buckets at sf0.01.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val ctr = loadEvents(dir)
+        .withColumn("ctr", (row_number().over(w).cast("long") * 7) % 1000)
+      Aggs.timeSeriesCounterRate(ctr, Seq("event_type"), "ts",
+          col("event_id"), "ctr", interval = "hour")
+        .orderBy("event_type", "bucket")
+    }),
+
     "g_categorize_text" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES categorize_text made order-free: digit-bearing tokens template
@@ -8538,6 +8554,30 @@ object SparkEntry {
         |    string_agg(lon6 || ' ' || lat6, ', ' ORDER BY rn) || ')' AS line
         |FROM r WHERE rn <= 20
         |GROUP BY 1 ORDER BY points DESC, c_mktsegment LIMIT 10""".stripMargin,
+
+    // time_series counter rate restated: the same two windows (counter
+    // derivation + lag) and the same reset CASE, integer increases.
+    "g_time_series_rate" ->
+      """WITH c AS (
+        |  SELECT event_type, ts, event_id,
+        |    (row_number() OVER (PARTITION BY event_type
+        |       ORDER BY ts, event_id) * 7) % 1000 AS ctr
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, ts, ctr,
+        |    lag(ctr) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM c
+        |)
+        |SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |  sum(CASE WHEN prev IS NULL THEN 0
+        |           WHEN ctr >= prev THEN ctr - prev
+        |           ELSE ctr END)::BIGINT AS increase,
+        |  sum(CASE WHEN prev IS NULL THEN 0
+        |           WHEN ctr >= prev THEN ctr - prev
+        |           ELSE ctr END)::DOUBLE / 3600.0 AS rate
+        |FROM d GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "g_categorize_text" ->
       s"""WITH t AS (

@@ -1783,6 +1783,51 @@ object Aggs {
       .select(col("_next").as("change_point"), col("_delta").as("delta"))
   }
 
+  /** ES TSDB `time_series` buckets with the counter `rate` metric — the
+    * metrics-store agg pair: samples group into (dimension key, time
+    * bucket) series buckets, and `rate` over a COUNTER field is the
+    * reset-adjusted increase per second. Counter semantics (the
+    * ES/Prometheus rule): delta to the previous sample of the SAME
+    * series; a negative delta means the counter restarted from zero, so
+    * the new value IS the contribution. A series' first sample ever
+    * contributes 0 (no prior state to diff against).
+    *
+    * Stated delta vs ES: each increase is attributed to the bucket of
+    * the sample WHERE IT WAS OBSERVED (so growth across a bucket
+    * boundary lands in the later bucket), and buckets cover exactly
+    * their samples' increases — where ES/Prometheus extrapolate partial
+    * windows to the bucket edges. The per-sample attribution is exact,
+    * deterministic, and restatable; extrapolation is a presentation
+    * choice this engine leaves to the caller.
+    *
+    * Scale: ONE window partitioned by the series key (TSDB's own
+    * contract — per-series sample streams, never a corpus-wide
+    * ordering) + one hash aggregate on (dims, bucket). `tieBreak`
+    * makes same-timestamp samples deterministic. Integer counters sum
+    * exactly; the one division is the rate render.
+    */
+  def timeSeriesCounterRate(
+      df: DataFrame, dims: Seq[String], tsCol: String, tieBreak: Column,
+      counterCol: String, interval: String = "hour"): DataFrame = {
+    require(dims.nonEmpty, "time_series: no dimension fields")
+    val secs: Double = interval.toLowerCase match {
+      case "minute" => 60.0
+      case "hour" => 3600.0
+      case "day" => 86400.0
+      case other => throw new IllegalArgumentException(
+        s"time_series rate: unsupported interval <$other> (minute|hour|day)")
+    }
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(tsCol), tieBreak)
+    df.withColumn("_prev", lag(col(counterCol), 1).over(w))
+      .withColumn("_inc",
+        when(col("_prev").isNull, lit(0L))
+          .when(col(counterCol) >= col("_prev"), col(counterCol) - col("_prev"))
+          .otherwise(col(counterCol)))
+      .groupBy(dims.map(col) :+ date_trunc(interval, col(tsCol)).as("bucket"): _*)
+      .agg(sum(col("_inc")).as("increase"))
+      .withColumn("rate", col("increase").cast("double") / lit(secs))
+  }
+
   /** ES `frequent_item_sets` agg (x-pack, 8.4+): market-basket mining —
     * the CLOSED itemsets of support ≥ `minSupport` over per-document item
     * sets, top `size` by doc count. ES runs ECLAT per shard; this is the

@@ -873,6 +873,31 @@ class AggsSpec extends SparkSpecBase {
     assert(raw.find(_._1 == "boilerplate").get._3 === 4L)
   }
 
+  test("timeSeriesCounterRate: reset-adjusted increases per series bucket") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ts11 = java.sql.Timestamp.valueOf("2024-01-01 11:05:00")
+    val rows = Seq(
+      // series A, hour 10: 10 (first: 0), 17 (+7), 3 (RESET: +3)
+      ("A", ts(0), 1L, 10L), ("A", ts(10), 2L, 17L), ("A", ts(20), 3L, 3L),
+      // series A, hour 11: 9 (+6 — the boundary delta lands here)
+      ("A", ts11, 4L, 9L),
+      // series B, hour 10: independent stream, its own first-sample zero
+      ("B", ts(5), 5L, 100L), ("B", ts(15), 6L, 130L),
+    ).toDF("dim", "ts", "id", "ctr")
+    val got = Aggs.timeSeriesCounterRate(rows, Seq("dim"), "ts", col("id"), "ctr")
+      .orderBy("dim", "bucket")
+      .select("dim", "increase", "rate")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("A", 10L, 10.0 / 3600), ("A", 6L, 6.0 / 3600),
+      ("B", 30L, 30.0 / 3600)))
+    intercept[IllegalArgumentException](
+      Aggs.timeSeriesCounterRate(rows, Seq.empty, "ts", col("id"), "ctr"))
+    intercept[IllegalArgumentException](
+      Aggs.timeSeriesCounterRate(rows, Seq("dim"), "ts", col("id"), "ctr",
+        interval = "fortnight"))
+  }
+
   test("categorizeTextMerged: CC closure at the threshold, narrowed template, sums") {
     val msgs = Seq(
       (1L, "user 1 login from host"), (2L, "user 2 login from host"),
