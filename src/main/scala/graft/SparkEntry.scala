@@ -6754,6 +6754,87 @@ object SparkEntry {
           col("n_events"), round(col("total_value"), 2).as("total_value"))
         .orderBy("user_id", "session_start")
     }),
+
+    // ===== ES|QL front-end (query/Esql.scala): the piped query language
+    // compiled to ONE declarative plan — pushdown / pruning / top-K /
+    // broadcast ENRICH all verified in EsqlSpec's plan pins =====
+
+    "esql_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The pricing-summary shape as ES|QL: WHERE compiles against the
+      // scan (PushedFilters), STATS is one partial+final hash agg. The
+      // average price rides the integer-cents discipline (SUM of per-row
+      // FLOOR(price·100) is a LONG fold — exact in any order) with a
+      // fixed division tree both engines restate.
+      query.Esql.run(
+        """FROM lineitem
+          | WHERE l_shipdate <= TO_DATETIME("1998-09-02 00:00:00")
+          | STATS sum_qty = SUM(l_quantity), n = COUNT(*),
+              avg_price = ROUND(TO_DOUBLE(SUM(FLOOR(l_extendedprice * 100))) / COUNT(*) / 100.0, 4)
+            BY l_returnflag, l_linestatus
+          | SORT l_returnflag, l_linestatus""",
+        t => load(dir, t))
+    }),
+
+    "esql_wordcount" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The canonical pipeline demo — tokenize, MV_EXPAND, aggregate:
+      // explode feeds one hash agg, TakeOrderedAndProject caps the page.
+      query.Esql.run(
+        """FROM documents | EVAL tok = SPLIT(text, " ") | MV_EXPAND tok
+          | WHERE LENGTH(tok) > 3 | STATS c = COUNT(*) BY tok
+          | SORT c DESC, tok | LIMIT 25""",
+        t => load(dir, t))
+    }),
+
+    "esql_dissect" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // DISSECT's literal-separator extract over the JSON-shaped props
+      // column, typed with TO_INTEGER, aggregated per event_type. SUM of
+      // ints is a long fold — exact; cast to double for a stable schema.
+      query.Esql.run(
+        """FROM events | DISSECT props "{\"k\": %{kv}}"
+          | EVAL k = TO_INTEGER(kv)
+          | STATS n = COUNT(*), total = TO_DOUBLE(SUM(k)) BY event_type
+          | SORT event_type""",
+        t => if (t == "events") loadEvents(dir) else load(dir, t))
+    }),
+
+    "esql_grok" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // GROK's typed extract (INT pattern with an :int cast) over the same
+      // props fixture, reduced with MIN/MAX — integer-exact.
+      query.Esql.run(
+        """FROM events | GROK props "{\"k\": %{INT:kv:int}}"
+          | STATS mx = MAX(kv), mn = MIN(kv) BY event_type
+          | SORT event_type""",
+        t => if (t == "events") loadEvents(dir) else load(dir, t))
+    }),
+
+    "esql_enrich" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ENRICH = broadcast left join against the policy table (nation is
+      // the enrich index; EsqlSpec pins BroadcastHashJoin). Account
+      // balance totals ride the cents discipline.
+      query.Esql.run(
+        """FROM customer | ENRICH nations ON c_nationkey WITH nation = n_name
+          | STATS n = COUNT(*), acct = TO_DOUBLE(SUM(FLOOR(c_acctbal * 100))) / 100.0 BY nation
+          | SORT nation""",
+        t => load(dir, t),
+        Map("nations" -> query.Esql.EnrichPolicy(load(dir, "nation"), "n_nationkey", Seq("n_name"))))
+    }),
+
+    "esql_topk" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // EVAL-scored top-K: SORT + LIMIT fuse to TakeOrderedAndProject (no
+      // global sort) — the script_score serving shape, expressed in the
+      // pipe language end to end.
+      query.Esql.run(
+        """FROM documents | WHERE lang == "en"
+          | EVAL score = n_chars / 100.0 + CASE(source == "src0", 2, source == "src1", 1, 0)
+          | SORT score DESC, doc_id | LIMIT 20 | KEEP doc_id, score""",
+        t => load(dir, t))
+    }),
   ))
 
   // ---------------------------------------------------------------------
@@ -11849,5 +11930,50 @@ object SparkEntry {
          |SELECT vec_id, cell FROM keep WHERE kr <= 4
          |ORDER BY cell, vec_id""".stripMargin
     },
+
+    // ===== ES|QL front-end: each piped program restated as the ANSI
+    // query it compiles to. The cents folds (SUM of per-row FLOOR·100)
+    // are integer-exact in any fold order on both engines. =====
+
+    "esql_stats" ->
+      """SELECT sum(l_quantity) AS sum_qty, count(*) AS n,
+        |  round(CAST(sum(floor(l_extendedprice * 100)) AS DOUBLE) / count(*) / 100.0, 4) AS avg_price,
+        |  l_returnflag, l_linestatus
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "esql_wordcount" ->
+      """SELECT count(*) AS c, tok FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |WHERE length(tok) > 3
+        |GROUP BY tok ORDER BY c DESC, tok LIMIT 25""".stripMargin,
+
+    "esql_dissect" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(NULLIF(regexp_extract(props, '^\{"k": (.*)\}$', 1), '') AS INTEGER)) AS DOUBLE) AS total,
+        |  event_type
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "esql_grok" ->
+      """SELECT max(CAST(NULLIF(regexp_extract(props, '^\{"k": ([+-]?\d+)\}$', 1), '') AS INTEGER)) AS mx,
+        |  min(CAST(NULLIF(regexp_extract(props, '^\{"k": ([+-]?\d+)\}$', 1), '') AS INTEGER)) AS mn,
+        |  event_type
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "esql_enrich" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(floor(c_acctbal * 100)) AS DOUBLE) / 100.0 AS acct,
+        |  n_name AS nation
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "esql_topk" ->
+      """SELECT doc_id,
+        |  n_chars / 100.0 + CASE WHEN source = 'src0' THEN 2
+        |    WHEN source = 'src1' THEN 1 ELSE 0 END AS score
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
   ))
 }

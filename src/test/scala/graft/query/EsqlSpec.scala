@@ -1,0 +1,347 @@
+package graft.query
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** ES|QL front-end: parser shape, pinned semantics (naming by source text,
+  * null-largest sort, LIKE wildcards, STATS column order, MV_EXPAND outer,
+  * DISSECT null-on-no-match), determinism rejects (NOW), and the plan
+  * shapes the compiler promises (pushdown, top-K, broadcast ENRICH).
+  */
+class EsqlSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def resolve(tables: Map[String, org.apache.spark.sql.DataFrame])(name: String) =
+    tables.getOrElse(name, fail(s"unexpected FROM $name"))
+
+  private lazy val people = Seq(
+    (1L, "ada", "en", 30.0, "2024-03-01 10:15:00"),
+    (2L, "bob", "en", 10.0, "2024-03-01 11:45:00"),
+    (3L, "chen", "zh", 25.0, "2024-03-02 09:00:00"),
+    (4L, "dara", null.asInstanceOf[String], 5.0, "2024-03-02 23:59:00"),
+    (5L, "emil", "de", 40.0, "2024-03-03 00:00:00"))
+    .toDF("id", "name", "lang", "score", "ts_s")
+    .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  // ----- parsing -----
+
+  test("program parses commands in order; unknown command rejects") {
+    val cmds = Esql.parse("""FROM t | WHERE a > 1 | STATS c = COUNT(*) BY b | SORT c DESC | LIMIT 3""")
+    assert(cmds.length == 5)
+    val e = intercept[IllegalArgumentException](Esql.parse("FROM t | FROBNICATE x"))
+    assert(e.getMessage.contains("unknown command"))
+  }
+
+  test("unnamed EVAL and STATS columns take their source text as the name") {
+    val out = Esql.run("""FROM t | EVAL score * 2 | STATS AVG(score)""",
+      resolve(Map("t" -> people)))
+    assert(out.columns.toSeq == Seq("AVG(score)"))
+    val ev = Esql.run("""FROM t | EVAL score * 2 | LIMIT 1""", resolve(Map("t" -> people)))
+    assert(ev.columns.contains("score * 2"))
+  }
+
+  test("query must start with FROM or ROW; METADATA rejects loudly") {
+    assert(intercept[IllegalArgumentException](Esql.parse("WHERE x == 1"))
+      .getMessage.contains("starts with FROM or ROW"))
+    assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _index | LIMIT 1"))
+      .getMessage.contains("METADATA"))
+  }
+
+  test("NOW() rejects — the determinism discipline") {
+    val e = intercept[IllegalArgumentException](
+      Esql.run("FROM t | EVAL n = NOW()", resolve(Map("t" -> people))).collect())
+    assert(e.getMessage.contains("wall clock"))
+  }
+
+  test("string escapes and backquoted names") {
+    val out = Esql.run("""ROW a = "he said \"hi\"\n", `weird name` = 1""",
+      resolve(Map.empty)).collect()
+    assert(out.head.getString(0) == "he said \"hi\"\n")
+    assert(Esql.run("""ROW `weird name` = 1""", resolve(Map.empty)).columns.head == "weird name")
+  }
+
+  // ----- expressions -----
+
+  test("operator precedence: arithmetic before comparison before AND/OR") {
+    val rows = Esql.run(
+      """FROM t | WHERE score + 10 > 30 AND lang == "en" OR id == 3 | KEEP id | SORT id""",
+      resolve(Map("t" -> people))).as[Long].collect()
+    // (score+10>30 AND en) OR id==3 → ada(40>30,en), chen(id 3)
+    assert(rows.toSeq == Seq(1L, 3L))
+  }
+
+  test("LIKE uses */? wildcards anchored; RLIKE full-match regex; NOT forms") {
+    val like = Esql.run("""FROM t | WHERE name LIKE "?d*" | KEEP name | SORT name""",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(like.toSeq == Seq("ada")) // 'a' then 'd' then anything
+    val nlike = Esql.run("""FROM t | WHERE name NOT LIKE "*a*" | KEEP name | SORT name""",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(nlike.toSeq == Seq("bob", "chen", "emil"))
+    val rl = Esql.run("""FROM t | WHERE name RLIKE "b.b" | KEEP name""",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(rl.toSeq == Seq("bob"))
+    // RLIKE is anchored: a partial match is not a match
+    val rl2 = Esql.run("""FROM t | WHERE name RLIKE "b" | KEEP name""",
+      resolve(Map("t" -> people))).collect()
+    assert(rl2.isEmpty)
+  }
+
+  test("IN / NOT IN, IS NULL / IS NOT NULL") {
+    val in = Esql.run("""FROM t | WHERE lang IN ("de", "zh") | KEEP id | SORT id""",
+      resolve(Map("t" -> people))).as[Long].collect()
+    assert(in.toSeq == Seq(3L, 5L))
+    val nn = Esql.run("""FROM t | WHERE lang IS NULL | KEEP id""",
+      resolve(Map("t" -> people))).as[Long].collect()
+    assert(nn.toSeq == Seq(4L))
+    val notIn = Esql.run("""FROM t | WHERE id NOT IN (1, 2, 3) | KEEP id | SORT id""",
+      resolve(Map("t" -> people))).as[Long].collect()
+    assert(notIn.toSeq == Seq(4L, 5L))
+  }
+
+  test("CASE function form: pairs plus optional default; missing default yields null") {
+    val out = Esql.run(
+      """FROM t | EVAL band = CASE(score >= 30, "high", score >= 20, "mid", "low") | KEEP name, band | SORT name""",
+      resolve(Map("t" -> people))).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("ada", "high"), ("bob", "low"), ("chen", "mid"), ("dara", "low"), ("emil", "high")))
+    val noDefault = Esql.run(
+      """FROM t | WHERE id == 2 | EVAL b = CASE(score > 90, "x") | KEEP b""",
+      resolve(Map("t" -> people))).collect()
+    assert(noDefault.head.isNullAt(0))
+  }
+
+  test("SUBSTRING is 1-based with negative start from the end") {
+    val out = Esql.run(
+      """ROW a = SUBSTRING("harmonize", 1, 4), b = SUBSTRING("harmonize", -4), c = SUBSTRING("harmonize", 5)""",
+      resolve(Map.empty)).collect().head
+    assert(out.getString(0) == "harm")
+    assert(out.getString(1) == "nize")
+    assert(out.getString(2) == "onize")
+  }
+
+  test("scalar function sweep: math, string, date") {
+    val r = Esql.run(
+      """ROW a = ABS(-3), b = ROUND(2.567, 1), c = CONCAT("x", "-", "y"),
+        d = TO_UPPER("ab"), e = LENGTH("abc"), f = LEFT("spark", 2), g = RIGHT("spark", 2),
+        h = COALESCE(NULL, 7), i = GREATEST(1, 9, 4), j = POW(2, 10),
+        k = DATE_EXTRACT("hour_of_day", TO_DATETIME("2024-03-01 10:15:00")),
+        l = DATE_FORMAT("yyyy-MM", TO_DATETIME("2024-03-01 10:15:00")),
+        m = FLOOR(7 / 2), n = LOG(2, 8)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[Int]("a") == 3)
+    assert(r.getAs[Double]("b") == 2.6)
+    assert(r.getAs[String]("c") == "x-y")
+    assert(r.getAs[String]("d") == "AB")
+    assert(r.getAs[Int]("e") == 3)
+    assert(r.getAs[String]("f") == "sp")
+    assert(r.getAs[String]("g") == "rk")
+    assert(r.getAs[Int]("h") == 7)
+    assert(r.getAs[Int]("i") == 9)
+    assert(r.getAs[Double]("j") == 1024.0)
+    assert(r.getAs[Int]("k") == 10)
+    assert(r.getAs[String]("l") == "2024-03")
+    assert(r.getAs[Long]("m") == 3L)
+    assert(math.abs(r.getAs[Double]("n") - 3.0) < 1e-12)
+  }
+
+  // ----- STATS -----
+
+  test("STATS output lists aggregates first then BY keys; no BY is the global row") {
+    val out = Esql.run(
+      """FROM t | STATS n = COUNT(*), total = SUM(score) BY lang | SORT lang NULLS LAST""",
+      resolve(Map("t" -> people)))
+    assert(out.columns.toSeq == Seq("n", "total", "lang"))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("lang")).toSeq == Seq("de", "en", "zh", null))
+    val global = Esql.run("""FROM t | STATS n = COUNT(*), m = MEDIAN(score)""",
+      resolve(Map("t" -> people))).collect().head
+    assert(global.getAs[Long]("n") == 5L)
+    assert(global.getAs[Double]("m") == 25.0)
+  }
+
+  test("STATS entries may be expressions over aggregates (8.14 semantics)") {
+    val r = Esql.run(
+      """FROM t | STATS avg2 = ROUND(SUM(score) / COUNT(*), 2), spread = MAX(score) - MIN(score)""",
+      resolve(Map("t" -> people))).collect().head
+    assert(r.getAs[Double]("avg2") == 22.0)
+    assert(r.getAs[Double]("spread") == 35.0)
+  }
+
+  test("STATS BY with no aggregates is distinct keys; BY expression binds a name") {
+    val d = Esql.run("""FROM t | STATS BY lang | SORT lang NULLS LAST""",
+      resolve(Map("t" -> people))).collect()
+    assert(d.map(_.getAs[String]("lang")).toSeq == Seq("de", "en", "zh", null))
+    val e = Esql.run(
+      """FROM t | STATS n = COUNT(*) BY day = DATE_TRUNC(1 day, ts) | SORT day""",
+      resolve(Map("t" -> people)))
+    assert(e.columns.toSeq == Seq("n", "day"))
+    assert(e.collect().map(_.getAs[Long]("n")).toSeq == Seq(2L, 2L, 1L))
+  }
+
+  test("VALUES returns sorted distinct; TOP slices the ordered list; PERCENTILE interpolates") {
+    val r = Esql.run(
+      """FROM t | STATS v = VALUES(lang), t2 = TOP(score, 2, "desc"), p = PERCENTILE(score, 50)""",
+      resolve(Map("t" -> people))).collect().head
+    assert(r.getAs[scala.collection.Seq[String]]("v").toSeq == Seq("de", "en", "zh")) // null excluded by collect_set
+    assert(r.getAs[scala.collection.Seq[Double]]("t2").toSeq == Seq(40.0, 30.0))
+    assert(r.getAs[Double]("p") == 25.0)
+  }
+
+  test("aggregates reject outside STATS; scalars reject at STATS top level; * only in COUNT") {
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | EVAL s = SUM(score)", resolve(Map("t" -> people))))
+      .getMessage.contains("only valid at the top level of STATS"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | STATS x = score + 1", resolve(Map("t" -> people))))
+      .getMessage.contains("must be aggregate calls"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | EVAL x = id * *", resolve(Map("t" -> people))).collect())
+      .getMessage.contains("COUNT(*)"))
+  }
+
+  // ----- SORT / LIMIT -----
+
+  test("SORT null sorts as largest by default; NULLS FIRST/LAST override") {
+    def langs(q: String): Seq[String] =
+      Esql.run(q, resolve(Map("t" -> people))).collect().map(_.getAs[String]("lang")).toSeq
+    assert(langs("FROM t | SORT lang | KEEP lang").last == null) // asc → nulls last
+    assert(langs("FROM t | SORT lang DESC | KEEP lang").head == null) // desc → nulls first
+    assert(langs("FROM t | SORT lang NULLS FIRST | KEEP lang").head == null)
+    assert(langs("FROM t | SORT lang DESC NULLS LAST | KEEP lang").last == null)
+  }
+
+  // ----- KEEP / DROP / RENAME / MV_EXPAND -----
+
+  test("KEEP expands wildcards in pattern order, first mention wins; DROP removes") {
+    val df = people.withColumn("score_sq", col("score") * col("score"))
+    val kept = Esql.run("FROM t | KEEP name, score*, id", resolve(Map("t" -> df)))
+    assert(kept.columns.toSeq == Seq("name", "score", "score_sq", "id"))
+    val dropped = Esql.run("FROM t | DROP score*", resolve(Map("t" -> df)))
+    assert(dropped.columns.toSeq == Seq("id", "name", "lang", "ts"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | KEEP nope", resolve(Map("t" -> df))))
+      .getMessage.contains("unknown column"))
+  }
+
+  test("RENAME old AS new chains; MV_EXPAND keeps null rows via outer explode") {
+    val rn = Esql.run("FROM t | RENAME name AS person, id AS pk | KEEP pk, person",
+      resolve(Map("t" -> people)))
+    assert(rn.columns.toSeq == Seq("pk", "person"))
+    val mv = Esql.run(
+      """FROM t | EVAL toks = CASE(id == 4, NULL, SPLIT(name, "a")) | MV_EXPAND toks | STATS n = COUNT(*) BY id | SORT id""",
+      resolve(Map("t" -> people))).collect()
+    // ada splits to ["", "d", ""] (Spark's split keeps trailing empties);
+    // dara → null multivalue → ONE null row survives (outer explode)
+    assert(mv.map(r => (r.getAs[Long]("id"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  // ----- DISSECT / GROK -----
+
+  test("DISSECT extracts by literal separators; non-matching rows yield null") {
+    val logs = Seq("alpha - 42 [ok]", "beta - 7 [err]", "garbage").toDF("line")
+    val out = Esql.run(
+      """FROM t | DISSECT line "%{name} - %{n} [%{status}]" | KEEP line, name, n, status""",
+      resolve(Map("t" -> logs))).collect()
+    assert(out(0).getString(1) == "alpha" && out(0).getString(2) == "42" && out(0).getString(3) == "ok")
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) && out(2).isNullAt(3))
+    // %{} skips without emitting a column
+    val skip = Esql.run("""FROM t | DISSECT line "%{} - %{n} [%{}]" | KEEP n""",
+      resolve(Map("t" -> logs))).collect()
+    assert(skip(1).getString(0) == "7")
+  }
+
+  test("GROK extracts typed fields from named pattern subset") {
+    val logs = Seq("GET /a 200 1.5", "POST /b 404 0.25").toDF("line")
+    val out = Esql.run(
+      """FROM t | GROK line "%{WORD:verb} %{NOTSPACE:path} %{INT:code:int} %{NUMBER:dur:float}" | KEEP verb, code, dur""",
+      resolve(Map("t" -> logs))).collect()
+    assert(out(0).getString(0) == "GET")
+    assert(out(0).getInt(1) == 200)
+    assert(out(1).getDouble(2) == 0.25)
+  }
+
+  // ----- ENRICH / FROM union / ROW -----
+
+  test("ENRICH broadcast-joins the policy table; WITH renames; unknown policy/field raise") {
+    val dims = Seq(("en", "English", 1), ("de", "German", 2)).toDF("code", "language", "rank")
+    val policy = Esql.EnrichPolicy(dims, "code", Seq("language", "rank"))
+    val out = Esql.run(
+      "FROM t | ENRICH langs ON lang WITH lang_name = language | KEEP id, lang_name | SORT id",
+      resolve(Map("t" -> people)), Map("langs" -> policy))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("lang_name")).toSeq ==
+      Seq("English", "English", null, null, "German"))
+    // the join must be broadcast — ES replicates the enrich index
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | ENRICH nope ON lang", resolve(Map("t" -> people))))
+      .getMessage.contains("unknown ENRICH policy"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | ENRICH langs ON lang WITH x = nope",
+        resolve(Map("t" -> people)), Map("langs" -> policy)))
+      .getMessage.contains("does not provide"))
+  }
+
+  test("FROM a,b unions by name with missing columns null-filled") {
+    val extra = Seq((9L, "zoe")).toDF("id", "name")
+    val out = Esql.run("FROM t, u | STATS n = COUNT(*), langs = COUNT(lang)",
+      resolve(Map("t" -> people, "u" -> extra))).collect().head
+    assert(out.getAs[Long]("n") == 6L)
+    assert(out.getAs[Long]("langs") == 4L) // zoe contributes a null lang
+  }
+
+  test("ROW is a one-row literal source") {
+    val out = Esql.run("""ROW x = 1 + 2, y = "z" | EVAL x2 = x * 10""",
+      resolve(Map.empty)).collect().head
+    assert(out.getAs[Int]("x") == 3 && out.getAs[String]("y") == "z" && out.getAs[Int]("x2") == 30)
+  }
+
+  // ----- BUCKET / spans -----
+
+  test("BUCKET fixed-width spans; DATE_TRUNC multi-unit and calendar BUCKET reject") {
+    val out = Esql.run(
+      """FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, 12 hours) | SORT b""",
+      resolve(Map("t" -> people))).collect()
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L, 1L, 1L))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | EVAL d = DATE_TRUNC(3 day, ts)", resolve(Map("t" -> people))))
+      .getMessage.contains("BUCKET"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | EVAL d = BUCKET(ts, 1 month)", resolve(Map("t" -> people))))
+      .getMessage.contains("calendar-variable"))
+  }
+
+  // ----- script_score seam -----
+
+  test("Esql.column compiles a standalone expression; trailing input rejects") {
+    val out = people.withColumn("s", Esql.column("""score * 2 + CASE(lang == "en", 5, 0)"""))
+      .orderBy("id").select("s").as[Double].collect()
+    assert(out.toSeq == Seq(65.0, 25.0, 50.0, 10.0, 80.0))
+    assert(intercept[IllegalArgumentException](Esql.column("score score"))
+      .getMessage.contains("trailing input"))
+  }
+
+  // ----- plan shapes -----
+
+  test("WHERE pushes to the parquet scan and KEEP prunes the read schema") {
+    val dir = java.nio.file.Files.createTempDirectory("esql_plan").toString
+    people.write.mode("overwrite").parquet(s"$dir/people")
+    val read = spark.read.parquet(s"$dir/people")
+    val out = Esql.run("FROM p | WHERE id > 2 | KEEP id, name",
+      resolve(Map("p" -> read)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"), s"no pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), s"no pruning:\n$plan")
+  }
+
+  test("SORT + LIMIT fuses to TakeOrderedAndProject (top-K, no global sort)") {
+    val out = Esql.run("FROM t | SORT score DESC | LIMIT 2 | KEEP name",
+      resolve(Map("t" -> people)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K:\n$plan")
+  }
+}
