@@ -6824,6 +6824,64 @@ object SparkEntry {
         Map("nations" -> query.Esql.EnrichPolicy(load(dir, "nation"), "n_nationkey", Seq("n_name"))))
     }),
 
+    // ===== geo_shape completion: multi-ring shapes + envelope relations =====
+
+    "q_geo_shape_multi" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_shape with a polygon-with-hole PLUS a disjoint second
+      // component, in one even-odd crossing count (a hole is just a ring
+      // whose crossings flip the parity back). Same synthetic coordinate
+      // fixture as q_geo_shape_polygon; the oracle restates the unrolled
+      // arithmetic edge for edge via geoCrossingsSql — bit-exact, no libm.
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      pts.where(graft.query.FilterSpec.GeoShape("lat", "lon", geoMultiRings).compile)
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_geo_shape_envelope" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES geo_shape `envelope` under the DISJOINT relation — four range
+      // comparisons negated, aggregated per segment (the complement set is
+      // corpus-sized; a grouped count keeps the result page-shaped).
+      val pts = load(dir, "customer")
+        .withColumn("lat", pmod(col("c_acctbal"), lit(180)) - 90 + lit(0.001))
+        .withColumn("lon", pmod(col("c_custkey"), lit(360)) - 180 + lit(0.001))
+      pts.where(graft.query.FilterSpec.GeoEnvelope("lat", "lon",
+          -30, 30, -60, 60, relation = "disjoint").compile)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ===== simple_query_string: the never-throws end-user grammar =====
+
+    "q_simple_query_string" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // phrase OR prefix, minus a MUST_NOT term — Lucene SimpleQueryParser
+      // resolution ((phrase | merge*) AND NOT slow), parsed from the raw
+      // user string with every operator doing real work.
+      val spec = graft.query.SimpleQueryString.parse(
+        "\"hash join\" | merge* -slow", "text")
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // ===== percentiles_bucket sibling-pipeline agg =====
+
+    "g_percentiles_bucket" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Exact R-7 percentiles over the daily event-count series (30
+      // buckets at any sf — the sibling series is bucket-bounded, so the
+      // exact statistic replaces ES's TDigest approximation).
+      val series = loadEvents(dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      Aggs.percentilesBucket(series, "n", Seq(25.0, 50.0, 75.0, 95.0))
+        .orderBy("percent")
+    }),
+
     "esql_topk" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // EVAL-scored top-K: SORT + LIMIT fuse to TakeOrderedAndProject (no
@@ -7310,6 +7368,33 @@ object SparkEntry {
       |       substr('0123456789bcdefghjkmnpqrstuvwxyz', (v & 31) + 1, 1) AS geohash,
       |       count(*) AS count
       |FROM gh GROUP BY 1 ORDER BY count DESC, geohash ASC""".stripMargin
+
+  /** q_geo_shape_multi's rings, shared verbatim by the query and its
+    * oracle renderer: outer square, centered hole, disjoint second
+    * component (east).
+    */
+  private val geoMultiRings: Seq[Seq[(Double, Double)]] = Seq(
+    Seq((-50.0, -160.0), (50.0, -160.0), (50.0, -40.0), (-50.0, -40.0)),
+    Seq((-20.0, -120.0), (20.0, -120.0), (20.0, -80.0), (-20.0, -80.0)),
+    Seq((-30.0, 60.0), (30.0, 60.0), (30.0, 120.0), (-30.0, 120.0)))
+
+  /** Render [[graft.query.FilterSpec.GeoShape]]'s even-odd crossing sum as
+    * SQL over `lat`/`lon` columns — the oracle restates the SAME unrolled
+    * arithmetic, edge for edge, so the compare is bit-exact (pure
+    * +,−,×,÷; the q_geo_shape_polygon discipline, generated instead of
+    * hand-unrolled now that shapes have multiple rings).
+    */
+  private def geoCrossingsSql(rings: Seq[Seq[(Double, Double)]]): String =
+    rings.flatMap { ring =>
+      val n = ring.size
+      (0 until n).map { i =>
+        val (yi, xi) = ring(i)
+        val (yj, xj) = ring((i + 1) % n)
+        s"(CASE WHEN (($yi > lat) <> ($yj > lat)) " +
+          s"AND lon < ($xj - $xi) * (lat - $yi) / ($yj - $yi) + $xi " +
+          "THEN 1 ELSE 0 END)"
+      }
+    }.mkString("(", "\n   + ", ")")
 
   def oracleSql: Map[String, String] = distinctByName("oracleSql", Seq(
     "q1_agg" ->
@@ -11968,6 +12053,48 @@ object SparkEntry {
         |  n_name AS nation
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY nation""".stripMargin,
+
+    "q_geo_shape_multi" -> {
+      s"""WITH pts AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+         |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+         |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+         |  FROM customer
+         |)
+         |SELECT c_custkey, c_mktsegment FROM pts
+         |WHERE ${geoCrossingsSql(geoMultiRings)} % 2 = 1
+         |ORDER BY c_custkey""".stripMargin
+    },
+
+    "q_geo_shape_envelope" ->
+      """WITH pts AS (
+        |  SELECT c_mktsegment,
+        |    (CASE WHEN (c_acctbal % 180) < 0 THEN (c_acctbal % 180) + 180
+        |          ELSE (c_acctbal % 180) END) - 90 + CAST(0.001 AS DOUBLE) AS lat,
+        |    ((c_custkey % 360) + 360) % 360 - 180 + CAST(0.001 AS DOUBLE) AS lon
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, count(*) AS n FROM pts
+        |WHERE NOT (lat >= -30 AND lat <= 30 AND lon >= -60 AND lon <= 60)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_simple_query_string" -> {
+      import graft.expr.TextMatch.{containsTokenSql, phrasePrefixSql}
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (${containsTokenSql("text", "hash join")}
+         |       OR ${phrasePrefixSql("text", "merge")})
+         |  AND NOT ${containsTokenSql("text", "slow")}
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "g_percentiles_bucket" ->
+      """WITH series AS (
+        |  SELECT date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT unnest(CAST([25.0, 50.0, 75.0, 95.0] AS DOUBLE[])) AS percent,
+        |       unnest(quantile_cont(n, CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[]))) AS value
+        |FROM series ORDER BY percent""".stripMargin,
 
     "esql_topk" ->
       """SELECT doc_id,

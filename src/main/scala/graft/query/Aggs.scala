@@ -751,6 +751,33 @@ object Aggs {
         min(when(v === col("_vmax"), b)).as("max_bucket_key"))
   }
 
+  /** ES `percentiles_bucket` sibling-pipeline agg: exact R-7
+    * linear-interpolated percentiles over the SIBLING buckets' metric
+    * values — one row per requested percent. ES feeds the bucket values
+    * through TDigest and documents the result as approximate; the series
+    * here is bucket-bounded (the [[bucketPipeline]] contract), so the
+    * exact order statistic is both affordable and deterministic — this
+    * repo's standing percentile discipline ([[boxplot]]). Spark's
+    * `percentile` and the oracle's `quantile_cont` share the R-7 rule
+    * (`h = (n−1)·q`, linear between the flanking order statistics), and
+    * over integer-valued metrics the interpolation is ONE fixed IEEE
+    * tree both engines evaluate identically.
+    */
+  def percentilesBucket(
+      series: DataFrame, valueCol: String, percents: Seq[Double]): DataFrame = {
+    require(percents.nonEmpty, "percentiles_bucket: no percents requested")
+    require(percents.forall(p => p >= 0 && p <= 100),
+      s"percentiles_bucket: percents must be in [0,100], got ${percents.mkString(",")}")
+    require(percents == percents.sorted && percents.distinct == percents,
+      "percentiles_bucket: percents must be strictly increasing (ES keys buckets by percent)")
+    val fracs = array(percents.map(p => lit(p / 100.0)): _*)
+    val labels = array(percents.map(lit): _*)
+    series
+      .agg(percentile(col(valueCol).cast("double"), fracs).as("_q"))
+      .select(posexplode(col("_q")).as(Seq("_i", "value")))
+      .select(element_at(labels, col("_i") + 1).as("percent"), col("value"))
+  }
+
   /** ES `geo_centroid` metric agg per terms bucket: the mean point of
     * each bucket's documents — what Kibana centers a per-category map
     * marker on. Micro-degree integer discipline (the [[extendedStats]]

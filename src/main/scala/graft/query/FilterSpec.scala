@@ -1376,6 +1376,94 @@ object FilterSpec {
     def fields: Seq[String] = Seq(latField, lonField)
   }
 
+  /** ES `geo_shape` with a MULTI-RING query shape — a polygon with holes
+    * and/or a multipolygon — under a spatial relation. One even-odd
+    * crossing count across ALL rings' edges covers both shapes at once:
+    * a point inside a hole crosses the outer ring AND the inner ring —
+    * an even total — so it is outside, with no per-ring bookkeeping; a
+    * point in either component of a multipolygon crosses an odd total.
+    * The arithmetic is [[GeoPolygon]]'s verbatim (pure +,−,×,÷ — no
+    * libm, bit-exact oracle restatement), just summed over more edges.
+    *
+    * Relations for POINT documents (this engine's geo docs are lat/lon
+    * points, the reference's `geolocation` shape —
+    * `harmonizeCrimeIncidents.py:338`): `intersects` and `within`
+    * coincide (a point intersects a shape iff it lies in it) and
+    * `disjoint` is the complement — documents MISSING the field match
+    * neither side, ES's own rule, guarded EXPLICITLY: the crossing terms
+    * run through `when(...)`, which reads a null condition as false, so
+    * a null point would otherwise count zero crossings and look
+    * "outside" to `disjoint`. `contains` (doc
+    * shape ⊇ query shape) is impossible for a point document against a
+    * 2-D query shape and rejects loudly rather than returning the empty
+    * set silently.
+    */
+  final case class GeoShape(latField: String, lonField: String,
+      rings: Seq[Seq[(Double, Double)]], relation: String = "intersects")
+      extends FilterSpec {
+    require(rings.nonEmpty && rings.forall(_.size >= 3),
+      s"geo_shape: every ring needs >= 3 vertices, got ${rings.map(_.size).mkString(",")}")
+    require(rings.flatten.forall { case (la, lo) =>
+      la >= -90 && la <= 90 && lo >= -180 && lo <= 180 },
+      "geo_shape: vertex out of lat [-90,90] / lon [-180,180]")
+    require(Seq("intersects", "within", "disjoint").contains(relation),
+      s"geo_shape: relation '$relation' — point documents support " +
+        "intersects/within/disjoint; 'contains' is impossible for a point " +
+        "doc against a 2-D query shape")
+    def compile: Column = {
+      val (lat, lon) = (col(latField), col(lonField))
+      val crossings = rings.flatMap { ring =>
+        val n = ring.size
+        (0 until n).map { i =>
+          val (yi, xi) = ring(i)
+          val (yj, xj) = ring((i + 1) % n)
+          val crosses = (lit(yi) > lat) =!= (lit(yj) > lat)
+          val leftOf = lon <
+            (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)
+          when(crosses && leftOf, lit(1)).otherwise(lit(0))
+        }
+      }
+      val inside = crossings.reduce(_ + _) % 2 === 1
+      if (relation == "disjoint") lat.isNotNull && lon.isNotNull && !inside
+      else inside
+    }
+    def render: String = {
+      val rs = rings.map(_.map { case (la, lo) => s"${fmtNum(la)},${fmtNum(lo)}" }
+        .mkString(" ")).mkString("|")
+      s"${escName(latField)},${escName(lonField)}:geo_shape[$relation;$rs]"
+    }
+    def fields: Seq[String] = Seq(latField, lonField)
+  }
+
+  /** ES `geo_shape` with an `envelope` query shape (the bounding-box
+    * shape type, upper-left / lower-right corners) under the same point-
+    * document relations as [[GeoShape]]. Unlike the ring shapes this
+    * compiles to four range comparisons — exactly the predicate a
+    * parquet scan can push down (`PushedFilters` carries all four), which
+    * is WHY envelope gets its own node instead of riding a rectangle
+    * ring's division arithmetic.
+    */
+  final case class GeoEnvelope(latField: String, lonField: String,
+      minLat: Double, maxLat: Double, minLon: Double, maxLon: Double,
+      relation: String = "intersects") extends FilterSpec {
+    require(minLat <= maxLat && minLon <= maxLon,
+      s"geo_shape envelope: empty box [$minLat,$maxLat]×[$minLon,$maxLon]")
+    require(minLat >= -90 && maxLat <= 90 && minLon >= -180 && maxLon <= 180,
+      "geo_shape envelope: corner out of lat [-90,90] / lon [-180,180]")
+    require(Seq("intersects", "within", "disjoint").contains(relation),
+      s"geo_shape envelope: relation '$relation' — point documents support " +
+        "intersects/within/disjoint")
+    def compile: Column = {
+      val inside = col(latField) >= minLat && col(latField) <= maxLat &&
+        col(lonField) >= minLon && col(lonField) <= maxLon
+      if (relation == "disjoint") !inside else inside
+    }
+    def render: String =
+      s"${escName(latField)},${escName(lonField)}:geo_envelope[$relation;" +
+        s"${fmtNum(minLat)},${fmtNum(maxLat)},${fmtNum(minLon)},${fmtNum(maxLon)}]"
+    def fields: Seq[String] = Seq(latField, lonField)
+  }
+
   /** Build the conjunction the way the webapp does: empty widget list →
     * match_all, else bool-must of each widget's predicate.
     */

@@ -973,4 +973,20 @@ class AggsSpec extends SparkSpecBase {
       Aggs.frequentItemSets(tx, col("id"), col("items"), minSetSize = 0))
   }
 
+  test("percentilesBucket: R-7 interpolation over the sibling buckets, one row per percent") {
+    import spark.implicits._
+    // 5 buckets with metric 10,20,30,40,50: p50 = 30 exactly; p25 lands
+    // between 10 and 20 at h = 4·0.25 = 1 -> 20? No: R-7 h = (n-1)q = 1.0
+    // -> exactly the 2nd order statistic, 20. p10: h = 0.4 -> 10 + 0.4·10 = 14.
+    val series = Seq(("a", 30.0), ("b", 10.0), ("c", 50.0), ("d", 20.0), ("e", 40.0))
+      .toDF("bucket", "v")
+    val out = Aggs.percentilesBucket(series, "v", Seq(10.0, 25.0, 50.0, 100.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(out === Seq((10.0, 14.0), (25.0, 20.0), (50.0, 30.0), (100.0, 50.0)))
+    // parameter rejects: empty, out of range, unsorted (ES keys by percent)
+    intercept[IllegalArgumentException](Aggs.percentilesBucket(series, "v", Seq()))
+    intercept[IllegalArgumentException](Aggs.percentilesBucket(series, "v", Seq(-1.0)))
+    intercept[IllegalArgumentException](Aggs.percentilesBucket(series, "v", Seq(50.0, 25.0)))
+  }
+
 }

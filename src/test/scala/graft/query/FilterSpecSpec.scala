@@ -458,6 +458,49 @@ class FilterSpecSpec extends SparkSpecBase {
         Seq((0.0, 0.0), (1.0, 1.0), (95.0, 0.0))))
   }
 
+  test("geo_shape multi-ring: holes and multipolygon via one even-odd count; relations") {
+    // square with a centered hole, plus a second disjoint square component
+    val outer = Seq((-40.0, -160.0), (40.0, -160.0), (40.0, -80.0), (-40.0, -80.0))
+    val hole = Seq((-10.0, -130.0), (10.0, -130.0), (10.0, -110.0), (-10.0, -110.0))
+    val second = Seq((-20.0, 40.0), (20.0, 40.0), (20.0, 80.0), (-20.0, 80.0))
+    val shape = FilterSpec.GeoShape("lat", "lon", Seq(outer, hole, second))
+    val pts = Seq(
+      (1L, 0.0, -150.0),  // in the outer ring, west of the hole -> inside
+      (2L, 0.0, -120.0),  // in the hole -> outside
+      (3L, 0.0, 60.0),    // in the second component -> inside
+      (4L, 0.0, 0.0),     // between the components -> outside
+      (5L, 50.0, -120.0), // north of everything -> outside
+    ).toDF("id", "lat", "lon")
+    def got(s: FilterSpec) = pts.where(s.compile).select("id").as[Long].collect().sorted.toSeq
+    assert(got(shape) === Seq(1L, 3L))
+    // within coincides with intersects for point docs
+    assert(got(shape.copy(relation = "within")) === Seq(1L, 3L))
+    // disjoint is the complement over docs that HAVE the field
+    assert(got(shape.copy(relation = "disjoint")) === Seq(2L, 4L, 5L))
+    // a null point matches NEITHER side (ES's missing-field rule)
+    val withNull = pts.unionByName(Seq((9L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "lat", "lon"))
+    assert(withNull.where(shape.compile).select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(withNull.where(shape.copy(relation = "disjoint").compile)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 4L, 5L))
+    // contains rejects loudly for point documents
+    val e = intercept[IllegalArgumentException](
+      FilterSpec.GeoShape("lat", "lon", Seq(outer), relation = "contains"))
+    assert(e.getMessage.contains("impossible for a point"))
+  }
+
+  test("geo_shape envelope: four range comparisons, relations, rejects") {
+    val env = FilterSpec.GeoEnvelope("lat", "lon", -10, 10, -20, 20)
+    val pts = Seq((1L, 0.0, 0.0), (2L, 0.0, 30.0), (3L, 15.0, 0.0), (4L, 10.0, 20.0))
+      .toDF("id", "lat", "lon")
+    def got(s: FilterSpec) = pts.where(s.compile).select("id").as[Long].collect().sorted.toSeq
+    assert(got(env) === Seq(1L, 4L)) // corners inclusive
+    assert(got(env.copy(relation = "disjoint")) === Seq(2L, 3L))
+    intercept[IllegalArgumentException](FilterSpec.GeoEnvelope("lat", "lon", 10, -10, 0, 1))
+    intercept[IllegalArgumentException](
+      FilterSpec.GeoEnvelope("lat", "lon", -10, 10, -20, 20, relation = "contains"))
+  }
+
   test("geo_distance: radius semantics and the oracle fixture's libm margin") {
     // ~111.2 km per degree at the equator: 1° away is inside 200 km,
     // 2° away is outside
