@@ -6882,6 +6882,53 @@ object SparkEntry {
         .orderBy("percent")
     }),
 
+    "esql_lookup_join" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL LOOKUP JOIN (8.18): the lookup index's FULL rows join in on
+      // a shared column name (vs ENRICH's policy-projected fields) — the
+      // idiomatic RENAME-then-join, broadcast like the single-shard
+      // lookup index it models. MIN/MAX folds are order-exact doubles.
+      query.Esql.run(
+        """FROM customer | RENAME c_nationkey AS n_nationkey
+          | LOOKUP JOIN nation ON n_nationkey
+          | STATS n = COUNT(*), hi = MAX(c_acctbal), lo = MIN(c_acctbal) BY n_name
+          | SORT n_name""",
+        t => load(dir, t))
+    }),
+
+    "esql_inlinestats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL INLINESTATS: the group mean appended per row (ONE window
+      // exchange, rows preserved), then rows above their group's mean
+      // counted — the classic above-average filter that plain STATS
+      // cannot express without a self-join.
+      query.Esql.run(
+        """FROM lineitem
+          | INLINESTATS avg_qty = SUM(l_quantity) / COUNT(*) BY l_returnflag
+          | WHERE l_quantity > avg_qty
+          | STATS n = COUNT(*) BY l_returnflag
+          | SORT l_returnflag""",
+        t => load(dir, t))
+    }),
+
+    "q_script_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES script_score: the BM25 query's score replaced by a script over
+      // the doc — and the "script" language here IS the ES|QL expression
+      // grammar (Esql.column), compiled to the same codegen'd Catalyst
+      // tree as every other predicate; 0.5 is dyadic, the length term is
+      // one fixed division both engines restate.
+      val docs = load(dir, "documents")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+      val scored = query.Bm25.scoredAll(docs, "doc_id", analyzed, "dup vector")
+      scored.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("score", query.Esql.column("score * 0.5 + n_chars / 1000.0"))
+        .select("doc_id", "score")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    }),
+
     "esql_topk" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // EVAL-scored top-K: SORT + LIMIT fuse to TakeOrderedAndProject (no
@@ -12095,6 +12142,32 @@ object SparkEntry {
         |SELECT unnest(CAST([25.0, 50.0, 75.0, 95.0] AS DOUBLE[])) AS percent,
         |       unnest(quantile_cont(n, CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[]))) AS value
         |FROM series ORDER BY percent""".stripMargin,
+
+    "esql_lookup_join" ->
+      """SELECT count(*) AS n, max(c_acctbal) AS hi, min(c_acctbal) AS lo, n_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "esql_inlinestats" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag)
+        |      / count(*) OVER (PARTITION BY l_returnflag) AS avg_qty
+        |  FROM lineitem)
+        |SELECT count(*) AS n, l_returnflag FROM w
+        |WHERE l_quantity > avg_qty
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_script_score" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector")
+      s"""WITH s AS (
+         |$scored
+         |)
+         |SELECT s.doc_id, s.score * 0.5 + d2.n_chars / 1000.0 AS score
+         |FROM s JOIN documents d2 ON s.doc_id = d2.doc_id
+         |ORDER BY score DESC, s.doc_id ASC LIMIT 20""".stripMargin
+    },
 
     "esql_topk" ->
       """SELECT doc_id,

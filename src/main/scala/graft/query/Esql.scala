@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *  - `SORT` + `LIMIT` fuse to `TakeOrderedAndProject` (top-K, no global
   *    sort);
   *  - `STATS … BY …` is a partial+final codegen'd hash aggregate;
-  *  - `ENRICH` is a BROADCAST left join against the policy table (ES runs
-  *    enrich against a replicated system index — the broadcast is the same
-  *    decision, stated in the plan).
+  *  - `ENRICH` and `LOOKUP JOIN` are BROADCAST left joins (ES runs both
+  *    against replicated single-shard indices — the broadcast is the same
+  *    decision, stated in the plan);
+  *  - `INLINESTATS` is a window aggregate over the BY keys — one exchange,
+  *    rows preserved.
   *
   * At 100 TB nothing here collects to the driver: the parser runs
   * driver-side on the QUERY text only, and every command compiles to the
@@ -200,6 +202,8 @@ object Esql {
   private[query] final case class Dissect(input: String, pattern: String) extends Cmd
   private[query] final case class Grok(input: String, pattern: String) extends Cmd
   private[query] final case class Enrich(policy: String, on: String, withCols: Seq[(String, String)]) extends Cmd
+  private[query] final case class LookupJoin(index: String, on: Seq[String]) extends Cmd
+  private[query] final case class InlineStats(aggs: Seq[(String, Expr)], by: Seq[(String, Option[Expr])]) extends Cmd
 
   // =====================================================================
   // parser
@@ -283,6 +287,21 @@ object Esql {
         Grok(in, p.text)
       }
       else if (t.isKw("ENRICH")) enrichCmd()
+      else if (t.isKw("LOOKUP")) {
+        expect("JOIN")
+        val idx = identName()
+        expect("ON")
+        val keys = Seq.newBuilder[String]
+        keys += identName()
+        while (peekIs(",")) { advance(); keys += identName() }
+        LookupJoin(idx, keys.result())
+      }
+      else if (t.isKw("INLINESTATS")) statsCmd() match {
+        case Stats(aggs, by) =>
+          require(aggs.nonEmpty, "esql: INLINESTATS needs at least one aggregate")
+          InlineStats(aggs, by)
+        case other => throw new IllegalStateException(s"esql: $other")
+      }
       else throw new IllegalArgumentException(s"esql: unknown command '${t.text}' at ${t.start}")
     }
 
@@ -985,10 +1004,11 @@ object Esql {
         spark.range(1).select(cols.map { case (n, e) => compileExpr(e).as(n) }: _*)
       case other => throw new IllegalStateException(s"esql: unexpected source $other")
     }
-    cmds.tail.foldLeft(source)(applyCmd(_, _, policies))
+    cmds.tail.foldLeft(source)(applyCmd(_, _, resolve, policies))
   }
 
-  private def applyCmd(df: DataFrame, cmd: Cmd, policies: Map[String, EnrichPolicy]): DataFrame = cmd match {
+  private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
+      policies: Map[String, EnrichPolicy]): DataFrame = cmd match {
     case Where(e) => df.where(compileExpr(e))
     case Eval(cols) =>
       // sequential: a later assignment sees the earlier ones (ES|QL's rule)
@@ -1073,6 +1093,54 @@ object Esql {
         (col(p.matchField).as("__enrich_key")) +: wanted.map { case (nw, old) => col(old).as(nw) }: _*)
       df.join(broadcast(right), col(on) === col("__enrich_key"), "left")
         .drop("__enrich_key")
+    case LookupJoin(index, on) =>
+      // ES|QL LOOKUP JOIN (8.18 GA): left join against a lookup-mode
+      // index on SHARED column names; on a non-key name collision the
+      // LOOKUP side's value wins (ES|QL's rule) — so colliding left
+      // columns drop before the join. Lookup indices are single-shard
+      // and replicated in ES; broadcast is the same decision.
+      val right = resolve(index)
+      on.foreach { k =>
+        require(df.columns.contains(k),
+          s"esql: LOOKUP JOIN key '$k' missing from the left side (have: ${df.columns.mkString(", ")})")
+        require(right.columns.contains(k),
+          s"esql: LOOKUP JOIN key '$k' missing from lookup index '$index'")
+      }
+      val collisions = right.columns.filterNot(on.contains).filter(df.columns.contains)
+      df.drop(collisions.toSeq: _*)
+        .join(broadcast(right), on.toSeq, "left")
+    case InlineStats(aggs, by) =>
+      // ES|QL INLINESTATS: STATS that APPENDS instead of collapsing —
+      // exactly a window aggregate over the BY keys (one exchange on the
+      // keys, rows preserved). With no BY the frame is the whole corpus:
+      // a single window partition — fine for the page-sized frames this
+      // follows (the ES coordinator has the same choke point), stated
+      // rather than hidden. Computed BY keys materialize as columns
+      // first (they appear in the output, ES|QL's rule).
+      val withKeys = by.foldLeft(df) {
+        case (d, (n, Some(e))) => d.withColumn(n, compileExpr(e))
+        case (d, (n, None)) =>
+          require(d.columns.contains(n), s"esql: INLINESTATS BY unknown column '$n'")
+          d
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(by.map(b => col(b._1)): _*)
+      def overWindow(e: Expr): Column = e match {
+        case Fn(n, _) if AggNames.contains(n) =>
+          require(!Seq("MEDIAN", "PERCENTILE", "TOP", "VALUES", "COUNT_DISTINCT").contains(n),
+            s"esql: $n is not window-computable in INLINESTATS — " +
+              "run STATS and LOOKUP JOIN the result back instead")
+          compileAgg(e).over(w)
+        case Bin(op, l, r) => binOp(op, overWindow(l), overWindow(r))
+        case Neg(x) => -overWindow(x)
+        case NotE(x) => !overWindow(x)
+        case Fn(name, args) => compileFn(name, args, overWindow)
+        case other => compileExpr(other)
+      }
+      aggs.foldLeft(withKeys) { case (d, (n, e)) =>
+        require(containsAgg(e),
+          s"esql: INLINESTATS entries must be aggregate calls or expressions over them, found <$n>")
+        d.withColumn(n, overWindow(e))
+      }
     case other => throw new IllegalStateException(s"esql: $other is a source command, not a processing command")
   }
 }

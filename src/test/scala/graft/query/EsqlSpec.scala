@@ -300,6 +300,43 @@ class EsqlSpec extends SparkSpecBase {
     assert(out.getAs[Int]("x") == 3 && out.getAs[String]("y") == "z" && out.getAs[Int]("x2") == 30)
   }
 
+  test("LOOKUP JOIN: broadcast left join on shared names; lookup side wins collisions") {
+    val lookup = Seq(("en", "English", 99.0), ("de", "German", 98.0))
+      .toDF("lang", "lang_name", "score") // `score` collides with people
+    val out = Esql.run(
+      "FROM t | LOOKUP JOIN langs ON lang | KEEP id, lang_name, score | SORT id",
+      resolve(Map("t" -> people, "langs" -> lookup)))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("lang_name")).toSeq ==
+      Seq("English", "English", null, null, "German"))
+    // the lookup side's `score` replaced the left's (ES|QL's collision rule)
+    assert(rows.map(r => Option(r.getAs[java.lang.Double]("score")).map(_.toDouble)).toSeq ==
+      Seq(Some(99.0), Some(99.0), None, None, Some(98.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | LOOKUP JOIN langs ON nope",
+        resolve(Map("t" -> people, "langs" -> lookup))))
+      .getMessage.contains("missing from the left side"))
+  }
+
+  test("INLINESTATS appends window aggregates over the BY keys; rows preserved") {
+    val out = Esql.run(
+      """FROM t | INLINESTATS avg_s = SUM(score) / COUNT(*) BY lang | WHERE score > avg_s | KEEP id | SORT id""",
+      resolve(Map("t" -> people))).as[Long].collect()
+    // en: avg 20 -> ada(30); zh: avg 25 -> none; de: avg 40 -> none;
+    // null lang group: dara alone, 5 > 5 false
+    assert(out.toSeq == Seq(1L))
+    // no BY: one global frame
+    val g = Esql.run("FROM t | INLINESTATS m = MAX(score) | WHERE score == m | KEEP name",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(g.toSeq == Seq("emil"))
+    // ordered-set aggregates reject with the workaround named
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | INLINESTATS m = MEDIAN(score)", resolve(Map("t" -> people))))
+      .getMessage.contains("LOOKUP JOIN"))
+  }
+
   // ----- BUCKET / spans -----
 
   test("BUCKET fixed-width spans; DATE_TRUNC multi-unit and calendar BUCKET reject") {
