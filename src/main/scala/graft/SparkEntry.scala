@@ -6929,6 +6929,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "esql_fork_fuse" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL FORK + FUSE (the 9.x hybrid-retrieval pipeline shape): two
+      // branches rank the same filtered corpus by different signals
+      // (length vs a deterministic mod-score), each top-10 via
+      // TakeOrderedAndProject, fused with reciprocal-rank (k = 60) —
+      // contributions fold over a SORTED array, one fixed tree per doc.
+      query.Esql.run(
+        """FROM documents | WHERE lang == "en"
+          | FORK ( EVAL s = TO_DOUBLE(n_chars) | SORT s DESC, doc_id | LIMIT 10 )
+                 ( EVAL s = TO_DOUBLE(doc_id % 97) | SORT s DESC, doc_id | LIMIT 10 )
+          | FUSE rrf ON doc_id SCORE s
+          | SORT _score DESC, doc_id | LIMIT 15""",
+        t => load(dir, t))
+    }),
+
     "esql_topk" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // EVAL-scored top-K: SORT + LIMIT fuse to TakeOrderedAndProject (no
@@ -12168,6 +12184,20 @@ object SparkEntry {
          |FROM s JOIN documents d2 ON s.doc_id = d2.doc_id
          |ORDER BY score DESC, s.doc_id ASC LIMIT 20""".stripMargin
     },
+
+    "esql_fork_fuse" ->
+      """WITH b1 AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  WHERE lang = 'en' ORDER BY s DESC, doc_id LIMIT 10),
+        |b2 AS (
+        |  SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS s FROM documents
+        |  WHERE lang = 'en' ORDER BY s DESC, doc_id LIMIT 10),
+        |u AS (
+        |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b1
+        |  UNION ALL
+        |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b2)
+        |SELECT doc_id, sum(c) AS _score FROM u
+        |GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin,
 
     "esql_topk" ->
       """SELECT doc_id,

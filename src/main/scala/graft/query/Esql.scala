@@ -204,6 +204,8 @@ object Esql {
   private[query] final case class Enrich(policy: String, on: String, withCols: Seq[(String, String)]) extends Cmd
   private[query] final case class LookupJoin(index: String, on: Seq[String]) extends Cmd
   private[query] final case class InlineStats(aggs: Seq[(String, Expr)], by: Seq[(String, Option[Expr])]) extends Cmd
+  private[query] final case class Fork(branches: Seq[Seq[Cmd]]) extends Cmd
+  private[query] final case class Fuse(idCol: String, scoreCol: String, rankK: Int) extends Cmd
 
   // =====================================================================
   // parser
@@ -295,6 +297,36 @@ object Esql {
         keys += identName()
         while (peekIs(",")) { advance(); keys += identName() }
         LookupJoin(idx, keys.result())
+      }
+      else if (t.isKw("FORK")) {
+        val branches = Seq.newBuilder[Seq[Cmd]]
+        var more = true
+        while (more) {
+          if (peekIs("(")) {
+            advance()
+            val cmds = Seq.newBuilder[Cmd]
+            cmds += processingCommand()
+            while (peekIs("|")) { advance(); cmds += processingCommand() }
+            expect(")")
+            branches += cmds.result()
+          } else more = false
+        }
+        val bs = branches.result()
+        require(bs.size >= 2, s"esql: FORK needs at least 2 ( … ) branches, got ${bs.size}")
+        Fork(bs)
+      }
+      else if (t.isKw("FUSE")) {
+        // ES 9.x syntax is bare `FUSE` over _id/_score METADATA; frames
+        // here carry explicit columns, so the id and score are NAMED —
+        // the engine's documented metadata delta.
+        if (peekIs("RRF")) advance() // rrf is the only (and default) method
+        else require(!peek.exists(_.kind == IdentK) || peekIs("ON"),
+          s"esql: FUSE supports the rrf method, found '${peek.map(_.text).getOrElse("")}'")
+        expect("ON")
+        val id = identName()
+        expect("SCORE")
+        val score = identName()
+        Fuse(id, score, rankK = 60)
       }
       else if (t.isKw("INLINESTATS")) statsCmd() match {
         case Stats(aggs, by) =>
@@ -1141,6 +1173,40 @@ object Esql {
           s"esql: INLINESTATS entries must be aggregate calls or expressions over them, found <$n>")
         d.withColumn(n, overWindow(e))
       }
+    case Fork(branches) =>
+      // ES|QL FORK: the same input pushed through N sub-pipelines, results
+      // unioned by name (missing columns null-filled) with the `_fork`
+      // discriminator ES adds ("fork1", "fork2", …). Each branch is a
+      // fold of the SAME lazy frame — Spark reuses the shared scan via
+      // the exchange/subquery reuse rules; no materialization here.
+      val runs = branches.zipWithIndex.map { case (cmds, i) =>
+        cmds.foldLeft(df)(applyCmd(_, _, resolve, policies))
+          .withColumn("_fork", lit(s"fork${i + 1}"))
+      }
+      val unioned = runs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      // pin _fork as the LAST column (union order otherwise depends on
+      // which branch dropped what)
+      unioned.select((unioned.columns.filterNot(_ == "_fork").map(col) :+ col("_fork")).toSeq: _*)
+    case Fuse(idCol, scoreCol, rankK) =>
+      // ES|QL FUSE (the rrf method): per-branch ranks from the score
+      // (desc, id tiebreak), reciprocal-rank contributions summed per id.
+      // The sum folds over a SORTED array of contributions — one fixed
+      // IEEE tree per id regardless of aggregation order, the repo's
+      // standing determinism rule (3+ branches would otherwise re-
+      // associate run to run). Output: one row per id with the fused
+      // `_score` (ES's output shape, minus unfetchable metadata columns).
+      require(df.columns.contains("_fork"),
+        "esql: FUSE needs FORK's _fork column — fuse follows a fork")
+      require(df.columns.contains(idCol), s"esql: FUSE ON unknown column '$idCol'")
+      require(df.columns.contains(scoreCol), s"esql: FUSE SCORE unknown column '$scoreCol'")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_fork"))
+        .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+      df.withColumn("_rank", row_number().over(w))
+        .withColumn("_contrib", lit(1.0) / (lit(rankK) + col("_rank")))
+        .groupBy(col(idCol))
+        .agg(aggregate(array_sort(collect_list(col("_contrib"))),
+          lit(0.0), (acc, x) => acc + x).as("_score"))
     case other => throw new IllegalStateException(s"esql: $other is a source command, not a processing command")
   }
 }

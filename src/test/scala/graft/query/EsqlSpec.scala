@@ -337,6 +337,40 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("LOOKUP JOIN"))
   }
 
+  test("FORK unions branch results by name with the _fork discriminator") {
+    val out = Esql.run(
+      """FROM t | FORK ( WHERE lang == "en" | KEEP id ) ( WHERE score > 30 | KEEP id, name ) | SORT _fork, id""",
+      resolve(Map("t" -> people)))
+    assert(out.columns.toSeq == Seq("id", "name", "_fork"))
+    val rows = out.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_fork")))
+    assert(rows.toSeq == Seq((1L, "fork1"), (2L, "fork1"), (5L, "fork2")))
+    // fork1 dropped `name` -> null-filled
+    assert(out.where(col("_fork") === "fork1").collect().forall(_.isNullAt(1)))
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("FROM t | FORK ( LIMIT 1 )")).getMessage.contains("at least 2"))
+  }
+
+  test("FUSE rrf: per-branch ranks fused with sorted-fold reciprocal sums") {
+    val out = Esql.run(
+      """FROM t | FORK ( EVAL s = TO_DOUBLE(score) ) ( EVAL s = TO_DOUBLE(6 - id) )
+         | FUSE rrf ON id SCORE s | SORT _score DESC, id""".replace("\n", " "),
+      resolve(Map("t" -> people))).collect()
+    // branch1 ranks by score desc: emil(1) ada(2) chen(3) bob(4) dara(5)
+    // branch2 ranks by 6-id desc = id asc: ada(1) bob(2) chen(3) dara(4) emil(5)
+    def rrf(r1: Int, r2: Int) = 1.0 / (60 + r1) + 1.0 / (60 + r2)
+    val expect = Map(1L -> rrf(2, 1), 2L -> rrf(4, 2), 3L -> rrf(3, 3),
+      4L -> rrf(5, 4), 5L -> rrf(1, 5))
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("_score") - expect(r.getAs[Long]("id"))) < 1e-15)
+    }
+    // ada wins: top rank in branch2, second in branch1
+    assert(out.head.getAs[Long]("id") == 1L)
+    // FUSE without a preceding FORK rejects loudly
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | FUSE rrf ON id SCORE score", resolve(Map("t" -> people))))
+      .getMessage.contains("fuse follows a fork"))
+  }
+
   // ----- BUCKET / spans -----
 
   test("BUCKET fixed-width spans; DATE_TRUNC multi-unit and calendar BUCKET reject") {
