@@ -6929,6 +6929,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "esql_sample" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL SAMPLE under the determinism discipline: seeded md5 key
+      // hash instead of ES's per-row RNG — reproducible across engines,
+      // so the sample COUNTS hash-match the oracle exactly (a property
+      // ES's own SAMPLE cannot have).
+      query.Esql.run(
+        """FROM documents | SAMPLE 0.25 ON doc_id
+          | STATS n = COUNT(*), langs = COUNT_DISTINCT(lang) BY source
+          | SORT source""",
+        t => load(dir, t))
+    }),
+
     "esql_fork_fuse" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL FORK + FUSE (the 9.x hybrid-retrieval pipeline shape): two
@@ -12183,6 +12196,14 @@ object SparkEntry {
          |SELECT s.doc_id, s.score * 0.5 + d2.n_chars / 1000.0 AS score
          |FROM s JOIN documents d2 ON s.doc_id = d2.doc_id
          |ORDER BY score DESC, s.doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    "esql_sample" -> {
+      val unit = ops.Sampling.hashUnitSql("doc_id", 42)
+      s"""SELECT count(*) AS n, count(DISTINCT lang) AS langs, source
+         |FROM documents
+         |WHERE $unit < 0.25
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     "esql_fork_fuse" ->

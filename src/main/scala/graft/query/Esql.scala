@@ -206,6 +206,7 @@ object Esql {
   private[query] final case class InlineStats(aggs: Seq[(String, Expr)], by: Seq[(String, Option[Expr])]) extends Cmd
   private[query] final case class Fork(branches: Seq[Seq[Cmd]]) extends Cmd
   private[query] final case class Fuse(idCol: String, scoreCol: String, rankK: Int) extends Cmd
+  private[query] final case class Sample(probability: Double, on: String, seed: Int) extends Cmd
 
   // =====================================================================
   // parser
@@ -327,6 +328,26 @@ object Esql {
         expect("SCORE")
         val score = identName()
         Fuse(id, score, rankK = 60)
+      }
+      else if (t.isKw("SAMPLE")) {
+        // ES|QL SAMPLE draws per-row randoms; this engine's determinism
+        // discipline replaces the RNG with a seeded key hash, so the
+        // sample is reproducible across runs, partitions, and engines —
+        // hence the mandatory ON key (the documented delta).
+        val p = advance()
+        require(p.kind == NumK, s"esql: SAMPLE takes a probability, found '${p.text}'")
+        val prob = p.text.toDouble
+        require(prob > 0 && prob < 1, s"esql: SAMPLE probability must be in (0,1), got $prob")
+        expect("ON")
+        val key = identName()
+        val seed =
+          if (peekIs("SEED")) {
+            advance()
+            val n = advance()
+            require(n.kind == NumK && !n.text.contains('.'), "esql: SEED takes an integer")
+            n.text.toInt
+          } else 42
+        Sample(prob, key, seed)
       }
       else if (t.isKw("INLINESTATS")) statsCmd() match {
         case Stats(aggs, by) =>
@@ -895,6 +916,33 @@ object Esql {
       case Seq(a, StrLit(d)) => array_join(rec(a), d)
       case _ => throw new IllegalArgumentException("esql: MV_JOIN(array, \"delimiter\")")
     }
+    case "MV_FIRST" => get(one(name, args, rec), lit(0))
+    case "MV_LAST" => {
+      val a = one(name, args, rec)
+      get(a, size(a) - 1)
+    }
+    case "MV_SORT" => args match {
+      case Seq(a) => array_sort(rec(a))
+      case Seq(a, StrLit(order)) => order.toLowerCase match {
+        case "asc" => array_sort(rec(a))
+        case "desc" => reverse(array_sort(rec(a)))
+        case other => throw new IllegalArgumentException(s"esql: MV_SORT order must be asc/desc, got '$other'")
+      }
+      case _ => throw new IllegalArgumentException("esql: MV_SORT(array[, \"order\"])")
+    }
+    // ES|QL documents mv_dedupe's order as undefined; sorted is the
+    // deterministic twin (the VALUES rule)
+    case "MV_DEDUPE" => array_sort(array_distinct(one(name, args, rec)))
+    case "MV_SLICE" => args match {
+      // ES|QL: zero-based, END INCLUSIVE; the negative-index form is the
+      // undocumented-corner reject (use MV_LAST)
+      case Seq(a, NumLit(s), NumLit(e)) =>
+        val (st, en) = (s.toInt, e.toInt)
+        require(st >= 0 && en >= st,
+          s"esql: MV_SLICE needs 0 <= start <= end, got ($st, $en)")
+        slice(rec(a), st + 1, en - st + 1)
+      case _ => throw new IllegalArgumentException("esql: MV_SLICE(array, start, end) with literal bounds")
+    }
     case "NOW" =>
       throw new IllegalArgumentException(
         "esql: NOW() reads the wall clock and can never hash-match an oracle; pass the timestamp as a literal")
@@ -1207,6 +1255,11 @@ object Esql {
         .groupBy(col(idCol))
         .agg(aggregate(array_sort(collect_list(col("_contrib"))),
           lit(0.0), (acc, x) => acc + x).as("_score"))
+    case Sample(probability, on, seed) =>
+      require(df.columns.contains(on), s"esql: SAMPLE ON unknown column '$on'")
+      // seeded md5 unit hash (graft.ops.Sampling.hashUnit): portable,
+      // partition-order-free, restatable in the oracle
+      df.where(graft.ops.Sampling.hashUnit(col(on), seed) < probability)
     case other => throw new IllegalStateException(s"esql: $other is a source command, not a processing command")
   }
 }

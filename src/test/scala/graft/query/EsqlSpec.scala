@@ -371,6 +371,39 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("fuse follows a fork"))
   }
 
+  test("SAMPLE: seeded keyed hash — deterministic, seed-sensitive, validated") {
+    val base = Esql.run("FROM t | SAMPLE 0.5 ON id | KEEP id", resolve(Map("t" -> people)))
+      .as[Long].collect().toSeq
+    val again = Esql.run("FROM t | SAMPLE 0.5 ON id | KEEP id", resolve(Map("t" -> people)))
+      .as[Long].collect().toSeq
+    assert(base == again) // no RNG, no partition sensitivity
+    val reseeded = Esql.run("FROM t | SAMPLE 0.5 ON id SEED 7 | KEEP id",
+      resolve(Map("t" -> people))).as[Long].collect().toSeq
+    assert(base != reseeded || base.isEmpty) // the seed does real work
+    assert(intercept[IllegalArgumentException](Esql.parse("FROM t | SAMPLE 1.5 ON id"))
+      .getMessage.contains("(0,1)"))
+    // the ON key is mandatory: truncated input fails at the expect
+    assert(intercept[IllegalArgumentException](Esql.parse("FROM t | SAMPLE 0.5"))
+      .getMessage.contains("ends where a token is expected"))
+  }
+
+  test("MV function family: first/last/sort/dedupe/slice semantics") {
+    val r = Esql.run(
+      """ROW a = MV_FIRST(SPLIT("c,a,b,a", ",")), z = MV_LAST(SPLIT("c,a,b", ",")),
+        s = MV_SORT(SPLIT("c,a,b", ",")), d = MV_SORT(SPLIT("c,a,b", ","), "desc"),
+        u = MV_DEDUPE(SPLIT("c,a,b,a", ",")), sl = MV_SLICE(SPLIT("p,q,r,s", ","), 1, 2)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[String]("a") == "c")
+    assert(r.getAs[String]("z") == "b")
+    assert(r.getAs[scala.collection.Seq[String]]("s").toSeq == Seq("a", "b", "c"))
+    assert(r.getAs[scala.collection.Seq[String]]("d").toSeq == Seq("c", "b", "a"))
+    assert(r.getAs[scala.collection.Seq[String]]("u").toSeq == Seq("a", "b", "c"))
+    assert(r.getAs[scala.collection.Seq[String]]("sl").toSeq == Seq("q", "r")) // 0-based, end inclusive
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = MV_SLICE(SPLIT("a,b", ","), 1, 0)""", resolve(Map.empty)))
+      .getMessage.contains("start <= end"))
+  }
+
   // ----- BUCKET / spans -----
 
   test("BUCKET fixed-width spans; DATE_TRUNC multi-unit and calendar BUCKET reject") {
