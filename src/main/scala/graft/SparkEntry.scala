@@ -505,6 +505,32 @@ object SparkEntry {
               "doc_id", "text")
             .orderBy("doc_id", "term"))
       },
+      "/esql" -> { body =>
+        // The ES|QL wire endpoint (ES's POST /_query): {"query": "FROM
+        // … | …"}. FROM names resolve against this server's corpus dir
+        // behind an ALLOWLIST (an unknown index is a 400, not a
+        // path-leak 500); the `nations` ENRICH policy is exposed, the
+        // /knn-rule row cap bounds unbounded programs (a program with a
+        // tighter LIMIT is unaffected — limits compose), and the
+        // response rides the engine's rows-JSON envelope rather than
+        // ES's columnar columns/values split (a documented wire delta —
+        // one serving shape across every route).
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val q = o.path("query").asText("")
+        require(q.nonEmpty, "esql: missing query")
+        val known = Set("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        def resolveTable(t: String): DataFrame = {
+          require(known.contains(t),
+            s"esql: unknown index '$t' (have: ${known.toSeq.sorted.mkString(", ")})")
+          if (t == "events") loadEvents(dir) else load(dir, t)
+        }
+        val df = query.Esql.run(q, resolveTable,
+          Map("nations" -> query.Esql.EnrichPolicy(
+            load(dir, "nation"), "n_nationkey", Seq("n_name"))))
+        WidgetServer.collectRowsJson(df.limit(1000))
+      },
+
       "/search" -> { body =>
         // The search endpoint over the documents corpus: {"q": "dup
         // vector", "filter": "lang:en" (query_string, optional),

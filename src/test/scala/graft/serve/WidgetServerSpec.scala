@@ -631,6 +631,46 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /esql runs piped programs on the wire — wire ≡ engine-direct, capped, 400 pins") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      def resolve(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+
+      // wire ≡ engine-direct for a full program (STATS + SORT)
+      val program =
+        "FROM documents | WHERE lang == \"en\" | STATS n = COUNT(*) BY source | SORT n DESC, source | LIMIT 5"
+      val (c1, b1) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${program.replace("\"", "\\\"")}"}""")
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(
+        graft.query.Esql.run(program, resolve)))
+
+      // ENRICH policy is live on the wire
+      val enrich =
+        "FROM customer | ENRICH nations ON c_nationkey WITH nation = n_name | STATS n = COUNT(*) BY nation | SORT nation | LIMIT 3"
+      val (c2, b2) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${enrich.replace("\"", "\\\"")}"}""")
+      assert(c2 === 200 && b2.contains("NATION_0"))
+
+      // the row cap bounds an unbounded program (sf0.001 lineitem > 1000)
+      val (c3, b3) = post(s"http://127.0.0.1:$port/esql",
+        """{"query": "FROM lineitem | KEEP l_orderkey"}""")
+      assert(c3 === 200)
+      assert(b3.count(_ == '{') === 1000)
+
+      // 400 pins: missing query, parse error, unknown index, NOW()
+      assert(post(s"http://127.0.0.1:$port/esql", "{}")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/esql",
+        """{"query": "FROM documents | FROBNICATE"}""")._1 === 400)
+      val (c4, b4) = post(s"http://127.0.0.1:$port/esql",
+        """{"query": "FROM secrets | LIMIT 1"}""")
+      assert(c4 === 400 && b4.contains("unknown index"))
+      assert(post(s"http://127.0.0.1:$port/esql",
+        """{"query": "FROM documents | EVAL t = NOW()"}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("POST /geo serves the map's box and pin filters as a geohash grid") {
     import org.apache.spark.sql.functions._
     val server = SparkEntry.serveHttp(spark, sfDir)
