@@ -6968,6 +6968,21 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_change_point" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL CHANGE_POINT over the daily series built in-pipe: rows pass
+      // through, the detected step-change row keeps its type/pvalue mark
+      // (Aggs.changePoint's exact cross-multiplied core; the no-ml delta
+      // is documented there), WHERE + EVAL page it to the g_change_point
+      // shape.
+      query.Esql.run(
+        """FROM events | STATS n = COUNT(*) BY d = DATE_TRUNC(1 day, ts)
+          | CHANGE_POINT n ON d | WHERE type IS NOT NULL
+          | EVAL day = DATE_FORMAT("yyyy-MM-dd", d)
+          | KEEP day, type, pvalue""",
+        t => if (t == "events") loadEvents(dir) else load(dir, t))
+    }),
+
     "esql_fork_fuse" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL FORK + FUSE (the 9.x hybrid-retrieval pipeline shape): two
@@ -12231,6 +12246,28 @@ object SparkEntry {
          |WHERE $unit < 0.25
          |GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "esql_change_point" ->
+      """WITH s AS (
+        |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1
+        |), x AS (
+        |  SELECT b, c, row_number() OVER (ORDER BY b)::BIGINT AS k,
+        |    sum(c) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS s1,
+        |    count(*) OVER ()::BIGINT AS n,
+        |    sum(c) OVER ()::BIGINT AS tot,
+        |    lead(b) OVER (ORDER BY b) AS nxt
+        |  FROM s
+        |), y AS (
+        |  SELECT strftime(nxt, '%Y-%m-%d') AS day,
+        |    abs(s1 * (n - k) - (tot - s1) * k)::DOUBLE /
+        |      (k * (n - k))::DOUBLE AS pvalue,
+        |    b
+        |  FROM x WHERE k < n
+        |)
+        |SELECT day, 'step_change' AS type, pvalue FROM y
+        |ORDER BY pvalue DESC, b LIMIT 1""".stripMargin,
 
     "esql_fork_fuse" ->
       """WITH b1 AS (

@@ -207,6 +207,7 @@ object Esql {
   private[query] final case class Fork(branches: Seq[Seq[Cmd]]) extends Cmd
   private[query] final case class Fuse(idCol: String, scoreCol: String, rankK: Int) extends Cmd
   private[query] final case class Sample(probability: Double, on: String, seed: Int) extends Cmd
+  private[query] final case class ChangePointCmd(valueCol: String, keyCol: String) extends Cmd
 
   // =====================================================================
   // parser
@@ -348,6 +349,20 @@ object Esql {
             n.text.toInt
           } else 42
         Sample(prob, key, seed)
+      }
+      else if (t.isKw("CHANGE_POINT")) {
+        val v = identName()
+        expect("ON")
+        val k = identName()
+        ChangePointCmd(v, k)
+      }
+      else if (t.isKw("RERANK") || t.isKw("COMPLETION")) {
+        // the inference commands need a deployed ml model endpoint —
+        // the engine's standing environment seam: loud, not stubbed
+        throw new IllegalArgumentException(
+          s"esql: ${t.text.toUpperCase} calls an inference endpoint; this " +
+            "engine has no model deployment — score with EVAL/FUSE, or " +
+            "rerank outside the query (the Ltr/Hybrid tier)")
       }
       else if (t.isKw("INLINESTATS")) statsCmd() match {
         case Stats(aggs, by) =>
@@ -1255,6 +1270,22 @@ object Esql {
         .groupBy(col(idCol))
         .agg(aggregate(array_sort(collect_list(col("_contrib"))),
           lit(0.0), (acc, x) => acc + x).as("_score"))
+    case ChangePointCmd(valueCol, keyCol) =>
+      // ES|QL CHANGE_POINT: rows pass through with `type`/`pvalue`
+      // columns, non-null ONLY on the detected change row. Detection is
+      // [[Aggs.changePoint]]'s deterministic mean-shift core (exact
+      // cross-multiplied argmax; the documented no-ml delta: type is
+      // always step_change, and the reported `pvalue` is the mean-shift
+      // magnitude, NOT a probability — ES's ml typing needs its model).
+      // The 1-row detection result joins back by broadcast.
+      require(df.columns.contains(valueCol), s"esql: CHANGE_POINT unknown value column '$valueCol'")
+      require(df.columns.contains(keyCol), s"esql: CHANGE_POINT ON unknown column '$keyCol'")
+      val cp = Aggs.changePoint(df, keyCol, valueCol)
+        .select(col("change_point").as("__cp_key"), col("delta").as("__cp_delta"))
+      df.join(broadcast(cp), df(keyCol) === col("__cp_key"), "left")
+        .withColumn("type", when(col("__cp_key").isNotNull, lit("step_change")))
+        .withColumn("pvalue", col("__cp_delta"))
+        .drop("__cp_key", "__cp_delta")
     case Sample(probability, on, seed) =>
       require(df.columns.contains(on), s"esql: SAMPLE ON unknown column '$on'")
       // seeded md5 unit hash (graft.ops.Sampling.hashUnit): portable,

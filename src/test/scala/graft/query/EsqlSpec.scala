@@ -404,6 +404,24 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("start <= end"))
   }
 
+  test("CHANGE_POINT marks the step-change row; inference commands reject loudly") {
+    val series = Seq(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 10, 5 -> 50, 6 -> 50, 7 -> 50, 8 -> 50)
+      .toDF("k", "v")
+    val out = Esql.run("FROM t | CHANGE_POINT v ON k | SORT k",
+      resolve(Map("t" -> series))).collect()
+    assert(out.length == 8) // rows pass through
+    val marked = out.filter(!_.isNullAt(out.head.fieldIndex("type")))
+    assert(marked.map(_.getAs[Int]("k")).toSeq == Seq(5)) // first bucket of the new regime
+    assert(marked.head.getAs[String]("type") == "step_change")
+    assert(marked.head.getAs[Double]("pvalue") == 40.0) // the mean-shift magnitude
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("FROM t | RERANK \"q\" ON text"))
+      .getMessage.contains("inference endpoint"))
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("FROM t | COMPLETION p WITH m"))
+      .getMessage.contains("inference endpoint"))
+  }
+
   // ----- BUCKET / spans -----
 
   test("BUCKET fixed-width spans; DATE_TRUNC multi-unit and calendar BUCKET reject") {
