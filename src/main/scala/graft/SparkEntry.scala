@@ -6968,6 +6968,19 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_match" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL full-text functions inside WHERE (the 8.16 surface): MATCH
+      // is the match query's analyzed-OR, MATCH_PHRASE the contiguous
+      // form — both riding the SAME TextMatch kernel as the query-DSL
+      // tier, so the pipe language and /search agree on what matches.
+      query.Esql.run(
+        """FROM documents
+          | WHERE MATCH(text, "hash join") AND NOT MATCH_PHRASE(text, "batch scan")
+          | STATS n = COUNT(*) BY lang | SORT lang""",
+        t => load(dir, t))
+    }),
+
     "esql_change_point" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL CHANGE_POINT over the daily series built in-pipe: rows pass
@@ -12245,6 +12258,15 @@ object SparkEntry {
          |FROM documents
          |WHERE $unit < 0.25
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "esql_match" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      s"""SELECT count(*) AS n, lang FROM documents
+         |WHERE (${containsTokenSql("text", "hash")}
+         |       OR ${containsTokenSql("text", "join")})
+         |  AND NOT ${containsTokenSql("text", "batch scan")}
+         |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "esql_change_point" ->

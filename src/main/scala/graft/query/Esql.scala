@@ -958,6 +958,31 @@ object Esql {
         slice(rec(a), st + 1, en - st + 1)
       case _ => throw new IllegalArgumentException("esql: MV_SLICE(array, start, end) with literal bounds")
     }
+    case "MATCH" => args match {
+      // ES|QL's full-text MATCH function (8.16): the match query's
+      // analyzed-OR semantics — at least one analyzed term appears as a
+      // whole token. Rides the same TextMatch kernel as the query DSL
+      // tier, so ES|QL WHERE clauses and the /search route agree on what
+      // "matches" means.
+      case Seq(f @ ColRef(_), StrLit(q)) =>
+        val terms = graft.expr.TextMatch.analyze(q)
+        require(terms.nonEmpty, s"esql: MATCH query '$q' has no analyzable terms")
+        terms.map(t => graft.expr.TextMatch.containsToken(rec(f), t))
+          .reduce(_ || _)
+      case _ => throw new IllegalArgumentException("esql: MATCH(field, \"query\")")
+    }
+    case "MATCH_PHRASE" => args match {
+      // the match_phrase form: the analyzed terms contiguous and in order
+      case Seq(f @ ColRef(_), StrLit(q)) =>
+        val terms = graft.expr.TextMatch.analyze(q)
+        require(terms.nonEmpty, s"esql: MATCH_PHRASE query '$q' has no analyzable terms")
+        graft.expr.TextMatch.containsToken(rec(f), terms.mkString(" "))
+      case _ => throw new IllegalArgumentException("esql: MATCH_PHRASE(field, \"query\")")
+    }
+    case "QSTR" | "KQL" =>
+      throw new IllegalArgumentException(
+        s"esql: $name needs the index's default-field mapping; use MATCH/" +
+          "MATCH_PHRASE with an explicit field, or the /search route's query_string")
     case "NOW" =>
       throw new IllegalArgumentException(
         "esql: NOW() reads the wall clock and can never hash-match an oracle; pass the timestamp as a literal")

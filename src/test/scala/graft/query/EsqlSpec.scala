@@ -437,6 +437,23 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("calendar-variable"))
   }
 
+  test("MATCH is analyzed-OR, MATCH_PHRASE contiguous-in-order; QSTR names its seam") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "quick silver"), (3L, "brown paper"),
+      (4L, "fox brown")).toDF("id", "text")
+    val or = Esql.run("""FROM t | WHERE MATCH(text, "quick fox") | KEEP id | SORT id""",
+      resolve(Map("t" -> docs))).as[Long].collect()
+    assert(or.toSeq == Seq(1L, 2L, 4L)) // any analyzed term matches
+    val ph = Esql.run("""FROM t | WHERE MATCH_PHRASE(text, "brown fox") | KEEP id""",
+      resolve(Map("t" -> docs))).as[Long].collect()
+    assert(ph.toSeq == Seq(1L)) // doc4 has the terms out of order
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | WHERE QSTR("quick")""", resolve(Map("t" -> docs))))
+      .getMessage.contains("default-field"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | WHERE MATCH(text, "...")""", resolve(Map("t" -> docs))))
+      .getMessage.contains("no analyzable"))
+  }
+
   // ----- script_score seam -----
 
   test("Esql.column compiles a standalone expression; trailing input rejects") {
