@@ -6968,6 +6968,36 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_stats_where" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL per-aggregate WHERE (8.13): filtered and unfiltered
+      // aggregates in ONE scan and one hash agg — each filter wraps its
+      // aggregate's fed values in when(cond, v), never a second pass.
+      query.Esql.run(
+        """FROM lineitem
+          | STATS n_ret = COUNT(*) WHERE l_returnflag == "R",
+              qty_ret = SUM(l_quantity) WHERE l_returnflag == "R",
+              n = COUNT(*)
+            BY l_linestatus
+          | SORT l_linestatus""",
+        t => load(dir, t))
+    }),
+
+    "esql_functions" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The scalar-function padding sweep as one oracled page: hashes
+      // (md5/sha256 — both engines emit lowercase hex), base64,
+      // reverse, toward-zero TRUNC, SIGNUM, BIT_LENGTH — every value a
+      // deterministic function of the row, restated verbatim in DuckDB.
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 30
+          | EVAL h = MD5(lang), s2 = SHA256(source), b = TO_BASE64(lang),
+              r = REVERSE(source), t = TRUNC(n_chars / 7.0, 1),
+              sg = SIGNUM(n_chars - 500), bl = TO_LONG(BIT_LENGTH(source))
+          | KEEP doc_id, h, s2, b, r, t, sg, bl | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
     "esql_match" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL full-text functions inside WHERE (the 8.16 surface): MATCH
@@ -12259,6 +12289,20 @@ object SparkEntry {
          |WHERE $unit < 0.25
          |GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "esql_stats_where" ->
+      """SELECT count(*) FILTER (WHERE l_returnflag = 'R') AS n_ret,
+        |  sum(l_quantity) FILTER (WHERE l_returnflag = 'R') AS qty_ret,
+        |  count(*) AS n, l_linestatus
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "esql_functions" ->
+      """SELECT doc_id, md5(lang) AS h, sha256(source) AS s2,
+        |  to_base64(lang::BLOB) AS b, reverse(source) AS r,
+        |  trunc(n_chars / 7.0 * 10.0) / 10.0 AS t,
+        |  CAST(sign(n_chars - 500) AS DOUBLE) AS sg,
+        |  bit_length(source) AS bl
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
 
     "esql_match" -> {
       import graft.expr.TextMatch.containsTokenSql

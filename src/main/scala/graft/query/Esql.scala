@@ -184,6 +184,8 @@ object Esql {
   private[query] final case class IsNullE(e: Expr, negated: Boolean) extends Expr
   /** `1 day` inside DATE_TRUNC/BUCKET. */
   private[query] final case class SpanLit(n: Long, unit: String) extends Expr
+  /** `agg(...) WHERE cond` inside STATS (the 8.13 per-aggregate filter). */
+  private[query] final case class AggWhere(agg: Expr, cond: Expr) extends Expr
   /** `*` inside COUNT. */
   private[query] case object Star extends Expr
 
@@ -384,16 +386,26 @@ object Esql {
       out.result()
     }
 
+    /** In STATS position: an optional trailing `WHERE cond` binds to the
+      * aggregate expression (ES|QL's per-aggregate filter, 8.13).
+      */
+    private def statsEntryTail(e: Expr): Expr =
+      if (peekIs("WHERE")) { advance(); AggWhere(e, expr()) } else e
+
+    private var inStatsEntries = false
+
     private def namedExpr(): (String, Expr) = {
       // lookahead: IDENT '=' not followed by '=' (== is equality)
       if (!exhausted && toks(pos).kind == IdentK && pos + 1 < toks.length &&
         toks(pos + 1).kind == PunctK && toks(pos + 1).text == "=") {
         val name = advance().text
         advance() // =
-        (name, expr())
+        val e = expr()
+        (name, if (inStatsEntries) statsEntryTail(e) else e)
       } else {
         val start = if (exhausted) q.length else toks(pos).start
-        val e = expr()
+        val e0 = expr()
+        val e = if (inStatsEntries) statsEntryTail(e0) else e0
         val end = if (pos == 0) q.length else toks(pos - 1).end
         (q.substring(start, end).trim, e)
       }
@@ -402,7 +414,10 @@ object Esql {
     private def statsCmd(): Cmd = {
       val aggs =
         if (peekIs("BY") || atPipeOrEnd) Seq.empty[(String, Expr)]
-        else namedExprList()
+        else {
+          inStatsEntries = true
+          try namedExprList() finally inStatsEntries = false
+        }
       val by =
         if (peekIs("BY")) {
           advance()
@@ -676,7 +691,7 @@ object Esql {
 
   private val AggNames = Set(
     "COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
-    "MEDIAN", "PERCENTILE", "VALUES", "TOP")
+    "MEDIAN", "PERCENTILE", "WEIGHTED_AVG", "VALUES", "TOP")
 
   /** ES|QL wildcard (`*`/`?`, with everything else literal) → anchored
     * Java regex.
@@ -734,6 +749,9 @@ object Esql {
     case SpanLit(n, unit) =>
       throw new IllegalArgumentException(
         s"esql: a span literal ($n $unit) is only valid inside DATE_TRUNC/BUCKET")
+    case AggWhere(_, _) =>
+      throw new IllegalArgumentException(
+        "esql: a per-aggregate WHERE is only valid on a STATS entry")
     case Star =>
       throw new IllegalArgumentException("esql: '*' is only valid inside COUNT(*)")
     case Fn(name, args) => compileFn(name, args, compileExpr)
@@ -744,16 +762,20 @@ object Esql {
     * calls compile through [[compileAgg]], everything around them stays
     * scalar. A STATS entry with NO aggregate inside still rejects loudly.
     */
-  private def compileAggExpr(e: Expr): Column = e match {
-    case Fn(n, _) if AggNames.contains(n) => compileAgg(e)
-    case Bin(op, l, r) => binOp(op, compileAggExpr(l), compileAggExpr(r))
-    case Neg(x) => -compileAggExpr(x)
-    case NotE(x) => !compileAggExpr(x)
-    case Fn(name, args) => compileFn(name, args, compileAggExpr)
+  private def compileAggExpr(e: Expr, filter: Option[Column] = None): Column = e match {
+    case AggWhere(inner, cond) =>
+      require(filter.isEmpty, "esql: nested WHERE inside a STATS entry")
+      compileAggExpr(inner, Some(compileExpr(cond)))
+    case Fn(n, _) if AggNames.contains(n) => compileAgg(e, filter)
+    case Bin(op, l, r) => binOp(op, compileAggExpr(l, filter), compileAggExpr(r, filter))
+    case Neg(x) => -compileAggExpr(x, filter)
+    case NotE(x) => !compileAggExpr(x, filter)
+    case Fn(name, args) => compileFn(name, args, compileAggExpr(_, filter))
     case other => compileExpr(other)
   }
 
   private def containsAgg(e: Expr): Boolean = e match {
+    case AggWhere(inner, _) => containsAgg(inner)
     case Fn(n, _) if AggNames.contains(n) => true
     case Fn(_, args) => args.exists(containsAgg)
     case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
@@ -891,7 +913,30 @@ object Esql {
             s"esql: BUCKET spans are fixed-width (second…week); '$other' is calendar-variable — use DATE_TRUNC")
         }
         timestamp_micros((unix_micros(rec(d)) / micros).cast("long") * micros)
-      case _ => throw new IllegalArgumentException("esql: BUCKET(date, span)")
+      // auto-width form: BUCKET(date, targetBuckets, from, to) — the
+      // width resolves DRIVER-side from literal bounds: the smallest
+      // rung of a fixed human ladder (1s…1w) whose bucket count fits the
+      // target. ES picks "nice" calendar widths the same way; the ladder
+      // is pinned here so the choice is deterministic and restatable.
+      case Seq(d, NumLit(target), from, to) =>
+        def literalTs(e: Expr): Long = e match {
+          case StrLit(ts) => java.sql.Timestamp.valueOf(ts).getTime * 1000L
+          case Fn("TO_DATETIME", Seq(StrLit(ts))) => java.sql.Timestamp.valueOf(ts).getTime * 1000L
+          case other => throw new IllegalArgumentException(
+            s"esql: BUCKET bounds must be datetime literals, found $other")
+        }
+        val (fromUs, toUs) = (literalTs(from), literalTs(to))
+        require(toUs > fromUs, "esql: BUCKET needs from < to")
+        val t = target.toLong
+        require(t >= 1, s"esql: BUCKET target must be >= 1, got $t")
+        val ladderUs = Seq(1L, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800,
+          43200, 86400, 604800).map(_ * 1000000L)
+        val span = toUs - fromUs
+        val width = ladderUs.find(w => (span + w - 1) / w <= t).getOrElse(
+          throw new IllegalArgumentException(
+            s"esql: no ladder width fits $t buckets over ${span / 1000000L} s — widen the target"))
+        timestamp_micros((unix_micros(rec(d)) / width).cast("long") * width)
+      case _ => throw new IllegalArgumentException("esql: BUCKET(date, span) or BUCKET(date, target, from, to)")
     }
     case "DATE_EXTRACT" => args match {
       // ES|QL takes the java.time ChronoField name as a string
@@ -958,6 +1003,58 @@ object Esql {
         slice(rec(a), st + 1, en - st + 1)
       case _ => throw new IllegalArgumentException("esql: MV_SLICE(array, start, end) with literal bounds")
     }
+    case "PI" => require(args.isEmpty, "esql: PI takes no arguments"); lit(math.Pi)
+    case "E" => require(args.isEmpty, "esql: E takes no arguments"); lit(math.E)
+    case "TAU" => require(args.isEmpty, "esql: TAU takes no arguments"); lit(2 * math.Pi)
+    case "SIGNUM" => signum(one(name, args, rec))
+    case "CBRT" => cbrt(one(name, args, rec))
+    case "TRUNC" => args match {
+      // truncation TOWARD ZERO (ES|QL's rule; round() is half-up). The
+      // long cast is the toward-zero step; scale by a literal power of 10.
+      case Seq(v) => rec(v).cast("long").cast("double")
+      case Seq(v, NumLit(d)) =>
+        val p = math.pow(10, d.toInt)
+        (rec(v) * p).cast("long").cast("double") / p
+      case _ => throw new IllegalArgumentException("esql: TRUNC(value[, decimals]) with literal decimals")
+    }
+    case "REVERSE" => reverse(one(name, args, rec))
+    case "REPEAT" =>
+      require(args.length == 2, "esql: REPEAT(string, n)")
+      call_function("repeat", rec(args(0)), rec(args(1)))
+    case "SPACE" => call_function("space", one(name, args, rec))
+    case "BIT_LENGTH" => bit_length(one(name, args, rec))
+    case "BYTE_LENGTH" => octet_length(one(name, args, rec))
+    case "MD5" => md5(one(name, args, rec).cast("binary"))
+    case "SHA1" => sha1(one(name, args, rec).cast("binary"))
+    case "SHA256" => sha2(one(name, args, rec).cast("binary"), 256)
+    case "TO_BASE64" => base64(one(name, args, rec).cast("binary"))
+    case "FROM_BASE64" => unbase64(one(name, args, rec)).cast("string")
+    case "CIDR_MATCH" => args match {
+      // CIDR_MATCH(ip, "block", …): literal blocks resolve to integer
+      // ranges driver-side ([[Aggs.ipToLong]] parses the column), OR'd —
+      // each range is two pushable comparisons.
+      case Seq(ipArg, blocks @ _*) if blocks.nonEmpty =>
+        val ipLong = Aggs.ipToLong(rec(ipArg))
+        val ranges = blocks.map {
+          case StrLit(cidr) =>
+            val parts = cidr.split("/")
+            require(parts.length == 2, s"esql: malformed CIDR block '$cidr'")
+            val quads = parts(0).split("\\.")
+            require(quads.length == 4 && quads.forall(q => q.forall(_.isDigit) && q.toInt <= 255),
+              s"esql: malformed CIDR address '${parts(0)}'")
+            val prefix = parts(1).toInt
+            require(prefix >= 0 && prefix <= 32, s"esql: CIDR prefix out of range in '$cidr'")
+            val base = quads.map(_.toLong).reduce(_ * 256 + _)
+            val mask = if (prefix == 0) 0L else (0xFFFFFFFFL << (32 - prefix)) & 0xFFFFFFFFL
+            val lo = base & mask
+            val hi = lo | (~mask & 0xFFFFFFFFL)
+            ipLong >= lo && ipLong <= hi
+          case other => throw new IllegalArgumentException(
+            s"esql: CIDR_MATCH blocks must be string literals, found $other")
+        }
+        ranges.reduce(_ || _)
+      case _ => throw new IllegalArgumentException("esql: CIDR_MATCH(ip, \"block\", …)")
+    }
     case "MATCH" => args match {
       // ES|QL's full-text MATCH function (8.16): the match query's
       // analyzed-OR semantics — at least one analyzed term appears as a
@@ -995,31 +1092,43 @@ object Esql {
   private def locate_(s: Column, sub: Column): Column =
     call_function("locate", sub, s)
 
-  private def compileAgg(e: Expr): Column = e match {
-    case Fn("COUNT", Seq(Star)) => count(lit(1))
-    case Fn("COUNT", Seq(a)) => count(compileExpr(a))
-    case Fn("COUNT", _) => throw new IllegalArgumentException("esql: COUNT takes * or one expression")
-    case Fn("COUNT_DISTINCT", Seq(a)) => count_distinct(compileExpr(a))
-    case Fn("SUM", Seq(a)) => sum(compileExpr(a))
-    case Fn("AVG", Seq(a)) => avg(compileExpr(a))
-    case Fn("MIN", Seq(a)) => min(compileExpr(a))
-    case Fn("MAX", Seq(a)) => max(compileExpr(a))
-    case Fn("MEDIAN", Seq(a)) => median(compileExpr(a))
-    case Fn("PERCENTILE", Seq(a, NumLit(p))) =>
-      percentile(compileExpr(a), lit(p.toDouble / 100.0))
-    case Fn("VALUES", Seq(a)) => array_sort(collect_set(compileExpr(a)))
-    case Fn("TOP", Seq(a, NumLit(n), StrLit(order))) =>
-      val sorted = order.toLowerCase match {
-        case "asc" => array_sort(collect_list(compileExpr(a)))
-        case "desc" => reverse(array_sort(collect_list(compileExpr(a))))
-        case other => throw new IllegalArgumentException(s"esql: TOP order must be asc/desc, got '$other'")
-      }
-      slice(sorted, 1, n.toInt)
-    case Fn(n, _) if AggNames.contains(n) =>
-      throw new IllegalArgumentException(s"esql: malformed aggregate $n")
-    case other =>
-      throw new IllegalArgumentException(
-        s"esql: STATS entries must be aggregate calls, found $other")
+  /** One aggregate call, optionally under a per-aggregate `WHERE` filter
+    * (the 8.13 form): the filter wraps each fed value in `when(cond, v)`,
+    * and every aggregate here skips nulls — exactly ES's
+    * filtered-aggregation semantics, with no second scan.
+    */
+  private def compileAgg(e: Expr, filter: Option[Column] = None): Column = {
+    def g(c: Column): Column = filter.map(f => when(f, c)).getOrElse(c)
+    e match {
+      case Fn("COUNT", Seq(Star)) => count(g(lit(1)))
+      case Fn("COUNT", Seq(a)) => count(g(compileExpr(a)))
+      case Fn("COUNT", _) => throw new IllegalArgumentException("esql: COUNT takes * or one expression")
+      case Fn("COUNT_DISTINCT", Seq(a)) => count_distinct(g(compileExpr(a)))
+      case Fn("SUM", Seq(a)) => sum(g(compileExpr(a)))
+      case Fn("AVG", Seq(a)) => avg(g(compileExpr(a)))
+      case Fn("MIN", Seq(a)) => min(g(compileExpr(a)))
+      case Fn("MAX", Seq(a)) => max(g(compileExpr(a)))
+      case Fn("MEDIAN", Seq(a)) => median(g(compileExpr(a)))
+      case Fn("PERCENTILE", Seq(a, NumLit(p))) =>
+        percentile(g(compileExpr(a)), lit(p.toDouble / 100.0))
+      case Fn("WEIGHTED_AVG", Seq(a, wt)) =>
+        // one fixed tree: sum(v·w) / sum(w) — ES|QL's weighted_avg
+        val (v, w) = (compileExpr(a), compileExpr(wt))
+        sum(g(v * w)) / sum(g(w))
+      case Fn("VALUES", Seq(a)) => array_sort(collect_set(g(compileExpr(a))))
+      case Fn("TOP", Seq(a, NumLit(n), StrLit(order))) =>
+        val sorted = order.toLowerCase match {
+          case "asc" => array_sort(collect_list(g(compileExpr(a))))
+          case "desc" => reverse(array_sort(collect_list(g(compileExpr(a)))))
+          case other => throw new IllegalArgumentException(s"esql: TOP order must be asc/desc, got '$other'")
+        }
+        slice(sorted, 1, n.toInt)
+      case Fn(n, _) if AggNames.contains(n) =>
+        throw new IllegalArgumentException(s"esql: malformed aggregate $n")
+      case other =>
+        throw new IllegalArgumentException(
+          s"esql: STATS entries must be aggregate calls, found $other")
+    }
   }
 
   /** DISSECT pattern → (anchored regex, key names in order). Literal
@@ -1245,6 +1354,20 @@ object Esql {
       }
       val w = org.apache.spark.sql.expressions.Window.partitionBy(by.map(b => col(b._1)): _*)
       def overWindow(e: Expr): Column = e match {
+        case AggWhere(inner, cond) =>
+          val f = compileExpr(cond)
+          def walk(x: Expr): Column = x match {
+            case Fn(n, _) if AggNames.contains(n) =>
+              require(!Seq("MEDIAN", "PERCENTILE", "TOP", "VALUES", "COUNT_DISTINCT").contains(n),
+                s"esql: $n is not window-computable in INLINESTATS")
+              compileAgg(x, Some(f)).over(w)
+            case Bin(op, l, r) => binOp(op, walk(l), walk(r))
+            case Neg(y) => -walk(y)
+            case NotE(y) => !walk(y)
+            case Fn(name, args) => compileFn(name, args, walk)
+            case other => compileExpr(other)
+          }
+          walk(inner)
         case Fn(n, _) if AggNames.contains(n) =>
           require(!Seq("MEDIAN", "PERCENTILE", "TOP", "VALUES", "COUNT_DISTINCT").contains(n),
             s"esql: $n is not window-computable in INLINESTATS — " +

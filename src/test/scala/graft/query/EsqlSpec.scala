@@ -454,6 +454,69 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("no analyzable"))
   }
 
+  test("STATS per-aggregate WHERE filters one entry without a second scan") {
+    val r = Esql.run(
+      """FROM t | STATS en = COUNT(*) WHERE lang == "en", total = SUM(score) WHERE score > 20, n = COUNT(*)""",
+      resolve(Map("t" -> people))).collect().head
+    assert(r.getAs[Long]("en") == 2L)
+    assert(r.getAs[Double]("total") == 95.0) // 30 + 25 + 40
+    assert(r.getAs[Long]("n") == 5L)
+    // the filter threads through expressions over aggregates
+    val e = Esql.run(
+      """FROM t | STATS m = ROUND(SUM(score) / COUNT(*), 1) WHERE lang == "en" BY lang | SORT lang NULLS LAST""",
+      resolve(Map("t" -> people))).collect()
+    assert(Option(e.head.getAs[java.lang.Double]("m")).isEmpty ||
+      e.map(r2 => Option(r2.getAs[java.lang.Double]("m"))).flatten.contains(20.0))
+    // outside STATS it rejects
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | EVAL x = score WHERE lang == "en"""", resolve(Map("t" -> people))))
+      .getMessage.nonEmpty)
+  }
+
+  test("WEIGHTED_AVG is one fixed sum(v*w)/sum(w) tree") {
+    val r = Esql.run(
+      """FROM t | STATS wa = WEIGHTED_AVG(score, id)""",
+      resolve(Map("t" -> people))).collect().head
+    // (30*1 + 10*2 + 25*3 + 5*4 + 40*5) / 15 = 345/15 = 23
+    assert(r.getAs[Double]("wa") == 23.0)
+  }
+
+  test("BUCKET auto-width form picks the smallest fitting ladder rung from literal bounds") {
+    val out = Esql.run(
+      """FROM t | STATS n = COUNT(*) BY b = BUCKET(ts, 4, "2024-03-01 00:00:00", "2024-03-03 00:00:00") | SORT b""",
+      resolve(Map("t" -> people)))
+    // 48h span / 4 buckets -> 12h rung (the 12h case from the span test)
+    assert(out.collect().map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L, 1L, 1L))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | EVAL b = BUCKET(ts, 4, score, "2024-03-03 00:00:00")""",
+        resolve(Map("t" -> people))))
+      .getMessage.contains("datetime literals"))
+  }
+
+  test("function padding: constants, trunc-toward-zero, hashes, base64, cidr") {
+    val r = Esql.run(
+      """ROW pi = PI(), t1 = TRUNC(-2.7), t2 = TRUNC(2.789, 2), sg = SIGNUM(-5),
+        rv = REVERSE("abc"), rp = REPEAT("ab", 3), bl = BIT_LENGTH("ab"),
+        h = MD5("spark"), b64 = TO_BASE64("hi"), rt = FROM_BASE64(TO_BASE64("hi")),
+        c1 = CIDR_MATCH("10.1.2.3", "10.0.0.0/8"), c2 = CIDR_MATCH("11.1.2.3", "10.0.0.0/8", "192.168.0.0/16")""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[Double]("pi") == math.Pi)
+    assert(r.getAs[Double]("t1") == -2.0) // toward zero, not floor
+    assert(r.getAs[Double]("t2") == 2.78)
+    assert(r.getAs[Double]("sg") == -1.0)
+    assert(r.getAs[String]("rv") == "cba")
+    assert(r.getAs[String]("rp") == "ababab")
+    assert(r.getAs[Int]("bl") == 16)
+    assert(r.getAs[String]("h") == "98f11b7a7880169c3bd62a5a507b3965")
+    assert(r.getAs[String]("b64") == "aGk=")
+    assert(r.getAs[String]("rt") == "hi")
+    assert(r.getAs[Boolean]("c1"))
+    assert(!r.getAs[Boolean]("c2"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = CIDR_MATCH("1.2.3.4", "10.0.0.0/40")""", resolve(Map.empty)))
+      .getMessage.contains("prefix out of range"))
+  }
+
   // ----- script_score seam -----
 
   test("Esql.column compiles a standalone expression; trailing input rejects") {
