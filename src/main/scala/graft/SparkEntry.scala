@@ -6968,6 +6968,26 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_pipeline" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The composition pin: one program threading SAMPLE (keyed hash) →
+      // DISSECT (typed extract) → INLINESTATS (group mean as a window) →
+      // WHERE (above the group mean) → STATS BY BUCKET (daily) → SORT →
+      // LIMIT. Seven commands, one declarative plan — the integration
+      // claim the per-command oracles can't make alone.
+      query.Esql.run(
+        """FROM events
+          | SAMPLE 0.5 ON event_id
+          | DISSECT props "{\"k\": %{kv}}"
+          | EVAL k = TO_INTEGER(kv)
+          | INLINESTATS avg_k = SUM(k) / COUNT(*) BY event_type
+          | WHERE k > avg_k
+          | STATS n = COUNT(*), hi = MAX(k) BY day = BUCKET(ts, 1 day), event_type
+          | SORT day, event_type
+          | LIMIT 50""",
+        t => if (t == "events") loadEvents(dir) else load(dir, t))
+    }),
+
     "esql_stats_where" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL per-aggregate WHERE (8.13): filtered and unfiltered
@@ -12288,6 +12308,25 @@ object SparkEntry {
          |FROM documents
          |WHERE $unit < 0.25
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "esql_pipeline" -> {
+      val unit = ops.Sampling.hashUnitSql("event_id", 42)
+      s"""WITH sampled AS (
+         |  SELECT event_id, event_type, ts,
+         |    CAST(NULLIF(regexp_extract(props, '^\\{"k": (.*)\\}$$', 1), '') AS INTEGER) AS k
+         |  FROM events WHERE $unit < 0.5
+         |), w AS (
+         |  SELECT event_type, ts, k,
+         |    sum(k) OVER (PARTITION BY event_type)
+         |      / count(*) OVER (PARTITION BY event_type) AS avg_k
+         |  FROM sampled
+         |)
+         |SELECT count(*) AS n, max(k) AS hi,
+         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type
+         |FROM w WHERE k > avg_k
+         |GROUP BY day, event_type
+         |ORDER BY day, event_type LIMIT 50""".stripMargin
     },
 
     "esql_stats_where" ->
