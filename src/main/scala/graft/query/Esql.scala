@@ -56,12 +56,15 @@ import org.apache.spark.sql.functions._
   *
   * == Stated deltas ==
   *
-  *  - `/` and `%` follow Spark's numeric conventions (`/` is double
-  *    division); ES|QL's integer `/` on two longs truncates. Callers
-  *    wanting the truncating form write `FLOOR(a / b)`. Static expression
-  *    typing (which ES|QL resolves against its mapping) is exactly what a
-  *    pre-analysis compiler cannot know, so the delta is documented rather
-  *    than half-guessed.
+  *  - `/` is ALWAYS double division and a zero divisor yields NULL
+  *    (ES|QL's divide-by-zero behavior; compiled as `try_divide` over
+  *    double casts — Spark's own ANSI `/` would make int/int a DECIMAL
+  *    division and THROW on zero). ES|QL's integer `/` on two longs
+  *    truncates; callers wanting the truncating form write
+  *    `FLOOR(a / b)`. Static expression typing (which ES|QL resolves
+  *    against its mapping) is exactly what a pre-analysis compiler cannot
+  *    know, so the delta is documented rather than half-guessed. `%`
+  *    keeps Spark's conventions (ANSI: zero modulus throws).
   *  - `NOW()` and every other wall-clock source REJECTS loudly — this
   *    repo's determinism discipline (a query that reads the clock can never
   *    hash-match its oracle).
@@ -718,23 +721,7 @@ object Esql {
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
     case ColRef(name) => col(name)
-    case Bin(op, l, r) =>
-      val (a, b) = (compileExpr(l), compileExpr(r))
-      op match {
-        case "or" => a || b
-        case "and" => a && b
-        case "==" => a === b
-        case "!=" => a =!= b
-        case "<" => a < b
-        case "<=" => a <= b
-        case ">" => a > b
-        case ">=" => a >= b
-        case "+" => a + b
-        case "-" => a - b
-        case "*" => a * b
-        case "/" => a / b
-        case "%" => a % b
-      }
+    case Bin(op, l, r) => binOp(op, compileExpr(l), compileExpr(r))
     case Neg(x) => -compileExpr(x)
     case NotE(x) => !compileExpr(x)
     case InList(x, items, negated) =>
@@ -796,7 +783,14 @@ object Esql {
     case "+" => a + b
     case "-" => a - b
     case "*" => a * b
-    case "/" => a / b
+    // `/` is ALWAYS double division with NULL on a zero divisor —
+    // ES|QL's own divide-by-zero behavior. Both halves need enforcing:
+    // Spark's `/` under ANSI coerces two INTEGRAL operands to DECIMAL
+    // division (decimal result types leaking through the plan), and ANSI
+    // division THROWS on zero for every numeric type where ES|QL returns
+    // null. try_divide over explicit double casts pins both. Caught by
+    // EsqlSemanticsSpec's random-expression certification.
+    case "/" => try_divide(a.cast("double"), b.cast("double"))
     case "%" => a % b
   }
 
@@ -842,6 +836,10 @@ object Esql {
       // 1-based; negative start counts from the end; start 0 behaves as 1
       // (ES|QL's rules — they coincide with Spark's substring, except
       // start 0, which Spark treats as 1 too: pinned in the spec).
+      // Subtlety pinned by EsqlSemanticsSpec: a negative start does NOT
+      // clamp — the [start, start+len) window is fixed before
+      // intersecting with the string, so positions before index 0
+      // consume length: SUBSTRING("ab", -3, 1) is "", not "a".
       case Seq(s, st) => substring(rec(s), rec(st), lit(Int.MaxValue))
       case Seq(s, st, ln) => substring(rec(s), rec(st), rec(ln))
       case _ => throw new IllegalArgumentException("esql: SUBSTRING(string, start[, length])")
