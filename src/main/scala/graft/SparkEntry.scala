@@ -6885,11 +6885,13 @@ object SparkEntry {
 
     "q_simple_query_string" -> ((s, dir) => {
       implicit val spark: SparkSession = s
-      // phrase OR prefix, minus a MUST_NOT term — Lucene SimpleQueryParser
-      // resolution ((phrase | merge*) AND NOT slow), parsed from the raw
-      // user string with every operator doing real work.
+      // Lucene SimpleQueryParser's LEFT FOLD under default AND: the `|`
+      // folds first ((phrase OR merge*)), then the negated clause folds
+      // in under the default operator — ((phrase | merge*) AND NOT
+      // slow), every operator doing real work. (Under default OR the
+      // fold would OR the complement in — the documented ES gotcha.)
       val spec = graft.query.SimpleQueryString.parse(
-        "\"hash join\" | merge* -slow", "text")
+        "\"hash join\" | merge* -slow", "text", "and")
       load(dir, "documents").where(spec.compile)
         .select("doc_id", "lang").orderBy("doc_id")
     }),

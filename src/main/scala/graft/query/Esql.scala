@@ -823,9 +823,9 @@ object Esql {
       case Seq(v, NumLit(d)) => round(rec(v), d.toInt)
       case _ => throw new IllegalArgumentException("esql: ROUND(value[, decimals]) with literal decimals")
     }
-    case "GREATEST" => greatest(args.map(compileExpr): _*)
-    case "LEAST" => least(args.map(compileExpr): _*)
-    case "CONCAT" => concat(args.map(compileExpr): _*)
+    case "GREATEST" => greatest(args.map(rec): _*)
+    case "LEAST" => least(args.map(rec): _*)
+    case "CONCAT" => concat(args.map(rec): _*)
     case "LENGTH" => length(one(name, args, rec))
     case "TO_UPPER" => upper(one(name, args, rec))
     case "TO_LOWER" => lower(one(name, args, rec))
@@ -869,7 +869,9 @@ object Esql {
       case Seq(s, sub) => locate_(rec(s), rec(sub))
       case _ => throw new IllegalArgumentException("esql: LOCATE(string, substring)")
     }
-    case "COALESCE" => coalesce(args.map(compileExpr): _*)
+    // n-ary functions go through `rec`, not compileExpr, so STATS can
+    // compile aggregates nested under them (STATS x = COALESCE(SUM(a), 0)).
+    case "COALESCE" => coalesce(args.map(rec): _*)
     case "CASE" =>
       // CASE(cond1, v1[, cond2, v2, …][, default]) — ES|QL's function form
       require(args.length >= 2, "esql: CASE needs at least a condition and a value")
@@ -1234,6 +1236,16 @@ object Esql {
     cmds.tail.foldLeft(source)(applyCmd(_, _, resolve, policies))
   }
 
+  /** Re-select a column BY NAME where the name is known to be a literal
+    * top-level column of the frame — a generated STATS entry name like
+    * `AVG(x) * 1.5`, a KEEP/DROP match, a FORK union column. Bare `col()`
+    * reads dots as struct-field access, so an unnamed entry containing a
+    * decimal literal would fail resolution; backticks pin the whole name
+    * (embedded backticks escape by doubling, Spark's own rule).
+    */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
       policies: Map[String, EnrichPolicy]): DataFrame = cmd match {
     case Where(e) => df.where(compileExpr(e))
@@ -1256,7 +1268,7 @@ object Esql {
           if (by.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
         // ES|QL column order: aggregates first, then the BY keys
-        grouped.select((aggs.map(a => col(a._1)) ++ by.map(b => col(b._1))): _*)
+        grouped.select((aggs.map(a => qcol(a._1)) ++ by.map(b => qcol(b._1))): _*)
       }
     case SortCmd(keys) =>
       val ordered = keys.map { case (e, asc, nullsFirst) =>
@@ -1276,12 +1288,12 @@ object Esql {
     case Keep(patterns) =>
       val cols = expandPatterns(patterns, df.columns.toSeq)
       require(cols.nonEmpty, s"esql: KEEP ${patterns.mkString(", ")} matches no columns")
-      df.select(cols.map(col): _*)
+      df.select(cols.map(qcol): _*)
     case DropCmd(patterns) =>
       val dropped = expandPatterns(patterns, df.columns.toSeq).toSet
       val remaining = df.columns.filterNot(dropped)
       require(remaining.nonEmpty, "esql: DROP would remove every column")
-      df.select(remaining.map(col).toSeq: _*)
+      df.select(remaining.map(qcol).toSeq: _*)
     case Rename(pairs) =>
       pairs.foldLeft(df) { case (d, (from, to)) =>
         require(d.columns.contains(from), s"esql: RENAME of unknown column '$from'")
@@ -1289,9 +1301,9 @@ object Esql {
       }
     case MvExpand(c) =>
       require(df.columns.contains(c), s"esql: MV_EXPAND of unknown column '$c'")
-      val others = df.columns.filterNot(_ == c).map(col)
-      df.select((others :+ explode_outer(col(c)).as(c)).toSeq: _*)
-        .select(df.columns.map(col).toSeq: _*) // original column order
+      val others = df.columns.filterNot(_ == c).map(qcol)
+      df.select((others :+ explode_outer(qcol(c)).as(c)).toSeq: _*)
+        .select(df.columns.map(qcol).toSeq: _*) // original column order
     case Dissect(input, pattern) =>
       val (rx, keys) = dissectRegex(pattern)
       val matched = col(input).rlike(rx)
@@ -1337,50 +1349,98 @@ object Esql {
       df.drop(collisions.toSeq: _*)
         .join(broadcast(right), on.toSeq, "left")
     case InlineStats(aggs, by) =>
-      // ES|QL INLINESTATS: STATS that APPENDS instead of collapsing —
-      // exactly a window aggregate over the BY keys (one exchange on the
-      // keys, rows preserved). With no BY the frame is the whole corpus:
-      // a single window partition — fine for the page-sized frames this
-      // follows (the ES coordinator has the same choke point), stated
-      // rather than hidden. Computed BY keys materialize as columns
-      // first (they appear in the output, ES|QL's rule).
+      // ES|QL INLINESTATS: STATS that APPENDS instead of collapsing.
+      // Three compile shapes, all rows-preserving:
+      //   * no BY keys → a 1-row aggregate crossJoin(broadcast(...)) —
+      //     NOT an unpartitioned window, which would funnel the corpus
+      //     through one task (the repo's standing global-stat idiom,
+      //     e.g. ops/Drift.scala). Ordered-set aggregates come free.
+      //   * BY + ordered-set aggregates (MEDIAN/PERCENTILE/TOP/VALUES/
+      //     COUNT_DISTINCT, not window-computable in Spark) → the
+      //     documented "STATS then LOOKUP JOIN the result back" rewrite,
+      //     applied BY THE COMPILER: one hash aggregate on the keys +
+      //     one broadcast join back (null-safe on the keys — a null BY
+      //     key is a group, ES|QL's rule). Broadcast bound = the GROUP
+      //     frame, same bound as ES|QL's own lookup-join rewrite.
+      //   * BY + plain aggregates → a window aggregate over the keys
+      //     (one exchange, no broadcast-size exposure at high key
+      //     cardinality).
+      // Computed BY keys materialize as columns first (they appear in
+      // the output, ES|QL's rule); entry names overwrite existing
+      // columns in place via withColumn in every shape.
+      aggs.foreach { case (n, e) =>
+        require(containsAgg(e),
+          s"esql: INLINESTATS entries must be aggregate calls or expressions over them, found <$n>")
+      }
       val withKeys = by.foldLeft(df) {
         case (d, (n, Some(e))) => d.withColumn(n, compileExpr(e))
         case (d, (n, None)) =>
           require(d.columns.contains(n), s"esql: INLINESTATS BY unknown column '$n'")
           d
       }
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(by.map(b => col(b._1)): _*)
-      def overWindow(e: Expr): Column = e match {
-        case AggWhere(inner, cond) =>
-          val f = compileExpr(cond)
-          def walk(x: Expr): Column = x match {
-            case Fn(n, _) if AggNames.contains(n) =>
-              require(!Seq("MEDIAN", "PERCENTILE", "TOP", "VALUES", "COUNT_DISTINCT").contains(n),
-                s"esql: $n is not window-computable in INLINESTATS")
-              compileAgg(x, Some(f)).over(w)
-            case Bin(op, l, r) => binOp(op, walk(l), walk(r))
-            case Neg(y) => -walk(y)
-            case NotE(y) => !walk(y)
-            case Fn(name, args) => compileFn(name, args, walk)
-            case other => compileExpr(other)
+      if (aggs.isEmpty) withKeys
+      else if (by.isEmpty) {
+        val tmp = aggs.zipWithIndex.map { case ((_, e), i) =>
+          compileAggExpr(e).as(s"__is_a$i") }
+        val one = withKeys.agg(tmp.head, tmp.tail: _*)
+        val joined = withKeys.crossJoin(broadcast(one))
+        aggs.zipWithIndex.foldLeft(joined) { case (d, ((n, _), i)) =>
+          d.withColumn(n, col(s"__is_a$i"))
+        }.drop(aggs.indices.map(i => s"__is_a$i"): _*)
+      } else {
+        val orderedSet = Set("MEDIAN", "PERCENTILE", "TOP", "VALUES", "COUNT_DISTINCT")
+        def hasOrderedSet(e: Expr): Boolean = e match {
+          case Fn(n, _) if orderedSet.contains(n) => true
+          case Fn(_, as) => as.exists(hasOrderedSet)
+          case Bin(_, l, r) => hasOrderedSet(l) || hasOrderedSet(r)
+          case Neg(x) => hasOrderedSet(x)
+          case NotE(x) => hasOrderedSet(x)
+          case AggWhere(inner, _) => hasOrderedSet(inner)
+          case _ => false
+        }
+        val needJoin = aggs.zipWithIndex.filter { case ((_, e), _) => hasOrderedSet(e) }
+        val joinedFrame =
+          if (needJoin.isEmpty) withKeys
+          else {
+            val tmpAggs = needJoin.map { case ((_, e), i) =>
+              compileAggExpr(e).as(s"__is_a$i") }
+            val grouped = withKeys
+              .groupBy(by.map(b => qcol(b._1)): _*)
+              .agg(tmpAggs.head, tmpAggs.tail: _*)
+            val right = grouped.select(
+              by.zipWithIndex.map { case ((k, _), i) => qcol(k).as(s"__is_k$i") } ++
+                needJoin.map { case (_, i) => col(s"__is_a$i") }: _*)
+            val cond = by.zipWithIndex.map { case ((k, _), i) =>
+              qcol(k) <=> col(s"__is_k$i") }.reduce(_ && _)
+            withKeys.join(broadcast(right), cond, "left")
+              .drop(by.indices.map(i => s"__is_k$i"): _*)
           }
-          walk(inner)
-        case Fn(n, _) if AggNames.contains(n) =>
-          require(!Seq("MEDIAN", "PERCENTILE", "TOP", "VALUES", "COUNT_DISTINCT").contains(n),
-            s"esql: $n is not window-computable in INLINESTATS — " +
-              "run STATS and LOOKUP JOIN the result back instead")
-          compileAgg(e).over(w)
-        case Bin(op, l, r) => binOp(op, overWindow(l), overWindow(r))
-        case Neg(x) => -overWindow(x)
-        case NotE(x) => !overWindow(x)
-        case Fn(name, args) => compileFn(name, args, overWindow)
-        case other => compileExpr(other)
-      }
-      aggs.foldLeft(withKeys) { case (d, (n, e)) =>
-        require(containsAgg(e),
-          s"esql: INLINESTATS entries must be aggregate calls or expressions over them, found <$n>")
-        d.withColumn(n, overWindow(e))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(by.map(b => qcol(b._1)): _*)
+        def overWindow(e: Expr): Column = e match {
+          case AggWhere(inner, cond) =>
+            val f = compileExpr(cond)
+            def walk(x: Expr): Column = x match {
+              case Fn(n, _) if AggNames.contains(n) => compileAgg(x, Some(f)).over(w)
+              case Bin(op, l, r) => binOp(op, walk(l), walk(r))
+              case Neg(y) => -walk(y)
+              case NotE(y) => !walk(y)
+              case Fn(name, args) => compileFn(name, args, walk)
+              case other => compileExpr(other)
+            }
+            walk(inner)
+          case Fn(n, _) if AggNames.contains(n) => compileAgg(e).over(w)
+          case Bin(op, l, r) => binOp(op, overWindow(l), overWindow(r))
+          case Neg(x) => -overWindow(x)
+          case NotE(x) => !overWindow(x)
+          case Fn(name, args) => compileFn(name, args, overWindow)
+          case other => compileExpr(other)
+        }
+        val joinIdx = needJoin.map(_._2).toSet
+        aggs.zipWithIndex.foldLeft(joinedFrame) { case (d, ((n, e), i)) =>
+          if (joinIdx.contains(i)) d.withColumn(n, col(s"__is_a$i"))
+          else d.withColumn(n, overWindow(e))
+        }.drop(needJoin.map { case (_, i) => s"__is_a$i" }: _*)
       }
     case Fork(branches) =>
       // ES|QL FORK: the same input pushed through N sub-pipelines, results
@@ -1395,7 +1455,7 @@ object Esql {
       val unioned = runs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       // pin _fork as the LAST column (union order otherwise depends on
       // which branch dropped what)
-      unioned.select((unioned.columns.filterNot(_ == "_fork").map(col) :+ col("_fork")).toSeq: _*)
+      unioned.select((unioned.columns.filterNot(_ == "_fork").map(qcol) :+ col("_fork")).toSeq: _*)
     case Fuse(idCol, scoreCol, rankK) =>
       // ES|QL FUSE (the rrf method): per-branch ranks from the score
       // (desc, id tiebreak), reciprocal-rank contributions summed per id.

@@ -1456,7 +1456,12 @@ object FilterSpec {
     def compile: Column = {
       val inside = col(latField) >= minLat && col(latField) <= maxLat &&
         col(lonField) >= minLon && col(lonField) <= maxLon
-      if (relation == "disjoint") !inside else inside
+      // Same missing-field rule as GeoShape: a null lat with an
+      // out-of-range lon makes `inside` false (null AND false = false),
+      // so bare `!inside` would let a field-less doc match disjoint.
+      if (relation == "disjoint")
+        col(latField).isNotNull && col(lonField).isNotNull && !inside
+      else inside
     }
     def render: String =
       s"${escName(latField)},${escName(lonField)}:geo_envelope[$relation;" +

@@ -28,14 +28,19 @@ package graft.query
   *  - a `~` with no digits after it is literal text;
   *  - if EVERYTHING drops, the query is match_all — never an error.
   *
-  * Precedence: `-` > adjacency/`+` (AND level) > `|` (OR level) — `a b
-  * | c` with default AND groups as `(a AND b) OR c`, matching Lucene's
-  * SimpleQueryParser, whose AND binds tighter than OR regardless of
-  * which one adjacency carries. `-` carries Lucene's MUST_NOT meaning at
-  * its boolean level, not a negated OR-operand: `fox -slow` under
-  * default OR is "fox AND NOT slow" (SHOULD fox, MUST_NOT slow — the
-  * BooleanQuery match rule), and a query of ONLY negations matches the
-  * complement, ES's own behavior for `-foo`.
+  * Precedence: there is NONE — Lucene's SimpleQueryParser
+  * (`buildQueryTree`) folds clauses strictly LEFT-TO-RIGHT: each new
+  * clause combines with everything parsed so far under the operator
+  * before it (explicit `+`/`|`, else the default), starting a new group
+  * only when the operator CHANGES. So `a | b c` under default AND is
+  * `(a OR b) AND c`, and `a b | c` is `(a AND b) OR c` — the left fold,
+  * not an AND-binds-tighter grammar. `-` negates the single clause after
+  * it, which then folds like any other clause (Lucene wraps the branch
+  * as MUST_NOT + a MatchAll SHOULD — a self-contained complement): `fox
+  * -slow` under default OR is `fox OR NOT slow` (the documented ES
+  * gotcha — negation under default OR is nearly unconstraining), under
+  * default AND `fox AND NOT slow`; a query of ONLY negations matches
+  * the complement, ES's own behavior for `-foo`.
   * Fuzzy terms ride [[FilterSpec.FuzzyTerm]] with Lucene's fuzzy
   * defaults (transpositions on); maxEdits clamps to 2, the Lucene bound
   * — a `~7` degrades to `~2` rather than erroring, the lenient path's
@@ -131,17 +136,18 @@ object SimpleQueryString {
   }
 
   // ----- tolerant recursive descent -----
-  // One pass per nesting level: clauses and the operators BETWEEN them,
-  // folded with AND binding tighter than OR (Lucene SimpleQueryParser).
-  // Every malformed shape drops instead of throwing.
+  // One pass per nesting level: clauses folded strictly left-to-right
+  // under the operator before each (Lucene SimpleQueryParser's
+  // buildQueryTree — a new group only when the operator changes, which
+  // a binary left fold reproduces exactly: same-operator runs flatten
+  // to the same boolean). Every malformed shape drops instead of
+  // throwing.
 
   private def parseOr(
       toks: Vector[Tok], start: Int, field: String, defaultAnd: Boolean,
       flags: Set[String], stopAtRp: Boolean): (Option[FilterSpec], Int) = {
     var pos = start
-    // AND-groups of (clause, negated) pairs; OR between groups
-    val groups = scala.collection.mutable.ListBuffer(
-      scala.collection.mutable.ListBuffer.empty[(FilterSpec, Boolean)])
+    var top: Option[FilterSpec] = None
     var pendingOp: Option[Char] = None
     var done = false
     while (!done) {
@@ -152,33 +158,22 @@ object SimpleQueryString {
         case _ =>
           val (clause, next) = parseClause(toks, pos, field, defaultAnd, flags)
           pos = next
-          clause.foreach { s =>
+          clause.foreach { case (s0, neg) =>
+            // a negated clause is a self-contained complement (Lucene's
+            // MUST_NOT + MatchAll-SHOULD wrap) folded like any clause
+            val s = if (neg) FilterSpec.Not(s0) else s0
             val op = pendingOp.getOrElse(if (defaultAnd) '&' else '|')
-            if (groups.last.isEmpty || op == '&') groups.last += s
-            else groups += scala.collection.mutable.ListBuffer(s)
+            top = Some(top match {
+              case None => s
+              case Some(t) =>
+                if (op == '&') FilterSpec.And(Seq(t, s))
+                else FilterSpec.Or(Seq(t, s))
+            })
           }
           pendingOp = None // a dropped clause also clears the operator
       }
     }
-    // Lucene BooleanQuery resolution (SimpleQueryParser's): a group with
-    // any non-negated member is a SHOULD; an all-negated group is a
-    // MUST_NOT at THIS level — `fox -slow` under default OR is "fox and
-    // not slow", NOT "fox or not-slow". Match rule: >= 1 should (when any
-    // exists) and no must-not.
-    val resolved = groups.toList.map(_.toList).filter(_.nonEmpty).map { g =>
-      val spec = conj(g.map { case (s, neg) => if (neg) FilterSpec.Not(s) else s })
-      (spec, g.forall(_._2))
-    }
-    val positives = resolved.collect { case (s, false) => s }
-    val negations = resolved.collect { case (s, true) => s }
-    val spec =
-      if (positives.isEmpty && negations.isEmpty) None
-      else if (positives.isEmpty) Some(conj(negations))
-      else {
-        val shoulds = if (positives.size == 1) positives.head else FilterSpec.Or(positives)
-        Some(conj(shoulds +: negations))
-      }
-    (spec, pos)
+    (top, pos)
   }
 
   /** One clause: `-`-negation, a `(…)` group, a term, or a phrase —

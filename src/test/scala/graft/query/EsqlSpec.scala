@@ -40,6 +40,14 @@ class EsqlSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("AVG(score)"))
     val ev = Esql.run("""FROM t | EVAL score * 2 | LIMIT 1""", resolve(Map("t" -> people)))
     assert(ev.columns.contains("score * 2"))
+    // a generated name containing a DOT (decimal literal) still resolves:
+    // the re-select backtick-quotes the name instead of reading the dot
+    // as struct-field access
+    val dot = Esql.run("""FROM t | STATS AVG(score) * 1.5 BY lang | SORT lang NULLS LAST""",
+      resolve(Map("t" -> people)))
+    assert(dot.columns.toSeq == Seq("AVG(score) * 1.5", "lang"))
+    assert(dot.collect().map(_.getAs[Double]("AVG(score) * 1.5")).toSeq ==
+      Seq(60.0, 30.0, 37.5, 7.5))
   }
 
   test("query must start with FROM or ROW; METADATA rejects loudly") {
@@ -167,6 +175,15 @@ class EsqlSpec extends SparkSpecBase {
       resolve(Map("t" -> people))).collect().head
     assert(r.getAs[Double]("avg2") == 22.0)
     assert(r.getAs[Double]("spread") == 35.0)
+    // n-ary scalars over aggregates compile through the agg path too:
+    // COALESCE/GREATEST/LEAST/CONCAT around an aggregate are legal
+    val c = Esql.run(
+      """FROM t | STATS x = COALESCE(SUM(score), 0), g = GREATEST(MAX(score), 99),
+        | s = CONCAT("n=", TO_STRING(COUNT(*))) BY lang | SORT lang NULLS LAST""".stripMargin,
+      resolve(Map("t" -> people))).collect()
+    assert(c.map(_.getAs[Double]("x")).toSeq == Seq(40.0, 40.0, 25.0, 5.0))
+    assert(c.map(_.getAs[Double]("g")).toSeq == Seq(99.0, 99.0, 99.0, 99.0))
+    assert(c.map(_.getAs[String]("s")).toSeq == Seq("n=1", "n=2", "n=1", "n=1"))
   }
 
   test("STATS BY with no aggregates is distinct keys; BY expression binds a name") {
@@ -327,14 +344,43 @@ class EsqlSpec extends SparkSpecBase {
     // en: avg 20 -> ada(30); zh: avg 25 -> none; de: avg 40 -> none;
     // null lang group: dara alone, 5 > 5 false
     assert(out.toSeq == Seq(1L))
-    // no BY: one global frame
-    val g = Esql.run("FROM t | INLINESTATS m = MAX(score) | WHERE score == m | KEEP name",
-      resolve(Map("t" -> people))).as[String].collect()
-    assert(g.toSeq == Seq("emil"))
-    // ordered-set aggregates reject with the workaround named
-    assert(intercept[IllegalArgumentException](
-      Esql.run("FROM t | INLINESTATS m = MEDIAN(score)", resolve(Map("t" -> people))))
-      .getMessage.contains("LOOKUP JOIN"))
+    // no BY: compiled as a 1-row aggregate + broadcast cross join, NOT an
+    // unpartitioned window (the scale-killer) — plan-pinned
+    val gdf = Esql.run("FROM t | INLINESTATS m = MAX(score) | WHERE score == m | KEEP name",
+      resolve(Map("t" -> people)))
+    val gplan = gdf.queryExecution.executedPlan.toString
+    assert(!gplan.contains("Window"), s"no-BY INLINESTATS must not window:\n$gplan")
+    // the cross join broadcasts; Catalyst may even upgrade it to a hash
+    // join by folding the downstream equality filter into the condition
+    assert(gplan.contains("BroadcastExchange"),
+      s"expected a broadcast of the 1-row aggregate:\n$gplan")
+    assert(gdf.as[String].collect().toSeq == Seq("emil"))
+  }
+
+  test("INLINESTATS ordered-set aggregates compile as the STATS + broadcast join-back rewrite") {
+    // MEDIAN is not window-computable in Spark; the compiler applies the
+    // documented "STATS then LOOKUP JOIN the result back" rewrite itself:
+    // one hash aggregate on the keys + one broadcast join, no window.
+    val out = Esql.run(
+      """FROM t | INLINESTATS med = MEDIAN(score) BY lang | WHERE score > med | KEEP id | SORT id""",
+      resolve(Map("t" -> people)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rewrite must not window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join-back:\n$plan")
+    // en: median 20 -> ada(30); zh: 25 not > 25; de: 40; null group: 5
+    assert(out.as[Long].collect().toSeq == Seq(1L))
+    // mixed entries split per shape: MEDIAN via join-back, COUNT via the
+    // window — and a null BY key is a group (null-safe join-back)
+    val mixed = Esql.run(
+      "FROM t | INLINESTATS med = MEDIAN(score), n = COUNT(*) BY lang | SORT id",
+      resolve(Map("t" -> people))).collect()
+    assert(mixed.map(_.getAs[Double]("med")).toSeq == Seq(20.0, 20.0, 25.0, 5.0, 40.0))
+    assert(mixed.map(_.getAs[Long]("n")).toSeq == Seq(2L, 2L, 1L, 1L, 1L))
+    // COUNT_DISTINCT rides the same rewrite
+    val cd = Esql.run(
+      "FROM t | INLINESTATS k = COUNT_DISTINCT(lang) | KEEP k | LIMIT 1",
+      resolve(Map("t" -> people))).collect()
+    assert(cd.head.getAs[Long]("k") == 3L)
   }
 
   test("FORK unions branch results by name with the _fork discriminator") {

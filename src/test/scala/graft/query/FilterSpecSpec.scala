@@ -496,6 +496,17 @@ class FilterSpecSpec extends SparkSpecBase {
     def got(s: FilterSpec) = pts.where(s.compile).select("id").as[Long].collect().sorted.toSeq
     assert(got(env) === Seq(1L, 4L)) // corners inclusive
     assert(got(env.copy(relation = "disjoint")) === Seq(2L, 3L))
+    // missing-field docs match NEITHER side — including the sneaky case
+    // where one coordinate is null but the OTHER is already out of range
+    // (inside = null AND false = false, so an unguarded !inside matches)
+    val withNull = pts.unionByName(Seq(
+      (8L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(30.0)),
+      (9L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "lat", "lon"))
+    assert(withNull.where(env.compile).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 4L))
+    assert(withNull.where(env.copy(relation = "disjoint").compile)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
     intercept[IllegalArgumentException](FilterSpec.GeoEnvelope("lat", "lon", 10, -10, 0, 1))
     intercept[IllegalArgumentException](
       FilterSpec.GeoEnvelope("lat", "lon", -10, 10, -20, 20, relation = "contains"))

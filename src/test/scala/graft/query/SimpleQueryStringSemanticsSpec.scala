@@ -37,10 +37,11 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
     case Negated(inner) => !evalNode(inner, doc)
   }
 
-  /** Interpret the query text directly: scan tokens, parse the level
-    * grammar (AND-groups between ORs), resolve with Lucene's rule —
-    * >= 1 SHOULD (when any exists) and no MUST_NOT. Mirrors the written
-    * contract, not the implementation.
+  /** Interpret the query text directly: scan tokens, then fold clauses
+    * strictly left-to-right under the operator before each — Lucene
+    * SimpleQueryParser's buildQueryTree rule (no precedence; a negated
+    * clause is its complement folded like any other). Mirrors the
+    * written contract, not the implementation.
     */
   private def interpret(q: String, doc: Vector[String], defaultAnd: Boolean): Boolean =
     level(scan(q), 0, doc, defaultAnd, stopAtRp = false)._1.getOrElse(true)
@@ -91,8 +92,7 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
   private def level(toks: Vector[T], start: Int, doc: Vector[String],
       defaultAnd: Boolean, stopAtRp: Boolean): (Option[Boolean], Int) = {
     var pos = start
-    // groups of (value, negated); OR between groups, AND within
-    var groups = List(List.empty[(Boolean, Boolean)])
+    var top: Option[Boolean] = None
     var pending: Option[Char] = None
     var done = false
     while (!done) {
@@ -103,25 +103,18 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
         case _ =>
           val (clause, next) = clauseAt(toks, pos, doc, defaultAnd)
           pos = next
-          clause.foreach { cv =>
+          clause.foreach { case (v0, neg) =>
+            val v = if (neg) !v0 else v0
             val op = pending.getOrElse(if (defaultAnd) '&' else '|')
-            if (groups.head.isEmpty || op == '&') groups = (cv :: groups.head) :: groups.tail
-            else groups = List(cv) :: groups
+            top = Some(top match {
+              case None => v
+              case Some(t) => if (op == '&') t && v else t || v
+            })
           }
           pending = None
       }
     }
-    val resolved = groups.reverse.filter(_.nonEmpty).map { g =>
-      val value = g.reverse.map { case (v, neg) => if (neg) !v else v }.forall(identity)
-      (value, g.forall(_._2))
-    }
-    val positives = resolved.collect { case (v, false) => v }
-    val negations = resolved.collect { case (v, true) => v }
-    val out =
-      if (positives.isEmpty && negations.isEmpty) None
-      else if (positives.isEmpty) Some(negations.forall(identity))
-      else Some(positives.exists(identity) && negations.forall(identity))
-    (out, pos)
+    (top, pos)
   }
 
   private def clauseAt(toks: Vector[T], start: Int, doc: Vector[String],

@@ -27,16 +27,23 @@ class SimpleQueryStringSpec extends SparkSpecBase {
     assert(ids("quick +brown") === Seq(1L)) // + forces the conjunction
   }
 
-  test("AND binds tighter than OR regardless of which one adjacency carries") {
-    // default OR: a +b | c == (a AND b) OR c
+  test("no precedence: clauses fold strictly left-to-right (Lucene buildQueryTree)") {
+    // default OR: a +b | c == (a AND b) OR c — the left fold
     assert(ids("quick +brown | paper") === Seq(1L, 3L))
     // default AND: a b | c == (a AND b) OR c
     assert(ids("quick brown | paper", op = "and") === Seq(1L, 3L))
+    // THE distinguishing shape: a | b c under default AND is
+    // (a OR b) AND c — an AND-binds-tighter grammar would read it as
+    // a OR (b AND c) and also admit doc 2 (quick silver lining)
+    assert(ids("quick | paper brown", op = "and") === Seq(1L, 3L))
   }
 
-  test("- is MUST_NOT at its boolean level (Lucene), under both default operators") {
-    // SHOULD fox, MUST_NOT slow -> fox AND NOT slow, even under default OR
-    assert(ids("fox -slow") === Seq(1L))
+  test("- negates the single clause after it; the complement folds like any clause") {
+    // fox OR (NOT slow) under default OR — Lucene's MatchAll-SHOULD wrap
+    // makes the negation self-contained, and OR-ing it in matches nearly
+    // everything (the documented ES gotcha)
+    assert(ids("fox -slow") === Seq(1L, 2L, 3L, 4L, 5L))
+    // under default AND it is the useful form: fox AND NOT slow
     assert(ids("fox -slow", op = "and") === Seq(1L))
     // only negations -> the complement (ES's -foo behavior)
     assert(ids("-fox") === Seq(2L, 3L, 5L))
