@@ -525,9 +525,16 @@ object SparkEntry {
             s"esql: unknown index '$t' (have: ${known.toSeq.sorted.mkString(", ")})")
           if (t == "events") loadEvents(dir) else load(dir, t)
         }
+        // `default_field` is the QSTR/KQL seam (ES reads it from the
+        // index mapping; this server takes it on the request) — absent,
+        // those functions reject with a 400 naming the option.
+        val defaultField =
+          if (o.hasNonNull("default_field")) Some(o.path("default_field").asText())
+          else None
         val df = query.Esql.run(q, resolveTable,
           Map("nations" -> query.Esql.EnrichPolicy(
-            load(dir, "nation"), "n_nationkey", Seq("n_name"))))
+            load(dir, "nation"), "n_nationkey", Seq("n_name"))),
+          defaultField = defaultField)
         WidgetServer.collectRowsJson(df.limit(1000))
       },
 
@@ -2441,6 +2448,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("_score").cast("long").as("score"))
         .orderBy(desc("score"), asc("o_orderkey"))
         .limit(20)
+    }),
+
+    "q_parent_id" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES parent_id: children of ONE named parent — a literal filter the
+      // scan pushes down (PushedFilters; bucketed/partitioned children
+      // prune to one bucket). Registered so the join-field family's
+      // oracle coverage is complete, not because it needs machinery.
+      graft.query.JoinField.parentId(
+          load(dir, "lineitem"), "l_orderkey", lit(7L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_linenumber")
     }),
 
     "q_has_parent" -> ((s, dir) => {
@@ -6896,6 +6915,33 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    "q_simple_query_string_fields" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // simple_query_string with fields=["text^5","source"] — the SCORED
+      // multi-field form: the flat default-OR bag of terms scores each
+      // field with ITS own BM25 statistics, boosted 5/1, summed per doc
+      // (Lucene SimpleQueryParser's newDefaultQuery: a BoostQuery-wrapped
+      // SHOULD clause per field). The boost provably reorders: unweighted,
+      // the short `source` field's exact src1 hit dominates every ranking
+      // (tiny avgdl); 5× on text puts strong text matches above it —
+      // Bm25Spec pins the flip. The filter twin is
+      // SimpleQueryString.parseFields (same match set, spec-pinned).
+      query.Bm25.multiMatchWeightedTopK(load(dir, "documents"), "doc_id",
+        Seq("text" -> 5.0, "source" -> 1.0), "src1 merge", 20)
+    }),
+
+    "q_query_string_fields" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // query_string with fields=["text","source"]: BARE clauses (prefix,
+      // term) match in ANY of the fields (ES's dis_max expansion — in
+      // filter context the disjunction); the explicit lang: clause is
+      // unaffected.
+      val spec = graft.query.QueryString.parseFields(
+        "(merge* OR src1) AND lang:en", Seq("text", "source"))
+      load(dir, "documents").where(spec.compile)
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
     // ===== percentiles_bucket sibling-pipeline agg =====
 
     "g_percentiles_bucket" -> ((s, dir) => {
@@ -7064,6 +7110,42 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_ts_rate" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL TS + RATE/INCREASE (the 8.18+ TSDB pipe surface):
+      // g_time_series_rate's exact computation expressed in the pipe
+      // language — the front-end invisible to results (shares that
+      // oracle verbatim). The derived counter frame rides resolve as
+      // the TS index, the same seam every FROM uses.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val ctr = loadEvents(dir)
+        .withColumn("ctr", (row_number().over(w).cast("long") * 7) % 1000)
+      query.Esql.run(
+        """TS events_ctr
+          | STATS increase = INCREASE(ctr, event_id), rate = RATE(ctr, event_id)
+              BY bucket = BUCKET(ts, 1 hour), event_type
+          | SORT event_type, bucket""",
+        t => if (t == "events_ctr") ctr else load(dir, t))
+    }),
+
+    "esql_fork_fuse_linear" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL FUSE linear (9.x): the same two FORK branches as
+      // esql_fork_fuse, fused by score MAGNITUDE — per-branch min-max
+      // normalization over each branch's own top-10 window, weighted
+      // 0.7/0.3, summed per doc (sorted-fold, the determinism rule).
+      // The engine twin of search_linear_fusion, expressed in the pipe
+      // language.
+      query.Esql.run(
+        """FROM documents | WHERE lang == "en"
+          | FORK ( EVAL s = TO_DOUBLE(n_chars) | SORT s DESC, doc_id | LIMIT 10 )
+                 ( EVAL s = TO_DOUBLE(doc_id % 97) | SORT s DESC, doc_id | LIMIT 10 )
+          | FUSE linear ON doc_id SCORE s NORM minmax WEIGHTS 0.7, 0.3
+          | SORT _score DESC, doc_id | LIMIT 15""",
+        t => load(dir, t))
+    }),
+
     "esql_topk" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // EVAL-scored top-K: SORT + LIMIT fuse to TakeOrderedAndProject (no
@@ -7074,6 +7156,33 @@ object SparkEntry {
           | EVAL score = n_chars / 100.0 + CASE(source == "src0", 2, source == "src1", 1, 0)
           | SORT score DESC, doc_id | LIMIT 20 | KEEP doc_id, score""",
         t => load(dir, t))
+    }),
+
+    "esql_qstr" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL QSTR (8.16): the Lucene query_string grammar inside the
+      // pipe language — phrase, analyzed prefix, field clause, boolean —
+      // compiled through the SAME QueryString parser as the /search
+      // route's filter, with the default field supplied as the run
+      // option (the /esql route's default_field; ES reads it from the
+      // index mapping).
+      query.Esql.run(
+        """FROM documents
+          | WHERE QSTR("(\"hash join\" OR merge*) AND lang:en")
+          | STATS n = COUNT(*) BY source | SORT source""",
+        t => load(dir, t), defaultField = Some("text"))
+    }),
+
+    "esql_kql" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL KQL (8.16): the Kibana Query Language — value groups,
+      // range comparisons, analyzed prefix — via the Kql compiler with
+      // the same default-field seam as QSTR.
+      query.Esql.run(
+        """FROM documents
+          | WHERE KQL("lang:(en or de) and n_chars >= 200 and text:merge*")
+          | STATS n = COUNT(*) BY lang | SORT lang""",
+        t => load(dir, t), defaultField = Some("text"))
     }),
   ))
 
@@ -8112,6 +8221,11 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 40)
         |ORDER BY score DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    // parent_id restated: the literal equality, as SQL says it.
+    "q_parent_id" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = 7 ORDER BY l_linenumber""".stripMargin,
 
     // has_parent restated: children IN the filtered parents' key set.
     "q_has_parent" ->
@@ -12270,6 +12384,34 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // multi-field simple_query_string restated: per-field BM25 runs by
+    // the proven scored restatement, boosted and summed with the engine's
+    // exact tree (boost·coalesce(score,0), left-to-right sum).
+    "q_simple_query_string_fields" -> {
+      val s0 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "text", "src1 merge")
+      val s1 = graft.query.Bm25.oracleSqlScored("documents", "doc_id", "source", "src1 merge")
+      s"""WITH s0 AS (
+         |$s0
+         |), s1 AS (
+         |$s1
+         |)
+         |SELECT doc_id,
+         |  5.0 * coalesce(s0.score, 0.0) + 1.0 * coalesce(s1.score, 0.0) AS score
+         |FROM s0 FULL OUTER JOIN s1 USING (doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    "q_query_string_fields" -> {
+      import graft.expr.TextMatch.{containsTokenSql, phrasePrefixSql}
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (${phrasePrefixSql("text", "merge")}
+         |       OR ${phrasePrefixSql("source", "merge")}
+         |       OR ${containsTokenSql("text", "src1")}
+         |       OR ${containsTokenSql("source", "src1")})
+         |  AND lang = 'en'
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "g_percentiles_bucket" ->
       """WITH series AS (
         |  SELECT date_trunc('day', ts) AS d, count(*) AS n
@@ -12354,6 +12496,23 @@ object SparkEntry {
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
+    "esql_qstr" -> {
+      import graft.expr.TextMatch.{containsTokenSql, phrasePrefixSql}
+      s"""SELECT count(*) AS n, source FROM documents
+         |WHERE (${containsTokenSql("text", "hash join")}
+         |       OR ${phrasePrefixSql("text", "merge")})
+         |  AND lang = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "esql_kql" -> {
+      import graft.expr.TextMatch.phrasePrefixSql
+      s"""SELECT count(*) AS n, lang FROM documents
+         |WHERE lang IN ('en', 'de') AND n_chars >= 200
+         |  AND ${phrasePrefixSql("text", "merge")}
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     "esql_change_point" ->
       """WITH s AS (
         |  SELECT date_trunc('day', ts) AS b, count(*)::BIGINT AS c
@@ -12387,6 +12546,51 @@ object SparkEntry {
         |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b1
         |  UNION ALL
         |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b2)
+        |SELECT doc_id, sum(c) AS _score FROM u
+        |GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // TS + RATE restated: g_time_series_rate's oracle verbatim, renamed
+    // columns only (the front-end is invisible to the result).
+    "esql_ts_rate" ->
+      """WITH c AS (
+        |  SELECT event_type, ts, event_id,
+        |    (row_number() OVER (PARTITION BY event_type
+        |       ORDER BY ts, event_id) * 7) % 1000 AS ctr
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, ts, ctr,
+        |    lag(ctr) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM c
+        |)
+        |SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |  sum(CASE WHEN prev IS NULL THEN 0
+        |           WHEN ctr >= prev THEN ctr - prev
+        |           ELSE ctr END)::BIGINT AS increase,
+        |  sum(CASE WHEN prev IS NULL THEN 0
+        |           WHEN ctr >= prev THEN ctr - prev
+        |           ELSE ctr END)::DOUBLE / 3600.0 AS rate
+        |FROM d GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // FUSE linear restated: per-branch min-max over each top-10 window,
+    // the same weight-times-normalized tree (multiplication commutes
+    // exactly in IEEE; the 2-branch sum is order-free).
+    "esql_fork_fuse_linear" ->
+      """WITH b1 AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  WHERE lang = 'en' ORDER BY s DESC, doc_id LIMIT 10),
+        |b2 AS (
+        |  SELECT doc_id, CAST(doc_id % 97 AS DOUBLE) AS s FROM documents
+        |  WHERE lang = 'en' ORDER BY s DESC, doc_id LIMIT 10),
+        |u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END) * 0.7 AS c
+        |  FROM (SELECT doc_id, s, min(s) OVER () AS mn, max(s) OVER () AS mx FROM b1)
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (CASE WHEN mx = mn THEN 1.0 ELSE (s - mn) / (mx - mn) END) * 0.3 AS c
+        |  FROM (SELECT doc_id, s, min(s) OVER () AS mn, max(s) OVER () AS mx FROM b2))
         |SELECT doc_id, sum(c) AS _score FROM u
         |GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin,
 

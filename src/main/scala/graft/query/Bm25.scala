@@ -431,6 +431,54 @@ object Bm25 {
       .limit(k)
   }
 
+  /** [[multiMatchTopK]] with PER-FIELD BOOSTS — ES's `fields:
+    * ["title^3", "body"]` on `multi_match`, `query_string`, and
+    * `simple_query_string`: each field's BM25 score (its OWN statistics,
+    * the ES contract) multiplies its boost BEFORE combining.
+    * `most_fields` sums the boosted scores — exactly Lucene
+    * SimpleQueryParser's `newDefaultQuery` (a SHOULD clause per field
+    * wrapped in a BoostQuery; BooleanQuery sums matching SHOULDs), so it
+    * is THE scoring twin of [[SimpleQueryString.parseFields]];
+    * `best_fields` takes their max (the dis_max ES builds for
+    * query_string's bare clauses). Same scale shape as the unweighted
+    * form: one scan per field, broadcast stats, match-bounded joins.
+    */
+  def multiMatchWeightedTopK(
+      docs: DataFrame,
+      idCol: String,
+      fieldBoosts: Seq[(String, Double)],
+      query: String,
+      k: Int,
+      mode: String = "most_fields",
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    require(fieldBoosts.nonEmpty, "multiMatchWeighted: no fields")
+    require(fieldBoosts.forall(_._2 > 0),
+      s"multiMatchWeighted: boosts must be positive, got ${fieldBoosts.map(_._2).mkString(",")}")
+    require(mode == "best_fields" || mode == "most_fields",
+      s"multiMatchWeighted: unsupported mode <$mode> (best_fields|most_fields)")
+    val perField = fieldBoosts.zipWithIndex.map { case ((f, _), i) =>
+      scoredAll(docs, idCol,
+          concat(lit(" "), analyzer.normalized(col(s"`$f`")), lit(" ")),
+          query, k1, b, stats = None, analyzer = analyzer)
+        .select(col(s"`$idCol`"), col("score").as(s"_s$i"))
+    }
+    val joined = perField.reduce((a, c) => a.join(c, Seq(idCol), "full_outer"))
+    val per = fieldBoosts.zipWithIndex.map { case ((_, boost), i) =>
+      lit(boost) * coalesce(col(s"_s$i"), lit(0.0))
+    }
+    val combined =
+      if (per.size == 1) per.head
+      else if (mode == "best_fields") greatest(per: _*)
+      else per.reduce(_ + _)
+    joined
+      .withColumn("score", combined)
+      .select(col(s"`$idCol`"), col("score"))
+      .orderBy(desc("score"), asc(s"`$idCol`"))
+      .limit(k)
+  }
+
   /** ES `combined_fields` — the term-centric cousin of `multi_match`: the
     * fields are treated as ONE combined field (term frequencies and field
     * lengths pool, ONE set of corpus statistics over the union), which is

@@ -194,6 +194,7 @@ object Esql {
 
   private[query] sealed trait Cmd
   private[query] final case class From(tables: Seq[String]) extends Cmd
+  private[query] final case class TsFrom(tables: Seq[String]) extends Cmd
   private[query] final case class RowCmd(cols: Seq[(String, Expr)]) extends Cmd
   private[query] final case class Where(e: Expr) extends Cmd
   private[query] final case class Eval(cols: Seq[(String, Expr)]) extends Cmd
@@ -210,7 +211,8 @@ object Esql {
   private[query] final case class LookupJoin(index: String, on: Seq[String]) extends Cmd
   private[query] final case class InlineStats(aggs: Seq[(String, Expr)], by: Seq[(String, Option[Expr])]) extends Cmd
   private[query] final case class Fork(branches: Seq[Seq[Cmd]]) extends Cmd
-  private[query] final case class Fuse(idCol: String, scoreCol: String, rankK: Int) extends Cmd
+  private[query] final case class Fuse(method: String, idCol: String, scoreCol: String,
+      rankK: Int, norm: String = "none", weights: Seq[Double] = Nil) extends Cmd
   private[query] final case class Sample(probability: Double, on: String, seed: Int) extends Cmd
   private[query] final case class ChangePointCmd(valueCol: String, keyCol: String) extends Cmd
 
@@ -250,16 +252,19 @@ object Esql {
 
     private def sourceCommand(): Cmd = {
       val t = advance()
-      if (t.isKw("FROM")) {
+      if (t.isKw("FROM") || t.isKw("TS")) {
         val tables = Seq.newBuilder[String]
         tables += identName()
         while (peekIs(",")) { advance(); tables += identName() }
         require(!peekIs("METADATA"),
           "esql: METADATA is not supported — there is no hidden _index/_id here; project real columns")
-        From(tables.result())
+        // TS (the 8.18+ TSDB source command): same resolution as FROM,
+        // but the frame carries time-series semantics — RATE/INCREASE
+        // become legal in STATS.
+        if (t.isKw("TS")) TsFrom(tables.result()) else From(tables.result())
       } else if (t.isKw("ROW")) RowCmd(namedExprList())
       else throw new IllegalArgumentException(
-        s"esql: a query starts with FROM or ROW, found '${t.text}'")
+        s"esql: a query starts with FROM, TS, or ROW, found '${t.text}'")
     }
 
     private def identName(): String = {
@@ -323,17 +328,51 @@ object Esql {
         Fork(bs)
       }
       else if (t.isKw("FUSE")) {
-        // ES 9.x syntax is bare `FUSE` over _id/_score METADATA; frames
-        // here carry explicit columns, so the id and score are NAMED —
-        // the engine's documented metadata delta.
-        if (peekIs("RRF")) advance() // rrf is the only (and default) method
-        else require(!peek.exists(_.kind == IdentK) || peekIs("ON"),
-          s"esql: FUSE supports the rrf method, found '${peek.map(_.text).getOrElse("")}'")
+        // ES 9.x syntax is bare `FUSE [rrf|linear]` over _id/_score
+        // METADATA with a WITH-options map; frames here carry explicit
+        // columns, so the id and score are NAMED, and the linear method's
+        // options take keyword form — `NORM minmax|none` (ES's
+        // `normalizer`, default none) and `WEIGHTS w1, w2, …` (per-branch,
+        // default 1.0 each) — the engine's documented metadata delta.
+        val method =
+          if (peekIs("RRF")) { advance(); "rrf" }
+          else if (peekIs("LINEAR")) { advance(); "linear" }
+          else {
+            require(!peek.exists(_.kind == IdentK) || peekIs("ON"),
+              s"esql: FUSE supports rrf|linear, found '${peek.map(_.text).getOrElse("")}'")
+            "rrf"
+          }
         expect("ON")
         val id = identName()
         expect("SCORE")
         val score = identName()
-        Fuse(id, score, rankK = 60)
+        var norm = "none"
+        var weights = Seq.empty[Double]
+        var more = true
+        while (more) {
+          if (peekIs("NORM")) {
+            advance()
+            val n = advance().text.toLowerCase
+            require(Seq("minmax", "none").contains(n),
+              s"esql: FUSE NORM must be minmax|none, got '$n'")
+            norm = n
+          } else if (peekIs("WEIGHTS")) {
+            advance()
+            val ws = Seq.newBuilder[Double]
+            var moreW = true
+            while (moreW) {
+              val w = advance()
+              require(w.kind == NumK, s"esql: FUSE WEIGHTS takes numbers, found '${w.text}'")
+              ws += w.text.toDouble
+              if (peekIs(",")) advance() else moreW = false
+            }
+            weights = ws.result()
+            require(weights.nonEmpty, "esql: FUSE WEIGHTS needs at least one weight")
+          } else more = false
+        }
+        require(method == "linear" || (norm == "none" && weights.isEmpty),
+          "esql: NORM/WEIGHTS are FUSE linear options; rrf fuses ranks, not scores")
+        Fuse(method, id, score, rankK = 60, norm = norm, weights = weights)
       }
       else if (t.isKw("SAMPLE")) {
         // ES|QL SAMPLE draws per-row randoms; this engine's determinism
@@ -1076,10 +1115,26 @@ object Esql {
         graft.expr.TextMatch.containsToken(rec(f), terms.mkString(" "))
       case _ => throw new IllegalArgumentException("esql: MATCH_PHRASE(field, \"query\")")
     }
-    case "QSTR" | "KQL" =>
+    case "QSTR" => args match {
+      // ES|QL QSTR (8.16): the full Lucene query_string grammar inside the
+      // pipe language. ES resolves the query's default field from the
+      // index mapping; this engine has no mapping, so [[run]] carries it
+      // as an option (the /esql route's `default_field`) — absent, the
+      // function rejects loudly naming the seam.
+      case Seq(StrLit(q)) =>
+        QueryString.parse(q, requireDefaultField("QSTR")).compile
+      case _ => throw new IllegalArgumentException("esql: QSTR(\"query\")")
+    }
+    case "KQL" => args match {
+      // ES|QL KQL (8.16): the Kibana Query Language via [[Kql]] — same
+      // default-field seam as QSTR.
+      case Seq(StrLit(q)) =>
+        Kql.parse(q, Some(requireDefaultField("KQL"))).compile
+      case _ => throw new IllegalArgumentException("esql: KQL(\"query\")")
+    }
+    case "RATE" | "INCREASE" =>
       throw new IllegalArgumentException(
-        s"esql: $name needs the index's default-field mapping; use MATCH/" +
-          "MATCH_PHRASE with an explicit field, or the /search route's query_string")
+        s"esql: $name is only valid at the top level of a TS query's STATS")
     case "NOW" =>
       throw new IllegalArgumentException(
         "esql: NOW() reads the wall clock and can never hash-match an oracle; pass the timestamp as a literal")
@@ -1216,24 +1271,43 @@ object Esql {
   // driver
   // =====================================================================
 
+  /** QSTR/KQL compile against the index's default field, which ES
+    * resolves from the mapping; this engine has no mapping, so [[run]]
+    * takes it as an option and the function compilers read it here. A
+    * DynamicVariable because the whole plan builds eagerly inside
+    * [[run]]'s fold — the scope is exact and thread-local.
+    */
+  private val defaultFieldOpt = new scala.util.DynamicVariable[Option[String]](None)
+
+  private def requireDefaultField(fn: String): String =
+    defaultFieldOpt.value.getOrElse(throw new IllegalArgumentException(
+      s"esql: $fn needs the index's default field — pass defaultField to " +
+        "Esql.run (the /esql route's default_field option), or use MATCH/" +
+        "MATCH_PHRASE with an explicit field"))
+
   /** Parse and run `query`: `resolve` maps a FROM name to its frame;
-    * `policies` back ENRICH. The result is ONE lazy DataFrame — nothing
-    * executes until the caller acts on it.
+    * `policies` back ENRICH; `defaultField` is the QSTR/KQL seam. The
+    * result is ONE lazy DataFrame — nothing executes until the caller
+    * acts on it.
     */
   def run(
       query: String,
       resolve: String => DataFrame,
-      policies: Map[String, EnrichPolicy] = Map.empty): DataFrame = {
+      policies: Map[String, EnrichPolicy] = Map.empty,
+      defaultField: Option[String] = None): DataFrame = defaultFieldOpt.withValue(defaultField) {
     val cmds = parse(query)
     val source: DataFrame = cmds.head match {
       case From(tables) =>
+        tables.map(resolve).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      case TsFrom(tables) =>
         tables.map(resolve).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       case RowCmd(cols) =>
         val spark = SparkSession.active
         spark.range(1).select(cols.map { case (n, e) => compileExpr(e).as(n) }: _*)
       case other => throw new IllegalStateException(s"esql: unexpected source $other")
     }
-    cmds.tail.foldLeft(source)(applyCmd(_, _, resolve, policies))
+    val ts = cmds.head.isInstanceOf[TsFrom]
+    cmds.tail.foldLeft(source)(applyCmd(_, _, resolve, policies, ts))
   }
 
   /** Re-select a column BY NAME where the name is known to be a literal
@@ -1246,8 +1320,72 @@ object Esql {
   private def qcol(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  private def isTsEntry(e: Expr): Boolean = e match {
+    case Fn("RATE" | "INCREASE", _) => true
+    case _ => false
+  }
+
+  /** A TS STATS with RATE/INCREASE entries — the ES|QL TSDB surface
+    * (`TS idx | STATS rate(ctr) BY bucket, dims`, 8.18+) mapped onto
+    * [[Aggs.timeSeriesCounterRate]]: reset-adjusted per-series increase
+    * over fixed time buckets, rate = increase / bucket seconds. One
+    * series-partitioned window + one hash aggregate — the front-end is
+    * invisible to the result (g_time_series_rate's oracle verbatim).
+    *
+    * Shape constraints, each a loud reject: exactly ONE
+    * `BUCKET(tsCol, 1 minute|hour|day)` BY key; at least one plain-column
+    * dimension BY key (ES TSDB requires dimensions too); every entry
+    * `RATE(ctr, tieBreak)` or `INCREASE(ctr, tieBreak)` over ONE shared
+    * counter — the tie-break column is this engine's determinism delta
+    * (ES orders same-timestamp samples by arrival, not reproducible);
+    * ordinary aggregates ride a SECOND STATS after this one.
+    */
+  private def compileTsStats(df: DataFrame,
+      aggs: Seq[(String, Expr)], by: Seq[(String, Option[Expr])]): DataFrame = {
+    val buckets = by.collect {
+      case (n, Some(Fn("BUCKET", Seq(ColRef(tc), SpanLit(k, unit))))) => (n, tc, k, unit)
+    }
+    require(buckets.size == 1,
+      "esql: a TS STATS needs exactly one BUCKET(tsCol, span) BY key")
+    val (bname, tsCol, k, unit) = buckets.head
+    require(k == 1 && Seq("minute", "hour", "day").contains(unit),
+      s"esql: TS buckets are 1 minute|hour|day (timeSeriesCounterRate's grid), got $k $unit")
+    val dims = by.filterNot(_._1 == bname).map {
+      case (n, None) => n
+      case (n, Some(e)) => throw new IllegalArgumentException(
+        s"esql: TS dimensions are plain columns (ES TSDB dimension fields), found <$n>")
+    }
+    require(dims.nonEmpty, "esql: a TS STATS needs at least one dimension BY key")
+    val parsed = aggs.map {
+      case (n, Fn(fn @ ("RATE" | "INCREASE"), Seq(ColRef(ctr), ColRef(tie)))) =>
+        (n, fn, ctr, tie)
+      case (n, Fn(fn @ ("RATE" | "INCREASE"), _)) =>
+        throw new IllegalArgumentException(
+          s"esql: $fn(counterCol, tieBreakCol) — the tie-break column is this " +
+            "engine's determinism delta (ES orders same-timestamp samples by arrival)")
+      case (n, _) => throw new IllegalArgumentException(
+        s"esql: a TS STATS takes only RATE/INCREASE entries, found <$n> — " +
+          "run ordinary aggregates in a second STATS after this one")
+    }
+    require(parsed.map(p => (p._3, p._4)).distinct.size == 1,
+      "esql: one (counter, tieBreak) pair per TS STATS")
+    val (_, _, ctr, tie) = parsed.head
+    val base = Aggs.timeSeriesCounterRate(df, dims, tsCol, col(tie), ctr, interval = unit)
+    val aggCols = parsed.map { case (n, fn, _, _) =>
+      (if (fn == "RATE") col("rate") else col("increase")).as(n)
+    }
+    val keyCols = by.map { case (n, _) =>
+      if (n == bname) col("bucket").as(n) else qcol(n)
+    }
+    base.select(aggCols ++ keyCols: _*)
+  }
+
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
-      policies: Map[String, EnrichPolicy]): DataFrame = cmd match {
+      policies: Map[String, EnrichPolicy], ts: Boolean = false): DataFrame = cmd match {
+    case Stats(aggs, by) if aggs.exists(a => isTsEntry(a._2)) =>
+      require(ts,
+        "esql: RATE/INCREASE are only valid in a TS query — start the program with TS, not FROM")
+      compileTsStats(df, aggs, by)
     case Where(e) => df.where(compileExpr(e))
     case Eval(cols) =>
       // sequential: a later assignment sees the earlier ones (ES|QL's rule)
@@ -1449,14 +1587,56 @@ object Esql {
       // fold of the SAME lazy frame — Spark reuses the shared scan via
       // the exchange/subquery reuse rules; no materialization here.
       val runs = branches.zipWithIndex.map { case (cmds, i) =>
-        cmds.foldLeft(df)(applyCmd(_, _, resolve, policies))
+        cmds.foldLeft(df)(applyCmd(_, _, resolve, policies, ts))
           .withColumn("_fork", lit(s"fork${i + 1}"))
       }
       val unioned = runs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       // pin _fork as the LAST column (union order otherwise depends on
       // which branch dropped what)
       unioned.select((unioned.columns.filterNot(_ == "_fork").map(qcol) :+ col("_fork")).toSeq: _*)
-    case Fuse(idCol, scoreCol, rankK) =>
+    case Fuse("linear", idCol, scoreCol, _, norm, weights) =>
+      // ES|QL FUSE linear (9.x): score MAGNITUDES fuse, not ranks — each
+      // branch's scores optionally min-max normalized over ITS OWN frame
+      // ((s − min)/(max − min); a degenerate branch (max = min)
+      // normalizes to 1.0, every doc being the branch maximum — the
+      // Hybrid.linearFusion convention), weighted per branch, summed per
+      // id over a SORTED contribution array (the fixed-IEEE-tree
+      // determinism rule FUSE rrf already follows). Branch min/max ride
+      // ONE window exchange on _fork — frames here are post-FORK
+      // page-sized, the same bound as rrf's rank window.
+      require(df.columns.contains("_fork"),
+        "esql: FUSE needs FORK's _fork column — fuse follows a fork")
+      require(df.columns.contains(idCol), s"esql: FUSE ON unknown column '$idCol'")
+      require(df.columns.contains(scoreCol), s"esql: FUSE SCORE unknown column '$scoreCol'")
+      val lw = org.apache.spark.sql.expressions.Window.partitionBy(col("_fork"))
+      val s = col(scoreCol).cast("double")
+      val normed = norm match {
+        case "minmax" =>
+          val mn = min(s).over(lw)
+          val mx = max(s).over(lw)
+          when(mx === mn, lit(1.0)).otherwise((s - mn) / (mx - mn))
+        case _ => s
+      }
+      val weighted =
+        if (weights.isEmpty) normed
+        else {
+          // branch index from the fork label; a branch beyond the WEIGHTS
+          // list raises rather than fusing a silent null
+          val idx = substring(col("_fork"), 5, 10).cast("int")
+          val wcol = weights.zipWithIndex
+            .foldLeft(when(lit(false), lit(0.0))) { case (acc, (wv, i)) =>
+              acc.when(idx === i + 1, lit(wv))
+            }
+            .otherwise(raise_error(concat(
+              lit("esql: FUSE linear saw branch "), col("_fork"),
+              lit(s" but WEIGHTS lists only ${weights.size}"))).cast("double"))
+          normed * wcol
+        }
+      df.withColumn("_contrib", weighted)
+        .groupBy(col(idCol))
+        .agg(aggregate(array_sort(collect_list(col("_contrib"))),
+          lit(0.0), (acc, x) => acc + x).as("_score"))
+    case Fuse(_, idCol, scoreCol, rankK, _, _) =>
       // ES|QL FUSE (the rrf method): per-branch ranks from the score
       // (desc, id tiebreak), reciprocal-rank contributions summed per id.
       // The sum folds over a SORTED array of contributions — one fixed

@@ -79,11 +79,27 @@ object QueryString {
   def parse(
       q: String,
       defaultField: String,
+      analyzeWildcard: Boolean = true): FilterSpec =
+    parseFields(q, Seq(defaultField), analyzeWildcard)
+
+  /** The multi-field form — ES's `fields: ["title", "body"]` on
+    * `query_string`: a BARE clause (no `field:` prefix) matches if it
+    * matches ANY of the fields (ES expands it to a dis_max over per-field
+    * clauses; in filter context dis_max matching IS the disjunction);
+    * explicit `field:` clauses are unaffected. Boosts stay a loud parse
+    * error on this filter path (the standing rule: a boost honored in a
+    * filter compilation is a silent no-op that looks honored) — the
+    * scoring path is [[graft.query.Bm25.multiMatchWeightedTopK]].
+    */
+  def parseFields(
+      q: String,
+      fields: Seq[String],
       analyzeWildcard: Boolean = true): FilterSpec = {
+    require(fields.nonEmpty, "query_string: no fields")
     val toks = tokenize(q)
     if (toks.isEmpty) FilterSpec.MatchAll
     else {
-      val p = new Parser(toks, defaultField, analyzeWildcard)
+      val p = new Parser(toks, fields, analyzeWildcard)
       val spec = p.orExpr()
       require(p.exhausted, s"query_string: unexpected '${p.peekRaw}' after a complete query in <$q>")
       spec
@@ -235,7 +251,7 @@ object QueryString {
   private case object MustNot extends Occur
 
   private final class Parser(
-      toks: Vector[Tok], defaultField: String, analyzeWildcard: Boolean) {
+      toks: Vector[Tok], defaultFields: Seq[String], analyzeWildcard: Boolean) {
     private var pos = 0
     def exhausted: Boolean = pos >= toks.length
     def peekRaw: String = if (exhausted) "<end>" else toks(pos).toString
@@ -384,7 +400,12 @@ object QueryString {
           "(boosts; escape with \\ to query the character)")
       colonSplit(u.chars) match {
         case Some((field, value)) => fielded(lit(field), value, raw)
-        case None => fielded(defaultField, u.chars, raw)
+        case None =>
+          // bare clause: ANY of the default fields may match (the ES
+          // multi-field dis_max, which in filter context is the
+          // disjunction); one field stays the plain single compile
+          val per = defaultFields.map(f => fielded(f, u.chars, raw))
+          if (per.size == 1) per.head else FilterSpec.Or(per)
       }
     }
 

@@ -65,13 +65,30 @@ object SimpleQueryString {
       q: String,
       defaultField: String,
       defaultOperator: String = "or",
+      flags: Set[String] = AllFlags): FilterSpec =
+    parseFields(q, Seq(defaultField), defaultOperator, flags)
+
+  /** The multi-field form — ES's `fields: ["title", "body"]`: each text
+    * clause (term/prefix/fuzzy/phrase) matches if it matches ANY of the
+    * fields (Lucene SimpleQueryParser's `newDefaultQuery` — a SHOULD
+    * clause per field), and the boolean structure is per-CLAUSE, not
+    * per-field. Field boosts are scoring-only and deliberately absent
+    * here (the [[QueryString]] filter-path precedent: a boost honored in
+    * a filter compilation is a silent no-op that looks honored) — the
+    * scoring path is [[graft.query.Bm25.multiMatchWeightedTopK]].
+    */
+  def parseFields(
+      q: String,
+      fields: Seq[String],
+      defaultOperator: String = "or",
       flags: Set[String] = AllFlags): FilterSpec = {
+    require(fields.nonEmpty, "simple_query_string: no fields")
     require(Seq("or", "and").contains(defaultOperator.toLowerCase),
       s"simple_query_string: default_operator must be or/and, got '$defaultOperator'")
     require(flags.subsetOf(AllFlags),
       s"simple_query_string: unknown flags ${(flags -- AllFlags).mkString(",")}")
     val toks = tokenize(q, flags)
-    val (spec, _) = parseOr(toks, 0, defaultField,
+    val (spec, _) = parseOr(toks, 0, fields,
       defaultOperator.equalsIgnoreCase("and"), flags, stopAtRp = false)
     spec.getOrElse(FilterSpec.MatchAll)
   }
@@ -144,7 +161,7 @@ object SimpleQueryString {
   // throwing.
 
   private def parseOr(
-      toks: Vector[Tok], start: Int, field: String, defaultAnd: Boolean,
+      toks: Vector[Tok], start: Int, fields: Seq[String], defaultAnd: Boolean,
       flags: Set[String], stopAtRp: Boolean): (Option[FilterSpec], Int) = {
     var pos = start
     var top: Option[FilterSpec] = None
@@ -156,7 +173,7 @@ object SimpleQueryString {
         case OrOp => pendingOp = Some('|'); pos += 1
         case AndOp => pendingOp = Some('&'); pos += 1
         case _ =>
-          val (clause, next) = parseClause(toks, pos, field, defaultAnd, flags)
+          val (clause, next) = parseClause(toks, pos, fields, defaultAnd, flags)
           pos = next
           clause.foreach { case (s0, neg) =>
             // a negated clause is a self-contained complement (Lucene's
@@ -180,18 +197,23 @@ object SimpleQueryString {
     * returned with its negation FLAG so the boolean level can give `-`
     * Lucene's MUST_NOT meaning. A `--a` double negation cancels. Drops
     * (None) for unmatched `)`, empty groups, unanalyzable terms, and
-    * negation with nothing to negate.
+    * negation with nothing to negate. Text clauses expand over the
+    * fields (match in ANY — the SHOULD-per-field rule).
     */
   private def parseClause(
-      toks: Vector[Tok], start: Int, field: String, defaultAnd: Boolean,
+      toks: Vector[Tok], start: Int, fields: Seq[String], defaultAnd: Boolean,
       flags: Set[String]): (Option[(FilterSpec, Boolean)], Int) = {
     if (start >= toks.length) return (None, start)
+    def overFields(one: String => FilterSpec): FilterSpec = {
+      val per = fields.map(one)
+      if (per.size == 1) per.head else FilterSpec.Or(per)
+    }
     toks(start) match {
       case NotOp =>
-        val (inner, next) = parseClause(toks, start + 1, field, defaultAnd, flags)
+        val (inner, next) = parseClause(toks, start + 1, fields, defaultAnd, flags)
         (inner.map { case (s, neg) => (s, !neg) }, next)
       case LP =>
-        val (inner, next) = parseOr(toks, start + 1, field, defaultAnd, flags, stopAtRp = true)
+        val (inner, next) = parseOr(toks, start + 1, fields, defaultAnd, flags, stopAtRp = true)
         val consumed = if (next < toks.length && toks(next) == RP) next + 1 else next
         (inner.map((_, false)), consumed)
       case RP => (None, start + 1) // unmatched ) drops as structure
@@ -201,22 +223,24 @@ object SimpleQueryString {
         val spec =
           if (terms.isEmpty) None
           else if (fuzzy.exists(_ > 0) && terms.size == 1)
-            Some(FilterSpec.FuzzyTerm(field, terms.head, fuzzy.get,
-              transpositions = true))
+            Some(overFields(f => FilterSpec.FuzzyTerm(f, terms.head, fuzzy.get,
+              transpositions = true)))
           else if (prefix && fuzzy.isEmpty)
-            Some(if (terms.size == 1) FilterSpec.AnalyzedPrefix(field, terms.head)
-            else FilterSpec.And(
-              terms.init.map(t => FilterSpec.TermMatch(field, t): FilterSpec) :+
-                FilterSpec.AnalyzedPrefix(field, terms.last)))
-          else Some(conj(terms.map(t => FilterSpec.TermMatch(field, t))))
+            Some(overFields(f =>
+              if (terms.size == 1) FilterSpec.AnalyzedPrefix(f, terms.head)
+              else FilterSpec.And(
+                terms.init.map(t => FilterSpec.TermMatch(f, t): FilterSpec) :+
+                  FilterSpec.AnalyzedPrefix(f, terms.last))))
+          else Some(overFields(f => conj(terms.map(t => FilterSpec.TermMatch(f, t)))))
         (spec.map((_, false)), start + 1)
       case PhraseTok(text, slop) =>
         val terms = graft.expr.TextMatch.analyze(text)
         val spec =
           if (terms.isEmpty) None
           else slop match {
-            case Some(s) if s > 0 => Some(FilterSpec.PhraseSlop(field, text, s))
-            case _ => Some(FilterSpec.Phrase(field, text))
+            case Some(s) if s > 0 =>
+              Some(overFields(f => FilterSpec.PhraseSlop(f, text, s)))
+            case _ => Some(overFields(f => FilterSpec.Phrase(f, text)))
           }
         (spec.map((_, false)), start + 1)
     }

@@ -199,6 +199,45 @@ class Bm25Spec extends graft.SparkSpecBase {
       Bm25.multiMatchTopK(two, "doc_id", Seq("text"), "spark", 5, mode = "cross_fields"))
   }
 
+  test("multiMatchWeighted: boosts multiply per-field scores and provably reorder") {
+    val two = Seq(
+      (1L, "spark spark", "alpha"), // strong in text only
+      (2L, "join scan", "spark"),   // matches only in title
+      (3L, "spark misc", "spark"),  // matches in both
+      (4L, "window", "beta"),       // matches neither
+    ).toDF("doc_id", "text", "title")
+    def one(field: String, id: Long): Double =
+      Bm25.scoredAll(two, "doc_id",
+          concat(lit(" "), graft.expr.TextMatch.normalized(col(field)), lit(" ")),
+          "spark")
+        .as[(Long, Double)].collect().toMap.getOrElse(id, 0.0)
+    val w = Bm25.multiMatchWeightedTopK(two, "doc_id",
+        Seq("text" -> 5.0, "title" -> 1.0), "spark", k = 10)
+      .as[(Long, Double)].collect()
+    val wm = w.toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(wm(id) === 5.0 * one("text", id) + 1.0 * one("title", id), s"weighted $id")
+    assert(!wm.contains(4L))
+    // the REORDER pin: unweighted most_fields ranks the both-fields doc 3
+    // first; 5× on text puts the text-heavy doc 1 on top
+    val unw = Bm25.multiMatchTopK(two, "doc_id", Seq("text", "title"),
+      "spark", k = 10, mode = "most_fields").as[(Long, Double)].collect()
+    assert(unw.head._1 == 3L && w.head._1 == 1L)
+    // best_fields takes the max of BOOSTED scores
+    val best = Bm25.multiMatchWeightedTopK(two, "doc_id",
+        Seq("text" -> 5.0, "title" -> 1.0), "spark", k = 10, mode = "best_fields")
+      .as[(Long, Double)].collect().toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(best(id) === math.max(5.0 * one("text", id), 1.0 * one("title", id)))
+    // the score-positive set equals the parseFields match set (the
+    // filter/scoring twins agree on WHAT matches)
+    val spec = SimpleQueryString.parseFields("spark", Seq("text", "title"))
+    val matched = two.where(spec.compile).select("doc_id").as[Long].collect().toSet
+    assert(matched === wm.keySet)
+    intercept[IllegalArgumentException](
+      Bm25.multiMatchWeightedTopK(two, "doc_id", Seq("text" -> 0.0), "spark", 5))
+  }
+
   test("combinedFields pools tf/dl/idf across fields - BM25F at unit weights") {
     val two = Seq(
       (1L, "spark spark", "spark"),  // pooled tf 3

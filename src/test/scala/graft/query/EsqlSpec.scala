@@ -50,9 +50,9 @@ class EsqlSpec extends SparkSpecBase {
       Seq(60.0, 30.0, 37.5, 7.5))
   }
 
-  test("query must start with FROM or ROW; METADATA rejects loudly") {
+  test("query must start with FROM, TS, or ROW; METADATA rejects loudly") {
     assert(intercept[IllegalArgumentException](Esql.parse("WHERE x == 1"))
-      .getMessage.contains("starts with FROM or ROW"))
+      .getMessage.contains("starts with FROM, TS, or ROW"))
     assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _index | LIMIT 1"))
       .getMessage.contains("METADATA"))
   }
@@ -383,6 +383,42 @@ class EsqlSpec extends SparkSpecBase {
     assert(cd.head.getAs[Long]("k") == 3L)
   }
 
+  test("TS + RATE/INCREASE compile onto the reset-adjusted counter-rate core") {
+    val rows = Seq(
+      ("a", "2024-03-01 10:00:10", 1L, 10L),
+      ("a", "2024-03-01 10:20:00", 2L, 17L),
+      ("a", "2024-03-01 10:40:00", 3L, 3L), // counter reset: contributes 3
+      ("a", "2024-03-01 11:10:00", 4L, 10L), // next hour, prev=3 -> 7
+      ("b", "2024-03-01 10:05:00", 5L, 100L),
+    ).toDF("k", "ts_s", "eid", "ctr")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Esql.run(
+      """TS m | STATS inc = INCREASE(ctr, eid), r = RATE(ctr, eid)
+          BY b = BUCKET(ts, 1 hour), k | SORT k, b""",
+      resolve(Map("m" -> rows))).collect()
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Long]("inc"))).toSeq ==
+      Seq(("a", 10L), ("a", 7L), ("b", 0L)))
+    assert(math.abs(out.head.getAs[Double]("r") - 10.0 / 3600) < 1e-15)
+    // rejects: RATE outside TS; missing tie-break; no BUCKET key; mixing
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM m | STATS r = RATE(ctr, eid) BY b = BUCKET(ts, 1 hour), k",
+        resolve(Map("m" -> rows)))).getMessage.contains("TS"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("TS m | STATS r = RATE(ctr) BY b = BUCKET(ts, 1 hour), k",
+        resolve(Map("m" -> rows)))).getMessage.contains("tie-break"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("TS m | STATS r = RATE(ctr, eid) BY k",
+        resolve(Map("m" -> rows)))).getMessage.contains("BUCKET"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("TS m | STATS r = RATE(ctr, eid), n = COUNT(*) BY b = BUCKET(ts, 1 hour), k",
+        resolve(Map("m" -> rows)))).getMessage.contains("second STATS"))
+    // an ordinary STATS on a TS source still works (TSDB indices answer
+    // normal queries too)
+    val n = Esql.run("TS m | STATS n = COUNT(*) BY k | SORT k",
+      resolve(Map("m" -> rows))).collect()
+    assert(n.map(_.getAs[Long]("n")).toSeq == Seq(4L, 1L))
+  }
+
   test("FORK unions branch results by name with the _fork discriminator") {
     val out = Esql.run(
       """FROM t | FORK ( WHERE lang == "en" | KEEP id ) ( WHERE score > 30 | KEEP id, name ) | SORT _fork, id""",
@@ -415,6 +451,48 @@ class EsqlSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Esql.run("FROM t | FUSE rrf ON id SCORE score", resolve(Map("t" -> people))))
       .getMessage.contains("fuse follows a fork"))
+  }
+
+  test("FUSE linear: per-branch min-max normalization, weights, degenerate branch, rejects") {
+    val out = Esql.run(
+      """FROM t | FORK ( EVAL s = TO_DOUBLE(score) ) ( EVAL s = TO_DOUBLE(6 - id) )
+         | FUSE linear ON id SCORE s NORM minmax WEIGHTS 0.6, 0.4
+         | SORT _score DESC, id""".replace("\n", " "),
+      resolve(Map("t" -> people))).collect()
+    // branch1 minmax over scores (5..40): (s-5)/35; branch2 over 6-id
+    // (1..5): (s-1)/4 — weighted 0.6/0.4
+    def lin(s1: Double, s2: Double) = (s1 - 5) / 35 * 0.6 + (s2 - 1) / 4 * 0.4
+    val expect = Map(1L -> lin(30, 5), 2L -> lin(10, 4), 3L -> lin(25, 3),
+      4L -> lin(5, 2), 5L -> lin(40, 1))
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("_score") - expect(r.getAs[Long]("id"))) < 1e-15)
+    }
+    assert(out.head.getAs[Long]("id") == 1L) // ada: strong in both branches
+    // NORM none fuses raw magnitudes
+    val raw = Esql.run(
+      """FROM t | FORK ( EVAL s = TO_DOUBLE(score) ) ( EVAL s = TO_DOUBLE(6 - id) )
+         | FUSE linear ON id SCORE s | SORT _score DESC, id""".replace("\n", " "),
+      resolve(Map("t" -> people))).collect()
+    assert(raw.map(r => r.getAs[Double]("_score")).toSeq.head == 41.0) // emil 40 + 1
+    // a degenerate branch (max = min) normalizes to 1.0
+    val degen = Esql.run(
+      """FROM t | FORK ( EVAL s = TO_DOUBLE(score) ) ( EVAL s = 1.0 )
+         | FUSE linear ON id SCORE s NORM minmax""".replace("\n", " "),
+      resolve(Map("t" -> people))).collect()
+    degen.foreach { r =>
+      val base = (expect(r.getAs[Long]("id")) - 0.4 * ((6 - r.getAs[Long]("id")) - 1) / 4.0) / 0.6
+      assert(math.abs(r.getAs[Double]("_score") - (base + 1.0)) < 1e-12)
+    }
+    // more branches than WEIGHTS raises at runtime, not a silent null
+    val short = intercept[Exception](Esql.run(
+      """FROM t | FORK ( EVAL s = TO_DOUBLE(score) ) ( EVAL s = TO_DOUBLE(id) )
+         | FUSE linear ON id SCORE s WEIGHTS 0.5""".replace("\n", " "),
+      resolve(Map("t" -> people))).collect())
+    assert(short.getMessage.contains("WEIGHTS lists only 1"))
+    // NORM/WEIGHTS on rrf reject at parse
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("FROM t | FUSE rrf ON id SCORE s NORM minmax"))
+      .getMessage.contains("FUSE linear options"))
   }
 
   test("SAMPLE: seeded keyed hash — deterministic, seed-sensitive, validated") {
@@ -493,11 +571,29 @@ class EsqlSpec extends SparkSpecBase {
       resolve(Map("t" -> docs))).as[Long].collect()
     assert(ph.toSeq == Seq(1L)) // doc4 has the terms out of order
     assert(intercept[IllegalArgumentException](
-      Esql.run("""FROM t | WHERE QSTR("quick")""", resolve(Map("t" -> docs))))
-      .getMessage.contains("default-field"))
-    assert(intercept[IllegalArgumentException](
       Esql.run("""FROM t | WHERE MATCH(text, "...")""", resolve(Map("t" -> docs))))
       .getMessage.contains("no analyzable"))
+  }
+
+  test("QSTR/KQL compile through the query_string/KQL parsers with the default-field seam") {
+    val docs = Seq((1L, "the quick brown fox", 10L), (2L, "quick silver", 25L),
+      (3L, "brown paper", 30L), (4L, "fox brown", 5L)).toDF("id", "text", "n")
+    // QSTR: full Lucene query_string — field clauses, booleans, prefix
+    val qs = Esql.run(
+      """FROM t | WHERE QSTR("qui* AND NOT silver") | KEEP id | SORT id""",
+      resolve(Map("t" -> docs)), defaultField = Some("text")).as[Long].collect()
+    assert(qs.toSeq == Seq(1L))
+    // KQL: keywords case-insensitive, field:value, range comparison
+    val kq = Esql.run(
+      """FROM t | WHERE KQL("text:brown and n >= 10") | KEEP id | SORT id""",
+      resolve(Map("t" -> docs)), defaultField = Some("text")).as[Long].collect()
+    assert(kq.toSeq == Seq(1L, 3L))
+    // missing the seam -> loud reject naming the option
+    Seq("QSTR", "KQL").foreach { fn =>
+      assert(intercept[IllegalArgumentException](
+        Esql.run(s"""FROM t | WHERE $fn("quick")""", resolve(Map("t" -> docs))))
+        .getMessage.contains("default_field"))
+    }
   }
 
   test("STATS per-aggregate WHERE filters one entry without a second scan") {

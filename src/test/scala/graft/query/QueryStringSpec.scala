@@ -397,4 +397,24 @@ class QueryStringSpec extends SparkSpecBase {
     val dict = Seq((Some("a"), 1), (None, 2)).toDF("dict_field", "n")
     assert(dict.where(spec.compile).count() === 1)
   }
+
+  test("parseFields: bare clauses match ANY field, explicit field: clauses unaffected") {
+    val two = Seq(
+      (1L, "merge sort notes", "alpha", "en"),
+      (2L, "silver lining", "merge", "en"),
+      (3L, "brown paper", "beta", "en"),
+      (4L, "merge vector", "gamma", "de"),
+    ).toDF("id", "text", "tag", "lang")
+    def ids(q: String): Seq[Long] =
+      two.where(QueryString.parseFields(q, Seq("text", "tag")).compile)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids("merge") === Seq(1L, 2L, 4L)) // either field
+    assert(ids("mer*") === Seq(1L, 2L, 4L)) // analyzed prefix over both
+    assert(ids("merge AND lang:en") === Seq(1L, 2L)) // field: clause exact
+    assert(ids("\"merge sort\"") === Seq(1L)) // phrase per field
+    // single-field parseFields ≡ parse
+    assert(QueryString.parseFields("a OR b:c", Seq("f")) ===
+      QueryString.parse("a OR b:c", "f"))
+    intercept[IllegalArgumentException](QueryString.parseFields("x", Seq.empty))
+  }
 }

@@ -28,11 +28,15 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
   private case class Group(n: Option[Node]) extends Node
   private case class Negated(n: Node) extends Node
 
-  /** Evaluate one positive node against a doc's token sequence. */
-  private def evalNode(n: Node, doc: Vector[String]): Boolean = n match {
-    case Term(t) => doc.contains(t)
-    case Prefix(p) => doc.exists(_.startsWith(p))
-    case Phrase(ts) => doc.sliding(ts.length).exists(_ == ts)
+  /** Evaluate one positive node against a doc's FIELDS (each a token
+    * sequence) — a text node matches if ANY field matches, the
+    * SHOULD-per-field multi-field rule; single-field docs are the
+    * one-element case.
+    */
+  private def evalNode(n: Node, doc: Seq[Vector[String]]): Boolean = n match {
+    case Term(t) => doc.exists(_.contains(t))
+    case Prefix(p) => doc.exists(_.exists(_.startsWith(p)))
+    case Phrase(ts) => doc.exists(_.sliding(ts.length).exists(_ == ts))
     case Group(inner) => inner.exists(evalNode(_, doc))
     case Negated(inner) => !evalNode(inner, doc)
   }
@@ -43,7 +47,7 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
     * clause is its complement folded like any other). Mirrors the
     * written contract, not the implementation.
     */
-  private def interpret(q: String, doc: Vector[String], defaultAnd: Boolean): Boolean =
+  private def interpret(q: String, doc: Seq[Vector[String]], defaultAnd: Boolean): Boolean =
     level(scan(q), 0, doc, defaultAnd, stopAtRp = false)._1.getOrElse(true)
 
   private sealed trait T
@@ -89,7 +93,7 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
   }
 
   /** One boolean level: (matched-if-any-content, next position). */
-  private def level(toks: Vector[T], start: Int, doc: Vector[String],
+  private def level(toks: Vector[T], start: Int, doc: Seq[Vector[String]],
       defaultAnd: Boolean, stopAtRp: Boolean): (Option[Boolean], Int) = {
     var pos = start
     var top: Option[Boolean] = None
@@ -117,7 +121,7 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
     (top, pos)
   }
 
-  private def clauseAt(toks: Vector[T], start: Int, doc: Vector[String],
+  private def clauseAt(toks: Vector[T], start: Int, doc: Seq[Vector[String]],
       defaultAnd: Boolean): (Option[(Boolean, Boolean)], Int) = {
     if (start >= toks.length) return (None, start)
     toks(start) match {
@@ -183,7 +187,7 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
         val spec = SimpleQueryString.parse(q, "text", op)
         val engine = df.where(spec.compile).select("id").as[Long].collect().toSet
         val expected = docs.filter { case (_, ts) =>
-          interpret(q, ts, defaultAnd)
+          interpret(q, Seq(ts), defaultAnd)
         }.map(_._1).toSet
         if (engine != expected) {
           disagreements += 1
@@ -193,5 +197,50 @@ class SimpleQueryStringSemanticsSpec extends SparkSpecBase {
       }
     }
     assert(disagreements == 0, s"$disagreements disagreements — semantics diverged")
+  }
+
+  test("multi-field parseFields ≡ interpreter over 60 seeded random queries × 150 two-field docs") {
+    val rnd = new scala.util.Random(4242)
+    val docs = (1L to 150L).map { id =>
+      def mk(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (id, mk(2 + rnd.nextInt(5)), mk(1 + rnd.nextInt(3)))
+    }
+    val df = docs.map { case (id, a, b) => (id, a.mkString(" "), b.mkString(" ")) }
+      .toDF("id", "text", "tag")
+    df.cache().count()
+
+    def genQuery(): String = {
+      val parts = Seq.newBuilder[String]
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        val word = vocab(rnd.nextInt(vocab.size))
+        parts += (rnd.nextInt(7) match {
+          case 0 | 1 | 2 => word
+          case 3 => "-" + word
+          case 4 => word.take(2 + rnd.nextInt(3)) + "*"
+          case 5 => "\"" + word + " " + vocab(rnd.nextInt(vocab.size)) + "\""
+          case 6 => "(" + word + " | " + vocab(rnd.nextInt(vocab.size)) + ")"
+        })
+      }
+      parts.result().mkString(" ")
+    }
+
+    var disagreements = 0
+    (1 to 60).foreach { _ =>
+      val q = genQuery()
+      Seq(false, true).foreach { defaultAnd =>
+        val op = if (defaultAnd) "and" else "or"
+        val spec = SimpleQueryString.parseFields(q, Seq("text", "tag"), op)
+        val engine = df.where(spec.compile).select("id").as[Long].collect().toSet
+        val expected = docs.filter { case (_, a, b) =>
+          interpret(q, Seq(a, b), defaultAnd)
+        }.map(_._1).toSet
+        if (engine != expected) {
+          disagreements += 1
+          info(s"DISAGREE on <$q> (default $op, 2 fields): engine-only=" +
+            s"${(engine -- expected).take(3)}, interp-only=${(expected -- engine).take(3)}")
+        }
+      }
+    }
+    assert(disagreements == 0, s"$disagreements disagreements — multi-field semantics diverged")
   }
 }

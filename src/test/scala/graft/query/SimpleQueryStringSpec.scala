@@ -85,6 +85,31 @@ class SimpleQueryStringSpec extends SparkSpecBase {
     assert(ids("brown \\+fox") === ids("brown fox"))
   }
 
+  test("parseFields: text clauses match in ANY field; structure stays per-clause") {
+    val two = Seq(
+      (1L, "the quick brown fox", "alpha"),
+      (2L, "silver lining", "quick"),   // quick only in the tag field
+      (3L, "brown paper bag", "beta"),
+      (4L, "slow red fox", "quick fox"),
+    ).toDF("id", "text", "tag")
+    def ids(q: String, op: String = "or"): Seq[Long] =
+      two.where(SimpleQueryString.parseFields(q, Seq("text", "tag"), op).compile)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids("quick") === Seq(1L, 2L, 4L)) // either field
+    assert(ids("quick +brown") === Seq(1L)) // the AND is per-clause
+    assert(ids("\"quick fox\"") === Seq(4L)) // phrase in the tag field only
+    assert(ids("qui*") === Seq(1L, 2L, 4L))
+    assert(ids("fox -quick", op = "and") === Seq.empty) // every fox doc has quick somewhere
+    // single-field parseFields ≡ parse
+    val q = "\"brown fox\" | qui* -slow"
+    assert(two.where(SimpleQueryString.parseFields(q, Seq("text"), "and").compile)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      two.where(SimpleQueryString.parse(q, "text", "and").compile)
+        .select("id").as[Long].collect().sorted.toSeq)
+    intercept[IllegalArgumentException](
+      SimpleQueryString.parseFields("x", Seq.empty))
+  }
+
   test("strict arguments still validate (the query is lenient, the API is not)") {
     intercept[IllegalArgumentException](SimpleQueryString.parse("x", "text", "xor"))
     intercept[IllegalArgumentException](

@@ -659,6 +659,19 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(c3 === 200)
       assert(b3.count(_ == '{') === 1000)
 
+      // QSTR/KQL live on the wire via the default_field option; absent,
+      // they 400 naming the option (the mapping seam)
+      val qstr =
+        "FROM documents | WHERE QSTR(\"merge*\") | STATS n = COUNT(*) | LIMIT 1"
+      val (c5, b5) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${qstr.replace("\"", "\\\"")}", "default_field": "text"}""")
+      assert(c5 === 200)
+      assert(b5 === WidgetServer.collectRowsJson(
+        graft.query.Esql.run(qstr, resolve, defaultField = Some("text"))))
+      val (c6, b6) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${qstr.replace("\"", "\\\"")}"}""")
+      assert(c6 === 400 && b6.contains("default_field"))
+
       // 400 pins: missing query, parse error, unknown index, NOW()
       assert(post(s"http://127.0.0.1:$port/esql", "{}")._1 === 400)
       assert(post(s"http://127.0.0.1:$port/esql",
