@@ -556,6 +556,32 @@ object SparkEntry {
             docs0.where(graft.query.QueryString.parse(
               o.path("filter").asText(), defaultField = "text").compile)
           else docs0
+        if (o.hasNonNull("fields")) {
+          // ES's multi-field form: {"q": "...", "fields": ["text^5",
+          // "source"], "mode": "most_fields"|"best_fields" (optional)} —
+          // per-field BM25 × boost via multiMatchWeightedTopK (the
+          // fields^boost scoring simple_query_string/query_string
+          // document). Composes with "filter" (stats over the filtered
+          // frame, the route's standing contract); collapse/after/
+          // rescore/highlight stay single-field concerns and reject
+          // loudly rather than silently ignoring the fields.
+          val fj = o.path("fields")
+          require(fj.isArray && fj.size() > 0,
+            "search: fields must be a non-empty array of \"name\" or \"name^boost\"")
+          Seq("collapse", "after", "rescore", "highlight").foreach { k =>
+            require(!o.hasNonNull(k),
+              s"search: $k does not compose with fields — use the single-field path")
+          }
+          val fieldBoosts = (0 until fj.size()).map { i =>
+            val spec = fj.get(i).asText()
+            val at = spec.lastIndexOf('^')
+            if (at < 0) (spec, 1.0)
+            else (spec.substring(0, at), spec.substring(at + 1).toDouble)
+          }
+          WidgetServer.collectRowsJson(graft.query.Bm25.multiMatchWeightedTopK(
+            docs, "doc_id", fieldBoosts, qText, size,
+            mode = o.path("mode").asText("most_fields")))
+        } else {
         val analyzed = concat(lit(" "),
           graft.expr.TextMatch.normalized(col("text")), lit(" "))
         // `term^2` boosts compile to per-term BM25 weights on this (the
@@ -609,6 +635,7 @@ object SparkEntry {
               "doc_id")
               .orderBy(desc("score"), asc("doc_id"))
           else page)
+        }
       },
       "/knn" -> { body =>
         // ES 8 knn search over the wire: {"vec_id": 3, "k": 5,

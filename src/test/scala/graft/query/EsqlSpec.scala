@@ -680,6 +680,12 @@ class EsqlSpec extends SparkSpecBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"), s"no pushdown:\n$plan")
     assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), s"no pruning:\n$plan")
+    // a KQL range comparison inside WHERE stays pushdown-eligible — the
+    // grammar compiles to the same typed-literal TermRange the DSL uses
+    val kql = Esql.run("""FROM p | WHERE KQL("id >= 3") | KEEP id""",
+      resolve(Map("p" -> read)), defaultField = Some("name"))
+    val kplan = kql.queryExecution.executedPlan.toString
+    assert(kplan.contains("GreaterThanOrEqual(id,3)"), s"KQL range not pushed:\n$kplan")
   }
 
   test("SORT + LIMIT fuses to TakeOrderedAndProject (top-K, no global sort)") {

@@ -383,6 +383,17 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(c5 === 200)
       assert(b5.contains("<em>dup</em>"))
 
+      // fields^boost: the multi-field weighted path, wire ≡ engine-direct
+      val (cF, bF) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "src1 merge", "fields": ["text^5", "source"], "size": 5}""")
+      assert(cF === 200)
+      assert(bF === WidgetServer.collectRowsJson(
+        graft.query.Bm25.multiMatchWeightedTopK(docs, "doc_id",
+          Seq("text" -> 5.0, "source" -> 1.0), "src1 merge", 5)))
+      // fields does not compose with collapse — loud 400, not a silent drop
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup", "fields": ["text"], "collapse": "lang"}""")._1 === 400)
+
       // missing q is a client fault
       assert(post(s"http://127.0.0.1:$port/search", """{"size": 2}""")._1 === 400)
 
