@@ -551,11 +551,22 @@ object SparkEntry {
         require(qText.nonEmpty, "search: missing q")
         val size = o.path("size").asInt(10)
         val docs0 = load(dir, "documents")
+        // Kibana's own language toggle: the search bar sends KQL by
+        // default since 7.0 and Lucene query_string behind the switch —
+        // "filter_language": "kuery" routes the filter through the Kql
+        // compiler, "lucene" (the default here, matching the reference's
+        // pre-KQL dashboards) through QueryString.
+        val filterLang = o.path("filter_language").asText("lucene")
+        require(filterLang == "lucene" || filterLang == "kuery",
+          s"search: filter_language must be lucene|kuery, got '$filterLang'")
         val docs =
-          if (o.hasNonNull("filter"))
-            docs0.where(graft.query.QueryString.parse(
-              o.path("filter").asText(), defaultField = "text").compile)
-          else docs0
+          if (o.hasNonNull("filter")) {
+            val f = o.path("filter").asText()
+            val spec =
+              if (filterLang == "kuery") graft.query.Kql.parse(f, Some("text"))
+              else graft.query.QueryString.parse(f, defaultField = "text")
+            docs0.where(spec.compile)
+          } else docs0
         if (o.hasNonNull("fields")) {
           // ES's multi-field form: {"q": "...", "fields": ["text^5",
           // "source"], "mode": "most_fields"|"best_fields" (optional)} —
@@ -7137,6 +7148,35 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_inlinestats_median" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // INLINESTATS with an ordered-set aggregate — compiled as the
+      // STATS + broadcast null-safe join-back rewrite (NO window; the
+      // rewrite ES|QL documents as the user workaround, applied by the
+      // compiler): docs above their language's median length, counted
+      // per language.
+      query.Esql.run(
+        """FROM documents
+          | INLINESTATS med = MEDIAN(n_chars) BY lang
+          | WHERE n_chars > med
+          | STATS n = COUNT(*) BY lang | SORT lang""",
+        t => load(dir, t))
+    }),
+
+    "esql_inlinestats_global" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // INLINESTATS with NO BY keys — compiled as a 1-row aggregate +
+      // broadcast cross join, NOT an unpartitioned window (the
+      // round-17 verdict's latent scale-killer, now plan-pinned): the
+      // longest documents in the corpus.
+      query.Esql.run(
+        """FROM documents
+          | INLINESTATS m = MAX(n_chars)
+          | WHERE n_chars == m
+          | KEEP doc_id, n_chars | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
     "esql_ts_rate" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL TS + RATE/INCREASE (the 8.18+ TSDB pipe surface):
@@ -12575,6 +12615,23 @@ object SparkEntry {
         |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b2)
         |SELECT doc_id, sum(c) AS _score FROM u
         |GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // INLINESTATS rewrite restated: the per-group median as a window
+    // aggregate (DuckDB's median ≡ quantile_cont(0.5) ≡ Spark's
+    // interpolated MEDIAN), the filter, then the count.
+    "esql_inlinestats_median" ->
+      """WITH w AS (
+        |  SELECT lang, n_chars,
+        |    median(n_chars) OVER (PARTITION BY lang) AS med
+        |  FROM documents)
+        |SELECT count(*) AS n, lang FROM w
+        |WHERE n_chars > med
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "esql_inlinestats_global" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars = (SELECT max(n_chars) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // TS + RATE restated: g_time_series_rate's oracle verbatim, renamed
     // columns only (the front-end is invisible to the result).

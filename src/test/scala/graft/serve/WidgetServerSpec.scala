@@ -383,6 +383,20 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(c5 === 200)
       assert(b5.contains("<em>dup</em>"))
 
+      // filter_language: "kuery" routes the filter through the Kql
+      // compiler (Kibana's default bar language); a KQL range would be a
+      // query_string parse error, so the toggle provably switches parsers
+      val (cK, bK) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup vector scan", "filter": "lang:en and n_chars >= 200",
+          | "filter_language": "kuery", "size": 5}""".stripMargin)
+      assert(cK === 200)
+      val kqlDocs = docs.where(graft.query.Kql.parse(
+        "lang:en and n_chars >= 200", Some("text")).compile)
+      assert(bK === WidgetServer.collectRowsJson(
+        graft.query.Bm25.topKRaw(kqlDocs, "doc_id", "text", "dup vector scan", 5)))
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup", "filter": "x", "filter_language": "esql"}""")._1 === 400)
+
       // fields^boost: the multi-field weighted path, wire ≡ engine-direct
       val (cF, bF) = post(s"http://127.0.0.1:$port/search",
         """{"q": "src1 merge", "fields": ["text^5", "source"], "size": 5}""")
