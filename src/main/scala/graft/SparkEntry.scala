@@ -7148,6 +7148,22 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_date_functions" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL DATE_DIFF + DATE_EXTRACT over the event stream: days since
+      // a midnight-aligned epoch (positive diffs + midnight alignment
+      // make trunc ≡ DuckDB's boundary count — the restatable regime;
+      // calendar units reject, the documented engine-divergence seam)
+      // and the ISO day-of-week profile of event volume.
+      query.Esql.run(
+        """FROM events
+          | EVAL dd = DATE_DIFF("day", TO_DATETIME("2023-12-01 00:00:00"), ts),
+                 dow = DATE_EXTRACT("day_of_week", ts)
+          | STATS n = COUNT(*), lo = MIN(dd), hi = MAX(dd) BY dow
+          | SORT dow""",
+        t => if (t == "events") loadEvents(dir) else load(dir, t))
+    }),
+
     "esql_inlinestats_median" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // INLINESTATS with an ordered-set aggregate — compiled as the
@@ -12615,6 +12631,18 @@ object SparkEntry {
         |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b2)
         |SELECT doc_id, sum(c) AS _score FROM u
         |GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // DATE_DIFF/DATE_EXTRACT restated: DuckDB's date_diff counts day
+    // boundaries — equal to the engine's trunc((e-s)/day) exactly
+    // because the start is midnight-aligned and every diff is positive;
+    // isodow is the ISO day_of_week both sides use.
+    "esql_date_functions" ->
+      """WITH e AS (
+        |  SELECT date_diff('day', TIMESTAMP '2023-12-01 00:00:00', ts) AS dd,
+        |         isodow(ts)::BIGINT AS dow
+        |  FROM events)
+        |SELECT count(*) AS n, min(dd)::BIGINT AS lo, max(dd)::BIGINT AS hi, dow
+        |FROM e GROUP BY dow ORDER BY dow""".stripMargin,
 
     // INLINESTATS rewrite restated: the per-group median as a window
     // aggregate (DuckDB's median ≡ quantile_cont(0.5) ≡ Spark's

@@ -938,6 +938,57 @@ object Esql {
           s"esql: DATE_TRUNC supports 1-unit spans; $n $unit needs BUCKET")
       case _ => throw new IllegalArgumentException("esql: DATE_TRUNC(span, date)")
     }
+    case "DATE_DIFF" => args match {
+      // ES|QL DATE_DIFF("unit", start, end): whole units from start to
+      // end, truncated toward zero (ChronoUnit.between's rule) — exact
+      // microsecond arithmetic (|diff| < 2^53 µs ≈ 285 years, beyond
+      // which the double quotient loses integer exactness; stated).
+      // FIXED-WIDTH units only: the calendar units (month/quarter/year)
+      // have engine-divergent conventions — ES truncates whole calendar
+      // months where DuckDB counts boundary crossings — so they reject
+      // loudly rather than silently picking a side.
+      case Seq(StrLit(unit), s, e) =>
+        val micros = unit.toLowerCase match {
+          case "microsecond" | "microseconds" | "mcs" => 1L
+          case "millisecond" | "milliseconds" | "ms" => 1000L
+          case "second" | "seconds" | "s" | "ss" => 1000000L
+          case "minute" | "minutes" | "mi" | "n" => 60L * 1000000L
+          case "hour" | "hours" | "hh" => 3600L * 1000000L
+          case "day" | "days" | "dd" | "d" => 86400L * 1000000L
+          case "week" | "weeks" | "wk" | "ww" => 7L * 86400L * 1000000L
+          case other => throw new IllegalArgumentException(
+            s"esql: DATE_DIFF unit '$other' — fixed-width units only " +
+              "(microsecond..week); calendar units have engine-divergent " +
+              "truncation conventions and are deliberately absent")
+        }
+        ((unix_micros(rec(e).cast("timestamp")) -
+          unix_micros(rec(s).cast("timestamp"))) / lit(micros.toDouble))
+          .cast("long")
+      case _ => throw new IllegalArgumentException("esql: DATE_DIFF(\"unit\", start, end)")
+    }
+    case "DATE_EXTRACT" => args match {
+      // ES|QL DATE_EXTRACT("chrono_field", date) — the java.time
+      // ChronoField names ES documents, long-typed like ES. day_of_week
+      // is ISO (1 = Monday, ChronoField's rule) — Spark's dayofweek is
+      // 1 = Sunday, so weekday()+1 is the honest mapping.
+      case Seq(StrLit(field), d) =>
+        val c = rec(d)
+        (field.toLowerCase match {
+          case "year" => year(c)
+          case "month_of_year" => month(c)
+          case "day_of_month" => dayofmonth(c)
+          case "day_of_week" => weekday(c) + lit(1)
+          case "day_of_year" => dayofyear(c)
+          case "hour_of_day" => hour(c)
+          case "minute_of_hour" => minute(c)
+          case "second_of_minute" => second(c)
+          case other => throw new IllegalArgumentException(
+            s"esql: DATE_EXTRACT field '$other' — supported ChronoFields: " +
+              "year, month_of_year, day_of_month, day_of_week (ISO), " +
+              "day_of_year, hour_of_day, minute_of_hour, second_of_minute")
+        }).cast("long")
+      case _ => throw new IllegalArgumentException("esql: DATE_EXTRACT(\"field\", date)")
+    }
     case "BUCKET" => args match {
       // fixed-width time bucketing: floor(epoch / width) * width, exact
       // integer arithmetic on microseconds — the TSDB downsampling shape
@@ -976,23 +1027,6 @@ object Esql {
             s"esql: no ladder width fits $t buckets over ${span / 1000000L} s — widen the target"))
         timestamp_micros((unix_micros(rec(d)) / width).cast("long") * width)
       case _ => throw new IllegalArgumentException("esql: BUCKET(date, span) or BUCKET(date, target, from, to)")
-    }
-    case "DATE_EXTRACT" => args match {
-      // ES|QL takes the java.time ChronoField name as a string
-      case Seq(StrLit(part), d) =>
-        val c = rec(d)
-        part.toLowerCase match {
-          case "year" => year(c)
-          case "month_of_year" => month(c)
-          case "day_of_month" => dayofmonth(c)
-          case "day_of_week" => dayofweek(c)
-          case "hour_of_day" => hour(c)
-          case "minute_of_hour" => minute(c)
-          case "second_of_minute" => second(c)
-          case other => throw new IllegalArgumentException(
-            s"esql: unsupported DATE_EXTRACT field '$other'")
-        }
-      case _ => throw new IllegalArgumentException("esql: DATE_EXTRACT(\"field\", date)")
     }
     case "DATE_FORMAT" => args match {
       case Seq(StrLit(fmt), d) => date_format(rec(d), fmt)

@@ -76,6 +76,10 @@ object Kql {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += LP; i += 1 }
       else if (c == ')') { out += RP; i += 1 }
+      else if (c == '{' || c == '}') throw new IllegalArgumentException(
+        "kql: nested-query braces (field:{ … }) are not supported — query " +
+          "the nested array through NestedDocs.nestedMatch; escape \\{ to " +
+          s"match the character (at $i in <$q>)")
       else if (c == ':') { out += Colon; i += 1 }
       else if (c == '<' || c == '>') {
         val op =
@@ -100,7 +104,7 @@ object Kql {
           var k = from
           val sb = new StringBuilder
           while (k < q.length && q(k) != '\\' && !q(k).isWhitespace &&
-            "():<>\"".indexOf(q(k)) < 0) { sb += q(k); k += 1 }
+            "(){}:<>\"".indexOf(q(k)) < 0) { sb += q(k); k += 1 }
           sb.result()
         }
         val kw = segmentAt(i).toLowerCase
@@ -124,11 +128,11 @@ object Kql {
             if (ch == '\\') {
               require(i + 1 < q.length, s"kql: dangling escape at end of <$q>")
               chars += EChar(q(i + 1), esc = true); i += 2
-            } else if ("():<>\"".indexOf(ch) >= 0) done = true
+            } else if ("(){}:<>\"".indexOf(ch) >= 0) done = true
             else if (ch.isWhitespace) {
               var j = i
               while (j < q.length && q(j).isWhitespace) j += 1
-              if (j >= q.length || "():<>\"".indexOf(q(j)) >= 0) done = true
+              if (j >= q.length || "(){}:<>\"".indexOf(q(j)) >= 0) done = true
               else if (q(j) == '\\') { chars += EChar(' ', esc = false); i = j }
               else if (Set("and", "or", "not").contains(segmentAt(j).toLowerCase)) done = true
               else { chars += EChar(' ', esc = false); i = j }

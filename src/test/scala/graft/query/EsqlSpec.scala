@@ -130,6 +130,7 @@ class EsqlSpec extends SparkSpecBase {
   }
 
   test("scalar function sweep: math, string, date") {
+    spark.sparkContext // force the lazy session: ROW resolves via SparkSession.active
     val r = Esql.run(
       """ROW a = ABS(-3), b = ROUND(2.567, 1), c = CONCAT("x", "-", "y"),
         d = TO_UPPER("ab"), e = LENGTH("abc"), f = LEFT("spark", 2), g = RIGHT("spark", 2),
@@ -148,7 +149,7 @@ class EsqlSpec extends SparkSpecBase {
     assert(r.getAs[Int]("h") == 7)
     assert(r.getAs[Int]("i") == 9)
     assert(r.getAs[Double]("j") == 1024.0)
-    assert(r.getAs[Int]("k") == 10)
+    assert(r.getAs[Long]("k") == 10L) // DATE_EXTRACT is long-typed (ES's rule)
     assert(r.getAs[String]("l") == "2024-03")
     assert(r.getAs[Long]("m") == 3L)
     assert(math.abs(r.getAs[Double]("n") - 3.0) < 1e-12)
@@ -381,6 +382,36 @@ class EsqlSpec extends SparkSpecBase {
       "FROM t | INLINESTATS k = COUNT_DISTINCT(lang) | KEEP k | LIMIT 1",
       resolve(Map("t" -> people))).collect()
     assert(cd.head.getAs[Long]("k") == 3L)
+  }
+
+  test("DATE_DIFF fixed-width trunc-toward-zero; DATE_EXTRACT ChronoFields; calendar units reject") {
+    // 2024-03-01 was a Friday (ISO day_of_week 5)
+    val out = Esql.run(
+      """FROM t | EVAL
+          dd = DATE_DIFF("day", TO_DATETIME("2024-02-28 00:00:00"), ts),
+          hh = DATE_DIFF("hour", TO_DATETIME("2024-03-01 09:00:00"), ts),
+          dow = DATE_EXTRACT("day_of_week", ts),
+          hod = DATE_EXTRACT("hour_of_day", ts)
+        | KEEP id, dd, hh, dow, hod | SORT id""",
+      resolve(Map("t" -> people))).collect()
+    // ts: 3/1 10:15, 3/1 11:45, 3/2 09:00, 3/2 23:59, 3/3 00:00
+    assert(out.map(_.getAs[Long]("dd")).toSeq == Seq(2L, 2L, 3L, 3L, 4L))
+    // hour diffs from 3/1 09:00: +1.25h->1, +2.75h->2, +24h->24, +38.98h->38, +39h->39
+    assert(out.map(_.getAs[Long]("hh")).toSeq == Seq(1L, 2L, 24L, 38L, 39L))
+    assert(out.map(_.getAs[Long]("dow")).toSeq == Seq(5L, 5L, 6L, 6L, 7L))
+    assert(out.map(_.getAs[Long]("hod")).toSeq == Seq(10L, 11L, 9L, 23L, 0L))
+    // trunc toward ZERO on a negative diff (not floor)
+    val neg = Esql.run(
+      """ROW x = DATE_DIFF("hour", TO_DATETIME("2024-03-01 10:00:00"),
+                                    TO_DATETIME("2024-03-01 09:30:00"))""",
+      resolve(Map.empty)).collect().head
+    assert(neg.getAs[Long]("x") == 0L)
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | EVAL m = DATE_DIFF("month", ts, ts)""",
+        resolve(Map("t" -> people)))).getMessage.contains("calendar units"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | EVAL m = DATE_EXTRACT("nano_of_day", ts)""",
+        resolve(Map("t" -> people)))).getMessage.contains("ChronoFields"))
   }
 
   test("TS + RATE/INCREASE compile onto the reset-adjusted counter-rate core") {

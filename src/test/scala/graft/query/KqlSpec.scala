@@ -71,6 +71,11 @@ class KqlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Kql.parse("quick and", Some("text")))
     intercept[IllegalArgumentException](Kql.parse("n >", Some("text")))
     intercept[IllegalArgumentException](Kql.parse("lang:(en or)", Some("text")))
+    // nested-query braces reject naming the seam; escaped braces are text
+    assert(intercept[IllegalArgumentException](
+      Kql.parse("items:{ n > 3 }", Some("text")))
+      .getMessage.contains("nested"))
+    assert(ids("""qui\{ck""") === Seq.empty) // literal { never matches
     // empty query is match_all (Kibana's empty bar)
     assert(ids("") === Seq(1L, 2L, 3L, 4L))
   }
