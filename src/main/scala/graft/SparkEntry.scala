@@ -7148,6 +7148,30 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_categorize" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL CATEGORIZE (8.18 GA): the categorize_text agg expressed as
+      // a STATS grouping function — the same row-local template
+      // (Aggs.categoryTemplate), so this is g_categorize_text's result
+      // through the pipe language, with MIN(doc_id) as the exemplar.
+      query.Esql.run(
+        """FROM documents
+          | STATS count = COUNT(*), example_id = MIN(doc_id) BY category = CATEGORIZE(text)
+          | SORT count DESC, category | LIMIT 10""",
+        t => load(dir, t))
+    }),
+
+    "esql_bucket_numeric" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL numeric BUCKET: the histogram form — integral width over
+      // n_chars, exact integer bucket starts.
+      query.Esql.run(
+        """FROM documents
+          | STATS n = COUNT(*) BY b = BUCKET(n_chars, 200)
+          | SORT b""",
+        t => load(dir, t))
+    }),
+
     "esql_date_functions" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES|QL DATE_DIFF + DATE_EXTRACT over the event stream: days since
@@ -12631,6 +12655,25 @@ object SparkEntry {
         |  SELECT doc_id, 1.0 / (60 + row_number() OVER (ORDER BY s DESC, doc_id)) AS c FROM b2)
         |SELECT doc_id, sum(c) AS _score FROM u
         |GROUP BY doc_id ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // CATEGORIZE restated: g_categorize_text's template SQL with the
+    // null group kept (the grouping-function delta from the agg's
+    // drop — stated in the compiler's scaladoc).
+    "esql_categorize" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, nullif(array_to_string(list_transform($duckToks,
+         |    t -> CASE WHEN regexp_matches(t, '[0-9]') THEN '*' ELSE t END),
+         |    ' '), '') AS category
+         |  FROM documents
+         |)
+         |SELECT count(*)::BIGINT AS count, min(doc_id) AS example_id, category
+         |FROM t GROUP BY category
+         |ORDER BY count DESC, category LIMIT 10""".stripMargin,
+
+    "esql_bucket_numeric" ->
+      """SELECT count(*)::BIGINT AS n,
+        |  (floor(n_chars / 200.0) * 200.0)::BIGINT AS b
+        |FROM documents GROUP BY 2 ORDER BY b""".stripMargin,
 
     // DATE_DIFF/DATE_EXTRACT restated: DuckDB's date_diff counts day
     // boundaries — equal to the engine's trunc((e-s)/day) exactly

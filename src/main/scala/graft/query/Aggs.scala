@@ -1492,11 +1492,20 @@ object Aggs {
     * class. One row-local projection + one hash aggregation — log-volume
     * shaped.
     */
+  /** The categorize_text TEMPLATE as a row-local scalar — digit-bearing
+    * tokens become `*`, the remaining word sequence is the category.
+    * Shared by [[categorizeText]] and ES|QL's `CATEGORIZE` grouping
+    * function (8.18), so the agg and the pipe language agree on what a
+    * category is.
+    */
+  def categoryTemplate(text: Column): Column =
+    concat_ws(" ", transform(
+      filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0),
+      t => when(t.rlike("[0-9]"), lit("*")).otherwise(t)))
+
   def categorizeText(
       df: DataFrame, idCol: String, textCol: String, n: Int = 10): DataFrame = {
-    val template = concat_ws(" ", transform(
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => length(t) > 0),
-      t => when(t.rlike("[0-9]"), lit("*")).otherwise(t)))
+    val template = categoryTemplate(col(textCol))
     df.where(col(textCol).isNotNull)
       .select(col(idCol).as("_id"), template.as("category"))
       .where(length(col("category")) > 0)

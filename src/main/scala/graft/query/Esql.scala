@@ -938,6 +938,21 @@ object Esql {
           s"esql: DATE_TRUNC supports 1-unit spans; $n $unit needs BUCKET")
       case _ => throw new IllegalArgumentException("esql: DATE_TRUNC(span, date)")
     }
+    case "CATEGORIZE" => args match {
+      // ES|QL CATEGORIZE (the 8.18 GA grouping function): the
+      // categorize_text template as a scalar — digit-bearing tokens
+      // become `*`, the word sequence is the category
+      // ([[Aggs.categoryTemplate]], the agg's exact row-local template,
+      // so `STATS … BY CATEGORIZE(f)` ≡ categorize_text at
+      // similarity_threshold 100; the order-free determinism delta is
+      // documented there). Null/unanalyzable text categorizes to NULL
+      // (the null group) where the agg drops it — same partition of the
+      // corpus, stated.
+      case Seq(f) =>
+        val tpl = Aggs.categoryTemplate(rec(f))
+        when(length(tpl) > 0, tpl)
+      case _ => throw new IllegalArgumentException("esql: CATEGORIZE(text)")
+    }
     case "DATE_DIFF" => args match {
       // ES|QL DATE_DIFF("unit", start, end): whole units from start to
       // end, truncated toward zero (ChronoUnit.between's rule) — exact
@@ -1026,7 +1041,15 @@ object Esql {
           throw new IllegalArgumentException(
             s"esql: no ladder width fits $t buckets over ${span / 1000000L} s — widen the target"))
         timestamp_micros((unix_micros(rec(d)) / width).cast("long") * width)
-      case _ => throw new IllegalArgumentException("esql: BUCKET(date, span) or BUCKET(date, target, from, to)")
+      // numeric span: floor(x / width) * width — the bucket START, ES's
+      // numeric-histogram form; one fixed IEEE tree, restated verbatim
+      case Seq(d, NumLit(w)) if w.contains('.') || w.toLowerCase.contains('e') =>
+        floor(rec(d) / lit(w.toDouble)) * lit(w.toDouble)
+      case Seq(d, NumLit(w)) =>
+        // integral width: exact integer arithmetic, long-typed buckets
+        (floor(rec(d).cast("double") / lit(w.toLong.toDouble)) * lit(w.toLong.toDouble)).cast("long")
+      case _ => throw new IllegalArgumentException(
+        "esql: BUCKET(date, span), BUCKET(date, target, from, to), or BUCKET(number, width)")
     }
     case "DATE_FORMAT" => args match {
       case Seq(StrLit(fmt), d) => date_format(rec(d), fmt)

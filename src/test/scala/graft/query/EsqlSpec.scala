@@ -384,6 +384,27 @@ class EsqlSpec extends SparkSpecBase {
     assert(cd.head.getAs[Long]("k") == 3L)
   }
 
+  test("CATEGORIZE groups by the categorize_text template; numeric BUCKET floors to width") {
+    val logs = Seq(
+      (1L, "connected to host 10"), (2L, "connected to host 42"),
+      (3L, "failed to parse line 7"), (4L, null.asInstanceOf[String]),
+      (5L, "..."), (6L, "connected to host 9"),
+    ).toDF("id", "msg")
+    val out = Esql.run(
+      """FROM t | STATS n = COUNT(*), ex = MIN(id) BY cat = CATEGORIZE(msg)
+        | SORT n DESC, cat NULLS LAST""",
+      resolve(Map("t" -> logs))).collect()
+    assert(out.map(r => (r.getAs[String]("cat"), r.getAs[Long]("n"))).toSeq ==
+      Seq(("connected to host *", 3L), (null, 2L), ("failed to parse line *", 1L)))
+    assert(out.head.getAs[Long]("ex") == 1L)
+    // numeric BUCKET: the bucket START, floor(x / width) * width
+    val b = Esql.run(
+      """FROM t | EVAL g = BUCKET(score, 15.0), gi = BUCKET(id, 2) | KEEP id, g, gi | SORT id""",
+      resolve(Map("t" -> people))).collect()
+    assert(b.map(_.getAs[Double]("g")).toSeq == Seq(30.0, 0.0, 15.0, 0.0, 30.0))
+    assert(b.map(_.getAs[Long]("gi")).toSeq == Seq(0L, 2L, 2L, 4L, 4L))
+  }
+
   test("DATE_DIFF fixed-width trunc-toward-zero; DATE_EXTRACT ChronoFields; calendar units reject") {
     // 2024-03-01 was a Friday (ISO day_of_week 5)
     val out = Esql.run(
