@@ -7291,6 +7291,91 @@ object SparkEntry {
           | STATS n = COUNT(*) BY lang | SORT lang""",
         t => load(dir, t), defaultField = Some("text"))
     }),
+
+    "esql_trig" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The trigonometric scalar family as one oracled page. Every value
+      // is ROUND(…, 6) so sub-ulp libm deltas between the JVM and DuckDB
+      // cannot surface; SCALB's 1.5·2⁴ is exact in both engines.
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 30
+          | EVAL x = doc_id / 10.0
+          | EVAL s = ROUND(SIN(x), 6), c = ROUND(COS(x), 6),
+              a2 = ROUND(ATAN2(x, 1.0 + x), 6), asn = ROUND(ASIN(x / 3.0), 6),
+              dg = ROUND(TO_DEGREES(x), 6), hy = ROUND(HYPOT(x, 1.0), 6),
+              th = ROUND(TANH(x), 6), sb = SCALB(1.5, 4)
+          | KEEP doc_id, s, c, a2, asn, dg, hy, th, sb | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_mv_stats" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ordered-set MV family over SPLIT-built arrays: the numeric
+      // up-cast means "9,10,2" medians as numbers (a lexicographic sort
+      // would put "10" first — the oracle would catch it), MV_ZIP keeps
+      // the longer side's tail, and the p-series fold runs in array order.
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 40
+          | EVAL parts = SPLIT(CONCAT(TO_STRING(n_chars), ",", TO_STRING(doc_id * 7 % 100), ",", TO_STRING(doc_id)), ",")
+          | EVAL med = MV_MEDIAN(parts), mad = MV_MEDIAN_ABSOLUTE_DEVIATION(parts),
+              p75 = MV_PERCENTILE(parts, 75), ps = ROUND(MV_PSERIES_WEIGHTED_SUM(parts, 1.5), 6),
+              z = MV_JOIN(MV_ZIP(SPLIT(CONCAT(lang, ",", source), ","), SPLIT(TO_STRING(n_chars), "."), "|"), ";")
+          | KEEP doc_id, med, mad, p75, ps, z | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_cast_hash" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The `::` inline-cast shorthand (sugar for TO_*) and the
+      // generalized HASH function — md5/sha256 restated verbatim in
+      // DuckDB (sha1/sha512 are spec-certified against MessageDigest;
+      // DuckDB ships neither).
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 30
+          | EVAL a = n_chars::double / 7.0, b = doc_id::string,
+              flag = (n_chars > 200)::string,
+              hm = HASH("md5", source), hs = HASH("sha256", CONCAT(lang, source))
+          | KEEP doc_id, a, b, flag, hm, hs | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_date_parse_ip" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // DATE_PARSE (null on unparseable — ES's warning path) rendered
+      // back through DATE_FORMAT so the oracle compares strings, not
+      // timestamp encodings; TO_IP validation and IP_PREFIX /20 masking
+      // restated as integer arithmetic in DuckDB.
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 50
+          | EVAL ds = CONCAT("2024/03/0", TO_STRING(doc_id % 9 + 1), " 07:0", TO_STRING(doc_id % 10)),
+              d = DATE_FORMAT("yyyy-MM-dd HH:mm", DATE_PARSE("yyyy/MM/dd HH:mm", ds)),
+              ip = CONCAT("10.", TO_STRING(doc_id % 256), ".", TO_STRING(doc_id * 3 % 256), ".", TO_STRING(doc_id % 250 + 1)),
+              v = TO_IP(ip), pfx = IP_PREFIX(ip, 20, 0),
+              bad = TO_IP(CONCAT("300.", TO_STRING(doc_id), ".1.1"))
+          | KEEP doc_id, d, ip, v, pfx, bad | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_spatial" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ST_* family end-to-end over the synthetic customer
+      // coordinates (q_geo_shape_polygon's concave-pentagon fixture as
+      // WKT): TO_GEOPOINT round-trips lon/lat through WKT text (Spark's
+      // double→string→double is exact), ST_INTERSECTS ray-casts
+      // bit-exactly against geoCrossingsSql, and ST_DISTANCE haversine
+      // is rounded per-row to 2 decimals (cm) before the 1-decimal
+      // group average so libm ulps and summation order cannot surface.
+      query.Esql.run(
+        """FROM customer
+          | EVAL lat = ((c_acctbal % 180.0) + 180.0) % 180.0 - 90.0 + 0.001,
+              lon = ((c_custkey % 360) + 360) % 360 - 180 + 0.001,
+              pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ", TO_STRING(lat), ")")),
+              inside = ST_INTERSECTS(pt, TO_GEOSHAPE("POLYGON ((-150 -60, -150 60, -30 60, -30 -60, -90 0, -150 -60))")),
+              d = ROUND(ST_DISTANCE(pt, TO_GEOPOINT("POINT (0 0)")), 2)
+          | WHERE ST_WITHIN(pt, TO_GEOSHAPE("POLYGON ((-180 -90, 180 -90, 180 90, -180 90, -180 -90))"))
+          | STATS n = COUNT(*), avg_d = ROUND(AVG(d), 1) BY inside | SORT inside""",
+        t => load(dir, t))
+    }),
   ))
 
   // ---------------------------------------------------------------------
@@ -12619,6 +12704,86 @@ object SparkEntry {
          |  AND ${phrasePrefixSql("text", "merge")}
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // trig restatements: TANH via its exp identity and HYPOT via the naive
+    // sqrt (DuckDB ships neither) — ROUND(…, 6) absorbs the formula-level
+    // ulp deltas on both sides.
+    "esql_trig" ->
+      """SELECT doc_id,
+        |  round(sin(doc_id / 10.0), 6) AS s,
+        |  round(cos(doc_id / 10.0), 6) AS c,
+        |  round(atan2(doc_id / 10.0, 1.0 + doc_id / 10.0), 6) AS a2,
+        |  round(asin(doc_id / 10.0 / 3.0), 6) AS asn,
+        |  round(degrees(doc_id / 10.0), 6) AS dg,
+        |  round(sqrt((doc_id / 10.0) * (doc_id / 10.0) + 1.0), 6) AS hy,
+        |  round((exp(2 * (doc_id / 10.0)) - 1) / (exp(2 * (doc_id / 10.0)) + 1), 6) AS th,
+        |  CAST(24.0 AS DOUBLE) AS sb
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
+
+    "esql_mv_stats" ->
+      """WITH l AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    [CAST(n_chars AS DOUBLE), CAST(doc_id * 7 % 100 AS DOUBLE),
+        |     CAST(doc_id AS DOUBLE)] AS parts
+        |  FROM documents WHERE doc_id < 40
+        |)
+        |SELECT doc_id,
+        |  list_aggregate(parts, 'median') AS med,
+        |  list_aggregate(list_transform(parts,
+        |    x -> abs(x - list_aggregate(parts, 'median'))), 'median') AS mad,
+        |  list_aggregate(parts, 'quantile_cont', 0.75) AS p75,
+        |  round(parts[1] / 1.0 + parts[2] / pow(2.0, 1.5) + parts[3] / pow(3.0, 1.5), 6) AS ps,
+        |  lang || '|' || CAST(n_chars AS VARCHAR) || ';' || source AS z
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "esql_date_parse_ip" ->
+      """SELECT doc_id,
+        |  strftime(strptime('2024/03/0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+        |      || ' 07:0' || CAST(doc_id % 10 AS VARCHAR), '%Y/%m/%d %H:%M'),
+        |    '%Y-%m-%d %H:%M') AS d,
+        |  '10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id * 3 % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 250 + 1 AS VARCHAR) AS ip,
+        |  '10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id * 3 % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 250 + 1 AS VARCHAR) AS v,
+        |  '10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id * 3 % 256) // 16 * 16 AS VARCHAR) || '.0' AS pfx,
+        |  CAST(NULL AS VARCHAR) AS bad
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "esql_spatial" -> {
+      val pentagon = Seq(Seq(
+        (-60.0, -150.0), (60.0, -150.0), (60.0, -30.0), (-60.0, -30.0),
+        (0.0, -90.0)))
+      val world = Seq(Seq(
+        (-90.0, -180.0), (-90.0, 180.0), (90.0, 180.0), (90.0, -180.0)))
+      s"""WITH pts AS (
+         |  SELECT c_custkey,
+         |    fmod(fmod(c_acctbal, 180.0) + 180.0, 180.0) - 90.0 + 0.001 AS lat,
+         |    (c_custkey % 360 + 360) % 360 - 180 + 0.001 AS lon
+         |  FROM customer
+         |), rel AS (
+         |  SELECT c_custkey, lat, lon,
+         |    ${geoCrossingsSql(pentagon)} % 2 = 1 AS inside,
+         |    ${geoCrossingsSql(world)} % 2 = 1 AS inworld,
+         |    round(2 * CAST(6371008.7714 AS DOUBLE) * asin(sqrt(
+         |      pow(sin(radians(0.0 - lat) / 2), 2)
+         |      + cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2))), 2) AS d
+         |  FROM pts
+         |)
+         |SELECT count(*) AS n, round(avg(d), 1) AS avg_d, inside
+         |FROM rel WHERE inworld GROUP BY inside ORDER BY inside""".stripMargin
+    },
+
+    "esql_cast_hash" ->
+      """SELECT doc_id,
+        |  CAST(n_chars AS DOUBLE) / 7.0 AS a,
+        |  CAST(doc_id AS VARCHAR) AS b,
+        |  CAST(n_chars > 200 AS VARCHAR) AS flag,
+        |  md5(source) AS hm,
+        |  sha256(lang || source) AS hs
+        |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin,
 
     "esql_change_point" ->
       """WITH s AS (

@@ -103,7 +103,7 @@ object Esql {
     def isKw(kw: String): Boolean = kind == IdentK && text.equalsIgnoreCase(kw)
   }
 
-  private val Puncts2 = Seq("==", "!=", "<=", ">=")
+  private val Puncts2 = Seq("==", "!=", "<=", ">=", "::")
 
   private def tokenize(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -667,7 +667,34 @@ object Esql {
 
     private def unary(): Expr =
       if (peekIs("-")) { advance(); Neg(unary()) }
-      else primary()
+      else postfixCast(primary())
+
+    /** ES|QL's inline-cast shorthand `expr::type` — sugar for the TO_*
+      * conversion function of the same type, so `n::long` and
+      * `TO_LONG(n)` compile identically. Binds tighter than unary minus
+      * (ES's grammar): `-x::long` negates the cast result.
+      */
+    private def postfixCast(e0: Expr): Expr = {
+      var e = e0
+      while (peekIs("::")) {
+        advance()
+        val t = advance()
+        require(t.kind == IdentK, s"esql: '::' must be followed by a type name, found '${t.text}'")
+        val fn = t.text.toUpperCase match {
+          case "INTEGER" | "INT" => "TO_INTEGER"
+          case "LONG" => "TO_LONG"
+          case "DOUBLE" => "TO_DOUBLE"
+          case "STRING" | "KEYWORD" | "TEXT" => "TO_STRING"
+          case "BOOLEAN" | "BOOL" => "TO_BOOLEAN"
+          case "DATETIME" | "DATE" => "TO_DATETIME"
+          case other => throw new IllegalArgumentException(
+            s"esql: unsupported inline-cast type '$other' " +
+              "(integer/long/double/string/boolean/datetime)")
+        }
+        e = Fn(fn, Seq(e))
+      }
+      e
+    }
 
     private val SpanUnits = Set(
       "year", "years", "quarter", "quarters", "month", "months",
@@ -733,7 +760,8 @@ object Esql {
 
   private val AggNames = Set(
     "COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX",
-    "MEDIAN", "PERCENTILE", "WEIGHTED_AVG", "VALUES", "TOP")
+    "MEDIAN", "PERCENTILE", "WEIGHTED_AVG", "VALUES", "TOP",
+    "STD_DEV", "MEDIAN_ABSOLUTE_DEVIATION")
 
   /** ES|QL wildcard (`*`/`?`, with everything else literal) → anchored
     * Java regex.
@@ -1099,11 +1127,104 @@ object Esql {
         slice(rec(a), st + 1, en - st + 1)
       case _ => throw new IllegalArgumentException("esql: MV_SLICE(array, start, end) with literal bounds")
     }
+    // The ordered-set MV family. Each casts the array to array<double>
+    // up front (ES applies numeric conversion per-value over multivalued
+    // fields), so SPLIT-built string arrays sort NUMERICALLY, not
+    // lexicographically.
+    case "MV_MEDIAN" => mvMedianSorted(array_sort(one(name, args, rec).cast("array<double>")))
+    case "MV_MEDIAN_ABSOLUTE_DEVIATION" => {
+      // median(|x − median(x)|) — exact, row-local (ES's agg form is
+      // tdigest-approximate; the MV form is exact there too)
+      val a = one(name, args, rec).cast("array<double>")
+      val med = mvMedianSorted(array_sort(a))
+      mvMedianSorted(array_sort(transform(a, x => abs(x - med))))
+    }
+    case "MV_PERCENTILE" => args match {
+      // exact linear interpolation over the sorted values (R-7, the rule
+      // ES documents for mv_percentile); p outside [0, 100] yields null
+      // (ES: null + warning)
+      case Seq(a, p) =>
+        val s = array_sort(rec(a).cast("array<double>"))
+        val n = size(s)
+        val pc = rec(p).cast("double")
+        val ix = pc / 100.0 * (n - 1)
+        val lo = floor(ix).cast("int")
+        val atLo = get(s, lo)
+        val interp = atLo + (ix - lo.cast("double")) * (get(s, lo + 1) - atLo)
+        when(n > 0 && pc >= 0.0 && pc <= 100.0,
+          when(ix === lo.cast("double"), atLo).otherwise(interp))
+      case _ => throw new IllegalArgumentException("esql: MV_PERCENTILE(array, percentile)")
+    }
+    case "MV_APPEND" =>
+      require(args.length == 2, "esql: MV_APPEND(array1, array2)")
+      concat(rec(args(0)), rec(args(1)))
+    case "MV_ZIP" => {
+      // pairwise string join; the LONGER side's unmatched tail values pass
+      // through unjoined (ES's rule — zip_with pads the shorter side with
+      // null, and the null side folds away)
+      val d = args match {
+        case Seq(_, _) => ","
+        case Seq(_, _, StrLit(s)) => s
+        case _ => throw new IllegalArgumentException("esql: MV_ZIP(array1, array2[, \"delimiter\"])")
+      }
+      zip_with(rec(args(0)), rec(args(1)),
+        (x, y) => when(x.isNull, y).when(y.isNull, x).otherwise(concat(x, lit(d), y)))
+    }
+    case "MV_PSERIES_WEIGHTED_SUM" => args match {
+      // Σ vᵢ / (i+1)^p in array order — ES's relevance-weighted fold
+      case Seq(a, NumLit(p)) =>
+        val arr = rec(a).cast("array<double>")
+        val terms = transform(arr, (x, i) => x / pow(i.cast("double") + 1.0, lit(p.toDouble)))
+        aggregate(terms, lit(0.0), (acc, x) => acc + x)
+      case _ => throw new IllegalArgumentException("esql: MV_PSERIES_WEIGHTED_SUM(array, literal-p)")
+    }
     case "PI" => require(args.isEmpty, "esql: PI takes no arguments"); lit(math.Pi)
     case "E" => require(args.isEmpty, "esql: E takes no arguments"); lit(math.E)
     case "TAU" => require(args.isEmpty, "esql: TAU takes no arguments"); lit(2 * math.Pi)
     case "SIGNUM" => signum(one(name, args, rec))
     case "CBRT" => cbrt(one(name, args, rec))
+    // the trigonometric family — each delegates to the codegen'd Spark
+    // function (JVM StrictMath-adjacent libm; oracles round to 6 digits
+    // so sub-ulp engine deltas cannot surface)
+    case "SIN" => sin(one(name, args, rec))
+    case "COS" => cos(one(name, args, rec))
+    case "TAN" => tan(one(name, args, rec))
+    case "ASIN" => asin(one(name, args, rec))
+    case "ACOS" => acos(one(name, args, rec))
+    case "ATAN" => atan(one(name, args, rec))
+    case "ATAN2" =>
+      require(args.length == 2, "esql: ATAN2(y, x)")
+      atan2(rec(args(0)), rec(args(1)))
+    case "SINH" => sinh(one(name, args, rec))
+    case "COSH" => cosh(one(name, args, rec))
+    case "TANH" => tanh(one(name, args, rec))
+    case "TO_DEGREES" => degrees(one(name, args, rec))
+    case "TO_RADIANS" => radians(one(name, args, rec))
+    case "HYPOT" =>
+      require(args.length == 2, "esql: HYPOT(a, b)")
+      hypot(rec(args(0)), rec(args(1)))
+    case "SCALB" =>
+      // d · 2^n. Both factors are exact doubles for any in-range integer
+      // n, and multiplication is correctly rounded — so the product IS
+      // Math.scalb away from overflow/subnormal edges.
+      require(args.length == 2, "esql: SCALB(d, scaleFactor)")
+      rec(args(0)).cast("double") * pow(lit(2.0), rec(args(1)).cast("double"))
+    case "HASH" => args match {
+      // ES|QL 8.16 HASH("algorithm", input) — the generalized form of the
+      // named digest functions; the algorithm must be a literal so an
+      // unsupported one fails at compile, not per-row.
+      case Seq(StrLit(alg), v) => alg.toLowerCase.replace("-", "") match {
+        case "md5" => md5(rec(v).cast("binary"))
+        case "sha1" => sha1(rec(v).cast("binary"))
+        case "sha224" => sha2(rec(v).cast("binary"), 224)
+        case "sha256" => sha2(rec(v).cast("binary"), 256)
+        case "sha384" => sha2(rec(v).cast("binary"), 384)
+        case "sha512" => sha2(rec(v).cast("binary"), 512)
+        case other => throw new IllegalArgumentException(
+          s"esql: HASH algorithm '$other' not supported (md5/sha1/sha224/sha256/sha384/sha512)")
+      }
+      case _ => throw new IllegalArgumentException("esql: HASH(\"algorithm\", input) with a literal algorithm")
+    }
     case "TRUNC" => args match {
       // truncation TOWARD ZERO (ES|QL's rule; round() is half-up). The
       // long cast is the toward-zero step; scale by a literal power of 10.
@@ -1150,6 +1271,80 @@ object Esql {
         }
         ranges.reduce(_ || _)
       case _ => throw new IllegalArgumentException("esql: CIDR_MATCH(ip, \"block\", …)")
+    }
+    // ----- spatial (the ES|QL ST_* family over geo_point data) -----
+    case "TO_GEOPOINT" => {
+      // WKT "POINT (x y)" → struct{x, y} (x = lon, y = lat — WKT axis
+      // order). Non-matching strings yield null, ES's null + warning.
+      val s = one(name, args, rec)
+      // the char class includes '-' INSIDE the number too: Spark renders
+      // tiny doubles as "9.99E-4" and the exponent's sign must match
+      val rx = "^\\s*POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)\\s*$"
+      when(s.rlike(rx), struct(
+        regexp_extract(s, rx, 1).cast("double").as("x"),
+        regexp_extract(s, rx, 2).cast("double").as("y")))
+    }
+    case "TO_GEOSHAPE" =>
+      throw new IllegalArgumentException(
+        "esql: TO_GEOSHAPE values only appear as the literal shape argument " +
+          "of an ST_* predicate — this engine's geo columns are points")
+    case "ST_X" => one(name, args, rec).getField("x")
+    case "ST_Y" => one(name, args, rec).getField("y")
+    case "ST_DISTANCE" =>
+      // geo_point distance in METERS — ES's haversine over the mean earth
+      // radius. The oracle restates the formula operation-for-operation,
+      // so only libm ulps differ (absorbed by the query-level ROUND).
+      require(args.length == 2, "esql: ST_DISTANCE(pointA, pointB)")
+      val (a, b) = (rec(args(0)), rec(args(1)))
+      haversineMeters(a.getField("y"), a.getField("x"), b.getField("y"), b.getField("x"))
+    case rel @ ("ST_INTERSECTS" | "ST_WITHIN" | "ST_CONTAINS" | "ST_DISJOINT") =>
+      require(args.length == 2, s"esql: $rel(geometryA, geometryB)")
+      compileSpatialRelation(rel, args, rec)
+    case "DATE_PARSE" => args match {
+      // DATE_PARSE("pattern", string) — Java DateTimeFormatter patterns
+      // (ES|QL's convention and Spark's; the shared dialect is why the
+      // pattern must be a literal: an unsupported directive fails at
+      // compile, not per-row). Unparseable values yield null, ES's
+      // null + warning behavior (try_to_timestamp, not the ANSI throw).
+      case Seq(StrLit(pattern), v) => try_to_timestamp(rec(v), lit(pattern))
+      case Seq(_) => throw new IllegalArgumentException(
+        "esql: DATE_PARSE without a pattern uses ES's strict_date_optional_time " +
+          "mapping format — pass the pattern explicitly (the mapping seam)")
+      case _ => throw new IllegalArgumentException("esql: DATE_PARSE(\"pattern\", string)")
+    }
+    case "TO_IP" => {
+      // validates an IPv4 dotted quad: valid → the canonical string, no
+      // leading zeros (ES's default leading_zeros=reject → null +
+      // warning), malformed → null. IPv6 is a LOUD per-row seam — a
+      // valid v6 address silently nulled would be a wrong answer.
+      val s = one(name, args, rec)
+      val v4 = "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+      when(s.rlike(v4), s)
+        .when(s.contains(":"),
+          raise_error(concat(lit("esql: TO_IP cannot parse IPv6 (stated seam): "), s)))
+        .otherwise(lit(null).cast("string"))
+    }
+    case "IP_PREFIX" => args match {
+      // IP_PREFIX(ip, v4len, v6len): the network address of the ip's
+      // /len block. v4 only (the v6 length is accepted for ES signature
+      // parity but any v6 VALUE raises — same loud seam as TO_IP).
+      case Seq(ipArg, NumLit(p4), NumLit(_)) =>
+        val p = p4.toInt
+        require(p >= 0 && p <= 32, s"esql: IP_PREFIX v4 length out of range: $p")
+        val ip = rec(ipArg)
+        val mask = if (p == 0) 0L else (0xFFFFFFFFL << (32 - p)) & 0xFFFFFFFFL
+        val masked = Aggs.ipToLong(ip).bitwiseAND(lit(mask))
+        val quad = concat_ws(".",
+          shiftright(masked, 24).bitwiseAND(lit(255L)),
+          shiftright(masked, 16).bitwiseAND(lit(255L)),
+          shiftright(masked, 8).bitwiseAND(lit(255L)),
+          masked.bitwiseAND(lit(255L)))
+        when(ip.contains(":"),
+          raise_error(concat(lit("esql: IP_PREFIX cannot parse IPv6 (stated seam): "), ip)))
+          .otherwise(when(masked.isNotNull, quad))
+      case _ => throw new IllegalArgumentException(
+        "esql: IP_PREFIX(ip, v4PrefixLength, v6PrefixLength) with literal lengths")
     }
     case "MATCH" => args match {
       // ES|QL's full-text MATCH function (8.16): the match query's
@@ -1204,6 +1399,118 @@ object Esql {
   private def locate_(s: Column, sub: Column): Column =
     call_function("locate", sub, s)
 
+  /** WKT `POLYGON ((x y, …)[, (hole …)…])` → rings as (lat, lon) vertex
+    * lists ([[FilterSpec.GeoShape]]'s tuple order; WKT itself is x-y =
+    * lon-lat). The closing duplicate vertex WKT requires is dropped.
+    * Parsed at COMPILE time — the shape is always a query literal.
+    */
+  private[query] def parseWktPolygon(wkt: String): Seq[Seq[(Double, Double)]] = {
+    val t = wkt.trim
+    require(t.toUpperCase.startsWith("POLYGON"),
+      s"esql: TO_GEOSHAPE supports POLYGON WKT (holes included), got '${t.take(24)}'")
+    val body = t.drop("POLYGON".length).trim
+    require(body.startsWith("(") && body.endsWith(")"), s"esql: malformed WKT <$wkt>")
+    val ringStrs = body.substring(1, body.length - 1)
+      .split("\\)\\s*,\\s*\\(").map(_.replaceAll("[()]", "").trim).toSeq
+    ringStrs.map { rs =>
+      val pts = rs.split(",").map(_.trim).toSeq.map { p =>
+        val xy = p.split("\\s+")
+        require(xy.length == 2, s"esql: malformed WKT vertex '$p'")
+        (xy(1).toDouble, xy(0).toDouble)
+      }
+      val ring = if (pts.size > 1 && pts.head == pts.last) pts.dropRight(1) else pts
+      require(ring.size >= 3, "esql: a WKT ring needs >= 3 distinct vertices")
+      ring
+    }
+  }
+
+  /** [[FilterSpec.GeoShape]]'s even-odd crossing sum generalized to Column
+    * coordinates — pure +,−,×,÷, so the oracle restatement
+    * (`SparkEntry.geoCrossingsSql`) is bit-exact, no libm margin. A null
+    * point counts zero crossings (`when` reads a null condition as false)
+    * — callers add the explicit null guard their relation needs.
+    */
+  private def rayCastInside(lat: Column, lon: Column,
+      rings: Seq[Seq[(Double, Double)]]): Column = {
+    val crossings = rings.flatMap { ring =>
+      val n = ring.size
+      (0 until n).map { i =>
+        val (yi, xi) = ring(i)
+        val (yj, xj) = ring((i + 1) % n)
+        val crosses = (lit(yi) > lat) =!= (lit(yj) > lat)
+        val leftOf = lon <
+          (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)
+        when(crosses && leftOf, lit(1)).otherwise(lit(0))
+      }
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** Haversine great-circle distance in meters over ES's mean earth
+    * radius (6371008.7714 m — Lucene's GeoUtils.EARTH_MEAN_RADIUS).
+    */
+  private def haversineMeters(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val h = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * 6371008.7714) * asin(sqrt(h))
+  }
+
+  /** The four ST_* spatial predicates. The shape side must be a LITERAL
+    * `TO_GEOSHAPE("POLYGON …")` (parsed at compile); with no shape
+    * argument both sides are points and the relations degenerate to
+    * coordinate equality. Argument order is checked, not guessed:
+    * `within` needs the point on the left, `contains` the shape on the
+    * left — the impossible orders reject loudly. Documents with a null
+    * point match NEITHER a relation nor its complement (ES's
+    * missing-field rule, the GeoShape/GeoEnvelope precedent).
+    */
+  private def compileSpatialRelation(rel: String, args: Seq[Expr],
+      rec: Expr => Column): Column = {
+    def shapeLit(e: Expr): Option[Seq[Seq[(Double, Double)]]] = e match {
+      case Fn("TO_GEOSHAPE", Seq(StrLit(wkt))) => Some(parseWktPolygon(wkt))
+      case _ => None
+    }
+    (shapeLit(args(0)), shapeLit(args(1))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          s"esql: $rel over two literal shapes is a constant — fold it out of the query")
+      case (None, None) =>
+        val (a, b) = (rec(args(0)), rec(args(1)))
+        val eq = a.getField("x") === b.getField("x") && a.getField("y") === b.getField("y")
+        if (rel == "ST_DISJOINT") a.isNotNull && b.isNotNull && !eq else eq
+      case (sa, sb) =>
+        if (rel == "ST_WITHIN" && sa.isDefined)
+          throw new IllegalArgumentException(
+            "esql: ST_WITHIN(shape, point) is impossible — a 2-D shape is never " +
+              "within a point; write ST_WITHIN(point, shape)")
+        if (rel == "ST_CONTAINS" && sb.isDefined)
+          throw new IllegalArgumentException(
+            "esql: ST_CONTAINS(point, shape) is impossible for a point document; " +
+              "write ST_CONTAINS(shape, point)")
+        val rings = sa.orElse(sb).get
+        val pt = rec(if (sa.isDefined) args(1) else args(0))
+        val inside = rayCastInside(pt.getField("y"), pt.getField("x"), rings)
+        if (rel == "ST_DISJOINT") pt.isNotNull && !inside
+        else pt.isNotNull && inside
+    }
+  }
+
+  /** Median of an ALREADY-SORTED numeric array: the middle value, or the
+    * average of the two middles on an even count (always double-typed —
+    * ES|QL's integer form rounds the even-count average down, a stated
+    * delta). Empty → null.
+    */
+  private def mvMedianSorted(s: Column): Column = {
+    val n = size(s)
+    val mid = floor((n - 1).cast("double") / 2.0).cast("int")
+    when(n > 0,
+      when(n % 2 === 1, get(s, mid))
+        .otherwise((get(s, mid) + get(s, mid + 1)) / 2.0))
+  }
+
   /** One aggregate call, optionally under a per-aggregate `WHERE` filter
     * (the 8.13 form): the filter wraps each fed value in `when(cond, v)`,
     * and every aggregate here skips nulls — exactly ES's
@@ -1227,6 +1534,19 @@ object Esql {
         // one fixed tree: sum(v·w) / sum(w) — ES|QL's weighted_avg
         val (v, w) = (compileExpr(a), compileExpr(wt))
         sum(g(v * w)) / sum(g(w))
+      case Fn("STD_DEV", Seq(a)) =>
+        // population stddev — ES|QL's STD_DEV matches extended_stats'
+        // std_deviation (population, Welford-computed)
+        stddev_pop(g(compileExpr(a)))
+      case Fn("MEDIAN_ABSOLUTE_DEVIATION", _) =>
+        // exact MAD needs the group median BEFORE the deviation pass — two
+        // aggregates over the data, not one. Loud reject with the rewrite
+        // (the INLINESTATS ordered-set precedent) instead of a silent
+        // collect_list memory bomb on large groups.
+        throw new IllegalArgumentException(
+          "esql: MEDIAN_ABSOLUTE_DEVIATION needs two passes — run STATS m = MEDIAN(x) BY k, " +
+            "LOOKUP JOIN the result back, then STATS MEDIAN(ABS(x - m)) BY k " +
+            "(row-local arrays: MV_MEDIAN_ABSOLUTE_DEVIATION)")
       case Fn("VALUES", Seq(a)) => array_sort(collect_set(g(compileExpr(a))))
       case Fn("TOP", Seq(a, NumLit(n), StrLit(order))) =>
         val sorted = order.toLowerCase match {

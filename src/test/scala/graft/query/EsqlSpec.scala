@@ -580,6 +580,181 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("start <= end"))
   }
 
+  test("math/trig family: exact anchor points") {
+    val r = Esql.run(
+      """ROW s = SIN(0.0), c = COS(0.0), t = TAN(0.0), asn = ASIN(1.0),
+        at2 = ATAN2(0.0, 1.0), dg = TO_DEGREES(PI()), rd = TO_RADIANS(180.0),
+        hy = HYPOT(3.0, 4.0), sb = SCALB(1.5, 5),
+        sh = SINH(0.0), ch = COSH(0.0), th = TANH(0.0)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[Double]("s") == 0.0)
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Double]("t") == 0.0)
+    assert(r.getAs[Double]("asn") == math.Pi / 2)
+    assert(r.getAs[Double]("at2") == 0.0)
+    assert(r.getAs[Double]("dg") == 180.0)
+    assert(r.getAs[Double]("rd") == math.Pi)
+    assert(r.getAs[Double]("hy") == 5.0)
+    assert(r.getAs[Double]("sb") == 48.0) // 1.5 · 2^5, exact
+    assert(r.getAs[Double]("sh") == 0.0)
+    assert(r.getAs[Double]("ch") == 1.0)
+    assert(r.getAs[Double]("th") == 0.0)
+  }
+
+  test("HASH: generalized digests agree with MessageDigest; unknown algorithm rejects at compile") {
+    val r = Esql.run("""ROW h1 = HASH("sha1", "abc"), h5 = HASH("SHA-512", "abc"), hm = HASH("md5", "abc")""",
+      resolve(Map.empty)).collect().head
+    def ref(alg: String): String =
+      java.security.MessageDigest.getInstance(alg).digest("abc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("h1") == ref("SHA-1"))
+    assert(r.getAs[String]("h5") == ref("SHA-512"))
+    assert(r.getAs[String]("hm") == ref("MD5"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = HASH("crc32", "abc")""", resolve(Map.empty)))
+      .getMessage.contains("not supported"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = HASH(name, "abc")""", resolve(Map("t" -> people))))
+      .getMessage.contains("literal algorithm"))
+  }
+
+  test("inline cast shorthand :: — sugar for TO_*; unknown type rejects") {
+    val r = Esql.run(
+      """ROW a = "12"::long + 1, b = 3.9::integer, c = -"2"::long,
+        d = TRUE::string, e = "2024-03-01 10:00:00"::datetime""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[Long]("a") == 13L)
+    assert(r.getAs[Int]("b") == 3) // toward zero, TO_INTEGER's rule
+    assert(r.getAs[Long]("c") == -2L) // :: binds tighter than unary minus
+    assert(r.getAs[String]("d") == "true")
+    assert(r.getAs[java.sql.Timestamp]("e").toString.startsWith("2024-03-01 10:00"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = "1"::ip""", resolve(Map.empty)))
+      .getMessage.contains("unsupported inline-cast type"))
+    // chained casts fold left: 3.9::integer::string
+    val chained = Esql.run("""ROW x = 3.9::integer::string""", resolve(Map.empty)).collect().head
+    assert(chained.getString(0) == "3")
+  }
+
+  test("MV ordered-set family: median/MAD/percentile sort NUMERICALLY; zip keeps the longer tail") {
+    val r = Esql.run(
+      """ROW m = MV_MEDIAN(SPLIT("9,10,2", ",")), me = MV_MEDIAN(SPLIT("1,2,3,4", ",")),
+        mad = MV_MEDIAN_ABSOLUTE_DEVIATION(SPLIT("1,2,3,100", ",")),
+        p25 = MV_PERCENTILE(SPLIT("0,10", ","), 25), p100 = MV_PERCENTILE(SPLIT("5,1", ","), 100),
+        bad = MV_PERCENTILE(SPLIT("1,2", ","), 150),
+        ap = MV_JOIN(MV_APPEND(SPLIT("a,b", ","), SPLIT("c", ",")), "+"),
+        z = MV_JOIN(MV_ZIP(SPLIT("a,b,c", ","), SPLIT("1,2", ","), "-"), ";"),
+        ps = MV_PSERIES_WEIGHTED_SUM(SPLIT("8,4", ","), 1.0)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    // "9,10,2" sorted numerically is [2,9,10] → 9; lexicographic would put "10" first
+    assert(r.getAs[Double]("m") == 9.0)
+    assert(r.getAs[Double]("me") == 2.5)
+    // median 2.5; |x−2.5| sorted = [.5,.5,1.5,97.5] → (0.5+1.5)/2
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Double]("p25") == 2.5) // R-7: 0 + 0.25·(10−0)
+    assert(r.getAs[Double]("p100") == 5.0) // sorted [1,5], index n−1 exactly
+    assert(r.isNullAt(r.fieldIndex("bad"))) // out-of-range percentile → null
+    assert(r.getAs[String]("ap") == "a+b+c")
+    assert(r.getAs[String]("z") == "a-1;b-2;c") // unmatched tail passes through
+    assert(r.getAs[Double]("ps") == 10.0) // 8/1^1 + 4/2^1
+  }
+
+  test("STATS STD_DEV is population stddev; MEDIAN_ABSOLUTE_DEVIATION rejects with the rewrite") {
+    val sd = Esql.run("FROM t | STATS sd = STD_DEV(score)", resolve(Map("t" -> people)))
+      .collect().head.getDouble(0)
+    // scores 30,10,25,5,40: mean 22, pop var 830/5 = 166
+    assert(math.abs(sd - math.sqrt(166.0)) < 1e-12)
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(score)", resolve(Map("t" -> people))))
+      .getMessage.contains("two passes"))
+  }
+
+  test("DATE_PARSE round-trips through DATE_FORMAT; bad input → null; patternless form rejects") {
+    val r = Esql.run(
+      """ROW d = DATE_FORMAT("yyyy-MM-dd", DATE_PARSE("yyyy/MM/dd", "2024/03/05")),
+        bad = DATE_PARSE("yyyy-MM-dd", "not a date")""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[String]("d") == "2024-03-05")
+    assert(r.isNullAt(r.fieldIndex("bad")))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = DATE_PARSE("2024-01-01")""", resolve(Map.empty)))
+      .getMessage.contains("strict_date_optional_time"))
+  }
+
+  test("TO_IP validates v4 (leading zeros reject → null); IP_PREFIX masks; IPv6 raises loudly") {
+    val r = Esql.run(
+      """ROW ok = TO_IP("10.20.30.40"), over = TO_IP("999.1.1.1"),
+        lz = TO_IP("01.2.3.4"), junk = TO_IP("not-an-ip"),
+        p24 = IP_PREFIX("1.2.3.4", 24, 0), p20 = IP_PREFIX("1.2.35.4", 20, 0),
+        p0 = IP_PREFIX("1.2.3.4", 0, 0)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[String]("ok") == "10.20.30.40")
+    assert(r.isNullAt(r.fieldIndex("over")))
+    assert(r.isNullAt(r.fieldIndex("lz")))
+    assert(r.isNullAt(r.fieldIndex("junk")))
+    assert(r.getAs[String]("p24") == "1.2.3.0")
+    assert(r.getAs[String]("p20") == "1.2.32.0") // 35 & 0xF0 = 32
+    assert(r.getAs[String]("p0") == "0.0.0.0")
+    // the IPv6 seam is LOUD, not a silent null
+    val e6 = intercept[Exception](
+      Esql.run("""ROW x = TO_IP("::1")""", resolve(Map.empty)).collect())
+    assert(e6.getMessage.contains("IPv6"))
+    val e6p = intercept[Exception](
+      Esql.run("""ROW x = IP_PREFIX("::1", 24, 64)""", resolve(Map.empty)).collect())
+    assert(e6p.getMessage.contains("IPv6"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = IP_PREFIX("1.2.3.4", 40, 0)""", resolve(Map.empty)))
+      .getMessage.contains("out of range"))
+  }
+
+  test("ST_* spatial family: even-odd relations, holes, WKT axis order, haversine") {
+    val sq = """POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"""
+    val holed = """POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"""
+    val r = Esql.run(
+      s"""ROW in1 = ST_INTERSECTS(TO_GEOPOINT("POINT (5 5)"), TO_GEOSHAPE("$sq")),
+        out1 = ST_INTERSECTS(TO_GEOPOINT("POINT (15 5)"), TO_GEOSHAPE("$sq")),
+        w = ST_WITHIN(TO_GEOPOINT("POINT (5 5)"), TO_GEOSHAPE("$sq")),
+        c = ST_CONTAINS(TO_GEOSHAPE("$sq"), TO_GEOPOINT("POINT (5 5)")),
+        dj = ST_DISJOINT(TO_GEOPOINT("POINT (15 5)"), TO_GEOSHAPE("$sq")),
+        hole = ST_INTERSECTS(TO_GEOPOINT("POINT (5 5)"), TO_GEOSHAPE("$holed")),
+        rim = ST_INTERSECTS(TO_GEOPOINT("POINT (2 2)"), TO_GEOSHAPE("$holed")),
+        x = ST_X(TO_GEOPOINT("POINT (3.5 -7.25)")), y = ST_Y(TO_GEOPOINT("POINT (3.5 -7.25)")),
+        pp = ST_INTERSECTS(TO_GEOPOINT("POINT (1 2)"), TO_GEOPOINT("POINT (1 2)")),
+        ppd = ST_DISJOINT(TO_GEOPOINT("POINT (1 2)"), TO_GEOPOINT("POINT (1 3)")),
+        d0 = ST_DISTANCE(TO_GEOPOINT("POINT (10 20)"), TO_GEOPOINT("POINT (10 20)")),
+        d1 = ST_DISTANCE(TO_GEOPOINT("POINT (0 0)"), TO_GEOPOINT("POINT (1 0)")),
+        nullpt = ST_DISJOINT(TO_GEOPOINT("nonsense"), TO_GEOSHAPE("$sq"))""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[Boolean]("in1")); assert(!r.getAs[Boolean]("out1"))
+    assert(r.getAs[Boolean]("w")); assert(r.getAs[Boolean]("c"))
+    assert(r.getAs[Boolean]("dj"))
+    assert(!r.getAs[Boolean]("hole")) // inside the hole = outside the shape
+    assert(r.getAs[Boolean]("rim")) // between outer ring and hole
+    assert(r.getAs[Double]("x") == 3.5) // WKT is x y = lon lat
+    assert(r.getAs[Double]("y") == -7.25)
+    assert(r.getAs[Boolean]("pp")); assert(r.getAs[Boolean]("ppd"))
+    assert(r.getAs[Double]("d0") == 0.0)
+    // one degree of longitude on the equator: π·R/180 over ES's mean radius
+    assert(math.abs(r.getAs[Double]("d1") - math.Pi * 6371008.7714 / 180) < 1e-6)
+    // a null point matches neither a relation nor its complement
+    assert(!r.getAs[Boolean]("nullpt"))
+  }
+
+  test("ST_* argument-order and shape-literal rules reject loudly") {
+    val sq = """POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"""
+    def err(q: String): String =
+      intercept[IllegalArgumentException](Esql.run(q, resolve(Map.empty))).getMessage
+    assert(err(s"""ROW a = ST_WITHIN(TO_GEOSHAPE("$sq"), TO_GEOPOINT("POINT (5 5)"))""")
+      .contains("ST_WITHIN(point, shape)"))
+    assert(err(s"""ROW a = ST_CONTAINS(TO_GEOPOINT("POINT (5 5)"), TO_GEOSHAPE("$sq"))""")
+      .contains("ST_CONTAINS(shape, point)"))
+    assert(err(s"""ROW a = TO_GEOSHAPE("$sq")""").contains("literal shape argument"))
+    assert(err(s"""ROW a = ST_INTERSECTS(TO_GEOSHAPE("$sq"), TO_GEOSHAPE("$sq"))""")
+      .contains("constant"))
+    assert(err("""ROW a = ST_INTERSECTS(TO_GEOPOINT("POINT (1 1)"), TO_GEOSHAPE("LINESTRING (0 0, 1 1)"))""")
+      .contains("POLYGON"))
+  }
+
   test("CHANGE_POINT marks the step-change row; inference commands reject loudly") {
     val series = Seq(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 10, 5 -> 50, 6 -> 50, 7 -> 50, 8 -> 50)
       .toDF("k", "v")
