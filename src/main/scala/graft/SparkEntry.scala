@@ -7376,6 +7376,63 @@ object SparkEntry {
           | STATS n = COUNT(*), avg_d = ROUND(AVG(d), 1) BY inside | SORT inside""",
         t => load(dir, t))
     }),
+
+    "esql_show_info" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // SHOW INFO — the client handshake; the values are pinned build
+      // constants so the row is deterministic and hash-gated.
+      query.Esql.run("SHOW INFO", t => load(dir, t))
+    }),
+
+    "esql_date_math" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // date ± span arithmetic (calendar-aware month step across the 2024
+      // leap February), 3-arg LOCATE (original-string 1-based index), and
+      // MV_CONCAT, ES|QL's name for the delimiter join.
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 40
+          | EVAL base = DATE_PARSE("yyyy-MM-dd", CONCAT("2024-01-", TO_STRING(doc_id % 18 + 10))),
+              p_month = DATE_FORMAT("yyyy-MM-dd HH:mm", base + 1 month),
+              m_week = DATE_FORMAT("yyyy-MM-dd HH:mm", base - 2 week),
+              p_hour = DATE_FORMAT("yyyy-MM-dd HH:mm", base + 36 hour),
+              loc = TO_LONG(LOCATE(text, "the", 10)),
+              mvc = MV_CONCAT(SPLIT(source, "r"), "+")
+          | KEEP doc_id, p_month, m_week, p_hour, loc, mvc | SORT doc_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_ts_gauge" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The TSDB gauge surface: inner *_OVER_TIME aggregates each series
+      // (user_id — passed explicitly, the mapping seam) within each hour
+      // bucket, the outer combines across series. Two hash aggregates,
+      // no window; AVG rounded to 4 so summation order cannot surface.
+      query.Esql.run(
+        """TS events
+          | STATS peak = MAX(MAX_OVER_TIME(value, user_id)),
+              floor_avg = ROUND(AVG(MIN_OVER_TIME(value, user_id)), 4),
+              active = MAX(COUNT_OVER_TIME(value, user_id))
+              BY event_type, b = BUCKET(ts, 1 hour)
+          | SORT event_type, b | LIMIT 40""",
+        t => load(dir, t))
+    }),
+
+    "q_kql_nested" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // KQL nested-query braces end-to-end: lineitems nested under their
+      // orders, then `items:{ flag:R and qty > 45 }` — SOME item is both
+      // returned AND high-quantity ON THE SAME LINE. The oracle is the
+      // relational EXISTS over the child table (nested semantics ≡ a
+      // same-row predicate before nesting); the flattened object reading
+      // (a returned item anywhere + a qty>45 item anywhere) would
+      // overmatch, which the spec pins.
+      val items = load(dir, "lineitem").select(
+        col("l_orderkey").as("oid"), col("l_returnflag").as("flag"),
+        col("l_quantity").as("qty"))
+      val parents = graft.query.NestedDocs.nest(items, "oid", Seq("flag", "qty"), as = "items")
+      parents.where(graft.query.Kql.parse("items:{ flag:R and qty > 45 }", None).compile)
+        .select("oid").orderBy("oid")
+    }),
   ))
 
   // ---------------------------------------------------------------------
@@ -12775,6 +12832,38 @@ object SparkEntry {
          |SELECT count(*) AS n, round(avg(d), 1) AS avg_d, inside
          |FROM rel WHERE inworld GROUP BY inside ORDER BY inside""".stripMargin
     },
+
+    "esql_show_info" ->
+      """SELECT '8.18.0-graft' AS version, '2026-01-01T00:00:00.000Z' AS date,
+        |  'graft' AS hash""".stripMargin,
+
+    "esql_date_math" ->
+      """SELECT doc_id,
+        |  strftime(strptime('2024-01-' || CAST(doc_id % 18 + 10 AS VARCHAR), '%Y-%m-%d')
+        |    + INTERVAL 1 MONTH, '%Y-%m-%d %H:%M') AS p_month,
+        |  strftime(strptime('2024-01-' || CAST(doc_id % 18 + 10 AS VARCHAR), '%Y-%m-%d')
+        |    - INTERVAL 14 DAY, '%Y-%m-%d %H:%M') AS m_week,
+        |  strftime(strptime('2024-01-' || CAST(doc_id % 18 + 10 AS VARCHAR), '%Y-%m-%d')
+        |    + INTERVAL 36 HOUR, '%Y-%m-%d %H:%M') AS p_hour,
+        |  CAST(CASE WHEN strpos(substr(text, 10), 'the') > 0
+        |       THEN strpos(substr(text, 10), 'the') + 9 ELSE 0 END AS BIGINT) AS loc,
+        |  array_to_string(string_split(source, 'r'), '+') AS mvc
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+
+    "q_kql_nested" ->
+      """SELECT DISTINCT l_orderkey AS oid FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45
+        |ORDER BY oid""".stripMargin,
+
+    "esql_ts_gauge" ->
+      """WITH i AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS b, user_id,
+        |    max(value) AS mx, min(value) AS mn, count(value) AS c
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT max(mx) AS peak, round(avg(mn), 4) AS floor_avg,
+        |  max(c) AS active, event_type, b
+        |FROM i GROUP BY event_type, b ORDER BY event_type, b LIMIT 40""".stripMargin,
 
     "esql_cast_hash" ->
       """SELECT doc_id,

@@ -263,8 +263,19 @@ object Esql {
         // become legal in STATS.
         if (t.isKw("TS")) TsFrom(tables.result()) else From(tables.result())
       } else if (t.isKw("ROW")) RowCmd(namedExprList())
+      else if (t.isKw("SHOW")) {
+        // SHOW INFO — the client-handshake source command. The values are
+        // BUILD constants (the compat target and a pinned stamp), not the
+        // wall clock: determinism holds, the row hash-matches an oracle.
+        val what = advance()
+        require(what.isKw("INFO"), s"esql: SHOW takes INFO, found '${what.text}'")
+        RowCmd(Seq(
+          ("version", StrLit("8.18.0-graft")),
+          ("date", StrLit("2026-01-01T00:00:00.000Z")),
+          ("hash", StrLit("graft"))))
+      }
       else throw new IllegalArgumentException(
-        s"esql: a query starts with FROM, TS, or ROW, found '${t.text}'")
+        s"esql: a query starts with FROM, TS, ROW, or SHOW, found '${t.text}'")
     }
 
     private def identName(): String = {
@@ -788,6 +799,12 @@ object Esql {
     case BoolLit(v) => lit(v)
     case NullLit => lit(null)
     case ColRef(name) => col(name)
+    // date ± span arithmetic (`ts + 2 hour`, `ts - 1 week`): calendar-aware
+    // intervals, ES|QL's date math. A span on the LEFT of `-` is not a
+    // value (`1 day - ts` rejects through the SpanLit case below).
+    case Bin("+", l, SpanLit(n, unit)) => spanAdd(compileExpr(l), n, unit)
+    case Bin("+", SpanLit(n, unit), r) => spanAdd(compileExpr(r), n, unit)
+    case Bin("-", l, SpanLit(n, unit)) => spanAdd(compileExpr(l), -n, unit)
     case Bin(op, l, r) => binOp(op, compileExpr(l), compileExpr(r))
     case Neg(x) => -compileExpr(x)
     case NotE(x) => !compileExpr(x)
@@ -934,7 +951,9 @@ object Esql {
       endswith(rec(args(0)), rec(args(1)))
     case "LOCATE" => args match {
       case Seq(s, sub) => locate_(rec(s), rec(sub))
-      case _ => throw new IllegalArgumentException("esql: LOCATE(string, substring)")
+      // 3-arg form: search starts at the 1-based `start` position
+      case Seq(s, sub, st) => call_function("locate", rec(sub), rec(s), rec(st))
+      case _ => throw new IllegalArgumentException("esql: LOCATE(string, substring[, start])")
     }
     // n-ary functions go through `rec`, not compileExpr, so STATS can
     // compile aggregates nested under them (STATS x = COALESCE(SUM(a), 0)).
@@ -1096,9 +1115,10 @@ object Esql {
       when(size(a) > 0,
         aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double")) / size(a))
     }
-    case "MV_JOIN" => args match {
+    // MV_CONCAT is ES|QL's name; MV_JOIN stays as the established alias
+    case "MV_CONCAT" | "MV_JOIN" => args match {
       case Seq(a, StrLit(d)) => array_join(rec(a), d)
-      case _ => throw new IllegalArgumentException("esql: MV_JOIN(array, \"delimiter\")")
+      case _ => throw new IllegalArgumentException(s"esql: $name(array, \"delimiter\")")
     }
     case "MV_FIRST" => get(one(name, args, rec), lit(0))
     case "MV_LAST" => {
@@ -1387,6 +1407,9 @@ object Esql {
     case "RATE" | "INCREASE" =>
       throw new IllegalArgumentException(
         s"esql: $name is only valid at the top level of a TS query's STATS")
+    case n if n.endsWith("_OVER_TIME") =>
+      throw new IllegalArgumentException(
+        s"esql: $n is only valid inside a TS query's STATS, under an outer aggregate")
     case "NOW" =>
       throw new IllegalArgumentException(
         "esql: NOW() reads the wall clock and can never hash-match an oracle; pass the timestamp as a literal")
@@ -1398,6 +1421,27 @@ object Esql {
   // Column form goes through call_function (argument order: substr, str).
   private def locate_(s: Column, sub: Column): Column =
     call_function("locate", sub, s)
+
+  /** `ts ± n unit` date math as a calendar-aware interval add — year/
+    * quarter/month lengths follow the calendar (ES|QL's rule), fixed-width
+    * units are exact.
+    */
+  private def spanAdd(ts: Column, n: Long, unit: String): Column = {
+    val z = lit(0)
+    val k = lit(n.toInt)
+    val iv = unit match {
+      case "year" => make_interval(k, z, z, z, z, z, lit(0.0))
+      case "quarter" => make_interval(z, lit(3 * n.toInt), z, z, z, z, lit(0.0))
+      case "month" => make_interval(z, k, z, z, z, z, lit(0.0))
+      case "week" => make_interval(z, z, k, z, z, z, lit(0.0))
+      case "day" => make_interval(z, z, z, k, z, z, lit(0.0))
+      case "hour" => make_interval(z, z, z, z, k, z, lit(0.0))
+      case "minute" => make_interval(z, z, z, z, z, k, lit(0.0))
+      case "second" => make_interval(z, z, z, z, z, z, lit(n.toDouble))
+      case other => throw new IllegalArgumentException(s"esql: unsupported span unit '$other'")
+    }
+    ts + iv
+  }
 
   /** WKT `POLYGON ((x y, …)[, (hole …)…])` → rings as (lat, lon) vertex
     * lists ([[FilterSpec.GeoShape]]'s tuple order; WKT itself is x-y =
@@ -1702,6 +1746,100 @@ object Esql {
     case _ => false
   }
 
+  private def isOverTimeEntry(e: Expr): Boolean = e match {
+    case Fn(n, _) if n.endsWith("_OVER_TIME") => true
+    case Fn(_, args) => args.exists(isOverTimeEntry)
+    case _ => false
+  }
+
+  /** The TS gauge surface: `STATS out = MAX(MAX_OVER_TIME(gauge, series…))
+    * BY dims, BUCKET(ts, 1 hour)` — the inner `*_OVER_TIME` aggregates
+    * each time series within each bucket, the outer combines ACROSS
+    * series (ES|QL's two-level TSDB rule). ES reads series identity from
+    * the index mapping's dimension fields; this engine has no mapping, so
+    * the inner function takes the series key columns EXPLICITLY after the
+    * gauge — the RATE(ctr, tieBreak) precedent. Two hash aggregates, no
+    * window, nothing collects.
+    *
+    * Loud rejects: LAST/FIRST_OVER_TIME (same-timestamp order is ES
+    * arrival order — not reproducible); an inner call without an outer
+    * aggregate; entries with differing series keys; mixing counter and
+    * gauge entries in one STATS.
+    */
+  private def compileTsGauge(df: DataFrame,
+      aggs: Seq[(String, Expr)], by: Seq[(String, Option[Expr])]): DataFrame = {
+    val buckets = by.collect {
+      case (n, Some(Fn("BUCKET", Seq(ColRef(tc), SpanLit(k, unit))))) => (n, tc, k, unit)
+    }
+    require(buckets.size == 1,
+      "esql: a TS STATS needs exactly one BUCKET(tsCol, span) BY key")
+    val (bname, tsCol, k, unit) = buckets.head
+    require(k == 1 && Seq("minute", "hour", "day").contains(unit),
+      s"esql: TS buckets are 1 minute|hour|day, got $k $unit")
+    val dims = by.filterNot(_._1 == bname).map {
+      case (n, None) => n
+      case (n, Some(_)) => throw new IllegalArgumentException(
+        s"esql: TS dimensions are plain columns (ES TSDB dimension fields), found <$n>")
+    }
+    require(dims.nonEmpty, "esql: a TS STATS needs at least one dimension BY key")
+    val innerFns = Set("MIN", "MAX", "SUM", "AVG", "COUNT")
+    // an entry may wrap its outer aggregate in ROUND(…, d) — the repo's
+    // determinism idiom for cross-engine double averages
+    def unwrapRound(e: Expr): (Expr, Option[Int]) = e match {
+      case Fn("ROUND", Seq(inner, NumLit(d))) if isOverTimeEntry(inner) =>
+        (inner, Some(d.toInt))
+      case other => (other, None)
+    }
+    val parsed = aggs.map { case (n, e0) => (n, unwrapRound(e0)) }.zipWithIndex.map {
+      case ((n, (Fn(outer, Seq(Fn(innerN, innerArgs))), rnd)), i)
+          if innerN.endsWith("_OVER_TIME") =>
+        require(innerFns.contains(outer),
+          s"esql: the outer aggregate over $innerN must be MIN/MAX/SUM/AVG/COUNT, got $outer")
+        val base = innerN.stripSuffix("_OVER_TIME")
+        if (base == "LAST" || base == "FIRST") throw new IllegalArgumentException(
+          s"esql: $innerN orders same-timestamp samples by ES arrival order — not " +
+            "reproducible here; use MIN/MAX/SUM/AVG/COUNT_OVER_TIME")
+        require(innerFns.contains(base), s"esql: unknown gauge function $innerN")
+        val cols = innerArgs.map {
+          case ColRef(c) => c
+          case other => throw new IllegalArgumentException(
+            s"esql: $innerN takes plain columns, found $other")
+        }
+        require(cols.size >= 2,
+          s"esql: $innerN(gauge, seriesCol, …) — ES reads series identity from the " +
+            "index mapping; pass the dimension columns explicitly (the RATE tie-break precedent)")
+        (n, outer, base, cols.head, cols.tail, i, rnd)
+      case ((n, (Fn(innerN, _), _)), _) if innerN.endsWith("_OVER_TIME") =>
+        throw new IllegalArgumentException(
+          s"esql: $innerN needs an outer aggregate — ES|QL's two-level TSDB rule " +
+            s"(write e.g. MAX($innerN(…)))")
+      case ((n, _), _) => throw new IllegalArgumentException(
+        s"esql: a TS gauge STATS takes only OUTER(*_OVER_TIME(…)) entries, found <$n> — " +
+          "run ordinary aggregates in a second STATS, and RATE/INCREASE in their own TS STATS")
+    }
+    require(parsed.map(_._5).distinct.size == 1,
+      "esql: one series-key column set per TS STATS (one series model per index)")
+    val series = parsed.head._5
+    def aggFn(fn: String, c: Column): Column = fn match {
+      case "MIN" => min(c); case "MAX" => max(c); case "SUM" => sum(c)
+      case "AVG" => avg(c); case "COUNT" => count(c)
+    }
+    val bucket = date_trunc(unit, col(tsCol)).as(bname)
+    val innerAggs = parsed.map { case (_, _, base, gauge, _, i, _) =>
+      aggFn(base, col(gauge)).as(s"__in_$i")
+    }
+    val inner = df.groupBy((dims.map(col) :+ bucket) ++ series.map(col): _*)
+      .agg(innerAggs.head, innerAggs.tail: _*)
+    val outerAggs = parsed.map { case (n, outer, _, _, _, i, rnd) =>
+      val c = aggFn(outer, col(s"__in_$i"))
+      rnd.map(d => round(c, d)).getOrElse(c).as(n)
+    }
+    val out = inner.groupBy(dims.map(col) :+ col(bname): _*)
+      .agg(outerAggs.head, outerAggs.tail: _*)
+    // STATS column order: aggregates first, then the BY keys
+    out.select(parsed.map(p => qcol(p._1)) ++ by.map(bk => qcol(bk._1)): _*)
+  }
+
   /** A TS STATS with RATE/INCREASE entries — the ES|QL TSDB surface
     * (`TS idx | STATS rate(ctr) BY bucket, dims`, 8.18+) mapped onto
     * [[Aggs.timeSeriesCounterRate]]: reset-adjusted per-series increase
@@ -1759,10 +1897,15 @@ object Esql {
 
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
       policies: Map[String, EnrichPolicy], ts: Boolean = false): DataFrame = cmd match {
-    case Stats(aggs, by) if aggs.exists(a => isTsEntry(a._2)) =>
+    case Stats(aggs, by) if aggs.exists(a => isTsEntry(a._2)) || aggs.exists(a => isOverTimeEntry(a._2)) =>
       require(ts,
-        "esql: RATE/INCREASE are only valid in a TS query — start the program with TS, not FROM")
-      compileTsStats(df, aggs, by)
+        "esql: RATE/INCREASE and *_OVER_TIME are only valid in a TS query — start the program with TS, not FROM")
+      val hasRate = aggs.exists(a => isTsEntry(a._2))
+      val hasGauge = aggs.exists(a => isOverTimeEntry(a._2))
+      if (hasRate && hasGauge) throw new IllegalArgumentException(
+        "esql: counter (RATE/INCREASE) and gauge (*_OVER_TIME) entries have different " +
+          "physical shapes — split them into separate TS STATS queries")
+      if (hasRate) compileTsStats(df, aggs, by) else compileTsGauge(df, aggs, by)
     case Where(e) => df.where(compileExpr(e))
     case Eval(cols) =>
       // sequential: a later assignment sees the earlier ones (ES|QL's rule)

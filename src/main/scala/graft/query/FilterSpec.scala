@@ -1245,6 +1245,91 @@ object FilterSpec {
     def fields: Seq[String] = Seq(field)
   }
 
+  /** ES `nested` query — KQL's brace syntax `path:{ … }`: SOME element of
+    * the nested-doc array at `path` (a [[NestedDocs.nest]]-built
+    * array<struct> column) satisfies the WHOLE inner predicate — all
+    * conditions on the SAME element, the defining delta from the
+    * flattened object mapping where each condition may pick a different
+    * element ([[NestedDocs.objectMatch]]). Compiles to one higher-order
+    * `exists` over the array (codegen'd, row-local, no explode and no
+    * join); the inner tree is the [[NestedCond]] ADT, whose leaves take
+    * the ELEMENT struct instead of a column name.
+    */
+  final case class Nested(path: String, inner: NestedCond) extends FilterSpec {
+    def compile: Column = exists(col(path), el => inner.compile(el))
+    def render: String = s"${escName(path)}:{${inner.render}}"
+    def fields: Seq[String] = Seq(path)
+  }
+
+  /** A condition against one nested-doc ELEMENT — [[Nested]]'s inner
+    * tree. Leaves mirror the top-level nodes' semantics exactly (same
+    * [[TextMatch]] kernels, same literal-typing rule for ranges), bound
+    * to `el.getField(f)` instead of `col(f)`. Text leaves cast the field
+    * to string so numeric struct fields still term-match (ES parses the
+    * value against the field type; the cast is this engine's equivalent).
+    */
+  sealed trait NestedCond {
+    def compile(el: Column): Column
+    def render: String
+  }
+  object NestedCond {
+    final case class NAnd(cs: Seq[NestedCond]) extends NestedCond {
+      def compile(el: Column): Column = cs.map(_.compile(el)).reduce(_ && _)
+      def render: String = cs.map(_.render).mkString("(", " and ", ")")
+    }
+    final case class NOr(cs: Seq[NestedCond]) extends NestedCond {
+      def compile(el: Column): Column = cs.map(_.compile(el)).reduce(_ || _)
+      def render: String = cs.map(_.render).mkString("(", " or ", ")")
+    }
+    final case class NNot(c: NestedCond) extends NestedCond {
+      def compile(el: Column): Column = !c.compile(el)
+      def render: String = s"not ${c.render}"
+    }
+    final case class NTerm(field: String, term: String) extends NestedCond {
+      def compile(el: Column): Column =
+        TextMatch.containsToken(el.getField(field).cast("string"), term)
+      def render: String = s"${escName(field)}:${escTerm(term)}"
+    }
+    final case class NPhrase(field: String, phrase: String) extends NestedCond {
+      def compile(el: Column): Column = {
+        val toks = TextMatch.analyze(phrase)
+        if (toks.isEmpty) lit(true)
+        else TextMatch.containsToken(el.getField(field).cast("string"), toks.mkString(" "))
+      }
+      def render: String = s"""${escName(field)}:"$phrase""""
+    }
+    final case class NPrefix(field: String, prefix: String) extends NestedCond {
+      def compile(el: Column): Column =
+        TextMatch.phrasePrefix(el.getField(field).cast("string"), prefix)
+      def render: String = s"${escName(field)}:${escTerm(prefix)}*"
+    }
+    final case class NExists(field: String) extends NestedCond {
+      def compile(el: Column): Column = el.getField(field).isNotNull
+      def render: String = s"${escName(field)}:*"
+    }
+    final case class NRange(field: String, lo: Option[String], hi: Option[String],
+        loInclusive: Boolean = true, hiInclusive: Boolean = true) extends NestedCond {
+      private def isNum(s: String): Boolean = scala.util.Try(s.toDouble).isSuccess
+      private val numeric = (lo ++ hi).nonEmpty && (lo ++ hi).forall(isNum)
+      // TermRange's literal-typing rule verbatim: type the literal, never
+      // cast the field
+      private def bound(v: String): Column =
+        if (!numeric) lit(v)
+        else if (v.matches("-?\\d+") && scala.util.Try(v.toLong).isSuccess) lit(v.toLong)
+        else lit(v.toDouble)
+      def compile(el: Column): Column = {
+        val c = el.getField(field)
+        val loC = lo.map(v => if (loInclusive) c >= bound(v) else c > bound(v)).getOrElse(lit(true))
+        val hiC = hi.map(v => if (hiInclusive) c <= bound(v) else c < bound(v)).getOrElse(lit(true))
+        loC && hiC
+      }
+      def render: String = {
+        val (l, r) = (if (loInclusive) "[" else "{", if (hiInclusive) "]" else "}")
+        s"${escName(field)}:$l${lo.getOrElse("*")} TO ${hi.getOrElse("*")}$r"
+      }
+    }
+  }
+
   /** Bracketed term range — `field:[a TO b]` / `{a TO b}` (inclusive /
     * exclusive ends, mixable; `*` opens a side). Values compare
     * numerically when BOTH bounds parse as numbers, else lexically —

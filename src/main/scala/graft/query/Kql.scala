@@ -24,6 +24,12 @@ package graft.query
   *  - range comparisons `field > v`, `>=`, `<`, `<=` (KQL's spelling of
   *    ranges — no `[a TO b]` brackets here) via [[FilterSpec.TermRange]]
   *    one-sided, numeric when the literal is numeric.
+  *  - nested-query braces `path:{ a:v and b > 2 }` — ES's `nested`
+  *    query over a [[NestedDocs.nest]]-built array<struct> column: every
+  *    condition holds on the SAME element ([[FilterSpec.Nested]], one
+  *    higher-order `exists`, no explode). One level (double nesting
+  *    rejects); the body takes field:value atoms, phrases, trailing-star
+  *    prefixes, `field:*` exists, ranges, value groups, and/or/not.
   *  - bare terms hit `defaultField` (Kibana resolves "default fields"
   *    from the index mapping; this engine has no mapping, so the caller
   *    supplies the field — absent + bare term = loud reject). A lone
@@ -57,6 +63,8 @@ object Kql {
   private sealed trait Tok
   private case object LP extends Tok
   private case object RP extends Tok
+  private case object LB extends Tok
+  private case object RB extends Tok
   private case object Colon extends Tok
   private final case class RangeOp(op: String) extends Tok
   private case object AndTok extends Tok
@@ -76,10 +84,8 @@ object Kql {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += LP; i += 1 }
       else if (c == ')') { out += RP; i += 1 }
-      else if (c == '{' || c == '}') throw new IllegalArgumentException(
-        "kql: nested-query braces (field:{ … }) are not supported — query " +
-          "the nested array through NestedDocs.nestedMatch; escape \\{ to " +
-          s"match the character (at $i in <$q>)")
+      else if (c == '{') { out += LB; i += 1 }
+      else if (c == '}') { out += RB; i += 1 }
       else if (c == ':') { out += Colon; i += 1 }
       else if (c == '<' || c == '>') {
         val op =
@@ -220,7 +226,139 @@ object Kql {
         require(peek.contains(RP), s"kql: expected ')' closing the value group but found $peekRaw in <$q>")
         advance()
         inner
+      case Some(LB) =>
+        // KQL nested-query braces: `path:{ a:1 and b > 2 }` — every
+        // condition holds on the SAME element of the nested-doc array
+        advance()
+        val inner = nOr()
+        require(peek.contains(RB), s"kql: expected '}' closing the nested group but found $peekRaw in <$q>")
+        advance()
+        FilterSpec.Nested(field, inner)
       case _ => valueAtom(field)
+    }
+
+    // ----- the nested-brace body: the boolean grammar over NestedCond -----
+
+    import FilterSpec.NestedCond
+    import FilterSpec.NestedCond._
+
+    private def nConj(cs: Seq[NestedCond], or: Boolean): NestedCond =
+      if (cs.size == 1) cs.head else if (or) NOr(cs) else NAnd(cs)
+
+    private def nOr(): NestedCond = {
+      val parts = Seq.newBuilder[NestedCond]
+      parts += nAnd()
+      while (peek.contains(OrTok)) { advance(); parts += nAnd() }
+      nConj(parts.result(), or = true)
+    }
+
+    private def nAnd(): NestedCond = {
+      val parts = Seq.newBuilder[NestedCond]
+      parts += nNot()
+      while (peek.contains(AndTok)) { advance(); parts += nNot() }
+      nConj(parts.result(), or = false)
+    }
+
+    private def nNot(): NestedCond = peek match {
+      case Some(NotTok) => advance(); NNot(nNot())
+      case Some(LP) =>
+        advance()
+        val inner = nOr()
+        require(peek.contains(RP), s"kql: expected ')' in the nested group but found $peekRaw in <$q>")
+        advance()
+        inner
+      case _ => nPrimary()
+    }
+
+    private def nPrimary(): NestedCond = advance() match {
+      case w: Word => peek match {
+        case Some(Colon) =>
+          advance()
+          peek match {
+            case Some(LB) => throw new IllegalArgumentException(
+              "kql: nested braces do not nest — one level per query " +
+                s"(double-nested mappings need the Scala NestedDocs API) in <$q>")
+            case Some(LP) =>
+              advance()
+              val inner = nValueOr(w.text)
+              require(peek.contains(RP),
+                s"kql: expected ')' closing the nested value group but found $peekRaw in <$q>")
+              advance()
+              inner
+            case _ => nValueAtom(w.text)
+          }
+        case Some(RangeOp(op)) =>
+          advance()
+          nRange(w.text, op)
+        case _ => throw new IllegalArgumentException(
+          s"kql: a nested clause needs field:value — bare term <${w.text}> has " +
+            s"no default field inside a nested doc in <$q>")
+      }
+      case t => throw new IllegalArgumentException(
+        s"kql: expected a nested clause but found '$t' in <$q>")
+    }
+
+    private def nValueOr(field: String): NestedCond = {
+      val parts = Seq.newBuilder[NestedCond]
+      parts += nValueAnd(field)
+      while (peek.contains(OrTok)) { advance(); parts += nValueAnd(field) }
+      nConj(parts.result(), or = true)
+    }
+
+    private def nValueAnd(field: String): NestedCond = {
+      val parts = Seq.newBuilder[NestedCond]
+      parts += nValueNot(field)
+      while (peek.contains(AndTok)) { advance(); parts += nValueNot(field) }
+      nConj(parts.result(), or = false)
+    }
+
+    private def nValueNot(field: String): NestedCond = peek match {
+      case Some(NotTok) => advance(); NNot(nValueNot(field))
+      case Some(LP) =>
+        advance()
+        val inner = nValueOr(field)
+        require(peek.contains(RP),
+          s"kql: expected ')' in the nested value group but found $peekRaw in <$q>")
+        advance()
+        inner
+      case _ => nValueAtom(field)
+    }
+
+    private def nValueAtom(field: String): NestedCond = advance() match {
+      case Quoted(text) => NPhrase(field, text)
+      case w: Word =>
+        val text = w.text
+        def liveStar(cs: Seq[EChar]): Boolean = cs.exists(e => !e.esc && e.c == '*')
+        if (text == "*" && !w.chars.head.esc) NExists(field)
+        else if (!w.chars.last.esc && w.chars.last.c == '*' &&
+          !liveStar(w.chars.dropRight(1)) && w.chars.length > 1) {
+          NPrefix(field, text.dropRight(1))
+        } else if (liveStar(w.chars)) {
+          throw new IllegalArgumentException(
+            s"kql: mid-value wildcards are not supported inside nested braces " +
+              s"(<$text> on '$field') — trailing-star prefix and phrase forms are, in <$q>")
+        } else {
+          val terms = graft.expr.TextMatch.analyze(text)
+          require(terms.nonEmpty, s"kql: nested value <$text> has no analyzable term in <$q>")
+          nConj(terms.map(t => NTerm(field, t): NestedCond), or = true)
+        }
+      case t => throw new IllegalArgumentException(
+        s"kql: expected a value for nested field '$field' but found '$t' in <$q>")
+    }
+
+    private def nRange(field: String, op: String): NestedCond = {
+      val v = advance() match {
+        case w: Word => w.text
+        case Quoted(text) => text
+        case t => throw new IllegalArgumentException(
+          s"kql: expected a range bound after nested '$field $op' but found '$t' in <$q>")
+      }
+      op match {
+        case ">" => NRange(field, Some(v), None, loInclusive = false)
+        case ">=" => NRange(field, Some(v), None, loInclusive = true)
+        case "<" => NRange(field, None, Some(v), hiInclusive = false)
+        case "<=" => NRange(field, None, Some(v), hiInclusive = true)
+      }
     }
 
     private def valueOr(field: String): FilterSpec = {

@@ -52,7 +52,7 @@ class EsqlSpec extends SparkSpecBase {
 
   test("query must start with FROM, TS, or ROW; METADATA rejects loudly") {
     assert(intercept[IllegalArgumentException](Esql.parse("WHERE x == 1"))
-      .getMessage.contains("starts with FROM, TS, or ROW"))
+      .getMessage.contains("starts with FROM, TS, ROW, or SHOW"))
     assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _index | LIMIT 1"))
       .getMessage.contains("METADATA"))
   }
@@ -705,6 +705,75 @@ class EsqlSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Esql.run("""ROW x = IP_PREFIX("1.2.3.4", 40, 0)""", resolve(Map.empty)))
       .getMessage.contains("out of range"))
+  }
+
+  test("SHOW INFO returns the pinned build constants; date ± span math is calendar-aware") {
+    val info = Esql.run("SHOW INFO", resolve(Map.empty)).collect().head
+    assert(info.getAs[String]("version") == "8.18.0-graft")
+    assert(info.getAs[String]("hash") == "graft")
+    assert(intercept[IllegalArgumentException](Esql.parse("SHOW FUNCTIONS"))
+      .getMessage.contains("SHOW takes INFO"))
+    val r = Esql.run(
+      """FROM t | WHERE id == 1
+        | EVAL plus = DATE_FORMAT("yyyy-MM-dd HH:mm", ts + 2 hour),
+            minus = DATE_FORMAT("yyyy-MM-dd", ts - 1 day),
+            mon = DATE_FORMAT("yyyy-MM-dd", ts + 1 month)
+        | KEEP plus, minus, mon""",
+      resolve(Map("t" -> people))).collect().head
+    assert(r.getAs[String]("plus") == "2024-03-01 12:15")
+    assert(r.getAs[String]("minus") == "2024-02-29") // leap-year calendar step
+    assert(r.getAs[String]("mon") == "2024-04-01")
+    // a span is still not a standalone value
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | EVAL x = 1 day", resolve(Map("t" -> people))))
+      .getMessage.contains("span literal"))
+  }
+
+  test("MV_CONCAT is MV_JOIN's ES name; LOCATE takes a start position") {
+    val r = Esql.run(
+      """ROW c = MV_CONCAT(SPLIT("a,b,c", ","), "-"), j = MV_JOIN(SPLIT("a,b", ","), "+"),
+        l = LOCATE("ababab", "ab", 2), l0 = LOCATE("ababab", "zz", 2)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[String]("c") == "a-b-c")
+    assert(r.getAs[String]("j") == "a+b")
+    assert(r.getAs[Int]("l") == 3) // 1-based, original-string index
+    assert(r.getAs[Int]("l0") == 0)
+  }
+
+  test("TS gauge: OUTER(*_OVER_TIME(gauge, series)) is a two-level aggregate — worked example") {
+    val m = Seq(
+      ("a", "t1", "2024-03-01 10:05:00", 1.0),
+      ("a", "t1", "2024-03-01 10:20:00", 5.0),
+      ("a", "t1", "2024-03-01 11:10:00", 2.0),
+      ("b", "t1", "2024-03-01 10:30:00", 10.0))
+      .toDF("pod", "grp", "ts_s", "mem")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Esql.run(
+      """TS m | STATS peak = MAX(MAX_OVER_TIME(mem, pod)), lo = MIN(MIN_OVER_TIME(mem, pod)),
+          mean_of_max = AVG(MAX_OVER_TIME(mem, pod)), nseries = COUNT(COUNT_OVER_TIME(mem, pod))
+          BY grp, b = BUCKET(ts, 1 hour) | SORT b""",
+      resolve(Map("m" -> m))).collect()
+    assert(out.length == 2)
+    val h10 = out(0)
+    // bucket 10:00 — series a: max 5 min 1; series b: 10/10 → outer across series
+    assert(h10.getAs[Double]("peak") == 10.0)
+    assert(h10.getAs[Double]("lo") == 1.0)
+    assert(h10.getAs[Double]("mean_of_max") == 7.5)
+    assert(h10.getAs[Long]("nseries") == 2L)
+    val h11 = out(1)
+    assert(h11.getAs[Double]("peak") == 2.0 && h11.getAs[Long]("nseries") == 1L)
+    def err(q: String): String =
+      intercept[IllegalArgumentException](Esql.run(q, resolve(Map("m" -> m)))).getMessage
+    assert(err("TS m | STATS x = MAX_OVER_TIME(mem, pod) BY grp, b = BUCKET(ts, 1 hour)")
+      .contains("outer aggregate"))
+    assert(err("TS m | STATS x = MAX(LAST_OVER_TIME(mem, pod)) BY grp, b = BUCKET(ts, 1 hour)")
+      .contains("arrival order"))
+    assert(err("TS m | STATS x = MAX(MAX_OVER_TIME(mem)) BY grp, b = BUCKET(ts, 1 hour)")
+      .contains("series identity"))
+    assert(err("""TS m | STATS x = MAX(MAX_OVER_TIME(mem, pod)), r = RATE(mem, pod)
+        BY grp, b = BUCKET(ts, 1 hour)""").contains("separate TS STATS"))
+    assert(err("FROM m | STATS x = MAX(MAX_OVER_TIME(mem, pod)) BY grp, b = BUCKET(ts, 1 hour)")
+      .contains("start the program with TS"))
   }
 
   test("ST_* spatial family: even-odd relations, holes, WKT axis order, haversine") {

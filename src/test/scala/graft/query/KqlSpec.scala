@@ -71,12 +71,42 @@ class KqlSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Kql.parse("quick and", Some("text")))
     intercept[IllegalArgumentException](Kql.parse("n >", Some("text")))
     intercept[IllegalArgumentException](Kql.parse("lang:(en or)", Some("text")))
-    // nested-query braces reject naming the seam; escaped braces are text
-    assert(intercept[IllegalArgumentException](
-      Kql.parse("items:{ n > 3 }", Some("text")))
-      .getMessage.contains("nested"))
+    // escaped braces are text
     assert(ids("""qui\{ck""") === Seq.empty) // literal { never matches
     // empty query is match_all (Kibana's empty bar)
     assert(ids("") === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("nested braces: every condition on the SAME element (the nested-vs-object divergence)") {
+    val items = Seq(
+      (1L, "widget", 1L), (1L, "gadget", 5L), // parent 1: widget@1, gadget@5
+      (2L, "widget", 9L))
+      .toDF("oid", "product", "qty")
+    val parents = NestedDocs.nest(items, "oid", Seq("product", "qty"), as = "items")
+    def hits(q: String): Seq[Long] =
+      parents.where(Kql.parse(q, None).compile).select("oid").as[Long].collect().sorted.toSeq
+    // the defining case: parent 1 HAS a widget and HAS qty>2, but not on
+    // the same element — nested semantics exclude it
+    assert(hits("items:{ product:widget and qty > 2 }") === Seq(2L))
+    assert(hits("items:{ product:widget }") === Seq(1L, 2L))
+    assert(hits("items:{ qty >= 5 }") === Seq(1L, 2L))
+    assert(hits("items:{ product:(widget or gadget) and qty < 2 }") === Seq(1L))
+    assert(hits("items:{ not product:widget }") === Seq(1L)) // SOME non-widget element
+    assert(hits("items:{ product:wid* }") === Seq(1L, 2L)) // analyzed prefix on the element
+    assert(hits("items:{ product:* }") === Seq(1L, 2L)) // element-field exists
+    assert(hits("""items:{ product:"widget" and qty <= 1 }""") === Seq(1L)) // phrase + range
+    // composes with the outer boolean grammar
+    assert(hits("items:{ qty > 8 } or items:{ qty < 2 }") === Seq(1L, 2L))
+    assert(hits("not items:{ qty > 8 }") === Seq(1L))
+    // loud rejects: bare term (no default field inside a doc), double
+    // nesting, mid-value wildcard
+    assert(intercept[IllegalArgumentException](Kql.parse("items:{ widget }", Some("text")))
+      .getMessage.contains("no default field inside"))
+    assert(intercept[IllegalArgumentException](Kql.parse("items:{ a:{ b:1 } }", Some("text")))
+      .getMessage.contains("do not nest"))
+    assert(intercept[IllegalArgumentException](Kql.parse("items:{ product:*dget* }", Some("text")))
+      .getMessage.contains("mid-value"))
+    assert(intercept[IllegalArgumentException](Kql.parse("items:{ qty > 1", Some("text")))
+      .getMessage.contains("expected '}'"))
   }
 }
