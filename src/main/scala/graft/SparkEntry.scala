@@ -7433,6 +7433,17 @@ object SparkEntry {
       parents.where(graft.query.Kql.parse("items:{ flag:R and qty > 45 }", None).compile)
         .select("oid").orderBy("oid")
     }),
+
+    "esql_like_list" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // the 8.16 LIKE pattern-list form: any pattern matches; NOT negates
+      // the disjunction — restated as OR'd SQL LIKEs
+      query.Esql.run(
+        """FROM documents
+          | WHERE source LIKE ("src1*", "src2*") AND lang NOT LIKE ("e*")
+          | STATS n = COUNT(*) BY source | SORT source""",
+        t => load(dir, t))
+    }),
   ))
 
   // ---------------------------------------------------------------------
@@ -12849,6 +12860,12 @@ object SparkEntry {
         |       THEN strpos(substr(text, 10), 'the') + 9 ELSE 0 END AS BIGINT) AS loc,
         |  array_to_string(string_split(source, 'r'), '+') AS mvc
         |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin,
+
+    "esql_like_list" ->
+      """SELECT count(*) AS n, source FROM documents
+        |WHERE (source LIKE 'src1%' OR source LIKE 'src2%')
+        |  AND NOT (lang LIKE 'e%')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_kql_nested" ->
       """SELECT DISTINCT l_orderkey AS oid FROM lineitem

@@ -183,7 +183,10 @@ object Esql {
   private[query] final case class NotE(e: Expr) extends Expr
   private[query] final case class Fn(name: String, args: Seq[Expr]) extends Expr
   private[query] final case class InList(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
-  private[query] final case class LikeE(e: Expr, pattern: String, regex: Boolean, negated: Boolean) extends Expr
+  /** `LIKE "p"` or the 8.16 list form `LIKE ("p1", "p2", …)` — ANY
+    * pattern matching suffices; NOT negates the disjunction.
+    */
+  private[query] final case class LikeE(e: Expr, patterns: Seq[String], regex: Boolean, negated: Boolean) extends Expr
   private[query] final case class IsNullE(e: Expr, negated: Boolean) extends Expr
   /** `1 day` inside DATE_TRUNC/BUCKET. */
   private[query] final case class SpanLit(n: Long, unit: String) extends Expr
@@ -639,9 +642,25 @@ object Esql {
     }
 
     private def likeTail(l: Expr, regex: Boolean, negated: Boolean): Expr = {
-      val p = advance()
-      require(p.kind == StrK, s"esql: ${if (regex) "RLIKE" else "LIKE"} takes a quoted pattern")
-      LikeE(l, p.text, regex, negated)
+      val kw = if (regex) "RLIKE" else "LIKE"
+      if (peekIs("(")) {
+        // the list form: LIKE ("a*", "b*") — any pattern may match
+        advance()
+        val pats = Seq.newBuilder[String]
+        def one(): Unit = {
+          val p = advance()
+          require(p.kind == StrK, s"esql: $kw takes quoted patterns")
+          pats += p.text
+        }
+        one()
+        while (peekIs(",")) { advance(); one() }
+        expect(")")
+        LikeE(l, pats.result(), regex, negated)
+      } else {
+        val p = advance()
+        require(p.kind == StrK, s"esql: $kw takes a quoted pattern")
+        LikeE(l, Seq(p.text), regex, negated)
+      }
     }
 
     private def inItems(): Seq[Expr] = {
@@ -811,9 +830,11 @@ object Esql {
     case InList(x, items, negated) =>
       val c = compileExpr(x).isin(items.map(compileExpr): _*)
       if (negated) !c else c
-    case LikeE(x, pattern, regex, negated) =>
-      val rx = if (regex) s"^(?:$pattern)$$" else wildcardRegex(pattern)
-      val c = compileExpr(x).rlike(rx)
+    case LikeE(x, patterns, regex, negated) =>
+      val cx = compileExpr(x)
+      val c = patterns
+        .map(p => cx.rlike(if (regex) s"^(?:$p)$$" else wildcardRegex(p)))
+        .reduce(_ || _)
       if (negated) !c else c
     case IsNullE(x, negated) =>
       if (negated) compileExpr(x).isNotNull else compileExpr(x).isNull

@@ -643,4 +643,52 @@ class PlanSpec extends SparkSpecBase {
     // no window: the threshold IS the cut — no rank machinery
     assert(!plan.contains("Window"), s"radius search must not rank:\n$plan")
   }
+
+  test("ES|QL spatial predicates are row-local arithmetic: pruned scan, no shuffle, no join") {
+    val path = tmp(Seq((1L, 47.6, -122.3, "x"), (2L, 0.5, -90.0, "y"))
+      .toDF("id", "lat", "lon", "extra"))
+    val df = graft.query.Esql.run(
+      """FROM c
+        | EVAL pt = TO_GEOPOINT(CONCAT("POINT (", TO_STRING(lon), " ", TO_STRING(lat), ")"))
+        | WHERE ST_INTERSECTS(pt, TO_GEOSHAPE("POLYGON ((-150 -60, -150 60, -30 60, -30 -60, -150 -60))"))
+        | KEEP id""",
+      _ => spark.read.parquet(path))
+    val plan = planOf(df)
+    // the ray cast is a codegen'd row-local predicate over derived doubles:
+    // never a join, never an exchange, and KEEP prunes the unused column
+    assert(!plan.contains("Exchange"), s"spatial filter must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"spatial filter must not join:\n$plan")
+    // ("extra" also appears inside `regexp_extract`, so pin the schema line)
+    assert(plan.contains("ReadSchema: struct<id:bigint,lat:double,lon:double>"),
+      s"KEEP must prune the unused column from the scan:\n$plan")
+  }
+
+  test("TS gauge is two hash aggregates: no window, no explode") {
+    val path = tmp(Seq(
+      ("a", "g", ts("2024-03-01 10:05:00"), 1.0),
+      ("b", "g", ts("2024-03-01 10:30:00"), 2.0)).toDF("uid", "etype", "ts", "v"))
+    val df = graft.query.Esql.run(
+      """TS e | STATS p = MAX(MAX_OVER_TIME(v, uid)) BY etype, b = BUCKET(ts, 1 hour)""",
+      _ => spark.read.parquet(path))
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"gauge must not window:\n$plan")
+    assert(!plan.contains("Generate"), s"gauge must not explode:\n$plan")
+    // formatted plans print each node in the tree AND as a detail section —
+    // count the numbered detail headers only
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"two-level gauge should need at most two shuffles, saw $exchanges:\n$plan")
+    assert(plan.contains("HashAggregate"), s"gauge must hash-aggregate:\n$plan")
+  }
+
+  test("KQL nested braces are one higher-order exists over the array: no explode, no join") {
+    val items = Seq((1L, "widget", 1L), (1L, "gadget", 5L), (2L, "widget", 9L))
+      .toDF("oid", "product", "qty")
+    val path = tmp(graft.query.NestedDocs.nest(items, "oid", Seq("product", "qty"), as = "items"))
+    val df = spark.read.parquet(path)
+      .where(graft.query.Kql.parse("items:{ product:widget and qty > 2 }", None).compile)
+    val plan = planOf(df)
+    assert(!plan.contains("Generate"), s"nested braces must not explode the array:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"nested braces must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"a nested filter is row-local:\n$plan")
+  }
 }

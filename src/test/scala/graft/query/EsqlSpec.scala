@@ -94,6 +94,19 @@ class EsqlSpec extends SparkSpecBase {
     val rl2 = Esql.run("""FROM t | WHERE name RLIKE "b" | KEEP name""",
       resolve(Map("t" -> people))).collect()
     assert(rl2.isEmpty)
+    // the 8.16 list form: ANY pattern matching suffices; NOT negates the OR
+    val list = Esql.run("""FROM t | WHERE name LIKE ("a*", "b*") | KEEP name | SORT name""",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(list.toSeq == Seq("ada", "bob"))
+    val nlist = Esql.run("""FROM t | WHERE name NOT LIKE ("a*", "*n", "*l") | KEEP name | SORT name""",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(nlist.toSeq == Seq("bob", "dara"))
+    val rlist = Esql.run("""FROM t | WHERE name RLIKE ("a.a", "b(o)+b") | KEEP name | SORT name""",
+      resolve(Map("t" -> people))).as[String].collect()
+    assert(rlist.toSeq == Seq("ada", "bob"))
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("""FROM t | WHERE name LIKE (name)"""))
+      .getMessage.contains("quoted patterns"))
   }
 
   test("IN / NOT IN, IS NULL / IS NOT NULL") {
