@@ -531,10 +531,37 @@ object SparkEntry {
         val defaultField =
           if (o.hasNonNull("default_field")) Some(o.path("default_field").asText())
           else None
+        // named `?name` parameters — ES's wire shape is an array of
+        // one-field objects ([{"lang": "en"}, …]); a plain object map is
+        // accepted too. Positional entries (bare scalars) reject loudly.
+        def paramValue(name: String, v: com.fasterxml.jackson.databind.JsonNode): (String, Any) =
+          name -> (if (v.isNull) null
+            else if (v.isTextual) v.asText()
+            else if (v.isBoolean) v.asBoolean()
+            else if (v.isIntegralNumber) v.asLong()
+            else if (v.isNumber) v.asDouble()
+            else throw new IllegalArgumentException(
+              s"esql: parameter '$name' must be a scalar, got ${v.getNodeType}"))
+        val params: Map[String, Any] =
+          if (!o.hasNonNull("params")) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            val p = o.path("params")
+            if (p.isObject) p.fields().asScala.map(e => paramValue(e.getKey, e.getValue)).toMap
+            else if (p.isArray) p.elements().asScala.map { el =>
+              require(el.isObject && el.size() == 1,
+                "esql: params entries are one-field objects ({\"name\": value}) — " +
+                  "positional parameters are not supported")
+              val e = el.fields().next()
+              paramValue(e.getKey, e.getValue)
+            }.toMap
+            else throw new IllegalArgumentException(
+              "esql: params must be an object or an array of one-field objects")
+          }
         val df = query.Esql.run(q, resolveTable,
           Map("nations" -> query.Esql.EnrichPolicy(
             load(dir, "nation"), "n_nationkey", Seq("n_name"))),
-          defaultField = defaultField)
+          defaultField = defaultField, params = params)
         WidgetServer.collectRowsJson(df.limit(1000))
       },
 
@@ -7444,7 +7471,39 @@ object SparkEntry {
           | STATS n = COUNT(*) BY source | SORT source""",
         t => load(dir, t))
     }),
+
+    "esql_params" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // named ?param placeholders (ES's POST /_query params) bound as
+      // typed literals at compile — the bound plan is indistinguishable
+      // from inlined literals, so pushdown survives
+      query.Esql.run(
+        """FROM documents | WHERE lang == ?lang AND n_chars >= ?minc
+          | STATS n = COUNT(*), mx = MAX(n_chars) BY source | SORT source""",
+        t => load(dir, t), params = Map("lang" -> "en", "minc" -> 200L))
+    }),
+
+    "ann_maxsim" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Late-interaction (ColBERT) MaxSim: per-token vectors derived by
+      // slicing the 64-d embeddings into 8 tokens × 8 dims (the oracle
+      // slices identically); the 3 query tokens are DYADIC constants with
+      // no zeros, so every float→double product and sequential fold is
+      // exact in both engines — hash-exact compare, no rounding.
+      val toks = load(dir, "embeddings").withColumn("tok_vecs",
+        transform(sequence(lit(0), lit(7)),
+          i => slice(col("embedding"), i * lit(8) + lit(1), lit(8))))
+      graft.ops.Similarity.maxSimTopK(toks, "vec_id", "tok_vecs", maxSimQueryTokens, 20)
+    }),
   ))
+
+  /** ann_maxsim's query token vectors — dyadic, zero-free (exact as both
+    * Scala doubles and DuckDB decimals-cast-to-double).
+    */
+  private val maxSimQueryTokens: Seq[Seq[Double]] = Seq(
+    Seq(1.0, -0.5, 0.25, 0.125, 0.5, -0.25, 0.125, -0.125),
+    Seq(-0.25, 0.5, -0.125, 0.25, -1.0, 0.125, 0.5, -0.5),
+    Seq(0.25, 0.25, -0.0625, -0.25, 0.125, 0.5, -0.5, 1.0))
 
   // ---------------------------------------------------------------------
   // DuckDB oracles — ANSI SQL over the same parquet files. The driver runs
@@ -12866,6 +12925,30 @@ object SparkEntry {
         |WHERE (source LIKE 'src1%' OR source LIKE 'src2%')
         |  AND NOT (lang LIKE 'e%')
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "esql_params" ->
+      """SELECT count(*) AS n, max(n_chars) AS mx, source FROM documents
+        |WHERE lang = 'en' AND n_chars >= 200
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "ann_maxsim" -> {
+      def tokSum(qt: Seq[Double]): String = {
+        val lit = qt.mkString("[", ", ", "]")
+        s"""list_max(list_transform(tv, dt -> list_reduce(
+           |      list_transform(range(1, 9), j -> CAST(dt[j] AS DOUBLE) * (CAST($lit AS DOUBLE[]))[j]),
+           |      (a, b) -> a + b)))""".stripMargin
+      }
+      s"""WITH toks AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, 8), i -> embedding[i*8+1 : i*8+8]) AS tv
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT vec_id,
+         |    ${maxSimQueryTokens.map(tokSum).mkString("\n    + ")} AS score
+         |  FROM toks
+         |)
+         |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+    },
 
     "q_kql_nested" ->
       """SELECT DISTINCT l_orderkey AS oid FROM lineitem

@@ -1140,4 +1140,39 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
+
+  /** Late-interaction retrieval scoring (the ColBERT family — Khattab &
+    * Zaharia, SIGIR 2020): `score(q, d) = Σ_{qt ∈ q} max_{dt ∈ d} qt·dt`
+    * over PER-TOKEN embedding arrays (`array<array<float>>`), the middle
+    * ground between one-vector ANN (all meaning pooled) and cross-encoder
+    * rerank (quadratic attention). The query's token vectors are plan
+    * LITERALS (queries are a few tokens), each unrolled to
+    * `array_max(transform(docToks, dt → dot(dt, qt)))` — row-local
+    * higher-order functions, so the corpus never shuffles and the only
+    * stage boundary is the distributed top-k (TakeOrderedAndProject).
+    * Ties break on ascending id (the repo's determinism rule). Every
+    * arithmetic step (float→double cast, product, sequential fold) is
+    * exactly restatable in the oracle — no rounding anywhere.
+    *
+    * At 100 TB: the scan dominates and parallelizes embarrassingly; for
+    * a serving path, bound candidates first with the IVF/LSH tier and
+    * MaxSim only the survivors (the standing two-phase idiom).
+    */
+  def maxSimTopK(docs: DataFrame, idCol: String, tokVecsCol: String,
+      queryTokens: Seq[Seq[Double]], k: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "maxSimTopK: no query token vectors")
+    val dims = queryTokens.head.size
+    require(dims > 0 && queryTokens.forall(_.size == dims),
+      s"maxSimTopK: query token vectors must share one dimension, got ${queryTokens.map(_.size).distinct.mkString(",")}")
+    require(k >= 1, s"maxSimTopK: k must be >= 1, got $k")
+    val perToken = queryTokens.map { qt =>
+      val qlit = array(qt.map(lit): _*)
+      array_max(transform(col(tokVecsCol), dt =>
+        aggregate(zip_with(dt, qlit, (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x)))
+    }
+    docs.select(col(idCol), perToken.reduce(_ + _).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

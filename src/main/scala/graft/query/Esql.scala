@@ -95,6 +95,7 @@ object Esql {
   private case object NumK extends Kind
   private case object StrK extends Kind
   private case object PunctK extends Kind
+  private case object ParamK extends Kind
 
   /** One token with its source span — spans are what let unnamed columns
     * take their ES|QL source-text names verbatim.
@@ -156,6 +157,20 @@ object Esql {
         val start = i
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == '@' || q(i) == '.')) i += 1
         out += Tok(IdentK, q.substring(start, i), start, i)
+      } else if (c == '?') {
+        // named query parameters (ES's POST /_query `params`): `?name`.
+        // `??name` is ES's FIELD-name parameter — an identifier splice
+        // this pre-analysis compiler cannot type; loud seam. A bare `?`
+        // (positional) names the fix.
+        require(!(i + 1 < q.length && q(i + 1) == '?'),
+          s"esql: ??field-name parameters are not supported (identifiers must be in the query text) at $i")
+        val start = i
+        i += 1
+        val sb = new StringBuilder
+        while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) { sb += q(i); i += 1 }
+        require(sb.nonEmpty,
+          s"esql: positional '?' parameters are not supported — use named ?name at $start")
+        out += Tok(ParamK, sb.result(), start, i)
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Puncts2.contains(two)) { out += Tok(PunctK, two, i, i + 2); i += 2 }
@@ -188,6 +203,8 @@ object Esql {
     */
   private[query] final case class LikeE(e: Expr, patterns: Seq[String], regex: Boolean, negated: Boolean) extends Expr
   private[query] final case class IsNullE(e: Expr, negated: Boolean) extends Expr
+  /** `?name` — resolved from the request's params map at compile. */
+  private[query] final case class ParamE(name: String) extends Expr
   /** `1 day` inside DATE_TRUNC/BUCKET. */
   private[query] final case class SpanLit(n: Long, unit: String) extends Expr
   /** `agg(...) WHERE cond` inside STATS (the 8.13 per-aggregate filter). */
@@ -744,6 +761,7 @@ object Esql {
             case _ => NumLit(t.text)
           }
         case StrK => StrLit(t.text)
+        case ParamK => ParamE(t.text)
         case PunctK if t.text == "(" =>
           val e = expr(); expect(")"); e
         case PunctK if t.text == "*" => Star
@@ -838,6 +856,25 @@ object Esql {
       if (negated) !c else c
     case IsNullE(x, negated) =>
       if (negated) compileExpr(x).isNotNull else compileExpr(x).isNull
+    case ParamE(n) =>
+      val ps = paramsOpt.value
+      ps.get(n) match {
+        case Some(v) => v match {
+          case null => lit(null)
+          case s: String => lit(s)
+          case b: Boolean => lit(b)
+          case i: Int => lit(i)
+          case l: Long => lit(l)
+          case d: Double => lit(d)
+          case other => throw new IllegalArgumentException(
+            s"esql: parameter ?$n has unsupported type ${other.getClass.getSimpleName} " +
+              "(string/boolean/int/long/double/null)")
+        }
+        case None => throw new IllegalArgumentException(
+          s"esql: unbound parameter ?$n" +
+            (if (ps.isEmpty) " — the request carried no params"
+             else s" (have: ${ps.keys.toSeq.sorted.mkString(", ")})"))
+      }
     case SpanLit(n, unit) =>
       throw new IllegalArgumentException(
         s"esql: a span literal ($n $unit) is only valid inside DATE_TRUNC/BUCKET")
@@ -1721,6 +1758,11 @@ object Esql {
     */
   private val defaultFieldOpt = new scala.util.DynamicVariable[Option[String]](None)
 
+  /** The request's named parameters (`?name` placeholders) — the same
+    * eager-build seam as [[defaultFieldOpt]].
+    */
+  private val paramsOpt = new scala.util.DynamicVariable[Map[String, Any]](Map.empty)
+
   private def requireDefaultField(fn: String): String =
     defaultFieldOpt.value.getOrElse(throw new IllegalArgumentException(
       s"esql: $fn needs the index's default field — pass defaultField to " +
@@ -1736,7 +1778,9 @@ object Esql {
       query: String,
       resolve: String => DataFrame,
       policies: Map[String, EnrichPolicy] = Map.empty,
-      defaultField: Option[String] = None): DataFrame = defaultFieldOpt.withValue(defaultField) {
+      defaultField: Option[String] = None,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    defaultFieldOpt.withValue(defaultField) { paramsOpt.withValue(params) {
     val cmds = parse(query)
     val source: DataFrame = cmds.head match {
       case From(tables) =>
@@ -1750,7 +1794,7 @@ object Esql {
     }
     val ts = cmds.head.isInstanceOf[TsFrom]
     cmds.tail.foldLeft(source)(applyCmd(_, _, resolve, policies, ts))
-  }
+  } }
 
   /** Re-select a column BY NAME where the name is known to be a literal
     * top-level column of the frame — a generated STATS entry name like

@@ -651,4 +651,29 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.bruteForceRadius(corpus, "vec_id", "embedding",
         q, "vec_id", "embedding", 1.5))
   }
+
+  test("maxSimTopK: per-query-token max over doc tokens, summed — hand values, ties on id") {
+    import spark.implicits._
+    // doc 1: tokens (1,0) and (0,1); doc 2: tokens (0.5,0.5) and (0,0);
+    // doc 3: one token (1,1). Query tokens (1,0) and (0,2):
+    //   d1: max(1,0) + max(0,2)     = 1 + 2 = 3
+    //   d2: max(0.5,0) + max(1,0)   = 0.5 + 1 = 1.5
+    //   d3: max(1) + max(2)         = 1 + 2 = 3  (ties with d1 → id order)
+    val docs = Seq(
+      (1L, Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+      (2L, Seq(Seq(0.5f, 0.5f), Seq(0.0f, 0.0f))),
+      (3L, Seq(Seq(1.0f, 1.0f)))).toDF("id", "toks")
+    val out = Similarity.maxSimTopK(docs, "id", "toks",
+      Seq(Seq(1.0, 0.0), Seq(0.0, 2.0)), k = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L)) // 3.0 tie → id asc
+    assert(out.map(_.getDouble(1)).toSeq === Seq(3.0, 3.0))
+    val all = Similarity.maxSimTopK(docs, "id", "toks",
+      Seq(Seq(1.0, 0.0), Seq(0.0, 2.0)), k = 5).collect()
+    assert(all.map(r => r.getLong(0) -> r.getDouble(1)).toSeq ===
+      Seq(1L -> 3.0, 3L -> 3.0, 2L -> 1.5))
+    intercept[IllegalArgumentException](
+      Similarity.maxSimTopK(docs, "id", "toks", Seq(Seq(1.0), Seq(1.0, 2.0)), 2))
+    intercept[IllegalArgumentException](
+      Similarity.maxSimTopK(docs, "id", "toks", Seq.empty, 2))
+  }
 }

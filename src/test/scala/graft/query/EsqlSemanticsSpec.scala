@@ -105,6 +105,26 @@ class EsqlSemanticsSpec extends SparkSpecBase {
       val vs = args.flatMap(eval(_, row))
       if (vs.isEmpty) None
       else Some(vs.reduce((a, b) => if (java.lang.Double.compare(num(a), num(b)) >= 0) a else b))
+    // the trig/math family delegates to the SAME JVM libm on both sides
+    // (Spark's Sin/Cos/... codegen to java.lang.Math), so comparison is
+    // bit-exact — no tolerance anywhere in this certification
+    case CFn("SIN", Seq(x)) => eval(x, row).map(v => math.sin(num(v)))
+    case CFn("COS", Seq(x)) => eval(x, row).map(v => math.cos(num(v)))
+    case CFn("TANH", Seq(x)) => eval(x, row).map(v => math.tanh(num(v)))
+    case CFn("TO_DEGREES", Seq(x)) => eval(x, row).map(v => math.toDegrees(num(v)))
+    case CFn("TO_RADIANS", Seq(x)) => eval(x, row).map(v => math.toRadians(num(v)))
+    case CFn("HYPOT", Seq(x, y)) =>
+      for (a <- eval(x, row); b <- eval(y, row)) yield math.hypot(num(a), num(b))
+    case CFn("ATAN2", Seq(x, y)) =>
+      for (a <- eval(x, row); b <- eval(y, row)) yield math.atan2(num(a), num(b))
+    case CFn("LOCATE", Seq(x, y)) =>
+      // 1-based, 0 when absent (Spark's locate; indexOf + 1 covers both)
+      for (a <- eval(x, row); b <- eval(y, row))
+        yield (a, b) match { case (s: String, sub: String) => s.indexOf(sub) + 1 }
+    case CFn("HASH", Seq(CLit(alg: String), x)) => eval(x, row).map { case s: String =>
+      java.security.MessageDigest.getInstance(alg.toUpperCase)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     case CFn("LENGTH", Seq(x)) => eval(x, row).map { case s: String => s.length }
     case CFn("TO_UPPER", Seq(x)) => eval(x, row).map { case s: String => s.toUpperCase }
     case CFn("CONCAT", args) =>
@@ -160,7 +180,7 @@ class EsqlSemanticsSpec extends SparkSpecBase {
       case 3 => CLit(rnd.nextInt(19) - 9)
       case 4 => CLit(math.round((rnd.nextDouble() - 0.5) * 200) / 10.0)
       case 5 => CRef("a")
-    } else rnd.nextInt(8) match {
+    } else rnd.nextInt(14) match {
       case 0 => CBin("+", genNum(depth - 1), genNum(depth - 1))
       case 1 => CBin("-", genNum(depth - 1), genNum(depth - 1))
       case 2 => CBin("*", genNum(depth - 1), genNum(depth - 1))
@@ -169,6 +189,13 @@ class EsqlSemanticsSpec extends SparkSpecBase {
       case 5 => CFn("GREATEST", Seq(genNum(depth - 1), genNum(depth - 1)))
       case 6 => CCase(genBool(depth - 1), genNum(depth - 1), genNum(depth - 1))
       case 7 => CCoalesce(genNum(depth - 1), genNum(depth - 1))
+      case 8 => CFn("SIN", Seq(genNum(depth - 1)))
+      case 9 => CFn("COS", Seq(genNum(depth - 1)))
+      case 10 => CFn("TANH", Seq(genNum(depth - 1)))
+      case 11 => CFn(Seq("TO_DEGREES", "TO_RADIANS")(rnd.nextInt(2)), Seq(genNum(depth - 1)))
+      case 12 => CFn(Seq("HYPOT", "ATAN2")(rnd.nextInt(2)),
+        Seq(genNum(depth - 1), genNum(depth - 1)))
+      case 13 => CFn("LOCATE", Seq(genStr(depth - 1), genStr(depth - 1)))
     }
 
   private def genStr(depth: Int): E =
@@ -176,12 +203,14 @@ class EsqlSemanticsSpec extends SparkSpecBase {
       case 0 => CRef("s")
       case 1 => CRef("sn") // nullable string
       case 2 => CLit(Seq("ab", "xyz", "Hello")(rnd.nextInt(3)))
-    } else rnd.nextInt(4) match {
+    } else rnd.nextInt(5) match {
       case 0 => CFn("TO_UPPER", Seq(genStr(depth - 1)))
       case 1 => CFn("CONCAT", Seq(genStr(depth - 1), genStr(depth - 1)))
       case 2 => CFn("SUBSTRING", Seq(genStr(depth - 1),
         CLit(rnd.nextInt(7) - 3), CLit(rnd.nextInt(4))))
       case 3 => CCoalesce(genStr(depth - 1), genStr(depth - 1))
+      case 4 => CFn("HASH", Seq(CLit(Seq("md5", "sha1")(rnd.nextInt(2))),
+        genStr(depth - 1)))
     }
 
   private def genBool(depth: Int): E =

@@ -720,6 +720,28 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("out of range"))
   }
 
+  test("named ?params bind as typed literals; unbound/positional/field-name forms reject") {
+    val out = Esql.run("""FROM t | WHERE lang == ?l AND score >= ?min | KEEP id | SORT id""",
+      resolve(Map("t" -> people)), params = Map("l" -> "en", "min" -> 20.0))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(1L)) // ada (en, 30); bob (en, 10) misses the bound
+    val ev = Esql.run("""ROW x = ?a + 1""", resolve(Map.empty), params = Map("a" -> 41))
+      .collect().head
+    assert(ev.getInt(0) == 42)
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | WHERE lang == ?l", resolve(Map("t" -> people))))
+      .getMessage.contains("unbound parameter ?l"))
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("FROM t | WHERE lang == ?"))
+      .getMessage.contains("positional"))
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("FROM t | WHERE ??f == 1"))
+      .getMessage.contains("field-name"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("ROW x = ?a", resolve(Map.empty), params = Map("a" -> Seq(1))))
+      .getMessage.contains("unsupported type"))
+  }
+
   test("SHOW INFO returns the pinned build constants; date ± span math is calendar-aware") {
     val info = Esql.run("SHOW INFO", resolve(Map.empty)).collect().head
     assert(info.getAs[String]("version") == "8.18.0-graft")

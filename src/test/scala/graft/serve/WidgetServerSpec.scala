@@ -697,6 +697,24 @@ class WidgetServerSpec extends SparkSpecBase {
         s"""{"query": "${qstr.replace("\"", "\\\"")}"}""")
       assert(c6 === 400 && b6.contains("default_field"))
 
+      // named ?params bind on the wire — ES's array-of-one-field-objects
+      // shape AND the plain-object map; positional entries 400
+      val pq = "FROM documents | WHERE lang == ?l | STATS n = COUNT(*) | LIMIT 1"
+      val (cp1, bp1) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${pq.replace("\"", "\\\"")}", "params": [{"l": "en"}]}""")
+      assert(cp1 === 200)
+      assert(bp1 === WidgetServer.collectRowsJson(
+        graft.query.Esql.run(pq, resolve, params = Map("l" -> "en"))))
+      val (cp2, bp2) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${pq.replace("\"", "\\\"")}", "params": {"l": "en"}}""")
+      assert(cp2 === 200 && bp2 === bp1)
+      val (cp3, bp3) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${pq.replace("\"", "\\\"")}", "params": ["en"]}""")
+      assert(cp3 === 400 && bp3.contains("one-field"))
+      val (cp4, bp4) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${pq.replace("\"", "\\\"")}"}""")
+      assert(cp4 === 400 && bp4.contains("unbound parameter"))
+
       // 400 pins: missing query, parse error, unknown index, NOW()
       assert(post(s"http://127.0.0.1:$port/esql", "{}")._1 === 400)
       assert(post(s"http://127.0.0.1:$port/esql",
