@@ -7495,7 +7495,53 @@ object SparkEntry {
           i => slice(col("embedding"), i * lit(8) + lit(1), lit(8))))
       graft.ops.Similarity.maxSimTopK(toks, "vec_id", "tok_vecs", maxSimQueryTokens, 20)
     }),
+
+    "esql_version_sort" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // TO_VERSION as a sort key: synthesized semver strings (numeric
+      // minor up to 11 — "1.10" must sort after "1.2", which a lexical
+      // sort gets wrong — plus an -alpha prerelease tier that sorts
+      // BEFORE its release); the oracle restates the same padded
+      // encoding in DuckDB and orders by it.
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 40
+          | EVAL v = CONCAT("1.", TO_STRING(doc_id % 12), ".", TO_STRING(doc_id % 3),
+              CASE(doc_id % 4 == 0, "-alpha", ""))
+          | EVAL k = TO_VERSION(v)
+          | SORT k, doc_id | KEEP doc_id, v""",
+        t => load(dir, t))
+    }),
+
+    "text_readability" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Flesch reading ease over the documents corpus — integer counts +
+      // one fixed arithmetic tree, restated bit-exactly in DuckDB (no
+      // rounding; both engines parse the same decimal literals to the
+      // same doubles and evaluate the same operation order).
+      load(dir, "documents").select(col("doc_id"),
+        graft.ops.TextAnalysis.fleschReadingEase(col("text")).as("fre"))
+        .where(col("doc_id") < 80).orderBy("doc_id")
+    }),
+
+    "ann_bbq" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // Binary-quantization ANN (the ES 8.16 BBQ pattern): Hamming
+      // agreement against the query's bit pattern cuts 60 candidates,
+      // the exact dot product rescores to the top 15. Integer Hamming +
+      // exact double rescore over dyadic query constants → hash-exact
+      // oracle, no rounding.
+      graft.ops.Similarity.bbqTopK(load(dir, "embeddings"), "vec_id", "embedding",
+        bbqQueryVec, bbqThresholds, k = 15, candidates = 60)
+    }),
   ))
+
+  /** ann_bbq's query vector — 64 dyadic values in [-0.5, 0.5] — and the
+    * per-dimension thresholds (zeros: comparisons against them are exact
+    * in every engine).
+    */
+  private val bbqQueryVec: Seq[Double] =
+    (0 until 64).map(i => (((i * 7) % 9) - 4) / 8.0)
+  private val bbqThresholds: Seq[Double] = Seq.fill(64)(0.0)
 
   /** ann_maxsim's query token vectors — dyadic, zero-free (exact as both
     * Scala doubles and DuckDB decimals-cast-to-double).
@@ -12948,6 +12994,54 @@ object SparkEntry {
          |  FROM toks
          |)
          |SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+    },
+
+    "esql_version_sort" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '1.' || CAST(doc_id % 12 AS VARCHAR) || '.' || CAST(doc_id % 3 AS VARCHAR)
+        |      || CASE WHEN doc_id % 4 = 0 THEN '-alpha' ELSE '' END AS v
+        |  FROM documents WHERE doc_id < 40
+        |)
+        |SELECT doc_id, v FROM d
+        |ORDER BY array_to_string(list_transform(string_split(v, '.'), seg ->
+        |    lpad(regexp_extract(seg, '^([0-9]*)', 1), 12, '0')
+        |    || CASE WHEN regexp_extract(seg, '^[0-9]*(.*)$', 1) = ''
+        |            THEN '~' ELSE regexp_extract(seg, '^[0-9]*(.*)$', 1) END), '.'),
+        |  doc_id""".stripMargin,
+
+    "text_readability" ->
+      """SELECT doc_id,
+        |  CAST(206.835 AS DOUBLE)
+        |  - CAST(1.015 AS DOUBLE) *
+        |    (CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE)
+        |     / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |  - CAST(84.6 AS DOUBLE) *
+        |    (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+        |     / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE)) AS fre
+        |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin,
+
+    "ann_bbq" -> {
+      val qb = bbqQueryVec.zip(bbqThresholds).map { case (q, t) => if (q >= t) 1 else 0 }
+      val qbLit = qb.mkString("[", ", ", "]")
+      val qLit = bbqQueryVec.mkString("[", ", ", "]")
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_reduce(list_transform(range(1, 65), j ->
+         |      CASE WHEN ($qbLit)[j] = 1
+         |           THEN CASE WHEN embedding[j] >= 0.0 THEN 1 ELSE 0 END
+         |           ELSE CASE WHEN embedding[j] < 0.0 THEN 1 ELSE 0 END END),
+         |      (a, b) -> a + b) AS BIGINT) AS hamming
+         |  FROM embeddings
+         |), cand AS (
+         |  SELECT vec_id, embedding, hamming FROM c
+         |  ORDER BY hamming DESC, vec_id LIMIT 60
+         |)
+         |SELECT vec_id, hamming,
+         |  list_reduce(list_transform(range(1, 65), j ->
+         |    CAST(embedding[j] AS DOUBLE) * (CAST($qLit AS DOUBLE[]))[j]),
+         |    (a, b) -> a + b) AS score
+         |FROM cand ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
     },
 
     "q_kql_nested" ->

@@ -1175,4 +1175,44 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Binary-quantization ANN (the pattern behind ES 8.16's BBQ): each
+    * dimension binarizes against a per-dimension THRESHOLD, candidates
+    * rank by Hamming agreement with the query's bit pattern, and the top
+    * `candidates` rescore with the exact dot product — two distributed
+    * top-k cuts (TakeOrderedAndProject), no shuffle, no join, ~1 bit/dim
+    * of effective candidate state. The query's bits fold at COMPILE time
+    * (the per-dimension comparison direction is a plan constant), so the
+    * agreement count is one codegen'd integer sum per row.
+    *
+    * Thresholds are EXPLICIT plan literals (dyadic constants in the
+    * oracled query): a mean "trained" on a distributed sample would make
+    * borderline bits partition-order-sensitive — this repo's determinism
+    * rule puts the training step outside the hash-gated path. Ties break
+    * on ascending id at both cuts.
+    */
+  def bbqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], thresholds: Seq[Double], k: Int, candidates: Int): DataFrame = {
+    require(query.nonEmpty, "bbqTopK: empty query vector")
+    require(query.size == thresholds.size,
+      s"bbqTopK: query dims ${query.size} != thresholds ${thresholds.size}")
+    require(k >= 1 && candidates >= k,
+      s"bbqTopK: need candidates >= k >= 1, got k=$k candidates=$candidates")
+    val dims = query.size
+    val qbits = query.zip(thresholds).map { case (q, t) => q >= t }
+    val v = col(vecCol)
+    val agree = (0 until dims).map { i =>
+      val x = get(v, lit(i)).cast("double")
+      val cond = if (qbits(i)) x >= lit(thresholds(i)) else x < lit(thresholds(i))
+      when(cond, lit(1)).otherwise(lit(0))
+    }.reduce(_ + _).cast("long")
+    val qlit = array(query.map(lit): _*)
+    def dotQ(c: Column): Column =
+      aggregate(zip_with(c, qlit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+    corpus.select(col(idCol), v.as("_v"), agree.as("hamming"))
+      .orderBy(desc("hamming"), col(idCol)).limit(candidates)
+      .select(col(idCol), col("hamming"), dotQ(col("_v")).as("score"))
+      .orderBy(desc("score"), col(idCol)).limit(k)
+  }
 }

@@ -28,6 +28,24 @@ object TextAnalysis {
   /** Characters of punctuation/symbols (not alphanumeric, not whitespace). */
   def punctCount(c: Column): Column = regexp_count(c, lit("[^A-Za-z0-9\\s]"))
 
+  /** Flesch reading ease: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` — the classic document-difficulty score a
+    * pretraining quality pipeline bands corpora by. Counts are the
+    * restatable heuristics: words = whitespace tokens, sentences =
+    * terminator runs `[.!?]+`, syllables = vowel GROUPS (`[aeiouy]+`,
+    * lowercased) — the standard approximation minus the silent-e
+    * discount (stated simplification: vowel-less tokens count zero
+    * syllables). Every count floors at 1 so empty/unpunctuated text
+    * scores instead of dividing by zero. Pure integer counts + one fixed
+    * arithmetic tree — the oracle restates it bit-exactly, no rounding.
+    */
+  def fleschReadingEase(c: Column): Column = {
+    val words = greatest(size(split(trim(c), "\\s+")), lit(1)).cast("double")
+    val sentences = greatest(regexp_count(c, lit("[.!?]+")), lit(1)).cast("double")
+    val syllables = greatest(regexp_count(lower(c), lit("[aeiouy]+")), lit(1)).cast("double")
+    lit(206.835) - lit(1.015) * (words / sentences) - lit(84.6) * (syllables / words)
+  }
+
   /** Punctuation-to-character ratio; 0 for empty text. */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, 0.0)

@@ -1378,6 +1378,24 @@ object Esql {
     case rel @ ("ST_INTERSECTS" | "ST_WITHIN" | "ST_CONTAINS" | "ST_DISJOINT") =>
       require(args.length == 2, s"esql: $rel(geometryA, geometryB)")
       compileSpatialRelation(rel, args, rec)
+    case "TO_VERSION" => {
+      // A semver-aware SORTABLE key: each dot segment's numeric prefix
+      // left-pads to 12 digits; an EMPTY suffix becomes "~" (0x7E — above
+      // every printable prerelease character), so "1.2.0" < "1.10.0" and
+      // "1.0.0-alpha" < "1.0.0" under plain binary string order. STATED
+      // DELTA: ES's version type renders the original text while
+      // comparing semver-aware; a pre-analysis compiler has one value per
+      // expression, so TO_VERSION returns the ordering key itself — keep
+      // the raw column for display. Build-metadata (+…) compares as text.
+      val s = one(name, args, rec)
+      val enc = transform(split(s, "\\."), seg => {
+        val numPart = regexp_extract(seg, "^([0-9]*)", 1)
+        val suffix = regexp_extract(seg, "^[0-9]*(.*)$", 1)
+        concat(lpad(numPart, 12, "0"),
+          when(suffix === "", lit("~")).otherwise(suffix))
+      })
+      array_join(enc, ".")
+    }
     case "DATE_PARSE" => args match {
       // DATE_PARSE("pattern", string) — Java DateTimeFormatter patterns
       // (ES|QL's convention and Spark's; the shared dialect is why the
@@ -1694,10 +1712,12 @@ object Esql {
 
   /** GROK pattern subset → (anchored regex, (key, castType) in order).
     * Supported pattern names: WORD, NOTSPACE, DATA, GREEDYDATA, INT,
-    * NUMBER; type suffixes `:int`/`:long`/`:float` cast the extract.
+    * NUMBER, IP/IPV4 (v4 dotted quads — grok's IP also takes v6; stated
+    * subset), TIMESTAMP_ISO8601, LOGLEVEL, UUID; type suffixes
+    * `:int`/`:long`/`:float` cast the extract.
     */
   private[query] def grokRegex(pattern: String): (String, Seq[(String, Option[String])]) = {
-    val partRx = "%\\{([A-Z]+)(?::([A-Za-z0-9_]+))?(?::(int|long|float))?\\}".r
+    val partRx = "%\\{([A-Z][A-Z0-9_]*)(?::([A-Za-z0-9_]+))?(?::(int|long|float))?\\}".r
     val keys = Seq.newBuilder[(String, Option[String])]
     val sb = new StringBuilder("^")
     var last = 0
@@ -1712,6 +1732,12 @@ object Esql {
         case "GREEDYDATA" => ".*"
         case "INT" => "[+-]?\\d+"
         case "NUMBER" => "[+-]?\\d+(?:\\.\\d+)?"
+        case "IP" | "IPV4" =>
+          "(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}"
+        case "TIMESTAMP_ISO8601" =>
+          "\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(?::\\d{2})?(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?"
+        case "LOGLEVEL" => "(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|SEVERE)"
+        case "UUID" => "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
         case other => throw new IllegalArgumentException(s"esql: unsupported GROK pattern $other")
       }
       Option(m.group(2)) match {

@@ -676,4 +676,29 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Similarity.maxSimTopK(docs, "id", "toks", Seq.empty, 2))
   }
+
+  test("bbqTopK: Hamming candidate cut then exact rescore — hand values, pruning observable") {
+    import spark.implicits._
+    // q = (1,-1,.5,-.5), thresholds 0 → query bits (T,F,T,F)
+    val corpus = Seq(
+      (1L, Array(2.0f, -3.0f, 1.0f, -1.0f)), // bits TFTF → hamming 4, dot 6
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)), // TTTT → hamming 2, dot 0
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f)), // FFFF → hamming 2, dot 0
+      (4L, Array(0.5f, -0.5f, 0.25f, -0.25f))) // TFTF → hamming 4, dot 1.25
+      .toDF("vec_id", "embedding")
+    val q = Seq(1.0, -1.0, 0.5, -0.5)
+    val t = Seq(0.0, 0.0, 0.0, 0.0)
+    val top2 = Similarity.bbqTopK(corpus, "vec_id", "embedding", q, t, k = 2, candidates = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top2.toSeq === Seq((1L, 4L, 6.0), (4L, 4L, 1.25)))
+    // the candidate cut is observable: hamming ties (2,3) break on id, so
+    // doc 3 never reaches the rescore even though its exact dot ties doc 2
+    val top3 = Similarity.bbqTopK(corpus, "vec_id", "embedding", q, t, k = 3, candidates = 3)
+      .collect().map(_.getLong(0))
+    assert(top3.toSeq === Seq(1L, 4L, 2L))
+    intercept[IllegalArgumentException](
+      Similarity.bbqTopK(corpus, "vec_id", "embedding", q, Seq(0.0), 2, 3))
+    intercept[IllegalArgumentException](
+      Similarity.bbqTopK(corpus, "vec_id", "embedding", q, t, k = 4, candidates = 3))
+  }
 }

@@ -39,6 +39,22 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(one("ab cdef", TextAnalysis.meanTokenLength(col("t"))) === 3.0)
   }
 
+  test("fleschReadingEase: hand value; floors keep empty text finite; harder text scores lower") {
+    // "The cat sat. It ran!": 5 words, 2 sentence runs, 5 vowel groups
+    // → 206.835 − 1.015·(5/2) − 84.6·(5/5) = 119.6975 exactly
+    // (compare against the same double-op tree, not a re-parsed literal)
+    assert(one("The cat sat. It ran!", TextAnalysis.fleschReadingEase(col("t")))
+      === 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0))
+    // no terminators, no vowels → all counts floor at 1, stays finite
+    val empty = one("", TextAnalysis.fleschReadingEase(col("t")))
+    assert(!empty.asInstanceOf[Double].isNaN)
+    // polysyllabic prose scores below simple prose
+    val simple = one("The dog ran. The cat sat.", TextAnalysis.fleschReadingEase(col("t")))
+    val hard = one("Incomprehensibility characterizes institutionalization.",
+      TextAnalysis.fleschReadingEase(col("t")))
+    assert(hard.asInstanceOf[Double] < simple.asInstanceOf[Double])
+  }
+
   test("qualityScore is in [0,1], higher for prose than for noise") {
     val prose = "The quick brown fox jumps over the lazy dog while the sun sets " * 3
     val noise = "@@@ ### $$$ %%% ^^^ &&&"

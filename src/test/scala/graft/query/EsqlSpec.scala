@@ -292,6 +292,23 @@ class EsqlSpec extends SparkSpecBase {
     assert(out(0).getString(0) == "GET")
     assert(out(0).getInt(1) == 200)
     assert(out(1).getDouble(2) == 0.25)
+    // the log-shaped pattern names: ISO timestamp, level, IPv4, UUID
+    val log2 = Seq("2024-03-01T10:15:00Z ERROR 10.2.3.4 deadbeef-0000-4000-8000-123456789abc disk full")
+      .toDF("line")
+    val r2 = Esql.run(
+      """FROM t | GROK line "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{IP:ip} %{UUID:uid} %{GREEDYDATA:msg}"
+        | KEEP ts, lvl, ip, uid, msg""",
+      resolve(Map("t" -> log2))).collect().head
+    assert(r2.getString(0) == "2024-03-01T10:15:00Z")
+    assert(r2.getString(1) == "ERROR")
+    assert(r2.getString(2) == "10.2.3.4")
+    assert(r2.getString(3) == "deadbeef-0000-4000-8000-123456789abc")
+    assert(r2.getString(4) == "disk full")
+    // a malformed IPv4 (octet > 255) does not match — all keys null
+    val bad = Esql.run(
+      """FROM t | GROK line "%{IP:ip} %{GREEDYDATA:m}" | KEEP ip""",
+      resolve(Map("t" -> Seq("999.1.1.1 x").toDF("line")))).collect().head
+    assert(bad.isNullAt(0))
   }
 
   // ----- ENRICH / FROM union / ROW -----
@@ -718,6 +735,15 @@ class EsqlSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Esql.run("""ROW x = IP_PREFIX("1.2.3.4", 40, 0)""", resolve(Map.empty)))
       .getMessage.contains("out of range"))
+  }
+
+  test("TO_VERSION: sortable semver key — numeric segments, prerelease before release") {
+    val out = Esql.run(
+      """ROW v = SPLIT("1.10.0,1.2.0,1.0.0-alpha,1.0.0,1.0.0-beta", ",")
+        | MV_EXPAND v | EVAL k = TO_VERSION(v) | SORT k | KEEP v""",
+      resolve(Map.empty)).as[String].collect()
+    assert(out.toSeq ==
+      Seq("1.0.0-alpha", "1.0.0-beta", "1.0.0", "1.2.0", "1.10.0"))
   }
 
   test("named ?params bind as typed literals; unbound/positional/field-name forms reject") {
