@@ -7512,6 +7512,17 @@ object SparkEntry {
         t => load(dir, t))
     }),
 
+    "esql_round_to" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ROUND_TO as a histogram band: round down to fixed points, the
+      // below-minimum clamp included
+      query.Esql.run(
+        """FROM documents | WHERE doc_id < 60
+          | EVAL band = ROUND_TO(n_chars, 0, 100, 200, 300, 400)
+          | STATS n = COUNT(*) BY band | SORT band""",
+        t => load(dir, t))
+    }),
+
     "text_readability" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Flesch reading ease over the documents corpus — integer counts +
@@ -13009,6 +13020,13 @@ object SparkEntry {
         |    || CASE WHEN regexp_extract(seg, '^[0-9]*(.*)$', 1) = ''
         |            THEN '~' ELSE regexp_extract(seg, '^[0-9]*(.*)$', 1) END), '.'),
         |  doc_id""".stripMargin,
+
+    "esql_round_to" ->
+      """SELECT count(*) AS n,
+        |  CAST(CASE WHEN n_chars >= 400 THEN 400 WHEN n_chars >= 300 THEN 300
+        |       WHEN n_chars >= 200 THEN 200 WHEN n_chars >= 100 THEN 100
+        |       ELSE 0 END AS DOUBLE) AS band
+        |FROM documents WHERE doc_id < 60 GROUP BY band ORDER BY band""".stripMargin,
 
     "text_readability" ->
       """SELECT doc_id,

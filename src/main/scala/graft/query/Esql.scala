@@ -1378,6 +1378,36 @@ object Esql {
     case rel @ ("ST_INTERSECTS" | "ST_WITHIN" | "ST_CONTAINS" | "ST_DISJOINT") =>
       require(args.length == 2, s"esql: $rel(geometryA, geometryB)")
       compileSpatialRelation(rel, args, rec)
+    case "ROUND_TO" => args match {
+      // ES|QL 8.19 ROUND_TO(value, p1, p2, …): round DOWN to the largest
+      // fixed point <= value; below the smallest point clamps to it
+      // (ES's rule). Points are ascending literals so the when-chain
+      // folds at compile; a null value stays null. Always double-typed
+      // (stated: ES keeps the input's numeric type).
+      case Seq(v, pts @ _*) if pts.nonEmpty =>
+        val points = pts.map {
+          case NumLit(t) => t.toDouble
+          case Neg(NumLit(t)) => -t.toDouble
+          case other => throw new IllegalArgumentException(
+            s"esql: ROUND_TO points must be numeric literals, found $other")
+        }
+        require(points == points.sorted && points.distinct.size == points.size,
+          s"esql: ROUND_TO points must be strictly ascending, got ${points.mkString(", ")}")
+        val x = rec(v).cast("double")
+        val chain = points.tail.foldLeft(lit(points.head)) { (acc, p) =>
+          when(x >= p, lit(p)).otherwise(acc)
+        }
+        when(x.isNotNull, chain)
+      case _ => throw new IllegalArgumentException("esql: ROUND_TO(value, point, …)")
+    }
+    case "TO_UNSIGNED_LONG" =>
+      throw new IllegalArgumentException(
+        "esql: TO_UNSIGNED_LONG — the JVM has no unsigned 64-bit integral type; " +
+          "use TO_LONG (63-bit range) or TO_DOUBLE (stated seam)")
+    case "TO_TIMEDURATION" | "TO_DATEPERIOD" =>
+      throw new IllegalArgumentException(
+        s"esql: $name — span values are query literals in this engine; " +
+          "write the arithmetic directly (ts + 2 hour)")
     case "TO_VERSION" => {
       // A semver-aware SORTABLE key: each dot segment's numeric prefix
       // left-pads to 12 digits; an EMPTY suffix becomes "~" (0x7E — above

@@ -737,6 +737,28 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("out of range"))
   }
 
+  test("ROUND_TO rounds down to fixed points, clamps below the smallest, keeps null") {
+    val r = Esql.run(
+      """ROW a = ROUND_TO(250, 0, 100, 200, 400), b = ROUND_TO(99, 0, 100, 200),
+        c = ROUND_TO(0 - 5, 0, 100), d = ROUND_TO(400, 0, 100, 200, 400),
+        e = ROUND_TO(NULL, 0, 100)""".replace("\n", " "),
+      resolve(Map.empty)).collect().head
+    assert(r.getAs[Double]("a") == 200.0)
+    assert(r.getAs[Double]("b") == 0.0)
+    assert(r.getAs[Double]("c") == 0.0) // below the smallest point clamps
+    assert(r.getAs[Double]("d") == 400.0)
+    assert(r.isNullAt(r.fieldIndex("e")))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("ROW x = ROUND_TO(5, 100, 0)", resolve(Map.empty)))
+      .getMessage.contains("ascending"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("ROW x = TO_UNSIGNED_LONG(5)", resolve(Map.empty)))
+      .getMessage.contains("unsigned"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""ROW x = TO_TIMEDURATION("2 hour")""", resolve(Map.empty)))
+      .getMessage.contains("span values"))
+  }
+
   test("TO_VERSION: sortable semver key — numeric segments, prerelease before release") {
     val out = Esql.run(
       """ROW v = SPLIT("1.10.0,1.2.0,1.0.0-alpha,1.0.0,1.0.0-beta", ",")
