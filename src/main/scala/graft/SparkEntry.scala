@@ -7544,6 +7544,75 @@ object SparkEntry {
       graft.ops.Similarity.bbqTopK(load(dir, "embeddings"), "vec_id", "embedding",
         bbqQueryVec, bbqThresholds, k = 15, candidates = 60)
     }),
+
+    "esql_knn" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL KNN (8.18+): vector search inside the pipe language. The
+      // k-nearest cut compiles to ONE distributed top-k
+      // (TakeOrderedAndProject — per-partition heaps, k-row driver merge;
+      // EsqlSpec pins no window/join), with metric and tiebreak as
+      // explicit options (the mapping / internal-doc-order seams,
+      // stated). dot_product over a dyadic literal query vector and
+      // METADATA _score carrying ES's (1+dot)/2 transform — every
+      // product and the sequential fold restate bit-identically in
+      // DuckDB's list_inner_product: hash-exact.
+      val vec = knnQueryVec.mkString("[", ", ", "]")
+      query.Esql.run(
+        s"""FROM embeddings METADATA _score
+           | WHERE KNN(embedding, $vec, {"k": 25, "metric": "dot_product", "tiebreak": "vec_id"})
+           | KEEP vec_id, _score
+           | SORT vec_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_knn_prefiltered" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The pre/post-filter contract in one committed query (ES|QL's
+      // rule, EsqlSpec pins the divergence): the same-WHERE conjunct
+      // restricts candidates BEFORE the k-nearest cut, the later WHERE
+      // trims the k survivors (teeth: 4 of 40 survive at sf0.01, 18 of
+      // 40 at sf0.1). cosine restated operation-for-operation
+      // (dot / (sqrt·sqrt), then (1+cos)/2) — sqrt is IEEE
+      // correctly-rounded in both engines, so the post-filter threshold
+      // needs no corpus margin.
+      val vec = knnQueryVec.mkString("[", ", ", "]")
+      query.Esql.run(
+        s"""FROM embeddings METADATA _score
+           | WHERE vec_id % 3 == 0 AND KNN(embedding, $vec, {"k": 40, "metric": "cosine", "tiebreak": "vec_id"})
+           | WHERE _score > 0.62
+           | KEEP vec_id, _score
+           | SORT vec_id""",
+        t => load(dir, t))
+    }),
+
+    "esql_metadata_index" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // METADATA _index under the multi-table FROM: each row carries the
+      // FROM name that produced it (stamped per branch BEFORE the
+      // union), so per-source attribution is a plain GROUP BY.
+      query.Esql.run(
+        """FROM region, nation METADATA _index
+          | STATS n = COUNT(*) BY _index
+          | SORT _index""",
+        t => load(dir, t))
+    }),
+
+    "esql_match_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL relevance scoring (8.15+): METADATA _score + MATCH — the
+      // Kibana search-bar shape inside the pipe language. MATCH conjuncts
+      // add their BM25 scores into _score (corpus statistics over the
+      // frame entering the WHERE = the index, since the WHERE follows
+      // FROM directly); the score tree is the Bm25 tier's fixed IEEE
+      // fold, so the oracle wraps the SHARED oracleSqlScored generator.
+      query.Esql.run(
+        """FROM documents METADATA _score
+          | WHERE MATCH(text, "dup vector scan")
+          | KEEP doc_id, _score
+          | SORT _score DESC, doc_id
+          | LIMIT 15""",
+        t => load(dir, t))
+    }),
   ))
 
   /** ann_bbq's query vector — 64 dyadic values in [-0.5, 0.5] — and the
@@ -7553,6 +7622,14 @@ object SparkEntry {
   private val bbqQueryVec: Seq[Double] =
     (0 until 64).map(i => (((i * 7) % 9) - 4) / 8.0)
   private val bbqThresholds: Seq[Double] = Seq.fill(64)(0.0)
+
+  /** esql_knn's query vector — 64 dyadic zero-free values (exact as both
+    * Scala doubles and DuckDB decimal literals cast to double).
+    */
+  private val knnQueryVec: Seq[Double] = {
+    val cycle = Seq(0.5, -0.25, 0.75, -0.5, 0.125, -0.75, 0.25, -0.125)
+    (0 until 64).map(i => cycle(i % 8) * (if ((i / 8) % 2 == 0) 1.0 else 0.5))
+  }
 
   /** ann_maxsim's query token vectors — dyadic, zero-free (exact as both
     * Scala doubles and DuckDB decimals-cast-to-double).
@@ -13060,6 +13137,58 @@ object SparkEntry {
          |    CAST(embedding[j] AS DOUBLE) * (CAST($qLit AS DOUBLE[]))[j]),
          |    (a, b) -> a + b) AS score
          |FROM cand ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
+    },
+
+    // ES|QL KNN restated: (1 + dot)/2 over the same dyadic literal vector
+    // — list_inner_product folds in the same sequential order as the
+    // engine's codegen'd kernel, so the score is bit-identical.
+    "esql_knn" -> {
+      val qLit = knnQueryVec.mkString("[", ", ", "]")
+      s"""WITH s AS (
+         |  SELECT vec_id,
+         |    (1.0 + list_inner_product(embedding::DOUBLE[], CAST($qLit AS DOUBLE[]))) / 2.0 AS _score
+         |  FROM embeddings
+         |), cut AS (
+         |  SELECT vec_id, _score FROM s ORDER BY _score DESC, vec_id LIMIT 25
+         |)
+         |SELECT vec_id, _score FROM cut ORDER BY vec_id""".stripMargin
+    },
+
+    // pre-filter → cosine top-40 → post-filter, operation-for-operation:
+    // dot / (sqrt(n_a)·sqrt(n_b)), then ES's (1+cos)/2 transform.
+    "esql_knn_prefiltered" -> {
+      val qLit = knnQueryVec.mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 3 = 0
+         |), s AS (
+         |  SELECT vec_id,
+         |    (1.0 + list_inner_product(v, CAST($qLit AS DOUBLE[]))
+         |      / (sqrt(list_inner_product(v, v))
+         |         * sqrt(list_inner_product(CAST($qLit AS DOUBLE[]), CAST($qLit AS DOUBLE[]))))) / 2.0 AS _score
+         |  FROM e
+         |), cut AS (
+         |  SELECT vec_id, _score FROM s ORDER BY _score DESC, vec_id LIMIT 40
+         |)
+         |SELECT vec_id, _score FROM cut WHERE _score > 0.62 ORDER BY vec_id""".stripMargin
+    },
+
+    "esql_metadata_index" ->
+      """SELECT n, _index FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, 'region' AS _index FROM region
+        |  UNION ALL
+        |  SELECT CAST(count(*) AS BIGINT) AS n, 'nation' AS _index FROM nation
+        |) ORDER BY _index""".stripMargin,
+
+    // the search_bm25 scoring tree verbatim (the shared generator) — the
+    // ES|QL front-end is invisible to results, the repo's standing trick
+    "esql_match_score" -> {
+      val scored = graft.query.Bm25.oracleSqlScored(
+        "documents", "doc_id", "text", "dup vector scan")
+      s"""WITH s AS (
+         |$scored
+         |)
+         |SELECT doc_id, score AS _score FROM s
+         |ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin
     },
 
     "q_kql_nested" ->

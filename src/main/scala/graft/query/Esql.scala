@@ -175,7 +175,7 @@ object Esql {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Puncts2.contains(two)) { out += Tok(PunctK, two, i, i + 2); i += 2 }
         else {
-          require("|,()=<>+-*/%".indexOf(c) >= 0, s"esql: unexpected character '$c' at $i")
+          require("|,()=<>+-*/%[]{}:".indexOf(c) >= 0, s"esql: unexpected character '$c' at $i")
           out += Tok(PunctK, c.toString, i, i + 1); i += 1
         }
       }
@@ -211,9 +211,15 @@ object Esql {
   private[query] final case class AggWhere(agg: Expr, cond: Expr) extends Expr
   /** `*` inside COUNT. */
   private[query] case object Star extends Expr
+  /** `[v1, v2, …]` — ES|QL's multivalue literal. */
+  private[query] final case class ArrLit(items: Seq[Expr]) extends Expr
+  /** `{"k": 10, …}` — the 9.x named-options map; only legal as the last
+    * argument of a function that takes options (KNN).
+    */
+  private[query] final case class MapLit(entries: Seq[(String, Expr)]) extends Expr
 
   private[query] sealed trait Cmd
-  private[query] final case class From(tables: Seq[String]) extends Cmd
+  private[query] final case class From(tables: Seq[String], metadata: Seq[String] = Nil) extends Cmd
   private[query] final case class TsFrom(tables: Seq[String]) extends Cmd
   private[query] final case class RowCmd(cols: Seq[(String, Expr)]) extends Cmd
   private[query] final case class Where(e: Expr) extends Cmd
@@ -276,12 +282,38 @@ object Esql {
         val tables = Seq.newBuilder[String]
         tables += identName()
         while (peekIs(",")) { advance(); tables += identName() }
-        require(!peekIs("METADATA"),
-          "esql: METADATA is not supported — there is no hidden _index/_id here; project real columns")
+        // METADATA (ES|QL's metadata fields): `_index` is REAL here — the
+        // FROM name that contributed each row (meaningful under the
+        // multi-table union) — and `_score` is the relevance column the
+        // scoring functions (KNN) fill. `_id`/`_version` name storage
+        // internals this engine deliberately does not invent — loud seam.
+        val meta = Seq.newBuilder[String]
+        if (peekIs("METADATA")) {
+          advance()
+          var more = true
+          while (more) {
+            val f = identName()
+            f match {
+              case "_index" | "_score" => meta += f
+              case "_id" | "_version" | "_ignored" | "_source" =>
+                throw new IllegalArgumentException(
+                  s"esql: METADATA $f is not supported — there is no hidden document " +
+                    "store here; key on a real column (METADATA _index and _score work)")
+              case other => throw new IllegalArgumentException(
+                s"esql: unknown METADATA field '$other' (_index, _score)")
+            }
+            if (peekIs(",")) advance() else more = false
+          }
+        }
         // TS (the 8.18+ TSDB source command): same resolution as FROM,
         // but the frame carries time-series semantics — RATE/INCREASE
         // become legal in STATS.
-        if (t.isKw("TS")) TsFrom(tables.result()) else From(tables.result())
+        if (t.isKw("TS")) {
+          require(meta.result().isEmpty,
+            "esql: METADATA on a TS source is not supported — the TSDB surface " +
+              "aggregates series, it does not score or attribute documents")
+          TsFrom(tables.result())
+        } else From(tables.result(), meta.result())
       } else if (t.isKw("ROW")) RowCmd(namedExprList())
       else if (t.isKw("SHOW")) {
         // SHOW INFO — the client-handshake source command. The values are
@@ -764,6 +796,28 @@ object Esql {
         case ParamK => ParamE(t.text)
         case PunctK if t.text == "(" =>
           val e = expr(); expect(")"); e
+        case PunctK if t.text == "[" =>
+          // ES|QL multivalue literal: `[1, 2, 3]`. Empty brackets are a
+          // parse error in ES|QL too (a multivalue needs values).
+          val items = Seq.newBuilder[Expr]
+          items += expr()
+          while (peekIs(",")) { advance(); items += expr() }
+          expect("]")
+          ArrLit(items.result())
+        case PunctK if t.text == "{" =>
+          // 9.x named-options map: string keys, literal values. Compile
+          // rejects it anywhere but a function's options slot.
+          val entries = Seq.newBuilder[(String, Expr)]
+          def entry(): Unit = {
+            val k = advance()
+            require(k.kind == StrK, s"esql: option keys are strings, found '${k.text}' at ${k.start}")
+            expect(":")
+            entries += ((k.text, expr()))
+          }
+          entry()
+          while (peekIs(",")) { advance(); entry() }
+          expect("}")
+          MapLit(entries.result())
         case PunctK if t.text == "*" => Star
         case IdentK if t.isKw("TRUE") => BoolLit(true)
         case IdentK if t.isKw("FALSE") => BoolLit(false)
@@ -883,6 +937,11 @@ object Esql {
         "esql: a per-aggregate WHERE is only valid on a STATS entry")
     case Star =>
       throw new IllegalArgumentException("esql: '*' is only valid inside COUNT(*)")
+    case ArrLit(items) => array(items.map(compileExpr): _*)
+    case MapLit(_) =>
+      throw new IllegalArgumentException(
+        "esql: a {…} options map is only valid as the last argument of a " +
+          "function that takes options (KNN)")
     case Fn(name, args) => compileFn(name, args, compileExpr)
   }
 
@@ -910,6 +969,7 @@ object Esql {
     case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
     case Neg(x) => containsAgg(x)
     case NotE(x) => containsAgg(x)
+    case ArrLit(items) => items.exists(containsAgg)
     case _ => false
   }
 
@@ -1510,6 +1570,14 @@ object Esql {
         Kql.parse(q, Some(requireDefaultField("KQL"))).compile
       case _ => throw new IllegalArgumentException("esql: KQL(\"query\")")
     }
+    case "KNN" =>
+      // reached only when KNN sits somewhere other than a bare top-level
+      // WHERE conjunct — the one position where a k-nearest cut is a
+      // well-defined set operation (applyCmd compiles it there).
+      throw new IllegalArgumentException(
+        "esql: KNN is only valid as a bare top-level conjunct of WHERE — " +
+          "not under NOT/OR, not in EVAL/STATS (a k-nearest cut is a set " +
+          "operation, not a row predicate)")
     case "RATE" | "INCREASE" =>
       throw new IllegalArgumentException(
         s"esql: $name is only valid at the top level of a TS query's STATS")
@@ -1839,8 +1907,19 @@ object Esql {
     defaultFieldOpt.withValue(defaultField) { paramsOpt.withValue(params) {
     val cmds = parse(query)
     val source: DataFrame = cmds.head match {
-      case From(tables) =>
-        tables.map(resolve).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      case From(tables, metadata) =>
+        // `_index` is stamped per branch BEFORE the union — under the
+        // multi-table form each row carries the FROM name that produced
+        // it (ES's `_index` under a multi-index search). `_score` starts
+        // at 0.0 (ES|QL's unscored value); the scoring functions (KNN)
+        // overwrite it. Both are literal/constant columns: pushdown of
+        // real predicates walks straight through the Project.
+        val branches = tables.map { t =>
+          val base = resolve(t)
+          if (metadata.contains("_index")) base.withColumn("_index", lit(t)) else base
+        }
+        val unioned = branches.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        if (metadata.contains("_score")) unioned.withColumn("_score", lit(0.0)) else unioned
       case TsFrom(tables) =>
         tables.map(resolve).reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       case RowCmd(cols) =>
@@ -2016,6 +2095,246 @@ object Esql {
     base.select(aggCols ++ keyCols: _*)
   }
 
+  // =====================================================================
+  // KNN — the 8.18+/9.x vector-search function, legal only in WHERE
+  // =====================================================================
+
+  /** KNN appears anywhere in the expression — used both to route a WHERE
+    * to [[compileKnnWhere]] and to reject KNN from positions where a
+    * k-nearest cut is not a set operation.
+    */
+  private def containsKnn(e: Expr): Boolean = e match {
+    case Fn("KNN", _) => true
+    case Fn(_, args) => args.exists(containsKnn)
+    case Bin(_, l, r) => containsKnn(l) || containsKnn(r)
+    case Neg(x) => containsKnn(x)
+    case NotE(x) => containsKnn(x)
+    case InList(x, items, _) => containsKnn(x) || items.exists(containsKnn)
+    case LikeE(x, _, _, _) => containsKnn(x)
+    case IsNullE(x, _) => containsKnn(x)
+    case AggWhere(a, c) => containsKnn(a) || containsKnn(c)
+    case ArrLit(items) => items.exists(containsKnn)
+    case MapLit(entries) => entries.exists(kv => containsKnn(kv._2))
+    case _ => false
+  }
+
+  /** Flatten a top-level AND tree into its conjuncts. */
+  private def splitAnd(e: Expr): Seq[Expr] = e match {
+    case Bin("and", l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** A full-text function (MATCH/MATCH_PHRASE/QSTR/KQL) appears anywhere
+    * in the expression — the `_score` wiring gate.
+    */
+  private def containsFullText(e: Expr): Boolean = e match {
+    case Fn("MATCH" | "MATCH_PHRASE" | "QSTR" | "KQL", _) => true
+    case Fn(_, args) => args.exists(containsFullText)
+    case Bin(_, l, r) => containsFullText(l) || containsFullText(r)
+    case Neg(x) => containsFullText(x)
+    case NotE(x) => containsFullText(x)
+    case ArrLit(items) => items.exists(containsFullText)
+    case _ => false
+  }
+
+  /** Compile `WHERE … AND KNN(field, [qv…], {opts}) AND …` — ES|QL's
+    * vector search (the `knn` query moved inside the pipe language,
+    * 8.18 tech preview / 9.x GA).
+    *
+    * Semantics reproduced from ES|QL's documentation:
+    *  - conjuncts in the SAME WHERE as KNN are PRE-filters — they restrict
+    *    the candidate set BEFORE the k-nearest cut (ES's `knn` query
+    *    `filter` behavior); conditions in LATER `WHERE` commands are
+    *    post-filters over the k survivors. The two are observably
+    *    different (a pre-filter admits the next-nearest into the k) —
+    *    EsqlSpec pins the divergence.
+    *  - KNN must be a BARE top-level conjunct: under NOT/OR a "k nearest"
+    *    set has no row-predicate meaning (ES rejects it too).
+    *  - with `METADATA _score` declared, KNN writes the documented
+    *    transformed score; without it the cut is silent (filter context).
+    *
+    * Options map (ES's named options, 9.x `{…}` syntax):
+    *  - `"k"`: neighbors to keep (ES default 10);
+    *  - `"similarity"`: minimum RAW metric value (ES's knn threshold —
+    *    raw space, not score space); only meaningful where the raw metric
+    *    is a similarity (cosine/dot_product) — with l2_norm it rejects
+    *    naming the distance/score ambiguity;
+    *  - `"num_candidates"`: accepted and INERT — this is an EXACT scan
+    *    (every candidate is examined), so any candidate budget is
+    *    satisfied by construction;
+    *  - `"boost"`: multiplies the written `_score` (ES query boost).
+    *
+    * Stated deltas (each an explicit option because ES reads it from the
+    * `dense_vector` mapping this engine does not have):
+    *  - `"metric"`: `cosine` (default) | `dot_product` | `l2_norm`, with
+    *    ES's documented score transforms ((1+cos)/2, (1+dot)/2,
+    *    1/(1+d²));
+    *  - `"tiebreak"`: a column name ordering equal scores — REQUIRED (the
+    *    RATE tie-break precedent: ES breaks score ties by internal doc
+    *    order, which no oracle can restate).
+    *
+    * Scale shape: pre-filter → one row-local score projection → ONE
+    * distributed top-k (`orderBy(…).limit(k)` =
+    * `TakeOrderedAndProject`: per-partition heaps + a k-row driver
+    * merge). No window, no join, no global sort — PlanSpec pins it.
+    */
+  private def compileKnnWhere(df: DataFrame, e: Expr): DataFrame = {
+    val conjuncts = splitAnd(e)
+    val (knns, pres) = conjuncts.partition(containsKnn)
+    knns.foreach {
+      case Fn("KNN", _) => ()
+      case other => throw new IllegalArgumentException(
+        "esql: KNN must be a bare top-level conjunct of WHERE (found it " +
+          s"inside <$other>) — a k-nearest cut under NOT/OR is not a row predicate")
+    }
+    require(knns.length == 1,
+      "esql: one KNN per WHERE — fuse multiple retrievers with FORK + FUSE")
+    val args = knns.head.asInstanceOf[Fn].args
+    val (field, vecItems, opts) = args match {
+      case Seq(f @ ColRef(_), ArrLit(items), MapLit(entries)) => (f, items, entries)
+      case Seq(ColRef(_), ArrLit(_)) => throw new IllegalArgumentException(
+        "esql: KNN needs its options map — {\"k\": …, \"metric\": …, \"tiebreak\": …} " +
+          "(metric and tiebreak have no mapping to read from here; stated seam)")
+      case _ => throw new IllegalArgumentException(
+        "esql: KNN(field, [query_vector…], {options}) — the query vector is a literal")
+    }
+    require(opts.map(_._1).distinct.size == opts.size,
+      s"esql: duplicate KNN option keys in ${opts.map(_._1).mkString(", ")}")
+    val optMap = opts.toMap
+    val known = Set("k", "metric", "tiebreak", "similarity", "num_candidates", "boost")
+    val unknown = optMap.keySet -- known
+    require(unknown.isEmpty,
+      s"esql: unknown KNN option(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(${known.toSeq.sorted.mkString(", ")})")
+    def litLong(key: String): Option[Long] = optMap.get(key).map {
+      case NumLit(t) if !t.contains('.') => t.toLong
+      case other => throw new IllegalArgumentException(
+        s"esql: KNN option $key must be an integer literal, found <$other>")
+    }
+    def litDouble(key: String): Option[Double] = optMap.get(key).map {
+      case NumLit(t) => t.toDouble
+      case Neg(NumLit(t)) => -t.toDouble
+      case other => throw new IllegalArgumentException(
+        s"esql: KNN option $key must be a numeric literal, found <$other>")
+    }
+    def litStr(key: String): Option[String] = optMap.get(key).map {
+      case StrLit(v) => v
+      case other => throw new IllegalArgumentException(
+        s"esql: KNN option $key must be a string literal, found <$other>")
+    }
+    val k = litLong("k").getOrElse(10L)
+    require(k > 0, s"esql: KNN k must be positive, got $k")
+    litLong("num_candidates") // validated for shape; inert — exact search
+    val metric = litStr("metric").getOrElse("cosine")
+    val tiebreak = litStr("tiebreak").getOrElse(throw new IllegalArgumentException(
+      "esql: KNN needs {\"tiebreak\": \"<column>\"} — ES breaks score ties by " +
+        "internal doc order, which is not reproducible; name a column"))
+    val boost = litDouble("boost")
+    val similarity = litDouble("similarity")
+    val v = compileExpr(field).cast("array<double>")
+    val qv = array(vecItems.map(compileExpr): _*).cast("array<double>")
+    import graft.expr.VectorMath
+    val raw: Column = metric match {
+      case "cosine" => VectorMath.cosine(v, qv)
+      case "dot_product" => VectorMath.dot(v, qv)
+      case "l2_norm" =>
+        require(similarity.isEmpty,
+          "esql: KNN similarity with l2_norm is ambiguous (ES documents the " +
+            "threshold in raw-similarity space; l2's raw value is a DISTANCE) — " +
+            "use cosine/dot_product or post-filter on _score")
+        sqrt(aggregate(zip_with(v, qv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      case other => throw new IllegalArgumentException(
+        s"esql: unknown KNN metric '$other' (cosine, dot_product, l2_norm)")
+    }
+    // ES's documented _score transforms per metric.
+    val score0: Column = metric match {
+      case "cosine" | "dot_product" => (lit(1.0) + raw) / lit(2.0)
+      case "l2_norm" => lit(1.0) / (lit(1.0) + raw * raw)
+    }
+    val score = boost.map(b => score0 * lit(b)).getOrElse(score0)
+    if (df.columns.contains("_score") && pres.exists(containsFullText))
+      throw new IllegalArgumentException(
+        "esql: KNN and full-text functions in one scored WHERE would have to " +
+          "combine their scores — run them as FORK branches and FUSE instead")
+    val pre = pres.map(compileExpr).reduceOption(_ && _)
+    val base = pre.map(df.where).getOrElse(df)
+    val thresholded = similarity.map(t => base.where(raw >= lit(t))).getOrElse(base)
+    val cut = thresholded
+      .withColumn("_knn_score", score)
+      .orderBy(col("_knn_score").desc, col(tiebreak).asc)
+      .limit(k.toInt)
+    if (df.columns.contains("_score")) cut.withColumn("_score", col("_knn_score")).drop("_knn_score")
+    else cut.drop("_knn_score")
+  }
+
+  /** `WHERE MATCH(field, "q") [AND …]` under `METADATA _score` — ES|QL's
+    * relevance scoring (8.15+): every full-text function in WHERE
+    * contributes its BM25 score to `_score` (Lucene's boolean-SHOULD sum
+    * — multiple MATCH conjuncts add), non-scoring conjuncts filter as
+    * usual.
+    *
+    * Contract and stated deltas:
+    *  - scoring full-text functions must be BARE top-level AND conjuncts
+    *    (scoring under OR/NOT needs per-branch zeroing ES resolves
+    *    against its query tree — loud seam), and only MATCH scores
+    *    (MATCH_PHRASE/QSTR/KQL mix clause types whose per-clause scoring
+    *    is the Bm25 tier's job — loud seam naming it);
+    *  - corpus statistics (DF, avgdl) are computed over the frame
+    *    ENTERING this WHERE — ES uses index-level statistics, and the two
+    *    are identical exactly when the scored WHERE directly follows
+    *    FROM (the Kibana search-bar shape); a pre-filtered frame scores
+    *    with the filtered statistics, stated;
+    *  - k1/b are the ES defaults (1.2, 0.75) — the [[Bm25]] tier's
+    *    constants, same fixed IEEE score tree, so the oracle restates
+    *    operation-for-operation.
+    *
+    * Scale shape: ONE aggregate per MATCH conjunct for the 1-row corpus
+    * stats, broadcast-crossJoined back (the [[Bm25.scoredAll]] shape) —
+    * rows preserved, no window, no per-row subquery.
+    */
+  private def compileScoredWhere(df: DataFrame, e: Expr): DataFrame = {
+    val conjuncts = splitAnd(e)
+    val (fts, others) = conjuncts.partition {
+      case Fn("MATCH", _) => true
+      case _ => false
+    }
+    others.find(containsFullText).foreach { c =>
+      throw new IllegalArgumentException(
+        "esql: with METADATA _score, only bare top-level MATCH conjuncts score " +
+          s"(found a full-text function inside <$c>) — scoring under OR/NOT and " +
+          "MATCH_PHRASE/QSTR/KQL scoring are not wired; drop METADATA _score to " +
+          "use them as filters")
+    }
+    val reserved = Seq("_dl", "_n", "_sumdl") ++
+      Seq.tabulate(8)(i => s"_tf$i") ++ Seq.tabulate(8)(i => s"_df$i")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"esql: scoring needs working columns ${clash.mkString(", ")} — rename them first")
+    // filter first (every scored row matches its MATCH conjuncts), then
+    // fold each MATCH's BM25 contribution into _score
+    val filtered = df.where(compileExpr(e))
+    fts.foldLeft(filtered) { (acc, ft) =>
+      ft.asInstanceOf[Fn].args match {
+        case Seq(f @ ColRef(_), StrLit(q)) =>
+          val analyzer = graft.expr.TextMatch.AsciiAnalyzer
+          val analyzed = concat(lit(" "), analyzer.normalized(compileExpr(f)), lit(" "))
+          val terms = Bm25.queryTerms(q, analyzer)
+          val stats = Bm25.corpusStats(df, analyzed, terms)
+          val withRow = terms.zipWithIndex.foldLeft(
+            acc.crossJoin(broadcast(stats)).withColumn("_dl", Bm25.docLength(analyzed))) {
+            case (d, (t, i)) => d.withColumn(s"_tf$i", graft.expr.TokenOccurrences(analyzed, t))
+          }
+          val tmp = "_dl" +: "_n" +: "_sumdl" +:
+            terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))
+          withRow
+            .withColumn("_score", col("_score") + Bm25.scoreColumn(terms.size, Bm25.DefaultK1, Bm25.DefaultB))
+            .drop(tmp: _*)
+        case _ => throw new IllegalArgumentException("esql: MATCH(field, \"query\")")
+      }
+    }
+  }
+
   private def applyCmd(df: DataFrame, cmd: Cmd, resolve: String => DataFrame,
       policies: Map[String, EnrichPolicy], ts: Boolean = false): DataFrame = cmd match {
     case Stats(aggs, by) if aggs.exists(a => isTsEntry(a._2)) || aggs.exists(a => isOverTimeEntry(a._2)) =>
@@ -2027,6 +2346,9 @@ object Esql {
         "esql: counter (RATE/INCREASE) and gauge (*_OVER_TIME) entries have different " +
           "physical shapes — split them into separate TS STATS queries")
       if (hasRate) compileTsStats(df, aggs, by) else compileTsGauge(df, aggs, by)
+    case Where(e) if containsKnn(e) => compileKnnWhere(df, e)
+    case Where(e) if df.columns.contains("_score") && containsFullText(e) =>
+      compileScoredWhere(df, e)
     case Where(e) => df.where(compileExpr(e))
     case Eval(cols) =>
       // sequential: a later assignment sees the earlier ones (ES|QL's rule)

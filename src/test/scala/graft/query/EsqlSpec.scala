@@ -50,11 +50,29 @@ class EsqlSpec extends SparkSpecBase {
       Seq(60.0, 30.0, 37.5, 7.5))
   }
 
-  test("query must start with FROM, TS, or ROW; METADATA rejects loudly") {
+  test("query must start with FROM, TS, or ROW; METADATA storage internals reject loudly") {
     assert(intercept[IllegalArgumentException](Esql.parse("WHERE x == 1"))
       .getMessage.contains("starts with FROM, TS, ROW, or SHOW"))
-    assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _index | LIMIT 1"))
-      .getMessage.contains("METADATA"))
+    assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _id | LIMIT 1"))
+      .getMessage.contains("no hidden document store"))
+    assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _source | LIMIT 1"))
+      .getMessage.contains("no hidden document store"))
+    assert(intercept[IllegalArgumentException](Esql.parse("FROM t METADATA _rank | LIMIT 1"))
+      .getMessage.contains("unknown METADATA field"))
+    assert(intercept[IllegalArgumentException](Esql.parse("TS t METADATA _index | LIMIT 1"))
+      .getMessage.contains("METADATA on a TS source"))
+  }
+
+  test("METADATA _index stamps the FROM name per branch; _score starts at 0.0") {
+    val other = Seq((9L, "zed")).toDF("id", "name")
+    val out = Esql.run(
+      "FROM t, u METADATA _index | STATS n = COUNT(*) BY _index | SORT _index",
+      resolve(Map("t" -> people, "u" -> other)))
+    assert(out.collect().map(r => (r.getString(1), r.getLong(0))).toSeq ==
+      Seq(("t", 5L), ("u", 1L)))
+    val scored = Esql.run("FROM t METADATA _score | KEEP id, _score | SORT id",
+      resolve(Map("t" -> people)))
+    assert(scored.collect().map(_.getDouble(1)).forall(_ == 0.0))
   }
 
   test("NOW() rejects — the determinism discipline") {
@@ -1072,5 +1090,161 @@ class EsqlSpec extends SparkSpecBase {
       resolve(Map("t" -> people)))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-K:\n$plan")
+  }
+
+  // ----- KNN + multivalue literals -----
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0, 0.0), "a"),
+    (2L, Array(0.9, 0.1), "a"),
+    (3L, Array(0.0, 1.0), "b"),
+    (4L, Array(0.7, 0.7), "b"),
+    (5L, Array(-1.0, 0.0), "a"))
+    .toDF("id", "v", "tag")
+
+  test("multivalue literal [v1, v2, …] compiles to an array") {
+    val out = Esql.run("ROW v = [1, 2, 3] | EVAL s = MV_SUM(v), n = MV_COUNT(v)",
+      resolve(Map.empty))
+    val r = out.collect().head
+    assert(r.getAs[Number]("s").doubleValue() == 6.0)
+    assert(r.getAs[Number]("n").intValue() == 3)
+  }
+
+  test("KNN keeps the k nearest by the stated metric; filter context drops the score") {
+    // query [1,0]: cosines — id1: 1.0, id2: .9939, id4: .7071, id3: 0, id5: -1
+    val out = Esql.run(
+      """FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 3, "tiebreak": "id"}) | KEEP id | SORT id""",
+      resolve(Map("t" -> vecs)))
+    assert(out.columns.toSeq == Seq("id"))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("KNN writes METADATA _score with ES's transform; boost multiplies it") {
+    val out = Esql.run(
+      """FROM t METADATA _score
+        | WHERE KNN(v, [2.0, 0.0], {"k": 1, "metric": "dot_product", "tiebreak": "id"})
+        | KEEP id, _score""",
+      resolve(Map("t" -> vecs)))
+    val r = out.collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getDouble(1) == 1.5) // (1 + 2.0) / 2
+    val boosted = Esql.run(
+      """FROM t METADATA _score | WHERE KNN(v, [2.0, 0.0], {"k": 1, "metric": "dot_product", "tiebreak": "id", "boost": 2.0}) | KEEP _score""",
+      resolve(Map("t" -> vecs)))
+    assert(boosted.collect().head.getDouble(0) == 3.0)
+  }
+
+  test("KNN l2_norm scores 1/(1+d²); similarity thresholds the raw metric") {
+    val l2 = Esql.run(
+      """FROM t METADATA _score | WHERE KNN(v, [1.0, 0.0], {"k": 2, "metric": "l2_norm", "tiebreak": "id"}) | KEEP id, _score | SORT id""",
+      resolve(Map("t" -> vecs)))
+    val rows = l2.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getDouble(1) == 1.0)
+    assert(math.abs(rows(1).getDouble(1) - 1.0 / 1.02) < 1e-12)
+    // similarity: raw cosine >= 0.8 keeps only ids 1 and 2 even at k=5
+    val thr = Esql.run(
+      """FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 5, "similarity": 0.8, "tiebreak": "id"}) | KEEP id | SORT id""",
+      resolve(Map("t" -> vecs)))
+    assert(thr.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("KNN pre-filter (same WHERE) vs post-filter (later WHERE) diverge — ES's rule") {
+    // pre: restrict to tag b FIRST, then take the 2 nearest of those → {3, 4}
+    val pre = Esql.run(
+      """FROM t | WHERE tag == "b" AND KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) | KEEP id | SORT id""",
+      resolve(Map("t" -> vecs)))
+    assert(pre.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // post: the 2 nearest are {1, 2} (both tag a) — filtering after leaves nothing
+    val post = Esql.run(
+      """FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) | WHERE tag == "b" | KEEP id""",
+      resolve(Map("t" -> vecs)))
+    assert(post.count() == 0L)
+  }
+
+  test("KNN compiles to one distributed top-k — TakeOrderedAndProject, no window, no join") {
+    val out = Esql.run(
+      """FROM t | WHERE tag == "a" AND KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) | KEEP id""",
+      resolve(Map("t" -> vecs)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-K:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("KNN placement, options, and seam rejects are loud") {
+    def err(q: String): String =
+      intercept[IllegalArgumentException](
+        Esql.run(q, resolve(Map("t" -> vecs))).collect()).getMessage
+    assert(err("""FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) OR id == 5 | KEEP id""")
+      .contains("bare top-level conjunct"))
+    assert(err("""FROM t | WHERE NOT KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) | KEEP id""")
+      .contains("bare top-level conjunct"))
+    assert(err("""FROM t | EVAL x = KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) | KEEP x""")
+      .contains("only valid as a bare top-level conjunct of WHERE"))
+    assert(err("""FROM t | WHERE KNN(v, [1.0], {"k": 1, "tiebreak": "id"}) AND KNN(v, [0.0, 1.0], {"k": 1, "tiebreak": "id"}) | KEEP id""")
+      .contains("one KNN per WHERE"))
+    assert(err("""FROM t | WHERE KNN(v, [1.0, 0.0]) | KEEP id""")
+      .contains("needs its options map"))
+    assert(err("""FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 2}) | KEEP id""")
+      .contains("tiebreak"))
+    assert(err("""FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id", "metric": "hamming"}) | KEEP id""")
+      .contains("unknown KNN metric"))
+    assert(err("""FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id", "nprobe": 3}) | KEEP id""")
+      .contains("unknown KNN option"))
+    assert(err("""FROM t | WHERE KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id", "metric": "l2_norm", "similarity": 0.5}) | KEEP id""")
+      .contains("ambiguous"))
+    assert(err("""FROM t | EVAL m = {"a": 1} | KEEP m""")
+      .contains("options map is only valid"))
+    assert(err("""FROM t METADATA _score | WHERE KNN(v, [1.0, 0.0], {"k": 2, "tiebreak": "id"}) AND MATCH(name, "ada") | KEEP id""")
+      .contains("FORK branches and FUSE"))
+  }
+
+  // ----- METADATA _score full-text scoring -----
+
+  test("MATCH under METADATA _score adds its BM25 score; conjuncts sum — worked example") {
+    // name: every value is one token, unique → df=1, N=5, dl=1, avgdl=1:
+    // idf = ln(1 + (5-1+0.5)/(1+0.5)) = ln(4); tf term = 1.0 → score ln(4)
+    val one = Esql.run(
+      """FROM t METADATA _score | WHERE MATCH(name, "ada") | KEEP id, _score""",
+      resolve(Map("t" -> people)))
+    val r1 = one.collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(math.abs(r1.head.getDouble(1) - math.log(4.0)) < 1e-12)
+    // second MATCH adds: lang 'en' has df=2; N counts ALL rows (5, the
+    // null-lang row included), sumdl skips the null → avgdl = 4/5
+    val two = Esql.run(
+      """FROM t METADATA _score | WHERE MATCH(name, "ada") AND MATCH(lang, "en") | KEEP id, _score""",
+      resolve(Map("t" -> people)))
+    val exp2 = math.log(4.0) +
+      math.log(1.0 + (5.0 - 2.0 + 0.5) / (2.0 + 0.5)) *
+        ((1.0 * 2.2) / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * (1.0 / 0.8))))
+    assert(math.abs(two.collect().head.getDouble(1) - exp2) < 1e-12)
+  }
+
+  test("MATCH scoring statistics come from the frame entering the WHERE — stated delta") {
+    // pre-filtered to ids {1,2}: N=2, df(ada)=1 → idf = ln(1 + 1.5/1.5) = ln(2)
+    val out = Esql.run(
+      """FROM t METADATA _score | WHERE id <= 2 | WHERE MATCH(name, "ada") | KEEP _score""",
+      resolve(Map("t" -> people)))
+    assert(math.abs(out.collect().head.getDouble(0) - math.log(2.0)) < 1e-12)
+  }
+
+  test("scored-WHERE seams reject loudly: OR/NOT placement, MATCH_PHRASE/QSTR scoring") {
+    def err(q: String): String =
+      intercept[IllegalArgumentException](
+        Esql.run(q, resolve(Map("t" -> people)), defaultField = Some("name")).collect()).getMessage
+    assert(err("""FROM t METADATA _score | WHERE MATCH(name, "ada") OR id == 5 | KEEP id""")
+      .contains("bare top-level MATCH conjuncts"))
+    assert(err("""FROM t METADATA _score | WHERE NOT MATCH(name, "ada") | KEEP id""")
+      .contains("bare top-level MATCH conjuncts"))
+    assert(err("""FROM t METADATA _score | WHERE MATCH_PHRASE(name, "ada") | KEEP id""")
+      .contains("bare top-level MATCH conjuncts"))
+    assert(err("""FROM t METADATA _score | WHERE QSTR("ada") | KEEP id""")
+      .contains("bare top-level MATCH conjuncts"))
+    // without METADATA _score the same programs are plain filters
+    val plain = Esql.run("""FROM t | WHERE MATCH_PHRASE(name, "ada") | KEEP id""",
+      resolve(Map("t" -> people)))
+    assert(plain.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 }

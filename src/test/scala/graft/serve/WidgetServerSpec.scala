@@ -724,6 +724,20 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(c4 === 400 && b4.contains("unknown index"))
       assert(post(s"http://127.0.0.1:$port/esql",
         """{"query": "FROM documents | EVAL t = NOW()"}""")._1 === 400)
+
+      // KNN + METADATA _score live on the wire (vector search inside the
+      // pipe language); METADATA _id 400s naming the seam
+      val knn = "FROM embeddings METADATA _score | WHERE KNN(embedding, [" +
+        Seq.fill(64)("0.25").mkString(", ") +
+        "], {\"k\": 3, \"metric\": \"dot_product\", \"tiebreak\": \"vec_id\"}) | KEEP vec_id, _score"
+      val (ck, bk) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${knn.replace("\"", "\\\"")}"}""")
+      assert(ck === 200)
+      assert(bk === WidgetServer.collectRowsJson(
+        graft.query.Esql.run(knn, resolve)))
+      val (cm, bm) = post(s"http://127.0.0.1:$port/esql",
+        """{"query": "FROM documents METADATA _id | LIMIT 1"}""")
+      assert(cm === 400 && bm.contains("no hidden document store"))
     } finally server.stop(0)
   }
 
