@@ -6107,6 +6107,63 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    "search_cross_fields" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES multi_match cross_fields — the TERM-centric mode (Lucene
+      // BlendedTermQuery): per term, DF blends to the MAX across fields
+      // (one shared IDF), TF-normalization stays per-field, per-term
+      // dis_max then terms sum. Teeth: 'small' lives in BOTH p_name
+      // (df 269 at sf0.01) and p_type (322) — the blended IDF uses 322
+      // where best_fields' name-side scoring would use 269.
+      query.Bm25.crossFieldsTopK(load(dir, "part"), "p_partkey",
+        Seq("p_name" -> 1.0, "p_type" -> 1.0), "small bolt", k = 20)
+    }),
+
+    "search_cross_fields_boosted" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // cross_fields with a per-field boost (p_name^2) and tie_breaker
+      // 0.3: the boost multiplies the field's term score BEFORE the
+      // per-term dis_max, the tie_breaker folds the losing field back in.
+      query.Bm25.crossFieldsTopK(load(dir, "part"), "p_partkey",
+        Seq("p_name" -> 2.0, "p_type" -> 1.0), "small bolt", k = 20,
+        tieBreaker = 0.3)
+    }),
+
+    "q_mlt_terms" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // more_like_this's SELECTION half, inspectable: like-text terms
+      // with tf ≥ 2 and length ≥ 3 rank by Lucene's classic tf·idf
+      // selection score against CORPUS statistics, top max_query_terms=4
+      // survive. Teeth: 'dup' (tf 3, df 25/500 at sf0.01) dominates; the
+      // common terms' cut is decided by their df spread, and the 'the' vs
+      // 'vector' EXACT score tie (same tf, same df) breaks by term —
+      // integer-derived scores make the order cross-engine stable.
+      query.MoreLikeThis.likeTextTermsDF(s, load(dir, "documents"),
+        analyzedText("text"), mltLikeText, mltParams)
+    }),
+
+    "q_more_like_this" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES more_like_this in FILTER context: documents holding at least
+      // minimum_should_match="50%" (2 of the 4 selected terms), with the
+      // distinct-selected-term count. One stats aggregate (bounded
+      // collect, ES's own shape) + one distributed scan.
+      query.MoreLikeThis.likeTextMatchSet(load(dir, "documents"), "doc_id",
+          analyzedText("text"), mltLikeText, mltParams)
+        .orderBy("doc_id")
+    }),
+
+    "q_more_like_this_scored" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // more_like_this in QUERY context: BM25 top-15 over the selected
+      // terms, the scoring statistics reused from the selection pass
+      // (two corpus passes total). Scores round to 6 decimals on BOTH
+      // sides — the oracle's term sum is join-ordered — and rank on the
+      // rounded value with id tie-break.
+      query.MoreLikeThis.likeTextTopK(load(dir, "documents"), "doc_id",
+        analyzedText("text"), mltLikeText, k = 15, mltParams)
+    }),
+
     "q_terms_set" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // ES terms_set - minimum_should_match read FROM THE DOCUMENT (the
@@ -7626,6 +7683,23 @@ object SparkEntry {
   /** esql_knn's query vector — 64 dyadic zero-free values (exact as both
     * Scala doubles and DuckDB decimal literals cast to double).
     */
+  /** The padded analyzed form of a raw text column — the Bm25/TextMatch
+    * convention, shared by the more_like_this entries.
+    */
+  private def analyzedText(c: String) =
+    concat(lit(" "), graft.expr.TextMatch.normalized(col(c)), lit(" "))
+
+  /** more_like_this's like-text and knobs, shared by the three committed
+    * queries and their oracles. tf: dup=3, vector/scan/fast/the=2, rest 1;
+    * min_word_length 3 keeps 'the' (a real candidate the ranking must
+    * beat) while min_term_freq 2 drops the singletons.
+    */
+  private val mltLikeText =
+    "dup vector scan dup fast vector merge fast the the a scan batch window key value spark row dup"
+  private val mltParams = graft.query.MoreLikeThis.MltParams(
+    maxQueryTerms = 4, minTermFreq = 2, minDocFreq = 5,
+    minWordLength = 3, minimumShouldMatch = "50%")
+
   private val knnQueryVec: Seq[Double] = {
     val cycle = Seq(0.5, -0.25, 0.75, -0.5, 0.125, -0.75, 0.25, -0.125)
     (0 until 64).map(i => cycle(i % 8) * (if ((i / 8) % 2 == 0) 1.0 else 0.5))
@@ -11085,6 +11159,31 @@ object SparkEntry {
          |FROM j
          |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    // cross_fields restated: blended (greatest) DF per term, per-field
+    // TF-normalization, per-term dis_max, left-folded term sum — the
+    // generator mirrors the engine's float tree operator-for-operator.
+    "search_cross_fields" -> graft.query.Bm25.oracleSqlCrossFields(
+      "part", "p_partkey", Seq("p_name" -> 1.0, "p_type" -> 1.0),
+      "small bolt", 20),
+
+    "search_cross_fields_boosted" -> graft.query.Bm25.oracleSqlCrossFields(
+      "part", "p_partkey", Seq("p_name" -> 2.0, "p_type" -> 1.0),
+      "small bolt", 20, tieBreaker = 0.3),
+
+    // more_like_this restated END-TO-END in SQL: the oracle re-runs the
+    // term SELECTION itself (like-text tf gates, corpus df via an
+    // unnest-distinct join, classic-idf ranking with term tie-break),
+    // then the match-set / BM25 halves over ITS selection — a selection
+    // disagreement surfaces as a hash mismatch.
+    "q_mlt_terms" -> graft.query.MoreLikeThis.oracleSqlLikeTextTerms(
+      "documents", "doc_id", "text", mltLikeText, mltParams),
+
+    "q_more_like_this" -> graft.query.MoreLikeThis.oracleSqlLikeTextMatchSet(
+      "documents", "doc_id", "text", mltLikeText, mltParams),
+
+    "q_more_like_this_scored" -> graft.query.MoreLikeThis.oracleSqlLikeTextTopK(
+      "documents", "doc_id", "text", mltLikeText, k = 15, mltParams),
 
     // terms_set restated: the same CASE sum against the same derived
     // per-row threshold.

@@ -506,6 +506,101 @@ object Bm25 {
       query, k, k1, b, stats = None, analyzer = analyzer)
   }
 
+  /** ES `multi_match` type `cross_fields` — the TERM-centric mode: each
+    * query term must be findable in ANY of the fields, and each term's
+    * score blends the fields' statistics instead of scoring per-field
+    * queries independently (Lucene's `BlendedTermQuery`, the machinery ES
+    * builds for cross_fields). The right mode when the fields jointly hold
+    * ONE logical value split across columns (first_name + last_name): a
+    * term rare in one field but common in another should not get an
+    * artificially huge per-field IDF — exactly the failure best_fields
+    * has on split names.
+    *
+    * Blending rule reproduced from Lucene (`BlendedTermQuery.blend`): the
+    * per-term document frequency is the MAX across the blended fields
+    * (one shared IDF per term), while TF-normalization stays per-field
+    * (each field's own `tf`, `dl`, `avgdl` — a hit in a short field still
+    * saturates against that field's length). Per term the per-field
+    * scores combine dis_max-style: best + tie_breaker · (sum of the
+    * rest) (ES's term-centric combine; default tie_breaker 0 = pure max);
+    * terms then SUM (BooleanQuery over the blended term queries). A
+    * per-field boost multiplies that field's term score BEFORE the
+    * combine (ES `fields: ["a^3", "b"]`).
+    *
+    * Scale shape: ONE single-pass aggregate produces every statistic
+    * (N, per-field Σdl, per term×field DF — all integer sums, mergeable),
+    * broadcast-crossJoined to ONE scan computing all tf kernels row-local,
+    * then `orderBy.limit` = TakeOrderedAndProject. One corpus pass for
+    * stats + one for scoring — fewer scans than the per-field modes (which
+    * run a scan per field), and no join at all.
+    *
+    * Delta stated: ES groups fields by analyzer and blends only within a
+    * group (cross-analyzer fields fall back to best_fields combining) —
+    * here one analyzer serves all fields, so there is exactly one group.
+    */
+  def crossFieldsTopK(
+      docs: DataFrame,
+      idCol: String,
+      fieldBoosts: Seq[(String, Double)],
+      query: String,
+      k: Int,
+      tieBreaker: Double = 0.0,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    require(fieldBoosts.nonEmpty, "crossFields: no fields")
+    require(fieldBoosts.forall(_._2 > 0),
+      s"crossFields: boosts must be positive, got ${fieldBoosts.map(_._2).mkString(",")}")
+    require(tieBreaker >= 0 && tieBreaker <= 1,
+      s"crossFields: tie_breaker must be in [0,1], got $tieBreaker")
+    val terms = queryTerms(query, analyzer)
+    require(terms.nonEmpty, s"crossFields: query '$query' has no analyzable terms")
+    val nf = fieldBoosts.size
+    val analyzedCols = fieldBoosts.map { case (f, _) =>
+      concat(lit(" "), analyzer.normalized(col(s"`$f`")), lit(" "))
+    }
+    // one-pass statistics: doc count, per-field total length, per
+    // (term × field) document frequency — every cell an integer sum
+    val statAggs = analyzedCols.zipWithIndex.flatMap { case (a, fi) =>
+      sum(docLength(a).cast("long")).as(s"_sumdl$fi") +:
+        terms.zipWithIndex.map { case (t, ti) =>
+          sum(when(TokenOccurrences(a, t) > 0, 1L).otherwise(0L)).as(s"_df${ti}_$fi")
+        }
+    }
+    val stats = docs.agg(count(lit(1)).as("_n"), statAggs: _*)
+    val withStats = docs.crossJoin(broadcast(stats))
+    val frame = analyzedCols.zipWithIndex.foldLeft(withStats) { case (d, (a, fi)) =>
+      terms.zipWithIndex.foldLeft(d.withColumn(s"_dl$fi", docLength(a))) {
+        case (dd, (t, ti)) => dd.withColumn(s"_tf${ti}_$fi", TokenOccurrences(a, t))
+      }
+    }
+    val perTerm: Seq[Column] = terms.indices.map { ti =>
+      val dfCols = (0 until nf).map(fi => col(s"_df${ti}_$fi"))
+      val dfBlended = if (nf == 1) dfCols.head else greatest(dfCols: _*)
+      val idf = log(lit(1.0) +
+        (col("_n") - dfBlended + lit(0.5)) / (dfBlended + lit(0.5)))
+      val perField: Seq[Column] = fieldBoosts.zipWithIndex.map { case ((_, w), fi) =>
+        val tf = col(s"_tf${ti}_$fi").cast("double")
+        val avgdl = col(s"_sumdl$fi").cast("double") / col("_n").cast("double")
+        val dlNorm = lit(1.0) - lit(b) + lit(b) * (col(s"_dl$fi").cast("double") / avgdl)
+        val sc = idf * ((tf * (lit(k1) + lit(1.0))) / (tf + lit(k1) * dlNorm))
+        if (w == 1.0) sc else lit(w) * sc
+      }
+      if (perField.size == 1) perField.head
+      else if (tieBreaker == 0.0) greatest(perField: _*)
+      else greatest(perField: _*) +
+        lit(tieBreaker) * (perField.reduce(_ + _) - greatest(perField: _*))
+    }
+    val anyMatch = (for { ti <- terms.indices; fi <- 0 until nf }
+      yield col(s"_tf${ti}_$fi") > 0).reduce(_ || _)
+    frame
+      .where(anyMatch)
+      .withColumn("score", perTerm.reduce(_ + _))
+      .select(col(s"`$idCol`"), col("score"))
+      .orderBy(desc("score"), asc(s"`$idCol`"))
+      .limit(k)
+  }
+
   /** DuckDB restatement of the whole retrieval for oracle SQL: same analyzer
     * (`regexp_replace` lowercase normalization), TF as token-equality counts
     * (provably equal to the kernel's boundary-sharing substring count), and
@@ -571,6 +666,79 @@ object Bm25 {
     oracleScoredForTerms(table, idCol, textExpr, termBoosts.map(_._1), k1, b,
       weights = Some(termBoosts.map(_._2))) +
       s"\nORDER BY score DESC, $idCol ASC LIMIT $k"
+
+  /** [[crossFieldsTopK]]'s DuckDB restatement — per-field tokenization,
+    * blended (greatest) DF per term, per-field TF-normalization with the
+    * field's own length statistics, dis_max-with-tie_breaker per term,
+    * and the same left-folded term sum. Every statistic is an integer and
+    * the float tree matches the engine's association operator-for-operator
+    * (greatest is exact), so the comparison is hash-exact.
+    */
+  def oracleSqlCrossFields(
+      table: String,
+      idCol: String,
+      fieldExprBoosts: Seq[(String, Double)],
+      query: String,
+      k: Int,
+      tieBreaker: Double = 0.0,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): String = {
+    require(fieldExprBoosts.nonEmpty, "crossFields oracle: no fields")
+    val terms = queryTerms(query)
+    require(terms.nonEmpty, s"crossFields oracle: query '$query' has no analyzable terms")
+    val nf = fieldExprBoosts.size
+    def toks(expr: String): String =
+      s"list_filter(str_split_regex(trim(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g')), ' +'), x -> x <> '')"
+    val tokCols = fieldExprBoosts.zipWithIndex.map { case ((e, _), fi) =>
+      s"${toks(e)} AS toks$fi"
+    }.mkString(",\n    ")
+    val tfCols = (for { fi <- 0 until nf; (t, ti) <- terms.zipWithIndex } yield
+      s"len(list_filter(toks$fi, x -> x = '$t'))::BIGINT AS tf${ti}_$fi"
+      ).mkString(",\n    ")
+    val dlCols = (0 until nf).map(fi => s"len(toks$fi)::BIGINT AS dl$fi").mkString(", ")
+    val stCols = ((0 until nf).map(fi => s"sum(dl$fi)::BIGINT AS sumdl$fi") ++
+      (for { fi <- 0 until nf; ti <- terms.indices } yield
+        s"sum(CASE WHEN tf${ti}_$fi > 0 THEN 1 ELSE 0 END)::BIGINT AS df${ti}_$fi")
+      ).mkString(",\n    ")
+    val score = terms.indices.map { ti =>
+      val dfB =
+        if (nf == 1) s"st.df${ti}_0"
+        else s"greatest(${(0 until nf).map(fi => s"st.df${ti}_$fi").mkString(", ")})"
+      val idf = s"ln(1.0 + (st.n - $dfB + 0.5) / ($dfB + 0.5))"
+      val perField = fieldExprBoosts.zipWithIndex.map { case ((_, w), fi) =>
+        val dlNorm = s"(1.0 - $b + $b * (b.dl$fi::DOUBLE / (st.sumdl$fi::DOUBLE / st.n::DOUBLE)))"
+        val sc = s"($idf * ((b.tf${ti}_$fi::DOUBLE * ($k1 + 1.0)) / " +
+          s"(b.tf${ti}_$fi::DOUBLE + $k1 * $dlNorm)))"
+        if (w == 1.0) sc else s"($w * $sc)"
+      }
+      if (perField.size == 1) perField.head
+      else {
+        val best = s"greatest(${perField.mkString(", ")})"
+        if (tieBreaker == 0.0) best
+        else s"($best + $tieBreaker * ((${perField.mkString(" + ")}) - $best))"
+      }
+    }.mkString("(", "\n    + ", ")")
+    val anyMatch = (for { ti <- terms.indices; fi <- 0 until nf }
+      yield s"b.tf${ti}_$fi > 0").mkString(" OR ")
+    s"""WITH d AS (
+       |  SELECT $idCol,
+       |    $tokCols
+       |  FROM $table
+       |), base AS (
+       |  SELECT $idCol, $dlCols,
+       |    $tfCols
+       |  FROM d
+       |), st AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    $stCols
+       |  FROM base
+       |)
+       |SELECT b.$idCol,
+       |  $score AS score
+       |FROM base b, st
+       |WHERE $anyMatch
+       |ORDER BY score DESC, b.$idCol ASC LIMIT $k""".stripMargin
+  }
 
   private def oracleSqlForTerms(
       table: String,

@@ -1,8 +1,9 @@
 package graft.query
 
-import graft.expr.TextMatch
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.expr.{TextMatch, TokenOccurrences}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** ES `more_like_this` — find documents similar to a seed document by
   * selecting its most characteristic terms and running a scored
@@ -151,4 +152,296 @@ object MoreLikeThis {
        |SELECT $idCol, round(s, 6) AS score FROM folded WHERE rn = 1
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
+
+  // =====================================================================
+  // The like-TEXT half — ES's `like: ["free text"]` form ([[moreLikeThis]]
+  // above is the like-a-stored-document form; ES accepts both in one
+  // request and unions the candidate terms). Adds the ES knobs the seed
+  // form doesn't exercise: `max_doc_freq`, `min_word_length` /
+  // `max_word_length`, and `minimum_should_match` (the filter-context
+  // gate over the selected disjunction).
+  //
+  // Selection here uses Lucene MoreLikeThis's CLASSIC tf·idf queue score
+  // `tf_like · (1 + ln(N / (df + 1)))` (Lucene `createQueue` ranks with
+  // ClassicSimilarity idf regardless of the index's scoring similarity;
+  // the seed form above keeps its committed BM25-idf ranking — both are
+  // published selection rules, the delta is stated). Score ties break by
+  // TERM ascending (Lucene's queue order on equal scores is
+  // insertion-dependent, not reproducible). Cross-engine the comparisons
+  // are stable: every selection input is integer-derived, so distinct
+  // (tf, df) pairs sit far above one ulp of either engine's `ln`.
+  //
+  // Scale shape (ES's own): ONE single-pass integer aggregate over the
+  // corpus for the candidate statistics ([[Bm25.corpusStats]] contract —
+  // mergeable, persistable at index-write time), collected as a single
+  // row bounded by the like-text vocabulary (a query-sized constant,
+  // capped loudly at [[MaxCandidates]]); retrieval is one distributed
+  // scan over codegen'd TF kernels. Nothing corpus-sized reaches the
+  // driver.
+  // =====================================================================
+
+  /** The ES knobs, at ES's documented defaults. */
+  final case class MltParams(
+      maxQueryTerms: Int = 25,
+      minTermFreq: Int = 2,
+      minDocFreq: Int = 5,
+      maxDocFreq: Int = Int.MaxValue,
+      minWordLength: Int = 0,
+      maxWordLength: Int = Int.MaxValue,
+      minimumShouldMatch: String = "30%") {
+    require(maxQueryTerms >= 1, "more_like_this: max_query_terms must be >= 1")
+    require(minTermFreq >= 1, "more_like_this: min_term_freq must be >= 1")
+    require(minDocFreq >= 1, "more_like_this: min_doc_freq must be >= 1")
+    require(maxDocFreq >= minDocFreq,
+      s"more_like_this: max_doc_freq $maxDocFreq < min_doc_freq $minDocFreq")
+  }
+
+  /** A selected query term with its like-text `tf`, corpus `df`, and the
+    * classic-idf selection score.
+    */
+  final case class SelectedTerm(term: String, tf: Long, df: Long, score: Double)
+
+  /** Hard bound on the candidate-term statistics width: the DF aggregate
+    * carries one column per candidate, and a like-text with a huge
+    * vocabulary signals the caller passed a corpus, not a query.
+    */
+  val MaxCandidates = 512
+
+  /** Like-text candidates after the text-side gates (tf, word length),
+    * sorted for determinism. Driver-side: the like-text is a query
+    * literal.
+    */
+  private def candidates(likeText: String, p: MltParams,
+      analyzer: TextMatch.Analyzer): Seq[(String, Long)] = {
+    val toks = analyzer.analyze(likeText)
+    require(toks.nonEmpty, "more_like_this: like-text has no analyzable terms")
+    val byTf = toks.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+    val kept = byTf.filter { case (t, tf) =>
+      tf >= p.minTermFreq && t.length >= p.minWordLength && t.length <= p.maxWordLength
+    }.toSeq.sortBy(_._1)
+    require(kept.size <= MaxCandidates,
+      s"more_like_this: ${kept.size} candidate terms exceed $MaxCandidates — " +
+        "raise min_term_freq or trim the like-text (it should be a query, " +
+        "not a corpus)")
+    kept
+  }
+
+  /** Term selection plus the corpus statistics needed to score with the
+    * same pass: `(selected terms in rank order, N, Σdl)`. One corpus
+    * aggregate; the collect is ONE row whose width is the candidate count.
+    */
+  def likeTextSelect(
+      docs: DataFrame,
+      analyzed: Column,
+      likeText: String,
+      p: MltParams = MltParams(),
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): (Seq[SelectedTerm], Long, Long) = {
+    val cand = candidates(likeText, p, analyzer)
+    val aggs = sum(Bm25.docLength(analyzed).cast("long")).as("_sumdl") +:
+      cand.zipWithIndex.map { case ((t, _), i) =>
+        sum(when(TokenOccurrences(analyzed, t) > 0, 1L).otherwise(0L)).as(s"_df$i")
+      }
+    val row = docs.agg(count(lit(1)).as("_n"), aggs: _*).head()
+    val n = row.getLong(0)
+    val sumdl = row.getLong(1)
+    val scored = cand.zipWithIndex.flatMap { case ((t, tf), i) =>
+      val df = row.getLong(2 + i)
+      if (df >= p.minDocFreq && df <= p.maxDocFreq && df > 0)
+        // ClassicSimilarity idf — Lucene MLT's SELECTION ranking
+        Some(SelectedTerm(t, tf, df,
+          tf.toDouble * (1.0 + math.log(n.toDouble / (df + 1).toDouble))))
+      else None
+    }
+    require(scored.nonEmpty,
+      "more_like_this: no candidate term passes the doc-freq gates — " +
+        "loosen min_doc_freq/max_doc_freq or the like-text is out of corpus")
+    val sel = scored.sortBy(st => (-st.score, st.term)).take(p.maxQueryTerms)
+    (sel, n, sumdl)
+  }
+
+  /** The selected term set as a frame `(term, tf, df)` ordered by term —
+    * the inspectable selection half (integer-exact, oracle-gated as
+    * `q_mlt_terms`).
+    */
+  def likeTextTermsDF(
+      spark: SparkSession,
+      docs: DataFrame,
+      analyzed: Column,
+      likeText: String,
+      p: MltParams = MltParams(),
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val (sel, _, _) = likeTextSelect(docs, analyzed, likeText, p, analyzer)
+    val rows = sel.sortBy(_.term).map(st => Row(st.term, st.tf, st.df))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("term", StringType, nullable = false),
+        StructField("tf", LongType, nullable = false),
+        StructField("df", LongType, nullable = false))))
+  }
+
+  /** The filter-context match set: `(idCol, matched)` — documents holding
+    * at least `minimumShouldMatch` of the selected terms (resolved with
+    * [[FilterSpec.MinShouldMatch]]'s full grammar against the selection
+    * size), with the count of distinct selected terms present. One
+    * distributed scan over codegen'd TF kernels.
+    */
+  def likeTextMatchSet(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      likeText: String,
+      p: MltParams = MltParams(),
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val (sel, _, _) = likeTextSelect(docs, analyzed, likeText, p, analyzer)
+    val msm = FilterSpec.MinShouldMatch.resolve(p.minimumShouldMatch, sel.size)
+    val matched = sel.map(st =>
+      when(TokenOccurrences(analyzed, st.term) > 0, 1).otherwise(0).cast("long"))
+      .reduce(_ + _)
+    docs.withColumn("matched", matched)
+      .where(col("matched") >= msm)
+      .select(col(s"`$idCol`"), col("matched"))
+  }
+
+  /** Query-context retrieval: BM25 top-`k` over the selected terms. The
+    * selection pass already produced every statistic BM25 needs (N, Σdl,
+    * per-term DF), so the stats frame is synthesized from the collected
+    * row — ONE corpus pass for selection + ONE for scoring, total.
+    * Scores are rounded to 6 decimals and ranked on the ROUNDED value
+    * (ties then break by id): the oracle's term sum is join-ordered, so
+    * the comparison absorbs sub-ulp association differences while keeping
+    * full ranking teeth — the [[moreLikeThis]] precedent.
+    */
+  def likeTextTopK(
+      docs: DataFrame,
+      idCol: String,
+      analyzed: Column,
+      likeText: String,
+      k: Int,
+      p: MltParams = MltParams(),
+      k1: Double = Bm25.DefaultK1,
+      b: Double = Bm25.DefaultB,
+      analyzer: TextMatch.Analyzer = TextMatch.AsciiAnalyzer): DataFrame = {
+    val spark = docs.sparkSession
+    val (sel, n, sumdl) = likeTextSelect(docs, analyzed, likeText, p, analyzer)
+    val statsRow = Row.fromSeq(n +: sumdl +: sel.map(_.df))
+    val statsSchema = StructType(
+      StructField("_n", LongType, nullable = false) +:
+        StructField("_sumdl", LongType, nullable = false) +:
+        sel.indices.map(i => StructField(s"_df$i", LongType, nullable = false)))
+    val stats = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(statsRow), 1), statsSchema)
+    Bm25.scoredAll(docs, idCol, analyzed, sel.map(_.term).mkString(" "),
+        k1, b, stats = Some(stats), analyzer = analyzer)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(desc("score"), asc(s"`$idCol`"))
+      .limit(k)
+  }
+
+  // ===================================================================
+  // DuckDB oracle restatements for the like-text half — the selection,
+  // match-set, and scored pipelines re-derived ENTIRELY in SQL (the
+  // oracle re-runs selection itself; nothing engine-side leaks into the
+  // oracle text, so a selection disagreement surfaces as a mismatch).
+  // ===================================================================
+
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  private def toksSql(expr: String): String =
+    s"list_filter(str_split_regex(trim(regexp_replace(lower($expr), '[^a-z0-9]+', ' ', 'g')), ' +'), x -> x <> '')"
+
+  /** Shared CTE prefix: like-text candidates, corpus tokens, per-candidate
+    * DF, and the ranked selection.
+    */
+  private def selectionCtes(
+      table: String, idCol: String, textExpr: String, likeText: String,
+      p: MltParams): String = {
+    val maxDf = if (p.maxDocFreq == Int.MaxValue) "" else s" AND df <= ${p.maxDocFreq}"
+    s"""lk AS (
+       |  SELECT unnest(${toksSql(s"'${sqlQuote(likeText)}'")}) AS term
+       |), cand AS (
+       |  SELECT term, count(*)::BIGINT AS tf FROM lk
+       |  GROUP BY term
+       |  HAVING count(*) >= ${p.minTermFreq}
+       |    AND len(term) >= ${p.minWordLength} AND len(term) <= ${p.maxWordLength}
+       |), d AS (
+       |  SELECT $idCol, ${toksSql(textExpr)} AS toks FROM $table
+       |), nn AS (
+       |  SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS sumdl FROM d
+       |), dt AS (
+       |  SELECT DISTINCT $idCol, term
+       |  FROM (SELECT $idCol, unnest(toks) AS term FROM d)
+       |), dfs AS (
+       |  SELECT c.term, c.tf, count(dt.$idCol)::BIGINT AS df
+       |  FROM cand c LEFT JOIN dt ON dt.term = c.term
+       |  GROUP BY c.term, c.tf
+       |), sel AS (
+       |  SELECT term, tf, df
+       |  FROM dfs, nn
+       |  WHERE df >= ${p.minDocFreq} AND df > 0$maxDf
+       |  ORDER BY (tf::DOUBLE * (1.0 + ln(nn.n::DOUBLE / (df + 1)::DOUBLE))) DESC, term ASC
+       |  LIMIT ${p.maxQueryTerms}
+       |)""".stripMargin
+  }
+
+  /** [[likeTextTermsDF]]'s oracle: `(term, tf, df)` by term. */
+  def oracleSqlLikeTextTerms(table: String, idCol: String, textExpr: String,
+      likeText: String, p: MltParams = MltParams()): String =
+    s"""WITH ${selectionCtes(table, idCol, textExpr, likeText, p)}
+       |SELECT term, tf, df FROM sel ORDER BY term""".stripMargin
+
+  /** [[likeTextMatchSet]]'s oracle: distinct-selected-term counts against
+    * the resolved msm threshold. The threshold is rendered as a CASE over
+    * every achievable selection size (1..maxQueryTerms), each resolved
+    * with the engine's OWN [[FilterSpec.MinShouldMatch]] rules — the SQL
+    * side then applies the value matching ITS selection size, so a
+    * selection-size disagreement between the engines surfaces as a hash
+    * mismatch instead of hiding behind a shared constant. Sizes where the
+    * spec would resolve out of range (the engine raises there) render as
+    * NULL — unreachable for a query the engine accepted.
+    */
+  def oracleSqlLikeTextMatchSet(table: String, idCol: String, textExpr: String,
+      likeText: String, p: MltParams = MltParams()): String = {
+    val cases = (1 to p.maxQueryTerms).map { nsel =>
+      val v =
+        try Some(FilterSpec.MinShouldMatch.resolve(p.minimumShouldMatch, nsel))
+        catch { case _: IllegalArgumentException => None }
+      s"WHEN $nsel THEN ${v.map(_.toString).getOrElse("NULL")}"
+    }.mkString(" ")
+    s"""WITH ${selectionCtes(table, idCol, textExpr, likeText, p)},
+       |m AS (
+       |  SELECT dt.$idCol, count(*)::BIGINT AS matched
+       |  FROM dt JOIN sel USING (term)
+       |  GROUP BY dt.$idCol
+       |)
+       |SELECT $idCol, matched FROM m
+       |WHERE matched >= (SELECT CASE count(*) $cases END FROM sel)
+       |ORDER BY $idCol""".stripMargin
+  }
+
+  /** [[likeTextTopK]]'s oracle: BM25 over the SQL-side selection, the
+    * per-term sum taken over join rows and rounded to 6 decimals exactly
+    * like the engine.
+    */
+  def oracleSqlLikeTextTopK(table: String, idCol: String, textExpr: String,
+      likeText: String, k: Int, p: MltParams = MltParams(),
+      k1: Double = Bm25.DefaultK1, b: Double = Bm25.DefaultB): String =
+    s"""WITH ${selectionCtes(table, idCol, textExpr, likeText, p)},
+       |tfs AS (
+       |  SELECT $idCol, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT $idCol, unnest(toks) AS term FROM d)
+       |  GROUP BY $idCol, term
+       |), dls AS (
+       |  SELECT $idCol, len(toks)::BIGINT AS dl FROM d
+       |), contrib AS (
+       |  SELECT t.$idCol,
+       |    ln(1.0 + (nn.n - s.df + 0.5) / (s.df + 0.5)) *
+       |      ((t.tf::DOUBLE * ($k1 + 1.0)) / (t.tf::DOUBLE + $k1 *
+       |        (1.0 - $b + $b * (dls.dl::DOUBLE / (nn.sumdl::DOUBLE / nn.n::DOUBLE))))) AS c
+       |  FROM tfs t
+       |  JOIN sel s USING (term)
+       |  JOIN dls USING ($idCol), nn
+       |)
+       |SELECT $idCol, ROUND(sum(c), 6) AS score FROM contrib
+       |GROUP BY $idCol
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
 }

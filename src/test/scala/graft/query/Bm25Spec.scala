@@ -290,6 +290,46 @@ class Bm25Spec extends graft.SparkSpecBase {
     intercept[IllegalArgumentException](run("best_fields", tb = 1.5))
   }
 
+  test("crossFields: blended DF per term, per-field tf-norm, per-term dis_max") {
+    // 'spark' lives in BOTH fields with different dfs — df(text)=2,
+    // df(title)=1 — so the blended df is max = 2 for every field's
+    // scoring; 'alpha' lives only in title (blended df = its own 1).
+    val two = Seq(
+      (1L, "spark spark join", "alpha"), // text: tf(spark)=2  title: tf(alpha)=1
+      (2L, "join scan", "spark beta"),   // title: tf(spark)=1
+      (3L, "spark misc", "misc x"),      // text: tf(spark)=1
+    ).toDF("doc_id", "text", "title")
+    // per-field stats: text n=3 sumdl=7; title n=3 sumdl=5
+    def sc(tf: Double, dfB: Double, dl: Double, sumdl: Double): Double =
+      bm25(tf, dfB, 3, dl, sumdl / 3.0)
+    def run(boosts: Seq[(String, Double)], tb: Double = 0.0): Map[Long, Double] =
+      Bm25.crossFieldsTopK(two, "doc_id", boosts, "spark alpha", k = 10,
+          tieBreaker = tb)
+        .as[(Long, Double)].collect().toMap
+    val got = run(Seq("text" -> 1.0, "title" -> 1.0))
+    // doc 1: spark = max(text sc(2,df 2,dl 3), title sc(0,..)=0);
+    //        alpha = max(0, title sc(1, df 1, dl 1))
+    val exp1 = math.max(sc(2, 2, 3, 7), 0.0) + math.max(0.0, sc(1, 1, 1, 5))
+    val exp2 = math.max(0.0, sc(1, 2, 2, 5)) // spark in title, BLENDED df 2
+    val exp3 = sc(1, 2, 2, 7)
+    assert(math.abs(got(1L) - exp1) < 1e-12, s"doc1 ${got(1L)} vs $exp1")
+    assert(math.abs(got(2L) - exp2) < 1e-12, s"doc2 ${got(2L)} vs $exp2")
+    assert(math.abs(got(3L) - exp3) < 1e-12, s"doc3 ${got(3L)} vs $exp3")
+    // TEETH vs best_fields: per-field scoring would give doc 2's title
+    // 'spark' df=1 (idf ln(1+(3-1+0.5)/1.5)), the blend gives df=2 — the
+    // cross_fields score is provably SMALLER.
+    val perFieldDoc2 = bm25(1, 1, 3, 2, 5.0 / 3.0)
+    assert(got(2L) < perFieldDoc2 - 1e-9,
+      "blending must lower doc 2's title-only idf")
+    // boost multiplies before the per-term max; tie_breaker folds the
+    // losing field in: identities against the unboosted run
+    val tb = run(Seq("text" -> 1.0, "title" -> 1.0), tb = 1.0)
+    val sum1 = sc(2, 2, 3, 7) + 0.0 + 0.0 + sc(1, 1, 1, 5)
+    assert(math.abs(tb(1L) - sum1) < 1e-12, "tb=1 sums the per-field scores")
+    intercept[IllegalArgumentException](run(Seq("text" -> -1.0)))
+    intercept[IllegalArgumentException](run(Seq("text" -> 1.0), tb = 1.5))
+  }
+
   test("explainTopK: per-term decomposition matches hand values and refolds to the score") {
     val analyzed = concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" "))
     val rows = Bm25.explainTopK(docs, "doc_id", analyzed, "Spark TABLE", k = 10)

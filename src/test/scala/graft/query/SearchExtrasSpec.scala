@@ -34,6 +34,87 @@ class SearchExtrasSpec extends SparkSpecBase {
     assert(out.forall(_._2 > 0))
   }
 
+  test("likeText selection: tf/word-length/df gates, classic idf ranking, term tie-break") {
+    val docs = Seq(
+      (1L, "rare rare common stop alpha"),
+      (2L, "rare common stop stop"),
+      (3L, "common stop"),
+      (4L, "stop stop stop"),
+    ).toDF("id", "text")
+    val analyzed = concat(lit(" "), TextMatch.normalized(col("text")), lit(" "))
+    // tf≥2 keeps rare/common/stop/zz/a; minWordLength=2 kills 'a';
+    // zz has df 0 (never in corpus); maxDocFreq=3 kills 'stop' (df 4)
+    val like = "rare rare common common stop stop zz zz a a alpha"
+    val p = MoreLikeThis.MltParams(maxQueryTerms = 2, minTermFreq = 2,
+      minDocFreq = 1, maxDocFreq = 3, minWordLength = 2,
+      minimumShouldMatch = "50%")
+    val (sel, n, sumdl) = MoreLikeThis.likeTextSelect(docs, analyzed, like, p)
+    assert(n === 4 && sumdl === 14)
+    // scores: rare 2·(1+ln(4/3)) ≈ 2.575 > common 2·(1+ln(4/4)) = 2.0
+    assert(sel.map(_.term) === Seq("rare", "common"))
+    assert(sel.map(_.df) === Seq(2L, 3L))
+    val terms = MoreLikeThis.likeTextTermsDF(spark, docs, analyzed, like, p)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(terms === Seq(("common", 2L, 3L), ("rare", 2L, 2L)))
+    // EXACT score tie (same tf, same df): alpha vs a twin — term breaks it
+    val docs2 = Seq((1L, "aa bb cc"), (2L, "aa bb")).toDF("id", "text")
+    val p1 = MoreLikeThis.MltParams(maxQueryTerms = 1, minTermFreq = 1,
+      minDocFreq = 1)
+    val (tie, _, _) = MoreLikeThis.likeTextSelect(docs2,
+      concat(lit(" "), TextMatch.normalized(col("text")), lit(" ")),
+      "bb aa", p1)
+    assert(tie.map(_.term) === Seq("aa"), "equal tf·idf breaks by term asc")
+    // rejects: out-of-corpus like-text, candidate-cap overflow
+    intercept[IllegalArgumentException](
+      MoreLikeThis.likeTextSelect(docs, analyzed, "zz zz",
+        MoreLikeThis.MltParams(minTermFreq = 2, minDocFreq = 1)))
+    val hugeLike = (0 until 600).map(i => s"t$i t$i").mkString(" ")
+    intercept[IllegalArgumentException](
+      MoreLikeThis.likeTextSelect(docs, analyzed, hugeLike,
+        MoreLikeThis.MltParams(minTermFreq = 2, minDocFreq = 1)))
+  }
+
+  test("likeText matchSet applies minimum_should_match over the selected disjunction") {
+    val docs = Seq(
+      (1L, "rare rare common stop alpha"),
+      (2L, "rare common stop stop"),
+      (3L, "common stop"),
+      (4L, "stop stop stop"),
+    ).toDF("id", "text")
+    val analyzed = concat(lit(" "), TextMatch.normalized(col("text")), lit(" "))
+    val like = "rare rare common common stop stop zz zz a a alpha"
+    val p = MoreLikeThis.MltParams(maxQueryTerms = 2, minTermFreq = 2,
+      minDocFreq = 1, maxDocFreq = 3, minWordLength = 2,
+      minimumShouldMatch = "50%")
+    // selected = {rare, common}; 50% of 2 -> 1 required
+    val got = MoreLikeThis.likeTextMatchSet(docs, "id", analyzed, like, p)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+    // 100% -> both required: doc 3 drops out
+    val all = MoreLikeThis.likeTextMatchSet(docs, "id", analyzed, like,
+        p.copy(minimumShouldMatch = "100%"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(all === Seq((1L, 2L), (2L, 2L)))
+  }
+
+  test("likeTextTopK equals Bm25 over the same selection with full-corpus stats") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val analyzed = concat(lit(" "), TextMatch.normalized(col("text")), lit(" "))
+    val like = "dup vector scan dup fast vector merge fast the the a scan"
+    val p = MoreLikeThis.MltParams(maxQueryTerms = 3, minTermFreq = 2,
+      minDocFreq = 2, minWordLength = 3, minimumShouldMatch = "50%")
+    val (sel, _, _) = MoreLikeThis.likeTextSelect(docs, analyzed, like, p)
+    val mlt = MoreLikeThis.likeTextTopK(docs, "doc_id", analyzed, like,
+      k = 10, p).as[(Long, Double)].collect().toSeq
+    val stats = Bm25.corpusStats(docs, analyzed, sel.map(_.term))
+    val bm = Bm25.topK(docs, "doc_id", analyzed, sel.map(_.term).mkString(" "),
+        k = 10, stats = Some(stats))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(mlt === bm)
+  }
+
   test("moreLikeThis score equals Bm25 topK over the same selected terms (rounded)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mlt = MoreLikeThis.moreLikeThis(docs, "doc_id", "text", seedId = 42L,
