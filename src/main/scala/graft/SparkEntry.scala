@@ -7670,6 +7670,59 @@ object SparkEntry {
           | LIMIT 15""",
         t => load(dir, t))
     }),
+
+    "esql_match_phrase_score" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // MATCH_PHRASE under METADATA _score: the phrase scores as ONE
+      // pseudo-term — TF = phrase-occurrence count (contiguous, in
+      // order), DF = documents containing the phrase (Lucene
+      // PhraseQuery's scoring shape). Oracle wraps the shared phrase
+      // restatement; a MATCH twin on the same terms would rank
+      // DIFFERENTLY (per-term DF ≫ phrase DF), which is the teeth.
+      query.Esql.run(
+        """FROM documents METADATA _score
+          | WHERE MATCH_PHRASE(text, "vector scan")
+          | KEEP doc_id, _score
+          | SORT _score DESC, doc_id
+          | LIMIT 15""",
+        t => load(dir, t))
+    }),
+
+    "esql_multi_match" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL MULTI_MATCH (9.1) in filter context, cross_fields × AND:
+      // every term appears in at least one of (p_name, p_type) — not
+      // necessarily the same one. Teeth: 'small' satisfies via EITHER
+      // the name or the type field (SMALL analyzes to 'small'), 'bolt'
+      // only via the name — best_fields AND (one field holds both)
+      // would be a strictly smaller set.
+      query.Esql.run(
+        """FROM part
+          | WHERE MULTI_MATCH("small bolt", p_name, p_type, {"type": "cross_fields", "operator": "and"})
+          | KEEP p_partkey
+          | SORT p_partkey""",
+        t => load(dir, t))
+    }),
+
+    "esql_enrich_range" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      import spark.implicits._
+      // ENRICH with a RANGE policy (ES enrich policy type `range`): the
+      // input value joins the band whose inclusive [lo, hi] contains it.
+      // The policy table is a literal frame (the materialized enrich
+      // index); the compile broadcasts it and plants an in-plan overlap
+      // guard (overlap → ES would answer multivalued — here it raises).
+      val bands = Seq((1, 10, "small"), (11, 25, "mid"), (26, 50, "large"))
+        .toDF("lo", "hi", "band")
+      query.Esql.run(
+        """FROM part
+          | ENRICH size_bands ON p_size WITH band
+          | STATS n = COUNT(*) BY band
+          | SORT band""",
+        t => load(dir, t),
+        Map("size_bands" -> query.Esql.EnrichPolicy(bands, "lo", Seq("band"),
+          policyType = "range", rangeLowField = "lo", rangeHighField = "hi")))
+    }),
   ))
 
   /** ann_bbq's query vector — 64 dyadic values in [-0.5, 0.5] — and the
@@ -13289,6 +13342,36 @@ object SparkEntry {
          |SELECT doc_id, score AS _score FROM s
          |ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin
     },
+
+    // phrase scoring restated: the shared pseudo-term generator (TF =
+    // sequence positions, DF = docs containing the phrase)
+    "esql_match_phrase_score" -> {
+      val scored = graft.query.Bm25.oracleSqlScoredPhrase(
+        "documents", "doc_id", "text", "vector scan")
+      s"""WITH s AS (
+         |$scored
+         |)
+         |SELECT doc_id, score AS _score FROM s
+         |ORDER BY _score DESC, doc_id LIMIT 15""".stripMargin
+    },
+
+    // cross_fields × AND: every term in at least one field
+    "esql_multi_match" -> {
+      import graft.expr.TextMatch.containsTokenSql
+      def anyField(t: String) =
+        s"(${containsTokenSql("p_name", t)} OR ${containsTokenSql("p_type", t)})"
+      s"""SELECT p_partkey FROM part
+         |WHERE ${anyField("small")} AND ${anyField("bolt")}
+         |ORDER BY p_partkey""".stripMargin
+    },
+
+    "esql_enrich_range" ->
+      """WITH bands(lo, hi, band) AS (
+        |  VALUES (1, 10, 'small'), (11, 25, 'mid'), (26, 50, 'large')
+        |)
+        |SELECT count(*)::BIGINT AS n, band
+        |FROM part JOIN bands ON p_size BETWEEN lo AND hi
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "q_kql_nested" ->
       """SELECT DISTINCT l_orderkey AS oid FROM lineitem

@@ -654,6 +654,23 @@ object Bm25 {
     oracleScoredForTerms(table, idCol, textExpr, terms, k1, b)
   }
 
+  /** [[oracleSqlScored]] for the PHRASE form — one pseudo-term whose TF
+    * is the token-sequence occurrence count and DF the phrase's document
+    * frequency (the [[topKPhrase]] scoring restated unbounded, for
+    * oracles that rank/filter it further).
+    */
+  def oracleSqlScoredPhrase(
+      table: String,
+      idCol: String,
+      textExpr: String,
+      phrase: String,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): String = {
+    val toks = TextMatch.analyze(phrase)
+    require(toks.nonEmpty, s"bm25 phrase oracle: '$phrase' has no analyzable tokens")
+    oracleScoredForTerms(table, idCol, textExpr, Seq(toks.mkString(" ")), k1, b)
+  }
+
   /** [[oracleSql]] with per-term boosts — the [[topKBoosted]] twin. */
   def oracleSqlBoosted(
       table: String,

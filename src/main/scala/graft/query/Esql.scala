@@ -83,8 +83,29 @@ object Esql {
   /** An ENRICH policy: the lookup table, its match field, and the fields it
     * contributes (ES's enrich policy definition, minus the system-index
     * plumbing — the table IS the materialized enrich index).
+    *
+    * `policyType` mirrors ES's policy types: `match` (equality on
+    * `matchField`) or `range` (the input value falls INSIDE a range row).
+    * ES's range policy matches against a range-TYPED field whose per-doc
+    * bounds carry their own gt/gte/lt/lte; relationally the range is two
+    * columns, and this engine fixes the contract to INCLUSIVE
+    * `[rangeLowField, rangeHighField]` (state half-open ranges by
+    * adjusting the stored bounds — a stated delta). Ranges must not
+    * overlap: ES answers an overlap with a multivalued enrich field,
+    * which would change the output schema data-dependently — the compile
+    * plants an in-plan guard that RAISES on the first overlapping pair
+    * instead.
     */
-  final case class EnrichPolicy(table: DataFrame, matchField: String, fields: Seq[String])
+  final case class EnrichPolicy(
+      table: DataFrame, matchField: String, fields: Seq[String],
+      policyType: String = "match",
+      rangeLowField: String = "", rangeHighField: String = "") {
+    require(policyType == "match" || policyType == "range",
+      s"enrich policy: unknown type '$policyType' (match, range; geo_match " +
+        "needs the geo_shape tier's shapes at rest — not wired)")
+    require(policyType == "match" || (rangeLowField.nonEmpty && rangeHighField.nonEmpty),
+      "enrich policy: a range policy names rangeLowField and rangeHighField")
+  }
 
   // =====================================================================
   // scanner
@@ -941,7 +962,7 @@ object Esql {
     case MapLit(_) =>
       throw new IllegalArgumentException(
         "esql: a {…} options map is only valid as the last argument of a " +
-          "function that takes options (KNN)")
+          "function that takes options (KNN, MULTI_MATCH)")
     case Fn(name, args) => compileFn(name, args, compileExpr)
   }
 
@@ -1553,6 +1574,66 @@ object Esql {
         graft.expr.TextMatch.containsToken(rec(f), terms.mkString(" "))
       case _ => throw new IllegalArgumentException("esql: MATCH_PHRASE(field, \"query\")")
     }
+    case "MULTI_MATCH" => {
+      // ES|QL MULTI_MATCH (9.1): the multi_match query inside the pipe
+      // language — `MULTI_MATCH("query", f1, f2, …, {options})`. Filter
+      // context; the match SET depends on the type × operator pair:
+      //   * best_fields / most_fields (field-centric — identical match
+      //     sets, they differ only in scoring): operator applies WITHIN a
+      //     field, fields OR together. `or` → any term in any field;
+      //     `and` → some single field holds EVERY term.
+      //   * cross_fields (term-centric): operator applies ACROSS the
+      //     per-term field-disjunctions. `and` → every term appears in at
+      //     least one field (not necessarily the same one) — exactly the
+      //     split-name case the mode exists for.
+      // Scoring rides the Bm25 tier ([[Bm25.multiMatchTopK]] /
+      // [[Bm25.crossFieldsTopK]]); under METADATA _score this function
+      // rejects via the scored-WHERE gate naming that seam.
+      val (mapOpts, rest) = args.lastOption match {
+        case Some(MapLit(entries)) => (entries, args.dropRight(1))
+        case _ => (Nil, args)
+      }
+      rest match {
+        case Seq(StrLit(q), fields @ _*)
+            if fields.nonEmpty && fields.forall(_.isInstanceOf[ColRef]) =>
+          val opts = mapOpts.toMap
+          require(mapOpts.map(_._1).distinct.size == mapOpts.size,
+            "esql: duplicate MULTI_MATCH option keys")
+          val unknown = opts.keySet -- Set("type", "operator")
+          require(unknown.isEmpty,
+            s"esql: unknown MULTI_MATCH option(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+              "(type, operator; boosts belong to scoring, not a filter)")
+          def strOpt(k: String, dflt: String, allowed: Set[String]): String =
+            opts.get(k).map {
+              case StrLit(v) if allowed(v) => v
+              case StrLit(v) => throw new IllegalArgumentException(
+                s"esql: MULTI_MATCH $k '$v' (${allowed.toSeq.sorted.mkString("|")})")
+              case other => throw new IllegalArgumentException(
+                s"esql: MULTI_MATCH $k must be a string literal, found <$other>")
+            }.getOrElse(dflt)
+          val mmType = strOpt("type", "best_fields",
+            Set("best_fields", "most_fields", "cross_fields"))
+          val operator = strOpt("operator", "or", Set("or", "and"))
+          val terms = graft.expr.TextMatch.analyze(q)
+          require(terms.nonEmpty, s"esql: MULTI_MATCH query '$q' has no analyzable terms")
+          val cols = fields.map(f => rec(f.asInstanceOf[ColRef]))
+          (mmType, operator) match {
+            case ("cross_fields", "and") =>
+              terms.map(t => cols.map(c =>
+                graft.expr.TextMatch.containsToken(c, t)).reduce(_ || _)).reduce(_ && _)
+            case (_, "and") =>
+              cols.map(c => terms.map(t =>
+                graft.expr.TextMatch.containsToken(c, t)).reduce(_ && _)).reduce(_ || _)
+            case _ =>
+              // `or` collapses to the same any-term-any-field set for
+              // every type
+              cols.map(c => terms.map(t =>
+                graft.expr.TextMatch.containsToken(c, t)).reduce(_ || _)).reduce(_ || _)
+          }
+        case _ => throw new IllegalArgumentException(
+          "esql: MULTI_MATCH(\"query\", field1, field2, …[, {options}])")
+      }
+    }
     case "QSTR" => args match {
       // ES|QL QSTR (8.16): the full Lucene query_string grammar inside the
       // pipe language. ES resolves the query's default field from the
@@ -2128,7 +2209,7 @@ object Esql {
     * in the expression — the `_score` wiring gate.
     */
   private def containsFullText(e: Expr): Boolean = e match {
-    case Fn("MATCH" | "MATCH_PHRASE" | "QSTR" | "KQL", _) => true
+    case Fn("MATCH" | "MATCH_PHRASE" | "QSTR" | "KQL" | "MULTI_MATCH", _) => true
     case Fn(_, args) => args.exists(containsFullText)
     case Bin(_, l, r) => containsFullText(l) || containsFullText(r)
     case Neg(x) => containsFullText(x)
@@ -2277,9 +2358,13 @@ object Esql {
     * Contract and stated deltas:
     *  - scoring full-text functions must be BARE top-level AND conjuncts
     *    (scoring under OR/NOT needs per-branch zeroing ES resolves
-    *    against its query tree — loud seam), and only MATCH scores
-    *    (MATCH_PHRASE/QSTR/KQL mix clause types whose per-clause scoring
-    *    is the Bm25 tier's job — loud seam naming it);
+    *    against its query tree — loud seam); MATCH scores as a term
+    *    SHOULD-sum and MATCH_PHRASE as ONE pseudo-term whose TF is the
+    *    phrase-occurrence count and whose DF is the phrase's own document
+    *    frequency (Lucene PhraseQuery's scoring shape, the
+    *    [[Bm25.topKPhrase]] contract); QSTR/KQL stay filter-only (their
+    *    grammars mix clause types whose per-clause scoring is the Bm25
+    *    tier's job — loud seam naming it);
     *  - corpus statistics (DF, avgdl) are computed over the frame
     *    ENTERING this WHERE — ES uses index-level statistics, and the two
     *    are identical exactly when the scored WHERE directly follows
@@ -2296,15 +2381,15 @@ object Esql {
   private def compileScoredWhere(df: DataFrame, e: Expr): DataFrame = {
     val conjuncts = splitAnd(e)
     val (fts, others) = conjuncts.partition {
-      case Fn("MATCH", _) => true
+      case Fn("MATCH" | "MATCH_PHRASE", _) => true
       case _ => false
     }
     others.find(containsFullText).foreach { c =>
       throw new IllegalArgumentException(
-        "esql: with METADATA _score, only bare top-level MATCH conjuncts score " +
-          s"(found a full-text function inside <$c>) — scoring under OR/NOT and " +
-          "MATCH_PHRASE/QSTR/KQL scoring are not wired; drop METADATA _score to " +
-          "use them as filters")
+        "esql: with METADATA _score, only bare top-level MATCH/MATCH_PHRASE " +
+          s"conjuncts score (found a full-text function inside <$c>) — scoring " +
+          "under OR/NOT and QSTR/KQL scoring are not wired; drop METADATA " +
+          "_score to use them as filters")
     }
     val reserved = Seq("_dl", "_n", "_sumdl") ++
       Seq.tabulate(8)(i => s"_tf$i") ++ Seq.tabulate(8)(i => s"_df$i")
@@ -2319,7 +2404,14 @@ object Esql {
         case Seq(f @ ColRef(_), StrLit(q)) =>
           val analyzer = graft.expr.TextMatch.AsciiAnalyzer
           val analyzed = concat(lit(" "), analyzer.normalized(compileExpr(f)), lit(" "))
-          val terms = Bm25.queryTerms(q, analyzer)
+          val terms = ft.asInstanceOf[Fn].name match {
+            case "MATCH" => Bm25.queryTerms(q, analyzer)
+            // phrase = ONE pseudo-term: TF counts token positions where
+            // the full sequence occurs, DF counts docs containing it
+            case _ => Seq(analyzer.analyze(q).mkString(" "))
+          }
+          require(terms.exists(_.nonEmpty),
+            s"esql: '${q}' has no analyzable terms")
           val stats = Bm25.corpusStats(df, analyzed, terms)
           val withRow = terms.zipWithIndex.foldLeft(
             acc.crossJoin(broadcast(stats)).withColumn("_dl", Bm25.docLength(analyzed))) {
@@ -2429,10 +2521,36 @@ object Esql {
       }
       // the enrich index is small and replicated in ES — broadcast is the
       // same decision made visible in the plan
-      val right = p.table.select(
-        (col(p.matchField).as("__enrich_key")) +: wanted.map { case (nw, old) => col(old).as(nw) }: _*)
-      df.join(broadcast(right), col(on) === col("__enrich_key"), "left")
-        .drop("__enrich_key")
+      if (p.policyType == "range") {
+        // range policy: the input value falls inside [low, high]. The
+        // overlap guard rides the low column itself: a window over the
+        // broadcast-SIZED policy table (its smallness is the policy
+        // contract) compares each low bound against the running max of
+        // earlier highs and raises on the first overlap — lazily, in
+        // plan, before any row could silently multi-match.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col(p.rangeLowField), col(p.rangeHighField))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val guarded = p.table
+          .withColumn("__prev_high", max(col(p.rangeHighField)).over(w))
+          .withColumn("__low",
+            when(col("__prev_high").isNotNull && col("__prev_high") >= col(p.rangeLowField),
+              raise_error(concat(lit(s"esql: ENRICH range policy '$policy' has overlapping " +
+                "ranges at low="), col(p.rangeLowField).cast("string"),
+                lit(" — ES would answer with a multivalued field; split the ranges"))))
+              .otherwise(col(p.rangeLowField)))
+        val right = guarded.select(
+          col("__low") +: col(p.rangeHighField).as("__high") +:
+            wanted.map { case (nw, old) => col(old).as(nw) }: _*)
+        df.join(broadcast(right),
+            col(on) >= col("__low") && col(on) <= col("__high"), "left")
+          .drop("__low", "__high")
+      } else {
+        val right = p.table.select(
+          (col(p.matchField).as("__enrich_key")) +: wanted.map { case (nw, old) => col(old).as(nw) }: _*)
+        df.join(broadcast(right), col(on) === col("__enrich_key"), "left")
+          .drop("__enrich_key")
+      }
     case LookupJoin(index, on) =>
       // ES|QL LOOKUP JOIN (8.18 GA): left join against a lookup-mode
       // index on SHARED column names; on a non-key name collision the

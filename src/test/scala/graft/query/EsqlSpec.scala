@@ -1230,21 +1230,107 @@ class EsqlSpec extends SparkSpecBase {
     assert(math.abs(out.collect().head.getDouble(0) - math.log(2.0)) < 1e-12)
   }
 
-  test("scored-WHERE seams reject loudly: OR/NOT placement, MATCH_PHRASE/QSTR scoring") {
+  test("scored-WHERE seams reject loudly: OR/NOT placement, QSTR/MULTI_MATCH scoring") {
     def err(q: String): String =
       intercept[IllegalArgumentException](
         Esql.run(q, resolve(Map("t" -> people)), defaultField = Some("name")).collect()).getMessage
     assert(err("""FROM t METADATA _score | WHERE MATCH(name, "ada") OR id == 5 | KEEP id""")
-      .contains("bare top-level MATCH conjuncts"))
+      .contains("bare top-level MATCH"))
     assert(err("""FROM t METADATA _score | WHERE NOT MATCH(name, "ada") | KEEP id""")
-      .contains("bare top-level MATCH conjuncts"))
-    assert(err("""FROM t METADATA _score | WHERE MATCH_PHRASE(name, "ada") | KEEP id""")
-      .contains("bare top-level MATCH conjuncts"))
+      .contains("bare top-level MATCH"))
     assert(err("""FROM t METADATA _score | WHERE QSTR("ada") | KEEP id""")
-      .contains("bare top-level MATCH conjuncts"))
+      .contains("bare top-level MATCH"))
+    assert(err("""FROM t METADATA _score | WHERE MULTI_MATCH("ada", name, lang) | KEEP id""")
+      .contains("bare top-level MATCH"))
     // without METADATA _score the same programs are plain filters
     val plain = Esql.run("""FROM t | WHERE MATCH_PHRASE(name, "ada") | KEEP id""",
       resolve(Map("t" -> people)))
     assert(plain.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("MATCH_PHRASE under METADATA _score scores as one pseudo-term — worked example") {
+    val docs = Seq(
+      (1L, "big data spark"),   // phrase tf 1, dl 3
+      (2L, "data big"),         // reversed: tf 0 — excluded by the filter
+      (3L, "big data big data") // tf 2, dl 4
+    ).toDF("doc_id", "text")
+    val out = Esql.run(
+      """FROM t METADATA _score | WHERE MATCH_PHRASE(text, "big data")
+        | KEEP doc_id, _score | SORT _score DESC, doc_id""",
+      resolve(Map("t" -> docs))).collect()
+    // phrase DF = 2 of N = 3, sumdl 9, avgdl 3:
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val s1 = idf * (1.0 * 2.2) / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 3.0 / 3.0))
+    val s3 = idf * (2.0 * 2.2) / (2.0 + 1.2 * (1.0 - 0.75 + 0.75 * 4.0 / 3.0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 1L))
+    assert(math.abs(out(0).getDouble(1) - s3) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - s1) < 1e-12)
+    // the MATCH twin ranks doc 2 too (terms in any order) — the phrase
+    // filter's teeth
+    val loose = Esql.run(
+      """FROM t | WHERE MATCH(text, "big data") | KEEP doc_id""",
+      resolve(Map("t" -> docs))).collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L, 3L))
+  }
+
+  test("MULTI_MATCH: type × operator match sets, option rejects") {
+    val docs = Seq(
+      (1L, "alpha beta", "misc"),   // both terms in ONE field
+      (2L, "alpha x", "beta y"),    // split across fields
+      (3L, "alpha only", "zz"),     // one term only
+      (4L, "zz", "ww")              // neither
+    ).toDF("id", "a", "b")
+    def ids(q: String): Set[Long] =
+      Esql.run(q, resolve(Map("t" -> docs))).collect().map(_.getLong(0)).toSet
+    // default best_fields × or: any term in any field
+    assert(ids("""FROM t | WHERE MULTI_MATCH("alpha beta", a, b) | KEEP id""") ==
+      Set(1L, 2L, 3L))
+    // best_fields × and: one field must hold EVERY term — doc 2 drops
+    assert(ids("""FROM t | WHERE MULTI_MATCH("alpha beta", a, b, {"operator": "and"}) | KEEP id""") ==
+      Set(1L))
+    // cross_fields × and: each term in at least one field — doc 2 stays
+    assert(ids("""FROM t | WHERE MULTI_MATCH("alpha beta", a, b, {"type": "cross_fields", "operator": "and"}) | KEEP id""") ==
+      Set(1L, 2L))
+    // most_fields has best_fields' match set in filter context
+    assert(ids("""FROM t | WHERE MULTI_MATCH("alpha beta", a, b, {"type": "most_fields"}) | KEEP id""") ==
+      Set(1L, 2L, 3L))
+    def err(q: String): String =
+      intercept[IllegalArgumentException](
+        Esql.run(q, resolve(Map("t" -> docs))).collect()).getMessage
+    assert(err("""FROM t | WHERE MULTI_MATCH("alpha", a, b, {"boost": 2}) | KEEP id""")
+      .contains("unknown MULTI_MATCH option"))
+    assert(err("""FROM t | WHERE MULTI_MATCH("alpha", a, b, {"type": "phrase"}) | KEEP id""")
+      .contains("best_fields|cross_fields|most_fields"))
+    assert(err("""FROM t | WHERE MULTI_MATCH("alpha") | KEEP id""")
+      .contains("MULTI_MATCH"))
+  }
+
+  test("ENRICH range policy: inclusive bands, out-of-range null, overlap raises") {
+    val bands = Seq((1, 10, "small"), (11, 25, "mid"), (26, 50, "large"))
+      .toDF("lo", "hi", "band")
+    val vals = Seq((1L, 10), (2L, 11), (3L, 26), (4L, 99)).toDF("id", "v")
+    def policy(b: org.apache.spark.sql.DataFrame) = Map(
+      "bands" -> Esql.EnrichPolicy(b, "lo", Seq("band"),
+        policyType = "range", rangeLowField = "lo", rangeHighField = "hi"))
+    val out = Esql.run(
+      """FROM t | ENRICH bands ON v WITH band | KEEP id, band | SORT id""",
+      resolve(Map("t" -> vals)), policy(bands)).collect()
+    // boundaries are INCLUSIVE both ends; 99 is outside every band → null
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "small"), (2L, "mid"), (3L, "large"), (4L, null)))
+    // WITH rename works through the range path too
+    val renamed = Esql.run(
+      """FROM t | ENRICH bands ON v WITH size_band = band | KEEP size_band | SORT size_band""",
+      resolve(Map("t" -> vals)), policy(bands))
+    assert(renamed.columns.toSeq == Seq("size_band"))
+    // overlapping ranges raise in-plan (ES would answer multivalued)
+    val overlapping = Seq((1, 10, "a"), (5, 20, "b")).toDF("lo", "hi", "band")
+    val e = intercept[Exception](
+      Esql.run("""FROM t | ENRICH bands ON v WITH band | KEEP id""",
+        resolve(Map("t" -> vals)), policy(overlapping)).collect())
+    assert(e.getMessage.contains("overlapping"))
+    // a range policy without bounds fields rejects at construction
+    intercept[IllegalArgumentException](
+      Esql.EnrichPolicy(bands, "lo", Seq("band"), policyType = "range"))
   }
 }
