@@ -616,9 +616,20 @@ object SparkEntry {
             if (at < 0) (spec, 1.0)
             else (spec.substring(0, at), spec.substring(at + 1).toDouble)
           }
-          WidgetServer.collectRowsJson(graft.query.Bm25.multiMatchWeightedTopK(
-            docs, "doc_id", fieldBoosts, qText, size,
-            mode = o.path("mode").asText("most_fields")))
+          val mode = o.path("mode").asText("most_fields")
+          WidgetServer.collectRowsJson(
+            if (mode == "cross_fields")
+              // the term-centric mode: blended DF, per-term dis_max with
+              // the optional tie_breaker (ES's multi_match knob)
+              graft.query.Bm25.crossFieldsTopK(docs, "doc_id", fieldBoosts,
+                qText, size, tieBreaker = o.path("tie_breaker").asDouble(0.0))
+            else {
+              require(!o.hasNonNull("tie_breaker"),
+                "search: tie_breaker rides mode=cross_fields here (best_fields' " +
+                  "dis_max tie lives on the single-field path)")
+              graft.query.Bm25.multiMatchWeightedTopK(
+                docs, "doc_id", fieldBoosts, qText, size, mode = mode)
+            })
         } else {
         val analyzed = concat(lit(" "),
           graft.expr.TextMatch.normalized(col("text")), lit(" "))
@@ -674,6 +685,49 @@ object SparkEntry {
               .orderBy(desc("score"), asc("doc_id"))
           else page)
         }
+      },
+      "/mlt" -> { body =>
+        // ES more_like_this over the wire, like-TEXT form: {"like":
+        // "free text", "max_query_terms": N, "min_term_freq": N,
+        // "min_doc_freq": N, "max_doc_freq": N, "min_word_length": N,
+        // "minimum_should_match": "50%", "size": N, "scored": bool}.
+        // scored=true (default) returns the BM25 top-k; scored=false the
+        // filter-context match set with per-doc matched counts.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val like = o.path("like").asText("")
+        require(like.nonEmpty, "mlt: missing like")
+        val p = graft.query.MoreLikeThis.MltParams(
+          maxQueryTerms = o.path("max_query_terms").asInt(25),
+          minTermFreq = o.path("min_term_freq").asInt(2),
+          minDocFreq = o.path("min_doc_freq").asInt(5),
+          maxDocFreq = if (o.hasNonNull("max_doc_freq")) o.path("max_doc_freq").asInt()
+            else Int.MaxValue,
+          minWordLength = o.path("min_word_length").asInt(0),
+          minimumShouldMatch = o.path("minimum_should_match").asText("30%"))
+        val docs = load(dir, "documents")
+        val analyzed = concat(lit(" "),
+          graft.expr.TextMatch.normalized(col("text")), lit(" "))
+        WidgetServer.collectRowsJson(
+          if (o.path("scored").asBoolean(true))
+            graft.query.MoreLikeThis.likeTextTopK(docs, "doc_id", analyzed,
+              like, k = o.path("size").asInt(10), p)
+          else
+            graft.query.MoreLikeThis.likeTextMatchSet(docs, "doc_id", analyzed,
+                like, p)
+              .orderBy("doc_id").limit(o.path("size").asInt(100)))
+      },
+      "/complete" -> { body =>
+        // ES completion suggester: {"prefix": "sp", "size": N,
+        // "fuzziness": 0..2, "prefix_length": N} over the documents
+        // vocabulary (the at-rest suggest artifact).
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val prefix = o.path("prefix").asText("")
+        require(prefix.nonEmpty, "complete: missing prefix")
+        WidgetServer.collectRowsJson(graft.query.Fuzzy.suggestCompletion(
+          graft.query.Fuzzy.vocabularyWithFreq(load(dir, "documents"), col("text")),
+          prefix, size = o.path("size").asInt(5),
+          fuzziness = o.path("fuzziness").asInt(0),
+          prefixLength = o.path("prefix_length").asInt(1)))
       },
       "/knn" -> { body =>
         // ES 8 knn search over the wire: {"vec_id": 3, "k": 5,
@@ -3118,6 +3172,18 @@ object SparkEntry {
       // retrieval, document frequency as the popularity statistic.
       graft.query.Fuzzy.suggestTerms(
         load(dir, "documents"), col("text"), "tabel", maxEdits = 2, n = 5)
+    }),
+
+    "q_suggest_completion" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES completion suggester with fuzziness 1 over the same at-rest
+      // vocabulary: exact 'sp' completions rank at distance 0 (spark),
+      // then one-edit 2-prefixes (scan/small/slow/…) by document
+      // frequency — both ranking tiers carry teeth, and the df values
+      // re-derive at any scale.
+      graft.query.Fuzzy.suggestCompletion(
+        graft.query.Fuzzy.vocabularyWithFreq(load(dir, "documents"), col("text")),
+        "sp", size = 6, fuzziness = 1, prefixLength = 1)
     }),
 
     "q_highlight" -> ((s, dir) => {
@@ -9317,6 +9383,21 @@ object SparkEntry {
         |SELECT term, freq, levenshtein(term, 'tabel')::INT AS distance
         |FROM v WHERE levenshtein(term, 'tabel') BETWEEN 1 AND 2
         |ORDER BY distance ASC, freq DESC, term ASC LIMIT 5""".stripMargin,
+
+    // Completion suggester: same vocabulary, same prefix-edit band and
+    // guard, same distance/freq/term ranking.
+    "q_suggest_completion" ->
+      """WITH v AS (
+        |  SELECT t AS term, count(*)::BIGINT AS freq FROM (
+        |    SELECT doc_id, unnest(list_distinct(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+        |    FROM documents) GROUP BY 1
+        |)
+        |SELECT term, freq, levenshtein(substr(term, 1, 2), 'sp')::BIGINT AS distance
+        |FROM v
+        |WHERE len(term) >= 2 AND substr(term, 1, 1) = 's'
+        |  AND levenshtein(substr(term, 1, 2), 'sp') <= 1
+        |ORDER BY distance ASC, freq DESC, term ASC LIMIT 6""".stripMargin,
 
     // Highlight: the identical single-pass word-boundary alternation
     // (RE2 spelling), over the identically-filtered match set.

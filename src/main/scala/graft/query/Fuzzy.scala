@@ -146,6 +146,49 @@ object Fuzzy {
       .limit(n)
   }
 
+  /** ES completion suggester — the type-ahead suggester, over the same
+    * at-rest `(term, freq)` vocabulary as the term suggester: exact-prefix
+    * completions always; with `fuzziness` > 0 also terms whose
+    * SAME-LENGTH prefix sits within `fuzziness` edits of the typed
+    * prefix, provided the first `prefixLength` characters match exactly
+    * (ES's `fuzzy.prefix_length` guard, default 1 — the FST never pays an
+    * edit on the first character by default).
+    *
+    * Ranking is ES's documented fuzzy-completion rule made deterministic:
+    * prefix edit distance ascending ("suggestions that share the longest
+    * prefix to the query prefix will be scored higher"), then weight
+    * descending, then term ascending. Weight is DOCUMENT frequency — ES
+    * completion weights are authoring-time integers on the suggest
+    * field; df is the corpus-derived stand-in (the typeahead tier's
+    * standing rule). Stated delta: completions shorter than the typed
+    * prefix never match (ES's FST can reach one through delete edits).
+    *
+    * Scale shape: vocabulary-sized work over the at-rest artifact — a
+    * codegen'd prefix/edit filter + `orderBy.limit` top-k; nothing
+    * corpus-sized, no joins. Output: `(term, freq, distance)`.
+    */
+  def suggestCompletion(
+      vocab: DataFrame, prefix: String, size: Int = 5,
+      fuzziness: Int = 0, prefixLength: Int = 1): DataFrame = {
+    val p = prefix.toLowerCase
+    require(p.nonEmpty, "completion: empty prefix")
+    require(fuzziness >= 0 && fuzziness <= 2,
+      s"completion: fuzziness must be 0..2 (Lucene's bound), got $fuzziness")
+    require(prefixLength >= 0, s"completion: prefix_length must be >= 0")
+    val plen = p.length
+    val guard = p.substring(0, math.min(prefixLength, plen))
+    val dist = levenshtein(substring(col("term"), 1, plen), lit(p))
+    val matches =
+      if (fuzziness == 0) col("term").startsWith(p)
+      else length(col("term")) >= plen &&
+        col("term").startsWith(guard) && dist <= fuzziness
+    vocab.where(matches)
+      .withColumn("distance", dist.cast("long"))
+      .orderBy(asc("distance"), desc("freq"), asc("term"))
+      .limit(size)
+      .select("term", "freq", "distance")
+  }
+
   /** ES phrase suggester — whole-phrase "did you mean", ES's own
     * architecture faithfully: per-position candidate terms from a direct
     * generator (here the Levenshtein band over the vocabulary — the

@@ -157,6 +157,29 @@ class SearchExtrasSpec extends SparkSpecBase {
     assert(out.take(3) === Seq(("table", 2L, 1), ("able", 1L, 1), ("the", 3L, 2)))
   }
 
+  test("suggestCompletion: exact prefixes first, fuzzy band behind the guard, rank by distance/freq/term") {
+    val vocab = Seq(("spark", 5L), ("spot", 3L), ("scan", 9L), ("small", 9L),
+      ("apple", 2L), ("sp", 1L)).toDF("term", "freq")
+    // fuzziness 0: pure prefix, ranked freq desc then term
+    val exact = Fuzzy.suggestCompletion(vocab, "sp", size = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(exact === Seq(("spark", 5L, 0L), ("spot", 3L, 0L), ("sp", 1L, 0L)))
+    // fuzziness 1 with the default first-char guard: one-edit 2-prefixes
+    // join at distance 1 (scan/small tie on freq → term asc); apple's
+    // guard char differs and never matches
+    val fuzzy = Fuzzy.suggestCompletion(vocab, "sp", size = 10, fuzziness = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(fuzzy === Seq(("spark", 5L, 0L), ("spot", 3L, 0L), ("sp", 1L, 0L),
+      ("scan", 9L, 1L), ("small", 9L, 1L)))
+    // a longer guard shuts the fuzzy band
+    val guarded = Fuzzy.suggestCompletion(vocab, "sp", size = 10,
+      fuzziness = 1, prefixLength = 2).as[(String, Long, Long)].collect().toSeq
+    assert(guarded.map(_._1) === Seq("spark", "spot", "sp"))
+    intercept[IllegalArgumentException](Fuzzy.suggestCompletion(vocab, ""))
+    intercept[IllegalArgumentException](
+      Fuzzy.suggestCompletion(vocab, "sp", fuzziness = 3))
+  }
+
   test("suggestPhrase corrects via the bigram LM where term ranking alone would not") {
     // 'grep log' is the dominant bigram; 'grap' alone ranks 'grab' (freq 3)
     // above 'grep' (freq 2) at equal distance 1 — the LM flips it because

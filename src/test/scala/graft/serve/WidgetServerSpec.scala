@@ -476,6 +476,64 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /search cross_fields mode, /mlt, and /complete serve wire ≡ engine") {
+    import org.apache.spark.sql.functions._
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val analyzed = concat(lit(" "),
+        graft.expr.TextMatch.normalized(col("text")), lit(" "))
+
+      // cross_fields with tie_breaker on the multi-field path
+      val (c1, b1) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "src1 spark", "fields": ["text", "source"],
+          | "mode": "cross_fields", "tie_breaker": 0.3, "size": 5}""".stripMargin)
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(
+        graft.query.Bm25.crossFieldsTopK(docs, "doc_id",
+          Seq("text" -> 1.0, "source" -> 1.0), "src1 spark", 5,
+          tieBreaker = 0.3)))
+      // tie_breaker without cross_fields is a client fault
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "a", "fields": ["text"], "tie_breaker": 0.3}""")._1 === 400)
+
+      // /mlt scored: like-text top-k ≡ engine-direct
+      val like = "dup vector scan dup fast vector fast"
+      val p = graft.query.MoreLikeThis.MltParams(maxQueryTerms = 3,
+        minTermFreq = 2, minDocFreq = 2, minimumShouldMatch = "50%")
+      val (c2, b2) = post(s"http://127.0.0.1:$port/mlt",
+        s"""{"like": "$like", "max_query_terms": 3, "min_term_freq": 2,
+           | "min_doc_freq": 2, "minimum_should_match": "50%", "size": 5}""".stripMargin)
+      assert(c2 === 200)
+      assert(b2 === WidgetServer.collectRowsJson(
+        graft.query.MoreLikeThis.likeTextTopK(docs, "doc_id", analyzed,
+          like, k = 5, p)))
+      // /mlt filter-context: the match set with matched counts
+      val (c3, b3) = post(s"http://127.0.0.1:$port/mlt",
+        s"""{"like": "$like", "max_query_terms": 3, "min_term_freq": 2,
+           | "min_doc_freq": 2, "minimum_should_match": "50%",
+           | "scored": false, "size": 7}""".stripMargin)
+      assert(c3 === 200)
+      assert(b3 === WidgetServer.collectRowsJson(
+        graft.query.MoreLikeThis.likeTextMatchSet(docs, "doc_id", analyzed,
+          like, p).orderBy("doc_id").limit(7)))
+      assert(post(s"http://127.0.0.1:$port/mlt", """{"size": 3}""")._1 === 400)
+
+      // /complete: fuzzy completion ≡ engine-direct
+      val (c4, b4) = post(s"http://127.0.0.1:$port/complete",
+        """{"prefix": "sp", "size": 4, "fuzziness": 1}""")
+      assert(c4 === 200)
+      assert(b4 === WidgetServer.collectRowsJson(
+        graft.query.Fuzzy.suggestCompletion(
+          graft.query.Fuzzy.vocabularyWithFreq(docs, col("text")),
+          "sp", size = 4, fuzziness = 1, prefixLength = 1)))
+      assert(post(s"http://127.0.0.1:$port/complete", """{"size": 2}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/complete",
+        """{"prefix": "sp", "fuzziness": 9}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("POST /fuse serves rrf and linear hybrid retrieval, with optional MMR") {
     import org.apache.spark.sql.functions._
     val server = SparkEntry.serveHttp(spark, sfDir)
