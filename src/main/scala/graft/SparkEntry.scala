@@ -7606,6 +7606,36 @@ object SparkEntry {
         t => load(dir, t), params = Map("lang" -> "en", "minc" -> 200L))
     }),
 
+    "esql_params_field" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ??name field-name parameters (8.15+): the scanner splices a plain
+      // identifier token, so the parsed program is indistinguishable from
+      // one with the column inline — the WHERE pushes down and the BY key
+      // takes the REAL column name (which is why the oracle can GROUP BY
+      // it). Value params (?min) ride alongside.
+      query.Esql.run(
+        """FROM lineitem | WHERE ??qty > ?min
+          | STATS n = COUNT(*) BY ??flag | SORT ??flag""",
+        t => load(dir, t),
+        params = Map("qty" -> "l_quantity", "min" -> 45L, "flag" -> "l_returnflag"))
+    }),
+
+    "esql_dissect_append" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The dissect modifier set on a worked line: %{first->} right-pads
+      // (the double space between name and key absorbs into ONE
+      // separator — without the modifier the second piece would capture
+      // the empty string between the spaces), %{+first} appends under
+      // APPEND_SEPARATOR, %{?skip}-style skips stay non-capturing.
+      query.Esql.run(
+        """FROM nation
+          | EVAL line = CONCAT(n_name, "  ", TO_STRING(n_nationkey), " ", n_name)
+          | DISSECT line "%{first->} %{num} %{+first}" APPEND_SEPARATOR="_"
+          | KEEP n_nationkey, first, num
+          | SORT n_nationkey""",
+        t => load(dir, t))
+    }),
+
     "ann_maxsim" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // Late-interaction (ColBERT) MaxSim: per-token vectors derived by
@@ -13297,6 +13327,26 @@ object SparkEntry {
       """SELECT count(*) AS n, max(n_chars) AS mx, source FROM documents
         |WHERE lang = 'en' AND n_chars >= 200
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "esql_params_field" ->
+      """SELECT count(*) AS n, l_returnflag FROM lineitem
+        |WHERE l_quantity > 45
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the dissect modifiers restated: the same anchored RE2 (lazy groups,
+    // repeated-separator padding), append joined with the separator
+    "esql_dissect_append" -> {
+      val rx = "'^(.*?)(?: )+(.*?) (.*)$'"
+      s"""WITH d AS (
+         |  SELECT n_nationkey,
+         |    n_name || '  ' || CAST(n_nationkey AS VARCHAR) || ' ' || n_name AS line
+         |  FROM nation
+         |)
+         |SELECT n_nationkey,
+         |  regexp_extract(line, $rx, 1) || '_' || regexp_extract(line, $rx, 3) AS first,
+         |  regexp_extract(line, $rx, 2) AS num
+         |FROM d ORDER BY n_nationkey""".stripMargin
+    },
 
     "ann_maxsim" -> {
       def tokSum(qt: Seq[Double]): String = {

@@ -179,19 +179,35 @@ object Esql {
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == '@' || q(i) == '.')) i += 1
         out += Tok(IdentK, q.substring(start, i), start, i)
       } else if (c == '?') {
-        // named query parameters (ES's POST /_query `params`): `?name`.
-        // `??name` is ES's FIELD-name parameter — an identifier splice
-        // this pre-analysis compiler cannot type; loud seam. A bare `?`
+        // named query parameters (ES's POST /_query `params`): `?name`
+        // binds a typed VALUE at compile; `??name` (8.15+) is ES's
+        // FIELD-name parameter — resolved RIGHT HERE in the scanner to a
+        // plain identifier token, so the parsed program is
+        // indistinguishable from one with the identifier inline (typing,
+        // pushdown, KEEP/DROP matching all just work). A bare `?`
         // (positional) names the fix.
-        require(!(i + 1 < q.length && q(i + 1) == '?'),
-          s"esql: ??field-name parameters are not supported (identifiers must be in the query text) at $i")
         val start = i
-        i += 1
+        val isIdent = i + 1 < q.length && q(i + 1) == '?'
+        i += (if (isIdent) 2 else 1)
         val sb = new StringBuilder
         while (i < q.length && (q(i).isLetterOrDigit || q(i) == '_')) { sb += q(i); i += 1 }
         require(sb.nonEmpty,
           s"esql: positional '?' parameters are not supported — use named ?name at $start")
-        out += Tok(ParamK, sb.result(), start, i)
+        if (isIdent) {
+          val name = sb.result()
+          val ps = paramsOpt.value
+          val v = ps.getOrElse(name, throw new IllegalArgumentException(
+            s"esql: unbound ??$name — the request carries " +
+              (if (ps.isEmpty) "no params" else s"params ${ps.keys.toSeq.sorted.mkString(", ")}")))
+          val ident = v match {
+            case s: String => s
+            case other => throw new IllegalArgumentException(
+              s"esql: ??$name must bind a field-name string, got ${other.getClass.getSimpleName}")
+          }
+          require(ident.matches("[A-Za-z_@][A-Za-z0-9_.@]*"),
+            s"esql: ??$name binds '$ident', which is not a field name")
+          out += Tok(IdentK, ident, start, i)
+        } else out += Tok(ParamK, sb.result(), start, i)
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Puncts2.contains(two)) { out += Tok(PunctK, two, i, i + 2); i += 2 }
@@ -252,7 +268,8 @@ object Esql {
   private[query] final case class DropCmd(patterns: Seq[String]) extends Cmd
   private[query] final case class Rename(pairs: Seq[(String, String)]) extends Cmd
   private[query] final case class MvExpand(col: String) extends Cmd
-  private[query] final case class Dissect(input: String, pattern: String) extends Cmd
+  private[query] final case class Dissect(input: String, pattern: String,
+      appendSep: String = "") extends Cmd
   private[query] final case class Grok(input: String, pattern: String) extends Cmd
   private[query] final case class Enrich(policy: String, on: String, withCols: Seq[(String, String)]) extends Cmd
   private[query] final case class LookupJoin(index: String, on: Seq[String]) extends Cmd
@@ -376,7 +393,14 @@ object Esql {
         val in = identName()
         val p = advance()
         require(p.kind == StrK, "esql: DISSECT takes a quoted pattern")
-        Dissect(in, p.text)
+        // ES|QL's one DISSECT option: APPEND_SEPARATOR="sep" joins the
+        // pieces of %{+key} appends (default: empty string)
+        if (peekIs("APPEND_SEPARATOR")) {
+          advance(); expect("=")
+          val sep = advance()
+          require(sep.kind == StrK, "esql: APPEND_SEPARATOR takes a quoted string")
+          Dissect(in, p.text, sep.text)
+        } else Dissect(in, p.text)
       }
       else if (t.isKw("GROK")) {
         val in = identName()
@@ -1862,29 +1886,71 @@ object Esql {
     }
   }
 
-  /** DISSECT pattern → (anchored regex, key names in order). Literal
-    * separators are regex-quoted; every `%{key}` is a lazy group except the
-    * last, which runs greedy to the end; `%{}` skips (non-capturing).
+  /** One captured `%{…}` of a DISSECT pattern: `name` is empty for skips
+    * (`%{}` and dissect's named skip `%{?name}`); `append` marks `%{+name}`
+    * pieces, which concatenate in pattern order under APPEND_SEPARATOR.
     */
-  private[query] def dissectRegex(pattern: String): (String, Seq[String]) = {
+  private[query] final case class DissectKey(name: String, append: Boolean)
+
+  /** DISSECT pattern → (anchored regex, captured keys in order). The full
+    * dissect modifier set except reference keys: literal separators are
+    * regex-quoted; every `%{key}` is a lazy group except the last, which
+    * runs greedy to the end; `%{}` and `%{?name}` skip (non-capturing);
+    * `%{+key}` appends (all pieces capture, the compile concatenates);
+    * `%{key->}` right-pads — the separator that FOLLOWS it may repeat
+    * (dissect's padding rule: `(?:sep)+`). Stated subset, each rejecting
+    * loudly: `%{+key/n}` explicit append order (pieces join in pattern
+    * order here — reordering is a silent-wrong-answer risk) and the
+    * `%{*key}`/`%{&key}` reference pair (keys named by the DATA change
+    * the output schema row-dependently — not a relational shape).
+    * Repeating a plain key is the dissect parse error it is in ES.
+    */
+  private[query] def dissectRegex(pattern: String): (String, Seq[DissectKey]) = {
     val keyRx = "%\\{([^}]*)\\}".r
-    val keys = Seq.newBuilder[String]
+    val keys = Seq.newBuilder[DissectKey]
+    val plain = scala.collection.mutable.Set[String]()
     val sb = new StringBuilder("^")
     var last = 0
     val ms = keyRx.findAllMatchIn(pattern).toVector
     require(ms.nonEmpty, s"esql: DISSECT pattern has no %{key}: <$pattern>")
+    var padNext = false
     ms.zipWithIndex.foreach { case (m, idx) =>
-      sb ++= java.util.regex.Pattern.quote(pattern.substring(last, m.start))
-      val key = m.group(1).stripSuffix("->")
+      val lit = pattern.substring(last, m.start)
+      if (lit.nonEmpty) {
+        val quoted = java.util.regex.Pattern.quote(lit)
+        sb ++= (if (padNext) s"(?:$quoted)+" else quoted)
+      }
+      padNext = false
+      var key = m.group(1)
+      if (key.endsWith("->")) { padNext = true; key = key.dropRight(2) }
+      require(!key.contains("/"),
+        s"esql: DISSECT append order %{+key/n} is not supported — pieces " +
+          "join in pattern order (reordering is a stated seam)")
+      require(!key.startsWith("*") && !key.startsWith("&"),
+        s"esql: DISSECT reference keys %{*key}/%{&key} are not supported — " +
+          "data-named output columns are not a relational shape")
       val lastKey = idx == ms.length - 1
-      if (key.isEmpty) sb ++= (if (lastKey) "(?:.*)" else "(?:.*?)")
+      val skip = key.isEmpty || key.startsWith("?")
+      if (skip) sb ++= (if (lastKey) "(?:.*)" else "(?:.*?)")
       else {
-        keys += key
+        val append = key.startsWith("+")
+        val name = if (append) key.substring(1) else key
+        require(name.nonEmpty, s"esql: DISSECT modifier without a key in <$pattern>")
+        if (!append) {
+          require(!plain.contains(name),
+            s"esql: DISSECT repeats key '$name' — use %{+$name} to append")
+          plain += name
+        }
+        keys += DissectKey(name, append)
         sb ++= (if (lastKey) "(.*)" else "(.*?)")
       }
       last = m.end
     }
-    sb ++= java.util.regex.Pattern.quote(pattern.substring(last))
+    val tailLit = pattern.substring(last)
+    if (tailLit.nonEmpty) {
+      val quoted = java.util.regex.Pattern.quote(tailLit)
+      sb ++= (if (padNext) s"(?:$quoted)+" else quoted)
+    }
     sb += '$'
     (sb.result(), keys.result())
   }
@@ -2497,11 +2563,22 @@ object Esql {
       val others = df.columns.filterNot(_ == c).map(qcol)
       df.select((others :+ explode_outer(qcol(c)).as(c)).toSeq: _*)
         .select(df.columns.map(qcol).toSeq: _*) // original column order
-    case Dissect(input, pattern) =>
+    case Dissect(input, pattern, appendSep) =>
       val (rx, keys) = dissectRegex(pattern)
       val matched = col(input).rlike(rx)
-      keys.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
-        d.withColumn(k, when(matched, regexp_extract(col(input), rx, i + 1)))
+      // group indices per output column, in pattern order; appends
+      // concatenate their pieces under APPEND_SEPARATOR (a no-match row
+      // nulls every output, appends included)
+      val byName = keys.zipWithIndex.groupBy(_._1.name)
+      keys.map(_.name).distinct.foldLeft(df) { (d, name) =>
+        val pieces = byName(name).map { case (_, i) =>
+          regexp_extract(col(input), rx, i + 1)
+        }
+        val value =
+          if (pieces.size == 1) pieces.head
+          else if (appendSep.isEmpty) concat(pieces: _*)
+          else pieces.reduce((a, b) => concat(a, lit(appendSep), b))
+        d.withColumn(name, when(matched, value))
       }
     case Grok(input, pattern) =>
       val (rx, keys) = grokRegex(pattern)

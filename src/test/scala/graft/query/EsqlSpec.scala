@@ -302,6 +302,47 @@ class EsqlSpec extends SparkSpecBase {
     assert(skip(1).getString(0) == "7")
   }
 
+  test("DISSECT modifiers: right-pad absorbs repeated separators, append joins, named skip") {
+    val logs = Seq("alpha   42 ok", "beta 7 err").toDF("line")
+    // without -> the run of spaces breaks extraction (the middle piece
+    // captures the empty string between spaces); with it the separator
+    // repeats — the modifier's teeth
+    val padded = Esql.run(
+      """FROM t | DISSECT line "%{name->} %{n} %{status}" | KEEP name, n, status""",
+      resolve(Map("t" -> logs))).collect()
+    assert(padded(0).getString(0) == "alpha" && padded(0).getString(1) == "42"
+      && padded(0).getString(2) == "ok")
+    assert(padded(1).getString(0) == "beta" && padded(1).getString(1) == "7")
+    val unpadded = Esql.run(
+      """FROM t | DISSECT line "%{name} %{n} %{status}" | KEEP name, n, status""",
+      resolve(Map("t" -> logs))).collect()
+    assert(unpadded(0).getString(1) == "", "no pad: empty capture between the spaces")
+    // append: pieces join in pattern order, default separator empty,
+    // APPEND_SEPARATOR between them when given; %{?skip} captures nothing
+    val appended = Esql.run(
+      """FROM t | DISSECT line "%{+word->} %{?mid} %{+word}" | KEEP word""",
+      resolve(Map("t" -> logs))).collect()
+    assert(appended(0).getString(0) == "alphaok")
+    val sep = Esql.run(
+      """FROM t | DISSECT line "%{+word->} %{?mid} %{+word}" APPEND_SEPARATOR="/" | KEEP word""",
+      resolve(Map("t" -> logs))).collect()
+    assert(sep(0).getString(0) == "alpha/ok" && sep(1).getString(0) == "beta/err")
+    // plain-then-append is dissect's canonical append shape
+    val mixed = Esql.run(
+      """FROM t | DISSECT line "%{w->} %{n} %{+w}" APPEND_SEPARATOR="_" | KEEP w, n""",
+      resolve(Map("t" -> logs))).collect()
+    assert(mixed(0).getString(0) == "alpha_ok" && mixed(0).getString(1) == "42")
+    // stated seams reject loudly; repeating a PLAIN key is the dissect error
+    def err(q: String) = intercept[IllegalArgumentException](
+      Esql.run(q, resolve(Map("t" -> logs))).collect()).getMessage
+    assert(err("""FROM t | DISSECT line "%{+a/2} %{+a/1}"""").contains("append order"))
+    assert(err("""FROM t | DISSECT line "%{*k} %{&k}"""").contains("reference keys"))
+    assert(err("""FROM t | DISSECT line "%{a} %{a}"""").contains("repeats key"))
+    assert(intercept[IllegalArgumentException](
+      Esql.parse("""FROM t | DISSECT line "%{a}" APPEND_SEPARATOR=7"""))
+      .getMessage.contains("quoted string"))
+  }
+
   test("GROK extracts typed fields from named pattern subset") {
     val logs = Seq("GET /a 200 1.5", "POST /b 404 0.25").toDF("line")
     val out = Esql.run(
@@ -800,9 +841,22 @@ class EsqlSpec extends SparkSpecBase {
     assert(intercept[IllegalArgumentException](
       Esql.parse("FROM t | WHERE lang == ?"))
       .getMessage.contains("positional"))
+    // ??name (field-name params, 8.15+): the scanner splices a plain
+    // identifier token, so typing/pushdown/KEEP all see the real column
+    val spliced = Esql.run("FROM t | WHERE ??f == ?v | KEEP id | SORT id",
+      resolve(Map("t" -> people)), params = Map("f" -> "id", "v" -> 5L))
+    assert(spliced.collect().map(_.getLong(0)).toSeq == Seq(5L))
     assert(intercept[IllegalArgumentException](
       Esql.parse("FROM t | WHERE ??f == 1"))
-      .getMessage.contains("field-name"))
+      .getMessage.contains("unbound ??f"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | WHERE ??f == 1", resolve(Map("t" -> people)),
+        params = Map("f" -> 7)))
+      .getMessage.contains("field-name string"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM t | WHERE ??f == 1", resolve(Map("t" -> people)),
+        params = Map("f" -> "id == 1 OR name")))
+      .getMessage.contains("not a field name"))
     assert(intercept[IllegalArgumentException](
       Esql.run("ROW x = ?a", resolve(Map.empty), params = Map("a" -> Seq(1))))
       .getMessage.contains("unsupported type"))
