@@ -923,6 +923,16 @@ object SparkEntry {
               .select("pick", "cand_id", "rel", "mmr")
           } else fused.orderBy(desc("fused_score"), asc("doc_id")))
       },
+      "/retriever" -> { body =>
+        // The ES 9.x search API's `retriever` tree — the recursive
+        // request shape whose flat /search, /knn, /fuse forms are
+        // special cases. The body IS the retriever JSON
+        // ({"retriever": {...}} or the bare node); responses cap at the
+        // tree's own rank_window_size (every node bounds its output).
+        WidgetServer.collectRowsJson(
+          query.Retriever.compile(load(dir, "documents"),
+            load(dir, "embeddings"), body))
+      },
       "/percolate" -> { body =>
         // The alerting endpoint: {"queries": {"alert_id": "<query_string
         // text>", ...}} percolated against the documents corpus — one
@@ -6081,6 +6091,46 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       query.Hybrid.rrf(Seq(bmRun, vecRun), "doc_id", "rank", rrfK = 60, topK = 20)
         .orderBy(desc("rrf_score"), asc("doc_id"))
+    }),
+
+    "q_retriever_rrf" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // The ES 9.x `retriever` TREE compiled recursively: an rrf node
+      // fusing a standard (BM25) leaf with a knn (exact cosine) leaf —
+      // the modern request shape whose flat routes are special cases.
+      // Every stage is the proven tier underneath; the tree adds only
+      // the JSON recursion, so the whole pipeline hash-matches.
+      val vec = knnQueryVec.mkString("[", ", ", "]")
+      query.Retriever.compile(load(dir, "documents"), load(dir, "embeddings"),
+        s"""{"retriever": {"rrf": {"retrievers": [
+           |  {"standard": {"query": "spark merge join window", "rank_window_size": 50}},
+           |  {"knn": {"field": "embedding", "query_vector": $vec, "k": 50}}
+           |], "rank_constant": 60, "rank_window_size": 20}}}""".stripMargin)
+        .select("doc_id", "rank", "score")
+        .orderBy("rank")
+    }),
+
+    "q_retriever_linear_nested" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // NESTED recursion — linear fusion whose second child is ITSELF an
+      // rrf subtree: linear consumes its children's SCORES (min-max
+      // normalized over each child's own window), the inner rrf consumes
+      // ITS children's RANKS. The shape ES serves as retriever-in-
+      // retriever; teeth: the rrf child's score magnitudes (~1/60) only
+      // matter AFTER its min-max normalization.
+      val vec = knnQueryVec.mkString("[", ", ", "]")
+      query.Retriever.compile(load(dir, "documents"), load(dir, "embeddings"),
+        s"""{"retriever": {"linear": {"retrievers": [
+           |  {"retriever": {"standard": {"query": "dup vector scan", "rank_window_size": 30}},
+           |   "weight": 0.7, "normalizer": "minmax"},
+           |  {"retriever": {"rrf": {"retrievers": [
+           |      {"standard": {"query": "spark merge join window", "rank_window_size": 50}},
+           |      {"knn": {"field": "embedding", "query_vector": $vec, "k": 50}}
+           |    ], "rank_window_size": 25}},
+           |   "weight": 0.3, "normalizer": "minmax"}
+           |], "rank_window_size": 15}}}""".stripMargin)
+        .select("doc_id", "rank", "score")
+        .orderBy("rank")
     }),
 
     "q_min_should_match" -> ((s, dir) => {
@@ -11539,6 +11589,97 @@ object SparkEntry {
          |SELECT doc_id, coalesce(c0.c, 0.0) + coalesce(c1.c, 0.0) AS rrf_score
          |FROM c0 FULL OUTER JOIN c1 USING (doc_id)
          |ORDER BY rrf_score DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+
+    // the retriever tree's rrf restated: the standard leaf is the proven
+    // BM25 CTE, the knn leaf the op-for-op cosine against the dyadic
+    // literal vector, rrf the two-term reciprocal sum
+    "q_retriever_rrf" -> {
+      val bm = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 50)
+      val qLit = s"CAST(${knnQueryVec.mkString("[", ", ", "]")} AS DOUBLE[])"
+      s"""WITH bm AS (
+         |$bm
+         |), bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM bm
+         |), e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), kn AS (
+         |  SELECT vec_id AS doc_id,
+         |    list_inner_product(v, $qLit)
+         |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($qLit, $qLit))) AS score
+         |  FROM e
+         |), knr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |    FROM kn
+         |  ) WHERE rank <= 50
+         |), c0 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM bmr),
+         |c1 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM knr),
+         |f AS (
+         |  SELECT doc_id, coalesce(c0.c, 0.0) + coalesce(c1.c, 0.0) AS score
+         |  FROM c0 FULL OUTER JOIN c1 USING (doc_id)
+         |  ORDER BY score DESC, doc_id ASC LIMIT 20
+         |)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank, score
+         |FROM f ORDER BY rank""".stripMargin
+    },
+
+    // the nested tree: linear's min-max windows over (a) the BM25 leaf
+    // and (b) the WHOLE rrf subtree above — recursion as CTE composition
+    "q_retriever_linear_nested" -> {
+      val bm1 = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "dup vector scan", 30)
+      val bm2 = graft.query.Bm25.oracleSql(
+        "documents", "doc_id", "text", "spark merge join window", 50)
+      val qLit = s"CAST(${knnQueryVec.mkString("[", ", ", "]")} AS DOUBLE[])"
+      s"""WITH s1 AS (
+         |$bm1
+         |), bm2 AS (
+         |$bm2
+         |), bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM bm2
+         |), e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), kn AS (
+         |  SELECT vec_id AS doc_id,
+         |    list_inner_product(v, $qLit)
+         |      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product($qLit, $qLit))) AS score
+         |  FROM e
+         |), knr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |    FROM kn
+         |  ) WHERE rank <= 50
+         |), c0 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM bmr),
+         |c1 AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM knr),
+         |s2 AS (
+         |  SELECT doc_id, coalesce(c0.c, 0.0) + coalesce(c1.c, 0.0) AS score
+         |  FROM c0 FULL OUTER JOIN c1 USING (doc_id)
+         |  ORDER BY score DESC, doc_id ASC LIMIT 25
+         |), st1 AS (SELECT min(score) AS mn, max(score) AS mx FROM s1),
+         |st2 AS (SELECT min(score) AS mn, max(score) AS mx FROM s2),
+         |n0 AS (
+         |  SELECT doc_id,
+         |    0.7 * CASE WHEN st1.mx = st1.mn THEN 1.0
+         |               ELSE (s1.score - st1.mn) / (st1.mx - st1.mn) END AS c
+         |  FROM s1, st1
+         |), n1 AS (
+         |  SELECT doc_id,
+         |    0.3 * CASE WHEN st2.mx = st2.mn THEN 1.0
+         |               ELSE (s2.score - st2.mn) / (st2.mx - st2.mn) END AS c
+         |  FROM s2, st2
+         |), f AS (
+         |  SELECT doc_id, coalesce(n0.c, 0.0) + coalesce(n1.c, 0.0) AS score
+         |  FROM n0 FULL OUTER JOIN n1 USING (doc_id)
+         |  ORDER BY score DESC, doc_id ASC LIMIT 15
+         |)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank, score
+         |FROM f ORDER BY rank""".stripMargin
     },
 
     // FIM restated: the same seeded unit hashes decide the gate and the

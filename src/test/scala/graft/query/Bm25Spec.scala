@@ -168,6 +168,23 @@ class Bm25Spec extends graft.SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("crossFields plan: one broadcast stats pass, top-k, no shuffle join, no window") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val two = Seq((1L, "spark spark join", "alpha"), (2L, "join scan", "spark beta"))
+        .toDF("doc_id", "text", "title")
+      val plan = Bm25.crossFieldsTopK(two, "doc_id",
+          Seq("text" -> 1.0, "title" -> 1.0), "spark alpha", k = 1)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"stats not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"shuffle join crept in:\n$plan")
+      assert(!plan.contains("Window"), s"unpartitioned window crept in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("multiMatch: per-field stats, best takes the max, most the sum") {
     val two = Seq(
       (1L, "spark spark", "alpha"), // strong in text only

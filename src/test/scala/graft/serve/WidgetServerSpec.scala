@@ -534,6 +534,29 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /retriever compiles the ES retriever tree on the wire") {
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val tree =
+        """{"retriever": {"rrf": {"retrievers": [
+          |  {"standard": {"query": "dup vector", "rank_window_size": 15}},
+          |  {"standard": {"query": "spark merge", "rank_window_size": 15}}
+          |], "rank_window_size": 8}}}""".stripMargin
+      val (c1, b1) = post(s"http://127.0.0.1:$port/retriever", tree)
+      assert(c1 === 200)
+      assert(b1 === WidgetServer.collectRowsJson(
+        graft.query.Retriever.compile(docs, emb, tree)))
+      // the inference seam is a client fault on the wire
+      assert(post(s"http://127.0.0.1:$port/retriever",
+        """{"retriever": {"text_similarity_reranker": {}}}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/retriever",
+        """{"retriever": {"frobnicate": {}}}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("POST /fuse serves rrf and linear hybrid retrieval, with optional MMR") {
     import org.apache.spark.sql.functions._
     val server = SparkEntry.serveHttp(spark, sfDir)
