@@ -795,6 +795,16 @@ class WidgetServerSpec extends SparkSpecBase {
       val (cp4, bp4) = post(s"http://127.0.0.1:$port/esql",
         s"""{"query": "${pq.replace("\"", "\\\"")}"}""")
       assert(cp4 === 400 && bp4.contains("unbound parameter"))
+      // ??field identifier params splice in the scanner — same wire map
+      val iq = "FROM documents | STATS n = COUNT(*) BY ??g | SORT ??g | LIMIT 3"
+      val (cp5, bp5) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${iq.replace("\"", "\\\"")}", "params": [{"g": "lang"}]}""")
+      assert(cp5 === 200)
+      assert(bp5 === WidgetServer.collectRowsJson(
+        graft.query.Esql.run(iq, resolve, params = Map("g" -> "lang"))))
+      val (cp6, bp6) = post(s"http://127.0.0.1:$port/esql",
+        s"""{"query": "${iq.replace("\"", "\\\"")}", "params": [{"g": "lang; DROP"}]}""")
+      assert(cp6 === 400 && bp6.contains("not a field name"))
 
       // 400 pins: missing query, parse error, unknown index, NOW()
       assert(post(s"http://127.0.0.1:$port/esql", "{}")._1 === 400)
