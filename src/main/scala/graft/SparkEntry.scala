@@ -577,6 +577,8 @@ object SparkEntry {
         val qText = o.path("q").asText("")
         require(qText.nonEmpty, "search: missing q")
         val size = o.path("size").asInt(10)
+        require(size >= 1 && size <= 1000,
+          s"search: size must be 1..1000 (the page budget — deep result sets page with search_after), got $size")
         val docs0 = load(dir, "documents")
         // Kibana's own language toggle: the search bar sends KQL by
         // default since 7.0 and Lucene query_string behind the switch —
@@ -696,6 +698,9 @@ object SparkEntry {
         val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
         val like = o.path("like").asText("")
         require(like.nonEmpty, "mlt: missing like")
+        val mltSize = o.path("size").asInt(10)
+        require(mltSize >= 1 && mltSize <= 1000,
+          s"mlt: size must be 1..1000 (the page budget), got $mltSize")
         val p = graft.query.MoreLikeThis.MltParams(
           maxQueryTerms = o.path("max_query_terms").asInt(25),
           minTermFreq = o.path("min_term_freq").asInt(2),
@@ -710,11 +715,11 @@ object SparkEntry {
         WidgetServer.collectRowsJson(
           if (o.path("scored").asBoolean(true))
             graft.query.MoreLikeThis.likeTextTopK(docs, "doc_id", analyzed,
-              like, k = o.path("size").asInt(10), p)
+              like, k = mltSize, p)
           else
             graft.query.MoreLikeThis.likeTextMatchSet(docs, "doc_id", analyzed,
                 like, p)
-              .orderBy("doc_id").limit(o.path("size").asInt(100)))
+              .orderBy("doc_id").limit(mltSize))
       },
       "/complete" -> { body =>
         // ES completion suggester: {"prefix": "sp", "size": N,
@@ -723,6 +728,8 @@ object SparkEntry {
         val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
         val prefix = o.path("prefix").asText("")
         require(prefix.nonEmpty, "complete: missing prefix")
+        require(o.path("size").asInt(5) >= 1 && o.path("size").asInt(5) <= 1000,
+          "complete: size must be 1..1000")
         WidgetServer.collectRowsJson(graft.query.Fuzzy.suggestCompletion(
           graft.query.Fuzzy.vocabularyWithFreq(load(dir, "documents"), col("text")),
           prefix, size = o.path("size").asInt(5),
@@ -7670,6 +7677,22 @@ object SparkEntry {
         params = Map("qty" -> "l_quantity", "min" -> 45L, "flag" -> "l_returnflag"))
     }),
 
+    "esql_rerank" -> ((s, dir) => {
+      implicit val spark: SparkSession = s
+      // ES|QL RERANK with a REGISTERED deterministic scorer in the
+      // inference_id slot (model endpoints stay the loud seam):
+      // word-bigram Jaccard between the query text and each document —
+      // integer-exact intersection/union counts, one exact IEEE
+      // division, so the score hash-matches.
+      query.Esql.run(
+        """FROM documents
+          | RERANK j = "dup vector scan merge" ON text WITH {"inference_id": "ngram-jaccard"}
+          | KEEP doc_id, j
+          | SORT j DESC, doc_id
+          | LIMIT 15""",
+        t => load(dir, t))
+    }),
+
     "esql_dissect_append" -> ((s, dir) => {
       implicit val spark: SparkSession = s
       // The dissect modifier set on a worked line: %{first->} right-pads
@@ -13476,6 +13499,27 @@ object SparkEntry {
 
     // the dissect modifiers restated: the same anchored RE2 (lazy groups,
     // repeated-separator padding), append joined with the separator
+    // RERANK ngram-jaccard restated: the same distinct bigram sets, the
+    // same integer intersect/union counts, one exact division
+    "esql_rerank" -> {
+      val qSh = Seq("dup vector", "vector scan", "scan merge")
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i + 1]))
+         |    ELSE []::VARCHAR[] END AS sh
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  len(list_intersect(sh, $qSh))::DOUBLE
+         |    / len(list_distinct(list_concat(sh, $qSh)))::DOUBLE AS j
+         |FROM s ORDER BY j DESC, doc_id LIMIT 15""".stripMargin
+    },
+
     "esql_dissect_append" -> {
       val rx = "'^(.*?)(?: )+(.*?) (.*)$'"
       s"""WITH d AS (

@@ -270,6 +270,8 @@ object Esql {
   private[query] final case class MvExpand(col: String) extends Cmd
   private[query] final case class Dissect(input: String, pattern: String,
       appendSep: String = "") extends Cmd
+  private[query] final case class Rerank(target: Option[String], queryText: String,
+      field: String, opts: Seq[(String, Expr)]) extends Cmd
   private[query] final case class Grok(input: String, pattern: String) extends Cmd
   private[query] final case class Enrich(policy: String, on: String, withCols: Seq[(String, String)]) extends Cmd
   private[query] final case class LookupJoin(index: String, on: Seq[String]) extends Cmd
@@ -508,13 +510,33 @@ object Esql {
         val k = identName()
         ChangePointCmd(v, k)
       }
-      else if (t.isKw("RERANK") || t.isKw("COMPLETION")) {
-        // the inference commands need a deployed ml model endpoint —
-        // the engine's standing environment seam: loud, not stubbed
+      else if (t.isKw("RERANK")) {
+        // RERANK [name =] "query" ON field WITH {"inference_id": …} —
+        // ES|QL's reranking command (9.x), with the engine's REGISTERED
+        // DETERMINISTIC scorers standing in for inference endpoints
+        // (compile rejects real model ids loudly — the standing seam).
+        val target = peek match {
+          case Some(p) if p.kind == IdentK => val n = identName(); expect("="); Some(n)
+          case _ => None
+        }
+        val q = advance()
+        require(q.kind == StrK, "esql: RERANK takes a quoted query text")
+        expect("ON")
+        val field = identName()
+        expect("WITH")
+        val opts = expr() match {
+          case MapLit(entries) => entries
+          case _ => throw new IllegalArgumentException(
+            "esql: RERANK WITH takes a {\"inference_id\": …} options map")
+        }
+        Rerank(target, q.text, field, opts)
+      }
+      else if (t.isKw("COMPLETION")) {
+        // text GENERATION needs a deployed model endpoint — the
+        // engine's standing environment seam: loud, not stubbed
         throw new IllegalArgumentException(
-          s"esql: ${t.text.toUpperCase} calls an inference endpoint; this " +
-            "engine has no model deployment — score with EVAL/FUSE, or " +
-            "rerank outside the query (the Ltr/Hybrid tier)")
+          "esql: COMPLETION calls a generation endpoint; this engine has " +
+            "no model deployment — the seam stays loud")
       }
       else if (t.isKw("INLINESTATS")) statsCmd() match {
         case Stats(aggs, by) =>
@@ -2563,6 +2585,75 @@ object Esql {
       val others = df.columns.filterNot(_ == c).map(qcol)
       df.select((others :+ explode_outer(qcol(c)).as(c)).toSeq: _*)
         .select(df.columns.map(qcol).toSeq: _*) // original column order
+    case Rerank(target, queryText, field, opts) =>
+      // ES|QL RERANK with the engine's registered DETERMINISTIC scorers
+      // in the inference_id slot:
+      //   * "bm25": BM25 of the query against `field`, statistics over
+      //     the CURRENT frame (the rerank window — same contract as the
+      //     scored WHERE, frame-local by design);
+      //   * "ngram-jaccard": word-bigram Jaccard between the query text
+      //     and `field` — row-local, integer-exact counts.
+      // A real model id rejects loudly (the inference seam). Stated
+      // delta: ES re-sorts by the updated score internally; here the
+      // score WRITES and the ordering stays explicit (SORT follows) —
+      // rows and their order are preserved by the command itself.
+      val optMap = opts.toMap
+      require(opts.map(_._1).distinct.size == opts.size, "esql: duplicate RERANK option keys")
+      val unknownOpts = optMap.keySet -- Set("inference_id")
+      require(unknownOpts.isEmpty,
+        s"esql: unknown RERANK option(s) ${unknownOpts.toSeq.sorted.mkString(", ")} (inference_id)")
+      val scorerId = optMap.get("inference_id") match {
+        case Some(StrLit(v)) => v
+        case Some(other) => throw new IllegalArgumentException(
+          s"esql: RERANK inference_id must be a string literal, found <$other>")
+        case None => throw new IllegalArgumentException(
+          "esql: RERANK needs {\"inference_id\": …} — registered scorers: bm25, ngram-jaccard")
+      }
+      val targetCol = target.getOrElse {
+        require(df.columns.contains("_score"),
+          "esql: RERANK with no target column writes _score — declare METADATA " +
+            "_score or name one (RERANK s = \"query\" ON field …)")
+        "_score"
+      }
+      val analyzer = graft.expr.TextMatch.AsciiAnalyzer
+      scorerId match {
+        case "bm25" =>
+          val analyzed = concat(lit(" "), analyzer.normalized(col(field)), lit(" "))
+          val terms = Bm25.queryTerms(queryText, analyzer)
+          require(terms.nonEmpty, s"esql: RERANK query '$queryText' has no analyzable terms")
+          val reserved = ("_dl" +: "_n" +: "_sumdl" +:
+            terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))).toSet
+          val clash = df.columns.toSet.intersect(reserved)
+          require(clash.isEmpty,
+            s"esql: RERANK needs working columns ${clash.mkString(", ")} — rename them first")
+          val stats = Bm25.corpusStats(df, analyzed, terms)
+          val withCols = terms.zipWithIndex.foldLeft(
+            df.crossJoin(broadcast(stats)).withColumn("_dl", Bm25.docLength(analyzed))) {
+            case (d, (t, i)) => d.withColumn(s"_tf$i", graft.expr.TokenOccurrences(analyzed, t))
+          }
+          withCols
+            .withColumn(targetCol, Bm25.scoreColumn(terms.size, Bm25.DefaultK1, Bm25.DefaultB))
+            .drop(reserved.toSeq: _*)
+        case "ngram-jaccard" =>
+          val qToks = analyzer.analyze(queryText)
+          require(qToks.size >= 2,
+            "esql: RERANK ngram-jaccard needs a 2+-token query (bigram shingles)")
+          val qSh = qToks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+          val toks = filter(split(trim(analyzer.normalized(col(field))), " +"),
+            t => length(t) > 0)
+          val sh = when(size(toks) >= 2,
+            array_distinct(transform(sequence(lit(1), size(toks) - 1),
+              i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+            .otherwise(array().cast("array<string>"))
+          val qArr = array(qSh.map(lit): _*)
+          val inter = size(array_intersect(sh, qArr))
+          val uni = size(array_distinct(concat(sh, qArr)))
+          df.withColumn(targetCol, inter.cast("double") / uni.cast("double"))
+        case other => throw new IllegalArgumentException(
+          s"esql: RERANK inference_id '$other' is not a registered deterministic " +
+            "scorer (bm25, ngram-jaccard) — model endpoints are the standing " +
+            "inference seam, loud by design")
+      }
     case Dissect(input, pattern, appendSep) =>
       val (rx, keys) = dissectRegex(pattern)
       val matched = col(input).rlike(rx)

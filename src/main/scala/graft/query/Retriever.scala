@@ -91,7 +91,15 @@ object Retriever {
         val qv = array((0 until qvNode.size()).map(i => lit(qvNode.get(i).asDouble())): _*)
           .cast("array<double>")
         val v = col("embedding").cast("array<double>")
-        val run = emb
+        // ES knn filter: PRE-filter semantics — candidates prune BEFORE
+        // the k cut (the recall-preserving form, the /knn route's
+        // contract), query_string over the vector corpus's metadata
+        val base =
+          if (o.hasNonNull("filter"))
+            emb.where(QueryString.parse(o.path("filter").asText(),
+              defaultField = "label").compile)
+          else emb
+        val run = base
           .select(col("vec_id").as("doc_id"),
             graft.expr.VectorMath.cosine(v, qv).as("score"))
           .orderBy(desc("score"), asc("doc_id")).limit(k)

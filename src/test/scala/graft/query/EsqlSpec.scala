@@ -989,12 +989,62 @@ class EsqlSpec extends SparkSpecBase {
     assert(marked.map(_.getAs[Int]("k")).toSeq == Seq(5)) // first bucket of the new regime
     assert(marked.head.getAs[String]("type") == "step_change")
     assert(marked.head.getAs[Double]("pvalue") == 40.0) // the mean-shift magnitude
+    // RERANK now parses (WITH map required); COMPLETION stays the loud
+    // generation seam
     assert(intercept[IllegalArgumentException](
       Esql.parse("FROM t | RERANK \"q\" ON text"))
-      .getMessage.contains("inference endpoint"))
+      .getMessage.contains("query ends where a token is expected"))
     assert(intercept[IllegalArgumentException](
       Esql.parse("FROM t | COMPLETION p WITH m"))
-      .getMessage.contains("inference endpoint"))
+      .getMessage.contains("generation endpoint"))
+  }
+
+  test("RERANK: registered deterministic scorers; model ids stay the loud seam") {
+    val docs = Seq(
+      (1L, "dup vector scan merge"),   // bigram jaccard 1.0
+      (2L, "vector scan extra words"), // shares 'vector scan'
+      (3L, "scan vector"),             // reversed: shares NO bigram
+      (4L, "unrelated entirely here")
+    ).toDF("doc_id", "text")
+    val out = Esql.run(
+      """FROM t | RERANK j = "dup vector scan merge" ON text WITH {"inference_id": "ngram-jaccard"}
+        | KEEP doc_id, j | SORT j DESC, doc_id""",
+      resolve(Map("t" -> docs))).as[(Long, Double)].collect().toSeq
+    assert(out.head == ((1L, 1.0)))
+    // doc 2: sh = {vector scan, scan extra, extra words}; q = {dup vector,
+    // vector scan, scan merge} → inter 1, union 5
+    assert(out(1) == ((2L, 0.2)))
+    assert(out.map(_._1).drop(2).toSet == Set(3L, 4L))
+    assert(out.filter(r => r._1 == 3L || r._1 == 4L).forall(_._2 == 0.0))
+    // bm25 scorer ≡ scoredAll over the same frame (frame-local statistics)
+    val bm = Esql.run(
+      """FROM t | RERANK s = "vector scan" ON text WITH {"inference_id": "bm25"}
+        | KEEP doc_id, s | SORT doc_id""",
+      resolve(Map("t" -> docs))).as[(Long, Double)].collect().toMap
+    val analyzed = concat(lit(" "), graft.expr.TextMatch.normalized(col("text")), lit(" "))
+    val direct = Bm25.scoredAll(docs, "doc_id", analyzed, "vector scan")
+      .as[(Long, Double)].collect().toMap
+    direct.foreach { case (id, s) => assert(math.abs(bm(id) - s) < 1e-12, s"doc $id") }
+    assert(bm(4L) == 0.0, "non-matching rows keep score 0 — rows preserved")
+    // no target and no METADATA _score → loud; with METADATA it writes _score
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | RERANK "a b" ON text WITH {"inference_id": "bm25"} | KEEP doc_id""",
+        resolve(Map("t" -> docs))).collect())
+      .getMessage.contains("METADATA"))
+    val viaScore = Esql.run(
+      """FROM t METADATA _score | RERANK "vector scan" ON text WITH {"inference_id": "bm25"}
+        | KEEP doc_id, _score | SORT doc_id""",
+      resolve(Map("t" -> docs))).as[(Long, Double)].collect().toMap
+    assert(viaScore == bm.map { case (k, v) => k -> v })
+    // model endpoints stay loud; unknown options too
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | RERANK s = "a b" ON text WITH {"inference_id": ".rerank-v1"} | KEEP s""",
+        resolve(Map("t" -> docs))).collect())
+      .getMessage.contains("inference seam"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | RERANK s = "a b" ON text WITH {"inference_id": "bm25", "top_n": 3} | KEEP s""",
+        resolve(Map("t" -> docs))).collect())
+      .getMessage.contains("unknown RERANK option"))
   }
 
   // ----- BUCKET / spans -----

@@ -56,6 +56,25 @@ class RetrieverSpec extends SparkSpecBase {
     assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length).toSeq, "gapless ranks")
   }
 
+  test("knn leaf pre-filters candidates before the k cut (ES's filter semantics)") {
+    val vec = (0 until 64).map(i => (((i * 3) % 7) - 3) / 4.0)
+    val vecJson = vec.mkString("[", ", ", "]")
+    val filtered = Retriever.compile(docs, emb,
+      s"""{"retriever": {"knn": {"field": "embedding", "query_vector": $vecJson,
+         |  "k": 10, "filter": "label:[0 TO 2]"}}}""".stripMargin)
+      .select("doc_id").as[Long].collect().toSet
+    val labels = emb.where(col("label").between(0, 2))
+      .select("vec_id").as[Long].collect().toSet
+    assert(filtered.subsetOf(labels), "every hit satisfies the pre-filter")
+    val unfiltered = Retriever.compile(docs, emb,
+      s"""{"retriever": {"knn": {"field": "embedding", "query_vector": $vecJson, "k": 10}}}""")
+      .select("doc_id").as[Long].collect().toSet
+    // pre-filter semantics: next-nearest IN-filter vectors are admitted
+    // into the k — the filtered set is NOT just unfiltered ∩ filter
+    assert(filtered != unfiltered)
+    assert(filtered.size == 10, "the filter prunes candidates, not the k")
+  }
+
   test("stated seams reject loudly: reranker, linear-over-pinned, unknown type, bad normalizer") {
     def err(json: String): String =
       intercept[IllegalArgumentException](Retriever.compile(docs, emb, json)).getMessage

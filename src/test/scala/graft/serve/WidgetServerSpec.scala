@@ -531,6 +531,14 @@ class WidgetServerSpec extends SparkSpecBase {
       assert(post(s"http://127.0.0.1:$port/complete", """{"size": 2}""")._1 === 400)
       assert(post(s"http://127.0.0.1:$port/complete",
         """{"prefix": "sp", "fuzziness": 9}""")._1 === 400)
+
+      // page budgets: oversize requests are client faults, not OOM risks
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "dup", "size": 100000}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/mlt",
+        """{"like": "dup dup", "size": 100000}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/complete",
+        """{"prefix": "sp", "size": 100000}""")._1 === 400)
     } finally server.stop(0)
   }
 
