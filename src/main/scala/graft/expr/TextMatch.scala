@@ -290,6 +290,45 @@ object TextMatch {
     def normalized(c: Column): Column = TextMatch.normalizedUnicode(c)
   }
 
+  /** Lucene's English stopword set — the 33 words ES's `english` analyzer
+    * removes by default (`_english_` in the stop filter; public list).
+    */
+  val EnglishStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** ES's `english` analyzer: the ASCII tokenizer, then the `_english_`
+    * stopword filter, then the Snowball English stemmer
+    * ([[graft.expr.PorterStemmer]] — what Lucene's `english` stemmer
+    * applies). Query and index sides analyze identically, so
+    * "merges"/"merging"/"merged" all meet at the stem "merg" — the
+    * recall behavior the analyzer exists for.
+    *
+    * Deltas stated: ES's english analyzer also runs a possessive-stripper
+    * before stemming (`'s` never survives this tokenizer — non-alnum
+    * splits — so the filter is vacuous here) and supports `stem_exclusion`
+    * (not wired; an excluded word is the caller's pre-processing).
+    *
+    * The column side stems per token through [[graft.expr.PorterStemExpr]]
+    * at the analyzed-column build — an INDEX-time cost ([[graft.store
+    * .SearchIndex]]'s `_split` companions persist the stemmed form), not
+    * a per-query one.
+    */
+  case object EnglishAnalyzer extends Analyzer {
+    def analyze(text: String): Seq[String] =
+      TextMatch.analyze(text)
+        .filterNot(EnglishStopwords.contains)
+        .map(graft.expr.PorterStemmer.stem)
+    def normalized(c: Column): Column = {
+      val toks = filter(
+        split(trim(TextMatch.normalized(c)), " +"),
+        t => length(t) > 0 && !t.isin(EnglishStopwords.toSeq: _*))
+      array_join(transform(toks, t => PorterStem(t)), " ")
+    }
+  }
+
   /** DuckDB (RE2) restatement of [[phrasePrefixUnicode]]: the same two
     * wrap passes and word extraction with RE2 script classes — identical
     * token streams on both engines for any input both regex dialects

@@ -138,6 +138,39 @@ class Bm25Spec extends graft.SparkSpecBase {
     assert(asciiHits === Set(1L))
   }
 
+  test("EnglishAnalyzer end-to-end: stems meet across inflections, stopwords drop, BM25 composes") {
+    import graft.expr.TextMatch
+    val corpus = Seq(
+      (1L, "The system merges the batches"),     // merges → merg
+      (2L, "a merged batch is merging again"),   // merged/merging → merg ×2
+      (3L, "no merge happened at all"),          // merge → merg
+      (4L, "entirely unrelated words here"),
+    ).toDF("doc_id", "text")
+    val an = TextMatch.EnglishAnalyzer
+    // query side: stopwords vanish, inflections stem
+    assert(an.analyze("The Merging") === Seq("merg"))
+    assert(an.analyze("the a of") === Nil)
+    // column side produces the same stemmed token stream
+    val normed = corpus.select(an.normalized(col("text")).as("n"))
+      .as[String].collect()
+    assert(normed(0) === "system merg batch")
+    assert(normed(1) === "merg batch merg again")
+    // retrieval: "merge" recalls every inflection — the analyzer's point;
+    // the ASCII analyzer finds only the exact form
+    val indexed = SearchIndex.withAnalyzedColumns(corpus, Seq("text"), an)
+    val hits = Bm25.topK(indexed, "doc_id", col("text_split"), "merge", k = 10,
+        analyzer = an)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(1L, 2L, 3L))
+    val asciiHits = Bm25.topKRaw(corpus, "doc_id", "text", "merge", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(asciiHits === Set(3L))
+    // doc 2 ranks first: tf(merg) = 2
+    val ranked = Bm25.topK(indexed, "doc_id", col("text_split"), "merge", k = 1,
+      analyzer = an).select("doc_id").as[Long].collect()
+    assert(ranked.head === 2L)
+  }
+
   test("topKPhrase ranks by phrase frequency with length normalization") {
     val corpus = Seq(
       (1L, "batch batch batch runs tonight"),   // phrase tf 2, short
