@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** The served analyzer registry — "standard" is the engine's ASCII
+    * tokenizer (the stated subset of ES's standard analyzer).
+    */
+  private def analyzerByName(name: String): graft.expr.TextMatch.Analyzer = name match {
+    case "standard" => graft.expr.TextMatch.AsciiAnalyzer
+    case "unicode" => graft.expr.TextMatch.UnicodeAnalyzer
+    case "english" => graft.expr.TextMatch.EnglishAnalyzer
+    case other => throw new IllegalArgumentException(
+      s"unknown analyzer '$other' (standard, unicode, english)")
+  }
+
   private def load(dir: String, table: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
@@ -633,8 +644,22 @@ object SparkEntry {
                 docs, "doc_id", fieldBoosts, qText, size, mode = mode)
             })
         } else {
-        val analyzed = concat(lit(" "),
-          graft.expr.TextMatch.normalized(col("text")), lit(" "))
+        // ES's per-request `analyzer` option: BOTH sides re-analyze —
+        // "english" meets inflections at their stem. Non-standard
+        // analyzers ride the plain ranked path only; boost carets /
+        // collapse / after / rescore / highlight keep the standard
+        // analyzer's oracled contracts and reject composition loudly.
+        val anName = o.path("analyzer").asText("standard")
+        val an = analyzerByName(anName)
+        if (anName != "standard") {
+          Seq("collapse", "after", "rescore", "highlight").foreach { k =>
+            require(!o.hasNonNull(k),
+              s"search: $k does not compose with analyzer — use the standard path")
+          }
+          require(!graft.query.QueryString.hasBoost(qText),
+            "search: term boosts do not compose with analyzer")
+        }
+        val analyzed = concat(lit(" "), an.normalized(col("text")), lit(" "))
         // `term^2` boosts compile to per-term BM25 weights on this (the
         // scoring) path THROUGH boostedTerms' strict flat-list contract
         // (operators/groups/fielded tokens reject loudly — structure
@@ -649,7 +674,8 @@ object SparkEntry {
           if (graft.query.QueryString.hasBoost(qText))
             graft.query.Bm25.scoredAllBoosted(docs, "doc_id", analyzed,
               graft.query.QueryString.boostedTerms(qText))
-          else graft.query.Bm25.scoredAll(docs, "doc_id", analyzed, qText)
+          else graft.query.Bm25.scoredAll(docs, "doc_id", analyzed, qText,
+            analyzer = an)
         val page =
           if (o.hasNonNull("collapse"))
             graft.query.Paging.collapseTopHits(
@@ -687,6 +713,21 @@ object SparkEntry {
               .orderBy(desc("score"), asc("doc_id"))
           else page)
         }
+      },
+      "/analyze" -> { body =>
+        // ES's POST /_analyze: {"analyzer": "standard"|"unicode"|
+        // "english", "text": "..."} → the token stream with positions —
+        // the debugging endpoint every analyzer change gets tested
+        // through. "standard" is the engine's ASCII tokenizer (the
+        // stated subset of ES's standard), "english" adds the stopword
+        // filter + the Snowball stemmer.
+        val o = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        val text = o.path("text").asText("")
+        require(text.nonEmpty, "analyze: missing text")
+        val an = analyzerByName(o.path("analyzer").asText("standard"))
+        val toks = an.analyze(text).zipWithIndex.map { case (t, i) => (i, t) }
+        import s.implicits._
+        WidgetServer.collectRowsJson(toks.toDF("position", "token"))
       },
       "/mlt" -> { body =>
         // ES more_like_this over the wire, like-TEXT form: {"like":

@@ -1604,13 +1604,38 @@ object Esql {
       // analyzed-OR semantics — at least one analyzed term appears as a
       // whole token. Rides the same TextMatch kernel as the query DSL
       // tier, so ES|QL WHERE clauses and the /search route agree on what
-      // "matches" means.
+      // "matches" means. The options map takes ES's `analyzer`
+      // ("standard" — the ASCII tokenizer here, the stated subset —
+      // "unicode", or "english" with stopwords + Snowball stemming):
+      // BOTH sides re-analyze, so "merges" meets "merging" at the stem.
       case Seq(f @ ColRef(_), StrLit(q)) =>
         val terms = graft.expr.TextMatch.analyze(q)
         require(terms.nonEmpty, s"esql: MATCH query '$q' has no analyzable terms")
         terms.map(t => graft.expr.TextMatch.containsToken(rec(f), t))
           .reduce(_ || _)
-      case _ => throw new IllegalArgumentException("esql: MATCH(field, \"query\")")
+      case Seq(f @ ColRef(_), StrLit(q), MapLit(entries)) =>
+        val opts = entries.toMap
+        require(entries.map(_._1).distinct.size == entries.size,
+          "esql: duplicate MATCH option keys")
+        val unknown = opts.keySet -- Set("analyzer")
+        require(unknown.isEmpty,
+          s"esql: unknown MATCH option(s) ${unknown.toSeq.sorted.mkString(", ")} (analyzer)")
+        val an = opts.get("analyzer") match {
+          case Some(StrLit("standard")) => graft.expr.TextMatch.AsciiAnalyzer
+          case Some(StrLit("unicode")) => graft.expr.TextMatch.UnicodeAnalyzer
+          case Some(StrLit("english")) => graft.expr.TextMatch.EnglishAnalyzer
+          case Some(StrLit(other)) => throw new IllegalArgumentException(
+            s"esql: unknown MATCH analyzer '$other' (standard, unicode, english)")
+          case _ => throw new IllegalArgumentException(
+            "esql: MATCH analyzer must be a string literal")
+        }
+        val terms = an.analyze(q)
+        require(terms.nonEmpty, s"esql: MATCH query '$q' has no analyzable terms")
+        val padded = concat(lit(" "), an.normalized(rec(f)), lit(" "))
+        terms.map(t => padded.contains(lit(s" $t ")))
+          .reduce(_ || _)
+      case _ => throw new IllegalArgumentException(
+        "esql: MATCH(field, \"query\"[, {\"analyzer\": …}])")
     }
     case "MATCH_PHRASE" => args match {
       // the match_phrase form: the analyzed terms contiguous and in order

@@ -999,6 +999,33 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("generation endpoint"))
   }
 
+  test("MATCH analyzer option: english stems both sides; unknown analyzers reject") {
+    val docs = Seq(
+      (1L, "the system merges tables"),
+      (2L, "a merged run"),
+      (3L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    // query-side inflection meets the corpus at the stem — the default
+    // analyzer finds only nothing, english finds docs 1 and 2
+    val en = Esql.run(
+      """FROM t | WHERE MATCH(text, "merging", {"analyzer": "english"}) | KEEP doc_id""",
+      resolve(Map("t" -> docs))).collect().map(_.getLong(0)).toSet
+    assert(en == Set(1L, 2L))
+    val std = Esql.run(
+      """FROM t | WHERE MATCH(text, "merging") | KEEP doc_id""",
+      resolve(Map("t" -> docs))).collect()
+    assert(std.isEmpty)
+    def err(q: String) = intercept[IllegalArgumentException](
+      Esql.run(q, resolve(Map("t" -> docs))).collect()).getMessage
+    assert(err("""FROM t | WHERE MATCH(text, "x", {"analyzer": "klingon"}) | KEEP doc_id""")
+      .contains("unknown MATCH analyzer"))
+    assert(err("""FROM t | WHERE MATCH(text, "x", {"boost": 2}) | KEEP doc_id""")
+      .contains("unknown MATCH option"))
+    // the english analyzer drops a stopword-only query loudly
+    assert(err("""FROM t | WHERE MATCH(text, "the a", {"analyzer": "english"}) | KEEP doc_id""")
+      .contains("no analyzable terms"))
+  }
+
   test("RERANK: registered deterministic scorers; model ids stay the loud seam") {
     val docs = Seq(
       (1L, "dup vector scan merge"),   // bigram jaccard 1.0

@@ -542,6 +542,50 @@ class WidgetServerSpec extends SparkSpecBase {
     } finally server.stop(0)
   }
 
+  test("POST /analyze returns token streams; /search analyzer=english stems both sides") {
+    import org.apache.spark.sql.functions._
+    val server = SparkEntry.serveHttp(spark, sfDir)
+    try {
+      val port = server.getAddress.getPort
+      // _analyze: the standard stream, then english (stopwords + stems)
+      val (c1, b1) = post(s"http://127.0.0.1:$port/analyze",
+        """{"text": "The Merging Tables"}""")
+      assert(c1 === 200)
+      assert(b1.contains("\"token\":\"the\"") && b1.contains("\"token\":\"merging\""))
+      val (c2, b2) = post(s"http://127.0.0.1:$port/analyze",
+        """{"analyzer": "english", "text": "The Merging Tables"}""")
+      assert(c2 === 200)
+      assert(b2.contains("\"token\":\"merg\"") && b2.contains("\"token\":\"tabl\"")
+        && !b2.contains("\"token\":\"the\""))
+      assert(post(s"http://127.0.0.1:$port/analyze",
+        """{"analyzer": "porter9", "text": "x"}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/analyze", """{}""")._1 === 400)
+
+      // /search analyzer=english: the query-side inflection "batches"
+      // stems to the corpus token "batch" — the standard path finds
+      // nothing, the english path ranks (wire ≡ engine)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val an = graft.expr.TextMatch.EnglishAnalyzer
+      val (c3, b3) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "batches", "analyzer": "english", "size": 5}""")
+      assert(c3 === 200)
+      assert(b3 === WidgetServer.collectRowsJson(
+        graft.query.Bm25.scoredAll(docs, "doc_id",
+            concat(lit(" "), an.normalized(col("text")), lit(" ")),
+            "batches", analyzer = an)
+          .orderBy(desc("score"), asc("doc_id")).limit(5)))
+      assert(b3.contains("doc_id"), "english analyzer finds the inflection")
+      val (c4, b4) = post(s"http://127.0.0.1:$port/search",
+        """{"q": "batches", "size": 5}""")
+      assert(c4 === 200 && !b4.contains("doc_id"), "standard path: no hits")
+      // composition rejects
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "batches", "analyzer": "english", "highlight": true}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/search",
+        """{"q": "batch^2", "analyzer": "english"}""")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("POST /retriever compiles the ES retriever tree on the wire") {
     val server = SparkEntry.serveHttp(spark, sfDir)
     try {
