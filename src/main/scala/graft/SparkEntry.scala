@@ -619,7 +619,7 @@ object SparkEntry {
           val fj = o.path("fields")
           require(fj.isArray && fj.size() > 0,
             "search: fields must be a non-empty array of \"name\" or \"name^boost\"")
-          Seq("collapse", "after", "rescore", "highlight").foreach { k =>
+          Seq("collapse", "after", "rescore", "highlight", "analyzer").foreach { k =>
             require(!o.hasNonNull(k),
               s"search: $k does not compose with fields — use the single-field path")
           }
@@ -749,6 +749,8 @@ object SparkEntry {
           maxDocFreq = if (o.hasNonNull("max_doc_freq")) o.path("max_doc_freq").asInt()
             else Int.MaxValue,
           minWordLength = o.path("min_word_length").asInt(0),
+          maxWordLength = if (o.hasNonNull("max_word_length"))
+            o.path("max_word_length").asInt() else Int.MaxValue,
           minimumShouldMatch = o.path("minimum_should_match").asText("30%"))
         val docs = load(dir, "documents")
         val analyzed = concat(lit(" "),

@@ -188,7 +188,7 @@ object Bm25 {
     scoredTerms(docs, idCol, analyzed, terms, k1, b, stats)
   }
 
-  private def scoredTerms(
+  private[query] def scoredTerms(
       docs: DataFrame,
       idCol: String,
       analyzed: Column,

@@ -2417,7 +2417,8 @@ object Esql {
         s"esql: KNN option $key must be a string literal, found <$other>")
     }
     val k = litLong("k").getOrElse(10L)
-    require(k > 0, s"esql: KNN k must be positive, got $k")
+    require(k > 0 && k <= 10000,
+      s"esql: KNN k must be 1..10000 (ES's own bound), got $k")
     litLong("num_candidates") // validated for shape; inert — exact search
     val metric = litStr("metric").getOrElse("cosine")
     val tiebreak = litStr("tiebreak").getOrElse(throw new IllegalArgumentException(
@@ -2436,15 +2437,19 @@ object Esql {
           "esql: KNN similarity with l2_norm is ambiguous (ES documents the " +
             "threshold in raw-similarity space; l2's raw value is a DISTANCE) — " +
             "use cosine/dot_product or post-filter on _score")
-        sqrt(aggregate(zip_with(v, qv, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        // bound as the SQUARED distance — the score transform only ever
+        // squares it back (1/(1+d²)), so the per-row sqrt is skipped and
+        // the transform below uses it directly
+        aggregate(zip_with(v, qv, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
       case other => throw new IllegalArgumentException(
         s"esql: unknown KNN metric '$other' (cosine, dot_product, l2_norm)")
     }
     // ES's documented _score transforms per metric.
     val score0: Column = metric match {
       case "cosine" | "dot_product" => (lit(1.0) + raw) / lit(2.0)
-      case "l2_norm" => lit(1.0) / (lit(1.0) + raw * raw)
+      // raw IS d² for l2 (above)
+      case "l2_norm" => lit(1.0) / (lit(1.0) + raw)
     }
     val score = boost.map(b => score0 * lit(b)).getOrElse(score0)
     if (df.columns.contains("_score") && pres.exists(containsFullText))
@@ -2504,8 +2509,14 @@ object Esql {
           "under OR/NOT and QSTR/KQL scoring are not wired; drop METADATA " +
           "_score to use them as filters")
     }
+    // working-column clash check sized to the ACTUAL term counts of the
+    // scoring conjuncts (a phrase is one pseudo-term)
+    val maxTerms = fts.map {
+      case Fn("MATCH", Seq(_, StrLit(q))) => Bm25.queryTerms(q).size
+      case _ => 1
+    }.foldLeft(1)(math.max)
     val reserved = Seq("_dl", "_n", "_sumdl") ++
-      Seq.tabulate(8)(i => s"_tf$i") ++ Seq.tabulate(8)(i => s"_df$i")
+      (0 until maxTerms).flatMap(i => Seq(s"_tf$i", s"_df$i"))
     val clash = df.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"esql: scoring needs working columns ${clash.mkString(", ")} — rename them first")
@@ -2535,6 +2546,10 @@ object Esql {
           withRow
             .withColumn("_score", col("_score") + Bm25.scoreColumn(terms.size, Bm25.DefaultK1, Bm25.DefaultB))
             .drop(tmp: _*)
+        case Seq(ColRef(_), StrLit(_), MapLit(_)) => throw new IllegalArgumentException(
+          "esql: analyzer-optioned MATCH does not score — the BM25 statistics " +
+            "and TF kernels run the standard analyzer; drop METADATA _score or " +
+            "the {\"analyzer\": …} option")
         case _ => throw new IllegalArgumentException("esql: MATCH(field, \"query\")")
       }
     }

@@ -243,6 +243,7 @@ object MoreLikeThis {
       }
     val row = docs.agg(count(lit(1)).as("_n"), aggs: _*).head()
     val n = row.getLong(0)
+    require(n > 0, "more_like_this: the corpus is empty — nothing to select against")
     val sumdl = row.getLong(1)
     val scored = cand.zipWithIndex.flatMap { case ((t, tf), i) =>
       val df = row.getLong(2 + i)
@@ -330,8 +331,11 @@ object MoreLikeThis {
         sel.indices.map(i => StructField(s"_df$i", LongType, nullable = false)))
     val stats = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(statsRow), 1), statsSchema)
-    Bm25.scoredAll(docs, idCol, analyzed, sel.map(_.term).mkString(" "),
-        k1, b, stats = Some(stats), analyzer = analyzer)
+    // score the SELECTED terms directly — re-analyzing a joined string
+    // could drop a term under a stemming/stopword analyzer (a stem that
+    // equals a stopword) and silently misalign the _df columns
+    Bm25.scoredTerms(docs, idCol, analyzed, sel.map(_.term),
+        k1, b, stats = Some(stats))
       .withColumn("score", round(col("score"), 6))
       .orderBy(desc("score"), asc(s"`$idCol`"))
       .limit(k)

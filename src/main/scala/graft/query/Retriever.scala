@@ -46,6 +46,15 @@ import org.apache.spark.sql.functions._
   */
 object Retriever {
 
+  /** Every node's output bound — rank_window_size / k — shares the
+    * serving tier's 1..1000 page budget; a deeper window is a client
+    * fault, not a driver-memory risk.
+    */
+  private def bounded(n: Int, what: String): Int = {
+    require(n >= 1 && n <= 1000, s"retriever: $what must be 1..1000, got $n")
+    n
+  }
+
   private final case class Compiled(run: DataFrame, scored: Boolean)
 
   /** Compile `{"retriever": {...}}` (or the bare node) and return the
@@ -66,11 +75,14 @@ object Retriever {
       case "standard" =>
         val q = o.path("query").asText("")
         require(q.nonEmpty, "retriever.standard: missing query")
-        val window = o.path("rank_window_size").asInt(10)
+        val window = bounded(o.path("rank_window_size").asInt(10), "standard rank_window_size")
         val base =
-          if (o.hasNonNull("filter"))
+          if (o.hasNonNull("filter")) {
+            require(o.path("filter").isTextual,
+              "retriever.standard: filter is a query_string STRING here — the " +
+                "ES DSL-object form is not compiled (loud seam, not a silent MatchAll)")
             docs.where(QueryString.parse(o.path("filter").asText(), "text").compile)
-          else docs
+          } else docs
         val analyzed = concat(lit(" "), TextMatch.normalized(col("text")), lit(" "))
         val scored =
           if (QueryString.hasBoost(q))
@@ -86,7 +98,7 @@ object Retriever {
         val qvNode = o.path("query_vector")
         require(qvNode.isArray && qvNode.size() > 0,
           "retriever.knn: query_vector must be a non-empty array")
-        val k = o.path("k").asInt(10)
+        val k = bounded(o.path("k").asInt(10), "knn k")
         // num_candidates accepted and inert — this is an exact scan
         val qv = array((0 until qvNode.size()).map(i => lit(qvNode.get(i).asDouble())): _*)
           .cast("array<double>")
@@ -95,10 +107,13 @@ object Retriever {
         // the k cut (the recall-preserving form, the /knn route's
         // contract), query_string over the vector corpus's metadata
         val base =
-          if (o.hasNonNull("filter"))
+          if (o.hasNonNull("filter")) {
+            require(o.path("filter").isTextual,
+              "retriever.knn: filter is a query_string STRING here — the ES " +
+                "DSL-object form is not compiled (loud seam, not a silent MatchAll)")
             emb.where(QueryString.parse(o.path("filter").asText(),
               defaultField = "label").compile)
-          else emb
+          } else emb
         val run = base
           .select(col("vec_id").as("doc_id"),
             graft.expr.VectorMath.cosine(v, qv).as("score"))
@@ -113,7 +128,7 @@ object Retriever {
           children.map(_.run.select(col("doc_id"), col("rank"))),
           "doc_id", "rank",
           rrfK = o.path("rank_constant").asInt(60),
-          topK = o.path("rank_window_size").asInt(10))
+          topK = bounded(o.path("rank_window_size").asInt(10), "rank_window_size"))
         Compiled(
           Hybrid.withRank(fused.withColumnRenamed("rrf_score", "score"), "score", "doc_id"),
           scored = true)
@@ -155,7 +170,7 @@ object Retriever {
         val fused = joined.withColumn("score", score)
           .select(col("doc_id"), col("score"))
           .orderBy(desc("score"), asc("doc_id"))
-          .limit(o.path("rank_window_size").asInt(10))
+          .limit(bounded(o.path("rank_window_size").asInt(10), "linear rank_window_size"))
         Compiled(Hybrid.withRank(fused, "score", "doc_id"), scored = true)
 
       case "pinned" =>
@@ -182,7 +197,7 @@ object Retriever {
             .otherwise(lit(0.0)).as("boost"))
         Compiled(
           Hybrid.rescore(child.run, "doc_id", "score", boost, "boost",
-            windowSize = r.path("window").asInt(10),
+            windowSize = bounded(r.path("window").asInt(10), "rescore window"),
             rescoreWeight = r.path("weight").asDouble(2.0)),
           scored = true)
 

@@ -999,6 +999,18 @@ class EsqlSpec extends SparkSpecBase {
       .getMessage.contains("generation endpoint"))
   }
 
+  test("review pins: KNN k bound, analyzer-MATCH under _score names its seam") {
+    val docs = Seq((1L, "a b", Seq(0.5, 0.5))).toDF("doc_id", "text", "embedding")
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t | WHERE KNN(embedding, [0.5, 0.5], {"k": 4294967297, "tiebreak": "doc_id"}) | KEEP doc_id""",
+        resolve(Map("t" -> docs))).collect())
+      .getMessage.contains("1..10000"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("""FROM t METADATA _score | WHERE MATCH(text, "merging", {"analyzer": "english"}) | KEEP doc_id""",
+        resolve(Map("t" -> docs))).collect())
+      .getMessage.contains("analyzer-optioned MATCH does not score"))
+  }
+
   test("MATCH analyzer option: english stems both sides; unknown analyzers reject") {
     val docs = Seq(
       (1L, "the system merges tables"),

@@ -91,5 +91,18 @@ class RetrieverSpec extends SparkSpecBase {
     assert(err("""{"retriever": {"knn": {"field": "other", "query_vector": [1.0]}}}""")
       .contains("dense_vector mapping"))
     assert(err("""{"retriever": {"standard": {}}}""").contains("missing query"))
+    // an ES DSL-object filter must not silently become MatchAll
+    assert(err("""{"retriever": {"standard": {"query": "dup",
+      |  "filter": {"term": {"lang": "en"}}}}}""".stripMargin)
+      .contains("query_string STRING"))
+    assert(err("""{"retriever": {"knn": {"field": "embedding",
+      |  "query_vector": [1.0], "filter": {"term": {"label": 1}}}}}""".stripMargin)
+      .contains("query_string STRING"))
+    // the serving page budget holds at every node
+    assert(err("""{"retriever": {"standard": {"query": "dup", "rank_window_size": 100000}}}""")
+      .contains("1..1000"))
+    assert(err("""{"retriever": {"rrf": {"retrievers": [
+      |  {"standard": {"query": "dup"}}], "rank_window_size": 5000}}}""".stripMargin)
+      .contains("1..1000"))
   }
 }

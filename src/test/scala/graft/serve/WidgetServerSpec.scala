@@ -606,6 +606,11 @@ class WidgetServerSpec extends SparkSpecBase {
         """{"retriever": {"text_similarity_reranker": {}}}""")._1 === 400)
       assert(post(s"http://127.0.0.1:$port/retriever",
         """{"retriever": {"frobnicate": {}}}""")._1 === 400)
+      // page budget and DSL-object filters are client faults on the wire
+      assert(post(s"http://127.0.0.1:$port/retriever",
+        """{"retriever": {"standard": {"query": "dup", "rank_window_size": 100000}}}""")._1 === 400)
+      assert(post(s"http://127.0.0.1:$port/retriever",
+        """{"retriever": {"standard": {"query": "dup", "filter": {"term": {"lang": "en"}}}}}""")._1 === 400)
     } finally server.stop(0)
   }
 
