@@ -3123,6 +3123,9 @@ object SparkEntry {
         graft.query.Percolator.percolateLong(
             docs.where(pmod(col("doc_id"), lit(2)) === epoch), "doc_id", stored)
           .withColumn("inc_batch_id", lit(epoch.toLong))
+      // (r18: examined — a localCheckpoint of the replayed epoch-0
+      // increment measured cost-neutral: the percolation is row-local and
+      // cheap, and the checkpoint adds its own materialization job.)
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
         .write.mode("overwrite").parquet(alertsPath)
       spark.read.parquet(alertsPath)
@@ -3506,8 +3509,19 @@ object SparkEntry {
       val fed = federatedHarmonized(s, warm = false)
       val part = pmod(
         xxhash64(col("dataset"), col("datetime"), col("description")), lit(3))
+      // ONE corpus pass computes every batch's increment at once (r18
+      // optimization, guide §2.4): grouping by (slice, dims) then slicing
+      // the rollup equals filtering the corpus per slice then grouping —
+      // groupBy commutes with a filter on a group key — so the three
+      // increments are IDENTICAL frames to the old fed.where(part === k)
+      // form, without re-running the 3-city harmonize ETL once per batch
+      // (3 corpus passes → 1). The checkpointed frame is rollup-sized
+      // (≤ 3× the dim-combination count), bounded at any corpus scale;
+      // merge still genuinely union+group-sums across the increments.
+      val bySlice = PreAgg.increment(fed, ("_slice" -> part) +: dashboardCubeDims)
+        .localCheckpoint()
       val increments = (0 until 3).map(k =>
-        PreAgg.increment(fed.where(part === k), dashboardCubeDims))
+        bySlice.where(col("_slice") === k).drop("_slice"))
       dashboardRefreshPreagg(s, rollup = Some(PreAgg.merge(increments: _*)))
     }),
 
@@ -4995,6 +5009,9 @@ object SparkEntry {
         Similarity.sqBoundsFrame(
             emb.where(pmod(col("vec_id"), lit(2)) === epoch), "embedding", 64)
           .withColumn("inc_batch_id", lit(epoch.toLong))
+      // (r18: examined — the replayed epoch-0 branch ends in the bounds
+      // aggregate's exchange, which ReuseExchange dedupes at runtime; a
+      // localCheckpoint here measured cost-neutral at best. Left as is.)
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
         .write.mode("overwrite").parquet(path)
       val (mn, mx) = EventStreams.sqBoundsFromIncrements(s, path)
@@ -5023,7 +5040,13 @@ object SparkEntry {
         Similarity.assignCells(emb.where(pmod(col("vec_id"), lit(2)) === epoch),
             "vec_id", "embedding", centroids)
           .withColumn("inc_batch_id", lit(epoch.toLong))
-      inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+      // r18 optimization: checkpoint the replayed epoch-0 batch (a replay
+      // is a re-delivered micro-batch, not a recompute) and repartition ON
+      // the cell key before the partitioned write (guide §6 — otherwise
+      // every upstream task writes a file per cell directory it touches).
+      val i0 = inc(0).localCheckpoint()
+      i0.unionByName(inc(1)).unionByName(i0) // epoch 0 replayed
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
       val index = EventStreams.ivfIndexFromIncrements(s, path)
       Similarity.ivfTopKFromIndex(index, centroids,
@@ -5052,12 +5075,17 @@ object SparkEntry {
       def inc(epoch: Long, cond: Column): DataFrame =
         Similarity.assignCells(emb.where(cond), "vec_id", "embedding", centroids)
           .withColumn("inc_batch_id", lit(epoch))
-      inc(0L, pmod(col("vec_id"), lit(2)) === 0)
-        .unionByName(inc(1L, pmod(col("vec_id"), lit(2)) === 1))
-        .unionByName(inc(0L, pmod(col("vec_id"), lit(2)) === 0)) // replay
+      // r18 optimization: same two fixes as ann_ivf_incremental —
+      // checkpoint the replayed batch, repartition ON the cell key before
+      // both partitioned appends (guide §6 small-files).
+      val i0 = inc(0L, pmod(col("vec_id"), lit(2)) === 0).localCheckpoint()
+      i0.unionByName(inc(1L, pmod(col("vec_id"), lit(2)) === 1))
+        .unionByName(i0) // replay
+        .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(path)
       EventStreams.compactIvfIndexIncrements(s, path)
       inc(2L, pmod(col("vec_id"), lit(3)) === 0) // post-compaction update
+        .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(path)
       val index = EventStreams.ivfIndexFromIncrements(s, path)
       Similarity.ivfTopKFromIndex(index, centroids,
@@ -5749,10 +5777,20 @@ object SparkEntry {
       val gated = ops.TextAnalysis.gopherProfile(docs, "text")
         .where(col("word_count") >= 30 && col("alpha_word_frac") >= 0.8)
         .select(docs.columns.map(col): _*)
+      // The 200-row selection head is checkpointed (r18 optimization —
+      // guide §2.4 "remove shuffles outright"/§1.2 "don't recompute"):
+      // downstream, mixTemperature's counting collect, lengthGroupedBins'
+      // two-phase prefix (which references its input twice), and the final
+      // manifest join would otherwise each re-execute the DSIR model+score
+      // DAG (2 corpus scans with bigram explodes per execution — 8 scans
+      // measured in the lazy plan). The checkpoint is BOUNDED at the
+      // selection size (200 rows) — scale-safe at any corpus, unlike
+      // persisting a corpus-sized frame.
       val selected = ops.Sampling.importanceScores(gated, "doc_id", "text",
           targetCond = col("lang") === "en", carry = Seq("lang", "text"))
         .orderBy(desc("bits_per_1k"), col("doc_id"))
         .limit(200)
+        .localCheckpoint()
       val mixed = ops.Sampling.mixTemperature(selected, "doc_id", "lang", alpha = 0.5)
       val binned = ops.Packing.lengthGroupedBins(mixed, "doc_id",
         ops.TextAnalysis.tokenCount(col("text")), seqLen = 256, numBuckets = 8)
@@ -5944,6 +5982,10 @@ object SparkEntry {
             corpus.where(pmod(col("doc_id"), lit(2)) === epoch),
             "text", col("lang") === "en")
           .withColumn("inc_batch_id", lit(epoch.toLong))
+      // (r18: examined — the replayed epoch-0 branch ends in the model
+      // aggregate's exchange, which ReuseExchange dedupes at runtime; a
+      // localCheckpoint here measured WORSE — an extra materialization
+      // job replacing free reuse. Left as is.)
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
         .write.mode("overwrite").parquet(incPath)
       val model = EventStreams.importanceModelFromIncrements(s, incPath)
@@ -6094,6 +6136,9 @@ object SparkEntry {
             .select(lit(null).cast("long").as("gram"), col("df")))
           .withColumn("inc_batch_id", lit(epoch.toLong))
       }
+      // (r18: examined — the replayed epoch-0 branch ends in the gram-df
+      // aggregate's exchange, which ReuseExchange dedupes at runtime; a
+      // localCheckpoint here measured WORSE. Left as is.)
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
         .write.mode("overwrite").parquet(incPath)
       val gramDf = EventStreams.gramDfFromIncrements(s, incPath)
@@ -6591,7 +6636,15 @@ object SparkEntry {
       // which is the flag's whole point at ELSER scale.
       val postings = query.SparseVector.tfPostings(
         load(dir, "documents"), "doc_id", "text")
-      val kept = query.SparseVector.prune(postings,
+      // r18 optimization (guide §1.2): prune's df statistics come from ONE
+      // checkpointed vocabulary-sized (term, df) table — the operator's own
+      // documented serving shape ("at corpus scale serve from a maintained
+      // df table") — instead of prune(postings, …) re-deriving the postings
+      // explode once for the avg aggregate and again for the query-term df
+      // collect. Identical keep decisions (pruneAgainstDf ≡ prune over
+      // dfStats — SparseVectorSpec pins the equality).
+      val dfTable = query.SparseVector.dfStats(postings).localCheckpoint()
+      val kept = query.SparseVector.pruneAgainstDf(dfTable,
         Seq("vector" -> 2.0, "dup" -> 0.5, "scan" -> 0.3, "merge" -> 0.25),
         freqRatioThreshold = 1.0, weightThreshold = 0.4)
       query.SparseVector.topK(postings, "doc_id", kept, k = 15)
@@ -6634,9 +6687,16 @@ object SparkEntry {
         load(dir, "documents"), "doc_id", "text")
       val all = query.SparseVector.quantizeWeights(
         Seq("vector" -> 2.0, "dup" -> 0.5, "scan" -> 0.3, "merge" -> 0.25))
-      val kept = query.SparseVector.prune(postings, all,
+      // r18 optimization: both prune legs read ONE checkpointed
+      // vocabulary-sized df table (the operator's documented maintained-df
+      // serving shape) instead of each prune(postings, …) re-deriving the
+      // postings explode twice (avg pass + query-term collect) — 4 corpus
+      // passes → 1. Keep/prune decisions identical (SparseVectorSpec pins
+      // pruneAgainstDf ≡ prune over dfStats).
+      val dfTable = query.SparseVector.dfStats(postings).localCheckpoint()
+      val kept = query.SparseVector.pruneAgainstDf(dfTable, all,
         freqRatioThreshold = 1.0, weightThreshold = 0.4)
-      val pruned = query.SparseVector.prune(postings, all,
+      val pruned = query.SparseVector.pruneAgainstDf(dfTable, all,
         freqRatioThreshold = 1.0, weightThreshold = 0.4,
         onlyScorePrunedTokens = true)
       query.Hybrid.rescore(
@@ -6662,7 +6722,19 @@ object SparkEntry {
             docs.where(pmod(col("doc_id"), lit(2)) === epoch),
             "doc_id", "text", numBuckets = 64)
           .withColumn("inc_batch_id", lit(epoch.toLong))
+      // r18 optimization: the append repartitions ON the partition key
+      // before the partitioned write (guide §6 small-files; the same
+      // discipline compactPostingsIncrements already uses) — without it
+      // every upstream task writes a file per term_bucket directory it
+      // touches (~tasks×64 tiny files per append), which the read-back
+      // then pays again in listing and per-file open cost. The replayed
+      // epoch-0 branch deliberately stays a duplicate SUBTREE (not a
+      // checkpoint): it ends in the postings aggregate's exchange, which
+      // ReuseExchange dedupes at runtime — measured: a localCheckpoint
+      // here replaced that free reuse with an extra materialization job
+      // and gained nothing.
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
+        .repartition(col("term_bucket"))
         .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
       val postings = streaming.EventStreams.postingsFromIncrements(
         s, "doc_id", path)
@@ -6692,12 +6764,20 @@ object SparkEntry {
         query.SparseVector.tfPostingsBucketed(
             docs.where(cond), "doc_id", "text", numBuckets = 64)
           .withColumn("inc_batch_id", lit(epoch))
+      // r18 optimization: same fix as stream_sparse_vector — both appends
+      // repartition ON the partition key before the partitioned write
+      // (guide §6: tasks×64 tiny files per append otherwise, paid again
+      // at read-back and by the compaction's own scan). The replayed
+      // epoch-0 branch stays a duplicate subtree (ReuseExchange dedupes
+      // the postings aggregate at runtime — see stream_sparse_vector).
       inc(0L, pmod(col("doc_id"), lit(2)) === 0)
         .unionByName(inc(1L, pmod(col("doc_id"), lit(2)) === 1))
         .unionByName(inc(0L, pmod(col("doc_id"), lit(2)) === 0)) // replay
+        .repartition(col("term_bucket"))
         .write.mode("append").partitionBy("term_bucket").parquet(path)
       streaming.EventStreams.compactPostingsIncrements(s, "doc_id", path)
       inc(2L, pmod(col("doc_id"), lit(3)) === 0) // post-compaction update
+        .repartition(col("term_bucket"))
         .write.mode("append").partitionBy("term_bucket").parquet(path)
       val postings = streaming.EventStreams.postingsFromIncrements(
         s, "doc_id", path)
