@@ -84,6 +84,14 @@ object Bpe {
     * rewritten word table (truncating the k-deep lineage — the repo's
     * iterative-refinement pattern, [[Similarity]] codebooks) and frees its
     * predecessor.
+    *
+    * The per-iteration checkpoint is LAZY (r18 optimization): an eager one
+    * runs a whole extra job per merge — at 8 merges the training was ~16
+    * scheduler round-trips over a vocab-sized table, pure job overhead.
+    * The lazy checkpoint materializes inside the NEXT iteration's top-pair
+    * collect (one job per merge), and the predecessor's blocks are freed
+    * only AFTER that collect — a lazy checkpoint's lineage is truncated,
+    * so its input blocks must outlive its materialization.
     */
   def trainMerges(
       docs: DataFrame,
@@ -94,6 +102,7 @@ object Bpe {
     var words = wordCounts(docs, textCol)
       .select(initSymbols(col("word")).as("syms"), col("freq"))
       .localCheckpoint()
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -103,6 +112,8 @@ object Bpe {
         .orderBy(desc("pair_count"), asc("left"), asc("right"))
         .limit(1)
         .collect()
+      // `words` is materialized now — its lazily-checkpointed input can go
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -110,13 +121,14 @@ object Bpe {
         val next = words
           .select(regexp_replace(col("syms"), lit(l + Sep + r), lit(l + r)).as("syms"),
             col("freq"))
-          .localCheckpoint()
-        words.unpersist(blocking = false)
+          .localCheckpoint(eager = false)
+        prev = words
         words = next
         rank += 1
       }
     }
     words.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
     merges.result()
   }
 

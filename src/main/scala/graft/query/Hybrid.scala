@@ -81,10 +81,18 @@ object Hybrid {
   def linearFusion(runs: Seq[(DataFrame, Double)], idCol: String,
       scoreCol: String, topK: Int = 10): DataFrame = {
     require(runs.nonEmpty, "linearFusion: no runs to fuse")
+    // r18 optimization: the per-run min/max rides a whole-frame window
+    // over the k-row run instead of a separate aggregate + crossJoin —
+    // the old two-reference form re-executed each run's WHOLE retriever
+    // subtree twice (once under the broadcast stats, once on the
+    // normalize side). The unpartitioned window is the same
+    // bounded-by-construction contract as [[withRank]]: inputs are
+    // pre-limited top-k frames. Min/max are exact either way.
+    val fullFrame = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val contribs = runs.zipWithIndex.map { case ((r, weight), i) =>
-      val stats = r.agg(
-        min(col(s"`$scoreCol`")).as("_mn"), max(col(s"`$scoreCol`")).as("_mx"))
-      r.crossJoin(broadcast(stats))
+      r.withColumn("_mn", min(col(s"`$scoreCol`")).over(fullFrame))
+        .withColumn("_mx", max(col(s"`$scoreCol`")).over(fullFrame))
         .select(col(s"`$idCol`"),
           (lit(weight) * when(col("_mx") === col("_mn"), lit(1.0))
             .otherwise((col(s"`$scoreCol`") - col("_mn")) / (col("_mx") - col("_mn"))))
@@ -185,20 +193,25 @@ object Hybrid {
     val id = col(s"`$idCol`")
     val w = Window.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`"))
     val bounded = run.orderBy(desc(s"`$scoreCol`"), asc(s"`$idCol`")).limit(runLimit)
+    // r18 optimization: ONE reference to the ranked run (the former
+    // window/tail split re-executed the run's whole retriever subtree
+    // twice — a second corpus scoring pass per rescore). Every bounded
+    // row probes the secondary join; only window rows USE the joined
+    // score (the conditional below), so tier scores are unchanged —
+    // secondary must be per-id unique, which the window join already
+    // required implicitly.
     val ranked = bounded.withColumn("_prank", row_number().over(w))
-    val window = ranked.where(col("_prank") <= windowSize)
+    val inWindow = col("_prank") <= windowSize
+    val w2 = Window.orderBy(asc("_tier"), desc("score"), asc(s"`$idCol`"))
+    ranked
       .join(secondary.select(id.as(idCol),
         col(s"`$secondaryScoreCol`").as("_s2")), Seq(idCol), "left")
       .withColumn("score",
-        lit(queryWeight) * col(s"`$scoreCol`") +
-          lit(rescoreWeight) * coalesce(col("_s2"), lit(0.0)))
-      .withColumn("_tier", lit(0))
-    val tail = ranked.where(col("_prank") > windowSize)
-      .withColumn("score", col(s"`$scoreCol`").cast("double"))
-      .withColumn("_tier", lit(1))
-    val w2 = Window.orderBy(asc("_tier"), desc("score"), asc(s"`$idCol`"))
-    window.select(id.as(idCol), col("score"), col("_tier"))
-      .unionByName(tail.select(id.as(idCol), col("score"), col("_tier")))
+        when(inWindow,
+          lit(queryWeight) * col(s"`$scoreCol`") +
+            lit(rescoreWeight) * coalesce(col("_s2"), lit(0.0)))
+          .otherwise(col(s"`$scoreCol`").cast("double")))
+      .withColumn("_tier", when(inWindow, lit(0)).otherwise(lit(1)))
       .withColumn("rank", row_number().over(w2))
       .select(id.as(idCol), col("rank"), col("score"))
   }

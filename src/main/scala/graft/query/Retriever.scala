@@ -149,6 +149,14 @@ object Retriever {
             s"retriever.linear: normalizer must be none|minmax, got '$norm'")
           (child.run, e.path("weight").asDouble(1.0), norm)
         }
+        // r18 optimization: min/max over a whole-frame window instead of a
+        // separate aggregate + crossJoin — the two-reference form
+        // re-executed the CHILD RETRIEVER subtree twice per minmax entry
+        // (same fix as Hybrid.linearFusion; children are k-row windows by
+        // construction, so the unpartitioned window is bounded).
+        val fullFrame = org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
         val contribs = entries.zipWithIndex.map { case ((r, weight, norm), i) =>
           val scoredRun = r.select(col("doc_id"), col("score"))
           val c =
@@ -161,8 +169,9 @@ object Retriever {
             }
           val base =
             if (norm == "none") scoredRun
-            else scoredRun.crossJoin(broadcast(
-              scoredRun.agg(min(col("score")).as("_mn"), max(col("score")).as("_mx"))))
+            else scoredRun
+              .withColumn("_mn", min(col("score")).over(fullFrame))
+              .withColumn("_mx", max(col("score")).over(fullFrame))
           base.select(col("doc_id"), c.as(s"_c$i"))
         }
         val joined = contribs.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
