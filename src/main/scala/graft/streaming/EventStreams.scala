@@ -1052,16 +1052,19 @@ object EventStreams {
     val merged = ivfIndexFromIncrements(spark, indexPath)
       .withColumn("inc_batch_id", lit(-1L))
       .repartition(col("cell"))
-      .cache()
-    try {
-      merged.count() // materialize BEFORE touching the directory being read
-      val staged = indexPath + ".compacting"
-      merged.write.mode("overwrite").partitionBy("cell").parquet(staged)
-      val fs = graft.store.FsOps.fileSystem(spark, staged)
-      graft.store.FsOps.promote(fs,
-        new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(indexPath))
-    } finally merged.unpersist()
+    // r18 optimization: the staged WRITE is itself the materialization —
+    // it reads the source directory and lands in `.compacting`; the
+    // source is only touched by the promote AFTER the write completed.
+    // The former cache()+count() pre-pass was a full extra execution of
+    // the corpus-sized merge view (a leftover from a pre-staged-swap
+    // shape), real money here unlike the coalesce(1) vocabulary-sized
+    // compactions, which keep the uniform defensive pattern.
+    val staged = indexPath + ".compacting"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(staged)
+    val fs = graft.store.FsOps.fileSystem(spark, staged)
+    graft.store.FsOps.promote(fs,
+      new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(indexPath))
   }
 
   /** Streamed maintenance of the at-rest SPARSE POSTINGS index (the
@@ -1135,16 +1138,16 @@ object EventStreams {
     val merged = postingsFromIncrements(spark, idCol, postingsPath)
       .withColumn("inc_batch_id", lit(-1L))
       .repartition(col("term_bucket"))
-      .cache()
-    try {
-      merged.count() // materialize BEFORE touching the directory being read
-      val staged = postingsPath + ".compacting"
-      merged.write.mode("overwrite").partitionBy("term_bucket").parquet(staged)
-      val fs = graft.store.FsOps.fileSystem(spark, staged)
-      graft.store.FsOps.promote(fs,
-        new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(postingsPath))
-    } finally merged.unpersist()
+    // r18 optimization: staged write IS the materialization; promote only
+    // touches the source after it completes — the former cache()+count()
+    // pre-pass double-executed the corpus-sized merge view (see
+    // compactIvfIndexIncrements).
+    val staged = postingsPath + ".compacting"
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(staged)
+    val fs = graft.store.FsOps.fileSystem(spark, staged)
+    graft.store.FsOps.promote(fs,
+      new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(postingsPath))
   }
 
   /** Streamed maintenance of the SQ8 quantization bounds: each arriving
