@@ -5047,6 +5047,10 @@ object SparkEntry {
       // is a re-delivered micro-batch, not a recompute) and repartition ON
       // the cell key before the partitioned write (guide §6 — otherwise
       // every upstream task writes a file per cell directory it touches).
+      // r19 A/B RE-CONFIRMED the cell repartition (unlike the postings
+      // appends, whose pre-write shuffle was reverted): the checkpointed
+      // upstream here is shuffle-partitions wide, so dropping it measured
+      // 2.2→5.5 s / 4.7→13.7 s (compacted) and 8→755 files at sf0.1.
       val i0 = inc(0).localCheckpoint()
       i0.unionByName(inc(1)).unionByName(i0) // epoch 0 replayed
         .repartition(col("cell"))
@@ -6730,19 +6734,22 @@ object SparkEntry {
             docs.where(pmod(col("doc_id"), lit(2)) === epoch),
             "doc_id", "text", numBuckets = 64)
           .withColumn("inc_batch_id", lit(epoch.toLong))
-      // r18 optimization: the append repartitions ON the partition key
-      // before the partitioned write (guide §6 small-files; the same
-      // discipline compactPostingsIncrements already uses) — without it
-      // every upstream task writes a file per term_bucket directory it
-      // touches (~tasks×64 tiny files per append), which the read-back
-      // then pays again in listing and per-file open cost. The replayed
-      // epoch-0 branch deliberately stays a duplicate SUBTREE (not a
-      // checkpoint): it ends in the postings aggregate's exchange, which
-      // ReuseExchange dedupes at runtime — measured: a localCheckpoint
-      // here replaced that free reuse with an extra materialization job
-      // and gained nothing.
+      // r19: the r18 pre-write repartition(term_bucket) is REVERTED for
+      // the epoch APPENDS after the verdict-requested A/B (min-of-3 at 32
+      // cores, sf0.1): no-repartition 2.9 s vs repartition(col) 3.1 s vs
+      // REBALANCE hint 3.2 s, with IDENTICAL file counts (22) in all
+      // three — a micro-batch append is bounded-width by construction
+      // (AQE coalesces the postings aggregate's tiny output), so the
+      // extra exchange was a pure stage barrier. This matches
+      // maintainPostings, the actual streaming path, which also appends
+      // without a shuffle; the one corpus-sized write of the lifecycle —
+      // compactPostingsIncrements — KEEPS its repartition (§6). The
+      // replayed epoch-0 branch deliberately stays a duplicate SUBTREE
+      // (not a checkpoint): it ends in the postings aggregate's exchange,
+      // which ReuseExchange dedupes at runtime — measured in r18: a
+      // localCheckpoint here replaced that free reuse with an extra
+      // materialization job and gained nothing.
       inc(0).unionByName(inc(1)).unionByName(inc(0)) // epoch 0 replayed
-        .repartition(col("term_bucket"))
         .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
       val postings = streaming.EventStreams.postingsFromIncrements(
         s, "doc_id", path)
@@ -6772,20 +6779,20 @@ object SparkEntry {
         query.SparseVector.tfPostingsBucketed(
             docs.where(cond), "doc_id", "text", numBuckets = 64)
           .withColumn("inc_batch_id", lit(epoch))
-      // r18 optimization: same fix as stream_sparse_vector — both appends
-      // repartition ON the partition key before the partitioned write
-      // (guide §6: tasks×64 tiny files per append otherwise, paid again
-      // at read-back and by the compaction's own scan). The replayed
-      // epoch-0 branch stays a duplicate subtree (ReuseExchange dedupes
-      // the postings aggregate at runtime — see stream_sparse_vector).
+      // r19: append-side repartition reverted after the A/B — see
+      // stream_sparse_vector (this query's three appends paid the barrier
+      // thrice: 5.8 s with repartition / 6.0 s with REBALANCE vs 4.6 s
+      // without, same 44 files in all three). The compaction inside
+      // compactPostingsIncrements keeps its repartition — that is the
+      // corpus-sized write. The replayed epoch-0 branch stays a duplicate
+      // subtree (ReuseExchange dedupes the postings aggregate at runtime
+      // — see stream_sparse_vector).
       inc(0L, pmod(col("doc_id"), lit(2)) === 0)
         .unionByName(inc(1L, pmod(col("doc_id"), lit(2)) === 1))
         .unionByName(inc(0L, pmod(col("doc_id"), lit(2)) === 0)) // replay
-        .repartition(col("term_bucket"))
         .write.mode("append").partitionBy("term_bucket").parquet(path)
       streaming.EventStreams.compactPostingsIncrements(s, "doc_id", path)
       inc(2L, pmod(col("doc_id"), lit(3)) === 0) // post-compaction update
-        .repartition(col("term_bucket"))
         .write.mode("append").partitionBy("term_bucket").parquet(path)
       val postings = streaming.EventStreams.postingsFromIncrements(
         s, "doc_id", path)
@@ -7744,7 +7751,11 @@ object SparkEntry {
       // The TSDB gauge surface: inner *_OVER_TIME aggregates each series
       // (user_id — passed explicitly, the mapping seam) within each hour
       // bucket, the outer combines across series. Two hash aggregates,
-      // no window; AVG rounded to 4 so summation order cannot surface.
+      // no window. ROUND(AVG, 4) is NOT enough to pin a double mean whose
+      // exact value sits on the half boundary (sf0.01 has one at exactly
+      // 36.36625), so the engine accumulates a rounded AVG/SUM in DECIMAL
+      // (order-independent) and the oracle averages over DECIMAL (DuckDB's
+      // exact hugeint-sum path) — both sides round the same exact rational.
       query.Esql.run(
         """TS events
           | STATS peak = MAX(MAX_OVER_TIME(value, user_id)),
@@ -13831,7 +13842,8 @@ object SparkEntry {
         |    max(value) AS mx, min(value) AS mn, count(value) AS c
         |  FROM events GROUP BY 1, 2, 3
         |)
-        |SELECT max(mx) AS peak, round(avg(mn), 4) AS floor_avg,
+        |SELECT max(mx) AS peak,
+        |  round(avg(CAST(mn AS DECIMAL(18,4))), 4) AS floor_avg,
         |  max(c) AS active, event_type, b
         |FROM i GROUP BY event_type, b ORDER BY event_type, b LIMIT 40""".stripMargin,
 

@@ -112,7 +112,13 @@ object Bpe {
         .orderBy(desc("pair_count"), asc("left"), asc("right"))
         .limit(1)
         .collect()
-      // `words` is materialized now — its lazily-checkpointed input can go
+      // `words` is materialized now — its lazily-checkpointed input can go.
+      // INVARIANT the deferred unpersist rests on: pairCounts' groupBy
+      // shuffle forces FULL materialization of every partition of the lazy
+      // localCheckpoint during the limit(1).collect() above. If pairCounts
+      // ever became a narrow/partial plan (no exchange), only the scanned
+      // partitions would persist and freeing `prev` here would break later
+      // recomputes — materialize defensively (words.count()) in that case.
       if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) exhausted = true
       else {

@@ -2225,8 +2225,24 @@ object Esql {
     val inner = df.groupBy((dims.map(col) :+ bucket) ++ series.map(col): _*)
       .agg(innerAggs.head, innerAggs.tail: _*)
     val outerAggs = parsed.map { case (n, outer, _, _, _, i, rnd) =>
-      val c = aggFn(outer, col(s"__in_$i"))
-      rnd.map(d => round(c, d)).getOrElse(c).as(n)
+      rnd match {
+        // ROUND(AVG|SUM(…), d): a double sum is partition-order-dependent,
+        // and rounding does NOT pin a value whose exact mean sits ON the
+        // half boundary (sf0.01 has a group at exactly 36.36625 — the
+        // round-18 driver/builder verify disagreement). Accumulate in
+        // DECIMAL instead: the sum is exact, the mean is rounded once at
+        // scale 16, and HALF_UP at d decimals of that is order-independent.
+        // The oracle mirrors it (AVG over DECIMAL is DuckDB's exact
+        // hugeint-sum path). Inputs are quantized at 12 decimals — the
+        // ROUND idiom already declares sub-noise digits meaningless.
+        case Some(d) if outer == "AVG" || outer == "SUM" =>
+          val exact = aggFn(outer,
+            col(s"__in_$i").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          round(exact, d).cast("double").as(n)
+        case _ =>
+          val c = aggFn(outer, col(s"__in_$i"))
+          rnd.map(d => round(c, d)).getOrElse(c).as(n)
+      }
     }
     val out = inner.groupBy(dims.map(col) :+ col(bname): _*)
       .agg(outerAggs.head, outerAggs.tail: _*)

@@ -973,6 +973,47 @@ class AggsSpec extends SparkSpecBase {
       Aggs.frequentItemSets(tx, col("id"), col("items"), minSetSize = 0))
   }
 
+  test("frequentItemSets: local mining ≡ distributed counting (r19 basket compression)") {
+    // The r19 optimization mines the lattice driver-side when the
+    // distinct-basket table is provably bounded, and otherwise counts
+    // distributed over multiplicity-weighted distinct baskets. Both
+    // backends must be output-identical — including duplicate baskets
+    // (weighted counting), duplicate items in a basket, nulls inside
+    // baskets, and empty/null baskets (counted in N, in no itemset).
+    val tx = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a")),            // same basket, other order
+      (3L, Seq("a", "b", "c", "c", null)), // dup item + null item
+      (4L, Seq("a", "c")),
+      (5L, Seq("c", "d")),
+      (6L, Seq[String]()),                 // empty basket
+      (7L, null.asInstanceOf[Seq[String]]), // null basket
+      (8L, Seq("a", "c", "d")),
+    ).toDF("id", "items")
+    val local = Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.25, minSetSize = 1, size = 20)
+      .as[(String, Long, Double)].collect().toSeq
+    val dist = Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.25, minSetSize = 1, size = 20,
+        localMiningMaxBaskets = 0) // force the distributed backend
+      .as[(String, Long, Double)].collect().toSeq
+    assert(local === dist)
+    // spot-pin the counts: N = 8 (empty/null baskets count toward support);
+    // {a,b,c} appears 3×, {a,c} ⊆ 5 baskets, c in 6
+    assert(local.contains(("a,b,c", 3L, 3.0 / 8)))
+    assert(local.contains(("a,c", 5L, 5.0 / 8)))
+    assert(local.contains(("c", 6L, 6.0 / 8)))
+    // the probe boundary itself: a bound of exactly |distinct baskets|
+    // stays local, one below falls back — both identical
+    val boundary = Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.25, size = 20, localMiningMaxBaskets = 6)
+      .as[(String, Long, Double)].collect().toSeq
+    val fallback = Aggs.frequentItemSets(tx, col("id"), col("items"),
+        minSupport = 0.25, size = 20, localMiningMaxBaskets = 5)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(boundary === local && fallback === local)
+  }
+
   test("percentilesBucket: R-7 interpolation over the sibling buckets, one row per percent") {
     import spark.implicits._
     // 5 buckets with metric 10,20,30,40,50: p50 = 30 exactly; p25 lands
