@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   * rewrites, and coalesced shuffle reads. This tool runs each named
   * registry query to completion through the noop sink (guide §1.4) and
   * dumps `queryExecution.executedPlan` — the final adaptive plan — to
-  * `plans/r19/<name>_<suffix>.txt`.
+  * `plans/r19/<name>_<suffix>.txt`. The action is a collect on the SAME
+  * QueryExecution (a noop write would execute a fresh copy and leave this
+  * one un-finalized); every registry query returns a bounded result by
+  * contract, so the collect is small.
   *
   * Usage: runMain graft.tools.R19FinalPlan <sfDir> <outDir> <suffix> <names,csv>
   */
@@ -30,7 +33,7 @@ object R19FinalPlan {
       try {
         spark.sparkContext.setJobDescription(s"finalplan: $name")
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
+        df.collect()
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
           df.queryExecution.executedPlan.toString)

@@ -931,6 +931,31 @@ class EsqlSpec extends SparkSpecBase {
       .contains("start the program with TS"))
   }
 
+  test("TS gauge ROUND(AVG) is an exact DECIMAL mean: half-boundary rounds HALF_UP, order-free") {
+    // r19 determinism fix: a double AVG is partition-order-dependent and
+    // ROUND does not pin a mean sitting exactly ON the half boundary —
+    // the esql_ts_gauge driver flake (group mean exactly 36.36625). The
+    // rounded AVG/SUM path accumulates in DECIMAL; this fixture's series
+    // mins average to exactly 1.00005, which must round UP to 1.0001 in
+    // every run regardless of partitioning (the old double path flips
+    // with summation order).
+    val m = Seq(
+      ("a", "t1", "2024-03-01 10:05:00", 1.0000),
+      ("b", "t1", "2024-03-01 10:20:00", 1.0001))
+      .toDF("pod", "grp", "ts_s", "mem")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Esql.run(
+      """TS m | STATS fa = ROUND(AVG(MIN_OVER_TIME(mem, pod)), 4),
+          fs = ROUND(SUM(MIN_OVER_TIME(mem, pod)), 4)
+          BY grp, b = BUCKET(ts, 1 hour)""",
+      resolve(Map("m" -> m))).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("fa") == 1.0001) // exact HALF_UP of 1.00005
+    assert(out(0).getAs[Double]("fs") == 2.0001)
+    // output stays double (the oracle's round(avg(...),4) type)
+    assert(out(0).schema("fa").dataType.typeName == "double")
+  }
+
   test("ST_* spatial family: even-odd relations, holes, WKT axis order, haversine") {
     val sq = """POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"""
     val holed = """POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"""

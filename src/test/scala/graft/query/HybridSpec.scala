@@ -136,4 +136,22 @@ class HybridSpec extends SparkSpecBase {
       Hybrid.rescore(primary, "id", "score", secondary, "s2",
         windowSize = 5, runLimit = 3))
   }
+
+  test("rescore CONTRACT: secondary must be per-id unique (duplicates fan out)") {
+    // The r18 single-reference form left-joins `secondary` against ALL
+    // bounded rows, so a duplicate-id secondary fans out TAIL rows too —
+    // this pin makes the widened per-id-unique contract load-bearing
+    // instead of implicit (r18 advice item). Every in-repo caller passes
+    // a per-id-unique secondary (scores are one row per doc); if this
+    // test starts failing because rescore learned to dedup internally,
+    // update the contract note in Hybrid.rescore's scaladoc.
+    val primary = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "score")
+    val dupSecondary = Seq((3L, 1.0), (3L, 2.0)).toDF("id", "s2")
+    val rows = Hybrid.rescore(primary, "id", "score", dupSecondary, "s2",
+        windowSize = 1)
+      .as[(Long, Int, Double)].collect().toSeq
+    // tail doc 3 joined both duplicate rows: 4 output rows for 3 docs —
+    // the documented fan-out, NOT silent dedup
+    assert(rows.length === 4 && rows.count(_._1 == 3L) === 2)
+  }
 }
