@@ -1938,9 +1938,6 @@ object Aggs {
       s"frequent_item_sets: localMiningMaxBaskets >= 0, got $localMiningMaxBaskets")
     val spark = tx.sparkSession
     import spark.implicits._
-    val n = tx.count()
-    require(n > 0, "frequent_item_sets: empty transaction table")
-    val minCount = math.max(1L, math.ceil(minSupport * n - 1e-9).toLong)
     // r19 optimization (guide §2.3 "aggregate before you shuffle" + §2.2
     // stage fragmentation; VERDICT r18: 1.67 s at 8 cores vs 6.2 s at 32 —
     // the per-level job storm over exploded corpus pairs anti-scaled).
@@ -1980,10 +1977,17 @@ object Aggs {
       val head =
         if (localMiningMaxBaskets > 0) baskets.limit(localMiningMaxBaskets + 1).collect()
         else Array.empty[org.apache.spark.sql.Row]
-      val finalLevel: Seq[Vector[String]] =
+      val (n, finalLevel): (Long, Seq[Vector[String]]) =
         if (localMiningMaxBaskets > 0 && head.length <= localMiningMaxBaskets) {
           val bs = head.map(r =>
             (Option(r.getSeq[String](0)).getOrElse(Seq.empty).toArray, r.getLong(1)))
+          // N = Σ basket multiplicities: every tx row lands in exactly one
+          // normalized basket (empty and null included), so the former
+          // separate tx.count() was a SECOND full corpus scan for a number
+          // the basket aggregate already carries (r19 — one corpus pass).
+          val n = bs.map(_._2).sum
+          require(n > 0, "frequent_item_sets: empty transaction table")
+          val minCount = math.max(1L, math.ceil(minSupport * n - 1e-9).toLong)
           val itemCounts = scala.collection.mutable.Map.empty[String, Long]
           bs.foreach { case (items, f) =>
             items.foreach(it => itemCounts(it) = itemCounts.getOrElse(it, 0L) + f)
@@ -2032,9 +2036,14 @@ object Aggs {
               }
             k += 1
           }
-          level
+          (n, level)
         } else {
           // Distributed level-wise counting over the weighted baskets.
+          // N from the (cached) aggregate, not a second corpus scan.
+          val n = Option(baskets.agg(sum(col("_freq"))).head.get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          require(n > 0, "frequent_item_sets: empty transaction table")
+          val minCount = math.max(1L, math.ceil(minSupport * n - 1e-9).toLong)
           // Width derives from the DATA (bounded rows per partition), not
           // the core count — scale-adaptive per the §2 discipline; locally
           // small inputs collapse to one partition instead of fragmenting
@@ -2077,7 +2086,7 @@ object Aggs {
                 }
               k += 1
             }
-            level
+            (n, level)
           } finally { pairs.unpersist(blocking = false); () }
         }
       require(finalLevel.isEmpty,
