@@ -7755,7 +7755,12 @@ object SparkEntry {
       // exact value sits on the half boundary (sf0.01 has one at exactly
       // 36.36625), so the engine accumulates a rounded AVG/SUM in DECIMAL
       // (order-independent) and the oracle averages over DECIMAL (DuckDB's
-      // exact hugeint-sum path) — both sides round the same exact rational.
+      // exact hugeint-sum path) THEN rounds on a DECIMAL(28,8)
+      // re-quantization — DuckDB's avg returns DOUBLE, and rounding that
+      // double directly would still flip on boundary means whose nearest
+      // double sits below the boundary (e.g. a mean of exactly 557.46125).
+      // Both sides therefore round the same exact rational half-away at 4;
+      // the shared contract is a finite gauge quantized at ≤4 decimals.
       query.Esql.run(
         """TS events
           | STATS peak = MAX(MAX_OVER_TIME(value, user_id)),
@@ -13843,7 +13848,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2, 3
         |)
         |SELECT max(mx) AS peak,
-        |  round(avg(CAST(mn AS DECIMAL(18,4))), 4) AS floor_avg,
+        |  CAST(round(CAST(avg(CAST(mn AS DECIMAL(18,4))) AS DECIMAL(28,8)), 4)
+        |       AS DOUBLE) AS floor_avg,
         |  max(c) AS active, event_type, b
         |FROM i GROUP BY event_type, b ORDER BY event_type, b LIMIT 40""".stripMargin,
 

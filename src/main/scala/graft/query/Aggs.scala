@@ -1974,8 +1974,11 @@ object Aggs {
       // ECLAT over exactly this kind of compacted transaction set. Above
       // the bound, the level-wise distributed loop below counts over the
       // weighted baskets instead.
+      // probe = bound + 1, saturated (Int.MaxValue would overflow to a
+      // negative limit and throw at analysis)
+      val probe = math.min(localMiningMaxBaskets.toLong + 1L, Int.MaxValue.toLong).toInt
       val head =
-        if (localMiningMaxBaskets > 0) baskets.limit(localMiningMaxBaskets + 1).collect()
+        if (localMiningMaxBaskets > 0) baskets.limit(probe).collect()
         else Array.empty[org.apache.spark.sql.Row]
       val (n, finalLevel): (Long, Seq[Vector[String]]) =
         if (localMiningMaxBaskets > 0 && head.length <= localMiningMaxBaskets) {

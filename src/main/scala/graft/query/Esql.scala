@@ -2230,14 +2230,29 @@ object Esql {
         // and rounding does NOT pin a value whose exact mean sits ON the
         // half boundary (sf0.01 has a group at exactly 36.36625 — the
         // round-18 driver/builder verify disagreement). Accumulate in
-        // DECIMAL instead: the sum is exact, the mean is rounded once at
-        // scale 16, and HALF_UP at d decimals of that is order-independent.
-        // The oracle mirrors it (AVG over DECIMAL is DuckDB's exact
-        // hugeint-sum path). Inputs are quantized at 12 decimals — the
-        // ROUND idiom already declares sub-noise digits meaningless.
+        // DECIMAL instead: per-series values quantize at scale d (the SAME
+        // quantization the oracle's CAST(… AS DECIMAL(…,d)) applies — a
+        // finite gauge quantized at ≤d decimals is the idiom's contract,
+        // and both engines round the same stored double to scale d, so the
+        // row step never diverges), the sum is exact, the mean rounds once
+        // at scale d+4, and HALF_UP at d decimals of that is
+        // order-independent (the exact mean's distance from any d-decimal
+        // half boundary is 0 or ≥ 5·10^-(d+1)/n ≫ the d+4 re-rounding).
+        // The oracle mirrors the exact-rational rounding via
+        // avg-over-DECIMAL + a DECIMAL(…, d+4) re-quantization before its
+        // round. Non-finite gauges reject loudly: the DECIMAL cast would
+        // otherwise null them out of the aggregate silently, where the old
+        // double path propagated them.
         case Some(d) if outer == "AVG" || outer == "SUM" =>
-          val exact = aggFn(outer,
-            col(s"__in_$i").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          val v = col(s"__in_$i")
+          val finite = when(isnan(v) || v === Double.PositiveInfinity ||
+              v === Double.NegativeInfinity,
+              raise_error(lit(s"esql: ROUND($outer(…), $d) needs a finite " +
+                "gauge — NaN/Infinity cannot round deterministically"))
+                .cast("double"))
+            .otherwise(v)
+          val exact = aggFn(outer, finite.cast(
+            org.apache.spark.sql.types.DecimalType(38, math.max(0, math.min(30, d)))))
           round(exact, d).cast("double").as(n)
         case _ =>
           val c = aggFn(outer, col(s"__in_$i"))

@@ -954,6 +954,30 @@ class EsqlSpec extends SparkSpecBase {
     assert(out(0).getAs[Double]("fs") == 2.0001)
     // output stays double (the oracle's round(avg(...),4) type)
     assert(out(0).schema("fa").dataType.typeName == "double")
+    // the nearest-double-BELOW-the-boundary class (the r19 review's find):
+    // 7×557.46 + 557.47 has mean exactly 557.46125, whose nearest double is
+    // BELOW the boundary — a double-rounding engine (or an oracle that
+    // rounds avg's DOUBLE return directly) says 557.4612; the exact DECIMAL
+    // mean must say 557.4613 in every run
+    val m2 = (1 to 7).map(i => (s"p$i", "t1", "2024-03-01 10:05:00", 557.46)) :+
+      (("p8", "t1", "2024-03-01 10:05:00", 557.47))
+    val out2 = Esql.run(
+      """TS m | STATS fa = ROUND(AVG(MIN_OVER_TIME(mem, pod)), 4)
+          BY grp, b = BUCKET(ts, 1 hour)""",
+      resolve(Map("m" -> m2.toDF("pod", "grp", "ts_s", "mem")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")))).collect()
+    assert(out2(0).getAs[Double]("fa") == 557.4613)
+    // non-finite gauges reject loudly instead of silently nulling out of
+    // the DECIMAL accumulation
+    val mBad = Seq(("a", "t1", "2024-03-01 10:05:00", Double.NaN))
+      .toDF("pod", "grp", "ts_s", "mem")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val thrown = intercept[Exception](Esql.run(
+      """TS m | STATS fa = ROUND(AVG(MIN_OVER_TIME(mem, pod)), 4)
+          BY grp, b = BUCKET(ts, 1 hour)""",
+      resolve(Map("m" -> mBad))).collect())
+    assert(thrown.getMessage.contains("finite gauge") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("finite gauge")))
   }
 
   test("ST_* spatial family: even-odd relations, holes, WKT axis order, haversine") {
